@@ -1,0 +1,1 @@
+"""Operator library: each module re-expresses one SURVEY.md §2 family."""

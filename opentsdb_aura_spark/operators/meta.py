@@ -1,0 +1,95 @@
+"""Meta / catalog queries (SURVEY.md §2.3c, M1-M5) over the series
+dimension table.
+
+The reference serves these from the per-shard inverted index
+(core/src/main/java/net/opentsdb/aura/metrics/meta/NewDocStore.java:1038-1067):
+distinct namespaces/metrics, tag keys, tag values (with counts),
+key→value→count maps, matching-series listings, and cardinality.  In
+Spark the ``series_dim`` table (one row per live series) answers all
+of them with plain aggregations; it is tiny relative to the fact
+table, so every one of these is a broadcast-scale query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.filters import Filter, compile_filter
+
+
+def _filtered(series_dim: DataFrame, flt: Filter | None) -> DataFrame:
+    return series_dim.where(compile_filter(flt))
+
+
+def distinct_namespaces(series_dim: DataFrame, flt: Filter | None = None) -> DataFrame:
+    """M1 — distinct namespaces matching the filter."""
+    return _filtered(series_dim, flt).select("namespace").distinct()
+
+
+def distinct_metrics(series_dim: DataFrame, flt: Filter | None = None) -> DataFrame:
+    """M1 — distinct metrics matching the filter (NewDocStore.java:1038-1054)."""
+    return _filtered(series_dim, flt).select("metric").distinct()
+
+
+def distinct_tag_keys(series_dim: DataFrame, flt: Filter | None = None) -> DataFrame:
+    """M2 — distinct tag keys over matching series, with series counts."""
+    return (
+        _filtered(series_dim, flt)
+        .select(F.explode(F.map_keys("tags")).alias("tag_key"))
+        .groupBy("tag_key")
+        .agg(F.count("*").alias("series_count"))
+    )
+
+
+def distinct_tag_values(series_dim: DataFrame, key: str, flt: Filter | None = None) -> DataFrame:
+    """M2 — distinct values of one tag key, with series counts
+    (NewDocStore.java:1045-1067,1709-1727)."""
+    return (
+        _filtered(series_dim, flt)
+        .select(F.col("tags")[key].alias("tag_value"))
+        .where(F.col("tag_value").isNotNull())
+        .groupBy("tag_value")
+        .agg(F.count("*").alias("series_count"))
+    )
+
+
+def tag_keys_and_values(series_dim: DataFrame, flt: Filter | None = None) -> DataFrame:
+    """M3 — full key→value→count breakdown (BASIC meta query,
+    NewDocStore.java:948-952,1057-1067)."""
+    return (
+        _filtered(series_dim, flt)
+        .select(F.explode("tags").alias("tag_key", "tag_value"))
+        .groupBy("tag_key", "tag_value")
+        .agg(F.count("*").alias("series_count"))
+    )
+
+
+def list_timeseries(series_dim: DataFrame, flt: Filter | None = None, limit: int = 4096) -> DataFrame:
+    """M4 — list matching series up to the container limit
+    (MetaQuery.java:123-135 defensive cap)."""
+    return _filtered(series_dim, flt).select("series_id", "namespace", "metric", "tags").limit(limit)
+
+
+def cardinality(series_dim: DataFrame, flt: Filter | None = None, approx: bool = False) -> DataFrame:
+    """M5 — matching-series cardinality; ``approx`` uses HLL for the
+    100 TB path (exact bitmap cardinality in the reference,
+    NewDocStore.java:822,1062-1063)."""
+    agg: Column = (
+        F.approx_count_distinct("series_id") if approx else F.count_distinct(F.col("series_id"))
+    ).alias("cardinality")
+    return _filtered(series_dim, flt).agg(agg)
+
+
+def build_series_dim(points: DataFrame) -> DataFrame:
+    """Derive the series dimension from normalized points (S2/S7):
+    one row per series with first/last observation and last value
+    (last value/ts mirror OffHeapTimeSeriesRecord.java:109-127)."""
+    return points.groupBy("series_id").agg(
+        F.first("namespace").alias("namespace"),
+        F.first("metric").alias("metric"),
+        F.first("tags").alias("tags"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_ts"),
+        F.max_by("value", F.struct(F.col("ts"), F.col("ingest_seq"))).alias("last_value"),
+    )

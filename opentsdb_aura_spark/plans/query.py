@@ -1,0 +1,134 @@
+"""Metric query planner — the Spark analogue of the reference's query
+lifecycle (SURVEY.md §3.1/§3.2).
+
+Reference pipeline (fused in
+opentsdb/src/main/java/net/opentsdb/aura/metrics/storage/
+AuraMetricsNumericArrayIterator.java:285-670, pushdown declaration
+AuraMetricsSourceFactory.java:120-128):
+
+  scan(filter, [start-Δ, end-Δ)) → dedupe → rate → downsample
+      → group-by merge → relabel(+Δ)
+
+Here each stage is declarative; Catalyst fuses filter+project into the
+Parquet scan (with partition pruning on ``segment_time``), and the
+rate window + per-series downsample share one hash partitioning by
+``series_id``.  Operator order is load-bearing: rate is per-point and
+runs BEFORE downsample, exactly as the reference kernel does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.filters import Filter, compile_filter, time_range
+from opentsdb_aura_spark.model import SEGMENT_WIDTH_SECONDS
+from opentsdb_aura_spark.operators.dedupe import dedupe_last_write_wins
+from opentsdb_aura_spark.operators.downsample import downsample
+from opentsdb_aura_spark.operators.groupby import group_merge, with_group_keys
+from opentsdb_aura_spark.operators.rate import RateOptions, rate, time_shift
+
+
+@dataclass
+class MetricQuery:
+    """Declarative metric query (the MetricQuery/DownsampleConfig/
+    RateConfig/GroupByConfig surface, flattened)."""
+
+    start: int  # epoch seconds, inclusive
+    end: int  # epoch seconds, exclusive (LongTermStorage.java:26-33)
+    filter: Filter | None = None
+    # downsample
+    interval: int | None = None  # seconds; None + run_all=False → raw points
+    ds_agg: str = "avg"
+    run_all: bool = False
+    infectious_nan: bool = False
+    reporting_dps: float | None = None
+    fill: str = "nan"
+    # rate (applied before downsample)
+    rate_options: RateOptions | None = None
+    # group-by
+    group_tag_keys: Sequence[str] | None = None  # None = raw per-series (G4); [] = group-all (G2)
+    gb_agg: str = "sum"
+    # time shift (R5)
+    shift_seconds: int = 0
+
+
+def run_metric_query(points: DataFrame, q: MetricQuery, *, dedupe: bool = True) -> DataFrame:
+    """Execute a MetricQuery over a normalized points DataFrame.
+
+    Returns (group keys | series_id, bucket_ts, value) with the dense
+    NaN spine when ``q.fill == 'nan'``.
+    """
+    shift = int(q.shift_seconds)
+    scan_start, scan_end = q.start - shift, q.end - shift
+
+    df = points.where(compile_filter(q.filter) & time_range(scan_start, scan_end))
+
+    if dedupe:
+        df = dedupe_last_write_wins(df)
+
+    if shift:
+        df = time_shift(df, shift)
+
+    if q.rate_options is not None:
+        df = rate(df, q.rate_options)
+
+    group_keys: list[str] | None = None
+    if q.group_tag_keys is not None:
+        group_keys = [f"tag_{k}" for k in q.group_tag_keys]
+        df = with_group_keys(df, q.group_tag_keys)
+
+    if q.group_tag_keys is not None:
+        # two-stage: per-series downsample (sparse), then group merge,
+        # then the NaN spine once at group granularity — cheaper than
+        # densifying every series first.
+        per_series = downsample(
+            df,
+            q.start,
+            q.end,
+            q.interval,
+            q.ds_agg,
+            group_cols=["series_id", *group_keys],
+            infectious_nan=q.infectious_nan,
+            reporting_dps=q.reporting_dps,
+            run_all=q.run_all,
+            fill="none",
+        )
+        merged = group_merge(
+            per_series,
+            q.gb_agg,
+            group_cols=group_keys,
+            infectious_nan=q.infectious_nan,
+        )
+        if q.fill == "nan":
+            from opentsdb_aura_spark.operators.downsample import fill_spine
+
+            interval = (q.end - q.start) if (q.run_all or q.interval is None) else q.interval
+            merged = fill_spine(merged, df, q.start, q.end, interval, group_keys)
+        return merged
+
+    # raw per-series result (G4)
+    return downsample(
+        df,
+        q.start,
+        q.end,
+        q.interval,
+        q.ds_agg,
+        group_cols=["series_id"],
+        infectious_nan=q.infectious_nan,
+        reporting_dps=q.reporting_dps,
+        run_all=q.run_all,
+        fill=q.fill,
+    )
+
+
+def splice_hot_cold(hot: DataFrame, cold: DataFrame, boundary_ts: int) -> DataFrame:
+    """U3 — route recent range to the hot table, older to cold, with
+    non-overlapping time predicates (AuraMetricsClusterConfig routing).
+    Both sides keep their partition pruning."""
+    return cold.where(F.col("ts") < F.lit(int(boundary_ts))).unionByName(
+        hot.where(F.col("ts") >= F.lit(int(boundary_ts)))
+    )

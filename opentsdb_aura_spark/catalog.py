@@ -1,0 +1,924 @@
+"""Query catalog: every driver-visible query, paired with a DuckDB
+oracle SQL string (the t2 correctness gate).
+
+Each entry exercises one operator family from SURVEY.md §2 on the
+driver's parquet tables.  The events table is adapted to the metric
+point model (event_type → metric, user_id / props.k → tags) so the
+whole metric path — filters, dedupe, rate, downsample, group-by,
+meta — runs on real multi-series data; documents/embeddings feed the
+training-data-pipeline operators.
+
+Column-name discipline: the driver hash-compares values after sorting
+columns by name, so every computed column is aliased identically in
+the Spark plan and the oracle SQL.  Floats are rounded (4-6 dp) on
+both sides to absorb summation-order differences; NaN outputs are
+mapped to NULL on both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.filters import Chain, MetricLiteral, Not, TagLiteralOr
+from opentsdb_aura_spark.model import events_as_points
+from opentsdb_aura_spark.operators.dedupe import dedupe_last_write_wins
+from opentsdb_aura_spark.operators.dedup_text import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from opentsdb_aura_spark.operators.downsample import downsample
+from opentsdb_aura_spark.operators.events import group_count_last, minute_histogram, text_match, top_n
+from opentsdb_aura_spark.operators.meta import (
+    build_series_dim,
+    cardinality,
+    distinct_metrics,
+    distinct_tag_keys,
+    distinct_tag_values,
+)
+from opentsdb_aura_spark.operators.multimodal import attach_fake_media, extract_features, media_stats
+from opentsdb_aura_spark.operators.rate import RateOptions, rate
+from opentsdb_aura_spark.operators.similarity import brute_force_topk, lsh_topk
+from opentsdb_aura_spark.operators.text import lang_id, quality_scores, token_stats
+from opentsdb_aura_spark.plans.query import MetricQuery, run_metric_query, splice_hot_cold
+
+# ---------------------------------------------------------------- time anchors
+START = 1704067200  # 2024-01-01 00:00:00 UTC — events data begins here
+END = START + 30 * 86400
+SPINE_START = START + 86400
+SPINE_END = SPINE_START + 2 * 86400
+SHIFT = 86400
+DAY = 86400
+HOUR = 3600
+
+# ---------------------------------------------------------------- spark loaders
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def events_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as epoch seconds (driver table stores ns)."""
+    ev = load_events(spark, sf_dir)
+    return ev.withColumn("ts", F.expr("ts div 1000000000").cast("long"))
+
+
+def points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical deduped points + materialized tag columns."""
+    pts = events_as_points(load_events(spark, sf_dir))
+    pts = dedupe_last_write_wins(pts)
+    return pts.withColumn("tag_user", F.col("tags")["user"]).withColumn("tag_k", F.col("tags")["k"])
+
+
+def series_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_series_dim(points(spark, sf_dir))
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def denan(c: Column) -> Column:
+    """NaN → NULL (both engines hash NULL identically; NaN is risky)."""
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+
+def _bucket_sql(iv: int, start: int = START, ts: str = "ts") -> str:
+    return f"({start} + (({ts} - {start}) // {iv}) * {iv})"
+
+
+# Shared oracle prelude: the same point normalization + last-write-wins
+# dedupe the Spark side applies.
+ORACLE_PTS = """
+WITH pts AS (
+  SELECT event_type AS metric,
+         CAST(user_id AS VARCHAR) AS tag_user,
+         json_extract_string(props, '$.k') AS tag_k,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         value,
+         event_id AS ingest_seq
+  FROM events
+),
+dpts AS (
+  SELECT metric, tag_user, tag_k, ts, value, ingest_seq
+  FROM (SELECT *, row_number() OVER (PARTITION BY metric, tag_user, tag_k, ts
+                                     ORDER BY ingest_seq DESC) AS rn
+        FROM pts)
+  WHERE rn = 1
+),
+series AS (SELECT DISTINCT metric, tag_user, tag_k FROM pts)
+"""
+
+ORACLE_SHINGLES = """
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+shing AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks)-1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM d),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY 1)
+"""
+
+
+# ---------------------------------------------------------------- registry
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ============================================================ downsample (A1-A11)
+
+
+def _ds_by_metric(spark, sf_dir, interval, agg, value_alias, ndigits, run_all=False):
+    res = downsample(
+        points(spark, sf_dir), START, END, interval, agg, group_cols=["metric"], fill="none", run_all=run_all
+    )
+    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), ndigits).alias(value_alias))
+
+
+def _ds_by_metric_sql(iv, agg_sql, value_alias, ndigits):
+    return f"""{ORACLE_PTS}
+SELECT metric, {_bucket_sql(iv)} AS bucket_ts,
+       round({agg_sql}, {ndigits}) AS {value_alias}
+FROM dpts WHERE ts >= {START} AND ts < {END}
+GROUP BY 1, 2"""
+
+
+@register("ds_sum_daily", _ds_by_metric_sql(DAY, "sum(value)", "sum_value", 4))
+def ds_sum_daily(spark, sf_dir):
+    """A1 — downsample SUM, daily buckets per metric."""
+    return _ds_by_metric(spark, sf_dir, DAY, "sum", "sum_value", 4)
+
+
+@register("ds_avg_hourly", _ds_by_metric_sql(HOUR, "avg(value)", "avg_value", 6))
+def ds_avg_hourly(spark, sf_dir):
+    """A2 — downsample AVG (sum/count), hourly buckets per metric."""
+    return _ds_by_metric(spark, sf_dir, HOUR, "avg", "avg_value", 6)
+
+
+@register("ds_count_daily", _ds_by_metric_sql(DAY, "CAST(count(value) AS DOUBLE)", "count_value", 4))
+def ds_count_daily(spark, sf_dir):
+    """A3 — downsample COUNT of non-NaN values."""
+    return _ds_by_metric(spark, sf_dir, DAY, "count", "count_value", 4)
+
+
+@register("ds_min_daily", _ds_by_metric_sql(DAY, "min(value)", "min_value", 4))
+def ds_min_daily(spark, sf_dir):
+    """A4 — downsample MIN (alias mimmin)."""
+    return _ds_by_metric(spark, sf_dir, DAY, "mimmin", "min_value", 4)
+
+
+@register("ds_max_daily", _ds_by_metric_sql(DAY, "max(value)", "max_value", 4))
+def ds_max_daily(spark, sf_dir):
+    """A4 — downsample MAX (alias mimmax)."""
+    return _ds_by_metric(spark, sf_dir, DAY, "mimmax", "max_value", 4)
+
+
+@register("ds_p90_daily", _ds_by_metric_sql(DAY, "quantile_cont(value, 0.90)", "p90_value", 6))
+def ds_p90_daily(spark, sf_dir):
+    """A6 — NON_OPTIMIZED aggregator (exact interpolated percentile)."""
+    return _ds_by_metric(spark, sf_dir, DAY, "p90", "p90_value", 6)
+
+
+@register("ds_median_daily", _ds_by_metric_sql(DAY, "quantile_cont(value, 0.5)", "median_value", 6))
+def ds_median_daily(spark, sf_dir):
+    """A6 — NON_OPTIMIZED aggregator (median)."""
+    return _ds_by_metric(spark, sf_dir, DAY, "median", "median_value", 6)
+
+
+@register("ds_stddev_daily", _ds_by_metric_sql(DAY, "stddev_samp(value)", "stddev_value", 6))
+def ds_stddev_daily(spark, sf_dir):
+    """A6 — NON_OPTIMIZED aggregator (sample stddev)."""
+    return _ds_by_metric(spark, sf_dir, DAY, "stddev", "stddev_value", 6)
+
+
+@register("ds_sumsq_daily", _ds_by_metric_sql(DAY, "sum(value*value)", "sumsq_value", 4))
+def ds_sumsq_daily(spark, sf_dir):
+    """A11 — SUM-OF-SQUARES aggregator."""
+    return _ds_by_metric(spark, sf_dir, DAY, "sumsq", "sumsq_value", 4)
+
+
+@register(
+    "ds_runall_sum",
+    f"""{ORACLE_PTS}
+SELECT metric, {START} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1""",
+)
+def ds_runall_sum(spark, sf_dir):
+    """A7 — run-all: single bucket spanning the whole query range."""
+    return _ds_by_metric(spark, sf_dir, None, "zimsum", "sum_value", 4, run_all=True)
+
+
+@register(
+    "ds_last_daily_purchase",
+    f"""{ORACLE_PTS}
+SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts,
+       round(arg_max(value, ts), 4) AS last_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2, 3""",
+)
+def ds_last_daily_purchase(spark, sf_dir):
+    """A5 — downsample LAST per series (ts order, post-dedupe)."""
+    pts = points(spark, sf_dir).where(F.col("metric") == "purchase")
+    res = downsample(pts, START, END, DAY, "last", group_cols=["tag_user", "tag_k"], fill="none")
+    return res.select("tag_user", "tag_k", "bucket_ts", F.round(denan(F.col("value")), 4).alias("last_value"))
+
+
+@register(
+    "ds_spine_hourly_purchase",
+    f"""{ORACLE_PTS},
+agg AS (
+  SELECT {_bucket_sql(HOUR, SPINE_START)} AS bucket_ts, round(sum(value), 4) AS sum_value
+  FROM dpts WHERE metric = 'purchase' AND ts >= {SPINE_START} AND ts < {SPINE_END}
+  GROUP BY 1)
+SELECT r.range AS bucket_ts, a.sum_value
+FROM range({SPINE_START}, {SPINE_END}, {HOUR}) r
+LEFT JOIN agg a ON r.range = a.bucket_ts""",
+)
+def ds_spine_hourly_purchase(spark, sf_dir):
+    """A8 — dense interval spine: empty hourly buckets surface (as
+    NULL here; NaN in the engine contract) rather than vanishing."""
+    q = MetricQuery(
+        start=SPINE_START,
+        end=SPINE_END,
+        interval=HOUR,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=[],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("bucket_ts", F.round(denan(F.col("value")), 4).alias("sum_value"))
+
+
+# ============================================================ rate family (R1-R5)
+
+_RATE_PRELUDE = f"""{ORACLE_PTS},
+r AS (
+  SELECT tag_user, tag_k, ts, value,
+         lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+  FROM dpts
+  WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts)
+)"""
+
+
+@register(
+    "rate_purchase",
+    f"""{_RATE_PRELUDE}
+SELECT tag_user, tag_k, ts,
+       round((value - pv) / ((ts - pt) / 3600.0), 6) AS rate_value
+FROM r WHERE pv IS NOT NULL""",
+)
+def rate_purchase(spark, sf_dir):
+    """R1 — rate of change per series (per-hour normalization)."""
+    pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+    res = rate(pts, RateOptions(interval_seconds=3600))
+    return res.where(~F.isnan("value")).select(
+        "tag_user", "tag_k", "ts", F.round(F.col("value"), 6).alias("rate_value")
+    )
+
+
+@register(
+    "delta_purchase",
+    f"""{_RATE_PRELUDE}
+SELECT tag_user, tag_k, ts, round(value - pv, 6) AS delta_value
+FROM r WHERE pv IS NOT NULL""",
+)
+def delta_purchase(spark, sf_dir):
+    """R3 — delta-only (no time normalization)."""
+    pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+    res = rate(pts, RateOptions(delta_only=True))
+    return res.where(~F.isnan("value")).select(
+        "tag_user", "tag_k", "ts", F.round(F.col("value"), 6).alias("delta_value")
+    )
+
+
+@register(
+    "rate_counter_drop_purchase",
+    f"""{_RATE_PRELUDE}
+SELECT tag_user, tag_k, ts,
+       round((value - pv) / ((ts - pt) / 3600.0), 6) AS rate_value
+FROM r WHERE pv IS NOT NULL AND value >= pv""",
+)
+def rate_counter_drop_purchase(spark, sf_dir):
+    """R2 — counter semantics with dropResets: negative deltas → NaN
+    (dropped from output)."""
+    pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+    res = rate(pts, RateOptions(interval_seconds=3600, counter=True, drop_resets=True))
+    return res.where(~F.isnan("value")).select(
+        "tag_user", "tag_k", "ts", F.round(F.col("value"), 6).alias("rate_value")
+    )
+
+
+@register(
+    "rate_to_count_purchase",
+    f"""{_RATE_PRELUDE}
+SELECT tag_user, tag_k, ts,
+       round(value * least((ts - pt) / 3600.0, 300.0), 6) AS count_value
+FROM r WHERE pv IS NOT NULL""",
+)
+def rate_to_count_purchase(spark, sf_dir):
+    """R4 — rate-to-count with a configured data interval."""
+    pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+    res = rate(pts, RateOptions(interval_seconds=3600, rate_to_count=True, data_interval=300))
+    return res.where(~F.isnan("value")).select(
+        "tag_user", "tag_k", "ts", F.round(F.col("value"), 6).alias("count_value")
+    )
+
+
+@register(
+    "timeshift_sum_daily_purchase",
+    f"""{ORACLE_PTS}
+SELECT {_bucket_sql(DAY, START, f"(ts + {SHIFT})")} AS bucket_ts,
+       round(sum(value), 4) AS sum_value
+FROM dpts
+WHERE metric = 'purchase' AND ts >= {START - SHIFT} AND ts < {END - SHIFT}
+GROUP BY 1""",
+)
+def timeshift_sum_daily_purchase(spark, sf_dir):
+    """R5 — time shift: evaluate over [start-Δ, end-Δ), relabel +Δ."""
+    q = MetricQuery(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=[],
+        gb_agg="sum",
+        shift_seconds=SHIFT,
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("bucket_ts", F.round(denan(F.col("value")), 4).alias("sum_value"))
+
+
+# ============================================================ group-by (G1-G4)
+
+
+@register(
+    "gb_sum_by_user_daily",
+    f"""{ORACLE_PTS}
+SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def gb_sum_by_user_daily(spark, sf_dir):
+    """G1 — group-by tag key (sum○sum decomposes to a flat sum)."""
+    q = MetricQuery(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("tag_user", "bucket_ts", F.round(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "gb_avg_by_user_daily",
+    f"""{ORACLE_PTS},
+per_series AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts, avg(value) AS v
+  FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+  GROUP BY 1, 2, 3)
+SELECT tag_user, bucket_ts, round(avg(v), 6) AS avg_value
+FROM per_series GROUP BY 1, 2""",
+)
+def gb_avg_by_user_daily(spark, sf_dir):
+    """G1 — two-stage semantics: per-series downsample AVG, then AVG
+    across the series of each group (≠ flat avg — load-bearing)."""
+    q = MetricQuery(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="avg",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="avg",
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("tag_user", "bucket_ts", F.round(denan(F.col("value")), 6).alias("avg_value"))
+
+
+@register(
+    "gb_series_count_daily",
+    f"""{ORACLE_PTS},
+per_series AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts
+  FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+  GROUP BY 1, 2, 3)
+SELECT tag_user, bucket_ts, CAST(count(*) AS DOUBLE) AS series_count
+FROM per_series GROUP BY 1, 2""",
+)
+def gb_series_count_daily(spark, sf_dir):
+    """G1 — group COUNT: number of series contributing per interval."""
+    q = MetricQuery(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="avg",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="count",
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("tag_user", "bucket_ts", denan(F.col("value")).alias("series_count"))
+
+
+@register(
+    "gb_all_min_daily",
+    f"""{ORACLE_PTS},
+per_series AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts, min(value) AS v
+  FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2, 3)
+SELECT bucket_ts, round(min(v), 4) AS min_value
+FROM per_series GROUP BY 1""",
+)
+def gb_all_min_daily(spark, sf_dir):
+    """G2 — group-all: every series merged into a single group."""
+    q = MetricQuery(
+        start=START, end=END, interval=DAY, ds_agg="min", group_tag_keys=[], gb_agg="min", fill="none"
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("bucket_ts", F.round(denan(F.col("value")), 4).alias("min_value"))
+
+
+# ============================================================ filters (F1-F10)
+
+
+@register(
+    "filter_chain_not",
+    f"""{ORACLE_PTS}
+SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts
+WHERE metric IN ('purchase', 'error') AND NOT (tag_user IN ('3', '7', '11'))
+  AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def filter_chain_not(spark, sf_dir):
+    """F2+F7 — literal-OR over metric, AND NOT literal-OR over a tag."""
+    flt = Chain(
+        "AND",
+        [
+            Chain("OR", [MetricLiteral("purchase"), MetricLiteral("error")]),
+            Not(TagLiteralOr("user", ("3", "7", "11"))),
+        ],
+    )
+    pts = points(spark, sf_dir)
+    from opentsdb_aura_spark.filters import compile_filter, time_range
+
+    df = pts.where(compile_filter(flt) & time_range(START, END))
+    res = downsample(df, START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "filter_regex_wildcard",
+    f"""{ORACLE_PTS}
+SELECT metric, tag_user, CAST(count(*) AS BIGINT) AS n_points
+FROM dpts
+WHERE regexp_matches(tag_k, '^[1-3]') AND metric LIKE 's%'
+  AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def filter_regex_wildcard(spark, sf_dir):
+    """F3+F4 — tag-value regexp (find semantics) + metric wildcard."""
+    from opentsdb_aura_spark.filters import TagRegexp, TagWildcard, compile_filter, time_range
+
+    flt = Chain("AND", [TagRegexp("k", "^[1-3]")])
+    pts = points(spark, sf_dir)
+    df = pts.where(compile_filter(flt) & F.col("metric").rlike("^s") & time_range(START, END))
+    return df.groupBy("metric", "tag_user").agg(F.count("*").cast("bigint").alias("n_points"))
+
+
+# ============================================================ meta (M1-M5)
+
+
+@register("meta_distinct_metrics", "SELECT DISTINCT event_type AS metric FROM events")
+def meta_distinct_metrics(spark, sf_dir):
+    """M1 — distinct metrics."""
+    return distinct_metrics(series_dim(spark, sf_dir))
+
+
+@register(
+    "meta_tag_keys",
+    """WITH series AS (SELECT DISTINCT event_type, user_id,
+                        json_extract_string(props, '$.k') AS k FROM events)
+SELECT 'k' AS tag_key, CAST(count(*) AS BIGINT) AS series_count FROM series
+UNION ALL
+SELECT 'user' AS tag_key, CAST(count(*) AS BIGINT) AS series_count FROM series""",
+)
+def meta_tag_keys(spark, sf_dir):
+    """M2 — distinct tag keys with series counts."""
+    return distinct_tag_keys(series_dim(spark, sf_dir)).select(
+        "tag_key", F.col("series_count").cast("bigint").alias("series_count")
+    )
+
+
+@register(
+    "meta_tag_values_user_purchase",
+    f"""{ORACLE_PTS}
+SELECT tag_user AS tag_value, CAST(count(*) AS BIGINT) AS series_count
+FROM series WHERE metric = 'purchase' GROUP BY 1""",
+)
+def meta_tag_values_user_purchase(spark, sf_dir):
+    """M2 — distinct values of one tag key over filtered series."""
+    sd = series_dim(spark, sf_dir)
+    return distinct_tag_values(sd, "user", MetricLiteral("purchase")).select(
+        "tag_value", F.col("series_count").cast("bigint").alias("series_count")
+    )
+
+
+@register(
+    "meta_cardinality",
+    f"""{ORACLE_PTS}
+SELECT CAST(count(*) AS BIGINT) AS cardinality
+FROM series WHERE metric IN ('purchase', 'error')""",
+)
+def meta_cardinality(spark, sf_dir):
+    """M5 — matching-series cardinality (exact)."""
+    flt = Chain("OR", [MetricLiteral("purchase"), MetricLiteral("error")])
+    return cardinality(series_dim(spark, sf_dir), flt).select(F.col("cardinality").cast("bigint").alias("cardinality"))
+
+
+@register(
+    "meta_list_series_signup",
+    f"""{ORACLE_PTS}
+SELECT metric, tag_user, tag_k FROM series WHERE metric = 'signup'""",
+)
+def meta_list_series_signup(spark, sf_dir):
+    """M4 — list matching series (tags resolved)."""
+    sd = series_dim(spark, sf_dir).where(F.col("metric") == "signup")
+    return sd.select("metric", F.col("tags")["user"].alias("tag_user"), F.col("tags")["k"].alias("tag_k"))
+
+
+# ============================================================ events (E1-E6, L1-L3)
+
+
+@register(
+    "ev_top_recent",
+    """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_type,
+              round(value, 4) AS value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 50""",
+)
+def ev_top_recent(spark, sf_dir):
+    """L1/L2 — newest-first top-N with deterministic tie-break."""
+    ev = events_seconds(spark, sf_dir)
+    return top_n(ev, 50).select("event_id", "ts", "event_type", F.round("value", 4).alias("value"))
+
+
+@register(
+    "ev_group_type_count_last",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS hits,
+              CAST(max(floor(epoch(ts))) AS BIGINT) AS last_ts,
+              round(arg_max(value, CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id), 4) AS last_value
+FROM events GROUP BY 1""",
+)
+def ev_group_type_count_last(spark, sf_dir):
+    """E5/L3 — per-dimension count + latest event fetch-last."""
+    ev = events_seconds(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("hits"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.max_by("value", F.col("ts") * 1000000 + F.col("event_id")), 4).alias("last_value"),
+    )
+
+
+@register(
+    "ev_minute_histogram",
+    f"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS minute_ts,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE epoch(ts) >= {START} AND epoch(ts) < {START + 7 * DAY}
+GROUP BY 1""",
+)
+def ev_minute_histogram(spark, sf_dir):
+    """E6 — per-minute histogram over one week."""
+    ev = events_seconds(spark, sf_dir).where((F.col("ts") >= START) & (F.col("ts") < START + 7 * DAY))
+    return minute_histogram(ev)
+
+
+@register(
+    "ev_text_search",
+    """SELECT event_id FROM events
+WHERE (lower(event_type) LIKE '%pur%' OR lower(props) LIKE '%pur%')
+  AND (lower(event_type) LIKE '%7%' OR lower(props) LIKE '%7%')""",
+)
+def ev_text_search(spark, sf_dir):
+    """E1 — boolean AND full-text match across fields."""
+    ev = events_seconds(spark, sf_dir)
+    return ev.where(text_match(["event_type", "props"], ["pur", "7"], "AND")).select("event_id")
+
+
+# ============================================================ joins / set ops (J1-J2, U3)
+
+
+@register(
+    "join_series_enrich",
+    f"""{ORACLE_PTS},
+daily AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS sv
+  FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+  GROUP BY 1, 2, 3),
+last_per_series AS (
+  SELECT tag_user, tag_k, arg_max(value, ts * 1000000 + ingest_seq) AS lv
+  FROM dpts WHERE metric = 'purchase' GROUP BY 1, 2)
+SELECT d.tag_user, d.tag_k, d.bucket_ts, round(d.sv, 4) AS sum_value,
+       round(l.lv, 4) AS last_value
+FROM daily d JOIN last_per_series l USING (tag_user, tag_k)""",
+)
+def join_series_enrich(spark, sf_dir):
+    """J2 — per-series result enriched via broadcast join with
+    series_dim (tag/last-value resolution)."""
+    pts = points(spark, sf_dir).where(F.col("metric") == "purchase")
+    daily = downsample(pts, START, END, DAY, "sum", group_cols=["tag_user", "tag_k"], fill="none")
+    sd = build_series_dim(pts).select(
+        F.col("tags")["user"].alias("tag_user"),
+        F.col("tags")["k"].alias("tag_k"),
+        F.col("last_value"),
+    )
+    return daily.join(F.broadcast(sd), ["tag_user", "tag_k"]).select(
+        "tag_user",
+        "tag_k",
+        "bucket_ts",
+        F.round(denan(F.col("value")), 4).alias("sum_value"),
+        F.round(F.col("last_value"), 4).alias("last_value"),
+    )
+
+
+@register(
+    "splice_hot_cold_sum",
+    f"""{ORACLE_PTS}
+SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS spliced_sum
+FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2""",
+)
+def splice_hot_cold_sum(spark, sf_dir):
+    """U3 — hot/cold time-splice: union of non-overlapping ranges
+    equals the full-range scan."""
+    pts = points(spark, sf_dir)
+    boundary = START + 15 * DAY
+    spliced = splice_hot_cold(hot=pts, cold=pts, boundary_ts=boundary)
+    res = downsample(spliced, START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 4).alias("spliced_sum"))
+
+
+# ============================================================ relational health (TPC-H-ish)
+
+
+@register(
+    "tpch_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2""",
+)
+def tpch_pricing_summary(spark, sf_dir):
+    """Relational health check: TPC-H Q1-style pricing summary."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_revenue_by_nation",
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1""",
+)
+def tpch_revenue_by_nation(spark, sf_dir):
+    """Relational health check: multi-join revenue rollup with
+    broadcast dimensions."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ============================================================ dedup (pipeline)
+
+
+@register(
+    "dedup_exact_docs",
+    """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1""",
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: content-hash groups with more than one doc."""
+    return exact_duplicates(docs(spark, sf_dir)).select(
+        "text_hash", F.col("dup_count").cast("bigint").alias("dup_count"), F.col("keep_id").cast("bigint").alias("keep_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""{ORACLE_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.2""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection: 3-word-shingle Jaccard ≥ 0.2 pairs."""
+    res = ngram_jaccard_pairs(docs(spark, sf_dir), n=3, threshold=0.2)
+    return res.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh")  # hash-dependent candidates: rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, Jaccard-verified ≥ 0.5."""
+    res = minhash_lsh_candidates(docs(spark, sf_dir), num_perm=32, bands=8, threshold=0.5)
+    return res.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_simhash")  # hash-dependent: rows-only check
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3) via bit-band candidates."""
+    return simhash_near_pairs(docs(spark, sf_dir), max_hamming=3)
+
+
+# ============================================================ similarity search
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv)+1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x)))) AS cs
+  FROM q, c WHERE query_id != neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim FROM r WHERE rn <= 5"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for 20 query vectors."""
+    e = embs(spark, sf_dir)
+    res = brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
+    return res.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register("ann_lsh_topk")  # approximate: recall < 1 → rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-5 (the 100 TB scale path)."""
+    e = embs(spark, sf_dir)
+    res = lsh_topk(e, e.where(F.col("vec_id") < 20), k=5, dim=64)
+    return res.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# ============================================================ text analysis
+
+
+@register(
+    "text_token_stats",
+    """SELECT doc_id,
+       CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents""",
+)
+def text_token_stats(spark, sf_dir):
+    """Token + byte counts per document."""
+    return token_stats(docs(spark, sf_dir))
+
+
+@register(
+    "text_quality",
+    """SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0 / len(toks), 6) AS stopword_ratio,
+       round(list_sum(list_transform(toks, t -> strlen(t))) * 1.0 / len(toks), 6) AS mean_token_len
+FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)""",
+)
+def text_quality(spark, sf_dir):
+    """Quality signals: stopword ratio, mean token length."""
+    res = quality_scores(docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_lang_id",
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+s AS (SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['el','la','los','es','de'], x))) AS s_es,
+        len(list_filter(toks, x -> list_contains(['le','la','les','est','et'], x))) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) AS s_zh
+      FROM t)
+SELECT doc_id,
+  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       WHEN s_fr >= s_zh THEN 'fr'
+       ELSE 'zh' END AS pred_lang,
+  CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS score
+FROM s""",
+)
+def text_lang_id(spark, sf_dir):
+    """Heuristic language ID with deterministic tie-break."""
+    return lang_id(docs(spark, sf_dir))
+
+
+# ============================================================ multimodal plumbing
+
+
+@register(
+    "multimodal_media_stats",
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(max(doc_id % 1920 + 1) AS INTEGER) AS max_width,
+       CAST(max(doc_id % 1080 + 1) AS INTEGER) AS max_height
+FROM documents GROUP BY 1""",
+)
+def multimodal_media_stats(spark, sf_dir):
+    """Binary media columns + typed metadata: JVM-side stats without
+    decoding (the decode itself is a stubbed mapInPandas — see
+    multimodal_features)."""
+    media = attach_fake_media(docs(spark, sf_dir))
+    return media_stats(media).select(
+        "kind",
+        F.col("n_media").cast("bigint").alias("n_media"),
+        F.col("total_bytes").cast("bigint").alias("total_bytes"),
+        F.col("max_width").cast("int").alias("max_width"),
+        F.col("max_height").cast("int").alias("max_height"),
+    )
+
+
+@register("multimodal_features")  # stubbed decoder: rows-only check
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary media
+    (deterministic fake decode; real decoder is a drop-in)."""
+    media = attach_fake_media(docs(spark, sf_dir)).where(F.col("media_id") < 200)
+    return extract_features(media, fake=True).select("media_id", "kind", "n_bytes", "checksum")

@@ -1,0 +1,257 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+These go beyond the reference's surface (which has no document ops) —
+they are the LLM-pipeline extensions the engine is expected to provide
+as first-class operators at 100 TB scale.  Design notes per operator:
+
+- exact: hash-groupBy on a content digest — one shuffle on the digest,
+  map-side partial agg; digest (md5) is computed JVM-side.
+- n-gram Jaccard: shingle → inverted (shingle → doc) join → pair
+  intersection counts.  The shingle join is the classic candidate
+  generator; at scale the hot shingles are the skew hazard, so very
+  frequent shingles can be dropped (``max_shingle_freq``) — a standard
+  trick that only *removes* uninformative candidates.
+- MinHash+LSH: k xxhash64 permutations → band signatures → bucket
+  join on (band, band_hash).  All hashing stays in Catalyst
+  expressions (xxhash64 with per-permutation seeds); no Python UDFs.
+- SimHash: 64-bit fingerprint from token hashes; near-dup = small
+  Hamming distance, candidate via band buckets on bit slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a document (array<string>)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(sh)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: groups with >1 doc.
+
+    Returns (text_hash, dup_count, keep_id) — keep_id is the smallest
+    id in the group (the canonical survivor)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    shingle-join candidate generation: pairs share ≥1 shingle.
+    |A∩B| from the join, |A|,|B| from per-doc shingle counts.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    shing = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        # drop ubiquitous shingles: they generate O(freq^2) candidate
+        # pairs while carrying ~no similarity signal (skew guard)
+        freq = shing.groupBy("s").agg(F.count("*").alias("_f")).where(F.col("_f") <= max_shingle_freq)
+        shing = shing.join(freq.select("s"), "s", "left_semi")
+    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    a = shing.alias("a")
+    b = shing.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    num_perm: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i).  Stays entirely in Catalyst expressions
+    (one pass over exploded shingles, partial-aggregated min)."""
+    shing = docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    mins = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    sig = shing.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup detection: band the signature, bucket-join
+    on (band_idx, band_hash), verify candidates with exact Jaccard.
+
+    Returns (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
+    The band join is the scale path: candidates ≈ true near-dups, not
+    O(n²).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("signature")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias(
+                            "bh"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # verify with exact jaccard on the candidate set only
+    shing = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # intersection via the shingle self-join restricted (semi-join) to candidates
+    inter = (
+        shing.alias("x")
+        .join(shing.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc from token xxhash64s.
+
+    For each bit b: sign = Σ_tokens (bit b of hash ? +1 : -1);
+    fingerprint bit b = sign > 0.  Computed as 64 conditional sums over
+    the exploded token set — one aggregation pass, no UDFs.
+    Returns (doc_id, simhash BIGINT).
+    """
+    toked = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    hashed = toked.select("doc_id", F.xxhash64("t").alias("h"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3, **kw) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of 4 16-bit bands
+    (any pair within Hamming distance 3 must agree on ≥1 band), then
+    exact Hamming filter.  Returns (doc_a, doc_b, hamming)."""
+    fp = simhash(docs, **kw)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("doc_a", "doc_b", "hamming")
+    )

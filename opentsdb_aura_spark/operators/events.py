@@ -1,0 +1,76 @@
+"""Events query surface (SURVEY.md §2.10, E1-E6 / L1-L3).
+
+The reference stores events in daily Lucene indices and queries them
+with boolean full-text search, time-range+ongoing predicates, top-N
+paging, per-dimension grouping with a fetch-last, and a per-minute
+histogram (events-lucene/.../query/QueryRunner.java:81-285,
+LuceneQueryBuilder.java:59-150).  Spark re-expression: an events
+DataFrame partitioned by date; Lucene's analyzer becomes
+lowercase+tokenize predicates; daily-index pruning becomes partition
+pruning on the date column.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def text_match(cols: Sequence[str], query_tokens: Sequence[str], mode: str = "AND") -> Column:
+    """E1 — boolean full-text search: every (AND) / any (OR) token
+    must appear, lowercased substring, in any of the given columns
+    (whitespace analyzer + lowercase, LuceneQueryBuilder.java:213-218)."""
+    per_token = []
+    for tok in query_tokens:
+        hit = None
+        for c in cols:
+            h = F.lower(F.col(c).cast("string")).contains(tok.lower())
+            hit = h if hit is None else (hit | h)
+        per_token.append(hit)
+    out = per_token[0]
+    for h in per_token[1:]:
+        out = (out & h) if mode == "AND" else (out | h)
+    return out
+
+
+def time_window_or_ongoing(start: int, end: int, ts_col: str = "ts", end_col: str = "end_ts", ongoing_col: str = "ongoing") -> Column:
+    """E2 — (start∈[s,e] OR end∈[s,e] OR ongoing)
+    (LuceneQueryBuilder.java:123-131)."""
+    s, e = F.lit(int(start)), F.lit(int(end))
+    in_range = lambda c: (F.col(c) >= s) & (F.col(c) <= e)  # noqa: E731
+    return in_range(ts_col) | in_range(end_col) | F.col(ongoing_col)
+
+
+def top_n(events: DataFrame, n: int, offset: int = 0, ts_col: str = "ts", tiebreak: str = "event_id") -> DataFrame:
+    """L1/L2 — newest-first global top-N with paging
+    (QueryRunner.java:97-123).  Tie-break on event id for determinism."""
+    ordered = events.orderBy(F.col(ts_col).desc(), F.col(tiebreak).desc())
+    if offset:
+        return ordered.offset(offset).limit(n)
+    return ordered.limit(n)
+
+
+def group_count_last(
+    events: DataFrame,
+    group_col: str,
+    *,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """E5/L3 — per group: hit count + the latest event's fields
+    (maxDocsPerGroup=1 fetch-last, QueryRunner.java:174-285)."""
+    order = F.struct(F.col(ts_col), F.col(tiebreak))
+    aggs = [F.count("*").alias("hits"), F.max(ts_col).alias("last_ts")]
+    for c in value_cols:
+        aggs.append(F.max_by(F.col(c), order).alias(f"last_{c}"))
+    return events.groupBy(group_col).agg(*aggs)
+
+
+def minute_histogram(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """E6 — per-minute event counts (timestampMinute grouping,
+    QueryRunner.java:169-172).  ts is epoch seconds."""
+    bucket = (F.col(ts_col) - F.col(ts_col) % 60).cast("long").alias("minute_ts")
+    return events.groupBy(bucket).agg(F.count("*").alias("n"))

@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines: token
+counting, quality scoring, language ID, fingerprinting.
+
+All hot-path arithmetic is built-in `pyspark.sql.functions`
+(JVM-side, codegen'd); nothing here uses a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.operators.dedup_text import tokens
+
+# Tiny deterministic stopword list for quality ratios (order matters
+# nowhere; membership only).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# Marker-word lists for the n-gram/stopword language-ID heuristic.
+# Deterministic and intentionally tiny — a real deployment would load
+# a proper model; the *operator shape* (score per language, argmax
+# with stable tie-break) is what the engine provides.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "los", "es", "de"),
+    "fr": ("le", "la", "les", "est", "et"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def token_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token + byte counts per doc: (doc_id, n_tokens, n_bytes)."""
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.octet_length(F.col(text_col)).cast("bigint").alias("n_bytes"),
+    )
+
+
+def bpe_ish_token_count(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token estimate: count of word-piece-like regex matches
+    (runs of letters, digits, or single punctuation) — the standard
+    cheap proxy when no tokenizer is shippable to executors."""
+    pieces = F.split(F.col(text_col), r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    n = F.size(F.filter(pieces, lambda p: (p != "") & (p != " ")))
+    return docs.select(F.col(id_col).alias("doc_id"), n.cast("bigint").alias("n_bpe_tokens"))
+
+
+def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality signals: (doc_id, n_tokens, stopword_ratio,
+    mean_token_len, punct_ratio)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_punct = F.length(F.col(text_col)) - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        (total_len.cast("double") / n_tok).alias("mean_token_len"),
+        (n_punct.cast("double") / F.length(F.col(text_col))).alias("punct_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: per-language marker-word hit counts,
+    argmax with alphabetical tie-break.  (doc_id, pred_lang, score)."""
+    toks = tokens(F.col(text_col))
+    langs = sorted(LANG_MARKERS)
+    scores = {}
+    for lang in langs:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    best = F.greatest(*[scores[lang] for lang in langs])
+    # first alphabetical language reaching the max wins ties — a
+    # when-chain in language order, trivially replicable in plain SQL
+    pred = F.when(scores[langs[0]] == best, F.lit(langs[0]))
+    for lang in langs[1:]:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("pred_lang"),
+        best.cast("bigint").alias("score"),
+    )
+
+
+def fingerprint(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive 64-bit document fingerprint: xxhash64 chained
+    over token-position pairs (a rolling-hash analogue that stays in
+    Catalyst).  (doc_id, fingerprint)."""
+    toks = tokens(F.col(text_col))
+    posed = F.transform(toks, lambda t, i: F.xxhash64(t, i))
+    fp = F.aggregate(posed, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))

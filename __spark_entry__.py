@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
         group_tag_keys=["user"],
         gb_agg="avg",
         fill="none",
+        segment_width=86400,
     )
     res = run_metric_query(pts, q, dedupe=False)
     return res.select("tag_user", "bucket_ts", F.round(catalog.denan(F.col("value")), 6).alias("avg_rate"))

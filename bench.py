@@ -1,0 +1,93 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line with per-query wall seconds.
+
+Each query is forced end-to-end with the noop sink (full evaluation,
+no driver collect).  The catalog closures are reused so bench times
+exactly what the correctness gate runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the scale-
+# sensitive paths (group-by, rate window, shingle join, ANN).
+BENCH_QUERIES = [
+    "ds_sum_daily",
+    "ds_avg_hourly",
+    "ds_spine_hourly_purchase",
+    "rate_purchase",
+    "gb_sum_by_user_daily",
+    "gb_avg_by_user_daily",
+    "timeshift_sum_daily_purchase",
+    "meta_tag_keys",
+    "ev_top_recent",
+    "ev_minute_histogram",
+    "join_series_enrich",
+    "tpch_pricing_summary",
+    "tpch_revenue_by_nation",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_lang_id",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    from opentsdb_aura_spark import get_spark
+    from opentsdb_aura_spark.catalog import SPARK_QUERIES
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so timings measure the queries
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    # ingest (store build) is a separate pipeline stage — time it as
+    # its own entry so query timings measure steady-state reads
+    from opentsdb_aura_spark.sources.batch import ensure_event_store
+
+    t0 = time.perf_counter()
+    ensure_event_store(spark, SF_DIR)
+    timings["ingest_events_store"] = round(time.perf_counter() - t0, 3)
+    total += timings["ingest_events_store"]
+    print(f"# ingest_events_store: {timings['ingest_events_store']:.3f}s", file=sys.stderr)
+    for name in BENCH_QUERIES:
+        fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        force(fn(spark, SF_DIR))
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

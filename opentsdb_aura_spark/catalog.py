@@ -45,6 +45,13 @@ from opentsdb_aura_spark.operators.rate import RateOptions, rate
 from opentsdb_aura_spark.operators.similarity import brute_force_topk, lsh_topk
 from opentsdb_aura_spark.operators.text import lang_id, quality_scores, token_stats
 from opentsdb_aura_spark.plans.query import MetricQuery, run_metric_query, splice_hot_cold
+from opentsdb_aura_spark.sources.batch import EVENT_STORE_SEGMENT_WIDTH
+
+
+def _mq(**kw) -> MetricQuery:
+    """MetricQuery against the events-derived store (daily partitions)."""
+    kw.setdefault("segment_width", EVENT_STORE_SEGMENT_WIDTH)
+    return MetricQuery(**kw)
 
 # ---------------------------------------------------------------- time anchors
 START = 1704067200  # 2024-01-01 00:00:00 UTC — events data begins here
@@ -70,22 +77,35 @@ def events_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical deduped points + materialized tag columns."""
-    pts = events_as_points(load_events(spark, sf_dir))
-    pts = dedupe_last_write_wins(pts)
-    return pts.withColumn("tag_user", F.col("tags")["user"]).withColumn("tag_k", F.col("tags")["k"])
+    """Canonical deduped points + materialized tag columns, served
+    from the time-partitioned Parquet store (built once per sf_dir —
+    the batch-ingest path, S2)."""
+    from opentsdb_aura_spark.sources.batch import ensure_event_store
+
+    metrics_path, _ = ensure_event_store(spark, sf_dir)
+    return spark.read.parquet(metrics_path)
 
 
 def series_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_series_dim(points(spark, sf_dir))
+    from opentsdb_aura_spark.sources.batch import ensure_event_store
+
+    _, dim_path = ensure_event_store(spark, sf_dir)
+    return spark.read.parquet(dim_path)
 
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the test table is a single parquet file → 1 input partition;
+    # spread it so doc operators use every core (a production corpus
+    # arrives as many files and skips this)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # ---------------------------------------------------------------- helpers
@@ -259,7 +279,7 @@ LEFT JOIN agg a ON r.range = a.bucket_ts""",
 def ds_spine_hourly_purchase(spark, sf_dir):
     """A8 — dense interval spine: empty hourly buckets surface (as
     NULL here; NaN in the engine contract) rather than vanishing."""
-    q = MetricQuery(
+    q = _mq(
         start=SPINE_START,
         end=SPINE_END,
         interval=HOUR,
@@ -360,7 +380,7 @@ GROUP BY 1""",
 )
 def timeshift_sum_daily_purchase(spark, sf_dir):
     """R5 — time shift: evaluate over [start-Δ, end-Δ), relabel +Δ."""
-    q = MetricQuery(
+    q = _mq(
         start=START,
         end=END,
         interval=DAY,
@@ -387,7 +407,7 @@ GROUP BY 1, 2""",
 )
 def gb_sum_by_user_daily(spark, sf_dir):
     """G1 — group-by tag key (sum○sum decomposes to a flat sum)."""
-    q = MetricQuery(
+    q = _mq(
         start=START,
         end=END,
         interval=DAY,
@@ -414,7 +434,7 @@ FROM per_series GROUP BY 1, 2""",
 def gb_avg_by_user_daily(spark, sf_dir):
     """G1 — two-stage semantics: per-series downsample AVG, then AVG
     across the series of each group (≠ flat avg — load-bearing)."""
-    q = MetricQuery(
+    q = _mq(
         start=START,
         end=END,
         interval=DAY,
@@ -440,7 +460,7 @@ FROM per_series GROUP BY 1, 2""",
 )
 def gb_series_count_daily(spark, sf_dir):
     """G1 — group COUNT: number of series contributing per interval."""
-    q = MetricQuery(
+    q = _mq(
         start=START,
         end=END,
         interval=DAY,
@@ -465,7 +485,7 @@ FROM per_series GROUP BY 1""",
 )
 def gb_all_min_daily(spark, sf_dir):
     """G2 — group-all: every series merged into a single group."""
-    q = MetricQuery(
+    q = _mq(
         start=START, end=END, interval=DAY, ds_agg="min", group_tag_keys=[], gb_agg="min", fill="none"
     )
     res = run_metric_query(points(spark, sf_dir), q, dedupe=False)

@@ -142,8 +142,8 @@ class AnyFieldRegexp(Filter):
     def to_column(self, tags: Column) -> Column:
         if self.pattern in _MATCH_ALL_PATTERNS:
             return F.size(tags) > 0
-        pat = F.lit(self.pattern)
-        return F.exists(F.map_values(tags), lambda v: v.rlike(pat))
+        pattern = self.pattern
+        return F.exists(F.map_values(tags), lambda v: v.rlike(pattern))
 
 
 @dataclass(frozen=True)

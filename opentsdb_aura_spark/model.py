@@ -85,17 +85,20 @@ def segment_time(ts: Column, width: int = SEGMENT_WIDTH_SECONDS) -> Column:
     return (ts - (ts % F.lit(width))).cast("long")
 
 
-def normalize_points(df: DataFrame) -> DataFrame:
+def normalize_points(df: DataFrame, width: int = SEGMENT_WIDTH_SECONDS) -> DataFrame:
     """Materialize series_id + segment_time on a raw point DataFrame.
 
     Input must have columns (namespace, metric, tags, ts, value[, ingest_seq]).
     This is the write-path normalization every ingest (batch or
-    streaming) applies before landing Parquet.
+    streaming) applies before landing Parquet.  ``width`` is the
+    segment/partition width — a deployment knob (the reference ranges
+    1 h to 6 weeks, core/.../downsample/SegmentWidth.java:23-29);
+    size it so partitions hold enough data for full files.
     """
     if "ingest_seq" not in df.columns:
         df = df.withColumn("ingest_seq", F.monotonically_increasing_id())
     return df.withColumn("series_id", series_id(F.col("metric"), F.col("tags"))).withColumn(
-        "segment_time", segment_time(F.col("ts"))
+        "segment_time", segment_time(F.col("ts"), width)
     )
 
 
@@ -117,7 +120,7 @@ def any_ts_to_epoch_seconds(name: str, dtype: str) -> Column:
     return epoch_seconds(F.col(name))
 
 
-def events_as_points(events: DataFrame) -> DataFrame:
+def events_as_points(events: DataFrame, width: int = SEGMENT_WIDTH_SECONDS) -> DataFrame:
     """Adapt the driver's ``events`` test table to the canonical point
     schema: event_type → metric, user_id → a tag, props JSON 'k' → a
     tag.  Gives a realistic multi-series workload (5 metrics × ~25
@@ -138,4 +141,4 @@ def events_as_points(events: DataFrame) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.col("event_id").cast("long").alias("ingest_seq"),
     )
-    return normalize_points(pts)
+    return normalize_points(pts, width)

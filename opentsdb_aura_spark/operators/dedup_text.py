@@ -69,10 +69,9 @@ def ngram_jaccard_pairs(
     |A∩B| from the join, |A|,|B| from per-doc shingle counts.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    shing = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
-        .distinct()
-    )
+    # word_shingles is per-doc distinct already → (doc_id, s) pairs are
+    # unique without a dedupe shuffle
+    shing = docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
     if max_shingle_freq is not None:
         # drop ubiquitous shingles: they generate O(freq^2) candidate
         # pairs while carrying ~no similarity signal (skew guard)
@@ -111,8 +110,11 @@ def minhash_signatures(
     xxhash64(shingle, seed=i).  Stays entirely in Catalyst expressions
     (one pass over exploded shingles, partial-aggregated min)."""
     shing = docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
-    mins = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    sig = shing.groupBy("doc_id").agg(*mins)
+    # hash the string once; derive the k permutations from the 64-bit
+    # base hash (integer re-hash is ~10× cheaper than k string hashes)
+    hashed = shing.select("doc_id", F.xxhash64("s").alias("h0"))
+    mins = [F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    sig = hashed.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
 
 
@@ -134,7 +136,14 @@ def minhash_lsh_candidates(
     O(n²).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col)
+    # (doc_id, s) pairs are unique (word_shingles is per-doc distinct);
+    # hash once to a long, derive the k permutations from it
+    shing = docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    hashed = shing.select("doc_id", F.xxhash64("s").alias("h0"))
+    mins = [F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    sig = hashed.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
+    )
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -166,16 +175,19 @@ def minhash_lsh_candidates(
     )
 
     # verify with exact jaccard on the candidate set only
-    shing = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
-        .distinct()
-    )
     sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # intersection via the shingle self-join restricted (semi-join) to candidates
+    # score ONLY the candidate pairs: semi-join each shingle side down
+    # to candidate docs first, then count matching shingles per pair.
+    # This is what makes LSH the scale path — verification cost is
+    # O(candidates × shingles), never O(n²).
+    cand_shing_a = shing.withColumnRenamed("doc_id", "doc_a").join(
+        cand.select("doc_a").distinct(), "doc_a", "left_semi"
+    )
+    cand_shing_b = shing.withColumnRenamed("doc_id", "doc_b").join(
+        cand.select("doc_b").distinct(), "doc_b", "left_semi"
+    )
     inter = (
-        shing.alias("x")
-        .join(shing.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        cand_shing_a.join(cand_shing_b, "s")
         .join(cand, ["doc_a", "doc_b"], "left_semi")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))

@@ -54,6 +54,8 @@ class MetricQuery:
     gb_agg: str = "sum"
     # time shift (R5)
     shift_seconds: int = 0
+    # partition width of the store being queried (prune granularity)
+    segment_width: int = SEGMENT_WIDTH_SECONDS
 
 
 def run_metric_query(points: DataFrame, q: MetricQuery, *, dedupe: bool = True) -> DataFrame:
@@ -65,7 +67,15 @@ def run_metric_query(points: DataFrame, q: MetricQuery, *, dedupe: bool = True) 
     shift = int(q.shift_seconds)
     scan_start, scan_end = q.start - shift, q.end - shift
 
-    df = points.where(compile_filter(q.filter) & time_range(scan_start, scan_end))
+    pred = compile_filter(q.filter) & time_range(scan_start, scan_end)
+    if "segment_time" in points.columns:
+        # S4 segment-range planning: the ts predicate restated on the
+        # partition column so Catalyst prunes partitions (the
+        # reference's [start,end) → segment-list mapping,
+        # core/.../LongRunningStorage.java:66-93)
+        lo = scan_start - scan_start % q.segment_width
+        pred = pred & (F.col("segment_time") >= F.lit(lo)) & (F.col("segment_time") < F.lit(int(scan_end)))
+    df = points.where(pred)
 
     if dedupe:
         df = dedupe_last_write_wins(df)

@@ -1,0 +1,106 @@
+"""Downsample golden tests — the scenario matrix of
+AuraMetricsNumericArrayIteratorTest (agg × interval × run-all ×
+infectious-NaN), hand-computed expectations."""
+
+import math
+
+from conftest import BASE, assert_close, rows_by
+
+from opentsdb_aura_spark.operators.downsample import downsample
+
+NAN = float("nan")
+
+
+def test_constant_series_minute_sums(make_points):
+    # 1 point/second, value 1.0, for 10 minutes → every 60 s bucket sums to 60
+    pts = make_points([("m", {"h": "a"}, BASE + i, 1.0) for i in range(600)])
+    res = downsample(pts, BASE, BASE + 600, 60, "sum")
+    vals = rows_by(res, "bucket_ts")
+    assert len(vals) == 10
+    for b in range(10):
+        assert_close(vals[BASE + b * 60], 60.0)
+
+
+def test_avg_min_max_count_last(make_points):
+    # values 1..5 at 10 s spacing inside one bucket
+    pts = make_points([("m", {"h": "a"}, BASE + 10 * i, i + 1) for i in range(5)])
+    for agg, want in [("avg", 3.0), ("min", 1.0), ("max", 5.0), ("count", 5.0), ("last", 5.0), ("sum", 15.0)]:
+        res = downsample(pts, BASE, BASE + 60, 60, agg)
+        assert_close(rows_by(res, "bucket_ts")[BASE], want), agg
+
+
+def test_gappy_series_nan_spine(make_points):
+    # points at +0, +60, +180, +240 s; 1-minute buckets over 5 minutes
+    pts = make_points([("m", {}, BASE + off, 2.0) for off in (0, 60, 180, 240)])
+    res = downsample(pts, BASE, BASE + 300, 60, "sum")
+    vals = rows_by(res, "bucket_ts")
+    assert len(vals) == 5
+    assert_close(vals[BASE], 2.0)
+    assert_close(vals[BASE + 60], 2.0)
+    assert_close(vals[BASE + 120], NAN)  # empty interval → NaN, not absent
+    assert_close(vals[BASE + 180], 2.0)
+    assert_close(vals[BASE + 240], 2.0)
+
+
+def test_start_aligned_buckets(make_points):
+    # query start NOT aligned to the interval: buckets align to start
+    pts = make_points([("m", {}, BASE + i * 30, 1.0) for i in range(8)])  # 0..210 s
+    res = downsample(pts, BASE + 30, BASE + 210, 60, "sum")
+    vals = rows_by(res, "bucket_ts")
+    # buckets: [30,90) [90,150) [150,210) each holding 2 points
+    assert set(vals) == {BASE + 30, BASE + 90, BASE + 150}
+    for v in vals.values():
+        assert_close(v, 2.0)
+
+
+def test_run_all_single_bucket(make_points):
+    pts = make_points([("m", {}, BASE + i * 3600, 2.5) for i in range(24)])
+    res = downsample(pts, BASE, BASE + 86400, None, "sum", run_all=True)
+    vals = rows_by(res, "bucket_ts")
+    assert list(vals) == [BASE]
+    assert_close(vals[BASE], 60.0)
+
+
+def test_nan_values_skipped(make_points):
+    pts = make_points(
+        [("m", {}, BASE, 1.0), ("m", {}, BASE + 10, float("nan")), ("m", {}, BASE + 20, 3.0)]
+    )
+    res = downsample(pts, BASE, BASE + 60, 60, "sum")
+    assert_close(rows_by(res, "bucket_ts")[BASE], 4.0)
+    res = downsample(pts, BASE, BASE + 60, 60, "count")
+    assert_close(rows_by(res, "bucket_ts")[BASE], 2.0)
+    res = downsample(pts, BASE, BASE + 60, 60, "last")
+    assert_close(rows_by(res, "bucket_ts")[BASE], 3.0)
+
+
+def test_infectious_nan(make_points):
+    pts = make_points(
+        [("m", {}, BASE, 1.0), ("m", {}, BASE + 10, float("nan")), ("m", {}, BASE + 70, 3.0)]
+    )
+    res = downsample(pts, BASE, BASE + 120, 60, "sum", infectious_nan=True)
+    vals = rows_by(res, "bucket_ts")
+    assert_close(vals[BASE], NAN)  # poisoned interval
+    assert_close(vals[BASE + 60], 3.0)  # clean interval unaffected
+
+
+def test_reporting_average(make_points):
+    # sum=15 over the interval, reporting dps=60 → 0.25
+    pts = make_points([("m", {}, BASE + 10 * i, i + 1) for i in range(5)])
+    res = downsample(pts, BASE, BASE + 60, 60, "sum", reporting_dps=60)
+    assert_close(rows_by(res, "bucket_ts")[BASE], 0.25)
+
+
+def test_end_exclusive(make_points):
+    pts = make_points([("m", {}, BASE, 1.0), ("m", {}, BASE + 60, 100.0)])
+    res = downsample(pts, BASE, BASE + 60, 60, "sum")
+    vals = rows_by(res, "bucket_ts")
+    assert list(vals) == [BASE]
+    assert_close(vals[BASE], 1.0)
+
+
+def test_percentile_and_sumsq(make_points):
+    pts = make_points([("m", {}, BASE + i, v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0])])
+    res = downsample(pts, BASE, BASE + 60, 60, "sumsq")
+    assert_close(rows_by(res, "bucket_ts")[BASE], 30.0)
+    res = downsample(pts, BASE, BASE + 60, 60, "median")
+    assert_close(rows_by(res, "bucket_ts")[BASE], 2.5)

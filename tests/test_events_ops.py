@@ -1,0 +1,67 @@
+"""Events surface tests — QueryRunner/LuceneQueryBuilder scenarios:
+top-N paging, text match, group+fetch-last, minute histogram,
+time-window-or-ongoing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.operators.events import (
+    group_count_last,
+    minute_histogram,
+    text_match,
+    time_window_or_ongoing,
+    top_n,
+)
+
+BASE = 1704067200
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # event_id, ts, end_ts, ongoing, kind, msg, value
+        (1, BASE + 10, 0, False, "deploy", "rollout started", 1.0),
+        (2, BASE + 70, 0, False, "deploy", "rollout finished OK", 2.0),
+        (3, BASE + 70, 0, False, "alert", "cpu high", 3.0),  # ts tie with 2
+        (4, BASE + 200, BASE + 900, True, "incident", "fire ongoing", 4.0),
+        (5, BASE - 500, BASE + 20, False, "incident", "old but ends in range", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts long, end_ts long, ongoing boolean, kind string, msg string, value double"
+    )
+
+
+def test_top_n_ordering_and_paging(ev):
+    top = [r["event_id"] for r in top_n(ev, 3).collect()]
+    assert top == [4, 3, 2]  # ts desc, id desc tiebreak
+    page2 = [r["event_id"] for r in top_n(ev, 2, offset=2).collect()]
+    assert page2 == [2, 1]
+
+
+def test_text_match_and_or(ev):
+    hits = {r["event_id"] for r in ev.where(text_match(["kind", "msg"], ["rollout", "ok"], "AND")).collect()}
+    assert hits == {2}
+    hits = {r["event_id"] for r in ev.where(text_match(["kind", "msg"], ["alert", "fire"], "OR")).collect()}
+    assert hits == {3, 4}
+
+
+def test_time_window_or_ongoing(ev):
+    got = {r["event_id"] for r in ev.where(time_window_or_ongoing(BASE, BASE + 100)).collect()}
+    # 1,2,3 start in range; 5 ends in range; 4 is ongoing
+    assert got == {1, 2, 3, 4, 5}
+    got = {r["event_id"] for r in ev.where(time_window_or_ongoing(BASE + 1000, BASE + 2000)).collect()}
+    assert got == {4}  # only the ongoing one
+
+
+def test_group_count_last(ev):
+    out = {r["kind"]: r for r in group_count_last(ev, "kind", value_cols=["msg"]).collect()}
+    assert out["deploy"]["hits"] == 2
+    assert out["deploy"]["last_msg"] == "rollout finished OK"
+    assert out["alert"]["last_ts"] == BASE + 70
+
+
+def test_minute_histogram(ev):
+    hist = {r["minute_ts"]: r["n"] for r in minute_histogram(ev).collect()}
+    assert hist[BASE] == 1  # event 1
+    assert hist[BASE + 60] == 2  # events 2,3

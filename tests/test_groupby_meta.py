@@ -1,0 +1,113 @@
+"""Group-by merge + meta query tests — AerospikeGBTimeSeriesTest /
+NewDocStore meta scenarios."""
+
+import math
+
+from conftest import BASE, assert_close
+
+from opentsdb_aura_spark.filters import MetricLiteral
+from opentsdb_aura_spark.operators.dedupe import dedupe_last_write_wins
+from opentsdb_aura_spark.operators.meta import (
+    build_series_dim,
+    cardinality,
+    distinct_metrics,
+    distinct_tag_keys,
+    distinct_tag_values,
+    tag_keys_and_values,
+)
+from opentsdb_aura_spark.plans.query import MetricQuery, run_metric_query
+
+NAN = float("nan")
+
+
+def _fleet(make_points):
+    # 4 series: host×dc, 1/min for 4 min, value = host index
+    rows = []
+    for i, (host, dc) in enumerate([("a", "e"), ("b", "e"), ("c", "w"), ("d", "w")]):
+        for m in range(4):
+            rows.append(("cpu", {"host": host, "dc": dc}, BASE + 60 * m, float(i + 1)))
+    return make_points(rows)
+
+
+def test_group_by_tag_sum(make_points):
+    pts = _fleet(make_points)
+    q = MetricQuery(start=BASE, end=BASE + 240, interval=60, ds_agg="sum", group_tag_keys=["dc"], gb_agg="sum")
+    res = run_metric_query(pts, q)
+    vals = {(r["tag_dc"], r["bucket_ts"]): r["value"] for r in res.collect()}
+    for m in range(4):
+        assert_close(vals[("e", BASE + 60 * m)], 3.0)  # 1+2
+        assert_close(vals[("w", BASE + 60 * m)], 7.0)  # 3+4
+
+
+def test_group_all_avg(make_points):
+    pts = _fleet(make_points)
+    q = MetricQuery(start=BASE, end=BASE + 240, interval=60, ds_agg="avg", group_tag_keys=[], gb_agg="avg")
+    res = run_metric_query(pts, q)
+    vals = {r["bucket_ts"]: r["value"] for r in res.collect()}
+    for m in range(4):
+        assert_close(vals[BASE + 60 * m], 2.5)
+
+
+def test_group_count_contributing_series(make_points):
+    # series c has no point in minute 2 → count drops to 3 there
+    rows = []
+    for i, host in enumerate(["a", "b", "c"]):
+        for m in range(3):
+            if host == "c" and m == 1:
+                continue
+            rows.append(("cpu", {"host": host}, BASE + 60 * m, 1.0))
+    pts = make_points(rows)
+    q = MetricQuery(start=BASE, end=BASE + 180, interval=60, ds_agg="sum", group_tag_keys=[], gb_agg="count")
+    vals = {r["bucket_ts"]: r["value"] for r in run_metric_query(pts, q).collect()}
+    assert_close(vals[BASE], 3.0)
+    assert_close(vals[BASE + 60], 2.0)
+    assert_close(vals[BASE + 120], 3.0)
+
+
+def test_group_nan_interval_spine(make_points):
+    # nobody has data in minute 1 → group interval NaN via spine
+    rows = [("cpu", {"host": h}, BASE, 1.0) for h in "ab"] + [
+        ("cpu", {"host": h}, BASE + 120, 1.0) for h in "ab"
+    ]
+    pts = make_points(rows)
+    q = MetricQuery(start=BASE, end=BASE + 180, interval=60, ds_agg="sum", group_tag_keys=[], gb_agg="sum")
+    vals = {r["bucket_ts"]: r["value"] for r in run_metric_query(pts, q).collect()}
+    assert_close(vals[BASE], 2.0)
+    assert math.isnan(vals[BASE + 60])
+    assert_close(vals[BASE + 120], 2.0)
+
+
+def test_two_stage_avg_differs_from_flat(make_points):
+    # series a: 2 points (1, 3); series b: 1 point (10) in same bucket
+    pts = make_points(
+        [("m", {"h": "a"}, BASE, 1.0), ("m", {"h": "a"}, BASE + 10, 3.0), ("m", {"h": "b"}, BASE + 20, 10.0)]
+    )
+    q = MetricQuery(start=BASE, end=BASE + 60, interval=60, ds_agg="avg", group_tag_keys=[], gb_agg="avg")
+    vals = {r["bucket_ts"]: r["value"] for r in run_metric_query(pts, q).collect()}
+    assert_close(vals[BASE], 6.0)  # avg(avg(1,3), 10) = avg(2,10) — NOT flat avg 14/3
+
+
+def test_series_dim_and_meta(make_points):
+    pts = dedupe_last_write_wins(_fleet(make_points))
+    dim = build_series_dim(pts)
+    assert dim.count() == 4
+    assert {r["metric"] for r in distinct_metrics(dim).collect()} == {"cpu"}
+    keys = {r["tag_key"]: r["series_count"] for r in distinct_tag_keys(dim).collect()}
+    assert keys == {"host": 4, "dc": 4}
+    vals = {r["tag_value"]: r["series_count"] for r in distinct_tag_values(dim, "dc").collect()}
+    assert vals == {"e": 2, "w": 2}
+    kv = {(r["tag_key"], r["tag_value"]): r["series_count"] for r in tag_keys_and_values(dim).collect()}
+    assert kv[("dc", "e")] == 2 and kv[("host", "a")] == 1
+    card = cardinality(dim, MetricLiteral("cpu")).collect()[0]["cardinality"]
+    assert card == 4
+
+
+def test_last_value_in_series_dim(make_points):
+    pts = make_points(
+        [("m", {}, BASE, 1.0, 0), ("m", {}, BASE + 60, 2.0, 1), ("m", {}, BASE + 60, 7.0, 2)]
+    )
+    dim = build_series_dim(dedupe_last_write_wins(pts))
+    row = dim.collect()[0]
+    assert row["last_ts"] == BASE + 60
+    assert_close(row["last_value"], 7.0)  # last write wins on the dupe
+    assert row["first_seen"] == BASE

@@ -1,0 +1,133 @@
+"""Training-data pipeline operators: dedup, similarity, text,
+multimodal plumbing."""
+
+import math
+
+import pytest
+
+from opentsdb_aura_spark.operators.dedup_text import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from opentsdb_aura_spark.operators.multimodal import attach_fake_media, extract_features, media_stats
+from opentsdb_aura_spark.operators.similarity import brute_force_topk, lsh_topk
+from opentsdb_aura_spark.operators.text import lang_id, quality_scores, token_stats
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 1 token differs
+    other = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, other),
+        (4, "the quick brown fox and the lazy dog of doom"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(doc_df):
+    out = exact_duplicates(doc_df).collect()
+    assert len(out) == 1
+    assert out[0]["dup_count"] == 2 and out[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard(doc_df):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(doc_df, threshold=0.2).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    # 8 shingles each, 7 shared → 7/9
+    assert abs(pairs[(0, 2)] - 7 / 9) < 1e-9
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_planted_dups(doc_df):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_lsh_candidates(doc_df, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # near-dup bucket collision
+    assert (0, 3) not in pairs
+
+
+def test_simhash_identical_and_near(doc_df):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(doc_df).collect()}
+    assert fps[0] == fps[1]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(doc_df, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # nearest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [1.0, 0.0, 0.0, 0.0]),  # identical to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(emb_df):
+    import pyspark.sql.functions as F
+
+    res = brute_force_topk(emb_df, emb_df.where(F.col("vec_id") == 0), k=2).collect()
+    order = [r["neighbor_id"] for r in res]
+    assert order == [4, 1]  # identical first, then near
+    assert abs(res[0]["cos_sim"] - 1.0) < 1e-12
+
+
+def test_lsh_topk_recalls_identical(emb_df):
+    import pyspark.sql.functions as F
+
+    res = lsh_topk(emb_df, emb_df.where(F.col("vec_id") == 0), k=2, dim=4).collect()
+    assert any(r["neighbor_id"] == 4 and abs(r["cos_sim"] - 1.0) < 1e-12 for r in res)
+    # opposite vector never lands in the same sign-pattern bucket
+    assert all(r["neighbor_id"] != 3 for r in res)
+
+
+def test_token_and_quality(doc_df):
+    stats = {r["doc_id"]: r for r in token_stats(doc_df).collect()}
+    assert stats[0]["n_tokens"] == 10
+    q = {r["doc_id"]: r for r in quality_scores(doc_df).collect()}
+    assert q[4]["n_tokens"] == 10
+    assert abs(q[4]["stopword_ratio"] - 0.4) < 1e-9  # the, and, the, of
+    assert abs(q[0]["stopword_ratio"] - 0.0) < 1e-9
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of to is"),
+            (1, "der hund und die katze ist das"),
+            (2, "xyz qqq zzz"),  # no markers: tie → alphabetical first
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["pred_lang"], r["score"]) for r in lang_id(df).collect()}
+    assert out[0][0] == "en" and out[0][1] >= 4
+    assert out[1][0] == "de"
+    assert out[2] == ("de", 0)
+
+
+def test_multimodal_plumbing(doc_df):
+    media = attach_fake_media(doc_df)
+    stats = {r["kind"]: r for r in media_stats(media).collect()}
+    assert sum(r["n_media"] for r in stats.values()) == 5
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 5
+    byid = {r["media_id"]: r for r in feats}
+    assert byid[0]["n_bytes"] == len("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    assert byid[0]["checksum"] == byid[1]["checksum"]  # same payload → same fake features
+    assert len(feats[0]["feat"]) == 8
+
+
+def test_multimodal_real_decode_is_stubbed():
+    from opentsdb_aura_spark.operators.multimodal import _decode_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"bytes", "image")

@@ -942,3 +942,46 @@ def multimodal_features(spark, sf_dir):
     (deterministic fake decode; real decoder is a drop-in)."""
     media = attach_fake_media(docs(spark, sf_dir)).where(F.col("media_id") < 200)
     return extract_features(media, fake=True).select("media_id", "kind", "n_bytes", "checksum")
+
+
+# ============================================================ rollups (A10)
+
+
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentsdb_aura_spark.sources.batch import ensure_event_store, rollup_path
+
+    ensure_event_store(spark, sf_dir)
+    return spark.read.parquet(rollup_path(sf_dir, 3600))
+
+
+@register("rollup_sum_daily", _ds_by_metric_sql(DAY, "sum(value)", "rollup_sum", 4))
+def rollup_sum_daily(spark, sf_dir):
+    """A10 — daily SUM served from the hourly rollup table; oracle is
+    the raw-point computation, proving substitution equivalence."""
+    from opentsdb_aura_spark.operators.rollup import downsample_from_rollup
+
+    res = downsample_from_rollup(_rollup(spark, sf_dir), START, END, DAY, "sum", group_cols=["metric"])
+    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 4).alias("rollup_sum"))
+
+
+@register("rollup_avg_daily", _ds_by_metric_sql(DAY, "avg(value)", "rollup_avg", 6))
+def rollup_avg_daily(spark, sf_dir):
+    """A10 — AVG from the rollup chain (Σsum/Σcount)."""
+    from opentsdb_aura_spark.operators.rollup import downsample_from_rollup
+
+    res = downsample_from_rollup(_rollup(spark, sf_dir), START, END, DAY, "avg", group_cols=["metric"])
+    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 6).alias("rollup_avg"))
+
+
+@register("rollup_planner_max", _ds_by_metric_sql(DAY, "max(value)", "max_value", 4))
+def rollup_planner_max(spark, sf_dir):
+    """A10 planner rule: choose_downsample_source picks the hourly
+    rollup for a daily MAX (agg servable, 86400 % 3600 == 0, aligned
+    start); result must equal the raw scan."""
+    from opentsdb_aura_spark.operators.rollup import choose_downsample_source, downsample_from_rollup
+
+    rollups = {3600: _rollup(spark, sf_dir)}
+    src, riv = choose_downsample_source(points(spark, sf_dir), rollups, "max", DAY, START)
+    assert riv == 3600, "planner must substitute the rollup"
+    res = downsample_from_rollup(src, START, END, DAY, "max", group_cols=["metric"])
+    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 4).alias("max_value"))

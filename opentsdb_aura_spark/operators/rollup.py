@@ -1,0 +1,135 @@
+"""A10 — rollup pre-aggregation and query-time substitution.
+
+The reference computes chained aggregates (avg/sum/count/min/max/
+sumofsquare) per interval at flush time
+(core/src/main/java/net/opentsdb/aura/metrics/core/downsample/
+DownSampler.java:32-56, chain core/.../downsample/Aggregator.java:45-132)
+and serves a later query from the stored aggregate stream when the
+requested aggregator is available and the downsample interval is
+compatible (opentsdb/.../AerospikeBatchQueryNode.java:195-225).
+
+Spark re-expression: a ``rollup_<interval>`` Parquet table
+(series keys, window_start, sum, count, min, max, sumsq) built by one
+hash aggregation; query-time substitution re-aggregates rollup rows
+into the requested buckets — sum of sums, min of mins, etc., with
+avg = Σsum/Σcount.  The planner picks the rollup iff:
+
+  - the downsample aggregator is derivable from the stored chain,
+  - ds_interval % rollup_interval == 0,
+  - the query start is aligned to the rollup grid (buckets are
+    query-start-aligned; rollup windows are epoch-aligned).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def NAN() -> Column:
+    return F.lit(float("nan")).cast("double")
+
+
+#: aggregators answerable from the stored chain (avg via sum/count)
+ROLLUP_SERVABLE = {"sum", "count", "min", "max", "avg", "sumsq"}
+
+
+def build_rollup(
+    points: DataFrame,
+    rollup_interval: int,
+    *,
+    group_cols: Sequence[str] = ("series_id",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Write-side downsample: epoch-aligned windows, NaN-skipping
+    chained aggregates (one pass, map-side partial agg)."""
+    v = F.col(value_col)
+    masked = F.when(F.isnan(v), F.lit(None).cast("double")).otherwise(v)
+    w = (F.col(ts_col) - F.col(ts_col) % F.lit(int(rollup_interval))).cast("long")
+    return (
+        points.withColumn("_v", masked)
+        .withColumn("window_start", w)
+        .groupBy(*group_cols, "window_start")
+        .agg(
+            F.sum("_v").alias("sum"),
+            F.count("_v").alias("count"),
+            F.min("_v").alias("min"),
+            F.max("_v").alias("max"),
+            F.sum(F.col("_v") * F.col("_v")).alias("sumsq"),
+        )
+    )
+
+
+def rollup_supports(ds_agg: str, ds_interval: int, rollup_interval: int, start: int) -> bool:
+    """Mirror of the substitution predicate
+    (AerospikeBatchQueryNode.java:200-224) plus grid alignment."""
+    return (
+        ds_agg in ROLLUP_SERVABLE
+        and ds_interval is not None
+        and ds_interval % rollup_interval == 0
+        and start % rollup_interval == 0
+    )
+
+
+def downsample_from_rollup(
+    rollup: DataFrame,
+    start: int,
+    end: int,
+    interval: int,
+    agg: str,
+    *,
+    group_cols: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """Serve a downsample query from the rollup table: re-aggregate
+    pre-aggregates into query-start-aligned buckets.  Output schema
+    matches ``downsample(..., fill='none')``: (group_cols…, bucket_ts,
+    value)."""
+    agg = agg.lower()
+    if agg not in ROLLUP_SERVABLE:
+        raise ValueError(f"aggregator {agg} not servable from rollups")
+    group_cols = list(group_cols)
+    df = rollup.where((F.col("window_start") >= F.lit(int(start))) & (F.col("window_start") < F.lit(int(end))))
+    bucket = (
+        F.lit(int(start))
+        + F.floor((F.col("window_start") - F.lit(int(start))) / F.lit(int(interval))) * F.lit(int(interval))
+    ).cast("long")
+    grouped = df.withColumn("bucket_ts", bucket).groupBy(*group_cols, "bucket_ts").agg(
+        F.sum("sum").alias("_sum"),
+        F.sum("count").alias("_cnt"),
+        F.min("min").alias("_min"),
+        F.max("max").alias("_max"),
+        F.sum("sumsq").alias("_sumsq"),
+    )
+    value = {
+        "sum": F.col("_sum"),
+        "count": F.col("_cnt").cast("double"),
+        "min": F.col("_min"),
+        "max": F.col("_max"),
+        "avg": F.col("_sum") / F.col("_cnt"),
+        "sumsq": F.col("_sumsq"),
+    }[agg]
+    value = F.when(F.col("_cnt") == 0, NAN()).otherwise(value)
+    return grouped.select(*group_cols, "bucket_ts", value.alias("value"))
+
+
+def choose_downsample_source(
+    raw: DataFrame,
+    rollups: dict[int, DataFrame],
+    ds_agg: str,
+    ds_interval: int | None,
+    start: int,
+) -> tuple[DataFrame | None, int | None]:
+    """Planner rule: the coarsest compatible rollup wins (fewest rows
+    scanned); None → fall back to the raw table."""
+    best = None
+    if ds_interval:
+        for riv in sorted(rollups, reverse=True):
+            if rollup_supports(ds_agg, ds_interval, riv, start):
+                best = riv
+                break
+    if best is None:
+        return None, None
+    return rollups[best], best

@@ -98,4 +98,23 @@ def ensure_event_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         build_series_dim(pts).write.mode("overwrite").parquet(tmp)
 
     _atomic_build(build_dim, dim_path)
+
+    # hourly rollup (A10): chained aggregates per series, written at
+    # ingest exactly like the reference's downsample-on-flush
+    rollup_path = os.path.join(root, "rollup_3600")
+
+    def build_rollup_tbl(tmp: str) -> None:
+        from opentsdb_aura_spark.operators.rollup import build_rollup
+
+        pts = spark.read.parquet(metrics_path)
+        build_rollup(
+            pts, 3600, group_cols=("series_id", "metric", "tag_user", "tag_k")
+        ).write.mode("overwrite").parquet(tmp)
+
+    _atomic_build(build_rollup_tbl, rollup_path)
     return metrics_path, dim_path
+
+
+def rollup_path(sf_dir: str, interval: int = 3600) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(STORE_ROOT, base, f"rollup_{interval}")

@@ -1,0 +1,193 @@
+"""Streaming ingest pipeline (S1/S2 + T1-T4 + W2).
+
+Reference behavior re-expressed on Structured Streaming:
+
+- S1 ingest: Kafka/Pulsar consumer → shard queue
+  (opentsdb/.../AuraMetricsService.java:150-154).  Here: any
+  ``readStream`` source (kafka/file/socket) parsed to the point
+  schema; the "shard" is the hash partitioning Spark applies on write.
+- T1 late-data drop: points older than retention vs wall clock are
+  dropped and counted (core/.../BaseStorage.java:106-114).  Spark:
+  event-time watermark — rows later than the watermark are dropped by
+  the engine; we additionally filter + count explicitly so the policy
+  also applies in foreachBatch (watermarks only gate stateful ops).
+- T2 early-data drop: future timestamps dropped
+  (BaseStorage.java:116-124).
+- S2 point write: normalize (series_id, segment_time) → append to the
+  partitioned Parquet store; per-batch last-write-wins dedupe.
+- W2 last-value state: series_dim merged per batch with
+  max_by(last_ts/value) — the streaming analogue of the per-series
+  lastTimestamp/lastValue fields
+  (core/.../OffHeapTimeSeriesRecord.java:109-127).
+- T3 retention purge: drop partitions older than retention
+  (TimeSeriesShard.java:446-645 purge job → partition expiry).
+- T4 window-close rollup: streaming windowed aggregation with
+  watermark in append mode — windows emit once closed
+  (TimeSeriesShard flush → rollup on segment close).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.model import normalize_points
+from opentsdb_aura_spark.operators.dedupe import dedupe_last_write_wins
+from opentsdb_aura_spark.operators.meta import build_series_dim
+
+
+@dataclass
+class IngestStats:
+    """Per-batch drop accounting (the reference counts late/early
+    drops per shard)."""
+
+    batches: int = 0
+    appended: int = 0
+    dropped_late: int = 0
+    dropped_early: int = 0
+
+
+@dataclass
+class StreamingIngest:
+    store_path: str
+    dim_path: str
+    retention_seconds: int = 24 * 3600
+    early_slack_seconds: int = 0
+    segment_width: int = 7200
+    #: wall-clock source, injectable for tests
+    now_fn: object = field(default=None)
+    stats: IngestStats = field(default_factory=IngestStats)
+
+    def _now(self) -> int:
+        import time
+
+        return int(self.now_fn()) if self.now_fn else int(time.time())
+
+    # ---------------------------------------------------------------- write path
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: validity windows → normalize → dedupe →
+        append to store; merge series_dim."""
+        now = self._now()
+        lo = now - self.retention_seconds
+        hi = now + self.early_slack_seconds
+
+        n_total = batch_df.count()
+        valid = batch_df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        n_valid = valid.count()
+        n_late = batch_df.where(F.col("ts") < F.lit(lo)).count()
+        self.stats.batches += 1
+        self.stats.appended += n_valid
+        self.stats.dropped_late += n_late
+        self.stats.dropped_early += n_total - n_valid - n_late
+        if n_valid == 0:
+            return
+
+        pts = dedupe_last_write_wins(normalize_points(valid, width=self.segment_width))
+        (
+            pts.repartition(F.col("segment_time"))
+            .sortWithinPartitions("series_id", "ts")
+            .write.mode("append")
+            .partitionBy("segment_time")
+            .parquet(self.store_path)
+        )
+        self._merge_dim(pts)
+
+    def _merge_dim(self, new_points: DataFrame) -> None:
+        """W2 — upsert last_ts/last_value/first_seen per series.
+
+        Parquet has no in-place merge; re-aggregate (old dim ∪ batch
+        dim) and atomically swap.  On Delta/Iceberg this is a MERGE.
+        """
+        spark = new_points.sparkSession
+        batch_dim = build_series_dim(new_points)
+        if os.path.exists(os.path.join(self.dim_path, "_SUCCESS")):
+            old = spark.read.parquet(self.dim_path)
+            merged = (
+                old.unionByName(batch_dim)
+                .groupBy("series_id")
+                .agg(
+                    F.first("namespace").alias("namespace"),
+                    F.first("metric").alias("metric"),
+                    F.first("tags").alias("tags"),
+                    F.min("first_seen").alias("first_seen"),
+                    F.max("last_ts").alias("last_ts"),
+                    F.max_by("last_value", F.col("last_ts")).alias("last_value"),
+                )
+            )
+        else:
+            merged = batch_dim
+        tmp = self.dim_path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.dim_path):
+            shutil.rmtree(self.dim_path)
+        os.rename(tmp, self.dim_path)
+
+    # ---------------------------------------------------------------- queries/jobs
+
+    def start(self, stream_points: DataFrame, checkpoint: str, trigger_available_now: bool = True):
+        """Attach the pipeline to a streaming point DataFrame
+        (columns: namespace, metric, tags, ts, value[, ingest_seq])."""
+        writer = (
+            stream_points.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def purge_expired(self) -> list[int]:
+        """T3 — drop store partitions entirely older than retention
+        (with the reference's slack built into retention choice).
+        Returns the purged segment_time values."""
+        if not os.path.isdir(self.store_path):
+            return []
+        cutoff = self._now() - self.retention_seconds
+        purged = []
+        for entry in os.listdir(self.store_path):
+            if not entry.startswith("segment_time="):
+                continue
+            seg = int(entry.split("=", 1)[1])
+            if seg + self.segment_width <= cutoff:
+                shutil.rmtree(os.path.join(self.store_path, entry))
+                purged.append(seg)
+        return sorted(purged)
+
+
+def streaming_rollup(
+    stream_points: DataFrame,
+    interval_seconds: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T4 — window-close rollup: tumbling event-time windows emitted
+    once the watermark passes (append mode).  Equivalent of the
+    flush-time DownSampler chain, continuously."""
+    with_event_time = stream_points.withColumn("event_time", F.col("ts").cast("timestamp"))
+    return (
+        with_event_time.withWatermark("event_time", watermark)
+        .groupBy(
+            F.col("series_id"),
+            F.window("event_time", f"{interval_seconds} seconds").alias("w"),
+        )
+        .agg(
+            F.sum("value").alias("sum"),
+            F.count("value").alias("count"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.sum(F.col("value") * F.col("value")).alias("sumsq"),
+        )
+        .select(
+            "series_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "sum",
+            "count",
+            "min",
+            "max",
+            "sumsq",
+        )
+    )

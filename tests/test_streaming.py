@@ -1,0 +1,138 @@
+"""Streaming ingest tests (T1-T4, W2, S1/S2) using a file source with
+availableNow trigger — fully offline Structured Streaming."""
+
+import os
+import shutil
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.model import POINT_SCHEMA, normalize_points
+from opentsdb_aura_spark.streaming.ingest import StreamingIngest, streaming_rollup
+
+BASE = 1704067200
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("in", "store", "dim", "ckpt", "ckpt2", "out")}
+    os.makedirs(d["in"])
+    return d
+
+
+def _write_input(spark, path, rows, name):
+    from pyspark.sql import Row
+
+    data = [
+        Row(namespace="test", metric=m, tags=t, ts=int(ts), value=float(v), ingest_seq=int(seq))
+        for (m, t, ts, v, seq) in rows
+    ]
+    spark.createDataFrame(data, POINT_SCHEMA).coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def test_streaming_ingest_with_drops(spark, tmpdirs):
+    now = BASE + 7200  # frozen wall clock
+    rows = [
+        ("m", {"h": "a"}, BASE + 100, 1.0, 1),  # valid
+        ("m", {"h": "a"}, BASE + 200, 2.0, 2),  # valid
+        ("m", {"h": "a"}, BASE + 200, 9.0, 3),  # dupe, later write wins
+        ("m", {"h": "a"}, BASE - 90000, 5.0, 4),  # too old (T1)
+        ("m", {"h": "a"}, now + 999, 5.0, 5),  # future (T2)
+    ]
+    _write_input(spark, tmpdirs["in"], rows, "batch0")
+
+    ing = StreamingIngest(
+        store_path=tmpdirs["store"],
+        dim_path=tmpdirs["dim"],
+        retention_seconds=24 * 3600,
+        now_fn=lambda: now,
+    )
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    q = ing.start(stream, tmpdirs["ckpt"])
+    q.awaitTermination(120)
+
+    assert ing.stats.dropped_late == 1
+    assert ing.stats.dropped_early == 1
+    assert ing.stats.appended == 3
+
+    stored = spark.read.parquet(tmpdirs["store"])
+    vals = {r["ts"]: r["value"] for r in stored.collect()}
+    assert vals == {BASE + 100: 1.0, BASE + 200: 9.0}  # dedupe kept last write
+
+    dim = spark.read.parquet(tmpdirs["dim"]).collect()
+    assert len(dim) == 1
+    assert dim[0]["last_ts"] == BASE + 200 and dim[0]["last_value"] == 9.0
+
+
+def test_streaming_incremental_dim_merge(spark, tmpdirs):
+    now = BASE + 7200
+    ing = StreamingIngest(store_path=tmpdirs["store"], dim_path=tmpdirs["dim"], now_fn=lambda: now)
+
+    _write_input(spark, tmpdirs["in"], [("m", {"h": "a"}, BASE + 100, 1.0, 1)], "b0")
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+
+    _write_input(spark, tmpdirs["in"], [("m", {"h": "a"}, BASE + 500, 7.0, 2)], "b1")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+
+    dim = spark.read.parquet(tmpdirs["dim"]).collect()
+    assert len(dim) == 1
+    assert dim[0]["first_seen"] == BASE + 100
+    assert dim[0]["last_ts"] == BASE + 500 and dim[0]["last_value"] == 7.0
+
+
+def test_retention_purge(spark, tmpdirs):
+    now = BASE + 10 * 86400
+    ing = StreamingIngest(
+        store_path=tmpdirs["store"],
+        dim_path=tmpdirs["dim"],
+        retention_seconds=86400,
+        segment_width=7200,
+        now_fn=lambda: now,
+    )
+    # land two segments: one ancient, one fresh
+    _write_input(
+        spark,
+        tmpdirs["in"],
+        [("m", {}, BASE, 1.0, 1), ("m", {}, now - 100, 2.0, 2)],
+        "b0",
+    )
+    ing.retention_seconds = 20 * 86400  # accept both at ingest
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+
+    ing.retention_seconds = 86400  # then purge with 1-day retention
+    purged = ing.purge_expired()
+    assert purged == [BASE - BASE % 7200]
+    left = spark.read.parquet(tmpdirs["store"])
+    assert [r["value"] for r in left.collect()] == [2.0]
+
+
+def test_streaming_rollup_window_close(spark, tmpdirs):
+    # two hourly windows of data + a late sentinel far ahead that
+    # advances the watermark, closing the first windows
+    rows0 = [("m", {"h": "a"}, BASE + i * 600, 1.0, i) for i in range(6)]  # hour 0
+    rows1 = [("m", {"h": "a"}, BASE + 3600 + i * 600, 2.0, 10 + i) for i in range(6)]  # hour 1
+    _write_input(spark, tmpdirs["in"], rows0, "b0")
+    _write_input(spark, tmpdirs["in"], rows1, "b1")
+    _write_input(spark, tmpdirs["in"], [("m", {"h": "a"}, BASE + 5 * 3600, 0.0, 99)], "b2")
+
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    stream = normalize_points(stream)
+    rolled = streaming_rollup(stream, 3600, watermark="30 minutes")
+    q = (
+        rolled.writeStream.format("parquet")
+        .option("path", tmpdirs["out"])
+        .option("checkpointLocation", tmpdirs["ckpt2"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(tmpdirs["out"])
+    rows = {r["window_start"]: r for r in out.collect()}
+    # hour-0 and hour-1 windows must have closed and emitted
+    assert BASE in rows and rows[BASE]["sum"] == 6.0 and rows[BASE]["count"] == 6
+    assert BASE + 3600 in rows and rows[BASE + 3600]["sum"] == 12.0

@@ -985,3 +985,112 @@ def rollup_planner_max(spark, sf_dir):
     assert riv == 3600, "planner must substitute the rollup"
     res = downsample_from_rollup(src, START, END, DAY, "max", group_cols=["metric"])
     return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 4).alias("max_value"))
+
+
+# ============================================================ fused pipeline + extras
+
+
+@register(
+    "fused_rate_ds_gb",
+    f"""{ORACLE_PTS},
+rated AS (
+  SELECT tag_user, tag_k, ts,
+         (value - lag(value) OVER w) / (((ts - lag(ts) OVER w)) / 3600.0) AS r
+  FROM dpts
+  WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts)),
+per_series AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts, avg(r) AS v
+  FROM rated WHERE r IS NOT NULL GROUP BY 1, 2, 3)
+SELECT tag_user, bucket_ts, round(avg(v), 6) AS avg_rate
+FROM per_series GROUP BY 1, 2""",
+)
+def fused_rate_ds_gb(spark, sf_dir):
+    """§3.1 full pipeline: filter → rate → per-series daily AVG →
+    group-by-user AVG merge (the flagship entry() query, with oracle)."""
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="avg",
+        filter=MetricLiteral("purchase"),
+        rate_options=RateOptions(interval_seconds=3600),
+        group_tag_keys=["user"],
+        gb_agg="avg",
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    # the engine emits NaN group-intervals (all contributing rates
+    # NaN); the SQL oracle can't express the NaN contract, so the
+    # oracle-facing projection keeps defined intervals only
+    return res.where(~F.isnan("value")).select(
+        "tag_user", "bucket_ts", F.round(F.col("value"), 6).alias("avg_rate")
+    )
+
+
+@register(
+    "gb_two_keys_daily",
+    f"""{ORACLE_PTS}
+SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2, 3""",
+)
+def gb_two_keys_daily(spark, sf_dir):
+    """G1 — group-by on two tag keys (sum decomposes flat)."""
+    q = _mq(
+        start=START, end=END, interval=DAY, ds_agg="sum",
+        group_tag_keys=["user", "k"], gb_agg="sum", fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("tag_user", "tag_k", "bucket_ts", F.round(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "meta_keys_and_values",
+    f"""{ORACLE_PTS},
+kv AS (
+  SELECT 'user' AS tag_key, tag_user AS tag_value FROM series
+  UNION ALL
+  SELECT 'k' AS tag_key, tag_k AS tag_value FROM series)
+SELECT tag_key, tag_value, CAST(count(*) AS BIGINT) AS series_count
+FROM kv GROUP BY 1, 2""",
+)
+def meta_keys_and_values(spark, sf_dir):
+    """M3 — full key→value→series-count breakdown (BASIC meta query)."""
+    from opentsdb_aura_spark.operators.meta import tag_keys_and_values
+
+    return tag_keys_and_values(series_dim(spark, sf_dir)).select(
+        "tag_key", "tag_value", F.col("series_count").cast("bigint").alias("series_count")
+    )
+
+
+@register(
+    "ev_paging_offset",
+    """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 30""",
+)
+def ev_paging_offset(spark, sf_dir):
+    """L2 — from/size paging (offset into the newest-first order)."""
+    ev = events_seconds(spark, sf_dir)
+    return top_n(ev, 20, offset=30).select("event_id", "ts", "event_type")
+
+
+@register(
+    "text_bpe_token_count",
+    """SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting via an RE2-safe word-piece regex."""
+    from opentsdb_aura_spark.operators.text import bpe_ish_token_count
+
+    return bpe_ish_token_count(docs(spark, sf_dir))
+
+
+@register("text_fingerprint")  # xxhash-chained: rows-only check
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive 64-bit document fingerprint (rolling-hash
+    analogue, Catalyst-only)."""
+    from opentsdb_aura_spark.operators.text import fingerprint
+
+    return fingerprint(docs(spark, sf_dir))

@@ -41,11 +41,12 @@ def token_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
 
 def bpe_ish_token_count(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """BPE-ish token estimate: count of word-piece-like regex matches
-    (runs of letters, digits, or single punctuation) — the standard
-    cheap proxy when no tokenizer is shippable to executors."""
-    pieces = F.split(F.col(text_col), r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
-    n = F.size(F.filter(pieces, lambda p: (p != "") & (p != " ")))
-    return docs.select(F.col(id_col).alias("doc_id"), n.cast("bigint").alias("n_bpe_tokens"))
+    — runs of letters, runs of digits, or single non-space symbols
+    (the standard cheap proxy when no tokenizer is shippable to
+    executors).  RE2-compatible pattern (no lookaround) so the same
+    expression runs on any engine."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return docs.select(F.col(id_col).alias("doc_id"), F.size(pieces).cast("bigint").alias("n_bpe_tokens"))
 
 
 def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

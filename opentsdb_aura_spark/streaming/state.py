@@ -1,0 +1,71 @@
+"""W2 — custom stateful streaming operator: per-series last-value
+state via ``applyInPandasWithState``.
+
+The reference maintains O(1) lastTimestamp/lastValue per series in the
+time-series record (core/.../OffHeapTimeSeriesRecord.java:109-127,
+updated at TimeSeriesShard.java:953-957).  The streaming analogue is a
+keyed state store: for each ``series_id`` we keep (last_ts, last_value,
+n_points) across micro-batches and emit the refreshed snapshot on
+every update — a genuinely stateful operator no stateless aggregation
+can express (state must survive across triggers).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "series_id long, last_ts long, last_value double, n_points long"
+STATE_SCHEMA = "last_ts long, last_value double, n_points long"
+
+
+def _update_last_value(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (series_id,) = key
+    if state.exists:
+        last_ts, last_value, n_points = state.get
+    else:
+        last_ts, last_value, n_points = -1, float("nan"), 0
+
+    for pdf in pdfs:
+        n_points += len(pdf)
+        # latest by (ts, ingest_seq) — same arrival-order contract as
+        # the batch dedupe
+        idx = pdf.sort_values(["ts", "ingest_seq"]).index[-1]
+        ts, val = int(pdf.loc[idx, "ts"]), float(pdf.loc[idx, "value"])
+        if ts >= last_ts:
+            last_ts, last_value = ts, val
+
+    state.update((last_ts, last_value, n_points))
+    yield pd.DataFrame(
+        {
+            "series_id": [series_id],
+            "last_ts": [last_ts],
+            "last_value": [last_value],
+            "n_points": [n_points],
+        }
+    )
+
+
+def streaming_last_value(stream_points: DataFrame) -> DataFrame:
+    """Continuously-updated (series_id, last_ts, last_value, n_points)
+    snapshot over a streaming point DataFrame (must carry series_id —
+    i.e. post-``normalize_points``)."""
+    return (
+        stream_points.select("series_id", "ts", "value", "ingest_seq")
+        .groupBy("series_id")
+        .applyInPandasWithState(
+            _update_last_value,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -136,3 +136,40 @@ def test_streaming_rollup_window_close(spark, tmpdirs):
     # hour-0 and hour-1 windows must have closed and emitted
     assert BASE in rows and rows[BASE]["sum"] == 6.0 and rows[BASE]["count"] == 6
     assert BASE + 3600 in rows and rows[BASE + 3600]["sum"] == 12.0
+
+
+def test_streaming_last_value_state(spark, tmpdirs):
+    """W2 — keyed state survives across micro-batches."""
+    from opentsdb_aura_spark.streaming.state import streaming_last_value
+
+    latest: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[r["series_id"]] = r
+
+    def run_once():
+        stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+        snap = streaming_last_value(normalize_points(stream))
+        q = (
+            snap.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tmpdirs["ckpt"])
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_input(spark, tmpdirs["in"], [("m", {"h": "a"}, BASE + 100, 1.0, 1)], "b0")
+    run_once()
+
+    # second batch updates the same series — state must carry over
+    # across restarts via the checkpointed state store
+    _write_input(spark, tmpdirs["in"], [("m", {"h": "a"}, BASE + 900, 4.0, 2)], "b1")
+    run_once()
+
+    assert len(latest) == 1
+    row = next(iter(latest.values()))
+    assert row["last_ts"] == BASE + 900
+    assert row["last_value"] == 4.0
+    assert row["n_points"] == 2  # state counted across batches

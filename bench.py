@@ -25,8 +25,11 @@ BENCH_QUERIES = [
     "ds_avg_hourly",
     "ds_spine_hourly_purchase",
     "rate_purchase",
+    "fused_rate_ds_gb",
+    "rollup_sum_daily",
     "gb_sum_by_user_daily",
     "gb_avg_by_user_daily",
+    "gb_two_keys_daily",
     "timeshift_sum_daily_purchase",
     "meta_tag_keys",
     "ev_top_recent",

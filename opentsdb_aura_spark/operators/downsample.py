@@ -63,10 +63,22 @@ SUPPORTED_AGGS = {
 }
 
 
+#: UD1 — pluggable aggregator registry (the NumericAggregatorFactory
+#: lookup-by-name, AuraMetricsNumericArrayIterator.java:182-195):
+#: name → fn(masked_value_column) -> aggregate Column expression.
+CUSTOM_AGGS: dict[str, object] = {}
+
+
+def register_aggregator(name: str, fn) -> None:
+    """Register a custom downsample aggregator usable by name, e.g.
+    ``register_aggregator("gmean", lambda v: F.exp(F.avg(F.log(v))))``."""
+    CUSTOM_AGGS[name.lower().strip()] = fn
+
+
 def normalize_agg(agg: str) -> str:
     agg = agg.lower().strip()
     agg = AGG_ALIASES.get(agg, agg)
-    if agg not in SUPPORTED_AGGS:
+    if agg not in SUPPORTED_AGGS and agg not in CUSTOM_AGGS:
         raise ValueError(f"unsupported downsample aggregator: {agg}")
     return agg
 
@@ -105,6 +117,8 @@ def _final_value(agg: str, reporting_dps: float | None) -> Column:
         return F.col("_stddev")
     if agg == "sumsq":
         return F.col("_sumsq")
+    if agg in CUSTOM_AGGS:
+        return F.col("_custom")
     if agg.startswith("p"):
         return F.col("_perc")
     raise AssertionError(agg)
@@ -167,6 +181,8 @@ def downsample(
         aggs.append(F.expr(f"percentile(_v, {q})").alias("_perc"))
     if agg == "p50":
         aggs.append(F.expr("percentile(_v, 0.5)").alias("_perc"))
+    if agg in CUSTOM_AGGS:
+        aggs.append(CUSTOM_AGGS[agg](F.col("_v")).alias("_custom"))
 
     grouped = df.groupBy(*group_cols, "bucket_ts").agg(*aggs)
 

@@ -69,6 +69,23 @@ def group_count_last(
     return events.groupBy(group_col).agg(*aggs)
 
 
+def upsert_events(events: DataFrame, id_col: str = "event_id", seq_col: str | None = None) -> DataFrame:
+    """S8 — event upsert: duplicate event ids collapse to the latest
+    version (the reference's Lucene writer updates docs in place by
+    eventId, events-common/.../EventWriter.java:31-70).  ``seq_col``
+    orders versions (defaults to the event timestamp)."""
+    order = F.col(seq_col) if seq_col else F.col("ts")
+    other = [c for c in events.columns if c != id_col]
+    return events.groupBy(id_col).agg(*[F.max_by(F.col(c), order).alias(c) for c in other])
+
+
+def daily_partition(ts_seconds: Column) -> Column:
+    """E3 — the daily-index key: events land in yyyy-MM-dd partitions
+    exactly like the reference's daily Lucene indices
+    (events-common/.../EventWriter.java:34,62)."""
+    return F.date_format(F.timestamp_seconds(ts_seconds), "yyyy-MM-dd")
+
+
 def minute_histogram(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """E6 — per-minute event counts (timestampMinute grouping,
     QueryRunner.java:169-172).  ts is epoch seconds."""

@@ -37,6 +37,9 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 #: so query planning prunes with the right granularity.
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
+#: bump when the store layout/schema changes — stale caches rebuild
+STORE_LAYOUT_VERSION = 2
+
 
 def write_metrics_store(points: DataFrame, path: str, files_per_partition: int = 1) -> None:
     """Land normalized (and already deduped) points, partitioned by
@@ -78,7 +81,19 @@ def ensure_event_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     paths."""
     base = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(STORE_ROOT, base)
+    # the store outlives the process (it's a cache under /tmp): a
+    # layout change in newer code must invalidate older builds
+    version_file = os.path.join(root, "LAYOUT_VERSION")
+    if os.path.isdir(root):
+        try:
+            ok = open(version_file).read().strip() == str(STORE_LAYOUT_VERSION)
+        except OSError:
+            ok = False
+        if not ok:
+            shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
+    with open(version_file, "w") as f:
+        f.write(str(STORE_LAYOUT_VERSION))
     metrics_path = os.path.join(root, "metrics")
     dim_path = os.path.join(root, "series_dim")
 
@@ -112,7 +127,36 @@ def ensure_event_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ).write.mode("overwrite").parquet(tmp)
 
     _atomic_build(build_rollup_tbl, rollup_path)
+
+    # E3 — events table partitioned by day (the reference's daily
+    # Lucene indices named yyyy-MM-dd); date-ranged event queries
+    # prune partitions
+    events_path = os.path.join(root, "events")
+
+    def build_events(tmp: str) -> None:
+        from pyspark.sql import functions as F
+
+        from opentsdb_aura_spark.operators.events import daily_partition
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = ev.withColumn("ts", F.expr("ts div 1000000000").cast("long"))
+        ev = ev.withColumn("event_date", daily_partition(F.col("ts")))
+        (
+            ev.repartition(F.col("event_date"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(tmp)
+        )
+
+    _atomic_build(build_events, events_path)
     return metrics_path, dim_path
+
+
+def events_store_path(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(STORE_ROOT, base, "events")
 
 
 def rollup_path(sf_dir: str, interval: int = 3600) -> str:

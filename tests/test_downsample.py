@@ -104,3 +104,15 @@ def test_percentile_and_sumsq(make_points):
     assert_close(rows_by(res, "bucket_ts")[BASE], 30.0)
     res = downsample(pts, BASE, BASE + 60, 60, "median")
     assert_close(rows_by(res, "bucket_ts")[BASE], 2.5)
+
+
+def test_custom_aggregator_registry(make_points):
+    """UD1 — pluggable downsample aggregator looked up by name."""
+    import pyspark.sql.functions as F
+
+    from opentsdb_aura_spark.operators.downsample import register_aggregator
+
+    register_aggregator("gmean", lambda v: F.exp(F.avg(F.log(v))))
+    pts = make_points([("m", {}, BASE + i, v) for i, v in enumerate([2.0, 8.0])])
+    res = downsample(pts, BASE, BASE + 60, 60, "gmean")
+    assert_close(rows_by(res, "bucket_ts")[BASE], 4.0)

@@ -65,3 +65,15 @@ def test_minute_histogram(ev):
     hist = {r["minute_ts"]: r["n"] for r in minute_histogram(ev).collect()}
     assert hist[BASE] == 1  # event 1
     assert hist[BASE + 60] == 2  # events 2,3
+
+
+def test_upsert_events(spark):
+    from opentsdb_aura_spark.operators.events import upsert_events
+
+    df = spark.createDataFrame(
+        [(1, BASE, "v1", 1), (1, BASE + 50, "v2", 2), (2, BASE, "x", 3)],
+        "event_id long, ts long, msg string, seq long",
+    )
+    out = {r["event_id"]: r for r in upsert_events(df, seq_col="seq").collect()}
+    assert len(out) == 2
+    assert out[1]["msg"] == "v2" and out[1]["ts"] == BASE + 50

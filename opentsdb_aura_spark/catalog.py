@@ -959,7 +959,16 @@ def multimodal_media_stats(spark, sf_dir):
     )
 
 
-@register("multimodal_features")  # stubbed decoder: rows-only check
+@register(
+    "multimodal_features",
+    """SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, least(strlen(text), 256) + 1),
+                     i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
+FROM documents WHERE doc_id < 200""",
+)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary media
     (deterministic fake decode; real decoder is a drop-in)."""

@@ -1,0 +1,65 @@
+"""Plan-shape regression guards: the scale-critical plan properties
+(partition pruning, predicate pushdown, broadcast joins) asserted from
+the explain output — a wrong plan at 100 TB is a correctness bug for
+the wall clock."""
+
+import re
+
+import pytest
+
+from opentsdb_aura_spark import catalog as C
+from opentsdb_aura_spark.filters import MetricLiteral
+from opentsdb_aura_spark.plans.query import run_metric_query
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_partition_pruning(spark):
+    """S4/T6 — a 2-day query must scan only the matching segment
+    partitions, not the whole store."""
+    q = C._mq(
+        start=C.START,
+        end=C.START + 2 * C.DAY,
+        interval=C.HOUR,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=[],
+        gb_agg="sum",
+        fill="none",
+    )
+    plan = plan_of(run_metric_query(C.points(spark, SF), q, dedupe=False))
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m, plan
+    assert "segment_time" in m.group(1)
+    assert str(C.START + 2 * C.DAY) in m.group(1)  # upper bound present
+
+
+def test_predicate_pushdown(spark):
+    """F-filters and the time range must reach the Parquet scan."""
+    plan = plan_of(C.SPARK_QUERIES["gb_sum_by_user_daily"](spark, SF))
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "EqualTo(metric,purchase)" in pushed
+    assert "GreaterThanOrEqual(ts" in pushed
+
+
+def test_broadcast_join_for_dim(spark):
+    """J2 — the series_dim enrichment must broadcast, never
+    sort-merge (the dim side is tiny relative to the fact table)."""
+    plan = plan_of(C.SPARK_QUERIES["join_series_enrich"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning(spark):
+    """P1 — a two-column projection must not read the full schema."""
+    df = C.points(spark, SF).select("series_id", "value")
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan
+    assert "tags" not in m.group(1)  # widest column pruned away

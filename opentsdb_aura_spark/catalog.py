@@ -65,8 +65,17 @@ HOUR = 3600
 # ---------------------------------------------------------------- spark loaders
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ensure_session_confs(spark: SparkSession) -> None:
+    """The driver hands us ITS SparkSession — pin the runtime-settable
+    confs our semantics depend on: nanos timestamps read as long, and
+    UTC so any timestamp↔epoch conversion matches the DuckDB oracle
+    regardless of the host timezone."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
@@ -75,6 +84,7 @@ def events_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned store (E3 — the yyyy-MM-dd index layout)."""
     from opentsdb_aura_spark.sources.batch import ensure_event_store, events_store_path
 
+    ensure_session_confs(spark)
     ensure_event_store(spark, sf_dir)
     return spark.read.parquet(events_store_path(sf_dir))
 
@@ -85,6 +95,7 @@ def points(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch-ingest path, S2)."""
     from opentsdb_aura_spark.sources.batch import ensure_event_store
 
+    ensure_session_confs(spark)
     metrics_path, _ = ensure_event_store(spark, sf_dir)
     return spark.read.parquet(metrics_path)
 
@@ -92,6 +103,7 @@ def points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def series_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentsdb_aura_spark.sources.batch import ensure_event_store
 
+    ensure_session_confs(spark)
     _, dim_path = ensure_event_store(spark, sf_dir)
     return spark.read.parquet(dim_path)
 
@@ -751,6 +763,7 @@ GROUP BY 1, 2""",
 )
 def tpch_pricing_summary(spark, sf_dir):
     """Relational health check: TPC-H Q1-style pricing summary."""
+    ensure_session_confs(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))

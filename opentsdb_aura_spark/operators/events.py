@@ -82,8 +82,9 @@ def upsert_events(events: DataFrame, id_col: str = "event_id", seq_col: str | No
 def daily_partition(ts_seconds: Column) -> Column:
     """E3 — the daily-index key: events land in yyyy-MM-dd partitions
     exactly like the reference's daily Lucene indices
-    (events-common/.../EventWriter.java:34,62)."""
-    return F.date_format(F.timestamp_seconds(ts_seconds), "yyyy-MM-dd")
+    (events-common/.../EventWriter.java:34,62).  Computed from epoch
+    days, independent of the session timezone."""
+    return F.date_add(F.lit("1970-01-01").cast("date"), F.floor(ts_seconds / 86400).cast("int")).cast("string")
 
 
 def minute_histogram(events: DataFrame, ts_col: str = "ts") -> DataFrame:

@@ -1232,3 +1232,46 @@ def semi_join_series_points(spark, sf_dir):
     )
     res = downsample(pts, START, END, DAY, "sum", group_cols=["metric"], fill="none")
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "tpch_simple_filter_agg",
+    """SELECT round(1e-9 + sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def tpch_simple_filter_agg(spark, sf_dir):
+    """Relational health: TPC-H Q6-style selective filter + agg (all
+    predicates push to the scan)."""
+    ensure_session_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@register("meta_cardinality_approx")  # HLL sketch differs per engine: rows-only
+def meta_cardinality_approx(spark, sf_dir):
+    """M5 scale path — HLL cardinality (exact variant is oracle-checked
+    in meta_cardinality)."""
+    return cardinality(series_dim(spark, sf_dir), None, approx=True)
+
+
+@register("ds_p90_approx_daily")  # sketch-based: rows-only
+def ds_p90_approx_daily(spark, sf_dir):
+    """A6 scale path — approx_percentile; at 100 TB the exact
+    percentile's per-group value buffer is the bottleneck, the sketch
+    is mergeable map-side."""
+    pts = points(spark, sf_dir).where((F.col("ts") >= START) & (F.col("ts") < END))
+    bucket = (F.lit(START) + F.floor((F.col("ts") - F.lit(START)) / F.lit(DAY)) * F.lit(DAY)).cast("long")
+    return (
+        pts.withColumn("bucket_ts", bucket)
+        .groupBy("metric", "bucket_ts")
+        .agg(F.expr("approx_percentile(value, 0.9, 1000)").alias("p90_approx"))
+    )

@@ -191,3 +191,31 @@ def streaming_rollup(
             "sumsq",
         )
     )
+
+
+POINT_JSON_SCHEMA = (
+    "namespace string, metric string, tags map<string,string>, "
+    "ts long, value double"
+)
+
+
+def parse_kafka_points(kafka_df: DataFrame) -> DataFrame:
+    """S1 — parse a Kafka stream (key/value binary) into the canonical
+    point schema: JSON payloads like
+    ``{"namespace":..,"metric":..,"tags":{..},"ts":..,"value":..}``.
+
+    Works on any DataFrame with a binary/string ``value`` column, so
+    the parse logic is unit-testable without a broker; attach with
+    ``spark.readStream.format("kafka")...load()`` in production.
+    Kafka's (partition, offset) pair supplies the arrival order for
+    last-write-wins dedupe.
+    """
+    parsed = kafka_df.select(
+        F.from_json(F.col("value").cast("string"), POINT_JSON_SCHEMA).alias("p"),
+        (F.col("partition").cast("long") * F.lit(1 << 40) + F.col("offset")).alias("ingest_seq")
+        if "offset" in kafka_df.columns
+        else F.monotonically_increasing_id().alias("ingest_seq"),
+    )
+    return parsed.select("p.namespace", "p.metric", "p.tags", "p.ts", "p.value", "ingest_seq").where(
+        F.col("metric").isNotNull() & F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )

@@ -1,0 +1,78 @@
+"""Property-based cross-check: random point sets (gaps, duplicates,
+NaNs, multiple series) run through the engine and through a trivial
+pure-Python model of the reference semantics — results must agree.
+
+Complements the hand-computed golden tests with generated coverage of
+the NaN / dedupe / bucket-edge interactions."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from conftest import BASE
+
+from opentsdb_aura_spark.operators.downsample import downsample
+
+INTERVAL = 60
+RANGE = 300  # 5 buckets
+
+point = st.tuples(
+    st.integers(min_value=0, max_value=RANGE - 1),  # ts offset
+    st.one_of(st.floats(min_value=-100, max_value=100, allow_nan=False), st.just(float("nan"))),
+    st.integers(min_value=0, max_value=1),  # series selector
+)
+
+
+def python_model(rows, agg):
+    """Reference semantics in plain Python: last-write-wins per (series,
+    ts), NaN skipped, empty/all-NaN bucket → NaN."""
+    latest = {}
+    for seq, (off, val, sid) in enumerate(rows):
+        latest[(sid, off)] = (seq, val)
+    buckets = {}
+    for (sid, off), (_, val) in latest.items():
+        buckets.setdefault((sid, off // INTERVAL), []).append((off, val))
+    out = {}
+    for key, vs in buckets.items():
+        clean = [v for _, v in vs if not math.isnan(v)]
+        if not clean:
+            out[key] = float("nan")
+        elif agg == "sum":
+            out[key] = sum(clean)
+        elif agg == "min":
+            out[key] = min(clean)
+        elif agg == "max":
+            out[key] = max(clean)
+        elif agg == "count":
+            out[key] = float(len(clean))
+        elif agg == "last":
+            out[key] = max(((off, v) for off, v in vs if not math.isnan(v)))[1]
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(point, min_size=1, max_size=25), agg=st.sampled_from(["sum", "min", "max", "count", "last"]))
+def test_downsample_matches_python_model(spark, make_points, rows, agg):
+    pts = make_points(
+        [("m", {"s": str(sid)}, BASE + off, val, seq) for seq, (off, val, sid) in enumerate(rows)]
+    )
+    from opentsdb_aura_spark.operators.dedupe import dedupe_last_write_wins
+
+    res = downsample(
+        dedupe_last_write_wins(pts), BASE, BASE + RANGE, INTERVAL, agg,
+        group_cols=["tags"], fill="none",
+    )
+    got = {}
+    for r in res.collect():
+        sid = int(r["tags"]["s"])
+        got[(sid, (r["bucket_ts"] - BASE) // INTERVAL)] = r["value"]
+
+    want = python_model(rows, agg)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        g = got[k]
+        if math.isnan(v):
+            assert math.isnan(g), (k, g, v)
+        else:
+            assert abs(g - v) < 1e-9, (k, g, v)

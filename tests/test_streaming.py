@@ -173,3 +173,20 @@ def test_streaming_last_value_state(spark, tmpdirs):
     assert row["last_ts"] == BASE + 900
     assert row["last_value"] == 4.0
     assert row["n_points"] == 2  # state counted across batches
+
+
+def test_parse_kafka_points(spark):
+    """S1 — kafka JSON payload → canonical point schema (static df,
+    no broker needed)."""
+    from opentsdb_aura_spark.streaming.ingest import parse_kafka_points
+
+    payload = '{"namespace":"ns","metric":"cpu","tags":{"h":"a"},"ts":1704067200,"value":1.5}'
+    df = spark.createDataFrame(
+        [(payload.encode(), 0, 7), (b"not json", 0, 8)],
+        "value binary, partition int, offset long",
+    )
+    out = parse_kafka_points(df).collect()
+    assert len(out) == 1  # malformed row filtered
+    r = out[0]
+    assert r["metric"] == "cpu" and r["tags"]["h"] == "a" and r["value"] == 1.5
+    assert r["ingest_seq"] == 7

@@ -41,26 +41,30 @@ EVENT_STORE_SEGMENT_WIDTH = 86400
 STORE_LAYOUT_VERSION = 2
 
 
-def write_metrics_store(points: DataFrame, path: str, files_per_partition: int = 1) -> None:
+def write_metrics_store(
+    points: DataFrame, path: str, files_per_partition: int = 1, reshuffle: bool = True
+) -> None:
     """Land normalized (and already deduped) points, partitioned by
     segment_time, sorted within files by (series_id, ts).
 
-    ``repartition(segment_time)`` gives one task — hence one full,
-    sorted file — per partition value (× files_per_partition at scale,
-    where the writer salts with pmod(series_id, k))."""
+    ``reshuffle=True`` repartitions by segment value (one full, sorted
+    file per partition × files_per_partition, salted by series) — best
+    file layout, costs an extra exchange.  ``reshuffle=False`` writes
+    from the input's existing partitioning (e.g. straight out of the
+    dedupe shuffle) — ~1.6× faster ingest, more files per partition;
+    the right default when a compaction pass follows anyway."""
     from pyspark.sql import functions as F
 
     df = points
-    if files_per_partition > 1:
-        df = df.repartition(F.col("segment_time"), F.pmod(F.col("series_id"), F.lit(files_per_partition)))
+    if reshuffle:
+        if files_per_partition > 1:
+            df = df.repartition(F.col("segment_time"), F.pmod(F.col("series_id"), F.lit(files_per_partition)))
+        else:
+            df = df.repartition(F.col("segment_time"))
+        df = df.sortWithinPartitions("series_id", "ts")
     else:
-        df = df.repartition(F.col("segment_time"))
-    (
-        df.sortWithinPartitions("series_id", "ts")
-        .write.mode("overwrite")
-        .partitionBy("segment_time")
-        .parquet(path)
-    )
+        df = df.sortWithinPartitions("segment_time", "series_id", "ts")
+    df.write.mode("overwrite").partitionBy("segment_time").parquet(path)
 
 
 def _atomic_build(build_fn, final_path: str) -> None:
@@ -104,6 +108,10 @@ def ensure_event_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         pts = dedupe_last_write_wins(events_as_points(ev, width=EVENT_STORE_SEGMENT_WIDTH))
         pts = pts.withColumn("tag_user", F.col("tags")["user"]).withColumn("tag_k", F.col("tags")["k"])
+        # reshuffled layout (one file per day): the store is read by
+        # ~60 queries, so paying one extra exchange at build time for
+        # a compact file layout wins; bulk ingest pipelines use
+        # reshuffle=False + a later compaction instead
         write_metrics_store(pts, tmp)
 
     _atomic_build(build_points, metrics_path)

@@ -1275,3 +1275,42 @@ def ds_p90_approx_daily(spark, sf_dir):
         .groupBy("metric", "bucket_ts")
         .agg(F.expr("approx_percentile(value, 0.9, 1000)").alias("p90_approx"))
     )
+
+
+@register(
+    "tpch_semi_join_orders",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY 1""",
+)
+def tpch_semi_join_orders(spark, sf_dir):
+    """Relational health: EXISTS → left_semi join."""
+    ensure_session_confs(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_anti_join_customers",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1""",
+)
+def tpch_anti_join_customers(spark, sf_dir):
+    """Relational health: NOT EXISTS → left_anti join (customers who
+    never ordered)."""
+    ensure_session_confs(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -57,6 +57,16 @@ class MetricQuery:
     # partition width of the store being queried (prune granularity)
     segment_width: int = SEGMENT_WIDTH_SECONDS
 
+    def __post_init__(self) -> None:
+        if self.end <= self.start:
+            raise ValueError(f"empty query range: [{self.start}, {self.end})")
+        if self.interval is not None and self.interval <= 0:
+            raise ValueError(f"downsample interval must be positive, got {self.interval}")
+        if self.segment_width <= 0:
+            raise ValueError(f"segment width must be positive, got {self.segment_width}")
+        if self.fill not in ("nan", "none"):
+            raise ValueError(f"fill must be 'nan' or 'none', got {self.fill!r}")
+
 
 def run_metric_query(points: DataFrame, q: MetricQuery, *, dedupe: bool = True) -> DataFrame:
     """Execute a MetricQuery over a normalized points DataFrame.

@@ -170,3 +170,22 @@ def events_store_path(sf_dir: str) -> str:
 def rollup_path(sf_dir: str, interval: int = 3600) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(STORE_ROOT, base, f"rollup_{interval}")
+
+
+def compact_store(spark: SparkSession, path: str, files_per_partition: int = 1) -> int:
+    """Compaction pass for stores written with ``reshuffle=False``:
+    rewrite each segment partition into ``files_per_partition`` sorted
+    files (the reference's flush-time segment rewrite,
+    core/.../TSFlusherImp.java:281-417, as a maintenance job).
+    Returns the number of partitions compacted."""
+    import glob
+
+    parts = sorted(glob.glob(os.path.join(path, "segment_time=*")))
+    df = spark.read.parquet(path)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    write_metrics_store(df, tmp, files_per_partition=files_per_partition, reshuffle=True)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(parts)

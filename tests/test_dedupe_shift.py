@@ -39,3 +39,16 @@ def test_time_shift_relabels(make_points):
     vals = {r["bucket_ts"]: r["value"] for r in run_metric_query(pts, q).collect()}
     assert_close(vals[BASE + 3600], 2.0)
     assert_close(vals[BASE + 3660], 2.0)
+
+
+def test_metric_query_validation():
+    import pytest
+
+    from opentsdb_aura_spark.plans.query import MetricQuery
+
+    with pytest.raises(ValueError, match="empty query range"):
+        MetricQuery(start=100, end=100)
+    with pytest.raises(ValueError, match="interval must be positive"):
+        MetricQuery(start=0, end=100, interval=0)
+    with pytest.raises(ValueError, match="fill"):
+        MetricQuery(start=0, end=100, fill="zero")

@@ -190,3 +190,23 @@ def test_parse_kafka_points(spark):
     r = out[0]
     assert r["metric"] == "cpu" and r["tags"]["h"] == "a" and r["value"] == 1.5
     assert r["ingest_seq"] == 7
+
+
+def test_compact_store(spark, tmpdirs):
+    """Maintenance compaction: many small files per segment → one
+    sorted file, same rows."""
+    import glob
+
+    from opentsdb_aura_spark.sources.batch import compact_store, write_metrics_store
+
+    rows = [("m", {"h": str(i % 7)}, BASE + i * 400, float(i), i) for i in range(100)]
+    _write_input(spark, tmpdirs["in"], rows, "b0")
+    pts = normalize_points(spark.read.parquet(tmpdirs["in"] + "/b0").repartition(8))
+    store = tmpdirs["store"] + "/m"
+    write_metrics_store(pts, store, reshuffle=False)
+    before = len(glob.glob(store + "/segment_time=*/*.parquet"))
+
+    n = compact_store(spark, store)
+    after = len(glob.glob(store + "/segment_time=*/*.parquet"))
+    assert n >= 1 and after < before
+    assert spark.read.parquet(store).count() == 100

@@ -1314,3 +1314,23 @@ def tpch_anti_join_customers(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """WITH s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))) AS cs
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(1e-9 + cs, 6) AS cos_sim FROM s WHERE cs >= 0.45""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    LSH variant is the scale path, unit-tested)."""
+    from opentsdb_aura_spark.operators.similarity import embedding_near_dup_pairs
+
+    res = embedding_near_dup_pairs(embs(spark, sf_dir), threshold=0.45)
+    return res.select("id_a", "id_b", _r(F.col("cos_sim"), 6).alias("cos_sim"))

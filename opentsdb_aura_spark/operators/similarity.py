@@ -124,3 +124,38 @@ def lsh_topk(
         .where(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: all pairs with
+    cosine ≥ threshold (id_a < id_b).
+
+    ``use_lsh=False`` scores every pair — exact, O(n²), the oracle
+    baseline.  ``use_lsh=True`` restricts scoring to random-hyperplane
+    bucket collisions — the 100 TB path (recall < 1 for pairs near the
+    threshold, tunable via tables/planes).
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if use_lsh:
+        cand = lsh_topk(corpus, corpus, k=1 << 30, dim=dim, id_col=id_col, vec_col=vec_col)
+        pairs = cand.where(F.col("query_id") < F.col("neighbor_id")).select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("cos_sim"),
+        )
+        return pairs.where(F.col("cos_sim") >= F.lit(threshold))
+    scored = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+    return scored.select("id_a", "id_b", "cos_sim")

@@ -131,3 +131,15 @@ def test_multimodal_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         _decode_real(b"bytes", "image")
+
+
+def test_embedding_near_dup_pairs(emb_df):
+    from opentsdb_aura_spark.operators.similarity import embedding_near_dup_pairs
+
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in embedding_near_dup_pairs(emb_df, threshold=0.95).collect()}
+    assert (0, 4) in exact and abs(exact[(0, 4)] - 1.0) < 1e-12  # identical pair
+    assert (0, 1) in exact  # near pair (cos ≈ 0.994)
+    assert (0, 2) not in exact  # orthogonal
+
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb_df, threshold=0.95, use_lsh=True, dim=4).collect()}
+    assert (0, 4) in lsh  # identical vectors always collide

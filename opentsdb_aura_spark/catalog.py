@@ -23,8 +23,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opentsdb_aura_spark.filters import Chain, MetricLiteral, Not, TagLiteralOr
-from opentsdb_aura_spark.model import events_as_points
-from opentsdb_aura_spark.operators.dedupe import dedupe_last_write_wins
 from opentsdb_aura_spark.operators.dedup_text import (
     exact_duplicates,
     minhash_lsh_candidates,

@@ -1332,3 +1332,41 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     res = embedding_near_dup_pairs(embs(spark, sf_dir), threshold=0.45)
     return res.select("id_a", "id_b", _r(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+@register(
+    "opentsdb_json_query",
+    f"""{ORACLE_PTS}
+SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(1e-9 + max(value), 4) AS max_value
+FROM dpts
+WHERE metric = 'purchase' AND tag_user IN ('1', '2', '3')
+  AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def opentsdb_json_query(spark, sf_dir):
+    """API-surface parity: an OpenTSDB 3.x semantic-query JSON graph
+    translated and executed unchanged (source + filter + downsample +
+    group-by pushdown fold, §3.1)."""
+    from opentsdb_aura_spark.plans.opentsdb_json import translate_query
+
+    query = {
+        "start": START,
+        "end": END,
+        "filters": [
+            {"id": "f1", "filter": {"type": "TagValueLiteralOr", "tagKey": "user", "filter": "1|2|3"}}
+        ],
+        "executionGraph": [
+            {
+                "id": "m1",
+                "type": "TimeSeriesDataSource",
+                "metric": {"type": "MetricLiteral", "metric": "purchase"},
+                "filterId": "f1",
+            },
+            {"id": "ds", "type": "downsample", "aggregator": "max", "interval": "1d", "sources": ["m1"]},
+            {"id": "gb", "type": "groupby", "aggregator": "max", "tagKeys": ["user"], "sources": ["ds"]},
+        ],
+    }
+    q = translate_query(query, now=END, segment_width=EVENT_STORE_SEGMENT_WIDTH)
+    q.fill = "none"
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("max_value"))

@@ -1,0 +1,176 @@
+"""OpenTSDB 3.x semantic-query JSON → MetricQuery translator.
+
+The reference is queried through OpenTSDB 3.x JSON query graphs: an
+``executionGraph`` of nodes (TimeSeriesDataSource, downsample, rate,
+groupby, timeshift) plus a ``filters`` list, which the planner folds
+into the Aura source via pushdown (AuraMetricsSourceFactory.java:120-128;
+filter translation QueryBuilderTSDBExt.java:48-120).  This module
+gives users of the reference the same entry point: their existing
+query JSON runs unchanged against the Spark engine.
+
+Supported graph node types: TimeSeriesDataSource, downsample, rate,
+groupby, timeshift.  Supported filter types: MetricLiteral,
+TagValueLiteralOr, TagValueRegex, TagValueWildcard, TagKeyLiteral,
+Chain (AND/OR), Not, ExplicitTags, AnyFieldRegex, MatchAll.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from opentsdb_aura_spark.filters import (
+    AnyFieldRegexp,
+    Chain,
+    ExplicitTags,
+    Filter,
+    MatchAll,
+    MetricLiteral,
+    Not,
+    TagKeyPresent,
+    TagLiteralOr,
+    TagRegexp,
+    TagWildcard,
+)
+from opentsdb_aura_spark.operators.rate import RateOptions
+from opentsdb_aura_spark.plans.query import MetricQuery
+
+#: duration suffixes, OpenTSDB notation (DateTime.parseDuration)
+_UNITS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "n": 2592000, "y": 31536000}
+
+
+def parse_duration(text: str) -> int:
+    """'1m' → 60, '2h' → 7200, '0all' → 0 (run-all sentinel)."""
+    text = str(text).strip().lower()
+    if text in ("0all", "all"):
+        return 0
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h|d|w|n|y)", text)
+    if not m:
+        raise ValueError(f"unparseable duration: {text!r}")
+    return int(float(m.group(1)) * _UNITS[m.group(2)])
+
+
+def parse_timestamp(value: Any, now: int) -> int:
+    """Epoch seconds, epoch millis, or 'Xm-ago' relative notation."""
+    if isinstance(value, (int, float)):
+        v = int(value)
+        return v // 1000 if v > 4_000_000_000 else v  # millis heuristic
+    text = str(value).strip().lower()
+    if text.endswith("-ago"):
+        return now - parse_duration(text[:-4])
+    if text == "now":
+        return now
+    return int(text)
+
+
+def translate_filter(node: dict | None) -> Filter | None:
+    """TSDB QueryFilter JSON → filter AST (QueryBuilderTSDBExt.java:60-120)."""
+    if node is None:
+        return None
+    ftype = node.get("type", "").lower()
+    if ftype == "metricliteral":
+        return MetricLiteral(node.get("metric") or node.get("filter"))
+    if ftype == "tagvalueliteralor":
+        values = tuple(str(node["filter"]).split("|"))
+        return TagLiteralOr(node["tagKey"], values)
+    if ftype == "tagvalueregex":
+        return TagRegexp(node["tagKey"], node["filter"])
+    if ftype == "tagvaluewildcard":
+        return TagWildcard(node["tagKey"], node["filter"])
+    if ftype == "tagkeyliteral":
+        return TagKeyPresent(node.get("filter") or node.get("tagKey"))
+    if ftype == "anyfieldregex":
+        return AnyFieldRegexp(node["filter"])
+    if ftype == "chain":
+        op = node.get("op", "AND").upper()
+        members = [translate_filter(f) for f in node.get("filters", [])]
+        return Chain(op, members)
+    if ftype == "not":
+        return Not(translate_filter(node["filter"]))
+    if ftype == "explicittags":
+        return ExplicitTags(translate_filter(node["filter"]))
+    if ftype in ("matchall", ""):
+        return MatchAll()
+    raise ValueError(f"unsupported filter type: {node.get('type')!r}")
+
+
+def translate_query(query: dict, *, now: int | None = None, segment_width: int | None = None) -> MetricQuery:
+    """Semantic-query JSON (start/end, executionGraph, filters) →
+    MetricQuery.  Node configs are folded exactly like the reference's
+    pushdown: the graph ORDER is irrelevant — downsample/rate/groupby/
+    timeshift configs attach to the single metric source."""
+    import time as _time
+
+    now = int(now if now is not None else _time.time())
+    start = parse_timestamp(query["start"], now)
+    end = parse_timestamp(query.get("end", now), now)
+
+    filters_by_id = {f["id"]: f["filter"] for f in query.get("filters", [])}
+
+    flt: Filter | None = None
+    interval: int | None = None
+    ds_agg = "avg"
+    run_all = False
+    infectious = False
+    rate_opts: RateOptions | None = None
+    group_keys = None
+    gb_agg = "sum"
+    shift = 0
+
+    for node in query.get("executionGraph", []):
+        ntype = node.get("type", "").lower()
+        if ntype in ("timeseriesdatasource", "datasource"):
+            parts = []
+            metric_node = node.get("metric")
+            if metric_node:
+                parts.append(translate_filter(metric_node))
+            inline = node.get("filter")
+            if inline:
+                parts.append(translate_filter(inline))
+            fid = node.get("filterId")
+            if fid:
+                parts.append(translate_filter(filters_by_id[fid]))
+            if len(parts) == 1:
+                flt = parts[0]
+            elif parts:
+                flt = Chain("AND", parts)
+        elif ntype == "downsample":
+            ds_agg = node.get("aggregator", "avg")
+            iv = node.get("interval", "1m")
+            interval = parse_duration(iv)
+            if interval == 0 or node.get("runAll"):
+                run_all, interval = True, None
+            infectious = bool(node.get("infectiousNan", False))
+        elif ntype == "rate":
+            rate_opts = RateOptions(
+                interval_seconds=parse_duration(node.get("interval", "1s")) or 1,
+                counter=bool(node.get("counter", False)),
+                drop_resets=bool(node.get("dropResets", False)),
+                counter_max=float(node.get("counterMax", float("inf"))),
+                reset_value=float(node.get("resetValue", 0)),
+                delta_only=bool(node.get("deltaOnly", False)),
+                rate_to_count=bool(node.get("rateToCount", False)),
+                data_interval=parse_duration(node["dataInterval"]) if node.get("dataInterval") else 0,
+            )
+        elif ntype == "groupby":
+            group_keys = list(node.get("tagKeys", []))
+            gb_agg = node.get("aggregator", "sum")
+        elif ntype == "timeshift":
+            shift = parse_duration(node.get("interval", "0s"))
+
+    kw: dict[str, Any] = dict(
+        start=start,
+        end=end,
+        filter=flt,
+        interval=interval,
+        ds_agg=ds_agg,
+        run_all=run_all,
+        infectious_nan=infectious,
+        rate_options=rate_opts,
+        group_tag_keys=group_keys,
+        gb_agg=gb_agg,
+        shift_seconds=shift,
+    )
+    if segment_width is not None:
+        kw["segment_width"] = segment_width
+    return MetricQuery(**kw)

@@ -1,0 +1,104 @@
+"""OpenTSDB 3.x JSON query translation + end-to-end execution."""
+
+import math
+
+from conftest import BASE, assert_close
+
+from opentsdb_aura_spark.filters import Chain, MetricLiteral, Not, TagLiteralOr, TagRegexp
+from opentsdb_aura_spark.plans.opentsdb_json import parse_duration, parse_timestamp, translate_filter, translate_query
+from opentsdb_aura_spark.plans.query import run_metric_query
+
+
+def test_parse_duration():
+    assert parse_duration("30s") == 30
+    assert parse_duration("1m") == 60
+    assert parse_duration("2h") == 7200
+    assert parse_duration("1d") == 86400
+    assert parse_duration("0all") == 0
+
+
+def test_parse_timestamp():
+    assert parse_timestamp(1704067200, now=0) == 1704067200
+    assert parse_timestamp(1704067200000, now=0) == 1704067200  # millis
+    assert parse_timestamp("1h-ago", now=BASE + 3600) == BASE
+    assert parse_timestamp("now", now=42) == 42
+
+
+def test_translate_filter_tree():
+    flt = translate_filter(
+        {
+            "type": "Chain",
+            "op": "AND",
+            "filters": [
+                {"type": "TagValueLiteralOr", "tagKey": "host", "filter": "web01|web02"},
+                {"type": "Not", "filter": {"type": "TagValueRegex", "tagKey": "dc", "filter": "^east$"}},
+            ],
+        }
+    )
+    assert isinstance(flt, Chain)
+    assert flt.members[0] == TagLiteralOr("host", ("web01", "web02"))
+    assert flt.members[1] == Not(TagRegexp("dc", "^east$"))
+
+
+def test_translate_and_run_full_graph(make_points):
+    # 2 hosts, 1 point/min for 4 min; query: rate(1m) → ds sum 2m → gb sum by host
+    rows = []
+    for host, base_v in [("a", 0.0), ("b", 100.0)]:
+        for i in range(5):
+            rows.append(("sys.cpu.user", {"host": host, "dc": "east"}, BASE + 60 * i, base_v + 60 * i))
+    pts = make_points(rows)
+
+    query = {
+        "start": BASE,
+        "end": BASE + 300,
+        "filters": [
+            {
+                "id": "f1",
+                "filter": {"type": "TagValueLiteralOr", "tagKey": "dc", "filter": "east"},
+            }
+        ],
+        "executionGraph": [
+            {
+                "id": "m1",
+                "type": "TimeSeriesDataSource",
+                "metric": {"type": "MetricLiteral", "metric": "sys.cpu.user"},
+                "filterId": "f1",
+            },
+            {"id": "rate", "type": "rate", "interval": "1m", "sources": ["m1"]},
+            {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "2m", "sources": ["rate"]},
+            {"id": "gb", "type": "groupby", "aggregator": "sum", "tagKeys": ["host"], "sources": ["ds"]},
+        ],
+    }
+    q = translate_query(query, now=BASE + 300)
+    assert q.start == BASE and q.end == BASE + 300
+    assert q.interval == 120 and q.ds_agg == "sum" and q.group_tag_keys == ["host"]
+    assert isinstance(q.filter, Chain) and isinstance(q.filter.members[0], MetricLiteral)
+    assert q.rate_options.interval_seconds == 60
+
+    res = run_metric_query(pts, q)
+    vals = {(r["tag_host"], r["bucket_ts"]): r["value"] for r in res.collect()}
+    # per-minute rate is 60 per minute → 1.0/min normalized → value 60/60=60? rate per 1m interval:
+    # delta=60 over dt=60s, dr=dt/60=1 → rate 60; first point NaN.
+    # bucket0 [0,120): points at 0(NaN),60(60) → sum 60; bucket1: 60+60=120; bucket2: 60
+    for host in ("a", "b"):
+        assert_close(vals[(host, BASE)], 60.0)
+        assert_close(vals[(host, BASE + 120)], 120.0)
+        assert_close(vals[(host, BASE + 240)], 60.0)
+
+
+def test_runall_and_relative_time(make_points):
+    pts = make_points([("m", {}, BASE + i, 1.0) for i in range(60)])
+    query = {
+        "start": BASE,
+        "end": BASE + 60,
+        "executionGraph": [
+            {"id": "m1", "type": "TimeSeriesDataSource", "metric": {"type": "MetricLiteral", "metric": "m"}},
+            {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "0all"},
+        ],
+    }
+    q = translate_query(query, now=BASE + 60)
+    assert q.run_all
+    res = run_metric_query(pts, q)
+    rows = res.collect()
+    assert len(rows) == 1
+    assert_close(rows[0]["value"], 60.0)

@@ -1211,7 +1211,7 @@ def filter_explicit_tags(spark, sf_dir):
 @register(
     "semi_join_series_points",
     f"""{ORACLE_PTS}
-SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, round(1e-9 + sum(value), 4) AS sum_value
+SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
 FROM dpts
 WHERE metric = 'purchase' AND CAST(tag_user AS BIGINT) < 5
   AND ts >= {START} AND ts < {END}
@@ -1234,7 +1234,7 @@ def semi_join_series_points(spark, sf_dir):
 
 @register(
     "tpch_simple_filter_agg",
-    """SELECT round(1e-9 + sum(l_extendedprice * l_discount), 2) AS revenue
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
@@ -1323,7 +1323,7 @@ def tpch_anti_join_customers(spark, sf_dir):
          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))) AS cs
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-SELECT id_a, id_b, round(1e-9 + cs, 6) AS cos_sim FROM s WHERE cs >= 0.45""",
+SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM s WHERE cs >= 0.45""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
@@ -1337,7 +1337,7 @@ def dedup_embedding_cosine(spark, sf_dir):
 @register(
     "opentsdb_json_query",
     f"""{ORACLE_PTS}
-SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(1e-9 + max(value), 4) AS max_value
+SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(max(value), 4) AS max_value
 FROM dpts
 WHERE metric = 'purchase' AND tag_user IN ('1', '2', '3')
   AND ts >= {START} AND ts < {END}
@@ -1370,3 +1370,62 @@ def opentsdb_json_query(spark, sf_dir):
     q.fill = "none"
     res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("max_value"))
+
+
+@register(
+    "gb_min_by_k_daily",
+    f"""{ORACLE_PTS},
+per_series AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts, min(value) AS v
+  FROM dpts WHERE metric = 'error' AND ts >= {START} AND ts < {END}
+  GROUP BY 1, 2, 3)
+SELECT tag_k, bucket_ts, round(min(v), 4) AS min_value
+FROM per_series GROUP BY 1, 2""",
+)
+def gb_min_by_k_daily(spark, sf_dir):
+    """G1 — group-by on the k tag with MIN○MIN merge."""
+    q = _mq(
+        start=START, end=END, interval=DAY, ds_agg="min",
+        filter=MetricLiteral("error"), group_tag_keys=["k"], gb_agg="min", fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("tag_k", "bucket_ts", _r(denan(F.col("value")), 4).alias("min_value"))
+
+
+@register(
+    "ev_user_activity",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value,
+       arg_max(event_type, CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id) AS last_type
+FROM events GROUP BY 1""",
+)
+def ev_user_activity(spark, sf_dir):
+    """E5 variant — per-user activity rollup with fetch-last type."""
+    ev = events_seconds(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        _r(F.sum("value"), 4).alias("total_value"),
+        F.max_by("event_type", F.col("ts") * 1000000 + F.col("event_id")).alias("last_type"),
+    )
+
+
+@register("rollup_coarsest_pick", _ds_by_metric_sql(DAY, "sum(value)", "sum_value", 4))
+def rollup_coarsest_pick(spark, sf_dir):
+    """A10 planner — with hourly AND 2-hourly rollups available, a
+    daily query picks the coarsest (7200); result identical to raw
+    (equivalence of the hourly path is oracle-checked separately)."""
+    from opentsdb_aura_spark.operators.rollup import (
+        build_rollup,
+        choose_downsample_source,
+        downsample_from_rollup,
+    )
+
+    pts = points(spark, sf_dir)
+    rollups = {
+        3600: _rollup(spark, sf_dir),
+        7200: build_rollup(pts, 7200, group_cols=("series_id", "metric")),
+    }
+    src, riv = choose_downsample_source(pts, rollups, "sum", DAY, START)
+    assert riv == 7200, f"expected coarsest rollup, got {riv}"
+    res = downsample_from_rollup(src, START, END, DAY, "sum", group_cols=["metric"])
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))

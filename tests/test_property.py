@@ -76,3 +76,46 @@ def test_downsample_matches_python_model(spark, make_points, rows, agg):
             assert math.isnan(g), (k, g, v)
         else:
             assert abs(g - v) < 1e-9, (k, g, v)
+
+
+def rate_python_model(rows, interval_seconds):
+    """Plain-Python rate: NaN passthrough, NaN-skipping lag, first
+    point NaN."""
+    out = {}
+    prev = None  # (ts, value)
+    for off, val in sorted(rows):
+        if math.isnan(val):
+            out[off] = float("nan")
+            continue
+        if prev is None:
+            out[off] = float("nan")
+        else:
+            dt = (off - prev[0]) / interval_seconds
+            out[off] = (val - prev[1]) / dt
+        prev = (off, val)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.dictionaries(
+        st.integers(min_value=0, max_value=200),
+        st.one_of(st.floats(min_value=-50, max_value=50, allow_nan=False), st.just(float("nan"))),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_rate_matches_python_model(spark, make_points, rows):
+    from opentsdb_aura_spark.operators.rate import RateOptions, rate
+
+    items = sorted(rows.items())
+    pts = make_points([("m", {}, BASE + off, val, i) for i, (off, val) in enumerate(items)])
+    res = rate(pts, RateOptions(interval_seconds=60))
+    got = {r["ts"] - BASE: r["value"] for r in res.collect()}
+    want = rate_python_model(items, 60)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        if math.isnan(v):
+            assert math.isnan(got[k]), (k, got[k], v)
+        else:
+            assert abs(got[k] - v) < 1e-9, (k, got[k], v)

@@ -92,3 +92,56 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id bigint, kind string, payload binary, width int, height int, "
+    "sample_rate int, n_frames int, resized binary, out_width int, out_height int"
+)
+
+FRAMES_SCHEMA = "media_id bigint, frame_idx int, frame binary"
+
+
+def resize_images(media: DataFrame, out_width: int, out_height: int, *, fake: bool = True) -> DataFrame:
+    """Resize stub over mapInPandas: real implementation would decode
+    with PIL and re-encode; the fake path derives a deterministic
+    payload so the Arrow plumbing (schema, batch shape, binary I/O)
+    is real and tested."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                pdf["payload"].map(lambda p: _decode_real(p, "image"))  # pragma: no cover
+            # deterministic fake: truncate/pad payload to out_w*out_h/64 bytes
+            target = max(1, out_width * out_height // 64)
+            resized = pdf["payload"].map(lambda b: bytes(b[:target]).ljust(target, b"\0"))
+            out = pdf.copy()
+            out["resized"] = resized
+            out["out_width"] = out_width
+            out["out_height"] = out_height
+            yield out
+
+    return media.where(F.col("kind") == "image").mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 30, *, fake: bool = True) -> DataFrame:
+    """Frame sampling stub for video media: emit every Nth frame as an
+    opaque binary.  One input row fans out to ceil(n_frames/every_n)
+    rows — the mapInPandas iterator shape for 1→many extraction."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                pdf["payload"].map(lambda p: _decode_real(p, "video"))  # pragma: no cover
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                for fi in range(0, int(row["n_frames"]), every_n):
+                    ids.append(row["media_id"])
+                    idxs.append(fi)
+                    # deterministic fake frame: 16-byte slice keyed by index
+                    start = (fi * 7) % max(1, len(payload))
+                    frames.append(payload[start : start + 16].ljust(16, b"\0"))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.where(F.col("kind") == "video").mapInPandas(op, schema=FRAMES_SCHEMA)

@@ -1,0 +1,31 @@
+"""SQL surface: register the engine's tables as temp views so any
+query runs through plain ``spark.sql`` — the Catalyst plans are
+identical to the DataFrame API, so users can pick either.
+
+    from opentsdb_aura_spark.sql import register_views
+    register_views(spark, "/root/testdata/sf0.01")
+    spark.sql("SELECT metric, count(*) FROM metrics GROUP BY 1")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register metrics / series_dim / rollup_3600 / events (+ the raw
+    documents / embeddings tables) as temp views.  Returns the view
+    names."""
+    from opentsdb_aura_spark import catalog as C
+
+    views = {
+        "metrics": C.points(spark, sf_dir),
+        "series_dim": C.series_dim(spark, sf_dir),
+        "events": C.events_seconds(spark, sf_dir),
+        "rollup_3600": C._rollup(spark, sf_dir),
+        "documents": C.docs(spark, sf_dir),
+        "embeddings": C.embs(spark, sf_dir),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)

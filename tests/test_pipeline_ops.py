@@ -143,3 +143,23 @@ def test_embedding_near_dup_pairs(emb_df):
 
     lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb_df, threshold=0.95, use_lsh=True, dim=4).collect()}
     assert (0, 4) in lsh  # identical vectors always collide
+
+
+def test_multimodal_resize_and_frames(doc_df):
+    from opentsdb_aura_spark.operators.multimodal import resize_images, sample_frames
+
+    media = attach_fake_media(doc_df)
+    resized = resize_images(media, 64, 64).collect()
+    assert all(r["out_width"] == 64 and len(r["resized"]) == 64 for r in resized)
+    assert {r["kind"] for r in resized} == {"image"}
+
+    frames = sample_frames(media, every_n=10).collect()
+    assert all(len(r["frame"]) == 16 for r in frames)
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # every video fans out to ceil(n_frames/10) frames at indices 0,10,20…
+    vids = {r["media_id"]: r["n_frames"] for r in media.where("kind = 'video'").collect()}
+    assert set(by_media) == set(vids)
+    for mid, idxs in by_media.items():
+        assert idxs == list(range(0, vids[mid], 10))

@@ -63,3 +63,21 @@ def test_column_pruning(spark):
     m = re.search(r"ReadSchema: (.*)", plan)
     assert m, plan
     assert "tags" not in m.group(1)  # widest column pruned away
+
+
+def test_sql_surface(spark):
+    """Plain spark.sql over the registered views produces the same
+    result as the DataFrame path."""
+    from opentsdb_aura_spark.sql import register_views
+
+    names = register_views(spark, SF)
+    assert {"metrics", "series_dim", "events", "rollup_3600"} <= set(names)
+    sql_res = {
+        r["metric"]: r["n"]
+        for r in spark.sql("SELECT metric, count(*) AS n FROM metrics GROUP BY 1").collect()
+    }
+    df_res = {
+        r["metric"]: r["n"]
+        for r in C.points(spark, SF).groupBy("metric").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()
+    }
+    assert sql_res == df_res and len(sql_res) == 5

@@ -135,7 +135,7 @@ def downsample(
     infectious_nan: bool = False,
     reporting_dps: float | None = None,
     run_all: bool = False,
-    fill: str = "nan",  # "nan" | "none"
+    fill: str = "nan",  # "nan" | "zero" | "null" | "none"
     value_col: str = "value",
     ts_col: str = "ts",
 ) -> DataFrame:
@@ -193,8 +193,8 @@ def downsample(
         value = F.when(F.col("_has_nan"), NAN()).otherwise(value)
     result = grouped.select(*group_cols, "bucket_ts", value.alias("value"))
 
-    if fill == "nan":
-        result = fill_spine(result, points, start, end, interval, group_cols)
+    if fill != "none":
+        result = fill_spine(result, points, start, end, interval, group_cols, fill=fill)
     return result
 
 
@@ -205,9 +205,12 @@ def fill_spine(
     end: int,
     interval: int,
     group_cols: Sequence[str],
+    fill: str = "nan",
 ) -> DataFrame:
     """Dense interval spine (A8): every (group, bucket) in
-    [start, end) surfaces a row; missing buckets carry NaN.
+    [start, end) surfaces a row; missing buckets carry the fill value
+    — NaN (reference default), 0 (the rollup count fill,
+    GorillaDownSampledTimeSeriesEncoder.java:171), or NULL.
 
     The spine is |groups| × |buckets| — identical to the reference's
     dense per-series output arrays, so it is not a scale hazard: it is
@@ -216,6 +219,11 @@ def fill_spine(
     the preceding aggregation already partitioned by).
     """
     group_cols = list(group_cols)
+    fill_value = {
+        "nan": NAN(),
+        "zero": F.lit(0.0),
+        "null": F.lit(None).cast("double"),
+    }[fill]
     n_buckets = max(0, -(-(int(end) - int(start)) // int(interval)))  # ceil
     if not group_cols:
         spark = result.sparkSession
@@ -237,4 +245,4 @@ def fill_spine(
             (F.lit(int(start)) + F.col("_i") * F.lit(int(interval))).cast("long").alias("bucket_ts"),
         )
         joined = spine.join(result, on=[*group_cols, "bucket_ts"], how="left")
-    return joined.withColumn("value", F.coalesce(F.col("value"), NAN()))
+    return joined.withColumn("value", F.coalesce(F.col("value"), fill_value))

@@ -64,8 +64,8 @@ class MetricQuery:
             raise ValueError(f"downsample interval must be positive, got {self.interval}")
         if self.segment_width <= 0:
             raise ValueError(f"segment width must be positive, got {self.segment_width}")
-        if self.fill not in ("nan", "none"):
-            raise ValueError(f"fill must be 'nan' or 'none', got {self.fill!r}")
+        if self.fill not in ("nan", "zero", "null", "none"):
+            raise ValueError(f"fill must be one of nan/zero/null/none, got {self.fill!r}")
 
 
 def run_metric_query(points: DataFrame, q: MetricQuery, *, dedupe: bool = True) -> DataFrame:
@@ -123,11 +123,11 @@ def run_metric_query(points: DataFrame, q: MetricQuery, *, dedupe: bool = True) 
             group_cols=group_keys,
             infectious_nan=q.infectious_nan,
         )
-        if q.fill == "nan":
+        if q.fill != "none":
             from opentsdb_aura_spark.operators.downsample import fill_spine
 
             interval = (q.end - q.start) if (q.run_all or q.interval is None) else q.interval
-            merged = fill_spine(merged, df, q.start, q.end, interval, group_keys)
+            merged = fill_spine(merged, df, q.start, q.end, interval, group_keys, fill=q.fill)
         return merged
 
     # raw per-series result (G4)

@@ -51,4 +51,4 @@ def test_metric_query_validation():
     with pytest.raises(ValueError, match="interval must be positive"):
         MetricQuery(start=0, end=100, interval=0)
     with pytest.raises(ValueError, match="fill"):
-        MetricQuery(start=0, end=100, fill="zero")
+        MetricQuery(start=0, end=100, fill="bogus")

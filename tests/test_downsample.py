@@ -116,3 +116,13 @@ def test_custom_aggregator_registry(make_points):
     pts = make_points([("m", {}, BASE + i, v) for i, v in enumerate([2.0, 8.0])])
     res = downsample(pts, BASE, BASE + 60, 60, "gmean")
     assert_close(rows_by(res, "bucket_ts")[BASE], 4.0)
+
+
+def test_fill_policies(make_points):
+    """A8 — spine fill policies: NaN (default), zero, null."""
+    pts = make_points([("m", {}, BASE + off, 2.0) for off in (0, 120)])
+    for fill, want_mid in [("nan", float("nan")), ("zero", 0.0), ("null", None)]:
+        res = downsample(pts, BASE, BASE + 180, 60, "sum", fill=fill)
+        vals = rows_by(res, "bucket_ts")
+        assert len(vals) == 3
+        assert_close(vals[BASE + 60], want_mid)

@@ -128,6 +128,10 @@ def rate(
     new_value = (
         F.when(F.isnan(v), v)  # NaN passes through untouched
         .when(F.col("_prev_v").isNull(), NAN())  # first point → NaN
+        # dt == 0 cannot happen after dedupe (ts unique per series);
+        # guard anyway so undeduped input yields NaN, not an ANSI
+        # divide-by-zero error
+        .when(ts == F.col("_prev_ts"), NAN())
         .otherwise(rate_expr)
     )
     out = df.withColumn(value_col, new_value.cast("double"))

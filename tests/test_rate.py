@@ -95,3 +95,14 @@ def test_per_series_isolation(make_points):
     by_series = {(r["tags"]["h"], r["ts"]): r["value"] for r in out.collect()}
     assert_close(by_series[("a", BASE + 10)], 2.0)
     assert math.isnan(by_series[("b", BASE + 5)])  # other series' first point
+
+
+def test_duplicate_ts_without_dedupe_yields_nan(make_points):
+    """Undeduped duplicate timestamps: dt=0 must give NaN, not an
+    ANSI divide-by-zero error."""
+    pts = make_points([("m", {}, BASE, 1.0, 0), ("m", {}, BASE, 2.0, 1), ("m", {}, BASE + 10, 3.0, 2)])
+    out = rate(pts, RateOptions(interval_seconds=1)).collect()
+    vals = [r["value"] for r in sorted(out, key=lambda r: (r["ts"], r["ingest_seq"]))]
+    assert math.isnan(vals[0])
+    assert math.isnan(vals[1])  # dt=0 → NaN
+    assert not math.isnan(vals[2])

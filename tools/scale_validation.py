@@ -1,0 +1,116 @@
+"""Scale validation: build a reference-shaped store (24 h of data,
+2 h segments, ~200k series, one deliberately skewed hot series) at
+~50 M points and run the flagship query shapes against it.
+
+This is the 100×-the-test-data check: partition pruning, the
+series_id shuffle, AQE skew handling, and the spine all at a scale
+where a wrong plan would be minutes, not milliseconds.
+
+Usage: python tools/scale_validation.py [n_million=50]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = 1704067200  # segment-aligned
+
+
+def main() -> None:
+    n = int(float(sys.argv[1] if len(sys.argv) > 1 else 50) * 1_000_000)
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark import get_spark
+    from opentsdb_aura_spark.filters import MetricLiteral, TagLiteralOr, Chain
+    from opentsdb_aura_spark.model import normalize_points
+    from opentsdb_aura_spark.operators.rate import RateOptions
+    from opentsdb_aura_spark.plans.query import MetricQuery, run_metric_query
+    from opentsdb_aura_spark.sources.batch import write_metrics_store
+
+    spark = get_spark("scale_validation")
+    out = tempfile.mkdtemp(prefix="scale_store_")
+    timings: dict[str, float] = {}
+
+    try:
+        # ---- build: 24 h, 200k series (20 metrics × 5k hosts × 2 dc),
+        # 10% of rows funneled into ONE hot series (skew)
+        t0 = time.perf_counter()
+        hot = F.col("id") % 10 == 0
+        raw = spark.range(n).select(
+            F.lit("bench").alias("namespace"),
+            F.when(hot, F.lit("metric_0")).otherwise(
+                F.concat(F.lit("metric_"), (F.col("id") % 20).cast("string"))
+            ).alias("metric"),
+            F.map_from_arrays(
+                F.array(F.lit("host"), F.lit("dc")),
+                F.array(
+                    F.when(hot, F.lit("h0")).otherwise(
+                        F.concat(F.lit("h"), (F.col("id") % 5000).cast("string"))
+                    ),
+                    F.element_at(F.array(F.lit("east"), F.lit("west")), (F.col("id") % 2 + 1).cast("int")),
+                ),
+            ).alias("tags"),
+            (F.lit(BASE) + (F.col("id") % 86400)).cast("long").alias("ts"),
+            (F.rand(seed=7) * 100).alias("value"),
+            F.col("id").alias("ingest_seq"),
+        )
+        # ingest without dedupe (points are unique by construction) —
+        # measures the write path at volume
+        pts = normalize_points(raw, width=7200)
+        write_metrics_store(pts, f"{out}/metrics", reshuffle=False)
+        timings["ingest_sec"] = round(time.perf_counter() - t0, 1)
+        timings["ingest_pts_per_sec"] = round(n / timings["ingest_sec"])
+
+        store = spark.read.parquet(f"{out}/metrics")
+
+        def bench(name, df):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+        # 1. pruned 2 h window, per-series 1 m downsample (hot-path read)
+        q1 = MetricQuery(
+            start=BASE + 43200, end=BASE + 50400, interval=60, ds_agg="sum",
+            filter=MetricLiteral("metric_7"), fill="none",
+        )
+        bench("q_pruned_2h_per_series_1m", run_metric_query(store, q1, dedupe=False))
+
+        # 2. full 24 h: rate → 5 m downsample → group-by dc (incl. the
+        # skewed series; AQE skew-join/agg handling)
+        q2 = MetricQuery(
+            start=BASE, end=BASE + 86400, interval=300, ds_agg="avg",
+            filter=Chain("AND", [MetricLiteral("metric_0")]),
+            rate_options=RateOptions(interval_seconds=60),
+            group_tag_keys=["dc"], gb_agg="sum", fill="none",
+        )
+        bench("q_24h_rate_ds_groupby_skewed", run_metric_query(store, q2, dedupe=False))
+
+        # 3. group-all daily sum over everything (full-scan aggregate)
+        q3 = MetricQuery(
+            start=BASE, end=BASE + 86400, interval=3600, ds_agg="sum",
+            group_tag_keys=[], gb_agg="sum", fill="nan",
+        )
+        bench("q_24h_hourly_group_all", run_metric_query(store, q3, dedupe=False))
+
+        # 4. meta: distinct-series cardinality (HLL)
+        t0 = time.perf_counter()
+        card = store.agg(F.approx_count_distinct("series_id").alias("c")).collect()[0]["c"]
+        timings["q_cardinality_hll"] = round(time.perf_counter() - t0, 2)
+        timings["approx_series"] = int(card)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    timings["input_points"] = n
+    print(json.dumps({"metric": "scale_validation", "unit": "sec", **timings}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1429,3 +1429,115 @@ def rollup_coarsest_pick(spark, sf_dir):
     assert riv == 7200, f"expected coarsest rollup, got {riv}"
     res = downsample_from_rollup(src, START, END, DAY, "sum", group_cols=["metric"])
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
+# ===================================================== expressions (§2.8 / 3.x graph)
+
+
+@register(
+    "expr_ratio_purchase_total_daily",
+    f"""{ORACLE_PTS},
+days AS (SELECT unnest(generate_series({START}, {END - 1}, {DAY})) AS bucket_ts),
+p AS (SELECT {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+      FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END} GROUP BY 1),
+t AS (SELECT {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+      FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1)
+SELECT d.bucket_ts, round(p.v / nullif(t.v, 0) * 100, 6) AS pct_value
+FROM days d LEFT JOIN p ON p.bucket_ts = d.bucket_ts
+            LEFT JOIN t ON t.bucket_ts = d.bucket_ts""",
+)
+def expr_ratio_purchase_total_daily(spark, sf_dir):
+    """Expression node via the FULL JSON graph runner: daily purchase
+    share of total, ``p / t * 100`` over two group-all branches with
+    the dense NaN spine (missing day → NULL)."""
+    from opentsdb_aura_spark.plans.opentsdb_json import run_semantic_graph
+
+    graph = {
+        "start": START,
+        "end": END,
+        "executionGraph": [
+            {"id": "p_src", "type": "TimeSeriesDataSource",
+             "metric": {"type": "MetricLiteral", "metric": "purchase"}},
+            {"id": "t_src", "type": "TimeSeriesDataSource"},
+            {"id": "p_ds", "type": "downsample", "aggregator": "sum", "interval": "1d", "sources": ["p_src"]},
+            {"id": "t_ds", "type": "downsample", "aggregator": "sum", "interval": "1d", "sources": ["t_src"]},
+            {"id": "p", "type": "groupby", "tagKeys": [], "aggregator": "sum", "sources": ["p_ds"]},
+            {"id": "t", "type": "groupby", "tagKeys": [], "aggregator": "sum", "sources": ["t_ds"]},
+            {"id": "ratio", "type": "expression", "expression": "p / t * 100", "sources": ["p", "t"]},
+        ],
+    }
+    res = run_semantic_graph(points(spark, sf_dir), graph, segment_width=EVENT_STORE_SEGMENT_WIDTH)
+    return res.select("bucket_ts", _r(denan(F.col("value")), 6).alias("pct_value"))
+
+
+@register(
+    "expr_diff_by_user_daily",
+    f"""{ORACLE_PTS},
+p AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+      FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END} GROUP BY 1, 2),
+s AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+      FROM dpts WHERE metric = 'signup' AND ts >= {START} AND ts < {END} GROUP BY 1, 2)
+SELECT COALESCE(p.tag_user, s.tag_user) AS tag_user,
+       COALESCE(p.bucket_ts, s.bucket_ts) AS bucket_ts,
+       round(p.v - s.v, 4) AS diff_value
+FROM p FULL JOIN s ON p.tag_user = s.tag_user AND p.bucket_ts = s.bucket_ts""",
+)
+def expr_diff_by_user_daily(spark, sf_dir):
+    """Expression over two per-user branches, NATURAL_OUTER join:
+    purchase − signup; a user-day present on one side only → NaN
+    (surfaced as NULL)."""
+    from opentsdb_aura_spark.operators.expression import evaluate_expression
+
+    pts = points(spark, sf_dir)
+
+    def branch(metric):
+        q = _mq(start=START, end=END, interval=DAY, ds_agg="sum",
+                filter=MetricLiteral(metric), group_tag_keys=["user"], gb_agg="sum", fill="none")
+        return run_metric_query(pts, q, dedupe=False)
+
+    res = evaluate_expression({"p": branch("purchase"), "s": branch("signup")}, "p - s")
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("diff_value"))
+
+
+@register(
+    "expr_affine_purchase_daily",
+    f"""{ORACLE_PTS}
+SELECT {_bucket_sql(DAY)} AS bucket_ts, round(sum(value) * 2 + 10, 4) AS scaled_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END} GROUP BY 1""",
+)
+def expr_affine_purchase_daily(spark, sf_dir):
+    """Single-source scalar expression: ``p * 2 + 10`` (literal
+    arithmetic folds into the same codegen stage as the aggregation)."""
+    from opentsdb_aura_spark.operators.expression import evaluate_expression
+
+    pts = points(spark, sf_dir)
+    q = _mq(start=START, end=END, interval=DAY, ds_agg="sum",
+            filter=MetricLiteral("purchase"), group_tag_keys=[], gb_agg="sum", fill="none")
+    res = evaluate_expression({"p": run_metric_query(pts, q, dedupe=False)}, "p * 2 + 10")
+    return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("scaled_value"))
+
+
+@register(
+    "summarizer_user_purchase",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END} GROUP BY 1, 2)
+SELECT tag_user, round(avg(v), 6) AS avg_value, round(max(v), 4) AS max_value,
+       CAST(count(v) AS DOUBLE) AS count_value
+FROM agg GROUP BY 1""",
+)
+def summarizer_user_purchase(spark, sf_dir):
+    """Summarizer node: per-user avg/max/count over the daily purchase
+    sums (the graph-footer table)."""
+    from opentsdb_aura_spark.operators.summarizer import summarize
+
+    pts = points(spark, sf_dir)
+    q = _mq(start=START, end=END, interval=DAY, ds_agg="sum",
+            filter=MetricLiteral("purchase"), group_tag_keys=["user"], gb_agg="sum", fill="none")
+    res = summarize(run_metric_query(pts, q, dedupe=False), ["avg", "max", "count"], group_cols=["tag_user"])
+    return res.select(
+        "tag_user",
+        _r(denan(F.col("avg")), 6).alias("avg_value"),
+        _r(denan(F.col("max")), 4).alias("max_value"),
+        F.col("count").alias("count_value"),
+    )

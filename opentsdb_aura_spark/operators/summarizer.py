@@ -1,0 +1,80 @@
+"""Summarizer (OpenTSDB 3.x ``summarizer`` node).
+
+Reduces each output time series to scalar summaries — the node that
+backs "show me the avg/max over the graphed window" table footers.
+Upstream OpenTSDB (``net.opentsdb.query.processor.summarizer``)
+iterates the final per-series interval array and folds it with the
+same NumericAggregator family the reference wires in
+(AuraMetricsNumericArrayIterator.java:182-195 — SURVEY.md §2.11 UD1);
+supported summaries there: avg, sum, count, min, max, first, last.
+
+Spark shape: one hash aggregation over the already-aggregated result
+(group keys only, the bucket_ts axis folds away).  NaN intervals are
+skipped (they mean "no data in this bucket"), matching the upstream
+summarizer's NaN guard; a series with no non-NaN buckets summarizes
+to NaN.  first/last are by bucket_ts order via min_by/max_by.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["SUMMARIES", "summarize"]
+
+SUMMARIES = ("avg", "sum", "count", "min", "max", "first", "last")
+
+
+def NAN() -> Column:
+    return F.lit(float("nan")).cast("double")
+
+
+def summarize(
+    df: DataFrame,
+    summaries: Sequence[str],
+    *,
+    group_cols: Sequence[str] = (),
+    bucket_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(group keys…, bucket_ts, value) → (group keys…, one column per
+    requested summary).  Output columns are named after the summary."""
+    summaries = [s.lower() for s in summaries]
+    bad = [s for s in summaries if s not in SUMMARIES]
+    if bad:
+        raise ValueError(f"unsupported summaries {bad}; one of {SUMMARIES}")
+    group_cols = list(group_cols)
+
+    v = F.col(value_col)
+    masked = F.when(F.isnan(v), F.lit(None).cast("double")).otherwise(v)
+    base = df.withColumn("_v", masked)
+
+    aggs = [
+        F.sum("_v").alias("_sum"),
+        F.count("_v").alias("_cnt"),
+        F.min("_v").alias("_min"),
+        F.max("_v").alias("_max"),
+        # first/last non-NaN bucket by time order
+        F.min_by("_v", F.when(F.col("_v").isNotNull(), F.col(bucket_col))).alias("_first"),
+        F.max_by("_v", F.when(F.col("_v").isNotNull(), F.col(bucket_col))).alias("_last"),
+    ]
+    grouped = base.groupBy(*group_cols).agg(*aggs)
+
+    exprs = {
+        "sum": F.col("_sum"),
+        "avg": F.col("_sum") / F.col("_cnt"),
+        "count": F.col("_cnt").cast("double"),
+        "min": F.col("_min"),
+        "max": F.col("_max"),
+        "first": F.col("_first"),
+        "last": F.col("_last"),
+    }
+    out_cols = []
+    for s in summaries:
+        e = exprs[s]
+        if s != "count":
+            e = F.when(F.col("_cnt") == 0, NAN()).otherwise(e)
+        out_cols.append(e.cast("double").alias(s))
+    return grouped.select(*group_cols, *out_cols)

@@ -106,7 +106,19 @@ def translate_query(query: dict, *, now: int | None = None, segment_width: int |
     end = parse_timestamp(query.get("end", now), now)
 
     filters_by_id = {f["id"]: f["filter"] for f in query.get("filters", [])}
+    return _fold_nodes(query.get("executionGraph", []), filters_by_id, start, end, segment_width)
 
+
+def _fold_nodes(
+    graph_nodes: list[dict],
+    filters_by_id: dict,
+    start: int,
+    end: int,
+    segment_width: int | None,
+) -> MetricQuery:
+    """Fold a set of pipeline nodes (one datasource + its transform
+    nodes) into a single MetricQuery, mirroring the reference's
+    pushdown fold (AuraMetricsSourceFactory.java:120-128)."""
     flt: Filter | None = None
     interval: int | None = None
     ds_agg = "avg"
@@ -117,7 +129,7 @@ def translate_query(query: dict, *, now: int | None = None, segment_width: int |
     gb_agg = "sum"
     shift = 0
 
-    for node in query.get("executionGraph", []):
+    for node in graph_nodes:
         ntype = node.get("type", "").lower()
         if ntype in ("timeseriesdatasource", "datasource"):
             parts = []
@@ -174,3 +186,96 @@ def translate_query(query: dict, *, now: int | None = None, segment_width: int |
     if segment_width is not None:
         kw["segment_width"] = segment_width
     return MetricQuery(**kw)
+
+
+#: node types that fold into a single MetricQuery pipeline
+_PIPELINE_TYPES = {"timeseriesdatasource", "datasource", "downsample", "rate", "groupby", "timeshift"}
+
+
+def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_width: int | None = None):
+    """Execute a FULL query graph — including ``expression`` and
+    ``summarizer`` nodes — against a points DataFrame.
+
+    ``translate_query`` handles the single-pipeline case; this handles
+    DAGs: each expression/summarizer node names its ``sources``, each
+    source branch is a linear pipeline down to a datasource that folds
+    into one MetricQuery, and branch results are combined with the
+    expression/summarizer operators.  Expression variables are node
+    ids (e.g. ``{"id": "e1", "type": "expression", "expression":
+    "m1 / m2 * 100", "sources": ["m1", "m2"]}``), matching the
+    upstream OpenTSDB ExpressionConfig contract.
+
+    Returns the DataFrame of the single sink node.
+    """
+    import time as _time
+
+    from opentsdb_aura_spark.operators.expression import evaluate_expression
+    from opentsdb_aura_spark.operators.summarizer import summarize
+    from opentsdb_aura_spark.plans.query import run_metric_query
+
+    now = int(now if now is not None else _time.time())
+    start = parse_timestamp(query["start"], now)
+    end = parse_timestamp(query.get("end", now), now)
+    filters_by_id = {f["id"]: f["filter"] for f in query.get("filters", [])}
+
+    nodes = list(query.get("executionGraph", []))
+    by_id: dict[str, dict] = {}
+    for i, node in enumerate(nodes):
+        by_id[str(node.get("id", f"_n{i}"))] = node
+
+    referenced = {s for n in nodes for s in n.get("sources", [])}
+    sinks = [nid for nid in by_id if nid not in referenced]
+    if len(sinks) != 1:
+        raise ValueError(f"query graph must have exactly one sink node, found {sorted(sinks)}")
+
+    def collect_chain(nid: str) -> list[dict]:
+        """Walk a linear pipeline from ``nid`` down to its datasource."""
+        chain: list[dict] = []
+        cur: str | None = nid
+        while cur is not None:
+            node = by_id.get(cur)
+            if node is None:
+                raise ValueError(f"unknown node id {cur!r} in graph")
+            ntype = node.get("type", "").lower()
+            if ntype not in _PIPELINE_TYPES:
+                raise ValueError(
+                    f"node {cur!r} of type {node.get('type')!r} cannot appear inside a pipeline branch"
+                )
+            chain.append(node)
+            srcs = node.get("sources", [])
+            if len(srcs) > 1:
+                raise ValueError(f"pipeline node {cur!r} has multiple sources {srcs}")
+            cur = srcs[0] if srcs else None
+        return chain
+
+    memo: dict[str, object] = {}
+
+    def run_node(nid: str):
+        if nid in memo:
+            return memo[nid]
+        node = by_id[nid]
+        ntype = node.get("type", "").lower()
+        if ntype == "expression":
+            expr = node.get("expression") or node.get("expressionConfig", {}).get("expression")
+            if not expr:
+                raise ValueError(f"expression node {nid!r} missing 'expression'")
+            sources = {s: run_node(s) for s in node.get("sources", [])}
+            join_cfg = node.get("join") or {}
+            join_type = str(join_cfg.get("joinType", "NATURAL_OUTER")).lower()
+            df = evaluate_expression(
+                sources,
+                expr,
+                join_type=join_type,
+                substitute_missing=node.get("substituteMissing"),
+            )
+        elif ntype == "summarizer":
+            src = run_node(node["sources"][0])
+            group_cols = [c for c in src.columns if c not in ("bucket_ts", "value")]
+            df = summarize(src, node.get("summaries", ["avg"]), group_cols=group_cols)
+        else:
+            q = _fold_nodes(collect_chain(nid), filters_by_id, start, end, segment_width)
+            df = run_metric_query(points, q)
+        memo[nid] = df
+        return df
+
+    return run_node(sinks[0])

@@ -27,6 +27,18 @@ Implemented as window-function expressions over
 which the downstream per-series downsample reuses.  The window is
 global per series (crosses segment/partition boundaries), fixing the
 reference's own limitation of NaN-ing the first point of each scan.
+
+Scale path (``segment_col``): a per-series window is ONE task per
+series no matter how many points it has — a high-frequency "hot"
+series becomes the straggler of the whole stage.  When the input
+carries the store's ``segment_time`` column the window instead
+partitions by (series, segment) — bounded work per task (the
+reference caps a series-segment at 32,767 points,
+GorillaRawTimeSeriesEncoder.java:132-136) — and the cross-segment
+previous point is recovered from a tiny per-(series, segment)
+last-point table (one row per series-segment, map-side combined)
+lag-joined back.  Results are bit-identical to the global window;
+``run_metric_query`` enables it automatically.
 """
 
 from __future__ import annotations
@@ -72,6 +84,53 @@ def estimate_data_interval(points: DataFrame, group_cols: Sequence[str] = ("seri
     return best
 
 
+def _with_prev_global(df: DataFrame, group_cols: list, value_col: str, ts_col: str) -> DataFrame:
+    """_prev_ts/_prev_v via one window per series (crosses segments)."""
+    v, ts = F.col(value_col), F.col(ts_col)
+    # lag over non-NaN points only: NaNs don't update previous (ts, value)
+    w = Window.partitionBy(*group_cols).orderBy(ts).rowsBetween(Window.unboundedPreceding, -1)
+    prev_ts = F.last(F.when(~F.isnan(v), ts), ignorenulls=True).over(w)
+    prev_v = F.last(F.when(~F.isnan(v), v), ignorenulls=True).over(w)
+    return df.withColumn("_prev_ts", prev_ts).withColumn("_prev_v", prev_v)
+
+
+def _with_prev_segmented(
+    df: DataFrame, group_cols: list, value_col: str, ts_col: str, segment_col: str
+) -> DataFrame:
+    """_prev_ts/_prev_v via per-(series, segment) windows plus a
+    boundary handoff: for each series-segment, the last non-NaN point
+    of the nearest EARLIER segment with data (lag over the tiny
+    per-segment-last table, so multi-segment gaps resolve correctly).
+    """
+    v, ts = F.col(value_col), F.col(ts_col)
+    seg_keys = [*group_cols, segment_col]
+
+    # one row per series-segment (map-side combined before the shuffle)
+    seg_last = (
+        df.where(~F.isnan(v))
+        .groupBy(*seg_keys)
+        .agg(F.max(ts).alias("_bnd_ts0"), F.max_by(v, ts).alias("_bnd_v0"))
+    )
+    w_seg = Window.partitionBy(*group_cols).orderBy(segment_col)
+    boundary = seg_last.select(
+        *seg_keys,
+        F.lag("_bnd_ts0").over(w_seg).alias("_bnd_ts"),
+        F.lag("_bnd_v0").over(w_seg).alias("_bnd_v"),
+    )
+
+    # join partitioning (seg_keys) is exactly the window partitioning,
+    # so the big side shuffles once; AQE broadcasts `boundary` when small
+    out = df.join(boundary, on=seg_keys, how="left")
+    w = Window.partitionBy(*seg_keys).orderBy(ts).rowsBetween(Window.unboundedPreceding, -1)
+    in_seg_ts = F.last(F.when(~F.isnan(v), ts), ignorenulls=True).over(w)
+    in_seg_v = F.last(F.when(~F.isnan(v), v), ignorenulls=True).over(w)
+    return (
+        out.withColumn("_prev_ts", F.coalesce(in_seg_ts, F.col("_bnd_ts")))
+        .withColumn("_prev_v", F.coalesce(in_seg_v, F.col("_bnd_v")))
+        .drop("_bnd_ts", "_bnd_v")
+    )
+
+
 def rate(
     points: DataFrame,
     opts: RateOptions,
@@ -79,9 +138,15 @@ def rate(
     group_cols: Sequence[str] = ("series_id",),
     value_col: str = "value",
     ts_col: str = "ts",
+    segment_col: str | None = None,
 ) -> DataFrame:
     """Replace ``value`` with its rate transform, preserving all other
-    columns.  NaN inputs stay NaN and are invisible to neighbours."""
+    columns.  NaN inputs stay NaN and are invisible to neighbours.
+
+    ``segment_col``: partition the lag window by (series, segment)
+    instead of series alone — identical results, bounded task size
+    (see module docstring).
+    """
     group_cols = list(group_cols)
     v = F.col(value_col)
     ts = F.col(ts_col)
@@ -96,14 +161,10 @@ def rate(
             df = df.join(F.broadcast(est), on=group_cols, how="left")
             data_interval_col = F.col("data_interval").cast("double")
 
-    # lag over non-NaN points only: NaNs don't update previous (ts, value)
-    w = Window.partitionBy(*group_cols).orderBy(ts)
-    non_nan_ts = F.when(~F.isnan(v), ts)
-    non_nan_val = F.when(~F.isnan(v), v)
-    prev_ts = F.last(non_nan_ts, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    prev_v = F.last(non_nan_val, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, -1))
-
-    df = df.withColumn("_prev_ts", prev_ts).withColumn("_prev_v", prev_v)
+    if segment_col is not None and segment_col in df.columns:
+        df = _with_prev_segmented(df, group_cols, value_col, ts_col, segment_col)
+    else:
+        df = _with_prev_global(df, group_cols, value_col, ts_col)
 
     dr = (ts - F.col("_prev_ts")).cast("double") / F.lit(float(opts.interval_seconds))
     delta = v - F.col("_prev_v")

@@ -94,7 +94,11 @@ def run_metric_query(points: DataFrame, q: MetricQuery, *, dedupe: bool = True) 
         df = time_shift(df, shift)
 
     if q.rate_options is not None:
-        df = rate(df, q.rate_options)
+        # segment-parallel lag window when the store's partition column
+        # is present: bounded task size even for hot series (the shift,
+        # if any, moved ts by a constant, so segment order still holds)
+        seg = "segment_time" if "segment_time" in df.columns else None
+        df = rate(df, q.rate_options, segment_col=seg)
 
     group_keys: list[str] | None = None
     if q.group_tag_keys is not None:

@@ -119,3 +119,28 @@ def test_rate_matches_python_model(spark, make_points, rows):
             assert math.isnan(got[k]), (k, got[k], v)
         else:
             assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.dictionaries(
+        st.integers(min_value=0, max_value=300),  # ×80 → spans 4 segments
+        st.one_of(st.floats(min_value=-50, max_value=50, allow_nan=False), st.just(float("nan"))),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_segmented_rate_matches_python_model(spark, make_points, rows):
+    from opentsdb_aura_spark.operators.rate import RateOptions, rate
+
+    items = sorted((off * 80, val) for off, val in rows.items())
+    pts = make_points([("m", {}, BASE + off, val, i) for i, (off, val) in enumerate(items)])
+    res = rate(pts, RateOptions(interval_seconds=60), segment_col="segment_time")
+    got = {r["ts"] - BASE: r["value"] for r in res.collect()}
+    want = rate_python_model(items, 60)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        if math.isnan(v):
+            assert math.isnan(got[k]), (k, got[k], v)
+        else:
+            assert abs(got[k] - v) < 1e-9, (k, got[k], v)

@@ -106,3 +106,72 @@ def test_duplicate_ts_without_dedupe_yields_nan(make_points):
     assert math.isnan(vals[0])
     assert math.isnan(vals[1])  # dt=0 → NaN
     assert not math.isnan(vals[2])
+
+
+# ------------------------------------------------- segment-parallel path
+
+
+def _seg_cases():
+    """Multi-segment fleet: boundary handoff, multi-segment gap, NaNs
+    at segment edges, two series (segments are 7200 s wide)."""
+    rows = []
+    # series a: points straddling 3 segments, incl. a NaN as the last
+    # point of segment 0 (boundary must skip it)
+    rows += [
+        ("m", {"h": "a"}, BASE + 100, 1.0),
+        ("m", {"h": "a"}, BASE + 7000, 5.0),
+        ("m", {"h": "a"}, BASE + 7100, float("nan")),
+        ("m", {"h": "a"}, BASE + 7300, 9.0),  # segment 1: prev = (7000, 5)
+        ("m", {"h": "a"}, BASE + 7200 * 3 + 50, 11.0),  # gap: prev in segment 1
+    ]
+    # series b: single point per segment
+    rows += [("m", {"h": "b"}, BASE + 7200 * i + 10, 10.0 * i) for i in range(4)]
+    # series c: NaN-only first segment
+    rows += [("m", {"h": "c"}, BASE + 20, float("nan")), ("m", {"h": "c"}, BASE + 7200 + 20, 3.0)]
+    return rows
+
+
+def _assert_same(df_global, df_seg):
+    def key(df):
+        out = {}
+        for r in df.collect():
+            out[(r["tags"]["h"], r["ts"])] = r["value"]
+        return out
+
+    g, s = key(df_global), key(df_seg)
+    assert set(g) == set(s)
+    for k in g:
+        if math.isnan(g[k]):
+            assert math.isnan(s[k]), f"{k}: global NaN, segmented {s[k]}"
+        else:
+            assert_close(s[k], g[k])
+
+
+def test_segmented_rate_matches_global(make_points):
+    pts = make_points(_seg_cases())
+    for opts in (
+        RateOptions(interval_seconds=60),
+        RateOptions(delta_only=True),
+        RateOptions(interval_seconds=1, counter=True, counter_max=128.0),
+        RateOptions(interval_seconds=1, counter=True, drop_resets=True),
+    ):
+        _assert_same(rate(pts, opts), rate(pts, opts, segment_col="segment_time"))
+
+
+def test_segmented_rate_boundary_values(make_points):
+    pts = make_points(_seg_cases())
+    out = rate(pts, RateOptions(interval_seconds=1), segment_col="segment_time")
+    got = {(r["tags"]["h"], r["ts"]): r["value"] for r in out.collect()}
+    # segment-1 first point: prev is (7000, 5) — NaN at 7100 skipped
+    assert_close(got[("a", BASE + 7300)], (9.0 - 5.0) / 300.0)
+    # multi-segment gap: prev = (7300, 9) two segments back
+    assert_close(got[("a", BASE + 7200 * 3 + 50)], (11.0 - 9.0) / (7200 * 3 + 50 - 7300))
+    # NaN-only first segment: series c's 2nd point still has no prev
+    assert math.isnan(got[("c", BASE + 7200 + 20)])
+    assert math.isnan(got[("a", BASE + 7100)])  # NaN passes through
+
+
+def test_segmented_rate_missing_column_falls_back(make_points):
+    pts = make_points([("m", {}, BASE, 1.0), ("m", {}, BASE + 10, 2.0)]).drop("segment_time")
+    out = _vals(rate(pts, RateOptions(interval_seconds=1), segment_col="segment_time"))
+    assert_close(out[BASE + 10], 0.1)

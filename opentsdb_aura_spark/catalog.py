@@ -1033,6 +1033,28 @@ def rollup_planner_max(spark, sf_dir):
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("max_value"))
 
 
+@register("splice_mixed_resolution_sum", _ds_by_metric_sql(DAY, "sum(value)", "spliced_sum", 4))
+def splice_mixed_resolution_sum(spark, sf_dir):
+    """U3 × A10 — mixed-resolution splice: the cold half of the range
+    is served from the hourly rollup table, the hot half from raw
+    points, unioned at the daily-bucket grid.  Oracle is the flat
+    raw-point computation, proving tier routing is value-invisible."""
+    from opentsdb_aura_spark.operators.rollup import downsample_spliced
+
+    res = downsample_spliced(
+        points(spark, sf_dir),
+        _rollup(spark, sf_dir),
+        3600,
+        START,
+        END,
+        START + 15 * DAY,
+        DAY,
+        "sum",
+        group_cols=["metric"],
+    )
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("spliced_sum"))
+
+
 # ============================================================ fused pipeline + extras
 
 

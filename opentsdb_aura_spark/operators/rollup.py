@@ -115,6 +115,81 @@ def downsample_from_rollup(
     return grouped.select(*group_cols, "bucket_ts", value.alias("value"))
 
 
+def downsample_spliced(
+    hot_points: DataFrame,
+    rollup: DataFrame,
+    rollup_interval: int,
+    start: int,
+    end: int,
+    boundary: int,
+    interval: int,
+    agg: str,
+    *,
+    group_cols: Sequence[str] = ("series_id",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """U3 × A10 — mixed-resolution hot/cold splice: the cold range
+    ``[start, boundary)`` is served from the pre-aggregated rollup
+    table, the hot range ``[boundary, end)`` from raw points, and the
+    two bucket streams are unioned.  This is the reference's routing of
+    recent time to the in-memory tier and older time to the long-term
+    store's rollup streams, combined
+    (opentsdb/.../execution/AuraMetricsClusterConfig.java routing +
+    AerospikeBatchQueryNode.java:200-224 rollup selection).
+
+    ``boundary`` must lie on the query's bucket grid so no bucket
+    straddles tiers — each bucket is computed entirely from one side,
+    making the union exact (no partial-aggregate merge needed) for
+    every servable aggregator including non-decomposable AVG.
+
+    Output schema matches ``downsample(..., fill='none')``:
+    (group_cols…, bucket_ts, value).  Scale note: both sides keep
+    their own partition pruning (``window_start`` / ``segment_time``)
+    and the union is a no-shuffle concatenation of two independently
+    aggregated streams.
+    """
+    start, end, boundary = int(start), int(end), int(boundary)
+    interval = int(interval)
+    if not start <= boundary <= end:
+        raise ValueError(f"boundary {boundary} outside query range [{start}, {end})")
+    if (boundary - start) % interval != 0:
+        raise ValueError(
+            f"boundary {boundary} not on the bucket grid (start={start}, interval={interval}): "
+            "a bucket would straddle the hot/cold tiers"
+        )
+    if boundary > start and not rollup_supports(agg, interval, rollup_interval, start):
+        raise ValueError(
+            f"cold range not servable from rollup_{rollup_interval} for agg={agg!r}, interval={interval}"
+        )
+    from opentsdb_aura_spark.operators.downsample import downsample
+
+    group_cols = list(group_cols)
+    parts: list[DataFrame] = []
+    if boundary > start:
+        parts.append(
+            downsample_from_rollup(rollup, start, boundary, interval, agg, group_cols=group_cols)
+        )
+    if end > boundary:
+        parts.append(
+            downsample(
+                hot_points,
+                boundary,
+                end,
+                interval,
+                agg,
+                group_cols=group_cols,
+                fill="none",
+                value_col=value_col,
+                ts_col=ts_col,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def choose_downsample_source(
     raw: DataFrame,
     rollups: dict[int, DataFrame],

@@ -1,0 +1,104 @@
+"""A10 rollup substitution + U3×A10 mixed-resolution splice.
+
+Golden invariant throughout: serving a query from pre-aggregates must
+be value-identical to running the same downsample over raw points
+(the reference guarantees this by construction — the rollup stream IS
+the downsample output, AerospikeBatchQueryNode.java:200-224).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import BASE
+
+HOUR = 3600
+DAY = 86400
+
+
+def _mixed_fleet(make_points):
+    """Two metrics × two tag values, gappy, with a NaN point."""
+    rows = []
+    for m in ("cpu", "mem"):
+        for h in ("a", "b"):
+            for i in range(0, 40, 3):  # every 3 h over ~5 days
+                val = float(i) if (m, h, i) != ("cpu", "a", 6) else float("nan")
+                rows.append((m, {"h": h}, BASE + i * HOUR + 17, val))
+    return make_points(rows)
+
+
+def _collect(df):
+    out = {}
+    for r in df.collect():
+        key = tuple(r[c] for c in df.columns if c not in ("value",))
+        out[key] = r["value"]
+    return out
+
+
+def _assert_same(a, b):
+    assert set(a) == set(b)
+    for k, va in a.items():
+        vb = b[k]
+        if isinstance(va, float) and math.isnan(va):
+            assert isinstance(vb, float) and math.isnan(vb), (k, va, vb)
+        else:
+            assert va == pytest.approx(vb, abs=1e-9), (k, va, vb)
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max", "avg", "sumsq"])
+def test_rollup_serves_same_values_as_raw(spark, make_points, agg):
+    from opentsdb_aura_spark.operators.downsample import downsample
+    from opentsdb_aura_spark.operators.rollup import build_rollup, downsample_from_rollup
+
+    pts = _mixed_fleet(make_points)
+    rollup = build_rollup(pts, HOUR, group_cols=("metric",))
+    start, end = BASE, BASE + 2 * DAY
+    direct = downsample(pts, start, end, DAY, agg, group_cols=["metric"], fill="none")
+    served = downsample_from_rollup(rollup, start, end, DAY, agg, group_cols=["metric"])
+    _assert_same(_collect(direct), _collect(served))
+
+
+@pytest.mark.parametrize("agg", ["sum", "avg", "max"])
+def test_spliced_equals_direct_full_range(spark, make_points, agg):
+    from opentsdb_aura_spark.operators.downsample import downsample
+    from opentsdb_aura_spark.operators.rollup import build_rollup, downsample_spliced
+
+    pts = _mixed_fleet(make_points)
+    rollup = build_rollup(pts, HOUR, group_cols=("metric",))
+    start, end = BASE, BASE + 4 * DAY
+    boundary = BASE + 2 * DAY  # on the daily bucket grid
+    direct = downsample(pts, start, end, DAY, agg, group_cols=["metric"], fill="none")
+    spliced = downsample_spliced(
+        pts, rollup, HOUR, start, end, boundary, DAY, agg, group_cols=["metric"]
+    )
+    _assert_same(_collect(direct), _collect(spliced))
+
+
+def test_spliced_degenerate_boundaries(spark, make_points):
+    from opentsdb_aura_spark.operators.downsample import downsample
+    from opentsdb_aura_spark.operators.rollup import build_rollup, downsample_spliced
+
+    pts = _mixed_fleet(make_points)
+    rollup = build_rollup(pts, HOUR, group_cols=("metric",))
+    start, end = BASE, BASE + 2 * DAY
+    direct = _collect(downsample(pts, start, end, DAY, "sum", group_cols=["metric"], fill="none"))
+    all_hot = downsample_spliced(pts, rollup, HOUR, start, end, start, DAY, "sum", group_cols=["metric"])
+    all_cold = downsample_spliced(pts, rollup, HOUR, start, end, end, DAY, "sum", group_cols=["metric"])
+    _assert_same(direct, _collect(all_hot))
+    _assert_same(direct, _collect(all_cold))
+
+
+def test_spliced_rejects_straddling_boundary(spark, make_points):
+    from opentsdb_aura_spark.operators.rollup import build_rollup, downsample_spliced
+
+    pts = _mixed_fleet(make_points)
+    rollup = build_rollup(pts, HOUR, group_cols=("metric",))
+    with pytest.raises(ValueError, match="bucket grid"):
+        downsample_spliced(pts, rollup, HOUR, BASE, BASE + 2 * DAY, BASE + DAY + 1, DAY, "sum")
+    with pytest.raises(ValueError, match="not servable"):
+        # 90-minute buckets don't divide by the hourly rollup grid
+        downsample_spliced(pts, rollup, HOUR, BASE, BASE + DAY, BASE + 5400, 5400, "sum")
+    with pytest.raises(ValueError, match="outside query range"):
+        downsample_spliced(pts, rollup, HOUR, BASE, BASE + DAY, BASE - DAY, DAY, "sum")

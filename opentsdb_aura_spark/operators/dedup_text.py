@@ -140,24 +140,25 @@ def minhash_lsh_candidates(
     O(n²).
     """
     rows_per_band = num_perm // bands
-    # (doc_id, s) pairs are unique (word_shingles is per-doc distinct);
-    # hash once to a long, derive the k permutations from it
+    # ONE pass over the exploded shingles produces BOTH the MinHash
+    # signature (k partial-aggregated mins) and the doc's shingle-hash
+    # set (for verification) — the shingle explode+hash, the expensive
+    # part, runs once and shuffles once.  Shingle identity is the
+    # 64-bit xxhash (collision odds ~n²/2⁶⁴ per doc — noise next to
+    # MinHash's own estimation error).
     shing = docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
     hashed = shing.select("doc_id", F.xxhash64("s").alias("h0"))
     mins = [F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    sig = hashed.groupBy("doc_id").agg(*mins).select(
-        "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
-    )
-    banded = sig.select(
+    per_doc = hashed.groupBy("doc_id").agg(*mins, F.collect_set("h0").alias("sh"))
+
+    banded = per_doc.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("signature")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias(
-                            "bh"
-                        ),
+                        F.xxhash64(*[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
                     )
                     for bi in range(bands)
                 ]
@@ -178,28 +179,16 @@ def minhash_lsh_candidates(
         .distinct()
     )
 
-    # verify with exact jaccard on the candidate set only
-    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # score ONLY the candidate pairs: semi-join each shingle side down
-    # to candidate docs first, then count matching shingles per pair.
-    # This is what makes LSH the scale path — verification cost is
-    # O(candidates × shingles), never O(n²).
-    cand_shing_a = shing.withColumnRenamed("doc_id", "doc_a").join(
-        cand.select("doc_a").distinct(), "doc_a", "left_semi"
-    )
-    cand_shing_b = shing.withColumnRenamed("doc_id", "doc_b").join(
-        cand.select("doc_b").distinct(), "doc_b", "left_semi"
-    )
-    inter = (
-        cand_shing_a.join(cand_shing_b, "s")
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    # verify ONLY the candidate pairs with exact (hashed-shingle)
+    # Jaccard: join the per-doc sets to each side and intersect
+    # JVM-side — O(candidates × shingles), never O(n²), and no second
+    # shingle explode.
+    sets = per_doc.select("doc_id", "sh")
     out = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn("jaccard", F.col("inter") / (F.size("sha") + F.size("shb") - F.col("inter")))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -68,7 +68,26 @@ class MetricQuery:
             raise ValueError(f"fill must be one of nan/zero/null/none, got {self.fill!r}")
 
 
-def run_metric_query(points: DataFrame, q: MetricQuery, *, dedupe: bool = True) -> DataFrame:
+#: (ds_agg, gb_agg) pairs whose two-stage downsample→group-merge
+#: composes into ONE aggregation over (group keys, bucket): the
+#: element-wise group combine of per-series partials equals the flat
+#: aggregate of all points.  Saves a full shuffle on the most common
+#: query shape (one hash-agg by (keys, bucket) instead of
+#: (series, bucket) then (keys, bucket)).  Infectious-NaN composes
+#: too: any NaN point ⇒ its series-interval is NaN ⇒ the group
+#: interval is NaN — identical either way.  avg/last do NOT fuse
+#: (group avg-of-avgs ≠ flat avg).
+_FUSABLE_DS_GB: dict[tuple[str, str], str] = {
+    ("sum", "sum"): "sum",
+    ("count", "sum"): "count",
+    ("min", "min"): "min",
+    ("max", "max"): "max",
+}
+
+
+def run_metric_query(
+    points: DataFrame, q: MetricQuery, *, dedupe: bool = True, fuse_group_agg: bool = True
+) -> DataFrame:
     """Execute a MetricQuery over a normalized points DataFrame.
 
     Returns (group keys | series_id, bucket_ts, value) with the dense
@@ -106,6 +125,28 @@ def run_metric_query(points: DataFrame, q: MetricQuery, *, dedupe: bool = True) 
         df = with_group_keys(df, q.group_tag_keys)
 
     if q.group_tag_keys is not None:
+        from opentsdb_aura_spark.operators.downsample import normalize_agg
+        from opentsdb_aura_spark.operators.groupby import _ALIASES
+
+        fused = _FUSABLE_DS_GB.get(
+            (normalize_agg(q.ds_agg), _ALIASES.get(q.gb_agg.lower(), q.gb_agg.lower()))
+        )
+        if fuse_group_agg and fused is not None:
+            # single-shot: one hash aggregation by (group keys, bucket)
+            # replaces per-series downsample + group merge (SURVEY §2.3b
+            # G1 "one shot" note) — same values, one fewer shuffle
+            return downsample(
+                df,
+                q.start,
+                q.end,
+                q.interval,
+                fused,
+                group_cols=group_keys,
+                infectious_nan=q.infectious_nan,
+                reporting_dps=q.reporting_dps,
+                run_all=q.run_all,
+                fill=q.fill,
+            )
         # two-stage: per-series downsample (sparse), then group merge,
         # then the NaN spine once at group granularity — cheaper than
         # densifying every series first.

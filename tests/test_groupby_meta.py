@@ -111,3 +111,98 @@ def test_last_value_in_series_dim(make_points):
     assert row["last_ts"] == BASE + 60
     assert_close(row["last_value"], 7.0)  # last write wins on the dupe
     assert row["first_seen"] == BASE
+
+
+# ------------------------------------------- fused ds+gb fast path
+
+
+def _gnarly_fleet(make_points):
+    """NaNs, gaps, a missing grouped tag, uneven series lengths."""
+    rows = []
+    fleet = [("a", "e"), ("b", "e"), ("c", "w"), ("d", None)]
+    for i, (host, dc) in enumerate(fleet):
+        tags = {"host": host} if dc is None else {"host": host, "dc": dc}
+        for m in range(6):
+            if (i, m) in {(0, 2), (2, 4)}:
+                continue  # gaps
+            val = NAN if (i, m) in {(1, 1), (3, 3), (0, 4), (2, 1)} else float(i * 10 + m)
+            rows.append(("cpu", tags, BASE + 60 * m + 7 * i, val))
+    return make_points(rows)
+
+
+def _vals(df):
+    out = {}
+    for r in df.collect():
+        out[(r["tag_dc"], r["bucket_ts"])] = r["value"]
+    return out
+
+
+def test_fused_group_agg_matches_two_stage(make_points):
+    """(sum,sum) / (count,sum) / (min,min) / (max,max), with and
+    without infectious NaN, must be value-identical between the
+    single-shot and the per-series-then-merge plans."""
+    pts = _gnarly_fleet(make_points)
+    for ds_agg, gb_agg in [("sum", "sum"), ("count", "sum"), ("min", "min"), ("max", "max"),
+                           ("zimsum", "zimsum"), ("mimmax", "mimmax")]:
+        for infectious in (False, True):
+            q = MetricQuery(
+                start=BASE, end=BASE + 360, interval=120, ds_agg=ds_agg,
+                group_tag_keys=["dc"], gb_agg=gb_agg, infectious_nan=infectious,
+            )
+            fused = _vals(run_metric_query(pts, q))
+            twostage = _vals(run_metric_query(pts, q, fuse_group_agg=False))
+            assert set(fused) == set(twostage), (ds_agg, gb_agg, infectious)
+            for k, v in twostage.items():
+                got = fused[k]
+                if isinstance(v, float) and math.isnan(v):
+                    assert math.isnan(got), (ds_agg, gb_agg, infectious, k, got, v)
+                else:
+                    assert_close(got, v)
+
+
+def test_fused_group_agg_with_rate_and_shift(make_points):
+    pts = _gnarly_fleet(make_points)
+    from opentsdb_aura_spark.operators.rate import RateOptions
+
+    q = MetricQuery(
+        start=BASE + 60, end=BASE + 360, interval=60, ds_agg="sum",
+        group_tag_keys=["dc"], gb_agg="sum", shift_seconds=60,
+        rate_options=RateOptions(interval_seconds=60),
+    )
+    fused = _vals(run_metric_query(pts, q))
+    twostage = _vals(run_metric_query(pts, q, fuse_group_agg=False))
+    assert set(fused) == set(twostage)
+    for k, v in twostage.items():
+        got = fused[k]
+        if isinstance(v, float) and math.isnan(v):
+            assert math.isnan(got)
+        else:
+            assert_close(got, v)
+
+
+def test_fused_group_agg_saves_a_shuffle(make_points):
+    pts = _fleet(make_points)
+    q = MetricQuery(start=BASE, end=BASE + 240, interval=60, ds_agg="sum",
+                    group_tag_keys=["dc"], gb_agg="sum", fill="none")
+    def exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    fused = exchanges(run_metric_query(pts, q))
+    twostage = exchanges(run_metric_query(pts, q, fuse_group_agg=False))
+    assert fused < twostage, (fused, twostage)
+
+
+def test_unfusable_combo_goes_two_stage(make_points):
+    """avg must NOT fuse (group avg-of-avgs != flat avg): verify the
+    default plan equals the explicit two-stage result."""
+    pts = _gnarly_fleet(make_points)
+    q = MetricQuery(start=BASE, end=BASE + 360, interval=120, ds_agg="avg",
+                    group_tag_keys=["dc"], gb_agg="avg")
+    a = _vals(run_metric_query(pts, q))
+    b = _vals(run_metric_query(pts, q, fuse_group_agg=False))
+    assert set(a) == set(b)
+    for k, v in b.items():
+        got = a[k]
+        if isinstance(v, float) and math.isnan(v):
+            assert math.isnan(got)
+        else:
+            assert_close(got, v)

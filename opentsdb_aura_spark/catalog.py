@@ -1019,6 +1019,17 @@ def rollup_avg_daily(spark, sf_dir):
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("rollup_avg"))
 
 
+@register("rollup_stddev_daily", _ds_by_metric_sql(DAY, "stddev_samp(value)", "rollup_stddev", 4))
+def rollup_stddev_daily(spark, sf_dir):
+    """A11's purpose — sample stddev derived from the stored
+    sum/count/sumsq chain ((Σv² − (Σv)²/n)/(n−1)); oracle is the flat
+    raw-point stddev_samp."""
+    from opentsdb_aura_spark.operators.rollup import downsample_from_rollup
+
+    res = downsample_from_rollup(_rollup(spark, sf_dir), START, END, DAY, "stddev", group_cols=["metric"])
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("rollup_stddev"))
+
+
 @register("rollup_planner_max", _ds_by_metric_sql(DAY, "max(value)", "max_value", 4))
 def rollup_planner_max(spark, sf_dir):
     """A10 planner rule: choose_downsample_source picks the hourly
@@ -1053,6 +1064,31 @@ def splice_mixed_resolution_sum(spark, sf_dir):
         group_cols=["metric"],
     )
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("spliced_sum"))
+
+
+@register(
+    "topn_metrics_by_sum",
+    f"""{ORACLE_PTS},
+daily AS (
+  SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS sv
+  FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2
+),
+top3 AS (
+  SELECT metric FROM daily GROUP BY metric
+  ORDER BY sum(sv) DESC, metric LIMIT 3
+)
+SELECT d.metric, d.bucket_ts, round(d.sv, 4) AS sum_value
+FROM daily d JOIN top3 USING (metric)""",
+)
+def topn_metrics_by_sum(spark, sf_dir):
+    """topn node (OpenTSDB 3.x upstream): rank series by the SUM
+    summary of their daily values, keep the top 3, return their full
+    interval rows."""
+    from opentsdb_aura_spark.operators.summarizer import topn
+
+    daily = downsample(points(spark, sf_dir), START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    keep = topn(daily, 3, "sum", group_cols=["metric"])
+    return keep.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
 # ============================================================ fused pipeline + extras

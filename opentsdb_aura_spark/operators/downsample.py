@@ -53,6 +53,7 @@ SUPPORTED_AGGS = {
     "last",
     "median",
     "stddev",
+    "var",
     "sumsq",
     "p50",
     "p75",
@@ -114,7 +115,10 @@ def _final_value(agg: str, reporting_dps: float | None) -> Column:
     if agg == "median":
         return F.col("_median")
     if agg == "stddev":
-        return F.col("_stddev")
+        # n=1 → NaN (not the SQL NULL), matching the rollup-served path
+        return F.coalesce(F.col("_stddev"), NAN())
+    if agg == "var":
+        return F.coalesce(F.col("_var"), NAN())
     if agg == "sumsq":
         return F.col("_sumsq")
     if agg in CUSTOM_AGGS:
@@ -174,6 +178,8 @@ def downsample(
         aggs.append(F.expr("median(_v)").alias("_median"))
     if agg == "stddev":
         aggs.append(F.stddev_samp("_v").alias("_stddev"))
+    if agg == "var":
+        aggs.append(F.var_samp("_v").alias("_var"))
     if agg == "sumsq":
         aggs.append(F.sum(F.col("_v") * F.col("_v")).alias("_sumsq"))
     if agg.startswith("p") and agg not in ("p50",):  # exact percentile

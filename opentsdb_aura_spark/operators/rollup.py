@@ -32,8 +32,10 @@ def NAN() -> Column:
     return F.lit(float("nan")).cast("double")
 
 
-#: aggregators answerable from the stored chain (avg via sum/count)
-ROLLUP_SERVABLE = {"sum", "count", "min", "max", "avg", "sumsq"}
+#: aggregators answerable from the stored chain (avg via sum/count;
+#: variance/stddev via sum/count/sumsq — the downstream use the
+#: reference stores sumofsquare FOR, SumOfSquareAggregator.java:20-40)
+ROLLUP_SERVABLE = {"sum", "count", "min", "max", "avg", "sumsq", "var", "stddev"}
 
 
 def build_rollup(
@@ -103,6 +105,11 @@ def downsample_from_rollup(
         F.max("max").alias("_max"),
         F.sum("sumsq").alias("_sumsq"),
     )
+    # sample variance from the chain: (Σv² − (Σv)²/n) / (n−1)
+    var = (F.col("_sumsq") - F.col("_sum") * F.col("_sum") / F.col("_cnt")) / (F.col("_cnt") - 1)
+    # clamp tiny negative fp residue so stddev never goes NaN on
+    # near-constant data
+    var = F.greatest(var, F.lit(0.0))
     value = {
         "sum": F.col("_sum"),
         "count": F.col("_cnt").cast("double"),
@@ -110,7 +117,11 @@ def downsample_from_rollup(
         "max": F.col("_max"),
         "avg": F.col("_sum") / F.col("_cnt"),
         "sumsq": F.col("_sumsq"),
+        "var": var,
+        "stddev": F.sqrt(var),
     }[agg]
+    if agg in ("var", "stddev"):
+        value = F.when(F.col("_cnt") < 2, NAN()).otherwise(value)
     value = F.when(F.col("_cnt") == 0, NAN()).otherwise(value)
     return grouped.select(*group_cols, "bucket_ts", value.alias("value"))
 

@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["SUMMARIES", "summarize"]
+__all__ = ["SUMMARIES", "summarize", "topn"]
 
 SUMMARIES = ("avg", "sum", "count", "min", "max", "first", "last")
 
@@ -78,3 +78,41 @@ def summarize(
             e = F.when(F.col("_cnt") == 0, NAN()).otherwise(e)
         out_cols.append(e.cast("double").alias(s))
     return grouped.select(*group_cols, *out_cols)
+
+
+def topn(
+    df: DataFrame,
+    k: int,
+    summary: str = "avg",
+    *,
+    top: bool = True,
+    group_cols: Sequence[str] = ("series_id",),
+    bucket_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """OpenTSDB 3.x ``topn`` node (upstream of the reference — the
+    survey notes the metric path has no in-repo top-k, SURVEY.md §2.5):
+    rank output series by a scalar summary of their interval values,
+    keep the top (bottom, with ``top=False``) ``k``, and return the
+    surviving series' full interval rows.
+
+    Scale shape: the ranking input is one row per series (the
+    summarize() output), so the global order-by-limit is a
+    TakeOrderedAndProject over |series| rows — no full sort shuffle —
+    and the k winners broadcast back as a semi-join.  Ties break by
+    group key for determinism; NaN summaries (series with no data)
+    never win.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    group_cols = list(group_cols)
+    ranked = summarize(df, [summary], group_cols=group_cols, bucket_col=bucket_col, value_col=value_col)
+    s = F.col(summary)
+    order = s.desc() if top else s.asc()
+    winners = (
+        ranked.where(~F.isnan(s))
+        .orderBy(order, *group_cols)
+        .limit(int(k))
+        .select(*group_cols)
+    )
+    return df.join(F.broadcast(winners), group_cols, "left_semi")

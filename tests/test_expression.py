@@ -132,6 +132,36 @@ def test_summarize_all_nan_group_is_nan(spark):
     assert_close(got["count"], 0.0)
 
 
+def test_topn_keeps_k_best_series(spark):
+    from opentsdb_aura_spark.operators.summarizer import topn
+
+    df = _series(
+        spark,
+        [
+            ("a", BASE, 1.0), ("a", BASE + 60, 1.0),
+            ("b", BASE, 5.0), ("b", BASE + 60, 5.0),
+            ("c", BASE, 3.0), ("c", BASE + 60, float("nan")),
+            ("d", BASE, float("nan")),  # no data: never wins
+        ],
+    )
+    keep = topn(df, 2, "sum", group_cols=["tag_h"])
+    assert {r["tag_h"] for r in keep.collect()} == {"b", "c"}  # sums 10, 3
+    # full interval rows survive, including the NaN bucket
+    assert keep.where("tag_h = 'c'").count() == 2
+    bottom = topn(df, 1, "sum", top=False, group_cols=["tag_h"])
+    assert {r["tag_h"] for r in bottom.collect()} == {"a"}
+    with pytest.raises(ValueError, match="positive"):
+        topn(df, 0, "sum", group_cols=["tag_h"])
+
+
+def test_topn_tie_breaks_by_group_key(spark):
+    from opentsdb_aura_spark.operators.summarizer import topn
+
+    df = _series(spark, [("x", BASE, 2.0), ("y", BASE, 2.0), ("z", BASE, 2.0)])
+    keep = topn(df, 2, "sum", group_cols=["tag_h"])
+    assert {r["tag_h"] for r in keep.collect()} == {"x", "y"}
+
+
 # ------------------------------------------------------- graph execution
 
 

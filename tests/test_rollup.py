@@ -47,7 +47,7 @@ def _assert_same(a, b):
             assert va == pytest.approx(vb, abs=1e-9), (k, va, vb)
 
 
-@pytest.mark.parametrize("agg", ["sum", "count", "min", "max", "avg", "sumsq"])
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max", "avg", "sumsq", "stddev", "var"])
 def test_rollup_serves_same_values_as_raw(spark, make_points, agg):
     from opentsdb_aura_spark.operators.downsample import downsample
     from opentsdb_aura_spark.operators.rollup import build_rollup, downsample_from_rollup

@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "rate_purchase",
     "fused_rate_ds_gb",
     "rollup_sum_daily",
+    "splice_mixed_resolution_sum",
+    "topn_metrics_by_sum",
     "gb_sum_by_user_daily",
     "gb_avg_by_user_daily",
     "gb_two_keys_daily",

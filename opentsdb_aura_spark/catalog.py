@@ -885,6 +885,19 @@ def ann_lsh_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
 
 
+@register("ann_ivf_topk", _ANN_ORACLE)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) cosine top-5: sampled spherical-k-means
+    lists, Arrow-batched centroid assignment, nprobe probing.  Probing
+    ALL lists here makes it exhaustive, so the exact-ANN oracle
+    applies; production sets nprobe ≪ n_centroids."""
+    from opentsdb_aura_spark.operators.similarity import ivf_topk
+
+    e = embs(spark, sf_dir)
+    res = ivf_topk(e, e.where(F.col("vec_id") < 20), k=5, n_centroids=8, nprobe=8)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+
 # ============================================================ text analysis
 
 

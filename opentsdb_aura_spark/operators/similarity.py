@@ -13,6 +13,7 @@ the corpus scan stays shuffle-free and embarrassingly parallel.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — must be module-level so pandas_udf can resolve postponed type hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -118,6 +119,111 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn("cos_sim", cosine(F.col("q_v"), F.col("n_v")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def _spherical_kmeans(sample_vecs, k: int, iters: int):
+    """Spherical k-means on a driver-side sample (numpy): returns
+    unit-norm centroids (k × d).  Deterministic — init is the first k
+    sample vectors (the sample itself is hash-ordered)."""
+    import numpy as np
+
+    x = np.asarray(sample_vecs, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    k = min(k, len(x))
+    cent = x[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Scale shape for a 100 TB corpus:
+    1. **Train** — spherical k-means on a small deterministic sample
+       (hash-ordered limit; a driver-side model fit, like fitting any
+       small ML model).
+    2. **Assign** — every corpus vector gets its nearest-centroid list
+       id via ONE Arrow-batched pandas UDF (a numpy matmul per batch);
+       the corpus never shuffles and the assignment is a narrow map.
+       At scale this column is written once at ingest and reused by
+       every query (here it is computed inline).
+    3. **Probe** — each query searches only its ``nprobe`` closest
+       lists: candidates = corpus rows whose list id matches one of
+       the query's probed lists (queries broadcast), scored exactly.
+
+    With ``nprobe == n_centroids`` every list is probed and the result
+    equals ``brute_force_topk`` exactly (the property the tests pin).
+    Returns (query_id, neighbor_id, cos_sim).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    smp = [
+        r["v"]
+        for r in corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(int(sample))
+        .collect()
+    ]
+    cent = _spherical_kmeans(smp, n_centroids, iters)
+    nprobe = min(int(nprobe), len(cent))
+    cent_rows = [[float(x) for x in row] for row in cent]
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        c = np.asarray(cent_rows, dtype=np.float64)
+        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        return pd.Series(np.argmax(x @ c.T, axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        c = np.asarray(cent_rows, dtype=np.float64)
+        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        order = np.argsort(-(x @ c.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_v"), nearest_list(F.col(vec_col)).alias("list_id")
+    )
+    q_probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_v"),
+        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_probed), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("q_v"), F.col("n_v")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))

@@ -90,6 +90,35 @@ def test_lsh_topk_recalls_identical(emb_df):
     assert all(r["neighbor_id"] != 3 for r in res)
 
 
+def test_ivf_full_probe_equals_brute_force(emb_df):
+    import pyspark.sql.functions as F
+
+    from opentsdb_aura_spark.operators.similarity import ivf_topk
+
+    q = emb_df.where(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute_force_topk(emb_df, q, k=3).collect()}
+    # probing every list makes IVF exhaustive — must equal brute force
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ivf_topk(emb_df, q, k=3, n_centroids=2, nprobe=2, sample=5).collect()
+    }
+    assert set(ivf) == set(exact)
+    for key, v in exact.items():
+        assert abs(ivf[key] - v) < 1e-9
+
+
+def test_ivf_single_probe_recalls_identical(emb_df):
+    import pyspark.sql.functions as F
+
+    from opentsdb_aura_spark.operators.similarity import ivf_topk
+
+    # identical vectors always assign to the same list, so nprobe=1
+    # must still find the exact duplicate of vector 0
+    res = ivf_topk(emb_df, emb_df.where(F.col("vec_id") == 0), k=1, n_centroids=2, nprobe=1, sample=5).collect()
+    assert [r["neighbor_id"] for r in res] == [4]
+    assert abs(res[0]["cos_sim"] - 1.0) < 1e-12
+
+
 def test_token_and_quality(doc_df):
     stats = {r["doc_id"]: r for r in token_stats(doc_df).collect()}
     assert stats[0]["n_tokens"] == 10

@@ -144,3 +144,37 @@ def test_segmented_rate_matches_python_model(spark, make_points, rows):
             assert math.isnan(got[k]), (k, got[k], v)
         else:
             assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(point, min_size=1, max_size=25),
+    combo=st.sampled_from([("sum", "sum"), ("count", "sum"), ("min", "min"), ("max", "max")]),
+    infectious=st.booleans(),
+)
+def test_fused_group_agg_property(spark, make_points, rows, combo, infectious):
+    """The single-shot ds+gb plan and the two-stage plan must be
+    value-identical for every fusable combo on arbitrary inputs
+    (NaNs, duplicates, gaps, 2 series grouped into one tag group)."""
+    from opentsdb_aura_spark.plans.query import MetricQuery, run_metric_query
+
+    ds_agg, gb_agg = combo
+    pts = make_points(
+        [("m", {"g": "x", "s": str(sid)}, BASE + off, val, seq) for seq, (off, val, sid) in enumerate(rows)]
+    )
+    q = MetricQuery(
+        start=BASE, end=BASE + RANGE, interval=INTERVAL, ds_agg=ds_agg,
+        group_tag_keys=["g"], gb_agg=gb_agg, infectious_nan=infectious,
+    )
+    fused = {(r["tag_g"], r["bucket_ts"]): r["value"] for r in run_metric_query(pts, q).collect()}
+    twostage = {
+        (r["tag_g"], r["bucket_ts"]): r["value"]
+        for r in run_metric_query(pts, q, fuse_group_agg=False).collect()
+    }
+    assert set(fused) == set(twostage)
+    for k, v in twostage.items():
+        got = fused[k]
+        if math.isnan(v):
+            assert math.isnan(got), (k, got, v)
+        else:
+            assert abs(got - v) < 1e-9, (k, got, v)

@@ -206,3 +206,34 @@ def test_unfusable_combo_goes_two_stage(make_points):
             assert math.isnan(got)
         else:
             assert_close(got, v)
+
+
+# ------------------------------------------- M4 + U3 unit coverage
+
+
+def test_list_timeseries_filter_and_cap(make_points):
+    from opentsdb_aura_spark.operators.meta import list_timeseries
+
+    pts = _fleet(make_points)
+    dim = build_series_dim(dedupe_last_write_wins(pts))
+    rows = list_timeseries(dim, MetricLiteral("cpu")).collect()
+    assert len(rows) == 4
+    assert {r["tags"]["host"] for r in rows} == {"a", "b", "c", "d"}
+    assert len(list_timeseries(dim, MetricLiteral("cpu"), limit=2).collect()) == 2
+    assert list_timeseries(dim, MetricLiteral("nope")).count() == 0
+
+
+def test_splice_hot_cold_routes_by_boundary(make_points):
+    from opentsdb_aura_spark.plans.query import splice_hot_cold
+
+    hot = _fleet(make_points)  # values 1..4
+    cold = hot.withColumn("value", hot["value"] * 100)  # distinguishable
+    boundary = BASE + 120
+    out = splice_hot_cold(hot=hot, cold=cold, boundary_ts=boundary)
+    got = {(r["tags"]["host"], r["ts"]): r["value"] for r in out.collect()}
+    assert len(got) == 16  # no duplicates at the boundary
+    for (host, ts), v in got.items():
+        if ts < boundary:
+            assert v >= 100.0, (host, ts, v)  # cold side
+        else:
+            assert v < 100.0, (host, ts, v)  # hot side

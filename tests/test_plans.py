@@ -81,3 +81,12 @@ def test_sql_surface(spark):
         for r in C.points(spark, SF).groupBy("metric").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()
     }
     assert sql_res == df_res and len(sql_res) == 5
+
+
+def test_topn_rank_avoids_global_sort(spark):
+    """topn's ranking over per-series summaries must plan as
+    TakeOrderedAndProject (bounded top-k), not a single-partition
+    global Sort."""
+    plan = plan_of(C.SPARK_QUERIES["topn_metrics_by_sum"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -381,13 +381,27 @@ def rate_counter_drop_purchase(spark, sf_dir):
 
 @register(
     "rate_to_count_purchase",
-    f"""{_RATE_PRELUDE}
-SELECT tag_user, tag_k, ts,
-       round(value * least((ts - pt) / 3600.0, 300.0), 6) AS count_value
-FROM r WHERE pv IS NOT NULL""",
+    f"""{_RATE_PRELUDE},
+est AS (
+  SELECT tag_user, tag_k,
+         greatest(first(ts - pt ORDER BY cnt DESC, ts - pt ASC) // 3600, 1)
+           AS di_units
+  FROM (SELECT tag_user, tag_k, ts, pt,
+               count(*) OVER (PARTITION BY tag_user, tag_k, ts - pt) AS cnt
+        FROM r WHERE pt IS NOT NULL)
+  GROUP BY 1, 2
+)
+SELECT r.tag_user, r.tag_k, ts,
+       round(value * least((ts - pt) / 3600.0, di_units), 6) AS count_value
+FROM r JOIN est ON r.tag_user = est.tag_user AND r.tag_k = est.tag_k
+WHERE pv IS NOT NULL""",
 )
 def rate_to_count_purchase(spark, sf_dir):
-    """R4 — rate-to-count with a configured data interval."""
+    """R4 — rate-to-count.  The configured 300 s interval floor-divides
+    by the 3600 s rate interval to 0 (< 1), so — exactly as the
+    reference does (AuraMetricsNumericArrayIterator.java:226-229, 294)
+    — the data interval is re-estimated per series as the mode of point
+    spacing in rate-interval units, clamped to >= 1."""
     pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
     res = rate(pts, RateOptions(interval_seconds=3600, rate_to_count=True, data_interval=300))
     return res.where(~F.isnan("value")).select(
@@ -1051,7 +1065,7 @@ def rollup_planner_max(spark, sf_dir):
     from opentsdb_aura_spark.operators.rollup import choose_downsample_source, downsample_from_rollup
 
     rollups = {3600: _rollup(spark, sf_dir)}
-    src, riv = choose_downsample_source(points(spark, sf_dir), rollups, "max", DAY, START)
+    src, riv = choose_downsample_source(points(spark, sf_dir), rollups, "max", DAY, START, END)
     assert riv == 3600, "planner must substitute the rollup"
     res = downsample_from_rollup(src, START, END, DAY, "max", group_cols=["metric"])
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("max_value"))
@@ -1496,7 +1510,7 @@ def rollup_coarsest_pick(spark, sf_dir):
         3600: _rollup(spark, sf_dir),
         7200: build_rollup(pts, 7200, group_cols=("series_id", "metric")),
     }
-    src, riv = choose_downsample_source(pts, rollups, "sum", DAY, START)
+    src, riv = choose_downsample_source(pts, rollups, "sum", DAY, START, END)
     assert riv == 7200, f"expected coarsest rollup, got {riv}"
     res = downsample_from_rollup(src, START, END, DAY, "sum", group_cols=["metric"])
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))

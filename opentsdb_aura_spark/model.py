@@ -50,15 +50,31 @@ SERIES_DIM_SCHEMA = T.StructType(
 )
 
 
+def NAN() -> Column:
+    """NaN double literal (lazy: ``F.lit`` needs an active session).
+    Shared by every operator module — NaN is the engine-wide "no
+    value" marker (the reference uses Double.NaN the same way)."""
+    return F.lit(float("nan")).cast("double")
+
+
 def canonical_tags(tags: Column) -> Column:
     """Canonical string form of a tag map: ``k1=v1,k2=v2`` sorted by key.
 
     The reference hashes the tag set in sorted-key order to get a
     stable tagset hash (TimeSeriesShard.java:884-914); sorting the
     map entries gives the same stability.
+
+    Null-valued entries are treated as ABSENT — a tag either has a
+    string value or does not exist (the reference's tag maps cannot
+    hold nulls; a null can only arise from adapters like
+    ``events_as_points`` when a JSON prop is missing).  The drop is
+    explicit here and mirrored on the write path (``normalize_points``
+    strips null entries from the stored map), so {user:1, k:NULL} and
+    {user:1} are the same series everywhere, not just by accident of
+    ``array_join`` skipping NULLs.
     """
-    entries = F.map_entries(tags)  # array<struct<key,value>> in key order? not guaranteed -> sort
-    sorted_entries = F.array_sort(entries)
+    clean = F.map_filter(tags, lambda k, v: v.isNotNull())
+    sorted_entries = F.array_sort(F.map_entries(clean))
     return F.array_join(
         F.transform(sorted_entries, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
         ",",
@@ -97,6 +113,8 @@ def normalize_points(df: DataFrame, width: int = SEGMENT_WIDTH_SECONDS) -> DataF
     """
     if "ingest_seq" not in df.columns:
         df = df.withColumn("ingest_seq", F.monotonically_increasing_id())
+    # canonical map: null-valued entries are absent (see canonical_tags)
+    df = df.withColumn("tags", F.map_filter(F.col("tags"), lambda k, v: v.isNotNull()))
     return df.withColumn("series_id", series_id(F.col("metric"), F.col("tags"))).withColumn(
         "segment_time", segment_time(F.col("ts"), width)
     )

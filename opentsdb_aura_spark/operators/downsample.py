@@ -33,9 +33,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-def NAN() -> Column:
-    """NaN literal (lazy: F.lit needs an active session)."""
-    return F.lit(float("nan")).cast("double")
+from opentsdb_aura_spark.model import NAN
+
 
 #: canonical name → alias set (AggregatorType.java:20-116)
 AGG_ALIASES = {

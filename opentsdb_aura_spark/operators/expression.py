@@ -36,11 +36,11 @@ from typing import Callable, Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from opentsdb_aura_spark.model import NAN
+
 __all__ = ["compile_expression", "evaluate_expression", "parse_expression"]
 
 
-def NAN() -> Column:
-    return F.lit(float("nan")).cast("double")
 
 
 # ---------------------------------------------------------------- parser

@@ -27,9 +27,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-def NAN() -> Column:
-    """NaN literal (lazy: F.lit needs an active session)."""
-    return F.lit(float("nan")).cast("double")
+from opentsdb_aura_spark.model import NAN
+
 
 GROUP_AGGS = {"sum", "avg", "min", "max", "count"}
 _ALIASES = {"zimsum": "sum", "mimmin": "min", "mimmax": "max"}

@@ -14,9 +14,13 @@ Semantics preserved exactly:
 - ``dr = (ts - prev_ts) / rate_interval``;
 - plain rate      = (v - prev) / dr                       (R1)
 - delta-only      = v - prev                              (R3)
-- rate-to-count   = v * min(dr, data_interval)            (R4)
-  with data_interval auto-estimated as the mode of observed point
-  spacing when unset (kernel 292-297, 364-420);
+- rate-to-count   = v * min(dr, data_interval_units)      (R4)
+  where data_interval_units is the data interval converted to
+  rate-interval units by **long division** (kernel 226-229:
+  ``(dataIntervalMs/1000) / rateIntervalSeconds``).  If the configured
+  interval floor-divides to < 1 (or none is configured) the interval
+  is auto-estimated as the mode of observed point spacing, converted
+  the same way and clamped to >= 1 (kernel 292-297, 410-419);
 - counter mode (R2): delta < 0 →
     drop_resets → NaN,
     else delta = counter_max - prev + v, rate = delta/dr,
@@ -49,9 +53,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-def NAN() -> Column:
-    """NaN literal (lazy: F.lit needs an active session)."""
-    return F.lit(float("nan")).cast("double")
+from opentsdb_aura_spark.model import NAN
+
 
 
 @dataclass(frozen=True)
@@ -153,13 +156,25 @@ def rate(
 
     df = points
     data_interval_col = None
+    estimated_interval = False
     if opts.rate_to_count:
-        if opts.data_interval and opts.data_interval > 0:
-            data_interval_col = F.lit(float(opts.data_interval))
+        # kernel 226-229: long division of seconds by rate-interval
+        # seconds; a result < 1 (incl. configured-but-small) falls
+        # back to the per-series estimate (kernel 294).
+        iv_long = max(int(opts.interval_seconds), 1)
+        cfg_units = int(opts.data_interval) // iv_long if opts.data_interval > 0 else 0
+        if cfg_units >= 1:
+            data_interval_col = F.lit(float(cfg_units))
         else:
+            estimated_interval = True
             est = estimate_data_interval(points, group_cols)
             df = df.join(F.broadcast(est), on=group_cols, how="left")
-            data_interval_col = F.col("data_interval").cast("double")
+            # kernel 416-419: long division, clamped to >= 1 (also the
+            # empty-distribution default; greatest() skips the NULL of
+            # a single-point series, whose only point is NaN anyway)
+            data_interval_col = F.greatest(
+                F.floor(F.col("data_interval") / F.lit(iv_long)).cast("double"), F.lit(1.0)
+            )
 
     if segment_col is not None and segment_col in df.columns:
         df = _with_prev_segmented(df, group_cols, value_col, ts_col, segment_col)
@@ -196,7 +211,7 @@ def rate(
         .otherwise(rate_expr)
     )
     out = df.withColumn(value_col, new_value.cast("double"))
-    drop = ["_prev_ts", "_prev_v"] + (["data_interval"] if (opts.rate_to_count and not opts.data_interval) else [])
+    drop = ["_prev_ts", "_prev_v"] + (["data_interval"] if estimated_interval else [])
     return out.drop(*drop)
 
 

@@ -27,9 +27,9 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from opentsdb_aura_spark.model import NAN
 
-def NAN() -> Column:
-    return F.lit(float("nan")).cast("double")
+
 
 
 #: aggregators answerable from the stored chain (avg via sum/count;
@@ -65,14 +65,19 @@ def build_rollup(
     )
 
 
-def rollup_supports(ds_agg: str, ds_interval: int, rollup_interval: int, start: int) -> bool:
+def rollup_supports(ds_agg: str, ds_interval: int, rollup_interval: int, start: int, end: int) -> bool:
     """Mirror of the substitution predicate
-    (AerospikeBatchQueryNode.java:200-224) plus grid alignment."""
+    (AerospikeBatchQueryNode.java:200-224) plus grid alignment on BOTH
+    ends: a rollup window starting before ``end`` extends past it when
+    ``end`` is off the rollup grid, so its pre-aggregate would include
+    points in [end, window_start + rollup_interval) that a raw-point
+    downsample excludes — the final bucket would silently over-count."""
     return (
         ds_agg in ROLLUP_SERVABLE
         and ds_interval is not None
         and ds_interval % rollup_interval == 0
         and start % rollup_interval == 0
+        and (end - start) % rollup_interval == 0
     )
 
 
@@ -169,7 +174,7 @@ def downsample_spliced(
             f"boundary {boundary} not on the bucket grid (start={start}, interval={interval}): "
             "a bucket would straddle the hot/cold tiers"
         )
-    if boundary > start and not rollup_supports(agg, interval, rollup_interval, start):
+    if boundary > start and not rollup_supports(agg, interval, rollup_interval, start, boundary):
         raise ValueError(
             f"cold range not servable from rollup_{rollup_interval} for agg={agg!r}, interval={interval}"
         )
@@ -207,13 +212,14 @@ def choose_downsample_source(
     ds_agg: str,
     ds_interval: int | None,
     start: int,
+    end: int,
 ) -> tuple[DataFrame | None, int | None]:
     """Planner rule: the coarsest compatible rollup wins (fewest rows
     scanned); None → fall back to the raw table."""
     best = None
     if ds_interval:
         for riv in sorted(rollups, reverse=True):
-            if rollup_supports(ds_agg, ds_interval, riv, start):
+            if rollup_supports(ds_agg, ds_interval, riv, start, end):
                 best = riv
                 break
     if best is None:

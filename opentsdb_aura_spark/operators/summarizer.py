@@ -22,13 +22,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from opentsdb_aura_spark.model import NAN
+
 __all__ = ["SUMMARIES", "summarize", "topn"]
 
 SUMMARIES = ("avg", "sum", "count", "min", "max", "first", "last")
 
 
-def NAN() -> Column:
-    return F.lit(float("nan")).cast("double")
 
 
 def summarize(

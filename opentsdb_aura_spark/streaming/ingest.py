@@ -58,6 +58,10 @@ class StreamingIngest:
     retention_seconds: int = 24 * 3600
     early_slack_seconds: int = 0
     segment_width: int = 7200
+    #: series-dim hash-partition count: a micro-batch touching k series
+    #: rewrites at most min(k, dim_buckets) partitions, so the per-batch
+    #: dim-merge cost is O(batch), not O(all series)
+    dim_buckets: int = 64
     #: wall-clock source, injectable for tests
     now_fn: object = field(default=None)
     stats: IngestStats = field(default_factory=IngestStats)
@@ -76,16 +80,22 @@ class StreamingIngest:
         lo = now - self.retention_seconds
         hi = now + self.early_slack_seconds
 
-        n_total = batch_df.count()
-        valid = batch_df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
-        n_valid = valid.count()
-        n_late = batch_df.where(F.col("ts") < F.lit(lo)).count()
+        # single-pass accounting: one aggregate job computes all three
+        # drop counters (the old three count() actions recomputed the
+        # batch source 3×)
+        c = batch_df.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_if(F.col("ts") < F.lit(lo)).alias("late"),
+            F.count_if(F.col("ts") > F.lit(hi)).alias("early"),
+        ).first()
+        n_valid = c["total"] - c["late"] - c["early"]
         self.stats.batches += 1
         self.stats.appended += n_valid
-        self.stats.dropped_late += n_late
-        self.stats.dropped_early += n_total - n_valid - n_late
+        self.stats.dropped_late += c["late"]
+        self.stats.dropped_early += c["early"]
         if n_valid == 0:
             return
+        valid = batch_df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
 
         pts = dedupe_last_write_wins(normalize_points(valid, width=self.segment_width))
         (
@@ -100,13 +110,27 @@ class StreamingIngest:
     def _merge_dim(self, new_points: DataFrame) -> None:
         """W2 — upsert last_ts/last_value/first_seen per series.
 
-        Parquet has no in-place merge; re-aggregate (old dim ∪ batch
-        dim) and atomically swap.  On Delta/Iceberg this is a MERGE.
+        The dim table is hash-partitioned on ``dim_bucket =
+        pmod(series_id, dim_buckets)``; a batch only reads and rewrites
+        the buckets its series fall into (partition-pruned read +
+        dynamic partition overwrite), so per-batch cost is O(batch
+        series × table/bucket fraction), not O(all series).  Dynamic
+        overwrite also never removes the table root, so concurrent
+        readers always see a complete table (no rmtree/rename window).
+        On Delta/Iceberg this whole method is a single MERGE.
         """
         spark = new_points.sparkSession
-        batch_dim = build_series_dim(new_points)
-        if os.path.exists(os.path.join(self.dim_path, "_SUCCESS")):
-            old = spark.read.parquet(self.dim_path)
+        bucket = F.pmod(F.col("series_id"), F.lit(int(self.dim_buckets))).cast("int")
+        batch_dim = build_series_dim(new_points).withColumn("dim_bucket", bucket)
+        # bounded collect: at most dim_buckets values (metadata-scale)
+        affected = [r["dim_bucket"] for r in batch_dim.select("dim_bucket").distinct().collect()]
+        # dynamic partition overwrite commits per-partition (no root
+        # _SUCCESS marker): detect an existing table by its partitions
+        has_dim = os.path.isdir(self.dim_path) and any(
+            e.startswith("dim_bucket=") for e in os.listdir(self.dim_path)
+        )
+        if has_dim:
+            old = spark.read.parquet(self.dim_path).where(F.col("dim_bucket").isin(affected))
             merged = (
                 old.unionByName(batch_dim)
                 .groupBy("series_id")
@@ -117,15 +141,18 @@ class StreamingIngest:
                     F.min("first_seen").alias("first_seen"),
                     F.max("last_ts").alias("last_ts"),
                     F.max_by("last_value", F.col("last_ts")).alias("last_value"),
+                    F.first("dim_bucket").alias("dim_bucket"),
                 )
             )
         else:
             merged = batch_dim
-        tmp = self.dim_path + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.dim_path):
-            shutil.rmtree(self.dim_path)
-        os.rename(tmp, self.dim_path)
+        (
+            merged.repartition(max(len(affected), 1), "dim_bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dim_bucket")
+            .parquet(self.dim_path)
+        )
 
     # ---------------------------------------------------------------- queries/jobs
 

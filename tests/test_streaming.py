@@ -83,6 +83,52 @@ def test_streaming_incremental_dim_merge(spark, tmpdirs):
     assert dim[0]["last_ts"] == BASE + 500 and dim[0]["last_value"] == 7.0
 
 
+def test_dim_merge_rewrites_only_touched_buckets(spark, tmpdirs):
+    """The bucketed dim merge must leave partitions whose series the
+    batch didn't touch byte-identical (per-batch cost O(batch), not
+    O(all series)) — and the table root must never vanish mid-swap."""
+    import glob
+
+    now = BASE + 7200
+    ing = StreamingIngest(store_path=tmpdirs["store"], dim_path=tmpdirs["dim"], now_fn=lambda: now)
+
+    rows = [("m", {"h": str(i)}, BASE + 100 + i, 1.0, i) for i in range(8)]
+    _write_input(spark, tmpdirs["in"], rows, "b0")
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+
+    def snapshot():
+        return {
+            p: os.stat(p).st_mtime_ns
+            for p in glob.glob(tmpdirs["dim"] + "/dim_bucket=*/*.parquet")
+        }
+
+    before = snapshot()
+    buckets_before = {p.split("dim_bucket=")[1].split("/")[0] for p in before}
+    assert len(buckets_before) >= 2, "fixture must span multiple buckets"
+
+    # update exactly one series
+    _write_input(spark, tmpdirs["in"], [("m", {"h": "0"}, BASE + 900, 9.0, 100)], "b1")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+
+    after = snapshot()
+    from opentsdb_aura_spark.model import series_id as _sid
+
+    touched = (
+        spark.createDataFrame([("m", {"h": "0"})], "metric string, tags map<string,string>")
+        .select((F.pmod(_sid(F.col("metric"), F.col("tags")), F.lit(ing.dim_buckets))).cast("int").alias("b"))
+        .first()["b"]
+    )
+    untouched_before = {p: m for p, m in before.items() if f"dim_bucket={touched}/" not in p}
+    untouched_after = {p: m for p, m in after.items() if f"dim_bucket={touched}/" not in p}
+    assert untouched_before == untouched_after  # byte-identical files
+    # and the merge itself took: the updated series carries the new last value
+    dim = spark.read.parquet(tmpdirs["dim"])
+    row = dim.where(F.col("tags")["h"] == "0").first()
+    assert row["last_ts"] == BASE + 900 and row["last_value"] == 9.0
+    assert row["first_seen"] == BASE + 100
+
+
 def test_retention_purge(spark, tmpdirs):
     now = BASE + 10 * 86400
     ing = StreamingIngest(

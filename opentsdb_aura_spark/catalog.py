@@ -1516,6 +1516,40 @@ def rollup_coarsest_pick(spark, sf_dir):
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
+@register(
+    "rollup_auto_substitution",
+    f"""{ORACLE_PTS}
+SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def rollup_auto_substitution(spark, sf_dir):
+    """A10 — rollup substitution inside the query node: the MetricQuery
+    never mentions rollups; ``run_metric_query(..., rollups=...)``
+    routes the scan to the hourly pre-aggregate automatically
+    (AerospikeBatchQueryNode.java:200-224 — selection happens in the
+    node, not the caller).  Oracle is the flat raw-point computation;
+    tests/test_plans.py asserts the physical plan reads rollup_3600,
+    not the metrics store."""
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="none",
+    )
+    res = run_metric_query(
+        points(spark, sf_dir),
+        q,
+        rollups={3600: _rollup(spark, sf_dir)},
+        series_dim=series_dim(spark, sf_dir),
+    )
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
 # ===================================================== expressions (§2.8 / 3.x graph)
 
 

@@ -85,14 +85,109 @@ _FUSABLE_DS_GB: dict[tuple[str, str], str] = {
 }
 
 
+def _rollup_substitution(
+    points: DataFrame,
+    q: MetricQuery,
+    rollups: dict[int, DataFrame],
+    series_dim: DataFrame | None,
+) -> DataFrame | None:
+    """A10 — automatic rollup substitution inside the query node,
+    mirroring the reference's selection of a stored aggregate stream
+    over a raw scan (AerospikeBatchQueryNode.java:200-224: the node,
+    not the caller, decides).  Returns None when raw points must serve.
+
+    Substitution requires: no rate stage (per-point, can't run on
+    pre-aggregates), no infectious-NaN (NaN points are invisible in the
+    rollup), no reporting-average, no run-all tail bucket, a servable
+    aggregator, and full grid alignment (``rollup_supports``).  Grouped
+    queries additionally need the downsample+group pair to compose into
+    one flat aggregate (``_FUSABLE_DS_GB``) — re-aggregating rollup
+    partials by group keys IS the flat aggregate; avg-of-series-avgs
+    shapes are not derivable and fall back to raw.
+
+    Series selection runs on the meta side — ``series_dim`` (or a
+    distinct-series projection of the points table, which Parquet
+    serves from 3 pruned columns) filtered by the query's filter
+    algebra, then broadcast-semi-joined into the rollup — the
+    reference's meta-index → series-keys → fetch-streams flow.
+    """
+    from opentsdb_aura_spark.operators.downsample import fill_spine, normalize_agg
+    from opentsdb_aura_spark.operators.groupby import _ALIASES
+    from opentsdb_aura_spark.operators.rollup import (
+        choose_downsample_source,
+        downsample_from_rollup,
+    )
+
+    if (
+        q.rate_options is not None
+        or q.run_all
+        or q.interval is None
+        or q.infectious_nan
+        or q.reporting_dps is not None
+    ):
+        return None
+    ds = normalize_agg(q.ds_agg)
+    if q.group_tag_keys is not None:
+        gb = _ALIASES.get(q.gb_agg.lower(), q.gb_agg.lower())
+        agg = _FUSABLE_DS_GB.get((ds, gb))
+        if agg is None:
+            return None
+    else:
+        agg = ds
+    shift = int(q.shift_seconds)
+    scan_start, scan_end = q.start - shift, q.end - shift
+    src, _riv = choose_downsample_source(points, rollups, agg, q.interval, scan_start, scan_end)
+    if src is None:
+        return None
+
+    dim = series_dim
+    if dim is None:
+        dim = points.select("series_id", "metric", "tags").dropDuplicates(["series_id"])
+    dim = dim.where(compile_filter(q.filter))
+    group_keys: list[str] = []
+    if q.group_tag_keys:
+        dim = with_group_keys(dim, q.group_tag_keys)
+        group_keys = [f"tag_{k}" for k in q.group_tag_keys]
+    matched = dim.select("series_id", *group_keys)
+
+    rolled = src.select("series_id", "window_start", "sum", "count", "min", "max", "sumsq").join(
+        F.broadcast(matched), on="series_id", how="inner"
+    )
+    out_groups = group_keys if q.group_tag_keys is not None else ["series_id"]
+    res = downsample_from_rollup(rolled, scan_start, scan_end, q.interval, agg, group_cols=out_groups)
+    if shift:
+        res = res.withColumn("bucket_ts", (F.col("bucket_ts") + F.lit(shift)).cast("long"))
+    if q.fill != "none":
+        res = fill_spine(res, points, q.start, q.end, q.interval, out_groups, fill=q.fill)
+    return res
+
+
 def run_metric_query(
-    points: DataFrame, q: MetricQuery, *, dedupe: bool = True, fuse_group_agg: bool = True
+    points: DataFrame,
+    q: MetricQuery,
+    *,
+    dedupe: bool = True,
+    fuse_group_agg: bool = True,
+    rollups: dict[int, DataFrame] | None = None,
+    series_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Execute a MetricQuery over a normalized points DataFrame.
 
     Returns (group keys | series_id, bucket_ts, value) with the dense
     NaN spine when ``q.fill == 'nan'``.
+
+    ``rollups`` — optional {interval: rollup DataFrame} handles (built
+    by ``build_rollup`` at flush time, post-dedupe).  When given, the
+    planner substitutes the coarsest servable pre-aggregate for the raw
+    scan automatically (see ``_rollup_substitution``); the query itself
+    never mentions rollups, exactly as in the reference.  ``series_dim``
+    optionally serves the filter→series resolution (the meta index);
+    without it a distinct-series projection of ``points`` is used.
     """
+    if rollups:
+        substituted = _rollup_substitution(points, q, rollups, series_dim)
+        if substituted is not None:
+            return substituted
     shift = int(q.shift_seconds)
     scan_start, scan_end = q.start - shift, q.end - shift
 

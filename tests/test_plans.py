@@ -83,6 +83,41 @@ def test_sql_surface(spark):
     assert sql_res == df_res and len(sql_res) == 5
 
 
+def test_rollup_substitution_reads_rollup_table(spark):
+    """A10 — with rollup handles passed, the planner must serve the
+    daily SUM from the hourly pre-aggregate: the scan reads the
+    rollup_3600 files (24× fewer rows), not the raw metrics store."""
+    df = C.SPARK_QUERIES["rollup_auto_substitution"](spark, SF)
+    plan = plan_of(df)
+    files = re.findall(r"Location: \S*\[(.*?)\]", plan)
+    scanned = " ".join(files) + plan
+    assert "rollup_3600" in scanned, plan
+    # the point-data scan is gone; the only touch of the metrics store
+    # is the tiny meta-side series projection — raw `value`/`ts`
+    # columns must not be read anywhere
+    m = re.findall(r"ReadSchema: (.*)", plan)
+    assert m and not any("value" in s and "ts" in s for s in m), plan
+
+
+def test_rollup_substitution_declined_on_misalignment(spark):
+    """A misaligned query end must fall back to the raw scan (a rollup
+    window extending past `end` would over-count the last bucket)."""
+    q = C._mq(
+        start=C.START,
+        end=C.END - 1800,  # off the hourly rollup grid
+        interval=C.DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="none",
+    )
+    df = run_metric_query(
+        C.points(spark, SF), q, rollups={3600: C._rollup(spark, SF)}
+    )
+    assert "rollup_3600" not in plan_of(df)
+
+
 def test_topn_rank_avoids_global_sort(spark):
     """topn's ranking over per-series summaries must plan as
     TakeOrderedAndProject (bounded top-k), not a single-partition

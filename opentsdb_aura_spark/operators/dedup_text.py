@@ -65,37 +65,46 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
-    shingle-join candidate generation: pairs share ≥1 shingle.
-    |A∩B| from the join, |A|,|B| from per-doc shingle counts.
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Candidate generation: pairs sharing ≥1 *non-ubiquitous* shingle
+    (inverted shingle→doc self-join).  Shingles appearing in more than
+    ``max_shingle_freq`` docs are excluded from candidate generation —
+    a stopword 3-gram shared by 1 M docs would otherwise generate
+    O(freq²) ≈ 5·10¹¹ pairs, so the skew guard is ON by default; a pair
+    whose ONLY shared shingles are ubiquitous is missed, but such pairs
+    sit far below any useful threshold (tiny intersection, huge union).
+
+    Verification is exact and guard-independent: the Jaccard value is
+    computed from each doc's FULL shingle set (collect_set join,
+    JVM-side array_intersect), so the guard can only drop candidates,
+    never change a reported value.  Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b.
     """
     # word_shingles is per-doc distinct already → (doc_id, s) pairs are
     # unique without a dedupe shuffle
     shing = docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
-    if max_shingle_freq is not None:
-        # drop ubiquitous shingles: they generate O(freq^2) candidate
-        # pairs while carrying ~no similarity signal (skew guard)
-        freq = shing.groupBy("s").agg(F.count("*").alias("_f")).where(F.col("_f") <= max_shingle_freq)
-        shing = shing.join(freq.select("s"), "s", "left_semi")
-    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sets = shing.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
 
-    a = shing.alias("a")
-    b = shing.alias("b")
-    inter = (
+    cand_sh = shing
+    if max_shingle_freq is not None:
+        freq = shing.groupBy("s").agg(F.count("*").alias("_f")).where(F.col("_f") <= max_shingle_freq)
+        cand_sh = shing.join(freq.select("s"), "s", "left_semi")
+
+    a = cand_sh.alias("a")
+    b = cand_sh.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn("jaccard", F.col("inter") / (F.size("sha") + F.size("shb") - F.col("inter")))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -7,8 +7,11 @@ LLM-pipeline extension (no counterpart in the reference's surface):
   sign-pattern hashes, search only colliding buckets (recall < 1,
   tunable with more tables).
 
-At cluster scale, the query side is broadcast (queries ≪ corpus) so
-the corpus scan stays shuffle-free and embarrassingly parallel.
+At cluster scale, the query side is broadcast when it is a distinct
+small DataFrame (queries ≪ corpus) so the corpus scan stays
+shuffle-free and embarrassingly parallel; self-search (queries is
+corpus) never broadcasts — the bucketed paths fall back to a plain
+shuffle equi-join.
 """
 
 from __future__ import annotations
@@ -71,6 +74,31 @@ def _hyperplane(dim: int, plane_idx: int, table: int) -> list[float]:
     return out
 
 
+def _lsh_buckets(
+    df: DataFrame, prefix: str, *, dim: int, n_planes: int, n_tables: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec) → one row per LSH table with the vector's sign-pattern
+    bucket: (<prefix>_id, <prefix>_v, table, bucket)."""
+    v = F.col(vec_col)
+    buckets = []
+    for t in range(n_tables):
+        bits = None
+        for p in range(n_planes):
+            plane = _hyperplane(dim, p, t)
+            dot = F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, p)
+            bits = term if bits is None else bits + term
+        buckets.append(F.struct(F.lit(t).alias("table"), bits.alias("bucket")))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_v"), F.explode(F.array(*buckets)).alias("b")
+    ).select(f"{prefix}_id", f"{prefix}_v", F.col("b.table").alias("table"), F.col("b.bucket").alias("bucket"))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -88,32 +116,20 @@ def lsh_topk(
     query only scores corpus vectors sharing a bucket in ≥1 table.
     Returns (query_id, neighbor_id, cos_sim) — a subset of the exact
     result with high recall for near neighbors.
+
+    The query side is broadcast only when it is a DIFFERENT (small)
+    DataFrame than the corpus — the stated queries ≪ corpus contract.
+    When ``queries is corpus`` (self-search) the hint would broadcast
+    the entire corpus — instant OOM at scale — so the bucket equi-join
+    shuffles on (table, bucket) instead and Spark's own size estimate
+    decides the join strategy.
     """
-
-    def bucket_cols(df: DataFrame, prefix: str) -> DataFrame:
-        v = F.col(vec_col)
-        buckets = []
-        for t in range(n_tables):
-            bits = None
-            for p in range(n_planes):
-                plane = _hyperplane(dim, p, t)
-                dot = F.aggregate(
-                    F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a.cast("double") * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-                term = F.shiftleft(bit, p)
-                bits = term if bits is None else bits + term
-            buckets.append(F.struct(F.lit(t).alias("table"), bits.alias("bucket")))
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_v"), F.explode(F.array(*buckets)).alias("b")
-        ).select(f"{prefix}_id", f"{prefix}_v", F.col("b.table").alias("table"), F.col("b.bucket").alias("bucket"))
-
-    cb = bucket_cols(corpus, "n")
-    qb = bucket_cols(queries, "q")
+    cb = _lsh_buckets(corpus, "n", dim=dim, n_planes=n_planes, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    qb = _lsh_buckets(queries, "q", dim=dim, n_planes=n_planes, n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    if queries is not corpus:
+        qb = F.broadcast(qb)
     cand = (
-        cb.join(F.broadcast(qb), ["table", "bucket"])
+        cb.join(qb, ["table", "bucket"])
         .where(F.col("q_id") != F.col("n_id"))
         .select(F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"), "q_v", "n_v")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -219,8 +235,10 @@ def ivf_topk(
         F.col(vec_col).alias("q_v"),
         F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
     )
+    if queries is not corpus:  # self-search must not broadcast the corpus
+        q_probed = F.broadcast(q_probed)
     scored = (
-        c_assigned.join(F.broadcast(q_probed), "list_id")
+        c_assigned.join(q_probed, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", cosine(F.col("q_v"), F.col("n_v")))
     )
@@ -247,18 +265,28 @@ def embedding_near_dup_pairs(
     ``use_lsh=False`` scores every pair — exact, O(n²), the oracle
     baseline.  ``use_lsh=True`` restricts scoring to random-hyperplane
     bucket collisions — the 100 TB path (recall < 1 for pairs near the
-    threshold, tunable via tables/planes).
+    threshold, tunable via tables/planes): a plain shuffle equi-join of
+    the bucketed corpus with itself on (table, bucket) — nothing is
+    broadcast, nothing is ranked; candidates go straight through the
+    cosine threshold filter.
     """
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if use_lsh:
-        cand = lsh_topk(corpus, corpus, k=1 << 30, dim=dim, id_col=id_col, vec_col=vec_col)
-        pairs = cand.where(F.col("query_id") < F.col("neighbor_id")).select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            F.col("cos_sim"),
+        kw = dict(dim=dim, n_planes=12, n_tables=4, id_col=id_col, vec_col=vec_col)
+        ba = _lsh_buckets(corpus, "x", **kw)
+        bb = _lsh_buckets(corpus, "y", **kw)
+        cand = (
+            ba.join(bb, ["table", "bucket"])
+            .where(F.col("x_id") < F.col("y_id"))
+            .select(F.col("x_id").alias("id_a"), F.col("y_id").alias("id_b"), "x_v", "y_v")
+            .dropDuplicates(["id_a", "id_b"])
         )
-        return pairs.where(F.col("cos_sim") >= F.lit(threshold))
+        return (
+            cand.withColumn("cos_sim", cosine(F.col("x_v"), F.col("y_v")))
+            .where(F.col("cos_sim") >= F.lit(threshold))
+            .select("id_a", "id_b", "cos_sim")
+        )
     scored = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))

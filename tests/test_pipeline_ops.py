@@ -46,6 +46,54 @@ def test_ngram_jaccard(doc_df):
     assert (0, 3) not in pairs
 
 
+def test_ngram_hot_shingle_guard(spark):
+    """A shingle planted in EVERY doc must not create candidate pairs
+    on its own when the guard trips, and surviving pairs keep their
+    exact full-set Jaccard values (the guard prunes candidates, never
+    changes values)."""
+    hot = "common stop words"
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i} end{i}") for i in range(10)]
+    rows += [(100, f"{hot} shared body text here now"), (101, f"{hot} shared body text here soon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # guard off: every doc pairs with every other via the hot shingle
+    loose = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_freq=None).collect()
+    assert len(loose) == 12 * 11 / 2
+
+    # guard at 5: the 12-doc hot shingle is dropped from candidate
+    # generation; only the genuinely-similar pair survives
+    tight = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0, max_shingle_freq=5).collect()
+    }
+    assert set(tight) == {(100, 101)}
+    # value equals the full-set Jaccard (incl. the hot shingle): the
+    # two docs share 5 of their 6 3-shingles → 5/7
+    loose_vals = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in loose}
+    assert tight[(100, 101)] == loose_vals[(100, 101)]
+
+
+def test_lsh_self_join_has_no_broadcast_hint(spark, emb_df):
+    """The LSH near-dup self-join must not carry a broadcast hint on
+    the corpus: with auto-broadcast disabled, the plan must contain no
+    BroadcastExchange (a hint would force one regardless of size —
+    the 100 TB OOM the hint used to cause)."""
+    from opentsdb_aura_spark.operators.similarity import embedding_near_dup_pairs
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = embedding_near_dup_pairs(emb_df, threshold=0.95, use_lsh=True, dim=4)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        assert "BroadcastExchange" not in plan, plan
+        # self-search via lsh_topk must not broadcast either
+        df2 = lsh_topk(emb_df, emb_df, k=2, dim=4)
+        plan2 = df2._sc._jvm.PythonSQLUtils.explainString(df2._jdf.queryExecution(), "formatted")
+        assert "BroadcastExchange" not in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_minhash_lsh_finds_planted_dups(doc_df):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_lsh_candidates(doc_df, threshold=0.5).collect()}
     assert pairs[(0, 1)] == 1.0

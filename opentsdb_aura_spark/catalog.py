@@ -696,14 +696,43 @@ def ev_minute_histogram(spark, sf_dir):
 
 @register(
     "ev_text_search",
-    """SELECT event_id FROM events
-WHERE (lower(event_type) LIKE '%pur%' OR lower(props) LIKE '%pur%')
-  AND (lower(event_type) LIKE '%7%' OR lower(props) LIKE '%7%')""",
+    r"""SELECT event_id FROM events
+WHERE (regexp_matches(lower(event_type), '(^|\s)purchase(\s|$)')
+       OR regexp_matches(lower(props), '(^|\s)purchase(\s|$)'))
+  AND (regexp_matches(lower(event_type), '(^|\s)87\}(\s|$)')
+       OR regexp_matches(lower(props), '(^|\s)87\}(\s|$)'))""",
 )
 def ev_text_search(spark, sf_dir):
-    """E1 — boolean AND full-text match across fields."""
+    """E1 — boolean AND full-text match across fields with Lucene's
+    whitespace-analyzer semantics: each token must match a WHOLE
+    whitespace-delimited token (``pur`` no longer matches
+    ``purchase``).  'purchase' hits the event_type field; '87}' hits
+    the second whitespace token of props='{"k": 87}'."""
     ev = events_seconds(spark, sf_dir)
-    return ev.where(text_match(["event_type", "props"], ["pur", "7"], "AND")).select("event_id")
+    return ev.where(text_match(["event_type", "props"], ["purchase", "87}"], "AND")).select("event_id")
+
+
+@register(
+    "ev_ongoing_window",
+    f"""SELECT event_id FROM (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7200) AS end_ts,
+         (event_id % 29 = 0) AS ongoing
+  FROM events)
+WHERE (ts >= {START + 10 * DAY} AND ts <= {START + 11 * DAY})
+   OR (end_ts >= {START + 10 * DAY} AND end_ts <= {START + 11 * DAY})
+   OR ongoing""",
+)
+def ev_ongoing_window(spark, sf_dir):
+    """E2 — (start∈[s,e] OR end∈[s,e] OR ongoing) range predicate
+    (LuceneQueryBuilder.getTimeRangeQuery: two SHOULD range clauses +
+    an ongoing==1 SHOULD clause, all bounds inclusive).  The store
+    derives end_ts/ongoing deterministically from event_id since the
+    driver table has no duration fields."""
+    from opentsdb_aura_spark.operators.events import time_window_or_ongoing
+
+    ev = events_seconds(spark, sf_dir)
+    return ev.where(time_window_or_ongoing(START + 10 * DAY, START + 11 * DAY)).select("event_id")
 
 
 # ============================================================ joins / set ops (J1-J2, U3)
@@ -1012,6 +1041,47 @@ def multimodal_features(spark, sf_dir):
     (deterministic fake decode; real decoder is a drop-in)."""
     media = attach_fake_media(docs(spark, sf_dir)).where(F.col("media_id") < 200)
     return extract_features(media, fake=True).select("media_id", "kind", "n_bytes", "checksum")
+
+
+@register(
+    "multimodal_real_decode",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+  FROM documents WHERE doc_id < 100),
+px AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, w * h * 3),
+                        j -> ascii(substr(text, (j % L) + 1, 1))) AS p
+  FROM d)
+SELECT doc_id AS media_id,
+       CAST(w * h * 3 AS BIGINT) AS n_bytes,
+       CAST(list_sum(p) AS BIGINT) AS checksum,
+       round(list_avg(list_transform(range(0, w * h), j -> p[3 * j + 1])), 6) AS mean_r,
+       round(list_avg(list_transform(range(0, w * h), j -> p[3 * j + 2])), 6) AS mean_g,
+       round(list_avg(list_transform(range(0, w * h), j -> p[3 * j + 3])), 6) AS mean_b
+FROM px""",
+)
+def multimodal_real_decode(spark, sf_dir):
+    """REAL image decode end-to-end: each doc becomes a genuine 24-bit
+    BMP (pixels derived from the doc text by a SQL-expressible rule),
+    ``extract_features(fake=False)`` parses the BMP binary — header,
+    bottom-up rows, BGR→RGB, row padding — and the oracle recomputes
+    pixel-sum/channel-mean features from the rule.  Values match ONLY
+    if the codec round-trips correctly, so this is the non-stub proof
+    of the multimodal decode path."""
+    from opentsdb_aura_spark.operators.multimodal import attach_bmp_media
+
+    media = attach_bmp_media(docs(spark, sf_dir).where(F.col("doc_id") < 100))
+    res = extract_features(media, fake=False)
+    return res.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        _r(F.col("feat")[2], 6).alias("mean_r"),
+        _r(F.col("feat")[3], 6).alias("mean_g"),
+        _r(F.col("feat")[4], 6).alias("mean_b"),
+    )
 
 
 # ============================================================ rollups (A10)
@@ -1455,6 +1525,84 @@ def opentsdb_json_query(spark, sf_dir):
     q.fill = "none"
     res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("max_value"))
+
+
+@register(
+    "opentsdb_json_expr",
+    f"""{ORACLE_PTS},
+p AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+      FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END} GROUP BY 1, 2),
+s AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+      FROM dpts WHERE metric = 'signup' AND ts >= {START} AND ts < {END} GROUP BY 1, 2),
+diff AS (SELECT COALESCE(p.tag_user, s.tag_user) AS tag_user, p.v - s.v AS d
+         FROM p FULL JOIN s ON p.tag_user = s.tag_user AND p.bucket_ts = s.bucket_ts)
+SELECT tag_user, round(avg(d), 6) AS avg_value, CAST(count(d) AS DOUBLE) AS count_value
+FROM diff GROUP BY 1""",
+)
+def opentsdb_json_expr(spark, sf_dir):
+    """API-surface parity for expression+summarizer graphs: a
+    reference-era JSON DAG — two grouped branches, an expression node
+    (NATURAL_OUTER join, purchase − signup) and a summarizer sink —
+    runs unchanged through run_semantic_graph.  A user-day present on
+    one side only is NaN and skipped by the summarizer, matching the
+    SQL NULL arithmetic."""
+    from opentsdb_aura_spark.plans.opentsdb_json import run_semantic_graph
+
+    graph = {
+        "start": START,
+        "end": END,
+        "executionGraph": [
+            {"id": "p_src", "type": "TimeSeriesDataSource",
+             "metric": {"type": "MetricLiteral", "metric": "purchase"}},
+            {"id": "s_src", "type": "TimeSeriesDataSource",
+             "metric": {"type": "MetricLiteral", "metric": "signup"}},
+            {"id": "p_ds", "type": "downsample", "aggregator": "sum", "interval": "1d", "sources": ["p_src"]},
+            {"id": "s_ds", "type": "downsample", "aggregator": "sum", "interval": "1d", "sources": ["s_src"]},
+            {"id": "p", "type": "groupby", "tagKeys": ["user"], "aggregator": "sum", "sources": ["p_ds"]},
+            {"id": "s", "type": "groupby", "tagKeys": ["user"], "aggregator": "sum", "sources": ["s_ds"]},
+            {"id": "e", "type": "expression", "expression": "p - s", "sources": ["p", "s"]},
+            {"id": "sm", "type": "summarizer", "summaries": ["avg", "count"], "sources": ["e"]},
+        ],
+    }
+    res = run_semantic_graph(points(spark, sf_dir), graph, segment_width=EVENT_STORE_SEGMENT_WIDTH)
+    return res.select(
+        "tag_user",
+        _r(denan(F.col("avg")), 6).alias("avg_value"),
+        F.col("count").alias("count_value"),
+    )
+
+
+@register(
+    "opentsdb_json_topn",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END} GROUP BY 1, 2),
+winners AS (SELECT tag_user FROM agg GROUP BY 1
+            ORDER BY sum(v) DESC, tag_user LIMIT 5),
+days AS (SELECT unnest(generate_series({START}, {END - 1}, {DAY})) AS bucket_ts)
+SELECT w.tag_user, d.bucket_ts, round(agg.v, 4) AS sum_value
+FROM winners w CROSS JOIN days d
+LEFT JOIN agg ON agg.tag_user = w.tag_user AND agg.bucket_ts = d.bucket_ts""",
+)
+def opentsdb_json_topn(spark, sf_dir):
+    """API-surface parity for the upstream ``topn`` node: JSON graph
+    source → daily SUM downsample → group-by user → top-5 users by
+    total, returning the winners' full (dense NaN-spine) series."""
+    from opentsdb_aura_spark.plans.opentsdb_json import run_semantic_graph
+
+    graph = {
+        "start": START,
+        "end": END,
+        "executionGraph": [
+            {"id": "m", "type": "TimeSeriesDataSource",
+             "metric": {"type": "MetricLiteral", "metric": "purchase"}},
+            {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "1d", "sources": ["m"]},
+            {"id": "gb", "type": "groupby", "tagKeys": ["user"], "aggregator": "sum", "sources": ["ds"]},
+            {"id": "top", "type": "topn", "count": 5, "top": True, "aggregator": "sum", "sources": ["gb"]},
+        ],
+    }
+    res = run_semantic_graph(points(spark, sf_dir), graph, segment_width=EVENT_STORE_SEGMENT_WIDTH)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
 @register(

@@ -20,13 +20,18 @@ from pyspark.sql import functions as F
 
 def text_match(cols: Sequence[str], query_tokens: Sequence[str], mode: str = "AND") -> Column:
     """E1 — boolean full-text search: every (AND) / any (OR) token
-    must appear, lowercased substring, in any of the given columns
-    (whitespace analyzer + lowercase, LuceneQueryBuilder.java:213-218)."""
+    must appear as a WHOLE whitespace-delimited token, lowercased, in
+    any of the given columns — Lucene's whitespace tokenizer +
+    lowercase filter (LuceneQueryBuilder.java buildAnalyzer), so
+    ``cart`` does NOT match ``carton``."""
+    import re as _re
+
     per_token = []
     for tok in query_tokens:
+        pat = r"(^|\s)" + _re.escape(tok.lower()) + r"(\s|$)"
         hit = None
         for c in cols:
-            h = F.lower(F.col(c).cast("string")).contains(tok.lower())
+            h = F.lower(F.col(c).cast("string")).rlike(pat)
             hit = h if hit is None else (hit | h)
         per_token.append(hit)
     out = per_token[0]

@@ -9,7 +9,9 @@ gives users of the reference the same entry point: their existing
 query JSON runs unchanged against the Spark engine.
 
 Supported graph node types: TimeSeriesDataSource, downsample, rate,
-groupby, timeshift.  Supported filter types: MetricLiteral,
+groupby, timeshift folded into one MetricQuery (``translate_query``),
+plus full DAGs with expression / summarizer / topn nodes
+(``run_semantic_graph``).  Supported filter types: MetricLiteral,
 TagValueLiteralOr, TagValueRegex, TagValueWildcard, TagKeyLiteral,
 Chain (AND/OR), Not, ExplicitTags, AnyFieldRegex, MatchAll.
 """
@@ -193,8 +195,8 @@ _PIPELINE_TYPES = {"timeseriesdatasource", "datasource", "downsample", "rate", "
 
 
 def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_width: int | None = None):
-    """Execute a FULL query graph — including ``expression`` and
-    ``summarizer`` nodes — against a points DataFrame.
+    """Execute a FULL query graph — including ``expression``,
+    ``summarizer`` and ``topn`` nodes — against a points DataFrame.
 
     ``translate_query`` handles the single-pipeline case; this handles
     DAGs: each expression/summarizer node names its ``sources``, each
@@ -210,7 +212,7 @@ def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_w
     import time as _time
 
     from opentsdb_aura_spark.operators.expression import evaluate_expression
-    from opentsdb_aura_spark.operators.summarizer import summarize
+    from opentsdb_aura_spark.operators.summarizer import summarize, topn
     from opentsdb_aura_spark.plans.query import run_metric_query
 
     now = int(now if now is not None else _time.time())
@@ -272,6 +274,18 @@ def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_w
             src = run_node(node["sources"][0])
             group_cols = [c for c in src.columns if c not in ("bucket_ts", "value")]
             df = summarize(src, node.get("summaries", ["avg"]), group_cols=group_cols)
+        elif ntype == "topn":
+            # upstream TopNConfig: count, top (true=descending), and the
+            # ranking aggregator (net.opentsdb.query.processor.topn)
+            src = run_node(node["sources"][0])
+            group_cols = [c for c in src.columns if c not in ("bucket_ts", "value")]
+            df = topn(
+                src,
+                int(node.get("count", 10)),
+                node.get("aggregator", "avg"),
+                top=bool(node.get("top", True)),
+                group_cols=group_cols,
+            )
         else:
             q = _fold_nodes(collect_chain(nid), filters_by_id, start, end, segment_width)
             df = run_metric_query(points, q)

@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 2
+STORE_LAYOUT_VERSION = 3
 
 
 def write_metrics_store(
@@ -149,6 +149,12 @@ def ensure_event_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         ev = ev.withColumn("ts", F.expr("ts div 1000000000").cast("long"))
+        # E2 — the reference's event docs carry endtimestamp/ongoing
+        # (LuceneQueryBuilder.getTimeRangeQuery); the driver table has
+        # no duration fields, so derive both deterministically from
+        # event_id so range+ongoing queries are exercisable end-to-end
+        ev = ev.withColumn("end_ts", (F.col("ts") + F.col("event_id") % F.lit(7200)).cast("long"))
+        ev = ev.withColumn("ongoing", F.col("event_id") % F.lit(29) == F.lit(0))
         ev = ev.withColumn("event_date", daily_partition(F.col("ts")))
         (
             ev.repartition(F.col("event_date"))

@@ -46,6 +46,13 @@ def test_text_match_and_or(ev):
     assert hits == {3, 4}
 
 
+def test_text_match_whole_tokens_only(ev):
+    """Lucene whitespace-analyzer parity: a query token matches only a
+    whole whitespace-delimited token — 'roll' must not hit 'rollout'."""
+    assert ev.where(text_match(["msg"], ["roll"])).count() == 0
+    assert ev.where(text_match(["msg"], ["rollout"])).count() == 2
+
+
 def test_time_window_or_ongoing(ev):
     got = {r["event_id"] for r in ev.where(time_window_or_ongoing(BASE, BASE + 100)).collect()}
     # 1,2,3 start in range; 5 ends in range; 4 is ongoing

@@ -102,3 +102,35 @@ def test_runall_and_relative_time(make_points):
     rows = res.collect()
     assert len(rows) == 1
     assert_close(rows[0]["value"], 60.0)
+
+
+def test_topn_graph_node(make_points):
+    """topn node: top-2 hosts by summed daily value, winners keep
+    their full series rows; bottom-2 via top=false."""
+    from opentsdb_aura_spark.plans.opentsdb_json import run_semantic_graph
+
+    rows = []
+    for i, host in enumerate(("a", "b", "c", "d")):
+        for m in range(3):
+            rows.append(("m", {"host": host}, BASE + m * 60, float((i + 1) * 10)))
+    pts = make_points(rows)
+
+    def graph(top):
+        return {
+            "start": BASE,
+            "end": BASE + 180,
+            "executionGraph": [
+                {"id": "m1", "type": "TimeSeriesDataSource",
+                 "metric": {"type": "MetricLiteral", "metric": "m"}},
+                {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "1m", "sources": ["m1"]},
+                {"id": "gb", "type": "groupby", "aggregator": "sum", "tagKeys": ["host"], "sources": ["ds"]},
+                {"id": "top", "type": "topn", "count": 2, "top": top, "aggregator": "sum", "sources": ["gb"]},
+            ],
+        }
+
+    res = run_semantic_graph(pts, graph(True), now=BASE + 180)
+    assert {r["tag_host"] for r in res.collect()} == {"c", "d"}
+    assert res.count() == 2 * 3  # winners keep every bucket row
+
+    res_bottom = run_semantic_graph(pts, graph(False), now=BASE + 180)
+    assert {r["tag_host"] for r in res_bottom.collect()} == {"a", "b"}

@@ -203,11 +203,50 @@ def test_multimodal_plumbing(doc_df):
     assert len(feats[0]["feat"]) == 8
 
 
-def test_multimodal_real_decode_is_stubbed():
-    from opentsdb_aura_spark.operators.multimodal import _decode_real
+def test_multimodal_real_decode_tiering():
+    """BMP/PPM decode for real; compressed formats still raise."""
+    from opentsdb_aura_spark.operators.multimodal import (
+        _decode_real,
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
 
+    rgb = bytes(range(5 * 3 * 3))  # 5×3 image, distinct byte per channel
+    assert decode_bmp(encode_bmp(5, 3, rgb)) == (5, 3, rgb)  # incl. row padding
+    assert decode_ppm(encode_ppm(5, 3, rgb)) == (5, 3, rgb)
+    assert _decode_real(encode_bmp(5, 3, rgb), "image") == (5, 3, rgb)
     with pytest.raises(NotImplementedError):
-        _decode_real(b"bytes", "image")
+        _decode_real(b"\x89PNG....", "image")
+
+
+def test_multimodal_real_features_and_resize(spark):
+    """fake=False end-to-end on generated BMPs: features come from the
+    decoded pixels, and nearest-neighbor resize round-trips through
+    the codec."""
+    from opentsdb_aura_spark.operators.multimodal import (
+        attach_bmp_media,
+        decode_bmp,
+        extract_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([(7, "abcdef"), (20, "xyz")], "doc_id long, text string")
+    media = attach_bmp_media(df)
+    feats = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
+    # doc 7: w=8, h=8 → 192 pixel bytes cycling 'abcdef' (ASCII 97-102)
+    assert feats[7]["n_bytes"] == 8 * 8 * 3
+    assert feats[7]["checksum"] == sum((b"abcdef" * 32)[: 8 * 8 * 3])
+    assert feats[7]["feat"][0] == 8.0 and feats[7]["feat"][1] == 8.0
+    # doc 20: w=5, h=9; 'xyz' cycles aligned with RGB → each channel constant
+    assert feats[20]["feat"][2:] == [ord("x"), ord("y"), ord("z")]
+
+    resized = {r["media_id"]: r for r in resize_images(media, 4, 2, fake=False).collect()}
+    w, h, rgb = decode_bmp(bytes(resized[20]["resized"]))
+    assert (w, h) == (4, 2)
+    # nearest-neighbor from a channel-constant image stays channel-constant
+    assert rgb[0::3] == bytes([ord("x")] * 8)
 
 
 def test_embedding_near_dup_pairs(emb_df):

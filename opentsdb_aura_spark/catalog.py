@@ -699,17 +699,19 @@ def ev_minute_histogram(spark, sf_dir):
     r"""SELECT event_id FROM events
 WHERE (regexp_matches(lower(event_type), '(^|\s)purchase(\s|$)')
        OR regexp_matches(lower(props), '(^|\s)purchase(\s|$)'))
-  AND (regexp_matches(lower(event_type), '(^|\s)87\}(\s|$)')
-       OR regexp_matches(lower(props), '(^|\s)87\}(\s|$)'))""",
+  AND (regexp_matches(lower(event_type), '(^|\s)\{"k":(\s|$)')
+       OR regexp_matches(lower(props), '(^|\s)\{"k":(\s|$)'))""",
 )
 def ev_text_search(spark, sf_dir):
     """E1 — boolean AND full-text match across fields with Lucene's
     whitespace-analyzer semantics: each token must match a WHOLE
     whitespace-delimited token (``pur`` no longer matches
-    ``purchase``).  'purchase' hits the event_type field; '87}' hits
-    the second whitespace token of props='{"k": 87}'."""
+    ``purchase``).  'purchase' hits the event_type field; '{"k":' (the
+    first whitespace token of props='{"k": NN}', regex-escaped on both
+    sides) hits the props field — AND across two fields, ~20% of rows
+    match, so the gate exercises real selectivity."""
     ev = events_seconds(spark, sf_dir)
-    return ev.where(text_match(["event_type", "props"], ["purchase", "87}"], "AND")).select("event_id")
+    return ev.where(text_match(["event_type", "props"], ["purchase", '{"k":'], "AND")).select("event_id")
 
 
 @register(

@@ -1001,6 +1001,164 @@ def text_lang_id(spark, sf_dir):
     return lang_id(docs(spark, sf_dir))
 
 
+# ============================================================ corpus curation (pipeline)
+
+
+def _md5_bucket_sql(key_expr: str, salt: str) -> str:
+    """DuckDB replica of corpus.det_hash_bucket: first 8 md5 hex chars
+    → int via fold, mod 1,000,000."""
+    return (
+        f"list_reduce(list_transform(str_split(substr(md5({key_expr} || ':{salt}'), 1, 8), ''), "
+        "c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b) % 1000000"
+    )
+
+
+_ORACLE_TC = """tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tc
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+            FROM documents)
+      GROUP BY 1, 2)"""
+
+
+@register(
+    "pipeline_split_assign",
+    f"""SELECT doc_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {_md5_bucket_sql("doc_id", "split")} AS b FROM documents)""",
+)
+def pipeline_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment — a pure
+    hash of doc_id, so the oracle reproduces it bit-for-bit."""
+    from opentsdb_aura_spark.operators.corpus import split_assign
+
+    return split_assign(docs(spark, sf_dir))
+
+
+@register(
+    "corpus_vocab_stats",
+    f"""WITH {_ORACLE_TC}
+SELECT token, CAST(sum(tc) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+FROM tc GROUP BY 1""",
+)
+def corpus_vocab_stats(spark, sf_dir):
+    """Vocabulary building: per-token corpus term frequency and
+    document frequency."""
+    from opentsdb_aura_spark.operators.corpus import vocab_stats
+
+    return vocab_stats(docs(spark, sf_dir))
+
+
+@register(
+    "corpus_tfidf_top3",
+    f"""WITH {_ORACLE_TC},
+dfreq AS (SELECT token, count(*) AS df FROM tc GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT tc.doc_id, tc.token,
+                  tc.tc * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+           FROM tc JOIN dfreq USING (token) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+      FROM scored)
+SELECT doc_id, token, round(score, 6) AS score FROM r WHERE rn <= 3""",
+)
+def corpus_tfidf_top3(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed TF-IDF."""
+    from opentsdb_aura_spark.operators.corpus import tfidf_top_terms
+
+    res = tfidf_top_terms(docs(spark, sf_dir), k=3)
+    return res.select("doc_id", "token", _r("score", 6).alias("score"))
+
+
+@register(
+    "pipeline_stratified_sample",
+    f"""WITH h AS (SELECT doc_id, lang, {_md5_bucket_sql("doc_id", "sample")} AS b FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.1)""",
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    """Exact deterministic 10% stratified sample per language."""
+    from opentsdb_aura_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(docs(spark, sf_dir), 0.1, strata_col="lang").select("doc_id", "lang")
+
+
+@register(
+    "dedup_keep_best",
+    r"""WITH c AS (SELECT doc_id, n_chars,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS ckey
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY ckey ORDER BY n_chars DESC, doc_id) AS rn FROM c),
+w AS (SELECT ckey, doc_id AS kept_doc_id FROM r WHERE rn = 1)
+SELECT r.doc_id, w.kept_doc_id FROM r JOIN w USING (ckey) WHERE r.rn > 1""",
+)
+def dedup_keep_best_docs(spark, sf_dir):
+    """Keep-one duplicate retention: cluster by normalized-text
+    digest, keep the highest-quality doc per cluster, report each
+    dropped doc with its surviving representative."""
+    from opentsdb_aura_spark.operators.corpus import dedup_keep_best
+
+    return dedup_keep_best(docs(spark, sf_dir))
+
+
+@register(
+    "dedup_cluster_resolve",
+    f"""{ORACLE_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc),
+comp AS (SELECT doc, min(lbl) AS label FROM reach GROUP BY 1),
+ranked AS (SELECT c.doc, c.label,
+                  row_number() OVER (PARTITION BY c.label
+                                     ORDER BY d.n_chars DESC, c.doc) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.doc),
+w AS (SELECT label, doc AS kept_doc_id FROM ranked WHERE rn = 1)
+SELECT r.doc AS doc_id, w.kept_doc_id
+FROM ranked r JOIN w USING (label) WHERE r.rn > 1""",
+)
+def dedup_cluster_resolve(spark, sf_dir):
+    """Near-dup retention end-to-end: Jaccard ≥ 0.2 candidate pairs →
+    connected components (transitive closure) → keep the longest doc
+    per cluster; one row per dropped doc with its survivor.  The
+    oracle closes the components with a recursive CTE."""
+    from opentsdb_aura_spark.operators.corpus import resolve_duplicate_clusters
+
+    d = docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    return resolve_duplicate_clusters(d, pairs)
+
+
+@register(
+    "corpus_bigram_top20",
+    r"""WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""",
+)
+def corpus_bigram_top20(spark, sf_dir):
+    """Top-20 corpus bigrams (n-gram language-model counts), total
+    deterministic order."""
+    from opentsdb_aura_spark.operators.corpus import bigram_counts
+
+    return bigram_counts(docs(spark, sf_dir), k=20)
+
+
 # ============================================================ multimodal plumbing
 
 

@@ -1,0 +1,293 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+dataset splits, vocabulary / document-frequency statistics, TF-IDF top
+terms, stratified sampling, and duplicate-cluster retention.
+
+These extend the engine beyond the reference's time-series surface to
+the dataset-preparation operations a 100 TB training corpus needs.
+Everything stays in built-in `pyspark.sql.functions` (JVM-side,
+codegen'd); there are no Python UDFs and no driver-side collects.
+
+Scale notes per operator live in the docstrings; the common design
+rules: hashing uses md5 (available in every SQL engine, so oracles can
+replicate it bit-for-bit — this is a split key, not crypto), per-token
+aggregation always goes through a per-(doc, token) pre-aggregation so
+the wide shuffle gets map-side combine, and every ranking has a total
+deterministic order (explicit tie-breaks) so results are reproducible
+run-to-run and engine-to-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from opentsdb_aura_spark.operators.dedup_text import tokens
+
+#: buckets for hash-based assignment — wide enough that fraction
+#: boundaries land accurately, small enough to stay in int range
+HASH_BUCKETS = 1_000_000
+
+
+def det_hash_bucket(key: Column, salt: str, n_buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, n_buckets) from the first 8
+    hex chars of md5(key || ':' || salt).
+
+    md5 rather than xxhash64 because the oracle side (any ANSI engine)
+    can reproduce it exactly; 32 bits of the digest is plenty for
+    split/sample uniformity.  Narrow map — no shuffle, no state."""
+    h = F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).alias("bucket")
+
+
+def split_assign(
+    docs: DataFrame,
+    *,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: (doc_id, split).
+
+    Each doc hashes to a bucket; cumulative fraction thresholds carve
+    the bucket space.  Assignment is a pure function of (id, salt) —
+    stable under reshuffling, appends, and re-runs, which is the
+    property a training pipeline needs (no doc ever migrates between
+    splits when the corpus grows).  Narrow map: zero shuffle at any
+    scale."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = det_hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = bucket < int(acc * HASH_BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return docs.select(F.col(id_col).alias("doc_id"), expr.alias("split"))
+
+
+def per_doc_term_counts(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token, tc) — per-document term counts.
+
+    The explode fans out to one row per token occurrence, but the
+    immediate groupBy(doc, token) gets near-total map-side combine
+    (token repeats are doc-local), so the shuffle carries the
+    *distinct* (doc, token) pairs, not the token stream."""
+    toks = tokens(F.col(text_col))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tc"))
+    )
+
+
+def vocab_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary: (token, tf, df) — total term frequency and
+    document frequency.
+
+    Built on per_doc_term_counts so the token-keyed shuffle aggregates
+    pre-combined rows; df is a plain count (not count-distinct) because
+    the pre-aggregation already made (doc, token) unique.  Two
+    well-combined shuffles total — the canonical scalable shape for
+    vocabulary building."""
+    return (
+        per_doc_term_counts(docs, text_col=text_col, id_col=id_col)
+        .groupBy("token")
+        .agg(F.sum("tc").cast("bigint").alias("tf"), F.count("*").cast("bigint").alias("df"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per doc by smoothed TF-IDF:
+    (doc_id, token, score) with score = tc * (ln((N+1)/(df+1)) + 1).
+
+    The df side joins on token — deliberately NOT hint-broadcast: a
+    100 TB corpus has a vocabulary in the hundreds of millions, so the
+    equi-join must be free to shuffle; AQE will still broadcast it when
+    it measures small.  N arrives via a 1-row cross join (Catalyst
+    broadcasts it for free — no driver-side count action).  The per-doc
+    top-k window partitions by doc_id: partitions are doc-sized, so no
+    straggler risk.  Ties break on token asc for a total order."""
+    tc = per_doc_term_counts(docs, text_col=text_col, id_col=id_col)
+    dfreq = tc.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tc.join(dfreq, "token")
+        .crossJoin(n)
+        .withColumn(
+            "score",
+            F.col("tc") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("doc_id", "token", "score")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fraction: float,
+    *,
+    strata_col: str = "lang",
+    salt: str = "sample",
+    id_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Deterministic stratified sample: ~`fraction` of each stratum.
+
+    ``exact=True`` keeps exactly ceil(fraction * n) docs per stratum:
+    rank docs within the stratum by (hash, id) and keep the prefix.
+    The rank window partitions by stratum — with few strata each is one
+    task, so this mode is for bounded strata sizes (or as the oracle
+    anchor).  ``exact=False`` is the 100 TB path: keep docs whose hash
+    bucket falls below the fraction threshold — a pure narrow filter,
+    no shuffle, per-stratum counts land within binomial noise of the
+    target.  Both modes are stable under re-runs and appends."""
+    bucket = det_hash_bucket(F.col(id_col), salt)
+    if not exact:
+        return docs.where(bucket < int(fraction * HASH_BUCKETS))
+    w = Window.partitionBy(strata_col).orderBy(bucket.asc(), F.col(id_col))
+    cnt = Window.partitionBy(strata_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(cnt))
+        .where(F.col("_rn") <= F.ceil(F.col("_n") * fraction))
+        .drop("_rn", "_n")
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Curation-grade normalization: lowercase, strip punctuation,
+    collapse whitespace — so case/punctuation/spacing variants of the
+    same document collide."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def dedup_keep_best(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", quality_col: str = "n_chars"
+) -> DataFrame:
+    """Duplicate-cluster retention: cluster docs by md5(normalized
+    text), keep the best per cluster (highest quality, then lowest id),
+    and report the drop decisions as (doc_id, kept_doc_id) — one row
+    per *discarded* doc, pointing at its cluster's survivor.
+
+    This is the keep-one policy layered on exact/normalized dedup that
+    real curation pipelines apply after candidate generation.  The
+    cluster key is a digest groupBy (map-side combined); the per-
+    cluster winner is a window over clusters, which are tiny by
+    construction (duplicate groups), so the shuffle is uniform."""
+    key = F.md5(normalize_text(F.col(text_col))).alias("_ckey")
+    w = Window.partitionBy("_ckey").orderBy(F.col(quality_col).desc(), F.col(id_col))
+    ranked = docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col), key).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    winners = ranked.where(F.col("_rn") == 1).select("_ckey", F.col("doc_id").alias("kept_doc_id"))
+    losers = ranked.where(F.col("_rn") > 1).select("doc_id", "_ckey")
+    return losers.join(winners, "_ckey").select("doc_id", "kept_doc_id")
+
+
+def connected_components(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list (doc_a,
+    doc_b) → (doc_id, label) where label is the component's minimum
+    member id.
+
+    Min-label propagation: every node repeatedly takes the minimum of
+    its own label and its neighbors' labels, converging in O(graph
+    diameter) rounds.  Near-dup graphs have tiny, dense components
+    (diameter a handful), so a few distributed join+groupBy rounds
+    settle it; each round is a bounded shuffle on the edge list, with
+    `localCheckpoint` truncating the lineage so plans don't grow.
+    For adversarially long chains, swap in the large-star/small-star
+    rewriting — the driver loop shape stays identical.  The per-round
+    convergence check is a `limit(1).count()` probe (the standard
+    driver-coordinated pattern for iterative graph algorithms, not a
+    data collect)."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("doc_id").alias("b"), F.col("label").alias("_nl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("_nl").alias("_mn"))
+            .select(F.col("a").alias("doc_id"), "_mn")
+        )
+        proposed = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id", F.least("label", F.coalesce("_mn", "label")).alias("label"), F.col("label").alias("_old")
+        )
+        new_labels = proposed.select("doc_id", "label").localCheckpoint()
+        changed = proposed.where(F.col("label") != F.col("_old")).limit(1).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Near-duplicate cluster retention: candidate pairs (from any
+    dedup stage — Jaccard, MinHash-LSH, SimHash, embedding) →
+    connected components → keep the best doc per cluster (highest
+    quality, then lowest id) → one row per dropped doc:
+    (doc_id, kept_doc_id).
+
+    This is the decision stage real curation pipelines run after
+    candidate generation: without transitive closure, pairwise drops
+    can discard both members of a pair or keep overlapping docs.
+    Components are duplicate clusters — tiny by construction — so the
+    winner window shuffles uniformly."""
+    comp = connected_components(pairs)
+    ranked = comp.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col)), "doc_id"
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(F.col(quality_col).desc(), F.col("doc_id"))
+        ),
+    )
+    winners = ranked.where(F.col("_rn") == 1).select("label", F.col("doc_id").alias("kept_doc_id"))
+    return (
+        ranked.where(F.col("_rn") > 1)
+        .select("doc_id", "label")
+        .join(winners, "label")
+        .select("doc_id", "kept_doc_id")
+    )
+
+
+def bigram_counts(
+    docs: DataFrame, k: int = 20, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k corpus bigrams: (bigram, cnt), ordered by count desc then
+    bigram asc.
+
+    Bigrams are built array-side (zip of the token array with its
+    tail) before the explode, the count aggregation gets map-side
+    combine, and the final top-k plans as TakeOrderedAndProject — no
+    global sort materializes."""
+    toks = tokens(F.col(text_col))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(k)
+    )

@@ -1,0 +1,122 @@
+"""Corpus-curation operators: splits, vocab/TF-IDF, stratified
+sampling, connected components, duplicate-cluster retention."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.operators.corpus import (
+    bigram_counts,
+    connected_components,
+    dedup_keep_best,
+    resolve_duplicate_clusters,
+    split_assign,
+    stratified_sample,
+    tfidf_top_terms,
+    vocab_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = [
+        (i, f"tok{i % 4} common word number {i}", "en" if i % 3 else "de", 20 + i)
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+
+
+def test_split_assign_fractions_and_stability(corpus_df):
+    out = split_assign(corpus_df).collect()
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) <= {"train", "val", "test"}
+    assert len(out) == 60
+    # train dominates at 80/10/10
+    assert len(by_split["train"]) > len(by_split.get("val", set()))
+    # pure function of (id, salt): a second run and a subset run agree
+    again = {r["doc_id"]: r["split"] for r in split_assign(corpus_df).collect()}
+    subset = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(corpus_df.where(F.col("doc_id") < 10)).collect()
+    }
+    for did, s in subset.items():
+        assert again[did] == s
+
+
+def test_vocab_and_tfidf(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")], "doc_id long, text string"
+    )
+    vocab = {r["token"]: (r["tf"], r["df"]) for r in vocab_stats(df).collect()}
+    assert vocab == {"a": (3, 2), "b": (1, 1), "c": (4, 2)}
+
+    top = tfidf_top_terms(df, k=1).collect()
+    by_doc = {r["doc_id"]: r["token"] for r in top}
+    # doc 1: 'a' tc=2 beats 'b' tc=1 only if idf doesn't flip it;
+    # idf(a) = ln(4/3)+1 ≈ 1.288, idf(b) = ln(4/2)+1 ≈ 1.693
+    # score(a)=2.575 > score(b)=1.693 → 'a' wins
+    assert by_doc[1] == "a"
+    assert by_doc[3] == "c"
+
+
+def test_stratified_sample_exact_counts(corpus_df):
+    out = stratified_sample(corpus_df, 0.25, strata_col="lang").collect()
+    per = {}
+    for r in out:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    # en has 40 docs → ceil(10)=10; de has 20 → ceil(5)=5
+    assert per == {"en": 10, "de": 5}
+    # deterministic: same sample on re-run
+    again = sorted(r["doc_id"] for r in stratified_sample(corpus_df, 0.25, strata_col="lang").collect())
+    assert again == sorted(r["doc_id"] for r in out)
+
+
+def test_stratified_sample_approx_is_narrow(corpus_df):
+    res = stratified_sample(corpus_df, 0.5, exact=False)
+    assert 10 < res.count() < 50  # binomial around 30
+    # the 100 TB path must not shuffle: no Exchange in the plan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dedup_keep_best_normalized_clusters(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!", 13),
+            (2, "hello world", 11),
+            (3, "HELLO  world?!", 14),
+            (4, "something else", 14),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {r["doc_id"]: r["kept_doc_id"] for r in dedup_keep_best(df).collect()}
+    # cluster {1,2,3}: doc 3 has max n_chars → keeper; 1 and 2 dropped
+    assert out == {1: 3, 2: 3}
+
+
+def test_connected_components_chain(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    labels = {r["doc_id"]: r["label"] for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_resolve_duplicate_clusters(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 30), (3, "z", 20), (5, "u", 7), (6, "v", 7), (9, "w", 1)],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["kept_doc_id"] for r in resolve_duplicate_clusters(docs, pairs).collect()}
+    # cluster {1,2,3}: 2 wins (n_chars 30); cluster {5,6}: tie → min id 5
+    assert out == {1: 2, 3: 2, 6: 5}
+
+
+def test_bigram_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")], "doc_id long, text string"
+    )
+    out = [(r["bigram"], r["cnt"]) for r in bigram_counts(df, k=2).collect()]
+    assert out == [("a b", 3), ("b a", 1)]

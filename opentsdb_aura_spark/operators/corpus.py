@@ -211,7 +211,10 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     driver-coordinated pattern for iterative graph algorithms, not a
     data collect)."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge list once: without this every iteration's
+    # join would re-execute the (possibly expensive) candidate-pair
+    # DAG upstream of `pairs`
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
     for _ in range(max_iters):
         nbr_min = (
@@ -222,12 +225,17 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             .agg(F.min("_nl").alias("_mn"))
             .select(F.col("a").alias("doc_id"), "_mn")
         )
-        proposed = labels.join(nbr_min, "doc_id", "left").select(
-            "doc_id", F.least("label", F.coalesce("_mn", "label")).alias("label"), F.col("label").alias("_old")
+        proposed = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("_mn", "label")).alias("label"),
+                F.col("label").alias("_old"),
+            )
+            .localCheckpoint()  # one materialization serves both the probe and the next round
         )
-        new_labels = proposed.select("doc_id", "label").localCheckpoint()
         changed = proposed.where(F.col("label") != F.col("_old")).limit(1).count()
-        labels = new_labels
+        labels = proposed.select("doc_id", "label")
         if changed == 0:
             break
     return labels

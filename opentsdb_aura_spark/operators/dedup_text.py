@@ -77,34 +77,66 @@ def ngram_jaccard_pairs(
     whose ONLY shared shingles are ubiquitous is missed, but such pairs
     sit far below any useful threshold (tiny intersection, huge union).
 
-    Verification is exact and guard-independent: the Jaccard value is
-    computed from each doc's FULL shingle set (collect_set join,
-    JVM-side array_intersect), so the guard can only drop candidates,
-    never change a reported value.  Returns (doc_a, doc_b, jaccard)
-    with doc_a < doc_b.
+    Verification is exact and guard-independent: intersection sizes
+    are COUNTED from the shingle stream (groupBy over shared-shingle
+    pairs — no per-doc collect_set arrays, no array_intersect), and
+    when the guard is on the counting stream is first narrowed to docs
+    that appear in some candidate pair, so ubiquitous shingles are
+    re-admitted only among the (small) candidate doc set and the
+    reported Jaccard stays exact.  The guard can only drop candidate
+    *pairs*, never change a reported value.  Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     # word_shingles is per-doc distinct already → (doc_id, s) pairs are
-    # unique without a dedupe shuffle
-    shing = docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
-    sets = shing.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+    # unique without a dedupe shuffle, and a per-pair row count equals
+    # the intersection size of the two docs' shingle sets.  The stream
+    # feeds up to four consumers (sizes, freq, candidates, verify), so
+    # materialize it once instead of re-running the explode per
+    # consumer; on a multi-node cluster swap localCheckpoint for
+    # persist(DISK_ONLY) or a temp table — same one-pass shape
+    shing = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    ).localCheckpoint()
+    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
-    cand_sh = shing
-    if max_shingle_freq is not None:
-        freq = shing.groupBy("s").agg(F.count("*").alias("_f")).where(F.col("_f") <= max_shingle_freq)
-        cand_sh = shing.join(freq.select("s"), "s", "left_semi")
+    def pair_counts(sh):
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
 
-    a = cand_sh.alias("a")
-    b = cand_sh.alias("b")
-    cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    hot = (
+        None
+        if max_shingle_freq is None
+        else shing.groupBy("s").agg(F.count("*").alias("_f")).where(F.col("_f") > max_shingle_freq)
     )
+    # data-adaptive plan: one cheap aggregate probe on the materialized
+    # stream decides whether any shingle actually exceeds the cap — if
+    # none does, the guarded candidate pass would be identical to the
+    # exact pass, so skip straight to the single pair enumeration
+    if hot is None or hot.limit(1).count() == 0:
+        inter = pair_counts(shing)
+    else:
+        cand = pair_counts(shing.join(hot.select("s"), "s", "left_anti")).select("doc_a", "doc_b")
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # exact intersection counts over the candidate docs only: the
+        # O(freq²) hazard is gone because a shingle's frequency within
+        # this stream is bounded by the candidate-doc count, not the
+        # corpus size
+        inter = pair_counts(shing.join(cand_docs, "doc_id", "left_semi")).join(
+            cand, ["doc_a", "doc_b"], "left_semi"
+        )
+
     out = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
-        .withColumn("jaccard", F.col("inter") / (F.size("sha") + F.size("shb") - F.col("inter")))
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb")), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("_na") + F.col("_nb") - F.col("inter")))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")
     )

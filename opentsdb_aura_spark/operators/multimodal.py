@@ -56,22 +56,19 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     """24-bit uncompressed (BI_RGB) BMP from a top-down RGB byte
     stream (len == width*height*3).  Rows are stored bottom-up with
     4-byte alignment, pixels as BGR — the standard layout."""
+    import numpy as np
+
     if len(rgb) != width * height * 3:
         raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
     row_size = (width * 3 + 3) & ~3
     image_size = row_size * height
     header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0)
-    rows = []
-    pad = b"\0" * (row_size - width * 3)
-    for y in range(height - 1, -1, -1):  # bottom-up
-        row = bytearray()
-        base = y * width * 3
-        for x in range(width):
-            r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
-            row += bytes((b, g, r))  # BGR on disk
-        rows.append(bytes(row) + pad)
-    return header + info + b"".join(rows)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = px[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    padded = np.zeros((height, row_size), dtype=np.uint8)
+    padded[:, : width * 3] = bgr.reshape(height, width * 3)
+    return header + info + padded.tobytes()
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
@@ -82,18 +79,18 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
     size, width, height, _planes, bpp, compression = struct.unpack_from("<IiiHHI", data, 14)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"only 24-bit BI_RGB supported, got bpp={bpp} comp={compression}")
+    import numpy as np
+
     bottom_up = height > 0
     height = abs(height)
     row_size = (width * 3 + 3) & ~3
-    out = bytearray(width * height * 3)
-    for y in range(height):
-        src_y = (height - 1 - y) if bottom_up else y
-        base = offset + src_y * row_size
-        for x in range(width):
-            b, g, r = data[base + 3 * x : base + 3 * x + 3]
-            i = (y * width + x) * 3
-            out[i : i + 3] = bytes((r, g, b))
-    return width, height, bytes(out)
+    rows = np.frombuffer(data, dtype=np.uint8, count=height * row_size, offset=offset).reshape(
+        height, row_size
+    )
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return width, height, bgr[:, :, ::-1].tobytes()
 
 
 def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
@@ -160,9 +157,9 @@ def attach_bmp_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str =
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, widths, heights = [], [], []
-            for _, row in pdf.iterrows():
-                mid = int(row[id_col])
-                text = (row[text_col] or "x").encode("utf-8", "replace")
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                text = (text or "x").encode("utf-8", "replace")
                 w, h = mid % 16 + 1, mid % 12 + 1
                 n = w * h * 3
                 reps = -(-n // len(text))
@@ -205,8 +202,8 @@ def extract_features(media: DataFrame, *, fake: bool = True, feat_dim: int = 8) 
         for pdf in batches:
             if not fake:
                 n_bytes, checksums, feats = [], [], []
-                for _, row in pdf.iterrows():
-                    w, h, rgb = _decode_real(row["payload"], row["kind"])
+                for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                    w, h, rgb = _decode_real(payload, kind)
                     px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
                     n_bytes.append(len(rgb))
                     checksums.append(int(px.sum()))
@@ -273,8 +270,8 @@ def resize_images(media: DataFrame, out_width: int, out_height: int, *, fake: bo
         for pdf in batches:
             if not fake:
                 resized = []
-                for _, row in pdf.iterrows():
-                    w, h, rgb = _decode_real(row["payload"], "image")
+                for payload in pdf["payload"]:
+                    w, h, rgb = _decode_real(payload, "image")
                     px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
                     ys = (np.arange(out_height) * h) // out_height
                     xs = (np.arange(out_width) * w) // out_width
@@ -302,10 +299,10 @@ def sample_frames(media: DataFrame, every_n: int = 30, *, fake: bool = True) -> 
             if not fake:
                 pdf["payload"].map(lambda p: _decode_real(p, "video"))  # pragma: no cover
             ids, idxs, frames = [], [], []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                for fi in range(0, int(row["n_frames"]), every_n):
-                    ids.append(row["media_id"])
+            for mid, raw, n_frames in zip(pdf["media_id"], pdf["payload"], pdf["n_frames"]):
+                payload = bytes(raw)
+                for fi in range(0, int(n_frames), every_n):
+                    ids.append(mid)
                     idxs.append(fi)
                     # deterministic fake frame: 16-byte slice keyed by index
                     start = (fi * 7) % max(1, len(payload))

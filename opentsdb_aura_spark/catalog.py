@@ -532,6 +532,77 @@ def gb_all_min_daily(spark, sf_dir):
     return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("min_value"))
 
 
+# ==================================================== analytic processors (3.x graph)
+
+
+@register(
+    "movavg3_by_user_daily",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+        GROUP BY 1, 2),
+users AS (SELECT DISTINCT tag_user FROM agg),
+days AS (SELECT unnest(generate_series({START}, {END - 1}, {DAY})) AS bucket_ts),
+dense AS (SELECT u.tag_user, d.bucket_ts, a.v
+          FROM users u CROSS JOIN days d
+          LEFT JOIN agg a ON a.tag_user = u.tag_user AND a.bucket_ts = d.bucket_ts)
+SELECT tag_user, bucket_ts,
+       round(avg(v) OVER (PARTITION BY tag_user ORDER BY bucket_ts
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma_value
+FROM dense""",
+)
+def movavg3_by_user_daily(spark, sf_dir):
+    """Upstream ``movingaverage`` node: trailing 3-bucket simple
+    moving average over the dense daily spine per user (NaN buckets
+    contribute nothing; NULL-ignoring AVG on the oracle side matches
+    exactly)."""
+    from opentsdb_aura_spark.operators.analytic import moving_average
+
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = moving_average(res, 3)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("ma_value"))
+
+
+@register(
+    "ratio_pct_by_user_daily",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+        GROUP BY 1, 2)
+SELECT tag_user, bucket_ts,
+       round(100.0 * v / sum(v) OVER (PARTITION BY bucket_ts), 6) AS pct_value
+FROM agg""",
+)
+def ratio_pct_by_user_daily(spark, sf_dir):
+    """Upstream ``ratio`` node: each user's percent share of the
+    all-user total per day."""
+    from opentsdb_aura_spark.operators.analytic import ratio
+
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = ratio(res, as_percent=True)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 6).alias("pct_value"))
+
+
 # ============================================================ filters (F1-F10)
 
 

@@ -1,0 +1,74 @@
+"""Post-aggregation analytic nodes from the upstream OpenTSDB 3.x
+processor set: moving average (``movingaverage`` /
+``MovingAverageConfig``) and ratio / percent-of-total (``ratio`` /
+``RatioConfig``).  The aura reference feeds its results into these
+upstream graph nodes, so dashboards routinely contain them; supporting
+them here lets that query JSON run unchanged.
+
+Both operate on the downsampled/grouped result (bucket_ts, group
+tags, value) — OUTPUT-cardinality data, not raw points — so the
+analytic windows run over per-series bucket vectors whose length is
+bounded by the query range / interval, never by ingest volume.  That
+keeps the per-partition work O(buckets) at any corpus scale; the
+rate operator's segment-parallel machinery is unnecessary here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from opentsdb_aura_spark.model import NAN
+
+
+def _non_nan(c: Column) -> Column:
+    return F.when(~F.isnan(c), c)
+
+
+def moving_average(
+    df: DataFrame,
+    samples: int,
+    *,
+    value_col: str = "value",
+    order_col: str = "bucket_ts",
+) -> DataFrame:
+    """Simple moving average over the trailing ``samples`` buckets per
+    series (current bucket included) — upstream
+    ``MovingAverageConfig`` with ``samples`` set, simple (unweighted)
+    mode.
+
+    NaN buckets (the empty-interval spine) contribute nothing to the
+    window; a window with no real values stays NaN, matching the
+    infectious-empty contract of the downsample spine.  All columns
+    other than (order, value) are treated as the series identity."""
+    group_cols = [c for c in df.columns if c not in (value_col, order_col)]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(order_col)
+        .rowsBetween(-(samples - 1), 0)
+    )
+    avg = F.avg(_non_nan(F.col(value_col))).over(w)
+    return df.withColumn(value_col, F.coalesce(avg, NAN()))
+
+
+def ratio(
+    df: DataFrame,
+    *,
+    as_percent: bool = False,
+    value_col: str = "value",
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Each series' share of the all-series total per timestamp —
+    upstream ``RatioConfig`` (``as_percent`` multiplies by 100).
+
+    The per-bucket total ignores NaN series; a NaN input value stays
+    NaN in the output (its share is undefined, not zero).  Window
+    partitions are time buckets, so parallelism scales with the query
+    range regardless of series count skew within a bucket."""
+    w = Window.partitionBy(bucket_col)
+    total = F.sum(_non_nan(F.col(value_col))).over(w)
+    share = F.col(value_col) / total
+    if as_percent:
+        share = share * F.lit(100.0)
+    return df.withColumn(value_col, F.coalesce(share, NAN()))

@@ -10,8 +10,8 @@ query JSON runs unchanged against the Spark engine.
 
 Supported graph node types: TimeSeriesDataSource, downsample, rate,
 groupby, timeshift folded into one MetricQuery (``translate_query``),
-plus full DAGs with expression / summarizer / topn nodes
-(``run_semantic_graph``).  Supported filter types: MetricLiteral,
+plus full DAGs with expression / summarizer / topn / movingaverage /
+ratio nodes (``run_semantic_graph``).  Supported filter types: MetricLiteral,
 TagValueLiteralOr, TagValueRegex, TagValueWildcard, TagKeyLiteral,
 Chain (AND/OR), Not, ExplicitTags, AnyFieldRegex, MatchAll.
 """
@@ -274,6 +274,21 @@ def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_w
             src = run_node(node["sources"][0])
             group_cols = [c for c in src.columns if c not in ("bucket_ts", "value")]
             df = summarize(src, node.get("summaries", ["avg"]), group_cols=group_cols)
+        elif ntype == "movingaverage":
+            # upstream MovingAverageConfig, simple (unweighted) mode
+            # with a sample count (net.opentsdb.query.processor
+            # .movingaverage); interval mode maps to samples via the
+            # upstream downsample interval
+            from opentsdb_aura_spark.operators.analytic import moving_average
+
+            src = run_node(node["sources"][0])
+            df = moving_average(src, int(node.get("samples", 5)))
+        elif ntype == "ratio":
+            # upstream RatioConfig (net.opentsdb.query.processor.ratio)
+            from opentsdb_aura_spark.operators.analytic import ratio
+
+            src = run_node(node["sources"][0])
+            df = ratio(src, as_percent=bool(node.get("as_percent", node.get("asPercent", False))))
         elif ntype == "topn":
             # upstream TopNConfig: count, top (true=descending), and the
             # ranking aggregator (net.opentsdb.query.processor.topn)

@@ -134,3 +134,50 @@ def test_topn_graph_node(make_points):
 
     res_bottom = run_semantic_graph(pts, graph(False), now=BASE + 180)
     assert {r["tag_host"] for r in res_bottom.collect()} == {"a", "b"}
+
+
+def test_movingaverage_and_ratio_graph_nodes(make_points):
+    """movingaverage: trailing-3 simple average per series; ratio:
+    percent of per-bucket total across series."""
+    from opentsdb_aura_spark.plans.opentsdb_json import run_semantic_graph
+
+    rows = []
+    for i, host in enumerate(("a", "b")):
+        for m in range(4):
+            rows.append(("m", {"host": host}, BASE + m * 60, float((i + 1) * (m + 1))))
+    pts = make_points(rows)
+
+    def graph(tail_node):
+        return {
+            "start": BASE,
+            "end": BASE + 240,
+            "executionGraph": [
+                {"id": "m1", "type": "TimeSeriesDataSource",
+                 "metric": {"type": "MetricLiteral", "metric": "m"}},
+                {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "1m", "sources": ["m1"]},
+                {"id": "gb", "type": "groupby", "aggregator": "sum", "tagKeys": ["host"], "sources": ["ds"]},
+                tail_node,
+            ],
+        }
+
+    ma = run_semantic_graph(
+        pts,
+        graph({"id": "ma", "type": "movingaverage", "samples": 3, "sources": ["gb"]}),
+        now=BASE + 240,
+    )
+    got = {(r["tag_host"], r["bucket_ts"]): r["value"] for r in ma.collect()}
+    # host a values 1,2,3,4 → trailing-3 averages 1, 1.5, 2, 3
+    assert_close(got[("a", BASE)], 1.0)
+    assert_close(got[("a", BASE + 60)], 1.5)
+    assert_close(got[("a", BASE + 120)], 2.0)
+    assert_close(got[("a", BASE + 180)], 3.0)
+
+    rt = run_semantic_graph(
+        pts,
+        graph({"id": "rt", "type": "ratio", "as_percent": True, "sources": ["gb"]}),
+        now=BASE + 240,
+    )
+    got = {(r["tag_host"], r["bucket_ts"]): r["value"] for r in rt.collect()}
+    # bucket 0: a=1, b=2 → shares 33.33 / 66.67
+    assert_close(got[("a", BASE)], 100.0 / 3)
+    assert_close(got[("b", BASE)], 200.0 / 3)

@@ -1,0 +1,68 @@
+"""Repo-wide physical-plan lint over the ENTIRE query catalog.
+
+Every `queries()` entry is planned (at sf0.001) and its physical plan
+checked for scale-killers:
+
+- `CartesianProduct` — unbounded all-pairs; never acceptable.
+- `BatchEvalPython` — row-at-a-time Python UDF in the plan; the
+  engine's contract is JVM expressions + Arrow-batched pandas only.
+- `BroadcastNestedLoopJoin` — only allowed where a *bounded* side is
+  deliberately broadcast (ANN query sets, 1-row count factors);
+  anything else is an accidental non-equi join.
+
+This is the cheap structural half of the scale story: the expensive
+half (does it actually hold at volume) lives in
+tools/scale_validation.py and tools/corpus_scale_validation.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries that intentionally broadcast a bounded side into a
+#: non-equi/cross join: ANN queries broadcast the (small) query set
+#: against the corpus; TF-IDF cross-joins a single aggregate row
+BNLJ_ALLOWED = {
+    "ann_cosine_topk",  # query set broadcast, contract: queries ≪ corpus
+    "ann_ivf_topk",  # probed query set broadcast
+    "dedup_embedding_cosine",  # exact O(n²) oracle-baseline variant, documented
+    "corpus_tfidf_top3",  # 1-row n_docs factor
+}
+
+
+def _catalog():
+    from opentsdb_aura_spark.catalog import SPARK_QUERIES
+
+    return sorted(SPARK_QUERIES)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from opentsdb_aura_spark.catalog import SPARK_QUERIES
+
+    out = {}
+    for name, fn in SPARK_QUERIES.items():
+        df = fn(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+@pytest.mark.parametrize("name", _catalog())
+def test_no_cartesian_product(plans, name):
+    assert "CartesianProduct" not in plans[name], f"{name} plans a cartesian product"
+
+
+@pytest.mark.parametrize("name", _catalog())
+def test_no_row_python_udf(plans, name):
+    assert "BatchEvalPython" not in plans[name], f"{name} plans a row-at-a-time Python UDF"
+
+
+@pytest.mark.parametrize("name", _catalog())
+def test_nested_loop_joins_are_intentional(plans, name):
+    if name in BNLJ_ALLOWED:
+        return
+    assert "BroadcastNestedLoopJoin" not in plans[name], (
+        f"{name} plans a BroadcastNestedLoopJoin outside the allowed set"
+    )

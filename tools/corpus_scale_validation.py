@@ -1,0 +1,122 @@
+"""Corpus-pipeline scale validation: generate a multi-million-doc
+synthetic corpus (planted near-dup pairs + a ubiquitous phrase that
+stresses the shingle skew guard) and a vector table, then run the
+curation operators at a volume where a wrong plan is minutes:
+
+- deterministic split assignment (must stay a narrow map)
+- vocabulary tf/df (two combined shuffles)
+- MinHash+LSH near-dup candidates (banded join, no all-pairs)
+- connected components + keep-best retention over the candidates
+- stratified sample, narrow-filter mode
+- IVF ANN top-k over the vector table
+
+Usage: python tools/corpus_scale_validation.py [n_docs_million=2] [n_vec_million=1]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    n_docs = int(float(sys.argv[1] if len(sys.argv) > 1 else 2) * 1_000_000)
+    n_vec = int(float(sys.argv[2] if len(sys.argv) > 2 else 1) * 1_000_000)
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark import get_spark
+    from opentsdb_aura_spark.operators.corpus import (
+        resolve_duplicate_clusters,
+        split_assign,
+        stratified_sample,
+        vocab_stats,
+    )
+    from opentsdb_aura_spark.operators.dedup_text import minhash_lsh_candidates
+    from opentsdb_aura_spark.operators.similarity import ivf_topk
+
+    spark = get_spark("corpus_scale_validation")
+    timings: dict[str, float | int] = {"n_docs": n_docs, "n_vec": n_vec}
+
+    # ---- corpus: ~32 tokens/doc from a 10k-word vocab, deterministic
+    # from doc_id.  Every 101st doc is a near-dup of its predecessor
+    # (same base text, one appended token) and EVERY doc ends with the
+    # same 4-word phrase — ubiquitous shingles that a guardless
+    # candidate join would blow up on (freq = n_docs → O(n²) pairs).
+    dup = (F.col("id") % 101 == 0) & (F.col("id") > 0)
+    base_id = F.when(dup, F.col("id") - 1).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(base_id, i), F.lit(10000))),
+    )
+    text = F.concat(
+        F.array_join(words, " "),
+        F.when(dup, F.lit(" extratoken")).otherwise(F.lit("")),
+        F.lit(" the quick brown fox"),
+    )
+    docs = (
+        spark.range(n_docs, numPartitions=64)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("es")), (F.col("id") % 3 + 1).cast("int")
+            ).alias("lang"),
+            F.length(text).alias("n_chars"),
+        )
+        .localCheckpoint()  # freeze the corpus so every op reads the same data
+    )
+
+    def bench(name, df):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    bench("split_assign", split_assign(docs))
+    timings["split_docs_per_sec"] = round(n_docs / timings["split_assign"])
+
+    bench("vocab_stats", vocab_stats(docs))
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_candidates(docs, num_perm=32, bands=8, threshold=0.5).localCheckpoint()
+    n_pairs = pairs.count()
+    timings["lsh_near_dup_pairs"] = round(time.perf_counter() - t0, 2)
+    timings["lsh_pairs_found"] = n_pairs
+    print(f"# lsh_near_dup_pairs: {timings['lsh_near_dup_pairs']}s ({n_pairs} pairs)", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    drops = resolve_duplicate_clusters(docs, pairs).count()
+    timings["cluster_resolve"] = round(time.perf_counter() - t0, 2)
+    timings["docs_dropped"] = drops
+    print(f"# cluster_resolve: {timings['cluster_resolve']}s ({drops} dropped)", file=sys.stderr)
+
+    bench("stratified_sample_narrow", stratified_sample(docs, 0.01, exact=False))
+
+    # ---- vectors: 32-d deterministic embeddings, 100 queries
+    vecs = spark.range(n_vec, numPartitions=64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    queries = vecs.where(F.col("vec_id") < 100)
+    t0 = time.perf_counter()
+    ivf_topk(vecs, queries, k=10, n_centroids=64, nprobe=4).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    timings["ivf_ann_topk_100q"] = round(time.perf_counter() - t0, 2)
+    print(f"# ivf_ann_topk_100q: {timings['ivf_ann_topk_100q']}s", file=sys.stderr)
+
+    # sanity: planted near-dups must be found (n_docs // 101 pairs)
+    timings["expected_planted_pairs"] = n_docs // 101
+
+    print(json.dumps({"metric": "corpus_scale_validation", "unit": "sec", **timings}))
+
+
+if __name__ == "__main__":
+    main()

@@ -603,6 +603,85 @@ def ratio_pct_by_user_daily(spark, sf_dir):
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 6).alias("pct_value"))
 
 
+_FILL_DENSE = f"""{ORACLE_PTS},
+agg AS (
+  SELECT {_bucket_sql(HOUR, SPINE_START)} AS bucket_ts, sum(value) AS v
+  FROM dpts WHERE metric = 'purchase' AND ts >= {SPINE_START} AND ts < {SPINE_END}
+  GROUP BY 1),
+dense AS (
+  SELECT r.range AS bucket_ts, a.v
+  FROM range({SPINE_START}, {SPINE_END}, {HOUR}) r
+  LEFT JOIN agg a ON r.range = a.bucket_ts)"""
+
+
+@register(
+    "fill_previous_hourly",
+    f"""{_FILL_DENSE}
+SELECT bucket_ts,
+       round(coalesce(v, last_value(v IGNORE NULLS) OVER (
+         ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 4) AS filled_value
+FROM dense""",
+)
+def fill_previous_hourly(spark, sf_dir):
+    """Previous-value gap fill over the dense hourly spine (OpenTSDB
+    fill policy: carry last reported value forward; leading gaps stay
+    NaN)."""
+    from opentsdb_aura_spark.operators.analytic import fill_gaps
+
+    q = _mq(
+        start=SPINE_START,
+        end=SPINE_END,
+        interval=HOUR,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=[],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = fill_gaps(res, "previous")
+    return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("filled_value"))
+
+
+@register(
+    "fill_linear_hourly",
+    f"""{_FILL_DENSE},
+ctx AS (
+  SELECT bucket_ts, v,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER (
+      ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+    last_value(v IGNORE NULLS) OVER (
+      ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER (
+      ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+    first_value(v IGNORE NULLS) OVER (
+      ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+  FROM dense)
+SELECT bucket_ts,
+       round(coalesce(v, pv + (nv - pv) * (bucket_ts - pt) / (nt - pt)), 6) AS filled_value
+FROM ctx""",
+)
+def fill_linear_hourly(spark, sf_dir):
+    """Linear-interpolation gap fill (lerp) over the dense hourly
+    spine: interior gaps interpolate between the surrounding reported
+    values, edges stay NaN."""
+    from opentsdb_aura_spark.operators.analytic import fill_gaps
+
+    q = _mq(
+        start=SPINE_START,
+        end=SPINE_END,
+        interval=HOUR,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=[],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = fill_gaps(res, "linear")
+    return res.select("bucket_ts", _r(denan(F.col("value")), 6).alias("filled_value"))
+
+
 # ============================================================ filters (F1-F10)
 
 

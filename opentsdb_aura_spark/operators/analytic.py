@@ -52,6 +52,48 @@ def moving_average(
     return df.withColumn(value_col, F.coalesce(avg, NAN()))
 
 
+def fill_gaps(
+    df: DataFrame,
+    policy: str,
+    *,
+    value_col: str = "value",
+    order_col: str = "bucket_ts",
+) -> DataFrame:
+    """Gap-filling over the dense NaN spine, per series:
+
+    - ``previous`` — carry the last reported value forward (leading
+      gaps stay NaN); OpenTSDB's previous-value fill policy.
+    - ``linear`` — interpolate interior gaps between the surrounding
+      reported values, weighted by bucket distance; leading/trailing
+      gaps stay NaN (there is nothing to interpolate toward);
+      OpenTSDB's linear interpolation (`lerp`).
+
+    Both are one window pass per direction over the bucket vector —
+    output-cardinality data, same scale envelope as moving_average.
+    All columns other than (order, value) form the series identity."""
+    group_cols = [c for c in df.columns if c not in (value_col, order_col)]
+    v = _non_nan(F.col(value_col))  # NaN → NULL so ignorenulls applies
+    part = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(order_col)
+    before = part.rowsBetween(Window.unboundedPreceding, -1)
+
+    if policy == "previous":
+        filled = F.coalesce(v, F.last(v, ignorenulls=True).over(before))
+        return df.withColumn(value_col, F.coalesce(filled, NAN()))
+
+    if policy == "linear":
+        after = part.rowsBetween(1, Window.unboundedFollowing)
+        tagged = F.when(v.isNotNull(), F.struct(F.col(order_col).alias("t"), v.alias("v")))
+        prev = F.last(tagged, ignorenulls=True).over(before)
+        nxt = F.first(tagged, ignorenulls=True).over(after)
+        lerp = prev["v"] + (nxt["v"] - prev["v"]) * (
+            (F.col(order_col) - prev["t"]) / (nxt["t"] - prev["t"])
+        )
+        filled = F.coalesce(v, F.when(prev.isNotNull() & nxt.isNotNull(), lerp))
+        return df.withColumn(value_col, F.coalesce(filled, NAN()))
+
+    raise ValueError(f"unknown fill policy {policy!r} (expected 'previous' or 'linear')")
+
+
 def ratio(
     df: DataFrame,
     *,

@@ -574,6 +574,50 @@ def movavg3_by_user_daily(spark, sf_dir):
 
 
 @register(
+    "ewma3_by_user_daily",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+        GROUP BY 1, 2),
+users AS (SELECT DISTINCT tag_user FROM agg),
+days AS (SELECT unnest(generate_series({START}, {END - 1}, {DAY})) AS bucket_ts),
+dense AS (SELECT u.tag_user, d.bucket_ts, a.v
+          FROM users u CROSS JOIN days d
+          LEFT JOIN agg a ON a.tag_user = u.tag_user AND a.bucket_ts = d.bucket_ts),
+win AS (SELECT tag_user, bucket_ts,
+               list(v) OVER (PARTITION BY tag_user ORDER BY bucket_ts
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS arr
+        FROM dense)
+SELECT tag_user, bucket_ts,
+       round(list_sum(list_transform(arr, (x, i) -> CASE WHEN x IS NOT NULL
+                 THEN pow(0.5, len(arr) - i) * x END))
+             / list_sum(list_transform(arr, (x, i) -> CASE WHEN x IS NOT NULL
+                 THEN pow(0.5, len(arr) - i) END)), 6) AS ewma_value
+FROM win""",
+)
+def ewma3_by_user_daily(spark, sf_dir):
+    """Upstream ``movingaverage`` node, exponential mode: trailing
+    3-bucket EWMA per user (alpha = 2/(3+1) = 0.5, weights normalized
+    over the reported buckets in the window; NaN buckets drop out of
+    both numerator and denominator)."""
+    from opentsdb_aura_spark.operators.analytic import moving_average
+
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = moving_average(res, 3, exponential=True)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 6).alias("ewma_value"))
+
+
+@register(
     "ratio_pct_by_user_daily",
     f"""{ORACLE_PTS},
 agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v

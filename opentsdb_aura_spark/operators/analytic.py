@@ -30,13 +30,19 @@ def moving_average(
     df: DataFrame,
     samples: int,
     *,
+    exponential: bool = False,
+    alpha: float | None = None,
     value_col: str = "value",
     order_col: str = "bucket_ts",
 ) -> DataFrame:
-    """Simple moving average over the trailing ``samples`` buckets per
-    series (current bucket included) — upstream
-    ``MovingAverageConfig`` with ``samples`` set, simple (unweighted)
-    mode.
+    """Moving average over the trailing ``samples`` buckets per series
+    (current bucket included) — upstream ``MovingAverageConfig``.
+
+    ``exponential=False``: simple (unweighted) average.
+    ``exponential=True``: exponentially weighted — bucket at age ``a``
+    (0 = current) carries weight ``(1-alpha)^a``, normalized over the
+    reported buckets in the window; ``alpha`` defaults to the standard
+    EMA smoothing constant ``2/(samples+1)``.
 
     NaN buckets (the empty-interval spine) contribute nothing to the
     window; a window with no real values stays NaN, matching the
@@ -48,8 +54,29 @@ def moving_average(
         .orderBy(order_col)
         .rowsBetween(-(samples - 1), 0)
     )
-    avg = F.avg(_non_nan(F.col(value_col))).over(w)
-    return df.withColumn(value_col, F.coalesce(avg, NAN()))
+    if not exponential:
+        avg = F.avg(_non_nan(F.col(value_col))).over(w)
+        return df.withColumn(value_col, F.coalesce(avg, NAN()))
+
+    a = alpha if alpha is not None else 2.0 / (samples + 1)
+    decay = F.lit(1.0 - a)
+    # collect_list drops NULL scalars (breaking age positions), so wrap
+    # each value in a struct — struct elements are never dropped and
+    # the frame order gives each element its age
+    arr = F.collect_list(F.struct(_non_nan(F.col(value_col)).alias("v"))).over(w)
+    age = lambda i: F.size(arr) - 1 - i  # noqa: E731 — 0 = current bucket
+    num = F.aggregate(
+        F.transform(arr, lambda x, i: F.when(x["v"].isNotNull(), F.pow(decay, age(i)) * x["v"])),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+    den = F.aggregate(
+        F.transform(arr, lambda x, i: F.when(x["v"].isNotNull(), F.pow(decay, age(i)))),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+    ewma = F.when(den > 0, num / den).otherwise(NAN())
+    return df.withColumn(value_col, ewma)
 
 
 def fill_gaps(

@@ -68,6 +68,25 @@ def test_moving_average_skips_nan(series_df):
     assert got[("b", 60)] == 1.5
 
 
+def test_moving_average_exponential(series_df):
+    # samples=2 → default alpha = 2/3, decay = 1/3: weights [1/3, 1]
+    got = _collect(moving_average(series_df, 2, exponential=True))
+    # b@60: (1/3*1 + 1*2) / (1/3 + 1) = (7/3)/(4/3) = 1.75
+    assert abs(got[("b", 60)] - 1.75) < 1e-12
+    # b@0: single-element window → the value itself
+    assert got[("b", 0)] == 1.0
+    # NaN buckets drop out of both numerator and denominator
+    assert got[("a", 240)] == 40.0  # window {NaN, 40}
+    assert math.isnan(got[("a", 180)])  # window {NaN, NaN}
+
+
+def test_moving_average_exponential_alpha(series_df):
+    # explicit alpha=0.5 over 3 samples: weights [0.25, 0.5, 1]
+    got = _collect(moving_average(series_df, 3, exponential=True, alpha=0.5))
+    # b@120: (0.25*1 + 0.5*2 + 1*3) / 1.75 = 4.25/1.75
+    assert abs(got[("b", 120)] - 4.25 / 1.75) < 1e-12
+
+
 def test_ratio_shares(series_df):
     got = _collect(ratio(series_df))
     # bucket 60: a=10, b=2 → shares 10/12, 2/12

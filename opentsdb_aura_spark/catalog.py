@@ -115,6 +115,14 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` without the defaultParallelism spread — for small
+    filtered slices (e.g. the 100-row multimodal probes) where 32-way
+    round-robin fan-out just multiplies Python-worker launches; a
+    production corpus gets its parallelism from file splits."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 def embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         spark.sparkContext.defaultParallelism
@@ -1393,7 +1401,7 @@ FROM documents WHERE doc_id < 200""",
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary media
     (deterministic fake decode; real decoder is a drop-in)."""
-    media = attach_fake_media(docs(spark, sf_dir)).where(F.col("media_id") < 200)
+    media = attach_fake_media(docs_raw(spark, sf_dir)).where(F.col("media_id") < 200)
     return extract_features(media, fake=True).select("media_id", "kind", "n_bytes", "checksum")
 
 
@@ -1426,7 +1434,7 @@ def multimodal_real_decode(spark, sf_dir):
     of the multimodal decode path."""
     from opentsdb_aura_spark.operators.multimodal import attach_bmp_media
 
-    media = attach_bmp_media(docs(spark, sf_dir).where(F.col("doc_id") < 100))
+    media = attach_bmp_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
     res = extract_features(media, fake=False)
     return res.select(
         "media_id",

@@ -1203,6 +1203,61 @@ def text_lang_id(spark, sf_dir):
     return lang_id(docs(spark, sf_dir))
 
 
+_PII = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+# deterministic PII injection: the synthetic corpus has no PII, so the
+# query plants one email/IP/SSN/phone per doc by a SQL-expressible rule
+# (same trick as the BMP decode proof) — the scrub only hash-matches if
+# masks land at exactly the right spans
+_PII_INJECT_SQL = (
+    "substr(text, 1, 60) || ' reach user' || doc_id || '@mail-' || (doc_id % 7) || "
+    "'.com ip ' || (doc_id % 155 + 100) || '.' || (doc_id % 256) || '.0.' || (doc_id % 254 + 1) || "
+    "' ssn ' || (doc_id % 900 + 100) || '-' || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' || "
+    "lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+    "' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || "
+    "lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+_PII_ORACLE = (
+    "WITH d0 AS (SELECT doc_id, " + _PII_INJECT_SQL + " AS t FROM documents),\n"
+    "s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '" + _PII["email"] + "')) AS BIGINT) AS n_email,\n"
+    "       regexp_replace(t, '" + _PII["email"] + "', '<EMAIL>', 'g') AS t FROM d0),\n"
+    "s2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t, '" + _PII["ip"] + "')) AS BIGINT) AS n_ip,\n"
+    "       regexp_replace(t, '" + _PII["ip"] + "', '<IP>', 'g') AS t FROM s1),\n"
+    "s3 AS (SELECT doc_id, n_email, n_ip, CAST(len(regexp_extract_all(t, '" + _PII["ssn"] + "')) AS BIGINT) AS n_ssn,\n"
+    "       regexp_replace(t, '" + _PII["ssn"] + "', '<SSN>', 'g') AS t FROM s2),\n"
+    "s4 AS (SELECT doc_id, n_email, n_ip, n_ssn, CAST(len(regexp_extract_all(t, '" + _PII["phone"] + "')) AS BIGINT) AS n_phone,\n"
+    "       regexp_replace(t, '" + _PII["phone"] + "', '<PHONE>', 'g') AS t FROM s3)\n"
+    "SELECT doc_id, t AS scrubbed, n_email, n_ip, n_ssn, n_phone FROM s4"
+)
+
+
+@register("pii_scrub_docs", _PII_ORACLE)
+def pii_scrub_docs(spark, sf_dir):
+    """PII masking over the corpus: emails, IPv4s, SSN-shaped and
+    phone-shaped numbers replaced by typed mask tokens, with per-rule
+    counts taken over the progressively-scrubbed text.  Pure
+    regexp_count/regexp_replace map stage — no shuffle, no Python."""
+    from opentsdb_aura_spark.operators.text import pii_scrub
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    injected = F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.lit(" reach user"), s(d), F.lit("@mail-"), s(d % 7), F.lit(".com ip "),
+        s(d % 155 + 100), F.lit("."), s(d % 256), F.lit(".0."), s(d % 254 + 1),
+        F.lit(" ssn "), s(d % 900 + 100), F.lit("-"), F.lpad(s(d % 100), 2, "0"),
+        F.lit("-"), F.lpad(s(d % 10000), 4, "0"),
+        F.lit(" call 555-"), F.lpad(s(d % 1000), 3, "0"), F.lit("-"), F.lpad(s(d % 10000), 4, "0"),
+    )
+    return pii_scrub(docs(spark, sf_dir).withColumn("text", injected))
+
+
 # ============================================================ corpus curation (pipeline)
 
 
@@ -1343,6 +1398,49 @@ def dedup_cluster_resolve(spark, sf_dir):
     d = docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
     return resolve_duplicate_clusters(d, pairs)
+
+
+@register(
+    "chunk_docs_64_32",
+    r"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 32)) AS s FROM d)
+SELECT doc_id, CAST(s // 32 AS INTEGER) AS chunk_idx,
+       array_to_string(toks[s+1:s+64], ' ') AS chunk_text,
+       CAST(len(toks[s+1:s+64]) AS BIGINT) AS n_tokens
+FROM st WHERE len(toks[s+1:s+64]) > 0""",
+)
+def chunk_docs_64_32(spark, sf_dir):
+    """Training-sample chunking: 64-token windows at stride 32
+    (overlapping halves), tail chunks kept.  Narrow 1→many explode —
+    no shuffle."""
+    from opentsdb_aura_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(docs(spark, sf_dir), chunk_tokens=64, stride=32)
+
+
+@register(
+    "contamination_ngram",
+    f"""{ORACLE_SHINGLES},
+probe AS (SELECT doc_id AS probe_id, s FROM shing WHERE doc_id % 50 = 0),
+psize AS (SELECT probe_id, count(*) AS pn FROM probe GROUP BY 1),
+hits AS (SELECT c.doc_id, p.probe_id, count(*) AS inter
+         FROM shing c JOIN probe p ON c.s = p.s AND c.doc_id <> p.probe_id
+         GROUP BY 1, 2)
+SELECT h.doc_id, h.probe_id, round(h.inter * 1.0 / ps.pn, 6) AS overlap_frac
+FROM hits h JOIN psize ps USING (probe_id)
+WHERE h.inter * 1.0 / ps.pn >= 0.5""",
+)
+def contamination_ngram(spark, sf_dir):
+    """Train/eval contamination: docs sharing ≥ 50% of a probe doc's
+    distinct 3-gram shingles (probe set = every 50th doc, standing in
+    for a benchmark suite).  Corpus-side single pass with the probe
+    shingles broadcast."""
+    from opentsdb_aura_spark.operators.corpus import contamination_check
+
+    d = docs(spark, sf_dir)
+    res = contamination_check(d, d.where(F.col("doc_id") % 50 == 0), n=3, min_overlap_frac=0.5)
+    return res.select("doc_id", "probe_id", _r(F.col("overlap_frac"), 6).alias("overlap_frac"))
 
 
 @register(

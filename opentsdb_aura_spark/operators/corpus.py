@@ -277,6 +277,82 @@ def resolve_duplicate_clusters(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each doc into fixed-size token chunks for training-sample
+    prep → (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    ``stride`` < ``chunk_tokens`` gives overlapping windows (the usual
+    LM-pretraining packing trick); default is non-overlapping.  Chunk
+    starts are a ``sequence`` + ``transform``/``slice`` over the token
+    array followed by one ``posexplode`` — a narrow 1→many map with no
+    shuffle, so it streams at parquet-scan speed on any corpus size.
+    Tail chunks shorter than ``chunk_tokens`` are kept (standard for
+    document-boundary-respecting packing); empty ones are dropped."""
+    stride = stride or chunk_tokens
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(starts, lambda st: F.slice(toks, st + 1, F.lit(chunk_tokens)))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "_ct"))
+        .where(F.size("_ct") > 0)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join("_ct", " ").alias("chunk_text"),
+            F.size("_ct").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    probes: DataFrame,
+    *,
+    n: int = 3,
+    min_overlap_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan: for each probe (benchmark) doc,
+    corpus docs sharing ≥ ``min_overlap_frac`` of the probe's distinct
+    n-gram shingles → (doc_id, probe_id, overlap_frac).
+
+    The probe side (an eval suite) is tiny next to the corpus, so its
+    exploded shingles are broadcast: the corpus makes a single
+    explode → broadcast-join → agg pass with map-side combine — no
+    corpus self-join and no shuffle of document text, which is what
+    keeps this viable when the corpus is 100 TB and the benchmark is
+    a few thousand items."""
+    from opentsdb_aura_spark.operators.dedup_text import word_shingles
+
+    c_sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    p_sh = probes.select(
+        F.col(id_col).alias("probe_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    p_size = p_sh.groupBy("probe_id").agg(F.count("*").alias("_pn"))
+    hits = (
+        c_sh.join(F.broadcast(p_sh), "s")
+        .where(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").alias("_inter"))
+    )
+    frac = F.col("_inter") / F.col("_pn")
+    return (
+        hits.join(F.broadcast(p_size), "probe_id")
+        .where(frac >= F.lit(min_overlap_frac))
+        .select("doc_id", "probe_id", frac.alias("overlap_frac"))
+    )
+
+
 def bigram_counts(
     docs: DataFrame, k: int = 20, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -89,6 +89,37 @@ def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+# PII masking rules, applied in order.  Patterns avoid lookaround and
+# backreferences so the same expression runs under Java regex (Spark)
+# and RE2 (DuckDB/Go) alike.  Order matters: emails first (their
+# domains contain dots that would otherwise feed the IP pattern),
+# then IPs, then the dashed-number shapes.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Mask PII-shaped spans (emails, IPv4s, SSN-shaped and phone-shaped
+    numbers) in one JVM-side pass: (doc_id, scrubbed, n_email, n_ip,
+    n_ssn, n_phone).
+
+    Each rule's count is taken over the text as already scrubbed by the
+    preceding rules, so a span consumed by an earlier mask is never
+    double-counted (an SSN inside an email's digits, say).  Everything
+    is `regexp_count`/`regexp_replace` — codegen'd, no Python, no
+    shuffle; at 100 TB this is a pure map stage."""
+    t = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_RULES:
+        counts.append(F.regexp_count(t, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        t = F.regexp_replace(t, pat, rep)
+    return docs.select(F.col(id_col).alias("doc_id"), t.alias("scrubbed"), *counts)
+
+
 def fingerprint(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive 64-bit document fingerprint: xxhash64 chained
     over token-position pairs (a rolling-hash analogue that stays in

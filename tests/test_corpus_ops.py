@@ -120,3 +120,48 @@ def test_bigram_counts(spark):
     )
     out = [(r["bigram"], r["cnt"]) for r in bigram_counts(df, k=2).collect()]
     assert out == [("a b", 3), ("b a", 1)]
+
+
+def test_chunk_documents(spark):
+    from opentsdb_aura_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "solo")], "doc_id long, text string"
+    )
+    # non-overlapping: 7 tokens / chunk 3 → chunks of 3, 3, 1
+    out = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+           for r in chunk_documents(df, chunk_tokens=3).collect()}
+    assert out[(1, 0)] == ("a b c", 3)
+    assert out[(1, 1)] == ("d e f", 3)
+    assert out[(1, 2)] == ("g", 1)
+    assert out[(2, 0)] == ("x y", 2)
+    assert out[(3, 0)] == ("solo", 1)
+    # overlapping stride: windows share their second half
+    ov = {r["chunk_idx"]: r["chunk_text"]
+          for r in chunk_documents(df.where(F.col("doc_id") == 1), chunk_tokens=4, stride=2).collect()}
+    assert ov[0] == "a b c d"
+    assert ov[1] == "c d e f"
+    assert ov[2] == "e f g"
+    assert ov[3] == "g"
+
+
+def test_contamination_check(spark):
+    from opentsdb_aura_spark.operators.corpus import contamination_check
+
+    probe_text = "alpha beta gamma delta epsilon zeta"  # 4 distinct 3-grams
+    docs = spark.createDataFrame(
+        [
+            (0, probe_text),  # the probe itself (excluded by id)
+            (1, "x " + probe_text),  # contains all 4 probe shingles
+            (2, "alpha beta gamma nothing else here"),  # 1 of 4 = 0.25
+            (3, "totally unrelated text about spark"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = docs.where(F.col("doc_id") == 0)
+    res = contamination_check(docs, probes, n=3, min_overlap_frac=0.5)
+    got = {(r["doc_id"], r["probe_id"]): r["overlap_frac"] for r in res.collect()}
+    assert got == {(1, 0): 1.0}
+    # probe side must be broadcast — the corpus never shuffles on text
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -191,6 +191,31 @@ def test_lang_id_markers(spark):
     assert out[2] == ("de", 0)
 
 
+def test_pii_scrub(spark):
+    from opentsdb_aura_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a@b.com and c.d@e-f.org end"),
+            (1, "host 10.0.255.3 ssn 123-45-6789 call 555-123-4567"),
+            (2, "clean text with no pii at all"),
+            # not an IPv4 (final group is 4 digits) — the dotted-phone
+            # shape picks up 168.123.4567 instead
+            (3, "ip 192.168.123.4567 stays weird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[0]["n_email"] == 2
+    assert out[0]["scrubbed"] == "mail <EMAIL> and <EMAIL> end"
+    assert (out[1]["n_ip"], out[1]["n_ssn"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[1]["scrubbed"] == "host <IP> ssn <SSN> call <PHONE>"
+    assert out[2]["scrubbed"] == "clean text with no pii at all"
+    assert out[2]["n_email"] + out[2]["n_ip"] + out[2]["n_ssn"] + out[2]["n_phone"] == 0
+    assert (out[3]["n_ip"], out[3]["n_phone"]) == (0, 1)
+    assert out[3]["scrubbed"] == "ip 192.<PHONE> stays weird"
+
+
 def test_multimodal_plumbing(doc_df):
     media = attach_fake_media(doc_df)
     stats = {r["kind"]: r for r in media_stats(media).collect()}

@@ -300,6 +300,34 @@ def ds_last_daily_purchase(spark, sf_dir):
 
 
 @register(
+    "bucketed_series_sum_daily",
+    f"""{ORACLE_PTS}
+SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts,
+       round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2, 3""",
+)
+def bucketed_series_sum_daily(spark, sf_dir):
+    """Per-series daily SUM from the series-bucketed cold layout
+    (sources/bucketed.py): the aggregation keys include series_id,
+    which the bucket spec already hash-partitions, so the plan carries
+    NO shuffle Exchange (asserted in tests/test_plans.py) — series
+    tags come from a broadcast dim join."""
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    pts = bucketed_metrics(spark, sf_dir).where(F.col("metric") == "purchase")
+    res = downsample(pts, START, END, DAY, "sum", group_cols=["series_id"], fill="none")
+    dim = series_dim(spark, sf_dir).select(
+        "series_id",
+        F.col("tags")["user"].alias("tag_user"),
+        F.col("tags")["k"].alias("tag_k"),
+    )
+    return res.join(F.broadcast(dim), "series_id").select(
+        "tag_user", "tag_k", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value")
+    )
+
+
+@register(
     "ds_spine_hourly_purchase",
     f"""{ORACLE_PTS},
 agg AS (

@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 3
+STORE_LAYOUT_VERSION = 4
 
 
 def write_metrics_store(
@@ -165,7 +165,40 @@ def ensure_event_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
 
     _atomic_build(build_events, events_path)
+
+    # series-bucketed cold layout (sources/bucketed.py): per-series
+    # aggregations read it shuffle-free; the analogue of the
+    # reference's long-term store keying a series' whole history
+    # together (aerospike/.../LTSAerospike.java)
+    bucketed_path = os.path.join(root, "metrics_bucketed")
+
+    def build_bucketed(tmp: str) -> None:
+        from opentsdb_aura_spark.sources.bucketed import write_bucketed_metrics
+
+        pts = spark.read.parquet(metrics_path)
+        tmp_table = write_bucketed_metrics(pts, tmp, n_buckets=8)
+        # drop only the catalog entry pointing at the tmp path; the
+        # files move to bucketed_path and are re-declared on first read
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+
+    _atomic_build(build_bucketed, bucketed_path)
     return metrics_path, dim_path
+
+
+def bucketed_metrics_path(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(STORE_ROOT, base, "metrics_bucketed")
+
+
+def bucketed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The series-bucketed metrics table for ``sf_dir`` (building the
+    store on first use), with its bucket spec declared in this
+    session's catalog so scans come up hash-partitioned on
+    series_id."""
+    from opentsdb_aura_spark.sources.bucketed import register_bucketed_metrics
+
+    ensure_event_store(spark, sf_dir)
+    return register_bucketed_metrics(spark, bucketed_metrics_path(sf_dir), n_buckets=8)
 
 
 def events_store_path(sf_dir: str) -> str:

@@ -118,6 +118,18 @@ def test_rollup_substitution_declined_on_misalignment(spark):
     assert "rollup_3600" not in plan_of(df)
 
 
+def test_bucketed_store_aggregates_without_shuffle(spark):
+    """The series-bucketed layout must serve per-series aggregation
+    with zero shuffle: the scan is already hash-partitioned on
+    series_id (Bucketed: true), so the only Exchange in the plan is
+    the broadcast of the tiny series dim."""
+    df = C.SPARK_QUERIES["bucketed_series_sum_daily"](spark, SF)
+    plan = plan_of(df)
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_topn_rank_avoids_global_sort(spark):
     """topn's ranking over per-series summaries must plan as
     TakeOrderedAndProject (bounded top-k), not a single-partition

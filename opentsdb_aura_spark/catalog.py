@@ -1487,6 +1487,146 @@ def corpus_bigram_top20(spark, sf_dir):
     return bigram_counts(docs(spark, sf_dir), k=20)
 
 
+# ============================================================ quality filters (pipeline)
+
+# Line injection shared by the repetition/line-dedup queries: the
+# synthetic corpus is single-line, so both engines rebuild each doc as
+# lines of 5 tokens (same rule, so line-level semantics are exercised
+# end-to-end and the oracle stays bit-exact).
+_LINES_SQL = r"""WITH d0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+d AS (SELECT doc_id, toks,
+        list_transform(range(0, CAST(ceil(len(toks) / 5.0) AS INT)),
+                       i -> array_to_string(toks[i*5+1:i*5+5], ' ')) AS lines
+      FROM d0)"""
+
+
+def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    nl = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * F.lit(5) + F.lit(1), 5), " "),
+    )
+    return docs(spark, sf_dir).withColumn("text", F.array_join(lines, "\n"))
+
+
+@register(
+    "quality_repetition_docs",
+    f"""{_LINES_SQL},
+l AS (SELECT doc_id, unnest(lines) AS line FROM d),
+pl AS (SELECT doc_id, line, count(*) AS c, strlen(line) AS len FROM l GROUP BY 1, 2),
+ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+              sum(c - 1) * 1.0 / sum(c) AS dup_line_frac,
+              sum((c - 1) * len) * 1.0 / sum(c * len) AS dup_line_char_frac
+       FROM pl GROUP BY 1),
+bgs AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram,
+               list_sum(list_transform(toks, t -> strlen(t))) AS tc
+        FROM d),
+pb AS (SELECT doc_id, bigram, count(*) AS c, any_value(tc) AS tc FROM bgs GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(c) AS mx, any_value(tc) AS tc FROM pb GROUP BY 1),
+tb AS (SELECT p.doc_id, min(p.bigram) AS top_bigram, any_value(m.mx) AS c, any_value(m.tc) AS tc
+       FROM pb p JOIN mx m USING (doc_id) WHERE p.c = m.mx GROUP BY 1)
+SELECT ls.doc_id, n_lines, round(dup_line_frac, 6) AS dup_line_frac,
+       round(dup_line_char_frac, 6) AS dup_line_char_frac, top_bigram,
+       round(c * (strlen(top_bigram) - 1) * 1.0 / tc, 6) AS top_bigram_char_frac
+FROM ls JOIN tb USING (doc_id)""",
+)
+def quality_repetition_docs(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-line fraction by
+    count and by characters, top-bigram character coverage) over the
+    line-injected corpus.  Two explode→pre-agg chains with map-side
+    combine — no corpus-wide hot key."""
+    from opentsdb_aura_spark.operators.quality import repetition_signals
+
+    res = repetition_signals(_docs_with_lines(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        "n_lines",
+        _r("dup_line_frac", 6).alias("dup_line_frac"),
+        _r("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        "top_bigram",
+        _r("top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
+    )
+
+
+@register(
+    "quality_gopher_flags",
+    r"""WITH t AS (SELECT doc_id, text,
+        string_split_regex(lower(trim(text)), '\s+') AS toks,
+        string_split(text, chr(10)) AS lines FROM documents),
+s AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mean_word_len,
+        list_sum(list_transform(toks, x -> strlen(x) - strlen(replace(x, '#', ''))
+          + CASE WHEN contains(x, '...') OR contains(x, '…') THEN 1 ELSE 0 END)) * 1.0 / len(toks) AS symbol_word_ratio,
+        len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* ', '• '))) * 1.0 / len(lines) AS bullet_line_frac,
+        len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0 / len(lines) AS ellipsis_line_frac,
+        len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks) AS alpha_word_frac,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stopword_hits
+      FROM t)
+SELECT doc_id, n_tokens, round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_word_ratio, 6) AS symbol_word_ratio,
+       round(bullet_line_frac, 6) AS bullet_line_frac,
+       round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       round(alpha_word_frac, 6) AS alpha_word_frac, n_stopword_hits,
+       n_tokens BETWEEN 10 AND 100000 AS ok_n_tokens,
+       mean_word_len BETWEEN 3 AND 10 AS ok_mean_word_len,
+       symbol_word_ratio <= 0.1 AS ok_symbol_ratio,
+       bullet_line_frac <= 0.9 AS ok_bullet_lines,
+       ellipsis_line_frac <= 0.3 AS ok_ellipsis_lines,
+       alpha_word_frac >= 0.8 AS ok_alpha_words,
+       n_stopword_hits >= 2 AS ok_stopwords,
+       (n_tokens BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+         AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+         AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         AND n_stopword_hits >= 2 AS keep
+FROM s""",
+)
+def quality_gopher_flags(spark, sf_dir):
+    """Gopher quality gate (Rae et al. 2021 A1.1) over the corpus:
+    raw signals, per-rule booleans, and the final keep flag.  Pure
+    codegen'd map stage — zero shuffle at any scale."""
+    from opentsdb_aura_spark.operators.quality import gopher_quality_flags
+
+    res = gopher_quality_flags(docs(spark, sf_dir), min_tokens=10)
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        _r("mean_word_len", 6).alias("mean_word_len"),
+        _r("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        _r("bullet_line_frac", 6).alias("bullet_line_frac"),
+        _r("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        _r("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "n_stopword_hits",
+        *[c for c in res.columns if c.startswith("ok_")],
+        "keep",
+    )
+
+
+@register(
+    "corpus_line_dedup_docs",
+    f"""{_LINES_SQL},
+l AS (SELECT doc_id, unnest(range(0, len(lines))) AS pos, lines FROM d),
+l2 AS (SELECT doc_id, pos, lines[pos + 1] AS line FROM l),
+r AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l2)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn <= 1 THEN line END, chr(10) ORDER BY pos), '') AS cleaned_text,
+       CAST(count(*) FILTER (rn <= 1) AS BIGINT) AS n_lines_kept,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_lines_dropped
+FROM r GROUP BY doc_id""",
+)
+def corpus_line_dedup_docs(spark, sf_dir):
+    """C4-style corpus-wide line dedup (first occurrence by (doc_id,
+    line position) wins; the tiny vocabulary makes cross-doc duplicate
+    lines common).  One shuffle on the line key, one on doc_id."""
+    from opentsdb_aura_spark.operators.quality import corpus_line_dedup
+
+    return corpus_line_dedup(_docs_with_lines(spark, sf_dir))
+
+
 # ============================================================ multimodal plumbing
 
 

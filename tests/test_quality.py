@@ -1,0 +1,104 @@
+"""Quality-filter suite: repetition signals, Gopher-style gates, and
+corpus-wide line dedup — hand-computed fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.operators.quality import (
+    corpus_line_dedup,
+    gopher_quality_flags,
+    repetition_signals,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # doc 1: 4 lines, one exact repeat ("b b"); top bigram "b b" (3x)
+        (1, "a b\nb b\nc d\nb b"),
+        # doc 2: no repeats at all
+        (2, "x y\nz w"),
+        # doc 3: single line, single token — no bigrams
+        (3, "solo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_signals(spark, docs):
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    r1 = got[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == pytest.approx(1 / 4)  # one repeated "b b"
+    # chars: lines are 3,3,3,3 → repeated chars 3 of 12
+    assert r1["dup_line_char_frac"] == pytest.approx(3 / 12)
+    # tokens a b b b c d b b → bigrams: "a b","b b","b b","b c","c d","d b","b b"
+    assert r1["top_bigram"] == "b b"
+    # 3 occurrences × 2 chars over 8 single-char tokens
+    assert r1["top_bigram_char_frac"] == pytest.approx(3 * 2 / 8)
+    r2 = got[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["top_bigram"] in ("x y", "y z", "z w")  # all count 1 → min = "x y"
+    assert r2["top_bigram"] == "x y"
+    r3 = got[3]
+    assert r3["n_lines"] == 1 and r3["top_bigram"] is None
+    assert r3["top_bigram_char_frac"] == 0.0
+
+
+def test_gopher_flags_keep_and_reject(spark):
+    good = " ".join(["the quick brown fox jumps over the lazy dog near a tree and"] * 5)
+    rows = [
+        (1, good),  # 60 tokens, sane ratios → keep
+        (2, "short doc only"),  # too few tokens
+        (3, " ".join(["####"] * 60)),  # symbols, no alpha, no stopwords
+        (4, "\n".join(["- bullet line"] * 30) + "\n" + " ".join(["the and of to is a in"] * 9)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df, min_tokens=50).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["ok_n_tokens"] is False
+    assert got[3]["keep"] is False
+    assert got[3]["ok_symbol_ratio"] is False and got[3]["ok_alpha_words"] is False
+    # doc 4: 30 of 31 lines start with "- " → bullet frac > 0.9
+    assert got[4]["ok_bullet_lines"] is False
+
+
+def test_gopher_signal_values(spark):
+    df = spark.createDataFrame([(1, "the cat... sat\n- on the mat")], "doc_id long, text string")
+    r = gopher_quality_flags(df, min_tokens=1).collect()[0]
+    assert r["n_tokens"] == 7
+    assert r["n_stopword_hits"] == 2  # "the" twice
+    assert r["bullet_line_frac"] == pytest.approx(1 / 2)
+    assert r["ellipsis_line_frac"] == 0.0  # "sat" ends the line, not "..."
+    assert r["symbol_word_ratio"] == pytest.approx(1 / 7)  # one "..." token hit
+
+
+def test_corpus_line_dedup_first_occurrence_wins(spark):
+    rows = [
+        (1, "keep one\nshared line\nkeep two"),
+        (2, "shared line\nunique here"),
+        (3, "shared line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus_line_dedup(df).collect()}
+    assert got[1]["cleaned_text"] == "keep one\nshared line\nkeep two"
+    assert got[1]["n_lines_dropped"] == 0
+    assert got[2]["cleaned_text"] == "unique here"
+    assert got[2]["n_lines_dropped"] == 1
+    assert got[3]["cleaned_text"] == ""
+    assert got[3]["n_lines_kept"] == 0 and got[3]["n_lines_dropped"] == 1
+
+
+def test_corpus_line_dedup_max_occurrences(spark):
+    rows = [(1, "dup\ndup\ndup"), (2, "dup")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus_line_dedup(df, max_occurrences=2).collect()}
+    assert got[1]["cleaned_text"] == "dup\ndup"
+    assert got[2]["n_lines_kept"] == 0
+
+
+def test_repetition_no_shuffle_hotkey_shape(spark, docs):
+    # structural: the plan is two aggregate chains + a join — no
+    # cartesian, no python UDF
+    plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1487,6 +1487,54 @@ def corpus_bigram_top20(spark, sf_dir):
     return bigram_counts(docs(spark, sf_dir), k=20)
 
 
+@register(
+    "pipeline_pack_sequences",
+    r"""WITH t AS (SELECT doc_id, len(string_split_regex(lower(trim(text)), '\s+')) AS n
+           FROM documents),
+c AS (SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ts
+      FROM t)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(ts AS BIGINT) AS token_start,
+       CAST(ts // 128 AS BIGINT) AS seq_first,
+       CAST(ts % 128 AS BIGINT) AS offset_first,
+       CAST((ts + n - 1) // 128 AS BIGINT) AS seq_last
+FROM c""",
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence packing into 128-token
+    training sequences: per-doc stream offsets via a two-level
+    distributed prefix sum (per-block sums → tiny block-offset window
+    → broadcast join + bounded within-block window) — no global
+    single-partition window at any corpus size."""
+    from opentsdb_aura_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(docs(spark, sf_dir), seq_len=128)
+
+
+@register(
+    "pipeline_mixture_sample",
+    f"""SELECT doc_id, source
+FROM (SELECT doc_id, source, {_md5_bucket_sql("doc_id", "mixture")} AS b FROM documents)
+WHERE b < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                      WHEN 'src2' THEN 250000 ELSE 100000 END""",
+)
+def pipeline_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling: per-source keep rates (100%/50%/25%,
+    10% default) as a deterministic hash filter — a narrow map that
+    pushes down to the scan; the oracle replicates the md5 bucket
+    bit-for-bit."""
+    from opentsdb_aura_spark.operators.corpus import mixture_sample
+
+    res = mixture_sample(
+        docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        domain_col="source",
+    )
+    return res.select("doc_id", "source")
+
+
 # ============================================================ quality filters (pipeline)
 
 # Line injection shared by the repetition/line-dedup queries: the

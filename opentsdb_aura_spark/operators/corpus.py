@@ -375,3 +375,94 @@ def bigram_counts(
         .orderBy(F.col("cnt").desc(), F.col("bigram"))
         .limit(k)
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_size: int = 4096,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in ``doc_id``
+    order into one token stream and cut it into fixed ``seq_len``
+    training sequences (documents span sequence boundaries — the
+    standard concat-then-chunk packing used for LM pre-training).
+    Returns one row per doc: (doc_id, n_tokens, token_start,
+    seq_first, offset_first, seq_last).
+
+    The global running offset is a TWO-LEVEL cumulative sum, because a
+    single ``Window.orderBy(doc_id)`` would funnel the whole corpus
+    through one partition:
+
+    1. per-block token sums (``block = doc_id // block_size`` — a hash
+       agg with map-side combine),
+    2. an exclusive cumsum over that block aggregate (a window over
+       ~corpus_docs/block_size rows — thousands of rows even at 100 TB,
+       so its single partition is trivially small),
+    3. a broadcast join of block offsets back onto docs, plus a
+       within-block window cumsum partitioned by block (each partition
+       bounded by ``block_size`` rows).
+
+    This is the distributed prefix-sum shape; every stage is bounded
+    regardless of corpus size.  Assignment is a pure function of the
+    corpus ordered by doc_id, so the oracle is a plain SQL window
+    cumsum."""
+    d = F.col(id_col)
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        d.alias("doc_id"),
+        (d / F.lit(block_size)).cast("long").alias("_blk"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    blocks = base.groupBy("_blk").agg(F.sum("n_tokens").alias("_bn"))
+    w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = blocks.withColumn("_boff", F.coalesce(F.sum("_bn").over(w_blk), F.lit(0)))
+    w_in = Window.partitionBy("_blk").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    start = F.col("_boff") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    L = F.lit(int(seq_len))
+    return (
+        base.join(F.broadcast(blocks.select("_blk", "_boff")), "_blk")
+        .withColumn("token_start", start.cast("bigint"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "token_start",
+            (F.col("token_start") / L).cast("bigint").alias("seq_first"),
+            (F.col("token_start") % L).cast("bigint").alias("offset_first"),
+            (
+                F.when(F.col("n_tokens") > 0, (F.col("token_start") + F.col("n_tokens") - 1) / L)
+                .otherwise(F.col("token_start") / L)
+                .cast("bigint")
+            ).alias("seq_last"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    domain_col: str = "source",
+    default_rate: float = 0.0,
+    salt: str = "mixture",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture sampling: keep each doc with its domain's
+    configured rate (e.g. up-weight curated sources, down-weight web
+    crawl when composing a training mixture).  Deterministic — the
+    decision is a pure function of (doc_id, salt), so re-runs, appends
+    and engine ports agree row-for-row; domains absent from ``rates``
+    get ``default_rate``.
+
+    A narrow filter (hash-compare per row, no shuffle, no sampling
+    state), so it composes with split_assign/pack_sequences without
+    adding a stage; the filter pushes down to the scan."""
+    bucket = det_hash_bucket(F.col(id_col), salt)
+    rate = None
+    for dom, r in sorted(rates.items()):
+        cond = F.col(domain_col) == F.lit(dom)
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
+    return docs.where(bucket < rate * F.lit(HASH_BUCKETS))

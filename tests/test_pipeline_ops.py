@@ -304,3 +304,44 @@ def test_multimodal_resize_and_frames(doc_df):
     assert set(by_media) == set(vids)
     for mid, idxs in by_media.items():
         assert idxs == list(range(0, vids[mid], 10))
+
+
+def test_pack_sequences_offsets_and_spans(spark):
+    from opentsdb_aura_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in [(0, 3), (1, 5), (2, 10), (3, 2)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pack_sequences(df, seq_len=8, block_size=2).collect()}
+    # stream: doc0 [0,3) doc1 [3,8) doc2 [8,18) doc3 [18,20)
+    assert [got[i]["token_start"] for i in range(4)] == [0, 3, 8, 18]
+    assert got[1]["seq_first"] == 0 and got[1]["seq_last"] == 0  # tokens 3..7
+    assert got[2]["seq_first"] == 1 and got[2]["seq_last"] == 2  # tokens 8..17
+    assert got[2]["offset_first"] == 0
+    assert got[3]["seq_first"] == 2 and got[3]["offset_first"] == 2
+
+
+def test_pack_sequences_two_level_cumsum_matches_global(spark):
+    from opentsdb_aura_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(["t"] * (i % 7 + 1))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(pack_sequences(df, seq_len=16, block_size=8).collect(), key=lambda r: r["doc_id"])
+    run = 0
+    for r in got:
+        assert r["token_start"] == run
+        run += r["n_tokens"]
+
+
+def test_mixture_sample_deterministic_and_rated(spark):
+    from opentsdb_aura_spark.operators.corpus import mixture_sample
+
+    rows = [(i, "x", ["web", "books"][i % 2]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    res = mixture_sample(df, {"books": 1.0, "web": 0.25}, default_rate=0.0)
+    got = res.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts["books"] == 1000  # rate 1.0 keeps everything
+    assert 150 < counts["web"] < 350  # ~25% of 1000
+    # deterministic: second run identical
+    again = mixture_sample(df, {"books": 1.0, "web": 0.25}, default_rate=0.0)
+    assert sorted(r["doc_id"] for r in res.collect()) == sorted(r["doc_id"] for r in again.collect())

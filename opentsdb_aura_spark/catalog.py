@@ -2166,6 +2166,30 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @register(
+    "semdedup_embeddings",
+    """WITH dup AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of
+  FROM embeddings a JOIN embeddings b ON b.vec_id < a.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))) >= 0.45
+  GROUP BY 1)
+SELECT e.vec_id, dup.dup_of IS NULL AS kept, CAST(0 AS INT) AS cluster_id, dup.dup_of
+FROM embeddings e LEFT JOIN dup ON e.vec_id = dup.vec_id""",
+)
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup semantic dedup (greedy keep-lowest-id within cluster).
+    Run with a single centroid the within-cluster scoring covers every
+    pair, so the exact SQL self-join is a true oracle — the same trick
+    as `ann_ivf_topk`'s full probe; production raises n_centroids so
+    per-cluster pair work stays (n/k)²."""
+    from opentsdb_aura_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(embs(spark, sf_dir), threshold=0.45, n_centroids=1)
+
+
+@register(
     "opentsdb_json_query",
     f"""{ORACLE_PTS}
 SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(max(value), 4) AS max_value

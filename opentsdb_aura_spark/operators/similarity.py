@@ -293,3 +293,76 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_sim") >= F.lit(threshold))
     )
     return scored.select("id_a", "id_b", "cos_sim")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_centroids: int = 64,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then inside each
+    cluster drop every vector whose cosine similarity to a LOWER-id
+    cluster member exceeds ``threshold`` (greedy keep-first, the
+    paper's keep-one-per-duplicate-group policy made deterministic by
+    id order).  Returns (vec_id, kept, cluster_id, dup_of) — ``dup_of``
+    is the smallest-id member it duplicates, NULL for kept rows.
+
+    Scale shape: centroids fit on a driver-side sample (like
+    ``ivf_topk``), assignment is one Arrow-batched narrow map, and the
+    pairwise scoring happens ONLY within clusters via a self-join on
+    ``cluster_id`` — a shuffle keyed by cluster with no broadcast of
+    either side.  Cluster sizes are ~n/k, so the per-key pair work is
+    (n/k)² instead of the corpus-wide n²; at 100 TB k scales with the
+    corpus to keep lists bounded.  The greedy keep-first rule needs no
+    iteration: a vector is dropped iff SOME lower-id member within the
+    cluster is similar — kept/dropped status of the lower member does
+    not matter for the paper's dedup semantics (similarity is
+    near-transitive above high thresholds), which is what makes this a
+    single join + aggregation instead of a sequential scan.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    smp = [
+        r["v"]
+        for r in corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(int(sample))
+        .collect()
+    ]
+    cent = _spherical_kmeans(smp, n_centroids, iters)
+    cent_rows = [[float(x) for x in row] for row in cent]
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        c = np.asarray(cent_rows, dtype=np.float64)
+        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        return pd.Series(np.argmax(x @ c.T, axis=1).astype("int32"))
+
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), nearest_list(F.col(vec_col)).alias("cluster_id")
+    )
+    lo = assigned.select(
+        F.col("cluster_id"), F.col("vec_id").alias("_lo_id"), F.col("_v").alias("_lo_v")
+    )
+    dup = (
+        assigned.join(lo, "cluster_id")
+        .where(F.col("_lo_id") < F.col("vec_id"))
+        .where(cosine(F.col("_v"), F.col("_lo_v")) >= F.lit(float(threshold)))
+        .groupBy("vec_id")
+        .agg(F.min("_lo_id").alias("dup_of"))
+    )
+    return assigned.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("dup_of").isNull().alias("kept"),
+        "cluster_id",
+        "dup_of",
+    )

@@ -345,3 +345,48 @@ def test_mixture_sample_deterministic_and_rated(spark):
     # deterministic: second run identical
     again = mixture_sample(df, {"books": 1.0, "web": 0.25}, default_rate=0.0)
     assert sorted(r["doc_id"] for r in res.collect()) == sorted(r["doc_id"] for r in again.collect())
+
+
+def test_semantic_dedup_planted_dups(spark):
+    from opentsdb_aura_spark.operators.similarity import semantic_dedup
+
+    # two well-separated directions; ids 0/1/2 identical, 10/11 identical
+    a, b = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, a), (1, a), (2, a), (10, b), (11, b), (20, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.99, n_centroids=2, sample=6).collect()}
+    assert got[0]["kept"] is True and got[0]["dup_of"] is None
+    assert got[1]["kept"] is False and got[1]["dup_of"] == 0
+    assert got[2]["kept"] is False and got[2]["dup_of"] == 0
+    assert got[10]["kept"] is True
+    assert got[11]["kept"] is False and got[11]["dup_of"] == 10
+    assert got[20]["kept"] is True
+
+
+def test_semantic_dedup_single_cluster_equals_exact(spark):
+    from opentsdb_aura_spark.operators.similarity import embedding_near_dup_pairs, semantic_dedup
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # planted exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sd = semantic_dedup(df, threshold=0.98, n_centroids=1, sample=50)
+    dropped = {r["vec_id"]: r["dup_of"] for r in sd.collect() if not r["kept"]}
+    pairs = embedding_near_dup_pairs(df, threshold=0.98)
+    expect = {}
+    for r in pairs.collect():
+        expect[r["id_b"]] = min(expect.get(r["id_b"], r["id_a"]), r["id_a"])
+    assert dropped == expect
+
+
+def test_semantic_dedup_no_broadcast_of_corpus(spark):
+    from opentsdb_aura_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i % 5), 1.0, 0.0, 0.0]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = semantic_dedup(df, n_centroids=4, sample=100)._jdf.queryExecution().executedPlan().toString()
+    # the within-cluster self-join must shuffle on cluster_id, never
+    # broadcast a corpus side (driver OOM hazard at 100 TB)
+    assert "CartesianProduct" not in plan

@@ -355,6 +355,42 @@ def ds_spine_hourly_purchase(spark, sf_dir):
     return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
+@register(
+    "ds_spine_from_dim_daily",
+    f"""{ORACLE_PTS},
+u AS (SELECT DISTINCT tag_user FROM dpts WHERE metric = 'purchase'),
+agg AS (
+  SELECT tag_user, {_bucket_sql(DAY, SPINE_START)} AS bucket_ts,
+         round(sum(value), 4) AS sum_value
+  FROM dpts WHERE metric = 'purchase' AND ts >= {SPINE_START} AND ts < {SPINE_END}
+  GROUP BY 1, 2)
+SELECT u.tag_user, r.range AS bucket_ts, a.sum_value
+FROM u CROSS JOIN range({SPINE_START}, {SPINE_END}, {DAY}) r
+LEFT JOIN agg a ON a.tag_user = u.tag_user AND a.bucket_ts = r.range""",
+)
+def ds_spine_from_dim_daily(spark, sf_dir):
+    """A8 meta-driven spine: the group universe comes from the filtered
+    series_dim (the reference's meta-index selection,
+    TimeSeriesShard.java:677-758), so a user whose purchase series has
+    zero points inside the 2-day window still emits its all-NaN daily
+    rows — the result-derived spine would drop that group entirely."""
+    q = _mq(
+        start=SPINE_START,
+        end=SPINE_END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(
+        points(spark, sf_dir), q, dedupe=False,
+        series_dim=series_dim(spark, sf_dir), spine_from_dim=True,
+    )
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
 # ============================================================ rate family (R1-R5)
 
 _RATE_PRELUDE = f"""{ORACLE_PTS},

@@ -141,6 +141,7 @@ def downsample(
     fill: str = "nan",  # "nan" | "zero" | "null" | "none"
     value_col: str = "value",
     ts_col: str = "ts",
+    spine_groups: DataFrame | None = None,
 ) -> DataFrame:
     """Downsample ``points`` into (group_cols…, bucket_ts, value).
 
@@ -199,7 +200,9 @@ def downsample(
     result = grouped.select(*group_cols, "bucket_ts", value.alias("value"))
 
     if fill != "none":
-        result = fill_spine(result, points, start, end, interval, group_cols, fill=fill)
+        result = fill_spine(
+            result, points, start, end, interval, group_cols, fill=fill, spine_groups=spine_groups
+        )
     return result
 
 
@@ -211,6 +214,7 @@ def fill_spine(
     interval: int,
     group_cols: Sequence[str],
     fill: str = "nan",
+    spine_groups: DataFrame | None = None,
 ) -> DataFrame:
     """Dense interval spine (A8): every (group, bucket) in
     [start, end) surfaces a row; missing buckets carry the fill value
@@ -222,6 +226,15 @@ def fill_spine(
     the *output* cardinality, produced by an explode of a generated
     ``sequence`` (no shuffle beyond the distinct on group keys, which
     the preceding aggregation already partitioned by).
+
+    ``spine_groups`` — optional meta-driven group universe (one row per
+    group, exactly ``group_cols`` columns).  By default the spine
+    derives from the *result*, so a series the filter matched that has
+    zero in-range points emits nothing; the reference's meta index
+    selects series independently of the scanned range and such a series
+    yields an all-NaN vector (TimeSeriesShard.java:677-758 selection vs
+    AuraMetricsNumericArrayIterator missing-segment NaN fill).  Pass the
+    filtered ``series_dim`` projection to reproduce that contract.
     """
     group_cols = list(group_cols)
     fill_value = {
@@ -237,7 +250,10 @@ def fill_spine(
         )
         joined = spine.join(result, on="bucket_ts", how="left")
     else:
-        groups = result.select(*group_cols).distinct()
+        if spine_groups is not None:
+            groups = spine_groups.select(*group_cols).distinct()
+        else:
+            groups = result.select(*group_cols).distinct()
         spine = groups.select(
             *group_cols,
             F.explode(

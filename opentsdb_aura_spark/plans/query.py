@@ -90,6 +90,7 @@ def _rollup_substitution(
     q: MetricQuery,
     rollups: dict[int, DataFrame],
     series_dim: DataFrame | None,
+    spine_from_dim: bool = False,
 ) -> DataFrame | None:
     """A10 — automatic rollup substitution inside the query node,
     mirroring the reference's selection of a stored aggregate stream
@@ -158,8 +159,32 @@ def _rollup_substitution(
     if shift:
         res = res.withColumn("bucket_ts", (F.col("bucket_ts") + F.lit(shift)).cast("long"))
     if q.fill != "none":
-        res = fill_spine(res, points, q.start, q.end, q.interval, out_groups, fill=q.fill)
+        spine_groups = matched.select(*out_groups) if spine_from_dim else None
+        res = fill_spine(
+            res, points, q.start, q.end, q.interval, out_groups,
+            fill=q.fill, spine_groups=spine_groups,
+        )
     return res
+
+
+def _dim_spine_groups(
+    points: DataFrame,
+    q: MetricQuery,
+    series_dim: DataFrame | None,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Meta-driven spine universe: the series (or tag groups) the
+    filter matches, independent of the scanned time range — the
+    reference's meta-index selection (TimeSeriesShard.java:677-758),
+    where a matched series with no in-range points still yields an
+    all-NaN output vector."""
+    dim = series_dim
+    if dim is None:
+        dim = points.select("series_id", "metric", "tags").dropDuplicates(["series_id"])
+    dim = dim.where(compile_filter(q.filter))
+    if q.group_tag_keys:
+        dim = with_group_keys(dim, q.group_tag_keys)
+    return dim.select(*group_cols)
 
 
 def run_metric_query(
@@ -170,6 +195,7 @@ def run_metric_query(
     fuse_group_agg: bool = True,
     rollups: dict[int, DataFrame] | None = None,
     series_dim: DataFrame | None = None,
+    spine_from_dim: bool = False,
 ) -> DataFrame:
     """Execute a MetricQuery over a normalized points DataFrame.
 
@@ -183,9 +209,16 @@ def run_metric_query(
     never mentions rollups, exactly as in the reference.  ``series_dim``
     optionally serves the filter→series resolution (the meta index);
     without it a distinct-series projection of ``points`` is used.
+
+    ``spine_from_dim`` — derive the NaN-spine group universe from the
+    meta index (filtered ``series_dim``) rather than from the result:
+    filter-matched series/groups with zero in-range points then emit
+    all-NaN rows, the reference's behavior (its meta selection runs
+    before any segment is read).  Default off: the result-derived spine
+    is what the round-1 oracles encode.
     """
     if rollups:
-        substituted = _rollup_substitution(points, q, rollups, series_dim)
+        substituted = _rollup_substitution(points, q, rollups, series_dim, spine_from_dim)
         if substituted is not None:
             return substituted
     shift = int(q.shift_seconds)
@@ -226,6 +259,9 @@ def run_metric_query(
         fused = _FUSABLE_DS_GB.get(
             (normalize_agg(q.ds_agg), _ALIASES.get(q.gb_agg.lower(), q.gb_agg.lower()))
         )
+        spine_groups = None
+        if spine_from_dim and q.fill != "none":
+            spine_groups = _dim_spine_groups(points, q, series_dim, group_keys)
         if fuse_group_agg and fused is not None:
             # single-shot: one hash aggregation by (group keys, bucket)
             # replaces per-series downsample + group merge (SURVEY §2.3b
@@ -241,6 +277,7 @@ def run_metric_query(
                 reporting_dps=q.reporting_dps,
                 run_all=q.run_all,
                 fill=q.fill,
+                spine_groups=spine_groups,
             )
         # two-stage: per-series downsample (sparse), then group merge,
         # then the NaN spine once at group granularity — cheaper than
@@ -267,10 +304,16 @@ def run_metric_query(
             from opentsdb_aura_spark.operators.downsample import fill_spine
 
             interval = (q.end - q.start) if (q.run_all or q.interval is None) else q.interval
-            merged = fill_spine(merged, df, q.start, q.end, interval, group_keys, fill=q.fill)
+            merged = fill_spine(
+                merged, df, q.start, q.end, interval, group_keys,
+                fill=q.fill, spine_groups=spine_groups,
+            )
         return merged
 
     # raw per-series result (G4)
+    spine_groups = None
+    if spine_from_dim and q.fill != "none":
+        spine_groups = _dim_spine_groups(points, q, series_dim, ["series_id"])
     return downsample(
         df,
         q.start,
@@ -282,6 +325,7 @@ def run_metric_query(
         reporting_dps=q.reporting_dps,
         run_all=q.run_all,
         fill=q.fill,
+        spine_groups=spine_groups,
     )
 
 

@@ -126,3 +126,49 @@ def test_fill_policies(make_points):
         vals = rows_by(res, "bucket_ts")
         assert len(vals) == 3
         assert_close(vals[BASE + 60], want_mid)
+
+
+def test_spine_from_dim_emits_all_nan_groups(make_points):
+    """A8 meta-driven spine: a filter-matched series with zero
+    in-range points emits all-NaN rows when the spine universe comes
+    from the meta index (spine_from_dim=True), and nothing by default
+    (the round-1 result-derived contract)."""
+    from opentsdb_aura_spark.filters import MetricLiteral
+    from opentsdb_aura_spark.plans.query import MetricQuery, run_metric_query
+
+    # user a has points inside [BASE, BASE+120); user b only BEFORE it
+    pts = make_points(
+        [("m", {"user": "a"}, BASE + off, 1.0) for off in (0, 60)]
+        + [("m", {"user": "b"}, BASE - 600, 5.0)]
+    )
+    q = MetricQuery(
+        start=BASE, end=BASE + 120, interval=60, ds_agg="sum",
+        filter=MetricLiteral("m"), group_tag_keys=["user"], gb_agg="sum",
+    )
+    default = run_metric_query(pts, q)
+    assert {r["tag_user"] for r in default.collect()} == {"a"}
+
+    from_dim = run_metric_query(pts, q, spine_from_dim=True)
+    rows = {(r["tag_user"], r["bucket_ts"]): r["value"] for r in from_dim.collect()}
+    assert {u for u, _ in rows} == {"a", "b"}
+    assert all(math.isnan(rows[("b", BASE + i * 60)]) for i in range(2))
+    assert rows[("a", BASE)] == 1.0
+
+
+def test_spine_from_dim_raw_per_series(make_points):
+    """Same contract on the raw per-series (G4) path, dim supplied."""
+    from opentsdb_aura_spark.filters import MetricLiteral
+    from opentsdb_aura_spark.operators.meta import build_series_dim
+    from opentsdb_aura_spark.plans.query import MetricQuery, run_metric_query
+
+    pts = make_points(
+        [("m", {"user": "a"}, BASE, 1.0), ("m", {"user": "b"}, BASE - 600, 5.0)]
+    )
+    dim = build_series_dim(pts)
+    q = MetricQuery(start=BASE, end=BASE + 60, interval=60, ds_agg="sum",
+                    filter=MetricLiteral("m"))
+    res = run_metric_query(pts, q, series_dim=dim, spine_from_dim=True)
+    vals = {r["series_id"]: r["value"] for r in res.collect()}
+    assert len(vals) == 2
+    assert sorted(v for v in vals.values() if not math.isnan(v)) == [1.0]
+    assert sum(1 for v in vals.values() if math.isnan(v)) == 1

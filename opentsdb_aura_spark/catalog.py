@@ -897,6 +897,26 @@ def meta_cardinality(spark, sf_dir):
 
 
 @register(
+    "meta_active_series_window",
+    f"""{ORACLE_PTS}
+SELECT metric, count(DISTINCT (tag_user, tag_k)) AS active_series
+FROM dpts WHERE ts >= {START + 7 * DAY} AND ts < {START + 14 * DAY}
+GROUP BY metric""",
+)
+def meta_active_series_window(spark, sf_dir):
+    """T6 — per-metric active-series count over a day-aligned week,
+    served ENTIRELY from the epoch-presence table (the Spark shape of
+    Myst's per-series epoch bitmaps,
+    MetaTimeSeriesQueryResult.java:89-94): no raw point is read.  The
+    window is day-aligned so epoch granularity equals exact range
+    semantics and the raw-scan oracle hash-matches."""
+    from opentsdb_aura_spark.operators.meta import active_series, build_epoch_presence
+
+    pres = build_epoch_presence(points(spark, sf_dir), epoch_width=DAY)
+    return active_series(pres, START + 7 * DAY, START + 14 * DAY, epoch_width=DAY)
+
+
+@register(
     "meta_list_series_signup",
     f"""{ORACLE_PTS}
 SELECT metric, tag_user, tag_k FROM series WHERE metric = 'signup'""",

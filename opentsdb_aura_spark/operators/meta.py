@@ -81,6 +81,54 @@ def cardinality(series_dim: DataFrame, flt: Filter | None = None, approx: bool =
     return _filtered(series_dim, flt).agg(agg)
 
 
+def build_epoch_presence(points: DataFrame, epoch_width: int = 7200) -> DataFrame:
+    """T6 — per-series epoch presence: one row per (series_id, metric,
+    epoch) where the series has at least one point, with the point
+    count.  The Spark shape of Myst's per-series RoaringBitmap of
+    epochs (MetaTimeSeriesQueryResult.java:89-94), which the reference
+    uses to skip record windows that hold no data.
+
+    Built at flush time alongside the rollups (one extra map-side
+    combine over data already being aggregated); the result is
+    ~|points|/points-per-series-epoch smaller than the fact table, so
+    meta questions like "how many series were active last week" never
+    touch raw points at 100 TB.
+    """
+    epoch = (F.col("ts") - F.col("ts") % F.lit(int(epoch_width))).cast("long")
+    return points.groupBy("series_id", "metric", epoch.alias("epoch")).agg(
+        F.count("*").alias("n_points")
+    )
+
+
+def active_series(presence: DataFrame, start: int, end: int, epoch_width: int = 7200) -> DataFrame:
+    """Per-metric count of series with any data in [start, end),
+    answered entirely from the presence table.  Epoch granularity: the
+    first epoch is floored, so a range that starts mid-epoch includes
+    series whose only points fall earlier in that epoch — exactly the
+    reference's bitmap-granular skip semantics; align start/end to the
+    epoch width for exact range counts."""
+    lo = int(start) - int(start) % int(epoch_width)
+    return (
+        presence.where((F.col("epoch") >= F.lit(lo)) & (F.col("epoch") < F.lit(int(end))))
+        .groupBy("metric")
+        .agg(F.count_distinct("series_id").alias("active_series"))
+    )
+
+
+def presence_active_ids(
+    presence: DataFrame, start: int, end: int, epoch_width: int = 7200
+) -> DataFrame:
+    """Distinct series_ids with any data in [start, end) — the
+    broadcast side of the meta→data semi-join (J1) when a query wants
+    to skip series the epoch bitmaps prove empty."""
+    lo = int(start) - int(start) % int(epoch_width)
+    return (
+        presence.where((F.col("epoch") >= F.lit(lo)) & (F.col("epoch") < F.lit(int(end))))
+        .select("series_id")
+        .distinct()
+    )
+
+
 def build_series_dim(points: DataFrame) -> DataFrame:
     """Derive the series dimension from normalized points (S2/S7):
     one row per series with first/last observation and last value

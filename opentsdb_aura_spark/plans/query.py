@@ -196,6 +196,8 @@ def run_metric_query(
     rollups: dict[int, DataFrame] | None = None,
     series_dim: DataFrame | None = None,
     spine_from_dim: bool = False,
+    presence: DataFrame | None = None,
+    presence_epoch_width: int = SEGMENT_WIDTH_SECONDS,
 ) -> DataFrame:
     """Execute a MetricQuery over a normalized points DataFrame.
 
@@ -216,6 +218,13 @@ def run_metric_query(
     all-NaN rows, the reference's behavior (its meta selection runs
     before any segment is read).  Default off: the result-derived spine
     is what the round-1 oracles encode.
+
+    ``presence`` — optional epoch-presence table
+    (``build_epoch_presence``): the scan semi-joins against the series
+    active in the scanned range (broadcast, J1), skipping series the
+    epoch bitmaps prove empty — the reference's Myst epoch-bitmap
+    record skipping (MetaTimeSeriesQueryResult.java:89-94).  Pure
+    pruning: series without in-range points contribute no rows anyway.
     """
     if rollups:
         substituted = _rollup_substitution(points, q, rollups, series_dim, spine_from_dim)
@@ -233,6 +242,12 @@ def run_metric_query(
         lo = scan_start - scan_start % q.segment_width
         pred = pred & (F.col("segment_time") >= F.lit(lo)) & (F.col("segment_time") < F.lit(int(scan_end)))
     df = points.where(pred)
+
+    if presence is not None:
+        from opentsdb_aura_spark.operators.meta import presence_active_ids
+
+        active = presence_active_ids(presence, scan_start, scan_end, presence_epoch_width)
+        df = df.join(F.broadcast(active), "series_id", "left_semi")
 
     if dedupe:
         df = dedupe_last_write_wins(df)

@@ -237,3 +237,48 @@ def test_splice_hot_cold_routes_by_boundary(make_points):
             assert v >= 100.0, (host, ts, v)  # cold side
         else:
             assert v < 100.0, (host, ts, v)  # hot side
+
+
+def test_epoch_presence_and_active_series(make_points):
+    """T6 — presence table: one row per (series, epoch) with data;
+    active_series counts from presence only."""
+    from opentsdb_aura_spark.operators.meta import active_series, build_epoch_presence
+
+    pts = make_points(
+        [("m1", {"h": "a"}, BASE + off, 1.0) for off in (0, 10, 7200)]  # epochs 0,1
+        + [("m1", {"h": "b"}, BASE + 3 * 7200, 1.0)]  # epoch 3 only
+        + [("m2", {"h": "a"}, BASE, 1.0)]
+    )
+    pres = build_epoch_presence(pts, epoch_width=7200)
+    rows = {(r["metric"], r["epoch"]): r["n_points"] for r in pres.collect()}
+    assert rows[("m1", BASE)] == 2  # two points in first epoch
+    assert rows[("m1", BASE + 7200)] == 1
+    assert len(rows) == 4
+
+    # window covering epochs 0-1: series a active, b not
+    act = {r["metric"]: r["active_series"] for r in
+           active_series(pres, BASE, BASE + 2 * 7200, epoch_width=7200).collect()}
+    assert act == {"m1": 1, "m2": 1}
+    # window covering epoch 3 only
+    act = {r["metric"]: r["active_series"] for r in
+           active_series(pres, BASE + 3 * 7200, BASE + 4 * 7200, epoch_width=7200).collect()}
+    assert act == {"m1": 1}
+
+
+def test_presence_pruning_preserves_results(make_points):
+    """Presence semi-join is pure pruning: identical result values."""
+    from opentsdb_aura_spark.filters import MetricLiteral
+    from opentsdb_aura_spark.operators.meta import build_epoch_presence
+    from opentsdb_aura_spark.plans.query import MetricQuery, run_metric_query
+
+    pts = make_points(
+        [("m", {"h": "a"}, BASE + i * 60, float(i)) for i in range(10)]
+        + [("m", {"h": "b"}, BASE - 7200, 99.0)]  # outside the scanned range
+    )
+    pres = build_epoch_presence(pts, epoch_width=7200)
+    q = MetricQuery(start=BASE, end=BASE + 600, interval=300, ds_agg="sum",
+                    filter=MetricLiteral("m"), group_tag_keys=[], gb_agg="sum")
+    plain = {r["bucket_ts"]: r["value"] for r in run_metric_query(pts, q).collect()}
+    pruned = {r["bucket_ts"]: r["value"] for r in
+              run_metric_query(pts, q, presence=pres, presence_epoch_width=7200).collect()}
+    assert plain == pruned

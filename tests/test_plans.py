@@ -137,3 +137,29 @@ def test_topn_rank_avoids_global_sort(spark):
     plan = plan_of(C.SPARK_QUERIES["topn_metrics_by_sum"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_presence_pruning_broadcast_semi_join(spark):
+    """T6/J1 — the epoch-presence prune must plan as a broadcast
+    left-semi join (the active-id side is meta-sized), never a
+    sort-merge shuffle of the fact table."""
+    from opentsdb_aura_spark.operators.meta import build_epoch_presence
+
+    pts = C.points(spark, SF)
+    pres = build_epoch_presence(pts, epoch_width=C.DAY)
+    q = C._mq(
+        start=C.START,
+        end=C.START + 2 * C.DAY,
+        interval=C.HOUR,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=[],
+        gb_agg="sum",
+        fill="none",
+    )
+    plan = plan_of(
+        run_metric_query(pts, q, dedupe=False, presence=pres, presence_epoch_width=C.DAY)
+    )
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -2454,6 +2454,45 @@ def rollup_auto_substitution(spark, sf_dir):
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
+@register(
+    "rollup_gb_avg_daily",
+    f"""{ORACLE_PTS},
+ps AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts, avg(value) AS v
+  FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+  GROUP BY 1, 2, 3)
+SELECT tag_user, bucket_ts, round(avg(v), 4) AS avg_value
+FROM ps GROUP BY 1, 2""",
+)
+def rollup_gb_avg_daily(spark, sf_dir):
+    """A10 two-stage substitution: avg→avg does not flat-fuse (group
+    avg-of-series-avgs ≠ flat avg), yet the planner still serves it
+    from the hourly pre-aggregate — per-series daily avg re-aggregated
+    from the rollup chain (Σsum/Σcount), then the normal group merge,
+    the exact shape of the reference's rollup read
+    (AerospikeDSTimeSeriesEncoder.java:69-110 stream →
+    NumericArrayAggregator accumulate).  Oracle is the raw two-stage
+    computation; the plan reads rollup_3600 (asserted in
+    tests/test_plans.py)."""
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="avg",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="avg",
+        fill="none",
+    )
+    res = run_metric_query(
+        points(spark, sf_dir),
+        q,
+        rollups={3600: _rollup(spark, sf_dir)},
+        series_dim=series_dim(spark, sf_dir),
+    )
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("avg_value"))
+
+
 # ===================================================== expressions (§2.8 / 3.x graph)
 
 

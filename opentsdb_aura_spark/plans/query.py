@@ -111,10 +111,19 @@ def _rollup_substitution(
     serves from 3 pruned columns) filtered by the query's filter
     algebra, then broadcast-semi-joined into the rollup — the
     reference's meta-index → series-keys → fetch-streams flow.
+
+    Grouped queries whose (ds, gb) pair does NOT flat-fuse (e.g.
+    avg→avg: group avg-of-series-avgs ≠ flat avg) are still served
+    two-stage from the rollup: per-series buckets re-aggregated from
+    the pre-aggregate chain, then the normal group merge — the exact
+    shape of the reference's rollup read (per-series
+    AerospikeDSTimeSeriesEncoder stream → NumericArrayAggregator group
+    accumulate), scanning interval/rollup_interval× fewer rows.
     """
     from opentsdb_aura_spark.operators.downsample import fill_spine, normalize_agg
-    from opentsdb_aura_spark.operators.groupby import _ALIASES
+    from opentsdb_aura_spark.operators.groupby import _ALIASES, GROUP_AGGS, group_merge
     from opentsdb_aura_spark.operators.rollup import (
+        ROLLUP_SERVABLE,
         choose_downsample_source,
         downsample_from_rollup,
     )
@@ -128,11 +137,16 @@ def _rollup_substitution(
     ):
         return None
     ds = normalize_agg(q.ds_agg)
+    two_stage = False
     if q.group_tag_keys is not None:
         gb = _ALIASES.get(q.gb_agg.lower(), q.gb_agg.lower())
         agg = _FUSABLE_DS_GB.get((ds, gb))
         if agg is None:
-            return None
+            if ds in ROLLUP_SERVABLE and gb in GROUP_AGGS:
+                two_stage = True
+                agg = ds
+            else:
+                return None
     else:
         agg = ds
     shift = int(q.shift_seconds)
@@ -155,7 +169,13 @@ def _rollup_substitution(
         F.broadcast(matched), on="series_id", how="inner"
     )
     out_groups = group_keys if q.group_tag_keys is not None else ["series_id"]
-    res = downsample_from_rollup(rolled, scan_start, scan_end, q.interval, agg, group_cols=out_groups)
+    if two_stage:
+        per_series = downsample_from_rollup(
+            rolled, scan_start, scan_end, q.interval, ds, group_cols=["series_id", *group_keys]
+        )
+        res = group_merge(per_series, q.gb_agg, group_cols=group_keys)
+    else:
+        res = downsample_from_rollup(rolled, scan_start, scan_end, q.interval, agg, group_cols=out_groups)
     if shift:
         res = res.withColumn("bucket_ts", (F.col("bucket_ts") + F.lit(shift)).cast("long"))
     if q.fill != "none":

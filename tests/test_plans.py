@@ -163,3 +163,16 @@ def test_presence_pruning_broadcast_semi_join(spark):
     assert "LeftSemi" in plan, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rollup_two_stage_gb_avg_reads_rollup_table(spark):
+    """A10 — avg→avg (not flat-fusable) still substitutes: per-series
+    buckets from the pre-aggregate chain, then group merge; the plan
+    reads rollup_3600 and never the raw point columns."""
+    df = C.SPARK_QUERIES["rollup_gb_avg_daily"](spark, SF)
+    plan = plan_of(df)
+    files = re.findall(r"Location: \S*\[(.*?)\]", plan)
+    scanned = " ".join(files) + plan
+    assert "rollup_3600" in scanned, plan
+    m = re.findall(r"ReadSchema: (.*)", plan)
+    assert m and not any("value" in s and "ts" in s for s in m), plan

@@ -102,3 +102,25 @@ def test_spliced_rejects_straddling_boundary(spark, make_points):
         downsample_spliced(pts, rollup, HOUR, BASE, BASE + DAY, BASE + 5400, 5400, "sum")
     with pytest.raises(ValueError, match="outside query range"):
         downsample_spliced(pts, rollup, HOUR, BASE, BASE + DAY, BASE - DAY, DAY, "sum")
+
+
+def test_two_stage_gb_avg_equals_raw(make_points):
+    """avg→avg served from the rollup equals the raw two-stage path."""
+    from opentsdb_aura_spark.filters import MetricLiteral
+    from opentsdb_aura_spark.operators.rollup import build_rollup
+    from opentsdb_aura_spark.plans.query import MetricQuery, run_metric_query
+
+    pts = make_points(
+        [("m", {"u": "a"}, BASE + i * 600, float(i % 7)) for i in range(24)]
+        + [("m", {"u": "b"}, BASE + i * 600, float(i % 3)) for i in range(24)]
+        + [("m", {"u": "b", "x": "2"}, BASE + i * 3600, 10.0 + i) for i in range(4)]
+    )
+    q = MetricQuery(start=BASE, end=BASE + 4 * 3600, interval=7200, ds_agg="avg",
+                    filter=MetricLiteral("m"), group_tag_keys=["u"], gb_agg="avg",
+                    fill="none")
+    raw = {(r["tag_u"], r["bucket_ts"]): r["value"] for r in run_metric_query(pts, q).collect()}
+    rolled = {(r["tag_u"], r["bucket_ts"]): r["value"] for r in run_metric_query(
+        pts, q, rollups={3600: build_rollup(pts, 3600)}).collect()}
+    assert raw.keys() == rolled.keys()
+    for k in raw:
+        assert abs(raw[k] - rolled[k]) < 1e-9, k

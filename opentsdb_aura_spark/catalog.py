@@ -1377,6 +1377,26 @@ def pipeline_split_assign(spark, sf_dir):
 
 
 @register(
+    "pipeline_shard_assign",
+    """WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shard') AS hh FROM documents)
+SELECT doc_id,
+       CAST(('0x' || substr(hh, 1, 15))::BIGINT % 16 AS INTEGER) AS shard_id,
+       CAST(row_number() OVER (
+              PARTITION BY ('0x' || substr(hh, 1, 15))::BIGINT % 16
+              ORDER BY hh, doc_id) AS BIGINT) AS shard_pos
+FROM h""",
+)
+def pipeline_shard_assign(spark, sf_dir):
+    """Deterministic training-order shuffle into 16 shards: hash shard
+    + in-shard rank, reproducible bit-for-bit by the oracle; the
+    position window partitions by shard (no global sort)."""
+    from opentsdb_aura_spark.operators.corpus import shard_assign
+
+    return shard_assign(docs(spark, sf_dir), 16)
+
+
+@register(
     "corpus_vocab_stats",
     f"""WITH {_ORACLE_TC}
 SELECT token, CAST(sum(tc) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df

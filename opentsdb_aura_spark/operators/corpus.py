@@ -68,6 +68,40 @@ def split_assign(
     return docs.select(F.col(id_col).alias("doc_id"), expr.alias("split"))
 
 
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int,
+    *,
+    salt: str = "shard",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: (doc_id, shard_id,
+    shard_pos).
+
+    Trainers consume the corpus as N shards read sequentially; the
+    read order must be (a) pseudo-random w.r.t. any corpus ordering
+    (no source/time clumping in a batch) and (b) exactly reproducible.
+    Hashing gives both: ``shard_id`` = md5-bucket of (id, salt),
+    ``shard_pos`` = rank of the hash within the shard.
+
+    Scale shape: the position window partitions BY SHARD — N uniform
+    hash partitions, each sorted independently (the same per-partition
+    sort the shard writer needs anyway:
+    ``repartition(n, shard_id).sortWithinPartitions(hash)``); there is
+    no global sort.  Rerunning after an append only inserts new docs
+    into their hash positions — existing (shard, relative order) pairs
+    are stable.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    shard = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % int(n_shards)).cast("int")
+    w = Window.partitionBy("shard_id").orderBy(F.col("_h"), F.col("doc_id"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), h.alias("_h"), shard.alias("shard_id"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard_id", "shard_pos")
+    )
+
+
 def per_doc_term_counts(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, token, tc) — per-document term counts.
 

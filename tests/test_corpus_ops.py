@@ -165,3 +165,36 @@ def test_contamination_check(spark):
     # probe side must be broadcast — the corpus never shuffles on text
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_shard_assign_deterministic_and_stable(spark, corpus_df):
+    from opentsdb_aura_spark.operators.corpus import shard_assign
+
+    out = shard_assign(corpus_df, 4)
+    rows = [(r["doc_id"], r["shard_id"], r["shard_pos"]) for r in out.collect()]
+    assert len(rows) == 60
+    # every shard's positions are 1..n with no gaps
+    by_shard = {}
+    for _, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) <= set(range(4))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # reproducible
+    assert set(rows) == {(r["doc_id"], r["shard_id"], r["shard_pos"])
+                         for r in shard_assign(corpus_df, 4).collect()}
+    # appending docs never moves an existing doc to another shard and
+    # never swaps the relative order of two surviving docs
+    bigger = corpus_df.union(
+        spark.createDataFrame([(100 + i, "new doc", "en", 30) for i in range(20)],
+                              corpus_df.schema)
+    )
+    after = {r["doc_id"]: (r["shard_id"], r["shard_pos"]) for r in shard_assign(bigger, 4).collect()}
+    before = {d: (s, p) for d, s, p in rows}
+    for d, (s, _) in before.items():
+        assert after[d][0] == s
+    for s, ps in by_shard.items():
+        old_order = [d for d, (sh, p) in sorted(before.items(), key=lambda kv: kv[1][1]) if sh == s]
+        new_order = [d for d, (sh, p) in sorted(after.items(), key=lambda kv: kv[1][1])
+                     if sh == s and d in before]
+        assert old_order == new_order

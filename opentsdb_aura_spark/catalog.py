@@ -1151,6 +1151,27 @@ def dedup_exact_docs(spark, sf_dir):
 
 
 @register(
+    "dedup_repeated_spans",
+    r"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i+1:i+8], ' ') AS gram
+      FROM d, unnest(range(0, greatest(len(toks) - 7, 0))) AS t(i)),
+rep AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, pos, g.gram, n_docs FROM g JOIN rep USING (gram)""",
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Span-level exact dedup (Lee et al. suffix-array substring dedup,
+    re-expressed): every position of an 8-token sequence recurring in
+    ≥2 distinct docs, with its corpus document frequency.  Hash-agg +
+    equi-join — no suffix array, no all-pairs."""
+    from opentsdb_aura_spark.operators.dedup_text import repeated_ngram_spans
+
+    return repeated_ngram_spans(docs(spark, sf_dir), n=8, min_docs=2)
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""{ORACLE_SHINGLES},
 pairs AS (

@@ -36,13 +36,56 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     Built from n shifted ``slice``s folded with ``zip_with`` — an
     order of magnitude faster than per-index ``element_at`` lookups
     (which defeat codegen)."""
+    return F.array_distinct(positional_ngrams(text, n))
+
+
+def positional_ngrams(text: Column, n: int) -> Column:
+    """All n-word grams of a document in position order (array<string>,
+    index = token offset).  Same shifted-slice ``zip_with`` fold as
+    ``word_shingles`` but keeping order and duplicates."""
     toks = tokens(text)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     shifted = [F.slice(toks, i + 1, count) for i in range(n)]
     sh = shifted[-1]
     for prev in reversed(shifted[:-1]):
         sh = F.zip_with(prev, sh, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(sh)
+    return sh
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    *,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact dedup: every position of an n-token sequence
+    that recurs in ≥ ``min_docs`` distinct documents →
+    (doc_id, pos, gram, n_docs).  The Spark re-expression of
+    suffix-array substring deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): training pipelines
+    excise these spans rather than whole documents.
+
+    Scale shape: one explode to (doc, pos, gram), a hash aggregate on
+    ``xxhash64(gram)`` (8-byte shuffle key, map-side combined), and an
+    equi-join of spans against the repeated-hash set — no suffix array,
+    no global sort, no all-pairs stage.  64-bit gram-hash collisions
+    can mark a span falsely repeated at ~10¹² grams (birthday bound);
+    acceptable for dedup excision and absent at test scale.
+    """
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(positional_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).withColumn("gram_hash", F.xxhash64("gram"))
+    rep = (
+        spans.groupBy("gram_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= int(min_docs))
+    )
+    return spans.join(rep, "gram_hash").select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "gram", "n_docs"
+    )
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

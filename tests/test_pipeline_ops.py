@@ -390,3 +390,23 @@ def test_semantic_dedup_no_broadcast_of_corpus(spark):
     # the within-cluster self-join must shuffle on cluster_id, never
     # broadcast a corpus side (driver OOM hazard at 100 TB)
     assert "CartesianProduct" not in plan
+
+
+def test_repeated_ngram_spans(spark):
+    """Span-level exact dedup: planted shared 4-gram found at every
+    occurrence with the right document frequency; unique text silent."""
+    from opentsdb_aura_spark.operators.dedup_text import repeated_ngram_spans
+
+    shared = "lorem ipsum dolor sit"
+    rows = [
+        (0, f"intro words {shared} trailing text"),
+        (1, f"{shared} elsewhere entirely different suffix"),
+        (2, "completely unrelated content with no repeats at all"),
+        (3, f"prefix {shared} again {shared} twice here"),  # repeats internally too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = repeated_ngram_spans(df, n=4, min_docs=2)
+    got = {(r["doc_id"], r["pos"]): (r["gram"], r["n_docs"]) for r in res.collect()}
+    # doc 0 at offset 2; doc 1 at 0; doc 3 at 1 and 6
+    assert set(got) == {(0, 2), (1, 0), (3, 1), (3, 6)}
+    assert all(g == shared and nd == 3 for g, nd in got.values())

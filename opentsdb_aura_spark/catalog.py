@@ -1172,6 +1172,36 @@ def dedup_repeated_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_span_excise",
+    r"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i+1:i+8], ' ') AS gram
+      FROM d, unnest(range(0, greatest(len(toks) - 7, 0))) AS t(i)),
+rep AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+sp AS (SELECT doc_id, pos FROM g JOIN rep USING (gram)),
+tokpos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, toks[i+1] AS tok
+           FROM d, unnest(range(0, len(toks))) AS t(i)),
+keep AS (SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+         WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = tp.doc_id
+                           AND sp.pos <= tp.i AND tp.i < sp.pos + 8)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM keep GROUP BY 1)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(d.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN agg a USING (doc_id)""",
+)
+def dedup_span_excise(spark, sf_dir):
+    """Span excision (Lee et al. cleaning step): strip every token
+    covered by a corpus-repeated 8-gram; returns the reassembled
+    token stream and the removed-token count per document."""
+    from opentsdb_aura_spark.operators.dedup_text import excise_repeated_spans
+
+    return excise_repeated_spans(docs(spark, sf_dir), n=8, min_docs=2)
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""{ORACLE_SHINGLES},
 pairs AS (

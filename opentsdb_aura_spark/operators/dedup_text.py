@@ -88,6 +88,45 @@ def repeated_ngram_spans(
     )
 
 
+def excise_repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    *,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The cleaning half of span dedup: remove every token covered by
+    a corpus-repeated n-gram span → (doc_id, clean_text, n_removed).
+
+    ``clean_text`` is the whitespace-normalized (lowercased,
+    single-space) reassembly of the surviving tokens — span dedup
+    operates on the tokenized stream, as in Lee et al.'s excision.
+
+    Scale shape: span starts per doc are collected into one array
+    (bounded by doc length), the token filter is a nested higher-order
+    function over the token array (pure Catalyst codegen, no Python),
+    and the docs↔spans join is a shuffle equi-join on doc_id.
+    """
+    spans = repeated_ngram_spans(docs, n, min_docs=min_docs, text_col=text_col, id_col=id_col)
+    per_doc = spans.groupBy("doc_id").agg(F.collect_set("pos").alias("_starts"))
+    joined = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")).join(
+        per_doc, "doc_id", "left"
+    )
+    toks = tokens(F.col("_text"))
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<long>"))
+    indexed = F.transform(toks, lambda x, i: F.struct(x.alias("t"), i.cast("long").alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(starts, lambda p: (p <= s["i"]) & (s["i"] < p + F.lit(int(n)))),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content digest: groups with >1 doc.
 

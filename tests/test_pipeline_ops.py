@@ -410,3 +410,22 @@ def test_repeated_ngram_spans(spark):
     # doc 0 at offset 2; doc 1 at 0; doc 3 at 1 and 6
     assert set(got) == {(0, 2), (1, 0), (3, 1), (3, 6)}
     assert all(g == shared and nd == 3 for g, nd in got.values())
+
+
+def test_excise_repeated_spans(spark):
+    """Excision removes exactly the tokens under repeated spans,
+    merged across overlaps; clean docs pass through normalized."""
+    from opentsdb_aura_spark.operators.dedup_text import excise_repeated_spans
+
+    shared = "lorem ipsum dolor sit"
+    rows = [
+        (0, f"intro words {shared} trailing text"),
+        (1, f"{shared} elsewhere entirely different suffix"),
+        (2, "Completely  Unrelated content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in excise_repeated_spans(df, n=4, min_docs=2).collect()}
+    assert got[0] == ("intro words trailing text", 4)
+    assert got[1] == ("elsewhere entirely different suffix", 4)
+    assert got[2] == ("completely unrelated content", 0)  # normalized, untouched

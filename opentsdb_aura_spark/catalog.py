@@ -1781,6 +1781,31 @@ def quality_gopher_flags(spark, sf_dir):
 
 
 @register(
+    "quality_lm_scores",
+    r"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+bg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, toks[i+1] AS w1
+       FROM d, unnest(range(0, greatest(len(toks) - 1, 0))) AS t(i)),
+uni AS (SELECT tok, count(*) AS ucnt
+        FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+big AS (SELECT bigram, count(*) AS bcnt FROM bg GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((bcnt + 0.1) / (ucnt + 0.1 * v.v))), 4) AS avg_logprob
+FROM bg JOIN big USING (bigram) JOIN uni ON bg.w1 = uni.tok CROSS JOIN v
+GROUP BY 1""",
+)
+def quality_lm_scores(spark, sf_dir):
+    """CCNet-style perplexity-proxy filter signal: per-doc mean
+    log-probability under a Laplace-smoothed corpus bigram LM, fit by
+    the aggregation itself (no driver-side training)."""
+    from opentsdb_aura_spark.operators.quality import lm_bigram_scores
+
+    res = lm_bigram_scores(docs(spark, sf_dir), alpha=0.1)
+    return res.select("doc_id", "n_bigrams", _r("avg_logprob", 4).alias("avg_logprob"))
+
+
+@register(
     "corpus_line_dedup_docs",
     f"""{_LINES_SQL},
 l AS (SELECT doc_id, unnest(range(0, len(lines))) AS pos, lines FROM d),

@@ -234,3 +234,61 @@ def corpus_line_dedup(
             F.count_if(~kept).cast("bigint").alias("n_lines_dropped"),
         )
     )
+
+
+def lm_bigram_scores(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained bigram LM
+    → (doc_id, n_bigrams, avg_logprob).
+
+    The CCNet-style filter signal (Wenzek et al. 2020 use a KenLM
+    5-gram; a Laplace-smoothed bigram model is the same signal with a
+    closed-form, engine-native fit): for every adjacent token pair,
+    ``ln((B(w1,w2) + α) / (U(w1) + α·V))`` with corpus counts B/U and
+    vocabulary size V, averaged per document.  Documents scoring far
+    below the corpus norm are boilerplate/gibberish candidates; far
+    above, near-duplicates of frequent content.
+
+    Scale shape: two corpus count tables built with map-side combine,
+    then the doc bigram stream equi-joins them (shuffle on the bigram /
+    unigram keys, both high-cardinality); V joins in as a broadcast
+    1-row literal.  Training IS the aggregation — no driver fit, no
+    Python.
+    """
+    toks = tokens(F.col(text_col))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+    )
+    doc_bg = docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bigram"))
+    doc_bg = doc_bg.withColumn("w1", F.split(F.col("bigram"), " ", 2)[0])
+
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_ucnt"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("_v"))
+    big = doc_bg.groupBy("bigram").agg(F.count("*").alias("_bcnt"))
+
+    scored = (
+        doc_bg.join(big, "bigram")
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.col("_bcnt") + F.lit(float(alpha)))
+                / (F.col("_ucnt") + F.lit(float(alpha)) * F.col("_v"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.avg("_lp").alias("avg_logprob"),
+    )

@@ -102,3 +102,22 @@ def test_repetition_no_shuffle_hotkey_shape(spark, docs):
     plan = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lm_bigram_scores(spark):
+    """Hand-computed Laplace bigram LM scores on a 2-doc corpus."""
+    import math
+
+    from opentsdb_aura_spark.operators.quality import lm_bigram_scores
+
+    df = spark.createDataFrame([(0, "a b a b"), (1, "z z")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in lm_bigram_scores(df, alpha=0.1).collect()}
+    # U: a=2 b=2 z=2, V=3; B: "a b"=2, "b a"=1, "z z"=1
+    lp_ab = math.log(2.1 / 2.3)
+    lp_ba = math.log(1.1 / 2.3)
+    lp_zz = math.log(1.1 / 2.3)
+    assert got[0][0] == 3
+    assert abs(got[0][1] - (2 * lp_ab + lp_ba) / 3) < 1e-9
+    assert got[1][0] == 1
+    assert abs(got[1][1] - lp_zz) < 1e-9

@@ -391,6 +391,44 @@ def ds_spine_from_dim_daily(spark, sf_dir):
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
+@register(
+    "asof_last_error_event",
+    f"""{ORACLE_PTS},
+l AS (SELECT tag_user, tag_k, ts, value FROM dpts
+      WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}),
+re AS (SELECT CAST(user_id AS VARCHAR) AS tag_user,
+              CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+              CAST(max(event_id) AS BIGINT) AS last_error_id
+       FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT l.tag_user, l.tag_k, l.ts, round(l.value, 6) AS value,
+       re.last_error_id, re.ets AS error_ts
+FROM l ASOF LEFT JOIN re ON l.tag_user = re.tag_user AND l.ts >= re.ets""",
+)
+def asof_last_error_event(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): every purchase point
+    picks up the most recent error event at-or-before it for the same
+    user — the "state at measurement time" enrichment.  Union +
+    running-last: ONE shuffle on the user key, no range probe; the
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from opentsdb_aura_spark.operators.asof import asof_join
+
+    pts = points(spark, sf_dir)
+    left = pts.where(
+        (F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END)
+    ).select("tag_user", "tag_k", "ts", "value")
+    right = (
+        pts.where(F.col("metric") == "error")
+        .groupBy("tag_user", "ts")
+        .agg(F.max("ingest_seq").cast("bigint").alias("last_error_id"))
+    )
+    res = asof_join(left, right, on=["tag_user"], right_cols=["last_error_id"])
+    return res.select(
+        "tag_user", "tag_k", "ts", _r(F.col("value"), 6).alias("value"),
+        F.col("last_error_id_asof").alias("last_error_id"),
+        F.col("ts_asof").alias("error_ts"),
+    )
+
+
 # ============================================================ rate family (R1-R5)
 
 _RATE_PRELUDE = f"""{ORACLE_PTS},

@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_topk",  # probed query set broadcast
     "dedup_embedding_cosine",  # exact O(n²) oracle-baseline variant, documented
     "corpus_tfidf_top3",  # 1-row n_docs factor
+    "quality_lm_scores",  # 1-row vocabulary-size factor
 }
 
 

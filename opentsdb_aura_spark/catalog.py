@@ -1172,6 +1172,53 @@ def tpch_revenue_by_nation(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_shipping_priority",
+    """SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+)
+def tpch_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter broadcast into the
+    fact join, aggregate, top-10 by revenue (TakeOrderedAndProject —
+    no global sort materializes)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cutoff = "1998-01-01"
+    return (
+        li.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.floor(F.col("o_orderdate").cast("timestamp").cast("double")).cast("bigint").alias("order_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 # ============================================================ dedup (pipeline)
 
 

@@ -272,7 +272,12 @@ def minhash_lsh_candidates(
     shing = docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
     hashed = shing.select("doc_id", F.xxhash64("s").alias("h0"))
     mins = [F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    per_doc = hashed.groupBy("doc_id").agg(*mins, F.collect_set("h0").alias("sh"))
+    # per_doc feeds FOUR scans (both sides of the band self-join, both
+    # sides of the verify join) — materialize it once so the shingle
+    # explode + 32-way min aggregate, the expensive part, runs once;
+    # on a multi-node cluster swap localCheckpoint for
+    # persist(DISK_ONLY) or a temp table, same shape
+    per_doc = hashed.groupBy("doc_id").agg(*mins, F.collect_set("h0").alias("sh")).localCheckpoint()
 
     banded = per_doc.select(
         "doc_id",

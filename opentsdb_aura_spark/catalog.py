@@ -29,7 +29,7 @@ from opentsdb_aura_spark.operators.dedup_text import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from opentsdb_aura_spark.operators.downsample import downsample
+from opentsdb_aura_spark.operators.downsample import bucket_expr, downsample
 from opentsdb_aura_spark.operators.events import group_count_last, minute_histogram, text_match, top_n
 from opentsdb_aura_spark.operators.meta import (
     build_series_dim,
@@ -755,6 +755,94 @@ def ratio_pct_by_user_daily(spark, sf_dir):
     res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
     res = ratio(res, as_percent=True)
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 6).alias("pct_value"))
+
+
+@register(
+    "slide3d_sum_by_user_daily",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+        GROUP BY 1, 2),
+users AS (SELECT DISTINCT tag_user FROM agg),
+days AS (SELECT unnest(generate_series({START}, {END - 1}, {DAY})) AS bucket_ts),
+dense AS (SELECT u.tag_user, d.bucket_ts, a.v
+          FROM users u CROSS JOIN days d
+          LEFT JOIN agg a ON a.tag_user = u.tag_user AND a.bucket_ts = d.bucket_ts)
+SELECT tag_user, bucket_ts,
+       round(sum(v) OVER (PARTITION BY tag_user ORDER BY bucket_ts
+                          RANGE BETWEEN {3 * DAY - 1} PRECEDING AND CURRENT ROW), 4) AS sw_value
+FROM dense""",
+)
+def slide3d_sum_by_user_daily(spark, sf_dir):
+    """Upstream ``slidingwindow`` node: trailing 3-day sum per user
+    over the dense daily spine — a time-RANGE frame, not a row count,
+    so the window is stride-independent (NULL-skipping SUM on the
+    oracle side matches the NaN-skipping window exactly)."""
+    from opentsdb_aura_spark.operators.analytic import sliding_window
+
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = sliding_window(res, 3 * DAY, "sum")
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sw_value"))
+
+
+#: histogram bounds for the bucket-quantile query (all purchase values
+#: land in [0, 500); the top bound stays finite so the midpoint is too)
+_BQ_BOUNDS = (0, 10, 50, 100, 250, 500)
+
+
+@register(
+    "bucketq_purchase_daily",
+    f"""{ORACLE_PTS},
+v AS (SELECT {_bucket_sql(DAY)} AS bucket_ts, value
+      FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}),
+b AS (SELECT bucket_ts,
+             CASE {" ".join(f"WHEN value < {hi} THEN {lo}" for lo, hi in zip(_BQ_BOUNDS[:-2], _BQ_BOUNDS[1:-1]))} ELSE {_BQ_BOUNDS[-2]} END AS lo,
+             CASE {" ".join(f"WHEN value < {hi} THEN {hi}" for hi in _BQ_BOUNDS[1:-1])} ELSE {_BQ_BOUNDS[-1]} END AS hi
+      FROM v),
+h AS (SELECT bucket_ts, lo, hi, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2, 3),
+cum AS (SELECT bucket_ts, lo, hi,
+               sum(c) OVER (PARTITION BY bucket_ts ORDER BY lo) AS cum,
+               sum(c) OVER (PARTITION BY bucket_ts) AS tot
+        FROM h),
+q AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS quantile)
+SELECT c.bucket_ts, q.quantile, round(min((lo + hi) / 2), 4) AS q_value
+FROM cum c JOIN q ON c.cum >= q.quantile * c.tot
+GROUP BY 1, 2""",
+)
+def bucketq_purchase_daily(spark, sf_dir):
+    """Upstream ``bucketquantile`` node: daily p50/p90/p99 of purchase
+    values estimated from histogram-bucket counts (midpoint mode).
+    The raw points reduce to per-day bucket counts in one hash
+    aggregate; the quantile walk then runs over output-sized data."""
+    from opentsdb_aura_spark.operators.analytic import bucket_quantile
+
+    pts = points(spark, sf_dir)
+    v = F.col("value")
+    lo, hi = F.lit(float(_BQ_BOUNDS[-2])), F.lit(float(_BQ_BOUNDS[-1]))
+    for b_lo, b_hi in zip(reversed(_BQ_BOUNDS[:-2]), reversed(_BQ_BOUNDS[1:-1])):
+        lo = F.when(v < b_hi, float(b_lo)).otherwise(lo)
+        hi = F.when(v < b_hi, float(b_hi)).otherwise(hi)
+    hist = (
+        pts.where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+        .groupBy(
+            bucket_expr(F.col("ts"), START, DAY).alias("bucket_ts"),
+            lo.alias("bucket_lower"),
+            hi.alias("bucket_upper"),
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    res = bucket_quantile(hist, [0.5, 0.9, 0.99])
+    return res.select("bucket_ts", "quantile", _r(F.col("value"), 4).alias("q_value"))
 
 
 _FILL_DENSE = f"""{ORACLE_PTS},

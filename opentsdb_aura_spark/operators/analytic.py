@@ -121,6 +121,98 @@ def fill_gaps(
     raise ValueError(f"unknown fill policy {policy!r} (expected 'previous' or 'linear')")
 
 
+def sliding_window(
+    df: DataFrame,
+    window_seconds: int,
+    agg: str = "avg",
+    *,
+    value_col: str = "value",
+    order_col: str = "bucket_ts",
+) -> DataFrame:
+    """Trailing time-window aggregation per series — the upstream
+    ``slidingwindow`` processor (net.opentsdb.query.processor
+    .slidingwindow, ``SlidingWindowConfig``: ``windowSize`` duration +
+    ``aggregator``): every output bucket reports the aggregate of its
+    series' values over ``(bucket_ts - window, bucket_ts]``.
+
+    A RANGE window frame on the numeric bucket timestamp — time-based,
+    so it is stride-independent (a sparse or irregular bucket vector
+    aggregates the same values a dense one would).  NaN buckets (the
+    empty-interval spine) contribute nothing; a window with no real
+    values stays NaN, including for ``count`` — matching the
+    infectious-empty contract of the downsample spine.  All columns
+    other than (order, value) form the series identity."""
+    aggs = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count}
+    if agg not in aggs:
+        raise ValueError(f"unknown sliding-window aggregator {agg!r} (expected one of {sorted(aggs)})")
+    group_cols = [c for c in df.columns if c not in (value_col, order_col)]
+    # integer-second timestamps: [ts-w+1, ts] ≡ the upstream (ts-w, ts]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(F.col(order_col))
+        .rangeBetween(-(int(window_seconds) - 1), 0)
+    )
+    v = _non_nan(F.col(value_col))
+    out = aggs[agg](v).over(w).cast("double")
+    if agg == "count":
+        out = F.when(out > 0, out)  # count() yields 0, not NULL, on an empty window
+    return df.withColumn(value_col, F.coalesce(out, NAN()))
+
+
+def bucket_quantile(
+    hist: DataFrame,
+    quantiles: list[float],
+    *,
+    mode: str = "mean",
+    lower_col: str = "bucket_lower",
+    upper_col: str = "bucket_upper",
+    count_col: str = "value",
+) -> DataFrame:
+    """Quantile estimation from histogram-bucket counts — the upstream
+    ``bucketquantile`` processor (net.opentsdb.query.processor
+    .bucketquantile, ``BucketQuantileConfig``): per group/timestamp,
+    walk the buckets in ascending bound order accumulating counts; the
+    first bucket whose cumulative count reaches ``q × total`` reports
+    the quantile.  ``mode`` picks the reported value per upstream
+    ``OUTPUT_OF_BUCKET``: ``mean`` (midpoint, the default), ``top``
+    (upper bound), ``bottom`` (lower bound).
+
+    Input: one row per (group…, bucket) with ``lower/upper`` bounds
+    and the bucket's count in ``count_col``; every other column is the
+    group identity (typically tags + bucket_ts).  Output: one row per
+    (group…, quantile).
+
+    Scale shape: two window passes over rows whose cardinality is
+    output-sized (groups × buckets), then a hash aggregate — the raw
+    points were already reduced to bucket counts upstream.  The
+    reported value is monotone in the bucket order, so the "first
+    qualifying bucket" is a plain ``min`` over qualifying rows — no
+    ranking window."""
+    reps = {
+        "mean": (F.col(lower_col) + F.col(upper_col)) / 2,
+        "top": F.col(upper_col),
+        "bottom": F.col(lower_col),
+    }
+    if mode not in reps:
+        raise ValueError(f"unknown bucket-quantile mode {mode!r} (expected one of {sorted(reps)})")
+    group_cols = [c for c in hist.columns if c not in (lower_col, upper_col, count_col)]
+    part = [F.col(c) for c in group_cols]
+    cum_w = Window.partitionBy(*part).orderBy(F.col(lower_col)).rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.partitionBy(*part)
+    cnt = F.coalesce(_non_nan(F.col(count_col)), F.lit(0.0))
+    staged = hist.select(
+        *group_cols,
+        reps[mode].cast("double").alias("_rep"),
+        F.sum(cnt).over(cum_w).alias("_cum"),
+        F.sum(cnt).over(tot_w).alias("_tot"),
+    ).withColumn("quantile", F.explode(F.array(*[F.lit(float(q)) for q in quantiles])))
+    return (
+        staged.where((F.col("_tot") > 0) & (F.col("_cum") >= F.col("quantile") * F.col("_tot")))
+        .groupBy(*group_cols, "quantile")
+        .agg(F.min("_rep").alias("value"))
+    )
+
+
 def ratio(
     df: DataFrame,
     *,

@@ -11,7 +11,7 @@ query JSON runs unchanged against the Spark engine.
 Supported graph node types: TimeSeriesDataSource, downsample, rate,
 groupby, timeshift folded into one MetricQuery (``translate_query``),
 plus full DAGs with expression / summarizer / topn / movingaverage /
-ratio nodes (``run_semantic_graph``).  Supported filter types: MetricLiteral,
+slidingwindow / ratio nodes (``run_semantic_graph``).  Supported filter types: MetricLiteral,
 TagValueLiteralOr, TagValueRegex, TagValueWildcard, TagKeyLiteral,
 Chain (AND/OR), Not, ExplicitTags, AnyFieldRegex, MatchAll.
 """
@@ -283,6 +283,17 @@ def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_w
 
             src = run_node(node["sources"][0])
             df = moving_average(src, int(node.get("samples", 5)))
+        elif ntype == "slidingwindow":
+            # upstream SlidingWindowConfig: windowSize duration +
+            # aggregator (net.opentsdb.query.processor.slidingwindow)
+            from opentsdb_aura_spark.operators.analytic import sliding_window
+
+            src = run_node(node["sources"][0])
+            df = sliding_window(
+                src,
+                parse_duration(node.get("windowSize", "5m")),
+                node.get("aggregator", "avg"),
+            )
         elif ntype == "ratio":
             # upstream RatioConfig (net.opentsdb.query.processor.ratio)
             from opentsdb_aura_spark.operators.analytic import ratio

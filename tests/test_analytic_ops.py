@@ -95,3 +95,91 @@ def test_ratio_shares(series_df):
     # bucket 0: a NaN → stays NaN; b=1 is the whole total
     assert math.isnan(got[("a", 0)])
     assert got[("b", 0)] == 1.0
+
+
+def test_sliding_window_time_range(series_df):
+    from opentsdb_aura_spark.operators.analytic import sliding_window
+
+    # 3-minute trailing window (bucket_ts - 180, bucket_ts]
+    got = _collect(sliding_window(series_df, 180, "sum"))
+    assert got[("b", 0)] == 1.0
+    assert got[("b", 120)] == 6.0  # 1+2+3
+    assert got[("b", 300)] == 15.0  # 4+5+6
+    # NaN buckets contribute nothing
+    assert got[("a", 240)] == 40.0  # window (60, 240] = {NaN, NaN, 40}
+    assert got[("a", 180)] == 10.0  # window (0, 180] = {10, NaN, NaN}
+    assert got[("a", 300)] == 40.0  # window (120, 300] = {NaN, 40, NaN}
+    assert math.isnan(got[("a", 0)])  # window (-180, 0] = {NaN} only
+
+
+def test_sliding_window_is_stride_independent(spark):
+    """A RANGE frame keys off timestamps, not row counts: an irregular
+    bucket vector aggregates whatever falls inside the time window."""
+    from opentsdb_aura_spark.operators.analytic import sliding_window
+
+    rows = [("a", 0, 1.0), ("a", 60, 2.0), ("a", 600, 10.0)]
+    df = spark.createDataFrame(rows, "tag_host string, bucket_ts long, value double")
+    got = _collect(sliding_window(df, 180, "sum"))
+    assert got[("a", 60)] == 3.0
+    assert got[("a", 600)] == 10.0  # the early rows are out of range
+
+
+def test_sliding_window_count_empty_is_nan(series_df):
+    from opentsdb_aura_spark.operators.analytic import sliding_window
+
+    got = _collect(sliding_window(series_df, 120, "count"))
+    assert got[("b", 60)] == 2.0
+    assert got[("a", 60)] == 1.0
+    assert math.isnan(got[("a", 180)])  # {NaN, NaN} → NaN, not 0
+
+
+def test_sliding_window_unknown_agg(series_df):
+    from opentsdb_aura_spark.operators.analytic import sliding_window
+
+    with pytest.raises(ValueError):
+        sliding_window(series_df, 60, "p99")
+
+
+def test_bucket_quantile_walk(spark):
+    from opentsdb_aura_spark.operators.analytic import bucket_quantile
+
+    # ts=0: counts 5/3/2 in [0,10) [10,20) [20,40) → total 10
+    #   q0.5  → cum 5 ≥ 5   → first bucket, midpoint 5
+    #   q0.51 → cum 8 ≥ 5.1 → second bucket, midpoint 15
+    #   q0.9  → cum 10 ≥ 9  → third bucket, midpoint 30
+    rows = [
+        (0, 0.0, 10.0, 5.0),
+        (0, 10.0, 20.0, 3.0),
+        (0, 20.0, 40.0, 2.0),
+        # ts=60: everything in the top bucket
+        (60, 0.0, 10.0, 0.0),
+        (60, 10.0, 20.0, 0.0),
+        (60, 20.0, 40.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "bucket_ts long, bucket_lower double, bucket_upper double, value double")
+    res = bucket_quantile(df, [0.5, 0.51, 0.9])
+    got = {(r["bucket_ts"], r["quantile"]): r["value"] for r in res.collect()}
+    assert got[(0, 0.5)] == 5.0
+    assert got[(0, 0.51)] == 15.0
+    assert got[(0, 0.9)] == 30.0
+    assert got[(60, 0.5)] == 30.0
+    assert got[(60, 0.9)] == 30.0
+
+
+def test_bucket_quantile_modes_and_empty(spark):
+    from opentsdb_aura_spark.operators.analytic import bucket_quantile
+
+    rows = [
+        (0, 0.0, 10.0, 1.0),
+        (0, 10.0, 20.0, 1.0),
+        # ts=60 has no observations at all → no output rows
+        (60, 0.0, 10.0, 0.0),
+        (60, 10.0, 20.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "bucket_ts long, bucket_lower double, bucket_upper double, value double")
+    top = bucket_quantile(df, [0.9], mode="top")
+    bottom = bucket_quantile(df, [0.9], mode="bottom")
+    assert {(r["bucket_ts"], r["value"]) for r in top.collect()} == {(0, 20.0)}
+    assert {(r["bucket_ts"], r["value"]) for r in bottom.collect()} == {(0, 10.0)}
+    with pytest.raises(ValueError):
+        bucket_quantile(df, [0.5], mode="median")

@@ -181,3 +181,36 @@ def test_movingaverage_and_ratio_graph_nodes(make_points):
     # bucket 0: a=1, b=2 → shares 33.33 / 66.67
     assert_close(got[("a", BASE)], 100.0 / 3)
     assert_close(got[("b", BASE)], 200.0 / 3)
+
+
+def test_slidingwindow_graph_node(make_points):
+    """slidingwindow: trailing time-window sum per series, windowSize
+    parsed from the upstream duration notation."""
+    from opentsdb_aura_spark.plans.opentsdb_json import run_semantic_graph
+
+    rows = []
+    for m in range(4):
+        rows.append(("m", {"host": "a"}, BASE + m * 60, float(m + 1)))
+    pts = make_points(rows)
+
+    res = run_semantic_graph(
+        pts,
+        {
+            "start": BASE,
+            "end": BASE + 240,
+            "executionGraph": [
+                {"id": "m1", "type": "TimeSeriesDataSource",
+                 "metric": {"type": "MetricLiteral", "metric": "m"}},
+                {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "1m", "sources": ["m1"]},
+                {"id": "gb", "type": "groupby", "aggregator": "sum", "tagKeys": ["host"], "sources": ["ds"]},
+                {"id": "sw", "type": "slidingwindow", "windowSize": "2m", "aggregator": "sum", "sources": ["gb"]},
+            ],
+        },
+        now=BASE + 240,
+    )
+    got = {r["bucket_ts"]: r["value"] for r in res.collect()}
+    # values 1,2,3,4 → trailing 2-minute sums 1, 3, 5, 7
+    assert got[BASE] == 1.0
+    assert got[BASE + 60] == 3.0
+    assert got[BASE + 120] == 5.0
+    assert got[BASE + 180] == 7.0

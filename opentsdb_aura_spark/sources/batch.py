@@ -24,7 +24,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from opentsdb_aura_spark.model import events_as_points, normalize_points
+from opentsdb_aura_spark.model import any_ts_to_epoch_seconds, events_as_points, normalize_points
 from opentsdb_aura_spark.operators.dedupe import dedupe_last_write_wins
 from opentsdb_aura_spark.operators.meta import build_series_dim
 
@@ -38,7 +38,20 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 4
+STORE_LAYOUT_VERSION = 5
+
+
+def _store_version_tag(sf_dir: str) -> str:
+    """Layout version + source-file fingerprint: a regenerated
+    events.parquet (new size/mtime) invalidates the cached store even
+    when the code layout is unchanged."""
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        fp = "nosrc"
+    return f"{STORE_LAYOUT_VERSION}:{fp}"
 
 
 def write_metrics_store(
@@ -88,16 +101,17 @@ def ensure_event_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # the store outlives the process (it's a cache under /tmp): a
     # layout change in newer code must invalidate older builds
     version_file = os.path.join(root, "LAYOUT_VERSION")
+    version_tag = _store_version_tag(sf_dir)
     if os.path.isdir(root):
         try:
-            ok = open(version_file).read().strip() == str(STORE_LAYOUT_VERSION)
+            ok = open(version_file).read().strip() == version_tag
         except OSError:
             ok = False
         if not ok:
             shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     with open(version_file, "w") as f:
-        f.write(str(STORE_LAYOUT_VERSION))
+        f.write(version_tag)
     metrics_path = os.path.join(root, "metrics")
     dim_path = os.path.join(root, "series_dim")
 
@@ -148,7 +162,7 @@ def ensure_event_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ev = ev.withColumn("ts", F.expr("ts div 1000000000").cast("long"))
+        ev = ev.withColumn("ts", any_ts_to_epoch_seconds("ts", dict(ev.dtypes)["ts"]))
         # E2 — the reference's event docs carry endtimestamp/ongoing
         # (LuceneQueryBuilder.getTimeRangeQuery); the driver table has
         # no duration fields, so derive both deterministically from

@@ -23,35 +23,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return SPARK_QUERIES["fused_rate_ds_gb"](spark, "/root/testdata/sf0.001")
 
 
-# Queries already recorded green in CORRECTNESS_r01.json.  The driver's
-# correctness gate may cap how many entries it runs per round, so order
-# the registry to put never-yet-recorded queries first: everything NOT
-# in this set (including queries added this round) is enumerated before
-# the round-1-green remainder.
-_R1_RECORDED = {
-    "ds_sum_daily", "ds_avg_hourly", "ds_count_daily", "ds_min_daily",
-    "ds_max_daily", "ds_p90_daily", "ds_median_daily", "ds_stddev_daily",
-    "ds_sumsq_daily", "ds_runall_sum", "ds_last_daily_purchase",
-    "ds_spine_hourly_purchase", "rate_purchase", "delta_purchase",
-    "rate_counter_drop_purchase", "rate_to_count_purchase",
-    "timeshift_sum_daily_purchase", "gb_sum_by_user_daily",
-    "gb_avg_by_user_daily", "gb_series_count_daily", "gb_all_min_daily",
-    "filter_chain_not", "filter_regex_wildcard", "meta_distinct_metrics",
-    "meta_tag_keys", "meta_tag_values_user_purchase", "meta_cardinality",
-    "meta_list_series_signup", "ev_top_recent", "ev_group_type_count_last",
-    "ev_minute_histogram", "ev_text_search", "join_series_enrich",
-    "splice_hot_cold_sum", "tpch_pricing_summary", "tpch_revenue_by_nation",
-    "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "text_token_stats", "text_quality", "text_lang_id",
-    "multimodal_media_stats", "multimodal_features", "rollup_sum_daily",
-    "rollup_avg_daily",
-}
+# The driver's correctness gate may cap how many entries it runs per
+# round, so order the registry to put never-yet-recorded queries first.
+# The recorded set is loaded from the CORRECTNESS_r*.json files the
+# driver itself writes, so it can never go stale: any query name that
+# appears in ANY prior round's file (green or rows-only) is deprioritized
+# behind queries the driver has never seen.
+def _recorded_names() -> set[str]:
+    import glob
+    import json
+    import os
+
+    names: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            if isinstance(data, dict):
+                names.update(k for k in data if isinstance(k, str))
+        except (OSError, ValueError):
+            continue
+    return names
 
 
 def _ordered(mapping):
-    first = {k: v for k, v in mapping.items() if k not in _R1_RECORDED}
-    first.update({k: v for k, v in mapping.items() if k in _R1_RECORDED})
+    recorded = _recorded_names()
+    first = {k: v for k, v in mapping.items() if k not in recorded}
+    first.update({k: v for k, v in mapping.items() if k in recorded})
     return first
 
 

@@ -1245,15 +1245,20 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1""",
 )
 def tpch_revenue_by_nation(spark, sf_dir):
-    """Relational health check: multi-join revenue rollup with
-    broadcast dimensions."""
+    """Relational health check: multi-join revenue rollup.
+
+    Only ``nation`` (fixed 25 rows at every SF) carries a broadcast
+    hint.  ``customer`` is O(SF) — ~15 M rows / several GB at sf100 —
+    so a forced broadcast would OOM executors at scale; AQE +
+    autoBroadcastJoinThreshold size-pick it instead (still a
+    BroadcastHashJoin at small SF, plan-asserted in test_plans)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -1277,9 +1282,11 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10""",
 )
 def tpch_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dimension filter broadcast into the
-    fact join, aggregate, top-10 by revenue (TakeOrderedAndProject —
-    no global sort materializes)."""
+    """TPC-H Q3 shape: selective dimension filter on customer,
+    aggregate, top-10 by revenue (TakeOrderedAndProject — no global
+    sort materializes).  No forced broadcast on customer: it is O(SF),
+    so the hint is left to AQE/autoBroadcastJoinThreshold, which still
+    picks BroadcastHashJoin at small SF (plan-asserted)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1291,7 +1298,7 @@ def tpch_shipping_priority(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            cust.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -2064,16 +2071,18 @@ SELECT doc_id AS media_id,
 FROM px""",
 )
 def multimodal_real_decode(spark, sf_dir):
-    """REAL image decode end-to-end: each doc becomes a genuine 24-bit
-    BMP (pixels derived from the doc text by a SQL-expressible rule),
-    ``extract_features(fake=False)`` parses the BMP binary — header,
-    bottom-up rows, BGR→RGB, row padding — and the oracle recomputes
-    pixel-sum/channel-mean features from the rule.  Values match ONLY
-    if the codec round-trips correctly, so this is the non-stub proof
-    of the multimodal decode path."""
-    from opentsdb_aura_spark.operators.multimodal import attach_bmp_media
+    """REAL image decode end-to-end over a MIXED-FORMAT corpus: each
+    doc becomes a genuine image — BMP, PPM, or PNG round-robined by
+    doc id (pixels derived from the doc text by a SQL-expressible
+    rule), ``extract_features(fake=False)`` parses each binary — BMP
+    header/bottom-up/BGR/padding, PPM header, PNG zlib-inflate +
+    scanline unfilter — and the oracle recomputes pixel-sum/
+    channel-mean features from the rule.  Values match ONLY if every
+    codec round-trips correctly, so this is the non-stub proof of the
+    multimodal decode path."""
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media
 
-    media = attach_bmp_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    media = attach_image_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
     res = extract_features(media, fake=False)
     return res.select(
         "media_id",

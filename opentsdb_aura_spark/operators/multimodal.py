@@ -129,30 +129,131 @@ def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
     return width, height, rgb
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Non-interlaced 8-bit RGB PNG (color type 2, filter 0 rows) from
+    top-down RGB bytes — stdlib ``zlib`` only."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    stride = width * 3
+    raw = b"".join(b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a non-interlaced 8-bit RGB/RGBA PNG → (width, height,
+    top-down RGB).  Header walk + ``zlib`` inflate + per-scanline
+    unfilter (all five PNG filter types); RGBA alpha is dropped.
+    Interlaced, paletted, and sub-8-bit images raise — honest stub
+    boundary, documented per format."""
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, bitdepth, colortype, interlace = len(_PNG_SIG), 0, 0, 0, 0, 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if bitdepth != 8 or colortype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit RGB/RGBA PNG supported, got depth={bitdepth} color={colortype} interlace={interlace}"
+        )
+    bpp = 4 if colortype == 6 else 3
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    if bpp == 4:
+        import numpy as np
+
+        px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(height, width, 4)
+        return width, height, px[:, :, :3].tobytes()
+    return width, height, bytes(out)
+
+
 def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
     """Decode a binary payload to (width, height, top-down RGB).
 
-    BMP and PPM are handled by the dependency-free codecs above;
-    compressed formats would need PIL/libav, which this container
-    lacks, so anything else raises (honest stub boundary)."""
+    BMP, PPM, and PNG (non-interlaced 8-bit RGB/RGBA) are handled by
+    the dependency-free codecs above; JPEG/audio/video would need
+    PIL/libav, which this container lacks, so anything else raises
+    (honest stub boundary)."""
     payload = bytes(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only BMP/PPM decode is available without PIL/libav; "
+        "only BMP/PPM/PNG decode is available without PIL/libav; "
         "pass fake=True for other formats or plug a decoder in here"
     )
 
 
-def attach_bmp_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Real-image corpus generator: one genuine 24-bit BMP per doc,
-    pixels derived deterministically from the doc text — pixel-stream
-    byte j is ``ord(text[j mod len])`` — with w = id%16+1, h = id%12+1.
-    Because the rule is expressible in SQL, a DuckDB oracle can verify
-    the REAL decode path end-to-end without being able to parse BMP:
-    the values only match if the codec round-trips correctly."""
+def attach_image_media(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", formats: tuple[str, ...] = ("bmp", "ppm", "png")
+) -> DataFrame:
+    """Real-image corpus generator: one genuine image per doc — format
+    round-robined over ``formats`` by doc id (24-bit BMP, P6 PPM,
+    8-bit RGB PNG) — pixels derived deterministically from the doc
+    text: pixel-stream byte j is ``ord(text[j mod len])``, with
+    w = id%16+1, h = id%12+1.  Because the pixel rule is expressible
+    in SQL and independent of the container format, a DuckDB oracle
+    can verify the REAL decode path end-to-end without being able to
+    parse any of the formats: the values only match if each codec
+    round-trips correctly."""
+    encoders = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,7 +265,8 @@ def attach_bmp_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str =
                 n = w * h * 3
                 reps = -(-n // len(text))
                 rgb = (text * reps)[:n]
-                payloads.append(encode_bmp(w, h, rgb))
+                enc = encoders[formats[mid % len(formats)]]
+                payloads.append(enc(w, h, rgb))
                 widths.append(w)
                 heights.append(h)
             yield pd.DataFrame(
@@ -180,6 +282,12 @@ def attach_bmp_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str =
             )
 
     return docs.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def attach_bmp_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BMP-only variant of :func:`attach_image_media` (kept for callers
+    that need a single known format)."""
+    return attach_image_media(docs, id_col=id_col, text_col=text_col, formats=("bmp",))
 
 
 def extract_features(media: DataFrame, *, fake: bool = True, feat_dim: int = 8) -> DataFrame:

@@ -42,13 +42,29 @@ STORE_LAYOUT_VERSION = 5
 
 
 def _store_version_tag(sf_dir: str) -> str:
-    """Layout version + source-file fingerprint: a regenerated
-    events.parquet (new size/mtime) invalidates the cached store even
-    when the code layout is unchanged."""
+    """Layout version + source fingerprint: a regenerated
+    events.parquet invalidates the cached store even when the code
+    layout is unchanged.  Nanosecond mtimes (same-second regeneration
+    still differs), and for a parquet DIRECTORY the fingerprint covers
+    the contained data files (name+size+mtime_ns) — an in-place
+    rewrite inside the directory changes the tag even when the
+    directory entry's own mtime does not."""
     src = os.path.join(sf_dir, "events.parquet")
     try:
         st = os.stat(src)
-        fp = f"{st.st_size}:{int(st.st_mtime)}"
+        if os.path.isdir(src):
+            parts = []
+            for name in sorted(os.listdir(src)):
+                try:
+                    fst = os.stat(os.path.join(src, name))
+                    parts.append(f"{name}:{fst.st_size}:{fst.st_mtime_ns}")
+                except OSError:
+                    continue
+            import hashlib
+
+            fp = hashlib.md5(";".join(parts).encode()).hexdigest()[:16]
+        else:
+            fp = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         fp = "nosrc"
     return f"{STORE_LAYOUT_VERSION}:{fp}"
@@ -99,19 +115,50 @@ def ensure_event_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     base = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(STORE_ROOT, base)
     # the store outlives the process (it's a cache under /tmp): a
-    # layout change in newer code must invalidate older builds
+    # layout change in newer code must invalidate older builds.  The
+    # invalidation check + rmtree + rebuild section is serialized by a
+    # file lock (two processes racing here could otherwise rmtree each
+    # other's in-flight tmp builds), and LAYOUT_VERSION is written only
+    # AFTER the builds complete — a half-built store never carries a
+    # current tag, so a crashed build is rebuilt, not trusted.
     version_file = os.path.join(root, "LAYOUT_VERSION")
     version_tag = _store_version_tag(sf_dir)
-    if os.path.isdir(root):
+    os.makedirs(STORE_ROOT, exist_ok=True)
+    lock_path = os.path.join(STORE_ROOT, f".{base}.lock")
+    lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        import fcntl
+
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+    except (ImportError, OSError):
+        pass  # non-POSIX: fall back to the _SUCCESS/rename guards
+    try:
+        if os.path.isdir(root):
+            try:
+                ok = open(version_file).read().strip() == version_tag
+            except OSError:
+                ok = False
+            if not ok:
+                shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        metrics_path, dim_path = _build_event_store(spark, sf_dir, root)
+        with open(version_file, "w") as f:
+            f.write(version_tag)
+    finally:
         try:
-            ok = open(version_file).read().strip() == version_tag
-        except OSError:
-            ok = False
-        if not ok:
-            shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    with open(version_file, "w") as f:
-        f.write(version_tag)
+            import fcntl
+
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        except (ImportError, OSError):
+            pass
+        os.close(lock_fd)
+    return metrics_path, dim_path
+
+
+def _build_event_store(spark: SparkSession, sf_dir: str, root: str) -> tuple[str, str]:
+    """Build the store tables under ``root`` (idempotent per-table via
+    the _SUCCESS/rename guards).  Split from ensure_event_store so the
+    version-tag commit happens strictly after every build."""
     metrics_path = os.path.join(root, "metrics")
     dim_path = os.path.join(root, "series_dim")
 

@@ -101,6 +101,38 @@ def test_minhash_lsh_finds_planted_dups(doc_df):
     assert (0, 3) not in pairs
 
 
+def test_minhash_lsh_exact_verify_matches_true_jaccard(doc_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_candidates(doc_df, threshold=0.5, exact_verify=True).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # docs 0 and 2 each have 8 trigram shingles and share 7: J = 7/9
+    assert abs(pairs[(0, 2)] - 7 / 9) < 1e-9
+
+
+def test_minhash_lsh_band_bucket_skew_guard(spark, caplog):
+    """A mass of identical docs collapses into one (band, bh) bucket per
+    band; without the cap the band self-join enumerates O(n²) candidate
+    pairs (≈12.5 M for 5 000 clones).  The guard must drop those buckets
+    (with a logged warning) and still report pairs among normal docs."""
+    clone = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    pair = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, clone) for i in range(5000)]
+    rows += [(10_000, pair), (10_001, pair)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="opentsdb_aura_spark.operators.dedup_text"):
+        out = minhash_lsh_candidates(df, threshold=0.5, max_band_bucket=1000).collect()
+    assert any("max_band_bucket" in rec.message for rec in caplog.records)
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (10_000, 10_001) in got  # normal pairs survive the guard
+    # no clone pair should appear (their buckets were dropped), and the
+    # result is far from the 12.5M-pair quadratic blow-up
+    assert all(a >= 10_000 for a, _ in got)
+
+
 def test_simhash_identical_and_near(doc_df):
     fps = {r["doc_id"]: r["simhash"] for r in simhash(doc_df).collect()}
     assert fps[0] == fps[1]
@@ -272,6 +304,76 @@ def test_multimodal_real_features_and_resize(spark):
     assert (w, h) == (4, 2)
     # nearest-neighbor from a channel-constant image stays channel-constant
     assert rgb[0::3] == bytes([ord("x")] * 8)
+
+
+def test_png_roundtrip_and_all_filter_types():
+    """decode_png must invert every PNG filter type (0–4), not just
+    the filter-0 rows our encoder emits: build the filtered scanline
+    stream by hand with one filter per row and check exact recovery."""
+    import struct
+    import zlib
+
+    from opentsdb_aura_spark.operators.multimodal import _PNG_SIG, decode_png, encode_png
+
+    w, h = 5, 5
+    rgb = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    # round-trip through our own encoder (filter 0)
+    assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+
+    # forward-filter each row with types 0..4 and rebuild the PNG
+    bpp, stride = 3, w * 3
+    rows = [rgb[y * stride : (y + 1) * stride] for y in range(h)]
+    prev = bytes(stride)
+    raw = bytearray()
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+    for y, row in enumerate(rows):
+        ft = y % 5
+        raw.append(ft)
+        for i, v in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                raw.append(v)
+            elif ft == 1:
+                raw.append((v - a) & 0xFF)
+            elif ft == 2:
+                raw.append((v - b) & 0xFF)
+            elif ft == 3:
+                raw.append((v - ((a + b) >> 1)) & 0xFF)
+            else:
+                raw.append((v - paeth(a, b, c)) & 0xFF)
+        prev = row
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (w, h, rgb)
+
+
+def test_mixed_format_media_decode(spark):
+    """attach_image_media round-robins BMP/PPM/PNG; fake=False feature
+    extraction must decode all three to identical pixel semantics."""
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media, extract_features
+
+    # ids 3k, 3k+1, 3k+2 → bmp, ppm, png
+    df = spark.createDataFrame([(9, "abcdef"), (10, "abcdef"), (11, "abcdef")], "doc_id long, text string")
+    feats = {r["media_id"]: r for r in extract_features(attach_image_media(df), fake=False).collect()}
+    for mid in (9, 10, 11):
+        w, h = mid % 16 + 1, mid % 12 + 1
+        n = w * h * 3
+        expect = sum((b"abcdef" * (n // 6 + 1))[:n])
+        assert feats[mid]["n_bytes"] == n
+        assert feats[mid]["checksum"] == expect, mid
 
 
 def test_embedding_near_dup_pairs(emb_df):

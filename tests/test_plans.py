@@ -176,3 +176,13 @@ def test_rollup_two_stage_gb_avg_reads_rollup_table(spark):
     assert "rollup_3600" in scanned, plan
     m = re.findall(r"ReadSchema: (.*)", plan)
     assert m and not any("value" in s and "ts" in s for s in m), plan
+
+
+def test_tpch_customer_join_broadcast_by_size_not_hint(spark):
+    """The TPC-H queries must NOT force-broadcast customer (O(SF) —
+    several GB at sf100); at test SF, AQE/autoBroadcastJoinThreshold
+    still size-picks BroadcastHashJoin for it on its own."""
+    for name in ("tpch_revenue_by_nation", "tpch_shipping_priority"):
+        df = C.SPARK_QUERIES[name](spark, SF)
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan, f"{name}: {plan}"

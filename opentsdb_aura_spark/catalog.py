@@ -1201,6 +1201,39 @@ def splice_hot_cold_sum(spark, sf_dir):
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("spliced_sum"))
 
 
+@register(
+    "splice_bucketed_cold_sum",
+    f"""{ORACLE_PTS}
+SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts,
+       round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2, 3""",
+)
+def splice_bucketed_cold_sum(spark, sf_dir):
+    """U3 with the series-bucketed COLD tier: the cold range is served
+    by the bucketed layout (per-series aggregation Exchange-free — the
+    bucket spec hash-partitions series_id), the hot range by the
+    segment-partitioned store (its small recent shuffle), and the
+    per-tier results are unioned on the shared day grid.  Equals the
+    full-range scan; the reference analogue is the shard scan merged
+    with series-keyed LTS reads (aerospike/.../LTSAerospike.java)."""
+    from opentsdb_aura_spark.plans.query import splice_bucketed_downsample
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    boundary = START + 15 * DAY
+    cold = bucketed_metrics(spark, sf_dir).where(F.col("metric") == "purchase")
+    hot = points(spark, sf_dir).where(F.col("metric") == "purchase")
+    res = splice_bucketed_downsample(hot, cold, boundary, START, END, DAY, "sum", group_cols=["series_id"])
+    dim = series_dim(spark, sf_dir).select(
+        "series_id",
+        F.col("tags")["user"].alias("tag_user"),
+        F.col("tags")["k"].alias("tag_k"),
+    )
+    return res.join(F.broadcast(dim), "series_id").select(
+        "tag_user", "tag_k", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value")
+    )
+
+
 # ============================================================ relational health (TPC-H-ish)
 
 

@@ -371,3 +371,53 @@ def splice_hot_cold(hot: DataFrame, cold: DataFrame, boundary_ts: int) -> DataFr
     return cold.where(F.col("ts") < F.lit(int(boundary_ts))).unionByName(
         hot.where(F.col("ts") >= F.lit(int(boundary_ts)))
     )
+
+
+def splice_bucketed_downsample(
+    hot: DataFrame,
+    cold_bucketed: DataFrame,
+    boundary_ts: int,
+    start: int,
+    end: int,
+    interval: int,
+    agg: str,
+    group_cols: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """U3 over a series-bucketed cold tier: aggregate each tier
+    SEPARATELY, then union the per-bucket results.
+
+    Splicing raw rows first (``splice_hot_cold``) would destroy the
+    cold table's bucket partitioning at the union and force a shuffle
+    of the (large) cold range.  Aggregating per tier keeps the
+    cold-side per-series aggregation Exchange-free end-to-end — the
+    bucket spec already hash-partitions series_id — which is the whole
+    point of the bucketed layout and mirrors the reference's
+    series-keyed long-term-store reads merged with the hot shard scan
+    (aerospike/.../LTSAerospike.java:187-260; the LTS fetches a
+    series' whole history co-located by key).  The hot side shuffles
+    only its own (recent, small) range.
+
+    ``boundary_ts`` must sit on the downsample grid
+    ((boundary−start) % interval == 0): tiers are then time-disjoint
+    AND bucket-disjoint, so the merged result is a plain unionByName —
+    no second aggregation pass at all.
+    """
+    if (int(boundary_ts) - int(start)) % int(interval) != 0:
+        raise ValueError(
+            f"boundary_ts {boundary_ts} must be aligned to the interval grid "
+            f"anchored at start={start} (interval={interval})"
+        )
+    from opentsdb_aura_spark.operators.downsample import downsample
+
+    b = int(boundary_ts)
+    cold_res = downsample(
+        cold_bucketed.where(F.col("ts") < F.lit(b)),
+        int(start), min(b, int(end)), int(interval), agg,
+        group_cols=list(group_cols), fill="none",
+    )
+    hot_res = downsample(
+        hot.where(F.col("ts") >= F.lit(b)),
+        max(int(start), b), int(end), int(interval), agg,
+        group_cols=list(group_cols), fill="none",
+    )
+    return cold_res.unionByName(hot_res)

@@ -6,6 +6,7 @@ the wall clock."""
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from opentsdb_aura_spark import catalog as C
 from opentsdb_aura_spark.filters import MetricLiteral
@@ -186,3 +187,25 @@ def test_tpch_customer_join_broadcast_by_size_not_hint(spark):
         df = C.SPARK_QUERIES[name](spark, SF)
         plan = plan_of(df)
         assert "BroadcastHashJoin" in plan, f"{name}: {plan}"
+
+
+def test_splice_bucketed_cold_side_has_no_exchange(spark):
+    """U3 over the bucketed cold tier: the cold-side per-series
+    aggregate must come up Exchange-free (bucket spec pre-partitions
+    series_id), and the full spliced plan's only shuffle Exchange is
+    the hot side's own."""
+    from opentsdb_aura_spark.operators.downsample import downsample
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    START_, DAY_ = C.START, 86400
+    cold = bucketed_metrics(spark, SF).where(F.col("metric") == "purchase")
+    cold_agg = downsample(
+        cold.where(F.col("ts") < START_ + 15 * DAY_),
+        START_, START_ + 15 * DAY_, DAY_, "sum", group_cols=["series_id"], fill="none",
+    )
+    plan = plan_of(cold_agg)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    df = C.SPARK_QUERIES["splice_bucketed_cold_sum"](spark, SF)
+    full = plan_of(df)
+    assert len(re.findall(r"Exchange hashpartitioning", full)) <= 1, full

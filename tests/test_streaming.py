@@ -129,6 +129,51 @@ def test_dim_merge_rewrites_only_touched_buckets(spark, tmpdirs):
     assert row["first_seen"] == BASE + 100
 
 
+def test_dim_merge_reader_never_sees_partial_table(spark, tmpdirs):
+    """Stale-read guard for the dynamic-partition-overwrite dim merge:
+    (1) a reader concurrent with an IN-FLIGHT write (before commit)
+    sees the complete OLD snapshot — uncommitted staging/_temporary
+    files must be invisible; (2) a reader that plans after the commit
+    sees the complete NEW table, every bucket present."""
+    now = BASE + 7200
+    ing = StreamingIngest(store_path=tmpdirs["store"], dim_path=tmpdirs["dim"], now_fn=lambda: now)
+
+    rows = [("m", {"h": str(i)}, BASE + 100 + i, 1.0, i) for i in range(8)]
+    _write_input(spark, tmpdirs["in"], rows, "b0")
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+
+    base_rows = spark.read.parquet(tmpdirs["dim"]).collect()
+    n_series = len(base_rows)
+    assert n_series == 8
+
+    # simulate the writer's pre-commit window: an in-flight task has
+    # landed bytes under _temporary inside a partition dir (exactly
+    # where FileOutputCommitter stages them) — a concurrent reader
+    # must not surface them
+    bucket_dir = next(
+        e for e in os.listdir(tmpdirs["dim"]) if e.startswith("dim_bucket=")
+    )
+    staging = os.path.join(tmpdirs["dim"], bucket_dir, "_temporary", "0")
+    os.makedirs(staging)
+    spark.createDataFrame(
+        [("GHOST", BASE)], "metric string, last_ts long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "task0"))
+    seen = spark.read.parquet(tmpdirs["dim"]).collect()
+    assert len(seen) == n_series  # complete old snapshot, no ghost rows
+    assert not any(r["metric"] == "GHOST" for r in seen)
+    shutil.rmtree(os.path.join(tmpdirs["dim"], bucket_dir, "_temporary"))
+
+    # after a real merge commits, a fresh reader sees the complete new
+    # table: all 8 series, updated bucket merged, every bucket present
+    _write_input(spark, tmpdirs["in"], [("m", {"h": "0"}, BASE + 900, 9.0, 100)], "b1")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+    after = spark.read.parquet(tmpdirs["dim"]).collect()
+    assert len(after) == n_series
+    upd = next(r for r in after if r["tags"]["h"] == "0")
+    assert upd["last_ts"] == BASE + 900 and upd["last_value"] == 9.0
+
+
 def test_retention_purge(spark, tmpdirs):
     now = BASE + 10 * 86400
     ing = StreamingIngest(

@@ -267,6 +267,32 @@ def ds_stddev_daily(spark, sf_dir):
     return _ds_by_metric(spark, sf_dir, DAY, "stddev", "stddev_value", 6)
 
 
+def _lossy_oracle():
+    from opentsdb_aura_spark.operators.compression import lossy_sql_expr
+
+    return f"""{ORACLE_PTS}
+SELECT metric, {_bucket_sql(DAY)} AS bucket_ts,
+       round(sum({lossy_sql_expr("value", 8)}), 4) AS lossy_sum
+FROM dpts WHERE ts >= {START} AND ts < {END}
+GROUP BY 1, 2"""
+
+
+@register("lossy_gorilla_sum_daily", _lossy_oracle())
+def lossy_gorilla_sum_daily(spark, sf_dir):
+    """X4 — lossy value storage: mantissa truncation applied on the
+    write path (the reference's Gorilla LOSS_MASK,
+    GorillaSegmentEncoder.java:29,103 — arithmetically exact
+    re-expression, see operators/compression.py), then a daily SUM
+    over the truncated doubles.  keep_bits=8 here so the loss is
+    visible at round(4) — the reference's mask keeps 28 bits
+    (GORILLA_KEEP_BITS), invisible after rounding by design."""
+    from opentsdb_aura_spark.operators.compression import lossy_encode_values
+
+    pts = lossy_encode_values(points(spark, sf_dir), keep_bits=8)
+    res = downsample(pts, START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("lossy_sum"))
+
+
 @register("ds_sumsq_daily", _ds_by_metric_sql(DAY, "sum(value*value)", "sumsq_value", 4))
 def ds_sumsq_daily(spark, sf_dir):
     """A11 — SUM-OF-SQUARES aggregator."""
@@ -2707,6 +2733,96 @@ def ev_user_activity(spark, sf_dir):
         _r(F.sum("value"), 4).alias("total_value"),
         F.max_by("event_type", F.col("ts") * 1000000 + F.col("event_id")).alias("last_type"),
     )
+
+
+@register(
+    "ev_sessionize_users",
+    """WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_id FROM events),
+l AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS nf
+  FROM e),
+s AS (
+  SELECT user_id, ts,
+         sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM l)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY 1, 2""",
+)
+def ev_sessionize_users(spark, sf_dir):
+    """Gap-based sessionization (30-min timeout) over the event store:
+    one row per (user, session) with bounds and event count — the
+    standard event-pipeline shape (lag → flag → running sum), fully
+    in Catalyst; two windows, one shuffle on user_id."""
+    from opentsdb_aura_spark.operators.events import sessionize
+
+    ev = events_seconds(spark, sf_dir).select("user_id", "ts", "event_id")
+    return sessionize(ev, 1800, key_col="user_id").select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
+@register(
+    "anomaly_zscore_daily",
+    f"""{ORACLE_PTS},
+agg AS (
+  SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS sum_value
+  FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2)
+SELECT metric, bucket_ts, round(sum_value, 4) AS sum_value,
+       round(CASE WHEN count(sum_value) OVER w >= 3
+                   AND stddev_samp(sum_value) OVER w > 0
+             THEN (sum_value - avg(sum_value) OVER w) / stddev_samp(sum_value) OVER w
+             END, 6) AS zscore
+FROM agg
+WINDOW w AS (PARTITION BY metric ORDER BY bucket_ts ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)""",
+)
+def anomaly_zscore_daily(spark, sf_dir):
+    """Trailing-window anomaly scoring: each daily bucket's sum scored
+    against the mean/stddev of its previous 7 buckets (current
+    excluded) — the Spark-first baseline of the upstream 3.x anomaly
+    processors (observed vs expected from recent history).  The window
+    runs over the already-downsampled result, so its state is 7 rows
+    per metric regardless of raw volume."""
+    from opentsdb_aura_spark.operators.analytic import rolling_zscore
+
+    pts = points(spark, sf_dir)
+    res = downsample(pts, START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    out = rolling_zscore(res, lookback=7, min_history=3, group_cols=["metric"])
+    return out.select(
+        "metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"), _r("zscore", 6).alias("zscore")
+    )
+
+
+@register(
+    "pipeline_token_budget",
+    r"""WITH c AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM c)
+SELECT doc_id, source, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 5000""",
+)
+def pipeline_token_budget(spark, sf_dir):
+    """Greedy per-domain doc selection under a 5 000-token budget —
+    training mixes are specified in tokens, not document counts.  One
+    window per domain (single shuffle), no global sort, no driver
+    loop."""
+    from opentsdb_aura_spark.operators.corpus import token_budget_sample
+
+    return token_budget_sample(docs_raw(spark, sf_dir), 5000, domain_col="source")
 
 
 @register("rollup_coarsest_pick", _ds_by_metric_sql(DAY, "sum(value)", "sum_value", 4))

@@ -15,6 +15,8 @@ rate operator's segment-parallel machinery is unnecessary here.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -233,3 +235,39 @@ def ratio(
     if as_percent:
         share = share * F.lit(100.0)
     return df.withColumn(value_col, F.coalesce(share, NAN()))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    *,
+    lookback: int = 7,
+    min_history: int = 3,
+    group_cols: Sequence[str] = ("metric",),
+    value_col: str = "value",
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Trailing-window anomaly score: each bucket's value vs the mean/
+    sample-stddev of the PREVIOUS ``lookback`` buckets of its group
+    (current bucket excluded — a spike must not mask itself).
+
+    Adds ``zscore`` (NULL while history < ``min_history`` buckets or
+    the trailing window is flat).  The upstream 3.x anomaly processors
+    score "observed vs expected from recent history" the same way;
+    a trailing z-score is the Spark-first baseline of that family.
+    Scale: one window per group over the (small) downsampled result —
+    the heavy reduction already happened in the downsample; state per
+    group is ``lookback`` rows, never raw points."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-int(lookback), -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= int(min_history)) & (sd > 0), (F.col(value_col) - mu) / sd
+    )
+    return df.withColumn("zscore", z)

@@ -506,3 +506,39 @@ def mixture_sample(
         rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
     rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
     return docs.where(bucket < rate * F.lit(HASH_BUCKETS))
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-domain selection under a token budget: within each
+    domain, docs are taken in a deterministic priority order (longer
+    docs first, doc id as tiebreak) until the domain's cumulative
+    whitespace-token count would exceed ``budget_tokens``.
+
+    This is the budgeted variant of ``mixture_sample``: a training mix
+    is usually specified in TOKENS per domain, not document counts.
+    Returns the kept docs with (n_tokens, cum_tokens).
+
+    Scale: token counting is a narrow map; the running sum is one
+    window per domain — the same single-shuffle shape as
+    ``stratified_sample``.  A domain's docs sort within its partition;
+    there is no global sort and no driver-side selection loop.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col("n_tokens").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    counted = docs.select(id_col, domain_col, n_tokens.alias("n_tokens"))
+    return (
+        counted.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .select(id_col, domain_col, "n_tokens", "cum_tokens")
+    )

@@ -97,3 +97,45 @@ def minute_histogram(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     QueryRunner.java:169-172).  ts is epoch seconds."""
     bucket = (F.col(ts_col) - F.col(ts_col) % 60).cast("long").alias("minute_ts")
     return events.groupBy(bucket).agg(F.count("*").alias("n"))
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one key belong
+    to the same session while the inter-event gap stays ≤
+    ``gap_seconds``; a larger gap opens a new session.  Returns one
+    row per session: (key, session_start, session_end, n_events).
+
+    The classic two-window shape — lag to flag session starts, running
+    sum of flags to number sessions — stays entirely in Catalyst.
+    Scale: both windows partition by the session key, so the only
+    shuffle is the natural hash on ``key_col``; per-key state is a
+    sort, never a buffer of the whole key history in one row.  (The
+    streaming analogue is ``applyInPandasWithState`` with a session
+    timeout — streaming/state.py holds the state-store pattern.)
+    """
+    from pyspark.sql import Window
+
+    # tiebreak makes the running numbering a total order, so the
+    # session index of timestamp-tied events is engine-independent
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak)
+    new_flag = (
+        F.when(F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(int(gap_seconds)), 1)
+        .otherwise(0)
+    )
+    # first event of a key has lag NULL → comparison NULL → otherwise(0):
+    # session_idx starts at 0 for it, as intended
+    sess = events.withColumn("_new", new_flag).withColumn(
+        "session_idx", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy(key_col, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

@@ -183,3 +183,17 @@ def test_bucket_quantile_modes_and_empty(spark):
     assert {(r["bucket_ts"], r["value"]) for r in bottom.collect()} == {(0, 10.0)}
     with pytest.raises(ValueError):
         bucket_quantile(df, [0.5], mode="median")
+
+
+def test_rolling_zscore_trailing_window(spark):
+    from opentsdb_aura_spark.operators.analytic import rolling_zscore
+
+    # flat history then a spike: spike z = (10-1)/0 — flat window sd=0
+    # → NULL; with varied history the spike scores high and positive
+    rows = [("m", i * 86400, float(v)) for i, v in enumerate([1, 2, 1, 2, 1, 2, 1, 50])]
+    df = spark.createDataFrame(rows, "metric string, bucket_ts long, value double")
+    out = {r["bucket_ts"]: r["zscore"] for r in rolling_zscore(df, lookback=7, min_history=3).collect()}
+    assert out[0] is None and out[86400] is None and out[2 * 86400] is None  # short history
+    assert out[7 * 86400] is not None and out[7 * 86400] > 5  # spike flagged
+    # current bucket excluded from its own baseline: day 6's z uses days 0-5
+    assert abs(out[6 * 86400]) < 2

@@ -198,3 +198,20 @@ def test_shard_assign_deterministic_and_stable(spark, corpus_df):
         new_order = [d for d, (sh, p) in sorted(after.items(), key=lambda kv: kv[1][1])
                      if sh == s and d in before]
         assert old_order == new_order
+
+
+def test_token_budget_sample(spark):
+    from opentsdb_aura_spark.operators.corpus import token_budget_sample
+
+    rows = [
+        (0, "a b c d e", "s1"),      # 5 tokens
+        (1, "a b c", "s1"),          # 3 tokens
+        (2, "a b", "s1"),            # 2 tokens
+        (3, "x " * 50, "s2"),        # 50 tokens (trailing space trimmed)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in token_budget_sample(df, 8, domain_col="source").collect()}
+    # s1 greedy by length: doc0 (5) then doc1 (cum 8) fit; doc2 would hit
+    # 10.  s2's only doc is 50 tokens — over budget on its own, dropped.
+    assert set(out) == {0, 1}
+    assert out[0]["cum_tokens"] == 5 and out[1]["cum_tokens"] == 8

@@ -84,3 +84,27 @@ def test_upsert_events(spark):
     out = {r["event_id"]: r for r in upsert_events(df, seq_col="seq").collect()}
     assert len(out) == 2
     assert out[1]["msg"] == "v2" and out[1]["ts"] == BASE + 50
+
+
+def test_sessionize_gap_rule(spark):
+    from opentsdb_aura_spark.operators.events import sessionize
+
+    rows = [
+        # user 1: two sessions split by a 2h gap
+        (1, 1000, 1), (1, 1500, 2), (1, 1500 + 7200, 3), (1, 1500 + 7300, 4),
+        # user 2: one event
+        (2, 50, 5),
+        # user 1: tied timestamps must stay in one session deterministically
+        (1, 1500 + 7300, 6),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long")
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(df, 1800, key_col="user_id").collect()
+    }
+    assert len(out) == 3
+    s0 = out[(1, 0)]
+    assert s0["session_start"] == 1000 and s0["session_end"] == 1500 and s0["n_events"] == 2
+    s1 = out[(1, 1)]
+    assert s1["session_start"] == 1500 + 7200 and s1["n_events"] == 3
+    assert out[(2, 0)]["n_events"] == 1

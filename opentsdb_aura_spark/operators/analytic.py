@@ -264,10 +264,14 @@ def rolling_zscore(
         .orderBy(bucket_col)
         .rowsBetween(-int(lookback), -1)
     )
-    mu = F.avg(value_col).over(w)
-    sd = F.stddev_samp(value_col).over(w)
-    n = F.count(value_col).over(w)
+    # NaN spine buckets are "no data", not data: they drop out of the
+    # baseline (NaN→NULL, aggregates skip NULL) and score NULL
+    # themselves rather than poisoning the window with NaN arithmetic
+    v = _non_nan(F.col(value_col))
+    mu = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    n = F.count(v).over(w)
     z = F.when(
-        (n >= int(min_history)) & (sd > 0), (F.col(value_col) - mu) / sd
+        v.isNotNull() & (n >= int(min_history)) & (sd > 0), (v - mu) / sd
     )
     return df.withColumn("zscore", z)

@@ -196,14 +196,20 @@ def ngram_jaccard_pairs(
     """
     # word_shingles is per-doc distinct already → (doc_id, s) pairs are
     # unique without a dedupe shuffle, and a per-pair row count equals
-    # the intersection size of the two docs' shingle sets.  The stream
-    # feeds up to four consumers (sizes, freq, candidates, verify), so
-    # materialize it once instead of re-running the explode per
-    # consumer; on a multi-node cluster swap localCheckpoint for
-    # persist(DISK_ONLY) or a temp table — same one-pass shape
-    shing = _spread(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
-    ).localCheckpoint()
+    # the intersection size of the two docs' shingle sets.  Shingle
+    # identity is reduced to its 64-bit xxhash BEFORE materialization:
+    # the self-join/groupBy shuffles then carry an 8-byte key instead
+    # of the shingle string (~3 words + spaces ≈ 20 B), and the join
+    # compares longs (collision odds ~n²/2⁶⁴ corpus-wide — immaterial
+    # for a count).  The stream feeds up to four consumers (sizes,
+    # freq, candidates, verify), so materialize it once; on a
+    # multi-node cluster swap localCheckpoint for persist(DISK_ONLY).
+    shing = (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("s"))
+        .localCheckpoint()
+    )
     sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     def pair_counts(sh):

@@ -11,7 +11,8 @@ query JSON runs unchanged against the Spark engine.
 Supported graph node types: TimeSeriesDataSource, downsample, rate,
 groupby, timeshift folded into one MetricQuery (``translate_query``),
 plus full DAGs with expression / summarizer / topn / movingaverage /
-slidingwindow / ratio nodes (``run_semantic_graph``).  Supported filter types: MetricLiteral,
+slidingwindow / ratio / fill / anomaly nodes (``run_semantic_graph``).
+Supported filter types: MetricLiteral,
 TagValueLiteralOr, TagValueRegex, TagValueWildcard, TagKeyLiteral,
 Chain (AND/OR), Not, ExplicitTags, AnyFieldRegex, MatchAll.
 """
@@ -293,6 +294,30 @@ def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_w
                 src,
                 parse_duration(node.get("windowSize", "5m")),
                 node.get("aggregator", "avg"),
+            )
+        elif ntype == "fill":
+            # gap-fill policy over the upstream result: 'previous'
+            # carries the last real value forward, 'linear'
+            # interpolates between neighbors (the engine's analytic
+            # gap-fill node; upstream expresses the same via
+            # interpolatorConfigs on consuming nodes)
+            from opentsdb_aura_spark.operators.analytic import fill_gaps
+
+            src = run_node(node["sources"][0])
+            df = fill_gaps(src, node.get("policy", "previous"))
+        elif ntype == "anomaly":
+            # trailing-window anomaly scoring (the baseline of the
+            # upstream 3.x anomaly processor family: observed vs
+            # expected from recent history)
+            from opentsdb_aura_spark.operators.analytic import rolling_zscore
+
+            src = run_node(node["sources"][0])
+            group_cols = [c for c in src.columns if c not in ("bucket_ts", "value", "zscore")]
+            df = rolling_zscore(
+                src,
+                lookback=int(node.get("lookback", 7)),
+                min_history=int(node.get("minHistory", 3)),
+                group_cols=group_cols or ["metric"],
             )
         elif ntype == "ratio":
             # upstream RatioConfig (net.opentsdb.query.processor.ratio)

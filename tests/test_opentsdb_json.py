@@ -214,3 +214,44 @@ def test_slidingwindow_graph_node(make_points):
     assert got[BASE + 60] == 3.0
     assert got[BASE + 120] == 5.0
     assert got[BASE + 180] == 7.0
+
+
+def test_fill_and_anomaly_graph_nodes(make_points):
+    """fill: previous-value carry-forward over the NaN spine; anomaly:
+    trailing z-score of each bucket vs its recent history."""
+    import math
+
+    from opentsdb_aura_spark.plans.opentsdb_json import run_semantic_graph
+
+    rows = [("m", {"host": "a"}, BASE + m * 60, float(m + 1)) for m in (0, 1, 3)]
+    pts = make_points(rows)
+
+    def graph(tail):
+        return {
+            "start": BASE,
+            "end": BASE + 240,
+            "executionGraph": [
+                {"id": "m1", "type": "TimeSeriesDataSource",
+                 "metric": {"type": "MetricLiteral", "metric": "m"}},
+                {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "1m", "sources": ["m1"]},
+                {"id": "gb", "type": "groupby", "aggregator": "sum", "tagKeys": ["host"], "sources": ["ds"]},
+                tail,
+            ],
+        }
+
+    filled = run_semantic_graph(
+        pts, graph({"id": "f", "type": "fill", "policy": "previous", "sources": ["gb"]}),
+        now=BASE + 240,
+    )
+    got = {r["bucket_ts"]: r["value"] for r in filled.collect()}
+    assert got[BASE + 120] == 2.0  # gap carries bucket 1's value forward
+
+    anom = run_semantic_graph(
+        pts, graph({"id": "an", "type": "anomaly", "lookback": 7, "minHistory": 2, "sources": ["gb"]}),
+        now=BASE + 240,
+    )
+    rows_out = {r["bucket_ts"]: r for r in anom.collect()}
+    assert "zscore" in anom.columns
+    assert rows_out[BASE]["zscore"] is None  # no history yet
+    late = rows_out[BASE + 180]["zscore"]
+    assert late is None or not math.isnan(late)  # NaN-gap history → scored or null, never NaN

@@ -2500,6 +2500,43 @@ def ds_p90_approx_daily(spark, sf_dir):
 
 
 @register(
+    "tpch_local_supplier_volume",
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY 1""",
+)
+def tpch_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: five-way join with the local-supplier condition
+    (customer and supplier in the same nation).  Only the fixed-size
+    dims (nation, region) carry broadcast hints; customer/supplier/
+    orders are O(SF) and left to AQE sizing.  The region filter
+    reaches the nation join before any fact row is touched."""
+    ensure_session_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
     "tpch_semi_join_orders",
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders

@@ -295,6 +295,21 @@ def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_w
                 parse_duration(node.get("windowSize", "5m")),
                 node.get("aggregator", "avg"),
             )
+        elif ntype in ("merge", "merger"):
+            # upstream HA Merger (net.opentsdb.query.processor.merge):
+            # redundant sources (two datacenters answering one query)
+            # merge per (series, bucket) with an aggregator; max is the
+            # HA default (pick the most complete answer)
+            from opentsdb_aura_spark.operators.groupby import group_merge
+
+            srcs = [run_node(s) for s in node.get("sources", [])]
+            if not srcs:
+                raise ValueError(f"merger node {nid!r} has no sources")
+            df = srcs[0]
+            for other in srcs[1:]:
+                df = df.unionByName(other)
+            keys = [c for c in df.columns if c not in ("bucket_ts", "value")]
+            df = group_merge(df, node.get("aggregator", "max"), group_cols=keys)
         elif ntype == "fill":
             # gap-fill policy over the upstream result: 'previous'
             # carries the last real value forward, 'linear'

@@ -69,3 +69,65 @@ def streaming_last_value(stream_points: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id long, session_start long, session_end long, n_events long, closed boolean"
+SESSION_STATE_SCHEMA = "session_start long, session_end long, n_events long"
+
+
+def _update_sessions(gap_seconds: int):
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = None, None, 0
+
+        out_rows = []
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf["ts"])
+        for ts in sorted(ts_all):
+            if start is None:
+                start, end, n = ts, ts, 1
+            elif ts - end > gap_seconds:
+                out_rows.append((user_id, start, end, n, True))  # close previous
+                start, end, n = ts, ts, 1
+            else:
+                end, n = max(end, ts), n + 1
+
+        if start is not None:
+            state.update((start, end, n))
+            out_rows.append((user_id, start, end, n, False))  # current, still open
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "session_start", "session_end", "n_events", "closed"]
+        )
+
+    return update
+
+
+def streaming_sessionize(stream_events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Streaming gap-based sessionization: per user, events within
+    ``gap_seconds`` of the session's end extend it; a larger gap
+    closes the session (emitted with ``closed=true``) and opens a new
+    one (emitted ``closed=false`` as its running snapshot).
+
+    The batch equivalent is ``operators.events.sessionize``; here the
+    open session must SURVIVE across micro-batches, which only a keyed
+    state store expresses — the same ``applyInPandasWithState`` shape
+    as ``streaming_last_value``, state bounded at one (start, end,
+    count) triple per user.  (Late events older than the open session
+    fold into it via max(end, ts) rather than reopening closed ones —
+    closed sessions are immutable output, the streaming trade-off a
+    watermark implies.)"""
+    return (
+        stream_events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_sessions(int(gap_seconds)),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

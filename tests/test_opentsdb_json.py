@@ -255,3 +255,34 @@ def test_fill_and_anomaly_graph_nodes(make_points):
     assert rows_out[BASE]["zscore"] is None  # no history yet
     late = rows_out[BASE + 180]["zscore"]
     assert late is None or not math.isnan(late)  # NaN-gap history → scored or null, never NaN
+
+
+def test_merger_graph_node(make_points):
+    """merger: two redundant sources merge per (series, bucket) with
+    the HA default max aggregator — a value present in either source
+    survives, disagreements resolve to the larger answer."""
+    from opentsdb_aura_spark.plans.opentsdb_json import run_semantic_graph
+
+    rows = [("m", {"host": "a"}, BASE + m * 60, float(m + 1)) for m in range(3)]
+    pts = make_points(rows)
+
+    res = run_semantic_graph(
+        pts,
+        {
+            "start": BASE,
+            "end": BASE + 180,
+            "executionGraph": [
+                {"id": "m1", "type": "TimeSeriesDataSource",
+                 "metric": {"type": "MetricLiteral", "metric": "m"}},
+                {"id": "ds1", "type": "downsample", "aggregator": "sum", "interval": "1m", "sources": ["m1"]},
+                {"id": "gb1", "type": "groupby", "aggregator": "sum", "tagKeys": ["host"], "sources": ["ds1"]},
+                {"id": "ds2", "type": "downsample", "aggregator": "max", "interval": "1m", "sources": ["m1"]},
+                {"id": "gb2", "type": "groupby", "aggregator": "max", "tagKeys": ["host"], "sources": ["ds2"]},
+                {"id": "mg", "type": "merger", "aggregator": "max", "sources": ["gb1", "gb2"]},
+            ],
+        },
+        now=BASE + 180,
+    )
+    got = {r["bucket_ts"]: r["value"] for r in res.collect()}
+    # single point per bucket → sum == max → merged value = the point
+    assert got[BASE] == 1.0 and got[BASE + 60] == 2.0 and got[BASE + 120] == 3.0

@@ -301,3 +301,50 @@ def test_compact_store(spark, tmpdirs):
     after = len(glob.glob(store + "/segment_time=*/*.parquet"))
     assert n >= 1 and after < before
     assert spark.read.parquet(store).count() == 100
+
+
+def test_streaming_sessionize(spark, tmpdirs):
+    """Session state survives micro-batches: batch 2 extends the open
+    session when within the gap, or closes it and opens a new one."""
+    from opentsdb_aura_spark.streaming.state import streaming_sessionize
+
+    rows1 = [("m", {"h": "x"}, BASE + 0, 1.0, 1), ("m", {"h": "x"}, BASE + 600, 1.0, 2)]
+    _write_input(spark, tmpdirs["in"], rows1, "s0")
+
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    ev = stream.selectExpr("CAST(ingest_seq % 2 AS LONG) AS user_id", "ts")
+    out = []
+
+    def sink(df, _bid):
+        out.extend(df.collect())
+
+    q = (
+        streaming_sessionize(ev, 1800)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # two users (seq 1→1, seq 2→0), one open session each
+    assert {(r["user_id"], r["closed"]) for r in out} == {(0, False), (1, False)}
+
+    out.clear()
+    # user 1: an event 2h after its session end → closes it, opens new
+    rows2 = [("m", {"h": "x"}, BASE + 600 + 7200, 5.0, 3)]
+    _write_input(spark, tmpdirs["in"], rows2, "s1")
+    q = (
+        streaming_sessionize(ev, 1800)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_state = {(r["user_id"], r["closed"]): r for r in out}
+    closed = by_state[(1, True)]
+    assert closed["session_start"] == BASE and closed["n_events"] == 1
+    reopened = by_state[(1, False)]
+    assert reopened["session_start"] == BASE + 600 + 7200 and reopened["n_events"] == 1

@@ -2485,6 +2485,23 @@ def meta_cardinality_approx(spark, sf_dir):
     return cardinality(series_dim(spark, sf_dir), None, approx=True)
 
 
+@register("rollup_hist_p90_daily")  # sketch-based pre-aggregate: rows-only
+def rollup_hist_p90_daily(spark, sf_dir):
+    """A6 scale path, pre-aggregate edition: daily p90 per metric
+    served ENTIRELY from the hourly histogram rollup table (DDSketch
+    bins written at ingest, operators/rollup.py) — the raw points are
+    never scanned.  The plain aggregate chain can't serve percentiles
+    (not mergeable); log-bucketed histograms are, with ≤1% relative
+    error (bound-tested in tests/test_rollup.py)."""
+    from opentsdb_aura_spark.operators.rollup import percentile_from_rollup_histogram
+    from opentsdb_aura_spark.sources.batch import ensure_event_store, rollup_hist_path
+
+    ensure_event_store(spark, sf_dir)
+    hist = spark.read.parquet(rollup_hist_path(sf_dir, 3600))
+    res = percentile_from_rollup_histogram(hist, 0.9, START, END, DAY, group_cols=["metric"])
+    return res.select("metric", "bucket_ts", _r("value", 4).alias("p90_hist"))
+
+
 @register("ds_p90_approx_daily")  # sketch-based: rows-only
 def ds_p90_approx_daily(spark, sf_dir):
     """A6 scale path — approx_percentile; at 100 TB the exact

@@ -225,3 +225,118 @@ def choose_downsample_source(
     if best is None:
         return None, None
     return rollups[best], best
+
+
+# ------------------------------------------------- histogram rollups (sketch)
+
+#: default relative accuracy of the histogram rollup bins
+HIST_EPS = 0.01
+
+
+def _hist_gamma(eps: float) -> float:
+    return (1.0 + eps) / (1.0 - eps)
+
+
+def build_rollup_histogram(
+    points: DataFrame,
+    rollup_interval: int,
+    *,
+    eps: float = HIST_EPS,
+    group_cols: Sequence[str] = ("series_id",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Write-side log-bucketed value histogram per rollup window — the
+    MERGEABLE percentile path the plain sum/count/min/max chain can't
+    provide (A6: the reference buffers raw values per interval for
+    percentiles, AuraMetricsNumericArrayIterator.java:488-498 — fine
+    per segment, impossible across pre-aggregates).
+
+    DDSketch-style bins (relative accuracy ``eps``): for v≠0,
+    idx = ceil(log_γ(|v|)) with γ = (1+eps)/(1−eps); sign carried
+    separately; v = 0 in its own bin.  Output is LONG format —
+    (group…, window_start, sign, bin, cnt) — so query-time merging is
+    a plain groupBy SUM with full map-side combine; no map-typed
+    columns, no UDAF.  Rows per (series, window) are bounded by the
+    value dynamic range (~log_γ spread ≈ tens), not the point count —
+    the storage multiplier that makes sketch rollups viable at 100 TB.
+
+    NaN values are skipped (no-data, consistent with the aggregate
+    chain).
+    """
+    import math
+
+    gamma = _hist_gamma(float(eps))
+    v = F.col(value_col)
+    w = (F.col(ts_col) - F.col(ts_col) % F.lit(int(rollup_interval))).cast("long")
+    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0)).cast("int")
+    idx = F.when(
+        v == 0, F.lit(0)
+    ).otherwise(F.ceil(F.log(F.abs(v)) / F.lit(math.log(gamma)))).cast("int")
+    return (
+        points.where(~F.isnan(v))
+        .withColumn("window_start", w)
+        .withColumn("sign", sign)
+        .withColumn("bin", idx)
+        .groupBy(*group_cols, "window_start", "sign", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def percentile_from_rollup_histogram(
+    hist: DataFrame,
+    q: float,
+    start: int,
+    end: int,
+    interval: int,
+    *,
+    eps: float = HIST_EPS,
+    group_cols: Sequence[str] = ("metric",),
+) -> DataFrame:
+    """Serve a percentile downsample from the histogram rollup:
+    re-bucket windows onto the query grid, merge bins (groupBy SUM),
+    walk the cumulative distribution, return the bin estimate at rank
+    ⌈q·n⌉ — within ``eps`` relative error of the exact value by the
+    DDSketch bound.  Output: (group…, bucket_ts, value).
+
+    Every step is a hash aggregate or a bounded window over bin rows
+    (tens per group-bucket), so the plan touches pre-aggregates only —
+    the raw points are never scanned.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    gamma = _hist_gamma(float(eps))
+    bucket = (
+        F.lit(int(start))
+        + F.floor((F.col("window_start") - F.lit(int(start))) / F.lit(int(interval))) * F.lit(int(interval))
+    ).cast("long")
+    in_range = (F.col("window_start") >= F.lit(int(start))) & (F.col("window_start") < F.lit(int(end)))
+    merged = (
+        hist.where(in_range)
+        .withColumn("bucket_ts", bucket)
+        .groupBy(*group_cols, "bucket_ts", "sign", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # total value order across signs: negatives by descending |v|,
+    # then zero, then positives by ascending |v| — (sign, sign·bin)
+    sidx = (F.col("sign") * F.col("bin")).alias("_sidx")
+    part = Window.partitionBy(*group_cols, "bucket_ts")
+    walk = part.orderBy("sign", "_sidx").rowsBetween(Window.unboundedPreceding, 0)
+    est = F.when(F.col("sign") == 0, F.lit(0.0)).otherwise(
+        F.col("sign")
+        * (F.lit(2.0) * F.pow(F.lit(gamma), F.col("bin")) / F.lit(gamma + 1.0))
+    )
+    ranked = (
+        merged.withColumn("_sidx", sidx)
+        .withColumn("_cum", F.sum("cnt").over(walk))
+        .withColumn("_total", F.sum("cnt").over(part))
+        .withColumn("_est", est)
+    )
+    hit = ranked.where(F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_total")))
+    # the first qualifying row in the value order — min over the
+    # (sign, sign·bin, estimate) struct picks it without a second sort
+    return hit.groupBy(*group_cols, "bucket_ts").agg(
+        F.min(F.struct("sign", "_sidx", "_est")).getField("_est").alias("value")
+    )

@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 5
+STORE_LAYOUT_VERSION = 6
 
 
 def _store_version_tag(sf_dir: str) -> str:
@@ -197,6 +197,21 @@ def _build_event_store(spark: SparkSession, sf_dir: str, root: str) -> tuple[str
 
     _atomic_build(build_rollup_tbl, rollup_path)
 
+    # hourly histogram rollup: mergeable sketch percentiles served from
+    # pre-aggregates (operators/rollup.build_rollup_histogram) — the
+    # A6 scale path the plain aggregate chain cannot provide
+    hist_path = os.path.join(root, "rollup_hist_3600")
+
+    def build_hist_tbl(tmp: str) -> None:
+        from opentsdb_aura_spark.operators.rollup import build_rollup_histogram
+
+        pts = spark.read.parquet(metrics_path)
+        build_rollup_histogram(
+            pts, 3600, group_cols=("series_id", "metric", "tag_user", "tag_k")
+        ).write.mode("overwrite").parquet(tmp)
+
+    _atomic_build(build_hist_tbl, hist_path)
+
     # E3 — events table partitioned by day (the reference's daily
     # Lucene indices named yyyy-MM-dd); date-ranged event queries
     # prune partitions
@@ -270,6 +285,11 @@ def events_store_path(sf_dir: str) -> str:
 def rollup_path(sf_dir: str, interval: int = 3600) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(STORE_ROOT, base, f"rollup_{interval}")
+
+
+def rollup_hist_path(sf_dir: str, interval: int = 3600) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(STORE_ROOT, base, f"rollup_hist_{interval}")
 
 
 def compact_store(spark: SparkSession, path: str, files_per_partition: int = 1) -> int:

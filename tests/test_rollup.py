@@ -124,3 +124,49 @@ def test_two_stage_gb_avg_equals_raw(make_points):
     assert raw.keys() == rolled.keys()
     for k in raw:
         assert abs(raw[k] - rolled[k]) < 1e-9, k
+
+
+def test_histogram_rollup_percentile_bound(spark):
+    """DDSketch bound: the histogram-rollup percentile is within eps
+    relative error of the exact DISCRETE quantile (value at rank
+    ceil(q*n)), for every (group, bucket) and several q."""
+    import math
+    import random
+
+    from opentsdb_aura_spark.operators.rollup import (
+        HIST_EPS,
+        build_rollup_histogram,
+        percentile_from_rollup_histogram,
+    )
+
+    rng = random.Random(5)
+    rows = [("m", i, rng.uniform(0.5, 500.0)) for i in range(20000)]
+    rows += [("m", i, -rng.uniform(0.1, 10.0)) for i in range(20000, 22000)]
+    rows += [("m", 22000, 0.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    hist = build_rollup_histogram(df, 3600, group_cols=["metric"])
+    vals = sorted(v for _, _, v in rows)
+    for q in (0.05, 0.5, 0.9, 0.99):
+        approx = percentile_from_rollup_histogram(
+            hist, q, 0, 30000, 30000, group_cols=["metric"]
+        ).first()["value"]
+        exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
+        assert abs(approx - exact) <= HIST_EPS * abs(exact) + 1e-12, (q, approx, exact)
+
+
+def test_histogram_rollup_merges_across_windows(spark):
+    """Merging hourly bins into a daily bucket must equal binning the
+    day directly — the mergeability property the plain percentile
+    lacks."""
+    from opentsdb_aura_spark.operators.rollup import (
+        build_rollup_histogram,
+        percentile_from_rollup_histogram,
+    )
+
+    rows = [("m", h * 3600 + s, float(h * 60 + s % 60 + 1)) for h in range(24) for s in range(0, 3600, 60)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    hourly = build_rollup_histogram(df, 3600, group_cols=["metric"])
+    daily_direct = build_rollup_histogram(df, 86400, group_cols=["metric"])
+    p_merged = percentile_from_rollup_histogram(hourly, 0.9, 0, 86400, 86400, group_cols=["metric"]).first()["value"]
+    p_direct = percentile_from_rollup_histogram(daily_direct, 0.9, 0, 86400, 86400, group_cols=["metric"]).first()["value"]
+    assert p_merged == p_direct

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "corpus_tfidf_top3",
     "multimodal_real_decode",
     "ev_ongoing_window",
+    "rollup_hist_p90_daily",
+    "ev_sessionize_users",
 ]
 
 

@@ -186,3 +186,25 @@ def test_ds_p90_approx_within_rank_tolerance(spark):
         .count()
     )
     assert bad == 0, f"{bad} buckets outside the p85–p95 rank window"
+
+
+# ----------------------------------------------------------- IVF probe
+
+
+def test_ivf_partial_probe_recall(spark):
+    """ann_ivf_topk's production regime probes nprobe ≪ n_centroids;
+    the full-probe equivalence to exact search is oracle-checked, so
+    here the PARTIAL probe gets a floor: recall@5 vs exact ≥ 0.5 with
+    nprobe = n_centroids/4 on the real embeddings (IVF loses only
+    queries whose neighbors straddle list boundaries)."""
+    from opentsdb_aura_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(e, q, k=5, n_centroids=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall

@@ -2257,6 +2257,36 @@ def topn_metrics_by_sum(spark, sf_dir):
     return keep.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
+@register(
+    "topn_other_bucket",
+    f"""{ORACLE_PTS},
+daily AS (
+  SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS sv
+  FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2
+),
+top2 AS (
+  SELECT metric FROM daily GROUP BY metric
+  ORDER BY sum(sv) DESC, metric LIMIT 2
+)
+SELECT d.metric, d.bucket_ts, round(d.sv, 4) AS sum_value
+FROM daily d JOIN top2 USING (metric)
+UNION ALL
+SELECT '__other__' AS metric, d.bucket_ts, round(sum(d.sv), 4) AS sum_value
+FROM daily d ANTI JOIN top2 USING (metric)
+GROUP BY 2""",
+)
+def topn_other_bucket(spark, sf_dir):
+    """topn with the dashboard "other" bucket: top-2 metrics keep
+    their rows, all remaining metrics fold into one synthetic
+    '__other__' series per bucket — the chart accounts for 100% of
+    the data with k+1 series."""
+    from opentsdb_aura_spark.operators.summarizer import topn_with_other
+
+    daily = downsample(points(spark, sf_dir), START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    res = topn_with_other(daily, 2, "sum", group_cols=["metric"])
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
 # ============================================================ fused pipeline + extras
 
 
@@ -2853,6 +2883,32 @@ def anomaly_zscore_daily(spark, sf_dir):
     out = rolling_zscore(res, lookback=7, min_history=3, group_cols=["metric"])
     return out.select(
         "metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"), _r("zscore", 6).alias("zscore")
+    )
+
+
+@register(
+    "corpus_source_report",
+    r"""SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_docs
+FROM documents GROUP BY 1""",
+)
+def corpus_source_report(spark, sf_dir):
+    """Dataset-card report per source domain: doc/token volume, size,
+    language spread, and exact-duplicate load — the summary table every
+    training-data curation run publishes.  One hash aggregate over the
+    corpus; the token count is a narrow map."""
+    d = docs_raw(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        _r(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_exact_dup_docs"),
     )
 
 

@@ -116,3 +116,52 @@ def topn(
         .select(*group_cols)
     )
     return df.join(F.broadcast(winners), group_cols, "left_semi")
+
+
+def topn_with_other(
+    df: DataFrame,
+    k: int,
+    summary: str = "avg",
+    *,
+    top: bool = True,
+    merge_agg: str = "sum",
+    other_label: str = "__other__",
+    group_cols: Sequence[str] = ("series_id",),
+    bucket_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """``topn`` plus the dashboard "other" bucket: the k winning
+    groups keep their own rows; every losing group folds into ONE
+    synthetic group labeled ``other_label`` whose per-bucket value is
+    the ``merge_agg`` of the losers — so the chart still accounts for
+    100% of the data with k+1 series.
+
+    Same scale shape as topn (series-count ranking, broadcast winner
+    set); the losers' fold is one hash aggregate over the anti-join
+    remainder.  Group columns become strings (the label must inhabit
+    them)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    group_cols = list(group_cols)
+    ranked = summarize(df, [summary], group_cols=group_cols, bucket_col=bucket_col, value_col=value_col)
+    s = F.col(summary)
+    order = s.desc() if top else s.asc()
+    winners = (
+        ranked.where(~F.isnan(s))
+        .orderBy(order, *group_cols)
+        .limit(int(k))
+        .select(*group_cols)
+    )
+    as_str = [F.col(c).cast("string").alias(c) for c in group_cols]
+    kept = df.join(F.broadcast(winners), group_cols, "left_semi").select(
+        *as_str, F.col(bucket_col), F.col(value_col)
+    )
+    from opentsdb_aura_spark.operators.groupby import group_merge
+
+    losers = df.join(F.broadcast(winners), group_cols, "left_anti")
+    other = group_merge(
+        losers, merge_agg, group_cols=[], bucket_col=bucket_col, value_col=value_col
+    ).select(
+        *[F.lit(other_label).alias(c) for c in group_cols], F.col(bucket_col), F.col(value_col)
+    )
+    return kept.unionByName(other)

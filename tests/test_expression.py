@@ -234,3 +234,22 @@ def test_graph_two_sinks_rejected(make_points):
     }
     with pytest.raises(ValueError, match="one sink"):
         run_semantic_graph(pts, graph)
+
+
+def test_topn_with_other_accounts_for_everything(spark):
+    from opentsdb_aura_spark.operators.summarizer import topn_with_other
+
+    rows = []
+    for i, m in enumerate(("big", "mid", "small", "tiny")):
+        for b in range(3):
+            rows.append((m, b * 60, float((4 - i) * 10 + b)))
+    df = spark.createDataFrame(rows, "metric string, bucket_ts long, value double")
+    out = topn_with_other(df, 2, "sum", group_cols=["metric"]).collect()
+    metrics = {r["metric"] for r in out}
+    assert metrics == {"big", "mid", "__other__"}
+    other = {r["bucket_ts"]: r["value"] for r in out if r["metric"] == "__other__"}
+    # per bucket, other = small + tiny
+    for b in range(3):
+        assert other[b * 60] == (2 * 10 + b) + (1 * 10 + b)
+    # total mass conserved
+    assert abs(sum(r["value"] for r in out) - sum(v for _, _, v in rows)) < 1e-9

@@ -2435,6 +2435,39 @@ def filter_any_field(spark, sf_dir):
 
 
 @register(
+    "filter_tag_key_present",
+    f"""{ORACLE_PTS}
+SELECT metric, CAST(count(*) AS BIGINT) AS n_points
+FROM dpts
+WHERE tag_k IS NOT NULL AND ts >= {START} AND ts < {END}
+GROUP BY 1""",
+)
+def filter_tag_key_present(spark, sf_dir):
+    """F5 — tag-key presence: series carrying tag key 'k' at all
+    (value irrelevant) — the reference's key-existence filter."""
+    from opentsdb_aura_spark.filters import TagKeyPresent, compile_filter, time_range
+
+    pts = points(spark, sf_dir)
+    df = pts.where(compile_filter(TagKeyPresent("k")) & time_range(START, END))
+    return df.groupBy("metric").agg(F.count("*").cast("bigint").alias("n_points"))
+
+
+@register(
+    "filter_match_all_series_count",
+    f"""{ORACLE_PTS}
+SELECT CAST(count(*) AS BIGINT) AS n_series FROM series""",
+)
+def filter_match_all_series_count(spark, sf_dir):
+    """F9 — match-all: the wildcard-everything filter through the meta
+    path counts every series (the `.*` fast path compiles to `true`,
+    no regex evaluation)."""
+    from opentsdb_aura_spark.filters import MatchAll, compile_filter
+
+    dim = series_dim(spark, sf_dir).where(compile_filter(MatchAll()))
+    return dim.agg(F.count("*").cast("bigint").alias("n_series"))
+
+
+@register(
     "filter_explicit_tags",
     f"""{ORACLE_PTS}
 SELECT metric, tag_user, CAST(count(*) AS BIGINT) AS n_points

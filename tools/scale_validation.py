@@ -105,6 +105,27 @@ def main() -> None:
         card = store.agg(F.approx_count_distinct("series_id").alias("c")).collect()[0]["c"]
         timings["q_cardinality_hll"] = round(time.perf_counter() - t0, 2)
         timings["approx_series"] = int(card)
+
+        # 5. histogram-sketch percentile path: build hourly DDSketch
+        # bins once (the ingest-time cost), then serve a day of hourly
+        # p99 per metric WITHOUT rescanning the points — the mergeable
+        # percentile the aggregate chain can't provide
+        from opentsdb_aura_spark.operators.rollup import (
+            build_rollup_histogram,
+            percentile_from_rollup_histogram,
+        )
+
+        t0 = time.perf_counter()
+        hist = build_rollup_histogram(store, 3600, group_cols=("metric",)).localCheckpoint()
+        hist_rows = hist.count()
+        timings["hist_rollup_build_1h_bins"] = round(time.perf_counter() - t0, 2)
+        timings["hist_rows"] = int(hist_rows)
+        bench(
+            "q_p99_hourly_from_hist",
+            percentile_from_rollup_histogram(
+                hist, 0.99, BASE, BASE + 86400, 3600, group_cols=["metric"]
+            ),
+        )
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -2920,6 +2920,35 @@ def anomaly_zscore_daily(spark, sf_dir):
 
 
 @register(
+    "corpus_bm25_search",
+    r"""WITH toked AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents),
+lengths AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toked GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lengths),
+tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+       FROM toked WHERE token IN ('data', 'model', 'training') GROUP BY 1, 2),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)))) AS score
+  FROM tf t JOIN dfreq d USING (token) JOIN lengths l USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def corpus_bm25_search(spark, sf_dir):
+    """Ranked full-text retrieval: BM25 top-10 for a fixed query bag —
+    the ranked complement of the boolean E1 text match, entirely as
+    aggregates (filtered explode → tf/df/length joins → top-k)."""
+    from opentsdb_aura_spark.operators.text import bm25_search
+
+    res = bm25_search(docs_raw(spark, sf_dir), ["data", "model", "training"], k=10)
+    return res.select("doc_id", _r("score", 6).alias("score"))
+
+
+@register(
     "corpus_source_report",
     r"""SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,

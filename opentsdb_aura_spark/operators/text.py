@@ -128,3 +128,58 @@ def fingerprint(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     posed = F.transform(toks, lambda t, i: F.xxhash64(t, i))
     fp = F.aggregate(posed, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_tokens: "list[str]",
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ranked full-text retrieval: BM25 score of each doc against a
+    bag of query tokens, top-k by score (ties → doc id asc).
+    Complements the boolean ``events.text_match`` (E1) with the ranked
+    search a corpus user actually runs.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — the Robertson/Sparck-Jones
+    formulation, entirely as aggregates:
+
+    * per-(doc, query-token) tf — the explode is FILTERED to query
+      tokens before the aggregate, so the shuffle carries only
+      query-term hits, not the corpus token stream;
+    * df per query token and the (N, avgdl) scalars ride in via 1-row
+      cross joins (Catalyst broadcasts them — no driver collect);
+    * final top-k is an order-by-limit over scored docs
+      (TakeOrderedAndProject, no global sort materialization).
+    """
+    q = [t.lower() for t in query_tokens]
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    lengths = toked.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = lengths.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = toked.where(F.col("token").isin(q))
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").cast("double").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term = F.col("_idf") * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(stats)
+        .withColumn("_idf", idf)
+        .join(lengths, "doc_id")
+        .withColumn("_term", term)
+        .groupBy("doc_id")
+        .agg(F.sum("_term").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(int(k))

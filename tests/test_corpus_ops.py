@@ -215,3 +215,30 @@ def test_token_budget_sample(spark):
     # 10.  s2's only doc is 50 tokens — over budget on its own, dropped.
     assert set(out) == {0, 1}
     assert out[0]["cum_tokens"] == 5 and out[1]["cum_tokens"] == 8
+
+
+def test_bm25_search_ranking(spark):
+    import math
+
+    from opentsdb_aura_spark.operators.text import bm25_search
+
+    rows = [
+        (0, "data data data filler filler filler"),   # high tf for 'data'
+        (1, "data model"),                             # short doc, both terms
+        (2, "filler filler filler filler"),            # no query terms
+        (3, "model"),                                  # rare term only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, ["data", "model"], k=4).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 not in ids  # no query term → no score row
+    assert ids[0] == 1  # both terms + shortest length wins
+    # every score positive and descending
+    scores = [r["score"] for r in out]
+    assert all(s > 0 for s in scores) and scores == sorted(scores, reverse=True)
+    # spot-check doc 3: single term 'model', tf=1, df=2, N=4, dl=1
+    n_docs, avgdl = 4.0, (6 + 2 + 4 + 1) / 4.0
+    idf = math.log(1 + (n_docs - 2 + 0.5) / (2 + 0.5))
+    expect = idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / avgdl))
+    got3 = next(r["score"] for r in out if r["doc_id"] == 3)
+    assert abs(got3 - expect) < 1e-9

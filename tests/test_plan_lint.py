@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "dedup_embedding_cosine",  # exact O(n²) oracle-baseline variant, documented
     "corpus_tfidf_top3",  # 1-row n_docs factor
     "quality_lm_scores",  # 1-row vocabulary-size factor
+    "corpus_bm25_search",  # 1-row (N, avgdl) corpus-stats factor
 }
 
 

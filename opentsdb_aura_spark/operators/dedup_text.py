@@ -277,6 +277,148 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
 
 
+def lsh_candidates_from_signatures(
+    sig: DataFrame,
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float | None = 0.5,
+    max_band_bucket: int | None = 1000,
+) -> DataFrame:
+    """LSH candidate generation + signature-estimate verification over
+    a PRE-COMPUTED signature table (columns doc_id, h0..h{k−1} — the
+    layout ``write_minhash_index`` persists).
+
+    This is the incremental path for a corpus that grows: sign each
+    batch once at ingest (the expensive shingle pass), store the
+    narrow signatures, and every dedup run reads the index instead of
+    re-signing 100 TB of text.  The analogue of the reference's
+    ingest-time rollups — pay the pass once, serve queries from the
+    pre-aggregate.
+
+    ``threshold=None`` returns the raw candidate pairs (no verify
+    joins) — used by the exact-verify path which re-derives shingle
+    sets itself.  Skew guard and estimate-verify semantics are
+    identical to ``minhash_lsh_candidates``.
+    """
+    rows_per_band = num_perm // bands
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+    if max_band_bucket is not None:
+        # bucket-size probe over the (docs × bands)-sized table derived
+        # from the (checkpointed/stored) signature — one cheap job.
+        # Hot buckets are bounded in number (≤ corpus/cap), so
+        # collecting them is safe, lets us warn loudly, and in the
+        # common all-clear case leaves the self-join plan untouched.
+        hot_rows = (
+            banded.groupBy("band", "bh")
+            .agg(F.count("*").alias("_c"))
+            .where(F.col("_c") > max_band_bucket)
+            .select("band", "bh")
+            .limit(100_000)
+            .collect()
+        )
+        if hot_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_candidates: dropping %d (band, bucket) groups larger than "
+                "max_band_bucket=%d; pairs confined to those buckets will be missed "
+                "(run exact dedup first for mass-duplicate corpora)",
+                len(hot_rows),
+                max_band_bucket,
+            )
+            hot_df = banded.sparkSession.createDataFrame(hot_rows, schema="band INT, bh BIGINT")
+            banded = banded.join(F.broadcast(hot_df), ["band", "bh"], "left_anti")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    if threshold is None:
+        return cand
+
+    # signature-estimate verify: two narrow joins against the
+    # signature table; jaccard = matching mins / k
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"_a{i}") for i in range(num_perm)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"_b{i}") for i in range(num_perm)])
+    matches = None
+    for i in range(num_perm):
+        term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", matches / F.lit(float(num_perm)))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def compute_minhash_index(
+    docs: DataFrame,
+    *,
+    num_perm: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable signature table (doc_id, h0..h{k−1}) — one
+    fused shingle pass, no materialization (callers write or
+    checkpoint it)."""
+    base = _spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")))
+    shing = base.select("doc_id", F.explode(word_shingles(F.col("_text"), n)).alias("s"))
+    hashed = shing.select("doc_id", F.xxhash64("s").alias("h0"))
+    return hashed.groupBy("doc_id").agg(*_perm_min_aggs(num_perm, F.col("h0")))
+
+
+def update_minhash_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    num_perm: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental index maintenance: sign ONLY docs not yet in the
+    parquet index at ``path`` (anti-join on doc_id — the new batch is
+    typically a sliver of the corpus), append them, and return the
+    refreshed index DataFrame.  First call creates the index."""
+    import os
+
+    spark = docs.sparkSession
+    if os.path.exists(path):
+        have = spark.read.parquet(path).select("doc_id")
+        fresh = docs.join(have, docs[id_col] == have["doc_id"], "left_anti")
+    else:
+        fresh = docs
+    sig = compute_minhash_index(fresh, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col)
+    sig.write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     *,
@@ -321,7 +463,6 @@ def minhash_lsh_candidates(
     first — identical docs are its job, not LSH's).  Mirrors the
     hot-shingle guard in ngram_jaccard_pairs.
     """
-    rows_per_band = num_perm // bands
     # ONE fused pass over the docs explodes + hashes the shingles and
     # partial-aggregates the k mins; shingle identity is the 64-bit
     # xxhash (collision odds ~n²/2⁶⁴ per doc — noise next to MinHash's
@@ -332,77 +473,13 @@ def minhash_lsh_candidates(
     hashed = shing.select("doc_id", F.xxhash64("s").alias("h0"))
     sig = hashed.groupBy("doc_id").agg(*_perm_min_aggs(num_perm, F.col("h0"))).localCheckpoint()
 
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
-
-    if max_band_bucket is not None:
-        # bucket-size probe over the (docs × bands)-sized table derived
-        # from the CHECKPOINTED signature — one cheap job.  Hot buckets
-        # are bounded in number (≤ corpus/cap), so collecting them is
-        # safe, lets us warn loudly, and in the common all-clear case
-        # leaves the self-join plan completely untouched.
-        hot_rows = (
-            banded.groupBy("band", "bh")
-            .agg(F.count("*").alias("_c"))
-            .where(F.col("_c") > max_band_bucket)
-            .select("band", "bh")
-            .limit(100_000)
-            .collect()
-        )
-        if hot_rows:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "minhash_lsh_candidates: dropping %d (band, bucket) groups larger than "
-                "max_band_bucket=%d; pairs confined to those buckets will be missed "
-                "(run exact dedup first for mass-duplicate corpora)",
-                len(hot_rows),
-                max_band_bucket,
-            )
-            hot_df = banded.sparkSession.createDataFrame(hot_rows, schema="band INT, bh BIGINT")
-            banded = banded.join(F.broadcast(hot_df), ["band", "bh"], "left_anti")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
     if not exact_verify:
-        # signature-estimate verify: two narrow joins against the
-        # checkpointed signature; jaccard = matching mins / k
-        sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"_a{i}") for i in range(num_perm)])
-        sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"_b{i}") for i in range(num_perm)])
-        matches = None
-        for i in range(num_perm):
-            term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
-            matches = term if matches is None else matches + term
-        return (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .withColumn("jaccard", matches / F.lit(float(num_perm)))
-            .where(F.col("jaccard") >= F.lit(threshold))
-            .select("doc_a", "doc_b", "jaccard")
+        return lsh_candidates_from_signatures(
+            sig, num_perm=num_perm, bands=bands, threshold=threshold, max_band_bucket=max_band_bucket
         )
+    cand = lsh_candidates_from_signatures(
+        sig, num_perm=num_perm, bands=bands, threshold=None, max_band_bucket=max_band_bucket
+    )
 
     # exact verify: re-derive shingle sets for candidate docs alone
     # (semi-join the doc table, re-explode).  O(candidate docs ×

@@ -531,3 +531,35 @@ def test_excise_repeated_spans(spark):
     assert got[0] == ("intro words trailing text", 4)
     assert got[1] == ("elsewhere entirely different suffix", 4)
     assert got[2] == ("completely unrelated content", 0)  # normalized, untouched
+
+
+def test_minhash_index_incremental_equals_direct(spark, tmp_path, doc_df):
+    """Index-then-query must equal direct LSH: build the signature
+    index from batch 1, append batch 2 incrementally (only new docs
+    signed), and the candidates from the stored index match
+    minhash_lsh_candidates over the full corpus."""
+    from opentsdb_aura_spark.operators.dedup_text import (
+        lsh_candidates_from_signatures,
+        minhash_lsh_candidates,
+        update_minhash_index,
+    )
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "mh_index")
+    b1 = doc_df.where(F.col("doc_id") < 3)
+    b2 = doc_df  # overlaps b1: only docs 3, 4 are new
+    idx1 = update_minhash_index(b1, path)
+    assert idx1.count() == 3
+    idx2 = update_minhash_index(b2, path)
+    assert idx2.count() == 5  # no doc re-signed or duplicated
+
+    from_index = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in lsh_candidates_from_signatures(idx2, threshold=0.5).collect()
+    }
+    direct = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_candidates(doc_df, threshold=0.5).collect()
+    }
+    assert from_index == direct and (0, 1) in direct

@@ -2853,6 +2853,35 @@ def ev_user_activity(spark, sf_dir):
 
 
 @register(
+    "ev_funnel_signup_purchase",
+    """WITH e AS (
+  SELECT user_id AS k, event_type AS t, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+f AS (SELECT k, ts FROM e WHERE t = 'signup'),
+tt AS (SELECT k, ts FROM e WHERE t = 'purchase'),
+m AS (SELECT tt.k, tt.ts,
+             CASE WHEN f.ts IS NOT NULL AND tt.ts > f.ts AND tt.ts - f.ts <= 86400
+                  THEN f.ts END AS valid_fts
+      FROM tt ASOF LEFT JOIN f ON tt.k = f.k AND tt.ts >= f.ts),
+conv AS (SELECT k, min(ts) AS convert_ts, arg_min(valid_fts, ts) AS matched_from_ts
+         FROM m WHERE valid_fts IS NOT NULL GROUP BY 1),
+ff AS (SELECT k, min(ts) AS first_from_ts FROM f GROUP BY 1)
+SELECT ff.k AS user_id, ff.first_from_ts,
+       conv.convert_ts IS NOT NULL AS converted, conv.convert_ts,
+       CAST(conv.convert_ts - conv.matched_from_ts AS BIGINT) AS seconds_to_convert
+FROM ff LEFT JOIN conv USING (k)""",
+)
+def ev_funnel_signup_purchase(spark, sf_dir):
+    """Two-step funnel: per user, did a purchase follow a signup
+    within 24 h?  Backward as-of join (one running-last window per
+    user — no range join) + one aggregate; the oracle uses DuckDB's
+    native ASOF JOIN."""
+    from opentsdb_aura_spark.operators.events import funnel_conversion
+
+    ev = events_seconds(spark, sf_dir).select("user_id", "event_type", "ts")
+    return funnel_conversion(ev, "signup", "purchase", 86400)
+
+
+@register(
     "ev_sessionize_users",
     """WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_id FROM events),

@@ -139,3 +139,58 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    from_type: str,
+    to_type: str,
+    window_seconds: int,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-step funnel: for each key, does a ``to_type`` event follow a
+    ``from_type`` event within ``window_seconds``?  One row per key
+    that performed the first step: (key, first_from_ts, converted,
+    convert_ts, seconds_to_convert).
+
+    Shape: the backward as-of join (operators/asof.py — union + one
+    running-last window per key, single shuffle) attaches each
+    ``to_type`` event's most recent preceding ``from_type`` event;
+    conversions are to-events whose attached from-event is within the
+    window; one aggregate keyed on the key column then reports the
+    FIRST conversion against the key's FIRST step-one event.  No
+    range join, no per-key explode — the same bounded-window shape at
+    any scale.
+    """
+    from opentsdb_aura_spark.operators.asof import asof_join
+
+    src = events.select(F.col(key_col).alias("k"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts"))
+    froms = src.where(F.col("t") == from_type).select("k", "ts")
+    tos = src.where(F.col("t") == to_type).select("k", "ts")
+    matched = asof_join(
+        tos, froms, on=["k"], tolerance=int(window_seconds), right_cols=[], suffix="_from"
+    )
+    conv = (
+        matched.where(F.col("ts_from").isNotNull() & (F.col("ts") > F.col("ts_from")))
+        .groupBy("k")
+        .agg(
+            F.min("ts").alias("convert_ts"),
+            # the step-one event the FIRST conversion actually followed
+            F.min_by("ts_from", F.col("ts")).alias("matched_from_ts"),
+        )
+    )
+    first_from = froms.groupBy("k").agg(F.min("ts").alias("first_from_ts"))
+    out = (
+        first_from.join(conv, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            "first_from_ts",
+            F.col("convert_ts").isNotNull().alias("converted"),
+            "convert_ts",
+            (F.col("convert_ts") - F.col("matched_from_ts")).cast("long").alias("seconds_to_convert"),
+        )
+    )
+    return out

@@ -108,3 +108,29 @@ def test_sessionize_gap_rule(spark):
     s1 = out[(1, 1)]
     assert s1["session_start"] == 1500 + 7200 and s1["n_events"] == 3
     assert out[(2, 0)]["n_events"] == 1
+
+
+def test_funnel_conversion(spark):
+    from opentsdb_aura_spark.operators.events import funnel_conversion
+
+    rows = [
+        # user 1: signup@100 → purchase@150 (converts, 50s)
+        (1, "signup", 100), (1, "purchase", 150),
+        # user 2: signup@100, purchase@100000 (outside 1h window)
+        (2, "signup", 100), (2, "purchase", 100_000),
+        # user 3: purchase BEFORE signup only → no conversion
+        (3, "purchase", 50), (3, "signup", 100),
+        # user 4: two signups; purchase follows the SECOND within window
+        (4, "signup", 0), (4, "signup", 5000), (4, "purchase", 5100),
+        # user 5: purchase only → not in the funnel at all
+        (5, "purchase", 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {r["user_id"]: r for r in funnel_conversion(df, "signup", "purchase", 3600).collect()}
+    assert set(out) == {1, 2, 3, 4}  # user 5 never did step one
+    assert out[1]["converted"] and out[1]["seconds_to_convert"] == 50
+    assert not out[2]["converted"] and out[2]["convert_ts"] is None
+    assert not out[3]["converted"]
+    # conversion measured against the signup it actually followed
+    assert out[4]["converted"] and out[4]["first_from_ts"] == 0
+    assert out[4]["convert_ts"] == 5100 and out[4]["seconds_to_convert"] == 100

@@ -131,6 +131,7 @@ def _fold_nodes(
     group_keys = None
     gb_agg = "sum"
     shift = 0
+    fill = "nan"
 
     for node in graph_nodes:
         ntype = node.get("type", "").lower()
@@ -156,6 +157,10 @@ def _fold_nodes(
             if interval == 0 or node.get("runAll"):
                 run_all, interval = True, None
             infectious = bool(node.get("infectiousNan", False))
+            # upstream DownsampleConfig.fill: true → emit the dense NaN
+            # spine (NaN interpolator, the reference default); false →
+            # only buckets with data
+            fill = "nan" if node.get("fill", True) else "none"
         elif ntype == "rate":
             rate_opts = RateOptions(
                 interval_seconds=parse_duration(node.get("interval", "1s")) or 1,
@@ -185,6 +190,7 @@ def _fold_nodes(
         group_tag_keys=group_keys,
         gb_agg=gb_agg,
         shift_seconds=shift,
+        fill=fill,
     )
     if segment_width is not None:
         kw["segment_width"] = segment_width

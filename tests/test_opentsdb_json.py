@@ -286,3 +286,32 @@ def test_merger_graph_node(make_points):
     got = {r["bucket_ts"]: r["value"] for r in res.collect()}
     # single point per bucket → sum == max → merged value = the point
     assert got[BASE] == 1.0 and got[BASE + 60] == 2.0 and got[BASE + 120] == 3.0
+
+
+def test_downsample_fill_false_suppresses_spine(make_points):
+    """DownsampleConfig.fill=false → only buckets with data; default
+    (true) emits the dense NaN spine."""
+    import math
+
+    from opentsdb_aura_spark.plans.opentsdb_json import run_semantic_graph
+
+    rows = [("m", {"host": "a"}, BASE + m * 60, 1.0) for m in (0, 3)]
+    pts = make_points(rows)
+
+    def graph(fill):
+        return {
+            "start": BASE,
+            "end": BASE + 240,
+            "executionGraph": [
+                {"id": "m1", "type": "TimeSeriesDataSource",
+                 "metric": {"type": "MetricLiteral", "metric": "m"}},
+                {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "1m",
+                 "fill": fill, "sources": ["m1"]},
+                {"id": "gb", "type": "groupby", "aggregator": "sum", "tagKeys": ["host"], "sources": ["ds"]},
+            ],
+        }
+
+    dense = run_semantic_graph(pts, graph(True), now=BASE + 240).collect()
+    sparse = run_semantic_graph(pts, graph(False), now=BASE + 240).collect()
+    assert len(dense) == 4 and sum(1 for r in dense if math.isnan(r["value"])) == 2
+    assert len(sparse) == 2 and all(not math.isnan(r["value"]) for r in sparse)

@@ -13,16 +13,20 @@ from pyspark.sql import SparkSession
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Register metrics / series_dim / rollup_3600 / events (+ the raw
-    documents / embeddings tables) as temp views.  Returns the view
-    names."""
+    """Register metrics / series_dim / rollup_3600 / rollup_hist_3600 /
+    events (+ the raw documents / embeddings tables) as temp views.
+    Returns the view names."""
     from opentsdb_aura_spark import catalog as C
 
+    from opentsdb_aura_spark.sources.batch import ensure_event_store, rollup_hist_path
+
+    ensure_event_store(spark, sf_dir)
     views = {
         "metrics": C.points(spark, sf_dir),
         "series_dim": C.series_dim(spark, sf_dir),
         "events": C.events_seconds(spark, sf_dir),
         "rollup_3600": C._rollup(spark, sf_dir),
+        "rollup_hist_3600": spark.read.parquet(rollup_hist_path(sf_dir, 3600)),
         "documents": C.docs(spark, sf_dir),
         "embeddings": C.embs(spark, sf_dir),
     }

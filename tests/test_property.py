@@ -178,3 +178,35 @@ def test_fused_group_agg_property(spark, make_points, rows, combo, infectious):
             assert math.isnan(got), (k, got, v)
         else:
             assert abs(got - v) < 1e-9, (k, got, v)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).filter(lambda v: v == 0 or abs(v) > 1e-9),
+        min_size=20,
+        max_size=200,
+    ),
+    q=st.sampled_from([0.1, 0.5, 0.9]),
+)
+def test_histogram_percentile_property(spark, vals, q):
+    """Property: for ANY value set (mixed signs, magnitudes over 12
+    orders), the histogram-rollup percentile is within eps relative
+    error of the exact discrete quantile."""
+    import math
+
+    from opentsdb_aura_spark.operators.rollup import (
+        HIST_EPS,
+        build_rollup_histogram,
+        percentile_from_rollup_histogram,
+    )
+
+    rows = [("m", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    hist = build_rollup_histogram(df, 3600, group_cols=["metric"])
+    approx = percentile_from_rollup_histogram(
+        hist, q, 0, 10 * 3600, 10 * 3600, group_cols=["metric"]
+    ).first()["value"]
+    svals = sorted(vals)
+    exact = svals[max(0, math.ceil(q * len(svals)) - 1)]
+    assert abs(approx - exact) <= HIST_EPS * abs(exact) + 1e-12, (q, approx, exact)

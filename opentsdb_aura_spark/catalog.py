@@ -2853,6 +2853,34 @@ def ev_user_activity(spark, sf_dir):
 
 
 @register(
+    "ev_cohort_retention_daily",
+    """WITH a AS (
+  SELECT DISTINCT user_id AS k,
+         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS b
+  FROM events),
+f AS (SELECT k, min(b) AS cohort_ts FROM a GROUP BY 1),
+cells AS (
+  SELECT f.cohort_ts, (a.b - f.cohort_ts) // 86400 AS day_offset,
+         CAST(count(DISTINCT a.k) AS BIGINT) AS n_active
+  FROM a JOIN f USING (k) GROUP BY 1, 2)
+SELECT cohort_ts, day_offset, n_active,
+       max(CASE WHEN day_offset = 0 THEN n_active END) OVER (PARTITION BY cohort_ts) AS n_cohort,
+       round(n_active * 1.0 / max(CASE WHEN day_offset = 0 THEN n_active END)
+             OVER (PARTITION BY cohort_ts), 6) AS retention
+FROM cells""",
+)
+def ev_cohort_retention_daily(spark, sf_dir):
+    """Cohort retention matrix: users cohorted by first-activity day;
+    each (cohort, day-offset) cell reports active members and the
+    retention rate — the third leg of the event-analytics triad next
+    to sessionization and funnels."""
+    from opentsdb_aura_spark.operators.events import cohort_retention
+
+    ev = events_seconds(spark, sf_dir).select("user_id", "ts")
+    return cohort_retention(ev, 86400)
+
+
+@register(
     "ev_funnel_signup_purchase",
     """WITH e AS (
   SELECT user_id AS k, event_type AS t, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),

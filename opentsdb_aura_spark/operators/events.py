@@ -194,3 +194,44 @@ def funnel_conversion(
         )
     )
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    interval: int = 86400,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by the interval
+    bucket of their FIRST event; for each (cohort, offset) cell —
+    offset = intervals since the cohort bucket — report how many
+    cohort members were active and the retention rate.
+
+    Returns (cohort_ts, day_offset, n_active, n_cohort, retention).
+
+    Shape: one aggregate finds each key's first bucket (map-side
+    combined), a broadcast-friendly join tags activity rows with
+    their cohort, and one aggregate per (cohort, offset) counts
+    distinct active keys; cohort sizes ride along via a window over
+    the (tiny) output matrix — no per-user state beyond the
+    first-bucket row.
+    """
+    from pyspark.sql import Window
+
+    iv = int(interval)
+    bucket = (F.col(ts_col) - F.col(ts_col) % iv).cast("long")
+    activity = events.select(F.col(key_col).alias("k"), bucket.alias("b")).distinct()
+    firsts = activity.groupBy("k").agg(F.min("b").alias("cohort_ts"))
+    tagged = activity.join(firsts, "k")
+    cells = (
+        tagged.withColumn("day_offset", ((F.col("b") - F.col("cohort_ts")) / iv).cast("long"))
+        .groupBy("cohort_ts", "day_offset")
+        .agg(F.count_distinct("k").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_ts")
+    # offset 0 row counts every cohort member by construction
+    n_cohort = F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(w)
+    return cells.withColumn("n_cohort", n_cohort).withColumn(
+        "retention", F.round(F.col("n_active") / F.col("n_cohort"), 6)
+    )

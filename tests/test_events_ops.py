@@ -134,3 +134,24 @@ def test_funnel_conversion(spark):
     # conversion measured against the signup it actually followed
     assert out[4]["converted"] and out[4]["first_from_ts"] == 0
     assert out[4]["convert_ts"] == 5100 and out[4]["seconds_to_convert"] == 100
+
+
+def test_cohort_retention(spark):
+    from opentsdb_aura_spark.operators.events import cohort_retention
+
+    D = 86400
+    rows = [
+        # cohort day 0: users 1, 2; user 1 returns day 1 and 2, user 2 never
+        (1, 10), (1, D + 5), (1, 2 * D + 5),
+        (2, 20),
+        # cohort day 1: user 3, returns day 2 (offset 1)
+        (3, D + 50), (3, 2 * D + 50),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {(r["cohort_ts"], r["day_offset"]): r for r in cohort_retention(df, D).collect()}
+    c0 = out[(0, 0)]
+    assert c0["n_active"] == 2 and c0["n_cohort"] == 2 and c0["retention"] == 1.0
+    assert out[(0, 1)]["n_active"] == 1 and out[(0, 1)]["retention"] == 0.5
+    assert out[(0, 2)]["n_active"] == 1
+    assert out[(D, 0)]["n_cohort"] == 1
+    assert out[(D, 1)]["retention"] == 1.0

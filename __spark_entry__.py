@@ -24,34 +24,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate may cap how many entries it runs per
-# round, so order the registry to put never-yet-recorded queries first.
-# The recorded set is loaded from the CORRECTNESS_r*.json files the
-# driver itself writes, so it can never go stale: any query name that
-# appears in ANY prior round's file (green or rows-only) is deprioritized
-# behind queries the driver has never seen.
-def _recorded_names() -> set[str]:
+# round, so order the registry by attestation staleness: queries the
+# driver has never recorded come first, then recorded queries sorted by
+# the LAST round that attested them, ascending (stalest first).  Each
+# capped round therefore refreshes the least-recently-attested slice and
+# the whole catalog re-attests every few rounds.  The attestation map is
+# loaded from the CORRECTNESS_r*.json files the driver itself writes, so
+# it can never go stale.
+def _latest_attested_round() -> dict[str, int]:
     import glob
     import json
     import os
+    import re
 
-    names: set[str] = set()
+    latest: dict[str, int] = {}
+    rows: dict[str, tuple[int, object]] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
             if isinstance(data, dict):
-                names.update(k for k in data if isinstance(k, str))
+                for k, v in data.items():
+                    if isinstance(k, str):
+                        latest[k] = max(latest.get(k, 0), rnd)
+                        if rnd >= rows.get(k, (0, None))[0]:
+                            rows[k] = (rnd, v)
         except (OSError, ValueError):
             continue
-    return names
+    # A query whose LATEST record is non-green (hash mismatch or error
+    # other than the declared rows-only no_oracle) needs re-attestation
+    # right away — treat it like never-recorded so it sorts first.
+    for k, (_, v) in rows.items():
+        if isinstance(v, dict):
+            green = bool(v.get("hash_match")) or v.get("err") == "no_oracle"
+            if not green:
+                latest[k] = 0
+    return latest
 
 
 def _ordered(mapping):
-    recorded = _recorded_names()
-    first = {k: v for k, v in mapping.items() if k not in recorded}
-    first.update({k: v for k, v in mapping.items() if k in recorded})
-    return first
+    latest = _latest_attested_round()
+    # Never-recorded → round 0 → sorts first; then stalest rounds, with
+    # catalog registration order as the stable tiebreak within a round.
+    reg_pos = {k: i for i, k in enumerate(mapping)}
+    names = sorted(mapping, key=lambda k: (latest.get(k, 0), reg_pos[k]))
+    return {k: mapping[k] for k in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

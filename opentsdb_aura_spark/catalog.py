@@ -13,6 +13,13 @@ columns by name, so every computed column is aliased identically in
 the Spark plan and the oracle SQL.  Floats are rounded (4-6 dp) on
 both sides to absorb summation-order differences; NaN outputs are
 mapped to NULL on both sides.
+
+Oracle typing rule: NEVER project an integer aggregate or window sum
+raw.  DuckDB types ``sum(BIGINT)`` (plain and windowed) as HUGEINT,
+which arrives via Arrow as decimal128(38,0) and hash-mismatches
+Spark's int64 even when the values are identical.  Always wrap in
+``CAST(... AS BIGINT)`` in the oracle SQL (and ``.cast("long")`` on
+the Spark side if needed).
 """
 
 from __future__ import annotations
@@ -3039,8 +3046,8 @@ def corpus_source_report(spark, sf_dir):
   FROM documents),
 r AS (
   SELECT doc_id, source, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM c)
 SELECT doc_id, source, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 5000""",
 )

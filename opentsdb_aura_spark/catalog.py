@@ -1469,7 +1469,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register("dedup_minhash_lsh")  # hash-dependent candidates: rows-only check
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates, Jaccard-verified ≥ 0.5."""
+    """MinHash+LSH near-dup candidates at estimated Jaccard ≥ 0.5 —
+    the ``jaccard`` column is the MinHash signature estimate (matching
+    permutation mins / k, σ ≈ 0.09 at J=0.5, k=32), not an exact
+    re-verification; pass ``exact_verify=True`` for that."""
     res = minhash_lsh_candidates(docs(spark, sf_dir), num_perm=32, bands=8, threshold=0.5)
     return res.select("doc_a", "doc_b", _r("jaccard", 6).alias("jaccard"))
 

@@ -186,12 +186,19 @@ def ngram_jaccard_pairs(
 
     Verification is exact and guard-independent: intersection sizes
     are COUNTED from the shingle stream (groupBy over shared-shingle
-    pairs — no per-doc collect_set arrays, no array_intersect), and
-    when the guard is on the counting stream is first narrowed to docs
-    that appear in some candidate pair, so ubiquitous shingles are
-    re-admitted only among the (small) candidate doc set and the
-    reported Jaccard stays exact.  The guard can only drop candidate
-    *pairs*, never change a reported value.  Returns
+    pairs — no per-doc collect_set arrays, no array_intersect).  The
+    guarded count is split into the non-hot part (from the candidate
+    join itself) plus an exact hot-shingle correction counted only
+    among docs that appear in some candidate pair, so ubiquitous
+    shingles are re-admitted only within the (small) candidate doc set
+    and the reported Jaccard stays exact.  The guard can only drop
+    candidate *pairs*, never change a reported value.
+
+    The guard is a fully lazy part of the ONE query plan — no eager
+    probe job, no driver collect: the hot-shingle set is an aggregate
+    the anti-join consumes, and with AQE an empty hot set collapses
+    the correction subtree to an empty relation at runtime, so a clean
+    corpus pays only a broadcast-empty anti-join.  Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     # word_shingles is per-doc distinct already → (doc_id, s) pairs are
@@ -220,30 +227,35 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("inter"))
         )
 
-    hot = (
-        None
-        if max_shingle_freq is None
-        else shing.groupBy("s").agg(F.count("*").alias("_f")).where(F.col("_f") > max_shingle_freq)
-    )
-    # data-adaptive plan: one cheap aggregate probe on the materialized
-    # stream decides whether any shingle actually exceeds the cap — if
-    # none does, the guarded candidate pass would be identical to the
-    # exact pass, so skip straight to the single pair enumeration
-    if hot is None or hot.limit(1).count() == 0:
+    if max_shingle_freq is None:
         inter = pair_counts(shing)
     else:
-        cand = pair_counts(shing.join(hot.select("s"), "s", "left_anti")).select("doc_a", "doc_b")
+        hot = (
+            shing.groupBy("s")
+            .agg(F.count("*").alias("_f"))
+            .where(F.col("_f") > max_shingle_freq)
+            .select("s")
+        )
+        # Candidate pairs + their NON-hot intersection counts in one
+        # self-join over the guarded stream (the O(freq²) hazard is the
+        # hot shingles, excluded here).
+        cand = pair_counts(shing.join(hot, "s", "left_anti"))
         cand_docs = (
             cand.select(F.col("doc_a").alias("doc_id"))
             .union(cand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        # exact intersection counts over the candidate docs only: the
-        # O(freq²) hazard is gone because a shingle's frequency within
-        # this stream is bounded by the candidate-doc count, not the
-        # corpus size
-        inter = pair_counts(shing.join(cand_docs, "doc_id", "left_semi")).join(
-            cand, ["doc_a", "doc_b"], "left_semi"
+        # Exact hot-shingle correction, counted only among candidate
+        # docs: within this narrowed stream a shingle's frequency is
+        # bounded by the candidate-doc count, not the corpus size.
+        # With AQE, an empty hot set empties this whole subtree at
+        # runtime — the clean-corpus case costs one broadcast anti-join.
+        hot_stream = shing.join(hot, "s", "left_semi").join(cand_docs, "doc_id", "left_semi")
+        hot_inter = pair_counts(hot_stream).select("doc_a", "doc_b", F.col("inter").alias("_hi"))
+        inter = (
+            cand.join(hot_inter, ["doc_a", "doc_b"], "left")
+            .withColumn("inter", F.col("inter") + F.coalesce(F.col("_hi"), F.lit(0)))
+            .select("doc_a", "doc_b", "inter")
         )
 
     out = (
@@ -277,6 +289,48 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
 
 
+def _band_signatures(sig: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bh) rows: each signature hashed per band — the
+    LSH bucket table the candidate self-join runs on."""
+    rows_per_band = num_perm // bands
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+
+def lsh_hot_bucket_report(
+    sig: DataFrame,
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_band_bucket: int = 1000,
+) -> DataFrame:
+    """Audit which (band, bucket) groups the skew guard would drop:
+    returns (band, bh, n_docs) for every bucket above the cap, largest
+    first.  Run this against a stored signature index before a big
+    dedup job — a non-empty result means mass duplicates that exact
+    dedup should remove first (pairs confined to dropped buckets are
+    missed by the guarded LSH pass)."""
+    return (
+        _band_signatures(sig, num_perm=num_perm, bands=bands)
+        .groupBy("band", "bh")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_band_bucket)
+        .orderBy(F.col("n_docs").desc())
+    )
+
+
 def lsh_candidates_from_signatures(
     sig: DataFrame,
     *,
@@ -301,50 +355,29 @@ def lsh_candidates_from_signatures(
     sets itself.  Skew guard and estimate-verify semantics are
     identical to ``minhash_lsh_candidates``.
     """
-    rows_per_band = num_perm // bands
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
+    banded = _band_signatures(sig, num_perm=num_perm, bands=bands)
 
+    # Skew guard, fully lazy (no probe job, no driver collect, no row
+    # cap): the over-cap (band, bucket) set is an aggregate the
+    # anti-join consumes inside the SAME query plan.  Guarding ONE side
+    # of the self-join suffices — a pair needs both sides present in
+    # the bucket, so dropping the bucket from side `a` drops every pair
+    # it would generate while side `b` streams through it linearly.
+    # With AQE the (usually empty) hot set becomes a broadcast
+    # anti-join, so a clean corpus pays ~nothing.  Use
+    # ``lsh_hot_bucket_report`` to audit which buckets a cap would drop
+    # (mass-duplicate corpora should run exact dedup first).
+    a_src = banded
     if max_band_bucket is not None:
-        # bucket-size probe over the (docs × bands)-sized table derived
-        # from the (checkpointed/stored) signature — one cheap job.
-        # Hot buckets are bounded in number (≤ corpus/cap), so
-        # collecting them is safe, lets us warn loudly, and in the
-        # common all-clear case leaves the self-join plan untouched.
-        hot_rows = (
+        hot = (
             banded.groupBy("band", "bh")
             .agg(F.count("*").alias("_c"))
             .where(F.col("_c") > max_band_bucket)
             .select("band", "bh")
-            .limit(100_000)
-            .collect()
         )
-        if hot_rows:
-            import logging
+        a_src = banded.join(hot, ["band", "bh"], "left_anti")
 
-            logging.getLogger(__name__).warning(
-                "lsh_candidates: dropping %d (band, bucket) groups larger than "
-                "max_band_bucket=%d; pairs confined to those buckets will be missed "
-                "(run exact dedup first for mass-duplicate corpora)",
-                len(hot_rows),
-                max_band_bucket,
-            )
-            hot_df = banded.sparkSession.createDataFrame(hot_rows, schema="band INT, bh BIGINT")
-            banded = banded.join(F.broadcast(hot_df), ["band", "bh"], "left_anti")
-
-    a = banded.alias("a")
+    a = a_src.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(
@@ -459,9 +492,10 @@ def minhash_lsh_candidates(
     Skew guard: ``max_band_bucket`` caps the size of a (band, bh)
     bucket before the self-join.  A mass of identical/near-empty docs
     collapses into one bucket and the join goes O(bucket²); buckets
-    above the cap are dropped WITH A LOGGED WARNING (run exact dedup
-    first — identical docs are its job, not LSH's).  Mirrors the
-    hot-shingle guard in ngram_jaccard_pairs.
+    above the cap are dropped by a lazy anti-join inside the same plan
+    (no probe job — run ``lsh_hot_bucket_report`` to audit the dropped
+    set; identical docs are exact dedup's job, not LSH's).  Mirrors
+    the hot-shingle guard in ngram_jaccard_pairs.
     """
     # ONE fused pass over the docs explodes + hashes the shingles and
     # partial-aggregates the k mins; shingle identity is the 64-bit

@@ -261,8 +261,10 @@ def build_rollup_histogram(
     value dynamic range (~log_γ spread ≈ tens), not the point count —
     the storage multiplier that makes sketch rollups viable at 100 TB.
 
-    NaN values are skipped (no-data, consistent with the aggregate
-    chain).
+    Non-finite values (NaN and ±Inf) are skipped (no-data, consistent
+    with the aggregate chain): an Inf would make log(|v|) = inf and the
+    bin cast null/overflowed (an error under ANSI mode), silently
+    corrupting the sketch for that window.
     """
     import math
 
@@ -274,7 +276,7 @@ def build_rollup_histogram(
         v == 0, F.lit(0)
     ).otherwise(F.ceil(F.log(F.abs(v)) / F.lit(math.log(gamma)))).cast("int")
     return (
-        points.where(~F.isnan(v))
+        points.where(~F.isnan(v) & (F.abs(v) != float("inf")))
         .withColumn("window_start", w)
         .withColumn("sign", sign)
         .withColumn("bin", idx)

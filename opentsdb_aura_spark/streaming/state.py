@@ -94,7 +94,12 @@ def _update_sessions(gap_seconds: int):
                 out_rows.append((user_id, start, end, n, True))  # close previous
                 start, end, n = ts, ts, 1
             else:
-                end, n = max(end, ts), n + 1
+                # Cross-batch late event: may precede the open session's
+                # start (within-batch order is sorted, so only state
+                # carry-over can produce ts < start) — widen both ends so
+                # the emitted session never claims a start later than an
+                # event it counts.
+                start, end, n = min(start, ts), max(end, ts), n + 1
 
         if start is not None:
             state.update((start, end, n))

@@ -111,26 +111,34 @@ def test_minhash_lsh_exact_verify_matches_true_jaccard(doc_df):
     assert abs(pairs[(0, 2)] - 7 / 9) < 1e-9
 
 
-def test_minhash_lsh_band_bucket_skew_guard(spark, caplog):
+def test_minhash_lsh_band_bucket_skew_guard(spark):
     """A mass of identical docs collapses into one (band, bh) bucket per
     band; without the cap the band self-join enumerates O(n²) candidate
-    pairs (≈12.5 M for 5 000 clones).  The guard must drop those buckets
-    (with a logged warning) and still report pairs among normal docs."""
+    pairs (≈12.5 M for 5 000 clones).  The (lazy, in-plan) guard must
+    drop those buckets and still report pairs among normal docs, and
+    lsh_hot_bucket_report must surface the dropped buckets."""
+    from opentsdb_aura_spark.operators.dedup_text import (
+        compute_minhash_index,
+        lsh_hot_bucket_report,
+    )
+
     clone = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
     pair = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows = [(i, clone) for i in range(5000)]
     rows += [(10_000, pair), (10_001, pair)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    import logging
 
-    with caplog.at_level(logging.WARNING, logger="opentsdb_aura_spark.operators.dedup_text"):
-        out = minhash_lsh_candidates(df, threshold=0.5, max_band_bucket=1000).collect()
-    assert any("max_band_bucket" in rec.message for rec in caplog.records)
+    out = minhash_lsh_candidates(df, threshold=0.5, max_band_bucket=1000).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in out}
     assert (10_000, 10_001) in got  # normal pairs survive the guard
     # no clone pair should appear (their buckets were dropped), and the
     # result is far from the 12.5M-pair quadratic blow-up
     assert all(a >= 10_000 for a, _ in got)
+
+    # the audit surface reports exactly the clone buckets (one per band
+    # at 5 000 docs each, all above the 1 000 cap)
+    report = lsh_hot_bucket_report(compute_minhash_index(df), max_band_bucket=1000).collect()
+    assert report and all(r["n_docs"] == 5000 for r in report)
 
 
 def test_simhash_identical_and_near(doc_df):

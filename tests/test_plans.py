@@ -183,10 +183,15 @@ def test_tpch_customer_join_broadcast_by_size_not_hint(spark):
     """The TPC-H queries must NOT force-broadcast customer (O(SF) —
     several GB at sf100); at test SF, AQE/autoBroadcastJoinThreshold
     still size-picks BroadcastHashJoin for it on its own."""
-    for name in ("tpch_revenue_by_nation", "tpch_shipping_priority"):
+    for name, n_joins in (("tpch_revenue_by_nation", 3), ("tpch_shipping_priority", 2)):
         df = C.SPARK_QUERIES[name](spark, SF)
         plan = plan_of(df)
-        assert "BroadcastHashJoin" in plan, f"{name}: {plan}"
+        # The nation join broadcasts regardless; the customer join is the
+        # one that could silently degrade — demand EVERY join in the plan
+        # is a broadcast hash join (no SortMergeJoin / ShuffledHashJoin
+        # fallback) and that all expected joins are present.
+        assert len(re.findall(r"BroadcastHashJoin", plan)) >= n_joins, f"{name}: {plan}"
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, f"{name}: {plan}"
 
 
 def test_splice_bucketed_cold_side_has_no_exchange(spark):

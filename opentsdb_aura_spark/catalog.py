@@ -345,7 +345,8 @@ def bucketed_series_sum_daily(spark, sf_dir):
     (sources/bucketed.py): the aggregation keys include series_id,
     which the bucket spec already hash-partitions, so the plan carries
     NO shuffle Exchange (asserted in tests/test_plans.py) — series
-    tags come from a broadcast dim join."""
+    tags come from a dim join AQE resolves to broadcast at this size
+    (no forced hint: the dim is O(series) under match-all filters)."""
     from opentsdb_aura_spark.sources.batch import bucketed_metrics
 
     pts = bucketed_metrics(spark, sf_dir).where(F.col("metric") == "purchase")
@@ -355,7 +356,7 @@ def bucketed_series_sum_daily(spark, sf_dir):
         F.col("tags")["user"].alias("tag_user"),
         F.col("tags")["k"].alias("tag_k"),
     )
-    return res.join(F.broadcast(dim), "series_id").select(
+    return res.join(dim, "series_id").select(
         "tag_user", "tag_k", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value")
     )
 
@@ -1200,8 +1201,9 @@ SELECT d.tag_user, d.tag_k, d.bucket_ts, round(d.sv, 4) AS sum_value,
 FROM daily d JOIN last_per_series l USING (tag_user, tag_k)""",
 )
 def join_series_enrich(spark, sf_dir):
-    """J2 — per-series result enriched via broadcast join with
-    series_dim (tag/last-value resolution)."""
+    """J2 — per-series result enriched via a join with series_dim
+    (tag/last-value resolution); AQE size-picks broadcast at runtime —
+    no forced hint, the dim is O(series)."""
     pts = points(spark, sf_dir).where(F.col("metric") == "purchase")
     daily = downsample(pts, START, END, DAY, "sum", group_cols=["tag_user", "tag_k"], fill="none")
     sd = build_series_dim(pts).select(
@@ -1209,7 +1211,7 @@ def join_series_enrich(spark, sf_dir):
         F.col("tags")["k"].alias("tag_k"),
         F.col("last_value"),
     )
-    return daily.join(F.broadcast(sd), ["tag_user", "tag_k"]).select(
+    return daily.join(sd, ["tag_user", "tag_k"]).select(
         "tag_user",
         "tag_k",
         "bucket_ts",
@@ -1262,7 +1264,7 @@ def splice_bucketed_cold_sum(spark, sf_dir):
         F.col("tags")["user"].alias("tag_user"),
         F.col("tags")["k"].alias("tag_k"),
     )
-    return res.join(F.broadcast(dim), "series_id").select(
+    return res.join(dim, "series_id").select(
         "tag_user", "tag_k", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value")
     )
 
@@ -2523,7 +2525,7 @@ def semi_join_series_points(spark, sf_dir):
         (F.col("metric") == "purchase") & (F.col("tags")["user"].cast("bigint") < 5)
     )
     pts = points(spark, sf_dir).join(
-        F.broadcast(sd.select("series_id")), "series_id", "left_semi"
+        sd.select("series_id"), "series_id", "left_semi"
     )
     res = downsample(pts, START, END, DAY, "sum", group_cols=["metric"], fill="none")
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))

@@ -167,8 +167,13 @@ def rate(
             data_interval_col = F.lit(float(cfg_units))
         else:
             estimated_interval = True
+            # est is one row per series in the scan — O(series), so no
+            # forced broadcast: AQE picks broadcast at small sizes, and
+            # at dimension scale the sort-merge join lands on the same
+            # (group_cols) partitioning the lag window shuffles to
+            # anyway, so the fact table is not re-shuffled either way.
             est = estimate_data_interval(points, group_cols)
-            df = df.join(F.broadcast(est), on=group_cols, how="left")
+            df = df.join(est, on=group_cols, how="left")
             # kernel 416-419: long division, clamped to >= 1 (also the
             # empty-distribution default; greatest() skips the NULL of
             # a single-point series, whose only point is NaN anyway)

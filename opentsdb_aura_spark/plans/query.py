@@ -165,8 +165,12 @@ def _rollup_substitution(
         group_keys = [f"tag_{k}" for k in q.group_tag_keys]
     matched = dim.select("series_id", *group_keys)
 
+    # `matched` is the filtered series dimension — O(total series) under a
+    # match-all filter, so no forced broadcast: AQE size-picks the join
+    # strategy at runtime (broadcast for selective filters, shuffle join
+    # for dimension-sized matches).
     rolled = src.select("series_id", "window_start", "sum", "count", "min", "max", "sumsq").join(
-        F.broadcast(matched), on="series_id", how="inner"
+        matched, on="series_id", how="inner"
     )
     out_groups = group_keys if q.group_tag_keys is not None else ["series_id"]
     if two_stage:
@@ -267,7 +271,9 @@ def run_metric_query(
         from opentsdb_aura_spark.operators.meta import presence_active_ids
 
         active = presence_active_ids(presence, scan_start, scan_end, presence_epoch_width)
-        df = df.join(F.broadcast(active), "series_id", "left_semi")
+        # `active` is O(series alive in the window) — unbounded at scale;
+        # let AQE pick broadcast vs shuffled semi-join by its runtime size.
+        df = df.join(active, "series_id", "left_semi")
 
     if dedupe:
         df = dedupe_last_write_wins(df)

@@ -68,3 +68,38 @@ def test_nested_loop_joins_are_intentional(plans, name):
     assert "BroadcastNestedLoopJoin" not in plans[name], (
         f"{name} plans a BroadcastNestedLoopJoin outside the allowed set"
     )
+
+
+def test_no_forced_broadcast_of_unbounded_frames():
+    """Source lint: `F.broadcast(...)` is a hint that bypasses Spark's
+    size check, so it is only allowed on frames whose size is BOUNDED by
+    construction (fixed TPC-H dims, probe/query sets, 1-row factors,
+    per-block offset tables).  Series-dimension-derived frames are
+    O(total series) — tens of millions of rows at 100 TB under a
+    match-all filter — and must let AQE size-pick instead."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "opentsdb_aura_spark"
+    allowed = {
+        "nation",  # 25 rows, fixed
+        "region",  # 5 rows, fixed
+        "q",  # ANN query set: contract queries ≪ corpus
+        "qb",  # ANN banded query set
+        "q_probed",  # IVF probed query set
+        "p_sh",  # contamination probe shingles (benchmark-sized)
+        "p_size",  # probe sizes (same bound)
+        "vocab",  # 1-row vocabulary-size factor
+        "blocks",  # per-block prefix sums: rows = input partitions
+        "winners",  # summarizer top-k winners: rows <= k
+    }
+    hits = []
+    for py in root.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            for m in re.finditer(r"F\.broadcast\((\w+)", line):
+                if m.group(1) not in allowed:
+                    hits.append(f"{py.name}:{i}: {m.group(0)}")
+    assert not hits, (
+        "forced broadcast of a frame not in the bounded-size allowlist "
+        f"(series_dim-derived frames must use AQE): {hits}"
+    )

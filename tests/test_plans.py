@@ -19,6 +19,14 @@ def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def final_plan_of(df) -> str:
+    """Execute the frame and return the FINAL adaptive plan: joins whose
+    build side is only sized at runtime (aggregate-derived dims with no
+    forced broadcast hint) reach their real strategy only under AQE."""
+    df.collect()
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
 def test_partition_pruning(spark):
     """S4/T6 — a 2-day query must scan only the matching segment
     partitions, not the whole store."""
@@ -50,11 +58,12 @@ def test_predicate_pushdown(spark):
 
 
 def test_broadcast_join_for_dim(spark):
-    """J2 — the series_dim enrichment must broadcast, never
-    sort-merge (the dim side is tiny relative to the fact table)."""
-    plan = plan_of(C.SPARK_QUERIES["join_series_enrich"](spark, SF))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    """J2 — the series_dim enrichment must come out a broadcast join
+    WITHOUT a forced hint (the dim is O(series), so the hint is banned;
+    AQE must size-pick broadcast from the runtime build-side size)."""
+    plan = final_plan_of(C.SPARK_QUERIES["join_series_enrich"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_column_pruning(spark):
@@ -158,12 +167,12 @@ def test_presence_pruning_broadcast_semi_join(spark):
         gb_agg="sum",
         fill="none",
     )
-    plan = plan_of(
+    plan = final_plan_of(
         run_metric_query(pts, q, dedupe=False, presence=pres, presence_epoch_width=C.DAY)
     )
     assert "LeftSemi" in plan, plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_rollup_two_stage_gb_avg_reads_rollup_table(spark):
@@ -214,3 +223,13 @@ def test_splice_bucketed_cold_side_has_no_exchange(spark):
     df = C.SPARK_QUERIES["splice_bucketed_cold_sum"](spark, SF)
     full = plan_of(df)
     assert len(re.findall(r"Exchange hashpartitioning", full)) <= 1, full
+
+
+def test_rollup_substitution_dim_join_broadcasts_without_hint(spark):
+    """A10 — the rollup-table ⋈ matched-series join must come out a
+    broadcast join at this scale WITHOUT a forced hint (`matched` is the
+    filtered series dimension — O(total series) under match-all, so the
+    hint is banned and AQE size-picks at runtime)."""
+    plan = final_plan_of(C.SPARK_QUERIES["rollup_auto_substitution"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -2942,13 +2942,15 @@ FROM s GROUP BY 1, 2""",
 )
 def ev_sessionize_users(spark, sf_dir):
     """Gap-based sessionization (30-min timeout) over the event store:
-    one row per (user, session) with bounds and event count — the
-    standard event-pipeline shape (lag → flag → running sum), fully
-    in Catalyst; two windows, one shuffle on user_id."""
+    one row per (user, session) with bounds and event count.  Runs the
+    hot-key-bounded two-phase path (per-(user, day-block) local
+    sessions + interval-merge stitch): window tasks stay bounded even
+    for a bot user with 10⁸ events, and the result is identical to the
+    classic single-window shape (equivalence asserted in tests)."""
     from opentsdb_aura_spark.operators.events import sessionize
 
     ev = events_seconds(spark, sf_dir).select("user_id", "ts", "event_id")
-    return sessionize(ev, 1800, key_col="user_id").select(
+    return sessionize(ev, 1800, key_col="user_id", block_seconds=DAY).select(
         "user_id",
         F.col("session_idx").cast("bigint").alias("session_idx"),
         "session_start",

@@ -106,38 +106,89 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     tiebreak: str = "event_id",
+    block_seconds: int | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: consecutive events of one key belong
     to the same session while the inter-event gap stays ≤
     ``gap_seconds``; a larger gap opens a new session.  Returns one
-    row per session: (key, session_start, session_end, n_events).
+    row per session: (key, session_idx, session_start, session_end,
+    n_events) with ``session_idx`` numbering a key's sessions from 0
+    in time order.
 
-    The classic two-window shape — lag to flag session starts, running
-    sum of flags to number sessions — stays entirely in Catalyst.
-    Scale: both windows partition by the session key, so the only
-    shuffle is the natural hash on ``key_col``; per-key state is a
-    sort, never a buffer of the whole key history in one row.  (The
-    streaming analogue is ``applyInPandasWithState`` with a session
-    timeout — streaming/state.py holds the state-store pattern.)
+    ``block_seconds=None`` (default) is the classic two-window shape —
+    lag to flag session starts, running sum of flags to number
+    sessions — entirely in Catalyst, one shuffle on ``key_col``.  Its
+    weakness at scale is the hot key: one bot user with 10⁸ events
+    makes a single giant sort task, because the window partitions by
+    key alone.
+
+    ``block_seconds=W`` bounds that (the segment-parallel two-phase
+    trick from operators/rate.py `_with_prev_segmented`, applied to
+    sessions): phase 1 sessionizes per (key, time-block) — window
+    partitioned by (key, block), task size bounded by a key's events
+    per block — and phase 2 stitches block-boundary sessions with an
+    interval-merge over the CANDIDATE SESSION rows (same gap rule:
+    merge when next.start − running max(end) ≤ gap).  Candidate rows
+    per key are bounded by range/W active blocks + range/gap true
+    sessions (a new session needs > gap of silence), so the phase-2
+    per-key window is bounded by the TIME RANGE, independent of event
+    count — the dense-bot 10⁸-event key collapses to ~1 candidate per
+    block before the stitch.  Results are identical to the single-pass
+    shape (asserted in tests).
+
+    (The streaming analogue is ``applyInPandasWithState`` with a
+    session timeout — streaming/state.py holds the state-store
+    pattern.)
     """
     from pyspark.sql import Window
 
-    # tiebreak makes the running numbering a total order, so the
-    # session index of timestamp-tied events is engine-independent
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak)
-    new_flag = (
-        F.when(F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(int(gap_seconds)), 1)
-        .otherwise(0)
+    gap = F.lit(int(gap_seconds))
+    if block_seconds is None:
+        # tiebreak makes the running numbering a total order, so the
+        # session index of timestamp-tied events is engine-independent
+        w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak)
+        new_flag = F.when(F.col(ts_col) - F.lag(ts_col).over(w) > gap, 1).otherwise(0)
+        # first event of a key has lag NULL → comparison NULL →
+        # otherwise(0): session_idx starts at 0 for it, as intended
+        sess = events.withColumn("_new", new_flag).withColumn(
+            "session_idx", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        return sess.groupBy(key_col, "session_idx").agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+
+    # phase 1: local sessions per (key, block) — bounded sort tasks
+    blk = (F.col(ts_col) - F.col(ts_col) % F.lit(int(block_seconds))).cast("long")
+    w1 = Window.partitionBy(key_col, "_blk").orderBy(ts_col, tiebreak)
+    new1 = F.when(F.col(ts_col) - F.lag(ts_col).over(w1) > gap, 1).otherwise(0)
+    local = (
+        events.withColumn("_blk", blk)
+        .withColumn("_new", new1)
+        .withColumn("_li", F.sum("_new").over(w1.rowsBetween(Window.unboundedPreceding, 0)))
     )
-    # first event of a key has lag NULL → comparison NULL → otherwise(0):
-    # session_idx starts at 0 for it, as intended
-    sess = events.withColumn("_new", new_flag).withColumn(
-        "session_idx", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    cand = local.groupBy(key_col, "_blk", "_li").agg(
+        F.min(ts_col).alias("_s"),
+        F.max(ts_col).alias("_e"),
+        F.count("*").alias("_n"),
     )
-    return sess.groupBy(key_col, "session_idx").agg(
-        F.min(ts_col).alias("session_start"),
-        F.max(ts_col).alias("session_end"),
-        F.count("*").alias("n_events"),
+
+    # phase 2: interval-merge the candidates per key.  Per-key starts
+    # are distinct (blocks are disjoint half-open ranges; within a
+    # block, session starts are > gap apart), so orderBy(_s) is a total
+    # order; running max(_e) guards the merge rule against any
+    # non-monotone end (defensive — phase-1 sessions are disjoint).
+    w2 = Window.partitionBy(key_col).orderBy("_s")
+    prev_end = F.max("_e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    new2 = F.when(F.col("_s") - prev_end > gap, 1).otherwise(0)
+    merged = cand.withColumn(
+        "session_idx", F.sum(new2).over(w2.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return merged.groupBy(key_col, "session_idx").agg(
+        F.min("_s").alias("session_start"),
+        F.max("_e").alias("session_end"),
+        F.sum("_n").alias("n_events"),
     )
 
 

@@ -155,3 +155,39 @@ def test_cohort_retention(spark):
     assert out[(0, 2)]["n_active"] == 1
     assert out[(D, 0)]["n_cohort"] == 1
     assert out[(D, 1)]["retention"] == 1.0
+
+
+def test_sessionize_two_phase_equals_single_pass(spark):
+    """The hot-key-bounded (block_seconds) path must produce EXACTLY the
+    single-window result, including sessions that straddle many block
+    boundaries and sessions whose silence gap spans a whole empty
+    block."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for user in range(1, 6):
+        ts = rng.randrange(0, 3600)
+        for _ in range(400):
+            # spacing mixes intra-session (≤ gap) and new-session jumps,
+            # with some ties; blocks of 1h are crossed constantly
+            r = rng.random()
+            ts += 0 if r < 0.05 else rng.randrange(1, 1800) if r < 0.8 else rng.randrange(1801, 9000)
+            eid += 1
+            rows.append((user, ts, eid))
+    # a session continuously spanning 5 blocks
+    rows += [(9, 100 + i * 600, 10_000 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long")
+
+    from opentsdb_aura_spark.operators.events import sessionize
+
+    single = {
+        (r["user_id"], r["session_idx"]): (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, 1800, key_col="user_id").collect()
+    }
+    blocked = {
+        (r["user_id"], r["session_idx"]): (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, 1800, key_col="user_id", block_seconds=3600).collect()
+    }
+    assert single == blocked

@@ -126,6 +126,30 @@ def main() -> None:
                 hist, 0.99, BASE, BASE + 86400, 3600, group_cols=["metric"]
             ),
         )
+
+        # 6. hot-key-bounded sessionization: a bot key owning 10% of all
+        # events must NOT become one giant sort task.  Events: 90%
+        # spread over 1M normal users, 10% on user 0, dense (~1.7 s
+        # spacing over 24 h at n=50M → a single day-long session).  The
+        # blocked path's largest window task is a (key, 2h-block) slice
+        # — bounded — and the stitch runs over ≤ blocks+sessions rows.
+        n_ev = n // 10
+        ev = (
+            spark.range(n_ev, numPartitions=256)
+            .select(
+                F.when(F.col("id") % 10 == 0, F.lit(0))
+                .otherwise(F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1)
+                .alias("user_id"),
+                (F.lit(BASE) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(86400))).alias("ts"),
+                F.col("id").alias("event_id"),
+            )
+        )
+        from opentsdb_aura_spark.operators.events import sessionize
+
+        bench(
+            "q_sessionize_hot_bot_key",
+            sessionize(ev, 1800, key_col="user_id", block_seconds=7200),
+        )
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

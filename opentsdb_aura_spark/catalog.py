@@ -1269,6 +1269,38 @@ def splice_bucketed_cold_sum(spark, sf_dir):
     )
 
 
+@register(
+    "tiered_auto_route_gb_sum",
+    f"""{ORACLE_PTS}
+SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def tiered_auto_route_gb_sum(spark, sf_dir):
+    """U3 + automatic routing: ONE `run_tiered_metric_query` call spans
+    both tiers — the PLANNER consults the store's retention boundary
+    (day 15) and splices the bucketed cold tier (per-series/group
+    aggregation Exchange-free) with the hot segment store, the way its
+    rollup substitution already picks tables (the reference's
+    AuraMetricsClusterConfig range routing).  Equals the full-range
+    scan."""
+    from opentsdb_aura_spark.plans.query import TieredStore, run_tiered_metric_query
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    store = TieredStore(
+        hot=points(spark, sf_dir),
+        cold=bucketed_metrics(spark, sf_dir),
+        boundary_ts=START + 15 * DAY,
+    )
+    q = _mq(
+        start=START, end=END, interval=DAY, ds_agg="sum",
+        filter=MetricLiteral("purchase"), group_tag_keys=["user"],
+        gb_agg="sum", fill="none",
+    )
+    res = run_tiered_metric_query(store, q, dedupe=False)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
 # ============================================================ relational health (TPC-H-ish)
 
 

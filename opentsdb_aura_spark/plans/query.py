@@ -427,3 +427,71 @@ def splice_bucketed_downsample(
         group_cols=list(group_cols), fill="none",
     )
     return cold_res.unionByName(hot_res)
+
+
+@dataclass(frozen=True)
+class TieredStore:
+    """Hot/cold tier pair with its retention boundary — the store-side
+    metadata the reference's query router consults
+    (AuraMetricsClusterConfig.java range routing +
+    AuraMetricsHealthChecker gating which tier serves a range): rows
+    with ``ts >= boundary_ts`` live in the hot tier, older rows in the
+    long-term tier.  ``cold`` is expected to be the series-bucketed
+    long-term table (sources/bucketed.py) so per-series aggregation on
+    it is Exchange-free, but any points table works.
+    """
+
+    hot: DataFrame
+    cold: DataFrame
+    boundary_ts: int
+
+
+def run_tiered_metric_query(store: TieredStore, q: MetricQuery, **kw) -> DataFrame:
+    """`run_metric_query` with AUTOMATIC tier routing: the caller names
+    the store, not the tier — the planner consults the store's
+    retention boundary and routes the scan, exactly as its rollup
+    substitution already picks the table to read.
+
+    Routing (on the SCAN range, i.e. after un-shifting):
+    - entirely inside one tier → that tier serves alone (cold-only
+      queries keep the bucketed layout's Exchange-free aggregation);
+    - straddling, downsample-only, boundary on the output bucket grid →
+      per-tier sub-queries spliced by unionByName: buckets are
+      tier-disjoint, so ANY ds/gb agg is exact per tier and the cold
+      side stays Exchange-free (the `splice_bucketed_downsample`
+      shape, now chosen by the planner);
+    - otherwise (rate crossing the boundary needs the previous point
+      from the other tier; run-all spans both; misaligned boundary
+      splits a bucket) → row-level splice with per-tier time
+      predicates, both sides keeping their partition pruning.
+    """
+    from dataclasses import replace
+
+    shift = int(q.shift_seconds)
+    scan_start, scan_end = q.start - shift, q.end - shift
+    b = int(store.boundary_ts)
+    if scan_start >= b:
+        return run_metric_query(store.hot, q, **kw)
+    if scan_end <= b:
+        return run_metric_query(store.cold, q, **kw)
+
+    out_b = b + shift  # boundary expressed in output (post-shift) time
+    splice_ok = (
+        q.rate_options is None
+        and not q.run_all
+        and q.interval is not None
+        and (out_b - q.start) % q.interval == 0
+        and not kw.get("spine_from_dim")
+    )
+    if not splice_ok:
+        return run_metric_query(splice_hot_cold(store.hot, store.cold, b), q, **kw)
+
+    cold_res = run_metric_query(store.cold, replace(q, end=out_b, fill="none"), **kw)
+    hot_res = run_metric_query(store.hot, replace(q, start=out_b, fill="none"), **kw)
+    res = cold_res.unionByName(hot_res)
+    if q.fill != "none":
+        from opentsdb_aura_spark.operators.downsample import fill_spine
+
+        group_cols = [c for c in res.columns if c not in ("bucket_ts", "value")]
+        res = fill_spine(res, res, q.start, q.end, q.interval, group_cols, fill=q.fill)
+    return res

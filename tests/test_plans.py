@@ -233,3 +233,78 @@ def test_rollup_substitution_dim_join_broadcasts_without_hint(spark):
     plan = final_plan_of(C.SPARK_QUERIES["rollup_auto_substitution"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def _tiered_store(spark):
+    from opentsdb_aura_spark.plans.query import TieredStore
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    return TieredStore(
+        hot=C.points(spark, SF),
+        cold=bucketed_metrics(spark, SF),
+        boundary_ts=C.START + 15 * C.DAY,
+    )
+
+
+def _tiered_q(**kw):
+    kw.setdefault("start", C.START)
+    kw.setdefault("end", C.END)
+    kw.setdefault("interval", C.DAY)
+    kw.setdefault("ds_agg", "sum")
+    kw.setdefault("filter", MetricLiteral("purchase"))
+    kw.setdefault("fill", "none")
+    return C._mq(**kw)
+
+
+def test_tiered_routing_single_tier_reads_one_table(spark):
+    """Auto-routing: a range entirely inside one tier must scan ONLY
+    that tier's table — the other tier never appears in the plan."""
+    from opentsdb_aura_spark.plans.query import run_tiered_metric_query
+
+    store = _tiered_store(spark)
+    hot_plan = plan_of(
+        run_tiered_metric_query(
+            store, _tiered_q(start=C.START + 20 * C.DAY, end=C.END), dedupe=False
+        )
+    )
+    assert "metrics_bucketed" not in hot_plan, hot_plan
+    cold_plan = plan_of(
+        run_tiered_metric_query(
+            store, _tiered_q(start=C.START, end=C.START + 10 * C.DAY), dedupe=False
+        )
+    )
+    locations = re.findall(r"Location: \S+ ?\[(.*?)\]", cold_plan)
+    assert locations and all("metrics_bucketed" in loc for loc in locations), cold_plan
+
+
+def test_tiered_straddle_cold_side_exchange_free(spark):
+    """A straddling per-series query splices per tier: the cold half is
+    served by the bucketed layout with NO shuffle Exchange, so the
+    whole plan's only hash Exchange is the hot side's own."""
+    from opentsdb_aura_spark.plans.query import run_tiered_metric_query
+
+    df = run_tiered_metric_query(_tiered_store(spark), _tiered_q(), dedupe=False)
+    plan = plan_of(df)
+    assert "metrics_bucketed" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
+
+
+def test_tiered_rate_straddle_falls_back_to_row_splice_exactly(spark):
+    """Rate needs the previous point across the tier boundary, so the
+    planner must row-splice; the result equals the single-store run."""
+    from opentsdb_aura_spark.operators.rate import RateOptions
+    from opentsdb_aura_spark.plans.query import run_metric_query, run_tiered_metric_query
+
+    q = _tiered_q(rate_options=RateOptions(interval_seconds=60), group_tag_keys=[], gb_agg="sum")
+    got = {
+        (r["bucket_ts"],): r["value"]
+        for r in run_tiered_metric_query(_tiered_store(spark), q, dedupe=False).collect()
+    }
+    want = {
+        (r["bucket_ts"],): r["value"]
+        for r in run_metric_query(C.points(spark, SF), q, dedupe=False).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        a, b = got[k], want[k]
+        assert (a != a and b != b) or abs(a - b) < 1e-6, (k, a, b)

@@ -2155,6 +2155,37 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_decode",
+    """SELECT doc_id AS media_id,
+       CAST(doc_id % 16 + 1 AS DOUBLE) AS width,
+       CAST(doc_id % 12 + 1 AS DOUBLE) AS height,
+       CAST((doc_id % 16 + 1) * (doc_id % 12 + 1) * 3 AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 100""",
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline JPEG decode end-to-end (operators/jpeg.py: Huffman
+    + dequant + IDCT, stdlib/numpy only): every doc becomes a genuine
+    JFIF payload and ``extract_features(fake=False)`` must parse the
+    entropy stream to produce the decoded geometry.  JPEG is lossy, so
+    unlike ``multimodal_real_decode`` the oracle pins the EXACT decoded
+    dimensions/byte counts (wrong Huffman walk → parse error or wrong
+    dims) while the pixel-level roundtrip error is bounded in pytest
+    (flat fields ±2, structured images ≥ 28 dB PSNR)."""
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media
+
+    media = attach_image_media(
+        docs_raw(spark, sf_dir).where(F.col("doc_id") < 100), formats=("jpeg",)
+    )
+    res = extract_features(media, fake=False)
+    return res.select(
+        "media_id",
+        F.col("feat")[0].alias("width"),
+        F.col("feat")[1].alias("height"),
+        "n_bytes",
+    )
+
+
+@register(
     "multimodal_real_decode",
     """WITH d AS (
   SELECT doc_id, text, strlen(text) AS L,

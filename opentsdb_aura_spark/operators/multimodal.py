@@ -236,23 +236,44 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     return width, height, out.tobytes()
 
 
+#: pluggable decoder registry — THE deployment seam for formats beyond
+#: the built-ins: ``register_image_decoder(b"\xff\xd8", pil_decode)``
+#: overrides/extends by magic prefix; entries are consulted first (last
+#: registered wins) so a production image stack (PIL, libjpeg-turbo
+#: bindings) slots in without touching the Spark plumbing.  Registered
+#: callables take the payload bytes and return (width, height, rgb).
+_DECODERS: list[tuple[bytes, object]] = []
+
+
+def register_image_decoder(magic: bytes, fn) -> None:
+    _DECODERS.insert(0, (bytes(magic), fn))
+
+
 def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
     """Decode a binary payload to (width, height, top-down RGB).
 
-    BMP, PPM, and PNG (non-interlaced 8-bit RGB/RGBA) are handled by
-    the dependency-free codecs above; JPEG/audio/video would need
-    PIL/libav, which this container lacks, so anything else raises
-    (honest stub boundary)."""
+    BMP, PPM, PNG (non-interlaced 8-bit RGB/RGBA), and baseline
+    sequential JPEG (4:4:4 / grayscale — operators/jpeg.py) are handled
+    by the dependency-free codecs; anything else (progressive or
+    subsampled JPEG, audio, video) raises unless a decoder was plugged
+    in via :func:`register_image_decoder` (honest stub boundary)."""
     payload = bytes(payload)
+    for magic, fn in _DECODERS:
+        if payload[: len(magic)] == magic:
+            return fn(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from opentsdb_aura_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP/PPM/PNG decode is available without PIL/libav; "
-        "pass fake=True for other formats or plug a decoder in here"
+        "no built-in codec claims this payload (BMP/PPM/PNG/baseline JPEG "
+        "are built in); plug a production decoder via register_image_decoder"
     )
 
 
@@ -268,7 +289,9 @@ def attach_image_media(
     can verify the REAL decode path end-to-end without being able to
     parse any of the formats: the values only match if each codec
     round-trips correctly."""
-    encoders = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
+    from opentsdb_aura_spark.operators.jpeg import encode_jpeg
+
+    encoders = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png, "jpeg": encode_jpeg}
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

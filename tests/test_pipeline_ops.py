@@ -571,3 +571,82 @@ def test_minhash_index_incremental_equals_direct(spark, tmp_path, doc_df):
         for r in minhash_lsh_candidates(doc_df, threshold=0.5).collect()
     }
     assert from_index == direct and (0, 1) in direct
+
+
+def test_jpeg_roundtrip_bounds():
+    """Baseline JPEG codec: flat fields decode within ±2/channel, a
+    hard synthetic gradient stays above 28 dB PSNR, dimensions exact,
+    and restart-marker streams decode identically to plain ones."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 16, 16
+    flat = bytes([100, 150, 200]) * (w * h)
+    jw, jh, out = decode_jpeg(encode_jpeg(w, h, flat))
+    assert (jw, jh) == (w, h)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int) - np.frombuffer(flat, np.uint8).astype(int)
+    )
+    assert err.max() <= 2, err.max()
+
+    w, h = 40, 24
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            # smooth (non-wrapping) gradients: JPEG's natural regime
+            px[y, x] = (x * 255 // (w - 1), y * 255 // (h - 1), (x + y) * 255 // (w + h - 2))
+    jw, jh, out = decode_jpeg(encode_jpeg(w, h, px.tobytes()))
+    assert (jw, jh) == (w, h)
+    dec = np.frombuffer(out, np.uint8).astype(float).reshape(h, w, 3)
+    mse = ((dec - px.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    assert psnr >= 28.0, psnr
+
+    plain = decode_jpeg(encode_jpeg(w, h, px.tobytes()))
+    for ri in (1, 3, 7):
+        assert decode_jpeg(encode_jpeg(w, h, px.tobytes(), restart_interval=ri)) == plain
+
+
+def test_jpeg_honest_boundaries():
+    """Out-of-scope streams must raise NotImplementedError, not decode
+    garbage: progressive (SOF2) and subsampled (2x2 luma) headers."""
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(8, 8, bytes(8 * 8 * 3)))
+    sof = good.find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22  # luma sampling 2x2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+
+
+def test_image_decoder_registry_seam():
+    """register_image_decoder is the production plug point: a
+    registered decoder claims payloads by magic prefix ahead of the
+    built-ins, and unknown formats still raise without one."""
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators import multimodal as mm
+
+    with _pytest.raises(NotImplementedError):
+        mm._decode_real(b"\x00\x01unknown-format", "image")
+
+    calls = []
+
+    def fake_decoder(payload):
+        calls.append(payload)
+        return 1, 1, b"\x01\x02\x03"
+
+    mm.register_image_decoder(b"\x00\x01", fake_decoder)
+    try:
+        assert mm._decode_real(b"\x00\x01unknown-format", "image") == (1, 1, b"\x01\x02\x03")
+        assert calls
+    finally:
+        mm._DECODERS.clear()

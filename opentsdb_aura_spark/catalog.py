@@ -2228,6 +2228,91 @@ def multimodal_real_decode(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_audio_decode",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 64 + 16 AS n, 8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents WHERE doc_id < 100),
+s AS (
+  SELECT doc_id, rate, n,
+         list_transform(range(0, n),
+                        j -> (ascii(substr(text, (j % L) + 1, 1)) - 80) * 256) AS smp
+  FROM d)
+SELECT doc_id AS media_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       round(list_avg(smp), 6) AS mean_amp,
+       round(sqrt(list_avg(list_transform(smp, x -> CAST(x AS DOUBLE) * x))), 6) AS rms,
+       CAST(list_sum(list_transform(range(1, n),
+                                    j -> CASE WHEN smp[j] * smp[j + 1] < 0 THEN 1 ELSE 0 END))
+            AS BIGINT) AS zero_crossings
+FROM s""",
+)
+def multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decode end-to-end: every doc becomes a genuine mono
+    PCM16 WAV (operators/av.py — RIFF chunk walk), samples derived
+    from the doc text by a SQL rule, and ``extract_audio_features``
+    must parse the container to produce sample-rate / RMS /
+    zero-crossing values the oracle recomputes from the rule.  Wrong
+    chunk offsets, endianness, or width → value mismatch."""
+    from opentsdb_aura_spark.operators.av import attach_audio_media, extract_audio_features
+
+    media = attach_audio_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    res = extract_audio_features(media)
+    return res.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        _r(F.col("mean_amp"), 6).alias("mean_amp"),
+        _r(F.col("rms"), 6).alias("rms"),
+        "zero_crossings",
+    )
+
+
+@register(
+    "multimodal_video_frames",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h, doc_id % 10 + 3 AS nf
+  FROM documents WHERE doc_id < 100),
+f AS (
+  SELECT doc_id, text, L, w, h, unnest(range(0, nf)) AS fi
+  FROM d),
+px AS (
+  SELECT doc_id, fi, w, h,
+         list_transform(range(0, w * h),
+                        j -> ascii(substr(text, ((fi * w * h + j) % L) + 1, 1))) AS p
+  FROM f WHERE fi % 2 = 0)
+SELECT doc_id AS media_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_sum(p) AS BIGINT) AS checksum,
+       round(list_avg(p), 6) AS mean_luma
+FROM px""",
+)
+def multimodal_video_frames(spark, sf_dir):
+    """REAL video container parse + frame sampling: every doc becomes
+    a genuine Y4M (YUV4MPEG2, Cmono) stream, ``sample_video_frames``
+    parses the header/FRAME markers and keeps every 2nd frame (the
+    1→many mapInPandas fan-out, now real), and the oracle recomputes
+    per-frame checksum / mean luma from the generation rule."""
+    from opentsdb_aura_spark.operators.av import attach_video_media, sample_video_frames
+
+    media = attach_video_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    res = sample_video_frames(media, every_n=2)
+    return res.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        "n_pixels",
+        "checksum",
+        _r(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
 # ============================================================ rollups (A10)
 
 

@@ -1,0 +1,284 @@
+"""Real audio/video decode for the multimodal pipeline: WAV (RIFF
+PCM16) and Y4M (YUV4MPEG2) codecs, dependency-free (struct + numpy),
+plus the Spark plumbing that runs them inside Arrow-batched
+``mapInPandas``.
+
+Extension beyond the reference (which is a metrics/events engine with
+no media path): these are the audio/video legs of the training-data
+pipeline operators, completing what ``operators/multimodal.py`` does
+for images.  The corpus-generation rule is the same trick
+``attach_image_media`` uses: payload content is derived from the doc
+text by a SQL-expressible rule, so a DuckDB oracle that cannot parse
+WAV or Y4M can still verify the REAL decode end-to-end — the feature
+values only match if the container round-trips correctly.
+
+Format notes (both fully public):
+
+- **WAV**: RIFF container, ``fmt `` chunk (PCM=1, mono, 16-bit LE),
+  ``data`` chunk of int16 samples.  The decoder walks chunks (skipping
+  unknown ones, honoring the odd-size pad byte) rather than assuming a
+  44-byte header, so real-world files with LIST/INFO chunks parse.
+- **Y4M**: ``YUV4MPEG2`` text header with space-separated parameter
+  tokens (W/H/F/I/A/C), then per frame a ``FRAME`` line + raw planes.
+  We emit/parse ``Cmono`` (luma-only), the simplest conformant
+  colorspace; frame extraction is real slicing, not a stub.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.operators.multimodal import MEDIA_SCHEMA
+
+# ---------------------------------------------------------------- WAV codec
+
+
+def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Mono 16-bit PCM WAV from an int16 sample array."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, "np.ndarray"]:
+    """Parse a mono 16-bit PCM WAV → (sample_rate, int16 samples).
+
+    Chunk-walking parser: tolerates extra chunks (LIST, fact, …) in
+    any order and the RIFF odd-length pad byte; raises on non-PCM,
+    non-mono, or non-16-bit streams (honest codec boundary)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        typ = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if typ == b"fmt ":
+            audio_fmt, channels, rate, _byte_rate, _align, bits = struct.unpack_from("<HHIIHH", body)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only mono 16-bit PCM supported, got fmt={audio_fmt} ch={channels} bits={bits}"
+                )
+        elif typ == b"data":
+            pcm = body
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return int(rate), np.frombuffer(pcm, dtype="<i2")
+
+
+# ---------------------------------------------------------------- Y4M codec
+
+
+def encode_y4m(width: int, height: int, frames: list[bytes], fps: int = 25) -> bytes:
+    """YUV4MPEG2 stream, ``Cmono`` (luma plane only), from per-frame
+    luma byte strings (each len == width*height)."""
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 Cmono\n" % (width, height, fps)]
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError(f"need {width * height} luma bytes, got {len(fr)}")
+        out.append(b"FRAME\n")
+        out.append(fr)
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a YUV4MPEG2 stream → (width, height, [luma frames]).
+
+    Handles W/H/C parameter tokens (other tokens skipped), ``Cmono``
+    and ``C444`` plane sizes, and per-frame parameter suffixes on the
+    FRAME marker line."""
+    nl = data.index(b"\n")
+    header = data[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = 0
+    colorspace = b"420"
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok[1:]
+    if colorspace == b"mono":
+        frame_size = width * height
+    elif colorspace == b"444":
+        frame_size = width * height * 3
+    else:
+        raise NotImplementedError(f"only Cmono/C444 supported, got C{colorspace.decode()}")
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = data.index(b"\n", pos) + 1  # frame params, if any, end at newline
+        frames.append(data[pos : pos + width * height])  # luma plane
+        pos += frame_size
+    return width, height, frames
+
+
+# ------------------------------------------------------ corpus generators
+
+
+def attach_audio_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Real-audio corpus generator: one genuine mono PCM16 WAV per doc,
+    samples derived deterministically from the doc text — sample j is
+    ``(ord(text[j mod len]) - 80) * 256`` (int16), with
+    n = id%64+16 samples at rate 8000 + (id%4)*4000 Hz.  The rule is
+    SQL-expressible, so the oracle verifies the real RIFF decode."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rates, ns = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                text = text or "x"
+                n = mid % 64 + 16
+                rate = 8000 + (mid % 4) * 4000
+                smp = np.array(
+                    [(ord(text[j % len(text)]) - 80) * 256 for j in range(n)], dtype=np.int16
+                )
+                payloads.append(encode_wav(rate, smp))
+                rates.append(rate)
+                ns.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "audio",
+                    "payload": payloads,
+                    "width": pd.Series([0] * len(pdf), dtype="int32"),
+                    "height": pd.Series([0] * len(pdf), dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_frames": pd.Series(ns, dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def attach_video_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Real-video corpus generator: one genuine Y4M (Cmono) stream per
+    doc — w = id%8+2, h = id%6+2, n_frames = id%10+3; frame f pixel j
+    is ``ord(text[(f*w*h + j) mod len])``.  Same SQL-expressible-rule
+    trick as the image/audio corpora."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs, nfs = [], [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                text = text or "x"
+                w, h, nf = mid % 8 + 2, mid % 6 + 2, mid % 10 + 3
+                wh = w * h
+                frames = [
+                    bytes(ord(text[(f * wh + j) % len(text)]) & 0xFF for j in range(wh))
+                    for f in range(nf)
+                ]
+                payloads.append(encode_y4m(w, h, frames))
+                ws.append(w)
+                hs.append(h)
+                nfs.append(nf)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "video",
+                    "payload": payloads,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "sample_rate": pd.Series([0] * len(pdf), dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------- feature stages
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples bigint, "
+    "mean_amp double, rms double, zero_crossings bigint"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: decode each WAV payload and emit
+    (sample_rate, n_samples, mean amplitude, RMS, zero-crossing
+    count) — all recomputable by a SQL oracle from the generation
+    rule.  Vectorized numpy per payload; Arrow-batched transfer."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, means, rmss, zcs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                rate, smp = decode_wav(bytes(payload))
+                s = smp.astype(np.float64)
+                rates.append(rate)
+                ns.append(len(s))
+                means.append(float(s.mean()) if len(s) else 0.0)
+                rmss.append(float(np.sqrt(np.mean(s * s))) if len(s) else 0.0)
+                zcs.append(int(np.sum(s[:-1] * s[1:] < 0)) if len(s) > 1 else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "mean_amp": pd.Series(means, dtype="float64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, "
+    "n_pixels bigint, checksum bigint, mean_luma double"
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: parse each Y4M payload, keep every
+    Nth frame, emit per-frame (dims, pixel count, checksum, mean
+    luma).  One input row fans out to ceil(n_frames/every_n) rows —
+    the genuine 1→many ``mapInPandas`` shape that the fake
+    ``multimodal.sample_frames`` stubs, now backed by a real
+    container parse."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, nps, cks, mls = [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_y4m(bytes(payload))
+                for fi in range(0, len(frames), every_n):
+                    px = np.frombuffer(frames[fi], dtype=np.uint8)
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ws.append(w)
+                    hs.append(h)
+                    nps.append(len(px))
+                    cks.append(int(px.sum()))
+                    mls.append(float(px.mean()) if len(px) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_pixels": pd.Series(nps, dtype="int64"),
+                    "checksum": pd.Series(cks, dtype="int64"),
+                    "mean_luma": pd.Series(mls, dtype="float64"),
+                }
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(op, schema=FRAME_FEATURE_SCHEMA)

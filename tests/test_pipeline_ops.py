@@ -650,3 +650,108 @@ def test_image_decoder_registry_seam():
         assert calls
     finally:
         mm._DECODERS.clear()
+
+
+# ---------------------------------------------------------------- audio/video
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """WAV codec: bit-exact PCM16 round-trip; the decoder walks chunks
+    (unknown LIST chunk + odd-length pad tolerated) and raises on
+    non-mono/non-16-bit streams."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.av import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    smp = rng.integers(-32768, 32767, size=301, dtype=np.int16)
+    wav = encode_wav(22050, smp)
+    rate, back = decode_wav(wav)
+    assert rate == 22050 and np.array_equal(back, smp)
+
+    # splice an odd-length LIST chunk between fmt and data
+    fmt_end = wav.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate2, back2 = decode_wav(spliced)
+    assert rate2 == 22050 and np.array_equal(back2, smp)
+
+    stereo = bytearray(wav)
+    fmt_off = wav.index(b"fmt ") + 8
+    struct.pack_into("<H", stereo, fmt_off + 2, 2)  # channels=2
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(stereo))
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS" + wav[4:])
+
+
+def test_y4m_roundtrip_and_boundaries():
+    """Y4M codec: frames round-trip through the Cmono container; C444
+    parses (luma plane extracted); unsupported colorspaces raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.av import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=12, dtype=np.uint8).tobytes() for _ in range(5)]
+    w, h, back = decode_y4m(encode_y4m(4, 3, frames))
+    assert (w, h) == (4, 3) and back == frames
+
+    # C444: planes are 3x luma size; decoder slices the luma plane
+    y444 = b"YUV4MPEG2 W2 H2 F25:1 C444\n" + b"FRAME\n" + bytes(range(12))
+    w4, h4, fr4 = decode_y4m(y444)
+    assert (w4, h4) == (2, 2) and fr4 == [bytes(range(4))]
+
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420\n" + b"FRAME\n" + b"\x00" * 6)
+    with _pytest.raises(ValueError):
+        decode_y4m(b"JUNK W2 H2\n")
+
+
+def test_audio_video_spark_features(spark):
+    """End-to-end Spark plumbing: WAV features and Y4M frame sampling
+    match a direct Python recomputation of the generation rule."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.av import (
+        attach_audio_media,
+        attach_video_media,
+        extract_audio_features,
+        sample_video_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"sample text number {i} with Some Variety!") for i in range(12)],
+        "doc_id long, text string",
+    )
+    audio = {r["media_id"]: r for r in extract_audio_features(attach_audio_media(docs)).collect()}
+    assert len(audio) == 12
+    for i in range(12):
+        text = f"sample text number {i} with Some Variety!"
+        n = i % 64 + 16
+        s = np.array([(ord(text[j % len(text)]) - 80) * 256 for j in range(n)], dtype=np.float64)
+        row = audio[i]
+        assert row["sample_rate"] == 8000 + (i % 4) * 4000
+        assert row["n_samples"] == n
+        assert abs(row["rms"] - float(np.sqrt(np.mean(s * s)))) < 1e-9
+        assert row["zero_crossings"] == int(np.sum(s[:-1] * s[1:] < 0))
+
+    vf = sample_video_frames(attach_video_media(docs), every_n=2).collect()
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in vf}
+    for i in range(12):
+        text = f"sample text number {i} with Some Variety!"
+        w, h, nf = i % 8 + 2, i % 6 + 2, i % 10 + 3
+        expected_idxs = list(range(0, nf, 2))
+        got_idxs = sorted(fi for (mid, fi) in by_key if mid == i)
+        assert got_idxs == expected_idxs
+        for fi in expected_idxs:
+            px = [ord(text[(fi * w * h + j) % len(text)]) for j in range(w * h)]
+            row = by_key[(i, fi)]
+            assert (row["width"], row["height"], row["n_pixels"]) == (w, h, w * h)
+            assert row["checksum"] == sum(px)
+            assert abs(row["mean_luma"] - sum(px) / len(px)) < 1e-9

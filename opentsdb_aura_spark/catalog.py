@@ -3216,6 +3216,107 @@ def pipeline_token_budget(spark, sf_dir):
     return token_budget_sample(docs_raw(spark, sf_dir), 5000, domain_col="source")
 
 
+@register(
+    "pipeline_global_shuffle",
+    """SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1
+            AS BIGINT) AS shuffle_pos
+FROM documents""",
+)
+def pipeline_global_shuffle(spark, sf_dir):
+    """Deterministic pseudo-random global training order WITHOUT a
+    single-partition window: md5 order key + distributed prefix-sum
+    rank (4096 hex-prefix blocks → exclusive cumsum → bounded
+    within-block row_number).  The oracle is the naive global
+    ``row_number() OVER (ORDER BY md5)`` — equality proves the
+    blocked rank IS the global rank."""
+    from opentsdb_aura_spark.operators.corpus import global_shuffle
+
+    return global_shuffle(docs(spark, sf_dir), seed="42")
+
+
+@register(
+    "pipeline_domain_cap",
+    """WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 7""",
+)
+def pipeline_domain_cap(spark, sf_dir):
+    """Diversity capping: at most 7 docs per source, best (longest)
+    first — two-phase hot-key-bounded top-k (per input-partition rank,
+    then rank the survivors), so a mega-domain never forms one giant
+    sort task.  Oracle is the naive one-shot window."""
+    from opentsdb_aura_spark.operators.corpus import cap_per_domain
+
+    return cap_per_domain(docs(spark, sf_dir), 7)
+
+
+@register(
+    "pipeline_dsir_weights",
+    r"""WITH w AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM w),
+b AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(gram || ':dsir'), 1, 8)) AS BIGINT) % 1024 AS bucket
+  FROM g),
+pb AS (SELECT bucket, count(*) AS rn,
+              sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS tn
+       FROM b GROUP BY 1),
+tot AS (SELECT count(*) AS rt,
+               sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS tt
+        FROM b),
+lr AS (SELECT bucket,
+              ln((tn + 1.0) / (tt + 1024.0)) - ln((rn + 1.0) / (rt + 1024.0)) AS logr
+       FROM pb CROSS JOIN tot)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams, round(sum(lr.logr), 6) AS weight
+FROM b JOIN lr USING (bucket) GROUP BY 1""",
+)
+def pipeline_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights toward the 'src3' domain: hashed
+    bigram buckets (md5 — engine-reproducible), add-one-smoothed
+    log-likelihood ratio of target vs corpus bucket distributions,
+    summed per doc.  Pure Catalyst: one explode, two bounded
+    aggregates, AQE-broadcast log-ratio join."""
+    from opentsdb_aura_spark.operators.corpus import dsir_weights
+
+    res = dsir_weights(docs(spark, sf_dir), "src3")
+    return res.select("doc_id", "n_grams", _r(F.col("weight"), 6).alias("weight"))
+
+
+@register(
+    "text_normalize_docs",
+    r"""WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT doc_id, CAST(strlen(norm) AS BIGINT) AS n_chars_norm, md5(norm) AS norm_md5
+FROM n""",
+)
+def text_normalize_docs(spark, sf_dir):
+    """Curation-grade text normalization (lowercase, punctuation →
+    space, whitespace collapse) proven BYTE-IDENTICAL cross-engine via
+    md5 of the normalized text — the property that matters when a
+    dedup key is derived from normalized content."""
+    from opentsdb_aura_spark.operators.corpus import normalize_text
+
+    d = docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
 @register("rollup_coarsest_pick", _ds_by_metric_sql(DAY, "sum(value)", "sum_value", 4))
 def rollup_coarsest_pick(spark, sf_dir):
     """A10 planner — with hourly AND 2-hourly rollups available, a

@@ -542,3 +542,126 @@ def token_budget_sample(
         .where(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
         .select(id_col, domain_col, "n_tokens", "cum_tokens")
     )
+
+
+def global_shuffle(docs: DataFrame, *, seed: str = "42", id_col: str = "doc_id", prefix_hex: int = 3) -> DataFrame:
+    """Deterministic pseudo-random GLOBAL ordering for training-data
+    serving: every doc gets a stable ``shuffle_pos`` in [0, N) as if
+    the corpus had been shuffled once with ``seed``.
+
+    The order key is ``md5(doc_id || ':' || seed)`` — reproducible in
+    any engine, uncorrelated with ingest order.  The global rank is
+    computed WITHOUT a single-partition window (the classic
+    ``row_number() OVER (ORDER BY ...)`` funnel) via the same
+    distributed prefix-sum shape as :func:`pack_sequences`:
+
+    1. block = first ``prefix_hex`` hex chars of the key (4096 uniform
+       blocks) — for fixed-width lowercase hex, lexicographic string
+       order equals (block, rest) order, so blocks tile the key space;
+    2. per-block counts → exclusive cumsum over 4096 rows;
+    3. broadcast block offsets back; within-block ``row_number``
+       (partition bounded at ~N/4096 rows).
+
+    At 100 TB this is one hash agg + one bounded-partition sort — the
+    same work a range-partitioned total sort does, but with an exact,
+    engine-independent position."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("shuffle_key"),
+        F.conv(F.substring(key, 1, int(prefix_hex)), 16, 10).cast("long").alias("_blk"),
+    )
+    blocks = base.groupBy("_blk").agg(F.count("*").alias("_bn"))
+    w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = blocks.withColumn("_boff", F.coalesce(F.sum("_bn").over(w_blk), F.lit(0)))
+    w_in = Window.partitionBy("_blk").orderBy("shuffle_key", "doc_id")
+    return (
+        base.join(F.broadcast(blocks.select("_blk", "_boff")), "_blk")
+        .withColumn("shuffle_pos", (F.col("_boff") + F.row_number().over(w_in) - 1).cast("bigint"))
+        .select("doc_id", "shuffle_key", "shuffle_pos")
+    )
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    cap: int,
+    *,
+    domain_col: str = "source",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Diversity capping: keep at most ``cap`` docs per domain, best
+    first (``quality_col`` desc, doc id as tiebreak) — the standard
+    guard against a single crawl domain dominating the training mix.
+
+    Two-phase top-k so a mega-domain cannot form one giant sort task:
+    phase 1 ranks within (domain, input-partition) — every window
+    partition is bounded by the Parquet split size — and keeps its
+    local top-``cap``; phase 2 ranks the ≤ cap × n_partitions
+    survivors per domain.  Same hot-key-bounded shape as the
+    segment-parallel rate and blocked sessionize windows."""
+    local = docs.select(id_col, domain_col, quality_col).withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(domain_col, "_pid").orderBy(F.col(quality_col).desc(), F.col(id_col))
+    pruned = (
+        local.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= int(cap))
+        .drop("_r", "_pid")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(F.col(quality_col).desc(), F.col(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rank") <= int(cap))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_source: str,
+    *,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): represent each doc
+    by hashed bigram counts and score it by the log-likelihood ratio of
+    a target domain's bucket distribution vs the whole corpus's —
+    ``weight(d) = Σ_grams log(p_target[bucket]/p_corpus[bucket])``
+    (unigram-of-hashed-bigrams model, add-one smoothed).  High weight =
+    looks like the target domain; resampling by weight tilts the mix.
+
+    All Catalyst: one explode to (doc, bucket) — buckets are md5-based
+    (:func:`det_hash_bucket`) so any engine reproduces them — two
+    bucket-count aggregates (≤ ``n_buckets`` rows each, map-side
+    combined), the log-ratio join is AQE-broadcast, and the per-doc
+    score is one more hash agg.  No UDFs, no model state."""
+    toks = tokens(F.col(text_col))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+    )
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("_src"),
+        F.explode(bigrams).alias("gram"),
+    ).withColumn("bucket", det_hash_bucket(F.col("gram"), "dsir", int(n_buckets)))
+    is_tgt = (F.col("_src") == target_source).cast("long")
+    per_bucket = g.groupBy("bucket").agg(
+        F.count("*").alias("rn"), F.sum(is_tgt).alias("tn")
+    )
+    totals = g.agg(
+        F.count("*").alias("_rt"), F.sum(is_tgt).alias("_tt")
+    )  # 1-row factor, broadcast into the bucket table (≤ n_buckets rows)
+    lr = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tn") + 1.0) / (F.col("_tt") + F.lit(float(n_buckets))))
+            - F.log((F.col("rn") + 1.0) / (F.col("_rt") + F.lit(float(n_buckets))))
+        ).alias("logr"),
+    )
+    return (
+        g.join(lr, "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_grams"), F.sum("logr").alias("weight"))
+    )

@@ -242,3 +242,64 @@ def test_bm25_search_ranking(spark):
     expect = idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / avgdl))
     got3 = next(r["score"] for r in out if r["doc_id"] == 3)
     assert abs(got3 - expect) < 1e-9
+
+
+def test_global_shuffle_is_global_rank(spark):
+    """Blocked distributed rank == naive global row_number: positions
+    form a permutation of [0, N) and agree with a direct sort of the
+    md5 keys, across multiple input partitions."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.corpus import global_shuffle
+
+    docs = spark.range(0, 700, 1, 8).select(F.col("id").alias("doc_id"))
+    out = global_shuffle(docs, seed="7").collect()
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(700))
+    naive = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    assert [r["shuffle_pos"] for r in naive] == list(range(700))
+    # deterministic across runs
+    again = {r["doc_id"]: r["shuffle_pos"] for r in global_shuffle(docs, seed="7").collect()}
+    assert all(again[r["doc_id"]] == r["shuffle_pos"] for r in out)
+
+
+def test_cap_per_domain_matches_naive(spark):
+    """Two-phase per-domain top-k == one-shot window top-k, with a hot
+    domain spread over many input partitions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from opentsdb_aura_spark.operators.corpus import cap_per_domain
+
+    rows = [(i, "hot" if i % 4 != 3 else f"d{i % 16}", (i * 37) % 101) for i in range(600)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long").repartition(16)
+    got = {
+        (r["source"], r["doc_id"]): r["rank"]
+        for r in cap_per_domain(docs, 5).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    naive = {
+        (r["source"], r["doc_id"]): r["rank"]
+        for r in docs.withColumn("rank", F.row_number().over(w)).where("rank <= 5").collect()
+    }
+    assert got == naive
+
+
+def test_dsir_weights_separate_domains(spark):
+    """Docs from the target domain score higher than off-domain docs;
+    a doc with no bigrams is absent."""
+    from opentsdb_aura_spark.operators.corpus import dsir_weights
+
+    tgt = "the theory of general relativity describes gravity as curvature"
+    off = "buy cheap pills online now discount offer limited time deal"
+    rows = (
+        [(i, tgt + f" variant {i}", "wiki") for i in range(10)]
+        + [(100 + i, off + f" promo {i}", "spam") for i in range(10)]
+        + [(999, "single", "spam")]  # 1 token → no bigrams
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in dsir_weights(docs, "wiki").collect()}
+    assert 999 not in out
+    wiki_avg = sum(out[i]["weight"] for i in range(10)) / 10
+    spam_avg = sum(out[100 + i]["weight"] for i in range(10)) / 10
+    assert wiki_avg > 0 > spam_avg
+    assert out[0]["n_grams"] == len(tgt.split()) + 1  # bigrams of n+2 tokens

@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "corpus_tfidf_top3",  # 1-row n_docs factor
     "quality_lm_scores",  # 1-row vocabulary-size factor
     "corpus_bm25_search",  # 1-row (N, avgdl) corpus-stats factor
+    "pipeline_dsir_weights",  # 1-row gram-count totals factor
 }
 
 
@@ -91,6 +92,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "p_size",  # probe sizes (same bound)
         "vocab",  # 1-row vocabulary-size factor
         "blocks",  # per-block prefix sums: rows = input partitions
+        "totals",  # 1-row gram-count factor (dsir_weights)
         "winners",  # summarizer top-k winners: rows <= k
     }
     hits = []

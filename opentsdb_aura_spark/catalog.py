@@ -3139,6 +3139,40 @@ def anomaly_zscore_daily(spark, sf_dir):
 
 
 @register(
+    "anomaly_seasonal_hourly",
+    f"""{ORACLE_PTS},
+agg AS (
+  SELECT metric, {_bucket_sql(HOUR)} AS bucket_ts, sum(value) AS v
+  FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2)
+SELECT a.metric, a.bucket_ts,
+       round(a.v, 4) AS sum_value,
+       round(b.v, 4) AS baseline,
+       round(a.v - b.v, 4) AS deviation
+FROM agg a LEFT JOIN agg b
+  ON b.metric = a.metric AND b.bucket_ts = a.bucket_ts - {DAY}""",
+)
+def anomaly_seasonal_hourly(spark, sf_dir):
+    """Seasonal anomaly baseline: each hourly bucket vs the SAME hour
+    one day earlier — the periodic complement of the trailing z-score
+    (for a daily-cycled metric the previous 7 hours are the wrong
+    expectation).  Equi-self-join on (metric, bucket − 1d), not a
+    per-series lag window: shuffles on the composite key, so no
+    per-series sort task and no hot-series straggler."""
+    from opentsdb_aura_spark.operators.analytic import seasonal_baseline_deviation
+
+    pts = points(spark, sf_dir)
+    res = downsample(pts, START, END, HOUR, "sum", group_cols=["metric"], fill="none")
+    out = seasonal_baseline_deviation(res, DAY, group_cols=["metric"])
+    return out.select(
+        "metric",
+        "bucket_ts",
+        _r(denan(F.col("value")), 4).alias("sum_value"),
+        _r("baseline", 4).alias("baseline"),
+        _r("deviation", 4).alias("deviation"),
+    )
+
+
+@register(
     "corpus_bm25_search",
     r"""WITH toked AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

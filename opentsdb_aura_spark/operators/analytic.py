@@ -275,3 +275,41 @@ def rolling_zscore(
         v.isNotNull() & (n >= int(min_history)) & (sd > 0), (v - mu) / sd
     )
     return df.withColumn("zscore", z)
+
+
+def seasonal_baseline_deviation(
+    df: DataFrame,
+    period: int,
+    *,
+    group_cols: Sequence[str] = ("metric",),
+    value_col: str = "value",
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Seasonal anomaly baseline: compare each bucket to the SAME slot
+    one period earlier (hour-vs-same-hour-yesterday, day-vs-same-day-
+    last-week) — the complement of :func:`rolling_zscore`'s trailing
+    window for strongly periodic series, where "the last 7 points"
+    are the wrong expectation for a daily-cycled metric.
+
+    Adds ``baseline`` (the value at bucket_ts − period, NULL when that
+    slot is absent) and ``deviation`` (value − baseline).
+
+    Implemented as an equi-self-join on (group, bucket_ts − period)
+    rather than a per-group ordered lag window: the join shuffles on
+    the composite key so every (group, bucket) pair is independent —
+    no per-series sort task, no hot-series straggler — and a NaN spine
+    slot is "no data" on either side (NULL baseline / NULL deviation),
+    not arithmetic poison."""
+    v = _non_nan(F.col(value_col))
+    gcols = list(group_cols)
+    cur = df.withColumn("_v", v)
+    prev = df.select(
+        *gcols,
+        (F.col(bucket_col) + F.lit(int(period))).alias(bucket_col),
+        _non_nan(F.col(value_col)).alias("baseline"),
+    )
+    return (
+        cur.join(prev, gcols + [bucket_col], "left")
+        .withColumn("deviation", F.col("_v") - F.col("baseline"))
+        .drop("_v")
+    )

@@ -197,3 +197,34 @@ def test_rolling_zscore_trailing_window(spark):
     assert out[7 * 86400] is not None and out[7 * 86400] > 5  # spike flagged
     # current bucket excluded from its own baseline: day 6's z uses days 0-5
     assert abs(out[6 * 86400]) < 2
+
+
+def test_seasonal_baseline_deviation(spark):
+    """Baseline is the same slot one period back; absent slot or NaN
+    spine slot gives NULL baseline/deviation, never NaN arithmetic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.analytic import seasonal_baseline_deviation
+
+    rows = [
+        ("m", 0, 10.0),
+        ("m", 100, 13.0),       # baseline 10 → dev 3
+        ("m", 200, 20.0),       # baseline 13 → dev 7
+        ("m", 400, 5.0),        # slot 300 absent → NULL baseline
+        ("n", 100, float("nan")),  # NaN spine slot
+        ("n", 200, 4.0),        # baseline NaN → NULL
+    ]
+    df = spark.createDataFrame(rows, "metric string, bucket_ts long, value double")
+    out = {
+        (r["metric"], r["bucket_ts"]): (r["baseline"], r["deviation"])
+        for r in seasonal_baseline_deviation(df, 100, group_cols=["metric"]).collect()
+    }
+    assert out[("m", 100)] == (10.0, 3.0)
+    assert out[("m", 200)] == (13.0, 7.0)
+    assert out[("m", 0)] == (None, None)
+    assert out[("m", 400)] == (None, None)
+    assert out[("n", 200)] == (None, None)
+    b, d = out[("n", 100)]
+    assert b is None and d is None or (isinstance(d, float) and not math.isnan(d))

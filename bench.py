@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "ev_ongoing_window",
     "rollup_hist_p90_daily",
     "ev_sessionize_users",
+    "pipeline_global_shuffle",
+    "pipeline_dsir_weights",
+    "anomaly_seasonal_hourly",
+    "multimodal_audio_decode",
+    "multimodal_video_frames",
 ]
 
 

@@ -228,7 +228,31 @@ def dedup_keep_best(
     return losers.join(winners, "_ckey").select("doc_id", "kept_doc_id")
 
 
-def connected_components(pairs: DataFrame, *, max_iters: int = 20, probe_after: int = 2) -> DataFrame:
+def _union_find_labels(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Driver-side exact union-find over a BOUNDED edge list; label is
+    the component's minimum member id (path-halving, union by smaller
+    root so the min id is always the root)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(x, find(x)) for x in parent]
+
+
+def connected_components(
+    pairs: DataFrame, *, max_iters: int = 20, probe_after: int = 2, driver_threshold: int = 200_000
+) -> DataFrame:
     """Connected components over an undirected edge list (doc_a,
     doc_b) → (doc_id, label) where label is the component's minimum
     member id.
@@ -248,12 +272,24 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 20, probe_after: 
     within 2–3 rounds, so the first ``probe_after`` rounds run
     probe-free (extra propagation rounds past convergence are
     idempotent; the output is identical either way) and halve the job
-    count for typical graphs."""
+    count for typical graphs.
+
+    Scale-adaptive: after the edge list materializes, if it holds at
+    most ``driver_threshold`` edges the closure is computed by an
+    exact driver-side union-find instead — a near-dup edge list is
+    normally ORDERS smaller than the corpus (it only contains the
+    duplicates), and the iterative path costs 2 shuffles + a
+    checkpoint job PER ROUND, which dwarfs a 200k-row bounded collect.
+    Same result either way; corpora whose duplicate graph is genuinely
+    huge take the distributed loop."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     # materialize the edge list once: without this every iteration's
     # join would re-execute the (possibly expensive) candidate-pair
     # DAG upstream of `pairs`
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    if sym.count() <= int(driver_threshold):  # cheap: counts the materialized checkpoint
+        labels = _union_find_labels([(r["a"], r["b"]) for r in sym.collect()])
+        return sym.sparkSession.createDataFrame(labels, "doc_id long, label long")
     labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
     for it in range(max_iters):
         nbr_min = (

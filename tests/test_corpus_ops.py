@@ -101,6 +101,34 @@ def test_connected_components_chain(spark):
     )
     labels = {r["doc_id"]: r["label"] for r in connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    # distributed propagation path (driver fast-path disabled) agrees
+    dist = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == labels
+
+
+def test_connected_components_paths_agree_on_long_chain(spark):
+    """Driver union-find and distributed min-label propagation produce
+    identical labels on a graph mixing a long chain (worst case for
+    propagation rounds) with cliques and singleton pairs."""
+    import random
+
+    rng = random.Random(3)
+    edges = [(i, i + 1) for i in range(40)]  # one 41-node chain
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]  # clique
+    edges += [(200 + 2 * i, 201 + 2 * i) for i in range(20)]  # pairs
+    rng.shuffle(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {r["doc_id"]: r["label"] for r in connected_components(pairs).collect()}
+    dist = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(pairs, driver_threshold=0, max_iters=50).collect()
+    }
+    assert fast == dist
+    assert all(fast[i] == 0 for i in range(41))
+    assert all(fast[100 + i] == 100 for i in range(6))
 
 
 def test_resolve_duplicate_clusters(spark):

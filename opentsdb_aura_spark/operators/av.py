@@ -129,6 +129,20 @@ def decode_y4m(data: bytes) -> tuple[int, int, list[bytes]]:
 # ------------------------------------------------------ corpus generators
 
 
+def _codepoints(text: str, n: int) -> "np.ndarray":
+    """First ``n`` codepoints of ``text`` cycled — ``ord(text[j % len])``
+    for j in [0, n) — vectorized: for ASCII text (the common case) the
+    UTF-8 bytes ARE the codepoints, so one frombuffer + take replaces a
+    per-character Python loop; non-ASCII falls back to the exact loop."""
+    raw = text.encode("utf-8", "replace")
+    if len(raw) == len(text):  # pure ASCII: byte value == codepoint
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    else:
+        arr = np.array([ord(c) for c in text], dtype=np.int64)
+    reps = -(-n // len(arr))
+    return np.tile(arr, reps)[:n]
+
+
 def attach_audio_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Real-audio corpus generator: one genuine mono PCM16 WAV per doc,
     samples derived deterministically from the doc text — sample j is
@@ -144,9 +158,7 @@ def attach_audio_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str
                 text = text or "x"
                 n = mid % 64 + 16
                 rate = 8000 + (mid % 4) * 4000
-                smp = np.array(
-                    [(ord(text[j % len(text)]) - 80) * 256 for j in range(n)], dtype=np.int16
-                )
+                smp = ((_codepoints(text, n) - 80) * 256).astype(np.int16)
                 payloads.append(encode_wav(rate, smp))
                 rates.append(rate)
                 ns.append(n)
@@ -179,10 +191,8 @@ def attach_video_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str
                 text = text or "x"
                 w, h, nf = mid % 8 + 2, mid % 6 + 2, mid % 10 + 3
                 wh = w * h
-                frames = [
-                    bytes(ord(text[(f * wh + j) % len(text)]) & 0xFF for j in range(wh))
-                    for f in range(nf)
-                ]
+                stream = (_codepoints(text, nf * wh) & 0xFF).astype(np.uint8)
+                frames = [stream[f * wh : (f + 1) * wh].tobytes() for f in range(nf)]
                 payloads.append(encode_y4m(w, h, frames))
                 ws.append(w)
                 hs.append(h)

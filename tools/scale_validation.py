@@ -150,6 +150,41 @@ def main() -> None:
             "q_sessionize_hot_bot_key",
             sessionize(ev, 1800, key_col="user_id", block_seconds=7200),
         )
+
+        # ---- round-4 pipeline stages: global shuffle rank at 2M docs
+        # (distributed prefix-sum — no single-partition window), DSIR
+        # weights at 2M docs (explode + two bounded aggs), and WAV
+        # decode throughput over 100k real payloads inside mapInPandas
+        from opentsdb_aura_spark.operators.av import attach_audio_media, extract_audio_features
+        from opentsdb_aura_spark.operators.corpus import dsir_weights, global_shuffle
+
+        n_docs = max(n // 25, 1000)
+        fake_docs = spark.range(n_docs, numPartitions=128).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("token "),
+                (F.col("id") % 997).cast("string"),
+                F.lit(" filler words for the synthetic corpus body "),
+                (F.col("id") % 31).cast("string"),
+            ).alias("text"),
+            F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
+        )
+        shuffled = global_shuffle(fake_docs)
+        bench("q_global_shuffle_2m_docs", shuffled)
+        # rank sanity at scale: positions are exactly [0, n_docs)
+        stats = shuffled.agg(
+            F.count_distinct("shuffle_pos").alias("d"),
+            F.max("shuffle_pos").alias("m"),
+        ).collect()[0]
+        assert stats["d"] == n_docs and stats["m"] == n_docs - 1, stats
+
+        bench("q_dsir_weights_2m_docs", dsir_weights(fake_docs, "src3"))
+
+        audio_docs = fake_docs.where(F.col("doc_id") < 100_000)
+        bench(
+            "q_audio_decode_100k",
+            extract_audio_features(attach_audio_media(audio_docs)),
+        )
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

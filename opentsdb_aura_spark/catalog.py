@@ -2835,6 +2835,70 @@ def dedup_embedding_cosine(spark, sf_dir):
     return res.select("id_a", "id_b", _r(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
+_PROJ_COMPONENT = (
+    "round(list_sum(list_transform(range(0, 64), d -> CAST(embedding[d + 1] AS DOUBLE)"
+    " * ((CAST(concat('0x', substr(md5(d || ':' || {k} || ':proj'), 1, 8)) AS BIGINT)"
+    " % 2001 - 1000) / 1000.0))), 6) AS p{k}"
+)
+
+
+@register(
+    "emb_random_projection",
+    "SELECT vec_id, "
+    + ", ".join(_PROJ_COMPONENT.format(k=k) for k in range(8))
+    + " FROM embeddings",
+)
+def emb_random_projection(spark, sf_dir):
+    """JL-style 64→8-d random projection with an md5-derived
+    deterministic matrix — the ANN pre-filter that cuts probe shuffle
+    bytes 8×.  Pure zip_with/aggregate folds (whole-stage codegen, no
+    UDF, narrow map); the oracle regenerates the same matrix from the
+    md5 rule."""
+    from opentsdb_aura_spark.operators.similarity import random_projection
+
+    res = random_projection(embs(spark, sf_dir), in_dim=64, out_dim=8)
+    return res.select("vec_id", *[_r(f"p{k}", 6).alias(f"p{k}") for k in range(8)])
+
+
+@register(
+    "emb_int8_quantize",
+    """WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         embedding
+  FROM embeddings),
+z AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5)
+                                            AS INT))
+         END AS qv
+  FROM q)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS INT) AS q_min,
+       CAST(list_max(qv) AS INT) AS q_max
+FROM z""",
+)
+def emb_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (scale = max|v|,
+    floor(x+0.5) rounding — engine-agnostic): 4× smaller vectors for
+    billion-scale ANN storage; the oracle checks the exact quantized
+    stream via sum/min/max."""
+    from opentsdb_aura_spark.operators.similarity import int8_quantize
+
+    res = int8_quantize(embs(spark, sf_dir))
+    return res.select(
+        "vec_id",
+        _r("scale", 6).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
 @register(
     "semdedup_embeddings",
     """WITH dup AS (

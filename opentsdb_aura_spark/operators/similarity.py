@@ -366,3 +366,79 @@ def semantic_dedup(
         "cluster_id",
         "dup_of",
     )
+
+
+def projection_matrix(in_dim: int, out_dim: int, salt: str = "proj") -> list[list[float]]:
+    """Deterministic dense random-projection matrix R[k][d] in
+    [-1, 1]: entry (d, k) is derived from md5(f"{d}:{k}:{salt}") the
+    same way :func:`corpus.det_hash_bucket` derives buckets — so any
+    engine (and the DuckDB oracle) reproduces it exactly, no RNG state
+    to ship."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{d}:{k}:{salt}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def random_projection(
+    embs: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style dimensionality reduction: project
+    each vector onto ``out_dim`` deterministic pseudo-random
+    directions.  The workhorse pre-filter for ANN at scale — distances
+    survive approximately, and an 8-d probe costs 1/8th the shuffle
+    bytes and compute of a 64-d scan.
+
+    Pure Catalyst: the matrix rides along as array literals and each
+    output component is one ``zip_with`` + ``aggregate`` fold —
+    whole-stage-codegen'd JVM arithmetic, no UDF, no shuffle (narrow
+    map)."""
+    R = projection_matrix(in_dim, out_dim, salt)
+    v = F.col(vec_col)
+    cols = [
+        F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in R[k]]), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"p{k}")
+        for k in range(out_dim)
+    ]
+    return embs.select(F.col(id_col), *cols)
+
+
+def int8_quantize(
+    embs: DataFrame, *, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization:
+    ``q[d] = floor(v[d] / scale * 127 + 0.5)`` with
+    ``scale = max(|v|)`` — 4× smaller vectors (and shuffle bytes) at a
+    bounded reconstruction error of ``scale/254`` per component, the
+    standard storage form for billion-vector ANN indexes.
+
+    ``floor(x + 0.5)`` rather than ``round`` because engines disagree
+    on round-half semantics (Spark HALF_UP vs banker's variants) —
+    the explicit floor form is bit-identical everywhere.  All-zero
+    vectors quantize to all-zero (scale 0 guarded).  Narrow map,
+    JVM-side."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x.cast("double") / scale * 127.0 + 0.5).cast("int"))
+    )
+    return embs.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+    )

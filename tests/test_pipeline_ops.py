@@ -755,3 +755,48 @@ def test_audio_video_spark_features(spark):
             assert (row["width"], row["height"], row["n_pixels"]) == (w, h, w * h)
             assert row["checksum"] == sum(px)
             assert abs(row["mean_luma"] - sum(px) / len(px)) < 1e-9
+
+
+def test_random_projection_matches_numpy(spark):
+    """zip_with/aggregate fold == numpy matmul with the same
+    deterministic matrix."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.similarity import projection_matrix, random_projection
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(20, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    R = np.array(projection_matrix(16, 4), dtype=np.float64)  # (4, 16)
+    expect = vecs.astype(np.float64) @ R.T
+    out = {r["vec_id"]: [r[f"p{k}"] for k in range(4)] for r in
+           random_projection(df, in_dim=16, out_dim=4).collect()}
+    for i in range(20):
+        assert np.allclose(out[i], expect[i], atol=1e-9)
+
+
+def test_int8_quantize_bounds(spark):
+    """Reconstruction error per component is <= scale/254 + eps; the
+    all-zero vector quantizes to all zeros with scale 0."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.similarity import int8_quantize
+
+    rng = np.random.default_rng(9)
+    vecs = [[float(x) for x in rng.normal(size=8)] for _ in range(10)] + [[0.0] * 8]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r for r in int8_quantize(df).collect()}
+    zero = out[10]
+    assert zero["scale"] == 0.0 and list(zero["q"]) == [0] * 8
+    for i in range(10):
+        row = out[i]
+        scale = row["scale"]
+        v32 = np.array(vecs[i], dtype=np.float32).astype(np.float64)
+        recon = np.array(row["q"], dtype=np.float64) * scale / 127.0
+        assert np.max(np.abs(recon - v32)) <= scale / 254.0 + 1e-12
+        assert max(abs(q) for q in row["q"]) <= 127

@@ -136,3 +136,34 @@ def streaming_sessionize(stream_events: DataFrame, gap_seconds: int = 1800) -> D
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    stream_points: DataFrame,
+    *,
+    watermark_delay: str = "10 minutes",
+    key_cols: tuple[str, ...] = ("series_id", "ts"),
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Cross-micro-batch exact dedup of a point stream: the first
+    arrival of a (series, timestamp) point wins; re-deliveries (Kafka
+    at-least-once, producer retries) inside the watermark horizon are
+    dropped.
+
+    ``dropDuplicatesWithinWatermark`` is the purpose-built operator:
+    state holds one entry per key, and the watermark bounds BOTH the
+    state size (keys older than the horizon are evicted) and the dedup
+    guarantee (a replay later than ``watermark_delay`` is treated as a
+    new point — the same contract the batch LWW dedupe's
+    ``ingest_seq`` arbitration converts into last-wins once the data
+    is at rest; reference semantics:
+    core/.../RawTimeSeriesEncoder.java:27 — decode "sorts and removes
+    the duplicate data points", i.e. dedupe at read; doing it at the
+    stream edge bounds what the store must absorb).
+
+    Compose with :class:`StreamingIngest`: run this BEFORE
+    ``foreachBatch`` so re-deliveries never reach the store, leaving
+    the store-side dedupe to arbitrate only genuine same-ts rewrites."""
+    return stream_points.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

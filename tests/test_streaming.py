@@ -348,3 +348,48 @@ def test_streaming_sessionize(spark, tmpdirs):
     assert closed["session_start"] == BASE and closed["n_events"] == 1
     reopened = by_state[(1, False)]
     assert reopened["session_start"] == BASE + 600 + 7200 and reopened["n_events"] == 1
+
+
+def test_streaming_dedup_across_batches(spark, tmpdirs):
+    """D1 at the stream edge: re-delivery of the same (series_id, ts)
+    in a later micro-batch is dropped by the watermark-bounded state;
+    genuinely new timestamps pass."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.streaming.state import streaming_dedup
+
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(batch_df.collect())
+
+    def run_once():
+        stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+        pts = normalize_points(stream).withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+        deduped = streaming_dedup(pts, watermark_delay="1 hour")
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tmpdirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows0 = [
+        ("m", {"h": "a"}, BASE + 100, 1.0, 1),
+        ("m", {"h": "a"}, BASE + 100, 1.0, 2),  # in-batch duplicate
+        ("m", {"h": "a"}, BASE + 200, 2.0, 3),
+    ]
+    _write_input(spark, tmpdirs["in"], rows0, "b0")
+    run_once()
+    assert len(seen) == 2  # in-batch duplicate collapsed
+
+    rows1 = [
+        ("m", {"h": "a"}, BASE + 100, 1.0, 4),  # cross-batch re-delivery → dropped
+        ("m", {"h": "a"}, BASE + 300, 3.0, 5),  # new → passes
+    ]
+    _write_input(spark, tmpdirs["in"], rows1, "b1")
+    run_once()
+    ts_seen = sorted(r["ts"] for r in seen)
+    assert ts_seen == [BASE + 100, BASE + 200, BASE + 300]

@@ -210,3 +210,66 @@ def test_histogram_percentile_property(spark, vals, q):
     svals = sorted(vals)
     exact = svals[max(0, math.ceil(q * len(svals)) - 1)]
     assert abs(approx - exact) <= HIST_EPS * abs(exact) + 1e-12, (q, approx, exact)
+
+
+@given(
+    smp=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=400),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(smp, rate):
+    """WAV encode→decode is bit-exact for any int16 sample stream."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.av import decode_wav, encode_wav
+
+    arr = np.array(smp, dtype=np.int16)
+    r, back = decode_wav(encode_wav(rate, arr))
+    assert r == rate and np.array_equal(back, arr)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    n_frames=st.integers(min_value=0, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_y4m_roundtrip_property(w, h, n_frames, seed):
+    """Y4M encode→decode returns the exact frame list for any geometry."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.av import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes() for _ in range(n_frames)]
+    ww, hh, back = decode_y4m(encode_y4m(w, h, frames))
+    assert (ww, hh) == (w, h) and back == frames
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_union_find_matches_networkless_closure(edges):
+    """Driver union-find labels == brute-force transitive closure on
+    arbitrary small graphs (self-loops and duplicates included)."""
+    from opentsdb_aura_spark.operators.corpus import _union_find_labels
+
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    got = dict(_union_find_labels(sym))
+    # brute force: iterate min-label propagation to fixpoint
+    nodes = {x for e in sym for x in e}
+    lbl = {x: x for x in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in sym:
+            if lbl[b] < lbl[a]:
+                lbl[a] = lbl[b]
+                changed = True
+    assert got == lbl

@@ -1563,6 +1563,28 @@ def ann_ivf_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
 
 
+@register("ann_ivf_index_topk", _ANN_ORACLE)
+def ann_ivf_index_topk(spark, sf_dir):
+    """IVF with the index AT REST: centroids + list-partitioned
+    vectors persisted once (`build_ivf_index`), then searched via
+    `ivf_search_index` — the probed list ids (≤ n_centroids values)
+    push down as an isin partition filter, so a production probe scans
+    only nprobe/n_centroids of the corpus directories.  Full probe
+    here → exhaustive → the exact-ANN oracle applies."""
+    import os
+
+    from opentsdb_aura_spark.operators.similarity import build_ivf_index, ivf_search_index
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(STORE_ROOT, base, "ivf_index")
+    if not os.path.exists(os.path.join(path, "vectors", "_SUCCESS")):
+        build_ivf_index(embs(spark, sf_dir), path, n_centroids=8)
+    q = embs(spark, sf_dir).where(F.col("vec_id") < 20)
+    res = ivf_search_index(spark, path, q, k=5, nprobe=8)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+
 # ============================================================ text analysis
 
 

@@ -442,3 +442,123 @@ def int8_quantize(
         scale.alias("scale"),
         q.alias("q"),
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: the 'assign once at ingest' half of
+    :func:`ivf_topk` made real.  Writes
+
+    - ``{path}/centroids`` — the k unit-norm centroids (tiny table),
+    - ``{path}/vectors``  — every corpus vector with its nearest-list
+      id, ``partitionBy("list_id")`` — so a probe that touches
+      ``nprobe`` of ``n_centroids`` lists SCANS only that fraction of
+      the corpus via static partition pruning, not filter-after-read.
+
+    Training is the same bounded deterministic sample + driver-side
+    spherical k-means; assignment is one Arrow-batched matmul pass.
+    Rebuild on drift is a full rewrite (like any index); appending a
+    new batch is ``assign_to_index`` + append to the vectors table."""
+    from pyspark.sql.functions import pandas_udf
+
+    smp = [
+        r["v"]
+        for r in corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(int(sample))
+        .collect()
+    ]
+    cent = _spherical_kmeans(smp, n_centroids, iters)
+    cent_rows = [[float(x) for x in row] for row in cent]
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, row) for i, row in enumerate(cent_rows)], "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assign_to_index(corpus, cent_rows, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{path}/vectors")
+
+
+def assign_to_index(
+    batch: DataFrame, cent_rows: list, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment for a (new) vector batch — one
+    Arrow-batched numpy matmul, narrow map.  Used by the index build
+    and by incremental appends."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        c = np.asarray(cent_rows, dtype=np.float64)
+        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        return pd.Series(np.argmax(x @ c.T, axis=1).astype("int32"))
+
+    return batch.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_v"),
+        nearest_list(F.col(vec_col)).alias("list_id"),
+    )
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index.  The probed list ids are at most
+    ``n_centroids`` distinct values (bounded by the index, NOT by the
+    query count), so they collect to the driver and push down as an
+    ``isin`` partition filter — the vectors scan reads ONLY the probed
+    ``list_id=`` directories.  Scoring and exact top-k are identical
+    to :func:`ivf_topk`; with ``nprobe == n_centroids`` the result is
+    exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = [
+        [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    ]
+    nprobe = min(int(nprobe), len(cent_rows))
+
+    @pandas_udf("array<int>")
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        c = np.asarray(cent_rows, dtype=np.float64)
+        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        order = np.argsort(-(x @ c.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q_probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_v"),
+        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+    probed_ids = sorted({r["list_id"] for r in q_probed.select("list_id").distinct().collect()})
+    vecs = spark.read.parquet(f"{path}/vectors").where(F.col("list_id").isin(probed_ids))
+    scored = (
+        vecs.join(F.broadcast(q_probed), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("q_v"), F.col("n_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

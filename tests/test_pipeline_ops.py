@@ -800,3 +800,33 @@ def test_int8_quantize_bounds(spark):
         recon = np.array(row["q"], dtype=np.float64) * scale / 127.0
         assert np.max(np.abs(recon - v32)) <= scale / 254.0 + 1e-12
         assert max(abs(q) for q in row["q"]) <= 127
+
+
+def test_ivf_index_persist_and_probe_pruning(spark, emb_df, tmp_path):
+    """Persisted IVF index: full-probe search equals brute force, and
+    a 1-probe search's vectors scan carries an isin partition filter
+    (only probed list_id directories are read)."""
+    import pyspark.sql.functions as F
+
+    from opentsdb_aura_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb_df, path, n_centroids=2, sample=16)
+    q = emb_df.where(F.col("vec_id") == 0)
+
+    exact = [(r["neighbor_id"], round(r["cos_sim"], 9)) for r in brute_force_topk(emb_df, q, k=2).collect()]
+    full = [
+        (r["neighbor_id"], round(r["cos_sim"], 9))
+        for r in ivf_search_index(spark, path, q, k=2, nprobe=2).collect()
+    ]
+    assert full == exact
+
+    probe1 = ivf_search_index(spark, path, q, k=2, nprobe=1)
+    plan = probe1._sc._jvm.PythonSQLUtils.explainString(probe1._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+    # identical vector (id 4) shares id 0's list, so 1-probe still finds it
+    assert any(r["neighbor_id"] == 4 for r in probe1.collect())

@@ -1577,7 +1577,10 @@ def ann_ivf_index_topk(spark, sf_dir):
     from opentsdb_aura_spark.sources.batch import STORE_ROOT
 
     base = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(STORE_ROOT, base, "ivf_index")
+    # params in the dir name: changed build parameters land in a fresh
+    # dir instead of silently reading a stale index; the whole root is
+    # version-rmtree'd with the event store on layout changes
+    path = os.path.join(STORE_ROOT, base, "ivf_index_c8_v1")
     if not os.path.exists(os.path.join(path, "vectors", "_SUCCESS")):
         build_ivf_index(embs(spark, sf_dir), path, n_centroids=8)
     q = embs(spark, sf_dir).where(F.col("vec_id") < 20)
@@ -2240,6 +2243,57 @@ def multimodal_real_decode(spark, sf_dir):
 
     media = attach_image_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
     res = extract_features(media, fake=False)
+    return res.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        _r(F.col("feat")[2], 6).alias("mean_r"),
+        _r(F.col("feat")[3], 6).alias("mean_g"),
+        _r(F.col("feat")[4], 6).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_resize_decode",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+  FROM documents WHERE doc_id < 100),
+m AS (
+  SELECT doc_id,
+         list_transform(range(0, 20),
+                        ji -> (((ji // 5) * h // 4) * w + ((ji % 5) * w // 5)) * 3) AS src,
+         text, L
+  FROM d),
+px AS (
+  SELECT doc_id,
+         list_transform(src, s -> ascii(substr(text, (s % L) + 1, 1))) AS pr,
+         list_transform(src, s -> ascii(substr(text, ((s + 1) % L) + 1, 1))) AS pg,
+         list_transform(src, s -> ascii(substr(text, ((s + 2) % L) + 1, 1))) AS pb
+  FROM m)
+SELECT doc_id AS media_id,
+       CAST(60 AS BIGINT) AS n_bytes,
+       CAST(list_sum(pr) + list_sum(pg) + list_sum(pb) AS BIGINT) AS checksum,
+       round(list_avg(pr), 6) AS mean_r,
+       round(list_avg(pg), 6) AS mean_g,
+       round(list_avg(pb), 6) AS mean_b
+FROM px""",
+)
+def multimodal_resize_decode(spark, sf_dir):
+    """REAL resize end-to-end: decode each mixed-format image,
+    nearest-neighbor sample to 5×4 (vectorized numpy index map),
+    re-encode BMP, decode THAT and feature-extract — the oracle
+    recomputes the sampled pixel means from the generation rule and
+    the floor-index map, so both codec directions and the index
+    arithmetic must round-trip exactly."""
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media, resize_images
+
+    media = attach_image_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    resized = resize_images(media, 5, 4, fake=False).select(
+        "media_id", "kind", F.col("resized").alias("payload"),
+        "width", "height", "sample_rate", "n_frames",
+    )
+    res = extract_features(resized, fake=False)
     return res.select(
         "media_id",
         "n_bytes",

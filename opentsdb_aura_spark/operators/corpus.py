@@ -682,12 +682,21 @@ def dsir_weights(
         F.col(source_col).alias("_src"),
         F.explode(bigrams).alias("gram"),
     ).withColumn("bucket", det_hash_bucket(F.col("gram"), "dsir", int(n_buckets)))
+    # Tokenize/hash the corpus ONCE: everything downstream reads the
+    # per-(doc, bucket) count frame, whose aggregation Exchange both
+    # the distribution branch and the scoring branch reuse
+    # (ReusedExchange) — without it the explode + md5 over every gram
+    # runs once per consumer, and the gram hashing IS the dominant
+    # cost at corpus scale.
     is_tgt = (F.col("_src") == target_source).cast("long")
-    per_bucket = g.groupBy("bucket").agg(
-        F.count("*").alias("rn"), F.sum(is_tgt).alias("tn")
+    db = g.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("c"), F.max(is_tgt).alias("_t")
     )
-    totals = g.agg(
-        F.count("*").alias("_rt"), F.sum(is_tgt).alias("_tt")
+    per_bucket = db.groupBy("bucket").agg(
+        F.sum("c").alias("rn"), F.sum(F.col("c") * F.col("_t")).alias("tn")
+    )
+    totals = per_bucket.agg(
+        F.sum("rn").alias("_rt"), F.sum("tn").alias("_tt")
     )  # 1-row factor, broadcast into the bucket table (≤ n_buckets rows)
     lr = per_bucket.crossJoin(F.broadcast(totals)).select(
         "bucket",
@@ -697,7 +706,10 @@ def dsir_weights(
         ).alias("logr"),
     )
     return (
-        g.join(lr, "bucket")
+        db.join(lr, "bucket")
         .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_grams"), F.sum("logr").alias("weight"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("logr")).alias("weight"),
+        )
     )

@@ -3391,6 +3391,38 @@ def pipeline_token_budget(spark, sf_dir):
 
 
 @register(
+    "pipeline_curate_corpus",
+    """WITH u AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents),
+kept AS (SELECT doc_id, source, n_chars FROM u WHERE rn = 1 AND n_chars >= 100),
+r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+  FROM kept)
+SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
+)
+def pipeline_curate_corpus(spark, sf_dir):
+    """End-to-end curation COMPOSITION: exact dedup (keep lowest id
+    per content hash) → quality bar (n_chars ≥ 100) → per-domain
+    diversity cap (best 5) — three pipeline operators chained the way
+    a real corpus build chains them; one query plan, no
+    materialization between stages."""
+    from opentsdb_aura_spark.operators.corpus import cap_per_domain
+    from pyspark.sql.window import Window
+
+    d = docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("n_chars") >= 100))
+        .select("doc_id", "source", "n_chars")
+    )
+    return cap_per_domain(survivors, 5)
+
+
+@register(
     "pipeline_global_shuffle",
     """SELECT doc_id,
        md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,

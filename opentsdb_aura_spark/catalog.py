@@ -2801,6 +2801,25 @@ def rollup_hist_p90_daily(spark, sf_dir):
     return res.select("metric", "bucket_ts", _r("value", 4).alias("p90_hist"))
 
 
+@register("meta_daily_active_hll")  # HLL sketch estimates: rows-only
+def meta_daily_active_hll(spark, sf_dir):
+    """T6/M5 scale path — daily active-series counts per metric served
+    ENTIRELY from the hourly HLL presence rollup (DataSketches HLL
+    written at ingest, operators/meta.build_presence_hll): sketches
+    merge with hll_union_agg, so any range/bucket re-aggregates the
+    rollup table without touching raw points — plain distinct counts
+    cannot do this (COUNT DISTINCT is not mergeable across windows).
+    ~1.6% relative error at lg_k=12; bound-tested against the exact
+    count in tests/test_rows_only_bounds.py."""
+    from opentsdb_aura_spark.operators.meta import cardinality_from_presence_hll
+    from opentsdb_aura_spark.sources.batch import ensure_event_store, presence_hll_path
+
+    ensure_event_store(spark, sf_dir)
+    hll = spark.read.parquet(presence_hll_path(sf_dir, 3600))
+    res = cardinality_from_presence_hll(hll, START, START + 7 * DAY, bucket_width=DAY, group_cols=("metric",))
+    return res.select("metric", "bucket_ts", "active_series")
+
+
 @register("ds_p90_approx_daily")  # sketch-based: rows-only
 def ds_p90_approx_daily(spark, sf_dir):
     """A6 scale path — approx_percentile; at 100 TB the exact

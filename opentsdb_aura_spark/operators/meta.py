@@ -141,3 +141,69 @@ def build_series_dim(points: DataFrame) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.max_by("value", F.struct(F.col("ts"), F.col("ingest_seq"))).alias("last_value"),
     )
+
+
+def build_presence_hll(
+    points: DataFrame,
+    epoch_width: int = 3600,
+    *,
+    group_cols: tuple[str, ...] = ("metric",),
+    id_col: str = "series_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """T6/M5 scale path — per-(group, epoch) HyperLogLog sketch of
+    distinct ``id_col`` values, written at flush time like the other
+    rollups.  The exact presence table (build_epoch_presence) answers
+    "how many series were active" with a COUNT(DISTINCT) whose state is
+    O(active series); the HLL table answers it from pre-aggregates in
+    O(2^lg_k) per group-epoch, and — unlike plain distinct counts —
+    the sketches MERGE: daily/weekly/arbitrary-range cardinality is a
+    groupBy hll_union_agg over hourly sketch rows, no raw rescan, no
+    re-distinct.  This is the cardinality analogue of the reference's
+    epoch bitmaps (MetaTimeSeriesQueryResult.java:89-94) at a fixed
+    ~(1.04/sqrt(2^lg_k)) relative error (~1.6% at lg_k=12).
+
+    Sketches are Spark's built-in Apache DataSketches HLL (JVM-side,
+    map-side combinable); stored as binary, unioned with
+    allowDifferentLgConfigK so tables written at different lg_k still
+    merge.
+    """
+    epoch = (F.col("ts") - F.col("ts") % F.lit(int(epoch_width))).cast("long")
+    return points.groupBy(*group_cols, epoch.alias("epoch")).agg(
+        F.hll_sketch_agg(F.col(id_col), F.lit(int(lg_k))).alias("hll"),
+        F.count("*").alias("n_points"),
+    )
+
+
+def cardinality_from_presence_hll(
+    hll: DataFrame,
+    start: int,
+    end: int,
+    *,
+    bucket_width: int | None = None,
+    group_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Distinct-id estimate over [start, end) served entirely from the
+    HLL presence table: filter epochs, union sketches per group (and
+    per time bucket when ``bucket_width`` is given), estimate.  Epoch
+    granularity matches active_series(): align start/end to the table's
+    epoch width for exact range semantics.
+
+    Output: (group…, [bucket_ts,] active_series).  The whole plan is
+    one hash aggregate over sketch rows — at 100 TB the input is the
+    rollup table (|groups| × epochs rows), never the fact table.
+    """
+    in_range = (F.col("epoch") >= F.lit(int(start))) & (F.col("epoch") < F.lit(int(end)))
+    df = hll.where(in_range)
+    keys = [F.col(c) for c in group_cols]
+    if bucket_width is not None:
+        bucket = (
+            F.lit(int(start))
+            + F.floor((F.col("epoch") - F.lit(int(start))) / F.lit(int(bucket_width)))
+            * F.lit(int(bucket_width))
+        ).cast("long")
+        df = df.withColumn("bucket_ts", bucket)
+        keys.append(F.col("bucket_ts"))
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("hll"), F.lit(True))).alias("active_series")
+    )

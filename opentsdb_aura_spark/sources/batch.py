@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 6
+STORE_LAYOUT_VERSION = 7
 
 
 def _store_version_tag(sf_dir: str) -> str:
@@ -212,6 +212,19 @@ def _build_event_store(spark: SparkSession, sf_dir: str, root: str) -> tuple[str
 
     _atomic_build(build_hist_tbl, hist_path)
 
+    # hourly HLL presence rollup: mergeable distinct-series sketches
+    # (operators/meta.build_presence_hll) — cardinality over arbitrary
+    # ranges from pre-aggregates; plain distinct counts don't merge
+    hll_path = os.path.join(root, "presence_hll_3600")
+
+    def build_hll_tbl(tmp: str) -> None:
+        from opentsdb_aura_spark.operators.meta import build_presence_hll
+
+        pts = spark.read.parquet(metrics_path)
+        build_presence_hll(pts, 3600, group_cols=("metric",)).write.mode("overwrite").parquet(tmp)
+
+    _atomic_build(build_hll_tbl, hll_path)
+
     # E3 — events table partitioned by day (the reference's daily
     # Lucene indices named yyyy-MM-dd); date-ranged event queries
     # prune partitions
@@ -290,6 +303,12 @@ def rollup_path(sf_dir: str, interval: int = 3600) -> str:
 def rollup_hist_path(sf_dir: str, interval: int = 3600) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(STORE_ROOT, base, f"rollup_hist_{interval}")
+
+
+def presence_hll_path(sf_dir: str, epoch_width: int = 3600) -> str:
+    """Store location of the hourly HLL presence sketch table."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(STORE_ROOT, base, f"presence_hll_{epoch_width}")
 
 
 def compact_store(spark: SparkSession, path: str, files_per_partition: int = 1) -> int:

@@ -282,3 +282,63 @@ def test_presence_pruning_preserves_results(make_points):
     pruned = {r["bucket_ts"]: r["value"] for r in
               run_metric_query(pts, q, presence=pres, presence_epoch_width=7200).collect()}
     assert plain == pruned
+
+
+def test_presence_hll_merges_across_epochs(make_points):
+    """The HLL presence rollup is MERGEABLE: unioning hourly sketches
+    over a range gives (estimate-wise) the same cardinality as the
+    exact distinct count — the property plain COUNT(DISTINCT)
+    pre-aggregates lack, and the reason the table can serve arbitrary
+    query ranges at 100 TB without raw rescans."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.meta import (
+        build_presence_hll,
+        cardinality_from_presence_hll,
+    )
+
+    # 6 series x 5 hours, plus 2 series present only in hour 0
+    rows = []
+    for s in range(6):
+        for h in range(5):
+            rows.append(("cpu", {"host": f"h{s}"}, BASE + 3600 * h + 60 * s, 1.0))
+    for s in range(6, 8):
+        rows.append(("cpu", {"host": f"h{s}"}, BASE + 60 * s, 1.0))
+    pts = make_points(rows)
+    hll = build_presence_hll(pts, 3600, group_cols=("metric",))
+    assert hll.columns == ["metric", "epoch", "hll", "n_points"]
+    # 5 hourly sketch rows for cpu
+    assert hll.count() == 5
+
+    # full range: all 8 series
+    full = cardinality_from_presence_hll(
+        hll, BASE, BASE + 5 * 3600, group_cols=("metric",)
+    ).collect()
+    assert len(full) == 1 and full[0]["active_series"] == 8
+    # hours 1-4 only: the two hour-0-only series drop out
+    tail = cardinality_from_presence_hll(
+        hll, BASE + 3600, BASE + 5 * 3600, group_cols=("metric",)
+    ).collect()
+    assert tail[0]["active_series"] == 6
+
+
+def test_presence_hll_bucketed_estimates(make_points):
+    """bucket_width splits the range into query-grid buckets, each
+    estimated from its own union of finer sketch epochs."""
+    from opentsdb_aura_spark.operators.meta import (
+        build_presence_hll,
+        cardinality_from_presence_hll,
+    )
+
+    rows = []
+    for s in range(4):
+        for h in range(4):
+            rows.append(("cpu", {"host": f"h{s}"}, BASE + 3600 * h, 1.0))
+    pts = make_points(rows)
+    hll = build_presence_hll(pts, 3600, group_cols=("metric",))
+    out = cardinality_from_presence_hll(
+        hll, BASE, BASE + 4 * 3600, bucket_width=7200, group_cols=("metric",)
+    )
+    assert out.columns == ["metric", "bucket_ts", "active_series"]
+    got = {r["bucket_ts"]: r["active_series"] for r in out.collect()}
+    assert got == {BASE: 4, BASE + 7200: 4}

@@ -208,3 +208,29 @@ def test_ivf_partial_probe_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_meta_daily_active_hll_within_5pct(spark):
+    """meta_daily_active_hll bound: every per-(metric, day) HLL
+    estimate served from the hourly sketch rollup is within ±5% of the
+    exact daily distinct-series count (HLL lg_k=12 gives ~1.6% standard
+    error; 5% is >3 sigma)."""
+    approx = {
+        (r["metric"], r["bucket_ts"]): r["active_series"]
+        for r in C.SPARK_QUERIES["meta_daily_active_hll"](spark, SF01).collect()
+    }
+    pts = C.points(spark, SF01).where(
+        (F.col("ts") >= C.START) & (F.col("ts") < C.START + 7 * C.DAY)
+    )
+    bucket = (
+        F.lit(C.START) + F.floor((F.col("ts") - F.lit(C.START)) / F.lit(C.DAY)) * F.lit(C.DAY)
+    ).cast("long")
+    exact = {
+        (r["metric"], r["bucket_ts"]): r["n"]
+        for r in pts.groupBy("metric", bucket.alias("bucket_ts"))
+        .agg(F.count_distinct("series_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for key, est in approx.items():
+        assert abs(est - exact[key]) <= max(2, 0.05 * exact[key]), (key, est, exact[key])

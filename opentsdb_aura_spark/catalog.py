@@ -2801,6 +2801,32 @@ def rollup_hist_p90_daily(spark, sf_dir):
     return res.select("metric", "bucket_ts", _r("value", 4).alias("p90_hist"))
 
 
+@register(
+    "corpus_heavy_tokens_mg",
+    """WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS item
+                   FROM documents),
+cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS est_count FROM toks GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY est_count DESC, item) AS rn FROM cnt)
+SELECT item, est_count FROM r WHERE rn <= 15""",
+)
+def corpus_heavy_tokens_mg(spark, sf_dir):
+    """Heavy-hitter tokens via a mergeable Misra–Gries sketch
+    (operators/sketch.py): per-partition bounded summaries merge in one
+    hash aggregate — O(partitions × capacity) shuffle rows regardless
+    of vocabulary size, vs O(distinct tokens) for the exact groupBy
+    top-k.  At this corpus's vocabulary the capacity exceeds the
+    distinct count, no trim fires, and the counts are provably exact —
+    hence the exact-SQL oracle; the undercount guarantee when trims DO
+    fire is bound-tested with a planted long-tail corpus in
+    tests/test_sketch.py."""
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.sketch import mg_heavy_hitters
+
+    toks = docs(spark, sf_dir).select(F.explode(tokens(F.col("text"))).alias("item"))
+    out = mg_heavy_hitters(toks, "item", 15, capacity=4096)
+    return out.select("item", "est_count")
+
+
 @register("meta_daily_active_hll")  # HLL sketch estimates: rows-only
 def meta_daily_active_hll(spark, sf_dir):
     """T6/M5 scale path — daily active-series counts per metric served

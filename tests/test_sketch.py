@@ -1,0 +1,97 @@
+"""Misra–Gries heavy-hitter sketch: exactness, the n/(C+1) undercount
+guarantee under forced trims, merge across partitions, and groups."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.operators.sketch import mg_heavy_hitters, mg_partials
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """Long-tail stream: 3 planted heavy items + 2000 singleton noise
+    items, shuffled — any capacity < 2003 forces trims."""
+    rng = random.Random(7)
+    items = ["hot_a"] * 5000 + ["hot_b"] * 3000 + ["hot_c"] * 1500
+    items += [f"noise_{i}" for i in range(2000)]
+    rng.shuffle(items)
+    return spark.createDataFrame([(x,) for x in items], "item string").repartition(8)
+
+
+def test_mg_exact_when_capacity_covers_distinct(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [(None,)], "item string"
+    ).repartition(4)
+    got = {
+        r["item"]: (r["est_count"], r["err_bound"], r["n_total"])
+        for r in mg_heavy_hitters(df, "item", 3, capacity=16).collect()
+    }
+    assert got == {"a": (5, 0, 10), "b": (3, 0, 10), "c": (2, 0, 10)}
+
+
+def test_mg_undercount_bound_under_trims(spark, skewed):
+    """capacity=50 over 11 500 rows with 2003 distinct items: every
+    estimate is a lower bound, undercounting by at most n/(C+1), and
+    all three planted heavy items (freq >> n/(C+1)) survive."""
+    true = {"hot_a": 5000, "hot_b": 3000, "hot_c": 1500}
+    n = 11500
+    cap = 50
+    rows = mg_heavy_hitters(skewed, "item", 5, capacity=cap).collect()
+    got = {r["item"]: r for r in rows}
+    assert set(true) <= set(got)
+    for item, t in true.items():
+        r = got[item]
+        assert r["n_total"] == n
+        assert r["err_bound"] == n // (cap + 1)
+        assert r["est_count"] <= t
+        assert t - r["est_count"] <= r["err_bound"], (item, r)
+    # ranking of the three heavies is preserved (gaps exceed the bound)
+    ranked = [r["item"] for r in sorted(rows, key=lambda r: -r["est_count"])[:3]]
+    assert ranked == ["hot_a", "hot_b", "hot_c"]
+
+
+def test_mg_partials_bounded_size(spark, skewed):
+    """Each (partition, group) summary is at most capacity rows — the
+    state bound that makes the shuffle O(partitions x C)."""
+    cap = 50
+    per_part = (
+        mg_partials(skewed, "item", cap)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert per_part and all(r["count"] <= cap for r in per_part)
+
+
+def test_mg_partition_invariant_bound(spark, skewed):
+    """Estimates depend on the partition layout (MG is deterministic
+    per layout, not across layouts) but the guarantee holds for ANY
+    layout: compare 1-partition (no merge) vs 8-partition (merged)."""
+    one = {
+        r["item"]: r["est_count"]
+        for r in mg_heavy_hitters(skewed.coalesce(1), "item", 3, capacity=50).collect()
+    }
+    eight = {
+        r["item"]: r["est_count"]
+        for r in mg_heavy_hitters(skewed, "item", 3, capacity=50).collect()
+    }
+    true = {"hot_a": 5000, "hot_b": 3000, "hot_c": 1500}
+    bound = 11500 // 51
+    for got in (one, eight):
+        assert set(got) == set(true)
+        for item, t in true.items():
+            assert 0 < got[item] <= t and t - got[item] <= bound
+
+
+def test_mg_grouped(spark):
+    """group_cols: independent summaries and totals per group."""
+    rows = [("g1", "x")] * 6 + [("g1", "y")] * 2 + [("g2", "y")] * 4 + [("g2", "z")] * 1
+    df = spark.createDataFrame(rows, "g string, item string").repartition(3)
+    out = mg_heavy_hitters(df, "item", 1, capacity=8, group_cols=["g"]).collect()
+    got = {r["g"]: (r["item"], r["est_count"], r["n_total"]) for r in out}
+    assert got == {"g1": ("x", 6, 8), "g2": ("y", 4, 5)}

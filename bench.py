@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "anomaly_seasonal_hourly",
     "multimodal_audio_decode",
     "multimodal_video_frames",
+    "meta_daily_active_hll",
+    "corpus_heavy_tokens_mg",
 ]
 
 

@@ -2937,6 +2937,138 @@ def tpch_anti_join_customers(spark, sf_dir):
 
 
 @register(
+    "tpch_promo_revenue",
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                    / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'""",
+)
+def tpch_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: selective fact filter, join to the part dim,
+    conditional-aggregate ratio in one pass.  The month filter pushes
+    to the lineitem scan; part is O(SF) so no forced broadcast — AQE
+    size-picks (broadcast at bench SF)."""
+    ensure_session_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        _r(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "tpch_large_orders",
+    """SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total_price,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY 1 HAVING sum(l_quantity) > 300)
+GROUP BY 1, 2, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20""",
+)
+def tpch_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate subquery (orders whose line quantities
+    sum past a threshold) feeding a semi-join, then re-aggregate and
+    top-20.  The HAVING pre-aggregate shrinks the fact table to a few
+    keys before any dimension is touched; the final ordering is a
+    TakeOrderedAndProject, not a global sort."""
+    ensure_session_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("_q")).where(F.col("_q") > 300)
+    return (
+        li.join(big.select("l_orderkey"), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(_r(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select("c_name", "o_orderkey", _r("o_totalprice", 2).alias("total_price"), "total_qty")
+    )
+
+
+@register(
+    "tpch_returned_items",
+    """SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS acctbal
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY 1, 2, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+)
+def tpch_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most last quarter — two fact
+    filters (return flag on lineitem, quarter on orders) both push to
+    their scans before the joins; top-20 via TakeOrderedAndProject."""
+    ensure_session_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_returnflag") == "R")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", _r("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "tpch_late_orders_priority",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1""",
+)
+def tpch_late_orders_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted: the driver's lineitem has no
+    commit/receipt dates, so "late" = shipped >60 days after the order
+    date): correlated EXISTS with a cross-table predicate → left_semi
+    join carrying the inequality in the join condition; counts per
+    priority after."""
+    ensure_session_confs(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     """WITH s AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

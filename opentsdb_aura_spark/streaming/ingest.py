@@ -220,6 +220,43 @@ def streaming_rollup(
     )
 
 
+def streaming_presence_hll(
+    stream_points: DataFrame,
+    epoch_width: int = 3600,
+    watermark: str = "1 hour",
+    *,
+    group_col: str = "metric",
+    id_col: str = "series_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """T4/T6 — window-close HLL presence flush: the streaming twin of
+    the batch ``meta.build_presence_hll`` rollup.  Tumbling event-time
+    windows emit one DataSketches HLL sketch of distinct ``id_col``
+    per (group, window) once the watermark passes; appended to the
+    ``presence_hll_*`` table they keep range-cardinality queries
+    (``meta.cardinality_from_presence_hll``) current without any
+    batch re-distinct — the sketches from ingest merge with the ones
+    already at rest via ``hll_union_agg``."""
+    with_event_time = stream_points.withColumn("event_time", F.col("ts").cast("timestamp"))
+    return (
+        with_event_time.withWatermark("event_time", watermark)
+        .groupBy(
+            F.col(group_col),
+            F.window("event_time", f"{int(epoch_width)} seconds").alias("w"),
+        )
+        .agg(
+            F.hll_sketch_agg(F.col(id_col), F.lit(int(lg_k))).alias("hll"),
+            F.count("*").alias("n_points"),
+        )
+        .select(
+            group_col,
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("epoch"),
+            "hll",
+            "n_points",
+        )
+    )
+
+
 POINT_JSON_SCHEMA = (
     "namespace string, metric string, tags map<string,string>, "
     "ts long, value double"

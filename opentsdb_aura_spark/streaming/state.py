@@ -167,3 +167,66 @@ def streaming_dedup(
     return stream_points.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def _update_heavy_hitters(k: int, capacity: int, group_cols: tuple):
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            items, counts, n_total = state.get
+            summary = dict(zip(list(items), [int(c) for c in counts]))
+            n_total = int(n_total)
+        else:
+            summary, n_total = {}, 0
+
+        for pdf in pdfs:
+            vals = pdf["item"].dropna()
+            n_total += len(vals)
+            for item, c in vals.value_counts(sort=False).items():
+                summary[item] = summary.get(item, 0) + int(c)
+            if len(summary) > capacity:
+                # mergeable Misra-Gries trim (operators/sketch.py):
+                # subtract the (capacity+1)-th largest counter,
+                # drop non-positives — undercount stays <= n/(cap+1)
+                m = sorted(summary.values(), reverse=True)[capacity]
+                summary = {i: c - m for i, c in summary.items() if c > m}
+
+        state.update((list(summary.keys()), [int(c) for c in summary.values()], n_total))
+        top = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        err = n_total // (capacity + 1)
+        yield pd.DataFrame(
+            [list(key) + [item, cnt, err, n_total] for item, cnt in top],
+            columns=list(group_cols) + ["item", "est_count", "err_bound", "n_total"],
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(
+    stream_df: DataFrame,
+    col: str,
+    k: int,
+    *,
+    capacity: int | None = None,
+    group_cols: tuple = ("metric",),
+) -> DataFrame:
+    """Continuously-maintained Misra–Gries top-``k`` per group: the
+    streaming twin of ``operators.sketch.mg_heavy_hitters``.  Keyed
+    state is one bounded (items, counts, n_total) summary per group —
+    O(capacity) regardless of how many distinct items the stream has
+    seen — refreshed and re-emitted each trigger in update mode.  The
+    same undercount guarantee holds (true − est ≤ n_total/(capacity+1))
+    because batch-fold + trim IS the mergeable-summaries combine step.
+    ``col`` must be a string column (cast upstream)."""
+    capacity = int(capacity) if capacity is not None else 8 * int(k)
+    gcols = list(group_cols)
+    slim = stream_df.select(*gcols, stream_df[col].alias("item"))
+    gtypes = ", ".join(f"{c} {slim.schema[c].dataType.simpleString()}" for c in gcols)
+    out_schema = f"{gtypes}, item string, est_count long, err_bound long, n_total long"
+    state_schema = "items array<string>, counts array<long>, n_total long"
+    return slim.groupBy(*gcols).applyInPandasWithState(
+        _update_heavy_hitters(int(k), capacity, tuple(gcols)),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

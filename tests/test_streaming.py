@@ -393,3 +393,87 @@ def test_streaming_dedup_across_batches(spark, tmpdirs):
     run_once()
     ts_seen = sorted(r["ts"] for r in seen)
     assert ts_seen == [BASE + 100, BASE + 200, BASE + 300]
+
+
+def test_streaming_presence_hll_window_close(spark, tmpdirs):
+    """T4/T6 — window-close HLL flush: closed windows emit one sketch
+    per (metric, epoch) whose estimate equals the exact distinct-series
+    count, and the emitted sketches MERGE with hll_union_agg — the
+    property that lets ingest keep the batch presence_hll table
+    current."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.streaming.ingest import streaming_presence_hll
+
+    # hour 0: series a,b,c; hour 1: series a only; sentinel advances WM
+    rows0 = [("m", {"h": h}, BASE + i * 600, 1.0, i) for i, h in enumerate("abcabc")]
+    rows1 = [("m", {"h": "a"}, BASE + 3600 + i * 600, 1.0, 10 + i) for i in range(3)]
+    _write_input(spark, tmpdirs["in"], rows0, "b0")
+    _write_input(spark, tmpdirs["in"], rows1, "b1")
+    _write_input(spark, tmpdirs["in"], [("m", {"h": "z"}, BASE + 5 * 3600, 0.0, 99)], "b2")
+
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    hll = streaming_presence_hll(normalize_points(stream), 3600, watermark="30 minutes")
+    q = (
+        hll.writeStream.format("parquet")
+        .option("path", tmpdirs["out"])
+        .option("checkpointLocation", tmpdirs["ckpt2"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(tmpdirs["out"])
+    est = {
+        r["epoch"]: r["n"]
+        for r in out.select("epoch", F.hll_sketch_estimate("hll").alias("n"), "n_points").collect()
+    }
+    assert est[BASE] == 3 and est[BASE + 3600] == 1
+    # emitted sketches union across epochs like the at-rest table
+    merged = out.where(F.col("epoch") < BASE + 7200).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll", F.lit(True))).alias("n")
+    ).first()["n"]
+    assert merged == 3
+
+
+def test_streaming_heavy_hitters_state(spark, tmpdirs):
+    """MG summary state survives micro-batches: counts accumulate
+    across triggers and the bounded summary keeps the planted heavy
+    item on top."""
+    from opentsdb_aura_spark.streaming.state import streaming_heavy_hitters
+
+    latest: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[(r["metric"], r["item"])] = r
+
+    def run_once():
+        stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+        pts = normalize_points(stream).withColumn("item", F.col("tags")["h"])
+        hh = streaming_heavy_hitters(pts, "item", 2, capacity=8, group_cols=("metric",))
+        q = (
+            hh.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tmpdirs["ckpt"])
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    rows0 = [("m", {"h": "hot"}, BASE + i, 1.0, i) for i in range(5)]
+    rows0 += [("m", {"h": f"x{i}"}, BASE + 100 + i, 1.0, 50 + i) for i in range(3)]
+    _write_input(spark, tmpdirs["in"], rows0, "b0")
+    run_once()
+    assert latest[("m", "hot")]["est_count"] == 5
+    assert latest[("m", "hot")]["n_total"] == 8
+
+    # second trigger: state carries over, counts accumulate
+    rows1 = [("m", {"h": "hot"}, BASE + 200 + i, 1.0, 100 + i) for i in range(4)]
+    _write_input(spark, tmpdirs["in"], rows1, "b1")
+    run_once()
+    assert latest[("m", "hot")]["est_count"] == 9
+    assert latest[("m", "hot")]["n_total"] == 12
+    assert latest[("m", "hot")]["err_bound"] == 12 // 9

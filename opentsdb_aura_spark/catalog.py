@@ -3756,6 +3756,39 @@ def rollup_auto_substitution(spark, sf_dir):
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
+@register("rollup_hist_p90_planner")  # sketch percentile via planner: rows-only
+def rollup_hist_p90_planner(spark, sf_dir):
+    """A6 scale path, planner edition: the MetricQuery asks for a plain
+    per-series p90 + group max; ``run_metric_query(...,
+    hist_rollups=...)`` routes it to the DDSketch histogram rollup
+    automatically (plans/query._hist_substitution) — per-series
+    percentile from pre-aggregated bins (exact series distribution,
+    eps-coarse values), then the ordinary two-stage group merge.  No
+    raw point is scanned.  Approximate by design (±1%), bound-tested
+    in tests/test_rollup.py::test_hist_substitution_per_series_percentile."""
+    from opentsdb_aura_spark.sources.batch import ensure_event_store, rollup_hist_path
+
+    ensure_event_store(spark, sf_dir)
+    hist = spark.read.parquet(rollup_hist_path(sf_dir, 3600))
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="p90",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="max",
+        fill="none",
+    )
+    res = run_metric_query(
+        points(spark, sf_dir),
+        q,
+        hist_rollups={3600: hist},
+        series_dim=series_dim(spark, sf_dir),
+    )
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("p90_max"))
+
+
 @register(
     "rollup_gb_avg_daily",
     f"""{ORACLE_PTS},

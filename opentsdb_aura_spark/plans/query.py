@@ -18,6 +18,7 @@ runs BEFORE downsample, exactly as the reference kernel does.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -191,6 +192,100 @@ def _rollup_substitution(
     return res
 
 
+_PERCENTILE_RE = re.compile(r"^p(\d{1,2}(?:\.\d+)?)$")
+
+
+def _percentile_fraction(agg: str) -> float | None:
+    if agg == "median":
+        return 0.5
+    m = _PERCENTILE_RE.match(agg)
+    return float(m.group(1)) / 100.0 if m else None
+
+
+def _hist_substitution(
+    points: DataFrame,
+    q: MetricQuery,
+    hist_rollups: dict[int, DataFrame],
+    series_dim: DataFrame | None,
+    spine_from_dim: bool = False,
+) -> DataFrame | None:
+    """A6 scale path, planner edition: serve percentile/median
+    downsamples from the DDSketch histogram rollup
+    (``build_rollup_histogram``) instead of scanning raw points —
+    within HIST_EPS relative error.  Passing ``hist_rollups`` to
+    ``run_metric_query`` is the opt-in to that approximation (the
+    reference's planner likewise only reads stored aggregates where
+    configuration enables them, AuraMetricsClusterConfig routing).
+
+    Semantics are preserved exactly where they can be: the sketch
+    serves the PER-SERIES percentile (bins are per series, so each
+    series' distribution is intact, only value resolution is eps-
+    coarse); grouped queries then run the normal group merge over the
+    per-series values — the same two-stage shape as the non-fusable
+    rollup path.  Rate / infectious-NaN / reporting-average /
+    run-all / off-grid windows fall back to raw (None)."""
+    from opentsdb_aura_spark.operators.downsample import fill_spine, normalize_agg
+    from opentsdb_aura_spark.operators.groupby import GROUP_AGGS, _ALIASES, group_merge
+    from opentsdb_aura_spark.operators.rollup import percentile_from_rollup_histogram
+
+    if (
+        q.rate_options is not None
+        or q.run_all
+        or q.interval is None
+        or q.infectious_nan
+        or q.reporting_dps is not None
+    ):
+        return None
+    frac = _percentile_fraction(normalize_agg(q.ds_agg))
+    if frac is None:
+        return None
+    if q.group_tag_keys is not None:
+        gb = _ALIASES.get(q.gb_agg.lower(), q.gb_agg.lower())
+        if gb not in GROUP_AGGS:
+            return None
+    shift = int(q.shift_seconds)
+    scan_start, scan_end = q.start - shift, q.end - shift
+    hist_iv = None
+    for riv in sorted(hist_rollups, reverse=True):
+        if q.interval % riv == 0 and scan_start % riv == 0 and (scan_end - scan_start) % riv == 0:
+            hist_iv = riv
+            break
+    if hist_iv is None:
+        return None
+
+    dim = series_dim
+    if dim is None:
+        dim = points.select("series_id", "metric", "tags").dropDuplicates(["series_id"])
+    dim = dim.where(compile_filter(q.filter))
+    group_keys: list[str] = []
+    if q.group_tag_keys:
+        dim = with_group_keys(dim, q.group_tag_keys)
+        group_keys = [f"tag_{k}" for k in q.group_tag_keys]
+    matched = dim.select("series_id", *group_keys)
+
+    hist = hist_rollups[hist_iv].select("series_id", "window_start", "sign", "bin", "cnt").join(
+        matched, on="series_id", how="inner"
+    )
+    per_series = percentile_from_rollup_histogram(
+        hist, frac, scan_start, scan_end, q.interval,
+        group_cols=["series_id", *group_keys],
+    )
+    out_groups = group_keys if q.group_tag_keys is not None else ["series_id"]
+    if q.group_tag_keys is not None:
+        res = group_merge(per_series, q.gb_agg, group_cols=group_keys)
+    else:
+        res = per_series.select("series_id", "bucket_ts", "value")
+    if shift:
+        res = res.withColumn("bucket_ts", (F.col("bucket_ts") + F.lit(shift)).cast("long"))
+    if q.fill != "none":
+        spine_groups = matched.select(*out_groups) if spine_from_dim else None
+        res = fill_spine(
+            res, points, q.start, q.end, q.interval, out_groups,
+            fill=q.fill, spine_groups=spine_groups,
+        )
+    return res
+
+
 def _dim_spine_groups(
     points: DataFrame,
     q: MetricQuery,
@@ -218,6 +313,7 @@ def run_metric_query(
     dedupe: bool = True,
     fuse_group_agg: bool = True,
     rollups: dict[int, DataFrame] | None = None,
+    hist_rollups: dict[int, DataFrame] | None = None,
     series_dim: DataFrame | None = None,
     spine_from_dim: bool = False,
     presence: DataFrame | None = None,
@@ -252,6 +348,12 @@ def run_metric_query(
     """
     if rollups:
         substituted = _rollup_substitution(points, q, rollups, series_dim, spine_from_dim)
+        if substituted is not None:
+            return substituted
+    if hist_rollups:
+        # ``hist_rollups`` is the opt-in to eps-approximate percentile
+        # serving from the DDSketch bins (see _hist_substitution)
+        substituted = _hist_substitution(points, q, hist_rollups, series_dim, spine_from_dim)
         if substituted is not None:
             return substituted
     shift = int(q.shift_seconds)

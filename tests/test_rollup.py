@@ -170,3 +170,79 @@ def test_histogram_rollup_merges_across_windows(spark):
     p_merged = percentile_from_rollup_histogram(hourly, 0.9, 0, 86400, 86400, group_cols=["metric"]).first()["value"]
     p_direct = percentile_from_rollup_histogram(daily_direct, 0.9, 0, 86400, 86400, group_cols=["metric"]).first()["value"]
     assert p_merged == p_direct
+
+
+def test_hist_substitution_per_series_percentile(spark, make_points):
+    """Planner sketch-percentile substitution: run_metric_query with
+    ``hist_rollups`` serves a per-series p90 from the DDSketch bins
+    within HIST_EPS of the raw-scan answer, for both the raw-series
+    (G4) and grouped two-stage shapes."""
+    import random
+
+    from opentsdb_aura_spark.operators.rollup import HIST_EPS, build_rollup_histogram
+    from opentsdb_aura_spark.plans.query import (
+        MetricQuery,
+        _hist_substitution,
+        run_metric_query,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for host in ("a", "b"):
+        for i in range(500):
+            rows.append(("cpu", {"host": host}, BASE + i * 60, rng.uniform(1.0, 100.0)))
+    pts = make_points(rows)
+    hist = {3600: build_rollup_histogram(pts, 3600)}
+
+    # G4 per-series result
+    q = MetricQuery(start=BASE, end=BASE + 10 * 3600, interval=3600 * 5, ds_agg="p90", fill="none")
+    assert _hist_substitution(pts, q, hist, None) is not None
+    exact = {
+        (r["series_id"], r["bucket_ts"]): r["value"]
+        for r in run_metric_query(pts, q).collect()
+    }
+    approx = {
+        (r["series_id"], r["bucket_ts"]): r["value"]
+        for r in run_metric_query(pts, q, hist_rollups=hist).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= HIST_EPS * abs(e) + 1e-12, (k, approx[k], e)
+
+    # grouped: per-series p90 then group max — two-stage merge
+    qg = MetricQuery(
+        start=BASE, end=BASE + 10 * 3600, interval=3600 * 5, ds_agg="p90",
+        group_tag_keys=["host"], gb_agg="max", fill="none",
+    )
+    exact_g = {
+        (r["tag_host"], r["bucket_ts"]): r["value"]
+        for r in run_metric_query(pts, qg).collect()
+    }
+    approx_g = {
+        (r["tag_host"], r["bucket_ts"]): r["value"]
+        for r in run_metric_query(pts, qg, hist_rollups=hist).collect()
+    }
+    assert set(exact_g) == set(approx_g) and exact_g
+    for k, e in exact_g.items():
+        assert abs(approx_g[k] - e) <= HIST_EPS * abs(e) + 1e-12
+
+
+def test_hist_substitution_falls_back(spark, make_points):
+    """Rate stages, non-percentile aggs, and off-grid windows must NOT
+    substitute (None -> raw scan serves)."""
+    from opentsdb_aura_spark.operators.rate import RateOptions
+    from opentsdb_aura_spark.operators.rollup import build_rollup_histogram
+    from opentsdb_aura_spark.plans.query import MetricQuery, _hist_substitution
+
+    pts = make_points([("m", {"h": "a"}, BASE + i * 60, float(i)) for i in range(120)])
+    hist = {3600: build_rollup_histogram(pts, 3600)}
+    ok = MetricQuery(start=BASE, end=BASE + 7200, interval=3600, ds_agg="p90", fill="none")
+    assert _hist_substitution(pts, ok, hist, None) is not None
+    for bad in (
+        MetricQuery(start=BASE, end=BASE + 7200, interval=3600, ds_agg="sum", fill="none"),
+        MetricQuery(start=BASE, end=BASE + 7200, interval=3600, ds_agg="p90",
+                    rate_options=RateOptions(), fill="none"),
+        MetricQuery(start=BASE + 60, end=BASE + 7260, interval=3600, ds_agg="p90", fill="none"),
+        MetricQuery(start=BASE, end=BASE + 7200, interval=1800, ds_agg="p90", fill="none"),
+    ):
+        assert _hist_substitution(pts, bad, hist, None) is None

@@ -234,3 +234,45 @@ def test_meta_daily_active_hll_within_5pct(spark):
     assert set(approx) == set(exact)
     for key, est in approx.items():
         assert abs(est - exact[key]) <= max(2, 0.05 * exact[key]), (key, est, exact[key])
+
+
+def test_rollup_hist_p90_planner_within_eps(spark):
+    """rollup_hist_p90_planner bound: every (tag_user, day) value the
+    planner serves from the DDSketch bins is within HIST_EPS relative
+    error of the exact DISCRETE per-series quantile (value at rank
+    ceil(q*n)) merged with the same group max.  (The raw-scan engine
+    path interpolates between ranks, so with few points per series-day
+    the two EXACT answers differ; the sketch guarantee is rank-based.)
+    """
+    from opentsdb_aura_spark.filters import MetricLiteral, compile_filter
+    from opentsdb_aura_spark.operators.rollup import HIST_EPS
+
+    approx = {
+        (r["tag_user"], r["bucket_ts"]): r["p90_max"]
+        for r in C.SPARK_QUERIES["rollup_hist_p90_planner"](spark, SF01).collect()
+    }
+    pts = C.points(spark, SF01).where(
+        compile_filter(MetricLiteral("purchase"))
+        & (F.col("ts") >= C.START) & (F.col("ts") < C.END)
+    )
+    bucket = (
+        F.lit(C.START) + F.floor((F.col("ts") - F.lit(C.START)) / F.lit(C.DAY)) * F.lit(C.DAY)
+    ).cast("long")
+    per_series = (
+        pts.withColumn("bucket_ts", bucket)
+        .groupBy("series_id", F.col("tags")["user"].alias("tag_user"), "bucket_ts")
+        .agg(F.sort_array(F.collect_list("value")).alias("vs"))
+        .select(
+            "tag_user",
+            "bucket_ts",
+            F.element_at("vs", F.ceil(F.size("vs") * 0.9).cast("int")).alias("p90"),
+        )
+    )
+    exact = {
+        (r["tag_user"], r["bucket_ts"]): r["m"]
+        for r in per_series.groupBy("tag_user", "bucket_ts").agg(F.max("p90").alias("m")).collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for k, e in exact.items():
+        # catalog rounds to 4 decimals on top of the sketch error
+        assert abs(approx[k] - e) <= HIST_EPS * abs(e) + 1e-4, (k, approx[k], e)

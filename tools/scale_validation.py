@@ -127,6 +127,44 @@ def main() -> None:
             ),
         )
 
+        # 5b. mergeable HLL presence rollup: build hourly sketches once
+        # (ingest-time cost), then serve arbitrary-range cardinality
+        # from ~(metrics × 24) sketch rows with no raw re-distinct;
+        # record the estimate error vs one exact count for the report
+        from opentsdb_aura_spark.operators.meta import (
+            build_presence_hll,
+            cardinality_from_presence_hll,
+        )
+
+        t0 = time.perf_counter()
+        phll = build_presence_hll(store, 3600, group_cols=("metric",)).localCheckpoint()
+        timings["presence_hll_rows"] = int(phll.count())
+        timings["presence_hll_build_1h"] = round(time.perf_counter() - t0, 2)
+        bench(
+            "q_range_cardinality_from_hll",
+            cardinality_from_presence_hll(phll, BASE, BASE + 86400, group_cols=("metric",)),
+        )
+        est_total = (
+            cardinality_from_presence_hll(phll, BASE, BASE + 86400, group_cols=())
+            .first()["active_series"]
+        )
+        exact_total = store.select("series_id").distinct().count()
+        timings["hll_est_vs_exact_pct"] = round(100.0 * abs(est_total - exact_total) / exact_total, 2)
+
+        # 5c. Misra-Gries heavy hitters over the host tag (5k distinct,
+        # one hot host owning 10% of rows): the shuffle is
+        # O(partitions × capacity) rows regardless of tag cardinality,
+        # and the planted hot host must surface with its estimate
+        # inside the n/(capacity+1) bound
+        from opentsdb_aura_spark.operators.sketch import mg_heavy_hitters
+
+        hosts = store.select(F.col("tags")["host"].alias("host"))
+        t0 = time.perf_counter()
+        hh = mg_heavy_hitters(hosts, "host", 10, capacity=256).collect()
+        timings["q_heavy_hitter_hosts_mg"] = round(time.perf_counter() - t0, 2)
+        top = {r["item"]: r for r in hh}
+        assert "h0" in top and top["h0"]["est_count"] >= n // 10 - top["h0"]["err_bound"], top.get("h0")
+
         # 6. hot-key-bounded sessionization: a bot key owning 10% of all
         # events must NOT become one giant sort task.  Events: 90%
         # spread over 1M normal users, 10% on user 0, dense (~1.7 s

@@ -91,6 +91,13 @@ def test_sql_surface(spark):
         for r in C.points(spark, SF).groupBy("metric").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()
     }
     assert sql_res == df_res and len(sql_res) == 5
+    # the sketch view answers range cardinality in pure SQL, and the
+    # estimate agrees with the exact distinct count at this SF
+    est = spark.sql(
+        "SELECT hll_sketch_estimate(hll_union_agg(hll, true)) AS n FROM presence_hll_3600"
+    ).first()["n"]
+    exact = spark.sql("SELECT count(DISTINCT series_id) AS n FROM metrics").first()["n"]
+    assert abs(est - exact) <= max(2, 0.05 * exact), (est, exact)
 
 
 def test_rollup_substitution_reads_rollup_table(spark):

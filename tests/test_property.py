@@ -273,3 +273,44 @@ def test_union_find_matches_networkless_closure(edges):
                 lbl[a] = lbl[b]
                 changed = True
     assert got == lbl
+
+
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=600),
+    capacity=st.integers(min_value=1, max_value=40),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_bound_property(data, capacity, n_parts):
+    """Property: for ANY stream, capacity, and partitioning, the MG
+    fold-and-trim used by operators/sketch.py (per-partition summaries,
+    counters summed at merge) undercounts every item by at most
+    n/(capacity+1), and never overcounts."""
+    from collections import Counter
+
+    def partial(items):
+        s: dict = {}
+        # batch-fold in chunks of 10 to exercise mid-stream trims,
+        # mirroring the Arrow-batch loop
+        for i in range(0, len(items), 10):
+            for item, c in Counter(items[i : i + 10]).items():
+                s[item] = s.get(item, 0) + c
+            if len(s) > capacity:
+                m = sorted(s.values(), reverse=True)[capacity]
+                s = {k: v - m for k, v in s.items() if v > m}
+        return s
+
+    chunk = max(1, len(data) // n_parts)
+    parts = [data[i : i + chunk] for i in range(0, len(data), chunk)]
+    merged: dict = {}
+    for p in parts:
+        for item, c in partial(p).items():
+            merged[item] = merged.get(item, 0) + c
+
+    true = Counter(data)
+    n = len(data)
+    bound = n // (capacity + 1)
+    for item, t in true.items():
+        est = merged.get(item, 0)
+        assert est <= t, (item, est, t)
+        assert t - est <= bound, (item, est, t, bound)

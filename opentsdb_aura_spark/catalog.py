@@ -39,7 +39,6 @@ from opentsdb_aura_spark.operators.dedup_text import (
 from opentsdb_aura_spark.operators.downsample import bucket_expr, downsample
 from opentsdb_aura_spark.operators.events import group_count_last, minute_histogram, text_match, top_n
 from opentsdb_aura_spark.operators.meta import (
-    build_series_dim,
     cardinality,
     distinct_metrics,
     distinct_tag_keys,
@@ -1203,10 +1202,14 @@ FROM daily d JOIN last_per_series l USING (tag_user, tag_k)""",
 def join_series_enrich(spark, sf_dir):
     """J2 — per-series result enriched via a join with series_dim
     (tag/last-value resolution); AQE size-picks broadcast at runtime —
-    no forced hint, the dim is O(series)."""
+    no forced hint, the dim is O(series).  The dim side reads the
+    STORED series_dim table (the meta index written at flush, S7) —
+    re-deriving it from points would re-aggregate the whole fact table
+    through a sort aggregate just to recover what the store already
+    has."""
     pts = points(spark, sf_dir).where(F.col("metric") == "purchase")
     daily = downsample(pts, START, END, DAY, "sum", group_cols=["tag_user", "tag_k"], fill="none")
-    sd = build_series_dim(pts).select(
+    sd = series_dim(spark, sf_dir).where(F.col("metric") == "purchase").select(
         F.col("tags")["user"].alias("tag_user"),
         F.col("tags")["k"].alias("tag_k"),
         F.col("last_value"),

@@ -1064,15 +1064,19 @@ GROUP BY metric""",
 )
 def meta_active_series_window(spark, sf_dir):
     """T6 — per-metric active-series count over a day-aligned week,
-    served ENTIRELY from the epoch-presence table (the Spark shape of
-    Myst's per-series epoch bitmaps,
-    MetaTimeSeriesQueryResult.java:89-94): no raw point is read.  The
-    window is day-aligned so epoch granularity equals exact range
-    semantics and the raw-scan oracle hash-matches."""
-    from opentsdb_aura_spark.operators.meta import active_series, build_epoch_presence
+    served ENTIRELY from the STORED epoch-presence table written at
+    flush (the Spark shape of Myst's per-series epoch bitmaps,
+    MetaTimeSeriesQueryResult.java:89-94): no raw point is read — the
+    plan's only scan is the presence parquet.  The window is
+    day-aligned (a multiple of the table's hourly epochs) so epoch
+    granularity equals exact range semantics and the raw-scan oracle
+    hash-matches."""
+    from opentsdb_aura_spark.operators.meta import active_series
+    from opentsdb_aura_spark.sources.batch import ensure_event_store, presence_path
 
-    pres = build_epoch_presence(points(spark, sf_dir), epoch_width=DAY)
-    return active_series(pres, START + 7 * DAY, START + 14 * DAY, epoch_width=DAY)
+    ensure_event_store(spark, sf_dir)
+    pres = spark.read.parquet(presence_path(sf_dir, 3600))
+    return active_series(pres, START + 7 * DAY, START + 14 * DAY, epoch_width=3600)
 
 
 @register(

@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 7
+STORE_LAYOUT_VERSION = 8
 
 
 def _store_version_tag(sf_dir: str) -> str:
@@ -212,6 +212,20 @@ def _build_event_store(spark: SparkSession, sf_dir: str, root: str) -> tuple[str
 
     _atomic_build(build_hist_tbl, hist_path)
 
+    # hourly exact presence table (T6): one row per (series, epoch)
+    # with data — the Spark shape of Myst's per-series epoch bitmaps,
+    # written at flush so presence queries and scan pruning never
+    # touch raw points
+    presence_path = os.path.join(root, "presence_3600")
+
+    def build_presence_tbl(tmp: str) -> None:
+        from opentsdb_aura_spark.operators.meta import build_epoch_presence
+
+        pts = spark.read.parquet(metrics_path)
+        build_epoch_presence(pts, 3600).write.mode("overwrite").parquet(tmp)
+
+    _atomic_build(build_presence_tbl, presence_path)
+
     # hourly HLL presence rollup: mergeable distinct-series sketches
     # (operators/meta.build_presence_hll) — cardinality over arbitrary
     # ranges from pre-aggregates; plain distinct counts don't merge
@@ -309,6 +323,12 @@ def presence_hll_path(sf_dir: str, epoch_width: int = 3600) -> str:
     """Store location of the hourly HLL presence sketch table."""
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(STORE_ROOT, base, f"presence_hll_{epoch_width}")
+
+
+def presence_path(sf_dir: str, epoch_width: int = 3600) -> str:
+    """Store location of the hourly exact presence table."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(STORE_ROOT, base, f"presence_{epoch_width}")
 
 
 def compact_store(spark: SparkSession, path: str, files_per_partition: int = 1) -> int:

@@ -14,13 +14,14 @@ from pyspark.sql import SparkSession
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register metrics / series_dim / rollup_3600 / rollup_hist_3600 /
-    presence_hll_3600 / events (+ the raw documents / embeddings
-    tables) as temp views.  Returns the view names."""
+    presence_hll_3600 / presence_3600 / events (+ the raw documents /
+    embeddings tables) as temp views.  Returns the view names."""
     from opentsdb_aura_spark import catalog as C
 
     from opentsdb_aura_spark.sources.batch import (
         ensure_event_store,
         presence_hll_path,
+        presence_path,
         rollup_hist_path,
     )
 
@@ -34,6 +35,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
         # hourly HLL presence sketches: SQL users get range cardinality
         # via hll_sketch_estimate(hll_union_agg(hll)) with no raw scan
         "presence_hll_3600": spark.read.parquet(presence_hll_path(sf_dir, 3600)),
+        "presence_3600": spark.read.parquet(presence_path(sf_dir, 3600)),
         "documents": C.docs(spark, sf_dir),
         "embeddings": C.embs(spark, sf_dir),
     }

@@ -315,3 +315,16 @@ def test_tiered_rate_straddle_falls_back_to_row_splice_exactly(spark):
     for k in want:
         a, b = got[k], want[k]
         assert (a != a and b != b) or abs(a - b) < 1e-6, (k, a, b)
+
+
+def test_active_series_reads_stored_presence_only(spark):
+    """T6 — meta_active_series_window's only scan must be the stored
+    presence table: no metrics-store value/ts column is read."""
+    df = C.SPARK_QUERIES["meta_active_series_window"](spark, SF)
+    plan = plan_of(df)
+    files = re.findall(r"Location: \S+ \[(.*?)\]", plan)
+    scanned = " ".join(files)
+    assert "presence_3600" in scanned, plan
+    assert "metrics" not in scanned.replace("metrics_bucketed", ""), plan
+    m = re.findall(r"ReadSchema: (.*)", plan)
+    assert m and not any("value" in s for s in m), plan

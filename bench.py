@@ -66,7 +66,7 @@ BENCH_QUERIES = [
 # (dedup_minhash_lsh spans 2.5× back-to-back at identical plans):
 # report min-of-N so the recorded number reflects the plan, not the
 # noise floor of a shared local[32] box.
-MIN_OF = {"dedup_minhash_lsh": 3, "dedup_cluster_resolve": 3}
+MIN_OF = {"dedup_minhash_lsh": 3, "dedup_cluster_resolve": 3, "pipeline_dsir_weights": 2}
 
 
 def force(df) -> None:

@@ -60,33 +60,45 @@ def mg_partials(
     def summarize(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        summaries: dict[tuple, dict] = {}
+        def fold(acc: "pd.Series | None", counts: "pd.Series") -> "pd.Series":
+            s = counts if acc is None else acc.add(counts, fill_value=0)
+            if len(s) > capacity:
+                # mergeable trim: subtract the (capacity+1)-th largest
+                # counter from all, drop non-positives — removes
+                # >= m*(capacity+1) weight per trim, so total
+                # undercount stays <= n/(capacity+1).  All Series ops:
+                # the per-item work is C-speed, not a Python loop.
+                m = s.nlargest(capacity + 1).iloc[-1]
+                s = s[s > m] - m
+            return s
+
+        summaries: dict[tuple, "pd.Series"] = {}
         for pdf in batches:
             pdf = pdf.dropna(subset=["item"])
             if pdf.empty:
                 continue
-            counted = pdf.groupby(gcols + ["item"], sort=False).size() if gcols else pdf[
-                "item"
-            ].value_counts(sort=False)
-            for idx, c in counted.items():
-                key, item = (tuple(idx[:-1]), idx[-1]) if gcols else ((), idx)
-                s = summaries.setdefault(key, {})
-                s[item] = s.get(item, 0) + int(c)
-            for key, s in summaries.items():
-                if len(s) > capacity:
-                    # mergeable trim: subtract the (capacity+1)-th
-                    # largest counter from all, drop non-positives —
-                    # removes >= m*(capacity+1) weight per trim, so
-                    # total undercount stays <= n/(capacity+1)
-                    m = sorted(s.values(), reverse=True)[capacity]
-                    summaries[key] = {i: c - m for i, c in s.items() if c > m}
-        rows = [
-            list(key) + [item, cnt]
+            if gcols:
+                counted = pdf.groupby(gcols + ["item"], sort=False, dropna=False).size()
+                for key, sub in counted.groupby(level=list(range(len(gcols))), sort=False):
+                    key = key if isinstance(key, tuple) else (key,)
+                    summaries[key] = fold(
+                        summaries.get(key), sub.droplevel(list(range(len(gcols))))
+                    )
+            else:
+                summaries[()] = fold(summaries.get(()), pdf["item"].value_counts(sort=False))
+        frames = [
+            pd.DataFrame(
+                {
+                    **{g: [key[i]] * len(s) for i, g in enumerate(gcols)},
+                    "item": s.index,
+                    "cnt": s.astype("int64").to_numpy(),
+                }
+            )
             for key, s in summaries.items()
-            for item, cnt in s.items()
+            if len(s)
         ]
-        if rows:
-            yield pd.DataFrame(rows, columns=gcols + ["item", "cnt"])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return slim.mapInPandas(summarize, out_schema)
 

@@ -3337,6 +3337,49 @@ def ev_user_activity(spark, sf_dir):
 
 
 @register(
+    "ev_wau_rolling",
+    f"""WITH ud AS (
+  SELECT DISTINCT
+         (CAST(floor(epoch(ts)) AS BIGINT) - {START - 6 * DAY}) // 86400 - 6 AS d,
+         user_id
+  FROM events
+  WHERE epoch(ts) >= {START - 6 * DAY} AND epoch(ts) < {START + 14 * DAY}),
+days AS (SELECT range AS o FROM range(0, 14))
+SELECT CAST({START} + o * 86400 AS BIGINT) AS day_ts,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM days JOIN ud ON ud.d BETWEEN o - 6 AND o
+GROUP BY 1 ORDER BY 1""",
+)
+def ev_wau_rolling(spark, sf_dir):
+    """Rolling 7-day active users (WAU) per day, exact: events dedupe
+    to (day, user) FIRST — the distinct frame is |users × days|,
+    orders smaller than the log — then each user-day explodes to the
+    ≤7 output days it serves (a bounded fan-out, no range self-join,
+    no skewable nested loop) and a distinct count per day finishes.
+    The sketch twin is ev_wau_hll."""
+    from opentsdb_aura_spark.operators.events import rolling_active_users
+
+    ev = events_seconds(spark, sf_dir)
+    res = rolling_active_users(ev, START, START + 14 * DAY, 7)
+    return res.select("day_ts", F.col("active_users").cast("bigint").alias("active_users"))
+
+
+@register("ev_wau_hll")  # HLL sketch estimates: rows-only
+def ev_wau_hll(spark, sf_dir):
+    """WAU from mergeable sketches: one HLL per day, each output day
+    unions its trailing 7 — per-day work is 7 sketch rows instead of 7
+    days of user-days, and the daily sketches are exactly what
+    streaming ingest emits at window close (streaming_presence_hll),
+    so the dashboard never recomputes distincts.  ±5% bound-tested
+    against ev_wau_rolling in tests/test_rows_only_bounds.py."""
+    from opentsdb_aura_spark.operators.events import rolling_active_users
+
+    ev = events_seconds(spark, sf_dir)
+    res = rolling_active_users(ev, START, START + 14 * DAY, 7, hll=True)
+    return res.select("day_ts", F.col("active_users").cast("bigint").alias("active_users"))
+
+
+@register(
     "ev_cohort_retention_daily",
     """WITH a AS (
   SELECT DISTINCT user_id AS k,

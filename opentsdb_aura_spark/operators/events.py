@@ -286,3 +286,77 @@ def cohort_retention(
     return cells.withColumn("n_cohort", n_cohort).withColumn(
         "retention", F.round(F.col("n_active") / F.col("n_cohort"), 6)
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    start: int,
+    end: int,
+    window_days: int = 7,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    hll: bool = False,
+    lg_k: int = 12,
+) -> DataFrame:
+    """DAU/WAU-style rolling distinct users: for each day in
+    [start, end) (day-aligned epoch seconds), the count of distinct
+    users active in the trailing ``window_days`` days ending that day.
+
+    Exact path (``hll=False``): dedupe events to (day, user) FIRST —
+    the step that makes this scale, since the distinct frame is
+    |users × days|, orders smaller than the event log — then fan each
+    user-day out to the ≤``window_days`` output days it contributes to
+    (an explode over a small int range beats a range self-join: no
+    skew, no nested-loop) and count distinct per output day.
+
+    Sketch path (``hll=True``): one HLL sketch per day (a single pass
+    over the log, map-side combinable), then each output day unions its
+    trailing ``window_days`` sketches — the recompute per day touches
+    W sketch rows instead of W days of user-days, the same
+    pre-aggregate leverage as ``meta.build_presence_hll``.  ~1.6%
+    relative error at lg_k=12.
+
+    Output: (day_ts, active_users), day_ts ascending epoch seconds.
+    """
+    day = 86400
+    start, end = int(start), int(end)
+    n_days = (end - start) // day
+    # floor, not cast: pre-window days have negative offsets and a
+    # long cast truncates toward zero, folding day -1 into day 0
+    d = F.floor((F.col(ts_col) - F.lit(start)) / F.lit(day)).cast("long")
+    in_range = (F.col(ts_col) >= F.lit(start - (window_days - 1) * day)) & (
+        F.col(ts_col) < F.lit(end)
+    )
+    base = events.where(in_range).select(d.alias("_d"), F.col(user_col).alias("_u"))
+
+    if hll:
+        daily = base.groupBy("_d").agg(F.hll_sketch_agg("_u", F.lit(int(lg_k))).alias("_sk"))
+        fan = daily.select(
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_d"), F.lit(0)),
+                    F.least(F.col("_d") + F.lit(int(window_days) - 1), F.lit(n_days - 1)),
+                )
+            ).alias("_out"),
+            "_sk",
+        )
+        res = fan.groupBy("_out").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sk", F.lit(True))).alias("active_users")
+        )
+    else:
+        user_days = base.distinct()
+        fan = user_days.select(
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_d"), F.lit(0)),
+                    F.least(F.col("_d") + F.lit(int(window_days) - 1), F.lit(n_days - 1)),
+                )
+            ).alias("_out"),
+            "_u",
+        )
+        res = fan.groupBy("_out").agg(F.count_distinct("_u").alias("active_users"))
+    return res.select(
+        (F.lit(start) + F.col("_out") * F.lit(day)).cast("long").alias("day_ts"),
+        "active_users",
+    ).orderBy("day_ts")

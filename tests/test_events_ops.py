@@ -191,3 +191,42 @@ def test_sessionize_two_phase_equals_single_pass(spark):
         for r in sessionize(df, 1800, key_col="user_id", block_seconds=3600).collect()
     }
     assert single == blocked
+
+
+def test_rolling_active_users_window_semantics(spark):
+    """WAU windows: a user active on day d counts toward days
+    [d, d+6] inside the range; pre-range activity still feeds the
+    first days' trailing windows; exact and HLL paths agree on this
+    corpus."""
+    from opentsdb_aura_spark.operators.events import rolling_active_users
+
+    B = 1704067200
+    D = 86400
+    rows = [
+        # u1 active only 3 days BEFORE the range: counts toward days 0-3... no:
+        # day -3 serves output days [-3, 3] -> clipped to [0, 3]
+        (1, B - 3 * D + 10),
+        # u2 active on day 0
+        (2, B + 5),
+        # u3 active on day 9 only
+        (3, B + 9 * D + 1),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    got = {
+        r["day_ts"]: r["active_users"]
+        for r in rolling_active_users(ev, B, B + 14 * D, 7).collect()
+    }
+    for day in range(14):
+        want = 0
+        if day <= 3:
+            want += 1  # u1 (active day -3 -> windows ending days -3..3)
+        if day <= 6:
+            want += 1  # u2 (day 0 -> windows 0..6)
+        if 9 <= day <= 14:
+            want += 1  # u3
+        assert got[B + day * D] == want, (day, got[B + day * D], want)
+    hll = {
+        r["day_ts"]: r["active_users"]
+        for r in rolling_active_users(ev, B, B + 14 * D, 7, hll=True).collect()
+    }
+    assert hll == got  # tiny cardinalities: sketch is exact

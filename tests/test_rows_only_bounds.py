@@ -276,3 +276,19 @@ def test_rollup_hist_p90_planner_within_eps(spark):
     for k, e in exact.items():
         # catalog rounds to 4 decimals on top of the sketch error
         assert abs(approx[k] - e) <= HIST_EPS * abs(e) + 1e-4, (k, approx[k], e)
+
+
+def test_ev_wau_hll_within_5pct(spark):
+    """ev_wau_hll bound: every rolling-7-day HLL estimate is within
+    ±5% of the exact distinct count from ev_wau_rolling."""
+    approx = {
+        r["day_ts"]: r["active_users"]
+        for r in C.SPARK_QUERIES["ev_wau_hll"](spark, SF01).collect()
+    }
+    exact = {
+        r["day_ts"]: r["active_users"]
+        for r in C.SPARK_QUERIES["ev_wau_rolling"](spark, SF01).collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)

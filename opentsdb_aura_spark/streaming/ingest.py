@@ -186,6 +186,55 @@ class StreamingIngest:
         return sorted(purged)
 
 
+    def purge_idle_series(self) -> int:
+        """T3 — delete series idle longer than retention + one segment
+        width (the reference's PurgeJob removes the series record and
+        its meta once no live segment references it,
+        TimeSeriesShard.java:446-645; the +1-segment slack mirrors its
+        "idle > retention + 1 segment" rule).  The dim's ``last_ts`` IS
+        the refcount proxy: after purge_expired has dropped every
+        segment that could hold the series' points, nothing references
+        it.  Only dim buckets containing idle rows are rewritten
+        (partition-pruned read, dynamic partition overwrite); buckets
+        whose every series is idle are removed outright.  Returns the
+        number of series removed."""
+        from pyspark.sql import SparkSession
+
+        if not os.path.isdir(self.dim_path):
+            return 0
+        spark = SparkSession.getActiveSession()
+        cutoff = self._now() - self.retention_seconds - self.segment_width
+        dim = spark.read.parquet(self.dim_path)
+        idle = F.col("last_ts") < F.lit(int(cutoff))
+        # bounded collects: at most dim_buckets rows each (metadata-scale)
+        affected = {
+            r["dim_bucket"]
+            for r in dim.where(idle).select("dim_bucket").distinct().collect()
+        }
+        if not affected:
+            return 0
+        in_affected = dim.where(F.col("dim_bucket").isin(list(affected)))
+        removed = in_affected.where(idle).count()
+        survivors = in_affected.where(~idle)
+        surviving_buckets = {
+            r["dim_bucket"]
+            for r in survivors.select("dim_bucket").distinct().collect()
+        }
+        if surviving_buckets:
+            (
+                survivors.repartition(len(surviving_buckets), "dim_bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("dim_bucket")
+                .parquet(self.dim_path)
+            )
+        # dynamic overwrite never touches partitions absent from the
+        # output — fully-idle buckets must be dropped explicitly
+        for bucket in affected - surviving_buckets:
+            shutil.rmtree(os.path.join(self.dim_path, f"dim_bucket={bucket}"), ignore_errors=True)
+        return removed
+
+
 def streaming_rollup(
     stream_points: DataFrame,
     interval_seconds: int = 3600,

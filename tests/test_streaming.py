@@ -477,3 +477,36 @@ def test_streaming_heavy_hitters_state(spark, tmpdirs):
     assert latest[("m", "hot")]["est_count"] == 9
     assert latest[("m", "hot")]["n_total"] == 12
     assert latest[("m", "hot")]["err_bound"] == 12 // 9
+
+
+def test_purge_idle_series_dim_cleanup(spark, tmpdirs):
+    """T3 — series whose last activity predates retention + 1 segment
+    are removed from the dim (the PurgeJob's meta cleanup); active
+    series survive untouched, including ones sharing a bucket with
+    idle ones."""
+    now = BASE + 10 * 86400
+    ing = StreamingIngest(
+        store_path=tmpdirs["store"],
+        dim_path=tmpdirs["dim"],
+        retention_seconds=20 * 86400,  # accept everything at ingest
+        segment_width=7200,
+        now_fn=lambda: now,
+    )
+    rows = [
+        ("m", {"h": "idle_a"}, BASE, 1.0, 1),
+        ("m", {"h": "idle_b"}, BASE + 50, 1.0, 2),
+        ("m", {"h": "live"}, now - 100, 2.0, 3),
+    ]
+    _write_input(spark, tmpdirs["in"], rows, "b0")
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+    assert spark.read.parquet(tmpdirs["dim"]).count() == 3
+
+    ing.retention_seconds = 86400
+    ing.purge_expired()
+    removed = ing.purge_idle_series()
+    assert removed == 2
+    left = spark.read.parquet(tmpdirs["dim"]).collect()
+    assert len(left) == 1 and left[0]["tags"]["h"] == "live"
+    # idempotent: nothing more to remove
+    assert ing.purge_idle_series() == 0

@@ -2834,6 +2834,29 @@ def corpus_heavy_tokens_mg(spark, sf_dir):
     return out.select("item", "est_count")
 
 
+@register(
+    "corpus_heavy_tokens_by_lang_mg",
+    """WITH toks AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS item
+                   FROM documents),
+cnt AS (SELECT lang, item, CAST(count(*) AS BIGINT) AS est_count FROM toks GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY est_count DESC, item) AS rn
+      FROM cnt)
+SELECT lang, item, est_count FROM r WHERE rn <= 5""",
+)
+def corpus_heavy_tokens_by_lang_mg(spark, sf_dir):
+    """Grouped Misra–Gries: independent bounded summaries per language
+    (sketch.mg_heavy_hitters group_cols path) — per-group state stays
+    O(capacity) so a thousand languages cost the same per-partition
+    memory budget as one.  Exact at this vocabulary (capacity ≥
+    distinct), hence the SQL oracle."""
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.sketch import mg_heavy_hitters
+
+    toks = docs(spark, sf_dir).select("lang", F.explode(tokens(F.col("text"))).alias("item"))
+    out = mg_heavy_hitters(toks, "item", 5, capacity=4096, group_cols=["lang"])
+    return out.select("lang", "item", "est_count")
+
+
 @register("meta_daily_active_hll")  # HLL sketch estimates: rows-only
 def meta_daily_active_hll(spark, sf_dir):
     """T6/M5 scale path — daily active-series counts per metric served

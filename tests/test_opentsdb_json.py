@@ -315,3 +315,30 @@ def test_downsample_fill_false_suppresses_spine(make_points):
     sparse = run_semantic_graph(pts, graph(False), now=BASE + 240).collect()
     assert len(dense) == 4 and sum(1 for r in dense if math.isnan(r["value"])) == 2
     assert len(sparse) == 2 and all(not math.isnan(r["value"]) for r in sparse)
+
+
+def test_percentile_downsample_graph_node(make_points):
+    """Upstream OpenTSDB 3.x exposes percentile aggregators through the
+    same downsample node ("p90"/"p99"/"median"); the JSON fold must
+    pass them to the engine's percentile downsample unchanged."""
+    rows = [("m", {"h": "a"}, BASE + i * 60, float(i)) for i in range(10)]
+    pts = make_points(rows)
+    query = {
+        "start": BASE,
+        "end": BASE + 600,
+        "executionGraph": [
+            {
+                "id": "m1",
+                "type": "TimeSeriesDataSource",
+                "metric": {"type": "MetricLiteral", "metric": "m"},
+            },
+            {"id": "ds", "type": "downsample", "aggregator": "p90", "interval": "10m", "sources": ["m1"]},
+            {"id": "gb", "type": "groupby", "aggregator": "max", "tagKeys": [], "sources": ["ds"]},
+        ],
+    }
+    q = translate_query(query, now=BASE + 600)
+    assert q.ds_agg == "p90" and q.interval == 600
+    res = run_metric_query(pts, q).collect()
+    # exact percentile(values 0..9, 0.9) = interpolated 8.1
+    assert len(res) == 1
+    assert_close(res[0]["value"], 8.1)

@@ -246,3 +246,50 @@ def test_hist_substitution_falls_back(spark, make_points):
         MetricQuery(start=BASE, end=BASE + 7200, interval=1800, ds_agg="p90", fill="none"),
     ):
         assert _hist_substitution(pts, bad, hist, None) is None
+
+
+def test_tiered_percentile_composes_with_hist_substitution(spark, make_points):
+    """kw passthrough: a straddling percentile query on a TieredStore
+    with hist_rollups serves BOTH tier sub-queries from the sketch
+    bins, and the spliced result stays within eps of the raw tiered
+    answer."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.rollup import HIST_EPS, build_rollup_histogram
+    from opentsdb_aura_spark.plans.query import (
+        MetricQuery,
+        TieredStore,
+        run_tiered_metric_query,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        ("cpu", {"host": h}, BASE + i * 60, rng.uniform(1.0, 50.0))
+        for h in ("a", "b")
+        for i in range(240)  # 4 hours
+    ]
+    pts = make_points(rows)
+    boundary = BASE + 2 * 3600
+    store = TieredStore(
+        hot=pts.where(F.col("ts") >= boundary),
+        cold=pts.where(F.col("ts") < boundary),
+        boundary_ts=boundary,
+    )
+    hist = {3600: build_rollup_histogram(pts, 3600)}
+    q = MetricQuery(
+        start=BASE, end=BASE + 4 * 3600, interval=3600, ds_agg="p90",
+        group_tag_keys=["host"], gb_agg="max", fill="none",
+    )
+    exact = {
+        (r["tag_host"], r["bucket_ts"]): r["value"]
+        for r in run_tiered_metric_query(store, q).collect()
+    }
+    approx = {
+        (r["tag_host"], r["bucket_ts"]): r["value"]
+        for r in run_tiered_metric_query(store, q, hist_rollups=hist).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) == 8
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= HIST_EPS * abs(e) + 1e-12, (k, approx[k], e)

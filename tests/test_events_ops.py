@@ -224,7 +224,9 @@ def test_rolling_active_users_window_semantics(spark):
             want += 1  # u2 (day 0 -> windows 0..6)
         if 9 <= day <= 14:
             want += 1  # u3
-        assert got[B + day * D] == want, (day, got[B + day * D], want)
+        # zero-active days emit no row (sparse, like the SQL oracle's
+        # inner join) — absent means 0
+        assert got.get(B + day * D, 0) == want, (day, got.get(B + day * D), want)
     hll = {
         r["day_ts"]: r["active_users"]
         for r in rolling_active_users(ev, B, B + 14 * D, 7, hll=True).collect()

@@ -365,3 +365,65 @@ def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_w
         return df
 
     return run_node(sinks[0])
+
+
+def render_v3_response(
+    res: "DataFrame",
+    start: int,
+    end: int,
+    interval: int | None,
+    *,
+    metric: str | None = None,
+    source: str = "groupby",
+    max_series: int = 100_000,
+) -> dict:
+    """Serialize a query result DataFrame into the OpenTSDB 3.x JSON
+    response shape (upstream JsonV3QuerySerdes: ``{"results": [{
+    "source", "timeSpecification", "data": [{"metric", "tags",
+    "NumericArrayType": [...]}]}]}``) — the other half of the API loop
+    that ``translate_query`` opens: a 3.x client POSTs its query JSON
+    and reads this back, so the engine is drop-in on both sides.  The
+    reference hands upstream TimeSeries objects (metric + tags +
+    numeric iterators, AuraMetricsTimeSeries.java:213-264) to that
+    same serdes.
+
+    Expects the engine's (group…, bucket_ts, value) result shape.
+    With ``interval`` the values densify onto the query grid as
+    ``NumericArrayType`` (one slot per bucket; missing/NaN → null —
+    JSON has no NaN; upstream's "NaN" string is a Jackson extension).
+    The collect is the response materialization itself — bounded by
+    the aggregated output size, capped at ``max_series`` groups.
+    """
+    import math
+
+    group_cols = [c for c in res.columns if c not in ("bucket_ts", "value")]
+    rows = res.limit(max_series * max(1, ((end - start) // (interval or (end - start))))).collect()
+    series: dict[tuple, dict[int, float]] = {}
+    for r in rows:
+        key = tuple(r[c] for c in group_cols)
+        series.setdefault(key, {})[int(r["bucket_ts"])] = r["value"]
+    if len(series) > max_series:
+        raise ValueError(f"result has more than max_series={max_series} groups")
+
+    def clean(v):
+        return None if v is None or (isinstance(v, float) and math.isnan(v)) else v
+
+    data = []
+    for key in sorted(series, key=lambda k: tuple(str(x) for x in k)):
+        pts = series[key]
+        tags = {
+            (c[4:] if c.startswith("tag_") else c): key[i] for i, c in enumerate(group_cols)
+        }
+        entry: dict = {"metric": metric or "", "tags": tags}
+        if interval:
+            n = (int(end) - int(start)) // int(interval)
+            entry["NumericArrayType"] = [
+                clean(pts.get(int(start) + i * int(interval))) for i in range(n)
+            ]
+        else:
+            entry["NumericType"] = {str(ts): clean(v) for ts, v in sorted(pts.items())}
+        data.append(entry)
+    spec = {"start": int(start), "end": int(end)}
+    if interval:
+        spec["interval"] = f"{int(interval)}s"
+    return {"results": [{"source": source, "timeSpecification": spec, "data": data}]}

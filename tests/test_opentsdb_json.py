@@ -342,3 +342,46 @@ def test_percentile_downsample_graph_node(make_points):
     # exact percentile(values 0..9, 0.9) = interpolated 8.1
     assert len(res) == 1
     assert_close(res[0]["value"], 8.1)
+
+
+def test_render_v3_response_roundtrip(make_points):
+    """Full API loop: 3.x query JSON in → engine → 3.x response JSON
+    out.  Dense NumericArrayType on the query grid, NaN spine slots
+    rendered as null, tags from group keys, valid JSON end-to-end."""
+    import json
+
+    from opentsdb_aura_spark.plans.opentsdb_json import render_v3_response
+
+    rows = []
+    for host in ("a", "b"):
+        for i in (0, 1, 3):  # gap at minute 2
+            rows.append(("m", {"host": host}, BASE + 60 * i, float(i + 1)))
+    pts = make_points(rows)
+    query = {
+        "start": BASE,
+        "end": BASE + 240,
+        "executionGraph": [
+            {
+                "id": "m1",
+                "type": "TimeSeriesDataSource",
+                "metric": {"type": "MetricLiteral", "metric": "m"},
+            },
+            {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "1m",
+             "fill": True, "sources": ["m1"]},
+            {"id": "gb", "type": "groupby", "aggregator": "sum", "tagKeys": ["host"],
+             "sources": ["ds"]},
+        ],
+    }
+    q = translate_query(query, now=BASE + 240)
+    res = run_metric_query(pts, q)
+    out = render_v3_response(res, q.start, q.end, q.interval, metric="m")
+    text = json.dumps(out)  # strict JSON: no NaN anywhere
+    assert json.loads(text) == out
+    (result,) = out["results"]
+    assert result["timeSpecification"] == {"start": BASE, "end": BASE + 240, "interval": "60s"}
+    by_host = {d["tags"]["host"]: d["NumericArrayType"] for d in result["data"]}
+    assert by_host == {
+        "a": [1.0, 2.0, None, 4.0],
+        "b": [1.0, 2.0, None, 4.0],
+    }
+    assert all(d["metric"] == "m" for d in result["data"])

@@ -3099,6 +3099,126 @@ def tpch_late_orders_priority(spark, sf_dir):
 
 
 @register(
+    "tpch_order_count_distribution",
+    """WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY 1""",
+)
+def tpch_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: per-customer order counts via a LEFT join (zero
+    orders must count), then the distribution of those counts — an
+    aggregate of an aggregate, two well-combined shuffles."""
+    ensure_session_confs(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_small_quantity_revenue",
+    """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)""",
+)
+def tpch_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) de-correlated into an aggregate + equi-join — the
+    per-part averages frame is O(|part|), so AQE broadcast-picks it;
+    the brand filter prunes the part dim before the fact join."""
+    ensure_session_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_brand") == "Brand#23")
+    avg_q = li.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("_thr"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_q.withColumnRenamed("l_partkey", "_pk"), F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_thr"))
+        .agg(_r(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_disjunctive_filter",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+)
+def tpch_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive cross-table predicates.  The
+    single-table residues of the OR (quantity ∈ [1,30]; brand ∈ the
+    three literals) are stated explicitly so each reaches its own scan
+    as a pushed filter — Catalyst does not factor disjunctions across
+    a join on its own, and at 100 TB the unpushed variant reads every
+    lineitem row."""
+    ensure_session_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_idle_rich_customers",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1""",
+)
+def tpch_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average
+    balance — a 1-row broadcast) gating an anti-join against the
+    RECENT order log (customers idle since 2000; the date filter
+    pushes to the orders scan before the anti-join, shrinking its
+    build side the way Q22's window does)."""
+    ensure_session_confs(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            _r(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     """WITH s AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1726,6 +1726,36 @@ _ORACLE_TC = """tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tc
       GROUP BY 1, 2)"""
 
 
+_MD5_U52_SQL = (
+    "list_reduce(list_transform(str_split(substr(md5(doc_id || ':wsample'), 1, 13), ''), "
+    "c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "pipeline_weighted_sample",
+    f"""WITH h AS (SELECT doc_id, source, n_chars, {_MD5_U52_SQL} AS hv FROM documents),
+k AS (SELECT doc_id, source,
+             pow((hv + 1.0) / 4503599627370498.0, 1.0 / n_chars) AS sk
+      FROM h WHERE n_chars > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY sk DESC, doc_id) AS rn
+      FROM k)
+SELECT doc_id, source, round(sk, 10) AS sample_key FROM r WHERE rn <= 5""",
+)
+def pipeline_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES over md5 uniforms), 5 docs per source weighted by
+    length — the one-pass rank-filter that importance-resampling
+    pipelines (e.g. over DSIR weights) need; deterministic uniforms
+    make the EXACT sample reproducible engine-to-engine, hence the SQL
+    oracle."""
+    from opentsdb_aura_spark.operators.corpus import weighted_sample
+
+    d = docs(spark, sf_dir)
+    out = weighted_sample(d, 5, F.col("n_chars").cast("double"), group_col="source")
+    return out.select("doc_id", "source", _r("sample_key", 10).alias("sample_key"))
+
+
 @register(
     "pipeline_split_assign",
     f"""SELECT doc_id,

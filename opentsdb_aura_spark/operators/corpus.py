@@ -713,3 +713,51 @@ def dsir_weights(
             F.sum(F.col("c") * F.col("logr")).alias("weight"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight: Column,
+    *,
+    group_col: str | None = None,
+    salt: str = "wsample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per group
+    (Efraimidis–Spirakis A-ES): each row draws key = u^(1/w) with u a
+    deterministic md5 uniform of (id, salt); the k largest keys are a
+    correct weighted sample, so quality/importance-weighted corpus
+    selection (e.g. over DSIR weights, quality scores, token counts)
+    runs as one rank-filter — no iterative resampling, no global sort
+    (the window partitions by group; ungrouped falls back to a top-k).
+
+    Deterministic md5 uniforms make the draw reproducible run-to-run
+    AND engine-to-engine — the same SQL reproduces the exact sample,
+    which is how the oracle checks it.  Rows with weight <= 0 are
+    excluded (their sampling key is undefined).
+
+    Output: input columns + ``sample_key``, the k winners per group.
+    """
+    from pyspark.sql.window import Window
+
+    # 13 hex chars = 52 bits — exactly representable in a double;
+    # +1/+2 keeps u strictly inside (0, 1) so ln(u) and u^(1/w) are
+    # finite and the key is never exactly 0 or 1
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 13),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float((1 << 52) + 2))
+    key = F.pow(u, F.lit(1.0) / weight)
+    ranked = docs.where(weight > 0).withColumn("sample_key", key)
+    if group_col is None:
+        n = ranked.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(int(k))
+        return n
+    w = Window.partitionBy(group_col).orderBy(F.col("sample_key").desc(), F.col(id_col))
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )

@@ -830,3 +830,54 @@ def test_ivf_index_persist_and_probe_pruning(spark, emb_df, tmp_path):
     assert "PartitionFilters" in plan and "list_id" in plan, plan
     # identical vector (id 4) shares id 0's list, so 1-probe still finds it
     assert any(r["neighbor_id"] == 4 for r in probe1.collect())
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    """A-ES weighted sampling: (1) deterministic — same salt, same
+    sample; (2) weight-proportional — across many salts a 20x-weight
+    item is included far more often than a 1x item; (3) grouped path
+    returns exactly k per group."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.corpus import weighted_sample
+
+    rows = [(i, "g", 20.0 if i == 0 else 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+
+    a = sorted(r["doc_id"] for r in weighted_sample(df, 5, F.col("w"), salt="s1").collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, 5, F.col("w"), salt="s1").collect())
+    assert a == b and len(a) == 5
+
+    heavy_hits = light_hits = 0
+    for i in range(60):
+        picked = {
+            r["doc_id"] for r in weighted_sample(df, 5, F.col("w"), salt=f"t{i}").collect()
+        }
+        heavy_hits += 0 in picked
+        light_hits += 1 in picked
+    # theoretical inclusion: heavy ~1-(1-20/59)^5 ~ 0.87, light ~0.12;
+    # 60 salts -> allow generous sampling slack either side
+    assert heavy_hits >= 42, heavy_hits
+    assert light_hits <= 25, light_hits
+    assert heavy_hits > 2 * light_hits
+
+    grouped = weighted_sample(
+        df.withColumn("source", (F.col("doc_id") % 2 == 0).cast("string")),
+        3,
+        F.col("w"),
+        group_col="source",
+    )
+    counts = {r["source"]: r["n"] for r in grouped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"true": 3, "false": 3}
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)], "doc_id long, w double"
+    )
+    got = sorted(r["doc_id"] for r in weighted_sample(df, 10, F.col("w")).collect())
+    assert got == [1, 4]

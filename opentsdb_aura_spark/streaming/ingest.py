@@ -62,6 +62,14 @@ class StreamingIngest:
     #: rewrites at most min(k, dim_buckets) partitions, so the per-batch
     #: dim-merge cost is O(batch), not O(all series)
     dim_buckets: int = 64
+    #: optional HLL presence sidecar: when set, each batch APPENDS its
+    #: per-(metric, epoch) distinct-series sketches here.  Append-only
+    #: is correct because the read path
+    #: (meta.cardinality_from_presence_hll) unions sketches per epoch
+    #: anyway — duplicate epoch rows from different batches merge at
+    #: query time, no read-modify-write needed at ingest
+    presence_hll_path: str | None = None
+    presence_hll_epoch_width: int = 3600
     #: wall-clock source, injectable for tests
     now_fn: object = field(default=None)
     stats: IngestStats = field(default_factory=IngestStats)
@@ -106,6 +114,12 @@ class StreamingIngest:
             .parquet(self.store_path)
         )
         self._merge_dim(pts)
+        if self.presence_hll_path:
+            from opentsdb_aura_spark.operators.meta import build_presence_hll
+
+            build_presence_hll(
+                pts, self.presence_hll_epoch_width, group_cols=("metric",)
+            ).write.mode("append").parquet(self.presence_hll_path)
 
     def _merge_dim(self, new_points: DataFrame) -> None:
         """W2 — upsert last_ts/last_value/first_seen per series.

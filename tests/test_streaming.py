@@ -510,3 +510,46 @@ def test_purge_idle_series_dim_cleanup(spark, tmpdirs):
     assert len(left) == 1 and left[0]["tags"]["h"] == "live"
     # idempotent: nothing more to remove
     assert ing.purge_idle_series() == 0
+
+
+def test_ingest_presence_hll_sidecar_appends_and_merges(spark, tmpdirs):
+    """With presence_hll_path set, each ingest batch appends its epoch
+    sketches; duplicate epoch rows from different batches MERGE at
+    query time (hll_union_agg), so the sidecar needs no
+    read-modify-write and range cardinality stays exact-at-this-scale."""
+    from opentsdb_aura_spark.operators.meta import cardinality_from_presence_hll
+
+    now = BASE + 7200
+    hll_path = tmpdirs["out"] + "_hll"
+    ing = StreamingIngest(
+        store_path=tmpdirs["store"],
+        dim_path=tmpdirs["dim"],
+        retention_seconds=10 * 86400,
+        segment_width=7200,
+        presence_hll_path=hll_path,
+        now_fn=lambda: now,
+    )
+    # batch 1: series a, b in hour 0; batch 2: series b, c in hour 0
+    # (same epoch re-appended) and series a in hour 1
+    _write_input(spark, tmpdirs["in"], [
+        ("m", {"h": "a"}, BASE + 10, 1.0, 1), ("m", {"h": "b"}, BASE + 20, 1.0, 2),
+    ], "b0")
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+    _write_input(spark, tmpdirs["in"], [
+        ("m", {"h": "b"}, BASE + 30, 1.0, 3), ("m", {"h": "c"}, BASE + 40, 1.0, 4),
+        ("m", {"h": "a"}, BASE + 3700, 1.0, 5),
+    ], "b1")
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+
+    hll = spark.read.parquet(hll_path)
+    # two appends for hour 0 (one per batch), one for hour 1
+    assert hll.where(F.col("epoch") == BASE).count() == 2
+    got = {
+        r["metric"]: r["active_series"]
+        for r in cardinality_from_presence_hll(hll, BASE, BASE + 3600).collect()
+    }
+    assert got == {"m": 3}  # a, b, c — unioned across the duplicate rows
+    full = cardinality_from_presence_hll(hll, BASE, BASE + 7200).collect()[0]["active_series"]
+    assert full == 3

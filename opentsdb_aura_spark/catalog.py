@@ -306,6 +306,28 @@ def ds_sumsq_daily(spark, sf_dir):
 
 
 @register(
+    "metric_value_histogram",
+    f"""{ORACLE_PTS}
+SELECT metric,
+       CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM dpts WHERE ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def metric_value_histogram(spark, sf_dir):
+    """Value-distribution histogram (the heatmap panel behind every
+    TSDB UI): fixed-width bins with clamped edges, one hash aggregate —
+    the exact-count complement of the DDSketch log-bin rollup (which
+    serves percentiles; this serves the shape)."""
+    pts = points(spark, sf_dir).where((F.col("ts") >= START) & (F.col("ts") < END))
+    bin_ = F.least(F.greatest(F.floor(F.col("value") / 25.0), F.lit(0)), F.lit(19)).cast("bigint")
+    return (
+        pts.groupBy("metric", bin_.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
     "ds_runall_sum",
     f"""{ORACLE_PTS}
 SELECT metric, {START} AS bucket_ts, round(sum(value), 4) AS sum_value

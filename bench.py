@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "multimodal_video_frames",
     "meta_daily_active_hll",
     "corpus_heavy_tokens_mg",
+    "ev_wau_rolling",
+    "pipeline_weighted_sample",
 ]
 
 

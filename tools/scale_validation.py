@@ -165,6 +165,31 @@ def main() -> None:
         top = {r["item"]: r for r in hh}
         assert "h0" in top and top["h0"]["est_count"] >= n // 10 - top["h0"]["err_bound"], top.get("h0")
 
+        # 5d. MG vs exact on a LONG-TAIL stream: n values over ~1M
+        # distinct items (the 5k-host stage above barely exercises the
+        # bound) with 3 planted heavies at 5%/3%/1%.  This is the
+        # regime the sketch exists for — the exact top-k must shuffle
+        # O(distinct) rows, MG shuffles O(partitions × capacity) —
+        # and the planted ranking must survive the trims.
+        heavy = (
+            F.when(F.col("id") % 20 == 0, F.lit("hot_a"))
+            .when(F.col("id") % 33 == 1, F.lit("hot_b"))
+            .when(F.col("id") % 100 == 2, F.lit("hot_c"))
+            .otherwise(F.concat(F.lit("w"), F.pmod(F.xxhash64("id"), F.lit(1_000_000)).cast("string")))
+        )
+        tail = spark.range(n).select(heavy.alias("item"))
+        t0 = time.perf_counter()
+        hh2 = mg_heavy_hitters(tail, "item", 10, capacity=256).collect()
+        timings["q_heavy_hitters_1m_distinct_mg"] = round(time.perf_counter() - t0, 2)
+        ranked = [r["item"] for r in hh2[:3]]
+        assert ranked == ["hot_a", "hot_b", "hot_c"], ranked
+        t0 = time.perf_counter()
+        exact_top = (
+            tail.groupBy("item").count().orderBy(F.col("count").desc(), "item").limit(10).collect()
+        )
+        timings["q_heavy_hitters_1m_distinct_exact"] = round(time.perf_counter() - t0, 2)
+        assert [r["item"] for r in exact_top[:3]] == ranked
+
         # 6. hot-key-bounded sessionization: a bot key owning 10% of all
         # events must NOT become one giant sort task.  Events: 90%
         # spread over 1M normal users, 10% on user 0, dense (~1.7 s

@@ -321,6 +321,12 @@ def rolling_active_users(
     """
     day = 86400
     start, end = int(start), int(end)
+    # the fan-out clip relies on day alignment: with a partial final
+    # day, F.sequence(greatest(_d,0), least(_d+W-1, n_days-1)) can
+    # invert and Spark's sequence(start, stop) then steps BACKWARD,
+    # leaking activity into earlier days — reject instead of corrupt
+    if end <= start or (end - start) % day:
+        raise ValueError("rolling_active_users needs start < end with a whole number of days")
     n_days = (end - start) // day
     # floor, not cast: pre-window days have negative offsets and a
     # long cast truncates toward zero, folding day -1 into day 0

@@ -182,17 +182,24 @@ def cardinality_from_presence_hll(
     *,
     bucket_width: int | None = None,
     group_cols: tuple[str, ...] = ("metric",),
+    epoch_width: int | None = None,
 ) -> DataFrame:
     """Distinct-id estimate over [start, end) served entirely from the
     HLL presence table: filter epochs, union sketches per group (and
     per time bucket when ``bucket_width`` is given), estimate.  Epoch
-    granularity matches active_series(): align start/end to the table's
-    epoch width for exact range semantics.
+    granularity matches active_series(): pass the table's
+    ``epoch_width`` so a mid-epoch ``start`` FLOORS to include the
+    partial first epoch (active_series' semantics — without the floor,
+    series active only in that partial epoch silently vanish); with
+    ``epoch_width`` omitted, ``start`` must already be epoch-aligned.
 
     Output: (group…, [bucket_ts,] active_series).  The whole plan is
     one hash aggregate over sketch rows — at 100 TB the input is the
     rollup table (|groups| × epochs rows), never the fact table.
     """
+    start = int(start)
+    if epoch_width is not None:
+        start -= start % int(epoch_width)
     in_range = (F.col("epoch") >= F.lit(int(start))) & (F.col("epoch") < F.lit(int(end)))
     df = hll.where(in_range)
     keys = [F.col(c) for c in group_cols]

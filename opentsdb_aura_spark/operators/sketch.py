@@ -18,16 +18,21 @@ state no matter how many distinct items exist.  Measured honestly
 agg still wins single-box wall-clock at that distinct count (3.6 s vs
 4.8 s) — MG's value is the STATE bound: streaming keyed state
 (streaming/state.streaming_heavy_hitters), memory-capped executors,
-and distinct cardinalities past what an agg hash map can hold.  The reference has no
-frequency sketches (its topn node ranks full aggregates,
-opentsdb/.../TopNProcessor — served here by analytic.topn); this
-operator extends the engine for training-data pipelines (stop-list
-mining, hot-key discovery, skew probes).
+and distinct cardinalities past what an agg hash map can hold.
+
+The reference has no frequency sketches (its topn node ranks full
+aggregates, opentsdb/.../TopNProcessor — served here by
+analytic.topn); this operator extends the engine for training-data
+pipelines (stop-list mining, hot-key discovery, skew probes).
 
 The per-partition pass is an Arrow-batched mapInPandas: each batch is
-counted vectorized (pandas groupby-size), merged into the running
-dict, and trimmed only when the dict exceeds capacity — per-item
-Python work happens at most O(C log C) per trim, not per row.
+counted vectorized (pandas groupby-size), folded into the running
+summary with Series add/nlargest/mask operations, and trimmed only
+when the summary exceeds capacity.  The SAME pass accumulates the
+per-group row total, emitted as one sentinel row (item = NULL — real
+null items are dropped first, so NULL is unambiguous) per (partition,
+group): everything downstream reads the partials only, the input is
+scanned exactly once.
 """
 
 from __future__ import annotations
@@ -47,17 +52,21 @@ def mg_partials(
     *,
     group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Per-partition Misra–Gries summaries: ≤ ``capacity`` rows
-    (group…, item, cnt) per (partition, group), where ``cnt`` is a
-    lower bound on the item's partition-local frequency, undercounting
-    by at most n_partition/(capacity+1).  Null items are ignored."""
+    """Per-partition Misra–Gries summaries: ≤ ``capacity`` item rows
+    (group…, item, cnt) per (partition, group) — ``cnt`` a lower bound
+    on the item's partition-local frequency, undercounting by at most
+    n_partition/(capacity+1) — plus ONE sentinel row (item NULL,
+    cnt = partition-group row count) carrying the exact total.  Null
+    items are ignored; null GROUP keys are kept (parity with
+    ``groupBy``)."""
     capacity = int(capacity)
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
     gcols = list(group_cols)
     slim = df.select(*gcols, F.col(col).alias("item"))
+    item_f = slim.schema["item"]
     fields = [slim.schema[c] for c in gcols] + [
-        slim.schema["item"],
+        StructField("item", item_f.dataType, True),  # NULL marks the total row
         StructField("cnt", LongType(), False),
     ]
     out_schema = StructType(fields)
@@ -78,29 +87,32 @@ def mg_partials(
             return s
 
         summaries: dict[tuple, "pd.Series"] = {}
+        totals: dict[tuple, int] = {}
         for pdf in batches:
             pdf = pdf.dropna(subset=["item"])
             if pdf.empty:
                 continue
             if gcols:
                 counted = pdf.groupby(gcols + ["item"], sort=False, dropna=False).size()
-                for key, sub in counted.groupby(level=list(range(len(gcols))), sort=False):
+                levels = list(range(len(gcols)))
+                for key, sub in counted.groupby(level=levels, sort=False, dropna=False):
                     key = key if isinstance(key, tuple) else (key,)
-                    summaries[key] = fold(
-                        summaries.get(key), sub.droplevel(list(range(len(gcols))))
-                    )
+                    sub = sub.droplevel(levels)
+                    summaries[key] = fold(summaries.get(key), sub)
+                    totals[key] = totals.get(key, 0) + int(sub.sum())
             else:
-                summaries[()] = fold(summaries.get(()), pdf["item"].value_counts(sort=False))
+                vc = pdf["item"].value_counts(sort=False)
+                summaries[()] = fold(summaries.get(()), vc)
+                totals[()] = totals.get((), 0) + int(vc.sum())
         frames = [
             pd.DataFrame(
                 {
-                    **{g: [key[i]] * len(s) for i, g in enumerate(gcols)},
-                    "item": s.index,
-                    "cnt": s.astype("int64").to_numpy(),
+                    **{g: [key[i]] * (len(s) + 1) for i, g in enumerate(gcols)},
+                    "item": list(s.index) + [None],
+                    "cnt": [int(c) for c in s] + [totals[key]],
                 }
             )
             for key, s in summaries.items()
-            if len(s)
         ]
         if frames:
             yield pd.concat(frames, ignore_index=True)
@@ -117,8 +129,11 @@ def mg_heavy_hitters(
     group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Top-``k`` most frequent ``col`` values per group with bounded
-    state everywhere: MG partials per partition, one hash-aggregate
-    merge (O(partitions × capacity) rows), rank, take k.
+    state everywhere: MG partials per partition (ONE scan of the
+    input — the exact group totals ride along as sentinel rows), one
+    hash-aggregate merge of O(partitions × capacity) rows, a window
+    over the merged summary to attach n_total (no join, so null group
+    keys behave exactly like ``groupBy``'s), rank, take k.
 
     Output: (group…, item, est_count, err_bound, n_total) where
     est_count is a LOWER bound on the true frequency,
@@ -131,17 +146,18 @@ def mg_heavy_hitters(
     gcols = list(group_cols)
     partials = mg_partials(df, col, capacity, group_cols=gcols)
     merged = partials.groupBy(*gcols, "item").agg(F.sum("cnt").alias("est_count"))
-    totals = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(*gcols)
-        .agg(F.count("*").alias("n_total"))
-    )
-    # no-group: totals is literally one row — broadcast it; grouped:
-    # totals is O(groups), let AQE size-pick the join strategy
-    joined = merged.join(totals, on=gcols) if gcols else merged.crossJoin(F.broadcast(totals))
-    w = Window.partitionBy(*gcols).orderBy(F.col("est_count").desc(), F.col("item"))
+    # the windows run over the MERGED SUMMARY (≤ groups × (capacity+1)
+    # rows), not the data — a single-partition window in the ungrouped
+    # case is a few thousand rows, not a scale risk
+    wg = Window.partitionBy(*gcols)
+    rank_w = wg.orderBy(F.col("est_count").desc(), F.col("item"))
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
+        merged.withColumn(
+            "n_total",
+            F.max(F.when(F.col("item").isNull(), F.col("est_count"))).over(wg),
+        )
+        .where(F.col("item").isNotNull())
+        .withColumn("_rn", F.row_number().over(rank_w))
         .where(F.col("_rn") <= int(k))
         .select(
             *gcols,

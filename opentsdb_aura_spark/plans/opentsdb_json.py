@@ -396,8 +396,20 @@ def render_v3_response(
     """
     import math
 
+    if int(end) <= int(start):
+        raise ValueError("render_v3_response needs start < end")
+    # slot count covers the partial final bucket too (the engine emits
+    # a value for it; floor division would silently drop it)
+    n_buckets = math.ceil((int(end) - int(start)) / int(interval)) if interval else None
     group_cols = [c for c in res.columns if c not in ("bucket_ts", "value")]
-    rows = res.limit(max_series * max(1, ((end - start) // (interval or (end - start))))).collect()
+    # cap = the response's own maximum size + 1 row so truncation is
+    # DETECTED and raised, never silent
+    cap = max_series * (n_buckets or 1)
+    rows = res.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"result exceeds the response cap ({max_series} series x {n_buckets or 1} buckets)"
+        )
     series: dict[tuple, dict[int, float]] = {}
     for r in rows:
         key = tuple(r[c] for c in group_cols)
@@ -416,9 +428,8 @@ def render_v3_response(
         }
         entry: dict = {"metric": metric or "", "tags": tags}
         if interval:
-            n = (int(end) - int(start)) // int(interval)
             entry["NumericArrayType"] = [
-                clean(pts.get(int(start) + i * int(interval))) for i in range(n)
+                clean(pts.get(int(start) + i * int(interval))) for i in range(n_buckets)
             ]
         else:
             entry["NumericType"] = {str(ts): clean(v) for ts, v in sorted(pts.items())}

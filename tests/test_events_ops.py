@@ -232,3 +232,18 @@ def test_rolling_active_users_window_semantics(spark):
         for r in rolling_active_users(ev, B, B + 14 * D, 7, hll=True).collect()
     }
     assert hll == got  # tiny cardinalities: sketch is exact
+
+
+def test_rolling_active_users_rejects_partial_days(spark):
+    """A partial final day would invert the fan-out clip (Spark's
+    sequence steps backward when start > stop, leaking activity into
+    earlier days) — the operator must reject instead."""
+    import pytest
+
+    from opentsdb_aura_spark.operators.events import rolling_active_users
+
+    B = 1704067200
+    ev = spark.createDataFrame([(1, B + 5)], "user_id long, ts long")
+    for bad_end in (B, B - 86400, B + 86400 + 3600):
+        with pytest.raises(ValueError):
+            rolling_active_users(ev, B, bad_end, 7)

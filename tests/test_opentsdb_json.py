@@ -385,3 +385,38 @@ def test_render_v3_response_roundtrip(make_points):
         "b": [1.0, 2.0, None, 4.0],
     }
     assert all(d["metric"] == "m" for d in result["data"])
+
+
+def test_render_v3_partial_final_bucket_and_caps(make_points):
+    """The slot count must COVER a partial final bucket (the engine
+    computes a value for it; floor division dropped it), and the
+    response cap raises on truncation instead of silently dropping."""
+    import pytest
+
+    from opentsdb_aura_spark.plans.opentsdb_json import render_v3_response
+
+    pts = make_points([("m", {"h": "a"}, BASE + 60 * i, float(i + 1)) for i in range(5)])
+    q = translate_query(
+        {
+            "start": BASE,
+            "end": BASE + 250,  # 4 full minutes + a 10s partial bucket
+            "executionGraph": [
+                {"id": "m1", "type": "TimeSeriesDataSource",
+                 "metric": {"type": "MetricLiteral", "metric": "m"}},
+                {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "1m",
+                 "sources": ["m1"]},
+                {"id": "gb", "type": "groupby", "aggregator": "sum", "tagKeys": ["h"],
+                 "sources": ["ds"]},
+            ],
+        },
+        now=BASE + 250,
+    )
+    res = run_metric_query(pts, q)
+    out = render_v3_response(res, q.start, q.end, q.interval, metric="m")
+    arr = out["results"][0]["data"][0]["NumericArrayType"]
+    assert arr == [1.0, 2.0, 3.0, 4.0, 5.0]  # 5 slots: the partial bucket kept
+
+    with pytest.raises(ValueError):
+        render_v3_response(res, q.start, q.end, q.interval, max_series=0)
+    with pytest.raises(ValueError):
+        render_v3_response(res, BASE, BASE, 60)

@@ -32,7 +32,6 @@ BNLJ_ALLOWED = {
     "quality_lm_scores",  # 1-row vocabulary-size factor
     "corpus_bm25_search",  # 1-row (N, avgdl) corpus-stats factor
     "pipeline_dsir_weights",  # 1-row gram-count totals factor
-    "corpus_heavy_tokens_mg",  # 1-row n_total factor joined onto the MG summary
     "tpch_idle_rich_customers",  # 1-row global-average-balance scalar factor
 }
 
@@ -94,7 +93,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "p_size",  # probe sizes (same bound)
         "vocab",  # 1-row vocabulary-size factor
         "blocks",  # per-block prefix sums: rows = input partitions
-        "totals",  # 1-row factors: gram counts (dsir_weights), n_total (sketch.py no-group path)
+        "totals",  # 1-row gram-count factor (dsir_weights)
         "avg_bal",  # 1-row global-average-balance scalar (tpch_idle_rich_customers)
         "winners",  # summarizer top-k winners: rows <= k
     }

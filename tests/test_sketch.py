@@ -55,17 +55,18 @@ def test_mg_undercount_bound_under_trims(spark, skewed):
 
 
 def test_mg_partials_bounded_size(spark, skewed):
-    """Each (partition, group) summary is at most capacity rows — the
-    state bound that makes the shuffle O(partitions x C)."""
+    """Each (partition, group) summary is at most capacity item rows
+    plus ONE sentinel total row (item NULL) — the state bound that
+    makes the shuffle O(partitions x C) with no second input scan."""
     cap = 50
-    per_part = (
-        mg_partials(skewed, "item", cap)
-        .withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    assert per_part and all(r["count"] <= cap for r in per_part)
+    parts = mg_partials(skewed, "item", cap).withColumn("pid", F.spark_partition_id())
+    per_part = parts.groupBy("pid").count().collect()
+    assert per_part and all(r["count"] <= cap + 1 for r in per_part)
+    sentinels = parts.where(F.col("item").isNull()).groupBy("pid").count().collect()
+    assert all(r["count"] == 1 for r in sentinels)
+    # sentinel totals sum to the full input size
+    n = parts.where(F.col("item").isNull()).agg(F.sum("cnt")).first()[0]
+    assert n == 11500
 
 
 def test_mg_partition_invariant_bound(spark, skewed):
@@ -95,3 +96,13 @@ def test_mg_grouped(spark):
     out = mg_heavy_hitters(df, "item", 1, capacity=8, group_cols=["g"]).collect()
     got = {r["g"]: (r["item"], r["est_count"], r["n_total"]) for r in out}
     assert got == {"g1": ("x", 6, 8), "g2": ("y", 4, 5)}
+
+
+def test_mg_grouped_keeps_null_group_keys(spark):
+    """Null group-key rows form their own group, exactly like
+    F.groupBy — they must not silently vanish from the summary."""
+    rows = [("g1", "x")] * 3 + [(None, "y")] * 4 + [(None, "z")] * 1
+    df = spark.createDataFrame(rows, "g string, item string").repartition(3)
+    out = mg_heavy_hitters(df, "item", 1, capacity=8, group_cols=["g"]).collect()
+    got = {r["g"]: (r["item"], r["est_count"], r["n_total"]) for r in out}
+    assert got == {"g1": ("x", 3, 3), None: ("y", 4, 5)}

@@ -2499,7 +2499,7 @@ def rollup_planner_max(spark, sf_dir):
     from opentsdb_aura_spark.operators.rollup import choose_downsample_source, downsample_from_rollup
 
     rollups = {3600: _rollup(spark, sf_dir)}
-    src, riv = choose_downsample_source(points(spark, sf_dir), rollups, "max", DAY, START, END)
+    src, riv = choose_downsample_source(rollups, "max", DAY, START, END)
     assert riv == 3600, "planner must substitute the rollup"
     res = downsample_from_rollup(src, START, END, DAY, "max", group_cols=["metric"])
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("max_value"))
@@ -3961,7 +3961,7 @@ def rollup_coarsest_pick(spark, sf_dir):
         3600: _rollup(spark, sf_dir),
         7200: build_rollup(pts, 7200, group_cols=("series_id", "metric")),
     }
-    src, riv = choose_downsample_source(pts, rollups, "sum", DAY, START, END)
+    src, riv = choose_downsample_source(rollups, "sum", DAY, START, END)
     assert riv == 7200, f"expected coarsest rollup, got {riv}"
     res = downsample_from_rollup(src, START, END, DAY, "sum", group_cols=["metric"])
     return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))

@@ -182,13 +182,16 @@ def downsample(
         aggs.append(F.var_samp("_v").alias("_var"))
     if agg == "sumsq":
         aggs.append(F.sum(F.col("_v") * F.col("_v")).alias("_sumsq"))
-    if agg.startswith("p") and agg not in ("p50",):  # exact percentile
+    if agg in CUSTOM_AGGS:
+        # registry names are arbitrary — check BEFORE the percentile
+        # prefix match or a custom agg named "p..." would be parsed as
+        # a percentile (matching _final_value's dispatch order)
+        aggs.append(CUSTOM_AGGS[agg](F.col("_v")).alias("_custom"))
+    elif agg == "p50":
+        aggs.append(F.expr("percentile(_v, 0.5)").alias("_perc"))
+    elif agg.startswith("p"):  # exact percentile: p90 → 0.90, p999 → 0.999
         q = float("0." + agg[1:])
         aggs.append(F.expr(f"percentile(_v, {q})").alias("_perc"))
-    if agg == "p50":
-        aggs.append(F.expr("percentile(_v, 0.5)").alias("_perc"))
-    if agg in CUSTOM_AGGS:
-        aggs.append(CUSTOM_AGGS[agg](F.col("_v")).alias("_custom"))
 
     grouped = df.groupBy(*group_cols, "bucket_ts").agg(*aggs)
 
@@ -201,14 +204,13 @@ def downsample(
 
     if fill != "none":
         result = fill_spine(
-            result, points, start, end, interval, group_cols, fill=fill, spine_groups=spine_groups
+            result, start, end, interval, group_cols, fill=fill, spine_groups=spine_groups
         )
     return result
 
 
 def fill_spine(
     result: DataFrame,
-    points: DataFrame,
     start: int,
     end: int,
     interval: int,
@@ -243,27 +245,43 @@ def fill_spine(
         "null": F.lit(None).cast("double"),
     }[fill]
     n_buckets = max(0, -(-(int(end) - int(start)) // int(interval)))  # ceil
+    if n_buckets == 0:
+        # empty range: no spine rows (and sequence(0, -1) would step
+        # BACKWARD, inventing buckets)
+        return result.where(F.lit(False))
     if not group_cols:
         spark = result.sparkSession
         spine = spark.range(n_buckets).select(
             (F.lit(int(start)) + F.col("id") * F.lit(int(interval))).cast("long").alias("bucket_ts")
         )
         joined = spine.join(result, on="bucket_ts", how="left")
+        return joined.withColumn("value", F.coalesce(F.col("value"), fill_value))
+    if spine_groups is not None:
+        groups = spine_groups.select(*group_cols).distinct()
     else:
-        if spine_groups is not None:
-            groups = spine_groups.select(*group_cols).distinct()
-        else:
-            groups = result.select(*group_cols).distinct()
-        spine = groups.select(
-            *group_cols,
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.lit(n_buckets - 1)
-                )
-            ).alias("_i"),
-        ).select(
-            *group_cols,
-            (F.lit(int(start)) + F.col("_i") * F.lit(int(interval))).cast("long").alias("bucket_ts"),
-        )
-        joined = spine.join(result, on=[*group_cols, "bucket_ts"], how="left")
-    return joined.withColumn("value", F.coalesce(F.col("value"), fill_value))
+        groups = result.select(*group_cols).distinct()
+    spine = groups.select(
+        *group_cols,
+        F.explode(
+            F.sequence(
+                F.lit(0), F.lit(n_buckets - 1)
+            )
+        ).alias("_i"),
+    ).select(
+        *group_cols,
+        (F.lit(int(start)) + F.col("_i") * F.lit(int(interval))).cast("long").alias("bucket_ts"),
+    )
+    # NULL-SAFE group-key equality: a series missing a grouped tag
+    # forms a NULL-keyed group (with_group_keys), and a null-unsafe
+    # join would never match its result rows — the whole group would
+    # silently come back as the fill value
+    s, r = spine.alias("_spine"), result.alias("_res")
+    cond = F.col("_spine.bucket_ts") == F.col("_res.bucket_ts")
+    for c in group_cols:
+        cond = cond & F.col(f"_spine.{c}").eqNullSafe(F.col(f"_res.{c}"))
+    joined = s.join(r, cond, "left").select(
+        *[F.col(f"_spine.{c}") for c in group_cols],
+        F.col("_spine.bucket_ts").alias("bucket_ts"),
+        F.coalesce(F.col("_res.value"), fill_value).alias("value"),
+    )
+    return joined

@@ -71,14 +71,26 @@ class RateOptions:
     data_interval: int = 0  # 0 = auto-estimate (mode of spacings)
 
 
-def estimate_data_interval(points: DataFrame, group_cols: Sequence[str] = ("series_id",)) -> DataFrame:
+def estimate_data_interval(
+    points: DataFrame,
+    group_cols: Sequence[str] = ("series_id",),
+    segment_col: str | None = None,
+) -> DataFrame:
     """Mode of observed point spacing per series (kernel 364-420).
 
     Returns (group_cols…, data_interval).  Ties break toward the
     smaller spacing for determinism (the reference iterates a hash map
     — unspecified order; smallest-wins is the stable choice).
+
+    ``segment_col`` — partition the lag window by (series, segment)
+    instead of series alone, the same hot-series straggler bound as the
+    rate window itself: without it, one bot series re-serializes the
+    whole stage through a single sort task.  The cross-segment spacing
+    samples this loses are |segments| per series — noise for a mode
+    estimate over the in-segment population.
     """
-    w = Window.partitionBy(*group_cols).orderBy("ts")
+    keys = [*group_cols, segment_col] if segment_col else list(group_cols)
+    w = Window.partitionBy(*keys).orderBy("ts")
     spaced = points.withColumn("_dt", F.col("ts") - F.lag("ts").over(w)).where(F.col("_dt").isNotNull())
     counted = spaced.groupBy(*group_cols, "_dt").agg(F.count("*").alias("_n"))
     best = counted.groupBy(*group_cols).agg(
@@ -172,7 +184,8 @@ def rate(
             # at dimension scale the sort-merge join lands on the same
             # (group_cols) partitioning the lag window shuffles to
             # anyway, so the fact table is not re-shuffled either way.
-            est = estimate_data_interval(points, group_cols)
+            seg = segment_col if (segment_col is not None and segment_col in points.columns) else None
+            est = estimate_data_interval(points, group_cols, segment_col=seg)
             df = df.join(est, on=group_cols, how="left")
             # kernel 416-419: long division, clamped to >= 1 (also the
             # empty-distribution default; greatest() skips the NULL of

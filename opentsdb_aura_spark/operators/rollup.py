@@ -207,7 +207,6 @@ def downsample_spliced(
 
 
 def choose_downsample_source(
-    raw: DataFrame,
     rollups: dict[int, DataFrame],
     ds_agg: str,
     ds_interval: int | None,
@@ -215,7 +214,8 @@ def choose_downsample_source(
     end: int,
 ) -> tuple[DataFrame | None, int | None]:
     """Planner rule: the coarsest compatible rollup wins (fewest rows
-    scanned); None → fall back to the raw table."""
+    scanned); (None, None) → the caller falls back to its raw table
+    (this function never returns the raw frame itself)."""
     best = None
     if ds_interval:
         for riv in sorted(rollups, reverse=True):

@@ -42,7 +42,7 @@ class MetricQuery:
     end: int  # epoch seconds, exclusive (LongTermStorage.java:26-33)
     filter: Filter | None = None
     # downsample
-    interval: int | None = None  # seconds; None + run_all=False → raw points
+    interval: int | None = None  # seconds; None collapses to one run-all bucket over [start, end)
     ds_agg: str = "avg"
     run_all: bool = False
     infectious_nan: bool = False
@@ -86,6 +86,64 @@ _FUSABLE_DS_GB: dict[tuple[str, str], str] = {
 }
 
 
+def _substitution_blocked(q: MetricQuery) -> bool:
+    """Shared pre-aggregate eligibility guard: rate is per-point,
+    infectious-NaN / reporting-average are invisible in pre-aggregates,
+    run-all needs the tail bucket, and no interval means no grid."""
+    return (
+        q.rate_options is not None
+        or q.run_all
+        or q.interval is None
+        or q.infectious_nan
+        or q.reporting_dps is not None
+    )
+
+
+def _matched_series(
+    points: DataFrame, q: MetricQuery, series_dim: DataFrame | None
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Meta-side series selection shared by the substitutions: the
+    filtered series dimension (or a distinct projection of points)
+    with the query's group-key columns attached.  Returns
+    (matched, group_keys, out_groups).  `matched` is O(total series)
+    under a match-all filter — never force-broadcast it; AQE
+    size-picks the join strategy at runtime."""
+    dim = series_dim
+    if dim is None:
+        dim = points.select("series_id", "metric", "tags").dropDuplicates(["series_id"])
+    dim = dim.where(compile_filter(q.filter))
+    group_keys: list[str] = []
+    if q.group_tag_keys:
+        dim = with_group_keys(dim, q.group_tag_keys)
+        group_keys = [f"tag_{k}" for k in q.group_tag_keys]
+    out_groups = group_keys if q.group_tag_keys is not None else ["series_id"]
+    return dim.select("series_id", *group_keys), group_keys, out_groups
+
+
+def _shift_and_fill(
+    res: DataFrame,
+    q: MetricQuery,
+    matched: DataFrame,
+    out_groups: list[str],
+    spine_from_dim: bool,
+) -> DataFrame:
+    """Shared substitution tail: relabel shifted buckets back to query
+    time, then the fill spine (meta-driven universe when asked)."""
+    from opentsdb_aura_spark.operators.downsample import fill_spine
+
+    if q.shift_seconds:
+        res = res.withColumn(
+            "bucket_ts", (F.col("bucket_ts") + F.lit(int(q.shift_seconds))).cast("long")
+        )
+    if q.fill != "none":
+        spine_groups = matched.select(*out_groups) if spine_from_dim else None
+        res = fill_spine(
+            res, q.start, q.end, q.interval, out_groups,
+            fill=q.fill, spine_groups=spine_groups,
+        )
+    return res
+
+
 def _rollup_substitution(
     points: DataFrame,
     q: MetricQuery,
@@ -121,7 +179,7 @@ def _rollup_substitution(
     AerospikeDSTimeSeriesEncoder stream → NumericArrayAggregator group
     accumulate), scanning interval/rollup_interval× fewer rows.
     """
-    from opentsdb_aura_spark.operators.downsample import fill_spine, normalize_agg
+    from opentsdb_aura_spark.operators.downsample import normalize_agg
     from opentsdb_aura_spark.operators.groupby import _ALIASES, GROUP_AGGS, group_merge
     from opentsdb_aura_spark.operators.rollup import (
         ROLLUP_SERVABLE,
@@ -129,13 +187,7 @@ def _rollup_substitution(
         downsample_from_rollup,
     )
 
-    if (
-        q.rate_options is not None
-        or q.run_all
-        or q.interval is None
-        or q.infectious_nan
-        or q.reporting_dps is not None
-    ):
+    if _substitution_blocked(q):
         return None
     ds = normalize_agg(q.ds_agg)
     two_stage = False
@@ -152,28 +204,14 @@ def _rollup_substitution(
         agg = ds
     shift = int(q.shift_seconds)
     scan_start, scan_end = q.start - shift, q.end - shift
-    src, _riv = choose_downsample_source(points, rollups, agg, q.interval, scan_start, scan_end)
+    src, _riv = choose_downsample_source(rollups, agg, q.interval, scan_start, scan_end)
     if src is None:
         return None
 
-    dim = series_dim
-    if dim is None:
-        dim = points.select("series_id", "metric", "tags").dropDuplicates(["series_id"])
-    dim = dim.where(compile_filter(q.filter))
-    group_keys: list[str] = []
-    if q.group_tag_keys:
-        dim = with_group_keys(dim, q.group_tag_keys)
-        group_keys = [f"tag_{k}" for k in q.group_tag_keys]
-    matched = dim.select("series_id", *group_keys)
-
-    # `matched` is the filtered series dimension — O(total series) under a
-    # match-all filter, so no forced broadcast: AQE size-picks the join
-    # strategy at runtime (broadcast for selective filters, shuffle join
-    # for dimension-sized matches).
+    matched, group_keys, out_groups = _matched_series(points, q, series_dim)
     rolled = src.select("series_id", "window_start", "sum", "count", "min", "max", "sumsq").join(
         matched, on="series_id", how="inner"
     )
-    out_groups = group_keys if q.group_tag_keys is not None else ["series_id"]
     if two_stage:
         per_series = downsample_from_rollup(
             rolled, scan_start, scan_end, q.interval, ds, group_cols=["series_id", *group_keys]
@@ -181,25 +219,19 @@ def _rollup_substitution(
         res = group_merge(per_series, q.gb_agg, group_cols=group_keys)
     else:
         res = downsample_from_rollup(rolled, scan_start, scan_end, q.interval, agg, group_cols=out_groups)
-    if shift:
-        res = res.withColumn("bucket_ts", (F.col("bucket_ts") + F.lit(shift)).cast("long"))
-    if q.fill != "none":
-        spine_groups = matched.select(*out_groups) if spine_from_dim else None
-        res = fill_spine(
-            res, points, q.start, q.end, q.interval, out_groups,
-            fill=q.fill, spine_groups=spine_groups,
-        )
-    return res
+    return _shift_and_fill(res, q, matched, out_groups, spine_from_dim)
 
 
-_PERCENTILE_RE = re.compile(r"^p(\d{1,2}(?:\.\d+)?)$")
+_PERCENTILE_RE = re.compile(r"^p(\d{1,3})$")
 
 
 def _percentile_fraction(agg: str) -> float | None:
+    """Mirror downsample's percentile-name parse: p90 → 0.90,
+    p999 → 0.999 (digits after 'p' are the decimals)."""
     if agg == "median":
         return 0.5
     m = _PERCENTILE_RE.match(agg)
-    return float(m.group(1)) / 100.0 if m else None
+    return float("0." + m.group(1)) if m else None
 
 
 def _hist_substitution(
@@ -208,14 +240,25 @@ def _hist_substitution(
     hist_rollups: dict[int, DataFrame],
     series_dim: DataFrame | None,
     spine_from_dim: bool = False,
+    hist_eps: float | None = None,
 ) -> DataFrame | None:
     """A6 scale path, planner edition: serve percentile/median
     downsamples from the DDSketch histogram rollup
-    (``build_rollup_histogram``) instead of scanning raw points —
-    within HIST_EPS relative error.  Passing ``hist_rollups`` to
-    ``run_metric_query`` is the opt-in to that approximation (the
-    reference's planner likewise only reads stored aggregates where
-    configuration enables them, AuraMetricsClusterConfig routing).
+    (``build_rollup_histogram``) instead of scanning raw points.
+    Passing ``hist_rollups`` to ``run_metric_query`` is the opt-in to
+    the approximation (the reference's planner likewise only reads
+    stored aggregates where configuration enables them,
+    AuraMetricsClusterConfig routing); tables built with a non-default
+    ``eps`` MUST pass it as ``hist_eps`` — bins are decoded with the
+    build-time gamma, and a mismatched eps decodes garbage.
+
+    Accuracy caveat (two distinct effects): the eps bound holds vs the
+    NEAREST-RANK quantile (value at rank ⌈q·n⌉), while the raw path's
+    ``percentile()`` INTERPOLATES between ranks — with many points per
+    bucket the two converge, but a 2-point bucket can differ by the
+    gap between its values, far beyond eps.  Sketch percentiles answer
+    "which observed magnitude is at this rank", not "the interpolated
+    midpoint" — the bound tests compare against the rank quantile.
 
     Semantics are preserved exactly where they can be: the sketch
     serves the PER-SERIES percentile (bins are per series, so each
@@ -224,17 +267,11 @@ def _hist_substitution(
     per-series values — the same two-stage shape as the non-fusable
     rollup path.  Rate / infectious-NaN / reporting-average /
     run-all / off-grid windows fall back to raw (None)."""
-    from opentsdb_aura_spark.operators.downsample import fill_spine, normalize_agg
+    from opentsdb_aura_spark.operators.downsample import normalize_agg
     from opentsdb_aura_spark.operators.groupby import GROUP_AGGS, _ALIASES, group_merge
     from opentsdb_aura_spark.operators.rollup import percentile_from_rollup_histogram
 
-    if (
-        q.rate_options is not None
-        or q.run_all
-        or q.interval is None
-        or q.infectious_nan
-        or q.reporting_dps is not None
-    ):
+    if _substitution_blocked(q):
         return None
     frac = _percentile_fraction(normalize_agg(q.ds_agg))
     if frac is None:
@@ -253,37 +290,20 @@ def _hist_substitution(
     if hist_iv is None:
         return None
 
-    dim = series_dim
-    if dim is None:
-        dim = points.select("series_id", "metric", "tags").dropDuplicates(["series_id"])
-    dim = dim.where(compile_filter(q.filter))
-    group_keys: list[str] = []
-    if q.group_tag_keys:
-        dim = with_group_keys(dim, q.group_tag_keys)
-        group_keys = [f"tag_{k}" for k in q.group_tag_keys]
-    matched = dim.select("series_id", *group_keys)
-
+    matched, group_keys, out_groups = _matched_series(points, q, series_dim)
     hist = hist_rollups[hist_iv].select("series_id", "window_start", "sign", "bin", "cnt").join(
         matched, on="series_id", how="inner"
     )
+    eps_kw = {"eps": float(hist_eps)} if hist_eps is not None else {}
     per_series = percentile_from_rollup_histogram(
         hist, frac, scan_start, scan_end, q.interval,
-        group_cols=["series_id", *group_keys],
+        group_cols=["series_id", *group_keys], **eps_kw,
     )
-    out_groups = group_keys if q.group_tag_keys is not None else ["series_id"]
     if q.group_tag_keys is not None:
         res = group_merge(per_series, q.gb_agg, group_cols=group_keys)
     else:
         res = per_series.select("series_id", "bucket_ts", "value")
-    if shift:
-        res = res.withColumn("bucket_ts", (F.col("bucket_ts") + F.lit(shift)).cast("long"))
-    if q.fill != "none":
-        spine_groups = matched.select(*out_groups) if spine_from_dim else None
-        res = fill_spine(
-            res, points, q.start, q.end, q.interval, out_groups,
-            fill=q.fill, spine_groups=spine_groups,
-        )
-    return res
+    return _shift_and_fill(res, q, matched, out_groups, spine_from_dim)
 
 
 def _dim_spine_groups(
@@ -314,6 +334,7 @@ def run_metric_query(
     fuse_group_agg: bool = True,
     rollups: dict[int, DataFrame] | None = None,
     hist_rollups: dict[int, DataFrame] | None = None,
+    hist_eps: float | None = None,
     series_dim: DataFrame | None = None,
     spine_from_dim: bool = False,
     presence: DataFrame | None = None,
@@ -353,7 +374,7 @@ def run_metric_query(
     if hist_rollups:
         # ``hist_rollups`` is the opt-in to eps-approximate percentile
         # serving from the DDSketch bins (see _hist_substitution)
-        substituted = _hist_substitution(points, q, hist_rollups, series_dim, spine_from_dim)
+        substituted = _hist_substitution(points, q, hist_rollups, series_dim, spine_from_dim, hist_eps)
         if substituted is not None:
             return substituted
     shift = int(q.shift_seconds)
@@ -448,7 +469,7 @@ def run_metric_query(
 
             interval = (q.end - q.start) if (q.run_all or q.interval is None) else q.interval
             merged = fill_spine(
-                merged, df, q.start, q.end, interval, group_keys,
+                merged, q.start, q.end, interval, group_keys,
                 fill=q.fill, spine_groups=spine_groups,
             )
         return merged
@@ -595,5 +616,5 @@ def run_tiered_metric_query(store: TieredStore, q: MetricQuery, **kw) -> DataFra
         from opentsdb_aura_spark.operators.downsample import fill_spine
 
         group_cols = [c for c in res.columns if c not in ("bucket_ts", "value")]
-        res = fill_spine(res, res, q.start, q.end, q.interval, group_cols, fill=q.fill)
+        res = fill_spine(res, q.start, q.end, q.interval, group_cols, fill=q.fill)
     return res

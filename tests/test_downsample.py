@@ -172,3 +172,38 @@ def test_spine_from_dim_raw_per_series(make_points):
     assert len(vals) == 2
     assert sorted(v for v in vals.values() if not math.isnan(v)) == [1.0]
     assert sum(1 for v in vals.values() if math.isnan(v)) == 1
+
+
+def test_fill_spine_preserves_null_group_values(make_points):
+    """A series missing the grouped tag forms a NULL-keyed group; the
+    spine join must be null-safe or the whole group's computed values
+    silently become the fill value."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("m", {"host": "a"}, BASE, 5.0),
+        ("m", {}, BASE, 10.0),  # no host tag -> NULL group
+        ("m", {}, BASE + 30, 20.0),
+    ]
+    pts = make_points(rows).withColumn("tag_host", F.col("tags")["host"])
+    res = downsample(pts, BASE, BASE + 120, 60, "sum", group_cols=["tag_host"], fill="nan")
+    got = {(r["tag_host"], r["bucket_ts"]): r["value"] for r in res.collect()}
+    assert got[("a", BASE)] == 5.0
+    assert got[(None, BASE)] == 30.0  # NOT NaN: the null group's values survive
+    assert math.isnan(got[(None, BASE + 60)])
+    assert math.isnan(got[("a", BASE + 60)])
+
+
+def test_custom_aggregator_name_starting_with_p(make_points):
+    """Registry names are arbitrary: a custom aggregator called
+    'pmean' must dispatch to the registry, not the percentile parser."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.downsample import register_aggregator
+
+    register_aggregator("pmean", lambda v: F.avg(v))
+    pts = make_points([("m", {}, BASE + i, float(i)) for i in range(4)])
+    res = downsample(pts, BASE, BASE + 60, 60, "pmean", group_cols=[], fill="none")
+    assert res.collect()[0]["value"] == 1.5

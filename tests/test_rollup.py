@@ -293,3 +293,41 @@ def test_tiered_percentile_composes_with_hist_substitution(spark, make_points):
     assert set(exact) == set(approx) and len(exact) == 8
     for k, e in exact.items():
         assert abs(approx[k] - e) <= HIST_EPS * abs(e) + 1e-12, (k, approx[k], e)
+
+
+def test_hist_substitution_p999_and_custom_eps(spark, make_points):
+    """p999 must hist-substitute (the 3-digit percentile is the shape
+    sketches exist for), and a table built with non-default eps decodes
+    correctly when hist_eps is passed — and garbage when it is not."""
+    import random
+
+    from opentsdb_aura_spark.operators.rollup import build_rollup_histogram
+    from opentsdb_aura_spark.plans.query import (
+        MetricQuery,
+        _hist_substitution,
+        _percentile_fraction,
+        run_metric_query,
+    )
+
+    assert _percentile_fraction("p999") == 0.999
+    assert _percentile_fraction("p90") == 0.9
+
+    rng = random.Random(4)
+    rows = [("cpu", {"h": "a"}, BASE + i * 30, rng.uniform(10.0, 1000.0)) for i in range(600)]
+    pts = make_points(rows)
+    q = MetricQuery(start=BASE, end=BASE + 5 * 3600, interval=5 * 3600, ds_agg="p999", fill="none")
+
+    hist_01 = {3600: build_rollup_histogram(pts, 3600)}
+    assert _hist_substitution(pts, q, hist_01, None) is not None
+
+    hist_05 = {3600: build_rollup_histogram(pts, 3600, eps=0.05)}
+    vals = sorted(r[3] for r in rows)
+    import math
+
+    exact = vals[max(0, math.ceil(0.999 * len(vals)) - 1)]
+    good = run_metric_query(pts, q, hist_rollups=hist_05, hist_eps=0.05).first()["value"]
+    assert abs(good - exact) <= 0.05 * abs(exact) + 1e-9, (good, exact)
+    # decoding 0.05-eps bins with the default 0.01 gamma is garbage —
+    # the hist_eps parameter exists because this failure is silent
+    bad = run_metric_query(pts, q, hist_rollups=hist_05).first()["value"]
+    assert abs(bad - exact) > 0.5 * abs(exact), (bad, exact)

@@ -153,7 +153,12 @@ class Not(Filter):
     inner: Filter
 
     def to_column(self, tags: Column) -> Column:
-        return ~self.inner.to_column(tags)
+        # three-valued-logic guard: a tag-value predicate on a series
+        # MISSING the key is NULL, and ~NULL is NULL — the row would be
+        # dropped, where the reference's bitmap ANDNOT (positive &
+        # ~(n1|n2|...)) INCLUDES series lacking the key.  Coalesce the
+        # inner predicate to false so NOT(no-match) is true.
+        return ~F.coalesce(self.inner.to_column(tags), F.lit(False))
 
     def tag_keys(self) -> set[str]:
         return self.inner.tag_keys()
@@ -171,6 +176,14 @@ class Chain(Filter):
     op: str  # "AND" | "OR"
     members: list[Filter] = field(default_factory=list)
 
+    def __post_init__(self) -> None:
+        # normalize + validate: the fold below branches on op == "AND",
+        # so an unvalidated lowercase "and" would silently widen the
+        # filter to OR
+        object.__setattr__(self, "op", str(self.op).upper())
+        if self.op not in ("AND", "OR"):
+            raise ValueError(f"Chain op must be AND or OR, got {self.op!r}")
+
     def to_column(self, tags: Column) -> Column:
         positives = [m for m in self.members if not isinstance(m, Not)]
         negatives = [m.inner for m in self.members if isinstance(m, Not)]
@@ -184,7 +197,8 @@ class Chain(Filter):
             neg = negatives[0].to_column(tags)
             for m in negatives[1:]:
                 neg = neg | m.to_column(tags)
-            pos = pos & ~neg
+            # same NULL guard as Not.to_column: bitmap-ANDNOT semantics
+            pos = pos & ~F.coalesce(neg, F.lit(False))
         return pos
 
     def tag_keys(self) -> set[str]:

@@ -75,8 +75,19 @@ def canonical_tags(tags: Column) -> Column:
     """
     clean = F.map_filter(tags, lambda k, v: v.isNotNull())
     sorted_entries = F.array_sort(F.map_entries(clean))
+
+    # escape the join delimiters (and the escape char itself) inside
+    # keys/values: without it {a: "1", b: "2"} and {a: "1,b=2"}
+    # canonicalize identically and collide onto one series_id — the
+    # reference hashes key/value bytes separately and has no such
+    # ambiguity
+    def esc(c: Column) -> Column:
+        c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+        c = F.replace(c, F.lit("="), F.lit("\\="))
+        return F.replace(c, F.lit(","), F.lit("\\,"))
+
     return F.array_join(
-        F.transform(sorted_entries, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+        F.transform(sorted_entries, lambda e: F.concat(esc(e["key"]), F.lit("="), esc(e["value"]))),
         ",",
     )
 

@@ -26,6 +26,10 @@ def text_match(cols: Sequence[str], query_tokens: Sequence[str], mode: str = "AN
     ``cart`` does NOT match ``carton``."""
     import re as _re
 
+    if not query_tokens:
+        return F.lit(True)  # empty query: Lucene match-all
+    if not cols:
+        return F.lit(False)  # nothing to search in
     per_token = []
     for tok in query_tokens:
         pat = r"(^|\s)" + _re.escape(tok.lower()) + r"(\s|$)"
@@ -218,14 +222,24 @@ def funnel_conversion(
     """
     from opentsdb_aura_spark.operators.asof import asof_join
 
+    if int(window_seconds) < 1:
+        raise ValueError("funnel window must be >= 1 second")
     src = events.select(F.col(key_col).alias("k"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts"))
     froms = src.where(F.col("t") == from_type).select("k", "ts")
     tos = src.where(F.col("t") == to_type).select("k", "ts")
+    # STRICT precedence via a +1 shift on the from side: the as-of join
+    # is inclusive and keeps only the MOST RECENT from, so a from-event
+    # sharing the to-event's timestamp would shadow an earlier genuine
+    # in-window from and then fail a ts > ts_from post-filter.  With
+    # from_adj = ts+1 and tolerance = window-1, the attached match
+    # satisfies exactly real_from < ts_to and ts_to - real_from <= window.
+    froms_adj = froms.select("k", (F.col("ts") + F.lit(1)).cast("long").alias("ts"))
     matched = asof_join(
-        tos, froms, on=["k"], tolerance=int(window_seconds), right_cols=[], suffix="_from"
+        tos, froms_adj, on=["k"], tolerance=int(window_seconds) - 1, right_cols=[], suffix="_from"
     )
     conv = (
-        matched.where(F.col("ts_from").isNotNull() & (F.col("ts") > F.col("ts_from")))
+        matched.where(F.col("ts_from").isNotNull())
+        .withColumn("ts_from", F.col("ts_from") - F.lit(1))  # back to the real from ts
         .groupBy("k")
         .agg(
             F.min("ts").alias("convert_ts"),

@@ -140,6 +140,11 @@ def build_series_dim(points: DataFrame) -> DataFrame:
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_ts"),
         F.max_by("value", F.struct(F.col("ts"), F.col("ingest_seq"))).alias("last_value"),
+        # the winning point's arrival order: incremental dim merges
+        # (streaming _merge_dim) need it to arbitrate a same-last_ts
+        # rewrite arriving in a later batch — max_by on last_ts alone
+        # ties nondeterministically
+        F.max_by("ingest_seq", F.struct(F.col("ts"), F.col("ingest_seq"))).alias("last_seq"),
     )
 
 

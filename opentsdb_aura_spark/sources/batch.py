@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 8
+STORE_LAYOUT_VERSION = 9
 
 
 def _store_version_tag(sf_dir: str) -> str:
@@ -288,9 +288,14 @@ def _build_event_store(spark: SparkSession, sf_dir: str, root: str) -> tuple[str
     return metrics_path, dim_path
 
 
+def _store_subpath(sf_dir: str, name: str) -> str:
+    """<STORE_ROOT>/<basename(sf_dir)>/<name> — the single place the
+    store layout is derived; every table path helper goes through it."""
+    return os.path.join(STORE_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
+
+
 def bucketed_metrics_path(sf_dir: str) -> str:
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(STORE_ROOT, base, "metrics_bucketed")
+    return _store_subpath(sf_dir, "metrics_bucketed")
 
 
 def bucketed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,30 +310,25 @@ def bucketed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_store_path(sf_dir: str) -> str:
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(STORE_ROOT, base, "events")
+    return _store_subpath(sf_dir, "events")
 
 
 def rollup_path(sf_dir: str, interval: int = 3600) -> str:
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(STORE_ROOT, base, f"rollup_{interval}")
+    return _store_subpath(sf_dir, f"rollup_{interval}")
 
 
 def rollup_hist_path(sf_dir: str, interval: int = 3600) -> str:
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(STORE_ROOT, base, f"rollup_hist_{interval}")
+    return _store_subpath(sf_dir, f"rollup_hist_{interval}")
 
 
 def presence_hll_path(sf_dir: str, epoch_width: int = 3600) -> str:
     """Store location of the hourly HLL presence sketch table."""
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(STORE_ROOT, base, f"presence_hll_{epoch_width}")
+    return _store_subpath(sf_dir, f"presence_hll_{epoch_width}")
 
 
 def presence_path(sf_dir: str, epoch_width: int = 3600) -> str:
     """Store location of the hourly exact presence table."""
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(STORE_ROOT, base, f"presence_{epoch_width}")
+    return _store_subpath(sf_dir, f"presence_{epoch_width}")
 
 
 def compact_store(spark: SparkSession, path: str, files_per_partition: int = 1) -> int:
@@ -345,6 +345,15 @@ def compact_store(spark: SparkSession, path: str, files_per_partition: int = 1) 
     write_metrics_store(df, tmp, files_per_partition=files_per_partition, reshuffle=True)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # roll the live store back rather than leave ``path`` missing;
+        # a hard kill between the two renames still loses the name (two
+        # directories cannot swap atomically without renameat2) — the
+        # compacted data survives under ``tmp`` and the original under
+        # ``old`` for manual recovery
+        os.rename(old, path)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return len(parts)

@@ -49,6 +49,7 @@ class IngestStats:
     appended: int = 0
     dropped_late: int = 0
     dropped_early: int = 0
+    dropped_invalid: int = 0  # NULL-ts rows: neither late nor early
 
 
 @dataclass
@@ -95,12 +96,17 @@ class StreamingIngest:
             F.count(F.lit(1)).alias("total"),
             F.count_if(F.col("ts") < F.lit(lo)).alias("late"),
             F.count_if(F.col("ts") > F.lit(hi)).alias("early"),
+            # count what the write ACTUALLY keeps: NULL-ts rows are
+            # neither late nor early under three-valued logic, and
+            # total-late-early would claim them as appended
+            F.count_if((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))).alias("valid"),
         ).first()
-        n_valid = c["total"] - c["late"] - c["early"]
+        n_valid = c["valid"]
         self.stats.batches += 1
         self.stats.appended += n_valid
         self.stats.dropped_late += c["late"]
         self.stats.dropped_early += c["early"]
+        self.stats.dropped_invalid += c["total"] - c["valid"] - c["late"] - c["early"]
         if n_valid == 0:
             return
         valid = batch_df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
@@ -154,7 +160,12 @@ class StreamingIngest:
                     F.first("tags").alias("tags"),
                     F.min("first_seen").alias("first_seen"),
                     F.max("last_ts").alias("last_ts"),
-                    F.max_by("last_value", F.col("last_ts")).alias("last_value"),
+                    # (last_ts, last_seq) tiebreak: a same-ts rewrite in a
+                    # later batch carries a higher ingest_seq and must win
+                    # (the store's LWW rule); last_ts alone ties
+                    # nondeterministically
+                    F.max_by("last_value", F.struct(F.col("last_ts"), F.col("last_seq"))).alias("last_value"),
+                    F.max_by("last_seq", F.struct(F.col("last_ts"), F.col("last_seq"))).alias("last_seq"),
                     F.first("dim_bucket").alias("dim_bucket"),
                 )
             )

@@ -142,13 +142,16 @@ def streaming_dedup(
     stream_points: DataFrame,
     *,
     watermark_delay: str = "10 minutes",
-    key_cols: tuple[str, ...] = ("series_id", "ts"),
+    key_cols: tuple[str, ...] = ("series_id", "ts", "value"),
     event_time_col: str = "event_time",
 ) -> DataFrame:
     """Cross-micro-batch exact dedup of a point stream: the first
-    arrival of a (series, timestamp) point wins; re-deliveries (Kafka
-    at-least-once, producer retries) inside the watermark horizon are
-    dropped.
+    arrival of a (series, timestamp, value) point wins; re-deliveries
+    (Kafka at-least-once, producer retries) inside the watermark
+    horizon are dropped.  ``value`` is IN the default key on purpose: a
+    same-ts REWRITE carries a new value and must pass through to the
+    store's last-write-wins arbitration — keying on (series, ts) alone
+    would drop it and silently invert LWW into first-write-wins.
 
     ``dropDuplicatesWithinWatermark`` is the purpose-built operator:
     state holds one entry per key, and the watermark bounds BOTH the

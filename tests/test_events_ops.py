@@ -247,3 +247,31 @@ def test_rolling_active_users_rejects_partial_days(spark):
     for bad_end in (B, B - 86400, B + 86400 + 3600):
         with pytest.raises(ValueError):
             rolling_active_users(ev, B, bad_end, 7)
+
+
+def test_funnel_equal_ts_from_does_not_shadow(spark):
+    """A from-event sharing the to-event's timestamp must not shadow an
+    earlier in-window from: signup@100, signup@200, purchase@200 is a
+    conversion (100 -> 200); a lone equal-ts pair is NOT (strictly
+    after required)."""
+    from opentsdb_aura_spark.operators.events import funnel_conversion
+
+    rows = [
+        (1, "signup", 100), (1, "signup", 200), (1, "purchase", 200),
+        (2, "signup", 300), (2, "purchase", 300),  # only equal-ts: no conversion
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {r["user_id"]: r for r in funnel_conversion(df, "signup", "purchase", 150).collect()}
+    assert out[1]["converted"] and out[1]["convert_ts"] == 200
+    assert out[1]["seconds_to_convert"] == 100
+    assert not out[2]["converted"]
+
+
+def test_text_match_empty_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.events import text_match
+
+    df = spark.createDataFrame([("hello world",)], "title string")
+    assert df.where(text_match(["title"], [])).count() == 1  # match-all
+    assert df.where(text_match([], ["cart"])).count() == 0  # nothing to search

@@ -92,3 +92,45 @@ def test_explicit_tags(make_points):
 def test_match_all(make_points):
     assert len(_series(make_points, MatchAll())) == 5
     assert len(_series(make_points, None)) == 5
+
+
+def test_not_includes_series_missing_the_key(make_points):
+    """Bitmap-ANDNOT semantics: NOT(tag filter) must INCLUDE series
+    that lack the tag key entirely (three-valued SQL would NULL-drop
+    them: tags['dc'].isin(...) is NULL, ~NULL is NULL)."""
+    pts = make_points([
+        ("mem", {"dc": "west", "host": "a"}, BASE, 1.0),
+        ("mem", {"dc": "east", "host": "b"}, BASE, 2.0),
+        ("mem", {"host": "c"}, BASE, 3.0),  # no dc tag at all
+    ])
+    flt = Chain("AND", [MetricLiteral("mem"), Not(TagLiteralOr("dc", ("west",)))])
+    got = sorted(r["value"] for r in pts.where(compile_filter(flt)).collect())
+    assert got == [2.0, 3.0]
+    # bare Not too
+    got2 = sorted(r["value"] for r in pts.where(compile_filter(Not(TagLiteralOr("dc", ("west",))))).collect())
+    assert got2 == [2.0, 3.0]
+
+
+def test_chain_op_validated(make_points):
+    """Lowercase ops normalize; garbage raises instead of silently
+    turning AND into OR."""
+    import pytest
+
+    c = Chain("and", [MetricLiteral("a"), MetricLiteral("b")])
+    assert c.op == "AND"
+    with pytest.raises(ValueError):
+        Chain("nand", [MetricLiteral("a")])
+
+
+def test_canonical_tags_escape_delimiters(spark):
+    """Tag values containing '=' / ',' must not make distinct tag maps
+    canonicalize identically (series_id collision)."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.model import canonical_tags
+
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "2"},), ({"a": "1,b=2"},)], "tags map<string,string>"
+    )
+    got = [r["c"] for r in df.select(canonical_tags(F.col("tags")).alias("c")).collect()]
+    assert got[0] != got[1], got

@@ -553,3 +553,27 @@ def test_ingest_presence_hll_sidecar_appends_and_merges(spark, tmpdirs):
     assert got == {"m": 3}  # a, b, c — unioned across the duplicate rows
     full = cardinality_from_presence_hll(hll, BASE, BASE + 7200).collect()[0]["active_series"]
     assert full == 3
+
+
+def test_merge_dim_same_ts_rewrite_across_batches(spark, tmpdirs):
+    """A same-timestamp rewrite arriving in a LATER micro-batch must
+    win the dim's last_value (the store's LWW rule): the merge
+    tiebreaks on (last_ts, last_seq), not last_ts alone."""
+    now = BASE + 7200
+    ing = StreamingIngest(
+        store_path=tmpdirs["store"],
+        dim_path=tmpdirs["dim"],
+        retention_seconds=10 * 86400,
+        segment_width=7200,
+        now_fn=lambda: now,
+    )
+    _write_input(spark, tmpdirs["in"], [("m", {"h": "a"}, BASE + 100, 1.0, 1)], "b0")
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+    # batch 2: SAME series, SAME ts, new value, higher seq
+    _write_input(spark, tmpdirs["in"], [("m", {"h": "a"}, BASE + 100, 9.0, 2)], "b1")
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(tmpdirs["in"] + "/*")
+    ing.start(stream, tmpdirs["ckpt"]).awaitTermination(120)
+    row = spark.read.parquet(tmpdirs["dim"]).collect()[0]
+    assert row["last_ts"] == BASE + 100
+    assert row["last_value"] == 9.0 and row["last_seq"] == 2

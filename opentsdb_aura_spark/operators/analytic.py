@@ -231,7 +231,9 @@ def ratio(
     range regardless of series count skew within a bucket."""
     w = Window.partitionBy(bucket_col)
     total = F.sum(_non_nan(F.col(value_col))).over(w)
-    share = F.col(value_col) / total
+    # a bucket whose values sum to exactly 0 (signed metrics) has no
+    # defined shares: NaN, not an ANSI divide-by-zero abort
+    share = F.when(total == 0.0, NAN()).otherwise(F.col(value_col) / total)
     if as_percent:
         share = share * F.lit(100.0)
     return df.withColumn(value_col, F.coalesce(share, NAN()))

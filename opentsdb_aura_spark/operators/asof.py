@@ -63,19 +63,21 @@ def asof_join(
     carried = [right_ts, *rcols]
     l_struct = StructType([left.schema[c] for c in left.columns])
 
+    r_struct = StructType([right.schema[c] for c in carried])
+
     l_side = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carried],
+        F.lit(None).cast(r_struct).alias("_rrow"),
     )
     r_side = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_struct).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        F.struct(*[F.col(c) for c in carried]).alias("_rrow"),
     )
     u = l_side.unionByName(r_side)
     w = (
@@ -83,18 +85,23 @@ def asof_join(
         .orderBy(F.col("_ts"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # carry the matched right row as ONE struct: per-column
+    # last(ignorenulls) would fill a NULL attribute of the matched row
+    # from an OLDER row, reporting attributes staler than the tolerance
+    # (pandas merge_asof returns the matched row's own values, NULLs
+    # included)
     filled = u.select(
         "_side",
         "_lrow",
         "_ts",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_frow"),
     ).where(F.col("_side") == 1)
 
-    matched = F.col(f"_f_{right_ts}").isNotNull()
+    matched = F.col("_frow").isNotNull()
     if tolerance is not None:
-        matched = matched & ((F.col("_ts") - F.col(f"_f_{right_ts}")) <= F.lit(int(tolerance)))
+        matched = matched & ((F.col("_ts") - F.col("_frow")[right_ts]) <= F.lit(int(tolerance)))
     out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns]
     out_cols += [
-        F.when(matched, F.col(f"_f_{c}")).alias(f"{c}{suffix}") for c in carried
+        F.when(matched, F.col("_frow")[c]).alias(f"{c}{suffix}") for c in carried
     ]
     return filled.select(*out_cols)

@@ -228,13 +228,15 @@ def dedup_keep_best(
     return losers.join(winners, "_ckey").select("doc_id", "kept_doc_id")
 
 
-def _union_find_labels(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+def _union_find_labels(edges: list) -> list:
     """Driver-side exact union-find over a BOUNDED edge list; label is
     the component's minimum member id (path-halving, union by smaller
-    root so the min id is always the root)."""
-    parent: dict[int, int] = {}
+    root so the min id is always the root).  Ids keep their own type —
+    anything hashable and orderable (ints, strings) works, matching
+    the distributed path."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         r = parent.setdefault(x, x)
         while r != parent[r]:
             parent[r] = parent[parent[r]]
@@ -243,7 +245,7 @@ def _union_find_labels(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
         return r
 
     for a, b in edges:
-        ra, rb = find(int(a)), find(int(b))
+        ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
@@ -288,9 +290,15 @@ def connected_components(
     # DAG upstream of `pairs`
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     if sym.count() <= int(driver_threshold):  # cheap: counts the materialized checkpoint
+        from pyspark.sql.types import StructField, StructType
+
         labels = _union_find_labels([(r["a"], r["b"]) for r in sym.collect()])
-        return sym.sparkSession.createDataFrame(labels, "doc_id long, label long")
+        id_type = sym.schema["a"].dataType  # whatever the caller's ids are
+        schema = StructType([StructField("doc_id", id_type), StructField("label", id_type)])
+        return sym.sparkSession.createDataFrame(labels, schema)
     labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    converged = False
+    proposed = None
     for it in range(max_iters):
         nbr_min = (
             sym.join(
@@ -313,7 +321,16 @@ def connected_components(
         if it >= probe_after:
             changed = proposed.where(F.col("label") != F.col("_old")).limit(1).count()
             if changed == 0:
+                converged = True
                 break
+    if not converged and proposed is not None:
+        # silent truncation would SPLIT components and keep several
+        # "survivors" of one duplicate group — refuse instead
+        if proposed.where(F.col("label") != F.col("_old")).limit(1).count() != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds "
+                "(adversarially long duplicate chain?) — raise max_iters"
+            )
     return labels
 
 
@@ -485,6 +502,16 @@ def pack_sequences(
     regardless of corpus size.  Assignment is a pure function of the
     corpus ordered by doc_id, so the oracle is a plain SQL window
     cumsum."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(docs.schema[id_col].dataType, NumericType):
+        # the block derivation and the packing order are doc_id
+        # arithmetic; a string id would ANSI-crash (or, ANSI off,
+        # NULL-out _blk and silently emit zero rows)
+        raise ValueError(
+            f"pack_sequences requires a numeric {id_col!r} (packing order is id arithmetic); "
+            "derive a numeric surrogate (e.g. global_shuffle's rank) first"
+        )
     d = F.col(id_col)
     toks = tokens(F.col(text_col))
     base = docs.select(

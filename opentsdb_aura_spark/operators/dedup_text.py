@@ -292,6 +292,12 @@ def minhash_signatures(
 def _band_signatures(sig: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
     """(doc_id, band, bh) rows: each signature hashed per band — the
     LSH bucket table the candidate self-join runs on."""
+    if bands < 1 or num_perm % bands != 0:
+        # silent truncation would quietly change the advertised (b, r)
+        # collision probability (trailing permutations computed but
+        # never banded); bands > num_perm would build xxhash64() with
+        # zero inputs
+        raise ValueError(f"bands must divide num_perm: got num_perm={num_perm}, bands={bands}")
     rows_per_band = num_perm // bands
     return sig.select(
         "doc_id",
@@ -439,11 +445,16 @@ def update_minhash_index(
     parquet index at ``path`` (anti-join on doc_id — the new batch is
     typically a sliver of the corpus), append them, and return the
     refreshed index DataFrame.  First call creates the index."""
-    import os
-
     spark = docs.sparkSession
-    if os.path.exists(path):
+    # detect the existing index THROUGH Spark, not os.path — the index
+    # lives wherever the warehouse does (HDFS/S3 at scale), where a
+    # local-path check is always false and every batch would re-sign
+    # and append the whole corpus
+    try:
         have = spark.read.parquet(path).select("doc_id")
+    except Exception:  # AnalysisException: PATH_NOT_FOUND on first call
+        have = None
+    if have is not None:
         fresh = docs.join(have, docs[id_col] == have["doc_id"], "left_anti")
     else:
         fresh = docs

@@ -68,7 +68,11 @@ def repetition_signals(
     line_sig = per_line.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_lines"),
         (F.sum(F.col("c") - 1) / F.sum("c")).alias("dup_line_frac"),
-        (F.sum((F.col("c") - 1) * F.col("len")) / F.sum(F.col("c") * F.col("len"))).alias("dup_line_char_frac"),
+        # all-empty-line docs (text='') have sum(c*len)=0: define the
+        # char fraction as 0 rather than ANSI-crash the whole pass
+        F.when(F.sum(F.col("c") * F.col("len")) == 0, F.lit(0.0))
+        .otherwise(F.sum((F.col("c") - 1) * F.col("len")) / F.sum(F.col("c") * F.col("len")))
+        .alias("dup_line_char_frac"),
     )
 
     toks = tokens(F.col(text_col))

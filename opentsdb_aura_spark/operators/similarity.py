@@ -34,7 +34,11 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; a zero-norm vector (failed encode / padding
+    row) scores 0.0 against everything instead of aborting the job
+    with ANSI DIVIDE_BY_ZERO (CASE WHEN guards the division)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
 def brute_force_topk(

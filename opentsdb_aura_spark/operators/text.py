@@ -63,7 +63,10 @@ def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "do
         n_tok.cast("bigint").alias("n_tokens"),
         (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
         (total_len.cast("double") / n_tok).alias("mean_token_len"),
-        (n_punct.cast("double") / F.length(F.col(text_col))).alias("punct_ratio"),
+        # empty text has length 0: ratio defined as 0, not a crash
+        F.when(F.length(F.col(text_col)) == 0, F.lit(0.0))
+        .otherwise(n_punct.cast("double") / F.length(F.col(text_col)))
+        .alias("punct_ratio"),
     )
 
 

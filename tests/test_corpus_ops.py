@@ -331,3 +331,25 @@ def test_dsir_weights_separate_domains(spark):
     spam_avg = sum(out[100 + i]["weight"] for i in range(10)) / 10
     assert wiki_avg > 0 > spam_avg
     assert out[0]["n_grams"] == len(tgt.split()) + 1  # bigrams of n+2 tokens
+
+
+def test_connected_components_string_ids_driver_path(spark):
+    """The driver union-find path must accept non-integer doc ids just
+    like the distributed loop does."""
+    from opentsdb_aura_spark.operators.corpus import connected_components
+
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u2", "u3"), ("x1", "x2")], "doc_a string, doc_b string"
+    )
+    labels = {r["doc_id"]: r["label"] for r in connected_components(pairs).collect()}
+    assert labels == {"u1": "u1", "u2": "u1", "u3": "u1", "x1": "x1", "x2": "x1"}
+
+
+def test_pack_sequences_rejects_string_ids(spark):
+    import pytest
+
+    from opentsdb_aura_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame([("a", "one two")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=8)

@@ -881,3 +881,53 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = sorted(r["doc_id"] for r in weighted_sample(df, 10, F.col("w")).collect())
     assert got == [1, 4]
+
+
+def test_zero_norm_vector_scores_zero(spark):
+    """A zero embedding (failed encode / padding) must not ANSI-crash
+    the similarity job; it scores 0 against everything."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(10, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    rows = brute_force_topk(corpus, q, k=3).collect()
+    scores = {r["neighbor_id"]: r["cos_sim"] for r in rows}
+    assert scores[2] == 0.0 and abs(scores[1] - 1.0) < 1e-9
+
+
+def test_quality_ops_survive_empty_text(spark):
+    """Empty documents are ubiquitous in crawls: every quality operator
+    must produce a row, not an ANSI divide-by-zero abort."""
+    from opentsdb_aura_spark.operators.quality import repetition_signals
+
+    df = spark.createDataFrame([(1, ""), (2, "hello world")], "doc_id long, text string")
+    q = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert q[1]["punct_ratio"] == 0.0
+    r = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert r[1]["dup_line_char_frac"] == 0.0
+
+
+def test_lsh_bands_must_divide_num_perm(spark, doc_df):
+    import pytest
+
+    from opentsdb_aura_spark.operators.dedup_text import minhash_lsh_candidates
+
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(doc_df, num_perm=32, bands=5).collect()
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(doc_df, num_perm=32, bands=40).collect()
+
+
+def test_asof_matched_row_nulls_not_backfilled(spark):
+    """The matched right row's own NULL attributes must come through as
+    NULL — not be backfilled from an older (out-of-tolerance) row."""
+    from opentsdb_aura_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 21)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, "A"), (1, 20, None)], "k long, ts long, attr string"
+    )
+    row = asof_join(left, right, on=["k"], tolerance=5).collect()[0]
+    assert row["ts_asof"] == 20
+    assert row["attr_asof"] is None  # NOT "A" from ts=10 (age 11 > tolerance)

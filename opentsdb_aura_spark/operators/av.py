@@ -121,6 +121,10 @@ def decode_y4m(data: bytes) -> tuple[int, int, list[bytes]]:
         if data[pos : pos + 5] != b"FRAME":
             raise ValueError("bad FRAME marker")
         pos = data.index(b"\n", pos) + 1  # frame params, if any, end at newline
+        if pos + frame_size > len(data):
+            # a short slice would silently yield features over a
+            # partial luma plane (cf. decode_ppm's truncation check)
+            raise ValueError("truncated Y4M payload: incomplete frame")
         frames.append(data[pos : pos + width * height])  # luma plane
         pos += frame_size
     return width, height, frames

@@ -75,6 +75,8 @@ def lossy_sql_expr(value_expr: str, keep_bits: int = GORILLA_KEEP_BITS) -> str:
     t = f"(floor({a} / {scale}) * {scale})"
     signed = f"(CASE WHEN {value_expr} < 0 THEN -{t} ELSE {t} END)"
     return (
+        # abs(x) = CAST('Infinity' AS DOUBLE) is the portable infinity
+        # test: Spark SQL has no isinf() builtin (DuckDB does)
         f"(CASE WHEN {value_expr} IS NULL OR isnan({value_expr}) OR {value_expr} = 0 "
-        f"OR isinf({value_expr}) THEN {value_expr} ELSE {signed} END)"
+        f"OR abs({value_expr}) = CAST('Infinity' AS DOUBLE) THEN {value_expr} ELSE {signed} END)"
     )

@@ -247,13 +247,29 @@ def evaluate_expression(
     keys = list(join_keys) if join_keys is not None else [c for c in first.columns if c != value_col]
 
     joined: DataFrame | None = None
-    for name in names:
+    for i, name in enumerate(names):
         side = sources[name].select(*keys, F.col(value_col).alias(f"_v_{name}"))
-        # USING-join on the key names: Spark emits ONE coalesced column
-        # per key for outer joins, and both inputs arrive hash
-        # partitioned on exactly these keys from their aggregations, so
-        # no new exchange is introduced.
-        joined = side if joined is None else joined.join(side, on=keys, how=how)
+        if joined is None:
+            joined = side
+            continue
+        # NULL-SAFE key equality: a series missing a grouped tag forms
+        # a NULL-keyed group (with_group_keys), and a plain USING join
+        # would never match it across operands — the group would come
+        # out doubled (outer) or silently dropped (inner), the same
+        # class of bug fill_spine's spine join fixes.  Both inputs
+        # still arrive hash partitioned on these keys, so no new
+        # exchange is introduced.
+        lhs, rhs = joined.alias("_l"), side.alias(f"_r{i}")
+        cond = None
+        for k in keys:
+            c = F.col(f"_l.{k}").eqNullSafe(F.col(f"_r{i}.{k}"))
+            cond = c if cond is None else (cond & c)
+        prev_vals = [c for c in joined.columns if c.startswith("_v_")]
+        joined = lhs.join(rhs, cond, how).select(
+            *[F.coalesce(F.col(f"_l.{k}"), F.col(f"_r{i}.{k}")).alias(k) for k in keys],
+            *[F.col(f"_l.{v}") for v in prev_vals],
+            F.col(f"_r{i}._v_{name}"),
+        )
 
     fill = F.lit(float(substitute_missing)).cast("double") if substitute_missing is not None else NAN()
 

@@ -340,7 +340,14 @@ def extract_features(media: DataFrame, *, fake: bool = True, feat_dim: int = 8) 
     recompute from the generation rule, closing the loop on the codec.
     ``fake=True`` derives features from the raw payload bytes without
     decoding (stable stand-in for formats without a decoder).
+
+    The real path decodes IMAGES; non-image rows (audio/video — their
+    real decoders live in operators/av.py) are filtered out up front so
+    a mixed media frame does not abort the stage on the first RIFF/Y4M
+    payload.
     """
+    if not fake:
+        media = media.where(F.col("kind") == "image")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -440,10 +447,18 @@ def sample_frames(media: DataFrame, every_n: int = 30, *, fake: bool = True) -> 
     opaque binary.  One input row fans out to ceil(n_frames/every_n)
     rows — the mapInPandas iterator shape for 1→many extraction."""
 
+    if not fake:
+        # _decode_real only knows image codecs, and even a successful
+        # decode here would be discarded while fake frames are emitted —
+        # a trap, not a feature.  The REAL frame sampler is
+        # operators/av.sample_video_frames (Y4M).
+        raise NotImplementedError(
+            "real frame sampling lives in operators/av.sample_video_frames; "
+            "multimodal.sample_frames is the schema-plumbing fake"
+        )
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                pdf["payload"].map(lambda p: _decode_real(p, "video"))  # pragma: no cover
             ids, idxs, frames = [], [], []
             for mid, raw, n_frames in zip(pdf["media_id"], pdf["payload"], pdf["n_frames"]):
                 payload = bytes(raw)

@@ -50,7 +50,13 @@ def parse_duration(text: str) -> int:
     m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h|d|w|n|y)", text)
     if not m:
         raise ValueError(f"unparseable duration: {text!r}")
-    return int(float(m.group(1)) * _UNITS[m.group(2)])
+    raw = float(m.group(1)) * _UNITS[m.group(2)]
+    if raw != int(raw):
+        # the engine's time resolution is whole epoch seconds; '500ms'
+        # silently truncating to 0 would become the run-all sentinel
+        # (and halve rates via the or-1 fallback) — refuse instead
+        raise ValueError(f"duration {text!r} is not a whole number of seconds")
+    return int(raw)
 
 
 def parse_timestamp(value: Any, now: int) -> int:
@@ -177,6 +183,14 @@ def _fold_nodes(
             gb_agg = node.get("aggregator", "sum")
         elif ntype == "timeshift":
             shift = parse_duration(node.get("interval", "0s"))
+        else:
+            # silent node drops would return un-processed series to a
+            # client that asked for (e.g.) a summarizer — refuse, and
+            # point at the DAG runner that DOES handle those nodes
+            raise ValueError(
+                f"translate_query cannot fold node type {node.get('type')!r}; "
+                "use run_semantic_graph for expression/summarizer/topn/... DAG nodes"
+            )
 
     kw: dict[str, Any] = dict(
         start=start,
@@ -338,7 +352,9 @@ def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_w
                 src,
                 lookback=int(node.get("lookback", 7)),
                 min_history=int(node.get("minHistory", 3)),
-                group_cols=group_cols or ["metric"],
+                # group-all branches have NO group columns: an empty
+                # list is a valid single global partition, not a miss
+                group_cols=group_cols,
             )
         elif ntype == "ratio":
             # upstream RatioConfig (net.opentsdb.query.processor.ratio)

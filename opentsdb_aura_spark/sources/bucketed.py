@@ -53,6 +53,9 @@ def write_bucketed_metrics(
     table run one task per bucket (per directory partition), so at
     scale pick buckets ≈ cluster cores; locally 8 keeps files
     chunky."""
+    import json
+    import os
+
     spark = points.sparkSession
     table = table or bucketed_table_name(path)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -64,6 +67,12 @@ def write_bucketed_metrics(
         .format("parquet")
         .saveAsTable(table)
     )
+    # persist the bucket spec next to the data: a later session that
+    # re-declares the table MUST use the same bucket count, or Spark
+    # trusts the wrong spec and plans shuffle-free aggregations over
+    # mis-assigned files (silently wrong groupings)
+    with open(os.path.join(path, "_BUCKET_SPEC.json"), "w") as f:
+        json.dump({"n_buckets": int(n_buckets), "bucket_col": BUCKET_COL}, f)
     return table
 
 
@@ -73,7 +82,19 @@ def register_bucketed_metrics(
     """Return the bucketed table at ``path`` as a DataFrame, declaring
     the external table (with its bucket spec) in this session's
     catalog if it isn't there yet.  Idempotent per session."""
+    import json
+    import os
+
     table = table or bucketed_table_name(path)
+    spec_file = os.path.join(path, "_BUCKET_SPEC.json")
+    if os.path.exists(spec_file):
+        with open(spec_file) as f:
+            spec = json.load(f)
+        if int(spec.get("n_buckets", n_buckets)) != int(n_buckets):
+            raise ValueError(
+                f"bucket spec mismatch for {path}: written with "
+                f"{spec['n_buckets']} buckets, asked to register {n_buckets}"
+            )
     if not spark.catalog.tableExists(table):
         schema = spark.read.parquet(path).schema
         cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)

@@ -31,14 +31,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
         "series_dim": C.series_dim(spark, sf_dir),
         "events": C.events_seconds(spark, sf_dir),
         "rollup_3600": C._rollup(spark, sf_dir),
-        "rollup_hist_3600": spark.read.parquet(rollup_hist_path(sf_dir, 3600)),
-        # hourly HLL presence sketches: SQL users get range cardinality
-        # via hll_sketch_estimate(hll_union_agg(hll)) with no raw scan
-        "presence_hll_3600": spark.read.parquet(presence_hll_path(sf_dir, 3600)),
-        "presence_3600": spark.read.parquet(presence_path(sf_dir, 3600)),
         "documents": C.docs(spark, sf_dir),
         "embeddings": C.embs(spark, sf_dir),
     }
+    # sidecar rollup tables: optional per store vintage — a missing one
+    # must not take down the core views with it
+    sidecars = {
+        "rollup_hist_3600": rollup_hist_path(sf_dir, 3600),
+        # hourly HLL presence sketches: SQL users get range cardinality
+        # via hll_sketch_estimate(hll_union_agg(hll)) with no raw scan
+        "presence_hll_3600": presence_hll_path(sf_dir, 3600),
+        "presence_3600": presence_path(sf_dir, 3600),
+    }
+    for name, p in sidecars.items():
+        try:
+            views[name] = spark.read.parquet(p)
+        except Exception:  # PATH_NOT_FOUND: older store without this sidecar
+            pass
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return sorted(views)

@@ -70,3 +70,25 @@ def test_bucketed_self_join_has_no_shuffle(spark, bucketed):
         assert "Exchange" not in plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucket_spec_mismatch_rejected(spark, tmp_path):
+    """Re-registering a bucketed table with a different bucket count
+    must fail loudly: Spark would otherwise trust the wrong spec and
+    plan shuffle-free aggregations over mis-assigned files."""
+    import pytest
+
+    from opentsdb_aura_spark.sources.bucketed import (
+        register_bucketed_metrics,
+        write_bucketed_metrics,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 100, 1.0, "m", 0)], "series_id long, ts long, value double, metric string, ingest_seq long"
+    )
+    path = str(tmp_path / "bkt")
+    t = write_bucketed_metrics(pts, path, n_buckets=4)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    with pytest.raises(ValueError):
+        register_bucketed_metrics(spark, path, n_buckets=8)
+    assert register_bucketed_metrics(spark, path, n_buckets=4).count() == 1

@@ -64,3 +64,23 @@ def test_truncation_error_bound_and_idempotence(spark):
         if r["v"] != 0:
             assert abs(r["t1"] - r["v"]) <= abs(r["v"]) * 2.0**-8
             assert abs(r["t1"]) <= abs(r["v"])  # truncation toward zero
+
+
+def test_lossy_sql_expr_runs_on_spark(spark):
+    """The SQL re-expression must be PORTABLE: executable by Spark SQL
+    (no isinf — DuckDB-only) and byte-identical to the column path."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.compression import lossy_mantissa_truncate, lossy_sql_expr
+
+    vals = [0.0, 1.0, -3.14159, 1e-300, 6.02e23, float("inf"), float("-inf"), float("nan")]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = df.select(
+        lossy_mantissa_truncate(F.col("v")).alias("col_path"),
+        F.expr(lossy_sql_expr("v")).alias("sql_path"),
+    ).collect()
+    for r in rows:
+        a, b = r["col_path"], r["sql_path"]
+        assert (math.isnan(a) and math.isnan(b)) or a == b, (a, b)

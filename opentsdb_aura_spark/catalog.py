@@ -1623,7 +1623,8 @@ def ann_ivf_index_topk(spark, sf_dir):
 @register(
     "text_token_stats",
     """SELECT doc_id,
-       CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS BIGINT) AS n_tokens,
        CAST(strlen(text) AS BIGINT) AS n_bytes
 FROM documents""",
 )
@@ -1635,10 +1636,12 @@ def text_token_stats(spark, sf_dir):
 @register(
     "text_quality",
     """SELECT doc_id,
-       CAST(len(toks) AS BIGINT) AS n_tokens,
-       round(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0 / len(toks), 6) AS stopword_ratio,
-       round(list_sum(list_transform(toks, t -> strlen(t))) * 1.0 / len(toks), 6) AS mean_token_len
-FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)""",
+       CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+       round(CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0 / len(toks) END, 6) AS stopword_ratio,
+       round(CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE list_sum(list_transform(toks, t -> strlen(t))) * 1.0 / len(toks) END, 6) AS mean_token_len
+FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)""",
 )
 def text_quality(spark, sf_dir):
     """Quality signals: stopword ratio, mean token length."""

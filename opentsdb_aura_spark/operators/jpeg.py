@@ -353,6 +353,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     arithmetic / subsampled streams raise NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, struct.error) as e:
+        # truncated downloads are routine in crawls: surface them under
+        # the module's documented ValueError contract so per-payload
+        # skip logic catches them, instead of IndexError killing the task
+        raise ValueError(f"truncated JPEG payload: {e}") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> tuple[int, int, bytes]:
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
@@ -455,7 +465,10 @@ def _decode_scan(data, pos, width, height, comps, scan_tabs, quant, huff_dc, huf
                     zz[k] = _receive_extend(r, size)
                     k += 1
                 coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz * q
+                # q is in NATURAL order (the DQT parse un-zigzags it),
+                # zz in zigzag order: the i-th zigzag coefficient pairs
+                # with q at its natural position _ZIGZAG[i]
+                coef[_ZIGZAG] = zz * q[_ZIGZAG]
                 block = _D.T @ coef.reshape(8, 8) @ _D + 128.0
                 planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
             mcu += 1

@@ -30,11 +30,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def token_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token + byte counts per doc: (doc_id, n_tokens, n_bytes)."""
+    """Token + byte counts per doc: (doc_id, n_tokens, n_bytes).
+
+    Empty / whitespace-only text counts 0 tokens — split engines
+    return [''] for the empty string, which would report a phantom
+    token and make ``n_tokens >= 1`` curation filters keep empty docs.
+    """
     toks = tokens(F.col(text_col))
+    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
+        n_tok.cast("bigint").alias("n_tokens"),
         F.octet_length(F.col(text_col)).cast("bigint").alias("n_bytes"),
     )
 
@@ -53,7 +59,8 @@ def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "do
     """Per-doc quality signals: (doc_id, n_tokens, stopword_ratio,
     mean_token_len, punct_ratio)."""
     toks = tokens(F.col(text_col))
-    n_tok = F.size(toks)
+    # same empty-text rule as token_stats; the ratios degrade to 0
+    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
@@ -61,8 +68,8 @@ def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "do
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_tok.cast("bigint").alias("n_tokens"),
-        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
-        (total_len.cast("double") / n_tok).alias("mean_token_len"),
+        F.when(n_tok == 0, F.lit(0.0)).otherwise(n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        F.when(n_tok == 0, F.lit(0.0)).otherwise(total_len.cast("double") / n_tok).alias("mean_token_len"),
         # empty text has length 0: ratio defined as 0, not a crash
         F.when(F.length(F.col(text_col)) == 0, F.lit(0.0))
         .otherwise(n_punct.cast("double") / F.length(F.col(text_col)))
@@ -160,7 +167,12 @@ def bm25_search(
     * final top-k is an order-by-limit over scored docs
       (TakeOrderedAndProject, no global sort materialization).
     """
-    q = [t.lower() for t in query_tokens]
+    from collections import Counter
+
+    # bag semantics: a token repeated in the query weights its term's
+    # contribution by its query-side multiplicity (standard BM25 qtf)
+    qtf = Counter(t.lower() for t in query_tokens)
+    q = sorted(qtf)
     toked = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
     )
@@ -172,7 +184,10 @@ def bm25_search(
     tf = hits.groupBy("doc_id", "token").agg(F.count("*").cast("double").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    term = F.col("_idf") * (
+    qtf_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in qtf.items() for x in kv]), F.col("token")
+    ).cast("double")
+    term = qtf_col * F.col("_idf") * (
         F.col("tf") * (k1 + 1.0)
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )

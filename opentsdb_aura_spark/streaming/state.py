@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "series_id long, last_ts long, last_value double, n_points long"
-STATE_SCHEMA = "last_ts long, last_value double, n_points long"
+STATE_SCHEMA = "last_ts long, last_seq long, last_value double, n_points long"
 
 
 def _update_last_value(
@@ -30,20 +30,24 @@ def _update_last_value(
 ) -> Iterable[pd.DataFrame]:
     (series_id,) = key
     if state.exists:
-        last_ts, last_value, n_points = state.get
+        last_ts, last_seq, last_value, n_points = state.get
     else:
-        last_ts, last_value, n_points = -1, float("nan"), 0
+        last_ts, last_seq, last_value, n_points = -1, -1, float("nan"), 0
 
     for pdf in pdfs:
         n_points += len(pdf)
         # latest by (ts, ingest_seq) — same arrival-order contract as
-        # the batch dedupe
+        # the batch dedupe.  The seq is part of BOTH the per-chunk
+        # comparison and the persisted state: a group arrives as
+        # several Arrow chunks (and across micro-batches), and a
+        # ts-only compare would let whichever chunk came later win a
+        # same-ts tie regardless of arrival order.
         idx = pdf.sort_values(["ts", "ingest_seq"]).index[-1]
-        ts, val = int(pdf.loc[idx, "ts"]), float(pdf.loc[idx, "value"])
-        if ts >= last_ts:
-            last_ts, last_value = ts, val
+        ts, seq, val = int(pdf.loc[idx, "ts"]), int(pdf.loc[idx, "ingest_seq"]), float(pdf.loc[idx, "value"])
+        if (ts, seq) >= (last_ts, last_seq):
+            last_ts, last_seq, last_value = ts, seq, val
 
-    state.update((last_ts, last_value, n_points))
+    state.update((last_ts, last_seq, last_value, n_points))
     yield pd.DataFrame(
         {
             "series_id": [series_id],

@@ -575,7 +575,7 @@ def test_minhash_index_incremental_equals_direct(spark, tmp_path, doc_df):
 
 def test_jpeg_roundtrip_bounds():
     """Baseline JPEG codec: flat fields decode within ±2/channel, a
-    hard synthetic gradient stays above 28 dB PSNR, dimensions exact,
+    hard synthetic gradient stays above 40 dB PSNR, dimensions exact,
     and restart-marker streams decode identically to plain ones."""
     import numpy as np
 
@@ -601,7 +601,8 @@ def test_jpeg_roundtrip_bounds():
     dec = np.frombuffer(out, np.uint8).astype(float).reshape(h, w, 3)
     mse = ((dec - px.astype(float)) ** 2).mean()
     psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
-    assert psnr >= 28.0, psnr
+    # 40 dB would have caught the zigzag-vs-natural dequant bug
+    assert psnr >= 40.0, psnr
 
     plain = decode_jpeg(encode_jpeg(w, h, px.tobytes()))
     for ri in (1, 3, 7):
@@ -931,3 +932,48 @@ def test_asof_matched_row_nulls_not_backfilled(spark):
     row = asof_join(left, right, on=["k"], tolerance=5).collect()[0]
     assert row["ts_asof"] == 20
     assert row["attr_asof"] is None  # NOT "A" from ts=10 (age 11 > tolerance)
+
+
+def test_jpeg_truncation_raises_value_error():
+    """Truncated payloads must surface under the documented ValueError
+    contract at EVERY cut offset — not IndexError/struct.error that a
+    per-payload skip handler would miss."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    payload = encode_jpeg(16, 16, img.tobytes())
+    for cut in range(1, len(payload)):
+        try:
+            decode_jpeg(payload[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"cut at {cut}: {type(e).__name__}: {e}")
+
+
+def test_token_stats_empty_doc_zero_tokens(spark):
+    """Empty/whitespace docs count 0 tokens (split engines return ['']
+    for the empty string — a phantom token that would defeat
+    n_tokens >= 1 curation filters)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in token_stats(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 2}
+    q = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert q[1]["n_tokens"] == 0 and q[1]["stopword_ratio"] == 0.0
+
+
+def test_bm25_query_token_multiplicity(spark, doc_df):
+    """Bag semantics: a doubled query token doubles that term's
+    contribution, changing scores (and potentially the ranking)."""
+    from opentsdb_aura_spark.operators.text import bm25_search
+
+    single = {r["doc_id"]: r["score"] for r in bm25_search(doc_df, ["alpha", "one"], k=10).collect()}
+    double = {r["doc_id"]: r["score"] for r in bm25_search(doc_df, ["alpha", "alpha", "one"], k=10).collect()}
+    # docs containing 'alpha' gain exactly one extra alpha-term unit
+    for d, s in double.items():
+        assert s >= single.get(d, 0) - 1e-9
+    assert any(abs(double[d] - single[d]) > 1e-9 for d in single if d in double)

@@ -170,7 +170,7 @@ series AS (SELECT DISTINCT metric, tag_user, tag_k FROM pts)
 """
 
 ORACLE_SHINGLES = """
-WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '') AS toks
            FROM documents),
 shing AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks)-1),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM d),
@@ -1461,7 +1461,7 @@ def dedup_exact_docs(spark, sf_dir):
 
 @register(
     "dedup_repeated_spans",
-    r"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    r"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
            FROM documents),
 g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
              array_to_string(toks[i+1:i+8], ' ') AS gram
@@ -1482,7 +1482,7 @@ def dedup_repeated_spans(spark, sf_dir):
 
 @register(
     "dedup_span_excise",
-    r"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    r"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
            FROM documents),
 g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
              array_to_string(toks[i+1:i+8], ' ') AS gram
@@ -1623,8 +1623,7 @@ def ann_ivf_index_topk(spark, sf_dir):
 @register(
     "text_token_stats",
     """SELECT doc_id,
-       CAST(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '')) AS BIGINT) AS n_tokens,
        CAST(strlen(text) AS BIGINT) AS n_bytes
 FROM documents""",
 )
@@ -1636,12 +1635,12 @@ def text_token_stats(spark, sf_dir):
 @register(
     "text_quality",
     """SELECT doc_id,
-       CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
-       round(CASE WHEN trim(text) = '' THEN 0.0
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
                   ELSE len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0 / len(toks) END, 6) AS stopword_ratio,
-       round(CASE WHEN trim(text) = '' THEN 0.0
-                  ELSE list_sum(list_transform(toks, t -> strlen(t))) * 1.0 / len(toks) END, 6) AS mean_token_len
-FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)""",
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) END, 6) AS mean_token_len
+FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '') AS toks FROM documents)""",
 )
 def text_quality(spark, sf_dir):
     """Quality signals: stopword ratio, mean token length."""
@@ -1656,7 +1655,7 @@ def text_quality(spark, sf_dir):
 
 @register(
     "text_lang_id",
-    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+    """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '') AS toks FROM documents),
 s AS (SELECT doc_id,
         len(list_filter(toks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
         len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
@@ -1746,7 +1745,7 @@ def _md5_bucket_sql(key_expr: str, salt: str) -> str:
 
 
 _ORACLE_TC = """tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tc
-      FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '')) AS token
             FROM documents)
       GROUP BY 1, 2)"""
 
@@ -1927,7 +1926,7 @@ def dedup_cluster_resolve(spark, sf_dir):
 
 @register(
     "chunk_docs_64_32",
-    r"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    r"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
            FROM documents),
 st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 32)) AS s FROM d)
 SELECT doc_id, CAST(s // 32 AS INTEGER) AS chunk_idx,
@@ -1970,7 +1969,7 @@ def contamination_ngram(spark, sf_dir):
 
 @register(
     "corpus_bigram_top20",
-    r"""WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+    r"""WITH t AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks FROM documents),
 b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
       FROM t)
 SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
@@ -1986,7 +1985,7 @@ def corpus_bigram_top20(spark, sf_dir):
 
 @register(
     "pipeline_pack_sequences",
-    r"""WITH t AS (SELECT doc_id, len(string_split_regex(lower(trim(text)), '\s+')) AS n
+    r"""WITH t AS (SELECT doc_id, len(list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '')) AS n
            FROM documents),
 c AS (SELECT doc_id, n,
              coalesce(sum(n) OVER (ORDER BY doc_id
@@ -2038,7 +2037,7 @@ def pipeline_mixture_sample(spark, sf_dir):
 # synthetic corpus is single-line, so both engines rebuild each doc as
 # lines of 5 tokens (same rule, so line-level semantics are exercised
 # end-to-end and the oracle stays bit-exact).
-_LINES_SQL = r"""WITH d0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+_LINES_SQL = r"""WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
            FROM documents),
 d AS (SELECT doc_id, toks,
         list_transform(range(0, CAST(ceil(len(toks) / 5.0) AS INT)),
@@ -2060,14 +2059,14 @@ def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_repetition_docs",
     f"""{_LINES_SQL},
 l AS (SELECT doc_id, unnest(lines) AS line FROM d),
-pl AS (SELECT doc_id, line, count(*) AS c, strlen(line) AS len FROM l GROUP BY 1, 2),
+pl AS (SELECT doc_id, line, count(*) AS c, length(line) AS len FROM l GROUP BY 1, 2),
 ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
               sum(c - 1) * 1.0 / sum(c) AS dup_line_frac,
               sum((c - 1) * len) * 1.0 / sum(c * len) AS dup_line_char_frac
        FROM pl GROUP BY 1),
 bgs AS (SELECT doc_id,
                unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram,
-               list_sum(list_transform(toks, t -> strlen(t))) AS tc
+               list_sum(list_transform(toks, t -> length(t))) AS tc
         FROM d),
 pb AS (SELECT doc_id, bigram, count(*) AS c, any_value(tc) AS tc FROM bgs GROUP BY 1, 2),
 mx AS (SELECT doc_id, max(c) AS mx, any_value(tc) AS tc FROM pb GROUP BY 1),
@@ -2075,7 +2074,7 @@ tb AS (SELECT p.doc_id, min(p.bigram) AS top_bigram, any_value(m.mx) AS c, any_v
        FROM pb p JOIN mx m USING (doc_id) WHERE p.c = m.mx GROUP BY 1)
 SELECT ls.doc_id, n_lines, round(dup_line_frac, 6) AS dup_line_frac,
        round(dup_line_char_frac, 6) AS dup_line_char_frac, top_bigram,
-       round(c * (strlen(top_bigram) - 1) * 1.0 / tc, 6) AS top_bigram_char_frac
+       round(c * (length(top_bigram) - 1) * 1.0 / tc, 6) AS top_bigram_char_frac
 FROM ls JOIN tb USING (doc_id)""",
 )
 def quality_repetition_docs(spark, sf_dir):
@@ -2099,12 +2098,12 @@ def quality_repetition_docs(spark, sf_dir):
 @register(
     "quality_gopher_flags",
     r"""WITH t AS (SELECT doc_id, text,
-        string_split_regex(lower(trim(text)), '\s+') AS toks,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks,
         string_split(text, chr(10)) AS lines FROM documents),
 s AS (SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_tokens,
-        list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mean_word_len,
-        list_sum(list_transform(toks, x -> strlen(x) - strlen(replace(x, '#', ''))
+        list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_word_len,
+        list_sum(list_transform(toks, x -> length(x) - length(replace(x, '#', ''))
           + CASE WHEN contains(x, '...') OR contains(x, '…') THEN 1 ELSE 0 END)) * 1.0 / len(toks) AS symbol_word_ratio,
         len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* ', '• '))) * 1.0 / len(lines) AS bullet_line_frac,
         len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0 / len(lines) AS ellipsis_line_frac,
@@ -2152,7 +2151,7 @@ def quality_gopher_flags(spark, sf_dir):
 
 @register(
     "quality_lm_scores",
-    r"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    r"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
            FROM documents),
 bg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, toks[i+1] AS w1
        FROM d, unnest(range(0, greatest(len(toks) - 1, 0))) AS t(i)),
@@ -2865,7 +2864,7 @@ def rollup_hist_p90_daily(spark, sf_dir):
 
 @register(
     "corpus_heavy_tokens_mg",
-    """WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS item
+    """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '')) AS item
                    FROM documents),
 cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS est_count FROM toks GROUP BY 1),
 r AS (SELECT *, row_number() OVER (ORDER BY est_count DESC, item) AS rn FROM cnt)
@@ -2891,7 +2890,7 @@ def corpus_heavy_tokens_mg(spark, sf_dir):
 
 @register(
     "corpus_heavy_tokens_by_lang_mg",
-    """WITH toks AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS item
+    """WITH toks AS (SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '')) AS item
                    FROM documents),
 cnt AS (SELECT lang, item, CAST(count(*) AS BIGINT) AS est_count FROM toks GROUP BY 1, 2),
 r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY est_count DESC, item) AS rn
@@ -3740,7 +3739,7 @@ def anomaly_seasonal_hourly(spark, sf_dir):
 @register(
     "corpus_bm25_search",
     r"""WITH toked AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '')) AS token
   FROM documents),
 lengths AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toked GROUP BY 1),
 stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lengths),
@@ -3770,7 +3769,7 @@ def corpus_bm25_search(spark, sf_dir):
     "corpus_source_report",
     r"""SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> ''))) AS BIGINT) AS total_tokens,
        round(avg(n_chars), 4) AS avg_chars,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_docs
@@ -3796,7 +3795,7 @@ def corpus_source_report(spark, sf_dir):
     "pipeline_token_budget",
     r"""WITH c AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS BIGINT) AS n_tokens
   FROM documents),
 r AS (
   SELECT doc_id, source, n_tokens,
@@ -3888,7 +3887,7 @@ def pipeline_domain_cap(spark, sf_dir):
 @register(
     "pipeline_dsir_weights",
     r"""WITH w AS (
-  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
+  SELECT doc_id, source, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS t
   FROM documents),
 g AS (
   SELECT doc_id, source,

@@ -26,8 +26,11 @@ from pyspark.sql import functions as F
 
 
 def tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    """Lowercased whitespace tokens.  Empty tokens are filtered: split
+    engines return [''] for empty input (and '' elements for
+    tab/newline-edged text that trim — ASCII space only — leaves
+    behind), which would count phantom tokens in every consumer."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
 
 
 def _perm_min_aggs(num_perm: int, h: Column) -> list[Column]:

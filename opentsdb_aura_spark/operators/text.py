@@ -37,10 +37,9 @@ def token_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     token and make ``n_tokens >= 1`` curation filters keep empty docs.
     """
     toks = tokens(F.col(text_col))
-    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_tok.cast("bigint").alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
         F.octet_length(F.col(text_col)).cast("bigint").alias("n_bytes"),
     )
 
@@ -59,8 +58,7 @@ def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "do
     """Per-doc quality signals: (doc_id, n_tokens, stopword_ratio,
     mean_token_len, punct_ratio)."""
     toks = tokens(F.col(text_col))
-    # same empty-text rule as token_stats; the ratios degrade to 0
-    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    n_tok = F.size(toks)  # 0 for empty docs (tokens() filters empties)
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))

@@ -958,10 +958,13 @@ def test_token_stats_empty_doc_zero_tokens(spark):
     for the empty string — a phantom token that would defeat
     n_tokens >= 1 curation filters)."""
     df = spark.createDataFrame(
-        [(1, ""), (2, "   "), (3, "two words")], "doc_id long, text string"
+        [(1, ""), (2, "   "), (3, "two words"), (4, "\t\n"), (5, "\tword\n")],
+        "doc_id long, text string",
     )
     got = {r["doc_id"]: r["n_tokens"] for r in token_stats(df).collect()}
-    assert got == {1: 0, 2: 0, 3: 2}
+    # 4/5: trim strips only ASCII spaces — the tokenizer's empty-token
+    # filter must still yield 0 and 1
+    assert got == {1: 0, 2: 0, 3: 2, 4: 0, 5: 1}
     q = {r["doc_id"]: r for r in quality_scores(df).collect()}
     assert q[1]["n_tokens"] == 0 and q[1]["stopword_ratio"] == 0.0
 

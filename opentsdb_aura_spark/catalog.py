@@ -3561,6 +3561,50 @@ def ev_wau_rolling(spark, sf_dir):
     return res.select("day_ts", F.col("active_users").cast("bigint").alias("active_users"))
 
 
+@register(
+    "ev_stickiness_daily",
+    f"""WITH ud AS (
+  SELECT DISTINCT
+         (CAST(floor(epoch(ts)) AS BIGINT) - {START - 6 * DAY}) // 86400 - 6 AS d,
+         user_id
+  FROM events
+  WHERE epoch(ts) >= {START - 6 * DAY} AND epoch(ts) < {START + 14 * DAY}),
+days AS (SELECT range AS o FROM range(0, 14)),
+wau AS (SELECT o, count(DISTINCT user_id) AS w
+        FROM days JOIN ud ON ud.d BETWEEN o - 6 AND o GROUP BY 1),
+dau AS (SELECT d AS o, count(DISTINCT user_id) AS a FROM ud WHERE d >= 0 GROUP BY 1)
+SELECT CAST({START} + wau.o * 86400 AS BIGINT) AS day_ts,
+       CAST(coalesce(dau.a, 0) AS BIGINT) AS dau,
+       CAST(wau.w AS BIGINT) AS wau,
+       round(coalesce(dau.a, 0) * 1.0 / wau.w, 6) AS stickiness
+FROM wau LEFT JOIN dau USING (o) ORDER BY 1""",
+)
+def ev_stickiness_daily(spark, sf_dir):
+    """Stickiness (DAU/WAU) per day — the engagement ratio every
+    product dashboard plots; both counts come from the same
+    dedupe-to-user-day frame (rolling_active_users' shape), joined on
+    the day."""
+    from opentsdb_aura_spark.operators.events import rolling_active_users
+
+    ev = events_seconds(spark, sf_dir)
+    wau = rolling_active_users(ev, START, START + 14 * DAY, 7).withColumnRenamed(
+        "active_users", "wau"
+    )
+    dau = rolling_active_users(ev, START, START + 14 * DAY, 1).withColumnRenamed(
+        "active_users", "dau"
+    )
+    return (
+        wau.join(dau, "day_ts", "left")
+        .select(
+            "day_ts",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            _r(F.coalesce(F.col("dau"), F.lit(0)) / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day_ts")
+    )
+
+
 @register("ev_wau_hll")  # HLL sketch estimates: rows-only
 def ev_wau_hll(spark, sf_dir):
     """WAU from mergeable sketches: one HLL per day, each output day

@@ -3621,6 +3621,33 @@ def ev_wau_hll(spark, sf_dir):
 
 
 @register(
+    "ev_funnel_3step",
+    f"""WITH e AS (SELECT user_id AS k, event_type AS t,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+s1 AS (SELECT k, min(ts) AS ts_1 FROM e WHERE t = 'signup' GROUP BY 1),
+s2 AS (SELECT s1.k, ts_1,
+              min(e.ts) FILTER (WHERE e.ts > ts_1 AND e.ts <= ts_1 + {3 * DAY}) AS ts_2
+       FROM s1 LEFT JOIN e ON e.k = s1.k AND e.t = 'click' GROUP BY 1, 2),
+s3 AS (SELECT s2.k, ts_1, ts_2,
+              min(e.ts) FILTER (WHERE ts_2 IS NOT NULL AND e.ts > ts_2
+                                AND e.ts <= ts_2 + {3 * DAY}) AS ts_3
+       FROM s2 LEFT JOIN e ON e.k = s2.k AND e.t = 'purchase' GROUP BY 1, 2, 3)
+SELECT k AS user_id, ts_1, ts_2, ts_3, ts_3 IS NOT NULL AS converted,
+       CAST(ts_3 - ts_1 AS BIGINT) AS seconds_total FROM s3""",
+)
+def ev_funnel_3step(spark, sf_dir):
+    """N-step ordered funnel (signup → click → purchase, each step
+    within 3 days of the previous): greedy earliest-completion, one
+    equi-join + filtered-min aggregate per step
+    (events.funnel_steps) — no per-key event collection, no whole-
+    history window, so a bot key cannot break the stage."""
+    from opentsdb_aura_spark.operators.events import funnel_steps
+
+    ev = events_seconds(spark, sf_dir)
+    return funnel_steps(ev, ["signup", "click", "purchase"], 3 * DAY)
+
+
+@register(
     "ev_cohort_retention_daily",
     """WITH a AS (
   SELECT DISTINCT user_id AS k,

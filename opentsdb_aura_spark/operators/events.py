@@ -380,3 +380,58 @@ def rolling_active_users(
         (F.lit(start) + F.col("_out") * F.lit(day)).cast("long").alias("day_ts"),
         "active_users",
     ).orderBy("day_ts")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: "list[str]",
+    window_seconds: int,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """N-step ordered funnel (greedy earliest-completion): per key,
+    ts_1 = first step-1 event; ts_k = first step-k event STRICTLY
+    after ts_{k-1} and within ``window_seconds`` of it.  One row per
+    key that entered the funnel: (key, ts_1..ts_N, converted,
+    seconds_total).  Greedy earliest is the standard funnel semantics
+    and is exactly reproducible in SQL (iterated min-filters), so the
+    oracle checks it value-for-value.
+
+    Shape: one equi-join + filtered-min hash aggregate per step — the
+    step-k event stream joins the O(keys) frontier frame and collapses
+    immediately (map-side combine bounds a hot key's blow-up to its
+    per-partition row count).  No per-key event collection, no window
+    over a key's whole history — the two shapes a bot key breaks.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if int(window_seconds) < 1:
+        raise ValueError("funnel window must be >= 1 second")
+    src = events.select(
+        F.col(key_col).alias("k"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
+    )
+    cur = src.where(F.col("t") == steps[0]).groupBy("k").agg(F.min("ts").alias("ts_1"))
+    prev_cols = ["ts_1"]
+    for i, st in enumerate(steps[1:], start=2):
+        nxt = src.where(F.col("t") == st).select("k", F.col("ts").alias("_ts"))
+        prev = F.col(f"ts_{i - 1}")
+        cond = (
+            prev.isNotNull()
+            & (F.col("_ts") > prev)
+            & (F.col("_ts") <= prev + F.lit(int(window_seconds)))
+        )
+        cur = (
+            cur.join(nxt, "k", "left")
+            .groupBy("k", *prev_cols)
+            .agg(F.min(F.when(cond, F.col("_ts"))).alias(f"ts_{i}"))
+        )
+        prev_cols.append(f"ts_{i}")
+    last = F.col(f"ts_{len(steps)}")
+    return cur.select(
+        F.col("k").alias(key_col),
+        *prev_cols,
+        last.isNotNull().alias("converted"),
+        (last - F.col("ts_1")).cast("long").alias("seconds_total"),
+    )

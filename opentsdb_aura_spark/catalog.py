@@ -2250,17 +2250,20 @@ FROM documents WHERE doc_id < 100""",
 )
 def multimodal_jpeg_decode(spark, sf_dir):
     """REAL baseline JPEG decode end-to-end (operators/jpeg.py: Huffman
-    + dequant + IDCT, stdlib/numpy only): every doc becomes a genuine
-    JFIF payload and ``extract_features(fake=False)`` must parse the
-    entropy stream to produce the decoded geometry.  JPEG is lossy, so
-    unlike ``multimodal_real_decode`` the oracle pins the EXACT decoded
-    dimensions/byte counts (wrong Huffman walk → parse error or wrong
+    + dequant + IDCT, stdlib/numpy only) over a MIXED-SUBSAMPLING
+    corpus: docs round-robin 4:4:4 / 4:2:2 / 4:2:0 payloads, so the
+    T.81 A.2.3 interleaved-MCU path (multi-block MCUs, chroma
+    downsample/upsample) must parse correctly alongside the plain
+    one-block layout.  JPEG is lossy, so unlike
+    ``multimodal_real_decode`` the oracle pins the EXACT decoded
+    dimensions/byte counts (wrong MCU walk → parse error or wrong
     dims) while the pixel-level roundtrip error is bounded in pytest
-    (flat fields ±2, structured images ≥ 28 dB PSNR)."""
+    (flat fields ±3, structured images ≥ 34-40 dB PSNR by layout)."""
     from opentsdb_aura_spark.operators.multimodal import attach_image_media
 
     media = attach_image_media(
-        docs_raw(spark, sf_dir).where(F.col("doc_id") < 100), formats=("jpeg",)
+        docs_raw(spark, sf_dir).where(F.col("doc_id") < 100),
+        formats=("jpeg", "jpeg422", "jpeg420"),
     )
     res = extract_features(media, fake=False)
     return res.select(

@@ -6,13 +6,17 @@ common format in a real crawl corpus, so the engine carries its own
 baseline decoder rather than stubbing the whole format out.  Scope —
 the honest boundary, raised as NotImplementedError beyond it:
 
-- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
-  with NO chroma subsampling (all sampling factors 1×1), standard
-  entropy coding (DHT Huffman), restart markers supported.
-  Progressive (SOF2), arithmetic coding, and subsampled chroma raise.
-- encode: the matching writer (4:4:4, Annex K quantization tables at
-  quality 75-ish, Annex K Huffman tables) — exists to make the decoder
-  testable without PIL and to generate corpus fixtures.
+- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
+  standard entropy coding (DHT Huffman), restart markers, and chroma
+  subsampling with sampling factors in {1, 2, 4} where every factor
+  divides the max (covers 4:4:4, 4:2:2, 4:4:0, 4:2:0, 4:1:1 — i.e.
+  the layouts real crawl corpora contain; T.81 A.2.3 MCU interleave
+  with per-component box upsampling on output).  Progressive (SOF2),
+  arithmetic coding, and non-dividing factors raise.
+- encode: the matching writer (4:4:4, 4:2:2, or 4:2:0 via
+  ``subsampling=``; Annex K quantization tables at quality 75-ish,
+  Annex K Huffman tables) — exists to make the decoder testable
+  without PIL and to generate corpus fixtures.
 
 JPEG is lossy, so unlike BMP/PPM/PNG the pixel oracle cannot demand
 bit-equality: tests bound the roundtrip error (flat fields ±3/channel,
@@ -249,18 +253,84 @@ def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes, *, restart_interval: int = 0) -> bytes:
-    """Baseline-sequential 4:4:4 JFIF writer (fixed ~q75 Annex K
-    tables) — the test-vector generator for :func:`decode_jpeg`.
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (exercises the decoder's restart path)."""
+#: encoder-side sampling layouts: name → per-component (h, v) for (Y, Cb, Cr)
+_SUBSAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _encode_block(w: _BitWriter, block: np.ndarray, quant: np.ndarray, pred: int, dc_tab, ac_tab) -> int:
+    """FDCT + quantize + Huffman-encode one 8×8 sample block; returns
+    the new DC predictor."""
+    coef = _D @ (block - 128.0) @ _D.T
+    # orthonormal DCT vs T.81 scaling: identical up to the same
+    # constant both sides use, so quant tables apply directly
+    q = np.round(coef.flatten()[_ZIGZAG] / quant.astype(np.float64)[_ZIGZAG]).astype(int)
+    diff = int(q[0]) - pred
+    s, code = _magnitude(diff)
+    hc, hl = dc_tab[s]
+    w.put(hc, hl)
+    if s:
+        w.put(code, s)
+    run = 0
+    last_nz = max(np.nonzero(q[1:])[0]) + 1 if np.any(q[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_tab[0xF0]  # ZRL
+            w.put(hc, hl)
+            run -= 16
+        s, code = _magnitude(v)
+        hc, hl = ac_tab[(run << 4) | s]
+        w.put(hc, hl)
+        w.put(code, s)
+        run = 0
+    if last_nz < 63:
+        hc, hl = ac_tab[0x00]  # EOB
+        w.put(hc, hl)
+    return int(q[0])
+
+
+def encode_jpeg(
+    width: int, height: int, rgb: bytes, *, restart_interval: int = 0, subsampling: str = "444"
+) -> bytes:
+    """Baseline-sequential JFIF writer (fixed ~q75 Annex K tables) —
+    the test-vector generator for :func:`decode_jpeg`.
+
+    ``subsampling`` ∈ {"444", "422", "420"}: 4:2:2 and 4:2:0 emit the
+    T.81 A.2.3 interleaved MCU layout (2×1 / 2×2 luma blocks per MCU,
+    chroma box-mean downsampled) so the decoder's subsampled path has
+    genuine fixtures.  ``restart_interval`` > 0 emits a DRI segment and
+    RSTn markers every that many MCUs (exercises the restart path)."""
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}, got {subsampling!r}")
+    factors = _SUBSAMPLING[subsampling]
+    hmax = max(h for h, _v in factors)
+    vmax = max(v for _h, v in factors)
     px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
     ycc = _rgb_to_ycbcr(px)
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    # pad the full-resolution image to a whole number of MCUs so every
+    # component plane divides evenly after downsampling
+    ph = -(-height // (8 * vmax)) * 8 * vmax
+    pw = -(-width // (8 * hmax)) * 8 * hmax
     padded = np.empty((ph, pw, 3))
     padded[:height, :width] = ycc
     padded[height:, :width] = ycc[height - 1 : height, :]  # edge replicate
     padded[:, width:] = padded[:, width - 1 : width]
+
+    # per-component sample planes: box-mean downsample by (vmax/v, hmax/h)
+    planes = []
+    for ci, (h, v) in enumerate(factors):
+        sx, sy = hmax // h, vmax // v
+        plane = padded[:, :, ci]
+        if sx > 1 or sy > 1:
+            plane = plane.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+        planes.append(plane)
 
     dc_tabs = [_huff_encode_table(_DC_L_BITS, _DC_L_VALS), _huff_encode_table(_DC_C_BITS, _DC_C_VALS)]
     ac_tabs = [_huff_encode_table(_AC_L_BITS, _AC_L_VALS), _huff_encode_table(_AC_C_BITS, _AC_C_VALS)]
@@ -271,8 +341,9 @@ def encode_jpeg(width: int, height: int, rgb: bytes, *, restart_interval: int = 
     pred = [0, 0, 0]
     mcu = 0
     rst = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 scan_parts.append(w.flush())
                 scan_parts.append(bytes([0xFF, 0xD0 + rst]))
@@ -280,40 +351,15 @@ def encode_jpeg(width: int, height: int, rgb: bytes, *, restart_interval: int = 
                 w = _BitWriter()
                 pred = [0, 0, 0]
             mcu += 1
-            for comp in range(3):
+            for comp, (h, v) in enumerate(factors):
                 tid = 0 if comp == 0 else 1
-                block = padded[by : by + 8, bx : bx + 8, comp] - 128.0
-                coef = _D @ block @ _D.T
-                # orthonormal DCT vs T.81 scaling: identical up to the
-                # same constant both sides use, so quant tables apply
-                # directly
-                q = np.round(coef.flatten()[_ZIGZAG] / quants[tid].astype(np.float64)[_ZIGZAG]).astype(int)
-                diff = int(q[0]) - pred[comp]
-                pred[comp] = int(q[0])
-                s, code = _magnitude(diff)
-                hc, hl = dc_tabs[tid][s]
-                w.put(hc, hl)
-                if s:
-                    w.put(code, s)
-                run = 0
-                last_nz = max(np.nonzero(q[1:])[0]) + 1 if np.any(q[1:]) else 0
-                for i in range(1, last_nz + 1):
-                    v = int(q[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        hc, hl = ac_tabs[tid][0xF0]  # ZRL
-                        w.put(hc, hl)
-                        run -= 16
-                    s, code = _magnitude(v)
-                    hc, hl = ac_tabs[tid][(run << 4) | s]
-                    w.put(hc, hl)
-                    w.put(code, s)
-                    run = 0
-                if last_nz < 63:
-                    hc, hl = ac_tabs[tid][0x00]  # EOB
-                    w.put(hc, hl)
+                for vy in range(v):
+                    for vx in range(h):
+                        by, bx = (my * v + vy) * 8, (mx * h + vx) * 8
+                        pred[comp] = _encode_block(
+                            w, planes[comp][by : by + 8, bx : bx + 8],
+                            quants[tid], pred[comp], dc_tabs[tid], ac_tabs[tid],
+                        )
     scan_parts.append(w.flush())
     scan = b"".join(scan_parts)
 
@@ -329,7 +375,11 @@ def encode_jpeg(width: int, height: int, rgb: bytes, *, restart_interval: int = 
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([
+            1, (factors[0][0] << 4) | factors[0][1], 0,
+            2, (factors[1][0] << 4) | factors[1][1], 1,
+            3, (factors[2][0] << 4) | factors[2][1], 1,
+        ]),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -348,9 +398,12 @@ def encode_jpeg(width: int, height: int, rgb: bytes, *, restart_interval: int = 
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     """Baseline-sequential JPEG → (width, height, top-down RGB).
 
-    Supports SOF0, 8-bit, 1 or 3 components with NO chroma subsampling
-    (all sampling factors 1×1), restart intervals.  Progressive /
-    arithmetic / subsampled streams raise NotImplementedError."""
+    Supports SOF0, 8-bit, 1 or 3 components with sampling factors in
+    {1, 2, 4} where each divides the max (4:4:4, 4:2:2, 4:4:0, 4:2:0,
+    4:1:1), restart intervals.  Subsampled chroma planes are box-
+    replicated (nearest) back to full resolution.  Progressive /
+    arithmetic / non-dividing-factor streams raise
+    NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     try:
@@ -399,9 +452,17 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, bytes]:
                 raise NotImplementedError(f"unsupported component count {nc}")
             for ci in range(nc):
                 cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("chroma subsampling not supported (4:4:4 / grayscale only)")
+                h, v = samp >> 4, samp & 0x0F
+                if h not in (1, 2, 4) or v not in (1, 2, 4):
+                    raise NotImplementedError(f"unsupported sampling factors {h}x{v}")
                 comps.append((cid, samp, qid))
+            hmax = max(c[1] >> 4 for c in comps)
+            vmax = max(c[1] & 0x0F for c in comps)
+            for _cid, samp, _qid in comps:
+                if hmax % (samp >> 4) or vmax % (samp & 0x0F):
+                    raise NotImplementedError(
+                        "sampling factors must divide the max (integer box upsampling)"
+                    )
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
@@ -427,18 +488,60 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, bytes]:
     raise ValueError("no SOS marker found")
 
 
+def _decode_block(r: _BitReader, pred: int, dct: dict, act: dict, q: np.ndarray) -> tuple[int, np.ndarray]:
+    """Huffman-decode + dequantize + IDCT one 8×8 block; returns
+    (new DC predictor, spatial block)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _huff_symbol(r, dct)
+    pred += _receive_extend(r, s)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_symbol(r, act)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        zz[k] = _receive_extend(r, size)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    # q is in NATURAL order (the DQT parse un-zigzags it), zz in zigzag
+    # order: the i-th zigzag coefficient pairs with q at its natural
+    # position _ZIGZAG[i]
+    coef[_ZIGZAG] = zz * q[_ZIGZAG]
+    return pred, _D.T @ coef.reshape(8, 8) @ _D + 128.0
+
+
 def _decode_scan(data, pos, width, height, comps, scan_tabs, quant, huff_dc, huff_ac, restart_interval):
     nc = len(comps)
-    bw, bh = -(-width // 8), -(-height // 8)
-    planes = np.empty((nc, bh * 8, bw * 8), dtype=np.float64)
     dc_by_cid = {cid: d for cid, d, _a in scan_tabs}
     ac_by_cid = {cid: a for cid, _d, a in scan_tabs}
+
+    # T.81 A.2.3: a single-component scan is non-interleaved — MCU is
+    # one block and the declared factors are irrelevant to the layout
+    if nc == 1:
+        factors = [(1, 1)]
+        hmax = vmax = 1
+    else:
+        factors = [(samp >> 4, samp & 0x0F) for _cid, samp, _qid in comps]
+        hmax = max(h for h, _v in factors)
+        vmax = max(v for _h, v in factors)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = [
+        np.empty((mcuy * v * 8, mcux * h * 8), dtype=np.float64) for h, v in factors
+    ]
 
     r = _BitReader(data, pos)
     pred = [0] * nc
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 r.align_to_marker()
                 pred = [0] * nc
@@ -446,37 +549,28 @@ def _decode_scan(data, pos, width, height, comps, scan_tabs, quant, huff_dc, huf
                 dct = huff_dc[dc_by_cid[cid]]
                 act = huff_ac[ac_by_cid[cid]]
                 q = quant[qid]
-                zz = np.zeros(64, dtype=np.int64)
-                s = _huff_symbol(r, dct)
-                pred[ci] += _receive_extend(r, s)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_symbol(r, act)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index out of range")
-                    zz[k] = _receive_extend(r, size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                # q is in NATURAL order (the DQT parse un-zigzags it),
-                # zz in zigzag order: the i-th zigzag coefficient pairs
-                # with q at its natural position _ZIGZAG[i]
-                coef[_ZIGZAG] = zz * q[_ZIGZAG]
-                block = _D.T @ coef.reshape(8, 8) @ _D + 128.0
-                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                h, v = factors[ci]
+                for vy in range(v):
+                    for vx in range(h):
+                        pred[ci], block = _decode_block(r, pred[ci], dct, act, q)
+                        by, bx = (my * v + vy) * 8, (mx * h + vx) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = block
             mcu += 1
 
     if nc == 1:
         y = np.clip(planes[0][:height, :width], 0, 255)
         rgb = np.repeat(np.round(y).astype(np.uint8)[:, :, None], 3, axis=2)
         return width, height, rgb.tobytes()
-    ycc = np.stack([planes[i][:height, :width] for i in range(3)], axis=-1)
+    # box-replicate subsampled planes back to full resolution, crop
+    full = []
+    for ci, (h, v) in enumerate(factors):
+        plane = planes[ci]
+        sx, sy = hmax // h, vmax // v
+        if sy > 1:
+            plane = np.repeat(plane, sy, axis=0)
+        if sx > 1:
+            plane = np.repeat(plane, sx, axis=1)
+        full.append(plane[:height, :width])
+    ycc = np.stack(full, axis=-1)
     rgb = np.clip(np.round(_ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)
     return width, height, rgb.tobytes()

@@ -289,9 +289,18 @@ def attach_image_media(
     can verify the REAL decode path end-to-end without being able to
     parse any of the formats: the values only match if each codec
     round-trips correctly."""
+    import functools
+
     from opentsdb_aura_spark.operators.jpeg import encode_jpeg
 
-    encoders = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png, "jpeg": encode_jpeg}
+    encoders = {
+        "bmp": encode_bmp,
+        "ppm": encode_ppm,
+        "png": encode_png,
+        "jpeg": encode_jpeg,
+        "jpeg422": functools.partial(encode_jpeg, subsampling="422"),
+        "jpeg420": functools.partial(encode_jpeg, subsampling="420"),
+    }
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -609,9 +609,57 @@ def test_jpeg_roundtrip_bounds():
         assert decode_jpeg(encode_jpeg(w, h, px.tobytes(), restart_interval=ri)) == plain
 
 
+def test_jpeg_subsampled_roundtrip_bounds():
+    """4:2:2 / 4:2:0 chroma-subsampled baseline JPEG (T.81 A.2.3 MCU
+    interleave): flat fields decode within ±3/channel (subsampling is
+    lossless on constant chroma), the structured gradient stays above
+    38/34 dB PSNR (box-mean down + nearest up bounds the chroma error),
+    dimensions exact on non-MCU-aligned sizes, and restart-marker
+    streams decode identically to plain ones."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 20, 14  # not a multiple of the 16x16 (420) MCU
+    flat = bytes([100, 150, 200]) * (w * h)
+    for ss in ("422", "420"):
+        jw, jh, out = decode_jpeg(encode_jpeg(w, h, flat, subsampling=ss))
+        assert (jw, jh) == (w, h)
+        err = np.abs(
+            np.frombuffer(out, np.uint8).astype(int) - np.frombuffer(flat, np.uint8).astype(int)
+        )
+        assert err.max() <= 3, (ss, err.max())
+
+    w, h = 40, 24
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = (x * 255 // (w - 1), y * 255 // (h - 1), (x + y) * 255 // (w + h - 2))
+    for ss, bound in (("422", 38.0), ("420", 34.0)):
+        jw, jh, out = decode_jpeg(encode_jpeg(w, h, px.tobytes(), subsampling=ss))
+        assert (jw, jh) == (w, h)
+        dec = np.frombuffer(out, np.uint8).astype(float).reshape(h, w, 3)
+        mse = ((dec - px.astype(float)) ** 2).mean()
+        psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+        assert psnr >= bound, (ss, psnr)
+        plain = decode_jpeg(encode_jpeg(w, h, px.tobytes(), subsampling=ss))
+        for ri in (1, 3, 7):
+            assert decode_jpeg(encode_jpeg(w, h, px.tobytes(), subsampling=ss, restart_interval=ri)) == plain
+
+    # odd sizes across the MCU grid: dims exact, decode sane
+    for w, h in ((17, 13), (7, 5), (1, 1), (33, 9)):
+        src = np.full((h, w, 3), (40, 90, 160), dtype=np.uint8)
+        for ss in ("422", "420"):
+            jw, jh, out = decode_jpeg(encode_jpeg(w, h, src.tobytes(), subsampling=ss))
+            assert (jw, jh) == (w, h), (w, h, ss)
+            err = np.abs(np.frombuffer(out, np.uint8).astype(int).reshape(h, w, 3) - src.astype(int))
+            assert err.max() <= 3, (w, h, ss, err.max())
+
+
 def test_jpeg_honest_boundaries():
     """Out-of-scope streams must raise NotImplementedError, not decode
-    garbage: progressive (SOF2) and subsampled (2x2 luma) headers."""
+    garbage: progressive (SOF2) headers and sampling factors that do
+    not divide the max (3x1 luma — no integer box upsampling)."""
     import pytest as _pytest
 
     from opentsdb_aura_spark.operators.jpeg import decode_jpeg, encode_jpeg
@@ -623,9 +671,11 @@ def test_jpeg_honest_boundaries():
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
     sub = bytearray(good)
-    sub[sof + 11] = 0x22  # luma sampling 2x2
+    sub[sof + 11] = 0x31  # luma sampling 3x1: 3 not in {1,2,4}
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
+    with _pytest.raises(ValueError):
+        encode_jpeg(8, 8, bytes(8 * 8 * 3), subsampling="411")
 
 
 def test_image_decoder_registry_seam():

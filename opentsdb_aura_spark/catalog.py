@@ -2295,14 +2295,15 @@ FROM px""",
 )
 def multimodal_real_decode(spark, sf_dir):
     """REAL image decode end-to-end over a MIXED-FORMAT corpus: each
-    doc becomes a genuine image — BMP, PPM, or PNG round-robined by
+    doc becomes a genuine image — BMP, PPM, RGB PNG, or paletted PNG
+    (color type 3 + PLTE, minimal 1/2/4/8-bit depth) round-robined by
     doc id (pixels derived from the doc text by a SQL-expressible
     rule), ``extract_features(fake=False)`` parses each binary — BMP
     header/bottom-up/BGR/padding, PPM header, PNG zlib-inflate +
-    scanline unfilter — and the oracle recomputes pixel-sum/
-    channel-mean features from the rule.  Values match ONLY if every
-    codec round-trips correctly, so this is the non-stub proof of the
-    multimodal decode path."""
+    scanline unfilter + palette expansion — and the oracle recomputes
+    pixel-sum/channel-mean features from the rule.  Values match ONLY
+    if every codec round-trips correctly, so this is the non-stub
+    proof of the multimodal decode path."""
     from opentsdb_aura_spark.operators.multimodal import attach_image_media
 
     media = attach_image_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))

@@ -4,14 +4,17 @@ columns with typed metadata, processed via Arrow-batched
 
 Decode support is format-tiered:
 
-- **BMP (24-bit BI_RGB) and PPM (P6)** decode/encode for REAL via the
-  dependency-free struct codec below — header parse, bottom-up rows,
-  BGR→RGB, row padding; ``extract_features(fake=False)`` and
+- **BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit RGB/RGBA/grayscale and
+  paletted at depths 1/2/4/8), baseline JPEG (operators/jpeg.py:
+  4:4:4 / 4:2:2 / 4:2:0)** decode for REAL via the dependency-free
+  codecs below; ``extract_features(fake=False)`` and
   ``resize_images(fake=False)`` run genuinely end-to-end on them.
-- Compressed formats (PNG/JPEG/audio/video) still raise
+  Audio/video decode lives in operators/av.py (WAV, Y4M).
+- Remaining layouts (interlaced PNG, progressive JPEG, …) raise
   ``NotImplementedError`` from ``_decode_real`` — the container has no
-  PIL/libav; the ``fake=True`` paths keep the Arrow plumbing (schema,
-  batch shape, binary I/O, 1→many fan-out) real and tested for them.
+  PIL/libav; :func:`register_image_decoder` is the production seam,
+  and the ``fake=True`` paths keep the Arrow plumbing (schema, batch
+  shape, binary I/O, 1→many fan-out) real and tested regardless.
 """
 
 from __future__ import annotations
@@ -149,12 +152,59 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
+def encode_png_paletted(width: int, height: int, rgb: bytes) -> bytes:
+    """Paletted PNG (color type 3 + PLTE) from top-down RGB bytes,
+    packing indices at the smallest depth in {1, 2, 4, 8} that fits
+    the palette — the fixture generator for the paletted decode path
+    (small palettes exercise the sub-8-bit bit-unpacking).  Raises if
+    the image has more than 256 distinct colors."""
+    import zlib
+
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height * width, 3)
+    palette, idx = np.unique(px, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"paletted PNG needs <=256 colors, got {len(palette)}")
+    depth = next(d for d in (1, 2, 4, 8) if len(palette) <= (1 << d))
+    idx = idx.astype(np.uint8).reshape(height, width)
+    if depth < 8:
+        per_byte = 8 // depth
+        padw = -(-width // per_byte) * per_byte
+        padded = np.zeros((height, padw), dtype=np.uint8)
+        padded[:, :width] = idx
+        # MSB-first packing: shift each of the per_byte lanes into place
+        lanes = padded.reshape(height, padw // per_byte, per_byte)
+        shifts = (np.arange(per_byte)[::-1] * depth).astype(np.uint8)
+        rows = (lanes << shifts).sum(axis=2).astype(np.uint8)
+    else:
+        rows = idx
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(height))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_png(data: bytes) -> tuple[int, int, bytes]:
-    """Parse a non-interlaced 8-bit RGB/RGBA PNG → (width, height,
-    top-down RGB).  Header walk + ``zlib`` inflate + per-scanline
-    unfilter (all five PNG filter types); RGBA alpha is dropped.
-    Interlaced, paletted, and sub-8-bit images raise — honest stub
-    boundary, documented per format.
+    """Parse a non-interlaced PNG → (width, height, top-down RGB):
+    8-bit RGB/RGBA (color types 2/6), 8-bit grayscale (0), and
+    paletted (3, PLTE, bit depths 1/2/4/8).  Header walk + ``zlib``
+    inflate + per-scanline unfilter (all five PNG filter types);
+    RGBA alpha is dropped, palette indices are bit-unpacked MSB-first
+    and mapped through PLTE.  Interlaced (Adam7) and the remaining
+    depth/type combinations raise — honest stub boundary, documented
+    per format.
 
     Unfiltering is numpy-vectorized where the recurrence allows: None
     is a copy, Up is one wrapping uint8 add, Sub is a per-channel
@@ -171,6 +221,7 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a PNG payload")
     pos, width, height, bitdepth, colortype, interlace = len(_PNG_SIG), 0, 0, 0, 0, 0
     idat = bytearray()
+    palette = None
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         typ = data[pos + 4 : pos + 8]
@@ -178,16 +229,27 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length  # length + type + data + crc
         if typ == b"IHDR":
             width, height, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
             break
-    if bitdepth != 8 or colortype not in (2, 6) or interlace != 0:
+    supported = (bitdepth == 8 and colortype in (0, 2, 6)) or (
+        colortype == 3 and bitdepth in (1, 2, 4, 8)
+    )
+    if not supported or interlace != 0:
         raise NotImplementedError(
-            f"only non-interlaced 8-bit RGB/RGBA PNG supported, got depth={bitdepth} color={colortype} interlace={interlace}"
+            f"unsupported PNG layout: depth={bitdepth} color={colortype} interlace={interlace}"
         )
-    bpp = 4 if colortype == 6 else 3
-    stride = width * bpp
+    if colortype == 3 and palette is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
+    # bytes per pixel for FILTERING (left-pixel distance, >=1 per spec)
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[colortype]
+    if colortype == 3 and bitdepth < 8:
+        stride = -(-width * bitdepth // 8)  # packed indices
+    else:
+        stride = width * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != height * (stride + 1):
         raise ValueError("truncated PNG scanline data")
@@ -201,24 +263,24 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             pass
         elif ft == 1:  # Sub: recon[x] = Σ raw[0..x] per channel, mod 256
             row = (
-                np.cumsum(row.reshape(width, bpp), axis=0, dtype=np.int64) & 0xFF
+                np.cumsum(row.reshape(stride // bpp, bpp), axis=0, dtype=np.int64) & 0xFF
             ).astype(np.uint8).reshape(stride)
         elif ft == 2:  # Up: uint8 addition wraps mod 256 natively
             row += prev
         elif ft == 3:  # Average: left-recurrence → pixel walk, channel-wide
-            r2 = row.reshape(width, bpp).astype(np.int16)
-            p2 = prev.reshape(width, bpp).astype(np.int16)
+            r2 = row.reshape(stride // bpp, bpp).astype(np.int16)
+            p2 = prev.reshape(stride // bpp, bpp).astype(np.int16)
             left = np.zeros(bpp, dtype=np.int16)
-            for x in range(width):
+            for x in range(stride // bpp):
                 left = (r2[x] + ((left + p2[x]) >> 1)) & 0xFF
                 r2[x] = left
             row = r2.astype(np.uint8).reshape(stride)
         elif ft == 4:  # Paeth: left-recurrence → pixel walk, channel-wide
-            r2 = row.reshape(width, bpp).astype(np.int16)
-            p2 = prev.reshape(width, bpp).astype(np.int16)
+            r2 = row.reshape(stride // bpp, bpp).astype(np.int16)
+            p2 = prev.reshape(stride // bpp, bpp).astype(np.int16)
             left = np.zeros(bpp, dtype=np.int16)
             ul = np.zeros(bpp, dtype=np.int16)
-            for x in range(width):
+            for x in range(stride // bpp):
                 b = p2[x]
                 p = left + b - ul
                 pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - ul)
@@ -231,8 +293,22 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = row
         prev = row
-    if bpp == 4:
+    if colortype == 6:
         return width, height, out.reshape(height, width, 4)[:, :, :3].tobytes()
+    if colortype == 0:
+        return width, height, np.repeat(out.reshape(height, width, 1), 3, axis=2).tobytes()
+    if colortype == 3:
+        if bitdepth < 8:
+            per_byte = 8 // bitdepth
+            lanes = out.reshape(height, stride, 1) >> (
+                (np.arange(per_byte)[::-1] * bitdepth).astype(np.uint8)
+            )
+            idx = (lanes & ((1 << bitdepth) - 1)).reshape(height, stride * per_byte)[:, :width]
+        else:
+            idx = out
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return width, height, palette[idx.reshape(height, width)].tobytes()
     return width, height, out.tobytes()
 
 
@@ -278,7 +354,8 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
 
 
 def attach_image_media(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", formats: tuple[str, ...] = ("bmp", "ppm", "png")
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    formats: tuple[str, ...] = ("bmp", "ppm", "png", "png8")
 ) -> DataFrame:
     """Real-image corpus generator: one genuine image per doc — format
     round-robined over ``formats`` by doc id (24-bit BMP, P6 PPM,
@@ -297,6 +374,7 @@ def attach_image_media(
         "bmp": encode_bmp,
         "ppm": encode_ppm,
         "png": encode_png,
+        "png8": encode_png_paletted,
         "jpeg": encode_jpeg,
         "jpeg422": functools.partial(encode_jpeg, subsampling="422"),
         "jpeg420": functools.partial(encode_jpeg, subsampling="420"),

@@ -368,12 +368,72 @@ def test_png_roundtrip_and_all_filter_types():
     assert decode_png(png) == (w, h, rgb)
 
 
+def test_png_paletted_and_grayscale():
+    """Paletted PNG (color type 3 + PLTE) round-trips exactly at every
+    depth the minimal-depth encoder picks (1/2/4/8-bit, MSB-first
+    packing), filtered paletted rows unfilter at bpp=1, 8-bit
+    grayscale (color type 0) expands to RGB, and interlaced streams
+    still raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.multimodal import _PNG_SIG, decode_png, encode_png_paletted
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    rng = np.random.default_rng(42)
+    for ncolors in (1, 2, 4, 13, 200, 256):  # depths 1,1,2,4,8,8
+        w, h = 17, 9
+        pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+        rgb = pal[rng.integers(0, ncolors, (h, w))].tobytes()
+        assert decode_png(encode_png_paletted(w, h, rgb)) == (w, h, rgb), ncolors
+
+    # Up-filtered (type 2) paletted rows: left distance is 1 byte
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = rng.integers(0, 16, (4, 6), dtype=np.uint8)
+    raw = bytearray(b"\x00" + idx[0].tobytes())
+    for y in range(1, 4):
+        raw += b"\x02" + ((idx[y].astype(int) - idx[y - 1].astype(int)) & 0xFF).astype(np.uint8).tobytes()
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (6, 4, pal[idx].tobytes())
+
+    gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(5))
+    png0 = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png0) == (7, 5, np.repeat(gray.reshape(5, 7, 1), 3, axis=2).tobytes())
+
+    interlaced = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(interlaced)
+
+
 def test_mixed_format_media_decode(spark):
-    """attach_image_media round-robins BMP/PPM/PNG; fake=False feature
-    extraction must decode all three to identical pixel semantics."""
+    """attach_image_media round-robins BMP/PPM/PNG/paletted-PNG;
+    fake=False feature extraction must decode all of them to identical
+    pixel semantics."""
     from opentsdb_aura_spark.operators.multimodal import attach_image_media, extract_features
 
-    # ids 3k, 3k+1, 3k+2 → bmp, ppm, png
+    # ids 4k+1, 4k+2, 4k+3 → ppm, png, png8 (paletted)
     df = spark.createDataFrame([(9, "abcdef"), (10, "abcdef"), (11, "abcdef")], "doc_id long, text string")
     feats = {r["media_id"]: r for r in extract_features(attach_image_media(df), fake=False).collect()}
     for mid in (9, 10, 11):

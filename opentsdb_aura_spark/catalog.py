@@ -1330,6 +1330,43 @@ def tiered_auto_route_gb_sum(spark, sf_dir):
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
 
 
+@register(
+    "tiered_cold_rollup_gb_sum",
+    f"""{ORACLE_PTS}
+SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def tiered_cold_rollup_gb_sum(spark, sf_dir):
+    """Per-tier pre-aggregates: the COLD tier carries its own hourly
+    rollup table (``TieredStore.cold_rollups`` — only rows below the
+    retention boundary, the way the reference's LTS is the tier that
+    stores downsampled streams, AerospikeBatchQueryNode.java:200-224)
+    while the hot tier has none and scans raw.  One
+    ``run_tiered_metric_query`` call: the planner routes the cold
+    sub-range through rollup substitution and the hot sub-range
+    through the raw segment scan, then splices on the day grid.
+    Equals the full-range raw scan; tests/test_plans.py asserts the
+    cold side reads rollup_3600 and the hot side the metrics store."""
+    from opentsdb_aura_spark.plans.query import TieredStore, run_tiered_metric_query
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    boundary = START + 15 * DAY
+    store = TieredStore(
+        hot=points(spark, sf_dir),
+        cold=bucketed_metrics(spark, sf_dir),
+        boundary_ts=boundary,
+        cold_rollups={3600: _rollup(spark, sf_dir).where(F.col("window_start") < boundary)},
+    )
+    q = _mq(
+        start=START, end=END, interval=DAY, ds_agg="sum",
+        filter=MetricLiteral("purchase"), group_tag_keys=["user"],
+        gb_agg="sum", fill="none",
+    )
+    res = run_tiered_metric_query(store, q, dedupe=False, series_dim=series_dim(spark, sf_dir))
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
 # ============================================================ relational health (TPC-H-ish)
 
 

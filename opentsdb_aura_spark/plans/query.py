@@ -562,11 +562,38 @@ class TieredStore:
     long-term tier.  ``cold`` is expected to be the series-bucketed
     long-term table (sources/bucketed.py) so per-series aggregation on
     it is Exchange-free, but any points table works.
+
+    Each tier may carry its OWN pre-aggregate tables
+    (``hot_rollups``/``cold_rollups`` and the DDSketch
+    ``*_hist_rollups``): in production the tiers are different systems
+    — a hot memory store typically has no rollups while the long-term
+    store is where downsampled streams live — and the reference picks
+    rollup streams per store, cold-side-specific
+    (AerospikeBatchQueryNode.java:200-224 reads the LTS aggregate
+    streams; the hot shard scan never does).  A tier-specific table
+    set overrides any shared ``rollups=``/``hist_rollups=`` kwarg for
+    that tier's sub-query; ``None`` means "use the shared kwarg".
     """
 
     hot: DataFrame
     cold: DataFrame
     boundary_ts: int
+    hot_rollups: dict[int, DataFrame] | None = None
+    cold_rollups: dict[int, DataFrame] | None = None
+    hot_hist_rollups: dict[int, DataFrame] | None = None
+    cold_hist_rollups: dict[int, DataFrame] | None = None
+
+    def tier_kwargs(self, tier: str, kw: dict) -> dict:
+        """Per-tier run_metric_query kwargs: this tier's rollup/sketch
+        tables override the shared ones where set."""
+        out = dict(kw)
+        rollups = self.hot_rollups if tier == "hot" else self.cold_rollups
+        hist = self.hot_hist_rollups if tier == "hot" else self.cold_hist_rollups
+        if rollups is not None:
+            out["rollups"] = rollups
+        if hist is not None:
+            out["hist_rollups"] = hist
+        return out
 
 
 def run_tiered_metric_query(store: TieredStore, q: MetricQuery, **kw) -> DataFrame:
@@ -593,10 +620,11 @@ def run_tiered_metric_query(store: TieredStore, q: MetricQuery, **kw) -> DataFra
     shift = int(q.shift_seconds)
     scan_start, scan_end = q.start - shift, q.end - shift
     b = int(store.boundary_ts)
+    hot_kw, cold_kw = store.tier_kwargs("hot", kw), store.tier_kwargs("cold", kw)
     if scan_start >= b:
-        return run_metric_query(store.hot, q, **kw)
+        return run_metric_query(store.hot, q, **hot_kw)
     if scan_end <= b:
-        return run_metric_query(store.cold, q, **kw)
+        return run_metric_query(store.cold, q, **cold_kw)
 
     out_b = b + shift  # boundary expressed in output (post-shift) time
     splice_ok = (
@@ -607,10 +635,12 @@ def run_tiered_metric_query(store: TieredStore, q: MetricQuery, **kw) -> DataFra
         and not kw.get("spine_from_dim")
     )
     if not splice_ok:
+        # row-level splice: one merged scan — per-tier pre-aggregates
+        # cannot serve it, only the caller's shared tables apply
         return run_metric_query(splice_hot_cold(store.hot, store.cold, b), q, **kw)
 
-    cold_res = run_metric_query(store.cold, replace(q, end=out_b, fill="none"), **kw)
-    hot_res = run_metric_query(store.hot, replace(q, start=out_b, fill="none"), **kw)
+    cold_res = run_metric_query(store.cold, replace(q, end=out_b, fill="none"), **cold_kw)
+    hot_res = run_metric_query(store.hot, replace(q, start=out_b, fill="none"), **hot_kw)
     res = cold_res.unionByName(hot_res)
     if q.fill != "none":
         from opentsdb_aura_spark.operators.downsample import fill_spine

@@ -296,6 +296,24 @@ def test_tiered_straddle_cold_side_exchange_free(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
 
 
+def test_tiered_cold_rollup_routes_per_tier(spark):
+    """Per-tier pre-aggregates: with cold_rollups set on the store, a
+    straddling query must serve the cold sub-range from rollup_3600
+    (no bucketed point scan of value/ts) while the hot sub-range still
+    scans the raw metrics store — substitution is per tier, like the
+    reference's cold-store-specific rollup stream selection."""
+    df = C.SPARK_QUERIES["tiered_cold_rollup_gb_sum"](spark, SF)
+    plan = plan_of(df)
+    files = re.findall(r"Location: \S+ ?\[(.*?)\]", plan)
+    scanned = " ".join(files)
+    assert "rollup_3600" in scanned, plan
+    # cold POINTS are not read: the bucketed table appears nowhere
+    assert "metrics_bucketed" not in scanned, plan
+    # hot side still scans raw points (value+ts read from the store)
+    m = re.findall(r"ReadSchema: (.*)", plan)
+    assert any("value" in s and "ts" in s for s in m), plan
+
+
 def test_tiered_rate_straddle_falls_back_to_row_splice_exactly(spark):
     """Rate needs the previous point across the tier boundary, so the
     planner must row-splice; the result equals the single-store run."""

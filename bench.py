@@ -64,11 +64,13 @@ BENCH_QUERIES = [
 ]
 
 
-# Queries this environment measures with huge run-to-run variance
-# (dedup_minhash_lsh spans 2.5× back-to-back at identical plans):
-# report min-of-N so the recorded number reflects the plan, not the
-# noise floor of a shared local[32] box.
-MIN_OF = {"dedup_minhash_lsh": 3, "dedup_cluster_resolve": 3, "pipeline_dsir_weights": 2}
+# Container timings swing up to 2.5× back-to-back at identical plans
+# (BASELINE.md records same-code drift), so EVERY headline query is
+# min-of-2 and the known-variance heavy lines min-of-3: the recorded
+# number reflects the plan, not the noise floor of a shared local[32]
+# box.  The per-line run vector is printed on stderr.
+DEFAULT_RUNS = 2
+MIN_OF = {"dedup_minhash_lsh": 3, "dedup_cluster_resolve": 3, "pipeline_dsir_weights": 3}
 
 
 def force(df) -> None:
@@ -120,7 +122,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = SPARK_QUERIES[name]
         runs = []
-        for _ in range(MIN_OF.get(name, 1)):
+        for _ in range(MIN_OF.get(name, DEFAULT_RUNS)):
             t0 = time.perf_counter()
             force(fn(spark, SF_DIR))
             runs.append(round(time.perf_counter() - t0, 3))

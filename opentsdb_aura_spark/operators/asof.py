@@ -20,8 +20,11 @@ Scale shape: ONE shuffle on the join keys (the window partitioning),
 no per-row range probe, no interval explosion; skew is bounded by the
 hottest key exactly as any per-key window (the segment-parallel
 variant in operators/rate.py applies if a single key dominates).
-A right row whose carried attribute is NULL is treated as absent at
-that timestamp (``ignorenulls`` falls back to the previous row).
+The carry is WHOLE-ROW (the right attrs travel as one struct and the
+matched row's own NULLs are returned as-is — pandas ``merge_asof``
+semantics): a right row with a NULL attribute genuinely sets that
+attribute to NULL at its timestamp rather than letting the previous
+row's value bleed through per column.
 """
 
 from __future__ import annotations

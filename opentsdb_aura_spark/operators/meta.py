@@ -198,6 +198,13 @@ def cardinality_from_presence_hll(
     series active only in that partial epoch silently vanish); with
     ``epoch_width`` omitted, ``start`` must already be epoch-aligned.
 
+    ``bucket_width`` must be a whole multiple of the table's epoch
+    width: an epoch is the atomic sketch unit, so an epoch straddling
+    a bucket boundary cannot be split — it would be floor-assigned to
+    the earlier bucket, silently skewing per-bucket estimates.
+    Validated when ``epoch_width`` is supplied (mirroring the
+    start-floor guard).
+
     Output: (group…, [bucket_ts,] active_series).  The whole plan is
     one hash aggregate over sketch rows — at 100 TB the input is the
     rollup table (|groups| × epochs rows), never the fact table.
@@ -205,6 +212,12 @@ def cardinality_from_presence_hll(
     start = int(start)
     if epoch_width is not None:
         start -= start % int(epoch_width)
+        if bucket_width is not None and int(bucket_width) % int(epoch_width) != 0:
+            raise ValueError(
+                f"bucket_width {bucket_width} must be a multiple of epoch_width "
+                f"{epoch_width}: epochs are the atomic sketch unit and cannot "
+                "straddle bucket boundaries"
+            )
     in_range = (F.col("epoch") >= F.lit(int(start))) & (F.col("epoch") < F.lit(int(end)))
     df = hll.where(in_range)
     keys = [F.col(c) for c in group_cols]

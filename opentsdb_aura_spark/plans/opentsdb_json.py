@@ -19,6 +19,7 @@ Chain (AND/OR), Not, ExplicitTags, AnyFieldRegex, MatchAll.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any
 
@@ -43,7 +44,14 @@ _UNITS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "n":
 
 
 def parse_duration(text: str) -> int:
-    """'1m' → 60, '2h' → 7200, '0all' → 0 (run-all sentinel)."""
+    """'1m' → 60, '2h' → 7200, '0all' → 0 (run-all sentinel).
+
+    The engine's time resolution is whole epoch seconds, but upstream
+    OpenTSDB accepts sub-second durations ('500ms'): those are
+    COARSENED — rounded up to the next whole second — rather than
+    rejected, keeping 3.x inputs drop-in.  Rounding up (never down)
+    is deliberate: truncating '500ms' to 0 would silently become the
+    run-all sentinel and halve rates via the or-1 fallback."""
     text = str(text).strip().lower()
     if text in ("0all", "all"):
         return 0
@@ -51,12 +59,7 @@ def parse_duration(text: str) -> int:
     if not m:
         raise ValueError(f"unparseable duration: {text!r}")
     raw = float(m.group(1)) * _UNITS[m.group(2)]
-    if raw != int(raw):
-        # the engine's time resolution is whole epoch seconds; '500ms'
-        # silently truncating to 0 would become the run-all sentinel
-        # (and halve rates via the or-1 fallback) — refuse instead
-        raise ValueError(f"duration {text!r} is not a whole number of seconds")
-    return int(raw)
+    return max(1, math.ceil(raw)) if raw > 0 else 0
 
 
 def parse_timestamp(value: Any, now: int) -> int:
@@ -383,6 +386,15 @@ def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_w
     return run_node(sinks[0])
 
 
+#: hard ceiling on the number of response cells (series × buckets, or
+#: raw rows on the no-interval path) ONE render call may collect to
+#: the driver.  The serdes collect is bounded by construction — this
+#: constant makes "raise the cap" edits loud: asking for more than
+#: this is a config error, not a bigger limit() (pinned by
+#: tests/test_opentsdb_json.py).
+MAX_RESPONSE_CELLS = 50_000_000
+
+
 def render_v3_response(
     res: "DataFrame",
     start: int,
@@ -392,6 +404,7 @@ def render_v3_response(
     metric: str | None = None,
     source: str = "groupby",
     max_series: int = 100_000,
+    max_points: int = 10_000_000,
 ) -> dict:
     """Serialize a query result DataFrame into the OpenTSDB 3.x JSON
     response shape (upstream JsonV3QuerySerdes: ``{"results": [{
@@ -406,12 +419,16 @@ def render_v3_response(
     Expects the engine's (group…, bucket_ts, value) result shape.
     With ``interval`` the values densify onto the query grid as
     ``NumericArrayType`` (one slot per bucket; missing/NaN → null —
-    JSON has no NaN; upstream's "NaN" string is a Jackson extension).
-    The collect is the response materialization itself — bounded by
-    the aggregated output size, capped at ``max_series`` groups.
+    JSON has no NaN; upstream's "NaN" string is a Jackson extension);
+    a row whose ``bucket_ts`` is off the ``start + i*interval`` grid
+    (e.g. the result was computed at a different interval) raises
+    instead of being silently dropped.  The collect is the response
+    materialization itself — bounded by the aggregated output size:
+    ``max_series × n_buckets`` rows on the gridded path, ``max_points``
+    rows on the no-interval (raw NumericType) path, where few series ×
+    many timestamps is legitimate and a series-count cap would falsely
+    reject it.  Both caps are clamped by ``MAX_RESPONSE_CELLS``.
     """
-    import math
-
     if int(end) <= int(start):
         raise ValueError("render_v3_response needs start < end")
     # slot count covers the partial final bucket too (the engine emits
@@ -420,12 +437,20 @@ def render_v3_response(
     group_cols = [c for c in res.columns if c not in ("bucket_ts", "value")]
     # cap = the response's own maximum size + 1 row so truncation is
     # DETECTED and raised, never silent
-    cap = max_series * (n_buckets or 1)
+    cap = max_series * n_buckets if interval else max_points
+    if cap > MAX_RESPONSE_CELLS:
+        raise ValueError(
+            f"requested response cap {cap} exceeds MAX_RESPONSE_CELLS={MAX_RESPONSE_CELLS}; "
+            "a response this size belongs in a sink write, not a JSON render"
+        )
     rows = res.limit(cap + 1).collect()
     if len(rows) > cap:
-        raise ValueError(
-            f"result exceeds the response cap ({max_series} series x {n_buckets or 1} buckets)"
+        detail = (
+            f"{max_series} series x {n_buckets} buckets"
+            if interval
+            else f"max_points={max_points} raw rows"
         )
+        raise ValueError(f"result exceeds the response cap ({detail})")
     series: dict[tuple, dict[int, float]] = {}
     for r in rows:
         key = tuple(r[c] for c in group_cols)
@@ -444,6 +469,16 @@ def render_v3_response(
         }
         entry: dict = {"metric": metric or "", "tags": tags}
         if interval:
+            # every observed bucket must land on the query grid — a
+            # result computed with a different interval would otherwise
+            # be silently omitted from the array
+            stragglers = [ts for ts in pts if (ts - int(start)) % int(interval) != 0 or not (int(start) <= ts < int(start) + n_buckets * int(interval))]
+            if stragglers:
+                raise ValueError(
+                    f"result bucket_ts {stragglers[:3]} not on the query grid "
+                    f"(start={start}, interval={interval}) — was the result "
+                    "computed with a different interval?"
+                )
             entry["NumericArrayType"] = [
                 clean(pts.get(int(start) + i * int(interval))) for i in range(n_buckets)
             ]

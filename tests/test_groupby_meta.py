@@ -342,3 +342,14 @@ def test_presence_hll_bucketed_estimates(make_points):
     assert out.columns == ["metric", "bucket_ts", "active_series"]
     got = {r["bucket_ts"]: r["active_series"] for r in out.collect()}
     assert got == {BASE: 4, BASE + 7200: 4}
+
+    # a bucket_width that is not a multiple of the epoch width would
+    # floor-assign straddling epochs and skew per-bucket estimates —
+    # must raise when epoch_width is declared
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of epoch_width"):
+        cardinality_from_presence_hll(
+            hll, BASE, BASE + 4 * 3600, bucket_width=5400,
+            group_cols=("metric",), epoch_width=3600,
+        )

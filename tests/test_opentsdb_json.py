@@ -15,6 +15,12 @@ def test_parse_duration():
     assert parse_duration("2h") == 7200
     assert parse_duration("1d") == 86400
     assert parse_duration("0all") == 0
+    # sub-second upstream durations coarsen UP to whole seconds (the
+    # engine's resolution): never down to the 0 run-all sentinel
+    assert parse_duration("500ms") == 1
+    assert parse_duration("1500ms") == 2
+    assert parse_duration("0.5s") == 1
+    assert parse_duration("0ms") == 0
 
 
 def test_parse_timestamp():
@@ -420,3 +426,58 @@ def test_render_v3_partial_final_bucket_and_caps(make_points):
         render_v3_response(res, q.start, q.end, q.interval, max_series=0)
     with pytest.raises(ValueError):
         render_v3_response(res, BASE, BASE, 60)
+
+
+def test_render_v3_collect_bounds_pinned(make_points, spark):
+    """The serdes collect stays bounded by construction: the default
+    caps are pinned so a future 'raise the cap' edit can't silently
+    make the driver-side collect unbounded, the hard ceiling raises,
+    the no-interval path caps on POINTS (few series x many timestamps
+    is legitimate), and off-grid bucket_ts raises instead of being
+    silently dropped from the array."""
+    import inspect
+
+    import pytest
+
+    from opentsdb_aura_spark.plans import opentsdb_json as oj
+
+    sig = inspect.signature(oj.render_v3_response)
+    assert sig.parameters["max_series"].default == 100_000
+    assert sig.parameters["max_points"].default == 10_000_000
+    assert oj.MAX_RESPONSE_CELLS == 50_000_000
+
+    pts = make_points([("m", {"h": "a"}, BASE + 60 * i, float(i + 1)) for i in range(5)])
+    res = run_metric_query(pts, translate_query(
+        {
+            "start": BASE,
+            "end": BASE + 300,
+            "executionGraph": [
+                {"id": "m1", "type": "TimeSeriesDataSource",
+                 "metric": {"type": "MetricLiteral", "metric": "m"}},
+                {"id": "ds", "type": "downsample", "aggregator": "sum", "interval": "1m",
+                 "sources": ["m1"]},
+                {"id": "gb", "type": "groupby", "aggregator": "sum", "tagKeys": ["h"],
+                 "sources": ["ds"]},
+            ],
+        },
+        now=BASE + 300,
+    ))
+    # asking for more cells than the ceiling is a config error
+    with pytest.raises(ValueError, match="MAX_RESPONSE_CELLS"):
+        oj.render_v3_response(res, BASE, BASE + 300, 60, max_series=1_000_000_000)
+    with pytest.raises(ValueError, match="MAX_RESPONSE_CELLS"):
+        oj.render_v3_response(res, BASE, BASE + 300, None, max_points=60_000_000)
+
+    # no-interval: 1 series x 5 timestamps must render even with
+    # max_series=1 (the r4 row-cap falsely rejected this shape)
+    raw = res.select("tag_h", "bucket_ts", "value")
+    out = oj.render_v3_response(raw, BASE, BASE + 300, None, max_series=1)
+    nt = out["results"][0]["data"][0]["NumericType"]
+    assert len(nt) == 5
+    # ...but max_points still bounds the collect
+    with pytest.raises(ValueError, match="response cap"):
+        oj.render_v3_response(raw, BASE, BASE + 300, None, max_points=3)
+
+    # off-grid bucket_ts (result computed at 1m, rendered at 90s) raises
+    with pytest.raises(ValueError, match="grid"):
+        oj.render_v3_response(res, BASE, BASE + 300, 90)

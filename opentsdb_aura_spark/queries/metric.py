@@ -1,0 +1,1291 @@
+"""Metric-store queries: downsample, rate, group-by, analytic
+processors, filters, meta, joins/set-ops/tiering, rollups, and the
+3.x expression graph.
+
+Split from the monolithic catalog.py (round 5): registration
+side-effects only — query names, oracles, and behavior unchanged.
+"""
+
+from __future__ import annotations
+
+from opentsdb_aura_spark.queries.base import *  # noqa: F401,F403
+from opentsdb_aura_spark.queries.base import (  # shared underscore helpers
+    _bucket_sql,
+    _ds_by_metric,
+    _ds_by_metric_sql,
+    _mq,
+    _r,
+    _rollup,
+)
+
+
+# ============================================================ downsample (A1-A11)
+
+
+@register("ds_sum_daily", _ds_by_metric_sql(DAY, "sum(value)", "sum_value", 4))
+def ds_sum_daily(spark, sf_dir):
+    """A1 — downsample SUM, daily buckets per metric."""
+    return _ds_by_metric(spark, sf_dir, DAY, "sum", "sum_value", 4)
+
+
+@register("ds_avg_hourly", _ds_by_metric_sql(HOUR, "avg(value)", "avg_value", 6))
+def ds_avg_hourly(spark, sf_dir):
+    """A2 — downsample AVG (sum/count), hourly buckets per metric."""
+    return _ds_by_metric(spark, sf_dir, HOUR, "avg", "avg_value", 6)
+
+
+@register("ds_count_daily", _ds_by_metric_sql(DAY, "CAST(count(value) AS DOUBLE)", "count_value", 4))
+def ds_count_daily(spark, sf_dir):
+    """A3 — downsample COUNT of non-NaN values."""
+    return _ds_by_metric(spark, sf_dir, DAY, "count", "count_value", 4)
+
+
+@register("ds_min_daily", _ds_by_metric_sql(DAY, "min(value)", "min_value", 4))
+def ds_min_daily(spark, sf_dir):
+    """A4 — downsample MIN (alias mimmin)."""
+    return _ds_by_metric(spark, sf_dir, DAY, "mimmin", "min_value", 4)
+
+
+@register("ds_max_daily", _ds_by_metric_sql(DAY, "max(value)", "max_value", 4))
+def ds_max_daily(spark, sf_dir):
+    """A4 — downsample MAX (alias mimmax)."""
+    return _ds_by_metric(spark, sf_dir, DAY, "mimmax", "max_value", 4)
+
+
+@register("ds_p90_daily", _ds_by_metric_sql(DAY, "quantile_cont(value, 0.90)", "p90_value", 6))
+def ds_p90_daily(spark, sf_dir):
+    """A6 — NON_OPTIMIZED aggregator (exact interpolated percentile)."""
+    return _ds_by_metric(spark, sf_dir, DAY, "p90", "p90_value", 6)
+
+
+@register("ds_median_daily", _ds_by_metric_sql(DAY, "quantile_cont(value, 0.5)", "median_value", 6))
+def ds_median_daily(spark, sf_dir):
+    """A6 — NON_OPTIMIZED aggregator (median)."""
+    return _ds_by_metric(spark, sf_dir, DAY, "median", "median_value", 6)
+
+
+@register("ds_stddev_daily", _ds_by_metric_sql(DAY, "stddev_samp(value)", "stddev_value", 6))
+def ds_stddev_daily(spark, sf_dir):
+    """A6 — NON_OPTIMIZED aggregator (sample stddev)."""
+    return _ds_by_metric(spark, sf_dir, DAY, "stddev", "stddev_value", 6)
+
+
+def _lossy_oracle():
+    from opentsdb_aura_spark.operators.compression import lossy_sql_expr
+
+    return f"""{ORACLE_PTS}
+SELECT metric, {_bucket_sql(DAY)} AS bucket_ts,
+       round(sum({lossy_sql_expr("value", 8)}), 4) AS lossy_sum
+FROM dpts WHERE ts >= {START} AND ts < {END}
+GROUP BY 1, 2"""
+
+
+@register("lossy_gorilla_sum_daily", _lossy_oracle())
+def lossy_gorilla_sum_daily(spark, sf_dir):
+    """X4 — lossy value storage: mantissa truncation applied on the
+    write path (the reference's Gorilla LOSS_MASK,
+    GorillaSegmentEncoder.java:29,103 — arithmetically exact
+    re-expression, see operators/compression.py), then a daily SUM
+    over the truncated doubles.  keep_bits=8 here so the loss is
+    visible at round(4) — the reference's mask keeps 28 bits
+    (GORILLA_KEEP_BITS), invisible after rounding by design."""
+    from opentsdb_aura_spark.operators.compression import lossy_encode_values
+
+    pts = lossy_encode_values(points(spark, sf_dir), keep_bits=8)
+    res = downsample(pts, START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("lossy_sum"))
+
+
+@register("ds_sumsq_daily", _ds_by_metric_sql(DAY, "sum(value*value)", "sumsq_value", 4))
+def ds_sumsq_daily(spark, sf_dir):
+    """A11 — SUM-OF-SQUARES aggregator."""
+    return _ds_by_metric(spark, sf_dir, DAY, "sumsq", "sumsq_value", 4)
+
+
+@register(
+    "metric_value_histogram",
+    f"""{ORACLE_PTS}
+SELECT metric,
+       CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM dpts WHERE ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def metric_value_histogram(spark, sf_dir):
+    """Value-distribution histogram (the heatmap panel behind every
+    TSDB UI): fixed-width bins with clamped edges, one hash aggregate —
+    the exact-count complement of the DDSketch log-bin rollup (which
+    serves percentiles; this serves the shape)."""
+    pts = points(spark, sf_dir).where((F.col("ts") >= START) & (F.col("ts") < END))
+    bin_ = F.least(F.greatest(F.floor(F.col("value") / 25.0), F.lit(0)), F.lit(19)).cast("bigint")
+    return (
+        pts.groupBy("metric", bin_.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "ds_runall_sum",
+    f"""{ORACLE_PTS}
+SELECT metric, {START} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1""",
+)
+def ds_runall_sum(spark, sf_dir):
+    """A7 — run-all: single bucket spanning the whole query range."""
+    return _ds_by_metric(spark, sf_dir, None, "zimsum", "sum_value", 4, run_all=True)
+
+
+@register(
+    "ds_last_daily_purchase",
+    f"""{ORACLE_PTS}
+SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts,
+       round(arg_max(value, ts), 4) AS last_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2, 3""",
+)
+def ds_last_daily_purchase(spark, sf_dir):
+    """A5 — downsample LAST per series (ts order, post-dedupe)."""
+    pts = points(spark, sf_dir).where(F.col("metric") == "purchase")
+    res = downsample(pts, START, END, DAY, "last", group_cols=["tag_user", "tag_k"], fill="none")
+    return res.select("tag_user", "tag_k", "bucket_ts", _r(denan(F.col("value")), 4).alias("last_value"))
+
+
+@register(
+    "bucketed_series_sum_daily",
+    f"""{ORACLE_PTS}
+SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts,
+       round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2, 3""",
+)
+def bucketed_series_sum_daily(spark, sf_dir):
+    """Per-series daily SUM from the series-bucketed cold layout
+    (sources/bucketed.py): the aggregation keys include series_id,
+    which the bucket spec already hash-partitions, so the plan carries
+    NO shuffle Exchange (asserted in tests/test_plans.py) — series
+    tags come from a dim join AQE resolves to broadcast at this size
+    (no forced hint: the dim is O(series) under match-all filters)."""
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    pts = bucketed_metrics(spark, sf_dir).where(F.col("metric") == "purchase")
+    res = downsample(pts, START, END, DAY, "sum", group_cols=["series_id"], fill="none")
+    dim = series_dim(spark, sf_dir).select(
+        "series_id",
+        F.col("tags")["user"].alias("tag_user"),
+        F.col("tags")["k"].alias("tag_k"),
+    )
+    return res.join(dim, "series_id").select(
+        "tag_user", "tag_k", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value")
+    )
+
+
+@register(
+    "ds_spine_hourly_purchase",
+    f"""{ORACLE_PTS},
+agg AS (
+  SELECT {_bucket_sql(HOUR, SPINE_START)} AS bucket_ts, round(sum(value), 4) AS sum_value
+  FROM dpts WHERE metric = 'purchase' AND ts >= {SPINE_START} AND ts < {SPINE_END}
+  GROUP BY 1)
+SELECT r.range AS bucket_ts, a.sum_value
+FROM range({SPINE_START}, {SPINE_END}, {HOUR}) r
+LEFT JOIN agg a ON r.range = a.bucket_ts""",
+)
+def ds_spine_hourly_purchase(spark, sf_dir):
+    """A8 — dense interval spine: empty hourly buckets surface (as
+    NULL here; NaN in the engine contract) rather than vanishing."""
+    q = _mq(
+        start=SPINE_START,
+        end=SPINE_END,
+        interval=HOUR,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=[],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "ds_spine_from_dim_daily",
+    f"""{ORACLE_PTS},
+u AS (SELECT DISTINCT tag_user FROM dpts WHERE metric = 'purchase'),
+agg AS (
+  SELECT tag_user, {_bucket_sql(DAY, SPINE_START)} AS bucket_ts,
+         round(sum(value), 4) AS sum_value
+  FROM dpts WHERE metric = 'purchase' AND ts >= {SPINE_START} AND ts < {SPINE_END}
+  GROUP BY 1, 2)
+SELECT u.tag_user, r.range AS bucket_ts, a.sum_value
+FROM u CROSS JOIN range({SPINE_START}, {SPINE_END}, {DAY}) r
+LEFT JOIN agg a ON a.tag_user = u.tag_user AND a.bucket_ts = r.range""",
+)
+def ds_spine_from_dim_daily(spark, sf_dir):
+    """A8 meta-driven spine: the group universe comes from the filtered
+    series_dim (the reference's meta-index selection,
+    TimeSeriesShard.java:677-758), so a user whose purchase series has
+    zero points inside the 2-day window still emits its all-NaN daily
+    rows — the result-derived spine would drop that group entirely."""
+    q = _mq(
+        start=SPINE_START,
+        end=SPINE_END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(
+        points(spark, sf_dir), q, dedupe=False,
+        series_dim=series_dim(spark, sf_dir), spine_from_dim=True,
+    )
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "asof_last_error_event",
+    f"""{ORACLE_PTS},
+l AS (SELECT tag_user, tag_k, ts, value FROM dpts
+      WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}),
+re AS (SELECT CAST(user_id AS VARCHAR) AS tag_user,
+              CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+              CAST(max(event_id) AS BIGINT) AS last_error_id
+       FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT l.tag_user, l.tag_k, l.ts, round(l.value, 6) AS value,
+       re.last_error_id, re.ets AS error_ts
+FROM l ASOF LEFT JOIN re ON l.tag_user = re.tag_user AND l.ts >= re.ets""",
+)
+def asof_last_error_event(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): every purchase point
+    picks up the most recent error event at-or-before it for the same
+    user — the "state at measurement time" enrichment.  Union +
+    running-last: ONE shuffle on the user key, no range probe; the
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from opentsdb_aura_spark.operators.asof import asof_join
+
+    pts = points(spark, sf_dir)
+    left = pts.where(
+        (F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END)
+    ).select("tag_user", "tag_k", "ts", "value")
+    right = (
+        pts.where(F.col("metric") == "error")
+        .groupBy("tag_user", "ts")
+        .agg(F.max("ingest_seq").cast("bigint").alias("last_error_id"))
+    )
+    res = asof_join(left, right, on=["tag_user"], right_cols=["last_error_id"])
+    return res.select(
+        "tag_user", "tag_k", "ts", _r(F.col("value"), 6).alias("value"),
+        F.col("last_error_id_asof").alias("last_error_id"),
+        F.col("ts_asof").alias("error_ts"),
+    )
+# ============================================================ rate family (R1-R5)
+
+_RATE_PRELUDE = f"""{ORACLE_PTS},
+r AS (
+  SELECT tag_user, tag_k, ts, value,
+         lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+  FROM dpts
+  WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts)
+)"""
+
+
+@register(
+    "rate_purchase",
+    f"""{_RATE_PRELUDE}
+SELECT tag_user, tag_k, ts,
+       round((value - pv) / ((ts - pt) / 3600.0), 6) AS rate_value
+FROM r WHERE pv IS NOT NULL""",
+)
+def rate_purchase(spark, sf_dir):
+    """R1 — rate of change per series (per-hour normalization)."""
+    pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+    res = rate(pts, RateOptions(interval_seconds=3600))
+    return res.where(~F.isnan("value")).select(
+        "tag_user", "tag_k", "ts", _r(F.col("value"), 6).alias("rate_value")
+    )
+
+
+@register(
+    "delta_purchase",
+    f"""{_RATE_PRELUDE}
+SELECT tag_user, tag_k, ts, round(value - pv, 6) AS delta_value
+FROM r WHERE pv IS NOT NULL""",
+)
+def delta_purchase(spark, sf_dir):
+    """R3 — delta-only (no time normalization)."""
+    pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+    res = rate(pts, RateOptions(delta_only=True))
+    return res.where(~F.isnan("value")).select(
+        "tag_user", "tag_k", "ts", _r(F.col("value"), 6).alias("delta_value")
+    )
+
+
+@register(
+    "rate_counter_drop_purchase",
+    f"""{_RATE_PRELUDE}
+SELECT tag_user, tag_k, ts,
+       round((value - pv) / ((ts - pt) / 3600.0), 6) AS rate_value
+FROM r WHERE pv IS NOT NULL AND value >= pv""",
+)
+def rate_counter_drop_purchase(spark, sf_dir):
+    """R2 — counter semantics with dropResets: negative deltas → NaN
+    (dropped from output)."""
+    pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+    res = rate(pts, RateOptions(interval_seconds=3600, counter=True, drop_resets=True))
+    return res.where(~F.isnan("value")).select(
+        "tag_user", "tag_k", "ts", _r(F.col("value"), 6).alias("rate_value")
+    )
+
+
+@register(
+    "rate_to_count_purchase",
+    f"""{_RATE_PRELUDE},
+est AS (
+  SELECT tag_user, tag_k,
+         greatest(first(ts - pt ORDER BY cnt DESC, ts - pt ASC) // 3600, 1)
+           AS di_units
+  FROM (SELECT tag_user, tag_k, ts, pt,
+               count(*) OVER (PARTITION BY tag_user, tag_k, ts - pt) AS cnt
+        FROM r WHERE pt IS NOT NULL)
+  GROUP BY 1, 2
+)
+SELECT r.tag_user, r.tag_k, ts,
+       round(value * least((ts - pt) / 3600.0, di_units), 6) AS count_value
+FROM r JOIN est ON r.tag_user = est.tag_user AND r.tag_k = est.tag_k
+WHERE pv IS NOT NULL""",
+)
+def rate_to_count_purchase(spark, sf_dir):
+    """R4 — rate-to-count.  The configured 300 s interval floor-divides
+    by the 3600 s rate interval to 0 (< 1), so — exactly as the
+    reference does (AuraMetricsNumericArrayIterator.java:226-229, 294)
+    — the data interval is re-estimated per series as the mode of point
+    spacing in rate-interval units, clamped to >= 1."""
+    pts = points(spark, sf_dir).where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+    res = rate(pts, RateOptions(interval_seconds=3600, rate_to_count=True, data_interval=300))
+    return res.where(~F.isnan("value")).select(
+        "tag_user", "tag_k", "ts", _r(F.col("value"), 6).alias("count_value")
+    )
+
+
+@register(
+    "timeshift_sum_daily_purchase",
+    f"""{ORACLE_PTS}
+SELECT {_bucket_sql(DAY, START, f"(ts + {SHIFT})")} AS bucket_ts,
+       round(sum(value), 4) AS sum_value
+FROM dpts
+WHERE metric = 'purchase' AND ts >= {START - SHIFT} AND ts < {END - SHIFT}
+GROUP BY 1""",
+)
+def timeshift_sum_daily_purchase(spark, sf_dir):
+    """R5 — time shift: evaluate over [start-Δ, end-Δ), relabel +Δ."""
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=[],
+        gb_agg="sum",
+        shift_seconds=SHIFT,
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+# ============================================================ group-by (G1-G4)
+
+
+@register(
+    "gb_sum_by_user_daily",
+    f"""{ORACLE_PTS}
+SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def gb_sum_by_user_daily(spark, sf_dir):
+    """G1 — group-by tag key (sum○sum decomposes to a flat sum)."""
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "gb_avg_by_user_daily",
+    f"""{ORACLE_PTS},
+per_series AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts, avg(value) AS v
+  FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+  GROUP BY 1, 2, 3)
+SELECT tag_user, bucket_ts, round(avg(v), 6) AS avg_value
+FROM per_series GROUP BY 1, 2""",
+)
+def gb_avg_by_user_daily(spark, sf_dir):
+    """G1 — two-stage semantics: per-series downsample AVG, then AVG
+    across the series of each group (≠ flat avg — load-bearing)."""
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="avg",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="avg",
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 6).alias("avg_value"))
+
+
+@register(
+    "gb_series_count_daily",
+    f"""{ORACLE_PTS},
+per_series AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts
+  FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+  GROUP BY 1, 2, 3)
+SELECT tag_user, bucket_ts, CAST(count(*) AS DOUBLE) AS series_count
+FROM per_series GROUP BY 1, 2""",
+)
+def gb_series_count_daily(spark, sf_dir):
+    """G1 — group COUNT: number of series contributing per interval."""
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="avg",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="count",
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("tag_user", "bucket_ts", denan(F.col("value")).alias("series_count"))
+
+
+@register(
+    "gb_all_min_daily",
+    f"""{ORACLE_PTS},
+per_series AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts, min(value) AS v
+  FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2, 3)
+SELECT bucket_ts, round(min(v), 4) AS min_value
+FROM per_series GROUP BY 1""",
+)
+def gb_all_min_daily(spark, sf_dir):
+    """G2 — group-all: every series merged into a single group."""
+    q = _mq(
+        start=START, end=END, interval=DAY, ds_agg="min", group_tag_keys=[], gb_agg="min", fill="none"
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("min_value"))
+# ==================================================== analytic processors (3.x graph)
+
+
+@register(
+    "movavg3_by_user_daily",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+        GROUP BY 1, 2),
+users AS (SELECT DISTINCT tag_user FROM agg),
+days AS (SELECT unnest(generate_series({START}, {END - 1}, {DAY})) AS bucket_ts),
+dense AS (SELECT u.tag_user, d.bucket_ts, a.v
+          FROM users u CROSS JOIN days d
+          LEFT JOIN agg a ON a.tag_user = u.tag_user AND a.bucket_ts = d.bucket_ts)
+SELECT tag_user, bucket_ts,
+       round(avg(v) OVER (PARTITION BY tag_user ORDER BY bucket_ts
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma_value
+FROM dense""",
+)
+def movavg3_by_user_daily(spark, sf_dir):
+    """Upstream ``movingaverage`` node: trailing 3-bucket simple
+    moving average over the dense daily spine per user (NaN buckets
+    contribute nothing; NULL-ignoring AVG on the oracle side matches
+    exactly)."""
+    from opentsdb_aura_spark.operators.analytic import moving_average
+
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = moving_average(res, 3)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("ma_value"))
+
+
+@register(
+    "ewma3_by_user_daily",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+        GROUP BY 1, 2),
+users AS (SELECT DISTINCT tag_user FROM agg),
+days AS (SELECT unnest(generate_series({START}, {END - 1}, {DAY})) AS bucket_ts),
+dense AS (SELECT u.tag_user, d.bucket_ts, a.v
+          FROM users u CROSS JOIN days d
+          LEFT JOIN agg a ON a.tag_user = u.tag_user AND a.bucket_ts = d.bucket_ts),
+win AS (SELECT tag_user, bucket_ts,
+               list(v) OVER (PARTITION BY tag_user ORDER BY bucket_ts
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS arr
+        FROM dense)
+SELECT tag_user, bucket_ts,
+       round(list_sum(list_transform(arr, (x, i) -> CASE WHEN x IS NOT NULL
+                 THEN pow(0.5, len(arr) - i) * x END))
+             / list_sum(list_transform(arr, (x, i) -> CASE WHEN x IS NOT NULL
+                 THEN pow(0.5, len(arr) - i) END)), 6) AS ewma_value
+FROM win""",
+)
+def ewma3_by_user_daily(spark, sf_dir):
+    """Upstream ``movingaverage`` node, exponential mode: trailing
+    3-bucket EWMA per user (alpha = 2/(3+1) = 0.5, weights normalized
+    over the reported buckets in the window; NaN buckets drop out of
+    both numerator and denominator)."""
+    from opentsdb_aura_spark.operators.analytic import moving_average
+
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = moving_average(res, 3, exponential=True)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 6).alias("ewma_value"))
+
+
+@register(
+    "ratio_pct_by_user_daily",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+        GROUP BY 1, 2)
+SELECT tag_user, bucket_ts,
+       round(100.0 * v / sum(v) OVER (PARTITION BY bucket_ts), 6) AS pct_value
+FROM agg""",
+)
+def ratio_pct_by_user_daily(spark, sf_dir):
+    """Upstream ``ratio`` node: each user's percent share of the
+    all-user total per day."""
+    from opentsdb_aura_spark.operators.analytic import ratio
+
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="none",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = ratio(res, as_percent=True)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 6).alias("pct_value"))
+
+
+@register(
+    "slide3d_sum_by_user_daily",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+        GROUP BY 1, 2),
+users AS (SELECT DISTINCT tag_user FROM agg),
+days AS (SELECT unnest(generate_series({START}, {END - 1}, {DAY})) AS bucket_ts),
+dense AS (SELECT u.tag_user, d.bucket_ts, a.v
+          FROM users u CROSS JOIN days d
+          LEFT JOIN agg a ON a.tag_user = u.tag_user AND a.bucket_ts = d.bucket_ts)
+SELECT tag_user, bucket_ts,
+       round(sum(v) OVER (PARTITION BY tag_user ORDER BY bucket_ts
+                          RANGE BETWEEN {3 * DAY - 1} PRECEDING AND CURRENT ROW), 4) AS sw_value
+FROM dense""",
+)
+def slide3d_sum_by_user_daily(spark, sf_dir):
+    """Upstream ``slidingwindow`` node: trailing 3-day sum per user
+    over the dense daily spine — a time-RANGE frame, not a row count,
+    so the window is stride-independent (NULL-skipping SUM on the
+    oracle side matches the NaN-skipping window exactly)."""
+    from opentsdb_aura_spark.operators.analytic import sliding_window
+
+    q = _mq(
+        start=START,
+        end=END,
+        interval=DAY,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=["user"],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = sliding_window(res, 3 * DAY, "sum")
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sw_value"))
+
+
+#: histogram bounds for the bucket-quantile query (all purchase values
+#: land in [0, 500); the top bound stays finite so the midpoint is too)
+_BQ_BOUNDS = (0, 10, 50, 100, 250, 500)
+
+
+@register(
+    "bucketq_purchase_daily",
+    f"""{ORACLE_PTS},
+v AS (SELECT {_bucket_sql(DAY)} AS bucket_ts, value
+      FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}),
+b AS (SELECT bucket_ts,
+             CASE {" ".join(f"WHEN value < {hi} THEN {lo}" for lo, hi in zip(_BQ_BOUNDS[:-2], _BQ_BOUNDS[1:-1]))} ELSE {_BQ_BOUNDS[-2]} END AS lo,
+             CASE {" ".join(f"WHEN value < {hi} THEN {hi}" for hi in _BQ_BOUNDS[1:-1])} ELSE {_BQ_BOUNDS[-1]} END AS hi
+      FROM v),
+h AS (SELECT bucket_ts, lo, hi, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2, 3),
+cum AS (SELECT bucket_ts, lo, hi,
+               sum(c) OVER (PARTITION BY bucket_ts ORDER BY lo) AS cum,
+               sum(c) OVER (PARTITION BY bucket_ts) AS tot
+        FROM h),
+q AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS quantile)
+SELECT c.bucket_ts, q.quantile, round(min((lo + hi) / 2), 4) AS q_value
+FROM cum c JOIN q ON c.cum >= q.quantile * c.tot
+GROUP BY 1, 2""",
+)
+def bucketq_purchase_daily(spark, sf_dir):
+    """Upstream ``bucketquantile`` node: daily p50/p90/p99 of purchase
+    values estimated from histogram-bucket counts (midpoint mode).
+    The raw points reduce to per-day bucket counts in one hash
+    aggregate; the quantile walk then runs over output-sized data."""
+    from opentsdb_aura_spark.operators.analytic import bucket_quantile
+
+    pts = points(spark, sf_dir)
+    v = F.col("value")
+    lo, hi = F.lit(float(_BQ_BOUNDS[-2])), F.lit(float(_BQ_BOUNDS[-1]))
+    for b_lo, b_hi in zip(reversed(_BQ_BOUNDS[:-2]), reversed(_BQ_BOUNDS[1:-1])):
+        lo = F.when(v < b_hi, float(b_lo)).otherwise(lo)
+        hi = F.when(v < b_hi, float(b_hi)).otherwise(hi)
+    hist = (
+        pts.where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+        .groupBy(
+            bucket_expr(F.col("ts"), START, DAY).alias("bucket_ts"),
+            lo.alias("bucket_lower"),
+            hi.alias("bucket_upper"),
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    res = bucket_quantile(hist, [0.5, 0.9, 0.99])
+    return res.select("bucket_ts", "quantile", _r(F.col("value"), 4).alias("q_value"))
+
+
+_FILL_DENSE = f"""{ORACLE_PTS},
+agg AS (
+  SELECT {_bucket_sql(HOUR, SPINE_START)} AS bucket_ts, sum(value) AS v
+  FROM dpts WHERE metric = 'purchase' AND ts >= {SPINE_START} AND ts < {SPINE_END}
+  GROUP BY 1),
+dense AS (
+  SELECT r.range AS bucket_ts, a.v
+  FROM range({SPINE_START}, {SPINE_END}, {HOUR}) r
+  LEFT JOIN agg a ON r.range = a.bucket_ts)"""
+
+
+@register(
+    "fill_previous_hourly",
+    f"""{_FILL_DENSE}
+SELECT bucket_ts,
+       round(coalesce(v, last_value(v IGNORE NULLS) OVER (
+         ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 4) AS filled_value
+FROM dense""",
+)
+def fill_previous_hourly(spark, sf_dir):
+    """Previous-value gap fill over the dense hourly spine (OpenTSDB
+    fill policy: carry last reported value forward; leading gaps stay
+    NaN)."""
+    from opentsdb_aura_spark.operators.analytic import fill_gaps
+
+    q = _mq(
+        start=SPINE_START,
+        end=SPINE_END,
+        interval=HOUR,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=[],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = fill_gaps(res, "previous")
+    return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("filled_value"))
+
+
+@register(
+    "fill_linear_hourly",
+    f"""{_FILL_DENSE},
+ctx AS (
+  SELECT bucket_ts, v,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER (
+      ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+    last_value(v IGNORE NULLS) OVER (
+      ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER (
+      ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+    first_value(v IGNORE NULLS) OVER (
+      ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+  FROM dense)
+SELECT bucket_ts,
+       round(coalesce(v, pv + (nv - pv) * (bucket_ts - pt) / (nt - pt)), 6) AS filled_value
+FROM ctx""",
+)
+def fill_linear_hourly(spark, sf_dir):
+    """Linear-interpolation gap fill (lerp) over the dense hourly
+    spine: interior gaps interpolate between the surrounding reported
+    values, edges stay NaN."""
+    from opentsdb_aura_spark.operators.analytic import fill_gaps
+
+    q = _mq(
+        start=SPINE_START,
+        end=SPINE_END,
+        interval=HOUR,
+        ds_agg="sum",
+        filter=MetricLiteral("purchase"),
+        group_tag_keys=[],
+        gb_agg="sum",
+        fill="nan",
+    )
+    res = run_metric_query(points(spark, sf_dir), q, dedupe=False)
+    res = fill_gaps(res, "linear")
+    return res.select("bucket_ts", _r(denan(F.col("value")), 6).alias("filled_value"))
+# ============================================================ filters (F1-F10)
+
+
+@register(
+    "filter_chain_not",
+    f"""{ORACLE_PTS}
+SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts
+WHERE metric IN ('purchase', 'error') AND NOT (tag_user IN ('3', '7', '11'))
+  AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def filter_chain_not(spark, sf_dir):
+    """F2+F7 — literal-OR over metric, AND NOT literal-OR over a tag."""
+    flt = Chain(
+        "AND",
+        [
+            Chain("OR", [MetricLiteral("purchase"), MetricLiteral("error")]),
+            Not(TagLiteralOr("user", ("3", "7", "11"))),
+        ],
+    )
+    pts = points(spark, sf_dir)
+    from opentsdb_aura_spark.filters import compile_filter, time_range
+
+    df = pts.where(compile_filter(flt) & time_range(START, END))
+    res = downsample(df, START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "filter_regex_wildcard",
+    f"""{ORACLE_PTS}
+SELECT metric, tag_user, CAST(count(*) AS BIGINT) AS n_points
+FROM dpts
+WHERE regexp_matches(tag_k, '^[1-3]') AND metric LIKE 's%'
+  AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def filter_regex_wildcard(spark, sf_dir):
+    """F3+F4 — tag-value regexp (find semantics) + metric wildcard."""
+    from opentsdb_aura_spark.filters import TagRegexp, TagWildcard, compile_filter, time_range
+
+    flt = Chain("AND", [TagRegexp("k", "^[1-3]")])
+    pts = points(spark, sf_dir)
+    df = pts.where(compile_filter(flt) & F.col("metric").rlike("^s") & time_range(START, END))
+    return df.groupBy("metric", "tag_user").agg(F.count("*").cast("bigint").alias("n_points"))
+# ============================================================ meta (M1-M5)
+
+
+@register("meta_distinct_metrics", "SELECT DISTINCT event_type AS metric FROM events")
+def meta_distinct_metrics(spark, sf_dir):
+    """M1 — distinct metrics."""
+    return distinct_metrics(series_dim(spark, sf_dir))
+
+
+@register(
+    "meta_tag_keys",
+    """WITH series AS (SELECT DISTINCT event_type, user_id,
+                        json_extract_string(props, '$.k') AS k FROM events)
+SELECT 'k' AS tag_key, CAST(count(*) AS BIGINT) AS series_count FROM series
+UNION ALL
+SELECT 'user' AS tag_key, CAST(count(*) AS BIGINT) AS series_count FROM series""",
+)
+def meta_tag_keys(spark, sf_dir):
+    """M2 — distinct tag keys with series counts."""
+    return distinct_tag_keys(series_dim(spark, sf_dir)).select(
+        "tag_key", F.col("series_count").cast("bigint").alias("series_count")
+    )
+
+
+@register(
+    "meta_tag_values_user_purchase",
+    f"""{ORACLE_PTS}
+SELECT tag_user AS tag_value, CAST(count(*) AS BIGINT) AS series_count
+FROM series WHERE metric = 'purchase' GROUP BY 1""",
+)
+def meta_tag_values_user_purchase(spark, sf_dir):
+    """M2 — distinct values of one tag key over filtered series."""
+    sd = series_dim(spark, sf_dir)
+    return distinct_tag_values(sd, "user", MetricLiteral("purchase")).select(
+        "tag_value", F.col("series_count").cast("bigint").alias("series_count")
+    )
+
+
+@register(
+    "meta_cardinality",
+    f"""{ORACLE_PTS}
+SELECT CAST(count(*) AS BIGINT) AS cardinality
+FROM series WHERE metric IN ('purchase', 'error')""",
+)
+def meta_cardinality(spark, sf_dir):
+    """M5 — matching-series cardinality (exact)."""
+    flt = Chain("OR", [MetricLiteral("purchase"), MetricLiteral("error")])
+    return cardinality(series_dim(spark, sf_dir), flt).select(F.col("cardinality").cast("bigint").alias("cardinality"))
+
+
+@register(
+    "meta_active_series_window",
+    f"""{ORACLE_PTS}
+SELECT metric, count(DISTINCT (tag_user, tag_k)) AS active_series
+FROM dpts WHERE ts >= {START + 7 * DAY} AND ts < {START + 14 * DAY}
+GROUP BY metric""",
+)
+def meta_active_series_window(spark, sf_dir):
+    """T6 — per-metric active-series count over a day-aligned week,
+    served ENTIRELY from the STORED epoch-presence table written at
+    flush (the Spark shape of Myst's per-series epoch bitmaps,
+    MetaTimeSeriesQueryResult.java:89-94): no raw point is read — the
+    plan's only scan is the presence parquet.  The window is
+    day-aligned (a multiple of the table's hourly epochs) so epoch
+    granularity equals exact range semantics and the raw-scan oracle
+    hash-matches."""
+    from opentsdb_aura_spark.operators.meta import active_series
+    from opentsdb_aura_spark.sources.batch import ensure_event_store, presence_path
+
+    ensure_event_store(spark, sf_dir)
+    pres = spark.read.parquet(presence_path(sf_dir, 3600))
+    return active_series(pres, START + 7 * DAY, START + 14 * DAY, epoch_width=3600)
+
+
+@register(
+    "meta_list_series_signup",
+    f"""{ORACLE_PTS}
+SELECT metric, tag_user, tag_k FROM series WHERE metric = 'signup'""",
+)
+def meta_list_series_signup(spark, sf_dir):
+    """M4 — list matching series (tags resolved)."""
+    sd = series_dim(spark, sf_dir).where(F.col("metric") == "signup")
+    return sd.select("metric", F.col("tags")["user"].alias("tag_user"), F.col("tags")["k"].alias("tag_k"))
+# ============================================================ joins / set ops (J1-J2, U3)
+
+
+@register(
+    "join_series_enrich",
+    f"""{ORACLE_PTS},
+daily AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS sv
+  FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+  GROUP BY 1, 2, 3),
+last_per_series AS (
+  SELECT tag_user, tag_k, arg_max(value, ts * 1000000 + ingest_seq) AS lv
+  FROM dpts WHERE metric = 'purchase' GROUP BY 1, 2)
+SELECT d.tag_user, d.tag_k, d.bucket_ts, round(d.sv, 4) AS sum_value,
+       round(l.lv, 4) AS last_value
+FROM daily d JOIN last_per_series l USING (tag_user, tag_k)""",
+)
+def join_series_enrich(spark, sf_dir):
+    """J2 — per-series result enriched via a join with series_dim
+    (tag/last-value resolution); AQE size-picks broadcast at runtime —
+    no forced hint, the dim is O(series).  The dim side reads the
+    STORED series_dim table (the meta index written at flush, S7) —
+    re-deriving it from points would re-aggregate the whole fact table
+    through a sort aggregate just to recover what the store already
+    has."""
+    pts = points(spark, sf_dir).where(F.col("metric") == "purchase")
+    daily = downsample(pts, START, END, DAY, "sum", group_cols=["tag_user", "tag_k"], fill="none")
+    sd = series_dim(spark, sf_dir).where(F.col("metric") == "purchase").select(
+        F.col("tags")["user"].alias("tag_user"),
+        F.col("tags")["k"].alias("tag_k"),
+        F.col("last_value"),
+    )
+    return daily.join(sd, ["tag_user", "tag_k"]).select(
+        "tag_user",
+        "tag_k",
+        "bucket_ts",
+        _r(denan(F.col("value")), 4).alias("sum_value"),
+        _r(F.col("last_value"), 4).alias("last_value"),
+    )
+
+
+@register(
+    "splice_hot_cold_sum",
+    f"""{ORACLE_PTS}
+SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS spliced_sum
+FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2""",
+)
+def splice_hot_cold_sum(spark, sf_dir):
+    """U3 — hot/cold time-splice: union of non-overlapping ranges
+    equals the full-range scan."""
+    pts = points(spark, sf_dir)
+    boundary = START + 15 * DAY
+    spliced = splice_hot_cold(hot=pts, cold=pts, boundary_ts=boundary)
+    res = downsample(spliced, START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("spliced_sum"))
+
+
+@register(
+    "splice_bucketed_cold_sum",
+    f"""{ORACLE_PTS}
+SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts,
+       round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2, 3""",
+)
+def splice_bucketed_cold_sum(spark, sf_dir):
+    """U3 with the series-bucketed COLD tier: the cold range is served
+    by the bucketed layout (per-series aggregation Exchange-free — the
+    bucket spec hash-partitions series_id), the hot range by the
+    segment-partitioned store (its small recent shuffle), and the
+    per-tier results are unioned on the shared day grid.  Equals the
+    full-range scan; the reference analogue is the shard scan merged
+    with series-keyed LTS reads (aerospike/.../LTSAerospike.java)."""
+    from opentsdb_aura_spark.plans.query import splice_bucketed_downsample
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    boundary = START + 15 * DAY
+    cold = bucketed_metrics(spark, sf_dir).where(F.col("metric") == "purchase")
+    hot = points(spark, sf_dir).where(F.col("metric") == "purchase")
+    res = splice_bucketed_downsample(hot, cold, boundary, START, END, DAY, "sum", group_cols=["series_id"])
+    dim = series_dim(spark, sf_dir).select(
+        "series_id",
+        F.col("tags")["user"].alias("tag_user"),
+        F.col("tags")["k"].alias("tag_k"),
+    )
+    return res.join(dim, "series_id").select(
+        "tag_user", "tag_k", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value")
+    )
+
+
+@register(
+    "tiered_auto_route_gb_sum",
+    f"""{ORACLE_PTS}
+SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def tiered_auto_route_gb_sum(spark, sf_dir):
+    """U3 + automatic routing: ONE `run_tiered_metric_query` call spans
+    both tiers — the PLANNER consults the store's retention boundary
+    (day 15) and splices the bucketed cold tier (per-series/group
+    aggregation Exchange-free) with the hot segment store, the way its
+    rollup substitution already picks tables (the reference's
+    AuraMetricsClusterConfig range routing).  Equals the full-range
+    scan."""
+    from opentsdb_aura_spark.plans.query import TieredStore, run_tiered_metric_query
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    store = TieredStore(
+        hot=points(spark, sf_dir),
+        cold=bucketed_metrics(spark, sf_dir),
+        boundary_ts=START + 15 * DAY,
+    )
+    q = _mq(
+        start=START, end=END, interval=DAY, ds_agg="sum",
+        filter=MetricLiteral("purchase"), group_tag_keys=["user"],
+        gb_agg="sum", fill="none",
+    )
+    res = run_tiered_metric_query(store, q, dedupe=False)
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "tiered_cold_rollup_gb_sum",
+    f"""{ORACLE_PTS}
+SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, round(sum(value), 4) AS sum_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+GROUP BY 1, 2""",
+)
+def tiered_cold_rollup_gb_sum(spark, sf_dir):
+    """Per-tier pre-aggregates: the COLD tier carries its own hourly
+    rollup table (``TieredStore.cold_rollups`` — only rows below the
+    retention boundary, the way the reference's LTS is the tier that
+    stores downsampled streams, AerospikeBatchQueryNode.java:200-224)
+    while the hot tier has none and scans raw.  One
+    ``run_tiered_metric_query`` call: the planner routes the cold
+    sub-range through rollup substitution and the hot sub-range
+    through the raw segment scan, then splices on the day grid.
+    Equals the full-range raw scan; tests/test_plans.py asserts the
+    cold side reads rollup_3600 and the hot side the metrics store."""
+    from opentsdb_aura_spark.plans.query import TieredStore, run_tiered_metric_query
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    boundary = START + 15 * DAY
+    store = TieredStore(
+        hot=points(spark, sf_dir),
+        cold=bucketed_metrics(spark, sf_dir),
+        boundary_ts=boundary,
+        cold_rollups={3600: _rollup(spark, sf_dir).where(F.col("window_start") < boundary)},
+    )
+    q = _mq(
+        start=START, end=END, interval=DAY, ds_agg="sum",
+        filter=MetricLiteral("purchase"), group_tag_keys=["user"],
+        gb_agg="sum", fill="none",
+    )
+    res = run_tiered_metric_query(store, q, dedupe=False, series_dim=series_dim(spark, sf_dir))
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+# ============================================================ rollups (A10)
+
+
+@register("rollup_sum_daily", _ds_by_metric_sql(DAY, "sum(value)", "rollup_sum", 4))
+def rollup_sum_daily(spark, sf_dir):
+    """A10 — daily SUM served from the hourly rollup table; oracle is
+    the raw-point computation, proving substitution equivalence."""
+    from opentsdb_aura_spark.operators.rollup import downsample_from_rollup
+
+    res = downsample_from_rollup(_rollup(spark, sf_dir), START, END, DAY, "sum", group_cols=["metric"])
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("rollup_sum"))
+
+
+@register("rollup_avg_daily", _ds_by_metric_sql(DAY, "avg(value)", "rollup_avg", 4))
+def rollup_avg_daily(spark, sf_dir):
+    """A10 — AVG from the rollup chain (Σsum/Σcount)."""
+    from opentsdb_aura_spark.operators.rollup import downsample_from_rollup
+
+    res = downsample_from_rollup(_rollup(spark, sf_dir), START, END, DAY, "avg", group_cols=["metric"])
+    # 4 dp: Σ(hourly sums)/Σ(hourly counts) associates differently
+    # from the oracle's flat avg — identical to ~1e-12 relative, but a
+    # 6 dp round can straddle a boundary
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("rollup_avg"))
+
+
+@register("rollup_stddev_daily", _ds_by_metric_sql(DAY, "stddev_samp(value)", "rollup_stddev", 4))
+def rollup_stddev_daily(spark, sf_dir):
+    """A11's purpose — sample stddev derived from the stored
+    sum/count/sumsq chain ((Σv² − (Σv)²/n)/(n−1)); oracle is the flat
+    raw-point stddev_samp."""
+    from opentsdb_aura_spark.operators.rollup import downsample_from_rollup
+
+    res = downsample_from_rollup(_rollup(spark, sf_dir), START, END, DAY, "stddev", group_cols=["metric"])
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("rollup_stddev"))
+
+
+@register("rollup_planner_max", _ds_by_metric_sql(DAY, "max(value)", "max_value", 4))
+def rollup_planner_max(spark, sf_dir):
+    """A10 planner rule: choose_downsample_source picks the hourly
+    rollup for a daily MAX (agg servable, 86400 % 3600 == 0, aligned
+    start); result must equal the raw scan."""
+    from opentsdb_aura_spark.operators.rollup import choose_downsample_source, downsample_from_rollup
+
+    rollups = {3600: _rollup(spark, sf_dir)}
+    src, riv = choose_downsample_source(rollups, "max", DAY, START, END)
+    assert riv == 3600, "planner must substitute the rollup"
+    res = downsample_from_rollup(src, START, END, DAY, "max", group_cols=["metric"])
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("max_value"))
+
+
+@register("splice_mixed_resolution_sum", _ds_by_metric_sql(DAY, "sum(value)", "spliced_sum", 4))
+def splice_mixed_resolution_sum(spark, sf_dir):
+    """U3 × A10 — mixed-resolution splice: the cold half of the range
+    is served from the hourly rollup table, the hot half from raw
+    points, unioned at the daily-bucket grid.  Oracle is the flat
+    raw-point computation, proving tier routing is value-invisible."""
+    from opentsdb_aura_spark.operators.rollup import downsample_spliced
+
+    res = downsample_spliced(
+        points(spark, sf_dir),
+        _rollup(spark, sf_dir),
+        3600,
+        START,
+        END,
+        START + 15 * DAY,
+        DAY,
+        "sum",
+        group_cols=["metric"],
+    )
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("spliced_sum"))
+
+
+@register(
+    "topn_metrics_by_sum",
+    f"""{ORACLE_PTS},
+daily AS (
+  SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS sv
+  FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2
+),
+top3 AS (
+  SELECT metric FROM daily GROUP BY metric
+  ORDER BY sum(sv) DESC, metric LIMIT 3
+)
+SELECT d.metric, d.bucket_ts, round(d.sv, 4) AS sum_value
+FROM daily d JOIN top3 USING (metric)""",
+)
+def topn_metrics_by_sum(spark, sf_dir):
+    """topn node (OpenTSDB 3.x upstream): rank series by the SUM
+    summary of their daily values, keep the top 3, return their full
+    interval rows."""
+    from opentsdb_aura_spark.operators.summarizer import topn
+
+    daily = downsample(points(spark, sf_dir), START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    keep = topn(daily, 3, "sum", group_cols=["metric"])
+    return keep.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+
+
+@register(
+    "topn_other_bucket",
+    f"""{ORACLE_PTS},
+daily AS (
+  SELECT metric, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS sv
+  FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1, 2
+),
+top2 AS (
+  SELECT metric FROM daily GROUP BY metric
+  ORDER BY sum(sv) DESC, metric LIMIT 2
+)
+SELECT d.metric, d.bucket_ts, round(d.sv, 4) AS sum_value
+FROM daily d JOIN top2 USING (metric)
+UNION ALL
+SELECT '__other__' AS metric, d.bucket_ts, round(sum(d.sv), 4) AS sum_value
+FROM daily d ANTI JOIN top2 USING (metric)
+GROUP BY 2""",
+)
+def topn_other_bucket(spark, sf_dir):
+    """topn with the dashboard "other" bucket: top-2 metrics keep
+    their rows, all remaining metrics fold into one synthetic
+    '__other__' series per bucket — the chart accounts for 100% of
+    the data with k+1 series."""
+    from opentsdb_aura_spark.operators.summarizer import topn_with_other
+
+    daily = downsample(points(spark, sf_dir), START, END, DAY, "sum", group_cols=["metric"], fill="none")
+    res = topn_with_other(daily, 2, "sum", group_cols=["metric"])
+    return res.select("metric", "bucket_ts", _r(denan(F.col("value")), 4).alias("sum_value"))
+# ===================================================== expressions (§2.8 / 3.x graph)
+
+
+@register(
+    "expr_ratio_purchase_total_daily",
+    f"""{ORACLE_PTS},
+days AS (SELECT unnest(generate_series({START}, {END - 1}, {DAY})) AS bucket_ts),
+p AS (SELECT {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+      FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END} GROUP BY 1),
+t AS (SELECT {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+      FROM dpts WHERE ts >= {START} AND ts < {END} GROUP BY 1)
+SELECT d.bucket_ts, round(p.v / nullif(t.v, 0) * 100, 6) AS pct_value
+FROM days d LEFT JOIN p ON p.bucket_ts = d.bucket_ts
+            LEFT JOIN t ON t.bucket_ts = d.bucket_ts""",
+)
+def expr_ratio_purchase_total_daily(spark, sf_dir):
+    """Expression node via the FULL JSON graph runner: daily purchase
+    share of total, ``p / t * 100`` over two group-all branches with
+    the dense NaN spine (missing day → NULL)."""
+    from opentsdb_aura_spark.plans.opentsdb_json import run_semantic_graph
+
+    graph = {
+        "start": START,
+        "end": END,
+        "executionGraph": [
+            {"id": "p_src", "type": "TimeSeriesDataSource",
+             "metric": {"type": "MetricLiteral", "metric": "purchase"}},
+            {"id": "t_src", "type": "TimeSeriesDataSource"},
+            {"id": "p_ds", "type": "downsample", "aggregator": "sum", "interval": "1d", "sources": ["p_src"]},
+            {"id": "t_ds", "type": "downsample", "aggregator": "sum", "interval": "1d", "sources": ["t_src"]},
+            {"id": "p", "type": "groupby", "tagKeys": [], "aggregator": "sum", "sources": ["p_ds"]},
+            {"id": "t", "type": "groupby", "tagKeys": [], "aggregator": "sum", "sources": ["t_ds"]},
+            {"id": "ratio", "type": "expression", "expression": "p / t * 100", "sources": ["p", "t"]},
+        ],
+    }
+    res = run_semantic_graph(points(spark, sf_dir), graph, segment_width=EVENT_STORE_SEGMENT_WIDTH)
+    return res.select("bucket_ts", _r(denan(F.col("value")), 6).alias("pct_value"))
+
+
+@register(
+    "expr_diff_by_user_daily",
+    f"""{ORACLE_PTS},
+p AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+      FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END} GROUP BY 1, 2),
+s AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+      FROM dpts WHERE metric = 'signup' AND ts >= {START} AND ts < {END} GROUP BY 1, 2)
+SELECT COALESCE(p.tag_user, s.tag_user) AS tag_user,
+       COALESCE(p.bucket_ts, s.bucket_ts) AS bucket_ts,
+       round(p.v - s.v, 4) AS diff_value
+FROM p FULL JOIN s ON p.tag_user = s.tag_user AND p.bucket_ts = s.bucket_ts""",
+)
+def expr_diff_by_user_daily(spark, sf_dir):
+    """Expression over two per-user branches, NATURAL_OUTER join:
+    purchase − signup; a user-day present on one side only → NaN
+    (surfaced as NULL)."""
+    from opentsdb_aura_spark.operators.expression import evaluate_expression
+
+    pts = points(spark, sf_dir)
+
+    def branch(metric):
+        q = _mq(start=START, end=END, interval=DAY, ds_agg="sum",
+                filter=MetricLiteral(metric), group_tag_keys=["user"], gb_agg="sum", fill="none")
+        return run_metric_query(pts, q, dedupe=False)
+
+    res = evaluate_expression({"p": branch("purchase"), "s": branch("signup")}, "p - s")
+    return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("diff_value"))
+
+
+@register(
+    "expr_affine_purchase_daily",
+    f"""{ORACLE_PTS}
+SELECT {_bucket_sql(DAY)} AS bucket_ts, round(sum(value) * 2 + 10, 4) AS scaled_value
+FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END} GROUP BY 1""",
+)
+def expr_affine_purchase_daily(spark, sf_dir):
+    """Single-source scalar expression: ``p * 2 + 10`` (literal
+    arithmetic folds into the same codegen stage as the aggregation)."""
+    from opentsdb_aura_spark.operators.expression import evaluate_expression
+
+    pts = points(spark, sf_dir)
+    q = _mq(start=START, end=END, interval=DAY, ds_agg="sum",
+            filter=MetricLiteral("purchase"), group_tag_keys=[], gb_agg="sum", fill="none")
+    res = evaluate_expression({"p": run_metric_query(pts, q, dedupe=False)}, "p * 2 + 10")
+    return res.select("bucket_ts", _r(denan(F.col("value")), 4).alias("scaled_value"))
+
+
+@register(
+    "summarizer_user_purchase",
+    f"""{ORACLE_PTS},
+agg AS (SELECT tag_user, {_bucket_sql(DAY)} AS bucket_ts, sum(value) AS v
+        FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END} GROUP BY 1, 2)
+SELECT tag_user, round(avg(v), 6) AS avg_value, round(max(v), 4) AS max_value,
+       CAST(count(v) AS DOUBLE) AS count_value
+FROM agg GROUP BY 1""",
+)
+def summarizer_user_purchase(spark, sf_dir):
+    """Summarizer node: per-user avg/max/count over the daily purchase
+    sums (the graph-footer table)."""
+    from opentsdb_aura_spark.operators.summarizer import summarize
+
+    pts = points(spark, sf_dir)
+    q = _mq(start=START, end=END, interval=DAY, ds_agg="sum",
+            filter=MetricLiteral("purchase"), group_tag_keys=["user"], gb_agg="sum", fill="none")
+    res = summarize(run_metric_query(pts, q, dedupe=False), ["avg", "max", "count"], group_cols=["tag_user"])
+    return res.select(
+        "tag_user",
+        _r(denan(F.col("avg")), 6).alias("avg_value"),
+        _r(denan(F.col("max")), 4).alias("max_value"),
+        F.col("count").alias("count_value"),
+    )

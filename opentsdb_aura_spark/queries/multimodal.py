@@ -1,0 +1,275 @@
+"""Multimodal decode/feature queries (image, audio, video).
+
+Split from the monolithic catalog.py (round 5): registration
+side-effects only — query names, oracles, and behavior unchanged.
+"""
+
+from __future__ import annotations
+
+from opentsdb_aura_spark.queries.base import *  # noqa: F401,F403
+from opentsdb_aura_spark.queries.base import (  # shared underscore helpers
+    _bucket_sql,
+    _ds_by_metric,
+    _ds_by_metric_sql,
+    _mq,
+    _r,
+    _rollup,
+)
+
+
+# ============================================================ multimodal plumbing
+
+
+@register(
+    "multimodal_media_stats",
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(max(doc_id % 1920 + 1) AS INTEGER) AS max_width,
+       CAST(max(doc_id % 1080 + 1) AS INTEGER) AS max_height
+FROM documents GROUP BY 1""",
+)
+def multimodal_media_stats(spark, sf_dir):
+    """Binary media columns + typed metadata: JVM-side stats without
+    decoding (the decode itself is a stubbed mapInPandas — see
+    multimodal_features)."""
+    media = attach_fake_media(docs(spark, sf_dir))
+    return media_stats(media).select(
+        "kind",
+        F.col("n_media").cast("bigint").alias("n_media"),
+        F.col("total_bytes").cast("bigint").alias("total_bytes"),
+        F.col("max_width").cast("int").alias("max_width"),
+        F.col("max_height").cast("int").alias("max_height"),
+    )
+
+
+@register(
+    "multimodal_features",
+    """SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, least(strlen(text), 256) + 1),
+                     i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
+FROM documents WHERE doc_id < 200""",
+)
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary media
+    (deterministic fake decode; real decoder is a drop-in)."""
+    media = attach_fake_media(docs_raw(spark, sf_dir)).where(F.col("media_id") < 200)
+    return extract_features(media, fake=True).select("media_id", "kind", "n_bytes", "checksum")
+
+
+@register(
+    "multimodal_jpeg_decode",
+    """SELECT doc_id AS media_id,
+       CAST(doc_id % 16 + 1 AS DOUBLE) AS width,
+       CAST(doc_id % 12 + 1 AS DOUBLE) AS height,
+       CAST((doc_id % 16 + 1) * (doc_id % 12 + 1) * 3 AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 100""",
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline JPEG decode end-to-end (operators/jpeg.py: Huffman
+    + dequant + IDCT, stdlib/numpy only) over a MIXED-SUBSAMPLING
+    corpus: docs round-robin 4:4:4 / 4:2:2 / 4:2:0 payloads, so the
+    T.81 A.2.3 interleaved-MCU path (multi-block MCUs, chroma
+    downsample/upsample) must parse correctly alongside the plain
+    one-block layout.  JPEG is lossy, so unlike
+    ``multimodal_real_decode`` the oracle pins the EXACT decoded
+    dimensions/byte counts (wrong MCU walk → parse error or wrong
+    dims) while the pixel-level roundtrip error is bounded in pytest
+    (flat fields ±3, structured images ≥ 34-40 dB PSNR by layout)."""
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media
+
+    media = attach_image_media(
+        docs_raw(spark, sf_dir).where(F.col("doc_id") < 100),
+        formats=("jpeg", "jpeg422", "jpeg420"),
+    )
+    res = extract_features(media, fake=False)
+    return res.select(
+        "media_id",
+        F.col("feat")[0].alias("width"),
+        F.col("feat")[1].alias("height"),
+        "n_bytes",
+    )
+
+
+@register(
+    "multimodal_real_decode",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+  FROM documents WHERE doc_id < 100),
+px AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, w * h * 3),
+                        j -> ascii(substr(text, (j % L) + 1, 1))) AS p
+  FROM d)
+SELECT doc_id AS media_id,
+       CAST(w * h * 3 AS BIGINT) AS n_bytes,
+       CAST(list_sum(p) AS BIGINT) AS checksum,
+       round(list_avg(list_transform(range(0, w * h), j -> p[3 * j + 1])), 6) AS mean_r,
+       round(list_avg(list_transform(range(0, w * h), j -> p[3 * j + 2])), 6) AS mean_g,
+       round(list_avg(list_transform(range(0, w * h), j -> p[3 * j + 3])), 6) AS mean_b
+FROM px""",
+)
+def multimodal_real_decode(spark, sf_dir):
+    """REAL image decode end-to-end over a MIXED-FORMAT corpus: each
+    doc becomes a genuine image — BMP, PPM, RGB PNG, or paletted PNG
+    (color type 3 + PLTE, minimal 1/2/4/8-bit depth) round-robined by
+    doc id (pixels derived from the doc text by a SQL-expressible
+    rule), ``extract_features(fake=False)`` parses each binary — BMP
+    header/bottom-up/BGR/padding, PPM header, PNG zlib-inflate +
+    scanline unfilter + palette expansion — and the oracle recomputes
+    pixel-sum/channel-mean features from the rule.  Values match ONLY
+    if every codec round-trips correctly, so this is the non-stub
+    proof of the multimodal decode path."""
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media
+
+    media = attach_image_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    res = extract_features(media, fake=False)
+    return res.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        _r(F.col("feat")[2], 6).alias("mean_r"),
+        _r(F.col("feat")[3], 6).alias("mean_g"),
+        _r(F.col("feat")[4], 6).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_resize_decode",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+  FROM documents WHERE doc_id < 100),
+m AS (
+  SELECT doc_id,
+         list_transform(range(0, 20),
+                        ji -> (((ji // 5) * h // 4) * w + ((ji % 5) * w // 5)) * 3) AS src,
+         text, L
+  FROM d),
+px AS (
+  SELECT doc_id,
+         list_transform(src, s -> ascii(substr(text, (s % L) + 1, 1))) AS pr,
+         list_transform(src, s -> ascii(substr(text, ((s + 1) % L) + 1, 1))) AS pg,
+         list_transform(src, s -> ascii(substr(text, ((s + 2) % L) + 1, 1))) AS pb
+  FROM m)
+SELECT doc_id AS media_id,
+       CAST(60 AS BIGINT) AS n_bytes,
+       CAST(list_sum(pr) + list_sum(pg) + list_sum(pb) AS BIGINT) AS checksum,
+       round(list_avg(pr), 6) AS mean_r,
+       round(list_avg(pg), 6) AS mean_g,
+       round(list_avg(pb), 6) AS mean_b
+FROM px""",
+)
+def multimodal_resize_decode(spark, sf_dir):
+    """REAL resize end-to-end: decode each mixed-format image,
+    nearest-neighbor sample to 5×4 (vectorized numpy index map),
+    re-encode BMP, decode THAT and feature-extract — the oracle
+    recomputes the sampled pixel means from the generation rule and
+    the floor-index map, so both codec directions and the index
+    arithmetic must round-trip exactly."""
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media, resize_images
+
+    media = attach_image_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    resized = resize_images(media, 5, 4, fake=False).select(
+        "media_id", "kind", F.col("resized").alias("payload"),
+        "width", "height", "sample_rate", "n_frames",
+    )
+    res = extract_features(resized, fake=False)
+    return res.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        _r(F.col("feat")[2], 6).alias("mean_r"),
+        _r(F.col("feat")[3], 6).alias("mean_g"),
+        _r(F.col("feat")[4], 6).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_audio_decode",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 64 + 16 AS n, 8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents WHERE doc_id < 100),
+s AS (
+  SELECT doc_id, rate, n,
+         list_transform(range(0, n),
+                        j -> (ascii(substr(text, (j % L) + 1, 1)) - 80) * 256) AS smp
+  FROM d)
+SELECT doc_id AS media_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       round(list_avg(smp), 6) AS mean_amp,
+       round(sqrt(list_avg(list_transform(smp, x -> CAST(x AS DOUBLE) * x))), 6) AS rms,
+       CAST(list_sum(list_transform(range(1, n),
+                                    j -> CASE WHEN smp[j] * smp[j + 1] < 0 THEN 1 ELSE 0 END))
+            AS BIGINT) AS zero_crossings
+FROM s""",
+)
+def multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decode end-to-end: every doc becomes a genuine mono
+    PCM16 WAV (operators/av.py — RIFF chunk walk), samples derived
+    from the doc text by a SQL rule, and ``extract_audio_features``
+    must parse the container to produce sample-rate / RMS /
+    zero-crossing values the oracle recomputes from the rule.  Wrong
+    chunk offsets, endianness, or width → value mismatch."""
+    from opentsdb_aura_spark.operators.av import attach_audio_media, extract_audio_features
+
+    media = attach_audio_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    res = extract_audio_features(media)
+    return res.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        _r(F.col("mean_amp"), 6).alias("mean_amp"),
+        _r(F.col("rms"), 6).alias("rms"),
+        "zero_crossings",
+    )
+
+
+@register(
+    "multimodal_video_frames",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h, doc_id % 10 + 3 AS nf
+  FROM documents WHERE doc_id < 100),
+f AS (
+  SELECT doc_id, text, L, w, h, unnest(range(0, nf)) AS fi
+  FROM d),
+px AS (
+  SELECT doc_id, fi, w, h,
+         list_transform(range(0, w * h),
+                        j -> ascii(substr(text, ((fi * w * h + j) % L) + 1, 1))) AS p
+  FROM f WHERE fi % 2 = 0)
+SELECT doc_id AS media_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_sum(p) AS BIGINT) AS checksum,
+       round(list_avg(p), 6) AS mean_luma
+FROM px""",
+)
+def multimodal_video_frames(spark, sf_dir):
+    """REAL video container parse + frame sampling: every doc becomes
+    a genuine Y4M (YUV4MPEG2, Cmono) stream, ``sample_video_frames``
+    parses the header/FRAME markers and keeps every 2nd frame (the
+    1→many mapInPandas fan-out, now real), and the oracle recomputes
+    per-frame checksum / mean luma from the generation rule."""
+    from opentsdb_aura_spark.operators.av import attach_video_media, sample_video_frames
+
+    media = attach_video_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    res = sample_video_frames(media, every_n=2)
+    return res.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        "n_pixels",
+        "checksum",
+        _r(F.col("mean_luma"), 6).alias("mean_luma"),
+    )

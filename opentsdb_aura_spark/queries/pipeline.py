@@ -1,0 +1,794 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, corpus curation, quality filters.
+
+Split from the monolithic catalog.py (round 5): registration
+side-effects only — query names, oracles, and behavior unchanged.
+"""
+
+from __future__ import annotations
+
+from opentsdb_aura_spark.queries.base import *  # noqa: F401,F403
+from opentsdb_aura_spark.queries.base import (  # shared underscore helpers
+    _bucket_sql,
+    _ds_by_metric,
+    _ds_by_metric_sql,
+    _mq,
+    _r,
+    _rollup,
+)
+
+
+# ============================================================ dedup (pipeline)
+
+
+@register(
+    "dedup_exact_docs",
+    """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1""",
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: content-hash groups with more than one doc."""
+    return exact_duplicates(docs(spark, sf_dir)).select(
+        "text_hash", F.col("dup_count").cast("bigint").alias("dup_count"), F.col("keep_id").cast("bigint").alias("keep_id")
+    )
+
+
+@register(
+    "dedup_repeated_spans",
+    r"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i+1:i+8], ' ') AS gram
+      FROM d, unnest(range(0, greatest(len(toks) - 7, 0))) AS t(i)),
+rep AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, pos, g.gram, n_docs FROM g JOIN rep USING (gram)""",
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Span-level exact dedup (Lee et al. suffix-array substring dedup,
+    re-expressed): every position of an 8-token sequence recurring in
+    ≥2 distinct docs, with its corpus document frequency.  Hash-agg +
+    equi-join — no suffix array, no all-pairs."""
+    from opentsdb_aura_spark.operators.dedup_text import repeated_ngram_spans
+
+    return repeated_ngram_spans(docs(spark, sf_dir), n=8, min_docs=2)
+
+
+@register(
+    "dedup_span_excise",
+    r"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i+1:i+8], ' ') AS gram
+      FROM d, unnest(range(0, greatest(len(toks) - 7, 0))) AS t(i)),
+rep AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+sp AS (SELECT doc_id, pos FROM g JOIN rep USING (gram)),
+tokpos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, toks[i+1] AS tok
+           FROM d, unnest(range(0, len(toks))) AS t(i)),
+keep AS (SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+         WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = tp.doc_id
+                           AND sp.pos <= tp.i AND tp.i < sp.pos + 8)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM keep GROUP BY 1)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(d.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN agg a USING (doc_id)""",
+)
+def dedup_span_excise(spark, sf_dir):
+    """Span excision (Lee et al. cleaning step): strip every token
+    covered by a corpus-repeated 8-gram; returns the reassembled
+    token stream and the removed-token count per document."""
+    from opentsdb_aura_spark.operators.dedup_text import excise_repeated_spans
+
+    return excise_repeated_spans(docs(spark, sf_dir), n=8, min_docs=2)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""{ORACLE_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.2""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection: 3-word-shingle Jaccard ≥ 0.2 pairs."""
+    res = ngram_jaccard_pairs(docs(spark, sf_dir), n=3, threshold=0.2)
+    return res.select("doc_a", "doc_b", _r("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh")  # hash-dependent candidates: rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates at estimated Jaccard ≥ 0.5 —
+    the ``jaccard`` column is the MinHash signature estimate (matching
+    permutation mins / k, σ ≈ 0.09 at J=0.5, k=32), not an exact
+    re-verification; pass ``exact_verify=True`` for that."""
+    res = minhash_lsh_candidates(docs(spark, sf_dir), num_perm=32, bands=8, threshold=0.5)
+    return res.select("doc_a", "doc_b", _r("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_lsh_exact",
+    f"""{ORACLE_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5""",
+)
+def dedup_minhash_lsh_exact(spark, sf_dir):
+    """The flagship dedup path, hash-checked: MinHash-LSH candidates
+    re-verified on EXACT shingle Jaccard (``exact_verify=True``
+    semi-joins candidate docs and re-explodes their shingle sets —
+    never O(n²)).  With 1-row bands (bands = num_perm = 32) a pair
+    collides iff any permutation min agrees, so on this corpus every
+    exact-Jaccard ≥ 0.5 pair is banded (verified at sf0.001 and
+    sf0.01) and the output equals the SQL-expressible set of pairs
+    with exact 3-word-shingle Jaccard ≥ 0.5 — upgrading the LSH
+    surface from rows-only to a value-hash oracle while the default
+    approximate path (``dedup_minhash_lsh``) stays untouched."""
+    res = minhash_lsh_candidates(
+        docs(spark, sf_dir), num_perm=32, bands=32, threshold=0.5, exact_verify=True
+    )
+    return res.select("doc_a", "doc_b", _r("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_simhash")  # hash-dependent: rows-only check
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3) via bit-band candidates."""
+    return simhash_near_pairs(docs(spark, sf_dir), max_hamming=3)
+# ============================================================ similarity search
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv)+1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x)))) AS cs
+  FROM q, c WHERE query_id != neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim FROM r WHERE rn <= 5"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for 20 query vectors."""
+    e = embs(spark, sf_dir)
+    res = brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+
+@register("ann_lsh_topk")  # approximate: recall < 1 → rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-5 (the 100 TB scale path)."""
+    e = embs(spark, sf_dir)
+    res = lsh_topk(e, e.where(F.col("vec_id") < 20), k=5, dim=64)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+
+@register("ann_ivf_topk", _ANN_ORACLE)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) cosine top-5: sampled spherical-k-means
+    lists, Arrow-batched centroid assignment, nprobe probing.  Probing
+    ALL lists here makes it exhaustive, so the exact-ANN oracle
+    applies; production sets nprobe ≪ n_centroids."""
+    from opentsdb_aura_spark.operators.similarity import ivf_topk
+
+    e = embs(spark, sf_dir)
+    res = ivf_topk(e, e.where(F.col("vec_id") < 20), k=5, n_centroids=8, nprobe=8)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+
+@register("ann_ivf_index_topk", _ANN_ORACLE)
+def ann_ivf_index_topk(spark, sf_dir):
+    """IVF with the index AT REST: centroids + list-partitioned
+    vectors persisted once (`build_ivf_index`), then searched via
+    `ivf_search_index` — the probed list ids (≤ n_centroids values)
+    push down as an isin partition filter, so a production probe scans
+    only nprobe/n_centroids of the corpus directories.  Full probe
+    here → exhaustive → the exact-ANN oracle applies."""
+    import os
+
+    from opentsdb_aura_spark.operators.similarity import build_ivf_index, ivf_search_index
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    # params in the dir name: changed build parameters land in a fresh
+    # dir instead of silently reading a stale index; the whole root is
+    # version-rmtree'd with the event store on layout changes
+    path = os.path.join(STORE_ROOT, base, "ivf_index_c8_v1")
+    if not os.path.exists(os.path.join(path, "vectors", "_SUCCESS")):
+        build_ivf_index(embs(spark, sf_dir), path, n_centroids=8)
+    q = embs(spark, sf_dir).where(F.col("vec_id") < 20)
+    res = ivf_search_index(spark, path, q, k=5, nprobe=8)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+# ============================================================ text analysis
+
+
+@register(
+    "text_token_stats",
+    """SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '')) AS BIGINT) AS n_tokens,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents""",
+)
+def text_token_stats(spark, sf_dir):
+    """Token + byte counts per document."""
+    return token_stats(docs(spark, sf_dir))
+
+
+@register(
+    "text_quality",
+    """SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0 / len(toks) END, 6) AS stopword_ratio,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) END, 6) AS mean_token_len
+FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '') AS toks FROM documents)""",
+)
+def text_quality(spark, sf_dir):
+    """Quality signals: stopword ratio, mean token length."""
+    res = quality_scores(docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        _r("stopword_ratio", 6).alias("stopword_ratio"),
+        _r("mean_token_len", 6).alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_lang_id",
+    """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '') AS toks FROM documents),
+s AS (SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['el','la','los','es','de'], x))) AS s_es,
+        len(list_filter(toks, x -> list_contains(['le','la','les','est','et'], x))) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) AS s_zh
+      FROM t)
+SELECT doc_id,
+  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       WHEN s_fr >= s_zh THEN 'fr'
+       ELSE 'zh' END AS pred_lang,
+  CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS score
+FROM s""",
+)
+def text_lang_id(spark, sf_dir):
+    """Heuristic language ID with deterministic tie-break."""
+    return lang_id(docs(spark, sf_dir))
+
+
+_PII = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+# deterministic PII injection: the synthetic corpus has no PII, so the
+# query plants one email/IP/SSN/phone per doc by a SQL-expressible rule
+# (same trick as the BMP decode proof) — the scrub only hash-matches if
+# masks land at exactly the right spans
+_PII_INJECT_SQL = (
+    "substr(text, 1, 60) || ' reach user' || doc_id || '@mail-' || (doc_id % 7) || "
+    "'.com ip ' || (doc_id % 155 + 100) || '.' || (doc_id % 256) || '.0.' || (doc_id % 254 + 1) || "
+    "' ssn ' || (doc_id % 900 + 100) || '-' || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' || "
+    "lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+    "' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || "
+    "lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+_PII_ORACLE = (
+    "WITH d0 AS (SELECT doc_id, " + _PII_INJECT_SQL + " AS t FROM documents),\n"
+    "s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '" + _PII["email"] + "')) AS BIGINT) AS n_email,\n"
+    "       regexp_replace(t, '" + _PII["email"] + "', '<EMAIL>', 'g') AS t FROM d0),\n"
+    "s2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t, '" + _PII["ip"] + "')) AS BIGINT) AS n_ip,\n"
+    "       regexp_replace(t, '" + _PII["ip"] + "', '<IP>', 'g') AS t FROM s1),\n"
+    "s3 AS (SELECT doc_id, n_email, n_ip, CAST(len(regexp_extract_all(t, '" + _PII["ssn"] + "')) AS BIGINT) AS n_ssn,\n"
+    "       regexp_replace(t, '" + _PII["ssn"] + "', '<SSN>', 'g') AS t FROM s2),\n"
+    "s4 AS (SELECT doc_id, n_email, n_ip, n_ssn, CAST(len(regexp_extract_all(t, '" + _PII["phone"] + "')) AS BIGINT) AS n_phone,\n"
+    "       regexp_replace(t, '" + _PII["phone"] + "', '<PHONE>', 'g') AS t FROM s3)\n"
+    "SELECT doc_id, t AS scrubbed, n_email, n_ip, n_ssn, n_phone FROM s4"
+)
+
+
+@register("pii_scrub_docs", _PII_ORACLE)
+def pii_scrub_docs(spark, sf_dir):
+    """PII masking over the corpus: emails, IPv4s, SSN-shaped and
+    phone-shaped numbers replaced by typed mask tokens, with per-rule
+    counts taken over the progressively-scrubbed text.  Pure
+    regexp_count/regexp_replace map stage — no shuffle, no Python."""
+    from opentsdb_aura_spark.operators.text import pii_scrub
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    injected = F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.lit(" reach user"), s(d), F.lit("@mail-"), s(d % 7), F.lit(".com ip "),
+        s(d % 155 + 100), F.lit("."), s(d % 256), F.lit(".0."), s(d % 254 + 1),
+        F.lit(" ssn "), s(d % 900 + 100), F.lit("-"), F.lpad(s(d % 100), 2, "0"),
+        F.lit("-"), F.lpad(s(d % 10000), 4, "0"),
+        F.lit(" call 555-"), F.lpad(s(d % 1000), 3, "0"), F.lit("-"), F.lpad(s(d % 10000), 4, "0"),
+    )
+    return pii_scrub(docs(spark, sf_dir).withColumn("text", injected))
+# ============================================================ corpus curation (pipeline)
+
+
+def _md5_bucket_sql(key_expr: str, salt: str) -> str:
+    """DuckDB replica of corpus.det_hash_bucket: first 8 md5 hex chars
+    → int via fold, mod 1,000,000."""
+    return (
+        f"list_reduce(list_transform(str_split(substr(md5({key_expr} || ':{salt}'), 1, 8), ''), "
+        "c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b) % 1000000"
+    )
+
+
+_ORACLE_TC = """tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tc
+      FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '')) AS token
+            FROM documents)
+      GROUP BY 1, 2)"""
+
+
+_MD5_U52_SQL = (
+    "list_reduce(list_transform(str_split(substr(md5(doc_id || ':wsample'), 1, 13), ''), "
+    "c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "pipeline_weighted_sample",
+    f"""WITH h AS (SELECT doc_id, source, n_chars, {_MD5_U52_SQL} AS hv FROM documents),
+k AS (SELECT doc_id, source,
+             pow((hv + 1.0) / 4503599627370498.0, 1.0 / n_chars) AS sk
+      FROM h WHERE n_chars > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY sk DESC, doc_id) AS rn
+      FROM k)
+SELECT doc_id, source, round(sk, 10) AS sample_key FROM r WHERE rn <= 5""",
+)
+def pipeline_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES over md5 uniforms), 5 docs per source weighted by
+    length — the one-pass rank-filter that importance-resampling
+    pipelines (e.g. over DSIR weights) need; deterministic uniforms
+    make the EXACT sample reproducible engine-to-engine, hence the SQL
+    oracle."""
+    from opentsdb_aura_spark.operators.corpus import weighted_sample
+
+    d = docs(spark, sf_dir)
+    out = weighted_sample(d, 5, F.col("n_chars").cast("double"), group_col="source")
+    return out.select("doc_id", "source", _r("sample_key", 10).alias("sample_key"))
+
+
+@register(
+    "pipeline_split_assign",
+    f"""SELECT doc_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {_md5_bucket_sql("doc_id", "split")} AS b FROM documents)""",
+)
+def pipeline_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment — a pure
+    hash of doc_id, so the oracle reproduces it bit-for-bit."""
+    from opentsdb_aura_spark.operators.corpus import split_assign
+
+    return split_assign(docs(spark, sf_dir))
+
+
+@register(
+    "pipeline_shard_assign",
+    """WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shard') AS hh FROM documents)
+SELECT doc_id,
+       CAST(('0x' || substr(hh, 1, 15))::BIGINT % 16 AS INTEGER) AS shard_id,
+       CAST(row_number() OVER (
+              PARTITION BY ('0x' || substr(hh, 1, 15))::BIGINT % 16
+              ORDER BY hh, doc_id) AS BIGINT) AS shard_pos
+FROM h""",
+)
+def pipeline_shard_assign(spark, sf_dir):
+    """Deterministic training-order shuffle into 16 shards: hash shard
+    + in-shard rank, reproducible bit-for-bit by the oracle; the
+    position window partitions by shard (no global sort)."""
+    from opentsdb_aura_spark.operators.corpus import shard_assign
+
+    return shard_assign(docs(spark, sf_dir), 16)
+
+
+@register(
+    "corpus_vocab_stats",
+    f"""WITH {_ORACLE_TC}
+SELECT token, CAST(sum(tc) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+FROM tc GROUP BY 1""",
+)
+def corpus_vocab_stats(spark, sf_dir):
+    """Vocabulary building: per-token corpus term frequency and
+    document frequency."""
+    from opentsdb_aura_spark.operators.corpus import vocab_stats
+
+    return vocab_stats(docs(spark, sf_dir))
+
+
+@register(
+    "corpus_tfidf_top3",
+    f"""WITH {_ORACLE_TC},
+dfreq AS (SELECT token, count(*) AS df FROM tc GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT tc.doc_id, tc.token,
+                  tc.tc * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+           FROM tc JOIN dfreq USING (token) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+      FROM scored)
+SELECT doc_id, token, round(score, 6) AS score FROM r WHERE rn <= 3""",
+)
+def corpus_tfidf_top3(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed TF-IDF."""
+    from opentsdb_aura_spark.operators.corpus import tfidf_top_terms
+
+    res = tfidf_top_terms(docs(spark, sf_dir), k=3)
+    return res.select("doc_id", "token", _r("score", 6).alias("score"))
+
+
+@register(
+    "pipeline_stratified_sample",
+    f"""WITH h AS (SELECT doc_id, lang, {_md5_bucket_sql("doc_id", "sample")} AS b FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.1)""",
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    """Exact deterministic 10% stratified sample per language."""
+    from opentsdb_aura_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(docs(spark, sf_dir), 0.1, strata_col="lang").select("doc_id", "lang")
+
+
+@register(
+    "dedup_keep_best",
+    r"""WITH c AS (SELECT doc_id, n_chars,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS ckey
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY ckey ORDER BY n_chars DESC, doc_id) AS rn FROM c),
+w AS (SELECT ckey, doc_id AS kept_doc_id FROM r WHERE rn = 1)
+SELECT r.doc_id, w.kept_doc_id FROM r JOIN w USING (ckey) WHERE r.rn > 1""",
+)
+def dedup_keep_best_docs(spark, sf_dir):
+    """Keep-one duplicate retention: cluster by normalized-text
+    digest, keep the highest-quality doc per cluster, report each
+    dropped doc with its surviving representative."""
+    from opentsdb_aura_spark.operators.corpus import dedup_keep_best
+
+    return dedup_keep_best(docs(spark, sf_dir))
+
+
+@register(
+    "dedup_cluster_resolve",
+    f"""{ORACLE_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc),
+comp AS (SELECT doc, min(lbl) AS label FROM reach GROUP BY 1),
+ranked AS (SELECT c.doc, c.label,
+                  row_number() OVER (PARTITION BY c.label
+                                     ORDER BY d.n_chars DESC, c.doc) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.doc),
+w AS (SELECT label, doc AS kept_doc_id FROM ranked WHERE rn = 1)
+SELECT r.doc AS doc_id, w.kept_doc_id
+FROM ranked r JOIN w USING (label) WHERE r.rn > 1""",
+)
+def dedup_cluster_resolve(spark, sf_dir):
+    """Near-dup retention end-to-end: Jaccard ≥ 0.2 candidate pairs →
+    connected components (transitive closure) → keep the longest doc
+    per cluster; one row per dropped doc with its survivor.  The
+    oracle closes the components with a recursive CTE."""
+    from opentsdb_aura_spark.operators.corpus import resolve_duplicate_clusters
+
+    d = docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    return resolve_duplicate_clusters(d, pairs)
+
+
+@register(
+    "chunk_docs_64_32",
+    r"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents),
+st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 32)) AS s FROM d)
+SELECT doc_id, CAST(s // 32 AS INTEGER) AS chunk_idx,
+       array_to_string(toks[s+1:s+64], ' ') AS chunk_text,
+       CAST(len(toks[s+1:s+64]) AS BIGINT) AS n_tokens
+FROM st WHERE len(toks[s+1:s+64]) > 0""",
+)
+def chunk_docs_64_32(spark, sf_dir):
+    """Training-sample chunking: 64-token windows at stride 32
+    (overlapping halves), tail chunks kept.  Narrow 1→many explode —
+    no shuffle."""
+    from opentsdb_aura_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(docs(spark, sf_dir), chunk_tokens=64, stride=32)
+
+
+@register(
+    "contamination_ngram",
+    f"""{ORACLE_SHINGLES},
+probe AS (SELECT doc_id AS probe_id, s FROM shing WHERE doc_id % 50 = 0),
+psize AS (SELECT probe_id, count(*) AS pn FROM probe GROUP BY 1),
+hits AS (SELECT c.doc_id, p.probe_id, count(*) AS inter
+         FROM shing c JOIN probe p ON c.s = p.s AND c.doc_id <> p.probe_id
+         GROUP BY 1, 2)
+SELECT h.doc_id, h.probe_id, round(h.inter * 1.0 / ps.pn, 6) AS overlap_frac
+FROM hits h JOIN psize ps USING (probe_id)
+WHERE h.inter * 1.0 / ps.pn >= 0.5""",
+)
+def contamination_ngram(spark, sf_dir):
+    """Train/eval contamination: docs sharing ≥ 50% of a probe doc's
+    distinct 3-gram shingles (probe set = every 50th doc, standing in
+    for a benchmark suite).  Corpus-side single pass with the probe
+    shingles broadcast."""
+    from opentsdb_aura_spark.operators.corpus import contamination_check
+
+    d = docs(spark, sf_dir)
+    res = contamination_check(d, d.where(F.col("doc_id") % 50 == 0), n=3, min_overlap_frac=0.5)
+    return res.select("doc_id", "probe_id", _r(F.col("overlap_frac"), 6).alias("overlap_frac"))
+
+
+@register(
+    "corpus_bigram_top20",
+    r"""WITH t AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks FROM documents),
+b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""",
+)
+def corpus_bigram_top20(spark, sf_dir):
+    """Top-20 corpus bigrams (n-gram language-model counts), total
+    deterministic order."""
+    from opentsdb_aura_spark.operators.corpus import bigram_counts
+
+    return bigram_counts(docs(spark, sf_dir), k=20)
+
+
+@register(
+    "pipeline_pack_sequences",
+    r"""WITH t AS (SELECT doc_id, len(list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '')) AS n
+           FROM documents),
+c AS (SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ts
+      FROM t)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(ts AS BIGINT) AS token_start,
+       CAST(ts // 128 AS BIGINT) AS seq_first,
+       CAST(ts % 128 AS BIGINT) AS offset_first,
+       CAST((ts + n - 1) // 128 AS BIGINT) AS seq_last
+FROM c""",
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence packing into 128-token
+    training sequences: per-doc stream offsets via a two-level
+    distributed prefix sum (per-block sums → tiny block-offset window
+    → broadcast join + bounded within-block window) — no global
+    single-partition window at any corpus size."""
+    from opentsdb_aura_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(docs(spark, sf_dir), seq_len=128)
+
+
+@register(
+    "pipeline_mixture_sample",
+    f"""SELECT doc_id, source
+FROM (SELECT doc_id, source, {_md5_bucket_sql("doc_id", "mixture")} AS b FROM documents)
+WHERE b < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                      WHEN 'src2' THEN 250000 ELSE 100000 END""",
+)
+def pipeline_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling: per-source keep rates (100%/50%/25%,
+    10% default) as a deterministic hash filter — a narrow map that
+    pushes down to the scan; the oracle replicates the md5 bucket
+    bit-for-bit."""
+    from opentsdb_aura_spark.operators.corpus import mixture_sample
+
+    res = mixture_sample(
+        docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        domain_col="source",
+    )
+    return res.select("doc_id", "source")
+# ============================================================ quality filters (pipeline)
+
+# Line injection shared by the repetition/line-dedup queries: the
+# synthetic corpus is single-line, so both engines rebuild each doc as
+# lines of 5 tokens (same rule, so line-level semantics are exercised
+# end-to-end and the oracle stays bit-exact).
+_LINES_SQL = r"""WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents),
+d AS (SELECT doc_id, toks,
+        list_transform(range(0, CAST(ceil(len(toks) / 5.0) AS INT)),
+                       i -> array_to_string(toks[i*5+1:i*5+5], ' ')) AS lines
+      FROM d0)"""
+
+
+def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    nl = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * F.lit(5) + F.lit(1), 5), " "),
+    )
+    return docs(spark, sf_dir).withColumn("text", F.array_join(lines, "\n"))
+
+
+@register(
+    "quality_repetition_docs",
+    f"""{_LINES_SQL},
+l AS (SELECT doc_id, unnest(lines) AS line FROM d),
+pl AS (SELECT doc_id, line, count(*) AS c, length(line) AS len FROM l GROUP BY 1, 2),
+ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+              sum(c - 1) * 1.0 / sum(c) AS dup_line_frac,
+              sum((c - 1) * len) * 1.0 / sum(c * len) AS dup_line_char_frac
+       FROM pl GROUP BY 1),
+bgs AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram,
+               list_sum(list_transform(toks, t -> length(t))) AS tc
+        FROM d),
+pb AS (SELECT doc_id, bigram, count(*) AS c, any_value(tc) AS tc FROM bgs GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(c) AS mx, any_value(tc) AS tc FROM pb GROUP BY 1),
+tb AS (SELECT p.doc_id, min(p.bigram) AS top_bigram, any_value(m.mx) AS c, any_value(m.tc) AS tc
+       FROM pb p JOIN mx m USING (doc_id) WHERE p.c = m.mx GROUP BY 1)
+SELECT ls.doc_id, n_lines, round(dup_line_frac, 6) AS dup_line_frac,
+       round(dup_line_char_frac, 6) AS dup_line_char_frac, top_bigram,
+       round(c * (length(top_bigram) - 1) * 1.0 / tc, 6) AS top_bigram_char_frac
+FROM ls JOIN tb USING (doc_id)""",
+)
+def quality_repetition_docs(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-line fraction by
+    count and by characters, top-bigram character coverage) over the
+    line-injected corpus.  Two explode→pre-agg chains with map-side
+    combine — no corpus-wide hot key."""
+    from opentsdb_aura_spark.operators.quality import repetition_signals
+
+    res = repetition_signals(_docs_with_lines(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        "n_lines",
+        _r("dup_line_frac", 6).alias("dup_line_frac"),
+        _r("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        "top_bigram",
+        _r("top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
+    )
+
+
+@register(
+    "quality_gopher_flags",
+    r"""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks,
+        string_split(text, chr(10)) AS lines FROM documents),
+s AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_word_len,
+        list_sum(list_transform(toks, x -> length(x) - length(replace(x, '#', ''))
+          + CASE WHEN contains(x, '...') OR contains(x, '…') THEN 1 ELSE 0 END)) * 1.0 / len(toks) AS symbol_word_ratio,
+        len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* ', '• '))) * 1.0 / len(lines) AS bullet_line_frac,
+        len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0 / len(lines) AS ellipsis_line_frac,
+        len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks) AS alpha_word_frac,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stopword_hits
+      FROM t)
+SELECT doc_id, n_tokens, round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_word_ratio, 6) AS symbol_word_ratio,
+       round(bullet_line_frac, 6) AS bullet_line_frac,
+       round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       round(alpha_word_frac, 6) AS alpha_word_frac, n_stopword_hits,
+       n_tokens BETWEEN 10 AND 100000 AS ok_n_tokens,
+       mean_word_len BETWEEN 3 AND 10 AS ok_mean_word_len,
+       symbol_word_ratio <= 0.1 AS ok_symbol_ratio,
+       bullet_line_frac <= 0.9 AS ok_bullet_lines,
+       ellipsis_line_frac <= 0.3 AS ok_ellipsis_lines,
+       alpha_word_frac >= 0.8 AS ok_alpha_words,
+       n_stopword_hits >= 2 AS ok_stopwords,
+       (n_tokens BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+         AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+         AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         AND n_stopword_hits >= 2 AS keep
+FROM s""",
+)
+def quality_gopher_flags(spark, sf_dir):
+    """Gopher quality gate (Rae et al. 2021 A1.1) over the corpus:
+    raw signals, per-rule booleans, and the final keep flag.  Pure
+    codegen'd map stage — zero shuffle at any scale."""
+    from opentsdb_aura_spark.operators.quality import gopher_quality_flags
+
+    res = gopher_quality_flags(docs(spark, sf_dir), min_tokens=10)
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        _r("mean_word_len", 6).alias("mean_word_len"),
+        _r("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        _r("bullet_line_frac", 6).alias("bullet_line_frac"),
+        _r("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        _r("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "n_stopword_hits",
+        *[c for c in res.columns if c.startswith("ok_")],
+        "keep",
+    )
+
+
+@register(
+    "quality_lm_scores",
+    r"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents),
+bg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, toks[i+1] AS w1
+       FROM d, unnest(range(0, greatest(len(toks) - 1, 0))) AS t(i)),
+uni AS (SELECT tok, count(*) AS ucnt
+        FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+big AS (SELECT bigram, count(*) AS bcnt FROM bg GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((bcnt + 0.1) / (ucnt + 0.1 * v.v))), 4) AS avg_logprob
+FROM bg JOIN big USING (bigram) JOIN uni ON bg.w1 = uni.tok CROSS JOIN v
+GROUP BY 1""",
+)
+def quality_lm_scores(spark, sf_dir):
+    """CCNet-style perplexity-proxy filter signal: per-doc mean
+    log-probability under a Laplace-smoothed corpus bigram LM, fit by
+    the aggregation itself (no driver-side training)."""
+    from opentsdb_aura_spark.operators.quality import lm_bigram_scores
+
+    res = lm_bigram_scores(docs(spark, sf_dir), alpha=0.1)
+    return res.select("doc_id", "n_bigrams", _r("avg_logprob", 4).alias("avg_logprob"))
+
+
+@register(
+    "corpus_line_dedup_docs",
+    f"""{_LINES_SQL},
+l AS (SELECT doc_id, unnest(range(0, len(lines))) AS pos, lines FROM d),
+l2 AS (SELECT doc_id, pos, lines[pos + 1] AS line FROM l),
+r AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l2)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn <= 1 THEN line END, chr(10) ORDER BY pos), '') AS cleaned_text,
+       CAST(count(*) FILTER (rn <= 1) AS BIGINT) AS n_lines_kept,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_lines_dropped
+FROM r GROUP BY doc_id""",
+)
+def corpus_line_dedup_docs(spark, sf_dir):
+    """C4-style corpus-wide line dedup (first occurrence by (doc_id,
+    line position) wins; the tiny vocabulary makes cross-doc duplicate
+    lines common).  One shuffle on the line key, one on doc_id."""
+    from opentsdb_aura_spark.operators.quality import corpus_line_dedup
+
+    return corpus_line_dedup(_docs_with_lines(spark, sf_dir))

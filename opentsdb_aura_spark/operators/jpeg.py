@@ -6,17 +6,25 @@ common format in a real crawl corpus, so the engine carries its own
 baseline decoder rather than stubbing the whole format out.  Scope —
 the honest boundary, raised as NotImplementedError beyond it:
 
-- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
-  standard entropy coding (DHT Huffman), restart markers, and chroma
-  subsampling with sampling factors in {1, 2, 4} where every factor
-  divides the max (covers 4:4:4, 4:2:2, 4:4:0, 4:2:0, 4:1:1 — i.e.
-  the layouts real crawl corpora contain; T.81 A.2.3 MCU interleave
-  with per-component box upsampling on output).  Progressive (SOF2),
-  arithmetic coding, and non-dividing factors raise.
+- decode: baseline sequential (SOF0) AND progressive (SOF2) DCT,
+  8-bit, grayscale or YCbCr, standard entropy coding (DHT Huffman),
+  restart markers, and chroma subsampling with sampling factors in
+  {1, 2, 4} where every factor divides the max (covers 4:4:4, 4:2:2,
+  4:4:0, 4:2:0, 4:1:1 — i.e. the layouts real crawl corpora contain;
+  T.81 A.2.3 MCU interleave with per-component box upsampling on
+  output).  Progressive scans support both spectral selection and
+  successive approximation (DC/AC first + refinement with EOBRUN,
+  T.81 G.1.2).  Arithmetic coding and non-dividing factors raise.
 - encode: the matching writer (4:4:4, 4:2:2, or 4:2:0 via
-  ``subsampling=``; Annex K quantization tables at quality 75-ish,
-  Annex K Huffman tables) — exists to make the decoder testable
-  without PIL and to generate corpus fixtures.
+  ``subsampling=``; ``progressive=True`` emits the standard 10-scan
+  spectral-selection + successive-approximation script; Annex K
+  quantization tables at quality 75-ish, Annex K Huffman tables) —
+  exists to make the decoder testable without PIL and to generate
+  corpus fixtures.  The progressive correctness oracle is built in:
+  both writers quantize identically, so a progressive roundtrip must
+  produce PIXEL-IDENTICAL output to the sequential roundtrip of the
+  same image — any drift in the refinement bit streams shows up as a
+  pixel diff against the independently-tested baseline path.
 
 JPEG is lossy, so unlike BMP/PPM/PNG the pixel oracle cannot demand
 bit-equality: tests bound the roundtrip error (flat fields ±3/channel,
@@ -296,8 +304,57 @@ def _encode_block(w: _BitWriter, block: np.ndarray, quant: np.ndarray, pred: int
     return int(q[0])
 
 
+#: AC Huffman table for PROGRESSIVE scans: Annex K AC tables have no
+#: EOBn (n>0) symbols, which progressive EOBRUN coding needs — so the
+#: writer uses one flat 8-bit canonical table holding every symbol a
+#: progressive AC scan can emit (EOB0-14, ZRL, (run 0-15, size 1-10)).
+#: 176 codes of length 8 is a valid incomplete Huffman code; fixture
+#: size is irrelevant, decode coverage is the point.
+_AC_PROG_VALS = sorted(
+    {(rn << 4) for rn in range(15)} | {0xF0} | {(run << 4) | s for run in range(16) for s in range(1, 11)}
+)
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[7] = len(_AC_PROG_VALS)  # all codes 8 bits long
+
+
+def _quantized_components(width: int, height: int, rgb: bytes, factors) -> list[np.ndarray]:
+    """FDCT + quantize every component: list of (blocks_high, blocks_wide,
+    64) int32 zigzag arrays over MCU-padded planes — the shared front
+    half of the sequential and progressive writers (bit-identical
+    quantization to the inline baseline loop)."""
+    hmax = max(h for h, _v in factors)
+    vmax = max(v for _h, v in factors)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    ycc = _rgb_to_ycbcr(px)
+    ph = -(-height // (8 * vmax)) * 8 * vmax
+    pw = -(-width // (8 * hmax)) * 8 * hmax
+    padded = np.empty((ph, pw, 3))
+    padded[:height, :width] = ycc
+    padded[height:, :width] = ycc[height - 1 : height, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+    out = []
+    for ci, (h, v) in enumerate(factors):
+        sx, sy = hmax // h, vmax // v
+        plane = padded[:, :, ci]
+        if sx > 1 or sy > 1:
+            plane = plane.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+        nat = np.einsum("ij,njk,kl->nil", _D, blocks, _D.T).reshape(-1, 64)
+        q = (_QL if ci == 0 else _QC).astype(np.float64)
+        zz = np.round(nat[:, _ZIGZAG] / q[_ZIGZAG][None, :]).astype(np.int32)
+        out.append(zz.reshape(bh, bw, 64))
+    return out
+
+
 def encode_jpeg(
-    width: int, height: int, rgb: bytes, *, restart_interval: int = 0, subsampling: str = "444"
+    width: int,
+    height: int,
+    rgb: bytes,
+    *,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """Baseline-sequential JFIF writer (fixed ~q75 Annex K tables) —
     the test-vector generator for :func:`decode_jpeg`.
@@ -306,10 +363,19 @@ def encode_jpeg(
     T.81 A.2.3 interleaved MCU layout (2×1 / 2×2 luma blocks per MCU,
     chroma box-mean downsampled) so the decoder's subsampled path has
     genuine fixtures.  ``restart_interval`` > 0 emits a DRI segment and
-    RSTn markers every that many MCUs (exercises the restart path)."""
+    RSTn markers every that many MCUs (exercises the restart path).
+    ``progressive=True`` emits SOF2 with the standard 10-scan
+    spectral-selection + successive-approximation script (libjpeg's
+    default progression); quantization is bit-identical to the
+    sequential writer, so progressive decode must reproduce the
+    sequential roundtrip pixels exactly."""
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}, got {subsampling!r}")
     factors = _SUBSAMPLING[subsampling]
+    if progressive:
+        if restart_interval:
+            raise ValueError("the progressive writer does not emit restart markers")
+        return _encode_progressive(width, height, rgb, factors)
     hmax = max(h for h, _v in factors)
     vmax = max(v for _h, v in factors)
     px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
@@ -392,17 +458,256 @@ def encode_jpeg(
     )
 
 
+def _encode_ac_first_blocks(w: _BitWriter, blocks, ss: int, se: int, al: int, ac_prog) -> None:
+    """AC first-scan entropy coding for a sequence of zigzag blocks
+    (T.81 G.1.2.2 with EOBRUN coalescing)."""
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            rn = eobrun.bit_length() - 1
+            hc, hl = ac_prog[rn << 4]
+            w.put(hc, hl)
+            if rn:
+                w.put(eobrun - (1 << rn), rn)
+            eobrun = 0
+
+    for zz in blocks:
+        sv = [
+            (1 if int(zz[k]) >= 0 else -1) * (abs(int(zz[k])) >> al)
+            for k in range(ss, se + 1)
+        ]
+        nz = [i for i, v in enumerate(sv) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = sv[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                hc, hl = ac_prog[0xF0]
+                w.put(hc, hl)
+                run -= 16
+            s, code = _magnitude(v)
+            hc, hl = ac_prog[(run << 4) | s]
+            w.put(hc, hl)
+            w.put(code, s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def _encode_ac_refine_blocks(w: _BitWriter, blocks, ss: int, se: int, al: int, ac_prog) -> None:
+    """AC successive-approximation refinement entropy coding (T.81
+    G.1.2.3, libjpeg encode_mcu_AC_refine structure).
+
+    Two distinct correction-bit pools, exactly as libjpeg's BE/BR
+    split — conflating them desynchronizes the stream: ``eob_bits``
+    holds previous blocks' tail corrections and is emitted ONLY with
+    the next EOBn symbol (the decoder reads them in its end-of-band
+    correction sweeps); ``cur_bits`` holds the current block's
+    corrections since the last symbol and is emitted right after the
+    next inline symbol (ZRL or placement), whose traversal span is
+    where the decoder consumes them."""
+    eobrun = 0
+    eob_bits: list[int] = []  # ride the next EOBn flush (libjpeg BE)
+    cur_bits: list[int] = []  # follow the next inline symbol (libjpeg BR)
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            rn = eobrun.bit_length() - 1
+            hc, hl = ac_prog[rn << 4]
+            w.put(hc, hl)
+            if rn:
+                w.put(eobrun - (1 << rn), rn)
+            eobrun = 0
+            for b in eob_bits:
+                w.put(b, 1)
+            eob_bits.clear()
+
+    def drain_cur():
+        for b in cur_bits:
+            w.put(b, 1)
+        cur_bits.clear()
+
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        newly = [i for i, a in enumerate(absv) if a == 1]
+        last_new = newly[-1] if newly else -1
+        run = 0
+        for i in range(last_new + 1):
+            a = absv[i]
+            if a == 0:
+                run += 1
+                continue
+            while run > 15:
+                flush_eobrun()
+                hc, hl = ac_prog[0xF0]
+                w.put(hc, hl)
+                run -= 16
+                drain_cur()
+            if a > 1:  # history-nonzero: buffer its correction bit
+                cur_bits.append(a & 1)
+                continue
+            flush_eobrun()
+            hc, hl = ac_prog[(run << 4) | 1]
+            w.put(hc, hl)
+            w.put(1 if int(zz[ss + i]) >= 0 else 0, 1)
+            drain_cur()
+            run = 0
+        if last_new < se - ss:
+            # band extends past the last placement: the tail (zero-
+            # history runs + history corrections, including any bits
+            # still unflushed in cur_bits) is conveyed by EOB
+            eobrun += 1
+            cur_bits.extend(a & 1 for a in absv[last_new + 1 :] if a > 1)
+            eob_bits.extend(cur_bits)
+            cur_bits.clear()
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def _encode_progressive(width: int, height: int, rgb: bytes, factors) -> bytes:
+    """SOF2 writer: libjpeg's standard progression script — interleaved
+    DC first at Al=1, per-component AC first scans with spectral bands
+    and Al in {1, 2}, then DC + AC refinement scans down to Al=0 —
+    over the same quantized coefficients as the sequential writer."""
+    coefs = _quantized_components(width, height, rgb, factors)
+    nc = 3
+    hmax = max(h for h, _v in factors)
+    vmax = max(v for _h, v in factors)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # real (non-padded) per-component block dims for non-interleaved scans
+    real = []
+    for h, v in factors:
+        cw, ch = -(-width * h // hmax), -(-height * v // vmax)
+        real.append((-(-cw // 8), -(-ch // 8)))
+
+    dc_tabs = [_huff_encode_table(_DC_L_BITS, _DC_L_VALS), _huff_encode_table(_DC_C_BITS, _DC_C_VALS)]
+    ac_prog = _huff_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def dc_scan(w: _BitWriter, ah: int, al: int) -> None:
+        pred = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (h, v) in enumerate(factors):
+                    tid = 0 if ci == 0 else 1
+                    for vy in range(v):
+                        for vx in range(h):
+                            dc = int(coefs[ci][my * v + vy, mx * h + vx, 0])
+                            if ah == 0:
+                                val = dc >> al  # arithmetic shift (T.81 G.1.2.1)
+                                diff = val - pred[ci]
+                                pred[ci] = val
+                                s, code = _magnitude(diff)
+                                hc, hl = dc_tabs[tid][s]
+                                w.put(hc, hl)
+                                if s:
+                                    w.put(code, s)
+                            else:
+                                w.put((dc >> al) & 1, 1)
+
+    def ac_first_scan(w: _BitWriter, ci: int, ss: int, se: int, al: int) -> None:
+        bw, bh = real[ci]
+        _encode_ac_first_blocks(
+            w, (coefs[ci][by, bx] for by in range(bh) for bx in range(bw)), ss, se, al, ac_prog
+        )
+
+    def ac_refine_scan(w: _BitWriter, ci: int, ss: int, se: int, al: int) -> None:
+        bw, bh = real[ci]
+        _encode_ac_refine_blocks(
+            w, (coefs[ci][by, bx] for by in range(bh) for bx in range(bw)), ss, se, al, ac_prog
+        )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in table[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            dc_tid = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (dc_tid << 4) | 0])  # AC always table 0 (the prog table)
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    # libjpeg jcparam.c standard script (chroma scans for color only)
+    script: list[tuple[list[int], int, int, int, int]] = [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+    parts = [
+        b"\xff\xd8",
+        seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        dqt(0, _QL),
+        dqt(1, _QC),
+        dht(0, 0, _DC_L_BITS, _DC_L_VALS),
+        dht(0, 1, _DC_C_BITS, _DC_C_VALS),
+        dht(1, 0, _AC_PROG_BITS, _AC_PROG_VALS),
+        seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, height, width, nc)
+            + bytes([
+                1, (factors[0][0] << 4) | factors[0][1], 0,
+                2, (factors[1][0] << 4) | factors[1][1], 1,
+                3, (factors[2][0] << 4) | factors[2][1], 1,
+            ]),
+        ),
+    ]
+    for scan_comps, ss, se, ah, al in script:
+        w = _BitWriter()
+        if ss == 0:
+            dc_scan(w, ah, al)
+        elif ah == 0:
+            ac_first_scan(w, scan_comps[0], ss, se, al)
+        else:
+            ac_refine_scan(w, scan_comps[0], ss, se, al)
+        parts.append(sos(scan_comps, ss, se, ah, al))
+        parts.append(w.flush())
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
 # ---------------------------------------------------------------- decode
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Baseline-sequential JPEG → (width, height, top-down RGB).
+    """JPEG → (width, height, top-down RGB).
 
-    Supports SOF0, 8-bit, 1 or 3 components with sampling factors in
-    {1, 2, 4} where each divides the max (4:4:4, 4:2:2, 4:4:0, 4:2:0,
-    4:1:1), restart intervals.  Subsampled chroma planes are box-
-    replicated (nearest) back to full resolution.  Progressive /
-    arithmetic / non-dividing-factor streams raise
+    Supports baseline sequential (SOF0) and progressive (SOF2), 8-bit,
+    1 or 3 components with sampling factors in {1, 2, 4} where each
+    divides the max (4:4:4, 4:2:2, 4:4:0, 4:2:0, 4:1:1), restart
+    intervals, and progressive spectral-selection + successive-
+    approximation scans.  Subsampled chroma planes are box-replicated
+    (nearest) back to full resolution.  Arithmetic coding, hierarchical
+    / lossless SOF types, and non-dividing factors raise
     NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -423,6 +728,8 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, bytes]:
     width = height = 0
     comps: list[tuple[int, int, int]] = []  # (id, sampling, quant_tid)
     restart_interval = 0
+    progressive = False
+    coef: list[np.ndarray] | None = None  # per-comp zigzag coefficients (SOF2)
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -430,8 +737,10 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, bytes]:
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"only baseline sequential (SOF0) supported, got SOF marker 0xFF{marker:02X}")
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline (SOF0) and progressive (SOF2) supported, got SOF marker 0xFF{marker:02X}"
+            )
         (length,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -444,7 +753,8 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, bytes]:
                 tbl[_ZIGZAG] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
                 quant[tid] = tbl
                 b += 65
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -481,11 +791,240 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, bytes]:
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
                 scan_tabs.append((cid, tids >> 4, tids & 0x0F))
             pos = pos + 2 + length
-            return _decode_scan(
-                data, pos, width, height, comps, scan_tabs, quant, huff_dc, huff_ac, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos, width, height, comps, scan_tabs, quant, huff_dc, huff_ac, restart_interval
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if coef is None:
+                coef = _alloc_progressive_coef(width, height, comps)
+            pos = _decode_progressive_scan(
+                data, pos, width, height, comps, scan_tabs,
+                ss, se, ahal >> 4, ahal & 0x0F,
+                coef, huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += 2 + length
+    if progressive and coef is not None:
+        return _reconstruct_progressive(width, height, comps, coef, quant)
     raise ValueError("no SOS marker found")
+
+
+def _comp_geometry(width: int, height: int, comps):
+    """Per T.81 A.1.1/A.2: (hmax, vmax, mcux, mcuy, per-comp
+    [(h, v, blocks_wide_padded, blocks_high_padded, blocks_wide_real,
+    blocks_high_real)]).  Padded dims cover whole MCUs (interleaved
+    scans); real dims cover the component's own samples
+    (non-interleaved scans)."""
+    if len(comps) == 1:
+        factors = [(1, 1)]
+        hmax = vmax = 1
+    else:
+        factors = [(samp >> 4, samp & 0x0F) for _cid, samp, _qid in comps]
+        hmax = max(h for h, _v in factors)
+        vmax = max(v for _h, v in factors)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    geo = []
+    for h, v in factors:
+        cw, ch = -(-width * h // hmax), -(-height * v // vmax)
+        geo.append((h, v, mcux * h, mcuy * v, -(-cw // 8), -(-ch // 8)))
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _alloc_progressive_coef(width, height, comps) -> list[np.ndarray]:
+    _hmax, _vmax, _mcux, _mcuy, geo = _comp_geometry(width, height, comps)
+    return [np.zeros((bhp, bwp, 64), dtype=np.int32) for _h, _v, bwp, bhp, _bw, _bh in geo]
+
+
+def _decode_progressive_scan(
+    data, pos, width, height, comps, scan_tabs, ss, se, ah, al, coef, huff_dc, huff_ac, restart_interval
+):
+    """One SOF2 scan (T.81 G.2): accumulate band [ss, se] at precision
+    ``al`` into the per-component zigzag coefficient store.  Returns
+    the stream position of the next marker."""
+    _hmax, _vmax, mcux, mcuy, geo = _comp_geometry(width, height, comps)
+    idx_by_cid = {cid: i for i, (cid, _s, _q) in enumerate(comps)}
+    scan_cis = [idx_by_cid[cid] for cid, _d, _a in scan_tabs]
+    r = _BitReader(data, pos)
+
+    if ss == 0:  # DC scan (se must be 0 per spec)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        dc_tab = {ci: huff_dc.get(d) for ci, (_cid, d, _a) in zip(scan_cis, scan_tabs)}
+        pred = {ci: 0 for ci in scan_cis}
+
+        def dc_block(ci, by, bx):
+            blk = coef[ci][by, bx]
+            if ah == 0:  # first scan: diff-coded, shifted
+                s = _huff_symbol(r, dc_tab[ci])
+                pred[ci] += _receive_extend(r, s)
+                blk[0] = pred[ci] << al
+            else:  # refinement: one raw bit per block
+                if r.bit():
+                    blk[0] |= 1 << al
+
+        if len(scan_cis) > 1:  # interleaved MCU order over padded dims
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        r.align_to_marker()
+                        pred = {ci: 0 for ci in scan_cis}
+                    for ci in scan_cis:
+                        h, v = geo[ci][0], geo[ci][1]
+                        for vy in range(v):
+                            for vx in range(h):
+                                dc_block(ci, my * v + vy, mx * h + vx)
+                    unit += 1
+        else:  # non-interleaved: the component's real block raster
+            ci = scan_cis[0]
+            _h, _v, _bwp, _bhp, bw, bh = geo[ci]
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        r.align_to_marker()
+                        pred = {ci: 0 for ci in scan_cis}
+                    dc_block(ci, by, bx)
+                    unit += 1
+    else:  # AC scan: always single-component (T.81 G.1.1.1)
+        if len(scan_cis) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci = scan_cis[0]
+        ac_tab = huff_ac[scan_tabs[0][2]]
+        _h, _v, _bwp, _bhp, bw, bh = geo[ci]
+        eobrun = 0
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    r.align_to_marker()
+                    eobrun = 0
+                unit += 1
+                blk = coef[ci][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(r, blk, ss, se, al, eobrun, ac_tab)
+                else:
+                    eobrun = _ac_refine_block(r, blk, ss, se, al, eobrun, ac_tab)
+
+    # byte-align and find the next marker (skipping stuffed FF00 and
+    # stray RSTn the restart accounting already consumed)
+    p = r.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("unterminated progressive scan")
+
+
+def _ac_first_block(r, blk, ss, se, al, eobrun, ac_tab) -> int:
+    """AC coefficients, first scan at this precision (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_symbol(r, ac_tab)
+        run, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.bits(run)
+            return eobrun  # current block ends; eobrun covers FURTHER blocks
+        k += run
+        if k > se:
+            raise ValueError("AC coefficient index out of band")
+        blk[k] = _receive_extend(r, s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(r, blk, ss, se, al, eobrun, ac_tab) -> int:
+    """AC successive-approximation refinement (T.81 G.1.2.3): place
+    newly-significant ±2^al coefficients and read one correction bit
+    for every already-nonzero coefficient traversed."""
+    delta = 1 << al
+
+    def correct(k):
+        c = int(blk[k])
+        if r.bit() and (c & delta) == 0:
+            blk[k] = c + delta if c >= 0 else c - delta
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            if blk[k] != 0:
+                correct(k)
+        return eobrun - 1
+
+    k = ss
+    while k <= se:
+        rs = _huff_symbol(r, ac_tab)
+        run, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if run < 15:  # EOB: corrections for the rest of this block
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.bits(run)
+                for kk in range(k, se + 1):
+                    if blk[kk] != 0:
+                        correct(kk)
+                return eobrun
+            newval = 0  # ZRL: skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("AC refinement magnitude must be 1")
+            newval = delta if r.bit() else -delta
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            else:
+                if run == 0:
+                    if newval:
+                        blk[k] = newval
+                    k += 1
+                    break
+                run -= 1
+            k += 1
+    return 0
+
+
+def _reconstruct_progressive(width, height, comps, coef, quant):
+    """Dequantize + IDCT the accumulated coefficient store, then the
+    same upsample/crop/color tail as the sequential path."""
+    hmax, vmax, _mcux, _mcuy, geo = _comp_geometry(width, height, comps)
+    nc = len(comps)
+    full = []
+    for ci, (_cid, _samp, qid) in enumerate(comps):
+        q = quant[qid].astype(np.float64)
+        bhp, bwp, _ = coef[ci].shape
+        zz = coef[ci].reshape(bhp * bwp, 64).astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz * q[_ZIGZAG]
+        spatial = np.einsum("ij,njk,kl->nil", _D.T, nat.reshape(-1, 8, 8), _D) + 128.0
+        plane = (
+            spatial.reshape(bhp, bwp, 8, 8).transpose(0, 2, 1, 3).reshape(bhp * 8, bwp * 8)
+        )
+        h, v = geo[ci][0], geo[ci][1]
+        sx, sy = hmax // h, vmax // v
+        if sy > 1:
+            plane = np.repeat(plane, sy, axis=0)
+        if sx > 1:
+            plane = np.repeat(plane, sx, axis=1)
+        full.append(plane[:height, :width])
+    if nc == 1:
+        y = np.clip(full[0], 0, 255)
+        rgb = np.repeat(np.round(y).astype(np.uint8)[:, :, None], 3, axis=2)
+        return width, height, rgb.tobytes()
+    ycc = np.stack(full, axis=-1)
+    rgb = np.clip(np.round(_ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)
+    return width, height, rgb.tobytes()
 
 
 def _decode_block(r: _BitReader, pred: int, dct: dict, act: dict, q: np.ndarray) -> tuple[int, np.ndarray]:

@@ -5,12 +5,12 @@ columns with typed metadata, processed via Arrow-batched
 Decode support is format-tiered:
 
 - **BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit RGB/RGBA/grayscale and
-  paletted at depths 1/2/4/8), baseline JPEG (operators/jpeg.py:
-  4:4:4 / 4:2:2 / 4:2:0)** decode for REAL via the dependency-free
-  codecs below; ``extract_features(fake=False)`` and
+  paletted at depths 1/2/4/8), JPEG (operators/jpeg.py: baseline AND
+  progressive, 4:4:4 / 4:2:2 / 4:2:0)** decode for REAL via the
+  dependency-free codecs below; ``extract_features(fake=False)`` and
   ``resize_images(fake=False)`` run genuinely end-to-end on them.
   Audio/video decode lives in operators/av.py (WAV, Y4M).
-- Remaining layouts (interlaced PNG, progressive JPEG, …) raise
+- Remaining layouts (interlaced PNG, arithmetic-coded JPEG, …) raise
   ``NotImplementedError`` from ``_decode_real`` — the container has no
   PIL/libav; :func:`register_image_decoder` is the production seam,
   and the ``fake=True`` paths keep the Arrow plumbing (schema, batch
@@ -328,11 +328,12 @@ def register_image_decoder(magic: bytes, fn) -> None:
 def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
     """Decode a binary payload to (width, height, top-down RGB).
 
-    BMP, PPM, PNG (non-interlaced 8-bit RGB/RGBA), and baseline
-    sequential JPEG (4:4:4 / grayscale — operators/jpeg.py) are handled
-    by the dependency-free codecs; anything else (progressive or
-    subsampled JPEG, audio, video) raises unless a decoder was plugged
-    in via :func:`register_image_decoder` (honest stub boundary)."""
+    BMP, PPM, PNG (non-interlaced: 8-bit RGB/RGBA/grayscale, paletted
+    1/2/4/8-bit), and JPEG (operators/jpeg.py: baseline + progressive,
+    subsampled chroma) are handled by the dependency-free codecs;
+    anything else (interlaced PNG, arithmetic JPEG, audio, video)
+    raises unless a decoder was plugged in via
+    :func:`register_image_decoder` (honest stub boundary)."""
     payload = bytes(payload)
     for magic, fn in _DECODERS:
         if payload[: len(magic)] == magic:
@@ -378,6 +379,7 @@ def attach_image_media(
         "jpeg": encode_jpeg,
         "jpeg422": functools.partial(encode_jpeg, subsampling="422"),
         "jpeg420": functools.partial(encode_jpeg, subsampling="420"),
+        "jpeg_prog": functools.partial(encode_jpeg, subsampling="420", progressive=True),
     }
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

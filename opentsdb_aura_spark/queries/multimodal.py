@@ -70,21 +70,22 @@ def multimodal_features(spark, sf_dir):
 FROM documents WHERE doc_id < 100""",
 )
 def multimodal_jpeg_decode(spark, sf_dir):
-    """REAL baseline JPEG decode end-to-end (operators/jpeg.py: Huffman
-    + dequant + IDCT, stdlib/numpy only) over a MIXED-SUBSAMPLING
-    corpus: docs round-robin 4:4:4 / 4:2:2 / 4:2:0 payloads, so the
-    T.81 A.2.3 interleaved-MCU path (multi-block MCUs, chroma
-    downsample/upsample) must parse correctly alongside the plain
-    one-block layout.  JPEG is lossy, so unlike
-    ``multimodal_real_decode`` the oracle pins the EXACT decoded
-    dimensions/byte counts (wrong MCU walk → parse error or wrong
-    dims) while the pixel-level roundtrip error is bounded in pytest
-    (flat fields ±3, structured images ≥ 34-40 dB PSNR by layout)."""
+    """REAL JPEG decode end-to-end (operators/jpeg.py: Huffman +
+    dequant + IDCT, stdlib/numpy only) over a MIXED corpus: docs
+    round-robin 4:4:4 / 4:2:2 / 4:2:0 baseline AND progressive
+    (SOF2, 10-scan spectral-selection + successive-approximation)
+    payloads, so the T.81 A.2.3 interleaved-MCU path and the G.1.2
+    progressive scan accumulator must both parse correctly.  JPEG is
+    lossy, so unlike ``multimodal_real_decode`` the oracle pins the
+    EXACT decoded dimensions/byte counts (wrong MCU/scan walk → parse
+    error or wrong dims) while pixel-level error is bounded in pytest
+    (flat fields ±3, structured PSNR by layout, and progressive ==
+    baseline pixel identity)."""
     from opentsdb_aura_spark.operators.multimodal import attach_image_media
 
     media = attach_image_media(
         docs_raw(spark, sf_dir).where(F.col("doc_id") < 100),
-        formats=("jpeg", "jpeg422", "jpeg420"),
+        formats=("jpeg", "jpeg422", "jpeg420", "jpeg_prog"),
     )
     res = extract_features(media, fake=False)
     return res.select(

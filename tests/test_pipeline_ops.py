@@ -716,20 +716,82 @@ def test_jpeg_subsampled_roundtrip_bounds():
             assert err.max() <= 3, (w, h, ss, err.max())
 
 
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) decode, the strongest oracle available: both
+    writers quantize identically, so the 10-scan spectral-selection +
+    successive-approximation stream must decode to PIXEL-IDENTICAL
+    output vs the independently-bounded sequential roundtrip — any
+    drift in DC/AC first or refinement coding (EOBRUN, correction-bit
+    ordering) shows up as a pixel diff."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for w, h in ((16, 16), (40, 24), (17, 13), (7, 5), (1, 1)):
+        rng = np.random.default_rng(w * h)
+        grad = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                grad[y, x] = (x * 255 // max(w - 1, 1), y * 255 // max(h - 1, 1), (x * y) % 256)
+        noise = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for px in (grad, noise):
+            for ss in ("444", "422", "420"):
+                base = decode_jpeg(encode_jpeg(w, h, px.tobytes(), subsampling=ss))
+                prog = decode_jpeg(encode_jpeg(w, h, px.tobytes(), subsampling=ss, progressive=True))
+                assert base == prog, (w, h, ss)
+
+
+def test_jpeg_progressive_ac_scan_pair_property():
+    """The AC first/refine entropy coders round-trip arbitrary sparse
+    and dense coefficient blocks through every successive-approximation
+    ladder — the isolation test that caught the libjpeg BE/BR
+    correction-bit split during development."""
+    import numpy as np
+
+    import opentsdb_aura_spark.operators.jpeg as J
+
+    tab_dec = J._huff_decode_table(J._AC_PROG_BITS, J._AC_PROG_VALS)
+    tab_enc = J._huff_encode_table(J._AC_PROG_BITS, J._AC_PROG_VALS)
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n = int(rng.integers(1, 6))
+        coefs = np.zeros((n, 64), dtype=np.int64)
+        for i in range(n):
+            nnz = int(rng.integers(0, 40 if trial % 3 == 0 else 8))
+            pos = rng.choice(np.arange(1, 64), size=min(nnz, 63), replace=False)
+            coefs[i, pos] = rng.integers(-100, 101, size=len(pos))
+        scans = [[(0, 0)], [(0, 1), (1, 0)], [(0, 2), (2, 1), (1, 0)]][trial % 3]
+        dec = [np.zeros(64, dtype=np.int32) for _ in range(n)]
+        for ah, al in scans:
+            w = J._BitWriter()
+            if ah == 0:
+                J._encode_ac_first_blocks(w, list(coefs), 1, 63, al, tab_enc)
+            else:
+                J._encode_ac_refine_blocks(w, list(coefs), 1, 63, al, tab_enc)
+            r = J._BitReader(w.flush(), 0)
+            eobrun = 0
+            for blk in dec:
+                if ah == 0:
+                    eobrun = J._ac_first_block(r, blk, 1, 63, al, eobrun, tab_dec)
+                else:
+                    eobrun = J._ac_refine_block(r, blk, 1, 63, al, eobrun, tab_dec)
+        assert (np.stack(dec)[:, 1:] == coefs[:, 1:]).all(), (trial, scans)
+
+
 def test_jpeg_honest_boundaries():
     """Out-of-scope streams must raise NotImplementedError, not decode
-    garbage: progressive (SOF2) headers and sampling factors that do
-    not divide the max (3x1 luma — no integer box upsampling)."""
+    garbage: arithmetic-coded (SOF9) headers and sampling factors that
+    do not divide the max (3x1 luma — no integer box upsampling)."""
     import pytest as _pytest
 
     from opentsdb_aura_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     good = bytearray(encode_jpeg(8, 8, bytes(8 * 8 * 3)))
     sof = good.find(b"\xff\xc0")
-    prog = bytearray(good)
-    prog[sof + 1] = 0xC2
+    arith = bytearray(good)
+    arith[sof + 1] = 0xC9  # arithmetic coding
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(arith))
     sub = bytearray(good)
     sub[sof + 11] = 0x31  # luma sampling 3x1: 3 not in {1,2,4}
     with _pytest.raises(NotImplementedError):

@@ -252,6 +252,13 @@ def _union_find_labels(edges: list) -> list:
     return [(x, find(x)) for x in parent]
 
 
+#: hard ceiling on ``driver_threshold``: the driver union-find collect
+#: is bounded by CONSTRUCTION, not caller trust — a threshold above
+#: this is a config error (at ~48 bytes/edge tuple, 20M edges ≈ 1 GB
+#: of driver heap; anything bigger belongs in the distributed loop)
+MAX_DRIVER_UNION_FIND_EDGES = 20_000_000
+
+
 def connected_components(
     pairs: DataFrame, *, max_iters: int = 20, probe_after: int = 2, driver_threshold: int = 200_000
 ) -> DataFrame:
@@ -283,7 +290,15 @@ def connected_components(
     duplicates), and the iterative path costs 2 shuffles + a
     checkpoint job PER ROUND, which dwarfs a 200k-row bounded collect.
     Same result either way; corpora whose duplicate graph is genuinely
-    huge take the distributed loop."""
+    huge take the distributed loop.  ``driver_threshold`` is clamped by
+    ``MAX_DRIVER_UNION_FIND_EDGES`` so no caller value can make the
+    collect unbounded."""
+    if int(driver_threshold) > MAX_DRIVER_UNION_FIND_EDGES:
+        raise ValueError(
+            f"driver_threshold {driver_threshold} exceeds "
+            f"MAX_DRIVER_UNION_FIND_EDGES={MAX_DRIVER_UNION_FIND_EDGES}; "
+            "an edge list that size belongs in the distributed loop"
+        )
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     # materialize the edge list once: without this every iteration's
     # join would re-execute the (possibly expensive) candidate-pair

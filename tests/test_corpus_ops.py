@@ -108,6 +108,15 @@ def test_connected_components_chain(spark):
     }
     assert dist == labels
 
+    # the driver collect is bounded by construction: a threshold above
+    # the hard ceiling is rejected, not honored
+    import pytest
+
+    from opentsdb_aura_spark.operators.corpus import MAX_DRIVER_UNION_FIND_EDGES
+
+    with pytest.raises(ValueError, match="MAX_DRIVER_UNION_FIND_EDGES"):
+        connected_components(pairs, driver_threshold=MAX_DRIVER_UNION_FIND_EDGES + 1)
+
 
 def test_connected_components_paths_agree_on_long_chain(spark):
     """Driver union-find and distributed min-label propagation produce

@@ -269,13 +269,12 @@ _SUBSAMPLING = {
 }
 
 
-def _encode_block(w: _BitWriter, block: np.ndarray, quant: np.ndarray, pred: int, dc_tab, ac_tab) -> int:
-    """FDCT + quantize + Huffman-encode one 8×8 sample block; returns
-    the new DC predictor."""
-    coef = _D @ (block - 128.0) @ _D.T
-    # orthonormal DCT vs T.81 scaling: identical up to the same
-    # constant both sides use, so quant tables apply directly
-    q = np.round(coef.flatten()[_ZIGZAG] / quant.astype(np.float64)[_ZIGZAG]).astype(int)
+def _encode_entropy_block(w: _BitWriter, q: np.ndarray, pred: int, dc_tab, ac_tab) -> int:
+    """Huffman-encode one quantized zigzag block (sequential scan);
+    returns the new DC predictor.  Quantization happens once for both
+    writers in :func:`_quantized_components`, so the progressive ==
+    baseline pixel-identity oracle is structural, not a property of
+    two float pipelines rounding alike."""
     diff = int(q[0]) - pred
     s, code = _magnitude(diff)
     hc, hl = dc_tab[s]
@@ -378,36 +377,18 @@ def encode_jpeg(
         return _encode_progressive(width, height, rgb, factors)
     hmax = max(h for h, _v in factors)
     vmax = max(v for _h, v in factors)
-    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
-    ycc = _rgb_to_ycbcr(px)
-    # pad the full-resolution image to a whole number of MCUs so every
-    # component plane divides evenly after downsampling
-    ph = -(-height // (8 * vmax)) * 8 * vmax
-    pw = -(-width // (8 * hmax)) * 8 * hmax
-    padded = np.empty((ph, pw, 3))
-    padded[:height, :width] = ycc
-    padded[height:, :width] = ycc[height - 1 : height, :]  # edge replicate
-    padded[:, width:] = padded[:, width - 1 : width]
-
-    # per-component sample planes: box-mean downsample by (vmax/v, hmax/h)
-    planes = []
-    for ci, (h, v) in enumerate(factors):
-        sx, sy = hmax // h, vmax // v
-        plane = padded[:, :, ci]
-        if sx > 1 or sy > 1:
-            plane = plane.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
-        planes.append(plane)
+    coefs = _quantized_components(width, height, rgb, factors)
 
     dc_tabs = [_huff_encode_table(_DC_L_BITS, _DC_L_VALS), _huff_encode_table(_DC_C_BITS, _DC_C_VALS)]
     ac_tabs = [_huff_encode_table(_AC_L_BITS, _AC_L_VALS), _huff_encode_table(_AC_C_BITS, _AC_C_VALS)]
-    quants = [_QL, _QC]
 
     w = _BitWriter()
     scan_parts: list[bytes] = []
     pred = [0, 0, 0]
     mcu = 0
     rst = 0
-    mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -421,10 +402,9 @@ def encode_jpeg(
                 tid = 0 if comp == 0 else 1
                 for vy in range(v):
                     for vx in range(h):
-                        by, bx = (my * v + vy) * 8, (mx * h + vx) * 8
-                        pred[comp] = _encode_block(
-                            w, planes[comp][by : by + 8, bx : bx + 8],
-                            quants[tid], pred[comp], dc_tabs[tid], ac_tabs[tid],
+                        pred[comp] = _encode_entropy_block(
+                            w, coefs[comp][my * v + vy, mx * h + vx],
+                            pred[comp], dc_tabs[tid], ac_tabs[tid],
                         )
     scan_parts.append(w.flush())
     scan = b"".join(scan_parts)
@@ -713,11 +693,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a JPEG payload")
     try:
         return _decode_jpeg_inner(data)
-    except (IndexError, struct.error) as e:
-        # truncated downloads are routine in crawls: surface them under
-        # the module's documented ValueError contract so per-payload
-        # skip logic catches them, instead of IndexError killing the task
-        raise ValueError(f"truncated JPEG payload: {e}") from e
+    except (IndexError, KeyError, struct.error) as e:
+        # truncated or internally-inconsistent downloads are routine in
+        # crawls: surface them under the module's documented ValueError
+        # contract so per-payload skip logic catches them, instead of
+        # IndexError/KeyError (e.g. a scan naming an undefined quant or
+        # Huffman table) killing the task
+        raise ValueError(f"corrupt JPEG payload: {e!r}") from e
 
 
 def _decode_jpeg_inner(data: bytes) -> tuple[int, int, bytes]:
@@ -853,6 +835,10 @@ def _decode_progressive_scan(
         if se != 0:
             raise ValueError("progressive DC scan with Se != 0")
         dc_tab = {ci: huff_dc.get(d) for ci, (_cid, d, _a) in zip(scan_cis, scan_tabs)}
+        if ah == 0 and any(dc_tab[ci] is None for ci in scan_cis):
+            # corrupt/crafted stream: keep the documented ValueError
+            # contract so per-payload skip logic catches it
+            raise ValueError("progressive DC scan references an undefined Huffman table")
         pred = {ci: 0 for ci in scan_cis}
 
         def dc_block(ci, by, bx):
@@ -893,7 +879,9 @@ def _decode_progressive_scan(
         if len(scan_cis) != 1:
             raise ValueError("progressive AC scan must be single-component")
         ci = scan_cis[0]
-        ac_tab = huff_ac[scan_tabs[0][2]]
+        ac_tab = huff_ac.get(scan_tabs[0][2])
+        if ac_tab is None:
+            raise ValueError("progressive AC scan references an undefined Huffman table")
         _h, _v, _bwp, _bhp, bw, bh = geo[ci]
         eobrun = 0
         unit = 0

@@ -388,10 +388,10 @@ def run_semantic_graph(points, query: dict, *, now: int | None = None, segment_w
 
 #: hard ceiling on the number of response cells (series × buckets, or
 #: raw rows on the no-interval path) ONE render call may collect to
-#: the driver.  The serdes collect is bounded by construction — this
-#: constant makes "raise the cap" edits loud: asking for more than
-#: this is a config error, not a bigger limit() (pinned by
-#: tests/test_opentsdb_json.py).
+#: the driver.  The effective truncation cap is clamped to this, so no
+#: combination of caller knobs can turn the serdes ``limit()`` into an
+#: unbounded driver collect; a RESULT larger than the ceiling raises
+#: the exceeds-cap error (pinned by tests/test_opentsdb_json.py).
 MAX_RESPONSE_CELLS = 50_000_000
 
 
@@ -427,7 +427,12 @@ def render_v3_response(
     ``max_series × n_buckets`` rows on the gridded path, ``max_points``
     rows on the no-interval (raw NumericType) path, where few series ×
     many timestamps is legitimate and a series-count cap would falsely
-    reject it.  Both caps are clamped by ``MAX_RESPONSE_CELLS``.
+    reject it.  Either way the effective cap is CLAMPED to
+    ``MAX_RESPONSE_CELLS`` — the product of reasonable knobs can be
+    astronomical (100k series × 1440 one-minute buckets), which is
+    fine as a truncation-detection bound but must never become the
+    ``limit()`` the driver actually collects; a RESULT bigger than the
+    ceiling raises the same exceeds-cap error as any truncation.
     """
     if int(end) <= int(start):
         raise ValueError("render_v3_response needs start < end")
@@ -437,12 +442,7 @@ def render_v3_response(
     group_cols = [c for c in res.columns if c not in ("bucket_ts", "value")]
     # cap = the response's own maximum size + 1 row so truncation is
     # DETECTED and raised, never silent
-    cap = max_series * n_buckets if interval else max_points
-    if cap > MAX_RESPONSE_CELLS:
-        raise ValueError(
-            f"requested response cap {cap} exceeds MAX_RESPONSE_CELLS={MAX_RESPONSE_CELLS}; "
-            "a response this size belongs in a sink write, not a JSON render"
-        )
+    cap = min(max_series * n_buckets if interval else max_points, MAX_RESPONSE_CELLS)
     rows = res.limit(cap + 1).collect()
     if len(rows) > cap:
         detail = (
@@ -471,8 +471,10 @@ def render_v3_response(
         if interval:
             # every observed bucket must land on the query grid — a
             # result computed with a different interval would otherwise
-            # be silently omitted from the array
-            stragglers = [ts for ts in pts if (ts - int(start)) % int(interval) != 0 or not (int(start) <= ts < int(start) + n_buckets * int(interval))]
+            # be silently omitted from the array.  On-grid buckets
+            # OUTSIDE [start, end) are fine: rendering a sub-window of
+            # a wider result is legitimate and simply excludes them.
+            stragglers = [ts for ts in pts if (ts - int(start)) % int(interval) != 0]
             if stragglers:
                 raise ValueError(
                     f"result bucket_ts {stragglers[:3]} not on the query grid "

@@ -428,13 +428,17 @@ def test_render_v3_partial_final_bucket_and_caps(make_points):
         render_v3_response(res, BASE, BASE, 60)
 
 
-def test_render_v3_collect_bounds_pinned(make_points, spark):
+def test_render_v3_collect_bounds_pinned(make_points, spark, monkeypatch):
     """The serdes collect stays bounded by construction: the default
     caps are pinned so a future 'raise the cap' edit can't silently
-    make the driver-side collect unbounded, the hard ceiling raises,
-    the no-interval path caps on POINTS (few series x many timestamps
-    is legitimate), and off-grid bucket_ts raises instead of being
-    silently dropped from the array."""
+    make the driver-side collect unbounded, the effective cap CLAMPS
+    to the hard ceiling (a 1-day/1-minute render at default max_series
+    must not be rejected on the cap PRODUCT — only an actual oversized
+    result raises), the no-interval path caps on POINTS (few series x
+    many timestamps is legitimate), and off-grid bucket_ts raises
+    instead of being silently dropped from the array — while on-grid
+    buckets outside the render window are excluded (sub-window
+    rendering), not errors."""
     import inspect
 
     import pytest
@@ -462,11 +466,17 @@ def test_render_v3_collect_bounds_pinned(make_points, spark):
         },
         now=BASE + 300,
     ))
-    # asking for more cells than the ceiling is a config error
-    with pytest.raises(ValueError, match="MAX_RESPONSE_CELLS"):
-        oj.render_v3_response(res, BASE, BASE + 300, 60, max_series=1_000_000_000)
-    with pytest.raises(ValueError, match="MAX_RESPONSE_CELLS"):
-        oj.render_v3_response(res, BASE, BASE + 300, None, max_points=60_000_000)
+    # a cap product beyond the ceiling (default 100k series x 1440
+    # one-minute buckets = 144M) clamps: a small result still renders
+    day = res  # 5 buckets of data rendered into a 1-day/1m window
+    out = oj.render_v3_response(day, BASE, BASE + 86_400, 60)
+    assert len(out["results"][0]["data"][0]["NumericArrayType"]) == 1440
+    # ...and a result bigger than the (clamped) ceiling raises instead
+    # of collecting unbounded
+    monkeypatch.setattr(oj, "MAX_RESPONSE_CELLS", 3)
+    with pytest.raises(ValueError, match="response cap"):
+        oj.render_v3_response(res, BASE, BASE + 300, 60)
+    monkeypatch.undo()
 
     # no-interval: 1 series x 5 timestamps must render even with
     # max_series=1 (the r4 row-cap falsely rejected this shape)
@@ -481,3 +491,6 @@ def test_render_v3_collect_bounds_pinned(make_points, spark):
     # off-grid bucket_ts (result computed at 1m, rendered at 90s) raises
     with pytest.raises(ValueError, match="grid"):
         oj.render_v3_response(res, BASE, BASE + 300, 90)
+    # on-grid buckets beyond the sub-window are excluded, not errors
+    sub = oj.render_v3_response(res, BASE, BASE + 120, 60)
+    assert len(sub["results"][0]["data"][0]["NumericArrayType"]) == 2

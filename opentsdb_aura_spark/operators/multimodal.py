@@ -5,12 +5,13 @@ columns with typed metadata, processed via Arrow-batched
 Decode support is format-tiered:
 
 - **BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit RGB/RGBA/grayscale and
-  paletted at depths 1/2/4/8), JPEG (operators/jpeg.py: baseline AND
-  progressive, 4:4:4 / 4:2:2 / 4:2:0)** decode for REAL via the
-  dependency-free codecs below; ``extract_features(fake=False)`` and
-  ``resize_images(fake=False)`` run genuinely end-to-end on them.
-  Audio/video decode lives in operators/av.py (WAV, Y4M).
-- Remaining layouts (interlaced PNG, arithmetic-coded JPEG, …) raise
+  paletted at depths 1/2/4/8, non-interlaced or Adam7), JPEG
+  (operators/jpeg.py: baseline AND progressive, 4:4:4 / 4:2:2 /
+  4:2:0)** decode for REAL via the dependency-free codecs below;
+  ``extract_features(fake=False)`` and ``resize_images(fake=False)``
+  run genuinely end-to-end on them.  Audio/video decode lives in
+  operators/av.py (WAV, Y4M).
+- Remaining layouts (16-bit PNG, arithmetic-coded JPEG, …) raise
   ``NotImplementedError`` from ``_decode_real`` — the container has no
   PIL/libav; :func:`register_image_decoder` is the production seam,
   and the ``fake=True`` paths keep the Arrow plumbing (schema, batch
@@ -196,23 +197,43 @@ def encode_png_paletted(width: int, height: int, rgb: bytes) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, bytes]:
-    """Parse a non-interlaced PNG → (width, height, top-down RGB):
-    8-bit RGB/RGBA (color types 2/6), 8-bit grayscale (0), and
-    paletted (3, PLTE, bit depths 1/2/4/8).  Header walk + ``zlib``
-    inflate + per-scanline unfilter (all five PNG filter types);
-    RGBA alpha is dropped, palette indices are bit-unpacked MSB-first
-    and mapped through PLTE.  Interlaced (Adam7) and the remaining
-    depth/type combinations raise — honest stub boundary, documented
-    per format.
+def encode_png_interlaced(width: int, height: int, rgb: bytes) -> bytes:
+    """Adam7-interlaced 8-bit RGB PNG (color type 2, filter 0 rows per
+    pass) from top-down RGB bytes — the fixture generator for the
+    interlaced decode path."""
+    import zlib
 
-    Unfiltering is numpy-vectorized where the recurrence allows: None
-    is a copy, Up is one wrapping uint8 add, Sub is a per-channel
-    prefix sum mod 256; Average and Paeth depend on the RECONSTRUCTED
-    left pixel, so they walk pixels — but channel-vectorized (bpp-wide
-    numpy ops), not byte-at-a-time Python.  Matters because inside the
-    ``mapInPandas`` decode stage of an image-heavy corpus this loop IS
-    the hot path."""
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a PNG → (width, height, top-down RGB): 8-bit RGB/RGBA
+    (color types 2/6), 8-bit grayscale (0), paletted (3, PLTE, bit
+    depths 1/2/4/8), non-interlaced OR Adam7-interlaced (each of the
+    7 passes is an independently-filtered sub-image scattered onto
+    the output grid).  Header walk + ``zlib`` inflate + per-scanline
+    unfilter (all five PNG filter types, ``_unfilter_scanlines``);
+    RGBA alpha is dropped, palette indices are bit-unpacked MSB-first
+    and mapped through PLTE.  The remaining depth/type combinations
+    (16-bit, sub-8-bit grayscale, interlaced sub-8-bit palettes)
+    raise — honest stub boundary, documented per format."""
     import zlib
 
     import numpy as np
@@ -238,7 +259,7 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     supported = (bitdepth == 8 and colortype in (0, 2, 6)) or (
         colortype == 3 and bitdepth in (1, 2, 4, 8)
     )
-    if not supported or interlace != 0:
+    if not supported or interlace not in (0, 1):
         raise NotImplementedError(
             f"unsupported PNG layout: depth={bitdepth} color={colortype} interlace={interlace}"
         )
@@ -246,14 +267,85 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("paletted PNG missing PLTE chunk")
     # bytes per pixel for FILTERING (left-pixel distance, >=1 per spec)
     bpp = {0: 1, 2: 3, 3: 1, 6: 4}[colortype]
+    raw = zlib.decompress(bytes(idat))
+
+    def finish(pixels: "np.ndarray") -> tuple[int, int, bytes]:
+        """(h, w, bpp) channel array → RGB bytes per colortype."""
+        if colortype == 6:
+            return width, height, pixels[:, :, :3].tobytes()
+        if colortype == 0:
+            return width, height, np.repeat(pixels, 3, axis=2).tobytes()
+        if colortype == 3:
+            idx = pixels[:, :, 0]
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("PNG palette index out of range")
+            return width, height, palette[idx].tobytes()
+        return width, height, pixels.tobytes()
+
+    if interlace == 1:  # Adam7
+        if colortype == 3 and bitdepth < 8:
+            raise NotImplementedError(
+                "interlaced sub-8-bit paletted PNG not supported (8-bit palettes are)"
+            )
+        out = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            if off + need > len(raw):
+                raise ValueError("truncated PNG scanline data (interlaced pass)")
+            scan = np.frombuffer(raw, dtype=np.uint8, count=need, offset=off).reshape(
+                ph, stride + 1
+            )
+            off += need
+            rows = _unfilter_scanlines(scan, stride, bpp)
+            out[y0::dy, x0::dx] = rows.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError("trailing PNG scanline data after final Adam7 pass")
+        return finish(out)
+
     if colortype == 3 and bitdepth < 8:
         stride = -(-width * bitdepth // 8)  # packed indices
     else:
         stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
     if len(raw) != height * (stride + 1):
         raise ValueError("truncated PNG scanline data")
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = _unfilter_scanlines(scan, stride, bpp)
+    if colortype == 3 and bitdepth < 8:
+        per_byte = 8 // bitdepth
+        lanes = out.reshape(height, stride, 1) >> (
+            (np.arange(per_byte)[::-1] * bitdepth).astype(np.uint8)
+        )
+        idx = (lanes & ((1 << bitdepth) - 1)).reshape(height, stride * per_byte)[:, :width]
+        return finish(idx.reshape(height, width, 1))
+    return finish(out.reshape(height, width, bpp))
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec 8.2
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_scanlines(scan, stride: int, bpp: int):
+    """Invert PNG scanline filters over one image (or one Adam7 pass —
+    each pass filters independently, so ``prev`` starts at zero).
+
+    Vectorized where the recurrence allows: None is a copy, Up is one
+    wrapping uint8 add, Sub is a per-channel prefix sum mod 256;
+    Average and Paeth depend on the RECONSTRUCTED left pixel, so they
+    walk pixels — but channel-vectorized (bpp-wide numpy ops), not
+    byte-at-a-time Python.  Matters because inside the ``mapInPandas``
+    decode stage of an image-heavy corpus this loop IS the hot path."""
+    import numpy as np
+
+    height = scan.shape[0]
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -293,23 +385,7 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = row
         prev = row
-    if colortype == 6:
-        return width, height, out.reshape(height, width, 4)[:, :, :3].tobytes()
-    if colortype == 0:
-        return width, height, np.repeat(out.reshape(height, width, 1), 3, axis=2).tobytes()
-    if colortype == 3:
-        if bitdepth < 8:
-            per_byte = 8 // bitdepth
-            lanes = out.reshape(height, stride, 1) >> (
-                (np.arange(per_byte)[::-1] * bitdepth).astype(np.uint8)
-            )
-            idx = (lanes & ((1 << bitdepth) - 1)).reshape(height, stride * per_byte)[:, :width]
-        else:
-            idx = out
-        if int(idx.max(initial=0)) >= len(palette):
-            raise ValueError("PNG palette index out of range")
-        return width, height, palette[idx.reshape(height, width)].tobytes()
-    return width, height, out.tobytes()
+    return out
 
 
 #: pluggable decoder registry — THE deployment seam for formats beyond
@@ -328,10 +404,10 @@ def register_image_decoder(magic: bytes, fn) -> None:
 def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
     """Decode a binary payload to (width, height, top-down RGB).
 
-    BMP, PPM, PNG (non-interlaced: 8-bit RGB/RGBA/grayscale, paletted
-    1/2/4/8-bit), and JPEG (operators/jpeg.py: baseline + progressive,
-    subsampled chroma) are handled by the dependency-free codecs;
-    anything else (interlaced PNG, arithmetic JPEG, audio, video)
+    BMP, PPM, PNG (8-bit RGB/RGBA/grayscale, paletted 1/2/4/8-bit,
+    non-interlaced or Adam7), and JPEG (operators/jpeg.py: baseline +
+    progressive, subsampled chroma) are handled by the dependency-free
+    codecs; anything else (16-bit PNG, arithmetic JPEG, audio, video)
     raises unless a decoder was plugged in via
     :func:`register_image_decoder` (honest stub boundary)."""
     payload = bytes(payload)
@@ -356,7 +432,7 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
 
 def attach_image_media(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
-    formats: tuple[str, ...] = ("bmp", "ppm", "png", "png8")
+    formats: tuple[str, ...] = ("bmp", "ppm", "png", "png8", "pngi")
 ) -> DataFrame:
     """Real-image corpus generator: one genuine image per doc — format
     round-robined over ``formats`` by doc id (24-bit BMP, P6 PPM,
@@ -376,6 +452,7 @@ def attach_image_media(
         "ppm": encode_ppm,
         "png": encode_png,
         "png8": encode_png_paletted,
+        "pngi": encode_png_interlaced,
         "jpeg": encode_jpeg,
         "jpeg422": functools.partial(encode_jpeg, subsampling="422"),
         "jpeg420": functools.partial(encode_jpeg, subsampling="420"),

@@ -417,23 +417,94 @@ def test_png_paletted_and_grayscale():
     )
     assert decode_png(png0) == (7, 5, np.repeat(gray.reshape(5, 7, 1), 3, axis=2).tobytes())
 
-    interlaced = (
+    # interlaced sub-8-bit palettes stay an honest boundary
+    interlaced_pal4 = (
         _PNG_SIG
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 0, 0, 0, 1))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 4, 3, 0, 0, 1))
+        + chunk(b"PLTE", bytes(48))
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
     with _pytest.raises(NotImplementedError):
-        decode_png(interlaced)
+        decode_png(interlaced_pal4)
+
+
+def test_png_adam7_interlaced():
+    """Adam7-interlaced PNG round-trips exactly: every pass geometry
+    (including degenerate 1-pixel-wide/tall images where passes are
+    empty), per-pass filter state starting fresh (Up-filtered rows
+    inside passes), and 8-bit RGB/grayscale/paletted color types."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.multimodal import (
+        _ADAM7_PASSES,
+        _PNG_SIG,
+        decode_png,
+        encode_png_interlaced,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h in ((1, 1), (2, 2), (3, 5), (8, 8), (17, 13), (7, 1), (1, 9)):
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+        assert decode_png(encode_png_interlaced(w, h, rgb)) == (w, h, rgb), (w, h)
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    # Up-filtered rows within each pass: pass state must reset
+    w, h = 9, 6
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        prev = np.zeros(sub.shape[1] * 3, dtype=np.uint8)
+        for i, row in enumerate(sub):
+            flat = row.reshape(-1)
+            if i == 0:
+                raw += b"\x00" + flat.tobytes()
+            else:
+                raw += b"\x02" + ((flat.astype(int) - prev.astype(int)) & 0xFF).astype(np.uint8).tobytes()
+            prev = flat
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (w, h, px.tobytes())
+
+    # interlaced 8-bit paletted
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    png3 = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 3, 0, 0, 1))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png3) == (7, 5, pal[idx].tobytes())
 
 
 def test_mixed_format_media_decode(spark):
-    """attach_image_media round-robins BMP/PPM/PNG/paletted-PNG;
-    fake=False feature extraction must decode all of them to identical
-    pixel semantics."""
+    """attach_image_media round-robins BMP/PPM/PNG/paletted-PNG/
+    interlaced-PNG; fake=False feature extraction must decode all of
+    them to identical pixel semantics."""
     from opentsdb_aura_spark.operators.multimodal import attach_image_media, extract_features
 
-    # ids 4k+1, 4k+2, 4k+3 → ppm, png, png8 (paletted)
+    # ids 9, 10, 11 → formats[id % 5] = pngi, bmp, ppm
     df = spark.createDataFrame([(9, "abcdef"), (10, "abcdef"), (11, "abcdef")], "doc_id long, text string")
     feats = {r["media_id"]: r for r in extract_features(attach_image_media(df), fake=False).collect()}
     for mid in (9, 10, 11):

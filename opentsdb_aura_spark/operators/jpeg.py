@@ -372,9 +372,7 @@ def encode_jpeg(
         raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}, got {subsampling!r}")
     factors = _SUBSAMPLING[subsampling]
     if progressive:
-        if restart_interval:
-            raise ValueError("the progressive writer does not emit restart markers")
-        return _encode_progressive(width, height, rgb, factors)
+        return _encode_progressive(width, height, rgb, factors, restart_interval)
     hmax = max(h for h, _v in factors)
     vmax = max(v for _h, v in factors)
     coefs = _quantized_components(width, height, rgb, factors)
@@ -559,11 +557,38 @@ def _encode_ac_refine_blocks(w: _BitWriter, blocks, ss: int, se: int, al: int, a
     flush_eobrun()
 
 
-def _encode_progressive(width: int, height: int, rgb: bytes, factors) -> bytes:
+def _restart_chunks(units: list, restart_interval: int):
+    """Split a scan's unit sequence (MCUs or blocks) into restart
+    segments: [units] when restarts are off, else ri-sized chunks."""
+    if not restart_interval:
+        return [units]
+    ri = int(restart_interval)
+    return [units[i : i + ri] for i in range(0, len(units), ri)]
+
+
+def _join_restart_segments(segs: list[bytes]) -> bytes:
+    """Entropy segments separated by RST0..RST7 markers (cycling)."""
+    out = [segs[0]]
+    for i, s in enumerate(segs[1:]):
+        out.append(bytes([0xFF, 0xD0 + (i % 8)]))
+        out.append(s)
+    return b"".join(out)
+
+
+def _encode_progressive(
+    width: int, height: int, rgb: bytes, factors, restart_interval: int = 0
+) -> bytes:
     """SOF2 writer: libjpeg's standard progression script — interleaved
     DC first at Al=1, per-component AC first scans with spectral bands
     and Al in {1, 2}, then DC + AC refinement scans down to Al=0 —
-    over the same quantized coefficients as the sequential writer."""
+    over the same quantized coefficients as the sequential writer.
+
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (interleaved DC scans) / blocks (non-interleaved scans): each
+    restart segment is coded with fresh DC predictors and a flushed
+    EOBRUN, which falls out of chunking the unit list and running the
+    existing per-chunk coders (they already start clean and flush at
+    the end)."""
     coefs = _quantized_components(width, height, rgb, factors)
     nc = 3
     hmax = max(h for h, _v in factors)
@@ -578,11 +603,14 @@ def _encode_progressive(width: int, height: int, rgb: bytes, factors) -> bytes:
 
     dc_tabs = [_huff_encode_table(_DC_L_BITS, _DC_L_VALS), _huff_encode_table(_DC_C_BITS, _DC_C_VALS)]
     ac_prog = _huff_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+    mcus = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
 
-    def dc_scan(w: _BitWriter, ah: int, al: int) -> None:
-        pred = [0, 0, 0]
-        for my in range(mcuy):
-            for mx in range(mcux):
+    def dc_scan(ah: int, al: int) -> bytes:
+        segs = []
+        for chunk in _restart_chunks(mcus, restart_interval):
+            w = _BitWriter()
+            pred = [0, 0, 0]
+            for my, mx in chunk:
                 for ci, (h, v) in enumerate(factors):
                     tid = 0 if ci == 0 else 1
                     for vy in range(v):
@@ -599,18 +627,21 @@ def _encode_progressive(width: int, height: int, rgb: bytes, factors) -> bytes:
                                     w.put(code, s)
                             else:
                                 w.put((dc >> al) & 1, 1)
+            segs.append(w.flush())
+        return _join_restart_segments(segs)
 
-    def ac_first_scan(w: _BitWriter, ci: int, ss: int, se: int, al: int) -> None:
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
         bw, bh = real[ci]
-        _encode_ac_first_blocks(
-            w, (coefs[ci][by, bx] for by in range(bh) for bx in range(bw)), ss, se, al, ac_prog
-        )
-
-    def ac_refine_scan(w: _BitWriter, ci: int, ss: int, se: int, al: int) -> None:
-        bw, bh = real[ci]
-        _encode_ac_refine_blocks(
-            w, (coefs[ci][by, bx] for by in range(bh) for bx in range(bw)), ss, se, al, ac_prog
-        )
+        blocks = [coefs[ci][by, bx] for by in range(bh) for bx in range(bw)]
+        segs = []
+        for chunk in _restart_chunks(blocks, restart_interval):
+            w = _BitWriter()
+            if ah == 0:
+                _encode_ac_first_blocks(w, chunk, ss, se, al, ac_prog)
+            else:
+                _encode_ac_refine_blocks(w, chunk, ss, se, al, ac_prog)
+            segs.append(w.flush())
+        return _join_restart_segments(segs)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -661,16 +692,14 @@ def _encode_progressive(width: int, height: int, rgb: bytes, factors) -> bytes:
             ]),
         ),
     ]
+    if restart_interval:
+        parts.insert(2, seg(0xFFDD, struct.pack(">H", restart_interval)))
     for scan_comps, ss, se, ah, al in script:
-        w = _BitWriter()
-        if ss == 0:
-            dc_scan(w, ah, al)
-        elif ah == 0:
-            ac_first_scan(w, scan_comps[0], ss, se, al)
-        else:
-            ac_refine_scan(w, scan_comps[0], ss, se, al)
         parts.append(sos(scan_comps, ss, se, ah, al))
-        parts.append(w.flush())
+        if ss == 0:
+            parts.append(dc_scan(ah, al))
+        else:
+            parts.append(ac_scan(scan_comps[0], ss, se, ah, al))
     parts.append(b"\xff\xd9")
     return b"".join(parts)
 

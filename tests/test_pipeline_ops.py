@@ -810,6 +810,14 @@ def test_jpeg_progressive_equals_baseline():
                 base = decode_jpeg(encode_jpeg(w, h, px.tobytes(), subsampling=ss))
                 prog = decode_jpeg(encode_jpeg(w, h, px.tobytes(), subsampling=ss, progressive=True))
                 assert base == prog, (w, h, ss)
+                # restart markers inside every progressive scan (fresh
+                # DC predictors + flushed EOBRUN per segment) must not
+                # change a single pixel either
+                for ri in (1, 3):
+                    rst = decode_jpeg(
+                        encode_jpeg(w, h, px.tobytes(), subsampling=ss, progressive=True, restart_interval=ri)
+                    )
+                    assert rst == base, (w, h, ss, ri)
 
 
 def test_jpeg_progressive_ac_scan_pair_property():

@@ -96,6 +96,42 @@ def main() -> None:
 
     bench("stratified_sample_narrow", stratified_sample(docs, 0.01, exact=False))
 
+    # ---- round 5: the hash-checked flagship twin at scale — candidates
+    # from the banded join, then EXACT Jaccard re-verification (semi-join
+    # the candidate docs, re-explode their shingle sets; never O(n²))
+    t0 = time.perf_counter()
+    n_exact = minhash_lsh_candidates(
+        docs, num_perm=32, bands=8, threshold=0.5, exact_verify=True
+    ).count()
+    timings["lsh_exact_verify"] = round(time.perf_counter() - t0, 2)
+    timings["lsh_exact_pairs"] = n_exact
+    print(
+        f"# lsh_exact_verify: {timings['lsh_exact_verify']}s ({n_exact} pairs)",
+        file=sys.stderr,
+    )
+
+    # ---- round 5: mixed-JPEG codec throughput inside mapInPandas —
+    # 100k tiny images round-robining baseline 4:4:4 / 4:2:0 /
+    # progressive; the stage both ENCODES (fixture generation) and
+    # DECODES (feature extraction), so the per-payload rate is a lower
+    # bound on decode throughput for the pure-python codec
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media, extract_features
+
+    n_img = min(100_000, n_docs)
+    t0 = time.perf_counter()
+    media = attach_image_media(
+        docs.where(F.col("doc_id") < n_img), formats=("jpeg", "jpeg420", "jpeg_prog")
+    )
+    extract_features(media, fake=False).write.mode("overwrite").format("noop").save()
+    timings["jpeg_mixed_codec"] = round(time.perf_counter() - t0, 2)
+    timings["jpeg_n_images"] = n_img
+    timings["jpeg_payloads_per_sec"] = round(n_img / timings["jpeg_mixed_codec"])
+    print(
+        f"# jpeg_mixed_codec: {timings['jpeg_mixed_codec']}s "
+        f"({n_img} imgs, {timings['jpeg_payloads_per_sec']}/s)",
+        file=sys.stderr,
+    )
+
     # ---- vectors: 32-d deterministic embeddings, 100 queries
     vecs = spark.range(n_vec, numPartitions=64).select(
         F.col("id").alias("vec_id"),

@@ -4,14 +4,14 @@ columns with typed metadata, processed via Arrow-batched
 
 Decode support is format-tiered:
 
-- **BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit RGB/RGBA/grayscale and
-  paletted at depths 1/2/4/8, non-interlaced or Adam7), JPEG
+- **BMP (24-bit BI_RGB), PPM (P6), PNG (8/16-bit RGB/RGBA/grayscale
+  and paletted at depths 1/2/4/8, non-interlaced or Adam7), JPEG
   (operators/jpeg.py: baseline AND progressive, 4:4:4 / 4:2:2 /
   4:2:0)** decode for REAL via the dependency-free codecs below;
   ``extract_features(fake=False)`` and ``resize_images(fake=False)``
   run genuinely end-to-end on them.  Audio/video decode lives in
   operators/av.py (WAV, Y4M).
-- Remaining layouts (16-bit PNG, arithmetic-coded JPEG, …) raise
+- Remaining layouts (sub-8-bit grayscale PNG, arithmetic-coded JPEG, …) raise
   ``NotImplementedError`` from ``_decode_real`` — the container has no
   PIL/libav; :func:`register_image_decoder` is the production seam,
   and the ``fake=True`` paths keep the Arrow plumbing (schema, batch
@@ -224,16 +224,16 @@ def encode_png_interlaced(width: int, height: int, rgb: bytes) -> bytes:
 
 
 def decode_png(data: bytes) -> tuple[int, int, bytes]:
-    """Parse a PNG → (width, height, top-down RGB): 8-bit RGB/RGBA
-    (color types 2/6), 8-bit grayscale (0), paletted (3, PLTE, bit
-    depths 1/2/4/8), non-interlaced OR Adam7-interlaced (each of the
-    7 passes is an independently-filtered sub-image scattered onto
+    """Parse a PNG → (width, height, top-down RGB): 8- and 16-bit
+    RGB/RGBA (color types 2/6) and grayscale (0), paletted (3, PLTE,
+    bit depths 1/2/4/8), non-interlaced OR Adam7-interlaced (each of
+    the 7 passes is an independently-filtered sub-image scattered onto
     the output grid).  Header walk + ``zlib`` inflate + per-scanline
     unfilter (all five PNG filter types, ``_unfilter_scanlines``);
-    RGBA alpha is dropped, palette indices are bit-unpacked MSB-first
-    and mapped through PLTE.  The remaining depth/type combinations
-    (16-bit, sub-8-bit grayscale, interlaced sub-8-bit palettes)
-    raise — honest stub boundary, documented per format."""
+    RGBA alpha is dropped, 16-bit samples keep the high byte, palette
+    indices are bit-unpacked MSB-first and mapped through PLTE.  The
+    remaining combinations (sub-8-bit grayscale, interlaced sub-8-bit
+    palettes) raise — honest stub boundary, documented per format."""
     import zlib
 
     import numpy as np
@@ -256,7 +256,7 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             idat += body
         elif typ == b"IEND":
             break
-    supported = (bitdepth == 8 and colortype in (0, 2, 6)) or (
+    supported = (bitdepth in (8, 16) and colortype in (0, 2, 6)) or (
         colortype == 3 and bitdepth in (1, 2, 4, 8)
     )
     if not supported or interlace not in (0, 1):
@@ -265,12 +265,17 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         )
     if colortype == 3 and palette is None:
         raise ValueError("paletted PNG missing PLTE chunk")
-    # bytes per pixel for FILTERING (left-pixel distance, >=1 per spec)
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[colortype]
+    # bytes per pixel for FILTERING (left-pixel distance, >=1 per spec);
+    # 16-bit samples double it, and the output keeps the high byte
+    # (big-endian sample order) — the standard 16→8 downconversion
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}[colortype]
+    bpp = nch * (2 if bitdepth == 16 else 1)
     raw = zlib.decompress(bytes(idat))
 
     def finish(pixels: "np.ndarray") -> tuple[int, int, bytes]:
         """(h, w, bpp) channel array → RGB bytes per colortype."""
+        if bitdepth == 16:  # keep the high byte of each big-endian sample
+            pixels = pixels.reshape(height, width, nch, 2)[:, :, :, 0]
         if colortype == 6:
             return width, height, pixels[:, :, :3].tobytes()
         if colortype == 0:
@@ -407,7 +412,7 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
     BMP, PPM, PNG (8-bit RGB/RGBA/grayscale, paletted 1/2/4/8-bit,
     non-interlaced or Adam7), and JPEG (operators/jpeg.py: baseline +
     progressive, subsampled chroma) are handled by the dependency-free
-    codecs; anything else (16-bit PNG, arithmetic JPEG, audio, video)
+    codecs; anything else (arithmetic JPEG, audio, video)
     raises unless a decoder was plugged in via
     :func:`register_image_decoder` (honest stub boundary)."""
     payload = bytes(payload)

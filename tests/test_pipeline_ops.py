@@ -372,8 +372,10 @@ def test_png_paletted_and_grayscale():
     """Paletted PNG (color type 3 + PLTE) round-trips exactly at every
     depth the minimal-depth encoder picks (1/2/4/8-bit, MSB-first
     packing), filtered paletted rows unfilter at bpp=1, 8-bit
-    grayscale (color type 0) expands to RGB, and interlaced streams
-    still raise."""
+    grayscale (color type 0) expands to RGB, 16-bit samples unfilter
+    at the doubled byte distance and keep the high byte, and the
+    remaining honest boundary (interlaced sub-8-bit palettes) still
+    raises."""
     import struct
     import zlib
 
@@ -416,6 +418,27 @@ def test_png_paletted_and_grayscale():
         + chunk(b"IEND", b"")
     )
     assert decode_png(png0) == (7, 5, np.repeat(gray.reshape(5, 7, 1), 3, axis=2).tobytes())
+
+    # 16-bit samples: unfilter at the doubled byte distance, keep the
+    # high byte (the standard 16->8 downconversion)
+    w16, h16 = 7, 5
+    px16 = rng.integers(0, 65536, (h16, w16, 3), dtype=np.uint16)
+    rows16 = np.frombuffer(px16.astype(">u2").tobytes(), dtype=np.uint8).reshape(h16, w16 * 6)
+    raw16 = bytearray()
+    prev16 = np.zeros(w16 * 6, dtype=np.uint8)
+    for y in range(h16):
+        if y % 2 == 0:
+            raw16 += b"\x00" + rows16[y].tobytes()
+        else:
+            raw16 += b"\x02" + ((rows16[y].astype(int) - prev16.astype(int)) & 0xFF).astype(np.uint8).tobytes()
+        prev16 = rows16[y]
+    png16 = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w16, h16, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw16)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png16) == (w16, h16, (px16 >> 8).astype(np.uint8).tobytes())
 
     # interlaced sub-8-bit palettes stay an honest boundary
     interlaced_pal4 = (

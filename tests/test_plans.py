@@ -314,6 +314,64 @@ def test_tiered_cold_rollup_routes_per_tier(spark):
     assert any("value" in s and "ts" in s for s in m), plan
 
 
+def test_tiered_cold_hist_rollup_routes_per_tier(spark):
+    """Per-tier DDSketch tables: with cold_hist_rollups set, a
+    straddling per-series p90 serves the cold sub-range from the
+    sketch (no cold point scan in the plan; values within the sketch
+    eps of raw) while the hot sub-range scans raw points (values
+    EXACTLY equal to the raw run)."""
+    from opentsdb_aura_spark.operators.rollup import HIST_EPS, build_rollup_histogram
+    from opentsdb_aura_spark.plans.query import TieredStore, run_tiered_metric_query
+    from opentsdb_aura_spark.sources.batch import bucketed_metrics
+
+    boundary = C.START + 15 * C.DAY
+    cold = bucketed_metrics(spark, SF)
+    store = TieredStore(
+        hot=C.points(spark, SF),
+        cold=cold,
+        boundary_ts=boundary,
+        # materialized, as a flush-time sketch table would be — a lazy
+        # derivation would drag the cold point scan into the plan
+        cold_hist_rollups={
+            3600: build_rollup_histogram(
+                cold.where(F.col("ts") < boundary), 3600
+            ).localCheckpoint()
+        },
+    )
+    q = _tiered_q(ds_agg="p90")
+    dim = C.series_dim(spark, SF)
+    df = run_tiered_metric_query(store, q, dedupe=False, series_dim=dim)
+    plan = plan_of(df)
+    # cold POINTS are not scanned: the sketch (in-memory) serves them,
+    # series selection comes from the meta index
+    files = re.findall(r"Location: \S+ ?\[(.*?)\]", plan)
+    assert "metrics_bucketed" not in " ".join(files), plan
+
+    raw = {
+        (r["series_id"], r["bucket_ts"]): r["value"]
+        for r in run_tiered_metric_query(
+            TieredStore(hot=store.hot, cold=cold, boundary_ts=boundary),
+            q, dedupe=False, series_dim=dim,
+        ).collect()
+    }
+    got = {(r["series_id"], r["bucket_ts"]): r["value"] for r in df.collect()}
+    assert set(got) == set(raw) and got
+    for (sid, ts), v in got.items():
+        if ts >= boundary:  # hot side: raw scan, bit-equal
+            e = raw[(sid, ts)]
+            assert v == e or (v != v and e != e), (sid, ts, v, e)
+    # cold side is sketch-served: nearest-rank vs interpolated slack on
+    # sparse buckets exceeds eps pointwise, so bound the MEDIAN error
+    import statistics
+
+    errs = [
+        abs(got[k] - raw[k]) / max(abs(raw[k]), 1e-9)
+        for k in got
+        if k[1] < boundary and raw[k] == raw[k] and got[k] == got[k]
+    ]
+    assert errs and statistics.median(errs) <= 2 * HIST_EPS, statistics.median(errs)
+
+
 def test_tiered_rate_straddle_falls_back_to_row_splice_exactly(spark):
     """Rate needs the previous point across the tier boundary, so the
     planner must row-splice; the result equals the single-store run."""

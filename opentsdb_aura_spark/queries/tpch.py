@@ -128,3 +128,214 @@ def tpch_shipping_priority(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "tpch_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+) GROUP BY 1, 2, 3""",
+)
+def tpch_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): revenue between two nations in
+    both directions by ship year — a 5-way join where the same dim
+    (nation) joins twice under different roles.  Both nation joins are
+    tiny dims AQE broadcasts; the fact-side shuffles stay on the join
+    keys."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_market_share",
+    """SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+) GROUP BY 1""",
+)
+def tpch_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): one nation's share of
+    ECONOMY-part revenue sold into ASIA customers, by order year — a
+    7-way join with region scoping on the customer side and the share
+    computed as a conditional-sum ratio in ONE aggregation (no
+    self-join of the revenue stream)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part.where(F.col("p_type") == "ECONOMY"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region.where(F.col("r_name") == "ASIA"), F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _r(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_profit_by_nation_year",
+    """SELECT nation, o_year,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)) AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) GROUP BY 1, 2""",
+)
+def tpch_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): revenue on parts whose
+    name matches a pattern, grouped by SUPPLIER nation and order year.
+    (The fixture has no partsupp table, so the supply-cost term of
+    Q9's amount is absent — the join/aggregation topology is the
+    point.)  The per-group sums span thousands of doubles, where FP
+    summation order flips the last cent between engines — so the
+    amount is summed as DECIMAL(18,4) on both sides (exact,
+    order-independent) and only the final result returns to double."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(part.where(F.col("p_name").like("%widget%")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_top_supplier",
+    """WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+)
+def tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    then the supplier(s) achieving the maximum — the view + correlated
+    max realized as a window max over the aggregated (small) revenue
+    frame, never a second scan of lineitem."""
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    # global max over the |suppliers|-row aggregate: a bounded window
+    top = rev.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy())).where(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return supp.join(top, F.col("s_suppkey") == F.col("supplier_no")).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "tpch_min_price_part_per_type",
+    """SELECT p_type, p_partkey, p_name, round(p_retailprice, 2) AS price
+FROM part
+WHERE p_size < 25
+  AND p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_type = part.p_type AND p2.p_size < 25)""",
+)
+def tpch_min_price_part_per_type(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost argmin): for each part type, the
+    part(s) at the minimum retail price within a size bound — the
+    correlated min subquery realized as a window min per type (one
+    shuffle on p_type), not a re-scan per row.  (No partsupp table in
+    the fixture, so price stands in for supply cost.)"""
+    from pyspark.sql.window import Window
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_size") < 25)
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        .where(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_type", "p_partkey", "p_name", _r(F.col("p_retailprice"), 2).alias("price"))
+    )

@@ -314,3 +314,69 @@ def test_misra_gries_bound_property(data, capacity, n_parts):
         est = merged.get(item, 0)
         assert est <= t, (item, est, t)
         assert t - est <= bound, (item, est, t, bound)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31),
+    fmt=st.sampled_from(["png", "png8", "pngi", "bmp", "ppm"]),
+)
+def test_lossless_image_codecs_roundtrip_property(w, h, seed, fmt):
+    """Every lossless image codec must round-trip arbitrary pixel
+    content at arbitrary dimensions exactly (paletted payloads are
+    constrained to <=256 colors by sampling from a small palette)."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        encode_bmp,
+        encode_png,
+        encode_png_interlaced,
+        encode_png_paletted,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    if fmt == "png8":
+        pal = rng.integers(0, 256, (int(rng.integers(1, 17)), 3), dtype=np.uint8)
+        rgb = pal[rng.integers(0, len(pal), (h, w))].tobytes()
+    else:
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+    enc = {
+        "png": encode_png,
+        "png8": encode_png_paletted,
+        "pngi": encode_png_interlaced,
+        "bmp": encode_bmp,
+        "ppm": encode_ppm,
+    }[fmt]
+    dec = {"bmp": decode_bmp, "ppm": decode_ppm}.get(fmt, decode_png)
+    assert dec(enc(w, h, rgb)) == (w, h, rgb)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31),
+    subsampling=st.sampled_from(["444", "422", "420"]),
+    restart=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_progressive_identity_property(w, h, seed, subsampling, restart):
+    """Progressive decode == baseline decode for arbitrary content,
+    dimensions, chroma layout, and restart interval — the structural
+    oracle (shared quantizer) checked over the whole parameter box."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(w, h, px, subsampling=subsampling))
+    prog = decode_jpeg(
+        encode_jpeg(w, h, px, subsampling=subsampling, progressive=True, restart_interval=restart)
+    )
+    assert base == prog

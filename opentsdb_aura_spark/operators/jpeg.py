@@ -1044,10 +1044,9 @@ def _reconstruct_progressive(width, height, comps, coef, quant):
     return width, height, rgb.tobytes()
 
 
-def _decode_block(r: _BitReader, pred: int, dct: dict, act: dict, q: np.ndarray) -> tuple[int, np.ndarray]:
-    """Huffman-decode + dequantize + IDCT one 8×8 block; returns
-    (new DC predictor, spatial block)."""
-    zz = np.zeros(64, dtype=np.int64)
+def _decode_block_zz(r: _BitReader, pred: int, dct: dict, act: dict, zz: np.ndarray) -> int:
+    """Huffman-decode one sequential 8×8 block into the zigzag slot
+    ``zz`` (already zeroed); returns the new DC predictor."""
     s = _huff_symbol(r, dct)
     pred += _receive_extend(r, s)
     zz[0] = pred
@@ -1065,33 +1064,21 @@ def _decode_block(r: _BitReader, pred: int, dct: dict, act: dict, q: np.ndarray)
             raise ValueError("AC coefficient index out of range")
         zz[k] = _receive_extend(r, size)
         k += 1
-    coef = np.zeros(64, dtype=np.float64)
-    # q is in NATURAL order (the DQT parse un-zigzags it), zz in zigzag
-    # order: the i-th zigzag coefficient pairs with q at its natural
-    # position _ZIGZAG[i]
-    coef[_ZIGZAG] = zz * q[_ZIGZAG]
-    return pred, _D.T @ coef.reshape(8, 8) @ _D + 128.0
+    return pred
 
 
 def _decode_scan(data, pos, width, height, comps, scan_tabs, quant, huff_dc, huff_ac, restart_interval):
+    """Sequential (SOF0) scan: Huffman-walk every MCU into the shared
+    zigzag coefficient store, then the same vectorized dequant + IDCT
+    + upsample tail the progressive path uses
+    (``_reconstruct_progressive``)."""
     nc = len(comps)
     dc_by_cid = {cid: d for cid, d, _a in scan_tabs}
     ac_by_cid = {cid: a for cid, _d, a in scan_tabs}
 
-    # T.81 A.2.3: a single-component scan is non-interleaved — MCU is
-    # one block and the declared factors are irrelevant to the layout
-    if nc == 1:
-        factors = [(1, 1)]
-        hmax = vmax = 1
-    else:
-        factors = [(samp >> 4, samp & 0x0F) for _cid, samp, _qid in comps]
-        hmax = max(h for h, _v in factors)
-        vmax = max(v for _h, v in factors)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    planes = [
-        np.empty((mcuy * v * 8, mcux * h * 8), dtype=np.float64) for h, v in factors
-    ]
+    _hmax, _vmax, mcux, mcuy, geo = _comp_geometry(width, height, comps)
+    factors = [(g[0], g[1]) for g in geo]
+    coef = _alloc_progressive_coef(width, height, comps)
 
     r = _BitReader(data, pos)
     pred = [0] * nc
@@ -1101,32 +1088,14 @@ def _decode_scan(data, pos, width, height, comps, scan_tabs, quant, huff_dc, huf
             if restart_interval and mcu and mcu % restart_interval == 0:
                 r.align_to_marker()
                 pred = [0] * nc
-            for ci, (cid, _samp, qid) in enumerate(comps):
+            for ci, (cid, _samp, _qid) in enumerate(comps):
                 dct = huff_dc[dc_by_cid[cid]]
                 act = huff_ac[ac_by_cid[cid]]
-                q = quant[qid]
                 h, v = factors[ci]
                 for vy in range(v):
                     for vx in range(h):
-                        pred[ci], block = _decode_block(r, pred[ci], dct, act, q)
-                        by, bx = (my * v + vy) * 8, (mx * h + vx) * 8
-                        planes[ci][by : by + 8, bx : bx + 8] = block
+                        pred[ci] = _decode_block_zz(
+                            r, pred[ci], dct, act, coef[ci][my * v + vy, mx * h + vx]
+                        )
             mcu += 1
-
-    if nc == 1:
-        y = np.clip(planes[0][:height, :width], 0, 255)
-        rgb = np.repeat(np.round(y).astype(np.uint8)[:, :, None], 3, axis=2)
-        return width, height, rgb.tobytes()
-    # box-replicate subsampled planes back to full resolution, crop
-    full = []
-    for ci, (h, v) in enumerate(factors):
-        plane = planes[ci]
-        sx, sy = hmax // h, vmax // v
-        if sy > 1:
-            plane = np.repeat(plane, sy, axis=0)
-        if sx > 1:
-            plane = np.repeat(plane, sx, axis=1)
-        full.append(plane[:height, :width])
-    ycc = np.stack(full, axis=-1)
-    rgb = np.clip(np.round(_ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)
-    return width, height, rgb.tobytes()
+    return _reconstruct_progressive(width, height, comps, coef, quant)

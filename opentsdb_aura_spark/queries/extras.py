@@ -1578,3 +1578,40 @@ def rollup_gb_avg_daily(spark, sf_dir):
         series_dim=series_dim(spark, sf_dir),
     )
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("avg_value"))
+
+
+@register(
+    "ev_time_to_first_purchase",
+    """WITH s AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_signup
+       FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT s.user_id, s.first_signup, p.first_purchase,
+       p.first_purchase - s.first_signup AS secs_to_purchase
+FROM s JOIN p ON s.user_id = p.user_id
+WHERE p.first_purchase >= s.first_signup""",
+)
+def ev_time_to_first_purchase(spark, sf_dir):
+    """Activation-latency analytics: per user, the time from first
+    signup to first purchase (users whose first purchase precedes any
+    signup are excluded — attribution needs a cause).  Two filtered
+    min-aggregates and one equi-join on user_id — no window over the
+    whole event history, so a hot user costs the same as a cold one."""
+    ev = events_seconds(spark, sf_dir)
+    first = lambda et, alias: (
+        ev.where(F.col("event_type") == et)
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("long").alias(alias))
+    )
+    s = first("signup", "first_signup")
+    p = first("purchase", "first_purchase")
+    return (
+        s.join(p, "user_id")
+        .where(F.col("first_purchase") >= F.col("first_signup"))
+        .select(
+            "user_id",
+            "first_signup",
+            "first_purchase",
+            (F.col("first_purchase") - F.col("first_signup")).alias("secs_to_purchase"),
+        )
+    )

@@ -889,6 +889,76 @@ def meta_active_series_window(spark, sf_dir):
 
 
 @register(
+    "meta_series_churn_daily",
+    f"""{ORACLE_PTS},
+act AS (SELECT DISTINCT metric, tag_user, tag_k, ts - ts % {DAY} AS day
+        FROM dpts WHERE ts >= {START} AND ts < {END}),
+new AS (SELECT a.metric, a.day, CAST(count(*) AS BIGINT) AS n
+        FROM act a
+        WHERE a.day >= {START + DAY} AND NOT EXISTS (
+              SELECT 1 FROM act p WHERE p.metric = a.metric
+                AND p.tag_user = a.tag_user AND p.tag_k = a.tag_k
+                AND p.day = a.day - {DAY})
+        GROUP BY 1, 2),
+chn AS (SELECT p.metric, p.day + {DAY} AS day, CAST(count(*) AS BIGINT) AS n
+        FROM act p
+        WHERE p.day + {DAY} < {END} AND NOT EXISTS (
+              SELECT 1 FROM act a WHERE a.metric = p.metric
+                AND a.tag_user = p.tag_user AND a.tag_k = p.tag_k
+                AND a.day = p.day + {DAY})
+        GROUP BY 1, 2)
+SELECT coalesce(new.metric, chn.metric) AS metric,
+       coalesce(new.day, chn.day) AS bucket_ts,
+       coalesce(new.n, 0) AS new_series,
+       coalesce(chn.n, 0) AS churned_series
+FROM new FULL OUTER JOIN chn ON new.metric = chn.metric AND new.day = chn.day""",
+)
+def meta_series_churn_daily(spark, sf_dir):
+    """Series churn (T6 applied): per metric per day, how many series
+    appeared (active today, not yesterday) and how many churned
+    (active yesterday, not today) — the ops question behind retention
+    dashboards and cardinality-explosion alerts.  Served ENTIRELY from
+    the STORED epoch-presence table (presence_3600): the day-distinct
+    projection and both anti-joins run over |series|x|epochs| presence
+    rows, never the fact table — at 100 TB that is the difference
+    between a metadata query and a full scan.  The raw-scan oracle
+    proves the presence bitmaps are exact."""
+    from opentsdb_aura_spark.sources.batch import ensure_event_store, presence_path
+
+    ensure_event_store(spark, sf_dir)
+    pres = spark.read.parquet(presence_path(sf_dir, 3600))
+    day = (F.col("epoch") - F.col("epoch") % F.lit(DAY)).alias("day")
+    daily = (
+        pres.where((F.col("epoch") >= F.lit(START)) & (F.col("epoch") < F.lit(END)))
+        .select("metric", "series_id", day)
+        .distinct()
+    )
+    prev = daily.select("metric", "series_id", (F.col("day") + F.lit(DAY)).alias("day"))
+    new_cnt = (
+        daily.where(F.col("day") >= F.lit(START + DAY))
+        .join(prev, ["metric", "series_id", "day"], "left_anti")
+        .groupBy("metric", "day")
+        .agg(F.count("*").alias("new_series"))
+    )
+    chn_cnt = (
+        prev.where(F.col("day") < F.lit(END))
+        .join(daily, ["metric", "series_id", "day"], "left_anti")
+        .groupBy("metric", "day")
+        .agg(F.count("*").alias("churned_series"))
+    )
+    return (
+        new_cnt.join(chn_cnt, ["metric", "day"], "full_outer")
+        .na.fill(0, ["new_series", "churned_series"])
+        .select(
+            "metric",
+            F.col("day").alias("bucket_ts"),
+            "new_series",
+            "churned_series",
+        )
+    )
+
+
+@register(
     "meta_list_series_signup",
     f"""{ORACLE_PTS}
 SELECT metric, tag_user, tag_k FROM series WHERE metric = 'signup'""",

@@ -290,9 +290,9 @@ def connected_components(
     duplicates), and the iterative path costs 2 shuffles + a
     checkpoint job PER ROUND, which dwarfs a 200k-row bounded collect.
     Same result either way; corpora whose duplicate graph is genuinely
-    huge take the distributed loop.  ``driver_threshold`` is clamped by
-    ``MAX_DRIVER_UNION_FIND_EDGES`` so no caller value can make the
-    collect unbounded."""
+    huge take the distributed loop.  ``driver_threshold`` above
+    ``MAX_DRIVER_UNION_FIND_EDGES`` is REJECTED (ValueError) so no
+    caller value can make the collect unbounded."""
     if int(driver_threshold) > MAX_DRIVER_UNION_FIND_EDGES:
         raise ValueError(
             f"driver_threshold {driver_threshold} exceeds "

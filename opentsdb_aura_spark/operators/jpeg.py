@@ -380,22 +380,14 @@ def encode_jpeg(
     dc_tabs = [_huff_encode_table(_DC_L_BITS, _DC_L_VALS), _huff_encode_table(_DC_C_BITS, _DC_C_VALS)]
     ac_tabs = [_huff_encode_table(_AC_L_BITS, _AC_L_VALS), _huff_encode_table(_AC_C_BITS, _AC_C_VALS)]
 
-    w = _BitWriter()
-    scan_parts: list[bytes] = []
-    pred = [0, 0, 0]
-    mcu = 0
-    rst = 0
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                scan_parts.append(w.flush())
-                scan_parts.append(bytes([0xFF, 0xD0 + rst]))
-                rst = (rst + 1) % 8
-                w = _BitWriter()
-                pred = [0, 0, 0]
-            mcu += 1
+    mcus = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+    segs = []
+    for chunk in _restart_chunks(mcus, restart_interval):
+        w = _BitWriter()
+        pred = [0, 0, 0]
+        for my, mx in chunk:
             for comp, (h, v) in enumerate(factors):
                 tid = 0 if comp == 0 else 1
                 for vy in range(v):
@@ -404,8 +396,8 @@ def encode_jpeg(
                             w, coefs[comp][my * v + vy, mx * h + vx],
                             pred[comp], dc_tabs[tid], ac_tabs[tid],
                         )
-    scan_parts.append(w.flush())
-    scan = b"".join(scan_parts)
+        segs.append(w.flush())
+    scan = _join_restart_segments(segs)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body

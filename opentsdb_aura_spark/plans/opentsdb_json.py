@@ -23,6 +23,8 @@ import math
 import re
 from typing import Any
 
+from pyspark.sql import functions as F
+
 from opentsdb_aura_spark.filters import (
     AnyFieldRegexp,
     Chain,
@@ -440,6 +442,14 @@ def render_v3_response(
     # a value for it; floor division would silently drop it)
     n_buckets = math.ceil((int(end) - int(start)) / int(interval)) if interval else None
     group_cols = [c for c in res.columns if c not in ("bucket_ts", "value")]
+    # restrict to the render window BEFORE collecting: a sub-window
+    # render of a wider result must neither drag out-of-window rows to
+    # the driver nor count them against the cap (buckets outside
+    # [start, window end) are simply not part of this response)
+    window_end = int(start) + n_buckets * int(interval) if interval else int(end)
+    res = res.where(
+        (F.col("bucket_ts") >= F.lit(int(start))) & (F.col("bucket_ts") < F.lit(window_end))
+    )
     # cap = the response's own maximum size + 1 row so truncation is
     # DETECTED and raised, never silent
     cap = min(max_series * n_buckets if interval else max_points, MAX_RESPONSE_CELLS)
@@ -471,9 +481,9 @@ def render_v3_response(
         if interval:
             # every observed bucket must land on the query grid — a
             # result computed with a different interval would otherwise
-            # be silently omitted from the array.  On-grid buckets
-            # OUTSIDE [start, end) are fine: rendering a sub-window of
-            # a wider result is legitimate and simply excludes them.
+            # be silently omitted from the array.  (Out-of-window rows
+            # never reach here: the pre-collect window filter excludes
+            # them, which is what makes sub-window rendering legal.)
             stragglers = [ts for ts in pts if (ts - int(start)) % int(interval) != 0]
             if stragglers:
                 raise ValueError(

@@ -132,11 +132,12 @@ def tpch_shipping_priority(spark, sf_dir):
 
 @register(
     "tpch_volume_shipping",
-    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    """SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)) AS volume
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
@@ -171,18 +172,24 @@ def tpch_volume_shipping(spark, sf_dir):
         .join(n2, F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
 @register(
     "tpch_market_share",
     """SELECT o_year,
-       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18, 4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)) AS volume,
          n2.n_name AS nation
   FROM lineitem
   JOIN part ON p_partkey = l_partkey
@@ -210,7 +217,7 @@ def tpch_market_share(spark, sf_dir):
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
         li.join(part.where(F.col("p_type") == "ECONOMY"), F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -222,8 +229,8 @@ def tpch_market_share(spark, sf_dir):
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             _r(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(vol).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -282,7 +289,7 @@ def tpch_profit_by_nation_year(spark, sf_dir):
     "tpch_top_supplier",
     """WITH rev AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY 1)
@@ -305,7 +312,13 @@ def tpch_top_supplier(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
     )
     # global max over the |suppliers|-row aggregate: a bounded window
     top = rev.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy())).where(

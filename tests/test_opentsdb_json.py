@@ -494,3 +494,8 @@ def test_render_v3_collect_bounds_pinned(make_points, spark, monkeypatch):
     # on-grid buckets beyond the sub-window are excluded, not errors
     sub = oj.render_v3_response(res, BASE, BASE + 120, 60)
     assert len(sub["results"][0]["data"][0]["NumericArrayType"]) == 2
+    # ...and out-of-window rows neither reach the driver nor count
+    # against the cap: 1 series x 2-bucket window under cap 1*2 must
+    # render even though the full result holds 5 rows
+    sub2 = oj.render_v3_response(res, BASE, BASE + 120, 60, max_series=1)
+    assert sub2["results"][0]["data"][0]["NumericArrayType"] == [1.0, 2.0]

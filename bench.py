@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "corpus_heavy_tokens_mg",
     "ev_wau_rolling",
     "pipeline_weighted_sample",
+    # round 5 additions
+    "dedup_minhash_lsh_exact",
+    "tpch_market_share",
+    "meta_series_churn_daily",
+    "multimodal_jpeg_decode",
 ]
 
 
@@ -70,7 +75,12 @@ BENCH_QUERIES = [
 # number reflects the plan, not the noise floor of a shared local[32]
 # box.  The per-line run vector is printed on stderr.
 DEFAULT_RUNS = 2
-MIN_OF = {"dedup_minhash_lsh": 3, "dedup_cluster_resolve": 3, "pipeline_dsir_weights": 3}
+MIN_OF = {
+    "dedup_minhash_lsh": 3,
+    "dedup_minhash_lsh_exact": 3,
+    "dedup_cluster_resolve": 3,
+    "pipeline_dsir_weights": 3,
+}
 
 
 def force(df) -> None:

@@ -7,10 +7,11 @@ Decode support is format-tiered:
 - **BMP (24-bit BI_RGB), PPM (P6), PNG (8/16-bit RGB/RGBA/grayscale
   and paletted at depths 1/2/4/8, non-interlaced or Adam7), JPEG
   (operators/jpeg.py: baseline AND progressive, 4:4:4 / 4:2:2 /
-  4:2:0)** decode for REAL via the dependency-free codecs below;
-  ``extract_features(fake=False)`` and ``resize_images(fake=False)``
-  run genuinely end-to-end on them.  Audio/video decode lives in
-  operators/av.py (WAV, Y4M).
+  4:2:0), GIF (operators/gif.py: LZW, local/global color tables,
+  interlacing; first frame of animations)** decode for REAL via the
+  dependency-free codecs; ``extract_features(fake=False)`` and
+  ``resize_images(fake=False)`` run genuinely end-to-end on them.
+  Audio/video decode lives in operators/av.py (WAV, Y4M).
 - Remaining layouts (sub-8-bit grayscale PNG, arithmetic-coded JPEG, …) raise
   ``NotImplementedError`` from ``_decode_real`` — the container has no
   PIL/libav; :func:`register_image_decoder` is the production seam,
@@ -409,11 +410,11 @@ def register_image_decoder(magic: bytes, fn) -> None:
 def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
     """Decode a binary payload to (width, height, top-down RGB).
 
-    BMP, PPM, PNG (8-bit RGB/RGBA/grayscale, paletted 1/2/4/8-bit,
-    non-interlaced or Adam7), and JPEG (operators/jpeg.py: baseline +
-    progressive, subsampled chroma) are handled by the dependency-free
-    codecs; anything else (arithmetic JPEG, audio, video)
-    raises unless a decoder was plugged in via
+    BMP, PPM, PNG (8/16-bit RGB/RGBA/grayscale, paletted 1/2/4/8-bit,
+    non-interlaced or Adam7), JPEG (operators/jpeg.py: baseline +
+    progressive, subsampled chroma), and GIF (operators/gif.py) are
+    handled by the dependency-free codecs; anything else (arithmetic
+    JPEG, audio, video) raises unless a decoder was plugged in via
     :func:`register_image_decoder` (honest stub boundary)."""
     payload = bytes(payload)
     for magic, fn in _DECODERS:
@@ -429,6 +430,10 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
         from opentsdb_aura_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        from opentsdb_aura_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         "no built-in codec claims this payload (BMP/PPM/PNG/baseline JPEG "
         "are built in); plug a production decoder via register_image_decoder"
@@ -437,7 +442,7 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
 
 def attach_image_media(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
-    formats: tuple[str, ...] = ("bmp", "ppm", "png", "png8", "pngi")
+    formats: tuple[str, ...] = ("bmp", "ppm", "png", "png8", "pngi", "gif", "gifi")
 ) -> DataFrame:
     """Real-image corpus generator: one genuine image per doc — format
     round-robined over ``formats`` by doc id (24-bit BMP, P6 PPM,
@@ -450,6 +455,7 @@ def attach_image_media(
     round-trips correctly."""
     import functools
 
+    from opentsdb_aura_spark.operators.gif import encode_gif
     from opentsdb_aura_spark.operators.jpeg import encode_jpeg
 
     encoders = {
@@ -458,6 +464,8 @@ def attach_image_media(
         "png": encode_png,
         "png8": encode_png_paletted,
         "pngi": encode_png_interlaced,
+        "gif": encode_gif,
+        "gifi": functools.partial(encode_gif, interlace=True),
         "jpeg": encode_jpeg,
         "jpeg422": functools.partial(encode_jpeg, subsampling="422"),
         "jpeg420": functools.partial(encode_jpeg, subsampling="420"),

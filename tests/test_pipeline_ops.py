@@ -521,6 +521,77 @@ def test_png_adam7_interlaced():
     assert decode_png(png3) == (7, 5, pal[idx].tobytes())
 
 
+def test_gif_roundtrip_and_animation():
+    """GIF codec: exact roundtrip across sizes/palettes (plain and
+    interlaced), a hand-built LZW reference stream (so the
+    decompressor is checked against the SPEC, not just our own
+    compressor), LZW table resets on large images, animated files
+    decode to the first frame with the frame count reported, and
+    >256-color encodes are rejected."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.gif import (
+        _lzw_decode,
+        decode_gif,
+        encode_gif,
+        gif_frame_count,
+    )
+
+    # hand-built: pixels [1,2,1] at min_code_size=2 → CLEAR,1,2,1,EOI
+    # at 3 bits LSB-first = 0x8C 0x52
+    assert bytes(_lzw_decode(bytes([0x8C, 0x52]), 2, 3)) == bytes([1, 2, 1])
+
+    rng = np.random.default_rng(5)
+    for w, h in ((1, 1), (3, 1), (17, 13), (40, 24)):
+        for ncolors in (1, 2, 17, 200):
+            pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+            rgb = pal[rng.integers(0, ncolors, (h, w))].tobytes()
+            for il in (False, True):
+                assert decode_gif(encode_gif(w, h, rgb, interlace=il)) == (w, h, rgb)
+
+    # large enough to force LZW dictionary resets (>4095 codes)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    rgb = pal[rng.integers(0, 256, (150, 200))].tobytes()
+    assert decode_gif(encode_gif(200, 150, rgb)) == (200, 150, rgb)
+
+    # animated: splice a second image block before the trailer — the
+    # decoder returns frame 1, the counter sees both
+    f1 = np.tile(np.array([10, 20, 30], np.uint8), (4, 4, 1)).tobytes()
+    f2 = np.tile(np.array([200, 100, 50], np.uint8), (4, 4, 1)).tobytes()
+    g1, g2 = encode_gif(4, 4, f1), encode_gif(4, 4, f2)
+    lsd_end = 13 + 3 * 2  # header + logical screen + 2-entry GCT
+    animated = g1[:-1] + g2[lsd_end:]  # drop g1 trailer, append g2's image block
+    assert gif_frame_count(animated) == 2
+    assert decode_gif(animated) == (4, 4, f1)
+
+    with _pytest.raises(ValueError, match="256 colors"):
+        many = np.zeros((300, 3), np.uint8)
+        many[:, 0] = np.arange(300) % 256
+        many[:, 1] = np.arange(300) // 256
+        encode_gif(300, 1, many.tobytes())
+
+    # frame smaller than the logical screen: offset blit over the
+    # background color.  The inner 2x2 frame is a single color, so its
+    # LZW stream is all index 0; give the spliced file a GCT whose
+    # index 0 is that color and whose index 1 (the background) is black
+    inner = encode_gif(2, 2, bytes([9, 9, 9] * 4))
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80, 1, 0) + bytes(
+        [9, 9, 9, 0, 0, 0]
+    )
+    desc_at = 13 + 6  # inner's image block starts after ITS header+GCT
+    patched = bytearray(hdr + inner[desc_at:])
+    di = bytes(patched).find(b"\x2c")
+    patched[di + 1 : di + 5] = struct.pack("<HH", 1, 1)  # blit at (1,1)
+    w, h, rgb = decode_gif(bytes(patched))
+    assert (w, h) == (4, 4)
+    px = np.frombuffer(rgb, np.uint8).reshape(4, 4, 3)
+    assert (px[1:3, 1:3] == 9).all()
+    assert (px[0, :] == 0).all() and (px[:, 0] == 0).all() and (px[3, :] == 0).all()
+
+
 def test_mixed_format_media_decode(spark):
     """attach_image_media round-robins BMP/PPM/PNG/paletted-PNG/
     interlaced-PNG; fake=False feature extraction must decode all of

@@ -321,7 +321,7 @@ def test_misra_gries_bound_property(data, capacity, n_parts):
     w=st.integers(1, 24),
     h=st.integers(1, 20),
     seed=st.integers(0, 2**31),
-    fmt=st.sampled_from(["png", "png8", "pngi", "bmp", "ppm"]),
+    fmt=st.sampled_from(["png", "png8", "pngi", "bmp", "ppm", "gif", "gifi"]),
 )
 def test_lossless_image_codecs_roundtrip_property(w, h, seed, fmt):
     """Every lossless image codec must round-trip arbitrary pixel
@@ -340,8 +340,12 @@ def test_lossless_image_codecs_roundtrip_property(w, h, seed, fmt):
         encode_ppm,
     )
 
+    import functools
+
+    from opentsdb_aura_spark.operators.gif import decode_gif, encode_gif
+
     rng = np.random.default_rng(seed)
-    if fmt == "png8":
+    if fmt in ("png8", "gif", "gifi"):
         pal = rng.integers(0, 256, (int(rng.integers(1, 17)), 3), dtype=np.uint8)
         rgb = pal[rng.integers(0, len(pal), (h, w))].tobytes()
     else:
@@ -352,8 +356,10 @@ def test_lossless_image_codecs_roundtrip_property(w, h, seed, fmt):
         "pngi": encode_png_interlaced,
         "bmp": encode_bmp,
         "ppm": encode_ppm,
+        "gif": encode_gif,
+        "gifi": functools.partial(encode_gif, interlace=True),
     }[fmt]
-    dec = {"bmp": decode_bmp, "ppm": decode_ppm}.get(fmt, decode_png)
+    dec = {"bmp": decode_bmp, "ppm": decode_ppm, "gif": decode_gif, "gifi": decode_gif}.get(fmt, decode_png)
     assert dec(enc(w, h, rgb)) == (w, h, rgb)
 
 

@@ -296,3 +296,76 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media.where(F.col("kind") == "video").mapInPandas(op, schema=FRAME_FEATURE_SCHEMA)
+
+
+SPECTRAL_FEATURE_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples bigint, "
+    "energy_td double, energy_fd double, spectral_centroid_hz double, "
+    "band_energies array<double>"
+)
+
+
+def extract_audio_spectral_features(media: DataFrame, *, n_bands: int = 4) -> DataFrame:
+    """Spectral audio features for curation (language/music/noise
+    screening): per WAV payload, an rFFT over the decoded samples →
+    frequency-domain energy, spectral centroid in Hz, and ``n_bands``
+    equal-width band energies over [0, Nyquist].
+
+    Built-in correctness anchors (no SQL engine can FFT, so the
+    catalog query is rows-only — the bounds live in pytest):
+
+    - **Parseval**: ``energy_fd`` (Σ|X_k|²/N with the one-sided
+      spectrum doubled) must equal ``energy_td`` (Σx²) to float
+      precision — both are emitted so every row carries its own
+      cross-domain check.
+    - **Planted tone**: a pure sine at f Hz must put its spectral
+      centroid at ≈f and its energy in the band containing f
+      (tests/test_pipeline_ops.py).
+
+    Arrow-batched ``mapInPandas``; one rFFT per payload, vectorized
+    numpy — embarrassingly parallel across executors like the other
+    codec stages."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_samples",
+                                    "energy_td", "energy_fd",
+                                    "spectral_centroid_hz", "band_energies")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, smp = decode_wav(bytes(payload))
+                s = smp.astype(np.float64)
+                n = len(s)
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                if n == 0:
+                    out["energy_td"].append(0.0)
+                    out["energy_fd"].append(0.0)
+                    out["spectral_centroid_hz"].append(0.0)
+                    out["band_energies"].append([0.0] * n_bands)
+                    continue
+                spec = np.fft.rfft(s)
+                power = np.abs(spec) ** 2 / n
+                # one-sided spectrum: double every bin except DC (and
+                # Nyquist when n is even) to conserve total energy
+                scale = np.full(len(power), 2.0)
+                scale[0] = 1.0
+                if n % 2 == 0:
+                    scale[-1] = 1.0
+                power *= scale
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                total = float(power.sum())
+                centroid = float((freqs * power).sum() / total) if total > 0 else 0.0
+                nyquist = rate / 2.0
+                band_idx = np.minimum(
+                    (freqs / max(nyquist, 1e-12) * n_bands).astype(int), n_bands - 1
+                )
+                bands = np.zeros(n_bands)
+                np.add.at(bands, band_idx, power)
+                out["energy_td"].append(float((s * s).sum()))
+                out["energy_fd"].append(total)
+                out["spectral_centroid_hz"].append(centroid)
+                out["band_energies"].append(bands.tolist())
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(op, schema=SPECTRAL_FEATURE_SCHEMA)

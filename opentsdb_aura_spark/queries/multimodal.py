@@ -117,12 +117,13 @@ FROM px""",
 )
 def multimodal_real_decode(spark, sf_dir):
     """REAL image decode end-to-end over a MIXED-FORMAT corpus: each
-    doc becomes a genuine image — BMP, PPM, RGB PNG, or paletted PNG
-    (color type 3 + PLTE, minimal 1/2/4/8-bit depth) round-robined by
-    doc id (pixels derived from the doc text by a SQL-expressible
-    rule), ``extract_features(fake=False)`` parses each binary — BMP
-    header/bottom-up/BGR/padding, PPM header, PNG zlib-inflate +
-    scanline unfilter + palette expansion — and the oracle recomputes
+    doc becomes a genuine image — BMP, PPM, RGB PNG, paletted PNG
+    (1/2/4/8-bit), Adam7-interlaced PNG, GIF, or interlaced GIF,
+    round-robined by doc id (pixels derived from the doc text by a
+    SQL-expressible rule).  ``extract_features(fake=False)`` parses
+    each binary — BMP header/bottom-up/BGR/padding, PPM header, PNG
+    zlib-inflate + scanline unfilter + palette expansion + Adam7
+    scatter, GIF LZW + color tables — and the oracle recomputes
     pixel-sum/channel-mean features from the rule.  Values match ONLY
     if every codec round-trips correctly, so this is the non-stub
     proof of the multimodal decode path."""
@@ -273,4 +274,25 @@ def multimodal_video_frames(spark, sf_dir):
         "n_pixels",
         "checksum",
         _r(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
+@register("multimodal_audio_spectral")  # FFT not SQL-expressible: rows-only
+def multimodal_audio_spectral(spark, sf_dir):
+    """Spectral audio features over the real-WAV corpus: rFFT band
+    energies, spectral centroid, and the PARSEVAL PAIR — time-domain
+    and frequency-domain energy emitted side by side, so every row
+    carries its own cross-domain correctness check (asserted ≤1e-9
+    relative in tests/test_pipeline_ops.py, along with a planted-tone
+    centroid bound).  No SQL engine can FFT, hence rows-only."""
+    from opentsdb_aura_spark.operators.av import attach_audio_media, extract_audio_spectral_features
+
+    media = attach_audio_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    res = extract_audio_spectral_features(media)
+    return res.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        _r("energy_td", 2).alias("energy_td"),
+        _r("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
     )

@@ -1325,3 +1325,46 @@ def test_bm25_query_token_multiplicity(spark, doc_df):
     for d, s in double.items():
         assert s >= single.get(d, 0) - 1e-9
     assert any(abs(double[d] - single[d]) > 1e-9 for d in single if d in double)
+
+
+def test_audio_spectral_features_bounds(spark):
+    """Spectral features carry their own oracle: Parseval (freq-domain
+    energy == time-domain energy) holds to 1e-9 relative on every row,
+    a planted pure tone puts the spectral centroid within 1 Hz of the
+    tone and >99% of the energy in the tone's band, and white noise
+    spreads energy across all bands."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.av import encode_wav, extract_audio_spectral_features
+
+    rate, n = 16000, 4096
+    t = np.arange(n) / rate
+    tone = (np.sin(2 * np.pi * 1000 * t) * 20000).astype(np.int16)
+    hi_tone = (np.sin(2 * np.pi * 7000 * t) * 15000).astype(np.int16)
+    rng = np.random.default_rng(0)
+    noise = rng.integers(-20000, 20000, n).astype(np.int16)
+    rows = [
+        (0, "audio", bytearray(encode_wav(rate, tone)), 0, 0, rate, 1),
+        (1, "audio", bytearray(encode_wav(rate, hi_tone)), 0, 0, rate, 1),
+        (2, "audio", bytearray(encode_wav(rate, noise)), 0, 0, rate, 1),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int, sample_rate int, n_frames int",
+    )
+    feats = {r["media_id"]: r for r in extract_audio_spectral_features(media, n_bands=4).collect()}
+    assert set(feats) == {0, 1, 2}
+    for r in feats.values():
+        assert abs(r["energy_fd"] - r["energy_td"]) <= 1e-9 * r["energy_td"], r
+
+    # 1 kHz tone: centroid ~1000 Hz, band 0 of [0, 8k) holds ~all energy
+    assert abs(feats[0]["spectral_centroid_hz"] - 1000.0) < 1.0
+    b = feats[0]["band_energies"]
+    assert b[0] / sum(b) > 0.99
+    # 7 kHz tone lands in the top band
+    assert abs(feats[1]["spectral_centroid_hz"] - 7000.0) < 1.0
+    b = feats[1]["band_energies"]
+    assert b[3] / sum(b) > 0.99
+    # white noise: no band holds more than half the energy
+    b = feats[2]["band_energies"]
+    assert max(b) / sum(b) < 0.5

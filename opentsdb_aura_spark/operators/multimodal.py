@@ -34,7 +34,10 @@ MEDIA_SCHEMA = (
     "width int, height int, sample_rate int, n_frames int"
 )
 
-FEATURE_SCHEMA = "media_id bigint, kind string, n_bytes bigint, checksum bigint, feat array<double>"
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, checksum bigint, "
+    "feat array<double>, error string"
+)
 
 
 def attach_fake_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -415,8 +418,23 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int, bytes]:
     progressive, subsampled chroma), and GIF (operators/gif.py) are
     handled by the dependency-free codecs; anything else (arithmetic
     JPEG, audio, video) raises unless a decoder was plugged in via
-    :func:`register_image_decoder` (honest stub boundary)."""
+    :func:`register_image_decoder` (honest stub boundary).
+
+    Error contract: every corrupt/truncated payload surfaces as
+    ValueError (or NotImplementedError for honest format boundaries) —
+    low-level zlib/struct/index errors from any codec are converted
+    here so per-payload skip logic (``extract_features(skip_errors=
+    True)``) can rely on catching exactly those two types."""
+    import zlib
+
     payload = bytes(payload)
+    try:
+        return _decode_real_inner(payload, kind)
+    except (IndexError, KeyError, OverflowError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt {kind} payload: {e!r}") from e
+
+
+def _decode_real_inner(payload: bytes, kind: str) -> tuple[int, int, bytes]:
     for magic, fn in _DECODERS:
         if payload[: len(magic)] == magic:
             return fn(payload)
@@ -507,18 +525,30 @@ def attach_bmp_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str =
     return attach_image_media(docs, id_col=id_col, text_col=text_col, formats=("bmp",))
 
 
-def extract_features(media: DataFrame, *, fake: bool = True, feat_dim: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, *, fake: bool = True, feat_dim: int = 8, skip_errors: bool = False
+) -> DataFrame:
     """Feature extraction over binary media via mapInPandas.
 
     Arrow streams batches of (media_id, kind, payload, …) into pandas;
-    per batch we emit (media_id, kind, n_bytes, checksum, feat).
+    per batch we emit (media_id, kind, n_bytes, checksum, feat, error).
 
-    ``fake=False`` REALLY decodes (BMP/PPM): n_bytes/checksum are
-    computed over the decoded pixel stream and feat is
-    [width, height, mean_r, mean_g, mean_b] — values a SQL oracle can
-    recompute from the generation rule, closing the loop on the codec.
-    ``fake=True`` derives features from the raw payload bytes without
-    decoding (stable stand-in for formats without a decoder).
+    ``fake=False`` REALLY decodes (the codec roster in the module
+    docstring): n_bytes/checksum are computed over the decoded pixel
+    stream and feat is [width, height, mean_r, mean_g, mean_b] —
+    values a SQL oracle can recompute from the generation rule,
+    closing the loop on the codec.  ``fake=True`` derives features
+    from the raw payload bytes without decoding (stable stand-in for
+    formats without a decoder).
+
+    ``skip_errors=True`` is the CRAWL-GRADE mode: a payload whose
+    decode raises (truncated download, unsupported layout, corrupt
+    stream — all surfaced as ValueError/NotImplementedError by the
+    codecs) becomes an error ROW (n_bytes=0, checksum=0, empty feat,
+    ``error`` holding the exception text) instead of killing the
+    Spark task.  One bad document in a billion must cost one row, not
+    the stage.  Default False: a pipeline that expects clean fixtures
+    keeps fail-fast semantics.
 
     The real path decodes IMAGES; non-image rows (audio/video — their
     real decoders live in operators/av.py) are filtered out up front so
@@ -533,13 +563,23 @@ def extract_features(media: DataFrame, *, fake: bool = True, feat_dim: int = 8) 
 
         for pdf in batches:
             if not fake:
-                n_bytes, checksums, feats = [], [], []
+                n_bytes, checksums, feats, errors = [], [], [], []
                 for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                    w, h, rgb = _decode_real(payload, kind)
+                    try:
+                        w, h, rgb = _decode_real(payload, kind)
+                    except (ValueError, NotImplementedError) as e:
+                        if not skip_errors:
+                            raise
+                        n_bytes.append(0)
+                        checksums.append(0)
+                        feats.append([])
+                        errors.append(f"{type(e).__name__}: {e}")
+                        continue
                     px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
                     n_bytes.append(len(rgb))
                     checksums.append(int(px.sum()))
                     feats.append([float(w), float(h), *px.mean(axis=0).tolist()])
+                    errors.append(None)
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"],
@@ -547,6 +587,7 @@ def extract_features(media: DataFrame, *, fake: bool = True, feat_dim: int = 8) 
                         "n_bytes": pd.Series(n_bytes, dtype="int64"),
                         "checksum": pd.Series(checksums, dtype="int64"),
                         "feat": feats,
+                        "error": pd.Series(errors, dtype="object"),
                     }
                 )
                 continue
@@ -563,6 +604,7 @@ def extract_features(media: DataFrame, *, fake: bool = True, feat_dim: int = 8) 
                     "n_bytes": n_bytes.astype("int64"),
                     "checksum": checksum.astype("int64"),
                     "feat": feats,
+                    "error": pd.Series([None] * len(pdf), dtype="object"),
                 }
             )
 

@@ -296,3 +296,33 @@ def multimodal_audio_spectral(spark, sf_dir):
         _r("energy_td", 2).alias("energy_td"),
         _r("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
     )
+
+
+@register(
+    "multimodal_decode_skip_errors",
+    """SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 10 = 0 THEN 0
+                 ELSE (doc_id % 16 + 1) * (doc_id % 12 + 1) * 3 END AS BIGINT) AS n_bytes,
+       doc_id % 10 != 0 AS decoded
+FROM documents WHERE doc_id < 100""",
+)
+def multimodal_decode_skip_errors(spark, sf_dir):
+    """Crawl-grade decode robustness, hash-checked: every 10th payload
+    of the mixed-format corpus is truncated to 10 bytes (which no
+    format survives), and ``extract_features(skip_errors=True)`` must
+    convert exactly those into error ROWS — one bad document costs one
+    row, never the stage — while every intact payload still decodes to
+    its exact byte count.  The oracle pins which ids fail and the
+    decoded sizes of the rest, so both the skip path and the
+    not-over-skipping property are value-checked."""
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media
+
+    media = attach_image_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 10 == 0, F.expr("substring(payload, 1, 10)")
+        ).otherwise(F.col("payload")),
+    )
+    res = extract_features(corrupted, fake=False, skip_errors=True)
+    return res.select("media_id", "n_bytes", F.col("error").isNull().alias("decoded"))

@@ -1368,3 +1368,71 @@ def test_audio_spectral_features_bounds(spark):
     # white noise: no band holds more than half the energy
     b = feats[2]["band_energies"]
     assert max(b) / sum(b) < 0.5
+
+
+def test_decode_real_error_contract_fuzz():
+    """Crawl robustness: truncations and byte flips of EVERY supported
+    format must surface as ValueError/NotImplementedError from
+    _decode_real — never a raw zlib/struct/IndexError that would kill
+    a mapInPandas task outside the skip_errors contract."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators import multimodal as mm
+    from opentsdb_aura_spark.operators.gif import encode_gif
+    from opentsdb_aura_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    rgb = pal[rng.integers(0, 8, (12, 16))].tobytes()
+    payloads = [
+        mm.encode_bmp(16, 12, rgb),
+        mm.encode_ppm(16, 12, rgb),
+        mm.encode_png(16, 12, rgb),
+        mm.encode_png_paletted(16, 12, rgb),
+        mm.encode_png_interlaced(16, 12, rgb),
+        encode_gif(16, 12, rgb),
+        encode_jpeg(16, 12, rgb),
+        encode_jpeg(16, 12, rgb, progressive=True),
+    ]
+    for p in payloads:
+        for cut in (3, 10, len(p) // 2, len(p) - 2):
+            try:
+                mm._decode_real(p[:cut], "image")
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(15):
+            b = bytearray(p)
+            b[int(rng.integers(0, len(b)))] ^= 0xFF
+            try:
+                mm._decode_real(bytes(b), "image")
+            except (ValueError, NotImplementedError):
+                pass
+    # any other exception type propagates out of the loops and fails
+
+
+def test_extract_features_skip_errors(spark):
+    """skip_errors=True turns a corrupt payload into an error row with
+    the exception text while intact rows decode; default mode stays
+    fail-fast."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.multimodal import (
+        attach_image_media,
+        extract_features,
+    )
+
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], "doc_id long, text string")
+    media = attach_image_media(df)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 1, F.expr("substring(payload, 1, 6)")).otherwise(
+            F.col("payload")
+        ),
+    )
+    rows = {r["media_id"]: r for r in extract_features(corrupted, fake=False, skip_errors=True).collect()}
+    assert rows[1]["error"] is not None and rows[1]["n_bytes"] == 0
+    assert rows[2]["error"] is None and rows[2]["n_bytes"] > 0
+
+    with _pytest.raises(Exception):
+        extract_features(corrupted, fake=False).collect()

@@ -326,3 +326,39 @@ def multimodal_decode_skip_errors(spark, sf_dir):
     )
     res = extract_features(corrupted, fake=False, skip_errors=True)
     return res.select("media_id", "n_bytes", F.col("error").isNull().alias("decoded"))
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h, doc_id % 10 + 3 AS nf
+  FROM documents WHERE doc_id < 100),
+m AS (
+  SELECT doc_id, nf,
+         list_transform(range(1, nf),
+           f -> list_avg(list_transform(range(0, w * h),
+                 j -> abs((ascii(substr(text, ((f * w * h + j) % L) + 1, 1)) % 256)
+                        - (ascii(substr(text, (((f - 1) * w * h + j) % L) + 1, 1)) % 256))))) AS mads
+  FROM d)
+SELECT doc_id AS media_id,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(len(list_filter(mads, x -> x > 10.0)) AS BIGINT) AS n_cuts,
+       round(list_avg(mads), 6) AS mean_frame_diff
+FROM m""",
+)
+def multimodal_video_scene_cuts(spark, sf_dir):
+    """REAL video scene-change detection, hash-checked: decode each
+    Y4M stream, compute the mean absolute luma difference between
+    consecutive frames, and count cuts above the threshold.  The
+    frame pixels derive from the doc text by a SQL rule, so the
+    oracle recomputes every per-transition difference — the values
+    match ONLY if the container parse, frame slicing, and diff
+    arithmetic are all exact."""
+    from opentsdb_aura_spark.operators.av import attach_video_media, video_scene_changes
+
+    media = attach_video_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    res = video_scene_changes(media, threshold=10.0)
+    return res.select(
+        "media_id", "n_frames", "n_cuts", _r("mean_frame_diff", 6).alias("mean_frame_diff")
+    )

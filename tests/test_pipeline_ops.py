@@ -1436,3 +1436,29 @@ def test_extract_features_skip_errors(spark):
 
     with _pytest.raises(Exception):
         extract_features(corrupted, fake=False).collect()
+
+
+def test_video_scene_changes_planted_cut(spark):
+    """A video of identical frames with ONE abrupt jump must report
+    exactly one cut at any sane threshold; a static video reports
+    zero; and the mean diff matches the planted magnitude."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.av import encode_y4m, video_scene_changes
+
+    w, h = 4, 3
+    flat = bytes([50] * (w * h))
+    jumped = bytes([150] * (w * h))
+    rows = [
+        (0, "video", bytearray(encode_y4m(w, h, [flat, flat, jumped, jumped])), w, h, 0, 4),
+        (1, "video", bytearray(encode_y4m(w, h, [flat, flat, flat])), w, h, 0, 3),
+        (2, "video", bytearray(encode_y4m(w, h, [flat])), w, h, 0, 1),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int, sample_rate int, n_frames int",
+    )
+    got = {r["media_id"]: r for r in video_scene_changes(media, threshold=10.0).collect()}
+    assert got[0]["n_cuts"] == 1 and abs(got[0]["mean_frame_diff"] - 100.0 / 3) < 1e-9
+    assert got[1]["n_cuts"] == 0 and got[1]["mean_frame_diff"] == 0.0
+    assert got[2]["n_cuts"] == 0 and got[2]["n_frames"] == 1

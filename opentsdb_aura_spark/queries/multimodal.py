@@ -362,3 +362,60 @@ def multimodal_video_scene_cuts(spark, sf_dir):
     return res.select(
         "media_id", "n_frames", "n_cuts", _r("mean_frame_diff", 6).alias("mean_frame_diff")
     )
+
+
+@register(
+    "multimodal_image_dhash",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+  FROM documents WHERE doc_id < 100),
+px AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i ->
+           list_transform(range(0, 9), j ->
+             ( ascii(substr(text, ((((i * h // 8) * w + (j * w // 9)) * 3    ) % L) + 1, 1))
+             + ascii(substr(text, ((((i * h // 8) * w + (j * w // 9)) * 3 + 1) % L) + 1, 1))
+             + ascii(substr(text, ((((i * h // 8) * w + (j * w // 9)) * 3 + 2) % L) + 1, 1))
+             ) // 3)) AS grid
+  FROM d)
+SELECT doc_id AS media_id,
+       array_to_string(list_transform(range(0, 64), k ->
+         CASE WHEN grid[k // 8 + 1][k % 8 + 2] > grid[k // 8 + 1][k % 8 + 1]
+              THEN '1' ELSE '0' END), '') AS dhash_bits
+FROM px""",
+)
+def multimodal_image_dhash(spark, sf_dir):
+    """Perceptual image fingerprint (dHash), hash-checked end-to-end:
+    decode every mixed-format image, integer grayscale, 9×8
+    floor-index sample, 64 right-neighbor gradient bits.  The oracle
+    recomputes the full bit string from the pixel rule, so the decode,
+    the grayscale arithmetic, the sampling map, and the bit order must
+    ALL match exactly — the strongest check a perceptual hash can
+    carry.  The near-dup pair surface built on it is
+    ``multimodal_dhash_near_pairs``."""
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media, image_dhash
+
+    media = attach_image_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    return image_dhash(media).select("media_id", "dhash_bits")
+
+
+@register("multimodal_dhash_near_pairs")  # banded candidates: rows-only
+def multimodal_dhash_near_pairs(spark, sf_dir):
+    """Image near-dup pairs over the corpus dHashes (16-bit bands →
+    bit_count Hamming ≤ 2).  Restricted to images at least as large as
+    the 9×8 sampling grid — smaller fixtures collapse to near-constant
+    hashes (an honest dHash property: it fingerprints STRUCTURE, and a
+    3-pixel-wide image has almost none), which would flood the pair
+    list with degenerate matches.  The planted-recall bound (a
+    perturbed copy IS found at small Hamming distance while an
+    unrelated image is not) lives in tests/test_pipeline_ops.py."""
+    from opentsdb_aura_spark.operators.multimodal import (
+        attach_image_media,
+        dhash_near_pairs,
+        image_dhash,
+    )
+
+    big = (F.col("doc_id") % 16 + 1 >= 9) & (F.col("doc_id") % 12 + 1 >= 8)
+    media = attach_image_media(docs_raw(spark, sf_dir).where((F.col("doc_id") < 500) & big))
+    return dhash_near_pairs(image_dhash(media), max_hamming=2)

@@ -1462,3 +1462,40 @@ def test_video_scene_changes_planted_cut(spark):
     assert got[0]["n_cuts"] == 1 and abs(got[0]["mean_frame_diff"] - 100.0 / 3) < 1e-9
     assert got[1]["n_cuts"] == 0 and got[1]["mean_frame_diff"] == 0.0
     assert got[2]["n_cuts"] == 0 and got[2]["n_frames"] == 1
+
+
+def test_image_dhash_planted_near_dup(spark):
+    """dHash recall/precision bound: a lightly-perturbed copy of an
+    image lands within Hamming distance 6 of the original (and is
+    FOUND by the banded pair join), while an unrelated image stays
+    far (> 16 bits)."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.multimodal import (
+        dhash_near_pairs,
+        encode_bmp,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(4)
+    w, h = 64, 48
+    base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    perturbed = np.clip(base.astype(int) + rng.integers(-4, 5, base.shape), 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    rows = [
+        (0, "image", bytearray(encode_bmp(w, h, base.tobytes())), w, h, 0, 1),
+        (1, "image", bytearray(encode_bmp(w, h, perturbed.tobytes())), w, h, 0, 1),
+        (2, "image", bytearray(encode_bmp(w, h, other.tobytes())), w, h, 0, 1),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int, sample_rate int, n_frames int",
+    )
+    hs = image_dhash(media)
+    vals = {r["media_id"]: r["dhash"] for r in hs.collect()}
+    d01 = bin((vals[0] ^ vals[1]) & (2**64 - 1)).count("1")
+    d02 = bin((vals[0] ^ vals[2]) & (2**64 - 1)).count("1")
+    assert d01 <= 6, d01
+    assert d02 > 16, d02
+    pairs = {(r["media_a"], r["media_b"]) for r in dhash_near_pairs(hs, max_hamming=6).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs

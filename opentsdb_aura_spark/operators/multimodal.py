@@ -784,3 +784,48 @@ def dhash_near_pairs(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= F.lit(max_hamming))
         .select("media_a", "media_b", "hamming")
     )
+
+
+def transcode_images(media: DataFrame, to: str = "png", *, skip_errors: bool = False) -> DataFrame:
+    """Format normalization — the crawl-ingest stage that converts a
+    mixed-format image corpus to ONE storage format: decode whatever
+    arrives (any supported codec), re-encode as ``to`` ∈
+    {"bmp", "ppm", "png", "png8", "gif"}.  Output schema matches the
+    media schema with the payload replaced, so downstream stages
+    (features, resize, dhash) run unchanged on the normalized corpus.
+
+    Lossless in, lossless out: a transcoded corpus must decode to
+    byte-identical pixels, which the catalog query proves by running
+    the SAME pixel-rule oracle against features extracted AFTER the
+    transcode.  ``skip_errors=True`` drops undecodable payloads (the
+    crawl-grade contract of extract_features)."""
+    from opentsdb_aura_spark.operators.gif import encode_gif
+
+    encoders = {
+        "bmp": encode_bmp,
+        "ppm": encode_ppm,
+        "png": encode_png,
+        "png8": encode_png_paletted,
+        "gif": encode_gif,
+    }
+    if to not in encoders:
+        raise ValueError(f"transcode target must be one of {sorted(encoders)}, got {to!r}")
+    enc = encoders[to]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = []
+            payloads = []
+            for i, payload in enumerate(pdf["payload"]):
+                try:
+                    w, h, rgb = _decode_real(payload, "image")
+                    payloads.append(enc(w, h, rgb))
+                    keep.append(i)
+                except (ValueError, NotImplementedError):
+                    if not skip_errors:
+                        raise
+            out = pdf.iloc[keep].copy()
+            out["payload"] = payloads
+            yield out
+
+    return media.where(F.col("kind") == "image").mapInPandas(op, schema=MEDIA_SCHEMA)

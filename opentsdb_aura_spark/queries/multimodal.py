@@ -419,3 +419,29 @@ def multimodal_dhash_near_pairs(spark, sf_dir):
     big = (F.col("doc_id") % 16 + 1 >= 9) & (F.col("doc_id") % 12 + 1 >= 8)
     media = attach_image_media(docs_raw(spark, sf_dir).where((F.col("doc_id") < 500) & big))
     return dhash_near_pairs(image_dhash(media), max_hamming=2)
+
+
+@register(
+    "multimodal_transcode_gif",
+    ORACLES["multimodal_real_decode"],
+)
+def multimodal_transcode_gif(spark, sf_dir):
+    """Format normalization end-to-end: the mixed seven-format corpus
+    is TRANSCODED to GIF inside Spark (decode any → re-encode GIF),
+    then feature-extracted — and must satisfy the SAME pixel-rule
+    oracle as the untranscoded corpus (multimodal_real_decode's SQL,
+    reused verbatim).  Both codec directions of the GIF path and every
+    source decoder must be lossless for the hash to match."""
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media, transcode_images
+
+    media = attach_image_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    normalized = transcode_images(media, to="gif")
+    res = extract_features(normalized, fake=False)
+    return res.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        _r(F.col("feat")[2], 6).alias("mean_r"),
+        _r(F.col("feat")[3], 6).alias("mean_g"),
+        _r(F.col("feat")[4], 6).alias("mean_b"),
+    )

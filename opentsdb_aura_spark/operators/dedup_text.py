@@ -574,39 +574,54 @@ def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3, **kw) -> DataFrame:
-    """SimHash near-dup pairs: candidates share one of 4 16-bit bands
-    (any pair within Hamming distance 3 must agree on ≥1 band), then
-    exact Hamming filter.  Returns (doc_a, doc_b, hamming)."""
-    fp = simhash(docs, **kw)
+def banded_hamming_pairs(
+    fingerprints: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    out_a: str,
+    out_b: str,
+) -> DataFrame:
+    """Near-dup pairs over 64-bit fingerprints, the shared engine
+    behind :func:`simhash_near_pairs` (text) and
+    ``multimodal.dhash_near_pairs`` (images): candidates share one of
+    four 16-bit bands (pigeonhole: any pair within Hamming distance 3
+    must agree on ≥1 band; larger ``max_hamming`` trades recall), then
+    the exact ``bit_count`` Hamming filter.  Rows with a NULL hash are
+    excluded up front (error rows from skip_errors stages).  Returns
+    (out_a, out_b, hamming)."""
+    fp = fingerprints.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
     banded = fp.select(
-        "doc_id",
-        "simhash",
+        "_id",
+        "_h",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                        F.shiftright(F.col("_h"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    ).select("_id", "_h", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a._id").alias(out_a),
+            F.col("b._id").alias(out_b),
+            F.col("a._h").alias("ha"),
+            F.col("b._h").alias("hb"),
         )
         .distinct()
     )
@@ -614,5 +629,19 @@ def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3, **kw) -> DataFr
     return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= F.lit(max_hamming))
-        .select("doc_a", "doc_b", "hamming")
+        .select(out_a, out_b, "hamming")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3, **kw) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of 4 16-bit bands
+    (any pair within Hamming distance 3 must agree on ≥1 band), then
+    exact Hamming filter.  Returns (doc_a, doc_b, hamming)."""
+    return banded_hamming_pairs(
+        simhash(docs, **kw),
+        id_col="doc_id",
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        out_a="doc_a",
+        out_b="doc_b",
     )

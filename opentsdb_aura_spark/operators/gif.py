@@ -208,15 +208,29 @@ def _decode_gif_inner(data: bytes) -> tuple[int, int, bytes]:
 
 
 def gif_frame_count(data: bytes) -> int:
-    """Number of image frames in a GIF (animated metadata)."""
+    """Number of image frames in a GIF (animated metadata).
+
+    Same corrupt-payload contract as :func:`decode_gif`: truncated or
+    malformed streams raise ValueError — never a raw IndexError, and
+    never a silent 0 for a file cut off mid-structure (a valid GIF
+    always ends with the 0x3B trailer)."""
     if data[:4] != b"GIF8":
         raise ValueError("not a GIF payload")
+    try:
+        return _gif_frame_count_inner(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt GIF payload: {e!r}") from e
+
+
+def _gif_frame_count_inner(data: bytes) -> int:
     _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     if flags & 0x80:
         pos += 3 * (2 << (flags & 0x07))
     count = 0
-    while pos < len(data) and data[pos] != 0x3B:
+    while pos < len(data):
+        if data[pos] == 0x3B:  # trailer: the only valid end
+            return count
         if data[pos] == 0x21:
             pos += 2
             while data[pos] != 0:
@@ -234,7 +248,7 @@ def gif_frame_count(data: bytes) -> int:
             pos += 1
         else:
             raise ValueError(f"unexpected GIF block 0x{data[pos]:02X}")
-    return count
+    raise ValueError("truncated GIF payload: missing trailer")
 
 
 # ---------------------------------------------------------------- encode

@@ -694,7 +694,7 @@ def sample_frames(media: DataFrame, every_n: int = 30, *, fake: bool = True) -> 
     return media.where(F.col("kind") == "video").mapInPandas(op, schema=FRAMES_SCHEMA)
 
 
-DHASH_SCHEMA = "media_id bigint, dhash bigint, dhash_bits string"
+DHASH_SCHEMA = "media_id bigint, dhash bigint, dhash_bits string, error string"
 
 
 def image_dhash(media: DataFrame, *, skip_errors: bool = False) -> DataFrame:
@@ -710,18 +710,29 @@ def image_dhash(media: DataFrame, *, skip_errors: bool = False) -> DataFrame:
     Perturbation-robust by construction: small pixel noise flips few
     gradient comparisons, so near-duplicate images land within a small
     Hamming distance (bounded in tests) while unrelated images differ
-    in ~32 bits."""
+    in ~32 bits.
+
+    ``skip_errors=True`` follows extract_features' error-ROW contract
+    (not silent dropping): an undecodable payload yields a row with
+    NULL dhash and the exception text in ``error``, so the output row
+    set stays joinable against the feature stage and skipped images
+    remain countable/auditable.  NULL hashes self-exclude from
+    :func:`dhash_near_pairs` banding."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "dhash": [], "dhash_bits": []}
+            out = {"media_id": [], "dhash": [], "dhash_bits": [], "error": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     w, h, rgb = _decode_real(payload, "image")
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError) as e:
                     if not skip_errors:
                         raise
+                    out["media_id"].append(int(mid))
+                    out["dhash"].append(None)
+                    out["dhash_bits"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
                     continue
                 px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
                 gray = px.astype(np.int32).sum(axis=2) // 3
@@ -735,54 +746,34 @@ def image_dhash(media: DataFrame, *, skip_errors: bool = False) -> DataFrame:
                 out["media_id"].append(int(mid))
                 out["dhash"].append(val)
                 out["dhash_bits"].append("".join("1" if b else "0" for b in bits))
-            yield pd.DataFrame(out)
+                out["error"].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "dhash": pd.Series(out["dhash"], dtype="object"),
+                    "dhash_bits": out["dhash_bits"],
+                    "error": pd.Series(out["error"], dtype="object"),
+                }
+            )
 
     return media.where(F.col("kind") == "image").mapInPandas(op, schema=DHASH_SCHEMA)
 
 
 def dhash_near_pairs(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
-    """Image near-dup pairs from dHash fingerprints: candidates share
-    one of four 16-bit bands (pigeonhole: Hamming ≤ 3 ⇒ ≥1 band
-    agrees), then exact ``bit_count`` Hamming filter — the SimHash
-    band scheme (dedup_text.simhash_near_pairs) applied to the image
-    fingerprint.  Input: (media_id, dhash); output
-    (media_a, media_b, hamming)."""
-    banded = hashes.select(
-        "media_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("dhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("media_id", "dhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= F.lit(max_hamming))
-        .select("media_a", "media_b", "hamming")
+    """Image near-dup pairs from dHash fingerprints — the shared
+    banded-Hamming engine (``dedup_text.banded_hamming_pairs``)
+    applied to the image fingerprint; error rows (NULL dhash from
+    ``image_dhash(skip_errors=True)``) are excluded by the helper.
+    Input: (media_id, dhash); output (media_a, media_b, hamming)."""
+    from opentsdb_aura_spark.operators.dedup_text import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        hashes,
+        id_col="media_id",
+        hash_col="dhash",
+        max_hamming=max_hamming,
+        out_a="media_a",
+        out_b="media_b",
     )
 
 
@@ -797,8 +788,14 @@ def transcode_images(media: DataFrame, to: str = "png", *, skip_errors: bool = F
     Lossless in, lossless out: a transcoded corpus must decode to
     byte-identical pixels, which the catalog query proves by running
     the SAME pixel-rule oracle against features extracted AFTER the
-    transcode.  ``skip_errors=True`` drops undecodable payloads (the
-    crawl-grade contract of extract_features)."""
+    transcode.  ``skip_errors=True`` drops UNDECODABLE payloads (the
+    crawl-grade contract of extract_features) — and only those: an
+    image that decodes fine but exceeds the TARGET format's limits
+    (e.g. >256 colors → ``gif``/``png8``) always raises, because
+    silently losing decodable images to a format-choice mismatch is a
+    pipeline configuration error, not payload corruption.  Pick a
+    true-color target (``bmp``/``ppm``/``png``) for photographic
+    corpora."""
     from opentsdb_aura_spark.operators.gif import encode_gif
 
     encoders = {
@@ -819,11 +816,19 @@ def transcode_images(media: DataFrame, to: str = "png", *, skip_errors: bool = F
             for i, payload in enumerate(pdf["payload"]):
                 try:
                     w, h, rgb = _decode_real(payload, "image")
-                    payloads.append(enc(w, h, rgb))
-                    keep.append(i)
                 except (ValueError, NotImplementedError):
                     if not skip_errors:
                         raise
+                    continue
+                try:
+                    payloads.append(enc(w, h, rgb))
+                except ValueError as e:
+                    raise ValueError(
+                        f"image decoded fine but cannot be encoded as {to!r}: {e} "
+                        "— a format-choice mismatch, not payload corruption; "
+                        "use a true-color target (bmp/ppm/png)"
+                    ) from e
+                keep.append(i)
             out = pdf.iloc[keep].copy()
             out["payload"] = payloads
             yield out

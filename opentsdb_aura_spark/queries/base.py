@@ -200,8 +200,15 @@ def register(name: str, sql: str | None = None):
     def deco(fn):
         SPARK_QUERIES[name] = fn
         if sql is not None:
-            # same boundary nudge as _r() on the Spark side
-            ORACLES[name] = sql.replace("round(", "round(1e-9 + ")
+            # same boundary nudge as _r() on the Spark side.  Idempotent:
+            # a query may legitimately reuse an ALREADY-REGISTERED oracle
+            # (e.g. multimodal_transcode_gif reuses multimodal_real_decode's
+            # SQL verbatim), and re-nudging would double the offset and put
+            # DuckDB on the wrong side of a rounding boundary.
+            if "round(1e-9 + " in sql:
+                ORACLES[name] = sql
+            else:
+                ORACLES[name] = sql.replace("round(", "round(1e-9 + ")
         return fn
 
     return deco

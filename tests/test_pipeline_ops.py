@@ -1499,3 +1499,42 @@ def test_image_dhash_planted_near_dup(spark):
     assert d02 > 16, d02
     pairs = {(r["media_a"], r["media_b"]) for r in dhash_near_pairs(hs, max_hamming=6).collect()}
     assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_transcode_and_dhash_error_contracts(spark):
+    """Third-review contracts: (a) transcode_images(skip_errors=True)
+    skips only UNDECODABLE payloads — a decodable image that exceeds
+    the target format's limits raises a format-mismatch error instead
+    of silently vanishing; (b) image_dhash(skip_errors=True) emits an
+    error ROW (NULL dhash + exception text), keeping the row set
+    joinable, and NULL hashes self-exclude from the pair join."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.multimodal import (
+        dhash_near_pairs,
+        encode_bmp,
+        image_dhash,
+        transcode_images,
+    )
+
+    rng = np.random.default_rng(9)
+    truecolor = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)  # ~400 colors
+    rows = [(0, "image", bytearray(encode_bmp(20, 20, truecolor.tobytes())), 20, 20, 0, 1)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int, sample_rate int, n_frames int",
+    )
+    with _pytest.raises(Exception, match="format-choice mismatch"):
+        transcode_images(media, to="gif", skip_errors=True).collect()
+    # a true-color target handles the same corpus fine
+    assert transcode_images(media, to="png", skip_errors=True).count() == 1
+
+    corrupted = media.withColumn("payload", F.expr("substring(payload, 1, 6)"))
+    both = media.unionByName(corrupted.withColumn("media_id", F.lit(7)))
+    got = {r["media_id"]: r for r in image_dhash(both, skip_errors=True).collect()}
+    assert got[0]["error"] is None and got[0]["dhash"] is not None
+    assert got[7]["error"] is not None and got[7]["dhash"] is None
+    # NULL hashes never reach the band join
+    assert dhash_near_pairs(image_dhash(both, skip_errors=True), max_hamming=64).count() == 0

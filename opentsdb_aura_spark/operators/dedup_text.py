@@ -466,6 +466,28 @@ def update_minhash_index(
     return spark.read.parquet(path)
 
 
+def _estimate_prefilter_cutoff(k: int, threshold: float, delta: float = 1e-6) -> int:
+    """Largest integer c such that a pair with TRUE Jaccard ≥ threshold
+    has P(signature matches < c) ≤ delta, from the exact
+    Binomial(k, threshold) lower tail (each of the k permutation mins
+    matches independently with probability J; the tail is monotone in
+    J, so evaluating at the threshold is the worst case).  Used by the
+    exact-verify path to discard hopeless candidates before the shingle
+    re-explode: k=32, threshold=0.5 → cutoff 3
+    (P(Binom(32,.5) ≤ 2) ≈ 1.2e-7)."""
+    from math import comb
+
+    p = min(max(threshold, 0.0), 1.0)
+    acc = 0.0  # P(X < c), starting at c=0
+    best = 0
+    for c in range(k + 1):
+        if acc > delta:
+            break
+        best = c
+        acc += comb(k, c) * p**c * (1 - p) ** (k - c)
+    return best
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     *,
@@ -528,6 +550,31 @@ def minhash_lsh_candidates(
     cand = lsh_candidates_from_signatures(
         sig, num_perm=num_perm, bands=bands, threshold=None, max_band_bucket=max_band_bucket
     )
+
+    # Conservative signature pre-filter: before paying the shingle
+    # re-explode, drop candidate pairs whose signature estimate is so
+    # far below the threshold that a true Jaccard ≥ threshold is
+    # (exact-binomial-tail) impossible at ≤1e-6 per pair.  Most banded
+    # candidates share exactly the one permutation min that made them
+    # collide — junk pairs the exact filter would reject anyway — so
+    # this cuts the re-explode volume without changing the output (the
+    # cutoff is monotone-conservative: pairs at J > threshold are even
+    # less likely to fall under it).  Two narrow joins against the
+    # already-checkpointed signature; no extra corpus pass.
+    cutoff = _estimate_prefilter_cutoff(num_perm, threshold)
+    if cutoff > 1:  # banded candidates always share ≥1 min
+        pa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"_pa{i}") for i in range(num_perm)])
+        pb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"_pb{i}") for i in range(num_perm)])
+        est = None
+        for i in range(num_perm):
+            term = F.when(F.col(f"_pa{i}") == F.col(f"_pb{i}"), 1).otherwise(0)
+            est = term if est is None else est + term
+        cand = (
+            cand.join(pa, "doc_a")
+            .join(pb, "doc_b")
+            .where(est >= F.lit(cutoff))
+            .select("doc_a", "doc_b")
+        )
 
     # exact verify: re-derive shingle sets for candidate docs alone
     # (semi-join the doc table, re-explode).  O(candidate docs ×

@@ -86,7 +86,11 @@ def _lsh_buckets(
     v = F.col(vec_col)
     buckets = []
     for t in range(n_tables):
-        bits = None
+        # n_planes=0 is the degenerate 0-bit sign pattern: every vector
+        # lands in bucket 0, the bucket join becomes exhaustive, and
+        # lsh_topk's output equals brute_force_topk exactly — the
+        # oracle-able twin the catalog registers as ann_lsh_exact_topk.
+        bits = F.lit(0).cast("long") if n_planes == 0 else None
         for p in range(n_planes):
             plane = _hyperplane(dim, p, t)
             dot = F.aggregate(

@@ -400,16 +400,66 @@ def multimodal_image_dhash(spark, sf_dir):
     return image_dhash(media).select("media_id", "dhash_bits")
 
 
-@register("multimodal_dhash_near_pairs")  # banded candidates: rows-only
+@register(
+    "multimodal_dhash_near_pairs",
+    """WITH slice AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 500 AND doc_id % 16 + 1 >= 9 AND doc_id % 12 + 1 >= 8),
+corpus AS (
+  SELECT doc_id, text FROM slice
+  UNION ALL
+  SELECT doc_id + 9600, text FROM slice WHERE doc_id < 120
+  UNION ALL
+  SELECT doc_id + 19200,
+         chr(33 + (ascii(substr(text, 1, 1)) + 7) % 90) || substr(text, 2)
+  FROM slice WHERE doc_id >= 120 AND doc_id < 240),
+d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+  FROM corpus),
+px AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i ->
+           list_transform(range(0, 9), j ->
+             ( ascii(substr(text, ((((i * h // 8) * w + (j * w // 9)) * 3    ) % L) + 1, 1))
+             + ascii(substr(text, ((((i * h // 8) * w + (j * w // 9)) * 3 + 1) % L) + 1, 1))
+             + ascii(substr(text, ((((i * h // 8) * w + (j * w // 9)) * 3 + 2) % L) + 1, 1))
+             ) // 3)) AS grid
+  FROM d),
+bits AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, 64), k ->
+           CASE WHEN grid[k // 8 + 1][k % 8 + 2] > grid[k // 8 + 1][k % 8 + 1]
+                THEN '1' ELSE '0' END), '') AS b
+  FROM px)
+SELECT CAST(a.doc_id AS BIGINT) AS media_a, CAST(c.doc_id AS BIGINT) AS media_b,
+       CAST(len(list_filter(range(1, 65), k -> substr(a.b, k, 1) != substr(c.b, k, 1)))
+            AS INTEGER) AS hamming
+FROM bits a JOIN bits c ON a.doc_id < c.doc_id
+WHERE len(list_filter(range(1, 65), k -> substr(a.b, k, 1) != substr(c.b, k, 1))) <= 2""",
+)
 def multimodal_dhash_near_pairs(spark, sf_dir):
     """Image near-dup pairs over the corpus dHashes (16-bit bands →
-    bit_count Hamming ≤ 2).  Restricted to images at least as large as
-    the 9×8 sampling grid — smaller fixtures collapse to near-constant
-    hashes (an honest dHash property: it fingerprints STRUCTURE, and a
-    3-pixel-wide image has almost none), which would flood the pair
-    list with degenerate matches.  The planted-recall bound (a
-    perturbed copy IS found at small Hamming distance while an
-    unrelated image is not) lives in tests/test_pipeline_ops.py."""
+    bit_count Hamming ≤ 2), with a FULL value-hash oracle: at 4 bands
+    and max_hamming=2 the banded join is exhaustive by pigeonhole (≤2
+    differing bits touch ≤2 bands, so ≥2 of 4 bands must agree), so
+    the output is EXACTLY every pair at Hamming ≤ 2 — and the per-image
+    bit string is SQL-derivable (multimodal_image_dhash's oracle), so a
+    DuckDB self-join with a character-diff Hamming recomputes the whole
+    pair set.  The corpus plants near-dups so the pair surface is
+    actually exercised: every qualifying doc < 120 gets an EXACT copy
+    (shifted id ≡ 0 mod 48 → same w/h/pixels but a DIFFERENT round-robin
+    container format — the pair lands at Hamming 0 only if all codecs
+    agree bit-for-bit), and docs 120–239 get a one-character-perturbed
+    copy (small gradient damage → usually ≤ 2 bits; both engines apply
+    the identical rule, so borderline cases agree by construction).
+    Restricted to images at least as large as the 9×8 sampling grid —
+    smaller fixtures collapse to near-constant hashes (an honest dHash
+    property: it fingerprints STRUCTURE, and a 3-pixel-wide image has
+    almost none), which would flood the pair list with degenerate
+    matches.  The planted-recall bound at unit scale lives in
+    tests/test_pipeline_ops.py; the at-scale recall stage in
+    tools/corpus_scale_validation.py."""
     from opentsdb_aura_spark.operators.multimodal import (
         attach_image_media,
         dhash_near_pairs,
@@ -417,7 +467,21 @@ def multimodal_dhash_near_pairs(spark, sf_dir):
     )
 
     big = (F.col("doc_id") % 16 + 1 >= 9) & (F.col("doc_id") % 12 + 1 >= 8)
-    media = attach_image_media(docs_raw(spark, sf_dir).where((F.col("doc_id") < 500) & big))
+    base = (
+        docs_raw(spark, sf_dir)
+        .where((F.col("doc_id") < 500) & big)
+        .select("doc_id", "text")
+    )
+    exact = base.where(F.col("doc_id") < 120).select(
+        (F.col("doc_id") + 9600).alias("doc_id"), "text"
+    )
+    pert = base.where((F.col("doc_id") >= 120) & (F.col("doc_id") < 240)).select(
+        (F.col("doc_id") + 19200).alias("doc_id"),
+        F.expr(
+            "concat(chr(33 + (ascii(substring(text, 1, 1)) + 7) % 90), substring(text, 2))"
+        ).alias("text"),
+    )
+    media = attach_image_media(base.unionByName(exact).unionByName(pert))
     return dhash_near_pairs(image_dhash(media), max_hamming=2)
 
 

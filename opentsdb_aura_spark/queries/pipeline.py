@@ -183,6 +183,23 @@ def ann_lsh_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
 
 
+@register("ann_lsh_exact_topk", _ANN_ORACLE)
+def ann_lsh_exact_topk(spark, sf_dir):
+    """LSH machinery under a FULL value-hash oracle: the same IVF
+    trick as ``ann_ivf_topk`` (full probe ≡ exact) applied to LSH —
+    n_planes=0 is a 0-bit sign pattern, so every vector hashes to
+    bucket 0, the (table, bucket) equi-join is exhaustive, and the
+    output equals ``brute_force_topk`` exactly.  Every stage the
+    approximate path uses — bucket explode, bucket join, candidate
+    dedup, cosine scoring, the top-k window — runs verbatim, so the
+    exact-ANN oracle now checks the whole LSH pipeline; only the
+    recall of nonzero-plane bucketing stays rows-only-bounded
+    (``ann_lsh_topk``'s recall test)."""
+    e = embs(spark, sf_dir)
+    res = lsh_topk(e, e.where(F.col("vec_id") < 20), k=5, dim=64, n_planes=0, n_tables=1)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+
 @register("ann_ivf_topk", _ANN_ORACLE)
 def ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) cosine top-5: sampled spherical-k-means

@@ -111,6 +111,23 @@ def test_minhash_lsh_exact_verify_matches_true_jaccard(doc_df):
     assert abs(pairs[(0, 2)] - 7 / 9) < 1e-9
 
 
+def test_estimate_prefilter_cutoff_conservative():
+    """The exact-verify pre-filter cutoff must be conservative: the
+    exact binomial lower tail at the cutoff stays under delta, and the
+    degenerate thresholds collapse to no-filter / all-match."""
+    from math import comb
+
+    from opentsdb_aura_spark.operators.dedup_text import _estimate_prefilter_cutoff
+
+    assert _estimate_prefilter_cutoff(32, 0.5) == 3
+    assert _estimate_prefilter_cutoff(32, 0.0) == 0  # threshold 0: keep all
+    assert _estimate_prefilter_cutoff(32, 1.0) == 32  # J=1 pairs match all mins
+    for k, t in [(16, 0.5), (32, 0.5), (32, 0.8), (64, 0.7)]:
+        c = _estimate_prefilter_cutoff(k, t)
+        tail = sum(comb(k, i) * t**i * (1 - t) ** (k - i) for i in range(c))
+        assert tail <= 1e-6, (k, t, c, tail)
+
+
 def test_minhash_lsh_band_bucket_skew_guard(spark):
     """A mass of identical docs collapses into one (band, bh) bucket per
     band; without the cap the band self-join enumerates O(n²) candidate
@@ -193,6 +210,25 @@ def test_ivf_full_probe_equals_brute_force(emb_df):
     assert set(ivf) == set(exact)
     for key, v in exact.items():
         assert abs(ivf[key] - v) < 1e-9
+
+
+def test_lsh_zero_planes_equals_brute_force(emb_df):
+    import pyspark.sql.functions as F
+
+    from opentsdb_aura_spark.operators.similarity import lsh_topk
+
+    q = emb_df.where(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute_force_topk(emb_df, q, k=3).collect()}
+    # 0-bit sign pattern → every vector in bucket 0 → the bucket join
+    # is exhaustive and LSH must equal brute force (the ann_lsh_exact_topk
+    # catalog property)
+    lsh = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in lsh_topk(emb_df, q, k=3, dim=4, n_planes=0, n_tables=1).collect()
+    }
+    assert set(lsh) == set(exact)
+    for key, v in exact.items():
+        assert abs(lsh[key] - v) < 1e-9
 
 
 def test_ivf_single_probe_recalls_identical(emb_df):

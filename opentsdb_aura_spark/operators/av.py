@@ -216,6 +216,58 @@ def attach_video_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str
     return docs.mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
+def attach_animated_gif_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Animated-GIF corpus generator: one genuine multi-frame GIF89a
+    per doc, with the SAME dims/frame-count rule as the Y4M corpus
+    (w = id%8+2, h = id%6+2, n_frames = id%10+3) so the two animated
+    surfaces are directly comparable.  Frame 0 is a full-canvas
+    grayscale block whose pixel j is ``ord(text[j mod len]) & 0xFF``;
+    every later frame f is a PARTIAL (w-1)×(h-1) block at (0,0) whose
+    pixel j is ``ord(text[(f*w*h + j) mod len]) & 0xFF`` — composited
+    with disposal 1 (do not dispose), so the last row/column persists
+    from frame 0.  Pixels whose value is exactly 101 are stored
+    TRANSPARENT (the underlying canvas shows through; background is
+    black).  Both the composite rule and the transparency rule are
+    SQL-expressible, so a DuckDB oracle can verify real disposal
+    handling end-to-end — the animated analog of attach_image_media's
+    trick."""
+    from opentsdb_aura_spark.operators.gif import encode_gif_animated
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs, nfs = [], [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                text = text or "x"
+                w, h, nf = mid % 8 + 2, mid % 6 + 2, mid % 10 + 3
+                wh = w * h
+                stream = (_codepoints(text, nf * wh) & 0xFF).astype(np.uint8)
+                frames = [(0, 0, w, h, np.repeat(stream[:wh], 3).tobytes())]
+                bw, bh = w - 1, h - 1
+                for f in range(1, nf):
+                    blk = stream[f * wh : f * wh + bw * bh]
+                    frames.append((0, 0, bw, bh, np.repeat(blk, 3).tobytes()))
+                payloads.append(
+                    encode_gif_animated(w, h, frames, transparent=(101, 101, 101))
+                )
+                ws.append(w)
+                hs.append(h)
+                nfs.append(nf)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "video",
+                    "payload": payloads,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "sample_rate": pd.Series([0] * len(pdf), dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 # ---------------------------------------------------------- feature stages
 
 AUDIO_FEATURE_SCHEMA = (
@@ -283,6 +335,52 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                     nps.append(len(px))
                     cks.append(int(px.sum()))
                     mls.append(float(px.mean()) if len(px) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_pixels": pd.Series(nps, dtype="int64"),
+                    "checksum": pd.Series(cks, dtype="int64"),
+                    "mean_luma": pd.Series(mls, dtype="float64"),
+                }
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(op, schema=FRAME_FEATURE_SCHEMA)
+
+
+def sample_gif_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Animated-GIF frame sampling through the SAME surface as
+    ``sample_video_frames`` (identical output schema): decode every
+    PRESENTED canvas with full disposal + transparency compositing
+    (``gif.decode_gif_frames``), keep every Nth frame, emit per-frame
+    (dims, pixel count, integer-gray checksum, mean gray).  The 1→many
+    fan-out runs inside the Arrow batch; a GIF frame is an RGB canvas,
+    so luma is the integer grayscale (r+g+b)//3 the dHash path uses."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from opentsdb_aura_spark.operators.gif import decode_gif_frames
+
+        for pdf in batches:
+            ids, idxs, ws, hs, nps, cks, mls = [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_gif_frames(bytes(payload))
+                for fi in range(0, len(frames), every_n):
+                    gray = (
+                        np.frombuffer(frames[fi], dtype=np.uint8)
+                        .reshape(-1, 3)
+                        .astype(np.int64)
+                        .sum(axis=1)
+                        // 3
+                    )
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ws.append(w)
+                    hs.append(h)
+                    nps.append(len(gray))
+                    cks.append(int(gray.sum()))
+                    mls.append(float(gray.mean()) if len(gray) else 0.0)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

@@ -486,6 +486,65 @@ def multimodal_dhash_near_pairs(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_frames",
+    """WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h, doc_id % 10 + 3 AS nf
+  FROM documents WHERE doc_id < 100),
+f AS (
+  SELECT doc_id, text, L, w, h, unnest(range(0, nf)) AS fi
+  FROM d),
+px AS (
+  SELECT doc_id, fi, w, h,
+         list_transform(range(0, w * h), j ->
+           coalesce(
+             list_filter(
+               list_reverse(list_transform(range(0, fi + 1), ff ->
+                 CASE WHEN ff = 0
+                        THEN ascii(substr(text, (j % L) + 1, 1)) % 256
+                      WHEN j // w < h - 1 AND j % w < w - 1
+                        THEN ascii(substr(text,
+                               ((ff * w * h + (j // w) * (w - 1) + j % w) % L) + 1, 1)) % 256
+                      ELSE NULL END)),
+               v -> v IS NOT NULL AND v != 101)[1],
+             0)) AS p
+  FROM f WHERE fi % 2 = 0)
+SELECT doc_id AS media_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_sum(p) AS BIGINT) AS checksum,
+       round(list_avg(p), 6) AS mean_luma
+FROM px""",
+)
+def multimodal_gif_frames(spark, sf_dir):
+    """ANIMATED GIF frame sampling, hash-checked end-to-end: every doc
+    becomes a genuine multi-frame GIF89a (frame 0 full-canvas, later
+    frames PARTIAL blocks composited with disposal 1, value-101 pixels
+    TRANSPARENT), ``sample_gif_frames`` decodes every presented canvas
+    via ``gif.decode_gif_frames`` and keeps every 2nd frame — and the
+    oracle recomputes each sampled pixel as "the last opaque write
+    among frames 0..fi, else background", so LZW, block geometry,
+    disposal compositing, and transparency show-through must ALL be
+    exact for the values to match.  Disposal methods 2/3 are pinned by
+    unit fixtures in tests/test_pipeline_ops.py (their region-restore
+    semantics are presentation state, not a per-frame SQL rule)."""
+    from opentsdb_aura_spark.operators.av import attach_animated_gif_media, sample_gif_frames
+
+    media = attach_animated_gif_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100))
+    res = sample_gif_frames(media, every_n=2)
+    return res.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        "n_pixels",
+        "checksum",
+        _r(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
+@register(
     "multimodal_transcode_gif",
     ORACLES["multimodal_real_decode"],
 )

@@ -628,6 +628,104 @@ def test_gif_roundtrip_and_animation():
     assert (px[0, :] == 0).all() and (px[:, 0] == 0).all() and (px[3, :] == 0).all()
 
 
+def test_gif_animated_disposal_and_transparency():
+    """decode_gif_frames: presented-canvas compositing across all four
+    disposal methods and transparency show-through, against hand-built
+    encode_gif_animated fixtures."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+        gif_frame_count,
+    )
+
+    w, h = 4, 3
+    f0 = bytes(range(0, 36))
+    f1 = bytes(range(100, 136))
+
+    # full-frame blocks: each presented canvas is its own frame; the
+    # single-frame decoder still returns frame 0
+    g = encode_gif_animated(w, h, [(0, 0, w, h, f0), (0, 0, w, h, f1)])
+    sw, sh, frames = decode_gif_frames(g)
+    assert (sw, sh, frames) == (w, h, [f0, f1])
+    assert gif_frame_count(g) == 2
+    assert decode_gif(g) == (w, h, f0)
+
+    # disposal 1 (do not dispose): a partial block overwrites its
+    # region, the rest of the canvas persists from frame 0
+    blk = bytes([9] * 12)
+    g = encode_gif_animated(w, h, [(0, 0, w, h, f0), (1, 1, 2, 2, blk)])
+    _, _, fr = decode_gif_frames(g)
+    want = np.frombuffer(f0, np.uint8).reshape(h, w, 3).copy()
+    want[1:3, 1:3] = 9
+    assert fr[1] == want.tobytes()
+
+    # disposal 2 (restore to background): region resets AFTER present
+    g = encode_gif_animated(
+        w, h, [(1, 1, 2, 2, blk), (0, 0, 1, 1, bytes([5, 5, 5]))],
+        disposals=[2, 1], bg_rgb=(7, 8, 9),
+    )
+    _, _, fr = decode_gif_frames(g)
+    c0 = np.frombuffer(fr[0], np.uint8).reshape(h, w, 3)
+    assert (c0[1:3, 1:3] == 9).all() and (c0[0, 0] == [7, 8, 9]).all()
+    c1 = np.frombuffer(fr[1], np.uint8).reshape(h, w, 3)
+    assert (c1[1:3, 1:3] == [7, 8, 9]).all() and (c1[0, 0] == [5, 5, 5]).all()
+
+    # disposal 3 (restore to previous): frame 2 sees frame 1's damage
+    # undone
+    g = encode_gif_animated(
+        w, h,
+        [(0, 0, w, h, f0), (1, 1, 2, 2, blk), (0, 0, 1, 1, bytes([5, 5, 5]))],
+        disposals=[1, 3, 1],
+    )
+    _, _, fr = decode_gif_frames(g)
+    want = np.frombuffer(f0, np.uint8).reshape(h, w, 3).copy()
+    want[0, 0] = [5, 5, 5]
+    assert fr[2] == want.tobytes()
+
+    # transparency: pixels matching the transparent RGB show the
+    # underlying canvas through
+    blk2 = bytes([1, 2, 3, 40, 41, 42, 1, 2, 3, 50, 51, 52])  # 2x2
+    g = encode_gif_animated(w, h, [(0, 0, w, h, f0), (0, 0, 2, 2, blk2)], transparent=(1, 2, 3))
+    _, _, fr = decode_gif_frames(g)
+    want = np.frombuffer(f0, np.uint8).reshape(h, w, 3).copy()
+    want[0, 1] = [40, 41, 42]
+    want[1, 1] = [50, 51, 52]
+    assert fr[1] == want.tobytes()
+
+
+def test_sample_gif_frames(spark):
+    """The animated-GIF corpus generator + frame sampler: every 2nd
+    presented canvas, with the composite rule recomputed in numpy."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.av import attach_animated_gif_media, sample_gif_frames
+
+    doc = (7, "hello world gif frames")  # w=7%8+2=9, h=7%6+2=3, nf=7%10+3=10
+    df = spark.createDataFrame([doc], "doc_id long, text string")
+    rows = {r["frame_idx"]: r for r in sample_gif_frames(attach_animated_gif_media(df), every_n=2).collect()}
+    w, h, nf = 9, 3, 10
+    assert sorted(rows) == [0, 2, 4, 6, 8]
+    text = doc[1].encode()
+    stream = np.frombuffer((text * (-(-(nf * w * h) // len(text))))[: nf * w * h], np.uint8).astype(np.int64)
+    # replay the composite rule: last opaque (≠101) write wins, else 0
+    for fi in [0, 2, 4, 8]:
+        px = np.zeros(w * h, dtype=np.int64)
+        v0 = stream[: w * h]
+        px[v0 != 101] = v0[v0 != 101]
+        for ff in range(1, fi + 1):
+            blk = stream[ff * w * h : ff * w * h + (w - 1) * (h - 1)].reshape(h - 1, w - 1)
+            canvas = px.reshape(h, w)
+            region = canvas[: h - 1, : w - 1]
+            region[blk != 101] = blk[blk != 101]
+        r = rows[fi]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["checksum"] == int(px.sum()), fi
+        assert abs(r["mean_luma"] - px.mean()) < 1e-9
+
+
 def test_mixed_format_media_decode(spark):
     """attach_image_media round-robins BMP/PPM/PNG/paletted-PNG/
     interlaced-PNG; fake=False feature extraction must decode all of

@@ -9,6 +9,9 @@ curation operators at a volume where a wrong plan is minutes:
 - connected components + keep-best retention over the candidates
 - stratified sample, narrow-filter mode
 - IVF ANN top-k over the vector table
+- exact-verify LSH twin (banded candidates → exact Jaccard)
+- mixed-JPEG codec throughput (encode + decode in mapInPandas)
+- 100k-image dHash → banded Hamming near-dup pairs (planted recall)
 
 Usage: python tools/corpus_scale_validation.py [n_docs_million=2] [n_vec_million=1]
 """
@@ -131,6 +134,68 @@ def main() -> None:
         f"({n_img} imgs, {timings['jpeg_payloads_per_sec']}/s)",
         file=sys.stderr,
     )
+
+    # ---- round 6: perceptual image near-dup at scale — 100k 16×12
+    # BMPs with pseudo-random pixels, every 101st a 2-pixel-perturbed
+    # copy of its predecessor.  Each perturbed pixel sits ON the 9×8
+    # dHash sampling grid and flips ≤2 gradient bits confined to ONE
+    # 16-bit band (a row's 8 bits never span bands), so the 4-band
+    # pigeonhole must recover every planted pair at Hamming ≤ 4 —
+    # recall is asserted, and the pair count guards against an
+    # all-pairs blowup (random 64-bit hashes at Hamming ≤ 6 are
+    # ~2⁻⁴⁴ per candidate pair).
+    from opentsdb_aura_spark.operators.multimodal import dhash_near_pairs, image_dhash
+
+    def _img_op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from opentsdb_aura_spark.operators.multimodal import encode_bmp
+
+        W, H = 16, 12
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                is_dup = mid % 101 == 0 and mid > 0
+                base = mid - 1 if is_dup else mid
+                px = np.random.default_rng(base).integers(0, 256, W * H * 3, dtype=np.uint8)
+                if is_dup:
+                    for p in (1 * W + 3, 6 * W + 10):  # on-grid pixels
+                        px[p * 3 : p * 3 + 3] = np.minimum(
+                            255, px[p * 3 : p * 3 + 3].astype(np.int64) + 48
+                        ).astype(np.uint8)
+                payloads.append(encode_bmp(W, H, px.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    t0 = time.perf_counter()
+    imgs = docs.where(F.col("doc_id") < n_img).mapInPandas(
+        _img_op, schema="media_id bigint, kind string, payload binary"
+    )
+    dpairs = dhash_near_pairs(image_dhash(imgs), max_hamming=6).localCheckpoint()
+    n_dpairs = dpairs.count()
+    planted = dpairs.where(
+        (F.col("media_b") == F.col("media_a") + 1) & (F.col("media_b") % 101 == 0)
+    ).count()
+    expected_img = (n_img - 1) // 101
+    timings["dhash_near_pairs_100k"] = round(time.perf_counter() - t0, 2)
+    timings["dhash_pairs_found"] = n_dpairs
+    timings["dhash_planted_found"] = planted
+    timings["dhash_planted_expected"] = expected_img
+    timings["dhash_recall"] = round(planted / expected_img, 4) if expected_img else 1.0
+    print(
+        f"# dhash_near_pairs_100k: {timings['dhash_near_pairs_100k']}s "
+        f"({n_dpairs} pairs, recall {timings['dhash_recall']})",
+        file=sys.stderr,
+    )
+    assert timings["dhash_recall"] >= 0.99, "banded dHash missed planted near-dups"
+    assert n_dpairs <= expected_img + 50, "unexpected non-planted dHash pairs"
 
     # ---- vectors: 32-d deterministic embeddings, 100 queries
     vecs = spark.range(n_vec, numPartitions=64).select(

@@ -598,16 +598,36 @@ def minhash_lsh_candidates(
     return out
 
 
-def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc from token xxhash64s.
+def simhash(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", token_hash: str = "xxhash64"
+) -> DataFrame:
+    """64-bit SimHash per doc from per-token 64-bit hashes.
 
     For each bit b: sign = Σ_tokens (bit b of hash ? +1 : -1);
     fingerprint bit b = sign > 0.  Computed as 64 conditional sums over
     the exploded token set — one aggregation pass, no UDFs.
     Returns (doc_id, simhash BIGINT).
+
+    ``token_hash``: "xxhash64" (default — fastest, JVM-native) or
+    "md5" — the 64-bit hash is assembled from the first 16 md5 hex
+    chars (low word hex 1-8, high word hex 9-16), the same
+    cross-engine determinism trick as corpus.det_hash_bucket: every
+    SQL engine has md5, so the md5 variant's fingerprints (and hence
+    its near-dup pairs, which 4-band banding makes EXHAUSTIVE at
+    Hamming ≤ 3) are fully recomputable by a DuckDB oracle, upgrading
+    the SimHash surface from rows-only to value-hash-checked.
     """
     toked = _spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t"))
-    hashed = toked.select("doc_id", F.xxhash64("t").alias("h"))
+    if token_hash == "md5":
+        hx = F.md5(F.col("t"))
+        lo = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        hi = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        tok_h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    elif token_hash == "xxhash64":
+        tok_h = F.xxhash64("t")
+    else:
+        raise ValueError(f"token_hash must be 'xxhash64' or 'md5', got {token_hash!r}")
+    hashed = toked.select("doc_id", tok_h.alias("h"))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(64)

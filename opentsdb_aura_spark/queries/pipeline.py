@@ -150,6 +150,48 @@ def dedup_minhash_lsh_exact(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3) via bit-band candidates."""
     return simhash_near_pairs(docs(spark, sf_dir), max_hamming=3)
+
+
+_MD5_WORD = (
+    "list_reduce(list_transform(str_split({src}, ''), "
+    "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x)"
+)
+
+@register(
+    "dedup_simhash_md5",
+    f"""WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+h AS (SELECT doc_id,
+        {_MD5_WORD.format(src="substr(md5(t), 1, 8)")} AS lo,
+        {_MD5_WORD.format(src="substr(md5(t), 9, 8)")} AS hi
+      FROM tok),
+b AS (SELECT doc_id, bb,
+        CASE WHEN sum(CASE WHEN (CASE WHEN bb < 32 THEN lo >> bb
+                                      ELSE hi >> (bb - 32) END) & 1 = 1
+                      THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit
+      FROM h, (SELECT unnest(range(0, 64)) AS bb) GROUP BY doc_id, bb),
+fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY bb) AS fbits FROM b GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         len(list_filter(range(1, 65), k -> substr(a.fbits, k, 1) != substr(c.fbits, k, 1))) AS hamming
+  FROM fp a JOIN fp c ON a.doc_id < c.doc_id)
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM pairs WHERE hamming <= 3""",
+)
+def dedup_simhash_md5(spark, sf_dir):
+    """SimHash with a FULL value-hash oracle: md5-derived 64-bit token
+    hashes (the cross-engine determinism trick — DuckDB recomputes the
+    identical fingerprint from the first 16 md5 hex chars), and at 4
+    16-bit bands with Hamming ≤ 3 the banded join is EXHAUSTIVE by
+    pigeonhole, so the output is exactly every pair at Hamming ≤ 3 —
+    the oracle self-joins the SQL-derived fingerprints with a
+    character-diff Hamming.  The default xxhash64 path
+    (``dedup_simhash``) keeps its rows-only pigeonhole bound; this
+    twin proves the whole SimHash pipeline (tokenize → per-bit signed
+    sums → fingerprint assembly → banding → Hamming filter)
+    value-exactly."""
+    return simhash_near_pairs(docs(spark, sf_dir), max_hamming=3, token_hash="md5")
 # ============================================================ similarity search
 
 

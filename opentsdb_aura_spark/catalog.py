@@ -6,7 +6,10 @@ table loaders, shared helpers, oracle SQL preludes and the
 column-name / oracle-typing rules) lives in
 ``opentsdb_aura_spark/queries/base.py``; the query registrations are
 split by domain under ``opentsdb_aura_spark/queries/`` (metric,
-events, tpch, pipeline, multimodal, extras).  This module re-exports
+events, tpch, pipeline, multimodal, and the extras_* family:
+extras_metric, extras_sketch, extras_tpch, extras_events,
+extras_corpus — the round-6 split of the old cross-domain
+extras.py).  This module re-exports
 everything so ``from opentsdb_aura_spark.catalog import ...`` keeps
 working unchanged — importing it populates the full registry.
 """
@@ -29,5 +32,9 @@ from opentsdb_aura_spark.queries import (  # noqa: E402,F401
     tpch as _q_tpch,
     pipeline as _q_pipeline,
     multimodal as _q_multimodal,
-    extras as _q_extras,
+    extras_metric as _q_extras_metric,
+    extras_sketch as _q_extras_sketch,
+    extras_tpch as _q_extras_tpch,
+    extras_events as _q_extras_events,
+    extras_corpus as _q_extras_corpus,
 )

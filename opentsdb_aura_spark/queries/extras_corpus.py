@@ -1,0 +1,363 @@
+"""Corpus/pipeline extras: text fingerprints and normalization,
+embedding transforms and semantic dedup, BM25, curation and
+sampling stages.
+
+Split from queries/extras.py (round 6): registration side-effects
+only -- query names, oracles, and behavior unchanged.
+"""
+
+from __future__ import annotations
+
+from opentsdb_aura_spark.queries.base import *  # noqa: F401,F403
+from opentsdb_aura_spark.queries.base import (  # shared underscore helpers
+    _bucket_sql,
+    _ds_by_metric,
+    _ds_by_metric_sql,
+    _mq,
+    _r,
+    _rollup,
+)
+
+
+
+@register(
+    "text_bpe_token_count",
+    """SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting via an RE2-safe word-piece regex."""
+    from opentsdb_aura_spark.operators.text import bpe_ish_token_count
+
+    return bpe_ish_token_count(docs(spark, sf_dir))
+
+
+@register("text_fingerprint")  # xxhash-chained: rows-only check
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive 64-bit document fingerprint (rolling-hash
+    analogue, Catalyst-only)."""
+    from opentsdb_aura_spark.operators.text import fingerprint
+
+    return fingerprint(docs(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding_cosine",
+    """WITH s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))) AS cs
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM s WHERE cs >= 0.45""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    LSH variant is the scale path, unit-tested)."""
+    from opentsdb_aura_spark.operators.similarity import embedding_near_dup_pairs
+
+    res = embedding_near_dup_pairs(embs(spark, sf_dir), threshold=0.45)
+    return res.select("id_a", "id_b", _r(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+_PROJ_COMPONENT = (
+    "round(list_sum(list_transform(range(0, 64), d -> CAST(embedding[d + 1] AS DOUBLE)"
+    " * ((CAST(concat('0x', substr(md5(d || ':' || {k} || ':proj'), 1, 8)) AS BIGINT)"
+    " % 2001 - 1000) / 1000.0))), 6) AS p{k}"
+)
+
+
+@register(
+    "emb_random_projection",
+    "SELECT vec_id, "
+    + ", ".join(_PROJ_COMPONENT.format(k=k) for k in range(8))
+    + " FROM embeddings",
+)
+def emb_random_projection(spark, sf_dir):
+    """JL-style 64→8-d random projection with an md5-derived
+    deterministic matrix — the ANN pre-filter that cuts probe shuffle
+    bytes 8×.  Pure zip_with/aggregate folds (whole-stage codegen, no
+    UDF, narrow map); the oracle regenerates the same matrix from the
+    md5 rule."""
+    from opentsdb_aura_spark.operators.similarity import random_projection
+
+    res = random_projection(embs(spark, sf_dir), in_dim=64, out_dim=8)
+    return res.select("vec_id", *[_r(f"p{k}", 6).alias(f"p{k}") for k in range(8)])
+
+
+@register(
+    "emb_int8_quantize",
+    """WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         embedding
+  FROM embeddings),
+z AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5)
+                                            AS INT))
+         END AS qv
+  FROM q)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS INT) AS q_min,
+       CAST(list_max(qv) AS INT) AS q_max
+FROM z""",
+)
+def emb_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (scale = max|v|,
+    floor(x+0.5) rounding — engine-agnostic): 4× smaller vectors for
+    billion-scale ANN storage; the oracle checks the exact quantized
+    stream via sum/min/max."""
+    from opentsdb_aura_spark.operators.similarity import int8_quantize
+
+    res = int8_quantize(embs(spark, sf_dir))
+    return res.select(
+        "vec_id",
+        _r("scale", 6).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
+@register(
+    "semdedup_embeddings",
+    """WITH dup AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of
+  FROM embeddings a JOIN embeddings b ON b.vec_id < a.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))) >= 0.45
+  GROUP BY 1)
+SELECT e.vec_id, dup.dup_of IS NULL AS kept, CAST(0 AS INT) AS cluster_id, dup.dup_of
+FROM embeddings e LEFT JOIN dup ON e.vec_id = dup.vec_id""",
+)
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup semantic dedup (greedy keep-lowest-id within cluster).
+    Run with a single centroid the within-cluster scoring covers every
+    pair, so the exact SQL self-join is a true oracle — the same trick
+    as `ann_ivf_topk`'s full probe; production raises n_centroids so
+    per-cluster pair work stays (n/k)²."""
+    from opentsdb_aura_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(embs(spark, sf_dir), threshold=0.45, n_centroids=1)
+
+
+@register(
+    "corpus_bm25_search",
+    r"""WITH toked AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '')) AS token
+  FROM documents),
+lengths AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toked GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lengths),
+tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+       FROM toked WHERE token IN ('data', 'model', 'training') GROUP BY 1, 2),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)))) AS score
+  FROM tf t JOIN dfreq d USING (token) JOIN lengths l USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def corpus_bm25_search(spark, sf_dir):
+    """Ranked full-text retrieval: BM25 top-10 for a fixed query bag —
+    the ranked complement of the boolean E1 text match, entirely as
+    aggregates (filtered explode → tf/df/length joins → top-k)."""
+    from opentsdb_aura_spark.operators.text import bm25_search
+
+    res = bm25_search(docs_raw(spark, sf_dir), ["data", "model", "training"], k=10)
+    return res.select("doc_id", _r("score", 6).alias("score"))
+
+
+@register(
+    "corpus_source_report",
+    r"""SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> ''))) AS BIGINT) AS total_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_docs
+FROM documents GROUP BY 1""",
+)
+def corpus_source_report(spark, sf_dir):
+    """Dataset-card report per source domain: doc/token volume, size,
+    language spread, and exact-duplicate load — the summary table every
+    training-data curation run publishes.  One hash aggregate over the
+    corpus; the token count is a narrow map."""
+    d = docs_raw(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        _r(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_exact_dup_docs"),
+    )
+
+
+@register(
+    "pipeline_token_budget",
+    r"""WITH c AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM c)
+SELECT doc_id, source, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 5000""",
+)
+def pipeline_token_budget(spark, sf_dir):
+    """Greedy per-domain doc selection under a 5 000-token budget —
+    training mixes are specified in tokens, not document counts.  One
+    window per domain (single shuffle), no global sort, no driver
+    loop."""
+    from opentsdb_aura_spark.operators.corpus import token_budget_sample
+
+    return token_budget_sample(docs_raw(spark, sf_dir), 5000, domain_col="source")
+
+
+@register(
+    "pipeline_curate_corpus",
+    """WITH u AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents),
+kept AS (SELECT doc_id, source, n_chars FROM u WHERE rn = 1 AND n_chars >= 100),
+r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+  FROM kept)
+SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
+)
+def pipeline_curate_corpus(spark, sf_dir):
+    """End-to-end curation COMPOSITION: exact dedup (keep lowest id
+    per content hash) → quality bar (n_chars ≥ 100) → per-domain
+    diversity cap (best 5) — three pipeline operators chained the way
+    a real corpus build chains them; one query plan, no
+    materialization between stages."""
+    from opentsdb_aura_spark.operators.corpus import cap_per_domain
+    from pyspark.sql.window import Window
+
+    d = docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("n_chars") >= 100))
+        .select("doc_id", "source", "n_chars")
+    )
+    return cap_per_domain(survivors, 5)
+
+
+@register(
+    "pipeline_global_shuffle",
+    """SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1
+            AS BIGINT) AS shuffle_pos
+FROM documents""",
+)
+def pipeline_global_shuffle(spark, sf_dir):
+    """Deterministic pseudo-random global training order WITHOUT a
+    single-partition window: md5 order key + distributed prefix-sum
+    rank (4096 hex-prefix blocks → exclusive cumsum → bounded
+    within-block row_number).  The oracle is the naive global
+    ``row_number() OVER (ORDER BY md5)`` — equality proves the
+    blocked rank IS the global rank."""
+    from opentsdb_aura_spark.operators.corpus import global_shuffle
+
+    return global_shuffle(docs(spark, sf_dir), seed="42")
+
+
+@register(
+    "pipeline_domain_cap",
+    """WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 7""",
+)
+def pipeline_domain_cap(spark, sf_dir):
+    """Diversity capping: at most 7 docs per source, best (longest)
+    first — two-phase hot-key-bounded top-k (per input-partition rank,
+    then rank the survivors), so a mega-domain never forms one giant
+    sort task.  Oracle is the naive one-shot window."""
+    from opentsdb_aura_spark.operators.corpus import cap_per_domain
+
+    return cap_per_domain(docs(spark, sf_dir), 7)
+
+
+@register(
+    "pipeline_dsir_weights",
+    r"""WITH w AS (
+  SELECT doc_id, source, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM w),
+b AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(gram || ':dsir'), 1, 8)) AS BIGINT) % 1024 AS bucket
+  FROM g),
+pb AS (SELECT bucket, count(*) AS rn,
+              sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS tn
+       FROM b GROUP BY 1),
+tot AS (SELECT count(*) AS rt,
+               sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS tt
+        FROM b),
+lr AS (SELECT bucket,
+              ln((tn + 1.0) / (tt + 1024.0)) - ln((rn + 1.0) / (rt + 1024.0)) AS logr
+       FROM pb CROSS JOIN tot)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams, round(sum(lr.logr), 6) AS weight
+FROM b JOIN lr USING (bucket) GROUP BY 1""",
+)
+def pipeline_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights toward the 'src3' domain: hashed
+    bigram buckets (md5 — engine-reproducible), add-one-smoothed
+    log-likelihood ratio of target vs corpus bucket distributions,
+    summed per doc.  Pure Catalyst: one explode, two bounded
+    aggregates, AQE-broadcast log-ratio join."""
+    from opentsdb_aura_spark.operators.corpus import dsir_weights
+
+    res = dsir_weights(docs(spark, sf_dir), "src3")
+    return res.select("doc_id", "n_grams", _r(F.col("weight"), 6).alias("weight"))
+
+
+@register(
+    "text_normalize_docs",
+    r"""WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT doc_id, CAST(strlen(norm) AS BIGINT) AS n_chars_norm, md5(norm) AS norm_md5
+FROM n""",
+)
+def text_normalize_docs(spark, sf_dir):
+    """Curation-grade text normalization (lowercase, punctuation →
+    space, whitespace collapse) proven BYTE-IDENTICAL cross-engine via
+    md5 of the normalized text — the property that matters when a
+    dedup key is derived from normalized content."""
+    from opentsdb_aura_spark.operators.corpus import normalize_text
+
+    d = docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+

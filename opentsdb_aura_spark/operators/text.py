@@ -128,13 +128,33 @@ def pii_scrub(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     return docs.select(F.col(id_col).alias("doc_id"), t.alias("scrubbed"), *counts)
 
 
-def fingerprint(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Order-sensitive 64-bit document fingerprint: xxhash64 chained
-    over token-position pairs (a rolling-hash analogue that stays in
-    Catalyst).  (doc_id, fingerprint)."""
+def fingerprint(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", token_hash: str = "xxhash64"
+) -> DataFrame:
+    """Order-sensitive document fingerprint: a hash chained over
+    token-position pairs (a rolling-hash analogue that stays in
+    Catalyst).  (doc_id, fingerprint).
+
+    ``token_hash``: "xxhash64" (default — 64-bit BIGINT fingerprint,
+    JVM-native) or "md5" — the chain folds md5 over "acc:token:pos"
+    strings and the fingerprint is the final 32-hex-char string.  md5
+    exists in every SQL engine and the fold is expressible as a
+    ``list_reduce``, so the md5 variant's fingerprints are exactly
+    recomputable by a DuckDB oracle (the same cross-engine trick as
+    ``dedup_text.simhash(token_hash="md5")``); token order, token
+    positions, and the empty-token filter all still matter to the
+    value."""
     toks = tokens(F.col(text_col))
-    posed = F.transform(toks, lambda t, i: F.xxhash64(t, i))
-    fp = F.aggregate(posed, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
+    if token_hash == "md5":
+        posed = F.transform(toks, lambda t, i: F.concat(t, F.lit(":"), i.cast("string")))
+        fp = F.aggregate(
+            posed, F.lit(""), lambda acc, p: F.md5(F.concat(acc, F.lit(":"), p))
+        )
+    elif token_hash == "xxhash64":
+        posed = F.transform(toks, lambda t, i: F.xxhash64(t, i))
+        fp = F.aggregate(posed, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
+    else:
+        raise ValueError(f"token_hash must be 'xxhash64' or 'md5', got {token_hash!r}")
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
 
 

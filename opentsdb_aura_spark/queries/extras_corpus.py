@@ -43,6 +43,29 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_fingerprint_md5",
+    """SELECT doc_id,
+       list_reduce(
+         list_prepend('', list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> ''),
+           (t, i) -> t || ':' || (i - 1))),
+         (a, x) -> md5(a || ':' || x)) AS fingerprint
+FROM documents""",
+)
+def text_fingerprint_md5(spark, sf_dir):
+    """The order-sensitive fingerprint under a FULL value-hash oracle:
+    the md5-chained fold over token:position pairs is expressible as a
+    DuckDB ``list_reduce``, so every per-doc fingerprint (and with it
+    the tokenizer, the 0-based positions, and the fold order) is
+    recomputed exactly.  The default xxhash64 path keeps its rows-only
+    check; this twin proves the chain's structure value-exactly —
+    same pattern as dedup_simhash_md5."""
+    from opentsdb_aura_spark.operators.text import fingerprint
+
+    return fingerprint(docs(spark, sf_dir), token_hash="md5")
+
+
+@register(
     "dedup_embedding_cosine",
     """WITH s AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -352,3 +352,200 @@ def tpch_min_price_part_per_type(spark, sf_dir):
         .where(F.col("p_retailprice") == F.col("min_price"))
         .select("p_type", "p_partkey", "p_name", _r(F.col("p_retailprice"), 2).alias("price"))
     )
+
+
+@register(
+    "tpch_waiting_suppliers",
+    """WITH late AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  GROUP BY 1, 2),
+allsupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+waits AS (
+  SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+  FROM late l1
+  JOIN supplier ON s_suppkey = l1.l_suppkey
+  WHERE EXISTS (SELECT 1 FROM allsupp a
+                WHERE a.l_orderkey = l1.l_orderkey AND a.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+  GROUP BY s_name)
+SELECT s_name, numwait FROM (
+  SELECT s_name, numwait, row_number() OVER (ORDER BY numwait DESC, s_name) AS rn
+  FROM waits) WHERE rn <= 10""",
+)
+def tpch_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished orders, suppliers whose line shipped late (> 30 days
+    after the order date — the fixture has no commit/receipt dates)
+    where the order involved OTHER suppliers but no other supplier was
+    late; top 10 by wait count.  The correlated EXISTS / NOT-EXISTS
+    pair is realized as ONE per-order aggregate — n_suppliers ≥ 2 for
+    the EXISTS, exactly-one-late-supplier for the NOT EXISTS — joined
+    back to the late pairs, so the order's line list is scanned once
+    instead of per-candidate; the oracle keeps the classic
+    correlated-subquery formulation as an independent derivation.
+    Ref: Q21 semantics per the public TPC-H spec; the reference engine
+    has no relational path (extension surface)."""
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    ord_f = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    lines = li.join(ord_f, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    late_pairs = lines.where(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    waits = (
+        late_pairs.join(
+            per_order.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)), "l_orderkey"
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))  # dim-sized: AQE broadcasts
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    w = Window.partitionBy().orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return (
+        waits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("s_name", "numwait")
+    )
+
+
+@register(
+    "tpch_supplier_counts_by_part",
+    """SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = ps.l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+)
+def tpch_supplier_counts_by_part(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier counts per (brand, type, size) slice, excluding one brand
+    and type and a bad-supplier set (negative balance stands in for
+    the spec's complaint comment; the fixture has no partsupp table,
+    so DISTINCT (l_partkey, l_suppkey) from lineitem IS the
+    part-supplier relation).  The NOT-IN realizes as a broadcastable
+    anti-join against the small excluded-supplier set; the distinct
+    count shuffles once on the part attributes."""
+    ensure_session_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.where(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("l_suppkey"))
+    kept = ps.join(bad, "l_suppkey", "left_anti")
+    pf = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24)
+    )
+    return (
+        kept.join(pf, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_important_stock",
+    """WITH sup AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 12),
+val AS (
+  SELECT l_partkey, round(sum(l_quantity * p_retailprice), 2) AS part_value
+  FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS l_quantity
+        FROM lineitem JOIN sup ON l_suppkey = s_suppkey GROUP BY 1, 2)
+  JOIN part ON p_partkey = l_partkey
+  GROUP BY 1)
+SELECT l_partkey AS p_partkey, part_value
+FROM val WHERE part_value > (SELECT 2.0 * avg(part_value) FROM val)""",
+)
+def tpch_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part supplied value
+    (quantity × retail price over lineitem, standing in for partsupp
+    availqty × supplycost) restricted to suppliers of a nation subset,
+    keeping parts whose value exceeds TWICE the global mean (an
+    SF-invariant stand-in for the spec's fraction-of-total threshold,
+    which keeps the qualifying set non-degenerate at every fixture
+    SF) — the scalar subquery realized as a 1-row aggregate
+    broadcast-cross-joined into the per-part stream (the
+    tpch_idle_rich_customers pattern), not a window over an unbounded
+    frame."""
+    ensure_session_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    sup = supp.where(F.col("s_nationkey") < 12).select("s_suppkey")
+    by_ps = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("l_quantity"))
+    )
+    val = (
+        by_ps.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(_r(F.sum(F.col("l_quantity") * F.col("p_retailprice")), 2).alias("part_value"))
+    )
+    total_val = val.agg((F.avg("part_value") * F.lit(2.0)).alias("_threshold"))
+    return (
+        val.crossJoin(F.broadcast(total_val))
+        .where(F.col("part_value") > F.col("_threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+    )
+
+
+@register(
+    "tpch_excess_supply_semi",
+    """SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 40)""",
+)
+def tpch_excess_supply_semi(spark, sf_dir):
+    """TPC-H Q20 shape (excess supply, nested semi-joins): suppliers
+    who moved > 40 units of some 'small%' part in 1996 — part-name
+    semi-join into a per-(supplier, part) quantity aggregate, then a
+    semi-join into supplier (the fixture has no partsupp availqty, so
+    shipped quantity stands in for stock level).  Both IN-subqueries
+    realize as semi-joins: the part filter prunes before the
+    aggregate, and supplier sees only qualifying keys."""
+    ensure_session_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    small = part.where(F.col("p_name").like("small%")).select("p_partkey")
+    qual = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(small, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supp.join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name"
+    )

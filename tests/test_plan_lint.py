@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "corpus_bm25_search",  # 1-row (N, avgdl) corpus-stats factor
     "pipeline_dsir_weights",  # 1-row gram-count totals factor
     "tpch_idle_rich_customers",  # 1-row global-average-balance scalar factor
+    "tpch_important_stock",  # 1-row global value-threshold scalar factor
 }
 
 
@@ -95,6 +96,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "blocks",  # per-block prefix sums: rows = input partitions
         "totals",  # 1-row gram-count factor (dsir_weights)
         "avg_bal",  # 1-row global-average-balance scalar (tpch_idle_rich_customers)
+        "total_val",  # 1-row global value-threshold scalar (tpch_important_stock)
         "winners",  # summarizer top-k winners: rows <= k
     }
     hits = []

@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "tpch_market_share",
     "meta_series_churn_daily",
     "multimodal_jpeg_decode",
+    # round 6 additions
+    "tpch_waiting_suppliers",
+    "multimodal_dhash_near_pairs",
+    "ann_lsh_exact_topk",
+    "multimodal_gif_frames",
 ]
 
 

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "multimodal_dhash_near_pairs",
     "ann_lsh_exact_topk",
     "multimodal_gif_frames",
+    "multimodal_audio_near_pairs",
+    "multimodal_video_near_pairs",
 ]
 
 

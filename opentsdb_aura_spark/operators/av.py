@@ -147,12 +147,17 @@ def _codepoints(text: str, n: int) -> "np.ndarray":
     return np.tile(arr, reps)[:n]
 
 
-def attach_audio_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def attach_audio_media(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", scale: int = 1
+) -> DataFrame:
     """Real-audio corpus generator: one genuine mono PCM16 WAV per doc,
     samples derived deterministically from the doc text — sample j is
     ``(ord(text[j mod len]) - 80) * 256`` (int16), with
-    n = id%64+16 samples at rate 8000 + (id%4)*4000 Hz.  The rule is
-    SQL-expressible, so the oracle verifies the real RIFF decode."""
+    n = (id%64+16)*scale samples at rate 8000 + (id%4)*4000 Hz.  The
+    rule is SQL-expressible, so the oracle verifies the real RIFF
+    decode.  ``scale`` (default 1 — existing surfaces unchanged)
+    lengthens every clip by the same factor; the fingerprint surface
+    uses scale=8 so each of its 65 energy windows holds ≥1 sample."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,7 +165,7 @@ def attach_audio_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str
             for mid, text in zip(pdf[id_col], pdf[text_col]):
                 mid = int(mid)
                 text = text or "x"
-                n = mid % 64 + 16
+                n = (mid % 64 + 16) * scale
                 rate = 8000 + (mid % 4) * 4000
                 smp = ((_codepoints(text, n) - 80) * 256).astype(np.int16)
                 payloads.append(encode_wav(rate, smp))
@@ -181,11 +186,16 @@ def attach_audio_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str
     return docs.mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
-def attach_video_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def attach_video_media(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", frames_scale: int = 1
+) -> DataFrame:
     """Real-video corpus generator: one genuine Y4M (Cmono) stream per
-    doc — w = id%8+2, h = id%6+2, n_frames = id%10+3; frame f pixel j
-    is ``ord(text[(f*w*h + j) mod len])``.  Same SQL-expressible-rule
-    trick as the image/audio corpora."""
+    doc — w = id%8+2, h = id%6+2, n_frames = (id%10+3)*frames_scale;
+    frame f pixel j is ``ord(text[(f*w*h + j) mod len])``.  Same
+    SQL-expressible-rule trick as the image/audio corpora.
+    ``frames_scale`` (default 1 — existing surfaces unchanged)
+    lengthens every clip; the temporal-fingerprint surface uses 6 so
+    qualifying clips carry ≥65 frames (64 delta bits)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -193,7 +203,7 @@ def attach_video_media(docs: DataFrame, *, id_col: str = "doc_id", text_col: str
             for mid, text in zip(pdf[id_col], pdf[text_col]):
                 mid = int(mid)
                 text = text or "x"
-                w, h, nf = mid % 8 + 2, mid % 6 + 2, mid % 10 + 3
+                w, h, nf = mid % 8 + 2, mid % 6 + 2, (mid % 10 + 3) * frames_scale
                 wh = w * h
                 stream = (_codepoints(text, nf * wh) & 0xFF).astype(np.uint8)
                 frames = [stream[f * wh : (f + 1) * wh].tobytes() for f in range(nf)]
@@ -500,3 +510,190 @@ def video_scene_changes(media: DataFrame, *, threshold: float = 10.0) -> DataFra
             yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "video").mapInPandas(op, schema=SCENE_SCHEMA)
+
+
+# --------------------------------------------- perceptual fingerprints
+
+AUDIO_FP_SCHEMA = "media_id bigint, afp bigint, afp_bits string, error string"
+
+
+def audio_energy_fingerprint(
+    media: DataFrame, *, n_windows: int = 65, skip_errors: bool = False
+) -> DataFrame:
+    """Perceptual audio fingerprint — the energy-delta sign hash (the
+    scalar simplification of the Haitsma–Kallmus / Philips robust-hash
+    family, which takes the sign of BAND-energy deltas; a production
+    deployment swaps in the FFT band energies from
+    :func:`extract_audio_spectral_features` through the same bit-pack):
+    split the clip into ``n_windows`` equal time windows (window w =
+    samples [floor(w*n/W), floor((w+1)*n/W))), per-window energy =
+    mean of sample², bit k = energy[k+1] > energy[k] → a 64-bit
+    fingerprint (W=65 windows → 64 delta bits), emitted both as int64
+    (band joins + ``bit_count`` Hamming run JVM-side) and as the
+    64-char bit string a SQL oracle can mirror exactly.
+
+    POLARITY-INVARIANT by construction: inverting the waveform
+    (s → −s, a transform that is inaudible and defeats exact-hash
+    dedup) leaves every energy — hence every bit — unchanged, so an
+    inverted re-encode lands at Hamming 0.  The catalog query plants
+    exactly that transform to keep the near-pair surface provably
+    non-empty at every fixture SF.
+
+    The bit comparisons are integer-exact on BOTH engines: window
+    energies are compared as cross-multiplied integer sums
+    (sum[k+1]·cnt[k] > sum[k]·cnt[k+1]), never as floating-point
+    means, so an oracle reproduces every bit without ULP hazards.
+    Empty windows (clips shorter than ``n_windows`` samples) compare
+    as energy 0.
+
+    ``skip_errors`` follows the error-ROW contract of
+    ``multimodal.image_dhash``: undecodable payloads yield a NULL-hash
+    row carrying the exception text, which self-excludes from banding.
+    """
+    if n_windows != 65:
+        # 64 delta bits is the contract the 4x16-bit banded join and the
+        # int64 pack rely on
+        raise ValueError(f"n_windows must be 65 (64 delta bits), got {n_windows}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "afp": [], "afp_bits": [], "error": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _rate, smp = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError) as e:
+                    if not skip_errors:
+                        raise
+                    out["media_id"].append(int(mid))
+                    out["afp"].append(None)
+                    out["afp_bits"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+                    continue
+                s = smp.astype(np.int64)
+                n = len(s)
+                sq = s * s
+                csum = np.concatenate(([0], np.cumsum(sq)))
+                lo = (np.arange(n_windows) * n) // n_windows
+                hi = (np.arange(1, n_windows + 1) * n) // n_windows
+                sums = csum[hi] - csum[lo]
+                cnts = np.maximum(hi - lo, 1)
+                bits = (sums[1:] * cnts[:-1] > sums[:-1] * cnts[1:]).astype(np.uint64)
+                val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out["media_id"].append(int(mid))
+                out["afp"].append(val)
+                out["afp_bits"].append("".join("1" if b else "0" for b in bits))
+                out["error"].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "afp": pd.Series(out["afp"], dtype="object"),
+                    "afp_bits": out["afp_bits"],
+                    "error": pd.Series(out["error"], dtype="object"),
+                }
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(op, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_near_pairs(fingerprints: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Audio near-dup pairs from energy fingerprints — the shared
+    banded-Hamming engine (``dedup_text.banded_hamming_pairs``) on the
+    audio fingerprint, completing the cross-modal near-dup family
+    (text SimHash / image dHash / audio / video all band the same
+    way).  Input (media_id, afp); output (media_a, media_b, hamming).
+    At max_hamming ≤ 3 the 4-band join is exhaustive by pigeonhole."""
+    from opentsdb_aura_spark.operators.dedup_text import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        fingerprints,
+        id_col="media_id",
+        hash_col="afp",
+        max_hamming=max_hamming,
+        out_a="media_a",
+        out_b="media_b",
+    )
+
+
+VIDEO_FP_SCHEMA = "media_id bigint, vfp bigint, vfp_bits string, error string"
+
+
+def video_temporal_fingerprint(media: DataFrame, *, skip_errors: bool = False) -> DataFrame:
+    """Perceptual video fingerprint — the temporal luma-delta sign
+    hash (the time-axis analogue of image dHash: dHash compares each
+    pixel to its spatial neighbor, this compares each frame's total
+    luma to the PREVIOUS frame's): bit f = luma_sum[f+1] >
+    luma_sum[f] for the first 64 frame transitions; clips with fewer
+    than 65 frames zero-fill the remaining bits (callers should
+    restrict the near-pair surface to clips with ≥65 frames — shorter
+    clips collapse onto shared zero bands, the same degenerate-band
+    hazard ``multimodal_dhash_near_pairs`` documents for sub-grid
+    images).
+
+    BRIGHTNESS-SHIFT-INVARIANT by construction: adding a constant to
+    every pixel (re-exposure/gamma-offset re-encodes that defeat
+    exact-hash dedup) shifts every frame sum by the same amount and
+    leaves every delta sign — hence every bit — unchanged, so a
+    brightness-shifted re-encode lands at Hamming 0.  Frame sums are
+    compared as exact integers on both engines (equal pixel counts per
+    frame make cross-multiplication unnecessary).
+
+    ``skip_errors`` follows the error-ROW contract of
+    ``multimodal.image_dhash``."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "vfp": [], "vfp_bits": [], "error": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _w, _h, frames = decode_y4m(bytes(payload))
+                except (ValueError, NotImplementedError) as e:
+                    if not skip_errors:
+                        raise
+                    out["media_id"].append(int(mid))
+                    out["vfp"].append(None)
+                    out["vfp_bits"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+                    continue
+                sums = np.array(
+                    [np.frombuffer(f, dtype=np.uint8).astype(np.int64).sum() for f in frames],
+                    dtype=np.int64,
+                )
+                deltas = (sums[1:] > sums[:-1]).astype(np.uint64) if len(sums) > 1 else np.array([], dtype=np.uint64)
+                bits = np.zeros(64, dtype=np.uint64)
+                k = min(64, len(deltas))
+                bits[:k] = deltas[:k]
+                val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out["media_id"].append(int(mid))
+                out["vfp"].append(val)
+                out["vfp_bits"].append("".join("1" if b else "0" for b in bits))
+                out["error"].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "vfp": pd.Series(out["vfp"], dtype="object"),
+                    "vfp_bits": out["vfp_bits"],
+                    "error": pd.Series(out["error"], dtype="object"),
+                }
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(op, schema=VIDEO_FP_SCHEMA)
+
+
+def video_near_pairs(fingerprints: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Video near-dup pairs from temporal fingerprints via the shared
+    banded-Hamming engine.  Input (media_id, vfp); output (media_a,
+    media_b, hamming).  Exhaustive at max_hamming ≤ 3 by pigeonhole."""
+    from opentsdb_aura_spark.operators.dedup_text import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        fingerprints,
+        id_col="media_id",
+        hash_col="vfp",
+        max_hamming=max_hamming,
+        out_a="media_a",
+        out_b="media_b",
+    )

@@ -568,3 +568,196 @@ def multimodal_transcode_gif(spark, sf_dir):
         _r(F.col("feat")[3], 6).alias("mean_g"),
         _r(F.col("feat")[4], 6).alias("mean_b"),
     )
+
+
+# ------------------------------------------------- perceptual a/v fingerprints
+
+# Character maps for the planted near-dup transforms (built in Python so
+# the Spark side uses translate() — no engine-specific chr()/ascii()
+# semantics involved; the oracle mirrors with DuckDB's codepoint-based
+# chr/ascii rebuild).  Doc text is ASCII 32..121, so:
+#  - audio polarity inversion: ord -> 160 - ord  (sample s -> -s)
+#  - video brightness shift:   ord -> ord + 1    (every pixel +1)
+_AV_ORDS = range(32, 127)
+_INV_FROM = "".join(chr(c) for c in _AV_ORDS)
+_INV_TO = "".join(chr(160 - c) for c in _AV_ORDS)
+_SHIFT_TO = "".join(chr(c + 1) for c in _AV_ORDS)
+
+# Energy-window sign-bit derivation over corpus(doc_id, text) — mirrors
+# audio_energy_fingerprint exactly: 65 windows, cross-multiplied integer
+# energy compares, empty windows as energy 0 (operators/av.py).
+_AFP_BITS_SQL = """
+d AS (SELECT doc_id, text, length(text) AS L, (doc_id % 64 + 16) * 8 AS n FROM corpus),
+w AS (SELECT doc_id, text, L, n,
+             list_transform(range(0, 66), b -> (b * n) // 65) AS bnd
+      FROM d),
+e AS (SELECT doc_id,
+             list_transform(range(0, 65), k ->
+               coalesce(list_sum(list_transform(range(bnd[k + 1], bnd[k + 2]),
+                 j -> CAST(ascii(substr(text, (j % L) + 1, 1)) - 80 AS BIGINT)
+                      * (ascii(substr(text, (j % L) + 1, 1)) - 80) * 65536)), 0)) AS esum,
+             list_transform(range(0, 65), k -> greatest(bnd[k + 2] - bnd[k + 1], 1)) AS ecnt
+      FROM w),
+bits AS (SELECT doc_id,
+                array_to_string(list_transform(range(0, 64), k ->
+                  CASE WHEN esum[k + 2] * ecnt[k + 1] > esum[k + 1] * ecnt[k + 2]
+                       THEN '1' ELSE '0' END), '') AS b
+         FROM e)
+"""
+
+# Temporal luma-delta derivation over corpus(doc_id, text) — mirrors
+# video_temporal_fingerprint: bit f = luma_sum[f+1] > luma_sum[f] for the
+# first 64 transitions, zero-filled beyond the clip.
+_VFP_BITS_SQL = """
+d AS (SELECT doc_id, text, length(text) AS L,
+             doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h, (doc_id % 10 + 3) * 6 AS nf
+      FROM corpus),
+s AS (SELECT doc_id, nf,
+             list_transform(range(0, nf), f ->
+               list_sum(list_transform(range(0, w * h),
+                 j -> ascii(substr(text, ((f * w * h + j) % L) + 1, 1)) % 256))) AS fsum
+      FROM d),
+bits AS (SELECT doc_id,
+                array_to_string(list_transform(range(0, 64), k ->
+                  CASE WHEN k + 2 <= nf AND fsum[k + 2] > fsum[k + 1]
+                       THEN '1' ELSE '0' END), '') AS b
+         FROM s)
+"""
+
+_BANDED_PAIRS_SQL = """
+SELECT CAST(a.doc_id AS BIGINT) AS media_a, CAST(c.doc_id AS BIGINT) AS media_b,
+       CAST(len(list_filter(range(1, 65), k -> substr(a.b, k, 1) != substr(c.b, k, 1)))
+            AS INTEGER) AS hamming
+FROM bits a JOIN bits c ON a.doc_id < c.doc_id
+WHERE len(list_filter(range(1, 65), k -> substr(a.b, k, 1) != substr(c.b, k, 1))) <= 3
+"""
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    f"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+{_AFP_BITS_SQL}
+SELECT doc_id AS media_id, b AS afp_bits FROM bits""",
+)
+def multimodal_audio_fingerprint(spark, sf_dir):
+    """Perceptual audio fingerprint (energy-delta sign hash — the
+    scalar simplification of the Haitsma-Kallmus robust-hash family),
+    hash-checked end-to-end: decode every real WAV, split into 65 time
+    windows, compare window energies as cross-multiplied INTEGER sums
+    (never floating means), emit the 64 delta-sign bits.  The sample
+    rule is SQL-expressible, so the oracle recomputes every bit — the
+    RIFF parse, window boundaries (floor(w*n/65)), int64 energy sums,
+    and bit order must ALL match exactly.  ``scale=8`` lengthens each
+    clip so all 65 windows hold >=1 sample."""
+    from opentsdb_aura_spark.operators.av import attach_audio_media, audio_energy_fingerprint
+
+    media = attach_audio_media(docs_raw(spark, sf_dir).where(F.col("doc_id") < 100), scale=8)
+    return audio_energy_fingerprint(media).select("media_id", "afp_bits")
+
+
+@register(
+    "multimodal_audio_near_pairs",
+    f"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 9600,
+         array_to_string(list_transform(range(1, length(text) + 1),
+           i -> chr(160 - ascii(substr(text, i, 1)))), '')
+  FROM base WHERE doc_id < 150),
+{_AFP_BITS_SQL}
+{_BANDED_PAIRS_SQL}""",
+)
+def multimodal_audio_near_pairs(spark, sf_dir):
+    """Audio near-dup pairs (banded Hamming <= 3 over the energy
+    fingerprints) with a FULL value-hash oracle: at 4 bands and
+    max_hamming=3 the banded join is exhaustive by pigeonhole, and the
+    bit strings are SQL-derivable, so a DuckDB self-join with a
+    character-diff Hamming recomputes the whole pair set.  The corpus
+    plants POLARITY-INVERTED copies (every doc < 150 re-appears with
+    each sample negated via ord -> 160-ord, id shifted by 9600 — a
+    multiple of 64 and 4, so clip length and rate are preserved): an
+    inaudible transform that defeats exact-hash dedup but lands at
+    Hamming 0 here because window energies are squares.  Planted-pair
+    recall at unit scale is asserted in tests/test_pipeline_ops.py."""
+    from opentsdb_aura_spark.operators.av import (
+        attach_audio_media,
+        audio_energy_fingerprint,
+        audio_near_pairs,
+    )
+
+    base = docs_raw(spark, sf_dir).where(F.col("doc_id") < 300).select("doc_id", "text")
+    inverted = base.where(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 9600).alias("doc_id"),
+        F.translate("text", _INV_FROM, _INV_TO).alias("text"),
+    )
+    media = attach_audio_media(base.unionByName(inverted), scale=8)
+    return audio_near_pairs(audio_energy_fingerprint(media), max_hamming=3)
+
+
+@register(
+    "multimodal_video_fingerprint",
+    f"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+{_VFP_BITS_SQL}
+SELECT doc_id AS media_id, b AS vfp_bits FROM bits""",
+)
+def multimodal_video_fingerprint(spark, sf_dir):
+    """Perceptual video fingerprint (temporal luma-delta sign hash —
+    the time-axis analogue of image dHash), hash-checked end-to-end:
+    parse every real Y4M stream, sum each frame's luma plane as exact
+    integers, emit bit f = sum[f+1] > sum[f] for the first 64
+    transitions (zero-filled beyond the clip).  The frame-pixel rule
+    is SQL-expressible, so the oracle recomputes every bit — container
+    parse, frame slicing, integer sums, bit order, and the zero-fill
+    contract all value-checked.  ``frames_scale=6`` lengthens clips so
+    ids with id%10 >= 8 carry >= 65 frames (all 64 bits real)."""
+    from opentsdb_aura_spark.operators.av import attach_video_media, video_temporal_fingerprint
+
+    media = attach_video_media(
+        docs_raw(spark, sf_dir).where(F.col("doc_id") < 100), frames_scale=6
+    )
+    return video_temporal_fingerprint(media).select("media_id", "vfp_bits")
+
+
+@register(
+    "multimodal_video_near_pairs",
+    f"""WITH base AS (SELECT doc_id, text FROM documents
+              WHERE doc_id < 500 AND doc_id % 10 >= 8),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 9600,
+         array_to_string(list_transform(range(1, length(text) + 1),
+           i -> chr(ascii(substr(text, i, 1)) + 1)), '')
+  FROM base WHERE doc_id < 250),
+{_VFP_BITS_SQL}
+{_BANDED_PAIRS_SQL}""",
+)
+def multimodal_video_near_pairs(spark, sf_dir):
+    """Video near-dup pairs (banded Hamming <= 3 over the temporal
+    fingerprints) with a FULL value-hash oracle (same pigeonhole +
+    SQL-derivable-bits argument as the audio twin).  The corpus is
+    restricted to clips with >= 65 frames (id%10 >= 8 at
+    frames_scale=6) — shorter clips share zero-filled tail bands, the
+    degenerate-band hazard the dHash surface documents — and plants
+    BRIGHTNESS-SHIFTED copies (every pixel +1 via ord -> ord+1, id
+    shifted by 9600, a multiple of lcm(8,6,10), preserving geometry):
+    a re-encode transform that defeats exact hashing but shifts every
+    frame sum equally, landing at Hamming 0."""
+    from opentsdb_aura_spark.operators.av import (
+        attach_video_media,
+        video_near_pairs,
+        video_temporal_fingerprint,
+    )
+
+    base = (
+        docs_raw(spark, sf_dir)
+        .where((F.col("doc_id") < 500) & (F.col("doc_id") % 10 >= 8))
+        .select("doc_id", "text")
+    )
+    shifted = base.where(F.col("doc_id") < 250).select(
+        (F.col("doc_id") + 9600).alias("doc_id"),
+        F.translate("text", _INV_FROM, _SHIFT_TO).alias("text"),
+    )
+    media = attach_video_media(base.unionByName(shifted), frames_scale=6)
+    return video_near_pairs(video_temporal_fingerprint(media), max_hamming=3)

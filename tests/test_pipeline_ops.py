@@ -1672,3 +1672,179 @@ def test_transcode_and_dhash_error_contracts(spark):
     assert got[7]["error"] is not None and got[7]["dhash"] is None
     # NULL hashes never reach the band join
     assert dhash_near_pairs(image_dhash(both, skip_errors=True), max_hamming=64).count() == 0
+
+
+# ------------------------------------------------- perceptual a/v fingerprints
+
+
+MEDIA_DDL = "media_id long, kind string, payload binary, width int, height int, sample_rate int, n_frames int"
+
+
+def _audio_rows(clips):
+    from opentsdb_aura_spark.operators.av import encode_wav
+
+    return [
+        (mid, "audio", bytearray(encode_wav(8000, smp)), 0, 0, 8000, 0)
+        for mid, smp in clips
+    ]
+
+
+def _afp_reference(samples):
+    """Direct recompute of the energy-delta sign bits (the docstring
+    contract), independent of the vectorized cumsum implementation."""
+    n = len(samples)
+    sums, cnts = [], []
+    for w in range(65):
+        lo, hi = w * n // 65, (w + 1) * n // 65
+        sums.append(sum(int(s) * int(s) for s in samples[lo:hi]))
+        cnts.append(max(hi - lo, 1))
+    return "".join(
+        "1" if sums[k + 1] * cnts[k] > sums[k] * cnts[k + 1] else "0" for k in range(64)
+    )
+
+
+def test_audio_fingerprint_bits_and_polarity_invariance(spark):
+    """(a) the emitted bit string matches a direct recompute of the
+    window-energy delta signs; (b) POLARITY INVERSION (s -> -s, which
+    defeats exact-hash dedup) lands at Hamming 0 and the banded pair
+    join finds it; (c) an unrelated clip stays far; (d) the int64 pack
+    agrees bit-for-bit with the bit string (bit k = LSB k)."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.av import audio_energy_fingerprint, audio_near_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-12000, 12000, 400).astype(np.int16)
+    other = rng.integers(-12000, 12000, 400).astype(np.int16)
+    media = spark.createDataFrame(
+        _audio_rows([(0, base), (1, (-base).astype(np.int16)), (2, other)]), MEDIA_DDL
+    )
+    got = {r["media_id"]: r for r in audio_energy_fingerprint(media).collect()}
+    assert got[0]["afp_bits"] == _afp_reference(base)
+    assert got[2]["afp_bits"] == _afp_reference(other)
+    assert got[1]["afp_bits"] == got[0]["afp_bits"] and got[1]["afp"] == got[0]["afp"]
+    d02 = bin((got[0]["afp"] ^ got[2]["afp"]) & (2**64 - 1)).count("1")
+    assert d02 > 16, d02
+    for r in got.values():
+        packed = r["afp"] & (2**64 - 1)
+        assert r["afp_bits"] == "".join(str((packed >> k) & 1) for k in range(64))
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in audio_near_pairs(audio_energy_fingerprint(media), max_hamming=3).collect()
+    }
+    assert pairs == {(0, 1): 0}
+
+
+def test_audio_fingerprint_short_clip_and_guard(spark):
+    """Clips shorter than 65 samples have empty windows (energy 0 —
+    documented contract; the reference recompute uses the same rule),
+    and the 65-window contract is enforced."""
+    import numpy as np
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.av import audio_energy_fingerprint
+
+    short = np.array([100, -200, 300, 50, -40, 7, 9, -9], dtype=np.int16)
+    media = spark.createDataFrame(_audio_rows([(0, short)]), MEDIA_DDL)
+    (row,) = audio_energy_fingerprint(media).collect()
+    assert row["afp_bits"] == _afp_reference(short)
+    with _pytest.raises(ValueError, match="n_windows"):
+        audio_energy_fingerprint(media, n_windows=64)
+
+
+def test_audio_fingerprint_skip_errors(spark):
+    """Error-ROW contract: an undecodable payload yields a NULL-hash
+    row carrying the exception text (self-excluded from banding);
+    without skip_errors the stage raises."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.av import audio_energy_fingerprint, audio_near_pairs
+
+    rng = np.random.default_rng(3)
+    media = spark.createDataFrame(
+        _audio_rows([(0, rng.integers(-100, 100, 200).astype(np.int16))]), MEDIA_DDL
+    )
+    corrupted = media.withColumn("payload", F.expr("substring(payload, 1, 5)"))
+    both = media.unionByName(corrupted.withColumn("media_id", F.lit(7)))
+    got = {r["media_id"]: r for r in audio_energy_fingerprint(both, skip_errors=True).collect()}
+    assert got[0]["error"] is None and got[0]["afp"] is not None
+    assert got[7]["error"] is not None and got[7]["afp"] is None
+    assert audio_near_pairs(
+        audio_energy_fingerprint(both, skip_errors=True), max_hamming=64
+    ).count() == 0
+    with _pytest.raises(Exception):
+        audio_energy_fingerprint(both).collect()
+
+
+def _video_rows(clips, w, h):
+    from opentsdb_aura_spark.operators.av import encode_y4m
+
+    return [
+        (mid, "video", bytearray(encode_y4m(w, h, frames)), w, h, 0, len(frames))
+        for mid, frames in clips
+    ]
+
+
+def test_video_fingerprint_brightness_invariance_and_zero_fill(spark):
+    """(a) the temporal luma-delta bits match a direct recompute;
+    (b) a UNIFORM BRIGHTNESS SHIFT (every pixel +40 — a re-encode
+    transform that defeats exact hashing) lands at Hamming 0 and the
+    banded join finds the pair; (c) clips with fewer than 65 frames
+    zero-fill the remaining bits; (d) an unrelated clip stays far."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.av import (
+        video_near_pairs,
+        video_temporal_fingerprint,
+    )
+
+    rng = np.random.default_rng(5)
+    w, h = 6, 4
+    base = [rng.integers(0, 200, w * h).astype(np.uint8).tobytes() for _ in range(70)]
+    shifted = [bytes(min(b + 40, 255) for b in fr) for fr in base]  # no saturation: max 239
+    other = [rng.integers(0, 200, w * h).astype(np.uint8).tobytes() for _ in range(70)]
+    short = base[:10]
+    media = spark.createDataFrame(
+        _video_rows([(0, base), (1, shifted), (2, other), (3, short)], w, h), MEDIA_DDL
+    )
+    got = {r["media_id"]: r for r in video_temporal_fingerprint(media).collect()}
+
+    def ref_bits(frames):
+        sums = [sum(fr) for fr in frames]
+        bits = ["1" if sums[f + 1] > sums[f] else "0" for f in range(min(64, len(sums) - 1))]
+        return "".join(bits) + "0" * (64 - len(bits))
+
+    assert got[0]["vfp_bits"] == ref_bits(base)
+    assert got[1]["vfp_bits"] == got[0]["vfp_bits"] and got[1]["vfp"] == got[0]["vfp"]
+    assert got[3]["vfp_bits"] == ref_bits(short)
+    assert got[3]["vfp_bits"][9:] == "0" * 55  # 10 frames -> 9 real bits
+    d02 = bin((got[0]["vfp"] ^ got[2]["vfp"]) & (2**64 - 1)).count("1")
+    assert d02 > 16, d02
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in video_near_pairs(video_temporal_fingerprint(media), max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0 and (0, 2) not in pairs
+
+
+def test_video_fingerprint_skip_errors(spark):
+    """Same error-ROW contract as the audio leg."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.av import video_temporal_fingerprint
+
+    rng = np.random.default_rng(6)
+    w, h = 4, 3
+    frames = [rng.integers(0, 255, w * h).astype(np.uint8).tobytes() for _ in range(5)]
+    media = spark.createDataFrame(_video_rows([(0, frames)], w, h), MEDIA_DDL)
+    corrupted = media.withColumn("payload", F.expr("substring(payload, 1, 9)"))
+    both = media.unionByName(corrupted.withColumn("media_id", F.lit(7)))
+    got = {r["media_id"]: r for r in video_temporal_fingerprint(both, skip_errors=True).collect()}
+    assert got[0]["error"] is None and got[0]["vfp"] is not None
+    assert got[7]["error"] is not None and got[7]["vfp"] is None
+    with _pytest.raises(Exception):
+        video_temporal_fingerprint(both).collect()

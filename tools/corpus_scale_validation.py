@@ -12,6 +12,8 @@ curation operators at a volume where a wrong plan is minutes:
 - exact-verify LSH twin (banded candidates → exact Jaccard)
 - mixed-JPEG codec throughput (encode + decode in mapInPandas)
 - 100k-image dHash → banded Hamming near-dup pairs (planted recall)
+- 100k-clip audio energy-fingerprint near-dup (polarity-inverted plants)
+- 50k-clip video temporal-fingerprint near-dup (brightness-shift plants)
 
 Usage: python tools/corpus_scale_validation.py [n_docs_million=2] [n_vec_million=1]
 """
@@ -196,6 +198,125 @@ def main() -> None:
     )
     assert timings["dhash_recall"] >= 0.99, "banded dHash missed planted near-dups"
     assert n_dpairs <= expected_img + 50, "unexpected non-planted dHash pairs"
+
+    # ---- round 6: perceptual AUDIO near-dup at scale — 100k 400-sample
+    # WAV clips with pseudo-random samples, every 101st a POLARITY-
+    # INVERTED copy of its predecessor (s -> -s: inaudible, defeats
+    # exact-hash dedup, provably Hamming 0 under the energy fingerprint
+    # because window energies are squares).  Recall is asserted and the
+    # pair count guards against an all-pairs blowup, mirroring the
+    # image stage above.
+    from opentsdb_aura_spark.operators.av import (
+        audio_energy_fingerprint,
+        audio_near_pairs,
+        video_near_pairs,
+        video_temporal_fingerprint,
+    )
+
+    def _wav_op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from opentsdb_aura_spark.operators.av import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                is_dup = mid % 101 == 0 and mid > 0
+                base = mid - 1 if is_dup else mid
+                # bounded away from -32768 so negation stays in int16
+                smp = np.random.default_rng(base).integers(-30000, 30000, 400).astype(np.int16)
+                if is_dup:
+                    smp = (-smp).astype(np.int16)
+                payloads.append(encode_wav(8000, smp))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    t0 = time.perf_counter()
+    clips = docs.where(F.col("doc_id") < n_img).mapInPandas(
+        _wav_op, schema="media_id bigint, kind string, payload binary"
+    )
+    apairs = audio_near_pairs(audio_energy_fingerprint(clips), max_hamming=3).localCheckpoint()
+    n_apairs = apairs.count()
+    a_planted = apairs.where(
+        (F.col("media_b") == F.col("media_a") + 1)
+        & (F.col("media_b") % 101 == 0)
+        & (F.col("hamming") == 0)
+    ).count()
+    expected_a = (n_img - 1) // 101
+    timings["audio_fp_near_pairs_100k"] = round(time.perf_counter() - t0, 2)
+    timings["audio_fp_pairs_found"] = n_apairs
+    timings["audio_fp_planted_found"] = a_planted
+    timings["audio_fp_recall"] = round(a_planted / expected_a, 4) if expected_a else 1.0
+    print(
+        f"# audio_fp_near_pairs_100k: {timings['audio_fp_near_pairs_100k']}s "
+        f"({n_apairs} pairs, recall {timings['audio_fp_recall']})",
+        file=sys.stderr,
+    )
+    assert timings["audio_fp_recall"] == 1.0, "polarity-inverted twin must land at Hamming 0"
+    assert n_apairs <= expected_a + 50, "unexpected non-planted audio pairs"
+
+    # ---- round 6: perceptual VIDEO near-dup at scale — 50k 70-frame
+    # 8×6 Y4M clips, every 101st a +32-BRIGHTNESS copy of its
+    # predecessor (every pixel shifted equally: frame-sum deltas — and
+    # hence all 64 temporal bits — are unchanged, so the planted pair
+    # sits at Hamming 0; pixels capped ≤ 223 so +32 never saturates).
+    def _y4m_op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from opentsdb_aura_spark.operators.av import encode_y4m
+
+        W, H, NF = 8, 6, 70
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                is_dup = mid % 101 == 0 and mid > 0
+                base = mid - 1 if is_dup else mid
+                px = np.random.default_rng(base).integers(0, 224, NF * W * H, dtype=np.uint8)
+                if is_dup:
+                    px = px + 32  # uniform brightness shift, no wrap (< 256)
+                frames = [px[f * W * H : (f + 1) * W * H].tobytes() for f in range(NF)]
+                payloads.append(encode_y4m(W, H, frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "video",
+                    "payload": payloads,
+                }
+            )
+
+    n_vid = min(50_000, n_docs)
+    t0 = time.perf_counter()
+    vids = docs.where(F.col("doc_id") < n_vid).mapInPandas(
+        _y4m_op, schema="media_id bigint, kind string, payload binary"
+    )
+    vpairs = video_near_pairs(video_temporal_fingerprint(vids), max_hamming=3).localCheckpoint()
+    n_vpairs = vpairs.count()
+    v_planted = vpairs.where(
+        (F.col("media_b") == F.col("media_a") + 1)
+        & (F.col("media_b") % 101 == 0)
+        & (F.col("hamming") == 0)
+    ).count()
+    expected_v = (n_vid - 1) // 101
+    timings["video_fp_near_pairs_50k"] = round(time.perf_counter() - t0, 2)
+    timings["video_fp_pairs_found"] = n_vpairs
+    timings["video_fp_planted_found"] = v_planted
+    timings["video_fp_recall"] = round(v_planted / expected_v, 4) if expected_v else 1.0
+    print(
+        f"# video_fp_near_pairs_50k: {timings['video_fp_near_pairs_50k']}s "
+        f"({n_vpairs} pairs, recall {timings['video_fp_recall']})",
+        file=sys.stderr,
+    )
+    assert timings["video_fp_recall"] == 1.0, "brightness-shifted twin must land at Hamming 0"
+    assert n_vpairs <= expected_v + 50, "unexpected non-planted video pairs"
 
     # ---- vectors: 32-d deterministic embeddings, 100 queries
     vecs = spark.range(n_vec, numPartitions=64).select(

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "multimodal_gif_frames",
     "multimodal_audio_near_pairs",
     "multimodal_video_near_pairs",
+    "multimodal_dhash_index_probe",
 ]
 
 

@@ -641,6 +641,32 @@ def simhash(
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def _band_rows(fingerprints: DataFrame, *, id_col: str, hash_col: str) -> DataFrame:
+    """Explode 64-bit fingerprints into their four 16-bit bands —
+    (_id, _h, band, bh), 4 rows per fingerprint.  The shared banding
+    step of :func:`banded_hamming_pairs` and the persisted fingerprint
+    index.  Rows with a NULL hash (skip_errors error rows) are
+    excluded up front."""
+    fp = fingerprints.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    return fp.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("_h"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_h", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
 def banded_hamming_pairs(
     fingerprints: DataFrame,
     *,
@@ -658,24 +684,7 @@ def banded_hamming_pairs(
     the exact ``bit_count`` Hamming filter.  Rows with a NULL hash are
     excluded up front (error rows from skip_errors stages).  Returns
     (out_a, out_b, hamming)."""
-    fp = fingerprints.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
-    )
-    banded = fp.select(
-        "_id",
-        "_h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("_h"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("_id", "_h", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    banded = _band_rows(fingerprints, id_col=id_col, hash_col=hash_col)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -697,6 +706,130 @@ def banded_hamming_pairs(
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= F.lit(max_hamming))
         .select(out_a, out_b, "hamming")
+    )
+
+
+def update_fingerprint_index(
+    fingerprints: DataFrame,
+    path: str,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "fp",
+) -> DataFrame:
+    """Incremental BANDED fingerprint index at ``path`` — the
+    perceptual-hash analogue of :func:`update_minhash_index`, shared by
+    every 64-bit fingerprint surface (image dHash, audio energy, video
+    temporal, SimHash).  The index stores the band explosion AT REST —
+    rows (_id, _h, bh) partitioned by ``band`` (4 directories) and
+    sorted by ``bh`` within each write, so parquet row-group stats let
+    a probe's band-key filter skip most of the corpus without
+    re-banding it per batch.  New ids are anti-joined against the
+    existing index (a crawl increment is a sliver of the corpus) and
+    appended; the first call creates the index.  Returns the refreshed
+    index DataFrame.  (At 100 TB a production layout would additionally
+    bucket each band directory by a bh prefix; the probe-side plumbing
+    below is unchanged by that.)
+
+    The anti-join sits ABOVE the caller's fingerprint computation in
+    the plan, so an expensive fingerprint stage (media decode) still
+    runs for already-indexed rows before they are dropped.  For
+    costly pipelines, anti-join the RAW batch on id against
+    ``spark.read.parquet(path).select('_id')`` first and fingerprint
+    only the remainder — this operator's own anti-join is then a
+    no-op safety net (the pattern ``update_minhash_index`` bakes in
+    by taking docs rather than signatures)."""
+    spark = fingerprints.sparkSession
+    # existence through Spark, not os.path — the index lives wherever
+    # the warehouse does (HDFS/S3 at scale).  No distinct() on the id
+    # side: anti-join semantics don't need it and it would shuffle the
+    # whole index id column per increment.
+    try:
+        have = spark.read.parquet(path).select("_id")
+    except Exception:  # AnalysisException: PATH_NOT_FOUND on first call
+        have = None
+    fps = fingerprints.where(F.col(hash_col).isNotNull())
+    if have is not None:
+        fresh = fps.join(have, fps[id_col] == have["_id"], "left_anti")
+    else:
+        fresh = fps
+    # range-partition by (band, bh): parallel writers per band AND
+    # disjoint sorted bh ranges per file, so the probe's band-key
+    # filter skips whole files via row-group stats
+    _band_rows(fresh, id_col=id_col, hash_col=hash_col).repartitionByRange(
+        "band", "bh"
+    ).sortWithinPartitions("band", "bh").write.mode("append").partitionBy("band").parquet(path)
+    return spark.read.parquet(path)
+
+
+def probe_fingerprint_index(
+    spark,
+    path: str,
+    probe: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "fp",
+    max_hamming: int = 3,
+    pushdown_cap: int = 4096,
+    cache_probe: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the persisted corpus
+    index, without re-fingerprinting or re-banding the corpus: the
+    index is already band-exploded, the (small) probe batch is banded
+    on the fly and joined on (band, bh) — probe size is caller-bound,
+    not structural, so broadcasting is left to AQE, which converts the
+    join at runtime when the probe side is in fact small.  When
+    the probe touches ≤ ``pushdown_cap`` distinct band keys, they are
+    pushed into the index scan as an ``isin`` filter — with the index
+    sorted by ``bh`` inside each band directory, parquet row-group
+    stats skip the untouched key ranges (the banded analogue of the
+    IVF index's probed-list partition pruning).  The collect behind
+    that filter is bounded by ``pushdown_cap + 1`` rows by
+    construction.  Probe rows whose id already exists in the index
+    only report OTHER ids (self-pairs are excluded), so re-crawled
+    batches don't flag themselves.  Returns (probe_id, index_id,
+    hamming) at Hamming ≤ ``max_hamming`` (exhaustive for
+    ``max_hamming`` ≤ 3 by the 4-band pigeonhole).
+
+    ``cache_probe`` (default on) persists the banded probe rows —
+    4 rows of 3 ints per probe fingerprint, evictable, auto-released
+    when the result is garbage-collected — because the probe pipeline
+    runs twice otherwise (once for the band-key collect, once in the
+    join), and upstream fingerprinting may involve media decode.
+
+    Probing a not-yet-created index returns an empty pair set (the
+    first micro-batch of a stream has no prior corpus to match)."""
+    try:
+        idx = spark.read.parquet(path)
+    except Exception:  # AnalysisException: PATH_NOT_FOUND — empty corpus
+        return spark.createDataFrame(
+            [], "probe_id bigint, index_id bigint, hamming integer"
+        )
+    pb = _band_rows(probe, id_col=id_col, hash_col=hash_col)
+    if cache_probe:
+        pb = pb.persist()
+    keys = [r["bh"] for r in pb.select("bh").distinct().limit(pushdown_cap + 1).collect()]
+    if len(keys) <= pushdown_cap:
+        idx = idx.where(F.col("bh").isin(keys))
+    cand = (
+        idx.alias("i")
+        .join(
+            pb.alias("p"),
+            (F.col("i.band") == F.col("p.band"))
+            & (F.col("i.bh") == F.col("p.bh"))
+            & (F.col("i._id") != F.col("p._id")),
+        )
+        .select(
+            F.col("p._id").alias("probe_id"),
+            F.col("i._id").alias("index_id"),
+            F.col("p._h").alias("ph"),
+            F.col("i._h").alias("ih"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ph").bitwiseXOR(F.col("ih"))))
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("probe_id", "index_id", "hamming")
     )
 
 

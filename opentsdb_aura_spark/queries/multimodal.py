@@ -761,3 +761,93 @@ def multimodal_video_near_pairs(spark, sf_dir):
     )
     media = attach_video_media(base.unionByName(shifted), frames_scale=6)
     return video_near_pairs(video_temporal_fingerprint(media), max_hamming=3)
+
+
+@register(
+    "multimodal_dhash_index_probe",
+    """WITH slice AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 500 AND doc_id % 16 + 1 >= 9 AND doc_id % 12 + 1 >= 8),
+corpus AS (
+  SELECT doc_id, text, 0 AS is_probe FROM slice
+  UNION ALL
+  SELECT doc_id + 9600, text, 1 FROM slice WHERE doc_id < 120
+  UNION ALL
+  SELECT doc_id + 19200,
+         chr(33 + (ascii(substr(text, 1, 1)) + 7) % 90) || substr(text, 2), 1
+  FROM slice WHERE doc_id >= 120 AND doc_id < 240),
+d AS (
+  SELECT doc_id, is_probe, text, length(text) AS L,
+         doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+  FROM corpus),
+px AS (
+  SELECT doc_id, is_probe,
+         list_transform(range(0, 8), i ->
+           list_transform(range(0, 9), j ->
+             ( ascii(substr(text, ((((i * h // 8) * w + (j * w // 9)) * 3    ) % L) + 1, 1))
+             + ascii(substr(text, ((((i * h // 8) * w + (j * w // 9)) * 3 + 1) % L) + 1, 1))
+             + ascii(substr(text, ((((i * h // 8) * w + (j * w // 9)) * 3 + 2) % L) + 1, 1))
+             ) // 3)) AS grid
+  FROM d),
+bits AS (
+  SELECT doc_id, is_probe,
+         array_to_string(list_transform(range(0, 64), k ->
+           CASE WHEN grid[k // 8 + 1][k % 8 + 2] > grid[k // 8 + 1][k % 8 + 1]
+                THEN '1' ELSE '0' END), '') AS b
+  FROM px)
+SELECT CAST(p.doc_id AS BIGINT) AS probe_id, CAST(i.doc_id AS BIGINT) AS index_id,
+       CAST(len(list_filter(range(1, 65), k -> substr(p.b, k, 1) != substr(i.b, k, 1)))
+            AS INTEGER) AS hamming
+FROM bits p JOIN bits i ON p.is_probe = 1 AND i.is_probe = 0
+WHERE len(list_filter(range(1, 65), k -> substr(p.b, k, 1) != substr(i.b, k, 1))) <= 2""",
+)
+def multimodal_dhash_index_probe(spark, sf_dir):
+    """The INCREMENTAL near-dup surface: a persisted banded dHash
+    index (built in two batches — the second `update` call anti-joins
+    the already-indexed half, exercising the crawl-increment path)
+    probed by a NEW batch of exact and perturbed copies, with a FULL
+    value-hash oracle: probe×index pairs at Hamming ≤ 2 are exhaustive
+    by the 4-band pigeonhole, and both sides' bit strings are
+    SQL-derivable from the pixel rule, so a DuckDB join over the
+    derived corpora recomputes the entire answer.  The probe's band
+    keys push down into the index scan (parquet row-group skip on the
+    band-sorted layout) — the banded analogue of the IVF index's
+    probed-list pruning, asserted in
+    tests/test_pipeline_ops.py::test_fingerprint_index_incremental_probe_and_pushdown."""
+    import os
+
+    from opentsdb_aura_spark.operators.dedup_text import (
+        probe_fingerprint_index,
+        update_fingerprint_index,
+    )
+    from opentsdb_aura_spark.operators.multimodal import attach_image_media, image_dhash
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    big = (F.col("doc_id") % 16 + 1 >= 9) & (F.col("doc_id") % 12 + 1 >= 8)
+    base = (
+        docs_raw(spark, sf_dir)
+        .where((F.col("doc_id") < 500) & big)
+        .select("doc_id", "text")
+    )
+    sfb = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(STORE_ROOT, sfb, "fp_index_dhash_v1")
+    if not os.path.exists(path):
+        update_fingerprint_index(
+            image_dhash(attach_image_media(base.where(F.col("doc_id") < 250))),
+            path,
+            hash_col="dhash",
+        )
+    # incremental append: only not-yet-indexed ids are fingerprint-banded
+    update_fingerprint_index(image_dhash(attach_image_media(base)), path, hash_col="dhash")
+
+    exact = base.where(F.col("doc_id") < 120).select(
+        (F.col("doc_id") + 9600).alias("doc_id"), "text"
+    )
+    pert = base.where((F.col("doc_id") >= 120) & (F.col("doc_id") < 240)).select(
+        (F.col("doc_id") + 19200).alias("doc_id"),
+        F.expr(
+            "concat(chr(33 + (ascii(substring(text, 1, 1)) + 7) % 90), substring(text, 2))"
+        ).alias("text"),
+    )
+    probe_fp = image_dhash(attach_image_media(exact.unionByName(pert)))
+    return probe_fingerprint_index(spark, path, probe_fp, hash_col="dhash", max_hamming=2)

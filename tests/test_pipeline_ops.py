@@ -1848,3 +1848,80 @@ def test_video_fingerprint_skip_errors(spark):
     assert got[7]["error"] is not None and got[7]["vfp"] is None
     with _pytest.raises(Exception):
         video_temporal_fingerprint(both).collect()
+
+
+def test_fingerprint_index_incremental_probe_and_pushdown(spark, tmp_path):
+    """Persisted banded fingerprint index: (1) probe-vs-index pairs
+    equal the all-pairs banded join restricted to probe×index; (2)
+    updating with an already-indexed batch is a no-op (anti-join —
+    no duplicate band rows); (3) appending a second batch extends the
+    probe's reach; (4) an id present in BOTH probe and index never
+    pairs with itself; (5) the probe's band keys reach the index scan
+    as a pushed filter."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.dedup_text import (
+        banded_hamming_pairs,
+        probe_fingerprint_index,
+        update_fingerprint_index,
+    )
+
+    def signed(v):
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    def fps(rows):
+        return spark.createDataFrame(
+            [(i, signed(h)) for i, h in rows], "media_id long, fp long"
+        )
+
+    # hand-built fingerprints: neighbors at Hamming 1/2 of a base, plus far ones
+    base = 0x123456789ABCDEF0
+    batch1 = fps([(0, base), (1, base ^ 1), (2, base ^ 0x8000000000000000), (3, -1)])
+    batch2 = fps([(4, base ^ 3), (5, 0x00FF00FF00FF00FF)])
+    path = str(tmp_path / "fpidx")
+
+    idx1 = update_fingerprint_index(batch1, path)
+    assert idx1.count() == 4 * 4  # 4 fingerprints × 4 band rows
+
+    # no-op re-update: same ids anti-joined away
+    assert update_fingerprint_index(batch1, path).count() == 16
+
+    probe = fps([(100, base ^ 2), (3, -1), (101, 0x5555555555555555)])
+    got = {
+        (r["probe_id"], r["index_id"]): r["hamming"]
+        for r in probe_fingerprint_index(spark, path, probe, max_hamming=3).collect()
+    }
+    # equivalence with the all-pairs engine restricted to probe×index
+    allp = banded_hamming_pairs(
+        batch1.unionByName(probe.where(F.col("media_id") >= 100)),
+        id_col="media_id",
+        hash_col="fp",
+        max_hamming=3,
+        out_a="a",
+        out_b="b",
+    )
+    want = {}
+    for r in allp.collect():
+        pa, pb = sorted([r["a"], r["b"]])
+        if pb >= 100 and pa < 100:  # probe×index only
+            want[(pb, pa)] = r["hamming"]
+    # id 3 is in both probe and index: no self-pair, but its far hash
+    # also matches nothing else at ≤3
+    assert got == want and (3, 3) not in got
+    assert got[(100, 0)] == 1 and got[(100, 1)] == 2 and got[(100, 2)] == 2
+
+    # append batch2 → probe now reaches the new fingerprints
+    update_fingerprint_index(batch2, path)
+    got2 = {
+        (r["probe_id"], r["index_id"]): r["hamming"]
+        for r in probe_fingerprint_index(spark, path, probe, max_hamming=3).collect()
+    }
+    assert got2[(100, 4)] == 1 and set(got) <= set(got2)  # (base^2) xor (base^3) = 1
+
+    # pushed band-key filter on the index scan
+    plan_df = probe_fingerprint_index(spark, path, probe, max_hamming=3)
+    plan = plan_df._sc._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "bh" in plan.split("PushedFilters")[1][:200], plan

@@ -237,3 +237,72 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_near_dup(
+    stream_fps: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "fp",
+    max_hamming: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Cross-batch STREAMING near-dup detection over any 64-bit
+    fingerprint stream (image dHash, audio energy, video temporal,
+    SimHash) — the crawl-pipeline composition of the persisted banded
+    index: each micro-batch is
+
+    1. probed against the index (pairs vs EVERY prior batch, without
+       re-banding the accumulated corpus — the index stores its band
+       explosion at rest),
+    2. self-joined for intra-batch pairs (the probe can't see rows
+       that arrive together), and
+    3. appended to the index (anti-join keeps re-deliveries out),
+
+    so every near-dup pair is reported exactly when its LATER member
+    arrives, and per-batch work scales with the batch, not the corpus.
+    Pairs append to ``pairs_path`` as (probe_id, index_id, hamming)
+    with probe_id the newer member (intra-batch pairs use the id
+    order).  foreachBatch is at-least-once: a replayed batch re-appends
+    its pair rows (the index itself stays exact via the anti-join) —
+    dedupe downstream on (probe_id, index_id) where exactly-once
+    matters.  Returns the started StreamingQuery."""
+    from opentsdb_aura_spark.operators.dedup_text import (
+        banded_hamming_pairs,
+        probe_fingerprint_index,
+        update_fingerprint_index,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        fps = batch_df.where(F.col(hash_col).isNotNull()).select(id_col, hash_col)
+        if not fps.take(1):
+            return
+        fps = fps.localCheckpoint()  # one upstream pass for 3 consumers
+        spark = batch_df.sparkSession
+        cross = probe_fingerprint_index(
+            spark, index_path, fps, id_col=id_col, hash_col=hash_col, max_hamming=max_hamming
+        )
+        intra = banded_hamming_pairs(
+            fps,
+            id_col=id_col,
+            hash_col=hash_col,
+            max_hamming=max_hamming,
+            out_a="probe_id",
+            out_b="index_id",
+        ).select("probe_id", "index_id", F.col("hamming").cast("int").alias("hamming"))
+        cross.unionByName(intra).write.mode("append").parquet(pairs_path)
+        update_fingerprint_index(fps, index_path, id_col=id_col, hash_col=hash_col)
+
+    writer = (
+        stream_fps.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -577,3 +577,56 @@ def test_merge_dim_same_ts_rewrite_across_batches(spark, tmpdirs):
     row = spark.read.parquet(tmpdirs["dim"]).collect()[0]
     assert row["last_ts"] == BASE + 100
     assert row["last_value"] == 9.0 and row["last_seq"] == 2
+
+
+def test_streaming_near_dup_cross_batch(spark, tmpdirs):
+    """Cross-batch near-dup over a fingerprint stream: batch 1's
+    intra-batch pair is reported immediately; batch 2's member of a
+    cross-batch pair is reported when IT arrives (probed against the
+    persisted index, which by then holds batch 1); re-running the
+    stream with no new input adds nothing; far fingerprints never
+    pair."""
+    from opentsdb_aura_spark.streaming.state import streaming_near_dup
+
+    fp_schema = "media_id long, fp long"
+    base = 0x7123456789ABCDE0
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, fp_schema).coalesce(1).write.parquet(
+            f"{tmpdirs['in']}/{name}"
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(fp_schema).parquet(tmpdirs["in"] + "/*")
+        q = streaming_near_dup(
+            stream,
+            tmpdirs["store"],
+            tmpdirs["out"],
+            tmpdirs["ckpt"],
+            max_hamming=3,
+        )
+        q.awaitTermination(120)
+
+    def pairs():
+        try:
+            return {
+                (r["probe_id"], r["index_id"]): r["hamming"]
+                for r in spark.read.parquet(tmpdirs["out"]).collect()
+            }
+        except Exception:
+            return {}
+
+    # batch 1: 0 and 1 are near (Hamming 1); 2 is far
+    write_batch([(0, base), (1, base ^ 2), (2, -base)], "b1")
+    run_once()
+    assert pairs() == {(0, 1): 1}
+
+    # batch 2: 10 near both 0 and 1 (cross-batch via the index), 11 far
+    write_batch([(10, base ^ 1), (11, 0x0F0F0F0F)], "b2")
+    run_once()
+    got = pairs()
+    assert got == {(0, 1): 1, (10, 0): 1, (10, 1): 2}
+
+    # replaying with no new files adds nothing
+    run_once()
+    assert pairs() == got

@@ -266,7 +266,11 @@ def attach_animated_gif_media(docs: DataFrame, *, id_col: str = "doc_id", text_c
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "kind": "video",
+                    # a DISTINCT kind: the Y4M stages (sample_video_frames,
+                    # video_scene_changes, video_temporal_fingerprint) route
+                    # on kind=='video' and parse YUV4MPEG2 — tagging GIFs
+                    # 'video' would crash any mixed media table fed to them
+                    "kind": "gif",
                     "payload": payloads,
                     "width": pd.Series(ws, dtype="int32"),
                     "height": pd.Series(hs, dtype="int32"),
@@ -315,6 +319,51 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.where(F.col("kind") == "audio").mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def resample_audio(media: DataFrame, target_rate: int, *, skip_errors: bool = False) -> DataFrame:
+    """Sample-rate normalization — the audio leg of corpus format
+    normalization (``multimodal.transcode_images`` for pixels, this
+    for PCM): decode each WAV, NEAREST-NEIGHBOR resample to
+    ``target_rate`` (``out[j] = in[(j*rate)//target_rate]``,
+    ``n_out = max(1, (n*target_rate)//rate)`` — integer floor maps,
+    so the transform is bit-exact and SQL-recomputable; a production
+    deployment swaps in a windowed-sinc kernel through the same
+    surface), re-encode WAV at the target rate.  Output keeps the
+    media schema so any downstream audio stage (features, spectral,
+    fingerprint) runs unchanged on the normalized corpus.
+
+    ``skip_errors`` follows the error-ROW contract: undecodable
+    payloads keep their original payload and carry the exception text
+    in ``error``; decodable rows have ``error`` NULL."""
+    out_schema = MEDIA_SCHEMA + ", error string"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rates, errors = [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    rate, smp = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError) as e:
+                    if not skip_errors:
+                        raise
+                    payloads.append(bytes(payload))
+                    rates.append(0)
+                    errors.append(f"{type(e).__name__}: {e}")
+                    continue
+                n = len(smp)
+                n_out = max(1, (n * target_rate) // rate) if n else 0
+                idx = (np.arange(n_out, dtype=np.int64) * rate) // target_rate
+                payloads.append(encode_wav(target_rate, smp[idx] if n else smp))
+                rates.append(target_rate)
+                errors.append(None)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["sample_rate"] = pd.Series(rates, dtype="int32")
+            out["error"] = pd.Series(errors, dtype="object")
+            yield out
+
+    return media.where(F.col("kind") == "audio").mapInPandas(op, schema=out_schema)
 
 
 FRAME_FEATURE_SCHEMA = (
@@ -367,7 +416,9 @@ def sample_gif_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     (``gif.decode_gif_frames``), keep every Nth frame, emit per-frame
     (dims, pixel count, integer-gray checksum, mean gray).  The 1→many
     fan-out runs inside the Arrow batch; a GIF frame is an RGB canvas,
-    so luma is the integer grayscale (r+g+b)//3 the dHash path uses."""
+    so luma is the integer grayscale (r+g+b)//3 the dHash path uses.
+    Routes on kind=='gif' (animated GIFs carry their own kind so the
+    Y4M-parsing video stages never see them in a mixed table)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from opentsdb_aura_spark.operators.gif import decode_gif_frames
@@ -403,7 +454,7 @@ def sample_gif_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 }
             )
 
-    return media.where(F.col("kind") == "video").mapInPandas(op, schema=FRAME_FEATURE_SCHEMA)
+    return media.where(F.col("kind") == "gif").mapInPandas(op, schema=FRAME_FEATURE_SCHEMA)
 
 
 SPECTRAL_FEATURE_SCHEMA = (
@@ -571,13 +622,24 @@ def audio_energy_fingerprint(
                     continue
                 s = smp.astype(np.int64)
                 n = len(s)
-                sq = s * s
+                sq = s * s  # ≤ 2^30 per sample; cumsum overflows int64
+                # only past ~8.5e9 samples (~2.7 days at 44.1 kHz/clip)
                 csum = np.concatenate(([0], np.cumsum(sq)))
                 lo = (np.arange(n_windows) * n) // n_windows
                 hi = (np.arange(1, n_windows + 1) * n) // n_windows
-                sums = csum[hi] - csum[lo]
-                cnts = np.maximum(hi - lo, 1)
-                bits = (sums[1:] * cnts[:-1] > sums[:-1] * cnts[1:]).astype(np.uint64)
+                sums = [int(x) for x in csum[hi] - csum[lo]]
+                cnts = [max(int(x), 1) for x in hi - lo]
+                # cross-multiply in PYTHON ints: sum·cnt exceeds int64
+                # once a clip passes ~6M samples (~2 min at 44.1 kHz),
+                # and numpy would wrap silently — 64 comparisons per
+                # clip cost nothing
+                bits = np.array(
+                    [
+                        1 if sums[k + 1] * cnts[k] > sums[k] * cnts[k + 1] else 0
+                        for k in range(64)
+                    ],
+                    dtype=np.uint64,
+                )
                 val = int((bits << np.arange(64, dtype=np.uint64)).sum())
                 if val >= 1 << 63:
                     val -= 1 << 64

@@ -435,6 +435,25 @@ def compute_minhash_index(
     return hashed.groupBy("doc_id").agg(*_perm_min_aggs(num_perm, F.col("h0")))
 
 
+def _read_parquet_if_exists(spark, path: str):
+    """Read a parquet table that may not exist yet, distinguishing
+    'not created' from real failures: only a missing path returns
+    None — any OTHER read error (storage hiccup, corrupted footer,
+    permissions) propagates.  A bare except here would silently turn
+    a transient failure into 'empty corpus', making an index append
+    skip its anti-join (duplicate rows forever) or a probe report
+    zero pairs (near-dups lost for good)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+
 def update_minhash_index(
     docs: DataFrame,
     path: str,
@@ -453,10 +472,8 @@ def update_minhash_index(
     # lives wherever the warehouse does (HDFS/S3 at scale), where a
     # local-path check is always false and every batch would re-sign
     # and append the whole corpus
-    try:
-        have = spark.read.parquet(path).select("doc_id")
-    except Exception:  # AnalysisException: PATH_NOT_FOUND on first call
-        have = None
+    existing = _read_parquet_if_exists(spark, path)
+    have = existing.select("doc_id") if existing is not None else None
     if have is not None:
         fresh = docs.join(have, docs[id_col] == have["doc_id"], "left_anti")
     else:
@@ -743,10 +760,8 @@ def update_fingerprint_index(
     # the warehouse does (HDFS/S3 at scale).  No distinct() on the id
     # side: anti-join semantics don't need it and it would shuffle the
     # whole index id column per increment.
-    try:
-        have = spark.read.parquet(path).select("_id")
-    except Exception:  # AnalysisException: PATH_NOT_FOUND on first call
-        have = None
+    existing = _read_parquet_if_exists(spark, path)
+    have = existing.select("_id") if existing is not None else None
     fps = fingerprints.where(F.col(hash_col).isNotNull())
     if have is not None:
         fresh = fps.join(have, fps[id_col] == have["_id"], "left_anti")
@@ -790,23 +805,30 @@ def probe_fingerprint_index(
     hamming) at Hamming ≤ ``max_hamming`` (exhaustive for
     ``max_hamming`` ≤ 3 by the 4-band pigeonhole).
 
-    ``cache_probe`` (default on) persists the banded probe rows —
-    4 rows of 3 ints per probe fingerprint, evictable, auto-released
-    when the result is garbage-collected — because the probe pipeline
-    runs twice otherwise (once for the band-key collect, once in the
-    join), and upstream fingerprinting may involve media decode.
+    ``cache_probe`` (default on) local-checkpoints the banded probe
+    rows — 4 rows of 3 ints per probe fingerprint, blocks released by
+    the ContextCleaner once the frame is unreachable — because the
+    probe pipeline runs twice otherwise (once for the band-key
+    collect, once in the join), and upstream fingerprinting may
+    involve media decode.  Callers that have already materialized the
+    probe (e.g. a foreachBatch body that checkpointed its batch) pass
+    ``cache_probe=False`` to skip the second checkpoint.
 
     Probing a not-yet-created index returns an empty pair set (the
     first micro-batch of a stream has no prior corpus to match)."""
-    try:
-        idx = spark.read.parquet(path)
-    except Exception:  # AnalysisException: PATH_NOT_FOUND — empty corpus
+    idx = _read_parquet_if_exists(spark, path)
+    if idx is None:  # not created yet — the stream's first micro-batch
         return spark.createDataFrame(
             [], "probe_id bigint, index_id bigint, hamming integer"
         )
     pb = _band_rows(probe, id_col=id_col, hash_col=hash_col)
     if cache_probe:
-        pb = pb.persist()
+        # localCheckpoint, not persist(): SQL-cache entries registered by
+        # persist() live in the CacheManager until an explicit unpersist,
+        # which a fire-and-forget operator cannot schedule — checkpointed
+        # RDD blocks are released by the ContextCleaner when the frame is
+        # garbage-collected.  Bounded: 4 rows of 3 ints per fingerprint.
+        pb = pb.localCheckpoint()
     keys = [r["bh"] for r in pb.select("bh").distinct().limit(pushdown_cap + 1).collect()]
     if len(keys) <= pushdown_cap:
         idx = idx.where(F.col("bh").isin(keys))

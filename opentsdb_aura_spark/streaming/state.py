@@ -264,12 +264,15 @@ def streaming_near_dup(
 
     so every near-dup pair is reported exactly when its LATER member
     arrives, and per-batch work scales with the batch, not the corpus.
-    Pairs append to ``pairs_path`` as (probe_id, index_id, hamming)
-    with probe_id the newer member (intra-batch pairs use the id
-    order).  foreachBatch is at-least-once: a replayed batch re-appends
-    its pair rows (the index itself stays exact via the anti-join) —
-    dedupe downstream on (probe_id, index_id) where exactly-once
-    matters.  Returns the started StreamingQuery."""
+    Re-delivered (already-indexed) ids are dropped BEFORE pairing, so
+    a replay can never emit a pair in flipped orientation next to the
+    original.  Pairs append to ``pairs_path`` as (probe_id, index_id,
+    hamming) with probe_id the newer member (intra-batch pairs use the
+    id order).  foreachBatch is at-least-once: only a crash in the
+    window between the pairs append and the index append can make a
+    replay re-emit the SAME pair rows — dedupe downstream on
+    (probe_id, index_id) where exactly-once matters.  Returns the
+    started StreamingQuery."""
     from opentsdb_aura_spark.operators.dedup_text import (
         banded_hamming_pairs,
         probe_fingerprint_index,
@@ -279,13 +282,33 @@ def streaming_near_dup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        from opentsdb_aura_spark.operators.dedup_text import _read_parquet_if_exists
+
+        spark = batch_df.sparkSession
         fps = batch_df.where(F.col(hash_col).isNotNull()).select(id_col, hash_col)
+        # drop RE-DELIVERED ids before pairing, not just before the
+        # index append: a replayed id alongside a new near-dup would
+        # otherwise be reported twice — once by the probe as
+        # (new, old) and once by the intra-batch join as (old, new) —
+        # and the downstream (probe_id, index_id) dedup key can't
+        # collapse flipped orientations
+        existing = _read_parquet_if_exists(spark, index_path)
+        if existing is not None:
+            have = existing.select("_id")
+            fps = fps.join(have, fps[id_col] == have["_id"], "left_anti")
+        # checkpoint BEFORE the emptiness probe so the upstream
+        # pipeline (possibly media decode) runs exactly once
+        fps = fps.localCheckpoint()
         if not fps.take(1):
             return
-        fps = fps.localCheckpoint()  # one upstream pass for 3 consumers
-        spark = batch_df.sparkSession
         cross = probe_fingerprint_index(
-            spark, index_path, fps, id_col=id_col, hash_col=hash_col, max_hamming=max_hamming
+            spark,
+            index_path,
+            fps,
+            id_col=id_col,
+            hash_col=hash_col,
+            max_hamming=max_hamming,
+            cache_probe=False,  # fps is already checkpointed
         )
         intra = banded_hamming_pairs(
             fps,

@@ -710,8 +710,9 @@ def test_sample_gif_frames(spark):
     assert sorted(rows) == [0, 2, 4, 6, 8]
     text = doc[1].encode()
     stream = np.frombuffer((text * (-(-(nf * w * h) // len(text))))[: nf * w * h], np.uint8).astype(np.int64)
-    # replay the composite rule: last opaque (≠101) write wins, else 0
-    for fi in [0, 2, 4, 8]:
+    # replay the composite rule for EVERY sampled frame: last opaque
+    # (≠101) write wins, else 0
+    for fi in [0, 2, 4, 6, 8]:
         px = np.zeros(w * h, dtype=np.int64)
         v0 = stream[: w * h]
         px[v0 != 101] = v0[v0 != 101]
@@ -1925,3 +1926,108 @@ def test_fingerprint_index_incremental_probe_and_pushdown(spark, tmp_path):
         plan_df._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan and "bh" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_audio_fingerprint_long_clip_no_overflow(spark):
+    """Overflow regression: on a long clip the window-energy
+    cross-products exceed int64 — sum·cnt ≈ (n/65)²·(A²/3) wraps past
+    n ≈ 11.4M samples at ±30000 amplitude — so the compare must run in
+    arbitrary-precision Python ints.  A 16M-sample clip (~33 min at
+    8 kHz) is checked against an exact reference: int64 cumsum (safe to
+    ~8.5e9 samples), then explicit Python-int products — a vectorized
+    numpy product here would wrap on ~most window pairs and flip bits."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.av import audio_energy_fingerprint
+
+    rng = np.random.default_rng(17)
+    n = 16_000_000
+    long_clip = rng.integers(-30000, 30000, n).astype(np.int16)
+    media = spark.createDataFrame(_audio_rows([(0, long_clip)]), MEDIA_DDL)
+    (row,) = audio_energy_fingerprint(media).collect()
+
+    s = long_clip.astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(s * s)))
+    lo = (np.arange(65) * n) // 65
+    hi = (np.arange(1, 66) * n) // 65
+    sums = [int(x) for x in csum[hi] - csum[lo]]
+    cnts = [max(int(x), 1) for x in hi - lo]
+    # the products genuinely exceed int64 — the scenario under test
+    assert max(sums[k + 1] * cnts[k] for k in range(64)) > 2**63
+    expected = "".join(
+        "1" if sums[k + 1] * cnts[k] > sums[k] * cnts[k + 1] else "0" for k in range(64)
+    )
+    assert row["afp_bits"] == expected
+
+
+def test_mixed_video_gif_media_routing(spark):
+    """A mixed media table (Y4M videos + animated GIFs, the shape a
+    real crawl produces) must route cleanly: the Y4M stages see only
+    kind=='video', the GIF sampler only kind=='gif' — no stage ever
+    receives the other container's payloads (which would crash its
+    parser)."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.av import (
+        attach_animated_gif_media,
+        attach_video_media,
+        sample_gif_frames,
+        sample_video_frames,
+        video_scene_changes,
+        video_temporal_fingerprint,
+    )
+
+    df = spark.createDataFrame([(3, "mixed media routing"), (8, "the other doc")], "doc_id long, text string")
+    mixed = attach_video_media(df).unionByName(
+        attach_animated_gif_media(df.select((F.col("doc_id") + 100).alias("doc_id"), "text"))
+    )
+    vids = {r["media_id"] for r in sample_video_frames(mixed, every_n=1).select("media_id").distinct().collect()}
+    gifs = {r["media_id"] for r in sample_gif_frames(mixed, every_n=1).select("media_id").distinct().collect()}
+    assert vids == {3, 8} and gifs == {103, 108}
+    assert {r["media_id"] for r in video_scene_changes(mixed).collect()} == {3, 8}
+    assert {r["media_id"] for r in video_temporal_fingerprint(mixed).collect()} == {3, 8}
+
+
+def test_resample_audio_exact_and_errors(spark):
+    """Nearest-neighbor resampling: (a) same-rate is identity; (b) an
+    exact integer downsample picks every k-th sample; (c) an upsample
+    duplicates per the floor map; (d) downstream stages run unchanged
+    on the normalized corpus; (e) skip_errors keeps the error-row
+    contract."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.av import (
+        decode_wav,
+        extract_audio_features,
+        resample_audio,
+    )
+
+    rng = np.random.default_rng(23)
+    smp = rng.integers(-20000, 20000, 240).astype(np.int16)
+    media = spark.createDataFrame(_audio_rows([(0, smp)]), MEDIA_DDL)
+
+    same = resample_audio(media, 8000).collect()[0]
+    r, s = decode_wav(bytes(same["payload"]))
+    assert r == 8000 and np.array_equal(s, smp) and same["error"] is None
+
+    down = resample_audio(media, 4000).collect()[0]
+    r, s = decode_wav(bytes(down["payload"]))
+    assert r == 4000 and np.array_equal(s, smp[::2])
+
+    up = resample_audio(media, 16000).collect()[0]
+    r, s = decode_wav(bytes(up["payload"]))
+    assert r == 16000 and len(s) == 480 and np.array_equal(s, smp[np.arange(480) // 2])
+
+    feats = extract_audio_features(
+        resample_audio(media, 4000).drop("error")
+    ).collect()[0]
+    assert feats["sample_rate"] == 4000 and feats["n_samples"] == 120
+
+    corrupted = media.withColumn("payload", F.expr("substring(payload, 1, 5)"))
+    both = media.unionByName(corrupted.withColumn("media_id", F.lit(7)))
+    got = {r["media_id"]: r for r in resample_audio(both, 4000, skip_errors=True).collect()}
+    assert got[0]["error"] is None and got[7]["error"] is not None
+    with _pytest.raises(Exception):
+        resample_audio(both, 4000).collect()

@@ -630,3 +630,13 @@ def test_streaming_near_dup_cross_batch(spark, tmpdirs):
     # replaying with no new files adds nothing
     run_once()
     assert pairs() == got
+
+    # batch 3: id 0 RE-DELIVERED alongside a new near-dup 20 — the
+    # replayed id is dropped before pairing, so exactly ONE row
+    # appears, oriented (new, old), never the flipped intra twin
+    write_batch([(0, base), (20, base ^ 4)], "b3")
+    run_once()
+    got3 = pairs()
+    assert got3[(20, 0)] == 1 and (0, 20) not in got3
+    assert got3[(20, 1)] == 2 and got3[(20, 10)] == 2
+    assert set(got) <= set(got3) and len(got3) == len(got) + 3

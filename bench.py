@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "multimodal_audio_near_pairs",
     "multimodal_video_near_pairs",
     "multimodal_dhash_index_probe",
+    "multimodal_audio_resample",
+    "ann_pq_topk",
 ]
 
 

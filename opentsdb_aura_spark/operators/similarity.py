@@ -570,3 +570,234 @@ def ivf_search_index(
         .where(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+# ----------------------------------------------------- product quantization
+
+
+def _subspace_kmeans(sample_vecs, m: int, k: int, iters: int):
+    """Plain-L2 k-means per contiguous subspace on a driver-side
+    sample: returns m codebooks, each (k_eff × sub_dim).  Deterministic
+    — init is the first k distinct sample subvectors (the sample is
+    hash-ordered by the caller)."""
+    import numpy as np
+
+    x = np.asarray(sample_vecs, dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    books = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        uniq = np.unique(xs, axis=0)
+        cent = uniq[: min(k, len(uniq))].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in cent])
+    return books
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search"): the vector space is
+    split into ``m`` contiguous subspaces and each gets its own
+    k-means codebook, so a d-dim float vector compresses to m small
+    codes (k=256 → m bytes) while distances remain computable from
+    per-subspace lookup tables.  Training is the same bounded
+    deterministic driver-side sample as the IVF index; returns the
+    codebooks (list of m × (k × sub_dim))."""
+    smp = [
+        r["v"]
+        for r in corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(int(sample))
+        .collect()
+    ]
+    return _subspace_kmeans(smp, m, k, iters)
+
+
+def pq_encode(
+    embs: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to their PQ codes — one Arrow-batched argmin per
+    subspace (a numpy distance matmul), narrow map, no shuffle.  At
+    scale the codes column is written once at ingest (m bytes/vector
+    vs 4d) and every ADC search reads codes only.  Returns
+    (id, codes array<int>)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [[list(map(float, row)) for row in cb] for cb in codebooks]
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        sub = x.shape[1] // len(cbs)
+        out = np.empty((len(x), len(cbs)), dtype=np.int32)
+        for s, cb in enumerate(cbs):
+            c = np.asarray(cb, dtype=np.float64)
+            xs = x[:, s * sub : (s + 1) * sub]
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return embs.select(F.col(id_col).alias("vec_id"), encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    *,
+    k: int = 5,
+    max_queries: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) cosine top-k over PQ codes: each
+    query builds one (m × k) inner-product lookup table against the
+    codebooks, every corpus vector's score is m table gathers + a sum
+    — the corpus is read as CODES ONLY (m ints/vector), never floats.
+    Cosine uses the reconstruction norm, itself a second LUT sum, so
+    the score is exactly the cosine of (query, decoded vector).
+
+    The query matrix is collected driver-side (hard-capped at
+    ``max_queries`` — ANN serving batches are small; raise explicitly
+    for bulk joins) and shipped in the Arrow closure with the
+    codebooks; scoring is one vectorized gather per batch inside
+    mapInPandas, then a window top-k.  Returns
+    (query_id, neighbor_id, pq_score)."""
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).limit(int(max_queries) + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_adc_topk collects the query side; got > max_queries={max_queries} rows — "
+            "raise max_queries explicitly for bulk scoring"
+        )
+    q_ids = [int(r["qid"]) for r in q_rows]
+    q_mat = np.asarray([list(map(float, r["qv"])) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sub = q_mat.shape[1] // len(cbs) if len(q_rows) else 0
+    # per-query inner-product LUTs (nq × m × k) and the shared
+    # reconstruction-norm LUT (m × k)
+    ip_lut = np.stack(
+        [q_mat[:, s * sub : (s + 1) * sub] @ cbs[s].T for s in range(len(cbs))], axis=1
+    ) if len(q_rows) else None
+    n2_lut = np.stack([(c * c).sum(axis=1) for c in cbs])  # m × k
+
+    def op(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            if ip_lut is None or not len(pdf):
+                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
+                continue
+            codes = np.stack(pdf["codes"].apply(lambda a: np.asarray(a, dtype=np.int64)))
+            m_idx = np.arange(codes.shape[1])
+            # reconstruction norm per corpus row: gather + sum
+            vnorm = np.sqrt(n2_lut[m_idx, codes].sum(axis=1))  # B
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                num = ip_lut[qi][m_idx, codes].sum(axis=1)  # B
+                denom = q_norm[qi] * vnorm
+                score = np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
+                out_q.append(np.full(len(codes), q_ids[qi], dtype=np.int64))
+                out_n.append(pdf["vec_id"].to_numpy(dtype=np.int64))
+                out_s.append(score)
+            yield pd_.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "pq_score": np.concatenate(out_s),
+                }
+            )
+
+    scored = corpus_codes.mapInPandas(
+        op, schema="query_id bigint, neighbor_id bigint, pq_score double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "pq_score")
+    )
+
+
+GRID_LEVELS = 255  # odd: 0.0 sits exactly ON a grid point (index 127)
+
+
+def grid_quantize_vectors(
+    embs: DataFrame,
+    *,
+    levels: int = GRID_LEVELS,
+    lo: float = -1.0,
+    hi: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The degenerate-PQ twin of ``int8_quantize``: every dimension is
+    its own subspace and the codebook is a uniform grid, so encoding
+    is the CLOSED-FORM ``clamp(floor((x-lo)/(hi-lo)*(levels-1)+0.5))``
+    — bit-identical on every engine (the explicit floor form, exactly
+    as ``int8_quantize`` documents) instead of an argmin whose
+    tie-breaking engines disagree on.  Returns (vec_id, codes).  With
+    ``grid_decode`` this makes a PQ storage layer whose search results
+    are FULLY oracle-checkable: cosine over the decoded vectors equals
+    a SQL recomputation exactly (the catalog twin ann_pq_exact_topk)."""
+    x = F.col(vec_col)
+    span = float(hi) - float(lo)
+    codes = F.transform(
+        x,
+        lambda v: F.greatest(
+            F.least(
+                F.floor((v.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(float(levels - 1)) + F.lit(0.5)).cast("int"),
+                F.lit(int(levels - 1)),
+            ),
+            F.lit(0),
+        ),
+    )
+    return embs.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def grid_decode(
+    codes_df: DataFrame,
+    *,
+    levels: int = GRID_LEVELS,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Decode grid codes back to float vectors:
+    ``value = code * ((hi-lo)/(levels-1)) + lo`` — the same constant
+    expression a SQL oracle evaluates, so decoded values are
+    bit-identical across engines.  Returns (vec_id, embedding)."""
+    step = (float(hi) - float(lo)) / float(levels - 1)
+    return codes_df.select(
+        "vec_id",
+        F.transform(
+            F.col("codes"), lambda c: c.cast("double") * F.lit(step) + F.lit(float(lo))
+        ).alias("embedding"),
+    )

@@ -278,6 +278,69 @@ def ann_ivf_index_topk(spark, sf_dir):
     q = embs(spark, sf_dir).where(F.col("vec_id") < 20)
     res = ivf_search_index(spark, path, q, k=5, nprobe=8)
     return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+@register("ann_pq_topk")  # approximate: quantization error → rows-only check
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC cosine top-5 — the third production
+    ANN path (LSH buckets / IVF lists / PQ codes): 64-d float vectors
+    compress to 8 codes, every corpus score is 8 LUT gathers + a sum
+    over CODES ONLY, so a 100 TB vector corpus is searched from ~1/32
+    of its bytes.  Shortlist quality is bounded in
+    test_pq_recall_bound_and_query_cap (recall@20 >= 0.9 over exact
+    top-5); the storage layer's exactness is value-hash-proven by the
+    grid twin ann_pq_exact_topk."""
+    from opentsdb_aura_spark.operators.similarity import pq_adc_topk, pq_encode, pq_train
+
+    e = embs(spark, sf_dir)
+    cbs = pq_train(e, m=8, k=16)
+    codes = pq_encode(e, cbs)
+    res = pq_adc_topk(codes, e.where(F.col("vec_id") < 20), cbs, k=5)
+    return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("pq_score"))
+
+
+@register(
+    "ann_pq_exact_topk",
+    """WITH g AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           greatest(least(CAST(floor((CAST(x AS DOUBLE) + 1.0) / 2.0 * 254.0 + 0.5) AS BIGINT),
+                          254), 0)
+           * (2.0 / 254.0) - 1.0) AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM g WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, v AS cv FROM g),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cs
+  FROM q, c WHERE query_id != neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim FROM r WHERE rn <= 5""",
+)
+def ann_pq_exact_topk(spark, sf_dir):
+    """The PQ storage layer under a FULL value-hash oracle — the same
+    degenerate-config trick as the IVF full-probe and 0-plane LSH
+    twins: every dimension is its own subspace with a UNIFORM-GRID
+    codebook, so encoding is a closed-form floor map (bit-identical on
+    both engines — argmin tie-breaking never enters), decoding is
+    affine, and searching the decoded corpus must equal a DuckDB
+    recomputation of cosine top-5 over the identically-quantized
+    vectors.  Codes → decode → search proves the whole
+    quantize/store/reconstruct path value-exactly; the trained-ADC
+    path keeps its recall bound (ann_pq_topk)."""
+    from opentsdb_aura_spark.operators.similarity import (
+        brute_force_topk,
+        grid_decode,
+        grid_quantize_vectors,
+    )
+
+    e = embs(spark, sf_dir)
+    deq = grid_decode(grid_quantize_vectors(e))
+    res = brute_force_topk(deq, deq.where(F.col("vec_id") < 20), k=5)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+
 # ============================================================ text analysis
 
 

@@ -2031,3 +2031,124 @@ def test_resample_audio_exact_and_errors(spark):
     assert got[0]["error"] is None and got[7]["error"] is not None
     with _pytest.raises(Exception):
         resample_audio(both, 4000).collect()
+
+
+def test_pq_adc_matches_reconstruction_cosine(spark):
+    """ADC scoring is EXACTLY the cosine of (query, decoded vector):
+    for trained codebooks, pq_adc_topk's scores equal a numpy
+    recomputation of cos(q, decode(codes)); and with one centroid per
+    distinct subvector (full memorization) the ranking equals brute
+    force."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(31)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    # memorizing codebooks: k >= n distinct subvectors -> decode == input
+    cbs = pq_train(df, m=4, k=64, iters=8, sample=64)
+    codes = pq_encode(df, cbs)
+    got = [
+        (r["query_id"], r["neighbor_id"], round(r["pq_score"], 9))
+        for r in pq_adc_topk(codes, df.where(F.col("vec_id") < 3), cbs, k=4)
+        .orderBy("query_id", "neighbor_id")
+        .collect()
+    ]
+    # float32 storage: recompute expectations from the float32-rounded
+    # vectors, like the engine sees them
+    v32 = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v in vecs}
+    code_rows = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    books = [np.asarray(cb) for cb in cbs]
+
+    def decode(cs):
+        return np.concatenate([books[s][c] for s, c in enumerate(cs)])
+
+    exp = []
+    for qid in range(3):
+        q = v32[qid]
+        scores = []
+        for nid in range(40):
+            if nid == qid:
+                continue
+            d = decode(code_rows[nid])
+            scores.append((nid, float(q @ d / (np.linalg.norm(q) * np.linalg.norm(d)))))
+        scores.sort(key=lambda t: (-t[1], t[0]))
+        exp.extend((qid, n, round(s, 9)) for n, s in scores[:4])
+    assert got == sorted(exp)
+
+    # memorization => ranking == brute force
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, df.where(F.col("vec_id") < 3), k=4).collect()
+    }
+    assert {(q, n) for q, n, _ in got} == bf
+
+
+def test_pq_recall_bound_and_query_cap(spark):
+    """(a) coarse trained PQ (m=4, k=8 — 8 codes for a 16-d float
+    vector) SHORTLISTS reliably: every exact top-5 neighbor appears in
+    the ADC top-20 (recall@20 >= 0.9) on clustered data whose top-5
+    distinctions sit below the quantization noise — the standard
+    PQ-shortlist → exact-rerank serving shape; (b) the query-side
+    collect is hard-capped."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(37)
+    centers = rng.uniform(-1, 1, (5, 16))
+    vecs = [
+        (i, [float(x) for x in centers[i % 5] + rng.normal(0, 0.05, 16)])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cbs = pq_train(df, m=4, k=8, iters=8, sample=128)
+    codes = pq_encode(df, cbs)
+    queries = df.where(F.col("vec_id") < 10)
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in pq_adc_topk(codes, queries, cbs, k=20).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        pq_adc_topk(codes, df, cbs, k=5, max_queries=10)
+
+
+def test_grid_quantize_decode_roundtrip(spark):
+    """Grid quantization: codes are the closed-form floor map, decode
+    is affine, roundtrip error <= step/2, and 0.0 maps to itself (odd
+    level count puts it ON the grid)."""
+    import numpy as np
+
+    from opentsdb_aura_spark.operators.similarity import grid_decode, grid_quantize_vectors
+
+    vals = [0.0, 1.0, -1.0, 0.5, -0.31, 0.9999, 2.0, -2.0]  # incl. out-of-range clamps
+    df = spark.createDataFrame([(0, vals)], "vec_id long, embedding array<float>")
+    (crow,) = grid_quantize_vectors(df).collect()
+    (drow,) = grid_decode(grid_quantize_vectors(df)).collect()
+    step = 2.0 / 254.0
+    for orig, code, dec in zip(vals, crow["codes"], drow["embedding"]):
+        assert 0 <= code <= 254
+        clamped = min(max(orig, -1.0), 1.0)
+        assert abs(dec - clamped) <= step / 2 + 1e-12, (orig, code, dec)
+    assert drow["embedding"][0] == 0.0  # 0.0 is exactly representable
+    assert crow["codes"][5] == 254 and crow["codes"][6] == 254 and crow["codes"][7] == 0

@@ -26,6 +26,7 @@ SF_DIR = "/root/testdata/sf0.001"
 #: against the corpus; TF-IDF cross-joins a single aggregate row
 BNLJ_ALLOWED = {
     "ann_cosine_topk",  # query set broadcast, contract: queries ≪ corpus
+    "ann_pq_exact_topk",  # same brute-force shape over grid-decoded vectors
     "ann_ivf_topk",  # probed query set broadcast
     "dedup_embedding_cosine",  # exact O(n²) oracle-baseline variant, documented
     "corpus_tfidf_top3",  # 1-row n_docs factor

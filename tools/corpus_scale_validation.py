@@ -14,6 +14,7 @@ curation operators at a volume where a wrong plan is minutes:
 - 100k-image dHash → banded Hamming near-dup pairs (planted recall)
 - 100k-clip audio energy-fingerprint near-dup (polarity-inverted plants)
 - 50k-clip video temporal-fingerprint near-dup (brightness-shift plants)
+- PQ-ADC over 1M vectors (encode to 8 codes, shortlist recall vs exact)
 
 Usage: python tools/corpus_scale_validation.py [n_docs_million=2] [n_vec_million=1]
 """
@@ -333,6 +334,44 @@ def main() -> None:
     ).save()
     timings["ivf_ann_topk_100q"] = round(time.perf_counter() - t0, 2)
     print(f"# ivf_ann_topk_100q: {timings['ivf_ann_topk_100q']}s", file=sys.stderr)
+
+    # ---- round 6: PQ-ADC at scale — train 8×256 codebooks on the
+    # bounded sample, encode 1M vectors to 8 codes (the 32×-smaller
+    # at-rest form), then ADC top-50 for 10 queries over CODES ONLY;
+    # shortlist recall vs brute-force exact top-10 asserted ≥ 0.8
+    # (the PQ-shortlist → exact-rerank serving shape).
+    from opentsdb_aura_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    t0 = time.perf_counter()
+    cbs = pq_train(vecs, m=8, k=256, iters=5, sample=4096)
+    codes = pq_encode(vecs, cbs).localCheckpoint()
+    n_codes = codes.count()
+    timings["pq_encode_1m"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    pq10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(
+            codes, vecs.where(F.col("vec_id") < 10), cbs, k=50
+        ).collect()
+    }
+    timings["pq_adc_topk_10q"] = round(time.perf_counter() - t0, 2)
+    exact10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vecs, vecs.where(F.col("vec_id") < 10), k=10).collect()
+    }
+    timings["pq_recall_at50"] = round(len(pq10 & exact10) / len(exact10), 4)
+    timings["pq_n_encoded"] = n_codes
+    print(
+        f"# pq_encode_1m: {timings['pq_encode_1m']}s; adc_topk_10q: "
+        f"{timings['pq_adc_topk_10q']}s (recall@50 {timings['pq_recall_at50']})",
+        file=sys.stderr,
+    )
+    assert timings["pq_recall_at50"] >= 0.8, "PQ shortlist missed too many exact neighbors"
 
     # sanity: planted near-dups must be found (n_docs // 101 pairs)
     timings["expected_planted_pairs"] = n_docs // 101

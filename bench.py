@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "multimodal_dhash_index_probe",
     "multimodal_audio_resample",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

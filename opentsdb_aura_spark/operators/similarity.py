@@ -750,6 +750,26 @@ def pq_adc_topk(
 GRID_LEVELS = 255  # odd: 0.0 sits exactly ON a grid point (index 127)
 
 
+def _grid_codes(v_expr, *, levels: int, lo: float, hi: float):
+    """The closed-form grid-code expression (clamp+floor map) shared by
+    grid_quantize_vectors and ivfpq_topk's grid branch — one definition
+    so the two surfaces can never diverge from the oracle SQL."""
+    span = float(hi) - float(lo)
+    return F.transform(
+        v_expr,
+        lambda v: F.greatest(
+            F.least(
+                F.floor(
+                    (v.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(float(levels - 1))
+                    + F.lit(0.5)
+                ).cast("int"),
+                F.lit(int(levels - 1)),
+            ),
+            F.lit(0),
+        ),
+    )
+
+
 def grid_quantize_vectors(
     embs: DataFrame,
     *,
@@ -768,19 +788,10 @@ def grid_quantize_vectors(
     ``grid_decode`` this makes a PQ storage layer whose search results
     are FULLY oracle-checkable: cosine over the decoded vectors equals
     a SQL recomputation exactly (the catalog twin ann_pq_exact_topk)."""
-    x = F.col(vec_col)
-    span = float(hi) - float(lo)
-    codes = F.transform(
-        x,
-        lambda v: F.greatest(
-            F.least(
-                F.floor((v.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(float(levels - 1)) + F.lit(0.5)).cast("int"),
-                F.lit(int(levels - 1)),
-            ),
-            F.lit(0),
-        ),
+    return embs.select(
+        F.col(id_col).alias("vec_id"),
+        _grid_codes(F.col(vec_col), levels=levels, lo=lo, hi=hi).alias("codes"),
     )
-    return embs.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
 
 
 def grid_decode(
@@ -800,4 +811,171 @@ def grid_decode(
         F.transform(
             F.col("codes"), lambda c: c.cast("double") * F.lit(step) + F.lit(float(lo))
         ).alias("embedding"),
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    max_queries: int = 4096,
+    grid: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the IVFADC serving architecture): IVF lists bound WHICH
+    vectors are scored, PQ codes bound WHAT is read per vector — at
+    100 TB a query touches ``nprobe/n_centroids`` of the corpus
+    directories AND only m bytes per vector in them.
+
+    One Arrow pass assigns every corpus vector its list id and its PQ
+    codes; queries (collected, hard-capped like ``pq_adc_topk``) get
+    driver-computed probe lists, the union of which pushes into the
+    scan as a JVM-side ``isin`` pre-filter; scoring is the same
+    per-query LUT gather, masked to each query's own probed lists.
+
+    ``grid=True`` swaps the trained codebooks for the closed-form
+    uniform grid (``grid_quantize_vectors``) — with
+    ``nprobe == n_centroids`` the output then equals cosine top-k over
+    the grid-quantized vectors exactly, the oracle-able twin
+    (``ann_ivfpq_exact_topk``).  Returns
+    (query_id, neighbor_id, pq_score)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    smp = [
+        r["v"]
+        for r in corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(int(sample))
+        .collect()
+    ]
+    cent = _spherical_kmeans(smp, n_centroids, iters)
+    cent_rows = [[float(x) for x in row] for row in cent]
+    nprobe = min(int(nprobe), len(cent_rows))
+    dim = len(smp[0]) if smp else 0
+    if grid:
+        step = 2.0 / (GRID_LEVELS - 1)
+        grid_vals = [i * step - 1.0 for i in range(GRID_LEVELS)]
+        cbs = [[[v] for v in grid_vals] for _ in range(dim)]
+    else:
+        cbs = _subspace_kmeans(smp, m, pq_k, iters)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).limit(int(max_queries) + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk collects the query side; got > max_queries={max_queries} rows"
+        )
+    q_ids = [int(r["qid"]) for r in q_rows]
+    q_mat = np.asarray([list(map(float, r["qv"])) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    c_mat = np.asarray(cent_rows, dtype=np.float64)
+    # per-query probed lists, driver-side (queries are already here)
+    probe = np.argsort(-(q_mat @ c_mat.T), axis=1, kind="stable")[:, :nprobe] if len(q_rows) else None
+    probed_union = sorted({int(l) for row in probe for l in row}) if probe is not None else []
+    cb_mats = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    sub = dim // len(cbs) if dim else 0
+    ip_lut = (
+        np.stack([q_mat[:, s * sub : (s + 1) * sub] @ cb_mats[s].T for s in range(len(cbs))], axis=1)
+        if len(q_rows)
+        else None
+    )
+    n2_lut = np.stack([(c * c).sum(axis=1) for c in cb_mats])
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        import numpy as np_
+
+        c = np_.asarray(cent_rows, dtype=np_.float64)
+        x = np_.stack(vs.apply(lambda a: np_.asarray(a, dtype=np_.float64)))
+        return pd.Series(np_.argmax(x @ c.T, axis=1).astype("int32"))
+
+    # ONE corpus scan carries both derived columns — a join of two
+    # separately-derived frames would scan twice and shuffle on the id
+    if grid:
+        coded = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0).alias("codes"),
+            nearest_list(F.col(vec_col)).alias("list_id"),
+        )
+    else:
+        from pyspark.sql.functions import pandas_udf as _pudf
+
+        cbs_local = [[list(map(float, row)) for row in cb] for cb in cbs]
+
+        @_pudf("array<int>")
+        def _encode(vs: pd.Series) -> pd.Series:
+            import numpy as np_
+
+            x = np_.stack(vs.apply(lambda a: np_.asarray(a, dtype=np_.float64)))
+            sb = x.shape[1] // len(cbs_local)
+            out = np_.empty((len(x), len(cbs_local)), dtype=np_.int32)
+            for s, cb in enumerate(cbs_local):
+                c = np_.asarray(cb, dtype=np_.float64)
+                xs = x[:, s * sb : (s + 1) * sb]
+                d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                out[:, s] = np_.argmin(d2, axis=1)
+            return pd.Series([row.tolist() for row in out])
+
+        coded = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            _encode(F.col(vec_col)).alias("codes"),
+            nearest_list(F.col(vec_col)).alias("list_id"),
+        )
+    coded = coded.where(F.col("list_id").isin(probed_union) if probed_union else F.lit(False))
+
+    probe_sets = [set(int(l) for l in row) for row in probe] if probe is not None else []
+
+    def op(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            if ip_lut is None or not len(pdf):
+                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
+                continue
+            codes = np.stack(pdf["codes"].apply(lambda a: np.asarray(a, dtype=np.int64)))
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m_idx = np.arange(codes.shape[1])
+            vnorm = np.sqrt(n2_lut[m_idx, codes].sum(axis=1))
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = np.isin(lists, list(probe_sets[qi]))
+                if not mask.any():
+                    continue
+                num = ip_lut[qi][m_idx, codes[mask]].sum(axis=1)
+                denom = q_norm[qi] * vnorm[mask]
+                score = np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
+                out_q.append(np.full(mask.sum(), q_ids[qi], dtype=np.int64))
+                out_n.append(nids[mask])
+                out_s.append(score)
+            if not out_q:
+                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
+                continue
+            yield pd_.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "pq_score": np.concatenate(out_s),
+                }
+            )
+
+    scored = coded.mapInPandas(
+        op, schema="query_id bigint, neighbor_id bigint, pq_score double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "pq_score")
     )

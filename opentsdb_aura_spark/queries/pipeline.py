@@ -341,6 +341,48 @@ def ann_pq_exact_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
 
 
+
+@register("ann_ivfpq_topk")  # approximate: pruning + quantization → rows-only
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (the IVFADC serving architecture): IVF lists bound WHICH
+    vectors a query scores (nprobe/n_centroids of the corpus), PQ
+    codes bound WHAT is read per vector (m bytes, not 4d floats) — the
+    combined shape a 100 TB vector store actually serves from.
+    Shortlist quality bounded in test_ivfpq_trained_recall; the exact
+    twin is ann_ivfpq_exact_topk."""
+    from opentsdb_aura_spark.operators.similarity import ivfpq_topk
+
+    e = embs(spark, sf_dir)
+    res = ivfpq_topk(e, e.where(F.col("vec_id") < 20), k=5, n_centroids=8, nprobe=4, m=8, pq_k=16)
+    return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("pq_score"))
+
+
+@register(
+    "ann_ivfpq_exact_topk",
+    ORACLES["ann_pq_exact_topk"],
+)
+def ann_ivfpq_exact_topk(spark, sf_dir):
+    """IVF-PQ under the FULL value-hash oracle: probing ALL lists with
+    the closed-form grid codebooks (and grid-quantized queries) makes
+    the whole pipeline — list assignment, probe pruning, code gather,
+    ADC scoring — produce EXACTLY cosine top-5 over the quantized
+    vectors, so ann_pq_exact_topk's DuckDB oracle applies verbatim.
+    Every stage the approximate path uses runs here unchanged; only
+    nprobe < n_centroids pruning keeps its recall bound."""
+    from opentsdb_aura_spark.operators.similarity import (
+        grid_decode,
+        grid_quantize_vectors,
+        ivfpq_topk,
+    )
+
+    e = embs(spark, sf_dir)
+    dq_queries = grid_decode(grid_quantize_vectors(e.where(F.col("vec_id") < 20)))
+    res = ivfpq_topk(e, dq_queries, k=5, n_centroids=8, nprobe=8, grid=True)
+    return res.select(
+        "query_id", "neighbor_id", _r("pq_score", 6).alias("cos_sim")
+    )
+
+
 # ============================================================ text analysis
 
 

@@ -2152,3 +2152,67 @@ def test_grid_quantize_decode_roundtrip(spark):
         assert abs(dec - clamped) <= step / 2 + 1e-12, (orig, code, dec)
     assert drow["embedding"][0] == 0.0  # 0.0 is exactly representable
     assert crow["codes"][5] == 254 and crow["codes"][6] == 254 and crow["codes"][7] == 0
+
+
+def test_ivfpq_full_probe_grid_equals_quantized_brute_force(spark):
+    """IVF-PQ degenerate config ≡ exact: probing ALL lists with the
+    closed-form grid codebooks must equal cosine top-k over the
+    grid-quantized vectors (the same equality ann_pq_exact_topk's
+    oracle pins), and a partial probe returns a subset per query."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.similarity import (
+        brute_force_topk,
+        grid_decode,
+        grid_quantize_vectors,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(41)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    deq = grid_decode(grid_quantize_vectors(df))
+    dq_queries = deq.where(F.col("vec_id") < 4)
+
+    full = ivfpq_topk(df, dq_queries, k=3, n_centroids=4, nprobe=4, grid=True)
+    exact = brute_force_topk(deq, dq_queries, k=3)
+    got = {(r["query_id"], r["neighbor_id"]): r["pq_score"] for r in full.collect()}
+    want = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    assert got.keys() == want.keys()
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-9
+
+    part = ivfpq_topk(df, dq_queries, k=3, n_centroids=4, nprobe=1, grid=True)
+    sub = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+    # partial probe scores fewer candidates; top-3 of a subset
+    assert {q for q, _ in sub} <= {q for q, _ in want}
+
+
+def test_ivfpq_trained_recall(spark):
+    """Trained IVF-PQ on clustered data: probing 2 of 5 lists with
+    coarse codes still shortlists the true neighborhood — recall@20
+    >= 0.9 over exact top-5 (same bound as flat PQ; IVF pruning must
+    not lose the query's own cluster)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.similarity import brute_force_topk, ivfpq_topk
+
+    rng = np.random.default_rng(43)
+    centers = rng.uniform(-1, 1, (5, 16))
+    vecs = [
+        (i, [float(x) for x in centers[i % 5] + rng.normal(0, 0.05, 16)])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 10)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(df, queries, k=20, n_centroids=5, nprobe=2, m=4, pq_k=8).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall

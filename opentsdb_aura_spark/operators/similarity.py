@@ -577,9 +577,17 @@ def ivf_search_index(
 
 def _subspace_kmeans(sample_vecs, m: int, k: int, iters: int):
     """Plain-L2 k-means per contiguous subspace on a driver-side
-    sample: returns m codebooks, each (k_eff × sub_dim).  Deterministic
-    — init is the first k distinct sample subvectors (the sample is
-    hash-ordered by the caller)."""
+    sample: returns m codebooks of EQUAL length (short subspaces —
+    fewer than k distinct subvectors — are padded by repeating their
+    first centroid, which is argmin- and LUT-neutral: duplicates can
+    never win a tie over the first occurrence and duplicate LUT
+    entries are simply never the gathered index).  Deterministic —
+    init is the first k distinct subvectors IN SAMPLE ORDER (the
+    sample is hash-ordered by the caller); clusters that lose all
+    members keep their previous centroid.  Distances use the
+    |c|² − 2·x@cᵀ expansion (argmin-invariant in |x|²) — a true
+    matmul, O(batch × k) memory, never a (batch × k × sub) broadcast
+    temporary."""
     import numpy as np
 
     x = np.asarray(sample_vecs, dtype=np.float64)
@@ -590,17 +598,37 @@ def _subspace_kmeans(sample_vecs, m: int, k: int, iters: int):
     books = []
     for s in range(m):
         xs = x[:, s * sub : (s + 1) * sub]
-        uniq = np.unique(xs, axis=0)
-        cent = uniq[: min(k, len(uniq))].copy()
+        # first-k-distinct in SAMPLE order (np.unique alone would sort
+        # lexicographically and bias every init into the low corner)
+        _, first_idx = np.unique(xs, axis=0, return_index=True)
+        cent = xs[np.sort(first_idx)][: min(k, len(first_idx))].copy()
         for _ in range(iters):
-            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (xs @ cent.T)
             assign = np.argmin(d2, axis=1)
             for c in range(len(cent)):
                 members = xs[assign == c]
                 if len(members):
                     cent[c] = members.mean(axis=0)
-        books.append([[float(v) for v in row] for row in cent])
-    return books
+        books.append(cent)
+    k_max = max(len(b) for b in books)
+    out = []
+    for b in books:
+        if len(b) < k_max:
+            b = np.concatenate([b, np.repeat(b[:1], k_max - len(b), axis=0)])
+        out.append([[float(v) for v in row] for row in b])
+    return out
+
+
+def _sample_vectors(corpus: DataFrame, *, id_col: str, vec_col: str, sample: int):
+    """The bounded deterministic driver-side training sample shared by
+    IVF and PQ: hash-ordered limit, ≤ ``sample`` rows by construction."""
+    return [
+        r["v"]
+        for r in corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(int(sample))
+        .collect()
+    ]
 
 
 def pq_train(
@@ -621,28 +649,15 @@ def pq_train(
     per-subspace lookup tables.  Training is the same bounded
     deterministic driver-side sample as the IVF index; returns the
     codebooks (list of m × (k × sub_dim))."""
-    smp = [
-        r["v"]
-        for r in corpus.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(int(sample))
-        .collect()
-    ]
+    smp = _sample_vectors(corpus, id_col=id_col, vec_col=vec_col, sample=sample)
     return _subspace_kmeans(smp, m, k, iters)
 
 
-def pq_encode(
-    embs: DataFrame,
-    codebooks,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Encode vectors to their PQ codes — one Arrow-batched argmin per
-    subspace (a numpy distance matmul), narrow map, no shuffle.  At
-    scale the codes column is written once at ingest (m bytes/vector
-    vs 4d) and every ADC search reads codes only.  Returns
-    (id, codes array<int>)."""
+def _encode_codes_udf(codebooks):
+    """The PQ-encode pandas UDF (argmin code per subspace via the
+    |c|² − 2·x@cᵀ matmul expansion) — ONE definition shared by
+    ``pq_encode`` and ``ivfpq_topk`` so stored codes and IVF-PQ
+    scoring can never diverge."""
     from pyspark.sql.functions import pandas_udf
 
     cbs = [[list(map(float, row)) for row in cb] for cb in codebooks]
@@ -657,11 +672,107 @@ def pq_encode(
         for s, cb in enumerate(cbs):
             c = np.asarray(cb, dtype=np.float64)
             xs = x[:, s * sub : (s + 1) * sub]
-            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (xs @ c.T)
             out[:, s] = np.argmin(d2, axis=1)
         return pd.Series([row.tolist() for row in out])
 
+    return encode
+
+
+def pq_encode(
+    embs: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to their PQ codes — one Arrow-batched argmin per
+    subspace (a numpy matmul), narrow map, no shuffle.  At scale the
+    codes column is written once at ingest (m bytes/vector vs 4d) and
+    every ADC search reads codes only.  Returns
+    (id, codes array<int>)."""
+    encode = _encode_codes_udf(codebooks)
     return embs.select(F.col(id_col).alias("vec_id"), encode(F.col(vec_col)).alias("codes"))
+
+
+def _collect_query_matrix(queries: DataFrame, *, id_col, vec_col, max_queries, caller):
+    """Bounded query-side collect shared by the ADC paths: raises past
+    ``max_queries``; returns (q_ids, q_mat, q_norm) with q_mat None
+    for an empty query set (callers return an empty result — an empty
+    collect must not reach axis-1 numpy ops)."""
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).limit(int(max_queries) + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"{caller} collects the query side; got > max_queries={max_queries} rows — "
+            "raise max_queries explicitly for bulk scoring"
+        )
+    if not q_rows:
+        return [], None, None
+    q_ids = [int(r["qid"]) for r in q_rows]
+    q_mat = np.asarray([list(map(float, r["qv"])) for r in q_rows], dtype=np.float64)
+    return q_ids, q_mat, np.linalg.norm(q_mat, axis=1)
+
+
+def _adc_luts(q_mat, codebooks):
+    """Per-query inner-product LUTs (nq × m × k) + the shared
+    reconstruction-norm LUT (m × k)."""
+    import numpy as np
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sub = q_mat.shape[1] // len(cbs)
+    ip_lut = np.stack(
+        [q_mat[:, s * sub : (s + 1) * sub] @ cbs[s].T for s in range(len(cbs))], axis=1
+    )
+    n2_lut = np.stack([(c * c).sum(axis=1) for c in cbs])
+    return ip_lut, n2_lut
+
+
+def _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut, probe_sets=None):
+    """Score one Arrow batch of code rows against every collected
+    query (optionally masked to each query's probed lists): returns
+    (query_id, neighbor_id, pq_score) numpy columns."""
+    import numpy as np
+
+    codes = np.stack(pdf["codes"].apply(lambda a: np.asarray(a, dtype=np.int64)))
+    nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    lists = pdf["list_id"].to_numpy(dtype=np.int64) if probe_sets is not None else None
+    m_idx = np.arange(codes.shape[1])
+    vnorm = np.sqrt(n2_lut[m_idx, codes].sum(axis=1))
+    out_q, out_n, out_s = [], [], []
+    for qi in range(len(q_ids)):
+        if probe_sets is not None:
+            mask = np.isin(lists, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            cds, nid, vn = codes[mask], nids[mask], vnorm[mask]
+        else:
+            cds, nid, vn = codes, nids, vnorm
+        num = ip_lut[qi][m_idx, cds].sum(axis=1)
+        denom = q_norm[qi] * vn
+        score = np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
+        out_q.append(np.full(len(nid), q_ids[qi], dtype=np.int64))
+        out_n.append(nid)
+        out_s.append(score)
+    if not out_q:
+        return None
+    return np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_s)
+
+
+def _adc_topk_tail(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), F.col("neighbor_id"))
+    return (
+        scored.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "pq_score")
+    )
+
+
+_EMPTY_ADC = "query_id bigint, neighbor_id bigint, pq_score double"
 
 
 def pq_adc_topk(
@@ -687,64 +798,28 @@ def pq_adc_topk(
     codebooks; scoring is one vectorized gather per batch inside
     mapInPandas, then a window top-k.  Returns
     (query_id, neighbor_id, pq_score)."""
-    import numpy as np
-
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).limit(int(max_queries) + 1).collect()
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"pq_adc_topk collects the query side; got > max_queries={max_queries} rows — "
-            "raise max_queries explicitly for bulk scoring"
-        )
-    q_ids = [int(r["qid"]) for r in q_rows]
-    q_mat = np.asarray([list(map(float, r["qv"])) for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
-    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
-    sub = q_mat.shape[1] // len(cbs) if len(q_rows) else 0
-    # per-query inner-product LUTs (nq × m × k) and the shared
-    # reconstruction-norm LUT (m × k)
-    ip_lut = np.stack(
-        [q_mat[:, s * sub : (s + 1) * sub] @ cbs[s].T for s in range(len(cbs))], axis=1
-    ) if len(q_rows) else None
-    n2_lut = np.stack([(c * c).sum(axis=1) for c in cbs])  # m × k
+    spark = corpus_codes.sparkSession
+    q_ids, q_mat, q_norm = _collect_query_matrix(
+        queries, id_col=id_col, vec_col=vec_col, max_queries=max_queries, caller="pq_adc_topk"
+    )
+    if q_mat is None:
+        return spark.createDataFrame([], _EMPTY_ADC)
+    ip_lut, n2_lut = _adc_luts(q_mat, codebooks)
 
     def op(batches):
         import pandas as pd_
 
         for pdf in batches:
-            if ip_lut is None or not len(pdf):
+            res = _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut) if len(pdf) else None
+            if res is None:
                 yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
-                continue
-            codes = np.stack(pdf["codes"].apply(lambda a: np.asarray(a, dtype=np.int64)))
-            m_idx = np.arange(codes.shape[1])
-            # reconstruction norm per corpus row: gather + sum
-            vnorm = np.sqrt(n2_lut[m_idx, codes].sum(axis=1))  # B
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(q_ids)):
-                num = ip_lut[qi][m_idx, codes].sum(axis=1)  # B
-                denom = q_norm[qi] * vnorm
-                score = np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
-                out_q.append(np.full(len(codes), q_ids[qi], dtype=np.int64))
-                out_n.append(pdf["vec_id"].to_numpy(dtype=np.int64))
-                out_s.append(score)
-            yield pd_.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "pq_score": np.concatenate(out_s),
-                }
-            )
+            else:
+                yield pd_.DataFrame(
+                    {"query_id": res[0], "neighbor_id": res[1], "pq_score": res[2]}
+                )
 
-    scored = corpus_codes.mapInPandas(
-        op, schema="query_id bigint, neighbor_id bigint, pq_score double"
-    ).where(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .select("query_id", "neighbor_id", "pq_score")
-    )
+    scored = corpus_codes.mapInPandas(op, schema=_EMPTY_ADC)
+    return _adc_topk_tail(scored, k)
 
 
 GRID_LEVELS = 255  # odd: 0.0 sits exactly ON a grid point (index 127)
@@ -835,62 +910,45 @@ def ivfpq_topk(
     100 TB a query touches ``nprobe/n_centroids`` of the corpus
     directories AND only m bytes per vector in them.
 
-    One Arrow pass assigns every corpus vector its list id and its PQ
-    codes; queries (collected, hard-capped like ``pq_adc_topk``) get
-    driver-computed probe lists, the union of which pushes into the
-    scan as a JVM-side ``isin`` pre-filter; scoring is the same
-    per-query LUT gather, masked to each query's own probed lists.
+    One Arrow pass (a single corpus scan) assigns every vector its
+    list id AND its PQ codes; queries (collected, hard-capped like
+    ``pq_adc_topk``) get driver-computed probe lists, the union of
+    which pushes into the scan as a JVM-side ``isin`` pre-filter;
+    scoring is the shared per-query LUT gather, masked to each
+    query's own probed lists.
 
     ``grid=True`` swaps the trained codebooks for the closed-form
-    uniform grid (``grid_quantize_vectors``) — with
-    ``nprobe == n_centroids`` the output then equals cosine top-k over
-    the grid-quantized vectors exactly, the oracle-able twin
-    (``ann_ivfpq_exact_topk``).  Returns
-    (query_id, neighbor_id, pq_score)."""
+    uniform grid (``_grid_codes``) — with ``nprobe == n_centroids``
+    the output then equals cosine top-k over the grid-quantized
+    vectors exactly, the oracle-able twin (``ann_ivfpq_exact_topk``).
+    Returns (query_id, neighbor_id, pq_score)."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
-    smp = [
-        r["v"]
-        for r in corpus.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(int(sample))
-        .collect()
-    ]
+    spark = corpus.sparkSession
+    smp = _sample_vectors(corpus, id_col=id_col, vec_col=vec_col, sample=sample)
     cent = _spherical_kmeans(smp, n_centroids, iters)
     cent_rows = [[float(x) for x in row] for row in cent]
     nprobe = min(int(nprobe), len(cent_rows))
     dim = len(smp[0]) if smp else 0
     if grid:
         step = 2.0 / (GRID_LEVELS - 1)
-        grid_vals = [i * step - 1.0 for i in range(GRID_LEVELS)]
-        cbs = [[[v] for v in grid_vals] for _ in range(dim)]
+        cbs = [[[i * step - 1.0] for i in range(GRID_LEVELS)] for _ in range(dim)]
     else:
         cbs = _subspace_kmeans(smp, m, pq_k, iters)
 
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).limit(int(max_queries) + 1).collect()
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"ivfpq_topk collects the query side; got > max_queries={max_queries} rows"
-        )
-    q_ids = [int(r["qid"]) for r in q_rows]
-    q_mat = np.asarray([list(map(float, r["qv"])) for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_ids, q_mat, q_norm = _collect_query_matrix(
+        queries, id_col=id_col, vec_col=vec_col, max_queries=max_queries, caller="ivfpq_topk"
+    )
+    if q_mat is None:
+        return spark.createDataFrame([], _EMPTY_ADC)
     c_mat = np.asarray(cent_rows, dtype=np.float64)
     # per-query probed lists, driver-side (queries are already here)
-    probe = np.argsort(-(q_mat @ c_mat.T), axis=1, kind="stable")[:, :nprobe] if len(q_rows) else None
-    probed_union = sorted({int(l) for row in probe for l in row}) if probe is not None else []
-    cb_mats = [np.asarray(cb, dtype=np.float64) for cb in cbs]
-    sub = dim // len(cbs) if dim else 0
-    ip_lut = (
-        np.stack([q_mat[:, s * sub : (s + 1) * sub] @ cb_mats[s].T for s in range(len(cbs))], axis=1)
-        if len(q_rows)
-        else None
-    )
-    n2_lut = np.stack([(c * c).sum(axis=1) for c in cb_mats])
+    probe = np.argsort(-(q_mat @ c_mat.T), axis=1, kind="stable")[:, :nprobe]
+    probe_sets = [set(int(l) for l in row) for row in probe]
+    probed_union = sorted({l for row in probe_sets for l in row})
+    ip_lut, n2_lut = _adc_luts(q_mat, cbs)
 
     @pandas_udf("int")
     def nearest_list(vs: pd.Series) -> pd.Series:
@@ -902,80 +960,33 @@ def ivfpq_topk(
 
     # ONE corpus scan carries both derived columns — a join of two
     # separately-derived frames would scan twice and shuffle on the id
-    if grid:
-        coded = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0).alias("codes"),
-            nearest_list(F.col(vec_col)).alias("list_id"),
-        )
-    else:
-        from pyspark.sql.functions import pandas_udf as _pudf
-
-        cbs_local = [[list(map(float, row)) for row in cb] for cb in cbs]
-
-        @_pudf("array<int>")
-        def _encode(vs: pd.Series) -> pd.Series:
-            import numpy as np_
-
-            x = np_.stack(vs.apply(lambda a: np_.asarray(a, dtype=np_.float64)))
-            sb = x.shape[1] // len(cbs_local)
-            out = np_.empty((len(x), len(cbs_local)), dtype=np_.int32)
-            for s, cb in enumerate(cbs_local):
-                c = np_.asarray(cb, dtype=np_.float64)
-                xs = x[:, s * sb : (s + 1) * sb]
-                d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                out[:, s] = np_.argmin(d2, axis=1)
-            return pd.Series([row.tolist() for row in out])
-
-        coded = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            _encode(F.col(vec_col)).alias("codes"),
-            nearest_list(F.col(vec_col)).alias("list_id"),
-        )
-    coded = coded.where(F.col("list_id").isin(probed_union) if probed_union else F.lit(False))
-
-    probe_sets = [set(int(l) for l in row) for row in probe] if probe is not None else []
+    codes_col = (
+        _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
+        if grid
+        else _encode_codes_udf(cbs)(F.col(vec_col))
+    )
+    coded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        codes_col.alias("codes"),
+        nearest_list(F.col(vec_col)).alias("list_id"),
+    ).where(F.col("list_id").isin(probed_union) if probed_union else F.lit(False))
 
     def op(batches):
         import pandas as pd_
 
         for pdf in batches:
-            if ip_lut is None or not len(pdf):
-                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
-                continue
-            codes = np.stack(pdf["codes"].apply(lambda a: np.asarray(a, dtype=np.int64)))
-            lists = pdf["list_id"].to_numpy(dtype=np.int64)
-            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            m_idx = np.arange(codes.shape[1])
-            vnorm = np.sqrt(n2_lut[m_idx, codes].sum(axis=1))
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(q_ids)):
-                mask = np.isin(lists, list(probe_sets[qi]))
-                if not mask.any():
-                    continue
-                num = ip_lut[qi][m_idx, codes[mask]].sum(axis=1)
-                denom = q_norm[qi] * vnorm[mask]
-                score = np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
-                out_q.append(np.full(mask.sum(), q_ids[qi], dtype=np.int64))
-                out_n.append(nids[mask])
-                out_s.append(score)
-            if not out_q:
-                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
-                continue
-            yield pd_.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "pq_score": np.concatenate(out_s),
-                }
+            res = (
+                _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)
+                if len(pdf)
+                else None
             )
+            if res is None:
+                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
+            else:
+                yield pd_.DataFrame(
+                    {"query_id": res[0], "neighbor_id": res[1], "pq_score": res[2]}
+                )
 
-    scored = coded.mapInPandas(
-        op, schema="query_id bigint, neighbor_id bigint, pq_score double"
-    ).where(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .select("query_id", "neighbor_id", "pq_score")
-    )
+    scored = coded.mapInPandas(op, schema=_EMPTY_ADC)
+    return _adc_topk_tail(scored, k)
+

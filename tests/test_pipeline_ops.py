@@ -2183,10 +2183,21 @@ def test_ivfpq_full_probe_grid_equals_quantized_brute_force(spark):
     for key in want:
         assert abs(got[key] - want[key]) < 1e-9
 
-    part = ivfpq_topk(df, dq_queries, k=3, n_centroids=4, nprobe=1, grid=True)
-    sub = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
-    # partial probe scores fewer candidates; top-3 of a subset
-    assert {q for q, _ in sub} <= {q for q, _ in want}
+    # PARTIAL probe, exact expectation: over the grid-decoded corpus
+    # (already on grid → grid PQ is lossless) 1-probe IVF-PQ must
+    # equal 1-probe IVF-Flat — both train on the same deterministic
+    # hash-ordered sample, so centroids, assignments, and probed lists
+    # coincide, and the only difference is ADC-vs-direct scoring of
+    # the SAME candidate set
+    from opentsdb_aura_spark.operators.similarity import ivf_topk
+
+    part = ivfpq_topk(deq, dq_queries, k=3, n_centroids=4, nprobe=1, grid=True)
+    flat = ivf_topk(deq, dq_queries, k=3, n_centroids=4, nprobe=1)
+    got1 = {(r["query_id"], r["neighbor_id"]): r["pq_score"] for r in part.collect()}
+    want1 = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in flat.collect()}
+    assert got1.keys() == want1.keys() and got1
+    for key in want1:
+        assert abs(got1[key] - want1[key]) < 1e-9
 
 
 def test_ivfpq_trained_recall(spark):
@@ -2216,3 +2227,39 @@ def test_ivfpq_trained_recall(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_pq_edge_cases_empty_queries_and_ragged_codebooks(spark):
+    """(a) an EMPTY query set returns an empty result (not a numpy
+    axis crash); (b) a low-cardinality subspace (fewer distinct
+    subvectors than k) yields PADDED equal-length codebooks and
+    search still works end-to-end — the config variable-k_eff data
+    produces."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(47)
+    # dims 0-3: only TWO distinct subvector values; dims 4-7: continuous
+    half = [[0.5, -0.5, 0.25, -0.25], [-0.5, 0.5, -0.25, 0.25]]
+    vecs = [
+        (i, [float(x) for x in half[i % 2] + list(rng.uniform(-1, 1, 4))])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cbs = pq_train(df, m=2, k=8, iters=4, sample=64)
+    assert len({len(cb) for cb in cbs}) == 1  # padded to equal length
+    codes = pq_encode(df, cbs)
+    res = pq_adc_topk(codes, df.where(F.col("vec_id") < 2), cbs, k=3).collect()
+    assert {r["query_id"] for r in res} == {0, 1}
+    assert all(len([x for x in res if x["query_id"] == q]) == 3 for q in (0, 1))
+
+    empty = df.where(F.lit(False))
+    assert pq_adc_topk(codes, empty, cbs, k=3).count() == 0
+    assert ivfpq_topk(df, empty, k=3, n_centroids=2, nprobe=2).count() == 0

@@ -1,11 +1,14 @@
 """Quantitative bounds for the rows-only catalog family.
 
-Six catalog queries are hash- or sketch-based and cannot be DuckDB
-hash-matched (the driver records them rows-only): dedup_minhash_lsh,
-dedup_simhash, ann_lsh_topk, text_fingerprint, meta_cardinality_approx,
+Some catalog queries are hash-, sketch-, or quantization-based and
+cannot be DuckDB hash-matched (the driver records them rows-only):
+dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, ann_pq_topk,
+ann_ivfpq_topk, text_fingerprint, meta_cardinality_approx,
 ds_p90_approx_daily.  Each gets an asserting accuracy/recall bound here
-instead, so "no oracle" never means "untested" (referenced from
-COVERAGE.md).
+instead (AT the served catalog config), so "no oracle" never means
+"untested" (referenced from COVERAGE.md).  The HLL and DDSketch
+rows-only entries carry their bounds in test_sketch.py / test_rollup.py
+/ test_pipeline_ops.py as noted in COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -292,3 +295,47 @@ def test_ev_wau_hll_within_5pct(spark):
     assert set(approx) == set(exact) and approx
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)
+
+
+# ---------------------------------------------------------- PQ / IVF-PQ
+
+
+def test_pq_and_ivfpq_recall_on_planted_neighbors_served_config(spark):
+    """ann_pq_topk / ann_ivfpq_topk bounds AT THE SERVED CATALOG
+    CONFIG (m=8, k=16 on the 64-d fixture embeddings; IVF-PQ with
+    n_centroids=8, nprobe=4): plant queries as tiny perturbations of
+    corpus vectors (cos ≥ 0.99, the ann_lsh bound's regime) and
+    require the true source inside the ADC top-5 for ≥80% of them.
+    The storage layers themselves are value-hash-proven by the
+    ann_pq_exact_topk / ann_ivfpq_exact_topk grid twins; this bound
+    covers the TRAINED approximate paths exactly as registered."""
+    from opentsdb_aura_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rng = random.Random(11)
+    src = e.where(F.col("vec_id") < 20).collect()
+    qrows = [
+        (int(r["vec_id"]) + 1_000_000, [v + rng.gauss(0, 0.01) for v in r["embedding"]])
+        for r in src
+    ]
+    q = e.sparkSession.createDataFrame(qrows, "vec_id long, embedding array<float>")
+
+    cbs = pq_train(e, m=8, k=16)
+    ap = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(pq_encode(e, cbs), q, cbs, k=5).collect()
+    }
+    hits = sum(1 for r in src if (int(r["vec_id"]) + 1_000_000, int(r["vec_id"])) in ap)
+    assert hits >= 16, hits
+
+    ap2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(e, q, k=5, n_centroids=8, nprobe=4, m=8, pq_k=16).collect()
+    }
+    hits2 = sum(1 for r in src if (int(r["vec_id"]) + 1_000_000, int(r["vec_id"])) in ap2)
+    assert hits2 >= 16, hits2

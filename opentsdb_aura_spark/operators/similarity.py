@@ -990,3 +990,70 @@ def ivfpq_topk(
     scored = coded.mapInPandas(op, schema=_EMPTY_ADC)
     return _adc_topk_tail(scored, k)
 
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    grid: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a PQ index — the 'encode once at ingest' half of
+    :func:`pq_adc_topk` made real (the PQ sibling of
+    :func:`build_ivf_index`).  Writes
+
+    - ``{path}/codebooks`` — (subspace, code, centroid) rows, a tiny
+      table read back to the driver per search,
+    - ``{path}/codes``     — every corpus vector as m small codes
+      (the 1/32-of-the-bytes at-rest form ADC searches from).
+
+    ``grid=True`` persists the closed-form uniform-grid codebooks
+    instead of trained ones — searches over that index are then
+    value-hash-checkable end-to-end (``ann_pq_index_topk``'s oracle).
+    Rebuild on drift is a full rewrite; appending a new batch is
+    ``pq_encode`` with the SAME codebooks + append to codes."""
+    spark = corpus.sparkSession
+    if grid:
+        step = 2.0 / (GRID_LEVELS - 1)
+        dim = len(corpus.select(vec_col).first()[0])
+        cbs = [[[i * step - 1.0] for i in range(GRID_LEVELS)] for _ in range(dim)]
+        codes = grid_quantize_vectors(corpus, id_col=id_col, vec_col=vec_col)
+    else:
+        cbs = pq_train(corpus, m=m, k=k, iters=iters, sample=sample, id_col=id_col, vec_col=vec_col)
+        codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col)
+    spark.createDataFrame(
+        [(s, c, row) for s, cb in enumerate(cbs) for c, row in enumerate(cb)],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def pq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    max_queries: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search against a persisted PQ index: codebooks (tiny) come
+    back to the driver, the corpus is read as its CODES table only —
+    the float vectors are never touched at serve time.  Returns
+    (query_id, neighbor_id, pq_score)."""
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
+    n_sub = max(r["subspace"] for r in rows) + 1
+    cbs = [[] for _ in range(n_sub)]
+    for r in rows:
+        cbs[r["subspace"]].append([float(x) for x in r["centroid"]])
+    codes = spark.read.parquet(f"{path}/codes")
+    return pq_adc_topk(
+        codes, queries, cbs, k=k, max_queries=max_queries, id_col=id_col, vec_col=vec_col
+    )

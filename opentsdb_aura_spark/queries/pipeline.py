@@ -383,6 +383,40 @@ def ann_ivfpq_exact_topk(spark, sf_dir):
     )
 
 
+
+@register(
+    "ann_pq_index_topk",
+    ORACLES["ann_pq_exact_topk"],
+)
+def ann_pq_index_topk(spark, sf_dir):
+    """PQ with the index AT REST under the FULL value-hash oracle:
+    grid codebooks + corpus codes persisted once (`build_pq_index`,
+    _SUCCESS-gated like the IVF index), then searched from the CODES
+    table alone (`pq_search_index` — float vectors never read at serve
+    time).  Grid codes are lossless for grid-decoded queries, so the
+    result equals cosine top-5 over the quantized vectors and
+    ann_pq_exact_topk's DuckDB oracle applies verbatim — proving the
+    persist → read-back → ADC chain, not just the in-memory path."""
+    import os
+
+    from opentsdb_aura_spark.operators.similarity import (
+        build_pq_index,
+        grid_decode,
+        grid_quantize_vectors,
+        pq_search_index,
+    )
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(STORE_ROOT, base, "pq_index_grid_v1")
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        build_pq_index(embs(spark, sf_dir), path, grid=True)
+    e = embs(spark, sf_dir)
+    dq_queries = grid_decode(grid_quantize_vectors(e.where(F.col("vec_id") < 20)))
+    res = pq_search_index(spark, path, dq_queries, k=5)
+    return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("cos_sim"))
+
+
 # ============================================================ text analysis
 
 

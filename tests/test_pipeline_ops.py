@@ -2263,3 +2263,55 @@ def test_pq_edge_cases_empty_queries_and_ragged_codebooks(spark):
     empty = df.where(F.lit(False))
     assert pq_adc_topk(codes, empty, cbs, k=3).count() == 0
     assert ivfpq_topk(df, empty, k=3, n_centroids=2, nprobe=2).count() == 0
+
+
+def test_pq_index_persist_and_search(spark, tmp_path):
+    """Persisted PQ index: search from the at-rest codes table equals
+    the in-memory ADC path with the same codebooks — for both trained
+    and grid codebooks (grid: roundtrips the closed-form codes through
+    parquet and back)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.similarity import (
+        build_pq_index,
+        grid_decode,
+        grid_quantize_vectors,
+        brute_force_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+        pq_search_index,
+    )
+
+    rng = np.random.default_rng(53)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 3)
+
+    path = str(tmp_path / "pq")
+    build_pq_index(df, path, m=4, k=8)
+    got = {
+        (r["query_id"], r["neighbor_id"]): round(r["pq_score"], 9)
+        for r in pq_search_index(spark, path, q, k=4).collect()
+    }
+    cbs = pq_train(df, m=4, k=8)
+    want = {
+        (r["query_id"], r["neighbor_id"]): round(r["pq_score"], 9)
+        for r in pq_adc_topk(pq_encode(df, cbs), q, cbs, k=4).collect()
+    }
+    assert got == want and got
+
+    gpath = str(tmp_path / "pqg")
+    build_pq_index(df, gpath, grid=True)
+    deq = grid_decode(grid_quantize_vectors(df))
+    gq = deq.where(F.col("vec_id") < 3)
+    got_g = {
+        (r["query_id"], r["neighbor_id"]): round(r["pq_score"], 9)
+        for r in pq_search_index(spark, gpath, gq, k=4).collect()
+    }
+    want_g = {
+        (r["query_id"], r["neighbor_id"]): round(r["cos_sim"], 9)
+        for r in brute_force_topk(deq, gq, k=4).collect()
+    }
+    assert got_g == want_g

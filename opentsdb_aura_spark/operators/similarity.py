@@ -1057,3 +1057,136 @@ def pq_search_index(
     return pq_adc_topk(
         codes, queries, cbs, k=k, max_queries=max_queries, id_col=id_col, vec_col=vec_col
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    m: int = 8,
+    pq_k: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    grid: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the full IVFADC layout — both pruning axes at rest:
+
+    - ``{path}/centroids`` — the IVF coarse centroids (tiny),
+    - ``{path}/codebooks`` — the PQ codebooks (tiny),
+    - ``{path}/codes``     — every vector as (vec_id, codes),
+      ``partitionBy("list_id")`` — a probe reads ``nprobe`` of
+      ``n_centroids`` DIRECTORIES (static partition pruning) and only
+      m bytes per vector inside them.
+
+    One Arrow pass derives codes + list id (single corpus scan).
+    ``grid=True`` persists grid codebooks for the value-hash-checkable
+    twin.  Rebuild on drift is a rewrite; a new batch appends via the
+    same assignment + encode with the SAVED centroids/codebooks."""
+    spark = corpus.sparkSession
+
+    from pyspark.sql.functions import pandas_udf
+
+    smp = _sample_vectors(corpus, id_col=id_col, vec_col=vec_col, sample=sample)
+    cent = _spherical_kmeans(smp, n_centroids, iters)
+    cent_rows = [[float(x) for x in row] for row in cent]
+    dim = len(smp[0]) if smp else 0
+    if grid:
+        step = 2.0 / (GRID_LEVELS - 1)
+        cbs = [[[i * step - 1.0] for i in range(GRID_LEVELS)] for _ in range(dim)]
+    else:
+        cbs = _subspace_kmeans(smp, m, pq_k, iters)
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        c = np.asarray(cent_rows, dtype=np.float64)
+        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        return pd.Series(np.argmax(x @ c.T, axis=1).astype("int32"))
+
+    codes_col = (
+        _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
+        if grid
+        else _encode_codes_udf(cbs)(F.col(vec_col))
+    )
+    spark.createDataFrame(
+        [(i, row) for i, row in enumerate(cent_rows)], "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(s, c, row) for s, cb in enumerate(cbs) for c, row in enumerate(cb)],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    corpus.select(
+        F.col(id_col).alias("vec_id"),
+        codes_col.alias("codes"),
+        nearest_list(F.col(vec_col)).alias("list_id"),
+    ).write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/codes")
+
+
+def ivfpq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    max_queries: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve from the persisted IVFADC index: centroids + codebooks
+    come back to the driver (both tiny), each query's ``nprobe``
+    closest lists are computed there, and the probed list ids push
+    into the codes read as an ``isin`` PARTITION filter — the scan
+    touches only the probed directories, and only codes inside them.
+    Scoring is the shared ADC gather masked per query.  Returns
+    (query_id, neighbor_id, pq_score)."""
+    import numpy as np
+
+    cent_rows = [
+        [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    ]
+    cb_rows = spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
+    n_sub = max(r["subspace"] for r in cb_rows) + 1
+    cbs = [[] for _ in range(n_sub)]
+    for r in cb_rows:
+        cbs[r["subspace"]].append([float(x) for x in r["centroid"]])
+
+    q_ids, q_mat, q_norm = _collect_query_matrix(
+        queries, id_col=id_col, vec_col=vec_col, max_queries=max_queries, caller="ivfpq_search_index"
+    )
+    if q_mat is None:
+        return spark.createDataFrame([], _EMPTY_ADC)
+    c_mat = np.asarray(cent_rows, dtype=np.float64)
+    nprobe = min(int(nprobe), len(cent_rows))
+    probe = np.argsort(-(q_mat @ c_mat.T), axis=1, kind="stable")[:, :nprobe]
+    probe_sets = [set(int(l) for l in row) for row in probe]
+    probed_union = sorted({l for row in probe_sets for l in row})
+    ip_lut, n2_lut = _adc_luts(q_mat, cbs)
+
+    coded = spark.read.parquet(f"{path}/codes").where(
+        F.col("list_id").isin(probed_union) if probed_union else F.lit(False)
+    )
+
+    def op(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            res = (
+                _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)
+                if len(pdf)
+                else None
+            )
+            if res is None:
+                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
+            else:
+                yield pd_.DataFrame(
+                    {"query_id": res[0], "neighbor_id": res[1], "pq_score": res[2]}
+                )
+
+    scored = coded.mapInPandas(op, schema=_EMPTY_ADC)
+    return _adc_topk_tail(scored, k)

@@ -417,6 +417,41 @@ def ann_pq_index_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("cos_sim"))
 
 
+
+@register(
+    "ann_ivfpq_index_topk",
+    ORACLES["ann_pq_exact_topk"],
+)
+def ann_ivfpq_index_topk(spark, sf_dir):
+    """The COMPLETE IVFADC serving stack at rest under the FULL
+    value-hash oracle: coarse centroids + PQ codebooks + list-
+    partitioned codes persisted once (`build_ivfpq_index`), served by
+    `ivfpq_search_index` — probed list ids prune PARTITIONS of the
+    codes table (asserted in tests), floats never read at serve time.
+    Grid codebooks + full probe make the result equal cosine top-5
+    over the quantized vectors, so the PQ exact twin's oracle applies
+    verbatim; production sets nprobe << n_centroids and keeps the
+    recall bound."""
+    import os
+
+    from opentsdb_aura_spark.operators.similarity import (
+        build_ivfpq_index,
+        grid_decode,
+        grid_quantize_vectors,
+        ivfpq_search_index,
+    )
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(STORE_ROOT, base, "ivfpq_index_grid_c8_v1")
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        build_ivfpq_index(embs(spark, sf_dir), path, n_centroids=8, grid=True)
+    e = embs(spark, sf_dir)
+    dq_queries = grid_decode(grid_quantize_vectors(e.where(F.col("vec_id") < 20)))
+    res = ivfpq_search_index(spark, path, dq_queries, k=5, nprobe=8)
+    return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("cos_sim"))
+
+
 # ============================================================ text analysis
 
 

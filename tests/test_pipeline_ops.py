@@ -2315,3 +2315,56 @@ def test_pq_index_persist_and_search(spark, tmp_path):
         for r in brute_force_topk(deq, gq, k=4).collect()
     }
     assert got_g == want_g
+
+
+def test_ivfpq_index_persist_probe_pruning_and_equivalence(spark, tmp_path):
+    """Persisted IVFADC: (a) full-probe search from the at-rest index
+    equals the in-memory ivfpq_topk (same deterministic training);
+    (b) a 1-probe search's codes scan carries an isin PARTITION filter
+    (only probed list directories read); (c) 1-probe over a grid index
+    with grid-decoded queries equals 1-probe in-memory grid ivfpq."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.similarity import (
+        build_ivfpq_index,
+        grid_decode,
+        grid_quantize_vectors,
+        ivfpq_search_index,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(59)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 3)
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(df, path, n_centroids=4, m=4, pq_k=8)
+    got = {
+        (r["query_id"], r["neighbor_id"]): round(r["pq_score"], 9)
+        for r in ivfpq_search_index(spark, path, q, k=4, nprobe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"]): round(r["pq_score"], 9)
+        for r in ivfpq_topk(df, q, k=4, n_centroids=4, nprobe=4, m=4, pq_k=8).collect()
+    }
+    assert got == want and got
+
+    probe1 = ivfpq_search_index(spark, path, q, k=4, nprobe=1)
+    plan = probe1._sc._jvm.PythonSQLUtils.explainString(probe1._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+
+    gpath = str(tmp_path / "ivfpqg")
+    build_ivfpq_index(df, gpath, n_centroids=4, grid=True)
+    deq = grid_decode(grid_quantize_vectors(df))
+    gq = deq.where(F.col("vec_id") < 3)
+    got_g = {
+        (r["query_id"], r["neighbor_id"]): round(r["pq_score"], 9)
+        for r in ivfpq_search_index(spark, gpath, gq, k=4, nprobe=1).collect()
+    }
+    want_g = {
+        (r["query_id"], r["neighbor_id"]): round(r["pq_score"], 9)
+        for r in ivfpq_topk(df, gq, k=4, n_centroids=4, nprobe=1, grid=True).collect()
+    }
+    assert got_g == want_g and got_g

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "multimodal_audio_resample",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_index_topk",
 ]
 
 

@@ -151,6 +151,26 @@ def lsh_topk(
     )
 
 
+def _nearest_list_udf(cent_rows):
+    """Nearest-centroid (max inner product) assignment UDF — ONE
+    definition for every IVF surface (in-memory, index build, IVF-PQ,
+    at-rest build), so build-time and serve-time assignment can never
+    diverge and break the equivalence tests / full-probe oracles."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = [[float(x) for x in row] for row in cent_rows]
+
+    @pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        c = np.asarray(rows, dtype=np.float64)
+        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        return pd.Series(np.argmax(x @ c.T, axis=1).astype("int32"))
+
+    return nearest_list
+
+
 def _spherical_kmeans(sample_vecs, k: int, iters: int):
     """Spherical k-means on a driver-side sample (numpy): returns
     unit-norm centroids (k × d).  Deterministic — init is the first k
@@ -218,13 +238,7 @@ def ivf_topk(
     nprobe = min(int(nprobe), len(cent))
     cent_rows = [[float(x) for x in row] for row in cent]
 
-    @pandas_udf("int")
-    def nearest_list(vs: pd.Series) -> pd.Series:
-        import numpy as np
-
-        c = np.asarray(cent_rows, dtype=np.float64)
-        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
-        return pd.Series(np.argmax(x @ c.T, axis=1).astype("int32"))
+    nearest_list = _nearest_list_udf(cent_rows)
 
     @pandas_udf("array<int>")
     def probe_lists(vs: pd.Series) -> pd.Series:
@@ -347,13 +361,7 @@ def semantic_dedup(
     cent = _spherical_kmeans(smp, n_centroids, iters)
     cent_rows = [[float(x) for x in row] for row in cent]
 
-    @pandas_udf("int")
-    def nearest_list(vs: pd.Series) -> pd.Series:
-        import numpy as np
-
-        c = np.asarray(cent_rows, dtype=np.float64)
-        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
-        return pd.Series(np.argmax(x @ c.T, axis=1).astype("int32"))
+    nearest_list = _nearest_list_udf(cent_rows)
 
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), nearest_list(F.col(vec_col)).alias("cluster_id")
@@ -503,13 +511,7 @@ def assign_to_index(
     and by incremental appends."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int")
-    def nearest_list(vs: pd.Series) -> pd.Series:
-        import numpy as np
-
-        c = np.asarray(cent_rows, dtype=np.float64)
-        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
-        return pd.Series(np.argmax(x @ c.T, axis=1).astype("int32"))
+    nearest_list = _nearest_list_udf(cent_rows)
 
     return batch.select(
         F.col(id_col).alias("neighbor_id"),
@@ -775,6 +777,32 @@ def _adc_topk_tail(scored: DataFrame, k: int) -> DataFrame:
 _EMPTY_ADC = "query_id bigint, neighbor_id bigint, pq_score double"
 
 
+def _adc_map(codes_df: DataFrame, k: int, q_ids, q_norm, ip_lut, n2_lut, probe_sets=None) -> DataFrame:
+    """Shared ADC serve tail: mapInPandas batch scoring (optionally
+    masked per query's probed lists) + the top-k window — one
+    definition for pq_adc_topk, ivfpq_topk, and ivfpq_search_index so
+    the in-memory and at-rest paths return identically-shaped
+    batches."""
+
+    def op(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            res = (
+                _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)
+                if len(pdf)
+                else None
+            )
+            if res is None:
+                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
+            else:
+                yield pd_.DataFrame(
+                    {"query_id": res[0], "neighbor_id": res[1], "pq_score": res[2]}
+                )
+
+    return _adc_topk_tail(codes_df.mapInPandas(op, schema=_EMPTY_ADC), k)
+
+
 def pq_adc_topk(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -805,24 +833,20 @@ def pq_adc_topk(
     if q_mat is None:
         return spark.createDataFrame([], _EMPTY_ADC)
     ip_lut, n2_lut = _adc_luts(q_mat, codebooks)
-
-    def op(batches):
-        import pandas as pd_
-
-        for pdf in batches:
-            res = _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut) if len(pdf) else None
-            if res is None:
-                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
-            else:
-                yield pd_.DataFrame(
-                    {"query_id": res[0], "neighbor_id": res[1], "pq_score": res[2]}
-                )
-
-    scored = corpus_codes.mapInPandas(op, schema=_EMPTY_ADC)
-    return _adc_topk_tail(scored, k)
+    return _adc_map(corpus_codes, k, q_ids, q_norm, ip_lut, n2_lut)
 
 
 GRID_LEVELS = 255  # odd: 0.0 sits exactly ON a grid point (index 127)
+
+
+def _grid_codebooks(dim: int):
+    """The uniform-grid PQ codebooks (one 1-d subspace per dimension,
+    GRID_LEVELS points over [-1, 1]) — ONE definition shared by every
+    grid twin (in-memory IVF-PQ, PQ index build, IVFADC index build)
+    so the decode-side values can never diverge from _grid_codes and
+    the oracle SQL."""
+    step = 2.0 / (GRID_LEVELS - 1)
+    return [[[i * step - 1.0] for i in range(GRID_LEVELS)] for _ in range(dim)]
 
 
 def _grid_codes(v_expr, *, levels: int, lo: float, hi: float):
@@ -933,8 +957,7 @@ def ivfpq_topk(
     nprobe = min(int(nprobe), len(cent_rows))
     dim = len(smp[0]) if smp else 0
     if grid:
-        step = 2.0 / (GRID_LEVELS - 1)
-        cbs = [[[i * step - 1.0] for i in range(GRID_LEVELS)] for _ in range(dim)]
+        cbs = _grid_codebooks(dim)
     else:
         cbs = _subspace_kmeans(smp, m, pq_k, iters)
 
@@ -950,13 +973,7 @@ def ivfpq_topk(
     probed_union = sorted({l for row in probe_sets for l in row})
     ip_lut, n2_lut = _adc_luts(q_mat, cbs)
 
-    @pandas_udf("int")
-    def nearest_list(vs: pd.Series) -> pd.Series:
-        import numpy as np_
-
-        c = np_.asarray(cent_rows, dtype=np_.float64)
-        x = np_.stack(vs.apply(lambda a: np_.asarray(a, dtype=np_.float64)))
-        return pd.Series(np_.argmax(x @ c.T, axis=1).astype("int32"))
+    nearest_list = _nearest_list_udf(cent_rows)
 
     # ONE corpus scan carries both derived columns — a join of two
     # separately-derived frames would scan twice and shuffle on the id
@@ -971,24 +988,7 @@ def ivfpq_topk(
         nearest_list(F.col(vec_col)).alias("list_id"),
     ).where(F.col("list_id").isin(probed_union) if probed_union else F.lit(False))
 
-    def op(batches):
-        import pandas as pd_
-
-        for pdf in batches:
-            res = (
-                _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)
-                if len(pdf)
-                else None
-            )
-            if res is None:
-                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
-            else:
-                yield pd_.DataFrame(
-                    {"query_id": res[0], "neighbor_id": res[1], "pq_score": res[2]}
-                )
-
-    scored = coded.mapInPandas(op, schema=_EMPTY_ADC)
-    return _adc_topk_tail(scored, k)
+    return _adc_map(coded, k, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)
 
 
 
@@ -1020,9 +1020,10 @@ def build_pq_index(
     ``pq_encode`` with the SAME codebooks + append to codes."""
     spark = corpus.sparkSession
     if grid:
-        step = 2.0 / (GRID_LEVELS - 1)
-        dim = len(corpus.select(vec_col).first()[0])
-        cbs = [[[i * step - 1.0] for i in range(GRID_LEVELS)] for _ in range(dim)]
+        head = corpus.select(vec_col).head(1)
+        if not head:
+            raise ValueError("build_pq_index: empty corpus")
+        cbs = _grid_codebooks(len(head[0][0]))
         codes = grid_quantize_vectors(corpus, id_col=id_col, vec_col=vec_col)
     else:
         cbs = pq_train(corpus, m=m, k=k, iters=iters, sample=sample, id_col=id_col, vec_col=vec_col)
@@ -1094,18 +1095,11 @@ def build_ivfpq_index(
     cent_rows = [[float(x) for x in row] for row in cent]
     dim = len(smp[0]) if smp else 0
     if grid:
-        step = 2.0 / (GRID_LEVELS - 1)
-        cbs = [[[i * step - 1.0] for i in range(GRID_LEVELS)] for _ in range(dim)]
+        cbs = _grid_codebooks(dim)
     else:
         cbs = _subspace_kmeans(smp, m, pq_k, iters)
 
-    @pandas_udf("int")
-    def nearest_list(vs: pd.Series) -> pd.Series:
-        import numpy as np
-
-        c = np.asarray(cent_rows, dtype=np.float64)
-        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
-        return pd.Series(np.argmax(x @ c.T, axis=1).astype("int32"))
+    nearest_list = _nearest_list_udf(cent_rows)
 
     codes_col = (
         _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
@@ -1172,21 +1166,4 @@ def ivfpq_search_index(
         F.col("list_id").isin(probed_union) if probed_union else F.lit(False)
     )
 
-    def op(batches):
-        import pandas as pd_
-
-        for pdf in batches:
-            res = (
-                _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)
-                if len(pdf)
-                else None
-            )
-            if res is None:
-                yield pd_.DataFrame({"query_id": [], "neighbor_id": [], "pq_score": []})
-            else:
-                yield pd_.DataFrame(
-                    {"query_id": res[0], "neighbor_id": res[1], "pq_score": res[2]}
-                )
-
-    scored = coded.mapInPandas(op, schema=_EMPTY_ADC)
-    return _adc_topk_tail(scored, k)
+    return _adc_map(coded, k, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)

@@ -373,6 +373,43 @@ def main() -> None:
     )
     assert timings["pq_recall_at50"] >= 0.8, "PQ shortlist missed too many exact neighbors"
 
+    # ---- round 6: the persisted IVFADC index at scale — centroids +
+    # codebooks + list-partitioned codes built once, then served with
+    # probed-partition pruning.  Full-probe at-rest search must return
+    # the IDENTICAL pair set as the flat ADC above (same deterministic
+    # sample → same codebooks), proving the persist → read-back chain
+    # at volume; the nprobe=4/64 serve shows the pruned-read win.
+    import shutil
+
+    from opentsdb_aura_spark.operators.similarity import build_ivfpq_index, ivfpq_search_index
+
+    idx_path = "spark-warehouse/scale_ivfpq_index"
+    shutil.rmtree(idx_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_ivfpq_index(vecs, idx_path, n_centroids=64, m=8, pq_k=256, iters=5, sample=4096)
+    timings["ivfpq_index_build_1m"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    at_rest_full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_search_index(
+            spark, idx_path, vecs.where(F.col("vec_id") < 10), k=50, nprobe=64
+        ).collect()
+    }
+    timings["ivfpq_index_full_probe_10q"] = round(time.perf_counter() - t0, 2)
+    assert at_rest_full == pq10, "at-rest full-probe IVFADC != flat ADC with the same codebooks"
+    t0 = time.perf_counter()
+    n_pruned = ivfpq_search_index(
+        spark, idx_path, vecs.where(F.col("vec_id") < 10), k=50, nprobe=4
+    ).count()
+    timings["ivfpq_index_nprobe4_10q"] = round(time.perf_counter() - t0, 2)
+    timings["ivfpq_nprobe4_rows"] = n_pruned
+    print(
+        f"# ivfpq_index: build {timings['ivfpq_index_build_1m']}s, full-probe "
+        f"{timings['ivfpq_index_full_probe_10q']}s (pair set == flat ADC), "
+        f"nprobe4 {timings['ivfpq_index_nprobe4_10q']}s",
+        file=sys.stderr,
+    )
+
     # sanity: planted near-dups must be found (n_docs // 101 pairs)
     timings["expected_planted_pairs"] = n_docs // 101
 

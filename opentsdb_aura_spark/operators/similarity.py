@@ -1167,3 +1167,49 @@ def ivfpq_search_index(
     )
 
     return _adc_map(coded, k, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)
+
+
+def append_to_ivfpq_index(
+    batch: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a persisted IVFADC index: the new batch
+    is assigned and encoded with the SAVED centroids and codebooks
+    (read back to the driver — both tiny), already-indexed ids are
+    anti-joined away, and the remainder appends into the
+    list-partitioned codes table.  Centroids/codebooks are never
+    retrained here — a drifted corpus rebuilds via
+    :func:`build_ivfpq_index` (like any index), so every vector in the
+    table is encoded under ONE consistent model and at-rest search
+    stays equivalent to in-memory search over the union."""
+    spark = batch.sparkSession
+    cent_rows = [
+        [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    ]
+    cb_rows = spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
+    n_sub = max(r["subspace"] for r in cb_rows) + 1
+    cbs = [[] for _ in range(n_sub)]
+    for r in cb_rows:
+        cbs[r["subspace"]].append([float(x) for x in r["centroid"]])
+
+    have = spark.read.parquet(f"{path}/codes").select("vec_id")
+    fresh = batch.join(have, batch[id_col] == have["vec_id"], "left_anti")
+    # grid codebooks are 1-d subspaces on the uniform grid: re-derive
+    # codes with the closed-form map so appended codes stay engine-exact
+    # like the build's; trained codebooks use the shared argmin UDF
+    is_grid = n_sub > 0 and all(len(c) == 1 for c in cbs[0]) and len(cbs[0]) == GRID_LEVELS
+    codes_col = (
+        _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
+        if is_grid
+        else _encode_codes_udf(cbs)(F.col(vec_col))
+    )
+    nearest_list = _nearest_list_udf(cent_rows)
+    fresh.select(
+        F.col(id_col).alias("vec_id"),
+        codes_col.alias("codes"),
+        nearest_list(F.col(vec_col)).alias("list_id"),
+    ).write.mode("append").partitionBy("list_id").parquet(f"{path}/codes")

@@ -2368,3 +2368,67 @@ def test_ivfpq_index_persist_probe_pruning_and_equivalence(spark, tmp_path):
         for r in ivfpq_topk(df, gq, k=4, n_centroids=4, nprobe=1, grid=True).collect()
     }
     assert got_g == want_g and got_g
+
+
+def test_ivfpq_index_incremental_append(spark, tmp_path):
+    """Append path for the persisted IVFADC index: a new batch encoded
+    under the SAVED model becomes searchable; re-appending the same
+    batch is a no-op (anti-join); and at-rest search over the grown
+    index equals in-memory ivfpq over the union corpus (one model,
+    deterministic training on the ORIGINAL corpus)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_search_index,
+    )
+
+    rng = np.random.default_rng(61)
+    base = [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(30)]
+    extra = [(100 + i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(10)]
+    ddl = "vec_id long, embedding array<float>"
+    df, df2 = spark.createDataFrame(base, ddl), spark.createDataFrame(extra, ddl)
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(df, path, n_centroids=4, m=4, pq_k=8)
+    n0 = spark.read.parquet(f"{path}/codes").count()
+    append_to_ivfpq_index(df2, path)
+    assert spark.read.parquet(f"{path}/codes").count() == n0 + 10
+    append_to_ivfpq_index(df2, path)  # no-op re-append
+    assert spark.read.parquet(f"{path}/codes").count() == n0 + 10
+
+    q = df.where(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["neighbor_id"]): round(r["pq_score"], 9)
+        for r in ivfpq_search_index(spark, path, q, k=6, nprobe=4).collect()
+    }
+    # appended vectors are searchable
+    assert any(n >= 100 for (_, n) in got)
+    # full-probe at-rest search over the GROWN index must equal a
+    # direct numpy ADC recomputation from the saved codebooks and the
+    # at-rest codes — original and appended rows under ONE model
+    cb_rows = spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
+    books = [[] for _ in range(4)]
+    for r in cb_rows:
+        books[r["subspace"]].append(list(r["centroid"]))
+    books = [np.asarray(b) for b in books]
+    code_rows = {r["vec_id"]: list(r["codes"]) for r in spark.read.parquet(f"{path}/codes").collect()}
+    v32 = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v in base + extra}
+
+    def decode(cs):
+        return np.concatenate([books[s][c] for s, c in enumerate(cs)])
+
+    want = {}
+    for qid in range(3):
+        qv = v32[qid]
+        scores = []
+        for nid, cs in code_rows.items():
+            if nid == qid:
+                continue
+            d = decode(cs)
+            scores.append((nid, float(qv @ d / (np.linalg.norm(qv) * np.linalg.norm(d)))))
+        scores.sort(key=lambda t: (-t[1], t[0]))
+        want.update({(qid, n): round(s, 9) for n, s in scores[:6]})
+    assert got == want

@@ -15,6 +15,8 @@ curation operators at a volume where a wrong plan is minutes:
 - 100k-clip audio energy-fingerprint near-dup (polarity-inverted plants)
 - 50k-clip video temporal-fingerprint near-dup (brightness-shift plants)
 - PQ-ADC over 1M vectors (encode to 8 codes, shortlist recall vs exact)
+- persisted IVFADC index (build, full-probe equivalence, pruned serve)
+- benchmark decontamination (planted contaminated + novel probes)
 
 Usage: python tools/corpus_scale_validation.py [n_docs_million=2] [n_vec_million=1]
 """
@@ -318,6 +320,46 @@ def main() -> None:
     )
     assert timings["video_fp_recall"] == 1.0, "brightness-shifted twin must land at Hamming 0"
     assert n_vpairs <= expected_v + 50, "unexpected non-planted video pairs"
+
+    # ---- round 6: benchmark decontamination at scale — 200 probes
+    # COPIED from corpus docs (planted contamination) + 200 NOVEL
+    # probes from a disjoint vocabulary (sharing only the corpus-wide
+    # tail phrase: ~6% shingle overlap, far under the 50% bar).  The
+    # broadcast-probe-shingles plan makes this one corpus pass; every
+    # planted probe must flag its source at overlap 1.0 and no novel
+    # probe may flag anything.
+    from opentsdb_aura_spark.operators.corpus import contamination_check
+
+    cont = docs.where(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    novel_words = F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.concat(F.lit("z"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(10000))),
+    )
+    novel = spark.range(200).select(
+        (F.col("id") + 20_000_000).alias("doc_id"),
+        F.concat(F.array_join(novel_words, " "), F.lit(" the quick brown fox")).alias("text"),
+    )
+    t0 = time.perf_counter()
+    flags = contamination_check(
+        docs, cont.unionByName(novel), min_overlap_frac=0.5
+    ).localCheckpoint()
+    n_flags = flags.count()
+    planted_hit = flags.where(
+        (F.col("probe_id") == F.col("doc_id") + 10_000_000) & (F.col("overlap_frac") >= 0.999)
+    ).count()
+    novel_hits = flags.where(F.col("probe_id") >= 20_000_000).count()
+    timings["contamination_scan_2m"] = round(time.perf_counter() - t0, 2)
+    timings["contamination_flags"] = n_flags
+    timings["contamination_planted_hit"] = planted_hit
+    print(
+        f"# contamination_scan_2m: {timings['contamination_scan_2m']}s "
+        f"({n_flags} flags, {planted_hit}/200 planted, {novel_hits} novel false hits)",
+        file=sys.stderr,
+    )
+    assert planted_hit == 200, "a planted contaminated probe missed its source"
+    assert novel_hits == 0, "novel benchmark probes must not flag clean corpus docs"
 
     # ---- vectors: 32-d deterministic embeddings, 100 queries
     vecs = spark.range(n_vec, numPartitions=64).select(

@@ -92,6 +92,10 @@ MIN_OF = {
     "dedup_minhash_lsh_exact": 3,
     "dedup_cluster_resolve": 3,
     "pipeline_dsir_weights": 3,
+    # r6→r7: these flapped ≥1.9× on byte-identical code (VERDICT r6)
+    "fused_rate_ds_gb": 3,
+    "topn_metrics_by_sum": 3,
+    "splice_mixed_resolution_sum": 3,
 }
 
 

@@ -516,6 +516,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     max_band_bucket: int | None = 1000,
     exact_verify: bool = False,
+    prefilter: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: band the signature, bucket-join
     on (band_idx, band_hash), verify candidates against the threshold.
@@ -570,15 +571,17 @@ def minhash_lsh_candidates(
 
     # Conservative signature pre-filter: before paying the shingle
     # re-explode, drop candidate pairs whose signature estimate is so
-    # far below the threshold that a true Jaccard ≥ threshold is
-    # (exact-binomial-tail) impossible at ≤1e-6 per pair.  Most banded
-    # candidates share exactly the one permutation min that made them
-    # collide — junk pairs the exact filter would reject anyway — so
-    # this cuts the re-explode volume without changing the output (the
-    # cutoff is monotone-conservative: pairs at J > threshold are even
-    # less likely to fall under it).  Two narrow joins against the
-    # already-checkpointed signature; no extra corpus pass.
-    cutoff = _estimate_prefilter_cutoff(num_perm, threshold)
+    # far below the threshold that a true Jaccard ≥ threshold survives
+    # with probability ≤1e-6 per pair (exact binomial tail; at k=32,
+    # J=0.5 the residual drop odds are ≈1.2e-7/pair — a documented
+    # recall epsilon, not exactly zero).  Most banded candidates share
+    # exactly the one permutation min that made them collide — junk
+    # pairs the exact filter would reject anyway — so this cuts the
+    # re-explode volume.  Two narrow joins against the already-
+    # checkpointed signature; no extra corpus pass.  ``prefilter=False``
+    # disables it for a strict every-banded-pair-verified run (the
+    # triage path when an oracle mismatch needs to rule the tail out).
+    cutoff = _estimate_prefilter_cutoff(num_perm, threshold) if prefilter else 0
     if cutoff > 1:  # banded candidates always share ≥1 min
         pa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"_pa{i}") for i in range(num_perm)])
         pb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"_pb{i}") for i in range(num_perm)])

@@ -178,6 +178,8 @@ def _spherical_kmeans(sample_vecs, k: int, iters: int):
     import numpy as np
 
     x = np.asarray(sample_vecs, dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("empty corpus: k-means training sample has no vectors")
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
     k = min(k, len(x))
@@ -593,6 +595,8 @@ def _subspace_kmeans(sample_vecs, m: int, k: int, iters: int):
     import numpy as np
 
     x = np.asarray(sample_vecs, dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("empty corpus: PQ training sample has no vectors")
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -992,6 +996,60 @@ def ivfpq_topk(
 
 
 
+def ann_recall_vs_exact(
+    exact: DataFrame, approx: DataFrame, *, k_exact: int, k_approx: int
+) -> DataFrame:
+    """Recall@k_approx of an approximate ANN result against its exact
+    twin, AS A RESULT ROW — so the quantitative quality claim of a
+    trained path (PQ/IVFPQ shortlisting) is re-attested by the driver
+    every rotation, not only in scale-validation logs.  Both inputs
+    are (query_id, neighbor_id, …) top-k frames; returns ONE row
+    (k_exact, k_approx, n_queries, n_truth, n_hit, recall) via a
+    left-semi membership join + one global agg — no collect, scales
+    with the truth set (n_queries × k_exact rows)."""
+    truth = exact.select("query_id", "neighbor_id")
+    short = approx.select("query_id", "neighbor_id")
+    hits = truth.join(short, ["query_id", "neighbor_id"], "left_semi")
+    marked = truth.withColumn("_hit", F.lit(0)).unionByName(
+        hits.withColumn("_hit", F.lit(1))
+    )
+    # truth rows appear once with _hit=0 plus once more with _hit=1 iff
+    # recalled: max(_hit) per pair is the membership bit
+    per_pair = marked.groupBy("query_id", "neighbor_id").agg(F.max("_hit").alias("hit"))
+    return per_pair.agg(
+        F.lit(int(k_exact)).alias("k_exact"),
+        F.lit(int(k_approx)).alias("k_approx"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_truth"),
+        F.sum("hit").cast("long").alias("n_hit"),
+        F.round(F.sum("hit") / F.count("*"), 4).alias("recall"),
+    )
+
+
+def _write_index_meta(spark, path: str, grid: bool) -> None:
+    """Persist the explicit encoding marker (one-row table): shape
+    inference (all 1-d subspaces + exactly GRID_LEVELS entries) would
+    misdetect a TRAINED index built with m == dim and pq_k ==
+    GRID_LEVELS and silently append grid-encoded codes inconsistent
+    with the saved codebooks."""
+    spark.createDataFrame([(bool(grid),)], "grid boolean").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def _read_index_grid_flag(spark, path: str, cbs) -> bool:
+    """Read the persisted encoding marker; indexes written before the
+    marker existed fall back to the old shape heuristic."""
+    try:
+        return bool(spark.read.parquet(f"{path}/meta").head(1)[0]["grid"])
+    except Exception:
+        return (
+            len(cbs) > 0
+            and all(len(c) == 1 for c in cbs[0])
+            and len(cbs[0]) == GRID_LEVELS
+        )
+
+
 def build_pq_index(
     corpus: DataFrame,
     path: str,
@@ -1032,6 +1090,7 @@ def build_pq_index(
         [(s, c, row) for s, cb in enumerate(cbs) for c, row in enumerate(cb)],
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_index_meta(spark, path, grid)
     codes.write.mode("overwrite").parquet(f"{path}/codes")
 
 
@@ -1113,6 +1172,7 @@ def build_ivfpq_index(
         [(s, c, row) for s, cb in enumerate(cbs) for c, row in enumerate(cb)],
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_index_meta(spark, path, grid)
     corpus.select(
         F.col(id_col).alias("vec_id"),
         codes_col.alias("codes"),
@@ -1198,10 +1258,11 @@ def append_to_ivfpq_index(
 
     have = spark.read.parquet(f"{path}/codes").select("vec_id")
     fresh = batch.join(have, batch[id_col] == have["vec_id"], "left_anti")
-    # grid codebooks are 1-d subspaces on the uniform grid: re-derive
-    # codes with the closed-form map so appended codes stay engine-exact
-    # like the build's; trained codebooks use the shared argmin UDF
-    is_grid = n_sub > 0 and all(len(c) == 1 for c in cbs[0]) and len(cbs[0]) == GRID_LEVELS
+    # grid indexes re-derive codes with the closed-form map so appended
+    # codes stay engine-exact like the build's; trained codebooks use
+    # the shared argmin UDF.  The branch reads the PERSISTED marker —
+    # shape inference would misdetect a trained m==dim/pq_k==255 index.
+    is_grid = _read_index_grid_flag(spark, path, cbs)
     codes_col = (
         _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
         if is_grid

@@ -99,16 +99,31 @@ def tpch_semi_join_orders(spark, sf_dir):
 
 @register(
     "tpch_anti_join_customers",
-    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
-FROM customer
+    """WITH cust AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000, c_mktsegment FROM customer WHERE c_custkey % 10 = 0)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM cust
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1""",
 )
 def tpch_anti_join_customers(spark, sf_dir):
     """Relational health: NOT EXISTS → left_anti join (customers who
-    never ordered)."""
+    never ordered).
+
+    Every fixture customer has orders, so the anti-join was a 0-row
+    no-op; plant orphans (r6 dhash recipe): every c_custkey % 10 == 0
+    re-appears shifted by +1e7 — an id no order references — so the
+    anti-join emits exactly the planted orphans, grouped by segment."""
     ensure_session_confs(spark)
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orphans = cust.where(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"), "c_mktsegment"
+    )
+    cust = cust.unionByName(orphans)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")

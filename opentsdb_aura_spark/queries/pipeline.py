@@ -23,13 +23,32 @@ from opentsdb_aura_spark.queries.base import (  # shared underscore helpers
 
 @register(
     "dedup_exact_docs",
-    """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_count,
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 25 = 0)
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_count,
        CAST(min(doc_id) AS BIGINT) AS keep_id
-FROM documents GROUP BY 1 HAVING count(*) > 1""",
+FROM corpus GROUP BY 1 HAVING count(*) > 1""",
 )
 def dedup_exact_docs(spark, sf_dir):
-    """Exact dedup: content-hash groups with more than one doc."""
-    return exact_duplicates(docs(spark, sf_dir)).select(
+    """Exact dedup: content-hash groups with more than one doc.
+
+    The driver fixture has no byte-identical texts, so the oracle
+    would be trivially satisfied on 0 rows; plant exact copies in the
+    query's slice (the r6 dhash recipe): every doc_id % 5 == 0 gets
+    one copy (+1e6) and every % 25 == 0 a second (+2e6), so the
+    output carries both dup_count == 2 and == 3 groups with keep_id
+    always the original."""
+    base = docs(spark, sf_dir).select("doc_id", "text")
+    copy1 = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    copy2 = base.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(copy1).unionByName(copy2)
+    return exact_duplicates(corpus).select(
         "text_hash", F.col("dup_count").cast("bigint").alias("dup_count"), F.col("keep_id").cast("bigint").alias("keep_id")
     )
 
@@ -139,7 +158,16 @@ def dedup_minhash_lsh_exact(spark, sf_dir):
     sf0.01) and the output equals the SQL-expressible set of pairs
     with exact 3-word-shingle Jaccard ≥ 0.5 — upgrading the LSH
     surface from rows-only to a value-hash oracle while the default
-    approximate path (``dedup_minhash_lsh``) stays untouched."""
+    approximate path (``dedup_minhash_lsh``) stays untouched.
+
+    Known recall epsilon: the binomial signature pre-filter drops
+    banded candidates sharing < 3 of 32 permutation mins before the
+    exact re-explode; a TRUE Jaccard ≥ 0.5 pair lands below that
+    cutoff with P(Binom(32, 0.5) ≤ 2) ≈ 1.2e-7 per pair
+    (``_estimate_prefilter_cutoff``, delta=1e-6).  On a new corpus/SF
+    an oracle mismatch of a single missing pair is therefore the
+    documented tail event, not an engine bug — triage by re-running
+    with ``prefilter=False`` before suspecting the join."""
     res = minhash_lsh_candidates(
         docs(spark, sf_dir), num_perm=32, bands=32, threshold=0.5, exact_verify=True
     )
@@ -296,6 +324,48 @@ def ann_pq_topk(spark, sf_dir):
     codes = pq_encode(e, cbs)
     res = pq_adc_topk(codes, e.where(F.col("vec_id") < 20), cbs, k=5)
     return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("pq_score"))
+
+
+@register("ann_pq_recall")  # rows-only: the recall metric IS the result
+def ann_pq_recall(spark, sf_dir):
+    """Driver-visible quality attestation for the trained PQ path:
+    returns recall@50 of the trained ADC shortlist against the exact
+    cosine top-10 as a single result row, so the quantitative ANN
+    claim is re-checked every driver rotation (not only in scale
+    logs).  Bound asserted in test_rows_only_bounds.py."""
+    from opentsdb_aura_spark.operators.similarity import (
+        ann_recall_vs_exact,
+        brute_force_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    e = embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20)
+    cbs = pq_train(e, m=8, k=16)
+    approx = pq_adc_topk(pq_encode(e, cbs), q, cbs, k=50)
+    exact = brute_force_topk(e, q, k=10)
+    return ann_recall_vs_exact(exact, approx, k_exact=10, k_approx=50)
+
+
+@register("ann_ivfpq_recall")  # rows-only: the recall metric IS the result
+def ann_ivfpq_recall(spark, sf_dir):
+    """Driver-visible quality attestation for the trained IVF-PQ
+    (IVFADC) path at its SERVED config (nprobe=4 of 8 lists): recall@50
+    of the pruned+quantized shortlist against the exact cosine top-10,
+    as a result row.  Bound asserted in test_rows_only_bounds.py."""
+    from opentsdb_aura_spark.operators.similarity import (
+        ann_recall_vs_exact,
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    e = embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20)
+    approx = ivfpq_topk(e, q, k=50, n_centroids=8, nprobe=4, m=8, pq_k=16)
+    exact = brute_force_topk(e, q, k=10)
+    return ann_recall_vs_exact(exact, approx, k_exact=10, k_approx=50)
 
 
 @register(
@@ -701,20 +771,42 @@ def pipeline_stratified_sample(spark, sf_dir):
 
 @register(
     "dedup_keep_best",
-    r"""WITH c AS (SELECT doc_id, n_chars,
+    r"""WITH corpus AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' !!!', n_chars + 4
+  FROM documents WHERE doc_id % 4 = 0),
+c AS (SELECT doc_id, n_chars,
     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS ckey
-  FROM documents),
+  FROM corpus),
 r AS (SELECT *, row_number() OVER (PARTITION BY ckey ORDER BY n_chars DESC, doc_id) AS rn FROM c),
 w AS (SELECT ckey, doc_id AS kept_doc_id FROM r WHERE rn = 1)
-SELECT r.doc_id, w.kept_doc_id FROM r JOIN w USING (ckey) WHERE r.rn > 1""",
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, CAST(w.kept_doc_id AS BIGINT) AS kept_doc_id
+FROM r JOIN w USING (ckey) WHERE r.rn > 1""",
 )
 def dedup_keep_best_docs(spark, sf_dir):
     """Keep-one duplicate retention: cluster by normalized-text
     digest, keep the highest-quality doc per cluster, report each
-    dropped doc with its surviving representative."""
+    dropped doc with its surviving representative.
+
+    The fixture has no normalized duplicates, so plant case/punct
+    variants (r6 dhash recipe): every doc_id % 4 == 0 gains a copy
+    (+1e6) with ' !!!' appended — normalization strips it, so the
+    copy collides into the original's cluster; its n_chars is 4
+    higher, so the PLANTED copy wins and the ORIGINAL is reported
+    as the dropped doc, exercising the quality-ranked retention."""
     from opentsdb_aura_spark.operators.corpus import dedup_keep_best
 
-    return dedup_keep_best(docs(spark, sf_dir))
+    base = docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    planted = base.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" !!!")).alias("text"),
+        (F.col("n_chars") + 4).alias("n_chars"),
+    )
+    return dedup_keep_best(base.unionByName(planted)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("kept_doc_id").cast("bigint").alias("kept_doc_id"),
+    )
 
 
 @register(

@@ -339,3 +339,20 @@ def test_pq_and_ivfpq_recall_on_planted_neighbors_served_config(spark):
     }
     hits2 = sum(1 for r in src if (int(r["vec_id"]) + 1_000_000, int(r["vec_id"])) in ap2)
     assert hits2 >= 16, hits2
+
+
+def test_ann_recall_rows_bounds(spark):
+    """ann_pq_recall / ann_ivfpq_recall bounds: the driver-visible
+    recall rows must carry a sane quantitative value on the fixture.
+    The fixture embeddings are UNIFORM-RANDOM 64-d (the PQ worst case:
+    exact top-10 separations sit below quantization noise), so the
+    fixture bound is 0.5 — far above the ~0.1 random-overlap floor
+    (50 of 500), catching any structural regression in the LUT/gather
+    path; the production-shaped >= 0.8 recall@50 claim is asserted at
+    1 M vectors in tools/corpus_scale_validation.py every scale run."""
+    for name in ("ann_pq_recall", "ann_ivfpq_recall"):
+        row = C.SPARK_QUERIES[name](spark, SF).collect()[0]
+        assert row["k_exact"] == 10 and row["k_approx"] == 50
+        assert row["n_queries"] == 20 and row["n_truth"] == 200
+        assert 0.5 <= row["recall"] <= 1.0, (name, row["recall"])
+        assert row["n_hit"] == round(row["recall"] * row["n_truth"]), row

@@ -37,4 +37,5 @@ from opentsdb_aura_spark.queries import (  # noqa: E402,F401
     extras_tpch as _q_extras_tpch,
     extras_events as _q_extras_events,
     extras_corpus as _q_extras_corpus,
+    containers as _q_containers,
 )

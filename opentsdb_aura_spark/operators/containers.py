@@ -1,0 +1,348 @@
+"""Crawl container formats: WARC (ISO 28500) and POSIX ustar TAR as
+1→many record sources.
+
+A production 100 TB crawl pipeline ingests WARC files (one per fetch
+batch, thousands of records each), not loose documents — the unit of
+parallelism is the FILE, and record extraction is a narrow 1→many
+Arrow map over (file_id, content) with no shuffle.  The reference has
+no file-format path at all (its ingest is the TSDB wire protocol,
+opentsdb-aura storage/src/main/java/net/opentsdb/aura/metrics ingest
+path), so this is extension surface: the container layer every
+LLM-data pipeline puts in front of the operators this repo already
+has (decode → near-dup → quality → pack).
+
+Test strategy mirrors av.py's WAV/Y4M trick: container bytes are
+SYNTHESIZED deterministically from fixture text (synthesize_warc /
+synthesize_tar below), so record offsets, header fields, and payload
+digests are recomputable by a DuckDB oracle from the generation rule
+alone — the parse path gets a FULL value-hash oracle, not a
+rows-only check.
+
+Both parsers follow the extract_features skip_errors contract
+(multimodal.py): ``skip_errors=True`` turns a malformed file into an
+error ROW (fields nulled, ``error`` holding the exception text)
+instead of killing the stage — one bad file in a billion costs one
+row.  Default False keeps fail-fast semantics for clean fixtures.
+
+Scale shape: files are opaque binaries read as whole rows (Spark's
+binaryFile source at 100 TB); parsing walks each file ONCE, emits
+records as it goes, never materializes more than one file per loop
+step, and carries no state across files — embarrassingly parallel by
+file count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WARC_DATE = "2024-01-01T00:00:00Z"
+_CRLF = b"\r\n"
+
+# ------------------------------------------------------------------ WARC build
+
+
+def encode_warc_record(
+    warc_type: str,
+    record_id: str,
+    payload: bytes,
+    *,
+    target_uri: str | None = None,
+    content_type: str = "text/plain",
+) -> bytes:
+    """One WARC/1.0 record: version line, named headers, blank line,
+    payload, and the spec's two trailing CRLFs."""
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: <" + record_id.encode() + b">",
+        b"WARC-Date: " + WARC_DATE.encode(),
+    ]
+    if target_uri is not None:
+        lines.append(b"WARC-Target-URI: " + target_uri.encode())
+    lines.append(b"Content-Type: " + content_type.encode())
+    lines.append(b"Content-Length: " + str(len(payload)).encode())
+    return _CRLF.join(lines) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+
+
+WARCINFO_PAYLOAD = b"software: opentsdb-aura-spark/1.0\r\nformat: WARC File Format 1.0\r\n"
+
+
+def encode_warc_file(file_id: int, docs: list[tuple[int, str]]) -> bytes:
+    """A deterministic WARC file: one warcinfo record, then one
+    response record per (doc_id, text) in the given order."""
+    out = [
+        encode_warc_record(
+            "warcinfo",
+            f"urn:uuid:warcinfo-{file_id}",
+            WARCINFO_PAYLOAD,
+            content_type="application/warc-fields",
+        )
+    ]
+    for doc_id, text in docs:
+        out.append(
+            encode_warc_record(
+                "response",
+                f"urn:uuid:doc-{doc_id}",
+                text.encode(),
+                target_uri=f"http://example.com/doc/{doc_id}",
+            )
+        )
+    return b"".join(out)
+
+
+def synthesize_warc(
+    docs: DataFrame,
+    *,
+    docs_per_file: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic WARC files from a documents frame: file_id =
+    doc_id // docs_per_file, records ordered by doc_id inside each
+    file.  One applyInPandas per file group — the build shuffles each
+    doc once to its file and writes it once.  Returns
+    (file_id long, content binary)."""
+    grouped = docs.select(
+        (F.col(id_col) / docs_per_file).cast("long").alias("file_id"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        fid = int(pdf["file_id"].iloc[0])
+        content = encode_warc_file(fid, list(zip(pdf["_id"], pdf["_text"])))
+        return pd.DataFrame({"file_id": [fid], "content": [content]})
+
+    return grouped.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
+
+
+# ------------------------------------------------------------------ WARC parse
+
+WARC_RECORD_SCHEMA = (
+    "file_id long, offset long, record_length long, warc_type string, "
+    "record_id string, target_uri string, content_length long, "
+    "payload_md5 string, error string"
+)
+
+
+def _parse_warc_bytes(data: bytes) -> Iterator[tuple]:
+    """Walk one WARC file, yielding one tuple per record (offset,
+    record_length, warc_type, record_id, target_uri, content_length,
+    payload_md5).  Content-Length framing per ISO 28500 — payload
+    bytes are never scanned for markers, so binary payloads are safe.
+    Raises ValueError on malformed framing (honest parse boundary)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = pos
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError(f"offset {start}: unterminated record header")
+        head = data[pos:hdr_end].decode("utf-8", errors="strict")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"offset {start}: bad version line {lines[0]!r}")
+        fields = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(":")
+            if not sep:
+                raise ValueError(f"offset {start}: malformed header line {ln!r}")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"offset {start}: missing/bad Content-Length")
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if data[body_end : body_end + 4] != b"\r\n\r\n":
+            raise ValueError(f"offset {start}: record not CRLF-CRLF terminated")
+        payload = data[body_start:body_end]
+        pos = body_end + 4
+        rid = fields.get("warc-record-id", "")
+        yield (
+            start,
+            pos - start,
+            fields.get("warc-type", ""),
+            rid[1:-1] if rid[:1] == "<" and rid[-1:] == ">" else rid,
+            fields.get("warc-target-uri"),
+            clen,
+            hashlib.md5(payload).hexdigest(),
+        )
+
+
+def warc_records(files: DataFrame, *, skip_errors: bool = False) -> DataFrame:
+    """1→many record extraction over (file_id, content) WARC files via
+    one Arrow-batched pass per file.  Returns WARC_RECORD_SCHEMA rows;
+    with ``skip_errors`` a malformed file yields records up to the
+    corruption point plus ONE error row (crawl-grade: the stage
+    survives, the row carries the diagnosis)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, data in zip(pdf["file_id"], pdf["content"]):
+                fid = int(fid)
+                try:
+                    for rec in _parse_warc_bytes(bytes(data)):
+                        rows.append((fid, *rec, None))
+                except Exception as exc:  # noqa: BLE001 — crawl-grade per-file containment
+                    if not skip_errors:
+                        raise
+                    rows.append((fid, None, None, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id",
+                    "offset",
+                    "record_length",
+                    "warc_type",
+                    "record_id",
+                    "target_uri",
+                    "content_length",
+                    "payload_md5",
+                    "error",
+                ],
+            )
+
+    return files.mapInPandas(op, schema=WARC_RECORD_SCHEMA)
+
+
+# ------------------------------------------------------------------- TAR build
+
+TAR_MTIME = 1704067200  # 2024-01-01 00:00:00 UTC, the fixture epoch
+
+
+def encode_tar_member(name: str, payload: bytes) -> bytes:
+    """One POSIX ustar member: 512-byte header (name, octal size/mtime,
+    spec checksum, ustar magic) + payload zero-padded to a 512
+    multiple."""
+    nb = name.encode()
+    if len(nb) > 100:
+        raise ValueError(f"ustar name limit is 100 bytes: {name!r}")
+    hdr = bytearray(512)
+    hdr[0 : len(nb)] = nb
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"  # uid
+    hdr[116:124] = b"0000000\x00"  # gid
+    hdr[124:136] = b"%011o\x00" % len(payload)
+    hdr[136:148] = b"%011o\x00" % TAR_MTIME
+    hdr[148:156] = b" " * 8  # checksum field spaces while summing
+    hdr[156:157] = b"0"  # typeflag: regular file
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chksum = sum(hdr)
+    hdr[148:156] = b"%06o\x00 " % chksum
+    pad = (-len(payload)) % 512
+    return bytes(hdr) + payload + b"\x00" * pad
+
+
+def encode_tar_file(docs: list[tuple[int, str]]) -> bytes:
+    """A deterministic TAR from (doc_id, text) members named
+    ``doc/{doc_id}.txt``, closed by the spec's two zero blocks."""
+    out = [encode_tar_member(f"doc/{doc_id}.txt", text.encode()) for doc_id, text in docs]
+    out.append(b"\x00" * 1024)
+    return b"".join(out)
+
+
+def synthesize_tar(
+    docs: DataFrame,
+    *,
+    docs_per_file: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic TAR files from a documents frame — same grouping
+    rule as :func:`synthesize_warc`.  Returns (file_id, content)."""
+    grouped = docs.select(
+        (F.col(id_col) / docs_per_file).cast("long").alias("file_id"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        fid = int(pdf["file_id"].iloc[0])
+        content = encode_tar_file(list(zip(pdf["_id"], pdf["_text"])))
+        return pd.DataFrame({"file_id": [fid], "content": [content]})
+
+    return grouped.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
+
+
+# ------------------------------------------------------------------- TAR parse
+
+TAR_MEMBER_SCHEMA = (
+    "file_id long, offset long, name string, size long, mtime long, "
+    "typeflag string, payload_md5 string, error string"
+)
+
+
+def _parse_tar_bytes(data: bytes) -> Iterator[tuple]:
+    """Walk one ustar archive: validate magic + header checksum per
+    member, yield (offset, name, size, mtime, typeflag, payload_md5).
+    Stops at the two-zero-block trailer; raises on truncation, bad
+    magic, or checksum mismatch."""
+    pos = 0
+    n = len(data)
+    while pos + 512 <= n:
+        hdr = data[pos : pos + 512]
+        if hdr == b"\x00" * 512:  # end-of-archive marker
+            return
+        if hdr[257:262] != b"ustar":
+            raise ValueError(f"offset {pos}: bad ustar magic {hdr[257:263]!r}")
+        stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        calc = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+        if stored != calc:
+            raise ValueError(f"offset {pos}: checksum {stored} != computed {calc}")
+        name = hdr[0:100].split(b"\x00")[0].decode()
+        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        mtime = int(hdr[136:148].split(b"\x00")[0].strip() or b"0", 8)
+        typeflag = hdr[156:157].decode()
+        body = data[pos + 512 : pos + 512 + size]
+        if len(body) != size:
+            raise ValueError(f"offset {pos}: truncated member {name!r}")
+        yield (pos, name, size, mtime, typeflag, hashlib.md5(body).hexdigest())
+        pos += 512 + size + ((-size) % 512)
+    if pos < n:
+        raise ValueError(f"offset {pos}: trailing garbage shorter than a header block")
+    raise ValueError("archive ended without the zero-block trailer")
+
+
+def tar_members(files: DataFrame, *, skip_errors: bool = False) -> DataFrame:
+    """1→many member extraction over (file_id, content) TAR archives —
+    same contract as :func:`warc_records` (per-file containment under
+    ``skip_errors``)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, data in zip(pdf["file_id"], pdf["content"]):
+                fid = int(fid)
+                try:
+                    for rec in _parse_tar_bytes(bytes(data)):
+                        rows.append((fid, *rec, None))
+                except Exception as exc:  # noqa: BLE001 — crawl-grade per-file containment
+                    if not skip_errors:
+                        raise
+                    rows.append((fid, None, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id",
+                    "offset",
+                    "name",
+                    "size",
+                    "mtime",
+                    "typeflag",
+                    "payload_md5",
+                    "error",
+                ],
+            )
+
+    return files.mapInPandas(op, schema=TAR_MEMBER_SCHEMA)

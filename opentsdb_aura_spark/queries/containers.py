@@ -1,0 +1,125 @@
+"""Crawl-container queries: WARC / TAR record extraction with FULL
+value-hash oracles.
+
+The container bytes are synthesized deterministically from the
+documents fixture (operators/containers.py — the av.py WAV/Y4M
+trick), so a DuckDB oracle recomputes every record's offset, header
+fields, and payload digest from the generation rule alone: the Spark
+side PARSES real container bytes, the oracle re-derives what a
+correct parse must find, and the hash compare closes the loop on the
+whole synthesize → parse chain (framing, Content-Length arithmetic,
+ustar block padding, checksums, digests).
+"""
+
+from __future__ import annotations
+
+from opentsdb_aura_spark.queries.base import *  # noqa: F401,F403
+
+_DPF = 50  # docs per container file — mirrored in both oracles below
+
+# The response-record header exactly as encode_warc_record emits it —
+# built as a STRING in SQL so its length is measured, never hand-counted.
+_WARC_RESP_HDR = (
+    "e'WARC/1.0\\r\\nWARC-Type: response\\r\\nWARC-Record-ID: <urn:uuid:doc-' "
+    "|| doc_id || e'>\\r\\nWARC-Date: 2024-01-01T00:00:00Z\\r\\n"
+    "WARC-Target-URI: http://example.com/doc/' || doc_id || "
+    "e'\\r\\nContent-Type: text/plain\\r\\nContent-Length: ' || L || e'\\r\\n\\r\\n'"
+)
+
+_WARC_INFO_HDR = (
+    "e'WARC/1.0\\r\\nWARC-Type: warcinfo\\r\\nWARC-Record-ID: <urn:uuid:warcinfo-' "
+    "|| file_id || e'>\\r\\nWARC-Date: 2024-01-01T00:00:00Z\\r\\n"
+    "Content-Type: application/warc-fields\\r\\nContent-Length: ' || WL || e'\\r\\n\\r\\n'"
+)
+
+_WARC_INFO_PAYLOAD = (
+    "e'software: opentsdb-aura-spark/1.0\\r\\nformat: WARC File Format 1.0\\r\\n'"
+)
+
+
+@register(
+    "corpus_warc_records",
+    f"""WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         CAST(doc_id // {_DPF} AS BIGINT) AS file_id, length(text) AS L
+  FROM documents),
+resp AS (
+  SELECT file_id, doc_id, text, L,
+         length({_WARC_RESP_HDR}) + L + 4 AS rec_len
+  FROM d),
+info AS (
+  SELECT file_id, length({_WARC_INFO_PAYLOAD}) AS WL
+  FROM (SELECT DISTINCT file_id FROM d)),
+info_rec AS (
+  SELECT file_id, length({_WARC_INFO_HDR}) + WL + 4 AS winfo_len, WL
+  FROM info),
+resp_rows AS (
+  SELECT r.file_id,
+         CAST(i.winfo_len + coalesce(sum(r.rec_len) OVER (
+             PARTITION BY r.file_id ORDER BY r.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+         CAST(r.rec_len AS BIGINT) AS record_length,
+         'response' AS warc_type,
+         'urn:uuid:doc-' || r.doc_id AS record_id,
+         'http://example.com/doc/' || r.doc_id AS target_uri,
+         CAST(r.L AS BIGINT) AS content_length,
+         md5(r.text) AS payload_md5
+  FROM resp r JOIN info_rec i USING (file_id)),
+info_rows AS (
+  SELECT file_id, CAST(0 AS BIGINT) AS offset, CAST(winfo_len AS BIGINT) AS record_length,
+         'warcinfo' AS warc_type,
+         'urn:uuid:warcinfo-' || file_id AS record_id,
+         CAST(NULL AS VARCHAR) AS target_uri,
+         CAST(WL AS BIGINT) AS content_length,
+         md5({_WARC_INFO_PAYLOAD}) AS payload_md5
+  FROM info_rec)
+SELECT * FROM info_rows UNION ALL SELECT * FROM resp_rows""",
+)
+def corpus_warc_records(spark, sf_dir):
+    """WARC crawl ingestion, fully oracle-checked: synthesize
+    deterministic WARC files from the documents fixture (one warcinfo
+    + 50 response records per file), then 1→many parse them back via
+    the Arrow-batched record walker.  The oracle re-derives every
+    offset / record length / header field / payload md5 from the
+    generation rule, so the hash compare proves the parser reads the
+    EXACT byte layout the spec-conformant writer produced — framing
+    arithmetic included, not just payload identity."""
+    from opentsdb_aura_spark.operators.containers import synthesize_warc, warc_records
+
+    files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF)
+    return warc_records(files).select(
+        "file_id", "offset", "record_length", "warc_type",
+        "record_id", "target_uri", "content_length", "payload_md5",
+    )
+
+
+@register(
+    "corpus_tar_members",
+    f"""WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         CAST(doc_id // {_DPF} AS BIGINT) AS file_id, length(text) AS L
+  FROM documents)
+SELECT file_id,
+       CAST(coalesce(sum(512 + ((L + 511) // 512) * 512) OVER (
+           PARTITION BY file_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+       'doc/' || doc_id || '.txt' AS name,
+       CAST(L AS BIGINT) AS size,
+       CAST(1704067200 AS BIGINT) AS mtime,
+       '0' AS typeflag,
+       md5(text) AS payload_md5
+FROM d""",
+)
+def corpus_tar_members(spark, sf_dir):
+    """TAR crawl ingestion, fully oracle-checked: synthesize POSIX
+    ustar archives from the fixture (50 members per archive, stdlib-
+    tarfile-interoperable — asserted in tests), parse them back with
+    magic + checksum validation, and hash-compare member offsets /
+    sizes / mtimes / digests against the oracle's 512-block
+    arithmetic."""
+    from opentsdb_aura_spark.operators.containers import synthesize_tar, tar_members
+
+    files = synthesize_tar(docs_raw(spark, sf_dir), docs_per_file=_DPF)
+    return tar_members(files).select(
+        "file_id", "offset", "name", "size", "mtime", "typeflag", "payload_md5"
+    )

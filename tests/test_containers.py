@@ -1,0 +1,158 @@
+"""WARC / TAR container source: codec round-trips, stdlib interop,
+the skip_errors crawl-grade contract, and corruption behavior.
+
+The catalog surface (corpus_warc_records / corpus_tar_members) is
+value-hash-oracled end-to-end; these tests cover what the oracle
+can't — malformed bytes, per-file error containment, and
+interoperability with an independent implementation (tarfile)."""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.operators import containers as C
+
+DOCS = [(0, "hello world"), (7, "x" * 600), (123, ""), (4096, "multi word doc body")]
+
+
+# ------------------------------------------------------------------ WARC codec
+
+
+def test_warc_roundtrip_offsets_chain():
+    blob = C.encode_warc_file(3, DOCS)
+    recs = list(C._parse_warc_bytes(blob))
+    assert [r[2] for r in recs] == ["warcinfo"] + ["response"] * len(DOCS)
+    assert recs[0][3] == "urn:uuid:warcinfo-3"
+    assert recs[1][3] == "urn:uuid:doc-0" and recs[1][4] == "http://example.com/doc/0"
+    assert recs[1][5] == 11 and recs[1][6] == hashlib.md5(b"hello world").hexdigest()
+    # offsets tile the file exactly: each record starts where the last ended
+    off = 0
+    for r in recs:
+        assert r[0] == off
+        off += r[1]
+    assert off == len(blob)
+
+
+def test_warc_zero_length_payload_and_empty_file():
+    blob = C.encode_warc_file(0, [(5, "")])
+    recs = list(C._parse_warc_bytes(blob))
+    assert recs[1][5] == 0 and recs[1][6] == hashlib.md5(b"").hexdigest()
+    assert list(C._parse_warc_bytes(b"")) == []
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b[:-2], "terminated"),  # chop the trailing CRLF
+        (lambda b: b"GARBAGE" + b[7:], "version"),  # break the version line
+        (lambda b: b.replace(b"Content-Length", b"Content-Oops", 1), "Content-Length"),
+        (lambda b: b[: len(b) // 2], "unterminated|terminated"),  # truncate mid-record
+    ],
+)
+def test_warc_malformed_raises(mutate, msg):
+    import re
+
+    blob = C.encode_warc_file(0, DOCS[:2])
+    with pytest.raises(ValueError, match=msg):
+        list(C._parse_warc_bytes(mutate(blob)))
+
+
+# ------------------------------------------------------------------- TAR codec
+
+
+def test_tar_roundtrip_and_stdlib_interop_both_ways():
+    blob = C.encode_tar_file(DOCS)
+    # stdlib reads ours
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    names = [m.name for m in tf.getmembers()]
+    assert names == [f"doc/{i}.txt" for i, _ in DOCS]
+    assert tf.extractfile("doc/7.txt").read() == b"x" * 600
+    # ours reads ours: 512-block offsets, checksums validate
+    got = list(C._parse_tar_bytes(blob))
+    assert [g[1] for g in got] == names
+    assert got[0] == (0, "doc/0.txt", 11, C.TAR_MTIME, "0", hashlib.md5(b"hello world").hexdigest())
+    assert got[1][0] == 1024  # 512 header + 512 (11 bytes padded)
+    # ours reads stdlib's
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as w:
+        ti = tarfile.TarInfo("z.txt")
+        ti.size = 3
+        w.addfile(ti, io.BytesIO(b"abc"))
+    recs = list(C._parse_tar_bytes(buf.getvalue()))
+    assert recs[0][1] == "z.txt" and recs[0][5] == hashlib.md5(b"abc").hexdigest()
+
+
+def test_tar_malformed_raises():
+    blob = C.encode_tar_file(DOCS[:2])
+    bad = bytearray(blob)
+    bad[260] ^= 0xFF  # corrupt the ustar magic
+    with pytest.raises(ValueError, match="magic"):
+        list(C._parse_tar_bytes(bytes(bad)))
+    bad2 = bytearray(blob)
+    bad2[0] ^= 0x01  # flip a name byte → checksum mismatch
+    with pytest.raises(ValueError, match="checksum"):
+        list(C._parse_tar_bytes(bytes(bad2)))
+    with pytest.raises(ValueError, match="trailer"):
+        list(C._parse_tar_bytes(blob[:-1024]))  # strip the zero blocks
+
+
+# ------------------------------------------------- Spark surface + skip_errors
+
+
+def _files_df(spark, rows):
+    return spark.createDataFrame(rows, "file_id long, content binary")
+
+
+def test_warc_records_skip_errors_contains_bad_file(spark):
+    good = C.encode_warc_file(1, DOCS[:2])
+    bad = good[: len(good) - 9]  # truncated download
+    df = _files_df(spark, [(1, good), (2, bad)])
+    # fail-fast default: the stage dies
+    with pytest.raises(Exception):
+        C.warc_records(df).collect()
+    # crawl-grade: good file fully parsed, bad file = parsed prefix + 1 error row
+    rows = C.warc_records(df, skip_errors=True).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file_id"], []).append(r)
+    assert len(by_file[1]) == 3 and all(r["error"] is None for r in by_file[1])
+    errs = [r for r in by_file[2] if r["error"] is not None]
+    assert len(errs) == 1 and "terminated" in errs[0]["error"]
+    assert errs[0]["offset"] is None
+
+
+def test_tar_members_skip_errors_contains_bad_file(spark):
+    good = C.encode_tar_file(DOCS[:2])
+    bad = bytearray(good)
+    bad[0] ^= 0x01  # checksum break in the FIRST header
+    df = _files_df(spark, [(1, good), (2, bytes(bad))])
+    with pytest.raises(Exception):
+        C.tar_members(df).collect()
+    rows = C.tar_members(df, skip_errors=True).collect()
+    good_rows = [r for r in rows if r["file_id"] == 1]
+    assert [r["name"] for r in sorted(good_rows, key=lambda r: r["offset"])] == [
+        "doc/0.txt",
+        "doc/7.txt",
+    ]
+    errs = [r for r in rows if r["error"] is not None]
+    assert len(errs) == 1 and errs[0]["file_id"] == 2 and "checksum" in errs[0]["error"]
+
+
+def test_synthesize_partitions_by_file_and_orders_by_doc(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(120)], "doc_id long, text string"
+    )
+    files = C.synthesize_warc(docs, docs_per_file=50).collect()
+    assert sorted(r["file_id"] for r in files) == [0, 1, 2]
+    recs = C.warc_records(C.synthesize_warc(docs, docs_per_file=50)).collect()
+    resp = [r for r in recs if r["warc_type"] == "response"]
+    assert len(resp) == 120
+    # within a file, records are doc_id-ordered and offsets strictly increase
+    f0 = sorted((r for r in resp if r["file_id"] == 0), key=lambda r: r["offset"])
+    ids = [int(r["record_id"].rsplit("-", 1)[1]) for r in f0]
+    assert ids == sorted(ids) and len(ids) == 50

@@ -361,6 +361,54 @@ def main() -> None:
     assert planted_hit == 200, "a planted contaminated probe missed its source"
     assert novel_hits == 0, "novel benchmark probes must not flag clean corpus docs"
 
+    # ---- round 7: crawl-container round-trip at 100k records — the
+    # WARC source a production pipeline ingests.  100k docs → 200 WARC
+    # files (500 records each) → parse back → every payload digest
+    # must equal md5(text) of its source doc (join on the record id),
+    # and the TAR twin must account for every member.  Proves the
+    # 1→many Arrow walker at real file sizes (~150 KB/file), not just
+    # the 500-doc fixture.
+    from opentsdb_aura_spark.operators.containers import (
+        synthesize_tar,
+        synthesize_warc,
+        tar_members,
+        warc_records,
+    )
+
+    cdocs = docs.where(F.col("doc_id") < 100_000).localCheckpoint()
+    t0 = time.perf_counter()
+    wrec = warc_records(synthesize_warc(cdocs, docs_per_file=500)).localCheckpoint()
+    n_wrec = wrec.where(F.col("warc_type") == "response").count()
+    timings["warc_roundtrip_100k"] = round(time.perf_counter() - t0, 2)
+    truth = cdocs.select(
+        F.concat(F.lit("urn:uuid:doc-"), F.col("doc_id")).alias("record_id"),
+        F.md5(F.col("text")).alias("want_md5"),
+        F.length("text").alias("want_len"),
+    )
+    bad = (
+        wrec.where(F.col("warc_type") == "response")
+        .join(truth, "record_id", "full_outer")
+        .where(
+            F.col("payload_md5").isNull()
+            | F.col("want_md5").isNull()
+            | (F.col("payload_md5") != F.col("want_md5"))
+            | (F.col("content_length") != F.col("want_len"))
+        )
+        .count()
+    )
+    t0 = time.perf_counter()
+    n_tar = tar_members(synthesize_tar(cdocs, docs_per_file=500)).count()
+    timings["tar_roundtrip_100k"] = round(time.perf_counter() - t0, 2)
+    timings["warc_records_100k"] = n_wrec
+    print(
+        f"# warc_roundtrip_100k: {timings['warc_roundtrip_100k']}s ({n_wrec} records, "
+        f"{bad} digest mismatches); tar_roundtrip_100k: {timings['tar_roundtrip_100k']}s "
+        f"({n_tar} members)",
+        file=sys.stderr,
+    )
+    assert n_wrec == 100_000 and n_tar == 100_000, "container round-trip lost records"
+    assert bad == 0, "WARC payload digest / length mismatch vs source docs"
+
     # ---- vectors: 32-d deterministic embeddings, 100 queries
     vecs = spark.range(n_vec, numPartitions=64).select(
         F.col("id").alias("vec_id"),

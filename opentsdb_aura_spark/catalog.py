@@ -28,6 +28,8 @@ from opentsdb_aura_spark.queries.base import (  # noqa: F401  (test/tool surface
 # SPARK_QUERIES / ORACLES (order mirrors the old single-file layout)
 from opentsdb_aura_spark.queries import (  # noqa: E402,F401
     metric as _q_metric,
+    metric_analytic as _q_metric_analytic,
+    metric_serving as _q_metric_serving,
     events as _q_events,
     tpch as _q_tpch,
     pipeline as _q_pipeline,

@@ -735,6 +735,7 @@ def update_fingerprint_index(
     *,
     id_col: str = "media_id",
     hash_col: str = "fp",
+    compact_max_files: int | None = None,
 ) -> DataFrame:
     """Incremental BANDED fingerprint index at ``path`` — the
     perceptual-hash analogue of :func:`update_minhash_index`, shared by
@@ -776,6 +777,14 @@ def update_fingerprint_index(
     _band_rows(fresh, id_col=id_col, hash_col=hash_col).repartitionByRange(
         "band", "bh"
     ).sortWithinPartitions("band", "bh").write.mode("append").partitionBy("band").parquet(path)
+    # sustained streaming appends accumulate one file set per batch and
+    # erode the row-group pruning this layout exists for; with
+    # ``compact_max_files`` set, rewrite any band directory that
+    # exceeded it into few sorted runs (sources/maintenance.py)
+    if compact_max_files is not None:
+        from opentsdb_aura_spark.sources.maintenance import compact_fingerprint_index
+
+        compact_fingerprint_index(spark, path, max_files_per_band=compact_max_files)
     return spark.read.parquet(path)
 
 

@@ -1173,10 +1173,18 @@ def build_ivfpq_index(
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     _write_index_meta(spark, path, grid)
+    # range-partition on (list_id, vec_id) before the partitioned write:
+    # without it every task writes a file into every list directory
+    # (tasks × lists files per build/append — measured 899 files/list
+    # after 30 streaming appends, a 21× serve slowdown); ranged, each
+    # batch adds ~1 vec_id-sorted run per list, and a hot list still
+    # splits across tasks at scale
     corpus.select(
         F.col(id_col).alias("vec_id"),
         codes_col.alias("codes"),
         nearest_list(F.col(vec_col)).alias("list_id"),
+    ).repartitionByRange("list_id", "vec_id").sortWithinPartitions(
+        "list_id", "vec_id"
     ).write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/codes")
 
 
@@ -1235,6 +1243,7 @@ def append_to_ivfpq_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_max_files: int | None = None,
 ) -> None:
     """Incremental ingest into a persisted IVFADC index: the new batch
     is assigned and encoded with the SAVED centroids and codebooks
@@ -1269,8 +1278,19 @@ def append_to_ivfpq_index(
         else _encode_codes_udf(cbs)(F.col(vec_col))
     )
     nearest_list = _nearest_list_udf(cent_rows)
+    # same ranged layout as the build: ~1 sorted run per list per
+    # batch instead of one file per (task × list)
     fresh.select(
         F.col(id_col).alias("vec_id"),
         codes_col.alias("codes"),
         nearest_list(F.col(vec_col)).alias("list_id"),
+    ).repartitionByRange("list_id", "vec_id").sortWithinPartitions(
+        "list_id", "vec_id"
     ).write.mode("append").partitionBy("list_id").parquet(f"{path}/codes")
+    # sustained appends still accumulate ~1 run per list per batch;
+    # with ``compact_max_files`` set, rewrite oversized directories
+    # into few vec_id-sorted runs (sources/maintenance.py)
+    if compact_max_files is not None:
+        from opentsdb_aura_spark.sources.maintenance import compact_ivfpq_index
+
+        compact_ivfpq_index(spark, path, max_files_per_list=compact_max_files)

@@ -219,3 +219,95 @@ def bm25_search(
         .agg(F.sum("_term").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(int(k))
+
+
+# ------------------------------------------------------------- BPE training
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right BPE merge of adjacent (a, b) into a+b over
+    a symbol array — a pure-Catalyst fold (aggregate HOF), no Python.
+    ``try_element_at`` keeps the empty-accumulator peek NULL-safe under
+    ANSI mode; left-to-right greediness falls out of the fold order
+    ('aaa' under merge (a,a) → ['aa','a'], the Sennrich behavior)."""
+    ab = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (s == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(ab)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    n_merges: int = 8,
+    text_col: str = "text",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Learn BPE merges from a corpus (Sennrich et al., "Neural Machine
+    Translation of Rare Words with Subword Units" — the subword-vocab
+    training stage every LLM-data pipeline runs before tokenizing):
+    iteratively merge the most frequent adjacent symbol pair, starting
+    from characters + an end-of-word marker.
+
+    Distributed shape: training runs on the WORD-FREQUENCY table, not
+    the corpus (the classic optimization — |vocab| ≪ |corpus|, and the
+    corpus pass is ONE explode + hash agg).  Each round is a narrow
+    pair-explode + one hash agg + a 1-row argmax collect, then a
+    pure-Catalyst fold applies the merge to every word; the vocab is
+    localCheckpointed per round so the loop's lineage stays flat
+    (same discipline as resolve_duplicate_clusters).  The driver holds
+    one row per round — n_merges is small and bounded by definition.
+
+    Deterministic: tie-break is (pair_count DESC, left, right) with
+    binary string order, identical in Spark and DuckDB — the catalog
+    query's unrolled SQL oracle re-derives every round exactly.
+    Stops early when no adjacent pair remains (fewer than n_merges
+    rows out).
+
+    Returns (rank, lhs, rhs, merged, pair_count) — one row per learned
+    merge, rank 0 first.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    chars = F.filter(F.split(F.col("w"), ""), lambda t: t != "")
+    vocab = words.select(
+        F.concat(chars, F.array(F.lit(eow))).alias("syms"), "cnt"
+    ).localCheckpoint()
+
+    merges: list[tuple] = []
+    for rank in range(int(n_merges)):
+        left = F.slice(F.col("syms"), F.lit(1), F.size(F.col("syms")) - 1)
+        right = F.slice(F.col("syms"), F.lit(2), F.size(F.col("syms")) - 1)
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(left, right, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+            ).alias("p"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["pair_count"])
+        merges.append((rank, a, b, a + b, cnt))
+        vocab = vocab.select(
+            _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "cnt"
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, pair_count long"
+    )

@@ -384,3 +384,72 @@ def text_normalize_docs(spark, sf_dir):
     )
 
 
+
+
+# ------------------------------------------------------------- BPE training
+
+
+def _bpe_train_oracle_sql(n_merges: int) -> str:
+    """Unrolled-rounds DuckDB oracle for bpe_train: round k's CTEs are
+    (p{k}) pair counts over vocab v{k}, (b{k}) the argmax merge with
+    the same (count DESC, lhs, rhs) binary tie-break the Spark side
+    uses, and (v{k+1}) the vocab with that merge applied via a
+    list_reduce fold — the exact greedy left-to-right semantics of
+    operators/text.py::_merge_pair_expr.  Symbol lists are carried as
+    chr(1)-joined strings because DuckDB's list_reduce requires
+    accumulator type == element type (same workaround family as
+    text_fingerprint_md5's string-chained fold)."""
+    S = "chr(1)"
+    cte = [
+        r"""w AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '')) AS w
+    FROM documents) GROUP BY 1),
+v0 AS (
+  SELECT array_to_string(list_append(list_filter(string_split(w, ''), c -> c <> ''), '</w>'), chr(1)) AS syms, cnt
+  FROM w)"""
+    ]
+    for k in range(n_merges):
+        cte.append(
+            f"""p{k} AS (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT cnt, parts[i] AS a, parts[i+1] AS b
+    FROM (SELECT string_split(syms, {S}) AS parts, cnt FROM v{k}),
+         unnest(range(1, len(parts))) AS t(i))
+  GROUP BY 1, 2),
+b{k} AS (SELECT {k} AS rnk, a, b, pair_count FROM p{k} ORDER BY pair_count DESC, a, b LIMIT 1)"""
+        )
+        if k < n_merges - 1:
+            cte.append(
+                f"""v{k + 1} AS (
+  SELECT list_reduce(list_prepend('', string_split(v.syms, {S})),
+           (acc, s) -> CASE
+             WHEN acc <> '' AND string_split(acc, {S})[-1] = bk.a AND s = bk.b
+             THEN array_to_string(list_append(array_pop_back(string_split(acc, {S})), bk.a || bk.b), {S})
+             ELSE CASE WHEN acc = '' THEN s ELSE acc || {S} || s END END) AS syms,
+         v.cnt
+  FROM v{k} v CROSS JOIN b{k} bk)"""
+            )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST(rnk AS INT) AS rank, a AS lhs, b AS rhs, a || b AS merged, pair_count FROM b{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(cte) + "\n" + sel
+
+
+_BPE_TRAIN_MERGES = 8
+
+
+@register("text_bpe_train_merges", _bpe_train_oracle_sql(_BPE_TRAIN_MERGES))
+def text_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE merge LEARNING (Sennrich et al.) under a FULL
+    value-hash oracle: 8 rounds of pair-count → argmax → fold-merge
+    over the word-frequency table, each round re-derived exactly by
+    the unrolled DuckDB CTE chain — the argmax, the binary tie-break,
+    AND the greedy left-to-right merge application are all checked,
+    not just the final counts.  The one text-pipeline stage the
+    catalog previously lacked (it applied a fixed BPE via
+    text_bpe_token_count but could not learn merges)."""
+    from opentsdb_aura_spark.operators.text import bpe_train
+
+    return bpe_train(docs(spark, sf_dir), n_merges=_BPE_TRAIN_MERGES)

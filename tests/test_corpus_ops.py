@@ -362,3 +362,77 @@ def test_pack_sequences_rejects_string_ids(spark):
     df = spark.createDataFrame([("a", "one two")], "doc_id string, text string")
     with pytest.raises(ValueError):
         pack_sequences(df, seq_len=8)
+
+
+# ------------------------------------------------------------- BPE training
+
+
+def _bpe_reference(word_counts, n_merges, eow="</w>"):
+    """Pure-Python Sennrich BPE trainer (independent of the Spark
+    implementation): greedy left-to-right merge application, argmax
+    with (count DESC, lhs, rhs) tie-break."""
+    vocab = {tuple(list(w) + [eow]): c for w, c in word_counts.items()}
+    out = []
+    for rank in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            merged, i = [], 0
+            for s in syms:
+                if merged and merged[-1] == a and s == b:
+                    merged[-1] = a + b
+                else:
+                    merged.append(s)
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + c
+        vocab = new_vocab
+    return out
+
+
+def test_bpe_train_matches_reference(spark):
+    """bpe_train golden check: the distributed trainer reproduces an
+    independent pure-Python BPE on a corpus with ties, repeated
+    adjacent symbols ('aaa' greedy case), and multi-round merge
+    chains."""
+    from opentsdb_aura_spark.operators.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "newest newer new news",
+        "aaa aa aaaa banana bandana",
+        "lower newest banana aaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    counts = {}
+    for t in texts:
+        for w in t.lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _bpe_reference(counts, 12)
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=12).orderBy("rank").collect()
+    ]
+    assert got == want, (got, want)
+
+
+def test_bpe_train_greedy_and_exhaustion(spark):
+    """'aaaa' under merge (a,a) must yield [aa, aa] (greedy pairs, not
+    overlapping), and training stops early when no pairs remain."""
+    from opentsdb_aura_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([(0, "aaaa")], "doc_id long, text string")
+    rows = bpe_train(docs, n_merges=50).orderBy("rank").collect()
+    got = [(r["lhs"], r["rhs"], r["pair_count"]) for r in rows]
+    # round 0: (a,a)x3 -> [aa, aa, </w>] (greedy, non-overlapping);
+    # round 1: (aa,</w>) and (aa,aa) tie at 1 — binary order picks
+    # (aa,</w>) ('<' 0x3C < 'a' 0x61) -> [aa, aa</w>];
+    # round 2: (aa, aa</w>); then no pairs remain -> early stop at 3 rows
+    assert got == [("a", "a", 3), ("aa", "</w>", 1), ("aa", "aa</w>", 1)]

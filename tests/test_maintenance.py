@@ -1,0 +1,127 @@
+"""Compaction job for the persisted incremental indexes: file-count
+bounds hold after compaction and probe/search results are IDENTICAL
+before/after (compaction only moves rows — it must never change what
+a probe finds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_aura_spark.sources.maintenance import (
+    compact_fingerprint_index,
+    compact_ivfpq_index,
+    compact_partitioned_parquet,
+    partition_file_counts,
+)
+
+
+def _fp_batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("media_id"), F.xxhash64(F.col("id")).alias("fp")
+    )
+
+
+def test_fingerprint_index_compaction_bounds_and_identical_probe(spark, tmp_path):
+    from opentsdb_aura_spark.operators.dedup_text import (
+        probe_fingerprint_index,
+        update_fingerprint_index,
+    )
+
+    path = str(tmp_path / "fpidx")
+    # 12 streaming appends -> one file set per band per batch
+    for i in range(12):
+        update_fingerprint_index(_fp_batch(spark, i * 50, (i + 1) * 50), path)
+    before = partition_file_counts(spark, path, "band")
+    assert len(before) == 4 and max(before.values()) >= 12
+
+    # NEW ids carrying already-indexed fingerprints → Hamming-0 matches
+    probe = spark.range(100, 140).select(
+        (F.col("id") + 10_000).alias("media_id"), F.xxhash64(F.col("id")).alias("fp")
+    )
+    want = sorted(
+        (r["probe_id"], r["index_id"], r["hamming"])
+        for r in probe_fingerprint_index(spark, path, probe, id_col="media_id").collect()
+    )
+    assert want  # Hamming-0 self-fingerprint matches exist (other ids excluded)
+
+    assert compact_fingerprint_index(spark, path, max_files_per_band=8, target_files_per_band=2)
+    after = partition_file_counts(spark, path, "band")
+    assert set(after) == set(before)
+    assert max(after.values()) <= 3  # target + 1 boundary straddle
+    assert spark.read.parquet(path).count() == 600 * 4  # 4 band rows per fingerprint
+
+    got = sorted(
+        (r["probe_id"], r["index_id"], r["hamming"])
+        for r in probe_fingerprint_index(spark, path, probe, id_col="media_id").collect()
+    )
+    assert got == want
+    # below threshold now → no-op
+    assert not compact_fingerprint_index(spark, path, max_files_per_band=8)
+
+
+def test_fingerprint_index_auto_compact_kwarg(spark, tmp_path):
+    from opentsdb_aura_spark.operators.dedup_text import update_fingerprint_index
+
+    path = str(tmp_path / "fpidx_auto")
+    for i in range(10):
+        update_fingerprint_index(
+            _fp_batch(spark, i * 20, (i + 1) * 20), path, compact_max_files=4
+        )
+    counts = partition_file_counts(spark, path, "band")
+    assert counts and max(counts.values()) <= 5  # bound enforced during the stream
+    assert spark.read.parquet(path).count() == 200 * 4
+
+
+def test_ivfpq_index_compaction_identical_search(spark, tmp_path):
+    from opentsdb_aura_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_search_index,
+    )
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(vecs(0, 200), path, n_centroids=4, m=4, pq_k=8)
+    for i in range(8):
+        append_to_ivfpq_index(vecs(200 + i * 25, 200 + (i + 1) * 25), path)
+    before = partition_file_counts(spark, f"{path}/codes", "list_id")
+    assert max(before.values()) >= 5
+
+    q = vecs(0, 5)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["pq_score"], 9))
+        for r in ivfpq_search_index(spark, path, q, k=10, nprobe=4).collect()
+    )
+    assert len(want) == 50
+
+    assert compact_ivfpq_index(spark, path, max_files_per_list=4, target_files_per_list=1)
+    after = partition_file_counts(spark, f"{path}/codes", "list_id")
+    assert max(after.values()) <= 2
+    assert spark.read.parquet(f"{path}/codes").count() == 400
+
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["pq_score"], 9))
+        for r in ivfpq_search_index(spark, path, q, k=10, nprobe=4).collect()
+    )
+    assert got == want
+    # append after compaction still works and stays deduped
+    append_to_ivfpq_index(vecs(0, 410), path)
+    assert spark.read.parquet(f"{path}/codes").count() == 410
+
+
+def test_compaction_noop_on_missing_table(spark, tmp_path):
+    assert not compact_partitioned_parquet(
+        spark, str(tmp_path / "nope"), partition_col="band"
+    )
+    assert partition_file_counts(spark, str(tmp_path / "nope"), "band") == {}

@@ -1,0 +1,158 @@
+"""Index-compaction bench: quantify the small-file erosion the
+streaming append paths cause and show compaction restores probe
+latency, with IDENTICAL results before/after.
+
+Stages:
+1. fingerprint index — 40 append batches × 10k fingerprints (the
+   shape of a streaming crawl), probe 1k fingerprints against the
+   fragmented index, compact, probe again.  Asserts: identical pair
+   set, per-band file count back under the bound.
+2. IVFADC index — build 200k vectors, 30 append batches × 5k, serve
+   10 queries at nprobe=4 fragmented vs compacted.  Asserts:
+   identical result rows.
+
+Usage: python tools/index_maintenance_bench.py
+Prints one JSON line of timings/counts (BASELINE.md records it).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark import get_spark
+    from opentsdb_aura_spark.operators.dedup_text import (
+        probe_fingerprint_index,
+        update_fingerprint_index,
+    )
+    from opentsdb_aura_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_search_index,
+    )
+    from opentsdb_aura_spark.sources.maintenance import (
+        compact_fingerprint_index,
+        compact_ivfpq_index,
+        partition_file_counts,
+    )
+
+    spark = get_spark("index_maintenance_bench")
+    out: dict = {}
+    root = tempfile.mkdtemp(prefix="idx_maint_")
+
+    # ---------------------------------------------- fingerprint index
+    fp_path = f"{root}/fpidx"
+
+    def fp_batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("media_id"), F.xxhash64(F.col("id")).alias("fp")
+        )
+
+    n_batches, batch_sz = 40, 10_000
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        update_fingerprint_index(fp_batch(i * batch_sz, (i + 1) * batch_sz), fp_path)
+    out["fp_append_40x10k_sec"] = round(time.perf_counter() - t0, 2)
+    counts = partition_file_counts(spark, fp_path, "band")
+    out["fp_files_per_band_before"] = max(counts.values())
+
+    probe = spark.range(1_000).select(
+        (F.col("id") + 10_000_000).alias("media_id"),
+        F.xxhash64(F.col("id") * 137 % (n_batches * batch_sz)).alias("fp"),
+    ).localCheckpoint()
+
+    def run_probe():
+        t = time.perf_counter()
+        rows = sorted(
+            (r["probe_id"], r["index_id"], r["hamming"])
+            for r in probe_fingerprint_index(
+                spark, fp_path, probe, id_col="media_id", cache_probe=False
+            ).collect()
+        )
+        return round(time.perf_counter() - t, 2), rows
+
+    # min-of-2: container variance (BASELINE.md) would otherwise dominate
+    t_frag, want = run_probe()
+    t_frag = min(t_frag, run_probe()[0])
+    out["fp_probe_fragmented_sec"] = t_frag
+
+    t0 = time.perf_counter()
+    assert compact_fingerprint_index(spark, fp_path, max_files_per_band=8)
+    out["fp_compact_sec"] = round(time.perf_counter() - t0, 2)
+    out["fp_files_per_band_after"] = max(
+        partition_file_counts(spark, fp_path, "band").values()
+    )
+
+    t_comp, got = run_probe()
+    t_comp = min(t_comp, run_probe()[0])
+    out["fp_probe_compacted_sec"] = t_comp
+    out["fp_probe_pairs"] = len(want)
+    assert got == want, "compaction changed fingerprint probe results"
+
+    # -------------------------------------------------- IVFADC index
+    pq_path = f"{root}/ivfpq"
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi, numPartitions=32).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(32)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+
+    t0 = time.perf_counter()
+    build_ivfpq_index(vecs(0, 200_000), pq_path, n_centroids=16, m=8, pq_k=16)
+    out["ivfpq_build_200k_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    for i in range(30):
+        append_to_ivfpq_index(vecs(200_000 + i * 5_000, 200_000 + (i + 1) * 5_000), pq_path)
+    out["ivfpq_append_30x5k_sec"] = round(time.perf_counter() - t0, 2)
+    out["ivfpq_files_per_list_before"] = max(
+        partition_file_counts(spark, f"{pq_path}/codes", "list_id").values()
+    )
+
+    q = vecs(0, 10).localCheckpoint()
+
+    def run_search():
+        t = time.perf_counter()
+        rows = sorted(
+            (r["query_id"], r["neighbor_id"], round(r["pq_score"], 9))
+            for r in ivfpq_search_index(spark, pq_path, q, k=50, nprobe=4).collect()
+        )
+        return round(time.perf_counter() - t, 2), rows
+
+    t_frag, want = run_search()
+    t_frag = min(t_frag, run_search()[0])
+    out["ivfpq_search_fragmented_sec"] = t_frag
+
+    t0 = time.perf_counter()
+    assert compact_ivfpq_index(spark, pq_path, max_files_per_list=8)
+    out["ivfpq_compact_sec"] = round(time.perf_counter() - t0, 2)
+    out["ivfpq_files_per_list_after"] = max(
+        partition_file_counts(spark, f"{pq_path}/codes", "list_id").values()
+    )
+
+    t_comp, got = run_search()
+    t_comp = min(t_comp, run_search()[0])
+    out["ivfpq_search_compacted_sec"] = t_comp
+    assert got == want, "compaction changed IVFADC search results"
+    out["ivfpq_rows_total"] = spark.read.parquet(f"{pq_path}/codes").count()
+
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

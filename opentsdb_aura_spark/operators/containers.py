@@ -73,9 +73,26 @@ def encode_warc_record(
 WARCINFO_PAYLOAD = b"software: opentsdb-aura-spark/1.0\r\nformat: WARC File Format 1.0\r\n"
 
 
-def encode_warc_file(file_id: int, docs: list[tuple[int, str]]) -> bytes:
+def _gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (zlib gzip container: mtime 0, no
+    filename — byte-stable across runs, unlike the gzip module's
+    default mtime=now header)."""
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(data) + co.flush()
+
+
+def encode_warc_file(
+    file_id: int, docs: list[tuple[int, str]], *, gzip_records: bool = False
+) -> bytes:
     """A deterministic WARC file: one warcinfo record, then one
-    response record per (doc_id, text) in the given order."""
+    response record per (doc_id, text) in the given order.
+
+    ``gzip_records=True`` emits the production ``.warc.gz`` layout —
+    each record its own gzip member, concatenated (the format crawl
+    archives actually ship: member boundaries let a reader seek to a
+    record without decompressing the file)."""
     out = [
         encode_warc_record(
             "warcinfo",
@@ -93,6 +110,8 @@ def encode_warc_file(file_id: int, docs: list[tuple[int, str]]) -> bytes:
                 target_uri=f"http://example.com/doc/{doc_id}",
             )
         )
+    if gzip_records:
+        return b"".join(_gzip_member(rec) for rec in out)
     return b"".join(out)
 
 
@@ -100,13 +119,15 @@ def synthesize_warc(
     docs: DataFrame,
     *,
     docs_per_file: int = 50,
+    gzip_records: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Deterministic WARC files from a documents frame: file_id =
     doc_id // docs_per_file, records ordered by doc_id inside each
-    file.  One applyInPandas per file group — the build shuffles each
-    doc once to its file and writes it once.  Returns
+    file (``gzip_records`` for the production .warc.gz member-per-
+    record layout).  One applyInPandas per file group — the build
+    shuffles each doc once to its file and writes it once.  Returns
     (file_id long, content binary)."""
     grouped = docs.select(
         (F.col(id_col) / docs_per_file).cast("long").alias("file_id"),
@@ -117,7 +138,9 @@ def synthesize_warc(
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id")
         fid = int(pdf["file_id"].iloc[0])
-        content = encode_warc_file(fid, list(zip(pdf["_id"], pdf["_text"])))
+        content = encode_warc_file(
+            fid, list(zip(pdf["_id"], pdf["_text"])), gzip_records=gzip_records
+        )
         return pd.DataFrame({"file_id": [fid], "content": [content]})
 
     return grouped.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
@@ -177,6 +200,38 @@ def _parse_warc_bytes(data: bytes) -> Iterator[tuple]:
         )
 
 
+def _parse_warc_gz_bytes(data: bytes) -> Iterator[tuple]:
+    """Walk a ``.warc.gz`` (one gzip member per record): yields the
+    same tuple shape as :func:`_parse_warc_bytes`, with offset /
+    record_length measured on the COMPRESSED stream (the member
+    boundaries a production reader seeks to).  Each decompressed
+    member must frame exactly one WARC record."""
+    import zlib
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"offset {pos}: not a gzip member boundary")
+        do = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            raw = do.decompress(data[pos:])
+            raw += do.flush()
+        except zlib.error as exc:
+            raise ValueError(f"offset {pos}: corrupt gzip member: {exc}")
+        if not do.eof:
+            raise ValueError(f"offset {pos}: truncated gzip member")
+        member_len = (n - pos) - len(do.unused_data)
+        recs = list(_parse_warc_bytes(raw))
+        if len(recs) != 1:
+            raise ValueError(
+                f"offset {pos}: gzip member frames {len(recs)} records, want 1"
+            )
+        r = recs[0]
+        yield (pos, member_len, *r[2:])
+        pos += member_len
+
+
 def warc_records(files: DataFrame, *, skip_errors: bool = False) -> DataFrame:
     """1→many record extraction over (file_id, content) WARC files via
     one Arrow-batched pass per file.  Returns WARC_RECORD_SCHEMA rows;
@@ -189,8 +244,11 @@ def warc_records(files: DataFrame, *, skip_errors: bool = False) -> DataFrame:
             rows = []
             for fid, data in zip(pdf["file_id"], pdf["content"]):
                 fid = int(fid)
+                blob = bytes(data)
+                # gzip magic → .warc.gz member walk, else plain WARC
+                walk = _parse_warc_gz_bytes if blob[:2] == b"\x1f\x8b" else _parse_warc_bytes
                 try:
-                    for rec in _parse_warc_bytes(bytes(data)):
+                    for rec in walk(blob):
                         rows.append((fid, *rec, None))
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-file containment
                     if not skip_errors:

@@ -94,6 +94,47 @@ def corpus_warc_records(spark, sf_dir):
 
 
 @register(
+    "corpus_warc_gz_records",
+    f"""WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         CAST(doc_id // {_DPF} AS BIGINT) AS file_id, length(text) AS L
+  FROM documents),
+resp_rows AS (
+  SELECT file_id,
+         'response' AS warc_type,
+         'urn:uuid:doc-' || doc_id AS record_id,
+         'http://example.com/doc/' || doc_id AS target_uri,
+         CAST(L AS BIGINT) AS content_length,
+         md5(text) AS payload_md5
+  FROM d),
+info_rows AS (
+  SELECT file_id,
+         'warcinfo' AS warc_type,
+         'urn:uuid:warcinfo-' || file_id AS record_id,
+         CAST(NULL AS VARCHAR) AS target_uri,
+         CAST(length({_WARC_INFO_PAYLOAD}) AS BIGINT) AS content_length,
+         md5({_WARC_INFO_PAYLOAD}) AS payload_md5
+  FROM (SELECT DISTINCT file_id FROM d))
+SELECT * FROM info_rows UNION ALL SELECT * FROM resp_rows""",
+)
+def corpus_warc_gz_records(spark, sf_dir):
+    """The production ``.warc.gz`` layout (one gzip member per record,
+    concatenated — what crawl archives actually ship): synthesize
+    member-compressed WARC files, then parse them back through the
+    gzip member walker (magic-sniffed inside warc_records).  Oracled
+    columns are every record's headers + payload digest; member
+    offsets/lengths are measured on the COMPRESSED stream (not
+    SQL-recomputable) and are instead asserted to tile each file
+    exactly in tests/test_containers.py."""
+    from opentsdb_aura_spark.operators.containers import synthesize_warc, warc_records
+
+    files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF, gzip_records=True)
+    return warc_records(files).select(
+        "file_id", "warc_type", "record_id", "target_uri", "content_length", "payload_md5"
+    )
+
+
+@register(
     "corpus_tar_members",
     f"""WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text,

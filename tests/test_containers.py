@@ -156,3 +156,56 @@ def test_synthesize_partitions_by_file_and_orders_by_doc(spark):
     f0 = sorted((r for r in resp if r["file_id"] == 0), key=lambda r: r["offset"])
     ids = [int(r["record_id"].rsplit("-", 1)[1]) for r in f0]
     assert ids == sorted(ids) and len(ids) == 50
+
+
+# --------------------------------------------------------------- WARC gzip
+
+
+def test_warc_gz_roundtrip_and_stdlib_interop():
+    import gzip
+
+    plain = list(C._parse_warc_bytes(C.encode_warc_file(3, DOCS)))
+    blob = C.encode_warc_file(3, DOCS, gzip_records=True)
+    recs = list(C._parse_warc_gz_bytes(blob))
+    # same records (headers/digests) as the plain layout, offsets tile
+    # the COMPRESSED file exactly
+    assert [r[2:] for r in recs] == [r[2:] for r in plain]
+    off = 0
+    for r in recs:
+        assert r[0] == off
+        off += r[1]
+    assert off == len(blob)
+    # stdlib reads our members; our walker reads stdlib-compressed members
+    assert gzip.decompress(blob).startswith(b"WARC/1.0\r\n")
+    rec = C.encode_warc_record("response", "urn:uuid:doc-9", b"abc",
+                               target_uri="http://example.com/doc/9")
+    via_stdlib = gzip.compress(rec, 6)
+    got = list(C._parse_warc_gz_bytes(via_stdlib))
+    assert len(got) == 1 and got[0][3] == "urn:uuid:doc-9"
+    assert got[0][6] == hashlib.md5(b"abc").hexdigest()
+
+
+def test_warc_gz_malformed(spark):
+    blob = C.encode_warc_file(0, DOCS[:2], gzip_records=True)
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        list(C._parse_warc_gz_bytes(blob[:-5]))
+    bad = b"NOTGZIP" + blob
+    with pytest.raises(ValueError, match="boundary"):
+        list(C._parse_warc_gz_bytes(bad))
+    # a member framing two records is rejected
+    import gzip
+    two = gzip.compress(
+        C.encode_warc_record("response", "urn:uuid:doc-1", b"x")
+        + C.encode_warc_record("response", "urn:uuid:doc-2", b"y")
+    )
+    with pytest.raises(ValueError, match="frames 2 records"):
+        list(C._parse_warc_gz_bytes(two))
+    # Spark surface: skip_errors contains the bad file, magic sniffing
+    # routes gz and plain files in the SAME frame
+    df = _files_df(spark, [(1, blob), (2, blob[:-5]), (3, C.encode_warc_file(7, DOCS[:1]))])
+    rows = C.warc_records(df, skip_errors=True).collect()
+    ok1 = [r for r in rows if r["file_id"] == 1 and r["error"] is None]
+    ok3 = [r for r in rows if r["file_id"] == 3 and r["error"] is None]
+    errs = [r for r in rows if r["error"] is not None]
+    assert len(ok1) == 3 and len(ok3) == 2
+    assert len(errs) == 1 and errs[0]["file_id"] == 2

@@ -33,13 +33,23 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
-def partition_file_counts(spark: SparkSession, path: str, partition_col: str) -> dict[str, int]:
+def partition_file_counts(
+    spark: SparkSession, path: str, partition_col: str | None
+) -> dict[str, int]:
     """Data-file count per ``{partition_col}=...`` directory under
     ``path`` (Hadoop FS listing — works on any warehouse scheme).
-    Empty dict when the index does not exist yet."""
+    ``partition_col=None`` counts the table's root-level data files
+    under the single key ``"."`` (unpartitioned layout).  Empty dict
+    when the index does not exist yet."""
     fs, hpath, _ = _fs(spark, path)
     if not fs.exists(hpath):
         return {}
+    if partition_col is None:
+        n = 0
+        for f in fs.listStatus(hpath):
+            if f.isFile() and f.getPath().getName().endswith(".parquet"):
+                n += 1
+        return {".": n}
     counts: dict[str, int] = {}
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
@@ -56,14 +66,15 @@ def compact_partitioned_parquet(
     spark: SparkSession,
     path: str,
     *,
-    partition_col: str,
+    partition_col: str | None,
     sort_cols: tuple[str, ...] = (),
     max_files_per_partition: int = 16,
     target_files_per_partition: int = 2,
 ) -> bool:
     """Rewrite a Hive-partitioned parquet table into few sorted files
     per partition directory when ANY partition exceeds
-    ``max_files_per_partition`` data files.
+    ``max_files_per_partition`` data files (``partition_col=None``
+    compacts an unpartitioned table the same way).
 
     The rewrite range-partitions on (partition_col, *sort_cols) and
     sorts within partitions, so each output file covers a disjoint
@@ -80,12 +91,15 @@ def compact_partitioned_parquet(
     base = path.rstrip("/")
     tmp, old = base + ".compact-tmp", base + ".compact-old"
     n_out = max(1, len(counts) * target_files_per_partition)
-    cols = [partition_col, *sort_cols]
+    cols = ([partition_col] if partition_col else []) + list(sort_cols)
     df = spark.read.parquet(path)
-    out = df.repartitionByRange(n_out, *[F.col(c) for c in cols])
+    out = df.repartitionByRange(n_out, *[F.col(c) for c in cols]) if cols else df.coalesce(n_out)
     if sort_cols:
         out = out.sortWithinPartitions(*cols)
-    out.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
 
     fs, live_p, jvm = _fs(spark, base)
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
@@ -120,6 +134,28 @@ def compact_fingerprint_index(
         sort_cols=("bh",),
         max_files_per_partition=max_files_per_band,
         target_files_per_partition=target_files_per_band,
+    )
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files: int = 16,
+    target_files: int = 4,
+) -> bool:
+    """Compact an :func:`update_minhash_index` signature table
+    (unpartitioned — one narrow (doc_id, h0..h{k-1}) row set per
+    append): few doc_id-sorted files, so the incremental path's
+    anti-join on doc_id keeps its row-group stats after sustained
+    streaming appends."""
+    return compact_partitioned_parquet(
+        spark,
+        path,
+        partition_col=None,
+        sort_cols=("doc_id",),
+        max_files_per_partition=max_files,
+        target_files_per_partition=target_files,
     )
 
 

@@ -125,3 +125,38 @@ def test_compaction_noop_on_missing_table(spark, tmp_path):
         spark, str(tmp_path / "nope"), partition_col="band"
     )
     assert partition_file_counts(spark, str(tmp_path / "nope"), "band") == {}
+
+
+def test_minhash_index_compaction_identical_candidates(spark, tmp_path):
+    from opentsdb_aura_spark.operators.dedup_text import (
+        lsh_candidates_from_signatures,
+        update_minhash_index,
+    )
+    from opentsdb_aura_spark.sources.maintenance import compact_minhash_index
+
+    path = str(tmp_path / "mhidx")
+    # 10 appends; every batch re-includes doc 0 and a near-dup twin so
+    # candidates exist (the anti-join keeps re-appends out)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(10):
+        rows = [(i * 10 + j, f"{base} batch {i} doc {j}") for j in range(1, 10)]
+        rows.append((100_000 + i, base + " twin"))
+        update_minhash_index(
+            spark.createDataFrame(rows, "doc_id long, text string"), path
+        )
+    before = partition_file_counts(spark, path, None)["."]
+    assert before >= 10
+
+    def cands():
+        sig = spark.read.parquet(path)
+        return sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in lsh_candidates_from_signatures(sig, threshold=0.5).collect()
+        )
+
+    want = cands()
+    assert want  # the planted twins collide
+    assert compact_minhash_index(spark, path, max_files=8, target_files=2)
+    assert partition_file_counts(spark, path, None)["."] <= 2
+    assert cands() == want
+    assert not compact_minhash_index(spark, path, max_files=8)

@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_index_topk",
+    # round 7 additions
+    "corpus_warc_records",
+    "corpus_tar_members",
+    "text_bpe_train_merges",
+    "ann_ivfpq_recall",
 ]
 
 

@@ -153,6 +153,7 @@ WARC_RECORD_SCHEMA = (
     "record_id string, target_uri string, content_length long, "
     "payload_md5 string, error string"
 )
+WARC_RECORD_PAYLOAD_SCHEMA = WARC_RECORD_SCHEMA + ", payload binary"
 
 
 def _parse_warc_bytes(data: bytes) -> Iterator[tuple]:
@@ -197,6 +198,7 @@ def _parse_warc_bytes(data: bytes) -> Iterator[tuple]:
             fields.get("warc-target-uri"),
             clen,
             hashlib.md5(payload).hexdigest(),
+            payload,  # trailing so header-only consumers can drop it
         )
 
 
@@ -232,12 +234,29 @@ def _parse_warc_gz_bytes(data: bytes) -> Iterator[tuple]:
         pos += member_len
 
 
-def warc_records(files: DataFrame, *, skip_errors: bool = False) -> DataFrame:
+def warc_records(
+    files: DataFrame, *, skip_errors: bool = False, with_payload: bool = False
+) -> DataFrame:
     """1→many record extraction over (file_id, content) WARC files via
     one Arrow-batched pass per file.  Returns WARC_RECORD_SCHEMA rows;
     with ``skip_errors`` a malformed file yields records up to the
     corruption point plus ONE error row (crawl-grade: the stage
-    survives, the row carries the diagnosis)."""
+    survives, the row carries the diagnosis).  ``with_payload`` adds
+    the raw payload bytes column — the form downstream decode / dedup
+    stages consume (header-only scans leave it off and stay narrow)."""
+    cols = [
+        "file_id",
+        "offset",
+        "record_length",
+        "warc_type",
+        "record_id",
+        "target_uri",
+        "content_length",
+        "payload_md5",
+        "error",
+    ]
+    if with_payload:
+        cols = cols + ["payload"]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -249,27 +268,18 @@ def warc_records(files: DataFrame, *, skip_errors: bool = False) -> DataFrame:
                 walk = _parse_warc_gz_bytes if blob[:2] == b"\x1f\x8b" else _parse_warc_bytes
                 try:
                     for rec in walk(blob):
-                        rows.append((fid, *rec, None))
+                        row = (fid, *rec[:-1], None)
+                        rows.append(row + (rec[-1],) if with_payload else row)
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-file containment
                     if not skip_errors:
                         raise
-                    rows.append((fid, None, None, None, None, None, None, None, str(exc)))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "file_id",
-                    "offset",
-                    "record_length",
-                    "warc_type",
-                    "record_id",
-                    "target_uri",
-                    "content_length",
-                    "payload_md5",
-                    "error",
-                ],
-            )
+                    err = (fid, None, None, None, None, None, None, None, str(exc))
+                    rows.append(err + (None,) if with_payload else err)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(op, schema=WARC_RECORD_SCHEMA)
+    return files.mapInPandas(
+        op, schema=WARC_RECORD_PAYLOAD_SCHEMA if with_payload else WARC_RECORD_SCHEMA
+    )
 
 
 # ------------------------------------------------------------------- TAR build
@@ -339,6 +349,7 @@ TAR_MEMBER_SCHEMA = (
     "file_id long, offset long, name string, size long, mtime long, "
     "typeflag string, payload_md5 string, error string"
 )
+TAR_MEMBER_PAYLOAD_SCHEMA = TAR_MEMBER_SCHEMA + ", payload binary"
 
 
 def _parse_tar_bytes(data: bytes) -> Iterator[tuple]:
@@ -359,23 +370,32 @@ def _parse_tar_bytes(data: bytes) -> Iterator[tuple]:
         if stored != calc:
             raise ValueError(f"offset {pos}: checksum {stored} != computed {calc}")
         name = hdr[0:100].split(b"\x00")[0].decode()
+        # POSIX long names: the 155-byte prefix field joins with '/'
+        prefix = hdr[345:500].split(b"\x00")[0].decode()
+        if prefix:
+            name = f"{prefix}/{name}"
         size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
         mtime = int(hdr[136:148].split(b"\x00")[0].strip() or b"0", 8)
         typeflag = hdr[156:157].decode()
         body = data[pos + 512 : pos + 512 + size]
         if len(body) != size:
             raise ValueError(f"offset {pos}: truncated member {name!r}")
-        yield (pos, name, size, mtime, typeflag, hashlib.md5(body).hexdigest())
+        yield (pos, name, size, mtime, typeflag, hashlib.md5(body).hexdigest(), body)
         pos += 512 + size + ((-size) % 512)
     if pos < n:
         raise ValueError(f"offset {pos}: trailing garbage shorter than a header block")
     raise ValueError("archive ended without the zero-block trailer")
 
 
-def tar_members(files: DataFrame, *, skip_errors: bool = False) -> DataFrame:
+def tar_members(
+    files: DataFrame, *, skip_errors: bool = False, with_payload: bool = False
+) -> DataFrame:
     """1→many member extraction over (file_id, content) TAR archives —
     same contract as :func:`warc_records` (per-file containment under
-    ``skip_errors``)."""
+    ``skip_errors``, optional payload column for downstream stages)."""
+    cols = ["file_id", "offset", "name", "size", "mtime", "typeflag", "payload_md5", "error"]
+    if with_payload:
+        cols = cols + ["payload"]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -384,23 +404,15 @@ def tar_members(files: DataFrame, *, skip_errors: bool = False) -> DataFrame:
                 fid = int(fid)
                 try:
                     for rec in _parse_tar_bytes(bytes(data)):
-                        rows.append((fid, *rec, None))
+                        row = (fid, *rec[:-1], None)
+                        rows.append(row + (rec[-1],) if with_payload else row)
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-file containment
                     if not skip_errors:
                         raise
-                    rows.append((fid, None, None, None, None, None, None, str(exc)))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "file_id",
-                    "offset",
-                    "name",
-                    "size",
-                    "mtime",
-                    "typeflag",
-                    "payload_md5",
-                    "error",
-                ],
-            )
+                    err = (fid, None, None, None, None, None, None, str(exc))
+                    rows.append(err + (None,) if with_payload else err)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(op, schema=TAR_MEMBER_SCHEMA)
+    return files.mapInPandas(
+        op, schema=TAR_MEMBER_PAYLOAD_SCHEMA if with_payload else TAR_MEMBER_SCHEMA
+    )

@@ -75,7 +75,8 @@ def test_tar_roundtrip_and_stdlib_interop_both_ways():
     # ours reads ours: 512-block offsets, checksums validate
     got = list(C._parse_tar_bytes(blob))
     assert [g[1] for g in got] == names
-    assert got[0] == (0, "doc/0.txt", 11, C.TAR_MTIME, "0", hashlib.md5(b"hello world").hexdigest())
+    assert got[0][:6] == (0, "doc/0.txt", 11, C.TAR_MTIME, "0", hashlib.md5(b"hello world").hexdigest())
+    assert got[0][6] == b"hello world"  # payload rides along for pipeline stages
     assert got[1][0] == 1024  # 512 header + 512 (11 bytes padded)
     # ours reads stdlib's
     buf = io.BytesIO()
@@ -209,3 +210,61 @@ def test_warc_gz_malformed(spark):
     errs = [r for r in rows if r["error"] is not None]
     assert len(ok1) == 3 and len(ok3) == 2
     assert len(errs) == 1 and errs[0]["file_id"] == 2
+
+
+def test_tar_prefix_long_names_stdlib_interop():
+    """ustar long names split into the 155-byte prefix field: stdlib
+    writes them, our parser must reassemble prefix/name."""
+    buf = io.BytesIO()
+    long_name = "/".join(["deep"] * 30) + "/leaf.txt"  # > 100 bytes
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as w:
+        ti = tarfile.TarInfo(long_name)
+        ti.size = 4
+        w.addfile(ti, io.BytesIO(b"data"))
+    recs = list(C._parse_tar_bytes(buf.getvalue()))
+    assert recs[0][1] == long_name
+    assert recs[0][5] == hashlib.md5(b"data").hexdigest()
+
+
+# ------------------------------------------------ crawl pipeline composition
+
+
+def test_warc_to_incremental_dedup_pipeline(spark, tmp_path):
+    """The crawl shape end-to-end: WARC batches arrive → 1→many record
+    extraction WITH payloads → text → incremental MinHash index →
+    cross-batch near-dup candidates.  Batch 2 replants batch 1's docs
+    under new ids, so the candidates must pair new ids against OLD
+    ids without re-signing the old corpus."""
+    from opentsdb_aura_spark.operators.dedup_text import (
+        lsh_candidates_from_signatures,
+        update_minhash_index,
+    )
+
+    path = str(tmp_path / "crawl_mh")
+    base = [
+        (i, f"crawl document {i} with some shared boilerplate text body {i % 3}")
+        for i in range(20)
+    ]
+    dupes = [(1000 + i, t) for i, t in base[:5]]  # near-exact recrawls
+
+    def ingest(rows):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        files = C.synthesize_warc(docs, docs_per_file=10, gzip_records=True)
+        recs = C.warc_records(files, with_payload=True).where(
+            F.col("warc_type") == "response"
+        )
+        texts = recs.select(
+            F.split(F.col("record_id"), "-").getItem(1).cast("long").alias("doc_id"),
+            F.col("payload").cast("string").alias("text"),
+        )
+        return update_minhash_index(texts, path)
+
+    ingest(base)
+    sig = ingest(dupes)
+    assert sig.count() == 25  # 20 + 5, re-appends deduped by the anti-join
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates_from_signatures(sig, threshold=0.9).collect()
+    }
+    for i, _ in base[:5]:
+        assert (i, 1000 + i) in pairs or (1000 + i, i) in pairs

@@ -311,3 +311,45 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, pair_count long"
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Apply a learned merge list (rank-ordered (lhs, rhs) pairs from
+    :func:`bpe_train`) — the tokenize-with-trained-vocab stage.
+
+    Scale shape: merges apply to the DISTINCT-WORD table (each word
+    segmented once, however often it recurs), as a chain of
+    pure-Catalyst folds (one per merge, rank order — BPE application
+    is sequential by definition); per-doc subword counts then come
+    from one explode + join + sum, never a per-doc Python pass.
+
+    Returns (doc_id, n_subwords) — the trained-vocab token count per
+    document."""
+    spark = docs.sparkSession
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    vocab = words.select("w").distinct()
+    syms = F.concat(F.filter(F.split(F.col("w"), ""), lambda t: t != ""), F.array(F.lit(eow)))
+    for a, b in merges:
+        syms = _merge_pair_expr(syms, a, b)
+    seg = vocab.select("w", F.size(syms).alias("n_syms"))
+    per_doc = (
+        wc.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("n_syms")).cast("long").alias("n_subwords"))
+    )
+    # empty/whitespace-only docs have no words: count 0, not a dropped row
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_subwords", F.lit(0).cast("long")).alias("n_subwords"))
+    )

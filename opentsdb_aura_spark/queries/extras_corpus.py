@@ -389,16 +389,18 @@ def text_normalize_docs(spark, sf_dir):
 # ------------------------------------------------------------- BPE training
 
 
-def _bpe_train_oracle_sql(n_merges: int) -> str:
-    """Unrolled-rounds DuckDB oracle for bpe_train: round k's CTEs are
-    (p{k}) pair counts over vocab v{k}, (b{k}) the argmax merge with
-    the same (count DESC, lhs, rhs) binary tie-break the Spark side
-    uses, and (v{k+1}) the vocab with that merge applied via a
-    list_reduce fold — the exact greedy left-to-right semantics of
-    operators/text.py::_merge_pair_expr.  Symbol lists are carried as
-    chr(1)-joined strings because DuckDB's list_reduce requires
+def _bpe_oracle_ctes(n_merges: int, *, final_vocab: bool = False) -> str:
+    """Unrolled-rounds DuckDB CTE chain for the BPE oracles: round k's
+    CTEs are (p{k}) pair counts over vocab v{k}, (b{k}) the argmax
+    merge with the same (count DESC, lhs, rhs) binary tie-break the
+    Spark side uses, and (v{k+1}) the vocab with that merge applied
+    via a list_reduce fold — the exact greedy left-to-right semantics
+    of operators/text.py::_merge_pair_expr.  Symbol lists are carried
+    as chr(1)-joined strings because DuckDB's list_reduce requires
     accumulator type == element type (same workaround family as
-    text_fingerprint_md5's string-chained fold)."""
+    text_fingerprint_md5's string-chained fold).  ``final_vocab``
+    additionally materializes v{n_merges} — the per-word segmentation
+    AFTER all merges, which the apply-stage oracle joins against."""
     S = "chr(1)"
     cte = [
         r"""w AS (
@@ -406,7 +408,7 @@ def _bpe_train_oracle_sql(n_merges: int) -> str:
     SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '')) AS w
     FROM documents) GROUP BY 1),
 v0 AS (
-  SELECT array_to_string(list_append(list_filter(string_split(w, ''), c -> c <> ''), '</w>'), chr(1)) AS syms, cnt
+  SELECT w, array_to_string(list_append(list_filter(string_split(w, ''), c -> c <> ''), '</w>'), chr(1)) AS syms, cnt
   FROM w)"""
     ]
     for k in range(n_merges):
@@ -419,10 +421,10 @@ v0 AS (
   GROUP BY 1, 2),
 b{k} AS (SELECT {k} AS rnk, a, b, pair_count FROM p{k} ORDER BY pair_count DESC, a, b LIMIT 1)"""
         )
-        if k < n_merges - 1:
+        if k < n_merges - 1 or final_vocab:
             cte.append(
                 f"""v{k + 1} AS (
-  SELECT list_reduce(list_prepend('', string_split(v.syms, {S})),
+  SELECT v.w, list_reduce(list_prepend('', string_split(v.syms, {S})),
            (acc, s) -> CASE
              WHEN acc <> '' AND string_split(acc, {S})[-1] = bk.a AND s = bk.b
              THEN array_to_string(list_append(array_pop_back(string_split(acc, {S})), bk.a || bk.b), {S})
@@ -430,11 +432,37 @@ b{k} AS (SELECT {k} AS rnk, a, b, pair_count FROM p{k} ORDER BY pair_count DESC,
          v.cnt
   FROM v{k} v CROSS JOIN b{k} bk)"""
             )
+    return ",\n".join(cte)
+
+
+def _bpe_train_oracle_sql(n_merges: int) -> str:
     sel = "\nUNION ALL ".join(
         f"SELECT CAST(rnk AS INT) AS rank, a AS lhs, b AS rhs, a || b AS merged, pair_count FROM b{k}"
         for k in range(n_merges)
     )
-    return "WITH " + ",\n".join(cte) + "\n" + sel
+    return "WITH " + _bpe_oracle_ctes(n_merges) + "\n" + sel
+
+
+def _bpe_subword_oracle_sql(n_merges: int) -> str:
+    """Apply-stage oracle: per-doc subword counts under the LEARNED
+    merges = sum over the doc's words of the final vocab's segment
+    length (v{n_merges} carries every word's post-merge symbol
+    string)."""
+    return (
+        "WITH "
+        + _bpe_oracle_ctes(n_merges, final_vocab=True)
+        + f""",
+seg AS (SELECT w, len(string_split(syms, chr(1))) AS n_syms FROM v{n_merges}),
+dw AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '')) AS w
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_subwords
+  FROM dw JOIN seg USING (w) GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(p.n_subwords, 0) AS n_subwords
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+    )
 
 
 _BPE_TRAIN_MERGES = 8
@@ -453,3 +481,21 @@ def text_bpe_train_merges(spark, sf_dir):
     from opentsdb_aura_spark.operators.text import bpe_train
 
     return bpe_train(docs(spark, sf_dir), n_merges=_BPE_TRAIN_MERGES)
+
+
+@register("text_bpe_subword_count", _bpe_subword_oracle_sql(_BPE_TRAIN_MERGES))
+def text_bpe_subword_count(spark, sf_dir):
+    """The apply half of BPE under the same FULL oracle: train 8
+    merges on the corpus, segment every document with them, return
+    per-doc subword counts.  The oracle extends the unrolled training
+    chain with the post-merge vocab (v8) and joins each doc's words
+    against its segment lengths — so train AND apply are both
+    value-hash-checked end-to-end on the same corpus."""
+    from opentsdb_aura_spark.operators.text import bpe_apply, bpe_train
+
+    d = docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(d, n_merges=_BPE_TRAIN_MERGES).orderBy("rank").collect()
+    ]
+    return bpe_apply(d, merges)

@@ -436,3 +436,37 @@ def test_bpe_train_greedy_and_exhaustion(spark):
     # (aa,</w>) ('<' 0x3C < 'a' 0x61) -> [aa, aa</w>];
     # round 2: (aa, aa</w>); then no pairs remain -> early stop at 3 rows
     assert got == [("a", "a", 3), ("aa", "</w>", 1), ("aa", "aa</w>", 1)]
+
+
+def test_bpe_apply_matches_reference_segmentation(spark):
+    """bpe_apply golden check: per-doc subword counts equal segmenting
+    each word with the reference trainer's final vocabulary."""
+    from opentsdb_aura_spark.operators.text import bpe_apply, bpe_train
+
+    texts = ["low lower lowest", "newest newer new", "low low banana", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r["lhs"], r["rhs"]) for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()
+    ]
+
+    def segment(word):
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    want = {
+        i: sum(segment(w) for w in t.lower().split()) for i, t in enumerate(texts)
+    }
+    got = {
+        r["doc_id"]: r["n_subwords"] for r in bpe_apply(docs, merges).collect()
+    }
+    assert got == want  # doc 3 is empty -> 0, not a dropped row

@@ -323,11 +323,14 @@ def synthesize_tar(
     docs: DataFrame,
     *,
     docs_per_file: int = 50,
+    gzip_stream: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Deterministic TAR files from a documents frame — same grouping
-    rule as :func:`synthesize_warc`.  Returns (file_id, content)."""
+    rule as :func:`synthesize_warc` (``gzip_stream`` wraps each
+    archive in one deterministic gzip stream, the .tar.gz shape).
+    Returns (file_id, content)."""
     grouped = docs.select(
         (F.col(id_col) / docs_per_file).cast("long").alias("file_id"),
         F.col(id_col).cast("long").alias("_id"),
@@ -338,6 +341,8 @@ def synthesize_tar(
         pdf = pdf.sort_values("_id")
         fid = int(pdf["file_id"].iloc[0])
         content = encode_tar_file(list(zip(pdf["_id"], pdf["_text"])))
+        if gzip_stream:
+            content = _gzip_member(content)
         return pd.DataFrame({"file_id": [fid], "content": [content]})
 
     return grouped.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
@@ -398,12 +403,17 @@ def tar_members(
         cols = cols + ["payload"]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
         for pdf in batches:
             rows = []
             for fid, data in zip(pdf["file_id"], pdf["content"]):
                 fid = int(fid)
+                blob = bytes(data)
                 try:
-                    for rec in _parse_tar_bytes(bytes(data)):
+                    if blob[:2] == b"\x1f\x8b":  # .tar.gz: whole-stream gzip
+                        blob = zlib.decompress(blob, 16 + zlib.MAX_WBITS)
+                    for rec in _parse_tar_bytes(blob):
                         row = (fid, *rec[:-1], None)
                         rows.append(row + (rec[-1],) if with_payload else row)
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-file containment

@@ -151,7 +151,22 @@ SELECT file_id,
        md5(text) AS payload_md5
 FROM d""",
 )
-def corpus_tar_members(spark, sf_dir):
+def corpus_tar_members(spark, sf_dir):  # noqa: D103 — docstring below
+    return _tar_members_impl(spark, sf_dir, gzip_stream=False)
+
+
+@register("corpus_tar_gz_members", ORACLES["corpus_tar_members"])
+def corpus_tar_gz_members(spark, sf_dir):
+    """The .tar.gz shape: each archive wrapped in ONE deterministic
+    gzip stream, magic-sniffed and decompressed inside the member
+    walker.  Offsets are on the DECOMPRESSED layout (the only
+    well-defined member position in a stream-compressed archive), so
+    corpus_tar_members' full oracle — offsets included — applies
+    verbatim."""
+    return _tar_members_impl(spark, sf_dir, gzip_stream=True)
+
+
+def _tar_members_impl(spark, sf_dir, *, gzip_stream):
     """TAR crawl ingestion, fully oracle-checked: synthesize POSIX
     ustar archives from the fixture (50 members per archive, stdlib-
     tarfile-interoperable — asserted in tests), parse them back with
@@ -160,7 +175,7 @@ def corpus_tar_members(spark, sf_dir):
     arithmetic."""
     from opentsdb_aura_spark.operators.containers import synthesize_tar, tar_members
 
-    files = synthesize_tar(docs_raw(spark, sf_dir), docs_per_file=_DPF)
+    files = synthesize_tar(docs_raw(spark, sf_dir), docs_per_file=_DPF, gzip_stream=gzip_stream)
     return tar_members(files).select(
         "file_id", "offset", "name", "size", "mtime", "typeflag", "payload_md5"
     )

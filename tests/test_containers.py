@@ -268,3 +268,20 @@ def test_warc_to_incremental_dedup_pipeline(spark, tmp_path):
     }
     for i, _ in base[:5]:
         assert (i, 1000 + i) in pairs or (1000 + i, i) in pairs
+
+
+def test_tar_gz_stream_roundtrip(spark):
+    """.tar.gz: whole-stream gzip, magic-sniffed; members and offsets
+    equal the plain archive's (decompressed layout), and stdlib
+    tarfile reads our stream ('r:gz')."""
+    import gzip
+
+    plain = C.encode_tar_file(DOCS)
+    gz = C._gzip_member(plain)
+    tf = tarfile.open(fileobj=io.BytesIO(gz), mode="r:gz")
+    assert [m.name for m in tf.getmembers()] == [f"doc/{i}.txt" for i, _ in DOCS]
+    df = _files_df(spark, [(0, gz), (1, plain)])
+    rows = C.tar_members(df).collect()
+    a = sorted((r["offset"], r["name"], r["payload_md5"]) for r in rows if r["file_id"] == 0)
+    b = sorted((r["offset"], r["name"], r["payload_md5"]) for r in rows if r["file_id"] == 1)
+    assert a == b and len(a) == len(DOCS)

@@ -183,6 +183,8 @@ def _parse_warc_bytes(data: bytes) -> Iterator[tuple]:
             clen = int(fields["content-length"])
         except (KeyError, ValueError):
             raise ValueError(f"offset {start}: missing/bad Content-Length")
+        if clen < 0:
+            raise ValueError(f"offset {start}: negative Content-Length {clen}")
         body_start = hdr_end + 4
         body_end = body_start + clen
         if data[body_end : body_end + 4] != b"\r\n\r\n":

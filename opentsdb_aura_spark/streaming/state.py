@@ -329,3 +329,72 @@ def streaming_near_dup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_crawl_ingest(
+    stream_files: DataFrame,
+    index_path: str,
+    docs_path: str,
+    checkpoint: str,
+    *,
+    compact_max_files: int | None = 64,
+    trigger_available_now: bool = True,
+):
+    """Streaming CRAWL ingestion — the front half of the pipeline
+    streaming_near_dup closes: WARC files arrive as a stream
+    (``(file_id, content)`` rows — at scale a binaryFile source over
+    the crawl bucket), and each micro-batch is
+
+    1. record-extracted (1→many Arrow walk, gzip member or plain,
+       crawl-grade ``skip_errors`` so one corrupt download costs one
+       row, not the batch),
+    2. appended to a documents table at ``docs_path`` as
+       (doc_id, text, file_id) — error rows routed to
+       ``{docs_path}_errors`` instead of silently dropped, and
+    3. MinHash-signed into the incremental index at ``index_path``
+       (anti-join keeps re-crawled ids out; ``compact_max_files``
+       bounds small-file buildup across sustained batches).
+
+    foreachBatch is at-least-once: a crash between the docs append and
+    the index append can re-deliver a batch, where the index's
+    anti-join makes the re-sign a no-op but the docs append can
+    duplicate rows — dedupe docs downstream on doc_id where
+    exactly-once matters (the standard idempotence note, same as
+    streaming_near_dup's pairs).  Returns the started StreamingQuery."""
+    from opentsdb_aura_spark.operators.containers import warc_records
+    from opentsdb_aura_spark.operators.dedup_text import update_minhash_index
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        recs = warc_records(batch_df, skip_errors=True, with_payload=True).localCheckpoint()
+        errs = recs.where(F.col("error").isNotNull())
+        if errs.take(1):
+            errs.select("file_id", "error").write.mode("append").parquet(f"{docs_path}_errors")
+        docs = recs.where(
+            (F.col("error").isNull()) & (F.col("warc_type") == "response")
+        ).select(
+            F.split(F.col("record_id"), "-").getItem(1).cast("long").alias("doc_id"),
+            F.col("payload").cast("string").alias("text"),
+            "file_id",
+        )
+        if not docs.take(1):
+            return
+        docs = docs.localCheckpoint()  # extraction runs once, not per sink
+        docs.write.mode("append").parquet(docs_path)
+        update_minhash_index(docs, index_path)
+        if compact_max_files is not None:
+            from opentsdb_aura_spark.sources.maintenance import compact_minhash_index
+
+            compact_minhash_index(
+                docs.sparkSession, index_path, max_files=compact_max_files
+            )
+
+    writer = (
+        stream_files.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -640,3 +640,57 @@ def test_streaming_near_dup_cross_batch(spark, tmpdirs):
     assert got3[(20, 0)] == 1 and (0, 20) not in got3
     assert got3[(20, 1)] == 2 and got3[(20, 10)] == 2
     assert set(got) <= set(got3) and len(got3) == len(got) + 3
+
+
+def test_streaming_crawl_ingest_warc_to_index(spark, tmpdirs):
+    """Streaming crawl ingestion: WARC file batches (gzip, one corrupt)
+    stream through record extraction into the documents table and the
+    incremental MinHash index; the corrupt file lands in the errors
+    sidecar, recrawled ids stay deduped in the index, and a replay
+    with no new files adds nothing."""
+    from opentsdb_aura_spark.operators.containers import encode_warc_file
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    file_schema = "file_id long, content binary"
+    docs_path, idx_path = tmpdirs["out"] + "/docs", tmpdirs["store"]
+
+    def write_files(rows, name):
+        spark.createDataFrame(rows, file_schema).coalesce(1).write.parquet(
+            f"{tmpdirs['in']}/{name}"
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+        q = streaming_crawl_ingest(
+            stream, idx_path, docs_path, tmpdirs["ckpt"], compact_max_files=4
+        )
+        q.awaitTermination(120)
+
+    mk = lambda fid, docs, **kw: encode_warc_file(fid, docs, gzip_records=True, **kw)
+    # batch 1: two good files + one truncated download
+    write_files(
+        [
+            (0, mk(0, [(0, "alpha doc zero"), (1, "beta doc one")])),
+            (1, mk(1, [(2, "gamma doc two")])),
+            (2, mk(2, [(3, "delta doc three")])[:-7]),
+        ],
+        "b1",
+    )
+    run_once()
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(docs_path).collect()}
+    assert docs == {0: "alpha doc zero", 1: "beta doc one", 2: "gamma doc two"}
+    errs = spark.read.parquet(docs_path + "_errors").collect()
+    assert len(errs) == 1 and errs[0]["file_id"] == 2
+    assert spark.read.parquet(idx_path).count() == 3
+
+    # batch 2: doc 1 RE-CRAWLED + one new doc — index dedupes, docs append
+    write_files([(3, mk(3, [(1, "beta doc one"), (9, "epsilon doc nine")]))], "b2")
+    run_once()
+    sig_ids = sorted(r["doc_id"] for r in spark.read.parquet(idx_path).select("doc_id").collect())
+    assert sig_ids == [0, 1, 2, 9]  # the recrawl did not re-sign
+    assert spark.read.parquet(docs_path).count() == 5  # at-least-once docs append
+
+    # replay with no new input: nothing changes
+    run_once()
+    assert spark.read.parquet(idx_path).count() == 4
+    assert spark.read.parquet(docs_path).count() == 5

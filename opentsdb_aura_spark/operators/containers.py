@@ -130,7 +130,7 @@ def synthesize_warc(
     shuffles each doc once to its file and writes it once.  Returns
     (file_id long, content binary)."""
     grouped = docs.select(
-        (F.col(id_col) / docs_per_file).cast("long").alias("file_id"),
+        F.expr(f"CAST(`{id_col}` DIV {int(docs_per_file)} AS LONG)").alias("file_id"),  # integer DIV: double division drifts above 2^53 doc ids
         F.col(id_col).cast("long").alias("_id"),
         F.col(text_col).alias("_text"),
     )
@@ -334,7 +334,7 @@ def synthesize_tar(
     archive in one deterministic gzip stream, the .tar.gz shape).
     Returns (file_id, content)."""
     grouped = docs.select(
-        (F.col(id_col) / docs_per_file).cast("long").alias("file_id"),
+        F.expr(f"CAST(`{id_col}` DIV {int(docs_per_file)} AS LONG)").alias("file_id"),  # integer DIV: double division drifts above 2^53 doc ids
         F.col(id_col).cast("long").alias("_id"),
         F.col(text_col).alias("_text"),
     )

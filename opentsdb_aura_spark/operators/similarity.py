@@ -996,6 +996,43 @@ def ivfpq_topk(
 
 
 
+def shortlist_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine re-rank of an approximate shortlist — the standard
+    two-stage ANN serving shape (PQ/IVF shortlists cheaply from codes,
+    the float vectors are touched for ONLY the shortlist pairs).
+
+    ``shortlist`` is any (query_id, neighbor_id, …) frame (ADC top-k',
+    LSH candidates, IVF probe output).  The float read is an equi-join
+    of the shortlist against the corpus on neighbor_id — at 100 TB
+    that is nq × k' vector rows, not a scan; the (small, bounded)
+    query side broadcasts.  Returns (query_id, neighbor_id, cos_sim)
+    exact top-k.  Rerank can only improve shortlist ordering: recall@k
+    of the output ≥ recall@k of the shortlist head (bound-tested)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    pairs = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
 def ann_recall_vs_exact(
     exact: DataFrame, approx: DataFrame, *, k_exact: int, k_approx: int
 ) -> DataFrame:

@@ -412,6 +412,84 @@ def ann_pq_exact_topk(spark, sf_dir):
 
 
 
+@register("ann_pq_rerank_topk")  # approximate shortlist: rows-only, bound-tested
+def ann_pq_rerank_topk(spark, sf_dir):
+    """The standard two-stage ANN serving shape: trained PQ-ADC
+    shortlists top-50 from CODES ONLY, then exact cosine re-ranks the
+    shortlist pairs over the float vectors (touched for nq × 50 rows,
+    never a scan).  Rerank can only improve shortlist ordering —
+    bound asserted in test_rows_only_bounds.py; the composition
+    itself is value-hash-proven by ann_pq_rerank_exact_topk."""
+    from opentsdb_aura_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+        shortlist_rerank,
+    )
+
+    e = embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20)
+    cbs = pq_train(e, m=8, k=16)
+    short = pq_adc_topk(pq_encode(e, cbs), q, cbs, k=50)
+    res = shortlist_rerank(e, q, short, k=5)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "ann_pq_rerank_exact_topk",
+    """WITH g AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           greatest(least(CAST(floor((CAST(x AS DOUBLE) + 1.0) / 2.0 * 254.0 + 0.5) AS BIGINT),
+                          254), 0)
+           * (2.0 / 254.0) - 1.0) AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM g WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, v AS cv FROM g),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cs
+  FROM q, c WHERE query_id != neighbor_id),
+short AS (
+  SELECT query_id, neighbor_id FROM
+    (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+  WHERE rn <= 50),
+rq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+rc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+ex AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         list_sum(list_transform(range(1, len(qe)+1),
+                  i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x)))) AS cs
+  FROM short sh JOIN rq USING (query_id) JOIN rc USING (neighbor_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn FROM ex)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim FROM r WHERE rn <= 5""",
+)
+def ann_pq_rerank_exact_topk(spark, sf_dir):
+    """Shortlist→rerank under a FULL value-hash oracle: the shortlist
+    is the grid twin's quantized cosine top-50 (closed-form codes, so
+    SQL re-derives it exactly) and the rerank recomputes exact cosine
+    over the raw floats for those pairs only — proving the whole
+    two-stage composition (shortlist membership, float re-join,
+    re-ordering, final top-5) value-exactly.  The trained path keeps
+    its recall bound (ann_pq_rerank_topk)."""
+    from opentsdb_aura_spark.operators.similarity import (
+        brute_force_topk,
+        grid_decode,
+        grid_quantize_vectors,
+        shortlist_rerank,
+    )
+
+    e = embs(spark, sf_dir)
+    deq = grid_decode(grid_quantize_vectors(e))
+    short = brute_force_topk(deq, deq.where(F.col("vec_id") < 20), k=50)
+    res = shortlist_rerank(e, e.where(F.col("vec_id") < 20), short, k=5)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+
 @register("ann_ivfpq_topk")  # approximate: pruning + quantization → rows-only
 def ann_ivfpq_topk(spark, sf_dir):
     """IVF-PQ (the IVFADC serving architecture): IVF lists bound WHICH

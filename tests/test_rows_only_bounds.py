@@ -356,3 +356,42 @@ def test_ann_recall_rows_bounds(spark):
         assert row["n_queries"] == 20 and row["n_truth"] == 200
         assert 0.5 <= row["recall"] <= 1.0, (name, row["recall"])
         assert row["n_hit"] == round(row["recall"] * row["n_truth"]), row
+
+
+def test_pq_rerank_improves_or_preserves_recall(spark):
+    """ann_pq_rerank_topk bound: exact re-ranking a trained ADC top-50
+    shortlist must surface the true source AT RANK <= 5 at least as
+    often as the raw ADC top-5 does (rerank can only improve shortlist
+    ordering), on the planted-perturbation corpus of the served-config
+    bound; and >= 16/20 absolute (the ADC bound)."""
+    from opentsdb_aura_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+        shortlist_rerank,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rng = random.Random(11)
+    src = e.where(F.col("vec_id") < 20).collect()
+    qrows = [
+        (int(r["vec_id"]) + 1_000_000, [v + rng.gauss(0, 0.01) for v in r["embedding"]])
+        for r in src
+    ]
+    q = e.sparkSession.createDataFrame(qrows, "vec_id long, embedding array<float>")
+
+    cbs = pq_train(e, m=8, k=16)
+    codes = pq_encode(e, cbs)
+    adc5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(codes, q, cbs, k=5).collect()
+    }
+    short = pq_adc_topk(codes, q, cbs, k=50)
+    rr5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in shortlist_rerank(e, q, short, k=5).collect()
+    }
+    truth = [(int(r["vec_id"]) + 1_000_000, int(r["vec_id"])) for r in src]
+    adc_hits = sum(1 for t in truth if t in adc5)
+    rr_hits = sum(1 for t in truth if t in rr5)
+    assert rr_hits >= adc_hits >= 16, (rr_hits, adc_hits)

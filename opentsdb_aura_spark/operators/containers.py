@@ -428,3 +428,42 @@ def tar_members(
     return files.mapInPandas(
         op, schema=TAR_MEMBER_PAYLOAD_SCHEMA if with_payload else TAR_MEMBER_SCHEMA
     )
+
+
+# -------------------------------------------------------------- URL curation
+
+
+def canonicalize_url(url):
+    """Canonical crawl-dedup URL form, pure Catalyst: lowercase scheme
+    + host, strip the fragment, strip the query string, drop a
+    trailing slash, drop default ports (:80/:443) — the normalization
+    a crawl pipeline applies before URL-level dedup so recrawls and
+    tracking-parameter variants collapse.  Path case is preserved
+    (paths are case-sensitive per RFC 3986; only scheme/host fold)."""
+    u = url if isinstance(url, F.Column) else F.col(url)
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"\?.*$", "")  # query string
+    # lowercase scheme://host (up to the first '/' after '://')
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    scheme = F.regexp_replace(scheme, r":(80|443)$", "")  # default ports
+    out = F.concat(scheme, rest)
+    return F.regexp_replace(out, r"/$", "")  # trailing slash
+
+
+def url_duplicates(
+    records: DataFrame, *, url_col: str = "target_uri", id_col: str = "record_id"
+) -> DataFrame:
+    """URL-level crawl dedup: canonicalize, then hash-groupBy — groups
+    whose canonical URL was fetched more than once, with the first
+    record id (min) as the canonical survivor.  The crawl twin of
+    exact_duplicates (same scale shape: one shuffle on the canonical
+    key, map-side combined).  NULL urls (warcinfo/metadata records)
+    are excluded.  Returns (canonical_url, dup_count, keep_id)."""
+    return (
+        records.where(F.col(url_col).isNotNull())
+        .select(canonicalize_url(url_col).alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )

@@ -179,3 +179,60 @@ def _tar_members_impl(spark, sf_dir, *, gzip_stream):
     return tar_members(files).select(
         "file_id", "offset", "name", "size", "mtime", "typeflag", "payload_md5"
     )
+
+
+@register(
+    "corpus_warc_url_dedup",
+    r"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+recs AS (
+  SELECT 'urn:uuid:doc-' || doc_id AS record_id,
+         'http://example.com/doc/' || doc_id AS uri FROM d
+  UNION ALL
+  SELECT 'urn:uuid:recrawl-' || doc_id,
+         'HTTP://EXAMPLE.COM:80/doc/' || doc_id || '?utm_source=x#frag'
+  FROM d WHERE doc_id % 5 = 0),
+canon AS (
+  SELECT record_id,
+         regexp_replace(
+           concat(
+             regexp_replace(lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)),
+                            ':(80|443)$', ''),
+             regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')),
+           '/$', '') AS canonical_url
+  FROM (SELECT record_id,
+               regexp_replace(regexp_replace(uri, '#.*$', ''), '\?.*$', '') AS u1
+        FROM recs))
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS dup_count, min(record_id) AS keep_id
+FROM canon GROUP BY 1 HAVING count(*) > 1""",
+)
+def corpus_warc_url_dedup(spark, sf_dir):
+    """URL-level crawl dedup over PARSED WARC records: every doc_id %
+    5 == 0 gains a planted recrawl record whose URI varies by scheme/
+    host case, default port, tracking query string, and fragment —
+    canonicalization must collapse each variant pair onto one URL
+    (the oracle re-applies the same regexp canonicalization in
+    DuckDB, so the rule itself is cross-engine-checked, not just the
+    group counts).  keep_id is the min record id — always the
+    original fetch."""
+    from opentsdb_aura_spark.operators.containers import (
+        synthesize_warc,
+        url_duplicates,
+        warc_records,
+    )
+
+    files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF)
+    recs = warc_records(files).where(F.col("warc_type") == "response").select(
+        "record_id", "target_uri"
+    )
+    doc_id = F.split(F.col("record_id"), "-").getItem(1).cast("long")
+    planted = recs.where(doc_id % 5 == 0).select(
+        F.concat(F.lit("urn:uuid:recrawl-"), doc_id).alias("record_id"),
+        F.concat(
+            F.lit("HTTP://EXAMPLE.COM:80/doc/"), doc_id, F.lit("?utm_source=x#frag")
+        ).alias("target_uri"),
+    )
+    return url_duplicates(recs.unionByName(planted)).select(
+        "canonical_url",
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+        "keep_id",
+    )

@@ -285,3 +285,21 @@ def test_tar_gz_stream_roundtrip(spark):
     a = sorted((r["offset"], r["name"], r["payload_md5"]) for r in rows if r["file_id"] == 0)
     b = sorted((r["offset"], r["name"], r["payload_md5"]) for r in rows if r["file_id"] == 1)
     assert a == b and len(a) == len(DOCS)
+
+
+def test_canonicalize_url_rules(spark):
+    """Canonicalization folds scheme/host case, default ports, query
+    strings, fragments, and trailing slashes — but preserves path
+    case and non-default ports."""
+    from opentsdb_aura_spark.operators.containers import canonicalize_url
+
+    rows = [
+        ("HTTPS://Example.COM:443/A/b/?q=1#f", "https://example.com/A/b"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("http://example.com/x?utm=1", "http://example.com/x"),
+        ("http://example.com/x#only-frag", "http://example.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "u string")
+    got = [r["c"] for r in df.select(canonicalize_url("u").alias("c")).collect()]
+    assert got == [want for _, want in rows]

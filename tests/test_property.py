@@ -386,3 +386,66 @@ def test_jpeg_progressive_identity_property(w, h, seed, subsampling, restart):
         encode_jpeg(w, h, px, subsampling=subsampling, progressive=True, restart_interval=restart)
     )
     assert base == prog
+
+
+# --------------------------------------------------------- container fuzzing
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_warc_parser_never_hangs_or_loops_on_garbage(data):
+    """Random bytes either raise ValueError/UnicodeDecodeError (the
+    skip_errors containment boundary) or terminate with a finite
+    record list — never loop or return overlapping records."""
+    from opentsdb_aura_spark.operators.containers import _parse_warc_bytes
+
+    try:
+        recs = list(_parse_warc_bytes(data))
+    except (ValueError, UnicodeDecodeError):
+        return
+    off = 0
+    for r in recs:
+        assert r[0] == off and r[1] > 0
+        off += r[1]
+    assert off <= len(data)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_tar_parser_never_hangs_on_garbage(data):
+    from opentsdb_aura_spark.operators.containers import _parse_tar_bytes
+
+    try:
+        recs = list(_parse_tar_bytes(data))
+    except (ValueError, UnicodeDecodeError):
+        return
+    offs = [r[0] for r in recs]
+    assert offs == sorted(set(offs))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**15), st.text(alphabet=st.characters(codec="ascii"), max_size=120)),
+        max_size=8,
+    )
+)
+def test_warc_roundtrip_property(docs):
+    """encode → parse round-trip for arbitrary ASCII payloads
+    (including CRLF-bearing and empty texts — Content-Length framing
+    must never be confused by payload content)."""
+    import hashlib
+
+    from opentsdb_aura_spark.operators.containers import (
+        _parse_warc_bytes,
+        encode_warc_file,
+    )
+
+    docs = [(i, t) for _, (i, t) in enumerate(docs)]
+    blob = encode_warc_file(0, docs)
+    recs = list(_parse_warc_bytes(blob))
+    assert len(recs) == len(docs) + 1
+    for (doc_id, text), r in zip(docs, recs[1:]):
+        assert r[3] == f"urn:uuid:doc-{doc_id}"
+        assert r[5] == len(text.encode())
+        assert r[6] == hashlib.md5(text.encode()).hexdigest()

@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "corpus_tar_members",
     "text_bpe_train_merges",
     "ann_ivfpq_recall",
+    "corpus_warc_gz_records",
+    "text_bpe_subword_count",
+    "ann_pq_rerank_topk",
+    "corpus_warc_url_dedup",
 ]
 
 

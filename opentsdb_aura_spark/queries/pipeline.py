@@ -490,6 +490,42 @@ def ann_pq_rerank_exact_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
 
 
+@register(
+    "ann_ivfpq_rerank_exact_topk",
+    ORACLES["ann_pq_rerank_exact_topk"],
+)
+def ann_ivfpq_rerank_exact_topk(spark, sf_dir):
+    """At-rest shortlist → exact re-rank under the FULL oracle: the
+    persisted grid IVFADC index serves the top-50 shortlist (full
+    probe → ≡ cosine over quantized vectors, codes read from the
+    list-partitioned index — floats never touched at shortlist time),
+    then shortlist_rerank recomputes exact cosine over the raw
+    embeddings for those pairs only.  ann_pq_rerank_exact_topk's
+    oracle applies verbatim (identical quantized top-50 by
+    construction), so the persist → probe → re-join → re-rank chain
+    is value-hash-proven end-to-end."""
+    import os
+
+    from opentsdb_aura_spark.operators.similarity import (
+        build_ivfpq_index,
+        grid_decode,
+        grid_quantize_vectors,
+        ivfpq_search_index,
+        shortlist_rerank,
+    )
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(STORE_ROOT, base, "ivfpq_index_grid_c8_v1")
+    e = embs(spark, sf_dir)
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        build_ivfpq_index(e, path, n_centroids=8, grid=True)
+    dq_queries = grid_decode(grid_quantize_vectors(e.where(F.col("vec_id") < 20)))
+    short = ivfpq_search_index(spark, path, dq_queries, k=50, nprobe=8)
+    res = shortlist_rerank(e, e.where(F.col("vec_id") < 20), short, k=5)
+    return res.select("query_id", "neighbor_id", _r("cos_sim", 6).alias("cos_sim"))
+
+
 @register("ann_ivfpq_topk")  # approximate: pruning + quantization → rows-only
 def ann_ivfpq_topk(spark, sf_dir):
     """IVF-PQ (the IVFADC serving architecture): IVF lists bound WHICH

@@ -737,17 +737,31 @@ def _adc_luts(q_mat, codebooks):
     return ip_lut, n2_lut
 
 
-def _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut, probe_sets=None):
+def _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut, probe_sets=None, residual_luts=None):
     """Score one Arrow batch of code rows against every collected
     query (optionally masked to each query's probed lists): returns
-    (query_id, neighbor_id, pq_score) numpy columns."""
+    (query_id, neighbor_id, pq_score) numpy columns.
+
+    ``residual_luts`` switches to residual-IVFADC scoring (codes
+    encode x − c_list, the Jégou et al. §IV layout): the decoded
+    vector is c_list + d̂, so num gains the per-(query, list) q·c term
+    and |v|² expands to |c|² + 2·c·d̂ + |d̂|² — the c·d̂ cross term is
+    one more LUT gather against the per-list (L × m × k) table, so
+    per-row cost stays m gathers + sums, never a float reconstruction."""
     import numpy as np
 
     codes = np.stack(pdf["codes"].apply(lambda a: np.asarray(a, dtype=np.int64)))
     nids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    lists = pdf["list_id"].to_numpy(dtype=np.int64) if probe_sets is not None else None
+    need_lists = probe_sets is not None or residual_luts is not None
+    lists = pdf["list_id"].to_numpy(dtype=np.int64) if need_lists else None
     m_idx = np.arange(codes.shape[1])
-    vnorm = np.sqrt(n2_lut[m_idx, codes].sum(axis=1))
+    d_n2 = n2_lut[m_idx, codes].sum(axis=1)  # |d̂|² (raw mode: |v̂|²)
+    if residual_luts is not None:
+        qc, cl_ip, c_n2 = residual_luts  # (nq, L), (L, m, k), (L,)
+        cl_term = cl_ip[lists[:, None], m_idx[None, :], codes].sum(axis=1)  # c·d̂
+        vnorm = np.sqrt(np.maximum(c_n2[lists] + 2.0 * cl_term + d_n2, 0.0))
+    else:
+        vnorm = np.sqrt(d_n2)
     out_q, out_n, out_s = [], [], []
     for qi in range(len(q_ids)):
         if probe_sets is not None:
@@ -755,9 +769,13 @@ def _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut, probe_sets=None):
             if not mask.any():
                 continue
             cds, nid, vn = codes[mask], nids[mask], vnorm[mask]
+            lst = lists[mask]
         else:
             cds, nid, vn = codes, nids, vnorm
+            lst = lists
         num = ip_lut[qi][m_idx, cds].sum(axis=1)
+        if residual_luts is not None:
+            num = num + qc[qi][lst]
         denom = q_norm[qi] * vn
         score = np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
         out_q.append(np.full(len(nid), q_ids[qi], dtype=np.int64))
@@ -781,7 +799,9 @@ def _adc_topk_tail(scored: DataFrame, k: int) -> DataFrame:
 _EMPTY_ADC = "query_id bigint, neighbor_id bigint, pq_score double"
 
 
-def _adc_map(codes_df: DataFrame, k: int, q_ids, q_norm, ip_lut, n2_lut, probe_sets=None) -> DataFrame:
+def _adc_map(
+    codes_df: DataFrame, k: int, q_ids, q_norm, ip_lut, n2_lut, probe_sets=None, residual_luts=None
+) -> DataFrame:
     """Shared ADC serve tail: mapInPandas batch scoring (optionally
     masked per query's probed lists) + the top-k window — one
     definition for pq_adc_topk, ivfpq_topk, and ivfpq_search_index so
@@ -793,7 +813,10 @@ def _adc_map(codes_df: DataFrame, k: int, q_ids, q_norm, ip_lut, n2_lut, probe_s
 
         for pdf in batches:
             res = (
-                _adc_score_batch(pdf, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)
+                _adc_score_batch(
+                    pdf, q_ids, q_norm, ip_lut, n2_lut,
+                    probe_sets=probe_sets, residual_luts=residual_luts,
+                )
                 if len(pdf)
                 else None
             )
@@ -917,6 +940,38 @@ def grid_decode(
     )
 
 
+def _residual_code_udf(cent_rows, codebooks):
+    """Fused assign-then-encode pandas UDF for residual IVFADC: one
+    Arrow pass computes each vector's nearest list AND its PQ codes of
+    (x − c_list) — the assignment must happen inside the same batch so
+    the residual is taken against exactly the list the row lands in."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = [[float(x) for x in row] for row in cent_rows]
+    cbs = [[list(map(float, row)) for row in cb] for cb in codebooks]
+
+    @pandas_udf("list_id int, codes array<int>")
+    def enc(vs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        c = np.asarray(rows, dtype=np.float64)
+        x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        assign = np.argmax(x @ c.T, axis=1)
+        r = x - c[assign]
+        sub = x.shape[1] // len(cbs)
+        out = np.empty((len(x), len(cbs)), dtype=np.int32)
+        for s, cb in enumerate(cbs):
+            cbn = np.asarray(cb, dtype=np.float64)
+            xs = r[:, s * sub : (s + 1) * sub]
+            d2 = (cbn * cbn).sum(axis=1)[None, :] - 2.0 * (xs @ cbn.T)
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"list_id": assign.astype("int32"), "codes": [row.tolist() for row in out]}
+        )
+
+    return enc
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -930,6 +985,7 @@ def ivfpq_topk(
     sample: int = 4096,
     max_queries: int = 4096,
     grid: bool = False,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -949,19 +1005,35 @@ def ivfpq_topk(
     uniform grid (``_grid_codes``) — with ``nprobe == n_centroids``
     the output then equals cosine top-k over the grid-quantized
     vectors exactly, the oracle-able twin (``ann_ivfpq_exact_topk``).
-    Returns (query_id, neighbor_id, pq_score)."""
+
+    ``residual=True`` is the faithful Jégou et al. §IV IVFADC layout:
+    codebooks are trained on (x − c_list) and codes encode the
+    RESIDUAL, so quantization noise spans the within-cluster spread
+    instead of the whole space — on clustered data this tightens the
+    score error materially (asserted in tests).  Scoring stays LUT
+    gathers: the decoded vector is c_list + d̂, handled by the q·c and
+    c·d̂ lookup terms in ``_adc_score_batch``; per-vector bytes and
+    the probe pruning are unchanged.  Returns
+    (query_id, neighbor_id, pq_score)."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
+    if grid and residual:
+        raise ValueError("grid twin is defined on raw vectors; residual=True needs trained codebooks")
     spark = corpus.sparkSession
     smp = _sample_vectors(corpus, id_col=id_col, vec_col=vec_col, sample=sample)
     cent = _spherical_kmeans(smp, n_centroids, iters)
     cent_rows = [[float(x) for x in row] for row in cent]
     nprobe = min(int(nprobe), len(cent_rows))
     dim = len(smp[0]) if smp else 0
+    c_mat = np.asarray(cent_rows, dtype=np.float64)
     if grid:
         cbs = _grid_codebooks(dim)
+    elif residual:
+        smp_arr = np.asarray(smp, dtype=np.float64)
+        assign = np.argmax(smp_arr @ c_mat.T, axis=1)
+        cbs = _subspace_kmeans((smp_arr - c_mat[assign]).tolist(), m, pq_k, iters)
     else:
         cbs = _subspace_kmeans(smp, m, pq_k, iters)
 
@@ -970,29 +1042,53 @@ def ivfpq_topk(
     )
     if q_mat is None:
         return spark.createDataFrame([], _EMPTY_ADC)
-    c_mat = np.asarray(cent_rows, dtype=np.float64)
     # per-query probed lists, driver-side (queries are already here)
     probe = np.argsort(-(q_mat @ c_mat.T), axis=1, kind="stable")[:, :nprobe]
     probe_sets = [set(int(l) for l in row) for row in probe]
     probed_union = sorted({l for row in probe_sets for l in row})
     ip_lut, n2_lut = _adc_luts(q_mat, cbs)
 
-    nearest_list = _nearest_list_udf(cent_rows)
+    residual_luts = None
+    if residual:
+        sub = dim // len(cbs)
+        cl_ip = np.stack(
+            [
+                np.stack(
+                    [
+                        c_mat[l, s * sub : (s + 1) * sub] @ np.asarray(cbs[s], dtype=np.float64).T
+                        for s in range(len(cbs))
+                    ]
+                )
+                for l in range(len(cent_rows))
+            ]
+        )
+        residual_luts = (q_mat @ c_mat.T, cl_ip, (c_mat * c_mat).sum(axis=1))
 
     # ONE corpus scan carries both derived columns — a join of two
     # separately-derived frames would scan twice and shuffle on the id
-    codes_col = (
-        _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
-        if grid
-        else _encode_codes_udf(cbs)(F.col(vec_col))
-    )
-    coded = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        codes_col.alias("codes"),
-        nearest_list(F.col(vec_col)).alias("list_id"),
-    ).where(F.col("list_id").isin(probed_union) if probed_union else F.lit(False))
+    if residual:
+        enc = _residual_code_udf(cent_rows, cbs)
+        coded = (
+            corpus.select(F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("_lc"))
+            .select("vec_id", F.col("_lc.codes").alias("codes"), F.col("_lc.list_id").alias("list_id"))
+        )
+    else:
+        nearest_list = _nearest_list_udf(cent_rows)
+        codes_col = (
+            _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
+            if grid
+            else _encode_codes_udf(cbs)(F.col(vec_col))
+        )
+        coded = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            codes_col.alias("codes"),
+            nearest_list(F.col(vec_col)).alias("list_id"),
+        )
+    coded = coded.where(F.col("list_id").isin(probed_union) if probed_union else F.lit(False))
 
-    return _adc_map(coded, k, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)
+    return _adc_map(
+        coded, k, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets, residual_luts=residual_luts
+    )
 
 
 

@@ -541,6 +541,26 @@ def ann_ivfpq_topk(spark, sf_dir):
     return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("pq_score"))
 
 
+@register("ann_ivfpq_residual_topk")  # approximate: residual quantization → rows-only
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """The faithful Jégou et al. §IV IVFADC: codes encode the RESIDUAL
+    x − c_list, so quantization noise spans the within-cluster spread
+    instead of the whole space.  Scoring stays LUT gathers (q·c and
+    c·d̂ lookup terms ride along); same bytes/vector, same probe
+    pruning.  Quality: score-error tightening vs raw codes and the
+    recall bound are asserted in
+    test_ivfpq_residual_tightens_quantization_error; the scoring math
+    is golden-checked against direct reconstruction cosine at 1e-12."""
+    from opentsdb_aura_spark.operators.similarity import ivfpq_topk
+
+    e = embs(spark, sf_dir)
+    res = ivfpq_topk(
+        e, e.where(F.col("vec_id") < 20), k=5,
+        n_centroids=8, nprobe=4, m=8, pq_k=16, residual=True,
+    )
+    return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("pq_score"))
+
+
 @register(
     "ann_ivfpq_exact_topk",
     ORACLES["ann_pq_exact_topk"],

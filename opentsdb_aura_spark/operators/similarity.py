@@ -1159,28 +1159,32 @@ def ann_recall_vs_exact(
     )
 
 
-def _write_index_meta(spark, path: str, grid: bool) -> None:
-    """Persist the explicit encoding marker (one-row table): shape
+def _write_index_meta(spark, path: str, grid: bool, residual: bool = False) -> None:
+    """Persist the explicit encoding markers (one-row table): shape
     inference (all 1-d subspaces + exactly GRID_LEVELS entries) would
     misdetect a TRAINED index built with m == dim and pq_k ==
     GRID_LEVELS and silently append grid-encoded codes inconsistent
-    with the saved codebooks."""
-    spark.createDataFrame([(bool(grid),)], "grid boolean").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/meta")
+    with the saved codebooks; the residual flag likewise cannot be
+    inferred from the codebooks at all."""
+    spark.createDataFrame(
+        [(bool(grid), bool(residual))], "grid boolean, residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def _read_index_grid_flag(spark, path: str, cbs) -> bool:
-    """Read the persisted encoding marker; indexes written before the
-    marker existed fall back to the old shape heuristic."""
+def _read_index_meta(spark, path: str, cbs) -> tuple[bool, bool]:
+    """Read the persisted encoding markers (grid, residual); indexes
+    written before the markers existed fall back to the old shape
+    heuristic for grid and residual=False."""
     try:
-        return bool(spark.read.parquet(f"{path}/meta").head(1)[0]["grid"])
+        row = spark.read.parquet(f"{path}/meta").head(1)[0]
+        d = row.asDict()
+        return bool(d["grid"]), bool(d.get("residual", False))
     except Exception:
         return (
             len(cbs) > 0
             and all(len(c) == 1 for c in cbs[0])
             and len(cbs[0]) == GRID_LEVELS
-        )
+        ), False
 
 
 def build_pq_index(
@@ -1262,6 +1266,7 @@ def build_ivfpq_index(
     iters: int = 5,
     sample: int = 4096,
     grid: bool = False,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -1269,6 +1274,7 @@ def build_ivfpq_index(
 
     - ``{path}/centroids`` — the IVF coarse centroids (tiny),
     - ``{path}/codebooks`` — the PQ codebooks (tiny),
+    - ``{path}/meta``      — the (grid, residual) encoding markers,
     - ``{path}/codes``     — every vector as (vec_id, codes),
       ``partitionBy("list_id")`` — a probe reads ``nprobe`` of
       ``n_centroids`` DIRECTORIES (static partition pruning) and only
@@ -1276,28 +1282,49 @@ def build_ivfpq_index(
 
     One Arrow pass derives codes + list id (single corpus scan).
     ``grid=True`` persists grid codebooks for the value-hash-checkable
-    twin.  Rebuild on drift is a rewrite; a new batch appends via the
-    same assignment + encode with the SAVED centroids/codebooks."""
-    spark = corpus.sparkSession
+    twin; ``residual=True`` persists the faithful Jégou et al. §IV
+    layout (codes encode x − c_list — see :func:`ivfpq_topk`).
+    Rebuild on drift is a rewrite; a new batch appends via the same
+    assignment + encode with the SAVED centroids/codebooks (the
+    markers route the append's encoder)."""
+    import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
+    if grid and residual:
+        raise ValueError("grid twin is defined on raw vectors; residual=True needs trained codebooks")
+    spark = corpus.sparkSession
     smp = _sample_vectors(corpus, id_col=id_col, vec_col=vec_col, sample=sample)
     cent = _spherical_kmeans(smp, n_centroids, iters)
     cent_rows = [[float(x) for x in row] for row in cent]
     dim = len(smp[0]) if smp else 0
     if grid:
         cbs = _grid_codebooks(dim)
+    elif residual:
+        smp_arr = np.asarray(smp, dtype=np.float64)
+        c_mat = np.asarray(cent_rows, dtype=np.float64)
+        assign = np.argmax(smp_arr @ c_mat.T, axis=1)
+        cbs = _subspace_kmeans((smp_arr - c_mat[assign]).tolist(), m, pq_k, iters)
     else:
         cbs = _subspace_kmeans(smp, m, pq_k, iters)
 
-    nearest_list = _nearest_list_udf(cent_rows)
-
-    codes_col = (
-        _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
-        if grid
-        else _encode_codes_udf(cbs)(F.col(vec_col))
-    )
+    if residual:
+        enc = _residual_code_udf(cent_rows, cbs)
+        coded = corpus.select(
+            F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("_lc")
+        ).select("vec_id", F.col("_lc.codes").alias("codes"), F.col("_lc.list_id").alias("list_id"))
+    else:
+        nearest_list = _nearest_list_udf(cent_rows)
+        codes_col = (
+            _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
+            if grid
+            else _encode_codes_udf(cbs)(F.col(vec_col))
+        )
+        coded = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            codes_col.alias("codes"),
+            nearest_list(F.col(vec_col)).alias("list_id"),
+        )
     spark.createDataFrame(
         [(i, row) for i, row in enumerate(cent_rows)], "list_id int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1305,18 +1332,14 @@ def build_ivfpq_index(
         [(s, c, row) for s, cb in enumerate(cbs) for c, row in enumerate(cb)],
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    _write_index_meta(spark, path, grid)
+    _write_index_meta(spark, path, grid, residual=residual)
     # range-partition on (list_id, vec_id) before the partitioned write:
     # without it every task writes a file into every list directory
     # (tasks × lists files per build/append — measured 899 files/list
     # after 30 streaming appends, a 21× serve slowdown); ranged, each
     # batch adds ~1 vec_id-sorted run per list, and a hot list still
     # splits across tasks at scale
-    corpus.select(
-        F.col(id_col).alias("vec_id"),
-        codes_col.alias("codes"),
-        nearest_list(F.col(vec_col)).alias("list_id"),
-    ).repartitionByRange("list_id", "vec_id").sortWithinPartitions(
+    coded.repartitionByRange("list_id", "vec_id").sortWithinPartitions(
         "list_id", "vec_id"
     ).write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/codes")
 
@@ -1363,11 +1386,32 @@ def ivfpq_search_index(
     probed_union = sorted({l for row in probe_sets for l in row})
     ip_lut, n2_lut = _adc_luts(q_mat, cbs)
 
+    # the persisted residual marker routes the scoring: residual codes
+    # decode to c_list + d̂, raw codes to d̂ alone
+    _, is_residual = _read_index_meta(spark, path, cbs)
+    residual_luts = None
+    if is_residual:
+        sub = q_mat.shape[1] // len(cbs)
+        cl_ip = np.stack(
+            [
+                np.stack(
+                    [
+                        c_mat[l, s * sub : (s + 1) * sub] @ np.asarray(cbs[s], dtype=np.float64).T
+                        for s in range(len(cbs))
+                    ]
+                )
+                for l in range(len(cent_rows))
+            ]
+        )
+        residual_luts = (q_mat @ c_mat.T, cl_ip, (c_mat * c_mat).sum(axis=1))
+
     coded = spark.read.parquet(f"{path}/codes").where(
         F.col("list_id").isin(probed_union) if probed_union else F.lit(False)
     )
 
-    return _adc_map(coded, k, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets)
+    return _adc_map(
+        coded, k, q_ids, q_norm, ip_lut, n2_lut, probe_sets=probe_sets, residual_luts=residual_luts
+    )
 
 
 def append_to_ivfpq_index(
@@ -1402,22 +1446,31 @@ def append_to_ivfpq_index(
     fresh = batch.join(have, batch[id_col] == have["vec_id"], "left_anti")
     # grid indexes re-derive codes with the closed-form map so appended
     # codes stay engine-exact like the build's; trained codebooks use
-    # the shared argmin UDF.  The branch reads the PERSISTED marker —
-    # shape inference would misdetect a trained m==dim/pq_k==255 index.
-    is_grid = _read_index_grid_flag(spark, path, cbs)
-    codes_col = (
-        _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
-        if is_grid
-        else _encode_codes_udf(cbs)(F.col(vec_col))
-    )
-    nearest_list = _nearest_list_udf(cent_rows)
+    # the shared argmin UDF; residual indexes the fused assign+encode.
+    # The branch reads the PERSISTED markers — shape inference would
+    # misdetect a trained m==dim/pq_k==255 index, and residual is not
+    # inferable from codebooks at all.
+    is_grid, is_residual = _read_index_meta(spark, path, cbs)
+    if is_residual:
+        enc = _residual_code_udf(cent_rows, cbs)
+        appended = fresh.select(
+            F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("_lc")
+        ).select("vec_id", F.col("_lc.codes").alias("codes"), F.col("_lc.list_id").alias("list_id"))
+    else:
+        codes_col = (
+            _grid_codes(F.col(vec_col), levels=GRID_LEVELS, lo=-1.0, hi=1.0)
+            if is_grid
+            else _encode_codes_udf(cbs)(F.col(vec_col))
+        )
+        nearest_list = _nearest_list_udf(cent_rows)
+        appended = fresh.select(
+            F.col(id_col).alias("vec_id"),
+            codes_col.alias("codes"),
+            nearest_list(F.col(vec_col)).alias("list_id"),
+        )
     # same ranged layout as the build: ~1 sorted run per list per
     # batch instead of one file per (task × list)
-    fresh.select(
-        F.col(id_col).alias("vec_id"),
-        codes_col.alias("codes"),
-        nearest_list(F.col(vec_col)).alias("list_id"),
-    ).repartitionByRange("list_id", "vec_id").sortWithinPartitions(
+    appended.repartitionByRange("list_id", "vec_id").sortWithinPartitions(
         "list_id", "vec_id"
     ).write.mode("append").partitionBy("list_id").parquet(f"{path}/codes")
     # sustained appends still accumulate ~1 run per list per batch;

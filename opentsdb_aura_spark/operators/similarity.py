@@ -1172,14 +1172,24 @@ def _write_index_meta(spark, path: str, grid: bool, residual: bool = False) -> N
 
 
 def _read_index_meta(spark, path: str, cbs) -> tuple[bool, bool]:
-    """Read the persisted encoding markers (grid, residual); indexes
-    written before the markers existed fall back to the old shape
-    heuristic for grid and residual=False."""
+    """Read the persisted encoding markers (grid, residual); ONLY a
+    legacy index (no ``meta`` directory at all, written before the
+    markers existed) falls back to the old shape heuristic for grid
+    and residual=False.  Any other read failure (transient IO,
+    permissions, corrupt parquet) re-raises: silently defaulting to
+    residual=False there would score a residual index with raw-code
+    math and let appends mix encodings in one index — the exact
+    corruption the marker exists to prevent."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(f"{path}/meta").head(1)[0]
         d = row.asDict()
         return bool(d["grid"]), bool(d.get("residual", False))
-    except Exception:
+    except AnalysisException as exc:
+        # Path-missing is the legacy-index case; anything else is real.
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         return (
             len(cbs) > 0
             and all(len(c) == 1 for c in cbs[0])

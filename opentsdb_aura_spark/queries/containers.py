@@ -195,8 +195,10 @@ canon AS (
   SELECT record_id,
          regexp_replace(
            concat(
-             regexp_replace(lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)),
-                            ':(80|443)$', ''),
+             regexp_replace(
+               regexp_replace(lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)),
+                              '^(http://[^/]*):80$', '\1'),
+               '^(https://[^/]*):443$', '\1'),
              regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')),
            '/$', '') AS canonical_url
   FROM (SELECT record_id,

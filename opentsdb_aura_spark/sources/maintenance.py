@@ -83,7 +83,30 @@ def compact_partitioned_parquet(
     can straddle one partition boundary, so the per-directory bound
     is target + 1).  The swap is rename(live→old), rename(tmp→live),
     delete(old): one full-table rewrite, no read amplification
-    between compactions.  Returns True iff a compaction ran."""
+    between compactions.  Returns True iff a compaction ran.
+
+    Crash recovery (ADVICE r7): the two renames are individually but
+    not jointly atomic — a crash between rename(live→old) and
+    rename(tmp→live) leaves NO live table.  On entry, if the live
+    path is missing but ``.compact-old`` or ``.compact-tmp`` survives,
+    the table is restored first (old preferred — it is the last state
+    known complete; tmp only if old is gone, i.e. the crash happened
+    after the promote but before delete(old) cleanup of a previous
+    half-renamed layout) before deciding whether to compact, so a
+    post-crash run self-heals instead of silently returning False."""
+    base = path.rstrip("/")
+    fs, live_p, jvm = _fs(spark, base)
+    if not fs.exists(live_p):
+        old_p = jvm.org.apache.hadoop.fs.Path(base + ".compact-old")
+        tmp_p = jvm.org.apache.hadoop.fs.Path(base + ".compact-tmp")
+        if fs.exists(old_p):
+            if not fs.rename(old_p, live_p):
+                raise IOError(f"crash recovery failed: cannot restore {base}")
+            fs.delete(tmp_p, True)
+        elif fs.exists(tmp_p):
+            if not fs.rename(tmp_p, live_p):
+                raise IOError(f"crash recovery failed: cannot promote {tmp_p}")
+
     counts = partition_file_counts(spark, path, partition_col)
     if not counts or max(counts.values()) <= max_files_per_partition:
         return False

@@ -339,6 +339,7 @@ def streaming_crawl_ingest(
     *,
     compact_max_files: int | None = 64,
     trigger_available_now: bool = True,
+    doc_id_expr=None,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -360,24 +361,47 @@ def streaming_crawl_ingest(
     anti-join makes the re-sign a no-op but the docs append can
     duplicate rows — dedupe docs downstream on doc_id where
     exactly-once matters (the standard idempotence note, same as
-    streaming_near_dup's pairs).  Returns the started StreamingQuery."""
+    streaming_near_dup's pairs).
+
+    ``doc_id_expr`` maps a WARC ``record_id`` Column to a bigint
+    doc_id; the default extractor is ANCHORED on the synthesized
+    fixture prefix (``urn:uuid:doc-<n>``) via regexp_extract, so a
+    real crawl's RFC-4122 UUID record ids yield NULL — and NULL
+    doc_ids are ROUTED TO THE ERRORS SIDECAR (reason
+    ``doc_id_extract_failed``) instead of silently polluting the docs
+    table and MinHash index (ADVICE r7).  Pass your own Column
+    expression (e.g. ``F.xxhash64("record_id")``) for production ids.
+    Returns the started StreamingQuery."""
     from opentsdb_aura_spark.operators.containers import warc_records
     from opentsdb_aura_spark.operators.dedup_text import update_minhash_index
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        id_expr = (
+            doc_id_expr
+            if doc_id_expr is not None
+            else F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1).try_cast(
+                "long"
+            )
+        )
         recs = warc_records(batch_df, skip_errors=True, with_payload=True).localCheckpoint()
         errs = recs.where(F.col("error").isNotNull())
         if errs.take(1):
             errs.select("file_id", "error").write.mode("append").parquet(f"{docs_path}_errors")
-        docs = recs.where(
+        extracted = recs.where(
             (F.col("error").isNull()) & (F.col("warc_type") == "response")
         ).select(
-            F.split(F.col("record_id"), "-").getItem(1).cast("long").alias("doc_id"),
+            id_expr.alias("doc_id"),
             F.col("payload").cast("string").alias("text"),
             "file_id",
         )
+        bad_ids = extracted.where(F.col("doc_id").isNull())
+        if bad_ids.take(1):
+            bad_ids.select(
+                "file_id", F.lit("doc_id_extract_failed").alias("error")
+            ).write.mode("append").parquet(f"{docs_path}_errors")
+        docs = extracted.where(F.col("doc_id").isNotNull())
         if not docs.take(1):
             return
         docs = docs.localCheckpoint()  # extraction runs once, not per sink

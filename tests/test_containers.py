@@ -297,6 +297,10 @@ def test_canonicalize_url_rules(spark):
         ("HTTPS://Example.COM:443/A/b/?q=1#f", "https://example.com/A/b"),
         ("http://example.com:80/", "http://example.com"),
         ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # scheme-mismatched "default" ports are DISTINCT resources and
+        # must survive canonicalization (ADVICE r7)
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        ("http://example.com:443/x", "http://example.com:443/x"),
         ("http://example.com/x?utm=1", "http://example.com/x"),
         ("http://example.com/x#only-frag", "http://example.com/x"),
     ]

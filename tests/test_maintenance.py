@@ -160,3 +160,67 @@ def test_minhash_index_compaction_identical_candidates(spark, tmp_path):
     assert partition_file_counts(spark, path, None)["."] <= 2
     assert cands() == want
     assert not compact_minhash_index(spark, path, max_files=8)
+
+
+def test_compaction_crash_recovery_restores_live_table(spark, tmp_path):
+    """A crash between the swap's two renames leaves NO live table;
+    the next compaction run must restore it (``.compact-old``
+    preferred, ``.compact-tmp`` only if old is gone) before deciding
+    whether to compact, instead of silently returning False on the
+    missing path (ADVICE r7)."""
+    import os
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("band")
+    ).write.partitionBy("band").parquet(path)
+    want = sorted(range(100))
+
+    # crash case 1: live moved aside, promote never happened
+    os.rename(path, path + ".compact-old")
+    assert not os.path.exists(path)
+    compact_partitioned_parquet(spark, path, partition_col="band")
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == want
+    assert not os.path.exists(path + ".compact-old")
+
+    # crash case 2: only the tmp rewrite survives (old already deleted)
+    os.rename(path, path + ".compact-tmp")
+    compact_partitioned_parquet(spark, path, partition_col="band")
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == want
+    assert not os.path.exists(path + ".compact-tmp")
+
+
+def test_index_meta_read_strict_and_legacy_fallback(spark, tmp_path):
+    """_read_index_meta: a MISSING meta dir (legacy index) falls back
+    to the shape heuristic without raising; any OTHER meta read
+    failure (corrupt parquet here, standing in for transient IO)
+    re-raises instead of silently defaulting to residual=False —
+    which would score a residual index with raw-code math and let
+    appends mix encodings (ADVICE r7)."""
+    import glob
+    import os
+
+    import pytest
+
+    from opentsdb_aura_spark.operators.similarity import (
+        _read_index_meta,
+        _write_index_meta,
+    )
+
+    path = str(tmp_path / "idx")
+    trained_cbs = [[[0.0, 0.0]] * 4, [[1.0, 1.0]] * 4]  # heuristic: grid=False
+
+    # legacy index: no meta directory at all -> heuristic, no raise
+    os.makedirs(path)
+    assert _read_index_meta(spark, path, trained_cbs) == (False, False)
+
+    # healthy marker round-trips
+    _write_index_meta(spark, path, grid=False, residual=True)
+    assert _read_index_meta(spark, path, trained_cbs) == (False, True)
+
+    # corrupt marker must raise, never fall back
+    for f in glob.glob(f"{path}/meta/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        _read_index_meta(spark, path, trained_cbs)

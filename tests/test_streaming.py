@@ -694,3 +694,67 @@ def test_streaming_crawl_ingest_warc_to_index(spark, tmpdirs):
     run_once()
     assert spark.read.parquet(idx_path).count() == 4
     assert spark.read.parquet(docs_path).count() == 5
+
+
+def test_streaming_crawl_ingest_uuid_ids_routed_to_errors(spark, tmpdirs):
+    """Real-crawl record ids are RFC-4122 UUIDs, not the synthesized
+    ``urn:uuid:doc-<n>`` fixture form: the default extractor must
+    route those rows to the errors sidecar (doc_id_extract_failed)
+    instead of appending NULL/garbage doc_ids to the docs table and
+    MinHash index, and a caller-supplied ``doc_id_expr`` must ingest
+    them (ADVICE r7)."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    raw = (
+        C.encode_warc_record(
+            "warcinfo",
+            "urn:uuid:warcinfo-0",
+            C.WARCINFO_PAYLOAD,
+            content_type="application/warc-fields",
+        )
+        + C.encode_warc_record(
+            "response", "urn:uuid:doc-7", b"fixture-id doc with enough words to shingle", target_uri="http://example.com/7"
+        )
+        + C.encode_warc_record(
+            "response",
+            "urn:uuid:0f1e2d3c-9a8b-4c5d-8e6f-1234567890ab",
+            b"production uuid doc with enough words to shingle",
+            target_uri="http://example.com/u",
+        )
+    )
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame([(0, raw)], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+
+    docs_path = tmpdirs["out"] + "/docs"
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    streaming_crawl_ingest(
+        stream, tmpdirs["store"], docs_path, tmpdirs["ckpt"]
+    ).awaitTermination(120)
+
+    docs = spark.read.parquet(docs_path).collect()
+    assert [(r["doc_id"], r["text"]) for r in docs] == [
+        (7, "fixture-id doc with enough words to shingle")
+    ]
+    errs = spark.read.parquet(docs_path + "_errors").collect()
+    assert len(errs) == 1 and errs[0]["error"] == "doc_id_extract_failed"
+    assert spark.read.parquet(tmpdirs["store"]).count() == 1
+
+    # caller-supplied extractor ingests the production ids
+    docs2, idx2, ckpt2 = (
+        tmpdirs["out"] + "/docs2",
+        tmpdirs["out"] + "/idx2",
+        tmpdirs["out"] + "/ckpt2",
+    )
+    stream2 = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    streaming_crawl_ingest(
+        stream2,
+        idx2,
+        docs2,
+        ckpt2,
+        doc_id_expr=F.xxhash64("record_id"),
+    ).awaitTermination(120)
+    assert spark.read.parquet(docs2).count() == 2
+    assert spark.read.parquet(idx2).count() == 2

@@ -84,7 +84,12 @@ def _gzip_member(data: bytes) -> bytes:
 
 
 def encode_warc_file(
-    file_id: int, docs: list[tuple[int, str]], *, gzip_records: bool = False
+    file_id: int,
+    docs: list[tuple[int, str]],
+    *,
+    gzip_records: bool = False,
+    http_envelope: bool = False,
+    html_body: bool = False,
 ) -> bytes:
     """A deterministic WARC file: one warcinfo record, then one
     response record per (doc_id, text) in the given order.
@@ -92,7 +97,16 @@ def encode_warc_file(
     ``gzip_records=True`` emits the production ``.warc.gz`` layout —
     each record its own gzip member, concatenated (the format crawl
     archives actually ship: member boundaries let a reader seek to a
-    record without decompressing the file)."""
+    record without decompressing the file).
+
+    ``http_envelope=True`` wraps each document in a deterministic
+    HTTP/1.x response envelope (status line, headers, closed-form
+    framing variation — see :func:`encode_http_response`) and marks
+    the record ``application/http;msgtype=response``, the payload
+    form real crawl WARCs carry.  ``html_body=True`` renders the
+    document text into the deterministic fixture HTML page first
+    (htmltext.render_fixture_html), so the full
+    WARC → HTTP → HTML → text chain is exercised end-to-end."""
     out = [
         encode_warc_record(
             "warcinfo",
@@ -102,12 +116,25 @@ def encode_warc_file(
         )
     ]
     for doc_id, text in docs:
+        if html_body:
+            from opentsdb_aura_spark.operators.htmltext import render_fixture_html
+
+            body = render_fixture_html(int(doc_id), text).encode()
+        else:
+            body = text.encode()
+        if http_envelope:
+            payload = encode_http_response(int(doc_id), body)
+            rec_ct = "application/http;msgtype=response"
+        else:
+            payload = body
+            rec_ct = "text/plain"
         out.append(
             encode_warc_record(
                 "response",
                 f"urn:uuid:doc-{doc_id}",
-                text.encode(),
+                payload,
                 target_uri=f"http://example.com/doc/{doc_id}",
+                content_type=rec_ct,
             )
         )
     if gzip_records:
@@ -120,15 +147,18 @@ def synthesize_warc(
     *,
     docs_per_file: int = 50,
     gzip_records: bool = False,
+    http_envelope: bool = False,
+    html_body: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Deterministic WARC files from a documents frame: file_id =
     doc_id // docs_per_file, records ordered by doc_id inside each
     file (``gzip_records`` for the production .warc.gz member-per-
-    record layout).  One applyInPandas per file group — the build
-    shuffles each doc once to its file and writes it once.  Returns
-    (file_id long, content binary)."""
+    record layout; ``http_envelope``/``html_body`` per
+    :func:`encode_warc_file`).  One applyInPandas per file group —
+    the build shuffles each doc once to its file and writes it once.
+    Returns (file_id long, content binary)."""
     grouped = docs.select(
         F.expr(f"CAST(`{id_col}` DIV {int(docs_per_file)} AS LONG)").alias("file_id"),  # integer DIV: double division drifts above 2^53 doc ids
         F.col(id_col).cast("long").alias("_id"),
@@ -139,7 +169,11 @@ def synthesize_warc(
         pdf = pdf.sort_values("_id")
         fid = int(pdf["file_id"].iloc[0])
         content = encode_warc_file(
-            fid, list(zip(pdf["_id"], pdf["_text"])), gzip_records=gzip_records
+            fid,
+            list(zip(pdf["_id"], pdf["_text"])),
+            gzip_records=gzip_records,
+            http_envelope=http_envelope,
+            html_body=html_body,
         )
         return pd.DataFrame({"file_id": [fid], "content": [content]})
 
@@ -427,6 +461,218 @@ def tar_members(
 
     return files.mapInPandas(
         op, schema=TAR_MEMBER_PAYLOAD_SCHEMA if with_payload else TAR_MEMBER_SCHEMA
+    )
+
+
+# ------------------------------------------------- HTTP response envelope
+
+# Closed-form fixture variation rules (mirrored verbatim by the DuckDB
+# oracle in queries/containers.py — change them together):
+#   status   : 404 "Not Found" when doc_id % 7 == 0, else 200 "OK"
+#   version  : HTTP/1.0 when doc_id % 11 == 0, else HTTP/1.1
+#   charset  : doc_id % 4 == 2 → charset="UTF-8" (quoted, upper);
+#              other even doc_id → charset=utf-8; odd → no param
+#   framing  : doc_id % 3 == 0 → Transfer-Encoding: chunked (7-byte chunks)
+#              doc_id % 3 == 1 → Content-Length + trailing junk PAST the
+#                                body (framing must stop at the length)
+#              doc_id % 3 == 2 → neither header: body runs to payload end
+#                                (connection-close framing)
+
+
+def encode_http_response(doc_id: int, body: bytes) -> bytes:
+    """A deterministic HTTP/1.x response envelope around ``body``,
+    varying status line, charset parameter, and body framing by the
+    closed-form rules above so a DuckDB oracle can recompute every
+    parsed field from doc_id alone while the parser faces all three
+    framing modes."""
+    status, reason = (404, "Not Found") if doc_id % 7 == 0 else (200, "OK")
+    version = "1.0" if doc_id % 11 == 0 else "1.1"
+    if doc_id % 4 == 2:
+        ct = b'text/html; charset="UTF-8"'
+    elif doc_id % 2 == 0:
+        ct = b"text/html; charset=utf-8"
+    else:
+        ct = b"text/html"
+    lines = [
+        f"HTTP/{version} {status} {reason}".encode(),
+        b"Content-Type: " + ct,
+        b"Server: aura-fixture/1.0",
+        b"X-Doc: " + str(doc_id).encode(),
+    ]
+    mode = doc_id % 3
+    if mode == 0:
+        lines.append(b"Transfer-Encoding: chunked")
+        chunks = [body[i : i + 7] for i in range(0, len(body), 7)]
+        framed = b"".join(b"%x\r\n" % len(c) + c + b"\r\n" for c in chunks) + b"0\r\n\r\n"
+    elif mode == 1:
+        lines.append(b"Content-Length: " + str(len(body)).encode())
+        framed = body + b"\r\nX-Trailing-Junk: framing must not read this"
+    else:
+        framed = body
+    return _CRLF.join(lines) + _CRLF + _CRLF + framed
+
+
+def _dechunk(data: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked body (RFC 9112 §7.1): hex
+    size line (chunk extensions after ';' ignored), chunk bytes, CRLF,
+    terminated by a zero chunk; trailer section ignored.  Raises
+    ValueError on malformed framing."""
+    out = []
+    pos = 0
+    while True:
+        nl = data.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("chunked body: missing chunk-size line")
+        size_tok = data[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"chunked body: bad chunk size {size_tok!r}")
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        if pos + size + 2 > len(data):
+            raise ValueError("chunked body: truncated chunk")
+        out.append(data[pos : pos + size])
+        if data[pos + size : pos + size + 2] != _CRLF:
+            raise ValueError("chunked body: chunk not CRLF-terminated")
+        pos += size + 2
+
+
+def _parse_http_response(payload: bytes) -> tuple:
+    """Parse one HTTP/1.x response message: status line, case-
+    insensitive headers, then body framing per RFC 9112 §6 precedence
+    (Transfer-Encoding: chunked, else Content-Length, else read to
+    end / connection close).  Header bytes decode as latin-1 (the
+    HTTP/1.x wire charset); body bytes are returned raw.  Returns
+    (version, status_code, reason, content_type, charset, chunked,
+    content_length, n_headers, body)."""
+    import re as _re
+
+    hdr_end = payload.find(b"\r\n\r\n")
+    if hdr_end < 0:
+        raise ValueError("HTTP response: unterminated header block")
+    lines = payload[:hdr_end].decode("iso-8859-1").split("\r\n")
+    m = _re.match(r"^HTTP/(\d\.\d) (\d{3}) ?(.*)$", lines[0])
+    if not m:
+        raise ValueError(f"HTTP response: bad status line {lines[0]!r}")
+    version, status, reason = m.group(1), int(m.group(2)), m.group(3)
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(":")
+        if not sep:
+            raise ValueError(f"HTTP response: malformed header line {ln!r}")
+        headers[k.strip().lower()] = v.strip()
+    rest = payload[hdr_end + 4 :]
+
+    chunked = "chunked" in headers.get("transfer-encoding", "").lower()
+    clen_hdr = headers.get("content-length")
+    content_length = int(clen_hdr) if clen_hdr is not None else None
+    if chunked:
+        body = _dechunk(rest)
+    elif content_length is not None:
+        if content_length < 0:
+            raise ValueError(f"HTTP response: negative Content-Length {content_length}")
+        if len(rest) < content_length:
+            raise ValueError(
+                f"HTTP response: truncated body ({len(rest)} < Content-Length {content_length})"
+            )
+        body = rest[:content_length]
+    else:
+        body = rest  # connection-close framing: body runs to payload end
+
+    content_type = charset = None
+    ct_raw = headers.get("content-type")
+    if ct_raw is not None:
+        parts = ct_raw.split(";")
+        content_type = parts[0].strip().lower()
+        for p in parts[1:]:
+            k, _, v = p.partition("=")
+            if k.strip().lower() == "charset":
+                charset = v.strip().strip('"').lower()
+    return (version, status, reason, content_type, charset, chunked, content_length, len(headers), body)
+
+
+HTTP_RESPONSE_SCHEMA = (
+    "file_id long, record_id string, target_uri string, http_version string, "
+    "status_code int, reason string, content_type string, charset string, "
+    "chunked boolean, content_length long, n_headers int, body_md5 string, error string"
+)
+HTTP_RESPONSE_BODY_SCHEMA = HTTP_RESPONSE_SCHEMA + ", body binary"
+
+
+def http_responses(
+    records: DataFrame, *, skip_errors: bool = False, with_body: bool = False
+) -> DataFrame:
+    """Split the HTTP response envelope from WARC ``response`` record
+    payloads: status line, headers (content-type / charset / framing
+    fields surfaced as typed columns), and the framed body — the step
+    between the container source and the HTML/text pipeline.
+
+    Input is :func:`warc_records` output ``with_payload=True`` (a
+    ``warc_type`` column, when present, pre-filters to response
+    records — warcinfo/metadata records carry no HTTP message).  One
+    Arrow-batched 1→1 pass, no shuffle; per-RECORD error containment
+    under ``skip_errors`` (one unparseable fetch costs one row with
+    its record_id and the diagnosis, never the stage — crawl bodies
+    are adversarial input).  ``with_body`` adds the framed body bytes
+    for downstream HTML extraction; header-only audits leave it off
+    and stay narrow.
+
+    Extension surface: the reference has no HTTP path (its ingest is
+    the TSDB wire protocol); this is the crawl-pipeline front half the
+    brief asks for."""
+    if "warc_type" in records.columns:
+        records = records.where(F.col("warc_type") == "response")
+    if "error" in records.columns:
+        records = records.where(F.col("error").isNull())
+    proj = records.select("file_id", "record_id", "target_uri", "payload")
+
+    cols = [
+        "file_id",
+        "record_id",
+        "target_uri",
+        "http_version",
+        "status_code",
+        "reason",
+        "content_type",
+        "charset",
+        "chunked",
+        "content_length",
+        "n_headers",
+        "body_md5",
+        "error",
+    ]
+    if with_body:
+        cols = cols + ["body"]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, rid, uri, payload in zip(
+                pdf["file_id"], pdf["record_id"], pdf["target_uri"], pdf["payload"]
+            ):
+                fid = int(fid)
+                try:
+                    if payload is None:
+                        raise ValueError("record has no payload (re-read with_payload=True)")
+                    ver, code, reason, ctype, cset, chunked, clen, nh, body = (
+                        _parse_http_response(bytes(payload))
+                    )
+                    row = (
+                        fid, rid, uri, ver, code, reason, ctype, cset,
+                        chunked, clen, nh, hashlib.md5(body).hexdigest(), None,
+                    )
+                    rows.append(row + (body,) if with_body else row)
+                except Exception as exc:  # noqa: BLE001 — crawl-grade per-record containment
+                    if not skip_errors:
+                        raise
+                    err = (fid, rid, uri, None, None, None, None, None, None, None, None, None, str(exc))
+                    rows.append(err + (None,) if with_body else err)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return proj.mapInPandas(
+        op, schema=HTTP_RESPONSE_BODY_SCHEMA if with_body else HTTP_RESPONSE_SCHEMA
     )
 
 

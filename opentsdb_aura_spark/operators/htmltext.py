@@ -1,0 +1,222 @@
+"""HTML → text extraction: boilerplate-stripped page text for the
+LLM-data pipeline, plus the deterministic fixture-page renderer that
+gives the extractor a FULL value-hash oracle.
+
+A crawl pipeline's step after HTTP envelope splitting
+(containers.http_responses) is turning HTML bytes into training text:
+drop non-content elements (script/style/comments/head), decode
+character entities, normalize whitespace, and strip link-farm
+boilerplate (nav bars, footers) by the classic link-density rule —
+blocks whose visible characters are mostly anchor text are chrome,
+not content (Kohlschütter et al., "Boilerplate Detection using
+Shallow Text Features", WSDM 2010 — the density feature, not the
+trained classifier).
+
+Test strategy mirrors containers.py's WARC trick: fixture pages are
+RENDERED deterministically from document text by
+:func:`render_fixture_html` (entities injected, script/style traps,
+two pure-link blocks, head section), so the DuckDB oracle recomputes
+the exact extracted title/text/block-counts from the generation rule
+alone — the extractor is value-hash-checked end to end, including
+through the WARC → HTTP → HTML composition.
+
+Scale shape: one Arrow-batched 1→1 pass (mapInPandas), no shuffle,
+no state across rows — embarrassingly parallel by document, the same
+posture as the container parsers.  Regex-based extraction is the
+documented boundary: attribute values containing ``>`` and unclosed
+tag soup degrade gracefully (extra/missing block splits) but are not
+spec-parsed; a production deployment can swap a real parser into the
+same mapInPandas seam without touching the plan shape.
+
+The reference has no HTML path at all (extension surface per the
+driver's brief).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tags that end a text block (HTML5 flow-content boundaries).  <br>
+# and <hr> count: they break lines visually, so they bound blocks for
+# link-density purposes too.
+_BLOCK_TAGS = (
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|br|hr|tr|td|th|table|thead|tbody|tfoot|"
+    "nav|header|footer|section|article|aside|main|blockquote|pre|form|"
+    "fieldset|figure|figcaption|body|html"
+)
+
+_RE_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_RE_DROP = re.compile(r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>")
+_RE_HEAD = re.compile(r"(?is)<head\b[^>]*>.*?</head\s*>")
+_RE_TITLE = re.compile(r"(?is)<title\b[^>]*>(.*?)</title\s*>")
+_RE_BLOCK_SPLIT = re.compile(rf"(?is)</?(?:{_BLOCK_TAGS})\b[^>]*>")
+_RE_ANCHOR = re.compile(r"(?is)<a\b[^>]*>(.*?)</a\s*>")
+_RE_TAG = re.compile(r"(?s)<[^>]*>")
+_RE_WS = re.compile(r"\s+")
+
+
+def _norm(s: str) -> str:
+    """Collapse runs of whitespace to single spaces and trim — the
+    same ``regexp_replace(s, '\\s+', ' ')`` + trim the oracle applies."""
+    return _RE_WS.sub(" ", s).strip()
+
+
+def _visible(fragment: str) -> str:
+    """Visible text of an HTML fragment: strip remaining (inline)
+    tags, THEN entity-decode (so ``&lt;tag&gt;`` survives as literal
+    text instead of being stripped), then whitespace-normalize."""
+    return _norm(_htmllib.unescape(_RE_TAG.sub("", fragment)))
+
+
+def extract_html_text(src: str, *, boilerplate_threshold: float = 0.5) -> tuple:
+    """Extract (title, text, n_blocks, n_boilerplate, link_chars,
+    text_chars) from one HTML page.
+
+    Pipeline: drop comments and script/style/noscript/template
+    elements with their content; lift the <title>; drop the <head>
+    section; split the remainder into blocks at block-level tag
+    boundaries; per block, compute visible text and the summed length
+    of anchor-element text — a block with links whose density
+    (anchor chars / block chars) exceeds ``boilerplate_threshold`` is
+    boilerplate and excluded from ``text``.  Kept blocks join with
+    newlines (line structure feeds C4-style line dedup downstream).
+    Counters cover ALL non-empty blocks, kept and dropped."""
+    s = _RE_COMMENT.sub(" ", src)
+    s = _RE_DROP.sub(" ", s)
+    m = _RE_TITLE.search(s)
+    title = _visible(m.group(1)) if m else None
+    s = _RE_HEAD.sub(" ", s)
+    s = _RE_TITLE.sub(" ", s)  # a <title> outside <head> is still chrome
+
+    kept: list[str] = []
+    n_blocks = n_boiler = link_chars = text_chars = 0
+    for seg in _RE_BLOCK_SPLIT.split(s):
+        txt = _visible(seg)
+        if not txt:
+            continue
+        a_chars = sum(len(_visible(g)) for g in _RE_ANCHOR.findall(seg))
+        n_blocks += 1
+        link_chars += a_chars
+        text_chars += len(txt)
+        if a_chars > 0 and a_chars / len(txt) > boilerplate_threshold:
+            n_boiler += 1
+        else:
+            kept.append(txt)
+    return title, "\n".join(kept), n_blocks, n_boiler, link_chars, text_chars
+
+
+def html_to_text(
+    pages: DataFrame,
+    *,
+    html_col: str = "html",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    boilerplate_threshold: float = 0.5,
+) -> DataFrame:
+    """HTML → training text over a pages frame: one Arrow-batched
+    1→1 pass applying :func:`extract_html_text` per row.  ``keep_cols``
+    pass through with their input types (ids, urls, fetch metadata).
+    Output adds (title string, text string, n_blocks int,
+    n_boilerplate int, link_chars long, text_chars long) — the two
+    char counters let downstream quality filters reuse the page-level
+    link density without re-parsing.  NULL html yields NULL title/
+    text with zeroed counters (the upstream error row convention:
+    containment happened at the HTTP/WARC layer)."""
+    in_fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    missing = [c for c in keep_cols if c not in in_fields]
+    if missing:
+        raise ValueError(f"keep_cols not in input: {missing}")
+    out_schema = ", ".join(
+        [f"{c} {in_fields[c]}" for c in keep_cols]
+        + [
+            "title string",
+            "text string",
+            "n_blocks int",
+            "n_boilerplate int",
+            "link_chars long",
+            "text_chars long",
+        ]
+    )
+    proj = pages.select(*keep_cols, F.col(html_col).cast("string").alias("_html"))
+    thr = float(boilerplate_threshold)
+    out_cols = list(keep_cols) + [
+        "title", "text", "n_blocks", "n_boilerplate", "link_chars", "text_chars",
+    ]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                *keys, src = tup
+                if src is None:
+                    rows.append((*keys, None, None, 0, 0, 0, 0))
+                    continue
+                rows.append((*keys, *extract_html_text(src, boilerplate_threshold=thr)))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return proj.mapInPandas(op, schema=out_schema)
+
+
+# --------------------------------------------------- fixture page renderer
+
+
+def render_fixture_html(doc_id: int, text: str) -> str:
+    """The deterministic fixture page: document text escaped into one
+    content paragraph, surrounded by every trap the extractor must
+    survive — a comment, a head section with title/style/script (the
+    script contains literal ``<p>`` markup inside a string), decimal
+    (&#68;) and hex (&#x21;) numeric entities, named entities, and
+    two pure-link blocks (nav, footer) that link-density must drop.
+
+    The extraction of this page is a CLOSED FORM of (doc_id, text) —
+    the DuckDB oracle in queries/containers.py rebuilds expected
+    title/text/counters from the same rule; change them together."""
+    i = str(int(doc_id))
+    esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return (
+        "<!-- fixture page " + i + " -->\n"
+        "<html>\n"
+        " <head>\n"
+        "  <title>Doc " + i + " &amp; Friends</title>\n"
+        '  <style type="text/css">p { color: #fff; }</style>\n'
+        '  <script>if (1 < 2) { console.log("<p>not text</p>"); }</script>\n'
+        " </head>\n"
+        " <body>\n"
+        '  <nav><a href="/">Home</a> <a href="/about">About</a></nav>\n'
+        "  <h1>Doc &#68;ocument " + i + "</h1>\n"
+        "  <p>" + esc + " &lt;fin&gt;</p>\n"
+        '  <div>See <a href="/next">next page</a> for more filler words totally real'
+        " content here&#x21;</div>\n"
+        '  <footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer>\n'
+        " </body>\n"
+        "</html>\n"
+    )
+
+
+def synthesize_html(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render the deterministic fixture page per document — the HTML
+    twin of containers.synthesize_warc (Arrow-batched 1→1, no
+    shuffle).  Returns (doc_id long, html string)."""
+    proj = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [
+                        render_fixture_html(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["_text"])
+                    ],
+                }
+            )
+
+    return proj.mapInPandas(op, schema="doc_id long, html string")

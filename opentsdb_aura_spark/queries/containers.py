@@ -238,3 +238,139 @@ def corpus_warc_url_dedup(spark, sf_dir):
         F.col("dup_count").cast("bigint").alias("dup_count"),
         "keep_id",
     )
+
+
+# The fixture HTTP envelope's closed-form variation rules live in
+# operators/containers.py (encode_http_response); the fixture HTML
+# page's closed-form extraction lives in operators/htmltext.py
+# (render_fixture_html).  Both oracles below re-derive the EXPECTED
+# parse/extraction output from those rules — change them together.
+
+
+@register(
+    "corpus_warc_http_responses",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents)
+SELECT 'urn:uuid:doc-' || doc_id AS record_id,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       CASE WHEN doc_id % 11 = 0 THEN '1.0' ELSE '1.1' END AS http_version,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status_code,
+       CASE WHEN doc_id % 7 = 0 THEN 'Not Found' ELSE 'OK' END AS reason,
+       'text/html' AS content_type,
+       CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE NULL END AS charset,
+       doc_id % 3 = 0 AS chunked,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN length(text) ELSE NULL END AS BIGINT)
+         AS content_length,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 4 END AS INTEGER) AS n_headers,
+       md5(text) AS body_md5
+FROM d""",
+)
+def corpus_warc_http_responses(spark, sf_dir):
+    """HTTP envelope extraction from WARC payloads, fully
+    oracle-checked: synthesize WARC files whose response payloads are
+    HTTP/1.x messages with closed-form status / version / charset /
+    framing variation (chunked, Content-Length with trailing junk the
+    framing must not read, connection-close), parse them back through
+    warc_records → http_responses, and hash-compare every parsed
+    field plus the framed body's md5 against the oracle's re-derivation
+    from doc_id alone.  Proves status-line parse, case-insensitive
+    headers, charset unquoting, chunk reassembly, and length framing
+    in one query."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+
+    files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True)
+    return http_responses(warc_records(files, with_payload=True)).select(
+        "record_id",
+        "target_uri",
+        "http_version",
+        "status_code",
+        "reason",
+        "content_type",
+        "charset",
+        "chunked",
+        "content_length",
+        "n_headers",
+        "body_md5",
+    )
+
+
+_HTML_EXPECTED = """WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         'Doc ' || doc_id || ' & Friends' AS title,
+         'Doc Document ' || doc_id AS h1,
+         CASE WHEN nt = '' THEN '<fin>' ELSE nt || ' <fin>' END AS p,
+         'See next page for more filler words totally real content here!' AS dv
+  FROM d)"""
+
+
+@register(
+    "corpus_html_extract",
+    _HTML_EXPECTED
+    + """
+SELECT doc_id, title,
+       h1 || chr(10) || p || chr(10) || dv AS text,
+       CAST(5 AS INTEGER) AS n_blocks,
+       CAST(2 AS INTEGER) AS n_boilerplate,
+       CAST(length('Home') + length('About') + length('next page')
+            + length('Terms') + length('Privacy') AS BIGINT) AS link_chars,
+       CAST(length('Home About') + length(h1) + length(p) + length(dv)
+            + length('Terms Privacy') AS BIGINT) AS text_chars
+FROM e""",
+)
+def corpus_html_extract(spark, sf_dir):
+    """HTML → text extraction, fully oracle-checked: render the
+    deterministic fixture page per document (entities, script/style
+    traps, head section, two pure-link blocks), extract with
+    html_to_text, and hash-compare title, boilerplate-stripped text,
+    block counters, and link/text char counts against the oracle's
+    closed-form re-derivation.  The nav and footer blocks MUST be
+    dropped by link density and the script's literal '<p>' string
+    must not leak into text — both are value-hash-checked, not just
+    asserted."""
+    from opentsdb_aura_spark.operators.htmltext import html_to_text, synthesize_html
+
+    pages = synthesize_html(docs_raw(spark, sf_dir))
+    return html_to_text(pages).select(
+        "doc_id", "title", "text", "n_blocks", "n_boilerplate", "link_chars", "text_chars"
+    )
+
+
+@register(
+    "corpus_warc_html_text",
+    _HTML_EXPECTED
+    + """
+SELECT doc_id, title, h1 || chr(10) || p || chr(10) || dv AS text
+FROM e""",
+)
+def corpus_warc_html_text(spark, sf_dir):
+    """The full crawl front half in ONE oracled chain: documents →
+    fixture HTML → HTTP envelope (all three framing modes) → WARC
+    container → parse records → split HTTP → extract text.  The
+    oracle recomputes the expected title/text per doc_id, so a
+    framing slip, charset mix-up, or boilerplate leak ANYWHERE in the
+    four-stage round trip breaks the value hash."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True, html_body=True
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    return html_to_text(pages).select("doc_id", "title", "text")

@@ -340,6 +340,7 @@ def streaming_crawl_ingest(
     compact_max_files: int | None = 64,
     trigger_available_now: bool = True,
     doc_id_expr=None,
+    http_html: bool = False,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -371,8 +372,17 @@ def streaming_crawl_ingest(
     ``doc_id_extract_failed``) instead of silently polluting the docs
     table and MinHash index (ADVICE r7).  Pass your own Column
     expression (e.g. ``F.xxhash64("record_id")``) for production ids.
+
+    ``http_html=True`` runs the production-shaped payload path: each
+    response record's payload is split as an HTTP envelope
+    (containers.http_responses, per-record skip_errors — parse
+    failures land in the errors sidecar) and the framed body is
+    boilerplate-stripped HTML→text (htmltext.html_to_text), so the
+    text that reaches the docs table and the MinHash index is
+    extracted page text, not raw bytes — the full
+    WARC → HTTP → HTML → text → index chain in one stream.
     Returns the started StreamingQuery."""
-    from opentsdb_aura_spark.operators.containers import warc_records
+    from opentsdb_aura_spark.operators.containers import http_responses, warc_records
     from opentsdb_aura_spark.operators.dedup_text import update_minhash_index
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -389,13 +399,28 @@ def streaming_crawl_ingest(
         errs = recs.where(F.col("error").isNotNull())
         if errs.take(1):
             errs.select("file_id", "error").write.mode("append").parquet(f"{docs_path}_errors")
-        extracted = recs.where(
-            (F.col("error").isNull()) & (F.col("warc_type") == "response")
-        ).select(
-            id_expr.alias("doc_id"),
-            F.col("payload").cast("string").alias("text"),
-            "file_id",
-        )
+        good = recs.where((F.col("error").isNull()) & (F.col("warc_type") == "response"))
+        if http_html:
+            from opentsdb_aura_spark.operators.htmltext import html_to_text
+
+            resp = http_responses(good, skip_errors=True, with_body=True).localCheckpoint()
+            http_errs = resp.where(F.col("error").isNotNull())
+            if http_errs.take(1):
+                http_errs.select("file_id", "error").write.mode("append").parquet(
+                    f"{docs_path}_errors"
+                )
+            pages = resp.where(F.col("error").isNull()).select(
+                "file_id", "record_id", F.col("body").alias("html")
+            )
+            extracted = html_to_text(pages, keep_cols=("file_id", "record_id")).select(
+                id_expr.alias("doc_id"), F.col("text"), "file_id"
+            )
+        else:
+            extracted = good.select(
+                id_expr.alias("doc_id"),
+                F.col("payload").cast("string").alias("text"),
+                "file_id",
+            )
         bad_ids = extracted.where(F.col("doc_id").isNull())
         if bad_ids.take(1):
             bad_ids.select(

@@ -307,3 +307,173 @@ def test_canonicalize_url_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in rows], "u string")
     got = [r["c"] for r in df.select(canonicalize_url("u").alias("c")).collect()]
     assert got == [want for _, want in rows]
+
+
+# ------------------------------------------------- HTTP response envelope
+
+
+def test_http_parse_framing_modes():
+    """The three framing modes of the fixture envelope: chunked
+    reassembly, Content-Length stopping BEFORE the trailing junk, and
+    connection-close reading to payload end."""
+    from opentsdb_aura_spark.operators.containers import (
+        _parse_http_response,
+        encode_http_response,
+    )
+
+    body = b"0123456789abcdefXYZ"  # 19 bytes -> 7+7+5 chunks
+    # doc_id 0: %3==0 chunked, %7==0 -> 404, %2==0+%4==0 -> charset=utf-8
+    v, code, reason, ct, cs, chunked, clen, nh, got = _parse_http_response(
+        encode_http_response(0, body)
+    )
+    assert (v, code, reason) == ("1.0", 404, "Not Found")  # 0 % 11 == 0 -> HTTP/1.0
+    assert (ct, cs, chunked, clen, nh) == ("text/html", "utf-8", True, None, 4)
+    assert got == body
+
+    # doc_id 1: Content-Length framing with junk past the body
+    v, code, reason, ct, cs, chunked, clen, nh, got = _parse_http_response(
+        encode_http_response(1, body)
+    )
+    assert (v, code, chunked, clen, cs) == ("1.1", 200, False, len(body), None)
+    assert got == body  # junk after Content-Length bytes NOT read
+
+    # doc_id 2: neither header -> body runs to payload end; quoted charset
+    v, code, reason, ct, cs, chunked, clen, nh, got = _parse_http_response(
+        encode_http_response(2, body)
+    )
+    assert (chunked, clen, nh, cs) == (False, None, 3, "utf-8")  # "UTF-8" unquoted+folded
+    assert got == body
+
+    # empty body round-trips in all three modes
+    for d in (0, 1, 2):
+        assert _parse_http_response(encode_http_response(d, b""))[-1] == b""
+
+
+def test_http_parse_malformed_raises():
+    import pytest
+
+    from opentsdb_aura_spark.operators.containers import _parse_http_response
+
+    with pytest.raises(ValueError, match="unterminated header"):
+        _parse_http_response(b"HTTP/1.1 200 OK\r\nServer: x\r\n")
+    with pytest.raises(ValueError, match="bad status line"):
+        _parse_http_response(b"ICY 200 OK\r\n\r\nbody")
+    with pytest.raises(ValueError, match="malformed header line"):
+        _parse_http_response(b"HTTP/1.1 200 OK\r\nno-colon-here\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated body"):
+        _parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Length: 50\r\n\r\nshort")
+    with pytest.raises(ValueError, match="bad chunk size"):
+        _parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nbody\r\n0\r\n\r\n"
+        )
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nshort"
+        )
+
+
+def test_http_responses_per_record_containment(spark):
+    """One unparseable HTTP payload inside an otherwise good WARC file
+    costs ONE error row (record_id preserved for the diagnosis), not
+    the file and not the stage; fail-fast without skip_errors."""
+    import pytest
+
+    from opentsdb_aura_spark.operators.containers import (
+        encode_http_response,
+        http_responses,
+        warc_records,
+    )
+
+    raw = (
+        C.encode_warc_record(
+            "response",
+            "urn:uuid:doc-1",
+            encode_http_response(1, b"good body"),
+            target_uri="http://example.com/1",
+            content_type="application/http;msgtype=response",
+        )
+        + C.encode_warc_record(
+            "response",
+            "urn:uuid:doc-2",
+            b"NOT AN HTTP MESSAGE AT ALL",
+            target_uri="http://example.com/2",
+        )
+        + C.encode_warc_record("metadata", "urn:uuid:meta-1", b"ignored")
+    )
+    recs = warc_records(_files_df(spark, [(0, raw)]), with_payload=True)
+    rows = {r["record_id"]: r for r in http_responses(recs, skip_errors=True).collect()}
+    assert set(rows) == {"urn:uuid:doc-1", "urn:uuid:doc-2"}  # metadata filtered out
+    ok = rows["urn:uuid:doc-1"]
+    assert ok["error"] is None and ok["status_code"] == 200 and ok["n_headers"] == 4
+    bad = rows["urn:uuid:doc-2"]
+    assert bad["error"] is not None and bad["status_code"] is None
+
+    with pytest.raises(Exception):
+        http_responses(recs, skip_errors=False).collect()
+
+
+def test_http_responses_requires_payload(spark):
+    """Header-only warc_records output (no payload column values) is a
+    caller error the operator diagnoses per record, not a silent
+    null-body parse."""
+    from opentsdb_aura_spark.operators.containers import http_responses
+
+    recs = spark.createDataFrame(
+        [(0, "urn:uuid:doc-1", "http://example.com/1", None)],
+        "file_id long, record_id string, target_uri string, payload binary",
+    )
+    row = http_responses(recs, skip_errors=True).collect()[0]
+    assert "no payload" in row["error"]
+
+
+# ------------------------------------------------------- HTML -> text
+
+
+def test_html_to_text_edges(spark):
+    """NULL html, titleless pages, threshold semantics, and keep_cols
+    validation."""
+    import pytest
+
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+
+    pages = spark.createDataFrame(
+        [
+            (1, "<p>plain words</p><nav><a href='/'>x</a></nav>"),
+            (2, None),
+            (3, "no markup at all"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in html_to_text(pages).collect()}
+    assert rows[1]["title"] is None and rows[1]["text"] == "plain words"
+    assert rows[1]["n_blocks"] == 2 and rows[1]["n_boilerplate"] == 1
+    assert rows[2]["text"] is None and rows[2]["n_blocks"] == 0
+    assert rows[3]["text"] == "no markup at all" and rows[3]["n_blocks"] == 1
+
+    # threshold > 1 keeps even pure-link blocks (density can't exceed 1... by much)
+    kept = {
+        r["doc_id"]: r
+        for r in html_to_text(pages, boilerplate_threshold=2.0).collect()
+    }
+    assert kept[1]["text"] == "plain words\nx" and kept[1]["n_boilerplate"] == 0
+
+    with pytest.raises(ValueError, match="keep_cols"):
+        html_to_text(pages, keep_cols=("nope",))
+
+
+def test_extract_html_text_traps():
+    """Entity decoding order (escaped markup stays text), comment and
+    script/style containment, head removal, inline-tag stripping."""
+    from opentsdb_aura_spark.operators.htmltext import extract_html_text
+
+    title, text, n_blocks, n_boiler, lc, tc = extract_html_text(
+        "<head><title>T &amp; U</title><style>p{}</style></head>"
+        "<body><!-- <p>ghost</p> -->"
+        "<p>a <b>b</b>old &lt;i&gt; literal &#x40;</p>"
+        "<script>var s = '</p><p>';</script>"
+        "<div><a href='/x'>go</a> <a href='/y'>now</a></div></body>"
+    )
+    assert title == "T & U"
+    assert text == "a bold <i> literal @"  # div dropped: 5/6 anchor chars
+    assert (n_blocks, n_boiler) == (2, 1)
+    assert lc == 5 and tc == len("a bold <i> literal @") + len("go now")

@@ -758,3 +758,62 @@ def test_streaming_crawl_ingest_uuid_ids_routed_to_errors(spark, tmpdirs):
     ).awaitTermination(120)
     assert spark.read.parquet(docs2).count() == 2
     assert spark.read.parquet(idx2).count() == 2
+
+
+def test_streaming_crawl_ingest_http_html_end_to_end(spark, tmpdirs):
+    """The full crawl front half as ONE stream: WARC files whose
+    response payloads are HTTP envelopes around fixture HTML pages
+    flow through record extraction → HTTP envelope split → HTML
+    boilerplate-stripped text → docs table → MinHash index.  A record
+    with an unparseable HTTP payload lands in the errors sidecar; the
+    extracted text matches extract_html_text's closed form (title
+    dropped, nav/footer dropped, entities decoded)."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.containers import encode_http_response
+    from opentsdb_aura_spark.operators.htmltext import extract_html_text, render_fixture_html
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    texts = {
+        0: "alpha page words enough to shingle nicely today",
+        1: "beta page words enough to shingle nicely today",
+        9: "completely different content about gardens and rivers flowing",
+    }
+
+    def rec(doc_id):
+        return C.encode_warc_record(
+            "response",
+            f"urn:uuid:doc-{doc_id}",
+            encode_http_response(doc_id, render_fixture_html(doc_id, texts[doc_id]).encode()),
+            target_uri=f"http://example.com/doc/{doc_id}",
+            content_type="application/http;msgtype=response",
+        )
+
+    broken = C.encode_warc_record(
+        "response", "urn:uuid:doc-500", b"THIS IS NOT HTTP",
+        target_uri="http://example.com/500",
+    )
+    raw = rec(0) + rec(1) + broken + rec(9)
+
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame([(0, raw)], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+    docs_path, idx_path = tmpdirs["out"] + "/docs", tmpdirs["store"]
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    streaming_crawl_ingest(
+        stream, idx_path, docs_path, tmpdirs["ckpt"], http_html=True
+    ).awaitTermination(120)
+
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(docs_path).collect()}
+    want = {
+        d: extract_html_text(render_fixture_html(d, t))[1] for d, t in texts.items()
+    }
+    assert docs == want
+    # extraction really stripped chrome: no nav/footer text, entities decoded
+    assert "Home" not in docs[0] and "Privacy" not in docs[0]
+    assert docs[0].endswith("content here!")
+    errs = spark.read.parquet(docs_path + "_errors").collect()
+    assert len(errs) == 1 and "HTTP" in errs[0]["error"]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(idx_path).select("doc_id").collect()
+    ) == [0, 1, 9]

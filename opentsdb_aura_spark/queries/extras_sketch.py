@@ -26,14 +26,89 @@ def meta_cardinality_approx(spark, sf_dir):
     return cardinality(series_dim(spark, sf_dir), None, approx=True)
 
 
-@register("rollup_hist_p90_daily")  # sketch-based pre-aggregate: rows-only
+# DDSketch closed forms, shared by the three histogram-rollup oracles
+# below: the log-bin index and the bin midpoint estimate are exact
+# expressions of (value, gamma), so DuckDB re-derives the ENTIRE
+# sketch pipeline — bin assignment, window merge, cumulative walk,
+# rank pick — from raw deduped points (empirically bit-identical to
+# Spark's Math.log/pow at both fixture SFs; the _r nudge covers the
+# round-4 boundary).  gamma spelled exactly as operators/rollup.py
+# computes it: (1+eps)/(1-eps) with eps=0.01.
+_G = "((1.0+0.01)/(1.0-0.01))"
+_HIST_SIGN = "CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END"
+_HIST_BIN = (
+    "CASE WHEN value = 0 THEN 0 "
+    f"ELSE CAST(ceil(ln(abs(value))/ln({_G})) AS INTEGER) END"
+)
+_HIST_EST = f"CASE WHEN sign = 0 THEN 0.0 ELSE sign * 2.0 * pow({_G}, bin) / ({_G} + 1.0) END"
+_HIST_PTS = (
+    f"FROM dpts WHERE ts >= {START} AND ts < {END} "
+    "AND NOT isnan(value) AND abs(value) <> 'infinity'::DOUBLE"
+)
+
+
+@register(
+    "rollup_hist_bins_daily",
+    f"""{ORACLE_PTS}
+SELECT metric, {_bucket_sql(DAY)} AS bucket_ts,
+       {_HIST_SIGN} AS sign, {_HIST_BIN} AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+{_HIST_PTS}
+GROUP BY 1, 2, 3, 4""",
+)
+def rollup_hist_bins_daily(spark, sf_dir):
+    """A6 sketch STATE, fully oracle-checked: the daily-merged DDSketch
+    bin table per metric, served from the hourly histogram rollup
+    (groupBy-SUM merge of pre-aggregated bins — raw points never
+    scanned on the Spark side).  The oracle recomputes every
+    (sign, bin, cnt) row from raw deduped points with the closed-form
+    index ceil(log_γ|v|), so the hash compare proves write-side bin
+    assignment AND the mergeability contract (hourly → daily merge
+    equals direct daily build) — the sketch itself, not just the
+    interpolated percentile."""
+    from opentsdb_aura_spark.sources.batch import ensure_event_store, rollup_hist_path
+
+    ensure_event_store(spark, sf_dir)
+    hist = spark.read.parquet(rollup_hist_path(sf_dir, 3600))
+    w = F.col("window_start")
+    bucket = (F.lit(START) + F.floor((w - F.lit(START)) / F.lit(DAY)) * F.lit(DAY)).cast("long")
+    return (
+        hist.where((w >= START) & (w < END))
+        .withColumn("bucket_ts", bucket)
+        .groupBy("metric", "bucket_ts", "sign", "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+@register(
+    "rollup_hist_p90_daily",
+    f"""{ORACLE_PTS},
+b AS (
+  SELECT metric, {_bucket_sql(DAY)} AS bucket_ts,
+         {_HIST_SIGN} AS sign, {_HIST_BIN} AS bin, count(*) AS cnt
+  {_HIST_PTS}
+  GROUP BY 1, 2, 3, 4),
+r AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY metric, bucket_ts ORDER BY sign, sign*bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY metric, bucket_ts) AS total
+  FROM b),
+hit AS (
+  SELECT metric, bucket_ts, {_HIST_EST} AS est,
+         row_number() OVER (PARTITION BY metric, bucket_ts ORDER BY sign, sign*bin) AS rn
+  FROM r WHERE cum >= ceil(0.9 * total))
+SELECT metric, bucket_ts, round(1e-9 + est, 4) AS p90_hist FROM hit WHERE rn = 1""",
+)
 def rollup_hist_p90_daily(spark, sf_dir):
     """A6 scale path, pre-aggregate edition: daily p90 per metric
     served ENTIRELY from the hourly histogram rollup table (DDSketch
     bins written at ingest, operators/rollup.py) — the raw points are
-    never scanned.  The plain aggregate chain can't serve percentiles
-    (not mergeable); log-bucketed histograms are, with ≤1% relative
-    error (bound-tested in tests/test_rollup.py)."""
+    never scanned.  FULL oracle since r8: the whole serving pipeline
+    (bin merge, sign-ordered cumulative walk, rank ⌈q·n⌉ pick, bin
+    midpoint estimate) is closed-form, so DuckDB recomputes the exact
+    served value from raw points — the ±eps error bound in
+    tests/test_rollup.py now complements a value-hash identity, not
+    replaces it."""
     from opentsdb_aura_spark.operators.rollup import percentile_from_rollup_histogram
     from opentsdb_aura_spark.sources.batch import ensure_event_store, rollup_hist_path
 
@@ -140,7 +215,28 @@ def ev_wau_hll(spark, sf_dir):
     return res.select("day_ts", F.col("active_users").cast("bigint").alias("active_users"))
 
 
-@register("rollup_hist_p90_planner")  # sketch percentile via planner: rows-only
+@register(
+    "rollup_hist_p90_planner",
+    f"""{ORACLE_PTS},
+b AS (
+  SELECT tag_user, tag_k, {_bucket_sql(DAY)} AS bucket_ts,
+         {_HIST_SIGN} AS sign, {_HIST_BIN} AS bin, count(*) AS cnt
+  {_HIST_PTS} AND metric = 'purchase'
+  GROUP BY 1, 2, 3, 4, 5),
+r AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY tag_user, tag_k, bucket_ts ORDER BY sign, sign*bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY tag_user, tag_k, bucket_ts) AS total
+  FROM b),
+hit AS (
+  SELECT tag_user, tag_k, bucket_ts, {_HIST_EST} AS est,
+         row_number() OVER (PARTITION BY tag_user, tag_k, bucket_ts
+                            ORDER BY sign, sign*bin) AS rn
+  FROM r WHERE cum >= ceil(0.9 * total)),
+ser AS (SELECT tag_user, tag_k, bucket_ts, est FROM hit WHERE rn = 1)
+SELECT tag_user, bucket_ts, round(1e-9 + max(est), 4) AS p90_max
+FROM ser GROUP BY 1, 2""",
+)
 def rollup_hist_p90_planner(spark, sf_dir):
     """A6 scale path, planner edition: the MetricQuery asks for a plain
     per-series p90 + group max; ``run_metric_query(...,
@@ -148,8 +244,10 @@ def rollup_hist_p90_planner(spark, sf_dir):
     automatically (plans/query._hist_substitution) — per-series
     percentile from pre-aggregated bins (exact series distribution,
     eps-coarse values), then the ordinary two-stage group merge.  No
-    raw point is scanned.  Approximate by design (±1%), bound-tested
-    in tests/test_rollup.py::test_hist_substitution_per_series_percentile."""
+    raw point is scanned.  FULL oracle since r8 (same closed-form
+    re-derivation as rollup_hist_p90_daily, per series then max by
+    tag); the ±1% bound test in tests/test_rollup.py stays as the
+    semantic complement."""
     from opentsdb_aura_spark.sources.batch import ensure_event_store, rollup_hist_path
 
     ensure_event_store(spark, sf_dir)

@@ -659,20 +659,78 @@ def pq_train(
     return _subspace_kmeans(smp, m, k, iters)
 
 
-def _encode_codes_udf(codebooks):
+def opq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    opq_iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train an Optimized-PQ rotation + codebooks (Ge et al.,
+    "Optimized Product Quantization for Approximate Nearest Neighbor
+    Search", CVPR 2013 — the non-parametric alternation): repeat
+    (1) rotate the sample by R, (2) train PQ codebooks on the rotated
+    sample, (3) encode→decode for the reconstruction Ŷ, (4) solve the
+    orthogonal Procrustes problem min‖XR − Ŷ‖ via R = UVᵀ from
+    SVD(XᵀŶ).  The learned R decorrelates/balances variance across
+    subspaces, so contiguous-split PQ loses less on anisotropic data
+    (plain PQ is the R = I special case).
+
+    Runs entirely on the bounded deterministic driver sample (the
+    same ``_sample_vectors`` cap as PQ/IVF — d×d SVDs of a ≤4096×d
+    sample, never a distributed job).  Search stays
+    rotation-invariant for cosine: |xR| = |x|, (qR)·(xR) = q·x, so
+    rotating queries with the stored R reuses the unmodified ADC LUT
+    path.  Returns (rotation d×d as lists, codebooks)."""
+    import numpy as np
+
+    smp = _sample_vectors(corpus, id_col=id_col, vec_col=vec_col, sample=sample)
+    x = np.asarray(smp, dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("empty corpus: OPQ training sample has no vectors")
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    R = np.eye(d)
+    for _ in range(int(opq_iters)):
+        y = x @ R
+        books = _subspace_kmeans(y, m, k, iters)
+        yhat = np.empty_like(y)
+        for s, cb in enumerate(books):
+            c = np.asarray(cb, dtype=np.float64)
+            ys = y[:, s * sub : (s + 1) * sub]
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (ys @ c.T)
+            yhat[:, s * sub : (s + 1) * sub] = c[np.argmin(d2, axis=1)]
+        u, _, vt = np.linalg.svd(x.T @ yhat)
+        R = u @ vt
+    books = _subspace_kmeans(x @ R, m, k, iters)  # align codebooks to final R
+    return [[float(v) for v in row] for row in R], books
+
+
+def _encode_codes_udf(codebooks, rotation=None):
     """The PQ-encode pandas UDF (argmin code per subspace via the
     |c|² − 2·x@cᵀ matmul expansion) — ONE definition shared by
     ``pq_encode`` and ``ivfpq_topk`` so stored codes and IVF-PQ
-    scoring can never diverge."""
+    scoring can never diverge.  ``rotation`` (OPQ) pre-multiplies the
+    batch by R — one extra narrow matmul, the codes then live in the
+    rotated space and the codebooks must be the rotated-space ones."""
     from pyspark.sql.functions import pandas_udf
 
     cbs = [[list(map(float, row)) for row in cb] for cb in codebooks]
+    rot = None if rotation is None else [[float(v) for v in row] for row in rotation]
 
     @pandas_udf("array<int>")
     def encode(vs: pd.Series) -> pd.Series:
         import numpy as np
 
         x = np.stack(vs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        if rot is not None:
+            x = x @ np.asarray(rot, dtype=np.float64)
         sub = x.shape[1] // len(cbs)
         out = np.empty((len(x), len(cbs)), dtype=np.int32)
         for s, cb in enumerate(cbs):
@@ -689,15 +747,17 @@ def pq_encode(
     embs: DataFrame,
     codebooks,
     *,
+    rotation=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode vectors to their PQ codes — one Arrow-batched argmin per
     subspace (a numpy matmul), narrow map, no shuffle.  At scale the
     codes column is written once at ingest (m bytes/vector vs 4d) and
-    every ADC search reads codes only.  Returns
+    every ADC search reads codes only.  ``rotation`` applies the OPQ
+    rotation inside the same Arrow pass (one extra matmul).  Returns
     (id, codes array<int>)."""
-    encode = _encode_codes_udf(codebooks)
+    encode = _encode_codes_udf(codebooks, rotation=rotation)
     return embs.select(F.col(id_col).alias("vec_id"), encode(F.col(vec_col)).alias("codes"))
 
 
@@ -837,6 +897,7 @@ def pq_adc_topk(
     *,
     k: int = 5,
     max_queries: int = 4096,
+    rotation=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -851,14 +912,21 @@ def pq_adc_topk(
     ``max_queries`` — ANN serving batches are small; raise explicitly
     for bulk joins) and shipped in the Arrow closure with the
     codebooks; scoring is one vectorized gather per batch inside
-    mapInPandas, then a window top-k.  Returns
+    mapInPandas, then a window top-k.  ``rotation`` (OPQ) rotates the
+    query matrix driver-side — cosine is rotation-invariant, so the
+    LUT/gather path runs unchanged in the rotated space.  Returns
     (query_id, neighbor_id, pq_score)."""
+    import numpy as np
+
     spark = corpus_codes.sparkSession
     q_ids, q_mat, q_norm = _collect_query_matrix(
         queries, id_col=id_col, vec_col=vec_col, max_queries=max_queries, caller="pq_adc_topk"
     )
     if q_mat is None:
         return spark.createDataFrame([], _EMPTY_ADC)
+    if rotation is not None:
+        q_mat = q_mat @ np.asarray(rotation, dtype=np.float64)
+        q_norm = np.linalg.norm(q_mat, axis=1)
     ip_lut, n2_lut = _adc_luts(q_mat, codebooks)
     return _adc_map(corpus_codes, k, q_ids, q_norm, ip_lut, n2_lut)
 
@@ -1159,19 +1227,24 @@ def ann_recall_vs_exact(
     )
 
 
-def _write_index_meta(spark, path: str, grid: bool, residual: bool = False) -> None:
+def _write_index_meta(
+    spark, path: str, grid: bool, residual: bool = False, opq: bool = False
+) -> None:
     """Persist the explicit encoding markers (one-row table): shape
     inference (all 1-d subspaces + exactly GRID_LEVELS entries) would
     misdetect a TRAINED index built with m == dim and pq_k ==
     GRID_LEVELS and silently append grid-encoded codes inconsistent
-    with the saved codebooks; the residual flag likewise cannot be
-    inferred from the codebooks at all."""
+    with the saved codebooks; the residual and opq flags likewise
+    cannot be inferred from the codebooks at all (an OPQ index scored
+    or appended without its rotation returns wrong neighbors with no
+    error)."""
     spark.createDataFrame(
-        [(bool(grid), bool(residual))], "grid boolean, residual boolean"
+        [(bool(grid), bool(residual), bool(opq))],
+        "grid boolean, residual boolean, opq boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def _read_index_meta(spark, path: str, cbs) -> tuple[bool, bool]:
+def _read_index_meta(spark, path: str, cbs) -> tuple[bool, bool, bool]:
     """Read the persisted encoding markers (grid, residual); ONLY a
     legacy index (no ``meta`` directory at all, written before the
     markers existed) falls back to the old shape heuristic for grid
@@ -1185,7 +1258,7 @@ def _read_index_meta(spark, path: str, cbs) -> tuple[bool, bool]:
     try:
         row = spark.read.parquet(f"{path}/meta").head(1)[0]
         d = row.asDict()
-        return bool(d["grid"]), bool(d.get("residual", False))
+        return bool(d["grid"]), bool(d.get("residual", False)), bool(d.get("opq", False))
     except AnalysisException as exc:
         # Path-missing is the legacy-index case; anything else is real.
         if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
@@ -1194,7 +1267,7 @@ def _read_index_meta(spark, path: str, cbs) -> tuple[bool, bool]:
             len(cbs) > 0
             and all(len(c) == 1 for c in cbs[0])
             and len(cbs[0]) == GRID_LEVELS
-        ), False
+        ), False, False
 
 
 def build_pq_index(
@@ -1206,6 +1279,7 @@ def build_pq_index(
     iters: int = 5,
     sample: int = 4096,
     grid: bool = False,
+    opq_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -1216,20 +1290,33 @@ def build_pq_index(
     - ``{path}/codebooks`` — (subspace, code, centroid) rows, a tiny
       table read back to the driver per search,
     - ``{path}/codes``     — every corpus vector as m small codes
-      (the 1/32-of-the-bytes at-rest form ADC searches from).
+      (the 1/32-of-the-bytes at-rest form ADC searches from),
+    - ``{path}/rotation``  — the OPQ rotation rows (only when
+      ``opq_iters > 0``), with the ``opq`` meta marker set so search
+      and append can never score rotated codes with unrotated math.
 
     ``grid=True`` persists the closed-form uniform-grid codebooks
     instead of trained ones — searches over that index are then
     value-hash-checkable end-to-end (``ann_pq_index_topk``'s oracle).
-    Rebuild on drift is a full rewrite; appending a new batch is
-    ``pq_encode`` with the SAME codebooks + append to codes."""
+    ``opq_iters > 0`` learns the Ge et al. rotation on the bounded
+    driver sample (:func:`opq_train`) and encodes in rotated space —
+    the same index layout plus one tiny d×d table.  Rebuild on drift
+    is a full rewrite; appending a new batch is ``pq_encode`` with the
+    SAME codebooks (and rotation) + append to codes."""
     spark = corpus.sparkSession
+    rotation = None
     if grid:
         head = corpus.select(vec_col).head(1)
         if not head:
             raise ValueError("build_pq_index: empty corpus")
         cbs = _grid_codebooks(len(head[0][0]))
         codes = grid_quantize_vectors(corpus, id_col=id_col, vec_col=vec_col)
+    elif opq_iters > 0:
+        rotation, cbs = opq_train(
+            corpus, m=m, k=k, iters=iters, opq_iters=opq_iters, sample=sample,
+            id_col=id_col, vec_col=vec_col,
+        )
+        codes = pq_encode(corpus, cbs, rotation=rotation, id_col=id_col, vec_col=vec_col)
     else:
         cbs = pq_train(corpus, m=m, k=k, iters=iters, sample=sample, id_col=id_col, vec_col=vec_col)
         codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col)
@@ -1237,8 +1324,21 @@ def build_pq_index(
         [(s, c, row) for s, cb in enumerate(cbs) for c, row in enumerate(cb)],
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    _write_index_meta(spark, path, grid)
+    _write_index_meta(spark, path, grid, opq=rotation is not None)
+    if rotation is not None:
+        spark.createDataFrame(
+            [(i, row) for i, row in enumerate(rotation)], "row_idx int, row array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def _read_index_rotation(spark, path: str):
+    """Read back the persisted OPQ rotation (row_idx-ordered d×d) —
+    called only when the meta marker says the index is OPQ-encoded, so
+    a missing/corrupt rotation table is an ERROR here, never a silent
+    identity fallback."""
+    rows = spark.read.parquet(f"{path}/rotation").orderBy("row_idx").collect()
+    return [[float(v) for v in r["row"]] for r in rows]
 
 
 def pq_search_index(
@@ -1253,16 +1353,20 @@ def pq_search_index(
 ) -> DataFrame:
     """ADC search against a persisted PQ index: codebooks (tiny) come
     back to the driver, the corpus is read as its CODES table only —
-    the float vectors are never touched at serve time.  Returns
+    the float vectors are never touched at serve time.  The persisted
+    ``opq`` marker routes query rotation automatically.  Returns
     (query_id, neighbor_id, pq_score)."""
     rows = spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
     n_sub = max(r["subspace"] for r in rows) + 1
     cbs = [[] for _ in range(n_sub)]
     for r in rows:
         cbs[r["subspace"]].append([float(x) for x in r["centroid"]])
+    _, _, is_opq = _read_index_meta(spark, path, cbs)
+    rotation = _read_index_rotation(spark, path) if is_opq else None
     codes = spark.read.parquet(f"{path}/codes")
     return pq_adc_topk(
-        codes, queries, cbs, k=k, max_queries=max_queries, id_col=id_col, vec_col=vec_col
+        codes, queries, cbs, k=k, max_queries=max_queries, rotation=rotation,
+        id_col=id_col, vec_col=vec_col,
     )
 
 
@@ -1398,7 +1502,7 @@ def ivfpq_search_index(
 
     # the persisted residual marker routes the scoring: residual codes
     # decode to c_list + d̂, raw codes to d̂ alone
-    _, is_residual = _read_index_meta(spark, path, cbs)
+    _, is_residual, _ = _read_index_meta(spark, path, cbs)
     residual_luts = None
     if is_residual:
         sub = q_mat.shape[1] // len(cbs)
@@ -1460,7 +1564,7 @@ def append_to_ivfpq_index(
     # The branch reads the PERSISTED markers — shape inference would
     # misdetect a trained m==dim/pq_k==255 index, and residual is not
     # inferable from codebooks at all.
-    is_grid, is_residual = _read_index_meta(spark, path, cbs)
+    is_grid, is_residual, _ = _read_index_meta(spark, path, cbs)
     if is_residual:
         enc = _residual_code_udf(cent_rows, cbs)
         appended = fresh.select(

@@ -1251,3 +1251,81 @@ def corpus_line_dedup_docs(spark, sf_dir):
     from opentsdb_aura_spark.operators.quality import corpus_line_dedup
 
     return corpus_line_dedup(_docs_with_lines(spark, sf_dir))
+
+
+# ------------------------------------------------------------------- OPQ
+
+
+@register("ann_opq_topk")  # approximate: quantization error → rows-only check
+def ann_opq_topk(spark, sf_dir):
+    """Optimized-PQ ADC cosine top-5 (Ge et al.): a learned orthogonal
+    rotation decorrelates the space before the subspace split, then
+    the UNMODIFIED ADC LUT path scores codes in rotated space (cosine
+    is rotation-invariant).  Encode pays one extra narrow matmul; the
+    serve path is byte-identical to plain PQ.  Recall ≥ plain PQ on
+    anisotropic data is asserted on a clustered fixture in
+    tests/test_pipeline_ops.py; the rotation plumbing itself is
+    value-hash-proven by ann_opq_exact_topk (R = identity)."""
+    from opentsdb_aura_spark.operators.similarity import opq_train, pq_adc_topk, pq_encode
+
+    e = embs(spark, sf_dir)
+    rot, cbs = opq_train(e, m=8, k=16, opq_iters=4)
+    codes = pq_encode(e, cbs, rotation=rot)
+    res = pq_adc_topk(codes, e.where(F.col("vec_id") < 20), cbs, k=5, rotation=rot)
+    return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("pq_score"))
+
+
+@register("ann_opq_recall")  # rows-only: the recall metric IS the result
+def ann_opq_recall(spark, sf_dir):
+    """Driver-visible quality attestation for the trained OPQ path:
+    recall@50 of the rotated-ADC shortlist against the exact cosine
+    top-10, as a single result row (the r7 ann_pq_recall pattern).
+    Bound asserted in test_rows_only_bounds.py; the ≥ plain-PQ
+    comparison lives on the anisotropic fixture in
+    test_pipeline_ops.py (this corpus is near-isotropic, where
+    OPQ ≈ PQ by construction)."""
+    from opentsdb_aura_spark.operators.similarity import (
+        ann_recall_vs_exact,
+        brute_force_topk,
+        opq_train,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    e = embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20)
+    rot, cbs = opq_train(e, m=8, k=16, opq_iters=4)
+    approx = pq_adc_topk(pq_encode(e, cbs, rotation=rot), q, cbs, k=50, rotation=rot)
+    exact = brute_force_topk(e, q, k=10)
+    return ann_recall_vs_exact(exact, approx, k_exact=10, k_approx=50)
+
+
+@register(
+    "ann_opq_exact_topk",
+    ORACLES["ann_pq_exact_topk"],
+)
+def ann_opq_exact_topk(spark, sf_dir):
+    """The OPQ rotation plumbing under the FULL value-hash oracle:
+    with R = identity (bit-exact under IEEE matmul — q·I adds only
+    exact zeros) and the closed-form grid codebooks, the rotated
+    encode/search path must produce EXACTLY what plain grid-PQ
+    produces, so ann_pq_exact_topk's DuckDB oracle applies verbatim.
+    Proves query rotation, rotated encode, and the shared LUT tail
+    introduce no numeric drift; the LEARNED rotation keeps its recall
+    bound (ann_opq_topk / ann_opq_recall)."""
+    from opentsdb_aura_spark.operators.similarity import (
+        _grid_codebooks,
+        grid_decode,
+        grid_quantize_vectors,
+        pq_adc_topk,
+    )
+
+    e = embs(spark, sf_dir)
+    head = e.select("embedding").head(1)
+    dim = len(head[0][0])
+    identity = [[1.0 if i == j else 0.0 for j in range(dim)] for i in range(dim)]
+    cbs = _grid_codebooks(dim)
+    codes = grid_quantize_vectors(e)
+    dq_queries = grid_decode(grid_quantize_vectors(e.where(F.col("vec_id") < 20)))
+    res = pq_adc_topk(codes, dq_queries, cbs, k=5, rotation=identity)
+    return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("cos_sim"))

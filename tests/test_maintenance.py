@@ -212,11 +212,11 @@ def test_index_meta_read_strict_and_legacy_fallback(spark, tmp_path):
 
     # legacy index: no meta directory at all -> heuristic, no raise
     os.makedirs(path)
-    assert _read_index_meta(spark, path, trained_cbs) == (False, False)
+    assert _read_index_meta(spark, path, trained_cbs) == (False, False, False)
 
     # healthy marker round-trips
     _write_index_meta(spark, path, grid=False, residual=True)
-    assert _read_index_meta(spark, path, trained_cbs) == (False, True)
+    assert _read_index_meta(spark, path, trained_cbs) == (False, True, False)
 
     # corrupt marker must raise, never fall back
     for f in glob.glob(f"{path}/meta/*.parquet"):

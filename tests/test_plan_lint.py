@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_topk",  # probed query set broadcast
     "ann_pq_recall",  # exact twin inside is brute_force_topk (bounded query set)
     "ann_ivfpq_recall",  # same — the recall row compares against the exact twin
+    "ann_opq_recall",  # same — exact twin is brute_force_topk (bounded query set)
     "ann_pq_rerank_exact_topk",  # grid shortlist is brute_force_topk (bounded queries)
     "dedup_embedding_cosine",  # exact O(n²) oracle-baseline variant, documented
     "corpus_tfidf_top3",  # 1-row n_docs factor

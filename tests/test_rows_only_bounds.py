@@ -350,7 +350,7 @@ def test_ann_recall_rows_bounds(spark):
     (50 of 500), catching any structural regression in the LUT/gather
     path; the production-shaped >= 0.8 recall@50 claim is asserted at
     1 M vectors in tools/corpus_scale_validation.py every scale run."""
-    for name in ("ann_pq_recall", "ann_ivfpq_recall"):
+    for name in ("ann_pq_recall", "ann_ivfpq_recall", "ann_opq_recall"):
         row = C.SPARK_QUERIES[name](spark, SF).collect()[0]
         assert row["k_exact"] == 10 and row["k_approx"] == 50
         assert row["n_queries"] == 20 and row["n_truth"] == 200

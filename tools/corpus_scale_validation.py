@@ -463,6 +463,37 @@ def main() -> None:
     )
     assert timings["pq_recall_at50"] >= 0.8, "PQ shortlist missed too many exact neighbors"
 
+    # ---- round 8: OPQ at scale — learn the Ge et al. rotation on the
+    # same bounded sample, encode 1M vectors in rotated space (one
+    # extra matmul in the same Arrow pass), ADC top-50 for 10 rotated
+    # queries.  The fixture is uniform-random (isotropic — OPQ's
+    # no-gain case by construction), so the assertion is the same
+    # ≥ 0.8 floor as plain PQ: the rotation must never HURT; the
+    # ≥ plain-PQ win is asserted on the anisotropic fixture in
+    # tests/test_pipeline_ops.py where the geometry warrants it.
+    from opentsdb_aura_spark.operators.similarity import opq_train
+
+    t0 = time.perf_counter()
+    opq_rot, opq_cbs = opq_train(vecs, m=8, k=256, iters=5, opq_iters=3, sample=4096)
+    opq_codes = pq_encode(vecs, opq_cbs, rotation=opq_rot).localCheckpoint()
+    opq_codes.count()
+    timings["opq_encode_1m"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    opq50 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(
+            opq_codes, vecs.where(F.col("vec_id") < 10), opq_cbs, k=50, rotation=opq_rot
+        ).collect()
+    }
+    timings["opq_adc_topk_10q"] = round(time.perf_counter() - t0, 2)
+    timings["opq_recall_at50"] = round(len(opq50 & exact10) / len(exact10), 4)
+    print(
+        f"# opq_encode_1m: {timings['opq_encode_1m']}s; adc_topk_10q: "
+        f"{timings['opq_adc_topk_10q']}s (recall@50 {timings['opq_recall_at50']})",
+        file=sys.stderr,
+    )
+    assert timings["opq_recall_at50"] >= 0.8, "OPQ rotation must not hurt the shortlist"
+
     # ---- round 6: the persisted IVFADC index at scale — centroids +
     # codebooks + list-partitioned codes built once, then served with
     # probed-partition pruning.  Full-probe at-rest search must return

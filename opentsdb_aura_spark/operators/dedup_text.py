@@ -773,10 +773,19 @@ def update_fingerprint_index(
         fresh = fps
     # range-partition by (band, bh): parallel writers per band AND
     # disjoint sorted bh ranges per file, so the probe's band-key
-    # filter skips whole files via row-group stats
-    _band_rows(fresh, id_col=id_col, hash_col=hash_col).repartitionByRange(
-        "band", "bh"
-    ).sortWithinPartitions("band", "bh").write.mode("append").partitionBy("band").parquet(path)
+    # filter skips whole files via row-group stats; the bloom filter
+    # on bh additionally rejects row groups whose sorted range merely
+    # COVERS a probed band key that is not present (the point-lookup
+    # prune the reference's RoaringBitmap index serves)
+    from opentsdb_aura_spark.sources.batch import bloom_options
+
+    bloom_options(
+        _band_rows(fresh, id_col=id_col, hash_col=hash_col)
+        .repartitionByRange("band", "bh")
+        .sortWithinPartitions("band", "bh")
+        .write.mode("append"),
+        "bh",
+    ).partitionBy("band").parquet(path)
     # sustained streaming appends accumulate one file set per batch and
     # erode the row-group pruning this layout exists for; with
     # ``compact_max_files`` set, rewrite any band directory that

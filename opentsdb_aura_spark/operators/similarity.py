@@ -1329,7 +1329,13 @@ def build_pq_index(
         spark.createDataFrame(
             [(i, row) for i, row in enumerate(rotation)], "row_idx int, row array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
-    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    from opentsdb_aura_spark.sources.batch import bloom_options
+
+    # bloom on vec_id: append's anti-join and shortlist re-rank are
+    # point lookups by id — blooms prune row groups min/max can't
+    bloom_options(
+        codes.write.mode("overwrite"), "vec_id", plain_encoding=("vec_id",)
+    ).parquet(f"{path}/codes")
 
 
 def _read_index_rotation(spark, path: str):
@@ -1453,9 +1459,15 @@ def build_ivfpq_index(
     # after 30 streaming appends, a 21× serve slowdown); ranged, each
     # batch adds ~1 vec_id-sorted run per list, and a hot list still
     # splits across tasks at scale
-    coded.repartitionByRange("list_id", "vec_id").sortWithinPartitions(
-        "list_id", "vec_id"
-    ).write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/codes")
+    from opentsdb_aura_spark.sources.batch import bloom_options
+
+    bloom_options(
+        coded.repartitionByRange("list_id", "vec_id")
+        .sortWithinPartitions("list_id", "vec_id")
+        .write.mode("overwrite"),
+        "vec_id",
+        plain_encoding=("vec_id",),
+    ).partitionBy("list_id").parquet(f"{path}/codes")
 
 
 def ivfpq_search_index(
@@ -1582,11 +1594,17 @@ def append_to_ivfpq_index(
             codes_col.alias("codes"),
             nearest_list(F.col(vec_col)).alias("list_id"),
         )
-    # same ranged layout as the build: ~1 sorted run per list per
-    # batch instead of one file per (task × list)
-    appended.repartitionByRange("list_id", "vec_id").sortWithinPartitions(
-        "list_id", "vec_id"
-    ).write.mode("append").partitionBy("list_id").parquet(f"{path}/codes")
+    # same ranged layout (and vec_id bloom) as the build: ~1 sorted
+    # run per list per batch instead of one file per (task × list)
+    from opentsdb_aura_spark.sources.batch import bloom_options
+
+    bloom_options(
+        appended.repartitionByRange("list_id", "vec_id")
+        .sortWithinPartitions("list_id", "vec_id")
+        .write.mode("append"),
+        "vec_id",
+        plain_encoding=("vec_id",),
+    ).partitionBy("list_id").parquet(f"{path}/codes")
     # sustained appends still accumulate ~1 run per list per batch;
     # with ``compact_max_files`` set, rewrite oversized directories
     # into few vec_id-sorted runs (sources/maintenance.py)

@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 9
+STORE_LAYOUT_VERSION = 10  # v10: series_id bloom filters in the metrics store
 
 
 def _store_version_tag(sf_dir: str) -> str:
@@ -70,11 +70,48 @@ def _store_version_tag(sf_dir: str) -> str:
     return f"{STORE_LAYOUT_VERSION}:{fp}"
 
 
+#: expected-NDV hint for the parquet bloom filters on probe-key
+#: columns (~80 KB/filter at the default 1% FPP).  A production
+#: deployment sizes this to its per-file distinct-key count; the
+#: filters close the point-lookup gap the reference serves with its
+#: RoaringBitmap doc index (NewDocStore.java:779-828) — row-group
+#: stats prune RANGES, blooms prune individual groups for selective
+#: `series_id IN (...)` / band-key probes that land inside a range.
+BLOOM_NDV = 65536
+
+
+def bloom_options(writer, *cols, ndv: int = BLOOM_NDV, plain_encoding: tuple = ()):
+    """Attach parquet bloom-filter write options for ``cols`` to a
+    DataFrameWriter (shared by the metrics store and the incremental
+    index writers).
+
+    parquet-mr only materializes a bloom once the column chunk stops
+    being fully dictionary-encoded (a dictionary already IS an exact
+    row-group filter), so low-NDV chunks (few series per file, 16-bit
+    band keys) carry a dictionary instead and the bloom self-activates
+    exactly when NDV outgrows the dictionary page — the 100 TB case.
+    For keys that are UNIQUE PER ROW by construction (``vec_id``),
+    dictionary encoding is pure overhead; list them in
+    ``plain_encoding`` to force plain pages so the bloom always
+    materializes."""
+    for c in cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+        )
+    for c in plain_encoding:
+        writer = writer.option(f"parquet.enable.dictionary#{c}", "false")
+    return writer
+
+
 def write_metrics_store(
     points: DataFrame, path: str, files_per_partition: int = 1, reshuffle: bool = True
 ) -> None:
     """Land normalized (and already deduped) points, partitioned by
-    segment_time, sorted within files by (series_id, ts).
+    segment_time, sorted within files by (series_id, ts), with a
+    parquet bloom filter on ``series_id`` (point-lookup pruning for
+    selective series scans — the sort gives row-group MIN/MAX ranges,
+    the bloom rejects groups whose range covers a probed id that is
+    not actually present).
 
     ``reshuffle=True`` repartitions by segment value (one full, sorted
     file per partition × files_per_partition, salted by series) — best
@@ -93,7 +130,9 @@ def write_metrics_store(
         df = df.sortWithinPartitions("series_id", "ts")
     else:
         df = df.sortWithinPartitions("segment_time", "series_id", "ts")
-    df.write.mode("overwrite").partitionBy("segment_time").parquet(path)
+    bloom_options(df.write.mode("overwrite"), "series_id").partitionBy(
+        "segment_time"
+    ).parquet(path)
 
 
 def _atomic_build(build_fn, final_path: str) -> None:

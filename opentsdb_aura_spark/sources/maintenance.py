@@ -70,6 +70,8 @@ def compact_partitioned_parquet(
     sort_cols: tuple[str, ...] = (),
     max_files_per_partition: int = 16,
     target_files_per_partition: int = 2,
+    bloom_cols: tuple[str, ...] = (),
+    bloom_plain: tuple[str, ...] = (),
 ) -> bool:
     """Rewrite a Hive-partitioned parquet table into few sorted files
     per partition directory when ANY partition exceeds
@@ -120,6 +122,13 @@ def compact_partitioned_parquet(
     if sort_cols:
         out = out.sortWithinPartitions(*cols)
     writer = out.write.mode("overwrite")
+    if bloom_cols:
+        # the rewrite must preserve the probe-key bloom filters the
+        # incremental writers attach, or compaction would silently
+        # degrade point-lookup pruning
+        from opentsdb_aura_spark.sources.batch import bloom_options
+
+        writer = bloom_options(writer, *bloom_cols, plain_encoding=bloom_plain)
     if partition_col:
         writer = writer.partitionBy(partition_col)
     writer.parquet(tmp)
@@ -157,6 +166,7 @@ def compact_fingerprint_index(
         sort_cols=("bh",),
         max_files_per_partition=max_files_per_band,
         target_files_per_partition=target_files_per_band,
+        bloom_cols=("bh",),
     )
 
 
@@ -202,4 +212,6 @@ def compact_ivfpq_index(
         sort_cols=("vec_id",),
         max_files_per_partition=max_files_per_list,
         target_files_per_partition=target_files_per_list,
+        bloom_cols=("vec_id",),
+        bloom_plain=("vec_id",),
     )

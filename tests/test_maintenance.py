@@ -224,3 +224,117 @@ def test_index_meta_read_strict_and_legacy_fallback(spark, tmp_path):
             fh.write(b"this is not a parquet file")
     with pytest.raises(Exception):
         _read_index_meta(spark, path, trained_cbs)
+
+
+def _bloom_cols_of(spark, parquet_file):
+    """Column names that carry a parquet bloom filter in ``parquet_file``
+    (JVM footer read — pyarrow does not expose bloom offsets)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(parquet_file), conf
+    )
+    rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        cols = set()
+        for blk in rd.getFooter().getBlocks():
+            for c in blk.getColumns():
+                if c.getBloomFilterOffset() >= 0:
+                    cols.add(c.getPath().toDotString())
+        return cols
+    finally:
+        rd.close()
+
+
+def _dict_cols_of(spark, parquet_file):
+    """Column names whose chunks are dictionary-encoded in
+    ``parquet_file`` (JVM footer read)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(parquet_file), conf
+    )
+    rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        cols = set()
+        for blk in rd.getFooter().getBlocks():
+            for c in blk.getColumns():
+                if "DICTIONARY" in c.getEncodings().toString():
+                    cols.add(c.getPath().toDotString())
+        return cols
+    finally:
+        rd.close()
+
+
+def test_probe_key_bloom_filters_written_and_survive_compaction(spark, tmp_path):
+    """The point-lookup probe keys carry parquet bloom filters at the
+    store/index writers.  parquet-mr's adaptive contract: a bloom
+    materializes only once the chunk stops being fully dictionary-
+    encoded (a dictionary already IS an exact row-group filter), so —
+
+    - metrics store ``series_id``: HIGH-NDV fixture → bloom present;
+    - IVFADC codes ``vec_id`` (unique per row, dictionary disabled by
+      the writer): bloom present at build AND append, and preserved
+      through compaction;
+    - fingerprint index ``bh`` (16-bit band keys): dictionary-encoded
+      by design — assert the dictionary is there (exact filtering
+      today, bloom self-activates if keys ever widen)."""
+    import glob
+
+    from opentsdb_aura_spark.model import normalize_points
+    from opentsdb_aura_spark.operators.dedup_text import update_fingerprint_index
+    from opentsdb_aura_spark.operators.similarity import append_to_ivfpq_index, build_ivfpq_index
+    from opentsdb_aura_spark.sources.batch import write_metrics_store
+
+    # metrics store: 60k DISTINCT series (dictionary overflows → bloom)
+    pts = normalize_points(
+        spark.range(0, 60000).select(
+            F.lit("m").alias("metric"),
+            F.create_map(F.lit("user"), F.col("id").cast("string")).alias("tags"),
+            (F.lit(1704067200) + F.col("id") % 10).alias("ts"),
+            F.col("id").cast("double").alias("value"),
+            F.col("id").alias("ingest_seq"),
+        )
+    )
+    store = str(tmp_path / "metrics")
+    write_metrics_store(pts, store)
+    files = glob.glob(f"{store}/segment_time=*/*.parquet")
+    assert files
+    for f in files:
+        assert "series_id" in _bloom_cols_of(spark, f), f
+
+    # fingerprint index: every bh chunk carries a point-lookup prune
+    # structure — a bloom (plain-encoded chunks) or a dictionary
+    # (parquet-mr's exact filter for low-NDV chunks; the bloom
+    # self-activates when the dictionary overflows)
+    fpidx = str(tmp_path / "fps")
+    update_fingerprint_index(_fp_batch(spark, 0, 300), fpidx)
+    files = glob.glob(f"{fpidx}/band=*/*.parquet")
+    assert files
+    for f in files:
+        assert "bh" in (_bloom_cols_of(spark, f) | _dict_cols_of(spark, f)), f
+
+    # IVFADC codes: vec_id bloom at build + append + after compaction
+    def vecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+
+    ivf = str(tmp_path / "ivfpq")
+    build_ivfpq_index(vecs(0, 200), ivf, n_centroids=4, m=4, pq_k=8)
+    append_to_ivfpq_index(vecs(200, 250), ivf)
+    files = glob.glob(f"{ivf}/codes/list_id=*/*.parquet")
+    assert files
+    for f in files:
+        assert "vec_id" in _bloom_cols_of(spark, f), f
+    assert compact_ivfpq_index(spark, ivf, max_files_per_list=1, target_files_per_list=1)
+    files = glob.glob(f"{ivf}/codes/list_id=*/*.parquet")
+    assert files
+    for f in files:
+        assert "vec_id" in _bloom_cols_of(spark, f), f

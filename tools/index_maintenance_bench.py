@@ -150,6 +150,62 @@ def main() -> None:
     assert got == want, "compaction changed IVFADC search results"
     out["ivfpq_rows_total"] = spark.read.parquet(f"{pq_path}/codes").count()
 
+    # ------------------------------------- series_id bloom point-lookup
+    # (round 8) High-NDV metrics layout — 4M points over 400k series,
+    # the regime where parquet's dictionary overflows and the writer's
+    # series_id bloom materializes.  Probe: 50-id isin scan (the
+    # reference's RoaringBitmap point-lookup shape) against the same
+    # data written WITH and WITHOUT blooms; row-group stats are
+    # near-useless here (ids are hash-spread across the sorted range),
+    # so the delta is the bloom's row-group rejection.
+    from opentsdb_aura_spark.model import normalize_points
+    from opentsdb_aura_spark.sources.batch import write_metrics_store
+
+    # each series lives in exactly ONE day-segment (series s → day
+    # s % 30, 10 points) — the real shape of churning series.  Within
+    # a file, xxhash series ids span the full 64-bit range, so
+    # row-group MIN/MAX can't reject a probed id; only the bloom can.
+    pts = normalize_points(
+        spark.range(0, 4_000_000).select(
+            F.lit("m").alias("metric"),
+            F.create_map(F.lit("user"), (F.col("id") % 400_000).cast("string")).alias("tags"),
+            (
+                F.lit(1704067200)
+                + (F.col("id") % 400_000) % 30 * 86400
+                + F.col("id") % 10
+            ).alias("ts"),
+            F.col("id").cast("double").alias("value"),
+            F.col("id").alias("ingest_seq"),
+        )
+    ).localCheckpoint()
+    bloom_store, plain_store = f"{root}/m_bloom", f"{root}/m_plain"
+    write_metrics_store(pts, bloom_store)
+    df = (
+        pts.repartition(F.col("segment_time"))
+        .sortWithinPartitions("series_id", "ts")
+    )
+    df.write.mode("overwrite").partitionBy("segment_time").parquet(plain_store)
+    probe_ids = [r["series_id"] for r in pts.select("series_id").distinct().limit(50).collect()]
+
+    def point_scan(path):
+        t = time.perf_counter()
+        n = (
+            spark.read.parquet(path)
+            .where(F.col("series_id").isin(probe_ids))
+            .select("series_id", "ts", "value")
+            .count()
+        )
+        return round(time.perf_counter() - t, 3), n
+
+    t_b, n_b = point_scan(bloom_store)
+    t_b = min(t_b, point_scan(bloom_store)[0], point_scan(bloom_store)[0])
+    t_p, n_p = point_scan(plain_store)
+    t_p = min(t_p, point_scan(plain_store)[0], point_scan(plain_store)[0])
+    assert n_b == n_p, "bloom store returned different rows"
+    out["bloom_point_scan_sec"] = t_b
+    out["plain_point_scan_sec"] = t_p
+    out["point_scan_rows"] = n_b
+
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 

@@ -57,9 +57,19 @@ def _latest_attested_round() -> dict[str, int]:
     # A query whose LATEST record is non-green (hash mismatch or error
     # other than the declared rows-only no_oracle) needs re-attestation
     # right away — treat it like never-recorded so it sorts first.
+    # A latest record of no_oracle for a query that NOW HAS an oracle
+    # means the query graduated to a full oracle after its last driver
+    # run (r8: multimodal_dhash_near_pairs, rollup_hist_p90_daily) —
+    # the hash has never been driver-checked, so that also sorts as
+    # never-attested.
+    try:
+        from opentsdb_aura_spark.catalog import ORACLES as _oracled
+    except Exception:
+        _oracled = {}
     for k, (_, v) in rows.items():
         if isinstance(v, dict):
-            green = bool(v.get("hash_match")) or v.get("err") == "no_oracle"
+            declared_rows_only = v.get("err") == "no_oracle" and k not in _oracled
+            green = bool(v.get("hash_match")) or declared_rows_only
             if not green:
                 latest[k] = 0
     return latest

@@ -1305,6 +1305,11 @@ def build_pq_index(
     SAME codebooks (and rotation) + append to codes."""
     spark = corpus.sparkSession
     rotation = None
+    if grid and opq_iters > 0:
+        # mutually exclusive encodings: grid codebooks are the closed-
+        # form oracle anchor and never rotate — silently dropping the
+        # requested OPQ would hand back unrotated codes (ADVICE r8)
+        raise ValueError("build_pq_index: grid=True and opq_iters>0 are mutually exclusive")
     if grid:
         head = corpus.select(vec_col).head(1)
         if not head:

@@ -41,7 +41,8 @@ _WARC_INFO_PAYLOAD = (
     "corpus_warc_records",
     f"""WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
-         CAST(doc_id // {_DPF} AS BIGINT) AS file_id, length(text) AS L
+         CAST(doc_id // {_DPF} AS BIGINT) AS file_id,
+         octet_length(encode(text)) AS L
   FROM documents),
 resp AS (
   SELECT file_id, doc_id, text, L,
@@ -97,7 +98,8 @@ def corpus_warc_records(spark, sf_dir):
     "corpus_warc_gz_records",
     f"""WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
-         CAST(doc_id // {_DPF} AS BIGINT) AS file_id, length(text) AS L
+         CAST(doc_id // {_DPF} AS BIGINT) AS file_id,
+         octet_length(encode(text)) AS L
   FROM documents),
 resp_rows AS (
   SELECT file_id,
@@ -138,7 +140,8 @@ def corpus_warc_gz_records(spark, sf_dir):
     "corpus_tar_members",
     f"""WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
-         CAST(doc_id // {_DPF} AS BIGINT) AS file_id, length(text) AS L
+         CAST(doc_id // {_DPF} AS BIGINT) AS file_id,
+         octet_length(encode(text)) AS L
   FROM documents)
 SELECT file_id,
        CAST(coalesce(sum(512 + ((L + 511) // 512) * 512) OVER (
@@ -258,8 +261,11 @@ SELECT 'urn:uuid:doc-' || doc_id AS record_id,
        'text/html' AS content_type,
        CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE NULL END AS charset,
        doc_id % 3 = 0 AS chunked,
-       CAST(CASE WHEN doc_id % 3 = 1 THEN length(text) ELSE NULL END AS BIGINT)
-         AS content_length,
+       -- BYTE length (octet_length over UTF-8 bytes), not chars: the
+       -- Spark side frames text.encode() bytes (ADVICE r8); DuckDB's
+       -- md5(VARCHAR) already hashes UTF-8 bytes so body_md5 is safe
+       CAST(CASE WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) ELSE NULL END
+         AS BIGINT) AS content_length,
        CAST(CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 4 END AS INTEGER) AS n_headers,
        md5(text) AS body_md5
 FROM d""",

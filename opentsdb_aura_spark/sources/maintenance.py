@@ -98,9 +98,9 @@ def compact_partitioned_parquet(
     post-crash run self-heals instead of silently returning False."""
     base = path.rstrip("/")
     fs, live_p, jvm = _fs(spark, base)
+    old_p = jvm.org.apache.hadoop.fs.Path(base + ".compact-old")
+    tmp_p = jvm.org.apache.hadoop.fs.Path(base + ".compact-tmp")
     if not fs.exists(live_p):
-        old_p = jvm.org.apache.hadoop.fs.Path(base + ".compact-old")
-        tmp_p = jvm.org.apache.hadoop.fs.Path(base + ".compact-tmp")
         if fs.exists(old_p):
             if not fs.rename(old_p, live_p):
                 raise IOError(f"crash recovery failed: cannot restore {base}")
@@ -108,6 +108,13 @@ def compact_partitioned_parquet(
         elif fs.exists(tmp_p):
             if not fs.rename(tmp_p, live_p):
                 raise IOError(f"crash recovery failed: cannot promote {tmp_p}")
+    else:
+        # live exists → any surviving sidecar is leftover from a crash
+        # AFTER the promote (old not yet deleted) or a dead tmp write;
+        # reap it now rather than leaking a full table copy until the
+        # next compaction happens to trigger (ADVICE r8)
+        fs.delete(old_p, True)
+        fs.delete(tmp_p, True)
 
     counts = partition_file_counts(spark, path, partition_col)
     if not counts or max(counts.values()) <= max_files_per_partition:

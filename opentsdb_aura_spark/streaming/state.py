@@ -395,10 +395,16 @@ def streaming_crawl_ingest(
                 "long"
             )
         )
+        # errors sidecar schema is uniform across all three writers:
+        # (file_id, record_id, target_uri, error) — record-level
+        # failures keep the identifiers a crawl operator needs to
+        # diagnose WHICH fetch failed (ADVICE r8); file-level parse
+        # failures carry NULL record fields.
+        err_cols = ("file_id", "record_id", "target_uri", "error")
         recs = warc_records(batch_df, skip_errors=True, with_payload=True).localCheckpoint()
         errs = recs.where(F.col("error").isNotNull())
         if errs.take(1):
-            errs.select("file_id", "error").write.mode("append").parquet(f"{docs_path}_errors")
+            errs.select(*err_cols).write.mode("append").parquet(f"{docs_path}_errors")
         good = recs.where((F.col("error").isNull()) & (F.col("warc_type") == "response"))
         if http_html:
             from opentsdb_aura_spark.operators.htmltext import html_to_text
@@ -406,30 +412,39 @@ def streaming_crawl_ingest(
             resp = http_responses(good, skip_errors=True, with_body=True).localCheckpoint()
             http_errs = resp.where(F.col("error").isNotNull())
             if http_errs.take(1):
-                http_errs.select("file_id", "error").write.mode("append").parquet(
+                http_errs.select(*err_cols).write.mode("append").parquet(
                     f"{docs_path}_errors"
                 )
             pages = resp.where(F.col("error").isNull()).select(
-                "file_id", "record_id", F.col("body").alias("html")
+                "file_id", "record_id", "target_uri", F.col("body").alias("html")
             )
-            extracted = html_to_text(pages, keep_cols=("file_id", "record_id")).select(
-                id_expr.alias("doc_id"), F.col("text"), "file_id"
+            extracted = html_to_text(
+                pages, keep_cols=("file_id", "record_id", "target_uri")
+            ).select(
+                id_expr.alias("doc_id"), F.col("text"),
+                "file_id", "record_id", "target_uri",
             )
         else:
             extracted = good.select(
                 id_expr.alias("doc_id"),
                 F.col("payload").cast("string").alias("text"),
-                "file_id",
+                "file_id", "record_id", "target_uri",
             )
+        # checkpoint BEFORE the bad-id split: the extraction pass above
+        # feeds three consumers (bad-id probe, errors write, docs) and
+        # must run once per micro-batch, not once per sink (ADVICE r8)
+        extracted = extracted.localCheckpoint()
         bad_ids = extracted.where(F.col("doc_id").isNull())
         if bad_ids.take(1):
             bad_ids.select(
-                "file_id", F.lit("doc_id_extract_failed").alias("error")
+                "file_id", "record_id", "target_uri",
+                F.lit("doc_id_extract_failed").alias("error"),
             ).write.mode("append").parquet(f"{docs_path}_errors")
-        docs = extracted.where(F.col("doc_id").isNotNull())
+        docs = extracted.where(F.col("doc_id").isNotNull()).select(
+            "doc_id", "text", "file_id"
+        )
         if not docs.take(1):
             return
-        docs = docs.localCheckpoint()  # extraction runs once, not per sink
         docs.write.mode("append").parquet(docs_path)
         update_minhash_index(docs, index_path)
         if compact_max_files is not None:

@@ -189,6 +189,19 @@ def test_compaction_crash_recovery_restores_live_table(spark, tmp_path):
     assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == want
     assert not os.path.exists(path + ".compact-tmp")
 
+    # crash case 3: crash AFTER the promote but before delete(old) —
+    # live exists, a full stale table copy sits in .compact-old.  The
+    # next run must reap it on entry even when no compaction triggers
+    # (ADVICE r8: a quiet index would otherwise leak the copy forever).
+    import shutil
+
+    shutil.copytree(path, path + ".compact-old")
+    shutil.copytree(path, path + ".compact-tmp")
+    assert not compact_partitioned_parquet(spark, path, partition_col="band")
+    assert not os.path.exists(path + ".compact-old")
+    assert not os.path.exists(path + ".compact-tmp")
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == want
+
 
 def test_index_meta_read_strict_and_legacy_fallback(spark, tmp_path):
     """_read_index_meta: a MISSING meta dir (legacy index) falls back

@@ -2318,6 +2318,13 @@ def test_pq_index_persist_and_search(spark, tmp_path):
     }
     assert got_g == want_g
 
+    # grid and OPQ are mutually exclusive encodings — asking for both
+    # must raise, not silently drop the rotation (ADVICE r8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        build_pq_index(df, str(tmp_path / "pqx"), grid=True, opq_iters=2)
+
 
 def test_ivfpq_index_persist_probe_pruning_and_equivalence(spark, tmp_path):
     """Persisted IVFADC: (a) full-probe search from the at-rest index

@@ -740,6 +740,9 @@ def test_streaming_crawl_ingest_uuid_ids_routed_to_errors(spark, tmpdirs):
     ]
     errs = spark.read.parquet(docs_path + "_errors").collect()
     assert len(errs) == 1 and errs[0]["error"] == "doc_id_extract_failed"
+    # the sidecar row must identify WHICH record failed (ADVICE r8)
+    assert errs[0]["record_id"] == "urn:uuid:0f1e2d3c-9a8b-4c5d-8e6f-1234567890ab"
+    assert errs[0]["target_uri"] == "http://example.com/u"
     assert spark.read.parquet(tmpdirs["store"]).count() == 1
 
     # caller-supplied extractor ingests the production ids
@@ -814,6 +817,7 @@ def test_streaming_crawl_ingest_http_html_end_to_end(spark, tmpdirs):
     assert docs[0].endswith("content here!")
     errs = spark.read.parquet(docs_path + "_errors").collect()
     assert len(errs) == 1 and "HTTP" in errs[0]["error"]
+    assert errs[0]["record_id"] == "urn:uuid:doc-500"  # record-level diagnosis (ADVICE r8)
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(idx_path).select("doc_id").collect()
     ) == [0, 1, 9]

@@ -90,6 +90,7 @@ def encode_warc_file(
     gzip_records: bool = False,
     http_envelope: bool = False,
     html_body: bool = False,
+    content_encoding: bool = False,
 ) -> bytes:
     """A deterministic WARC file: one warcinfo record, then one
     response record per (doc_id, text) in the given order.
@@ -123,7 +124,9 @@ def encode_warc_file(
         else:
             body = text.encode()
         if http_envelope:
-            payload = encode_http_response(int(doc_id), body)
+            payload = encode_http_response(
+                int(doc_id), body, content_encoding=content_encoding
+            )
             rec_ct = "application/http;msgtype=response"
         else:
             payload = body
@@ -149,6 +152,7 @@ def synthesize_warc(
     gzip_records: bool = False,
     http_envelope: bool = False,
     html_body: bool = False,
+    content_encoding: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -174,6 +178,7 @@ def synthesize_warc(
             gzip_records=gzip_records,
             http_envelope=http_envelope,
             html_body=html_body,
+            content_encoding=content_encoding,
         )
         return pd.DataFrame({"file_id": [fid], "content": [content]})
 
@@ -477,14 +482,25 @@ def tar_members(
 #                                body (framing must stop at the length)
 #              doc_id % 3 == 2 → neither header: body runs to payload end
 #                                (connection-close framing)
+#   coding   : (only when content_encoding=True)
+#              doc_id % 5 == 0 → Content-Encoding: gzip
+#              doc_id % 5 == 3 → Content-Encoding: deflate (zlib format)
+#              else            → no header (identity)
+#              The coding applies to the REPRESENTATION, i.e. the body
+#              is compressed first and the transfer framing (chunking,
+#              Content-Length) wraps the compressed bytes — the RFC
+#              order the parser must undo in reverse.
 
 
-def encode_http_response(doc_id: int, body: bytes) -> bytes:
+def encode_http_response(doc_id: int, body: bytes, *, content_encoding: bool = False) -> bytes:
     """A deterministic HTTP/1.x response envelope around ``body``,
-    varying status line, charset parameter, and body framing by the
-    closed-form rules above so a DuckDB oracle can recompute every
-    parsed field from doc_id alone while the parser faces all three
-    framing modes."""
+    varying status line, charset parameter, body framing — and, with
+    ``content_encoding=True``, gzip/deflate representation coding —
+    by the closed-form rules above so a DuckDB oracle can recompute
+    every parsed field from doc_id alone while the parser faces all
+    three framing modes crossed with all three codings."""
+    import zlib
+
     status, reason = (404, "Not Found") if doc_id % 7 == 0 else (200, "OK")
     version = "1.0" if doc_id % 11 == 0 else "1.1"
     if doc_id % 4 == 2:
@@ -499,6 +515,13 @@ def encode_http_response(doc_id: int, body: bytes) -> bytes:
         b"Server: aura-fixture/1.0",
         b"X-Doc: " + str(doc_id).encode(),
     ]
+    if content_encoding:
+        if doc_id % 5 == 0:
+            lines.append(b"Content-Encoding: gzip")
+            body = _gzip_member(body)
+        elif doc_id % 5 == 3:
+            lines.append(b"Content-Encoding: deflate")
+            body = zlib.compress(body, 6)
     mode = doc_id % 3
     if mode == 0:
         lines.append(b"Transfer-Encoding: chunked")
@@ -539,14 +562,36 @@ def _dechunk(data: bytes) -> bytes:
         pos += size + 2
 
 
+def _inflate_body(body: bytes, coding: str) -> bytes:
+    """Undo a ``Content-Encoding`` representation coding (RFC 9110
+    §8.4): ``gzip``/``x-gzip`` and ``deflate``; ``identity`` is a
+    passthrough.  ``deflate`` is the zlib format per spec, but many
+    real servers send raw DEFLATE — try zlib first, fall back to raw
+    (the same leniency every browser applies).  Multi-coding lists
+    (``Content-Encoding: gzip, br``) and unknown codings raise — an
+    honest boundary the skip_errors contract contains per record."""
+    import zlib
+
+    if coding in ("gzip", "x-gzip"):
+        return zlib.decompress(body, 16 + zlib.MAX_WBITS)
+    if coding == "deflate":
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            return zlib.decompress(body, -zlib.MAX_WBITS)
+    raise ValueError(f"HTTP response: unsupported Content-Encoding {coding!r}")
+
+
 def _parse_http_response(payload: bytes) -> tuple:
     """Parse one HTTP/1.x response message: status line, case-
     insensitive headers, then body framing per RFC 9112 §6 precedence
     (Transfer-Encoding: chunked, else Content-Length, else read to
-    end / connection close).  Header bytes decode as latin-1 (the
-    HTTP/1.x wire charset); body bytes are returned raw.  Returns
-    (version, status_code, reason, content_type, charset, chunked,
-    content_length, n_headers, body)."""
+    end / connection close), then Content-Encoding inflation (gzip /
+    deflate — framing is undone BEFORE the representation coding, per
+    RFC order).  Header bytes decode as latin-1 (the HTTP/1.x wire
+    charset); body bytes are returned raw (post-inflation).  Returns
+    (version, status_code, reason, content_type, charset,
+    content_encoding, chunked, content_length, n_headers, body)."""
     import re as _re
 
     hdr_end = payload.find(b"\r\n\r\n")
@@ -581,6 +626,14 @@ def _parse_http_response(payload: bytes) -> tuple:
     else:
         body = rest  # connection-close framing: body runs to payload end
 
+    content_encoding = headers.get("content-encoding")
+    if content_encoding is not None:
+        content_encoding = content_encoding.strip().lower()
+        if content_encoding in ("", "identity"):
+            content_encoding = None
+    if content_encoding is not None:
+        body = _inflate_body(body, content_encoding)
+
     content_type = charset = None
     ct_raw = headers.get("content-type")
     if ct_raw is not None:
@@ -590,13 +643,17 @@ def _parse_http_response(payload: bytes) -> tuple:
             k, _, v = p.partition("=")
             if k.strip().lower() == "charset":
                 charset = v.strip().strip('"').lower()
-    return (version, status, reason, content_type, charset, chunked, content_length, len(headers), body)
+    return (
+        version, status, reason, content_type, charset, content_encoding,
+        chunked, content_length, len(headers), body,
+    )
 
 
 HTTP_RESPONSE_SCHEMA = (
     "file_id long, record_id string, target_uri string, http_version string, "
     "status_code int, reason string, content_type string, charset string, "
-    "chunked boolean, content_length long, n_headers int, body_md5 string, error string"
+    "content_encoding string, chunked boolean, content_length long, "
+    "n_headers int, body_md5 string, error string"
 )
 HTTP_RESPONSE_BODY_SCHEMA = HTTP_RESPONSE_SCHEMA + ", body binary"
 
@@ -605,9 +662,13 @@ def http_responses(
     records: DataFrame, *, skip_errors: bool = False, with_body: bool = False
 ) -> DataFrame:
     """Split the HTTP response envelope from WARC ``response`` record
-    payloads: status line, headers (content-type / charset / framing
-    fields surfaced as typed columns), and the framed body — the step
-    between the container source and the HTML/text pipeline.
+    payloads: status line, headers (content-type / charset /
+    content-encoding / framing fields surfaced as typed columns), and
+    the framed body — the step between the container source and the
+    HTML/text pipeline.  A ``Content-Encoding: gzip|deflate`` body is
+    INFLATED after framing (the form ~half of real crawl responses
+    arrive in), so ``body``/``body_md5`` always describe the decoded
+    representation downstream extraction consumes.
 
     Input is :func:`warc_records` output ``with_payload=True`` (a
     ``warc_type`` column, when present, pre-filters to response
@@ -637,6 +698,7 @@ def http_responses(
         "reason",
         "content_type",
         "charset",
+        "content_encoding",
         "chunked",
         "content_length",
         "n_headers",
@@ -656,18 +718,18 @@ def http_responses(
                 try:
                     if payload is None:
                         raise ValueError("record has no payload (re-read with_payload=True)")
-                    ver, code, reason, ctype, cset, chunked, clen, nh, body = (
+                    ver, code, reason, ctype, cset, cenc, chunked, clen, nh, body = (
                         _parse_http_response(bytes(payload))
                     )
                     row = (
-                        fid, rid, uri, ver, code, reason, ctype, cset,
+                        fid, rid, uri, ver, code, reason, ctype, cset, cenc,
                         chunked, clen, nh, hashlib.md5(body).hexdigest(), None,
                     )
                     rows.append(row + (body,) if with_body else row)
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-record containment
                     if not skip_errors:
                         raise
-                    err = (fid, rid, uri, None, None, None, None, None, None, None, None, None, str(exc))
+                    err = (fid, rid, uri) + (None,) * 10 + (str(exc),)
                     rows.append(err + (None,) if with_body else err)
             yield pd.DataFrame(rows, columns=cols)
 

@@ -303,6 +303,45 @@ def corpus_warc_http_responses(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_warc_gzip_body",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents)
+SELECT 'urn:uuid:doc-' || doc_id AS record_id,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status_code,
+       CASE WHEN doc_id % 5 = 0 THEN 'gzip'
+            WHEN doc_id % 5 = 3 THEN 'deflate' END AS content_encoding,
+       doc_id % 3 = 0 AS chunked,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 4 END
+            + CASE WHEN doc_id % 5 IN (0, 3) THEN 1 ELSE 0 END AS INTEGER) AS n_headers,
+       md5(text) AS body_md5
+FROM d""",
+)
+def corpus_warc_gzip_body(spark, sf_dir):
+    """``Content-Encoding: gzip|deflate`` body inflation, fully
+    oracle-checked: response payloads compress the document bytes
+    (representation coding) BEFORE transfer framing, crossing the
+    three framing modes with gzip / deflate / identity codings; the
+    parser must undo framing then inflate.  ``body_md5`` is the md5
+    of the DECODED body, so the hash compare proves the inflation
+    actually round-trips the original text — the most-hit real-crawl
+    gap (roughly half of live HTTP responses are gzip-coded)."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF,
+        http_envelope=True, content_encoding=True,
+    )
+    return http_responses(warc_records(files, with_payload=True)).select(
+        "record_id", "target_uri", "status_code",
+        "content_encoding", "chunked", "n_headers", "body_md5",
+    )
+
+
 _HTML_EXPECTED = """WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
@@ -371,6 +410,35 @@ def corpus_warc_html_text(spark, sf_dir):
 
     files = synthesize_warc(
         docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True, html_body=True
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    return html_to_text(pages).select("doc_id", "title", "text")
+
+
+@register("corpus_warc_gzip_html_text", ORACLES["corpus_warc_html_text"])
+def corpus_warc_gzip_html_text(spark, sf_dir):
+    """The full crawl chain with COMPRESSED bodies: documents →
+    fixture HTML → gzip/deflate representation coding → HTTP framing
+    → WARC → parse → split+inflate → extract.  Same oracle as
+    corpus_warc_html_text — identical title/text must emerge whether
+    or not the server compressed, proving Content-Encoding inflation
+    composes with every later stage."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF,
+        http_envelope=True, html_body=True, content_encoding=True,
     )
     resp = http_responses(warc_records(files, with_payload=True), with_body=True)
     pages = resp.select(

@@ -323,22 +323,22 @@ def test_http_parse_framing_modes():
 
     body = b"0123456789abcdefXYZ"  # 19 bytes -> 7+7+5 chunks
     # doc_id 0: %3==0 chunked, %7==0 -> 404, %2==0+%4==0 -> charset=utf-8
-    v, code, reason, ct, cs, chunked, clen, nh, got = _parse_http_response(
+    v, code, reason, ct, cs, cenc, chunked, clen, nh, got = _parse_http_response(
         encode_http_response(0, body)
     )
     assert (v, code, reason) == ("1.0", 404, "Not Found")  # 0 % 11 == 0 -> HTTP/1.0
-    assert (ct, cs, chunked, clen, nh) == ("text/html", "utf-8", True, None, 4)
+    assert (ct, cs, cenc, chunked, clen, nh) == ("text/html", "utf-8", None, True, None, 4)
     assert got == body
 
     # doc_id 1: Content-Length framing with junk past the body
-    v, code, reason, ct, cs, chunked, clen, nh, got = _parse_http_response(
+    v, code, reason, ct, cs, cenc, chunked, clen, nh, got = _parse_http_response(
         encode_http_response(1, body)
     )
     assert (v, code, chunked, clen, cs) == ("1.1", 200, False, len(body), None)
     assert got == body  # junk after Content-Length bytes NOT read
 
     # doc_id 2: neither header -> body runs to payload end; quoted charset
-    v, code, reason, ct, cs, chunked, clen, nh, got = _parse_http_response(
+    v, code, reason, ct, cs, cenc, chunked, clen, nh, got = _parse_http_response(
         encode_http_response(2, body)
     )
     assert (chunked, clen, nh, cs) == (False, None, 3, "utf-8")  # "UTF-8" unquoted+folded
@@ -347,6 +347,62 @@ def test_http_parse_framing_modes():
     # empty body round-trips in all three modes
     for d in (0, 1, 2):
         assert _parse_http_response(encode_http_response(d, b""))[-1] == b""
+
+
+def test_http_content_encoding_inflation():
+    """Content-Encoding handling: gzip and deflate bodies inflate back
+    to the original bytes under EVERY framing mode (framing undone
+    first, then the representation coding — RFC order); x-gzip aliases
+    gzip; raw-DEFLATE (no zlib wrapper) is accepted with the browser
+    leniency; identity passes through; an unknown coding raises."""
+    import zlib
+
+    import pytest
+
+    from opentsdb_aura_spark.operators.containers import (
+        _gzip_member,
+        _parse_http_response,
+        encode_http_response,
+    )
+
+    body = b"the quick brown fox jumps over the lazy dog " * 3
+    # fixture crossings: doc_id 0 (gzip+chunked), 10 (gzip+CL+junk),
+    # 20 (gzip+close), 3 (deflate+chunked), 13 (deflate+CL), 23 (deflate+close)
+    for d, want_cenc in [(0, "gzip"), (10, "gzip"), (20, "gzip"),
+                         (3, "deflate"), (13, "deflate"), (23, "deflate"),
+                         (1, None), (2, None)]:
+        out = _parse_http_response(encode_http_response(d, body, content_encoding=True))
+        assert out[5] == want_cenc, d
+        assert out[-1] == body, d
+        # empty bodies survive coding+framing too
+        assert _parse_http_response(
+            encode_http_response(d, b"", content_encoding=True)
+        )[-1] == b""
+
+    def msg(hdr, framed):
+        return b"HTTP/1.1 200 OK\r\n" + hdr + b"Content-Length: " + str(
+            len(framed)
+        ).encode() + b"\r\n\r\n" + framed
+
+    # x-gzip alias and case-insensitive value
+    out = _parse_http_response(msg(b"Content-Encoding: X-GZIP\r\n", _gzip_member(body)))
+    assert out[5] == "x-gzip" and out[-1] == body
+    # raw DEFLATE (no zlib header) — real-server leniency
+    co = zlib.compressobj(6, zlib.DEFLATED, -zlib.MAX_WBITS)
+    raw = co.compress(body) + co.flush()
+    out = _parse_http_response(msg(b"Content-Encoding: deflate\r\n", raw))
+    assert out[5] == "deflate" and out[-1] == body
+    # explicit identity is a passthrough and normalizes to None
+    out = _parse_http_response(msg(b"Content-Encoding: identity\r\n", body))
+    assert out[5] is None and out[-1] == body
+    # unknown / multi-coding values are honest failures
+    with pytest.raises(ValueError, match="unsupported Content-Encoding"):
+        _parse_http_response(msg(b"Content-Encoding: br\r\n", body))
+    with pytest.raises(ValueError, match="unsupported Content-Encoding"):
+        _parse_http_response(msg(b"Content-Encoding: gzip, br\r\n", body))
+    # corrupt gzip stream is a contained parse error, not a crash
+    with pytest.raises(Exception):
+        _parse_http_response(msg(b"Content-Encoding: gzip\r\n", b"\x1f\x8bnot gzip"))
 
 
 def test_http_parse_malformed_raises():

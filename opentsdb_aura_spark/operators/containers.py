@@ -91,6 +91,7 @@ def encode_warc_file(
     http_envelope: bool = False,
     html_body: bool = False,
     content_encoding: bool = False,
+    charset_body: bool = False,
 ) -> bytes:
     """A deterministic WARC file: one warcinfo record, then one
     response record per (doc_id, text) in the given order.
@@ -116,8 +117,22 @@ def encode_warc_file(
             content_type="application/warc-fields",
         )
     ]
+    if charset_body and not (http_envelope and html_body):
+        raise ValueError("charset_body requires http_envelope=True and html_body=True")
     for doc_id, text in docs:
-        if html_body:
+        charset_kw = {}
+        if charset_body:
+            from opentsdb_aura_spark.operators.htmltext import (
+                CHARSET_FIXTURES,
+                render_fixture_html,
+            )
+
+            codec, label, marker = CHARSET_FIXTURES[int(doc_id) % 4]
+            body = render_fixture_html(
+                int(doc_id), text, charset_marker=marker
+            ).encode(codec)
+            charset_kw = {"charset_param": label}
+        elif html_body:
             from opentsdb_aura_spark.operators.htmltext import render_fixture_html
 
             body = render_fixture_html(int(doc_id), text).encode()
@@ -125,7 +140,7 @@ def encode_warc_file(
             body = text.encode()
         if http_envelope:
             payload = encode_http_response(
-                int(doc_id), body, content_encoding=content_encoding
+                int(doc_id), body, content_encoding=content_encoding, **charset_kw
             )
             rec_ct = "application/http;msgtype=response"
         else:
@@ -153,6 +168,7 @@ def synthesize_warc(
     http_envelope: bool = False,
     html_body: bool = False,
     content_encoding: bool = False,
+    charset_body: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -179,6 +195,7 @@ def synthesize_warc(
             http_envelope=http_envelope,
             html_body=html_body,
             content_encoding=content_encoding,
+            charset_body=charset_body,
         )
         return pd.DataFrame({"file_id": [fid], "content": [content]})
 
@@ -492,18 +509,34 @@ def tar_members(
 #              order the parser must undo in reverse.
 
 
-def encode_http_response(doc_id: int, body: bytes, *, content_encoding: bool = False) -> bytes:
+_CHARSET_DEFAULT = object()  # sentinel: use the doc_id%4/%2 fixture rule
+
+
+def encode_http_response(
+    doc_id: int,
+    body: bytes,
+    *,
+    content_encoding: bool = False,
+    charset_param=_CHARSET_DEFAULT,
+) -> bytes:
     """A deterministic HTTP/1.x response envelope around ``body``,
     varying status line, charset parameter, body framing — and, with
     ``content_encoding=True``, gzip/deflate representation coding —
     by the closed-form rules above so a DuckDB oracle can recompute
     every parsed field from doc_id alone while the parser faces all
-    three framing modes crossed with all three codings."""
+    three framing modes crossed with all three codings.
+    ``charset_param`` overrides the fixture charset rule (a label
+    string, or None for no charset parameter) — the charset-body
+    fixtures pass the label the body was ACTUALLY encoded with."""
     import zlib
 
     status, reason = (404, "Not Found") if doc_id % 7 == 0 else (200, "OK")
     version = "1.0" if doc_id % 11 == 0 else "1.1"
-    if doc_id % 4 == 2:
+    if charset_param is not _CHARSET_DEFAULT:
+        ct = b"text/html" if charset_param is None else (
+            "text/html; charset=" + charset_param
+        ).encode("iso-8859-1")
+    elif doc_id % 4 == 2:
         ct = b'text/html; charset="UTF-8"'
     elif doc_id % 2 == 0:
         ct = b"text/html; charset=utf-8"

@@ -112,11 +112,28 @@ def extract_html_text(src: str, *, boilerplate_threshold: float = 0.5) -> tuple:
     return title, "\n".join(kept), n_blocks, n_boiler, link_chars, text_chars
 
 
+def _decode_page(raw, charset: str | None) -> str:
+    """Decode page bytes with the response's declared charset (default
+    utf-8).  Unknown charset labels fall back to utf-8 and bad byte
+    sequences decode with U+FFFD replacement — deterministic crawl-
+    grade leniency: one mislabeled page yields replacement characters,
+    never a dead task."""
+    import codecs
+
+    codec = (charset or "utf-8").strip()
+    try:
+        codecs.lookup(codec)
+    except LookupError:
+        codec = "utf-8"
+    return bytes(raw).decode(codec, errors="replace")
+
+
 def html_to_text(
     pages: DataFrame,
     *,
     html_col: str = "html",
     keep_cols: tuple[str, ...] = ("doc_id",),
+    charset_col: str | None = None,
     boilerplate_threshold: float = 0.5,
 ) -> DataFrame:
     """HTML → training text over a pages frame: one Arrow-batched
@@ -127,11 +144,21 @@ def html_to_text(
     char counters let downstream quality filters reuse the page-level
     link density without re-parsing.  NULL html yields NULL title/
     text with zeroed counters (the upstream error row convention:
-    containment happened at the HTTP/WARC layer)."""
+    containment happened at the HTTP/WARC layer).
+
+    ``charset_col`` names the per-row charset column the HTTP layer
+    parsed (http_responses' ``charset``): the html column is then
+    consumed as BYTES and decoded per row in the same Arrow pass —
+    latin-1 / Shift_JIS / etc. pages decode correctly instead of
+    being blind-cast as UTF-8 (NULL charset defaults to utf-8;
+    unknown labels fall back with replacement, see
+    :func:`_decode_page`)."""
     in_fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
     missing = [c for c in keep_cols if c not in in_fields]
     if missing:
         raise ValueError(f"keep_cols not in input: {missing}")
+    if charset_col is not None and charset_col not in in_fields:
+        raise ValueError(f"charset_col not in input: {charset_col}")
     out_schema = ", ".join(
         [f"{c} {in_fields[c]}" for c in keep_cols]
         + [
@@ -143,8 +170,16 @@ def html_to_text(
             "text_chars long",
         ]
     )
-    proj = pages.select(*keep_cols, F.col(html_col).cast("string").alias("_html"))
+    if charset_col is None:
+        proj = pages.select(*keep_cols, F.col(html_col).cast("string").alias("_html"))
+    else:
+        proj = pages.select(
+            *keep_cols,
+            F.col(charset_col).cast("string").alias("_charset"),
+            F.col(html_col).cast("binary").alias("_html"),
+        )
     thr = float(boilerplate_threshold)
+    with_charset = charset_col is not None
     out_cols = list(keep_cols) + [
         "title", "text", "n_blocks", "n_boilerplate", "link_chars", "text_chars",
     ]
@@ -153,10 +188,16 @@ def html_to_text(
         for pdf in batches:
             rows = []
             for tup in pdf.itertuples(index=False):
-                *keys, src = tup
+                if with_charset:
+                    *keys, charset, src = tup
+                else:
+                    *keys, src = tup
+                    charset = None
                 if src is None:
                     rows.append((*keys, None, None, 0, 0, 0, 0))
                     continue
+                if with_charset:
+                    src = _decode_page(src, charset)
                 rows.append((*keys, *extract_html_text(src, boilerplate_threshold=thr)))
             yield pd.DataFrame(rows, columns=out_cols)
 
@@ -165,8 +206,22 @@ def html_to_text(
 
 # --------------------------------------------------- fixture page renderer
 
+# Charset fixture rule, keyed on doc_id % 4 (crossed with the %3 HTTP
+# framing and %5 coding rules — lcm covers every combination):
+# (python codec, Content-Type charset label or None, non-ASCII marker).
+# The DuckDB oracle in queries/containers.py mirrors the markers as
+# UTF-8 SQL literals — change them together.  Labels vary case and
+# quoting so header normalization is exercised; entry 3 omits the
+# parameter (the decoder's utf-8 default path).
+CHARSET_FIXTURES = [
+    ("iso-8859-1", "ISO-8859-1", "café déjà vu ¡sí señor!"),
+    ("shift_jis", "Shift_JIS", "日本語のテキストです"),
+    ("utf-8", '"utf-8"', "Ünïcøde page ☃"),
+    ("utf-8", None, "naïve coöperation"),
+]
 
-def render_fixture_html(doc_id: int, text: str) -> str:
+
+def render_fixture_html(doc_id: int, text: str, *, charset_marker: str | None = None) -> str:
     """The deterministic fixture page: document text escaped into one
     content paragraph, surrounded by every trap the extractor must
     survive — a comment, a head section with title/style/script (the
@@ -176,9 +231,20 @@ def render_fixture_html(doc_id: int, text: str) -> str:
 
     The extraction of this page is a CLOSED FORM of (doc_id, text) —
     the DuckDB oracle in queries/containers.py rebuilds expected
-    title/text/counters from the same rule; change them together."""
+    title/text/counters from the same rule; change them together.
+
+    ``charset_marker`` appends one extra content block ``Charset
+    marker: <marker>`` after the filler div — the charset fixtures
+    put NON-ASCII text there so a wrong-codec decode anywhere in the
+    WARC → HTTP → HTML chain breaks the value hash instead of passing
+    by ASCII luck."""
     i = str(int(doc_id))
     esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    marker = (
+        "  <div>Charset marker: " + charset_marker + "</div>\n"
+        if charset_marker is not None
+        else ""
+    )
     return (
         "<!-- fixture page " + i + " -->\n"
         "<html>\n"
@@ -193,6 +259,7 @@ def render_fixture_html(doc_id: int, text: str) -> str:
         "  <p>" + esc + " &lt;fin&gt;</p>\n"
         '  <div>See <a href="/next">next page</a> for more filler words totally real'
         " content here&#x21;</div>\n"
+        + marker +
         '  <footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer>\n'
         " </body>\n"
         "</html>\n"

@@ -421,6 +421,56 @@ def corpus_warc_html_text(spark, sf_dir):
     return html_to_text(pages).select("doc_id", "title", "text")
 
 
+@register(
+    "corpus_warc_charset_html_text",
+    _HTML_EXPECTED
+    + """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'iso-8859-1' WHEN 1 THEN 'shift_jis'
+                       WHEN 2 THEN 'utf-8' END AS charset,
+       title,
+       h1 || chr(10) || p || chr(10) || dv || chr(10) || 'Charset marker: ' ||
+       CASE doc_id % 4
+         WHEN 0 THEN 'café déjà vu ¡sí señor!'
+         WHEN 1 THEN '日本語のテキストです'
+         WHEN 2 THEN 'Ünïcøde page ☃'
+         ELSE 'naïve coöperation' END AS text
+FROM e""",
+)
+def corpus_warc_charset_html_text(spark, sf_dir):
+    """Charset-aware body decode through the full crawl chain: fixture
+    pages carry a NON-ASCII marker block and are encoded latin-1 /
+    Shift_JIS / utf-8 (quoted label / no label) per the doc_id%4 rule,
+    with the true label in Content-Type; the HTTP splitter surfaces
+    the parsed charset and html_to_text(charset_col=...) decodes the
+    body bytes with it.  The oracle recomputes title + text INCLUDING
+    the marker from doc_id alone, so a blind-UTF-8 cast (mojibake) or
+    label normalization slip anywhere breaks the value hash — the
+    non-ASCII path corpus_warc_html_text's ASCII fixture can't see."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF,
+        http_envelope=True, html_body=True, charset_body=True,
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        "charset",
+        F.col("body").alias("html"),
+    )
+    return html_to_text(pages, keep_cols=("doc_id", "charset"), charset_col="charset").select(
+        "doc_id", "charset", "title", "text"
+    )
+
+
 @register("corpus_warc_gzip_html_text", ORACLES["corpus_warc_html_text"])
 def corpus_warc_gzip_html_text(spark, sf_dir):
     """The full crawl chain with COMPRESSED bodies: documents →

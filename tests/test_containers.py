@@ -517,6 +517,42 @@ def test_html_to_text_edges(spark):
         html_to_text(pages, keep_cols=("nope",))
 
 
+def test_html_to_text_charset_decode(spark):
+    """charset_col decode path: latin-1 and Shift_JIS bytes decode
+    with the declared charset (NOT blind utf-8), NULL charset defaults
+    to utf-8, an unknown label falls back to utf-8, and mislabeled
+    bytes yield U+FFFD replacement instead of a dead task."""
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+
+    latin = "<p>café ¡sí!</p>".encode("iso-8859-1")
+    sjis = "<p>日本語です</p>".encode("shift_jis")
+    utf = "<p>snowman ☃</p>".encode("utf-8")
+    pages = spark.createDataFrame(
+        [
+            (0, "iso-8859-1", bytearray(latin)),
+            (1, "shift_jis", bytearray(sjis)),
+            (2, None, bytearray(utf)),
+            (3, "klingon-1", bytearray(utf)),   # unknown label -> utf-8
+            (4, "utf-8", bytearray(latin)),     # mislabeled -> replacement
+        ],
+        "doc_id long, charset string, html binary",
+    )
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in html_to_text(pages, charset_col="charset").collect()
+    }
+    assert rows[0] == "café ¡sí!"
+    assert rows[1] == "日本語です"
+    assert rows[2] == "snowman ☃"
+    assert rows[3] == "snowman ☃"
+    assert "�" in rows[4]  # deterministic mojibake, not a crash
+
+    import pytest
+
+    with pytest.raises(ValueError, match="charset_col"):
+        html_to_text(pages, charset_col="nope")
+
+
 def test_extract_html_text_traps():
     """Entity decoding order (escaped markup stays text), comment and
     script/style containment, head removal, inline-tag stripping."""

@@ -194,6 +194,40 @@ def gopher_quality_flags(
     return sig.withColumn("keep", keep)
 
 
+def link_density_flags(
+    pages: DataFrame,
+    *,
+    link_col: str = "link_chars",
+    text_col: str = "text_chars",
+    id_col: str = "doc_id",
+    max_link_density: float = 0.3,
+) -> DataFrame:
+    """Page-level link-density gate over html_to_text output: pages
+    whose visible characters are mostly anchor text are link farms /
+    navigation hubs, not content (the page-level form of the
+    block-level Kohlschütter rule html_to_text applies, with the
+    ~0.3 threshold the C4/RefinedWeb-style web curation stacks use).
+
+    Consumes the ``link_chars``/``text_chars`` counters the extractor
+    already emits — no re-parse, just one codegen'd projection (at
+    100 TB the HTML pass runs once and every downstream quality gate
+    reuses its counters).  ``link_density`` is NULL for pages with no
+    visible text (and such pages fail the gate: nothing to keep).
+    Returns (doc_id, link_chars, text_chars, link_density,
+    ok_link_density)."""
+    lk, tx = F.col(link_col).cast("double"), F.col(text_col).cast("double")
+    density = F.when(tx > 0, lk / tx)
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(link_col).cast("bigint").alias("link_chars"),
+        F.col(text_col).cast("bigint").alias("text_chars"),
+        density.alias("link_density"),
+        F.coalesce(density <= float(max_link_density), F.lit(False)).alias(
+            "ok_link_density"
+        ),
+    )
+
+
 def corpus_line_dedup(
     docs: DataFrame,
     *,

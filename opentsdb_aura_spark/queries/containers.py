@@ -471,6 +471,57 @@ def corpus_warc_charset_html_text(spark, sf_dir):
     )
 
 
+@register(
+    "quality_link_density",
+    _HTML_EXPECTED
+    + """,
+s AS (
+  SELECT doc_id,
+         CAST(length('Home') + length('About') + length('next page')
+              + length('Terms') + length('Privacy') AS BIGINT) AS link_chars,
+         CAST(length('Home About') + length(h1) + length(p) + length(dv)
+              + length('Terms Privacy') AS BIGINT) AS text_chars
+  FROM e)
+SELECT doc_id, link_chars, text_chars,
+       round(link_chars * 1.0 / text_chars, 6) AS link_density,
+       link_chars * 1.0 / text_chars <= 0.3 AS ok_link_density
+FROM s""",
+)
+def quality_link_density(spark, sf_dir):
+    """Page-level link-density quality gate composed onto the full
+    crawl chain: docs → fixture HTML → HTTP → WARC → parse → split →
+    extract → link_density_flags, reusing the extractor's link/text
+    char counters with no re-parse.  The oracle re-derives both
+    counters from the fixture renderer's closed form and recomputes
+    density + flag, so the gate's arithmetic AND its composition with
+    the chain are value-hash-checked (pages with near-empty document
+    text flunk: chrome chars dominate)."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+    from opentsdb_aura_spark.operators.quality import link_density_flags
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True, html_body=True
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    flags = link_density_flags(html_to_text(pages))
+    return flags.select(
+        "doc_id", "link_chars", "text_chars",
+        F.round("link_density", 6).alias("link_density"),
+        "ok_link_density",
+    )
+
+
 @register("corpus_warc_gzip_html_text", ORACLES["corpus_warc_html_text"])
 def corpus_warc_gzip_html_text(spark, sf_dir):
     """The full crawl chain with COMPRESSED bodies: documents →

@@ -121,3 +121,21 @@ def test_lm_bigram_scores(spark):
     assert abs(got[0][1] - (2 * lp_ab + lp_ba) / 3) < 1e-9
     assert got[1][0] == 1
     assert abs(got[1][1] - lp_zz) < 1e-9
+
+
+def test_link_density_flags_edges(spark):
+    """link_density_flags: hand-computed density, the 0.3 boundary is
+    inclusive, and a zero-text page gets NULL density + a False flag
+    (3VL must not leak a NULL keep decision)."""
+    from opentsdb_aura_spark.operators.quality import link_density_flags
+
+    pages = spark.createDataFrame(
+        [(0, 30, 100), (1, 30, 300), (2, 31, 100), (3, 0, 0), (4, 0, 50)],
+        "doc_id long, link_chars long, text_chars long",
+    )
+    got = {r["doc_id"]: r for r in link_density_flags(pages).collect()}
+    assert got[0]["link_density"] == 0.3 and got[0]["ok_link_density"] is True
+    assert got[1]["ok_link_density"] is True
+    assert got[2]["ok_link_density"] is False
+    assert got[3]["link_density"] is None and got[3]["ok_link_density"] is False
+    assert got[4]["link_density"] == 0.0 and got[4]["ok_link_density"] is True

@@ -248,6 +248,7 @@ def streaming_near_dup(
     id_col: str = "media_id",
     hash_col: str = "fp",
     max_hamming: int = 3,
+    compact_max_files: int | None = 64,
     trigger_available_now: bool = True,
 ):
     """Cross-batch STREAMING near-dup detection over any 64-bit
@@ -271,8 +272,16 @@ def streaming_near_dup(
     id order).  foreachBatch is at-least-once: only a crash in the
     window between the pairs append and the index append can make a
     replay re-emit the SAME pair rows — dedupe downstream on
-    (probe_id, index_id) where exactly-once matters.  Returns the
-    started StreamingQuery."""
+    (probe_id, index_id) where exactly-once matters.
+
+    ``compact_max_files`` bounds small-file buildup in the banded
+    index across sustained batches (the same hook streaming_crawl
+    ingest applies to its MinHash index): when any ``band=`` directory
+    exceeds the bound, the index is rewritten to a few row-group-
+    sorted files — probe results are identical before/after, and the
+    probe's listing/footer overhead stays O(bands), not O(batches
+    ever ingested).  None disables.  Returns the started
+    StreamingQuery."""
     from opentsdb_aura_spark.operators.dedup_text import (
         banded_hamming_pairs,
         probe_fingerprint_index,
@@ -320,6 +329,12 @@ def streaming_near_dup(
         ).select("probe_id", "index_id", F.col("hamming").cast("int").alias("hamming"))
         cross.unionByName(intra).write.mode("append").parquet(pairs_path)
         update_fingerprint_index(fps, index_path, id_col=id_col, hash_col=hash_col)
+        if compact_max_files is not None:
+            from opentsdb_aura_spark.sources.maintenance import compact_fingerprint_index
+
+            compact_fingerprint_index(
+                spark, index_path, max_files_per_band=compact_max_files
+            )
 
     writer = (
         stream_fps.writeStream.foreachBatch(process_batch)

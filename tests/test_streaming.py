@@ -642,6 +642,48 @@ def test_streaming_near_dup_cross_batch(spark, tmpdirs):
     assert set(got) <= set(got3) and len(got3) == len(got) + 3
 
 
+def test_streaming_near_dup_compaction_bounds_index_files(spark, tmpdirs):
+    """Sustained streaming appends must NOT accumulate one file per
+    band per batch forever: with the compact_max_files hook, after a
+    long simulated run (8 micro-batches) every band= directory of the
+    fingerprint index holds at most the bound, the hook demonstrably
+    fired (file count far below the batch count), and probe results
+    are identical to the uncompacted layout's (ADVICE r8 parity with
+    streaming_crawl_ingest's MinHash hook)."""
+    from opentsdb_aura_spark.sources.maintenance import partition_file_counts
+    from opentsdb_aura_spark.streaming.state import streaming_near_dup
+
+    fp_schema = "media_id long, fp long"
+    base = 0x7123456789ABCDE0
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, fp_schema).coalesce(1).write.parquet(
+            f"{tmpdirs['in']}/{name}"
+        )
+        stream = spark.readStream.schema(fp_schema).parquet(tmpdirs["in"] + "/*")
+        streaming_near_dup(
+            stream, tmpdirs["store"], tmpdirs["out"], tmpdirs["ckpt"],
+            max_hamming=3, compact_max_files=3,
+        ).awaitTermination(120)
+
+    # 8 batches; batch k's id 100+k is near the original id 0
+    run_batch([(0, base), (1, -base)], "b0")
+    for k in range(1, 8):
+        run_batch([(100 + k, base ^ (1 << (k % 4))), (200 + k, -base ^ (1 << k))], f"b{k}")
+
+    counts = partition_file_counts(spark, tmpdirs["store"], "band")
+    assert max(counts.values()) <= 3, counts   # bound held across the run
+    # the hook actually compacted: without it every band would hold
+    # one file per batch (8)
+    assert max(counts.values()) < 8
+    got = {
+        (r["probe_id"], r["index_id"]): r["hamming"]
+        for r in spark.read.parquet(tmpdirs["out"]).collect()
+    }
+    for k in range(1, 8):
+        assert got[(100 + k, 0)] == 1  # every cross-batch pair survived compactions
+
+
 def test_streaming_crawl_ingest_warc_to_index(spark, tmpdirs):
     """Streaming crawl ingestion: WARC file batches (gzip, one corrupt)
     stream through record extraction into the documents table and the

@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "ann_pq_rerank_topk",
     "corpus_warc_url_dedup",
     "ann_ivfpq_residual_topk",
+    # round 8-9 additions: the crawl front half (HTTP envelope, the
+    # gzip-coded full chain, and the link-density gate composed on it)
+    "corpus_warc_http_responses",
+    "corpus_warc_gzip_html_text",
+    "quality_link_density",
 ]
 
 

@@ -771,6 +771,70 @@ def http_responses(
     )
 
 
+# ------------------------------------------------------------- WET text sink
+
+
+def write_wet_files(
+    texts: DataFrame,
+    *,
+    docs_per_file: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    uri_col: str | None = None,
+) -> DataFrame:
+    """Pack extracted page text into WET-style WARC files — the
+    ``conversion``-record container the Common Crawl ecosystem ships
+    extracted text in (one warcinfo record, then one
+    ``WARC-Type: conversion`` / ``text/plain`` record per page, UTF-8
+    payloads).  The curation pipeline's EXPORT half: after
+    WARC → HTTP → HTML → text → quality/dedup, this writes the
+    surviving text back out in the format downstream consumers (and
+    this repo's own ``warc_records``) already read — the round trip
+    is value-hash-oracled in ``corpus_wet_roundtrip``.
+
+    Same shape as :func:`synthesize_warc`: one applyInPandas per file
+    group keyed on ``doc_id DIV docs_per_file``, returns
+    (file_id long, content binary) for the caller to write (e.g.
+    ``.write.parquet`` or per-file blob upload).  ``uri_col``
+    passes through real page URIs; default derives the fixture URI."""
+    cols = [
+        F.expr(f"CAST(`{id_col}` DIV {int(docs_per_file)} AS LONG)").alias("file_id"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(text_col).alias("_text"),
+    ]
+    cols.append(
+        F.col(uri_col).alias("_uri")
+        if uri_col is not None
+        else F.concat(F.lit("http://example.com/doc/"), F.col(id_col).cast("long")).alias("_uri")
+    )
+    grouped = texts.select(*cols)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        fid = int(pdf["file_id"].iloc[0])
+        out = [
+            encode_warc_record(
+                "warcinfo",
+                f"urn:uuid:wetinfo-{fid}",
+                WARCINFO_PAYLOAD,
+                content_type="application/warc-fields",
+            )
+        ]
+        for doc_id, text, uri in zip(pdf["_id"], pdf["_text"], pdf["_uri"]):
+            out.append(
+                encode_warc_record(
+                    "conversion",
+                    f"urn:uuid:wet-{doc_id}",
+                    ("" if text is None else str(text)).encode(),
+                    target_uri=None if uri is None else str(uri),
+                    content_type="text/plain",
+                )
+            )
+        return pd.DataFrame({"file_id": [fid], "content": [b"".join(out)]})
+
+    return grouped.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
+
+
 # -------------------------------------------------------------- URL curation
 
 

@@ -522,6 +522,39 @@ def quality_link_density(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_wet_roundtrip",
+    _HTML_EXPECTED
+    + """,
+w AS (
+  SELECT doc_id, h1 || chr(10) || p || chr(10) || dv AS text FROM e)
+SELECT 'urn:uuid:wet-' || doc_id AS record_id,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       'conversion' AS warc_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5
+FROM w""",
+)
+def corpus_wet_roundtrip(spark, sf_dir):
+    """The curation pipeline's EXPORT half, round-tripped: extracted
+    page text (via the oracled HTML chain) packs into WET-style
+    ``conversion``-record WARC files (write_wet_files) and parses
+    back through the SAME warc_records reader — the oracle recomputes
+    each conversion record's digest and byte length from the fixture
+    extraction's closed form, so the sink's framing and payload
+    encoding are value-hash-proven, not just re-readable."""
+    from opentsdb_aura_spark.operators.containers import warc_records, write_wet_files
+    from opentsdb_aura_spark.operators.htmltext import html_to_text, synthesize_html
+
+    text = html_to_text(synthesize_html(docs_raw(spark, sf_dir))).select("doc_id", "text")
+    wet = write_wet_files(text, docs_per_file=_DPF)
+    return (
+        warc_records(wet)
+        .where(F.col("warc_type") == "conversion")
+        .select("record_id", "target_uri", "warc_type", "content_length", "payload_md5")
+    )
+
+
 @register("corpus_warc_gzip_html_text", ORACLES["corpus_warc_html_text"])
 def corpus_warc_gzip_html_text(spark, sf_dir):
     """The full crawl chain with COMPRESSED bodies: documents →

@@ -569,3 +569,26 @@ def test_extract_html_text_traps():
     assert text == "a bold <i> literal @"  # div dropped: 5/6 anchor chars
     assert (n_blocks, n_boiler) == (2, 1)
     assert lc == 5 and tc == len("a bold <i> literal @") + len("go now")
+
+
+def test_write_wet_files_roundtrip_and_nulls(spark):
+    """WET export: conversion records round-trip through warc_records
+    (one warcinfo + one conversion per doc, doc-id file grouping),
+    NULL text becomes an empty payload instead of a crash, and a
+    caller-supplied uri_col passes through."""
+    from opentsdb_aura_spark.operators.containers import warc_records, write_wet_files
+
+    texts = spark.createDataFrame(
+        [(0, "alpha text", "http://a/0"), (1, None, "http://a/1"), (2, "beta", None)],
+        "doc_id long, text string, uri string",
+    )
+    recs = warc_records(write_wet_files(texts, docs_per_file=2, uri_col="uri")).collect()
+    by_id = {r["record_id"]: r for r in recs}
+    assert {r["warc_type"] for r in recs} == {"warcinfo", "conversion"}
+    assert by_id["urn:uuid:wet-0"]["target_uri"] == "http://a/0"
+    assert by_id["urn:uuid:wet-0"]["content_length"] == len("alpha text")
+    assert by_id["urn:uuid:wet-1"]["content_length"] == 0  # NULL text -> empty
+    assert by_id["urn:uuid:wet-2"]["target_uri"] is None
+    # two files: docs {0,1} and {2}, each led by its warcinfo at offset 0
+    infos = [r for r in recs if r["warc_type"] == "warcinfo"]
+    assert len(infos) == 2 and all(r["offset"] == 0 for r in infos)

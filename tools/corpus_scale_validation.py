@@ -375,6 +375,7 @@ def main() -> None:
         warc_records,
     )
 
+    n_cont = min(n_docs, 100_000)
     cdocs = docs.where(F.col("doc_id") < 100_000).localCheckpoint()
     t0 = time.perf_counter()
     wrec = warc_records(synthesize_warc(cdocs, docs_per_file=500)).localCheckpoint()
@@ -406,8 +407,61 @@ def main() -> None:
         f"({n_tar} members)",
         file=sys.stderr,
     )
-    assert n_wrec == 100_000 and n_tar == 100_000, "container round-trip lost records"
+    assert n_wrec == n_cont and n_tar == n_cont, "container round-trip lost records"
     assert bad == 0, "WARC payload digest / length mismatch vs source docs"
+
+    # ---- round 9: the FULL production crawl chain at n_docs scale —
+    # docs → fixture HTML → gzip/deflate Content-Encoding → HTTP
+    # framing (chunked / Content-Length / close) → WARC .gz
+    # (member-per-record) → parse → envelope split + inflate →
+    # boilerplate-stripped text → MinHash near-dup.  The every-101st
+    # planted near-dups must SURVIVE the whole chain (HTML chrome,
+    # compression, framing, extraction) and still band-collide; the
+    # LSH catch rate at 32 perms / 8 bands for these ~0.8-Jaccard
+    # pairs is ≥ 0.98, so ≥ 0.95 observed is the pass line.
+    from opentsdb_aura_spark.operators.containers import http_responses
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+
+    t0 = time.perf_counter()
+    cfiles = synthesize_warc(
+        docs, docs_per_file=1000, gzip_records=True,
+        http_envelope=True, html_body=True, content_encoding=True,
+    )
+    cresp = http_responses(warc_records(cfiles, with_payload=True), with_body=True)
+    cpages = cresp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    ctext = html_to_text(cpages).select("doc_id", "text").localCheckpoint()
+    n_chain = ctext.count()
+    timings["crawl_chain_sec"] = round(time.perf_counter() - t0, 2)
+    timings["crawl_chain_docs_per_sec"] = round(n_chain / timings["crawl_chain_sec"])
+    t0 = time.perf_counter()
+    cpairs = minhash_lsh_candidates(
+        ctext, num_perm=32, bands=8, threshold=0.5
+    ).localCheckpoint()
+    n_cpairs = cpairs.count()
+    planted_found = cpairs.where(
+        (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_b") % 101 == 0)
+    ).count()
+    planted_expected = (n_docs - 1) // 101
+    timings["crawl_chain_minhash_sec"] = round(time.perf_counter() - t0, 2)
+    timings["crawl_chain_pairs"] = n_cpairs
+    timings["crawl_chain_planted_found"] = planted_found
+    timings["crawl_chain_planted_expected"] = planted_expected
+    print(
+        f"# crawl_chain ({n_chain} docs): {timings['crawl_chain_sec']}s "
+        f"({timings['crawl_chain_docs_per_sec']} docs/s); minhash "
+        f"{timings['crawl_chain_minhash_sec']}s, planted "
+        f"{planted_found}/{planted_expected}",
+        file=sys.stderr,
+    )
+    assert n_chain == n_docs, "crawl chain lost documents"
+    assert planted_found >= 0.95 * planted_expected, (
+        "planted near-dups did not survive the crawl chain"
+    )
 
     # ---- vectors: 32-d deterministic embeddings, 100 queries
     vecs = spark.range(n_vec, numPartitions=64).select(

@@ -1,0 +1,132 @@
+"""sf1 headline tier: the ~12 headline METRIC queries at 10× the
+sf0.1 row count, vs the same queries at sf0.1 in the SAME session —
+the scale-up evidence BASELINE.md records (VERDICT r8 item 1d).
+
+The sf1 events table is synthesized from sf0.1 by unioning 10 copies
+with disjoint user_id/event_id ranges: 10× the points AND 10× the
+series over the same 30-day window, so scans, group-bys, and the
+store build all do honest 10× work (a pure ts-shift would let
+partition pruning skip the extra rows).  All other tables are copied
+verbatim (the metric family reads only events).
+
+Usage: python tools/sf1_headline_bench.py
+Prints one JSON line: per-query seconds at sf1 and sf0.1, the ratio,
+and the store build times.  Pass criterion (recorded, not asserted):
+ratio ≤ 2 × the 10× linear scale, i.e. sf1_sec ≤ 20 × sf01_sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/spark_graft_sf1"
+COPIES = 10
+
+HEADLINE = [
+    "ds_sum_daily",
+    "ds_avg_hourly",
+    "ds_spine_hourly_purchase",
+    "rate_purchase",
+    "fused_rate_ds_gb",
+    "rollup_sum_daily",
+    "splice_mixed_resolution_sum",
+    "topn_metrics_by_sum",
+    "gb_sum_by_user_daily",
+    "gb_two_keys_daily",
+    "timeshift_sum_daily_purchase",
+    "rollup_hist_p90_daily",
+]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SF1, "_BUILT")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(SF1, ignore_errors=True)
+    os.makedirs(SF1, exist_ok=True)
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    parts = [
+        ev.select(
+            (F.col("event_id") + k * 10_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SF1}/events.parquet")
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        src = f"{SF01}/{t}.parquet"
+        if os.path.exists(src):
+            shutil.copy(src, f"{SF1}/{t}.parquet")
+    open(marker, "w").write("ok")
+
+
+def main() -> None:
+    from opentsdb_aura_spark import get_spark
+    from opentsdb_aura_spark.catalog import SPARK_QUERIES
+    from opentsdb_aura_spark.sources.batch import ensure_event_store
+
+    spark = get_spark("sf1_headline_bench")
+    out: dict = {"metric": "sf1_headline_bench", "unit": "sec", "copies": COPIES}
+
+    t0 = time.perf_counter()
+    build_sf1(spark)
+    out["sf1_synth_sec"] = round(time.perf_counter() - t0, 2)
+
+    # store builds timed separately so query timings measure queries
+    t0 = time.perf_counter()
+    ensure_event_store(spark, SF01)
+    out["store_build_sf01_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ensure_event_store(spark, SF1)
+    out["store_build_sf1_sec"] = round(time.perf_counter() - t0, 2)
+
+    def run(name: str, sf_dir: str) -> float:
+        best = None
+        for _ in range(2):  # min-of-2: container variance (memory note)
+            t = time.perf_counter()
+            SPARK_QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    q01, q1, ratio = {}, {}, {}
+    worst = 0.0
+    for name in HEADLINE:
+        q01[name] = run(name, SF01)
+        q1[name] = run(name, SF1)
+        ratio[name] = round(q1[name] / q01[name], 2)
+        worst = max(worst, ratio[name])
+        print(
+            f"# {name}: sf0.1 {q01[name]}s -> sf1 {q1[name]}s ({ratio[name]}x)",
+            file=sys.stderr,
+        )
+    out["sf01"] = q01
+    out["sf1"] = q1
+    out["ratio_sf1_over_sf01"] = ratio
+    out["worst_ratio"] = worst
+    out["linear_scale"] = COPIES
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

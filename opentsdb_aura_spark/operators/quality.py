@@ -134,6 +134,7 @@ def gopher_quality_flags(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style per-doc quality gate: one row per doc with the raw
     signals, each rule's boolean, and ``keep`` = AND of all rules.
@@ -146,6 +147,9 @@ def gopher_quality_flags(
 
     Pure Catalyst map stage — one projection, no shuffle, no Python;
     at 100 TB this pushes straight down onto the parquet scan.
+    ``extra_cols`` pass through unchanged so downstream gates (e.g.
+    the page-level link-density flag over html_to_text's counters)
+    compose in the SAME projection instead of re-joining the frame.
     """
     t = F.col(text_col)
     toks = tokens(t)
@@ -169,6 +173,7 @@ def gopher_quality_flags(
 
     sig = docs.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
         n_tok.cast("bigint").alias("n_tokens"),
         mean_wl.alias("mean_word_len"),
         (n_sym.cast("double") / n_tok).alias("symbol_word_ratio"),

@@ -523,6 +523,91 @@ def quality_link_density(spark, sf_dir):
 
 
 @register(
+    "pipeline_crawl_curate",
+    _HTML_EXPECTED
+    + r""",
+w AS (
+  SELECT doc_id, h1 || chr(10) || p || chr(10) || dv AS text,
+         CAST(length('Home') + length('About') + length('next page')
+              + length('Terms') + length('Privacy') AS BIGINT) AS link_chars,
+         CAST(length('Home About') + length(h1) + length(p) + length(dv)
+              + length('Terms Privacy') AS BIGINT) AS text_chars
+  FROM e),
+t AS (
+  SELECT *, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM w),
+s AS (
+  SELECT doc_id, link_chars, text_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_word_len,
+         list_sum(list_transform(toks, x -> length(x) - length(replace(x, '#', ''))
+           + CASE WHEN contains(x, '...') OR contains(x, '…') THEN 1 ELSE 0 END)) * 1.0 / len(toks) AS symbol_word_ratio,
+         len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* ', '• '))) * 1.0 / len(lines) AS bullet_line_frac,
+         len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0 / len(lines) AS ellipsis_line_frac,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks) AS alpha_word_frac,
+         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stopword_hits
+  FROM t),
+q AS (
+  SELECT doc_id, n_tokens, n_stopword_hits, link_chars, text_chars,
+         (n_tokens BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+           AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+           AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+           AND n_stopword_hits >= 2 AS keep_quality
+  FROM s)
+SELECT doc_id, n_tokens, n_stopword_hits, keep_quality,
+       round(link_chars * 1.0 / text_chars, 6) AS link_density,
+       link_chars * 1.0 / text_chars <= 0.3 AS ok_link_density,
+       keep_quality AND (link_chars * 1.0 / text_chars <= 0.3) AS keep
+FROM q""",
+)
+def pipeline_crawl_curate(spark, sf_dir):
+    """The crawl-curation user story as ONE oracled plan: WARC → HTTP
+    → HTML → text, then the Gopher quality gate AND the page-level
+    link-density gate evaluated in the SAME projection (extra_cols
+    passthrough — no self-join, no second chain execution; the whole
+    post-extraction decision is one codegen'd map over the extractor's
+    output).  The oracle rebuilds the expected extracted text from the
+    fixture closed form and re-derives every Gopher signal, the
+    density, and the final keep in DuckDB — the keep decision a real
+    pipeline would act on is value-hash-checked end to end."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+    from opentsdb_aura_spark.operators.quality import gopher_quality_flags
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True, html_body=True
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    ext = html_to_text(pages)
+    g = gopher_quality_flags(ext, min_tokens=10, extra_cols=("link_chars", "text_chars"))
+    # link_density_flags' rule, fused into the same projection via the
+    # passthrough counters (identical semantics, no extra pass)
+    lk, tx = F.col("link_chars").cast("double"), F.col("text_chars").cast("double")
+    density = F.when(tx > 0, lk / tx)
+    ok_ld = F.coalesce(density <= 0.3, F.lit(False))
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopword_hits",
+        F.col("keep").alias("keep_quality"),
+        F.round(density, 6).alias("link_density"),
+        ok_ld.alias("ok_link_density"),
+        (F.col("keep") & ok_ld).alias("keep"),
+    )
+
+
+@register(
     "corpus_wet_roundtrip",
     _HTML_EXPECTED
     + """,

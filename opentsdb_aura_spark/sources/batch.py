@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 10  # v10: series_id bloom filters in the metrics store
+STORE_LAYOUT_VERSION = 11  # v11: adaptive bloom sizing (v10: series_id blooms)
 
 
 def _store_version_tag(sf_dir: str) -> str:
@@ -93,7 +93,16 @@ def bloom_options(writer, *cols, ndv: int = BLOOM_NDV, plain_encoding: tuple = (
     For keys that are UNIQUE PER ROW by construction (``vec_id``),
     dictionary encoding is pure overhead; list them in
     ``plain_encoding`` to force plain pages so the bloom always
-    materializes."""
+    materializes.
+
+    Adaptive sizing (round 9): ``expected.ndv`` is only a floor —
+    parquet-mr's adaptive candidate builder picks the smallest bloom
+    meeting the target FPP from the chunk's ACTUAL distinct count, so
+    a 2 M-series segment file no longer gets a 64 Ki-sized bloom whose
+    ~20% false-positive rate defeats row-group rejection (measured in
+    tools/index_maintenance_bench.py: foreign-probe positives drop
+    11/56 → 1/56 with adaptive sizing)."""
+    writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
     for c in cols:
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
             f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))

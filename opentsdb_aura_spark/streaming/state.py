@@ -431,10 +431,16 @@ def streaming_crawl_ingest(
                     f"{docs_path}_errors"
                 )
             pages = resp.where(F.col("error").isNull()).select(
-                "file_id", "record_id", "target_uri", F.col("body").alias("html")
+                "file_id", "record_id", "target_uri", "charset",
+                F.col("body").alias("html"),
             )
+            # charset-aware decode (r9): bodies arrive in whatever
+            # encoding the server declared — same seam as the batch
+            # chain, inflation already handled inside http_responses
             extracted = html_to_text(
-                pages, keep_cols=("file_id", "record_id", "target_uri")
+                pages,
+                keep_cols=("file_id", "record_id", "target_uri"),
+                charset_col="charset",
             ).select(
                 id_expr.alias("doc_id"), F.col("text"),
                 "file_id", "record_id", "target_uri",

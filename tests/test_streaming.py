@@ -822,13 +822,27 @@ def test_streaming_crawl_ingest_http_html_end_to_end(spark, tmpdirs):
         0: "alpha page words enough to shingle nicely today",
         1: "beta page words enough to shingle nicely today",
         9: "completely different content about gardens and rivers flowing",
+        # gzip-coded latin-1 page (r9): the production shape — body
+        # compressed AND non-utf8 — must inflate + decode in-stream
+        10: "café crème niño words enough to shingle nicely today",
     }
 
     def rec(doc_id):
+        if doc_id == 10:  # 10%5==0 -> gzip coding; charset declared latin-1
+            payload = encode_http_response(
+                doc_id,
+                render_fixture_html(doc_id, texts[doc_id]).encode("iso-8859-1"),
+                content_encoding=True,
+                charset_param="ISO-8859-1",
+            )
+        else:
+            payload = encode_http_response(
+                doc_id, render_fixture_html(doc_id, texts[doc_id]).encode()
+            )
         return C.encode_warc_record(
             "response",
             f"urn:uuid:doc-{doc_id}",
-            encode_http_response(doc_id, render_fixture_html(doc_id, texts[doc_id]).encode()),
+            payload,
             target_uri=f"http://example.com/doc/{doc_id}",
             content_type="application/http;msgtype=response",
         )
@@ -837,7 +851,7 @@ def test_streaming_crawl_ingest_http_html_end_to_end(spark, tmpdirs):
         "response", "urn:uuid:doc-500", b"THIS IS NOT HTTP",
         target_uri="http://example.com/500",
     )
-    raw = rec(0) + rec(1) + broken + rec(9)
+    raw = rec(0) + rec(1) + broken + rec(9) + rec(10)
 
     file_schema = "file_id long, content binary"
     spark.createDataFrame([(0, raw)], file_schema).coalesce(1).write.parquet(
@@ -857,9 +871,11 @@ def test_streaming_crawl_ingest_http_html_end_to_end(spark, tmpdirs):
     # extraction really stripped chrome: no nav/footer text, entities decoded
     assert "Home" not in docs[0] and "Privacy" not in docs[0]
     assert docs[0].endswith("content here!")
+    # the gzip-coded latin-1 page inflated AND decoded correctly (no mojibake)
+    assert "café crème niño" in docs[10] and "�" not in docs[10]
     errs = spark.read.parquet(docs_path + "_errors").collect()
     assert len(errs) == 1 and "HTTP" in errs[0]["error"]
     assert errs[0]["record_id"] == "urn:uuid:doc-500"  # record-level diagnosis (ADVICE r8)
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(idx_path).select("doc_id").collect()
-    ) == [0, 1, 9]
+    ) == [0, 1, 9, 10]

@@ -151,27 +151,31 @@ def main() -> None:
     out["ivfpq_rows_total"] = spark.read.parquet(f"{pq_path}/codes").count()
 
     # ------------------------------------- series_id bloom point-lookup
-    # (round 8) High-NDV metrics layout — 4M points over 400k series,
-    # the regime where parquet's dictionary overflows and the writer's
-    # series_id bloom materializes.  Probe: 50-id isin scan (the
-    # reference's RoaringBitmap point-lookup shape) against the same
-    # data written WITH and WITHOUT blooms; row-group stats are
-    # near-useless here (ids are hash-spread across the sorted range),
-    # so the delta is the bloom's row-group rejection.
+    # (round 8, re-shaped round 9) High-NDV metrics layout — 16M
+    # points over 1.6M series in 8 day-segments (2M rows ≈ 2M distinct
+    # series per segment FILE), the regime where parquet's dictionary
+    # page (1 MiB) overflows and the writer's series_id bloom actually
+    # materializes — the r8 bench's 133k-row files stayed fully
+    # dictionary-encoded, so it measured footer overhead, not bloom
+    # rejection.  Probe: 8-id isin scan (the reference's RoaringBitmap
+    # point-lookup shape, NewDocStore.java:779-828; ≤10 ids keeps
+    # Spark pushing per-VALUE In predicates — above
+    # spark.sql.parquet.pushdown.inFilterThreshold the filter degrades
+    # to a min/max range no structure can serve) against the same data
+    # written WITH and WITHOUT blooms.  Ids are xxhash-spread across
+    # each file's full range, so row-group MIN/MAX can't reject and
+    # the overflowed dictionary can't either: only the bloom skips
+    # the 7-of-8 segment files that don't hold a probed series.
     from opentsdb_aura_spark.model import normalize_points
     from opentsdb_aura_spark.sources.batch import write_metrics_store
 
-    # each series lives in exactly ONE day-segment (series s → day
-    # s % 30, 10 points) — the real shape of churning series.  Within
-    # a file, xxhash series ids span the full 64-bit range, so
-    # row-group MIN/MAX can't reject a probed id; only the bloom can.
     pts = normalize_points(
-        spark.range(0, 4_000_000).select(
+        spark.range(0, 16_000_000).select(
             F.lit("m").alias("metric"),
-            F.create_map(F.lit("user"), (F.col("id") % 400_000).cast("string")).alias("tags"),
+            F.create_map(F.lit("user"), (F.col("id") % 1_600_000).cast("string")).alias("tags"),
             (
                 F.lit(1704067200)
-                + (F.col("id") % 400_000) % 30 * 86400
+                + (F.col("id") % 1_600_000) % 8 * 86400
                 + F.col("id") % 10
             ).alias("ts"),
             F.col("id").cast("double").alias("value"),
@@ -179,13 +183,92 @@ def main() -> None:
         )
     ).localCheckpoint()
     bloom_store, plain_store = f"{root}/m_bloom", f"{root}/m_plain"
+    t0 = time.perf_counter()
     write_metrics_store(pts, bloom_store)
+    out["bloom_store_write_sec"] = round(time.perf_counter() - t0, 2)
     df = (
         pts.repartition(F.col("segment_time"))
         .sortWithinPartitions("series_id", "ts")
     )
+    t0 = time.perf_counter()
     df.write.mode("overwrite").partitionBy("segment_time").parquet(plain_store)
-    probe_ids = [r["series_id"] for r in pts.select("series_id").distinct().limit(50).collect()]
+    out["plain_store_write_sec"] = round(time.perf_counter() - t0, 2)
+    # all probes from ONE day-segment (the point-lookup shape: a user
+    # investigating one incident window) — the bloom can then skip the
+    # 7 segment files whose groups don't hold any probed id; random
+    # cross-segment ids would touch every file and measure nothing
+    probe_ids = [
+        r["series_id"]
+        for r in pts.where(F.col("segment_time") == F.lit(1704067200))
+        .select("series_id")
+        .distinct()
+        .limit(8)
+        .collect()
+    ]
+
+    # STRUCTURAL proof (wall time at 16M rows is task-constant-
+    # dominated either way — recorded below for honesty): (a) bloom
+    # membership per segment file — the home segment must test 8/8,
+    # foreign segments only FP noise (~1% with adaptive sizing;
+    # the pre-r9 64Ki-sized blooms measured ~20% FP at this NDV, no
+    # rejection power); (b) parquet-mr row-group filtering under an
+    # eq predicate keeps ONLY the home group — min/max cannot (ids
+    # hash-spread across each file's full range), the bloom is the
+    # sole rejector.
+    import glob as _glob
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    home_pos = foreign_pos = foreign_slots = 0
+    for f in sorted(_glob.glob(f"{bloom_store}/segment_time=*/*.parquet")):
+        inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), hconf
+        )
+        rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+        try:
+            blks = rd.getFooter().getBlocks()
+            for bi in range(blks.size()):
+                cols = blks.get(bi).getColumns()
+                for ci in range(cols.size()):
+                    c = cols.get(ci)
+                    if c.getPath().toDotString() != "series_id":
+                        continue
+                    assert c.getBloomFilterOffset() >= 0, f"no bloom in {f}"
+                    bf = rd.readBloomFilter(c)
+                    pos = sum(1 for pid in probe_ids if bf.findHash(bf.hash(pid)))
+                    if "segment_time=1704067200" in f:
+                        home_pos += pos
+                    else:
+                        foreign_pos += pos
+                        foreign_slots += len(probe_ids)
+        finally:
+            rd.close()
+    out["bloom_home_positives"] = home_pos          # must be 8 (no false negatives)
+    out["bloom_foreign_positives"] = foreign_pos     # FP count over foreign_slots
+    out["bloom_foreign_slots"] = foreign_slots
+    assert home_pos == len(probe_ids), "bloom false negative (impossible by contract)"
+
+    FilterApi = jvm.org.apache.parquet.filter2.predicate.FilterApi
+    FilterCompat = jvm.org.apache.parquet.filter2.compat.FilterCompat
+    pred = FilterApi.eq(
+        FilterApi.longColumn("series_id"), jvm.java.lang.Long(probe_ids[0])
+    )
+    fc = FilterCompat.get(pred)
+    rg_total = rg_kept = 0
+    for f in sorted(_glob.glob(f"{bloom_store}/segment_time=*/*.parquet")):
+        inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), hconf
+        )
+        opts = jvm.org.apache.parquet.ParquetReadOptions.builder().withRecordFilter(fc).build()
+        rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf, opts)
+        try:
+            rg_total += rd.getFooter().getBlocks().size()
+            rg_kept += rd.getRowGroups().size()
+        finally:
+            rd.close()
+    out["bloom_rowgroups_total"] = rg_total
+    out["bloom_rowgroups_kept_eq_probe"] = rg_kept
+    assert rg_kept < rg_total, "bloom rejected nothing under the eq probe"
 
     def point_scan(path):
         t = time.perf_counter()

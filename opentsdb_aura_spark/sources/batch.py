@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 11  # v11: adaptive bloom sizing (v10: series_id blooms)
+STORE_LAYOUT_VERSION = 12  # v12: truly adaptive blooms (no fixed NDV); v10-11: series_id blooms
 
 
 def _store_version_tag(sf_dir: str) -> str:
@@ -77,10 +77,10 @@ def _store_version_tag(sf_dir: str) -> str:
 #: RoaringBitmap doc index (NewDocStore.java:779-828) — row-group
 #: stats prune RANGES, blooms prune individual groups for selective
 #: `series_id IN (...)` / band-key probes that land inside a range.
-BLOOM_NDV = 65536
+BLOOM_NDV = None  # adaptive sizing by default — see bloom_options
 
 
-def bloom_options(writer, *cols, ndv: int = BLOOM_NDV, plain_encoding: tuple = ()):
+def bloom_options(writer, *cols, ndv: int | None = BLOOM_NDV, plain_encoding: tuple = ()):
     """Attach parquet bloom-filter write options for ``cols`` to a
     DataFrameWriter (shared by the metrics store and the incremental
     index writers).
@@ -95,18 +95,20 @@ def bloom_options(writer, *cols, ndv: int = BLOOM_NDV, plain_encoding: tuple = (
     ``plain_encoding`` to force plain pages so the bloom always
     materializes.
 
-    Adaptive sizing (round 9): ``expected.ndv`` is only a floor —
-    parquet-mr's adaptive candidate builder picks the smallest bloom
-    meeting the target FPP from the chunk's ACTUAL distinct count, so
-    a 2 M-series segment file no longer gets a 64 Ki-sized bloom whose
-    ~20% false-positive rate defeats row-group rejection (measured in
-    tools/index_maintenance_bench.py: foreign-probe positives drop
-    11/56 → 1/56 with adaptive sizing)."""
+    Adaptive sizing (round 9): by default NO expected NDV is written —
+    an explicit per-column NDV makes parquet-mr build a FIXED-size
+    bloom and bypass the adaptive candidate builder, and the old
+    64 Ki default measured ~20% false positives on 200 k-distinct
+    segment files (no rejection power; foreign-probe positives drop
+    11/56 → ~1/56 once adaptive sizing from the chunk's actual
+    distinct count takes over — tools/index_maintenance_bench.py).
+    Pass ``ndv`` only when the writer genuinely knows a better bound
+    than the data (e.g. tiny fixed-cardinality keys)."""
     writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
     for c in cols:
-        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
-            f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
-        )
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if ndv is not None:
+            writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv)))
     for c in plain_encoding:
         writer = writer.option(f"parquet.enable.dictionary#{c}", "false")
     return writer

@@ -600,13 +600,25 @@ def _inflate_body(body: bytes, coding: str) -> bytes:
     §8.4): ``gzip``/``x-gzip`` and ``deflate``; ``identity`` is a
     passthrough.  ``deflate`` is the zlib format per spec, but many
     real servers send raw DEFLATE — try zlib first, fall back to raw
-    (the same leniency every browser applies).  Multi-coding lists
+    (the same leniency every browser applies).  Gzip bodies may be
+    MULTIPLE concatenated members (some origin servers and proxies
+    emit one member per flush) — all members decode and concatenate,
+    per the gzip spec's multi-member rule.  Multi-coding lists
     (``Content-Encoding: gzip, br``) and unknown codings raise — an
     honest boundary the skip_errors contract contains per record."""
     import zlib
 
     if coding in ("gzip", "x-gzip"):
-        return zlib.decompress(body, 16 + zlib.MAX_WBITS)
+        out = []
+        buf = body
+        while buf:
+            do = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            out.append(do.decompress(buf))
+            out.append(do.flush())
+            if not do.eof:
+                raise ValueError("HTTP response: truncated gzip body")
+            buf = do.unused_data
+        return b"".join(out)
     if coding == "deflate":
         try:
             return zlib.decompress(body)

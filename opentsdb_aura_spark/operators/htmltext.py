@@ -112,15 +112,35 @@ def extract_html_text(src: str, *, boilerplate_threshold: float = 0.5) -> tuple:
     return title, "\n".join(kept), n_blocks, n_boiler, link_chars, text_chars
 
 
+# WHATWG Encoding Standard label → codec overrides: pages declared
+# latin-1/ascii are windows-1252 in practice (browsers decode them so,
+# and real pages labeled iso-8859-1 routinely carry 0x80-0x9F smart
+# quotes that strict latin-1 maps to C1 control characters).
+# cp1252 is a strict superset of printable latin-1, so correctly-
+# labeled pure latin-1 pages decode identically.
+_WHATWG_ALIASES = {
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "latin1": "cp1252",
+    "latin-1": "cp1252",
+    "us-ascii": "cp1252",
+    "ascii": "cp1252",
+    "windows-1252": "cp1252",
+}
+
+
 def _decode_page(raw, charset: str | None) -> str:
     """Decode page bytes with the response's declared charset (default
-    utf-8).  Unknown charset labels fall back to utf-8 and bad byte
-    sequences decode with U+FFFD replacement — deterministic crawl-
-    grade leniency: one mislabeled page yields replacement characters,
-    never a dead task."""
+    utf-8), applying the WHATWG label aliases (latin-1 et al. →
+    windows-1252, the way every browser decodes them).  Unknown
+    charset labels fall back to utf-8 and bad byte sequences decode
+    with U+FFFD replacement — deterministic crawl-grade leniency: one
+    mislabeled page yields replacement characters, never a dead
+    task."""
     import codecs
 
-    codec = (charset or "utf-8").strip()
+    codec = (charset or "utf-8").strip().lower()
+    codec = _WHATWG_ALIASES.get(codec, codec)
     try:
         codecs.lookup(codec)
     except LookupError:

@@ -403,6 +403,13 @@ def test_http_content_encoding_inflation():
     # corrupt gzip stream is a contained parse error, not a crash
     with pytest.raises(Exception):
         _parse_http_response(msg(b"Content-Encoding: gzip\r\n", b"\x1f\x8bnot gzip"))
+    # MULTI-MEMBER gzip bodies (per-flush members some servers emit)
+    # concatenate; a truncated trailing member raises
+    two = _gzip_member(body[:20]) + _gzip_member(body[20:])
+    out = _parse_http_response(msg(b"Content-Encoding: gzip\r\n", two))
+    assert out[-1] == body
+    with pytest.raises(ValueError, match="truncated gzip"):
+        _parse_http_response(msg(b"Content-Encoding: gzip\r\n", two[:-5]))
 
 
 def test_http_parse_malformed_raises():
@@ -551,6 +558,16 @@ def test_html_to_text_charset_decode(spark):
 
     with pytest.raises(ValueError, match="charset_col"):
         html_to_text(pages, charset_col="nope")
+
+    # WHATWG aliasing: a page LABELED iso-8859-1 carrying 0x93/0x94
+    # smart quotes (windows-1252 territory) must decode as cp1252 —
+    # strict latin-1 would map them to C1 control characters
+    smart = spark.createDataFrame(
+        [(0, "iso-8859-1", bytearray("<p>“quoted”</p>".encode("cp1252")))],
+        "doc_id long, charset string, html binary",
+    )
+    got = html_to_text(smart, charset_col="charset").collect()[0]["text"]
+    assert got == "“quoted”"
 
 
 def test_extract_html_text_traps():

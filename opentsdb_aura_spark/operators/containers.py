@@ -54,9 +54,12 @@ def encode_warc_record(
     *,
     target_uri: str | None = None,
     content_type: str = "text/plain",
+    concurrent_to: str | None = None,
 ) -> bytes:
     """One WARC/1.0 record: version line, named headers, blank line,
-    payload, and the spec's two trailing CRLFs."""
+    payload, and the spec's two trailing CRLFs.  ``concurrent_to``
+    writes the WARC-Concurrent-To link that ties a request record to
+    its response (ISO 28500 §5.7)."""
     lines = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode(),
@@ -65,6 +68,8 @@ def encode_warc_record(
     ]
     if target_uri is not None:
         lines.append(b"WARC-Target-URI: " + target_uri.encode())
+    if concurrent_to is not None:
+        lines.append(b"WARC-Concurrent-To: <" + concurrent_to.encode() + b">")
     lines.append(b"Content-Type: " + content_type.encode())
     lines.append(b"Content-Length: " + str(len(payload)).encode())
     return _CRLF.join(lines) + _CRLF + _CRLF + payload + _CRLF + _CRLF
@@ -92,6 +97,7 @@ def encode_warc_file(
     html_body: bool = False,
     content_encoding: bool = False,
     charset_body: bool = False,
+    request_records: bool = False,
 ) -> bytes:
     """A deterministic WARC file: one warcinfo record, then one
     response record per (doc_id, text) in the given order.
@@ -146,6 +152,19 @@ def encode_warc_file(
         else:
             payload = body
             rec_ct = "text/plain"
+        if request_records:
+            # the fetch's request record, linked to its response via
+            # WARC-Concurrent-To — the pairing real crawl WARCs ship
+            out.append(
+                encode_warc_record(
+                    "request",
+                    f"urn:uuid:req-{doc_id}",
+                    encode_http_request(int(doc_id)),
+                    target_uri=f"http://example.com/doc/{doc_id}",
+                    content_type="application/http;msgtype=request",
+                    concurrent_to=f"urn:uuid:doc-{doc_id}",
+                )
+            )
         out.append(
             encode_warc_record(
                 "response",
@@ -169,6 +188,7 @@ def synthesize_warc(
     html_body: bool = False,
     content_encoding: bool = False,
     charset_body: bool = False,
+    request_records: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -196,6 +216,7 @@ def synthesize_warc(
             html_body=html_body,
             content_encoding=content_encoding,
             charset_body=charset_body,
+            request_records=request_records,
         )
         return pd.DataFrame({"file_id": [fid], "content": [content]})
 
@@ -207,7 +228,7 @@ def synthesize_warc(
 WARC_RECORD_SCHEMA = (
     "file_id long, offset long, record_length long, warc_type string, "
     "record_id string, target_uri string, content_length long, "
-    "payload_md5 string, error string"
+    "payload_md5 string, concurrent_to string, error string"
 )
 WARC_RECORD_PAYLOAD_SCHEMA = WARC_RECORD_SCHEMA + ", payload binary"
 
@@ -248,6 +269,9 @@ def _parse_warc_bytes(data: bytes) -> Iterator[tuple]:
         payload = data[body_start:body_end]
         pos = body_end + 4
         rid = fields.get("warc-record-id", "")
+        cto = fields.get("warc-concurrent-to")
+        if cto is not None and cto[:1] == "<" and cto[-1:] == ">":
+            cto = cto[1:-1]
         yield (
             start,
             pos - start,
@@ -256,6 +280,7 @@ def _parse_warc_bytes(data: bytes) -> Iterator[tuple]:
             fields.get("warc-target-uri"),
             clen,
             hashlib.md5(payload).hexdigest(),
+            cto,
             payload,  # trailing so header-only consumers can drop it
         )
 
@@ -311,6 +336,7 @@ def warc_records(
         "target_uri",
         "content_length",
         "payload_md5",
+        "concurrent_to",
         "error",
     ]
     if with_payload:
@@ -331,7 +357,7 @@ def warc_records(
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-file containment
                     if not skip_errors:
                         raise
-                    err = (fid, None, None, None, None, None, None, None, str(exc))
+                    err = (fid,) + (None,) * 8 + (str(exc),)
                     rows.append(err + (None,) if with_payload else err)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -566,6 +592,104 @@ def encode_http_response(
     else:
         framed = body
     return _CRLF.join(lines) + _CRLF + _CRLF + framed
+
+
+# Request fixture rules (mirrored by the corpus_warc_requests oracle):
+#   method : HEAD when doc_id % 13 == 0, else GET
+#   Accept : header present when doc_id % 2 == 0 (3 headers), else 2
+
+
+def encode_http_request(doc_id: int) -> bytes:
+    """The deterministic HTTP/1.1 request message a crawl's request
+    record carries, closed-form from doc_id (rules above)."""
+    method = b"HEAD" if doc_id % 13 == 0 else b"GET"
+    lines = [
+        method + b" /doc/%d HTTP/1.1" % doc_id,
+        b"Host: example.com",
+        b"User-Agent: aura-fixture/1.0",
+    ]
+    if doc_id % 2 == 0:
+        lines.append(b"Accept: text/html")
+    return _CRLF.join(lines) + _CRLF + _CRLF
+
+
+def _parse_http_request(payload: bytes) -> tuple:
+    """Parse one HTTP/1.x request message: request line (method,
+    target, version) + case-insensitive headers.  Request bodies are
+    not framed (crawl request records are header-only fetches; a
+    Content-Length body would simply be ignored here).  Returns
+    (method, req_target, version, host, user_agent, n_headers)."""
+    import re as _re
+
+    hdr_end = payload.find(b"\r\n\r\n")
+    if hdr_end < 0:
+        raise ValueError("HTTP request: unterminated header block")
+    lines = payload[:hdr_end].decode("iso-8859-1").split("\r\n")
+    m = _re.match(r"^([A-Z]+) (\S+) HTTP/(\d\.\d)$", lines[0])
+    if not m:
+        raise ValueError(f"HTTP request: bad request line {lines[0]!r}")
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(":")
+        if not sep:
+            raise ValueError(f"HTTP request: malformed header line {ln!r}")
+        headers[k.strip().lower()] = v.strip()
+    return (
+        m.group(1),
+        m.group(2),
+        m.group(3),
+        headers.get("host"),
+        headers.get("user-agent"),
+        len(headers),
+    )
+
+
+HTTP_REQUEST_SCHEMA = (
+    "file_id long, record_id string, concurrent_to string, target_uri string, "
+    "method string, req_target string, http_version string, host string, "
+    "user_agent string, n_headers int, error string"
+)
+
+
+def http_requests(records: DataFrame, *, skip_errors: bool = False) -> DataFrame:
+    """Split the HTTP request envelope from WARC ``request`` record
+    payloads: request line + headers as typed columns, with the
+    ``concurrent_to`` link to the response record preserved — the
+    crawl-politeness / fetch-audit half of :func:`http_responses`
+    (which URLs were fetched with which method/agent).  Same scale
+    shape: one Arrow-batched 1→1 pass, per-record containment under
+    ``skip_errors``."""
+    if "warc_type" in records.columns:
+        records = records.where(F.col("warc_type") == "request")
+    if "error" in records.columns:
+        records = records.where(F.col("error").isNull())
+    proj = records.select("file_id", "record_id", "concurrent_to", "target_uri", "payload")
+    cols = [
+        "file_id", "record_id", "concurrent_to", "target_uri",
+        "method", "req_target", "http_version", "host", "user_agent",
+        "n_headers", "error",
+    ]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, rid, cto, uri, payload in zip(
+                pdf["file_id"], pdf["record_id"], pdf["concurrent_to"],
+                pdf["target_uri"], pdf["payload"],
+            ):
+                fid = int(fid)
+                try:
+                    if payload is None:
+                        raise ValueError("record has no payload (re-read with_payload=True)")
+                    method, tgt, ver, host, ua, nh = _parse_http_request(bytes(payload))
+                    rows.append((fid, rid, cto, uri, method, tgt, ver, host, ua, nh, None))
+                except Exception as exc:  # noqa: BLE001 — crawl-grade per-record containment
+                    if not skip_errors:
+                        raise
+                    rows.append((fid, rid, cto, uri) + (None,) * 6 + (str(exc),))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return proj.mapInPandas(op, schema=HTTP_REQUEST_SCHEMA)
 
 
 def _dechunk(data: bytes) -> bytes:

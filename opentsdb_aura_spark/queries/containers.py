@@ -342,6 +342,45 @@ def corpus_warc_gzip_body(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_warc_requests",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+SELECT 'urn:uuid:req-' || doc_id AS record_id,
+       'urn:uuid:doc-' || doc_id AS concurrent_to,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       CASE WHEN doc_id % 13 = 0 THEN 'HEAD' ELSE 'GET' END AS method,
+       '/doc/' || doc_id AS req_target,
+       '1.1' AS http_version,
+       'example.com' AS host,
+       'aura-fixture/1.0' AS user_agent,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INTEGER) AS n_headers
+FROM d""",
+)
+def corpus_warc_requests(spark, sf_dir):
+    """WARC request records — the fetch-audit half of the crawl pair:
+    synthesize WARCs that interleave request records (linked to their
+    responses via WARC-Concurrent-To) with the response records, parse
+    them back, and split each request envelope into method / target /
+    version / Host / User-Agent.  The oracle re-derives every parsed
+    field AND the concurrent-to link from doc_id alone, so request-
+    line parsing, header folding, and the ISO 28500 §5.7 pairing are
+    value-hash-checked."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_requests,
+        synthesize_warc,
+        warc_records,
+    )
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF,
+        http_envelope=True, request_records=True,
+    )
+    return http_requests(warc_records(files, with_payload=True)).select(
+        "record_id", "concurrent_to", "target_uri", "method",
+        "req_target", "http_version", "host", "user_agent", "n_headers",
+    )
+
+
 _HTML_EXPECTED = """WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt

@@ -609,3 +609,42 @@ def test_write_wet_files_roundtrip_and_nulls(spark):
     # two files: docs {0,1} and {2}, each led by its warcinfo at offset 0
     infos = [r for r in recs if r["warc_type"] == "warcinfo"]
     assert len(infos) == 2 and all(r["offset"] == 0 for r in infos)
+
+
+def test_http_requests_parse_and_containment(spark):
+    """Request-record splitting: method/target/version/Host/UA parsed,
+    WARC-Concurrent-To preserved, a non-HTTP request payload contained
+    per record under skip_errors (fail-fast without)."""
+    import pytest
+
+    from opentsdb_aura_spark.operators.containers import (
+        encode_http_request,
+        http_requests,
+        warc_records,
+    )
+
+    raw = (
+        C.encode_warc_record(
+            "request", "urn:uuid:req-1", encode_http_request(1),
+            target_uri="http://example.com/doc/1",
+            content_type="application/http;msgtype=request",
+            concurrent_to="urn:uuid:doc-1",
+        )
+        + C.encode_warc_record(
+            "request", "urn:uuid:req-2", b"NOT A REQUEST",
+            target_uri="http://example.com/doc/2",
+        )
+        + C.encode_warc_record("response", "urn:uuid:doc-1", b"body",
+                               target_uri="http://example.com/doc/1")
+    )
+    recs = warc_records(_files_df(spark, [(0, raw)]), with_payload=True)
+    rows = {r["record_id"]: r for r in http_requests(recs, skip_errors=True).collect()}
+    assert set(rows) == {"urn:uuid:req-1", "urn:uuid:req-2"}  # response filtered out
+    ok = rows["urn:uuid:req-1"]
+    assert (ok["method"], ok["req_target"], ok["http_version"]) == ("GET", "/doc/1", "1.1")
+    assert ok["host"] == "example.com" and ok["concurrent_to"] == "urn:uuid:doc-1"
+    assert ok["n_headers"] == 2  # odd doc_id: no Accept header
+    bad = rows["urn:uuid:req-2"]
+    assert bad["error"] is not None and bad["method"] is None
+    with pytest.raises(Exception):
+        http_requests(recs, skip_errors=False).collect()

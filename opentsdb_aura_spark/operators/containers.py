@@ -732,13 +732,21 @@ def _inflate_body(body: bytes, coding: str) -> bytes:
     honest boundary the skip_errors contract contains per record."""
     import zlib
 
+    if not body:
+        # a 0-byte coded body is an empty representation regardless of
+        # coding (servers send Content-Encoding on empty responses;
+        # browsers treat it as empty rather than a decode error)
+        return b""
     if coding in ("gzip", "x-gzip"):
         out = []
         buf = body
         while buf:
             do = zlib.decompressobj(16 + zlib.MAX_WBITS)
-            out.append(do.decompress(buf))
-            out.append(do.flush())
+            try:
+                out.append(do.decompress(buf))
+                out.append(do.flush())
+            except zlib.error as exc:
+                raise ValueError(f"HTTP response: corrupt gzip body: {exc}")
             if not do.eof:
                 raise ValueError("HTTP response: truncated gzip body")
             buf = do.unused_data

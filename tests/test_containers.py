@@ -400,9 +400,14 @@ def test_http_content_encoding_inflation():
         _parse_http_response(msg(b"Content-Encoding: br\r\n", body))
     with pytest.raises(ValueError, match="unsupported Content-Encoding"):
         _parse_http_response(msg(b"Content-Encoding: gzip, br\r\n", body))
-    # corrupt gzip stream is a contained parse error, not a crash
-    with pytest.raises(Exception):
+    # corrupt gzip stream is a CONSISTENT ValueError (diagnosable,
+    # contained per record), not a raw zlib.error
+    with pytest.raises(ValueError, match="gzip"):
         _parse_http_response(msg(b"Content-Encoding: gzip\r\n", b"\x1f\x8bnot gzip"))
+    # a 0-byte coded body is an empty representation (browser rule),
+    # not a decode error
+    out = _parse_http_response(msg(b"Content-Encoding: gzip\r\n", b""))
+    assert out[5] == "gzip" and out[-1] == b""
     # MULTI-MEMBER gzip bodies (per-flush members some servers emit)
     # concatenate; a truncated trailing member raises
     two = _gzip_member(body[:20]) + _gzip_member(body[20:])

@@ -449,3 +449,85 @@ def test_warc_roundtrip_property(docs):
         assert r[3] == f"urn:uuid:doc-{doc_id}"
         assert r[5] == len(text.encode())
         assert r[6] == hashlib.md5(text.encode()).hexdigest()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_http_response_parser_never_hangs_on_garbage(data):
+    """Random bytes through the HTTP envelope parser either raise
+    ValueError (the per-record containment boundary) or return a
+    parsed tuple — never any other exception, never a hang."""
+    from opentsdb_aura_spark.operators.containers import _parse_http_response
+
+    try:
+        out = _parse_http_response(data)
+    except ValueError:
+        return
+    assert isinstance(out[-1], bytes)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_http_request_parser_never_hangs_on_garbage(data):
+    from opentsdb_aura_spark.operators.containers import _parse_http_request
+
+    try:
+        out = _parse_http_request(data)
+    except ValueError:
+        return
+    assert out[0].isupper() and len(out) == 6
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    body=st.binary(min_size=0, max_size=300),
+    doc_id=st.integers(min_value=0, max_value=10_000),
+    coded=st.booleans(),
+)
+def test_http_envelope_roundtrip_property(body, doc_id, coded):
+    """encode → parse round-trip for ARBITRARY body bytes (binary,
+    CRLF-bearing, empty) across the fixture's framing × coding grid:
+    the decoded body must be byte-identical — framing and inflation
+    can never be confused by body content."""
+    from opentsdb_aura_spark.operators.containers import (
+        _parse_http_response,
+        encode_http_response,
+    )
+
+    out = _parse_http_response(encode_http_response(doc_id, body, content_encoding=coded))
+    assert out[-1] == body
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    chunks=st.lists(st.binary(min_size=0, max_size=80), min_size=1, max_size=4),
+    label=st.sampled_from(["gzip", "x-gzip"]),
+)
+def test_multi_member_gzip_inflation_property(chunks, label):
+    """Concatenated gzip members inflate to the concatenation of their
+    payloads, for any member split of any byte content."""
+    from opentsdb_aura_spark.operators.containers import _gzip_member, _inflate_body
+
+    wire = b"".join(_gzip_member(c) for c in chunks)
+    assert _inflate_body(wire, label) == b"".join(chunks)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    raw=st.binary(min_size=0, max_size=200),
+    label=st.one_of(
+        st.none(),
+        st.sampled_from(
+            ["utf-8", "iso-8859-1", "shift_jis", "cp1252", "klingon-9", "", "  UTF-8  "]
+        ),
+        st.text(max_size=12),
+    ),
+)
+def test_decode_page_total_function(raw, label):
+    """_decode_page never raises for any (bytes, label) pair — decode
+    is total with U+FFFD replacement and utf-8 fallback (one bad page
+    can never kill an extraction task)."""
+    from opentsdb_aura_spark.operators.htmltext import _decode_page
+
+    out = _decode_page(raw, label)
+    assert isinstance(out, str)

@@ -755,7 +755,12 @@ def _inflate_body(body: bytes, coding: str) -> bytes:
         try:
             return zlib.decompress(body)
         except zlib.error:
-            return zlib.decompress(body, -zlib.MAX_WBITS)
+            try:
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error as exc:
+                # consistent ValueError boundary, matching the gzip
+                # branch — callers distinguish data errors from infra
+                raise ValueError(f"HTTP response: corrupt deflate body: {exc}")
     raise ValueError(f"HTTP response: unsupported Content-Encoding {coding!r}")
 
 
@@ -954,6 +959,13 @@ def write_wet_files(
     grouped = texts.select(*cols)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["file_id"].isna().any():
+            # NULL doc_id → NaN file_id → int() would die opaquely
+            # mid-export; fail at the API boundary with the fix
+            raise ValueError(
+                "write_wet_files: NULL doc_id rows in input — filter them or "
+                "repair the id derivation upstream (e.g. try_cast fallout)"
+            )
         pdf = pdf.sort_values("_id")
         fid = int(pdf["file_id"].iloc[0])
         out = [

@@ -132,20 +132,26 @@ _WHATWG_ALIASES = {
 def _decode_page(raw, charset: str | None) -> str:
     """Decode page bytes with the response's declared charset (default
     utf-8), applying the WHATWG label aliases (latin-1 et al. →
-    windows-1252, the way every browser decodes them).  Unknown
-    charset labels fall back to utf-8 and bad byte sequences decode
-    with U+FFFD replacement — deterministic crawl-grade leniency: one
-    mislabeled page yields replacement characters, never a dead
-    task."""
+    windows-1252, the way every browser decodes them).  TOTAL
+    function: unknown charset labels fall back to utf-8, bad byte
+    sequences decode with U+FFFD replacement, and hostile labels that
+    defeat the lookup guard still fall back — ``codecs.lookup``
+    raises ValueError (not LookupError) on NUL-bearing labels, and
+    non-TEXT codecs (``hex``, ``base64``, ``zip``…) pass lookup but
+    raise only at ``.decode()`` — so one garbage or adversarial
+    Content-Type can never kill an extraction task (review r9)."""
     import codecs
 
     codec = (charset or "utf-8").strip().lower()
     codec = _WHATWG_ALIASES.get(codec, codec)
     try:
         codecs.lookup(codec)
-    except LookupError:
+    except (LookupError, ValueError):
         codec = "utf-8"
-    return bytes(raw).decode(codec, errors="replace")
+    try:
+        return bytes(raw).decode(codec, errors="replace")
+    except (LookupError, ValueError):  # binary transform codec, not a text encoding
+        return bytes(raw).decode("utf-8", errors="replace")
 
 
 def html_to_text(

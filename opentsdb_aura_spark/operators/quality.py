@@ -199,6 +199,22 @@ def gopher_quality_flags(
     return sig.withColumn("keep", keep)
 
 
+def link_density_exprs(
+    link_col: str = "link_chars",
+    text_col: str = "text_chars",
+    max_link_density: float = 0.3,
+):
+    """The page-level link-density rule as a (link_density,
+    ok_link_density) Column pair — THE single definition, shared by
+    :func:`link_density_flags` and fused compositions
+    (pipeline_crawl_curate) so the threshold and NULL handling can
+    never diverge between the standalone gate and an inlined copy."""
+    lk, tx = F.col(link_col).cast("double"), F.col(text_col).cast("double")
+    density = F.when(tx > 0, lk / tx)
+    ok = F.coalesce(density <= float(max_link_density), F.lit(False))
+    return density, ok
+
+
 def link_density_flags(
     pages: DataFrame,
     *,
@@ -220,16 +236,13 @@ def link_density_flags(
     visible text (and such pages fail the gate: nothing to keep).
     Returns (doc_id, link_chars, text_chars, link_density,
     ok_link_density)."""
-    lk, tx = F.col(link_col).cast("double"), F.col(text_col).cast("double")
-    density = F.when(tx > 0, lk / tx)
+    density, ok = link_density_exprs(link_col, text_col, max_link_density)
     return pages.select(
         F.col(id_col).alias("doc_id"),
         F.col(link_col).cast("bigint").alias("link_chars"),
         F.col(text_col).cast("bigint").alias("text_chars"),
         density.alias("link_density"),
-        F.coalesce(density <= float(max_link_density), F.lit(False)).alias(
-            "ok_link_density"
-        ),
+        ok.alias("ok_link_density"),
     )
 
 

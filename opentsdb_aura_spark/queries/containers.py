@@ -630,11 +630,12 @@ def pipeline_crawl_curate(spark, sf_dir):
     )
     ext = html_to_text(pages)
     g = gopher_quality_flags(ext, min_tokens=10, extra_cols=("link_chars", "text_chars"))
-    # link_density_flags' rule, fused into the same projection via the
-    # passthrough counters (identical semantics, no extra pass)
-    lk, tx = F.col("link_chars").cast("double"), F.col("text_chars").cast("double")
-    density = F.when(tx > 0, lk / tx)
-    ok_ld = F.coalesce(density <= 0.3, F.lit(False))
+    # the SAME rule object link_density_flags uses, fused into this
+    # projection via the passthrough counters — no second pass, no
+    # duplicated threshold (review r9)
+    from opentsdb_aura_spark.operators.quality import link_density_exprs
+
+    density, ok_ld = link_density_exprs()
     return g.select(
         "doc_id",
         "n_tokens",

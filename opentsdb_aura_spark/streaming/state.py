@@ -328,13 +328,10 @@ def streaming_near_dup(
             out_b="index_id",
         ).select("probe_id", "index_id", F.col("hamming").cast("int").alias("hamming"))
         cross.unionByName(intra).write.mode("append").parquet(pairs_path)
-        update_fingerprint_index(fps, index_path, id_col=id_col, hash_col=hash_col)
-        if compact_max_files is not None:
-            from opentsdb_aura_spark.sources.maintenance import compact_fingerprint_index
-
-            compact_fingerprint_index(
-                spark, index_path, max_files_per_band=compact_max_files
-            )
+        update_fingerprint_index(
+            fps, index_path, id_col=id_col, hash_col=hash_col,
+            compact_max_files=compact_max_files,
+        )
 
     writer = (
         stream_fps.writeStream.foreachBatch(process_batch)
@@ -416,10 +413,31 @@ def streaming_crawl_ingest(
         # diagnose WHICH fetch failed (ADVICE r8); file-level parse
         # failures carry NULL record fields.
         err_cols = ("file_id", "record_id", "target_uri", "error")
+
+        def write_errors(df: DataFrame) -> None:
+            # one-time upgrade of a pre-r9 sidecar: appending 4-column
+            # files next to legacy (file_id, error) files would leave a
+            # mixed-schema dir that a plain parquet read resolves from
+            # whichever footer it samples — rewrite legacy rows to the
+            # wide schema first (review r9)
+            spark_l = df.sparkSession
+            try:
+                old = spark_l.read.parquet(f"{docs_path}_errors")
+            except Exception:
+                old = None
+            if old is not None and "record_id" not in old.columns:
+                widened = old.select(
+                    "file_id",
+                    F.lit(None).cast("string").alias("record_id"),
+                    F.lit(None).cast("string").alias("target_uri"),
+                    "error",
+                ).localCheckpoint()  # materialize BEFORE overwriting the source
+                widened.write.mode("overwrite").parquet(f"{docs_path}_errors")
+            df.select(*err_cols).write.mode("append").parquet(f"{docs_path}_errors")
         recs = warc_records(batch_df, skip_errors=True, with_payload=True).localCheckpoint()
         errs = recs.where(F.col("error").isNotNull())
         if errs.take(1):
-            errs.select(*err_cols).write.mode("append").parquet(f"{docs_path}_errors")
+            write_errors(errs)
         good = recs.where((F.col("error").isNull()) & (F.col("warc_type") == "response"))
         if http_html:
             from opentsdb_aura_spark.operators.htmltext import html_to_text
@@ -427,9 +445,7 @@ def streaming_crawl_ingest(
             resp = http_responses(good, skip_errors=True, with_body=True).localCheckpoint()
             http_errs = resp.where(F.col("error").isNotNull())
             if http_errs.take(1):
-                http_errs.select(*err_cols).write.mode("append").parquet(
-                    f"{docs_path}_errors"
-                )
+                write_errors(http_errs)
             pages = resp.where(F.col("error").isNull()).select(
                 "file_id", "record_id", "target_uri", "charset",
                 F.col("body").alias("html"),
@@ -457,10 +473,12 @@ def streaming_crawl_ingest(
         extracted = extracted.localCheckpoint()
         bad_ids = extracted.where(F.col("doc_id").isNull())
         if bad_ids.take(1):
-            bad_ids.select(
-                "file_id", "record_id", "target_uri",
-                F.lit("doc_id_extract_failed").alias("error"),
-            ).write.mode("append").parquet(f"{docs_path}_errors")
+            write_errors(
+                bad_ids.select(
+                    "file_id", "record_id", "target_uri",
+                    F.lit("doc_id_extract_failed").alias("error"),
+                )
+            )
         docs = extracted.where(F.col("doc_id").isNotNull()).select(
             "doc_id", "text", "file_id"
         )

@@ -518,7 +518,14 @@ def test_multi_member_gzip_inflation_property(chunks, label):
     label=st.one_of(
         st.none(),
         st.sampled_from(
-            ["utf-8", "iso-8859-1", "shift_jis", "cp1252", "klingon-9", "", "  UTF-8  "]
+            [
+                "utf-8", "iso-8859-1", "shift_jis", "cp1252", "klingon-9",
+                "", "  UTF-8  ",
+                # adversarial: non-TEXT codecs pass codecs.lookup but
+                # raise at .decode(); NUL labels make lookup itself
+                # raise ValueError (review r9)
+                "hex", "base64", "rot13", "zip", "bz2", "uu", "utf\x008",
+            ]
         ),
         st.text(max_size=12),
     ),

@@ -879,3 +879,38 @@ def test_streaming_crawl_ingest_http_html_end_to_end(spark, tmpdirs):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(idx_path).select("doc_id").collect()
     ) == [0, 1, 9, 10]
+
+
+def test_streaming_crawl_ingest_upgrades_legacy_errors_sidecar(spark, tmpdirs):
+    """A pre-r9 deployment's errors sidecar holds (file_id, error)
+    rows; resuming ingestion with the widened writer must NOT create a
+    mixed-schema directory (a plain parquet read would resolve the
+    schema from whichever footer it samples) — legacy rows are widened
+    once with NULL record fields, then the new rows append."""
+    from opentsdb_aura_spark.operators.containers import encode_warc_file
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    docs_path = tmpdirs["out"] + "/docs"
+    # legacy sidecar from the old deployment
+    spark.createDataFrame(
+        [(99, "old truncated download")], "file_id long, error string"
+    ).write.parquet(docs_path + "_errors")
+
+    file_schema = "file_id long, content binary"
+    good = encode_warc_file(0, [(0, "alpha doc zero words")], gzip_records=True)
+    bad = encode_warc_file(1, [(1, "beta doc one words")], gzip_records=True)[:-7]
+    spark.createDataFrame([(0, good), (1, bad)], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    streaming_crawl_ingest(
+        stream, tmpdirs["store"], docs_path, tmpdirs["ckpt"]
+    ).awaitTermination(120)
+
+    errs = spark.read.parquet(docs_path + "_errors").collect()
+    assert len(errs) == 2
+    assert set(errs[0].asDict()) == {"file_id", "record_id", "target_uri", "error"}
+    legacy = [r for r in errs if r["file_id"] == 99][0]
+    assert legacy["error"] == "old truncated download" and legacy["record_id"] is None
+    fresh = [r for r in errs if r["file_id"] == 1][0]
+    assert "terminated" in fresh["error"] or "gzip" in fresh["error"]

@@ -946,6 +946,10 @@ def write_wet_files(
     (file_id long, content binary) for the caller to write (e.g.
     ``.write.parquet`` or per-file blob upload).  ``uri_col``
     passes through real page URIs; default derives the fixture URI."""
+    if int(docs_per_file) < 1:
+        # DIV 0 would NULL every file_id and misfire the NULL-doc_id
+        # guard below with a misleading message (review r9)
+        raise ValueError(f"write_wet_files: docs_per_file must be >= 1, got {docs_per_file}")
     cols = [
         F.expr(f"CAST(`{id_col}` DIV {int(docs_per_file)} AS LONG)").alias("file_id"),
         F.col(id_col).cast("long").alias("_id"),

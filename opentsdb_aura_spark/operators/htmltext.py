@@ -118,39 +118,36 @@ def extract_html_text(src: str, *, boilerplate_threshold: float = 0.5) -> tuple:
 # quotes that strict latin-1 maps to C1 control characters).
 # cp1252 is a strict superset of printable latin-1, so correctly-
 # labeled pure latin-1 pages decode identically.
+# The WHATWG Encoding Standard's full windows-1252 label set (the
+# spec's "labels" table) — Python's registry resolves several of these
+# to STRICT latin-1 (or not at all), while every browser decodes them
+# as windows-1252; 0x80-0x9F smart quotes must not become C1 controls.
 _WHATWG_ALIASES = {
-    "iso-8859-1": "cp1252",
-    "iso8859-1": "cp1252",
-    "latin1": "cp1252",
-    "latin-1": "cp1252",
-    "us-ascii": "cp1252",
-    "ascii": "cp1252",
-    "windows-1252": "cp1252",
+    label: "cp1252"
+    for label in (
+        "ansi_x3.4-1968", "ascii", "cp819", "cp1252", "csisolatin1",
+        "ibm819", "iso-8859-1", "iso8859-1", "iso88591", "iso_8859-1",
+        "iso_8859-1:1987", "iso-ir-100", "l1", "latin1", "latin-1",
+        "us-ascii", "windows-1252", "x-cp1252",
+    )
 }
 
 
 def _decode_page(raw, charset: str | None) -> str:
     """Decode page bytes with the response's declared charset (default
-    utf-8), applying the WHATWG label aliases (latin-1 et al. →
-    windows-1252, the way every browser decodes them).  TOTAL
-    function: unknown charset labels fall back to utf-8, bad byte
-    sequences decode with U+FFFD replacement, and hostile labels that
-    defeat the lookup guard still fall back — ``codecs.lookup``
-    raises ValueError (not LookupError) on NUL-bearing labels, and
-    non-TEXT codecs (``hex``, ``base64``, ``zip``…) pass lookup but
-    raise only at ``.decode()`` — so one garbage or adversarial
-    Content-Type can never kill an extraction task (review r9)."""
-    import codecs
-
-    codec = (charset or "utf-8").strip().lower()
-    codec = _WHATWG_ALIASES.get(codec, codec)
-    try:
-        codecs.lookup(codec)
-    except (LookupError, ValueError):
-        codec = "utf-8"
+    utf-8), applying the WHATWG label aliases (the spec's windows-1252
+    label set — the way every browser decodes them).  TOTAL function:
+    unknown charset labels fall back to utf-8, bad byte sequences
+    decode with U+FFFD replacement, and hostile labels still fall
+    back — NUL-bearing labels raise ValueError inside ``.decode()``'s
+    lookup, and non-TEXT codecs (``hex``, ``base64``, ``zip``…) raise
+    LookupError there — so one garbage or adversarial Content-Type can
+    never kill an extraction task (review r9)."""
+    label = (charset or "utf-8").strip().lower()
+    codec = _WHATWG_ALIASES.get(label, label)
     try:
         return bytes(raw).decode(codec, errors="replace")
-    except (LookupError, ValueError):  # binary transform codec, not a text encoding
+    except (LookupError, ValueError):  # unknown label / NUL label / non-text codec
         return bytes(raw).decode("utf-8", errors="replace")
 
 

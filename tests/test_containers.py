@@ -400,10 +400,12 @@ def test_http_content_encoding_inflation():
         _parse_http_response(msg(b"Content-Encoding: br\r\n", body))
     with pytest.raises(ValueError, match="unsupported Content-Encoding"):
         _parse_http_response(msg(b"Content-Encoding: gzip, br\r\n", body))
-    # corrupt gzip stream is a CONSISTENT ValueError (diagnosable,
-    # contained per record), not a raw zlib.error
+    # corrupt gzip/deflate streams are a CONSISTENT ValueError
+    # (diagnosable, contained per record), not a raw zlib.error
     with pytest.raises(ValueError, match="gzip"):
         _parse_http_response(msg(b"Content-Encoding: gzip\r\n", b"\x1f\x8bnot gzip"))
+    with pytest.raises(ValueError, match="deflate"):
+        _parse_http_response(msg(b"Content-Encoding: deflate\r\n", b"not deflate at all"))
     # a 0-byte coded body is an empty representation (browser rule),
     # not a decode error
     out = _parse_http_response(msg(b"Content-Encoding: gzip\r\n", b""))
@@ -614,6 +616,18 @@ def test_write_wet_files_roundtrip_and_nulls(spark):
     # two files: docs {0,1} and {2}, each led by its warcinfo at offset 0
     infos = [r for r in recs if r["warc_type"] == "warcinfo"]
     assert len(infos) == 2 and all(r["offset"] == 0 for r in infos)
+
+    import pytest
+
+    # NULL doc_id fails with the diagnosis, not a NaN-to-int crash
+    with_null = spark.createDataFrame(
+        [(None, "ghost", "http://a/x")], "doc_id long, text string, uri string"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        write_wet_files(with_null, docs_per_file=2, uri_col="uri").collect()
+    # docs_per_file=0 fails at the API boundary with the real cause
+    with pytest.raises(ValueError, match="docs_per_file"):
+        write_wet_files(texts, docs_per_file=0, uri_col="uri")
 
 
 def test_http_requests_parse_and_containment(spark):

@@ -48,14 +48,23 @@ def repetition_signals(
     """Per-doc repetition ratios: (doc_id, n_lines, dup_line_frac,
     dup_line_char_frac, top_bigram, top_bigram_char_frac).
 
-    - ``dup_line_frac``: fraction of lines that are repeats of an
-      earlier identical line (Gopher A1.1 "duplicate line fraction").
+    - ``dup_line_frac``: fraction of NON-EMPTY lines that are repeats
+      of an earlier identical line (Gopher A1.1 "duplicate line
+      fraction").  Blank separator lines are excluded from the ratio
+      (review r9: ordinary paragraph-separated prose repeats the empty
+      string once per paragraph and would flunk the 0.30 gate);
+      ``n_lines`` still counts every line.
     - ``dup_line_char_frac``: fraction of characters sitting in those
-      repeated lines.
+      repeated lines (blank lines carry zero characters, so this was
+      always blank-immune).
     - ``top_bigram_char_frac``: characters covered by the most
       frequent word 2-gram / total token characters (Gopher's
       "top n-gram character fraction" family, n=2); ties break to the
       lexicographically smallest bigram so the ranking is total.
+      Overlapping occurrences double-count their shared token, so the
+      raw ratio can exceed 1 ("a a a a"); it is clamped to 1.0 — the
+      gate thresholds sit far below, and the clamp keeps the column a
+      true fraction for downstream calibration (review r9).
 
     Two explode → pre-aggregate passes (lines, bigrams), each keyed by
     (doc_id, element): map-side combine bounds the shuffle and the
@@ -65,9 +74,12 @@ def repetition_signals(
 
     lines = docs.select(d.alias("doc_id"), F.posexplode(_lines(F.col(text_col), line_sep)).alias("pos", "line"))
     per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"), F.length(F.first("line")).alias("len"))
+    ne = (F.col("len") > 0).cast("int")  # blank lines sit outside the dup ratio
     line_sig = per_line.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_lines"),
-        (F.sum(F.col("c") - 1) / F.sum("c")).alias("dup_line_frac"),
+        F.when(F.sum(F.col("c") * ne) == 0, F.lit(0.0))
+        .otherwise(F.sum((F.col("c") - 1) * ne) / F.sum(F.col("c") * ne))
+        .alias("dup_line_frac"),
         # all-empty-line docs (text='') have sum(c*len)=0: define the
         # char fraction as 0 rather than ANSI-crash the whole pass
         F.when(F.sum(F.col("c") * F.col("len")) == 0, F.lit(0.0))
@@ -105,8 +117,11 @@ def repetition_signals(
         .select(
             "doc_id",
             "top_bigram",
-            # covered chars = count * (bigram chars minus the joining space)
-            (F.col("_c") * (F.length("top_bigram") - 1) / F.col("_tc")).alias("top_bigram_char_frac"),
+            # covered chars = count * (bigram chars minus the joining
+            # space); clamped — overlapping occurrences share a token
+            F.least(
+                F.col("_c") * (F.length("top_bigram") - 1) / F.col("_tc"), F.lit(1.0)
+            ).alias("top_bigram_char_frac"),
         )
     )
     return line_sig.join(top_bg, "doc_id", "left").select(
@@ -182,14 +197,21 @@ def gopher_quality_flags(
         (n_alpha.cast("double") / n_tok).alias("alpha_word_frac"),
         n_stop.cast("bigint").alias("n_stopword_hits"),
     )
+    # zero-token docs have NaN ratio signals, and Spark orders NaN
+    # ABOVE all doubles, so an unguarded `alpha_word_frac >= 0.8`
+    # would read TRUE for an empty doc — every per-token rule is
+    # anchored on n_tokens > 0 so its boolean is well-defined even
+    # when a consumer relaxes the token-count rule (review r9)
+    has_toks = F.col("n_tokens") > 0
     rules = {
         "ok_n_tokens": (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens),
-        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        "ok_mean_word_len": has_toks
+        & (F.col("mean_word_len") >= min_mean_word_len)
         & (F.col("mean_word_len") <= max_mean_word_len),
-        "ok_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "ok_symbol_ratio": has_toks & (F.col("symbol_word_ratio") <= max_symbol_word_ratio),
         "ok_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
         "ok_ellipsis_lines": F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
-        "ok_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "ok_alpha_words": has_toks & (F.col("alpha_word_frac") >= min_alpha_word_frac),
         "ok_stopwords": F.col("n_stopword_hits") >= min_stopword_hits,
     }
     keep = None
@@ -344,7 +366,17 @@ def lm_bigram_scores(
             ),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    per_doc = scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.avg("_lp").alias("avg_logprob"),
+    )
+    # docs with <2 tokens produce no bigram rows and would vanish from
+    # the score table entirely — surface them as unscorable
+    # (n_bigrams=0, NULL avg_logprob) so a join/rank over the scores
+    # never silently loses documents (review r9)
+    all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "avg_logprob",
     )

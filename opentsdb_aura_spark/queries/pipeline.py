@@ -1116,9 +1116,12 @@ def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_repetition_docs",
     f"""{_LINES_SQL},
 l AS (SELECT doc_id, unnest(lines) AS line FROM d),
-pl AS (SELECT doc_id, line, count(*) AS c, length(line) AS len FROM l GROUP BY 1, 2),
+pl AS (SELECT doc_id, line, count(*) AS c, length(line) AS len,
+              CASE WHEN length(line) > 0 THEN 1 ELSE 0 END AS ne
+       FROM l GROUP BY 1, 2),
 ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
-              sum(c - 1) * 1.0 / sum(c) AS dup_line_frac,
+              CASE WHEN sum(c * ne) = 0 THEN 0.0
+                   ELSE sum((c - 1) * ne) * 1.0 / sum(c * ne) END AS dup_line_frac,
               sum((c - 1) * len) * 1.0 / sum(c * len) AS dup_line_char_frac
        FROM pl GROUP BY 1),
 bgs AS (SELECT doc_id,
@@ -1131,7 +1134,7 @@ tb AS (SELECT p.doc_id, min(p.bigram) AS top_bigram, any_value(m.mx) AS c, any_v
        FROM pb p JOIN mx m USING (doc_id) WHERE p.c = m.mx GROUP BY 1)
 SELECT ls.doc_id, n_lines, round(dup_line_frac, 6) AS dup_line_frac,
        round(dup_line_char_frac, 6) AS dup_line_char_frac, top_bigram,
-       round(c * (length(top_bigram) - 1) * 1.0 / tc, 6) AS top_bigram_char_frac
+       round(least(c * (length(top_bigram) - 1) * 1.0 / tc, 1.0), 6) AS top_bigram_char_frac
 FROM ls JOIN tb USING (doc_id)""",
 )
 def quality_repetition_docs(spark, sf_dir):
@@ -1173,13 +1176,14 @@ SELECT doc_id, n_tokens, round(mean_word_len, 6) AS mean_word_len,
        round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
        round(alpha_word_frac, 6) AS alpha_word_frac, n_stopword_hits,
        n_tokens BETWEEN 10 AND 100000 AS ok_n_tokens,
-       mean_word_len BETWEEN 3 AND 10 AS ok_mean_word_len,
-       symbol_word_ratio <= 0.1 AS ok_symbol_ratio,
+       n_tokens > 0 AND mean_word_len BETWEEN 3 AND 10 AS ok_mean_word_len,
+       n_tokens > 0 AND symbol_word_ratio <= 0.1 AS ok_symbol_ratio,
        bullet_line_frac <= 0.9 AS ok_bullet_lines,
        ellipsis_line_frac <= 0.3 AS ok_ellipsis_lines,
-       alpha_word_frac >= 0.8 AS ok_alpha_words,
+       n_tokens > 0 AND alpha_word_frac >= 0.8 AS ok_alpha_words,
        n_stopword_hits >= 2 AS ok_stopwords,
-       (n_tokens BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+       (n_tokens BETWEEN 10 AND 100000) AND n_tokens > 0
+         AND (mean_word_len BETWEEN 3 AND 10)
          AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
          AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
          AND n_stopword_hits >= 2 AS keep
@@ -1215,11 +1219,13 @@ bg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, toks[i+1] AS w1
 uni AS (SELECT tok, count(*) AS ucnt
         FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1),
 v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
-big AS (SELECT bigram, count(*) AS bcnt FROM bg GROUP BY 1)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(ln((bcnt + 0.1) / (ucnt + 0.1 * v.v))), 4) AS avg_logprob
-FROM bg JOIN big USING (bigram) JOIN uni ON bg.w1 = uni.tok CROSS JOIN v
-GROUP BY 1""",
+big AS (SELECT bigram, count(*) AS bcnt FROM bg GROUP BY 1),
+s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln((bcnt + 0.1) / (ucnt + 0.1 * v.v))), 4) AS avg_logprob
+      FROM bg JOIN big USING (bigram) JOIN uni ON bg.w1 = uni.tok CROSS JOIN v
+      GROUP BY 1)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_logprob
+FROM d LEFT JOIN s USING (doc_id)""",
 )
 def quality_lm_scores(spark, sf_dir):
     """CCNet-style perplexity-proxy filter signal: per-doc mean

@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 12  # v12: truly adaptive blooms (no fixed NDV); v10-11: series_id blooms
+STORE_LAYOUT_VERSION = 13  # v13: writer sort leads with segment_time; v12: adaptive blooms
 
 
 def _store_version_tag(sf_dir: str) -> str:
@@ -138,7 +138,15 @@ def write_metrics_store(
             df = df.repartition(F.col("segment_time"), F.pmod(F.col("series_id"), F.lit(files_per_partition)))
         else:
             df = df.repartition(F.col("segment_time"))
-        df = df.sortWithinPartitions("series_id", "ts")
+        # segment_time MUST lead the sort even though the shuffle keys
+        # on it: the file writer requires ordering on the partition
+        # column, and [series_id, ts] alone makes Spark stack its own
+        # SortExec(segment_time) on top — redundant work whose spill
+        # merge interleaves equal-segment runs and silently destroys
+        # the (series_id, ts) order the row-group pruning contract
+        # depends on (review r9).  With the prefix, the writer reuses
+        # this single sort.
+        df = df.sortWithinPartitions("segment_time", "series_id", "ts")
     else:
         df = df.sortWithinPartitions("segment_time", "series_id", "ts")
     bloom_options(df.write.mode("overwrite"), "series_id").partitionBy(

@@ -156,6 +156,15 @@ def streaming_dedup(
     same-ts REWRITE carries a new value and must pass through to the
     store's last-write-wins arbitration — keying on (series, ts) alone
     would drop it and silently invert LWW into first-write-wins.
+    Documented trade-off (review r9): a rewrite chain that REVISITS an
+    earlier value at the same ts (A→B→A inside the watermark) is
+    indistinguishable from a re-delivery of A, so the revert is
+    dropped and the store settles on B.  Producers whose replays
+    preserve a stable ``ingest_seq`` (a re-delivery is a byte-identical
+    row, not a fresh seq) can pass ``key_cols=("series_id", "ts",
+    "ingest_seq")`` for revert-safe dedup; with fresh-seq re-deliveries
+    (this repo's fixtures) that key would dedup nothing, which is why
+    it is not the default.
 
     ``dropDuplicatesWithinWatermark`` is the purpose-built operator:
     state holds one entry per key, and the watermark bounds BOTH the
@@ -397,6 +406,8 @@ def streaming_crawl_ingest(
     from opentsdb_aura_spark.operators.containers import http_responses, warc_records
     from opentsdb_aura_spark.operators.dedup_text import update_minhash_index
 
+    _sidecar_checked: list = []  # one-time legacy-schema probe memo
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
@@ -419,20 +430,24 @@ def streaming_crawl_ingest(
             # files next to legacy (file_id, error) files would leave a
             # mixed-schema dir that a plain parquet read resolves from
             # whichever footer it samples — rewrite legacy rows to the
-            # wide schema first (review r9)
+            # wide schema first.  _read_parquet_if_exists distinguishes
+            # a missing path from a REAL read failure (which must
+            # propagate, not be mistaken for "no legacy sidecar"), and
+            # the probe runs once per query, not per write (review r9).
+            from opentsdb_aura_spark.operators.dedup_text import _read_parquet_if_exists
+
             spark_l = df.sparkSession
-            try:
-                old = spark_l.read.parquet(f"{docs_path}_errors")
-            except Exception:
-                old = None
-            if old is not None and "record_id" not in old.columns:
-                widened = old.select(
-                    "file_id",
-                    F.lit(None).cast("string").alias("record_id"),
-                    F.lit(None).cast("string").alias("target_uri"),
-                    "error",
-                ).localCheckpoint()  # materialize BEFORE overwriting the source
-                widened.write.mode("overwrite").parquet(f"{docs_path}_errors")
+            if not _sidecar_checked:
+                _sidecar_checked.append(True)
+                old = _read_parquet_if_exists(spark_l, f"{docs_path}_errors")
+                if old is not None and "record_id" not in old.columns:
+                    widened = old.select(
+                        "file_id",
+                        F.lit(None).cast("string").alias("record_id"),
+                        F.lit(None).cast("string").alias("target_uri"),
+                        "error",
+                    ).localCheckpoint()  # materialize BEFORE overwriting the source
+                    widened.write.mode("overwrite").parquet(f"{docs_path}_errors")
             df.select(*err_cols).write.mode("append").parquet(f"{docs_path}_errors")
         recs = warc_records(batch_df, skip_errors=True, with_payload=True).localCheckpoint()
         errs = recs.where(F.col("error").isNotNull())

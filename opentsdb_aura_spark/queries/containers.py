@@ -381,6 +381,48 @@ def corpus_warc_requests(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_warc_pair_audit",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+SELECT CASE WHEN doc_id % 13 = 0 THEN 'HEAD' ELSE 'GET' END AS method,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status_code,
+       CAST(count(*) AS BIGINT) AS n_fetches
+FROM d GROUP BY 1, 2""",
+)
+def corpus_warc_pair_audit(spark, sf_dir):
+    """Fetch-audit rollup over the request↔response PAIRING: join each
+    parsed request to its response via the WARC-Concurrent-To link and
+    aggregate fetch counts by (method, status) — the crawl-ops report
+    ("how many HEADs 404'd?") that only works if the pairing survives
+    synthesis, parsing, and both envelope splits.  The oracle
+    recomputes the 4-cell contingency table from the doc_id closed
+    forms, so a single dropped or mislinked pair breaks the counts.
+    Scale shape: two narrow parses + one equi-join on the record id
+    (both sides hash-partitioned on the key) + map-side-combined
+    count."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_requests,
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF,
+        http_envelope=True, request_records=True,
+    )
+    recs = warc_records(files, with_payload=True)
+    req = http_requests(recs).select("concurrent_to", "method")
+    resp = http_responses(recs).select(
+        F.col("record_id").alias("concurrent_to"), "status_code"
+    )
+    return (
+        req.join(resp, "concurrent_to")
+        .groupBy("method", "status_code")
+        .agg(F.count("*").cast("bigint").alias("n_fetches"))
+    )
+
+
 _HTML_EXPECTED = """WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt

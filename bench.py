@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "corpus_warc_http_responses",
     "corpus_warc_gzip_html_text",
     "quality_link_density",
+    "pipeline_curate_to_wet",
 ]
 
 

@@ -603,8 +603,10 @@ def quality_link_density(spark, sf_dir):
     )
 
 
-@register(
-    "pipeline_crawl_curate",
+# Shared curate-gate CTE chain (expected text + Gopher signals + the
+# keep_quality flag) — the base of both pipeline_crawl_curate and
+# pipeline_curate_to_wet's oracles.
+_CURATE_CTES = (
     _HTML_EXPECTED
     + r""",
 w AS (
@@ -635,7 +637,14 @@ q AS (
            AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
            AND n_stopword_hits >= 2 AS keep_quality
-  FROM s)
+  FROM s)"""
+)
+
+
+@register(
+    "pipeline_crawl_curate",
+    _CURATE_CTES
+    + """
 SELECT doc_id, n_tokens, n_stopword_hits, keep_quality,
        round(link_chars * 1.0 / text_chars, 6) AS link_density,
        link_chars * 1.0 / text_chars <= 0.3 AS ok_link_density,
@@ -686,6 +695,66 @@ def pipeline_crawl_curate(spark, sf_dir):
         F.round(density, 6).alias("link_density"),
         ok_ld.alias("ok_link_density"),
         (F.col("keep") & ok_ld).alias("keep"),
+    )
+
+
+@register(
+    "pipeline_curate_to_wet",
+    _CURATE_CTES
+    + """
+SELECT 'urn:uuid:wet-' || w.doc_id AS record_id,
+       'http://example.com/doc/' || w.doc_id AS target_uri,
+       CAST(octet_length(encode(w.text)) AS BIGINT) AS content_length,
+       md5(w.text) AS payload_md5
+FROM w JOIN q USING (doc_id)
+WHERE q.keep_quality AND (q.link_chars * 1.0 / q.text_chars <= 0.3)""",
+)
+def pipeline_curate_to_wet(spark, sf_dir):
+    """The COMPLETE curation loop in one oracled plan: crawl container
+    → HTTP split → HTML extraction → Gopher + link-density gates →
+    surviving text exported as WET conversion records → re-parsed by
+    the same reader.  The oracle recomputes the survivor SET from the
+    gate closed forms and each survivor's WET digest/byte length from
+    the extraction closed form, so a wrong keep decision, a dropped
+    survivor, or a sink framing slip all break the hash — the
+    end-to-end story a user of this engine actually runs, value-
+    checked at every joint.  Single pass: the gate flags ride the
+    extraction projection (extra_cols), survivors flow straight into
+    the export groupBy — one shuffle (the WET file grouping) after
+    the narrow chain."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+        write_wet_files,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+    from opentsdb_aura_spark.operators.quality import (
+        gopher_quality_flags,
+        link_density_exprs,
+    )
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True, html_body=True
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    ext = html_to_text(pages)
+    flags = gopher_quality_flags(
+        ext, min_tokens=10, extra_cols=("link_chars", "text_chars", "text")
+    )
+    _, ok_ld = link_density_exprs()
+    survivors = flags.where(F.col("keep") & ok_ld).select("doc_id", "text")
+    wet = write_wet_files(survivors, docs_per_file=_DPF)
+    return (
+        warc_records(wet)
+        .where(F.col("warc_type") == "conversion")
+        .select("record_id", "target_uri", "content_length", "payload_md5")
     )
 
 

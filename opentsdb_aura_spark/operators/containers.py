@@ -134,6 +134,18 @@ def encode_warc_file(
             )
 
             codec, label, marker = CHARSET_FIXTURES[int(doc_id) % 4]
+            if not str(text).isascii():
+                # the charset fixtures re-encode corpus text as
+                # iso-8859-1/shift_jis; a corpus char outside the target
+                # charset would raise UnicodeEncodeError mid-task with no
+                # doc context (ADVICE r9) — fail at the boundary instead.
+                # The fixtures' own non-ASCII marker chars are chosen to
+                # be encodable in their codec; corpus text must be ASCII.
+                raise ValueError(
+                    f"synthesize_warc(charset_body=True): doc {doc_id} text is "
+                    "not ASCII — charset fixture pages encode corpus text with "
+                    "legacy codecs and require ASCII-only document text"
+                )
             body = render_fixture_html(
                 int(doc_id), text, charset_marker=marker
             ).encode(codec)
@@ -617,8 +629,13 @@ def _parse_http_request(payload: bytes) -> tuple:
     """Parse one HTTP/1.x request message: request line (method,
     target, version) + case-insensitive headers.  Request bodies are
     not framed (crawl request records are header-only fetches; a
-    Content-Length body would simply be ignored here).  Returns
-    (method, req_target, version, host, user_agent, n_headers)."""
+    Content-Length body would simply be ignored here).  Repeated
+    header names (multiple Accept/Cookie lines are routine in real
+    crawl captures) each count toward ``n_headers`` and their values
+    combine with ", " per RFC 9110 §5.2 — a dict collapse would
+    undercount the lines and drop all but the last value (ADVICE r9).
+    Returns (method, req_target, version, host, user_agent,
+    n_headers)."""
     import re as _re
 
     hdr_end = payload.find(b"\r\n\r\n")
@@ -629,18 +646,22 @@ def _parse_http_request(payload: bytes) -> tuple:
     if not m:
         raise ValueError(f"HTTP request: bad request line {lines[0]!r}")
     headers: dict[str, str] = {}
+    n_header_lines = 0
     for ln in lines[1:]:
         k, sep, v = ln.partition(":")
         if not sep:
             raise ValueError(f"HTTP request: malformed header line {ln!r}")
-        headers[k.strip().lower()] = v.strip()
+        key = k.strip().lower()
+        val = v.strip()
+        n_header_lines += 1
+        headers[key] = headers[key] + ", " + val if key in headers else val
     return (
         m.group(1),
         m.group(2),
         m.group(3),
         headers.get("host"),
         headers.get("user-agent"),
-        len(headers),
+        n_header_lines,
     )
 
 
@@ -719,7 +740,59 @@ def _dechunk(data: bytes) -> bytes:
         pos += size + 2
 
 
-def _inflate_body(body: bytes, coding: str) -> bytes:
+# Decompressed-size bound for Content-Encoding inflation.  Crawl
+# bodies are ADVERSARIAL input: a ~1 KiB gzip bomb inflates ~1000×,
+# and multi-member gzip compounds it — without a cap one hostile
+# record OOM-kills the executor, which no per-record skip_errors
+# containment can catch (the process dies, not the row).  64 MiB is
+# far above any real page body; override per call via
+# http_responses(max_inflated_bytes=...).
+MAX_INFLATED_BYTES = 64 * 1024 * 1024
+_INFLATE_STEP = 1 << 20  # max_length per decompress call (1 MiB)
+
+
+def _bounded_inflate(do, data: bytes, limit: int, produced: int) -> tuple[bytes, int]:
+    """Drive one ``zlib.decompressobj`` over ``data`` incrementally
+    with a cumulative output budget: each ``decompress`` call caps its
+    output at ``_INFLATE_STEP`` bytes and re-feeds ``unconsumed_tail``,
+    so a decompression bomb raises ValueError (inside the per-record
+    containment boundary) after at most ``limit`` + one step of
+    output, instead of inflating fully into executor memory.  Returns
+    (inflated_bytes, new_produced_total); ``produced`` threads the
+    running total across gzip members so the multi-member loop can't
+    compound past the bound."""
+    out = []
+    while True:
+        chunk = do.decompress(data, _INFLATE_STEP)
+        if chunk:
+            out.append(chunk)
+            produced += len(chunk)
+            if produced > limit:
+                raise ValueError(
+                    f"HTTP response: inflated body exceeds {limit} bytes "
+                    "(decompression-bomb bound)"
+                )
+        data = do.unconsumed_tail
+        if do.eof or not data:
+            break
+    if not do.eof:
+        # flush() AFTER eof re-appends unconsumed_tail onto unused_data
+        # (CPython zlib quirk), which would make the caller's
+        # multi-member loop re-decode the same member forever — only
+        # drain buffered output for streams that ended without eof
+        tail = do.flush()
+        if tail:
+            out.append(tail)
+            produced += len(tail)
+            if produced > limit:
+                raise ValueError(
+                    f"HTTP response: inflated body exceeds {limit} bytes "
+                    "(decompression-bomb bound)"
+                )
+    return b"".join(out), produced
+
+
+def _inflate_body(body: bytes, coding: str, limit: int = MAX_INFLATED_BYTES) -> bytes:
     """Undo a ``Content-Encoding`` representation coding (RFC 9110
     §8.4): ``gzip``/``x-gzip`` and ``deflate``; ``identity`` is a
     passthrough.  ``deflate`` is the zlib format per spec, but many
@@ -729,7 +802,10 @@ def _inflate_body(body: bytes, coding: str) -> bytes:
     emit one member per flush) — all members decode and concatenate,
     per the gzip spec's multi-member rule.  Multi-coding lists
     (``Content-Encoding: gzip, br``) and unknown codings raise — an
-    honest boundary the skip_errors contract contains per record."""
+    honest boundary the skip_errors contract contains per record.
+    Output is capped at ``limit`` bytes cumulative across members
+    (decompression-bomb bound, ADVICE r9) — exceeding it raises the
+    same contained ValueError."""
     import zlib
 
     if not body:
@@ -739,24 +815,33 @@ def _inflate_body(body: bytes, coding: str) -> bytes:
         return b""
     if coding in ("gzip", "x-gzip"):
         out = []
+        produced = 0
         buf = body
         while buf:
             do = zlib.decompressobj(16 + zlib.MAX_WBITS)
             try:
-                out.append(do.decompress(buf))
-                out.append(do.flush())
+                piece, produced = _bounded_inflate(do, buf, limit, produced)
             except zlib.error as exc:
                 raise ValueError(f"HTTP response: corrupt gzip body: {exc}")
+            out.append(piece)
             if not do.eof:
                 raise ValueError("HTTP response: truncated gzip body")
             buf = do.unused_data
         return b"".join(out)
     if coding == "deflate":
         try:
-            return zlib.decompress(body)
+            do = zlib.decompressobj(zlib.MAX_WBITS)
+            piece, _ = _bounded_inflate(do, body, limit, 0)
+            if not do.eof:
+                raise zlib.error("incomplete or truncated deflate stream")
+            return piece
         except zlib.error:
             try:
-                return zlib.decompress(body, -zlib.MAX_WBITS)
+                do = zlib.decompressobj(-zlib.MAX_WBITS)
+                piece, _ = _bounded_inflate(do, body, limit, 0)
+                if not do.eof:
+                    raise zlib.error("incomplete or truncated deflate stream")
+                return piece
             except zlib.error as exc:
                 # consistent ValueError boundary, matching the gzip
                 # branch — callers distinguish data errors from infra
@@ -764,7 +849,7 @@ def _inflate_body(body: bytes, coding: str) -> bytes:
     raise ValueError(f"HTTP response: unsupported Content-Encoding {coding!r}")
 
 
-def _parse_http_response(payload: bytes) -> tuple:
+def _parse_http_response(payload: bytes, *, max_inflated_bytes: int = MAX_INFLATED_BYTES) -> tuple:
     """Parse one HTTP/1.x response message: status line, case-
     insensitive headers, then body framing per RFC 9112 §6 precedence
     (Transfer-Encoding: chunked, else Content-Length, else read to
@@ -814,7 +899,7 @@ def _parse_http_response(payload: bytes) -> tuple:
         if content_encoding in ("", "identity"):
             content_encoding = None
     if content_encoding is not None:
-        body = _inflate_body(body, content_encoding)
+        body = _inflate_body(body, content_encoding, max_inflated_bytes)
 
     content_type = charset = None
     ct_raw = headers.get("content-type")
@@ -841,7 +926,11 @@ HTTP_RESPONSE_BODY_SCHEMA = HTTP_RESPONSE_SCHEMA + ", body binary"
 
 
 def http_responses(
-    records: DataFrame, *, skip_errors: bool = False, with_body: bool = False
+    records: DataFrame,
+    *,
+    skip_errors: bool = False,
+    with_body: bool = False,
+    max_inflated_bytes: int = MAX_INFLATED_BYTES,
 ) -> DataFrame:
     """Split the HTTP response envelope from WARC ``response`` record
     payloads: status line, headers (content-type / charset /
@@ -901,7 +990,9 @@ def http_responses(
                     if payload is None:
                         raise ValueError("record has no payload (re-read with_payload=True)")
                     ver, code, reason, ctype, cset, cenc, chunked, clen, nh, body = (
-                        _parse_http_response(bytes(payload))
+                        _parse_http_response(
+                            bytes(payload), max_inflated_bytes=max_inflated_bytes
+                        )
                     )
                     row = (
                         fid, rid, uri, ver, code, reason, ctype, cset, cenc,

@@ -14,6 +14,7 @@ ustar block padding, checksums, digests).
 from __future__ import annotations
 
 from opentsdb_aura_spark.queries.base import *  # noqa: F401,F403
+from opentsdb_aura_spark.queries.base import _r  # shared underscore helper
 
 _DPF = 50  # docs per container file — mirrored in both oracles below
 
@@ -598,7 +599,7 @@ def quality_link_density(spark, sf_dir):
     flags = link_density_flags(html_to_text(pages))
     return flags.select(
         "doc_id", "link_chars", "text_chars",
-        F.round("link_density", 6).alias("link_density"),
+        _r("link_density", 6).alias("link_density"),
         "ok_link_density",
     )
 
@@ -692,7 +693,7 @@ def pipeline_crawl_curate(spark, sf_dir):
         "n_tokens",
         "n_stopword_hits",
         F.col("keep").alias("keep_quality"),
-        F.round(density, 6).alias("link_density"),
+        _r(density, 6).alias("link_density"),
         ok_ld.alias("ok_link_density"),
         (F.col("keep") & ok_ld).alias("keep"),
     )

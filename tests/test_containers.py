@@ -667,3 +667,89 @@ def test_http_requests_parse_and_containment(spark):
     assert bad["error"] is not None and bad["method"] is None
     with pytest.raises(Exception):
         http_requests(recs, skip_errors=False).collect()
+
+
+def test_http_requests_duplicate_headers_counted_and_combined():
+    """Repeated header names (multiple Accept/Cookie lines are routine
+    in real captures) each count toward n_headers and combine with
+    ', ' per RFC 9110 §5.2 — a dict collapse would undercount and keep
+    only the last value (ADVICE r9)."""
+    from opentsdb_aura_spark.operators.containers import _parse_http_request
+
+    msg = (
+        b"GET /x HTTP/1.1\r\n"
+        b"Host: example.com\r\n"
+        b"Accept: text/html\r\n"
+        b"Accept: application/xml\r\n"
+        b"Cookie: a=1\r\n"
+        b"Cookie: b=2\r\n"
+        b"\r\n"
+    )
+    method, tgt, ver, host, ua, nh = _parse_http_request(msg)
+    assert (method, tgt, ver, host, ua) == ("GET", "/x", "1.1", "example.com", None)
+    assert nh == 5  # five header LINES, not three distinct names
+
+
+def test_inflate_body_decompression_bomb_bound():
+    """A small coded body that inflates past the bound raises the
+    contained ValueError (never inflates fully into memory); the same
+    body passes under a bound that admits it, and the bound compounds
+    across multi-member gzip (ADVICE r9)."""
+    import gzip as _gz
+    import zlib
+
+    from opentsdb_aura_spark.operators.containers import _inflate_body
+
+    big = b"\x00" * (4 << 20)  # 4 MiB of zeros -> ~4 KiB gzip
+    coded = _gz.compress(big)
+    assert len(coded) < 10_000
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        _inflate_body(coded, "gzip", limit=1 << 20)
+    assert _inflate_body(coded, "gzip", limit=8 << 20) == big
+
+    # multi-member: each member under the bound, cumulative over it
+    two = _gz.compress(big) + _gz.compress(big)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        _inflate_body(two, "gzip", limit=6 << 20)
+    assert _inflate_body(two, "gzip", limit=16 << 20) == big + big
+
+    # deflate path (zlib-wrapped and raw) honors the same bound, and
+    # the bomb ValueError must NOT be misread as a format mismatch
+    # that falls through to the raw-DEFLATE retry
+    zcoded = zlib.compress(big)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        _inflate_body(zcoded, "deflate", limit=1 << 20)
+    assert _inflate_body(zcoded, "deflate", limit=8 << 20) == big
+    co = zlib.compressobj(6, zlib.DEFLATED, -zlib.MAX_WBITS)
+    raw = co.compress(big) + co.flush()
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        _inflate_body(raw, "deflate", limit=1 << 20)
+    assert _inflate_body(raw, "deflate", limit=8 << 20) == big
+
+
+def test_inflate_body_truncated_deflate_still_raises():
+    """The incremental decompressobj path must keep the old
+    zlib.decompress behavior on TRUNCATED deflate streams: partial
+    output is a corrupt body, not a silent success."""
+    import zlib
+
+    from opentsdb_aura_spark.operators.containers import _inflate_body
+
+    body = b"the quick brown fox jumps over the lazy dog " * 100
+    coded = zlib.compress(body)
+    with pytest.raises(ValueError, match="deflate"):
+        _inflate_body(coded[: len(coded) // 2], "deflate")
+
+
+def test_synthesize_warc_charset_body_rejects_non_ascii():
+    """charset_body fixtures re-encode corpus text with legacy codecs;
+    non-ASCII corpus text fails AT THE BOUNDARY with doc context, not
+    as an opaque UnicodeEncodeError mid-task (ADVICE r9)."""
+    with pytest.raises(ValueError, match="not ASCII"):
+        C.encode_warc_file(
+            0,
+            [(1, "café corpus text")],
+            http_envelope=True,
+            html_body=True,
+            charset_body=True,
+        )

@@ -54,11 +54,19 @@ def build_sf1(spark) -> None:
     shutil.rmtree(SF1, ignore_errors=True)
     os.makedirs(SF1, exist_ok=True)
     ev = spark.read.parquet(f"{SF01}/events.parquet")
+    # strides derived from the actual id ranges — fixed offsets would
+    # silently collide copies if the driver ever grows the sf0.1 id
+    # space, deflating the claimed 10× series count (ADVICE r9)
+    bounds = ev.agg(
+        F.max("event_id").alias("max_eid"), F.max("user_id").alias("max_uid")
+    ).first()
+    eid_stride = int(bounds["max_eid"]) + 1
+    uid_stride = int(bounds["max_uid"]) + 1
     parts = [
         ev.select(
-            (F.col("event_id") + k * 10_000_000).alias("event_id"),
+            (F.col("event_id") + k * eid_stride).alias("event_id"),
             "ts",
-            (F.col("user_id") + k * 1_000_000).alias("user_id"),
+            (F.col("user_id") + k * uid_stride).alias("user_id"),
             "event_type",
             "value",
             "props",

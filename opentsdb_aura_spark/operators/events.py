@@ -88,6 +88,27 @@ def upsert_events(events: DataFrame, id_col: str = "event_id", seq_col: str | No
     return events.groupBy(id_col).agg(*[F.max_by(F.col(c), order).alias(c) for c in other])
 
 
+def parent_link_expr(id_col: str = "event_id") -> Column:
+    """Deterministic parent link derived from the event id.  The
+    reference's event documents carry parentId/childId link fields
+    (events-common/.../view/Event.java:63-79), maintained at write
+    time by appending each child's id onto its parent's document
+    (events-lucene/.../LuceneWriter.java:212-232 updateParent).  The
+    driver's events table ships no link columns, so the store derives
+    a closed-form 3-level hierarchy from event_id — the same trick the
+    store already uses for end_ts/ongoing: roots (event_id % 100 == 0)
+    have no parent, mid events (event_id % 10 == 0) link to their
+    century root, leaves link to their decade mid.  Driver event ids
+    are dense from 0, so every derived parent id names an existing
+    row."""
+    eid = F.col(id_col)
+    return (
+        F.when(eid % 100 == 0, F.lit(None).cast("long"))
+        .when(eid % 10 == 0, (eid - eid % 100).cast("long"))
+        .otherwise((eid - eid % 10).cast("long"))
+    )
+
+
 def daily_partition(ts_seconds: Column) -> Column:
     """E3 — the daily-index key: events land in yyyy-MM-dd partitions
     exactly like the reference's daily Lucene indices

@@ -111,3 +111,99 @@ def ev_ongoing_window(spark, sf_dir):
 
     ev = events_seconds(spark, sf_dir)
     return ev.where(time_window_or_ongoing(START + 10 * DAY, START + 11 * DAY)).select("event_id")
+
+
+# The closed-form parent rule (operators/events.py parent_link_expr),
+# restated in SQL so the oracle recomputes the links independently of
+# the store build: roots %100, mids %10 → century root, leaves →
+# decade mid.
+_EV_LINKED = """WITH ev AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_type, value,
+         CASE WHEN event_id % 100 = 0 THEN NULL
+              WHEN event_id % 10 = 0 THEN event_id - event_id % 100
+              ELSE event_id - event_id % 10 END AS parent_id
+  FROM events)"""
+
+
+@register(
+    "ev_parent_children_rollup",
+    _EV_LINKED
+    + """
+, ch AS (
+  SELECT parent_id, CAST(count(*) AS BIGINT) AS n_children,
+         max(ts) AS last_child_ts,
+         arg_max(event_id, ts * 1000000 + event_id) AS last_child_id,
+         round(arg_max(value, ts * 1000000 + event_id), 4) AS last_child_value
+  FROM ev WHERE parent_id IS NOT NULL GROUP BY 1)
+SELECT ch.parent_id, p.event_type AS parent_type, ch.n_children,
+       ch.last_child_ts, ch.last_child_id, ch.last_child_value
+FROM ch JOIN ev p ON p.event_id = ch.parent_id""",
+)
+def ev_parent_children_rollup(spark, sf_dir):
+    """Parent/child link rollup — the query surface over the
+    reference's parentId/childId event fields (Event.java:63-79; the
+    writer appends each child onto its parent's childid list,
+    LuceneWriter.java:212-232 updateParent).  Per parent: child count
+    (the childIds list cardinality), the latest child by (ts,
+    event_id), and that child's value, joined back to the parent row
+    for its type.  Scale shape: one hash aggregation on parent_id +
+    one equi-join on event_id — both shuffle on uniform dense keys;
+    no driver state, no skew (fan-out is bounded at 9/18 by the link
+    rule, and real event trees are similarly shallow)."""
+    ev = events_seconds(spark, sf_dir)
+    order = F.col("ts") * 1000000 + F.col("event_id")
+    children = (
+        ev.where(F.col("parent_id").isNotNull())
+        .groupBy("parent_id")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.max("ts").alias("last_child_ts"),
+            F.max_by("event_id", order).alias("last_child_id"),
+            _r(F.max_by("value", order), 4).alias("last_child_value"),
+        )
+    )
+    parents = ev.select(F.col("event_id").alias("parent_id"), F.col("event_type").alias("parent_type"))
+    return children.join(parents, "parent_id").select(
+        "parent_id", "parent_type", "n_children",
+        "last_child_ts", "last_child_id", "last_child_value",
+    )
+
+
+@register(
+    "ev_parent_trace_2level",
+    _EV_LINKED
+    + """
+SELECT r.event_id AS root_id, r.event_type AS root_type,
+       CAST(count(DISTINCT m.event_id) AS BIGINT) AS n_children,
+       CAST(count(l.event_id) AS BIGINT) AS n_grandchildren,
+       max(l.ts) AS last_grandchild_ts
+FROM ev r
+JOIN ev m ON m.parent_id = r.event_id
+LEFT JOIN ev l ON l.parent_id = m.event_id
+WHERE r.parent_id IS NULL
+GROUP BY 1, 2""",
+)
+def ev_parent_trace_2level(spark, sf_dir):
+    """Two-level parent→child trace: for each root event (no parent),
+    its direct children and all grandchildren — the traversal a user
+    of the reference's parentIds/childIds lists (Event.java:75-79)
+    runs to reconstruct an incident tree.  Expressed as two equi-joins
+    on the link key + one aggregation; keys are dense and uniform so
+    both shuffles are skew-free, and the left join keeps roots whose
+    children are all leaves (no grandchildren → count 0, ts NULL)."""
+    ev = events_seconds(spark, sf_dir)
+    roots = ev.where(F.col("parent_id").isNull()).select(
+        F.col("event_id").alias("root_id"), F.col("event_type").alias("root_type")
+    )
+    mids = ev.select(F.col("event_id").alias("mid_id"), F.col("parent_id").alias("mid_parent"))
+    leaves = ev.select(F.col("event_id").alias("leaf_id"), F.col("parent_id").alias("leaf_parent"), F.col("ts").alias("leaf_ts"))
+    return (
+        roots.join(mids, roots.root_id == mids.mid_parent)
+        .join(leaves, F.col("mid_id") == F.col("leaf_parent"), "left")
+        .groupBy("root_id", "root_type")
+        .agg(
+            F.countDistinct("mid_id").alias("n_children"),
+            F.count("leaf_id").alias("n_grandchildren"),
+            F.max("leaf_ts").alias("last_grandchild_ts"),
+        )
+    )

@@ -38,7 +38,7 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_STORE", "/tmp/opentsdb_aura_store")
 EVENT_STORE_SEGMENT_WIDTH = 86400
 
 #: bump when the store layout/schema changes — stale caches rebuild
-STORE_LAYOUT_VERSION = 13  # v13: writer sort leads with segment_time; v12: adaptive blooms
+STORE_LAYOUT_VERSION = 14  # v14: events carry parent_id links; v13: writer sort leads with segment_time
 
 
 def _store_version_tag(sf_dir: str) -> str:
@@ -316,6 +316,12 @@ def _build_event_store(spark: SparkSession, sf_dir: str, root: str) -> tuple[str
         # event_id so range+ongoing queries are exercisable end-to-end
         ev = ev.withColumn("end_ts", (F.col("ts") + F.col("event_id") % F.lit(7200)).cast("long"))
         ev = ev.withColumn("ongoing", F.col("event_id") % F.lit(29) == F.lit(0))
+        # parentId/childId link fields (Event.java:63-79): derived
+        # closed-form from event_id like end_ts/ongoing above — see
+        # operators/events.py parent_link_expr for the rule
+        from opentsdb_aura_spark.operators.events import parent_link_expr
+
+        ev = ev.withColumn("parent_id", parent_link_expr())
         ev = ev.withColumn("event_date", daily_partition(F.col("ts")))
         (
             ev.repartition(F.col("event_date"))

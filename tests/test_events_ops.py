@@ -275,3 +275,21 @@ def test_text_match_empty_inputs(spark):
     df = spark.createDataFrame([("hello world",)], "title string")
     assert df.where(text_match(["title"], [])).count() == 1  # match-all
     assert df.where(text_match([], ["cart"])).count() == 0  # nothing to search
+
+
+def test_parent_link_expr_levels_and_closure(spark):
+    """The closed-form link rule (Event.java:63-79 surface): roots
+    (%100) have no parent, mids (%10) link to their century root,
+    leaves to their decade mid — and over a dense id range every
+    derived parent id names an existing event (referential closure,
+    the property the queries' joins rely on)."""
+    from opentsdb_aura_spark.operators.events import parent_link_expr
+
+    df = spark.range(0, 250).select(F.col("id").alias("event_id"))
+    out = {r["event_id"]: r["parent_id"] for r in
+           df.select("event_id", parent_link_expr().alias("parent_id")).collect()}
+    assert out[0] is None and out[100] is None and out[200] is None  # roots
+    assert out[10] == 0 and out[110] == 100 and out[240] == 200      # mids -> century root
+    assert out[1] == 0 and out[11] == 10 and out[239] == 230         # leaves -> decade mid
+    ids = set(out)
+    assert all(p in ids for p in out.values() if p is not None)

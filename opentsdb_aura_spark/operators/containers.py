@@ -96,6 +96,7 @@ def encode_warc_file(
     http_envelope: bool = False,
     html_body: bool = False,
     content_encoding: bool = False,
+    transfer_coding: bool = False,
     charset_body: bool = False,
     request_records: bool = False,
 ) -> bytes:
@@ -158,7 +159,8 @@ def encode_warc_file(
             body = text.encode()
         if http_envelope:
             payload = encode_http_response(
-                int(doc_id), body, content_encoding=content_encoding, **charset_kw
+                int(doc_id), body, content_encoding=content_encoding,
+                transfer_coding=transfer_coding, **charset_kw,
             )
             rec_ct = "application/http;msgtype=response"
         else:
@@ -199,6 +201,7 @@ def synthesize_warc(
     http_envelope: bool = False,
     html_body: bool = False,
     content_encoding: bool = False,
+    transfer_coding: bool = False,
     charset_body: bool = False,
     request_records: bool = False,
     id_col: str = "doc_id",
@@ -227,6 +230,7 @@ def synthesize_warc(
             http_envelope=http_envelope,
             html_body=html_body,
             content_encoding=content_encoding,
+            transfer_coding=transfer_coding,
             charset_body=charset_body,
             request_records=request_records,
         )
@@ -240,7 +244,7 @@ def synthesize_warc(
 WARC_RECORD_SCHEMA = (
     "file_id long, offset long, record_length long, warc_type string, "
     "record_id string, target_uri string, content_length long, "
-    "payload_md5 string, concurrent_to string, error string"
+    "payload_md5 string, concurrent_to string, warc_date string, error string"
 )
 WARC_RECORD_PAYLOAD_SCHEMA = WARC_RECORD_SCHEMA + ", payload binary"
 
@@ -293,6 +297,7 @@ def _parse_warc_bytes(data: bytes) -> Iterator[tuple]:
             clen,
             hashlib.md5(payload).hexdigest(),
             cto,
+            fields.get("warc-date"),  # capture timestamp — the CDX index needs it
             payload,  # trailing so header-only consumers can drop it
         )
 
@@ -349,6 +354,7 @@ def warc_records(
         "content_length",
         "payload_md5",
         "concurrent_to",
+        "warc_date",
         "error",
     ]
     if with_payload:
@@ -369,7 +375,7 @@ def warc_records(
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-file containment
                     if not skip_errors:
                         raise
-                    err = (fid,) + (None,) * 8 + (str(exc),)
+                    err = (fid,) + (None,) * 9 + (str(exc),)
                     rows.append(err + (None,) if with_payload else err)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -555,6 +561,7 @@ def encode_http_response(
     body: bytes,
     *,
     content_encoding: bool = False,
+    transfer_coding: bool = False,
     charset_param=_CHARSET_DEFAULT,
 ) -> bytes:
     """A deterministic HTTP/1.x response envelope around ``body``,
@@ -593,6 +600,21 @@ def encode_http_response(
         elif doc_id % 5 == 3:
             lines.append(b"Content-Encoding: deflate")
             body = zlib.compress(body, 6)
+    if transfer_coding:
+        # hop-by-hop gzip transfer coding (RFC 9112 §6.1/6.3): even
+        # docs close-delimited ("TE: gzip" overrides any CL), odd docs
+        # gzip-then-chunked (undo order: dechunk first, THEN ungzip)
+        if content_encoding:
+            raise ValueError("fixture: transfer_coding and content_encoding are exclusive")
+        coded = _gzip_member(body)
+        if doc_id % 2 == 1:
+            lines.append(b"Transfer-Encoding: gzip, chunked")
+            chunks = [coded[i : i + 7] for i in range(0, len(coded), 7)]
+            framed = b"".join(b"%x\r\n" % len(c) + c + b"\r\n" for c in chunks) + b"0\r\n\r\n"
+        else:
+            lines.append(b"Transfer-Encoding: gzip")
+            framed = coded
+        return _CRLF.join(lines) + _CRLF + _CRLF + framed
     mode = doc_id % 3
     if mode == 0:
         lines.append(b"Transfer-Encoding: chunked")
@@ -792,6 +814,21 @@ def _bounded_inflate(do, data: bytes, limit: int, produced: int) -> tuple[bytes,
     return b"".join(out), produced
 
 
+#: Production plug seam for Content-Encoding codings stdlib can't
+#: decode — the register_image_decoder pattern (multimodal.py:409)
+#: applied to the HTTP path.  Brotli (a meaningful share of modern
+#: response captures; no stdlib decoder) becomes a one-line plug:
+#: ``register_body_decoder("br", brotli.decompress)``.  Registered
+#: callables take the coded bytes and return the decoded bytes; the
+#: decompression-bomb bound is enforced on their OUTPUT (a streaming
+#: decoder plug should bound its own intermediate memory).
+_BODY_DECODERS: dict[str, object] = {}
+
+
+def register_body_decoder(coding: str, fn) -> None:
+    _BODY_DECODERS[coding.strip().lower()] = fn
+
+
 def _inflate_body(body: bytes, coding: str, limit: int = MAX_INFLATED_BYTES) -> bytes:
     """Undo a ``Content-Encoding`` representation coding (RFC 9110
     §8.4): ``gzip``/``x-gzip`` and ``deflate``; ``identity`` is a
@@ -846,6 +883,19 @@ def _inflate_body(body: bytes, coding: str, limit: int = MAX_INFLATED_BYTES) -> 
                 # consistent ValueError boundary, matching the gzip
                 # branch — callers distinguish data errors from infra
                 raise ValueError(f"HTTP response: corrupt deflate body: {exc}")
+    fn = _BODY_DECODERS.get(coding)
+    if fn is not None:
+        try:
+            out = bytes(fn(body))
+        except Exception as exc:  # noqa: BLE001 — plug errors stay inside the
+            # per-record ValueError containment boundary like stdlib codings
+            raise ValueError(f"HTTP response: corrupt {coding} body: {exc}")
+        if len(out) > limit:
+            raise ValueError(
+                f"HTTP response: inflated body exceeds {limit} bytes "
+                "(decompression-bomb bound)"
+            )
+        return out
     raise ValueError(f"HTTP response: unsupported Content-Encoding {coding!r}")
 
 
@@ -877,11 +927,42 @@ def _parse_http_response(payload: bytes, *, max_inflated_bytes: int = MAX_INFLAT
         headers[k.strip().lower()] = v.strip()
     rest = payload[hdr_end + 4 :]
 
-    chunked = "chunked" in headers.get("transfer-encoding", "").lower()
+    # Transfer-Encoding is a LIST of codings applied in order by the
+    # sender (RFC 9112 §6.1); the receiver undoes them in reverse.
+    # chunked, when present, must be the FINAL coding; any TE at all
+    # overrides Content-Length framing (RFC 9112 §6.3 item 3: a
+    # non-chunked-final TE response is close-delimited).
+    te_raw = headers.get("transfer-encoding")
+    te_codings = (
+        [t.strip().lower() for t in te_raw.split(",") if t.strip()] if te_raw else []
+    )
+    chunked = "chunked" in te_codings
     clen_hdr = headers.get("content-length")
     content_length = int(clen_hdr) if clen_hdr is not None else None
-    if chunked:
-        body = _dechunk(rest)
+    if te_codings:
+        if chunked and te_codings[-1] != "chunked":
+            raise ValueError(
+                f"HTTP response: chunked is not the final transfer coding ({te_raw!r})"
+            )
+        if chunked:
+            body = _dechunk(rest)
+            hop_codings = te_codings[:-1]
+        else:
+            body = rest  # TE without final chunked: close-delimited
+            hop_codings = te_codings
+        # undo the remaining hop-by-hop codings newest-first; gzip /
+        # x-gzip / deflate are stdlib-decodable (rare but real in
+        # proxy captures), identity is a no-op, anything else is the
+        # honest contained boundary
+        for coding in reversed(hop_codings):
+            if coding == "identity":
+                continue
+            if coding in ("gzip", "x-gzip", "deflate"):
+                body = _inflate_body(body, coding, max_inflated_bytes)
+            else:
+                raise ValueError(
+                    f"HTTP response: unsupported Transfer-Encoding {coding!r}"
+                )
     elif content_length is not None:
         if content_length < 0:
             raise ValueError(f"HTTP response: negative Content-Length {content_length}")
@@ -931,6 +1012,7 @@ def http_responses(
     skip_errors: bool = False,
     with_body: bool = False,
     max_inflated_bytes: int = MAX_INFLATED_BYTES,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Split the HTTP response envelope from WARC ``response`` record
     payloads: status line, headers (content-type / charset /
@@ -958,7 +1040,17 @@ def http_responses(
         records = records.where(F.col("warc_type") == "response")
     if "error" in records.columns:
         records = records.where(F.col("error").isNull())
-    proj = records.select("file_id", "record_id", "target_uri", "payload")
+    # extra_cols: input columns carried through the envelope split
+    # unchanged (same seam as quality.gopher_quality_flags) — lets a
+    # consumer like the CDX index keep the record's offset/length/date
+    # without a second parse or a self-join
+    extra_cols = tuple(extra_cols)
+    proj = records.select("file_id", "record_id", "target_uri", "payload", *extra_cols)
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in proj.schema.fields
+        if f.name in extra_cols
+    )
 
     cols = [
         "file_id",
@@ -978,14 +1070,17 @@ def http_responses(
     ]
     if with_body:
         cols = cols + ["body"]
+    cols = cols + list(extra_cols)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for fid, rid, uri, payload in zip(
-                pdf["file_id"], pdf["record_id"], pdf["target_uri"], pdf["payload"]
+            for fid, rid, uri, payload, *extras in zip(
+                pdf["file_id"], pdf["record_id"], pdf["target_uri"], pdf["payload"],
+                *(pdf[c] for c in extra_cols),
             ):
                 fid = int(fid)
+                extras = tuple(extras)
                 try:
                     if payload is None:
                         raise ValueError("record has no payload (re-read with_payload=True)")
@@ -998,17 +1093,16 @@ def http_responses(
                         fid, rid, uri, ver, code, reason, ctype, cset, cenc,
                         chunked, clen, nh, hashlib.md5(body).hexdigest(), None,
                     )
-                    rows.append(row + (body,) if with_body else row)
+                    rows.append((row + (body,) if with_body else row) + extras)
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-record containment
                     if not skip_errors:
                         raise
                     err = (fid, rid, uri) + (None,) * 10 + (str(exc),)
-                    rows.append(err + (None,) if with_body else err)
+                    rows.append((err + (None,) if with_body else err) + extras)
             yield pd.DataFrame(rows, columns=cols)
 
-    return proj.mapInPandas(
-        op, schema=HTTP_RESPONSE_BODY_SCHEMA if with_body else HTTP_RESPONSE_SCHEMA
-    )
+    base_schema = HTTP_RESPONSE_BODY_SCHEMA if with_body else HTTP_RESPONSE_SCHEMA
+    return proj.mapInPandas(op, schema=base_schema + extra_schema)
 
 
 # ------------------------------------------------------------- WET text sink
@@ -1128,4 +1222,106 @@ def url_duplicates(
         .groupBy("canonical_url")
         .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
         .where(F.col("dup_count") > 1)
+    )
+
+
+# ------------------------------------------------------------- CDX capture index
+
+
+def cdx_index(records: DataFrame, *, skip_errors: bool = False) -> DataFrame:
+    """CDX(J)-style capture index over WARC response records — the
+    third Common Crawl artifact (WARC/WET/CDX): one line per capture
+    with the fields a replay/lookup service needs to seek straight to
+    the record.  Columns: ``urlkey`` (the canonical lookup key),
+    ``cdx_ts`` (14-digit capture timestamp from WARC-Date), ``url``,
+    ``mime`` (the HTTP Content-Type), ``status``, ``digest`` (md5 of
+    the DECODED payload — framing and Content-Encoding undone),
+    ``offset``/``length`` (the record's position in its WARC file),
+    ``file_id``, ``record_id``.
+
+    Scale shape: the record's offset/length/date ride the
+    ``extra_cols`` passthrough through the HTTP envelope split — ONE
+    Arrow pass over the records, no self-join, no second parse; the
+    urlkey/timestamp derivations are pure Catalyst.  Input is
+    :func:`warc_records` output ``with_payload=True``.
+
+    Extension surface: the reference has no crawl path; this
+    completes the WARC (source) / WET (sink) / CDX (index) triple."""
+    resp = http_responses(
+        records, skip_errors=skip_errors,
+        extra_cols=("offset", "record_length", "warc_date"),
+    )
+    return resp.select(
+        canonicalize_url("target_uri").alias("urlkey"),
+        F.regexp_replace(F.col("warc_date"), "[^0-9]", "").alias("cdx_ts"),
+        F.col("target_uri").alias("url"),
+        F.col("content_type").alias("mime"),
+        F.col("status_code").alias("status"),
+        F.col("body_md5").alias("digest"),
+        F.col("offset"),
+        F.col("record_length").alias("length"),
+        F.col("file_id"),
+        F.col("record_id"),
+    )
+
+
+CDX_LINE_SCHEMA = (
+    "urlkey string, cdx_ts string, url string, mime string, status int, "
+    "digest string, offset long, length long, record_id string"
+)
+
+
+def write_cdx_files(cdx: DataFrame) -> DataFrame:
+    """Pack a :func:`cdx_index` frame into CDXJ text files — one
+    ``(file_id, content)`` row per WARC file, lines sorted by
+    (urlkey, offset) as CDX consumers expect: ``urlkey timestamp
+    {json}``.  Pure Catalyst (to_json + array_sort + array_join), one
+    shuffle on file_id; the sink twin of :func:`write_wet_files`."""
+    line = F.concat_ws(
+        " ",
+        F.col("urlkey"),
+        F.col("cdx_ts"),
+        F.to_json(
+            F.struct("url", "mime", "status", "digest", "offset", "length", "record_id")
+        ),
+    )
+    rows = cdx.select("file_id", F.col("urlkey"), F.col("offset"), line.alias("line"))
+    return (
+        rows.groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("urlkey", "offset", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("content")
+        )
+    )
+
+
+def parse_cdx_files(files: DataFrame) -> DataFrame:
+    """Read CDXJ text files back to typed capture rows — the inverse
+    of :func:`write_cdx_files`, so the index artifact round-trips
+    through its wire format exactly like the WET sink.  Pure Catalyst:
+    split lines, split the two space-delimited key fields, from_json
+    the rest."""
+    json_schema = (
+        "url string, mime string, status int, digest string, "
+        "offset long, length long, record_id string"
+    )
+    lines = files.select(
+        "file_id", F.explode(F.split(F.col("content"), "\n")).alias("line")
+    ).where(F.length("line") > 0)
+    parsed = lines.select(
+        "file_id",
+        F.substring_index(F.col("line"), " ", 1).alias("urlkey"),
+        F.element_at(F.split(F.col("line"), " ", 3), 2).alias("cdx_ts"),
+        F.from_json(
+            F.element_at(F.split(F.col("line"), " ", 3), 3), json_schema
+        ).alias("j"),
+    )
+    return parsed.select(
+        "urlkey", "cdx_ts", "j.url", "j.mime", "j.status", "j.digest",
+        "j.offset", "j.length", "file_id", "j.record_id",
     )

@@ -819,3 +819,147 @@ def corpus_warc_gzip_html_text(spark, sf_dir):
         F.col("body").alias("html"),
     )
     return html_to_text(pages).select("doc_id", "title", "text")
+
+
+# The CDX oracle rebuilds each record's HTTP header AS A STRING in SQL
+# and measures it (house style: never hand-count), then recomputes the
+# chunked/CL/close framing lengths arithmetically (chunk size is <= 7
+# so every hex size token is 1 char), the WARC record length, and the
+# running offsets — a wrong framing rule, header byte, or offset sum
+# anywhere in synthesize -> parse -> split -> index breaks the hash.
+_CDX_ORACLE = f"""WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         CAST(doc_id // {_DPF} AS BIGINT) AS file_id,
+         octet_length(encode(text)) AS L
+  FROM documents),
+h AS (
+  SELECT *,
+    'HTTP/' || (CASE WHEN doc_id % 11 = 0 THEN '1.0' ELSE '1.1' END) || ' ' ||
+      (CASE WHEN doc_id % 7 = 0 THEN '404 Not Found' ELSE '200 OK' END) || e'\\r\\n' ||
+    'Content-Type: ' ||
+      (CASE WHEN doc_id % 4 = 2 THEN 'text/html; charset="UTF-8"'
+            WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+            ELSE 'text/html' END) || e'\\r\\n' ||
+    'Server: aura-fixture/1.0' || e'\\r\\n' ||
+    'X-Doc: ' || doc_id || e'\\r\\n' ||
+    (CASE WHEN doc_id % 3 = 0 THEN e'Transfer-Encoding: chunked\\r\\n'
+          WHEN doc_id % 3 = 1 THEN 'Content-Length: ' || L || e'\\r\\n'
+          ELSE '' END) || e'\\r\\n' AS http_hdr,
+    CASE WHEN doc_id % 3 = 0
+         THEN 12 * (L // 7) + (CASE WHEN L % 7 > 0 THEN L % 7 + 5 ELSE 0 END) + 5
+         WHEN doc_id % 3 = 1
+         THEN L + length(e'\\r\\nX-Trailing-Junk: framing must not read this')
+         ELSE L END AS FL
+  FROM d),
+p AS (SELECT *, length(http_hdr) + FL AS P FROM h),
+rec AS (
+  SELECT *, length(
+    e'WARC/1.0\\r\\nWARC-Type: response\\r\\nWARC-Record-ID: <urn:uuid:doc-' || doc_id ||
+    e'>\\r\\nWARC-Date: 2024-01-01T00:00:00Z\\r\\nWARC-Target-URI: http://example.com/doc/' || doc_id ||
+    e'\\r\\nContent-Type: application/http;msgtype=response\\r\\nContent-Length: ' || P || e'\\r\\n\\r\\n'
+  ) + P + 4 AS rec_len
+  FROM p),
+info AS (
+  SELECT file_id, length({_WARC_INFO_HDR}) + WL + 4 AS winfo_len
+  FROM (SELECT DISTINCT file_id, length({_WARC_INFO_PAYLOAD}) AS WL FROM d)),
+rows_ AS (
+  SELECT r.file_id, r.doc_id, r.text, r.rec_len,
+         CAST(i.winfo_len + coalesce(sum(r.rec_len) OVER (
+             PARTITION BY r.file_id ORDER BY r.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset
+  FROM rec r JOIN info i USING (file_id))
+SELECT 'http://example.com/doc/' || doc_id AS urlkey,
+       '20240101000000' AS cdx_ts,
+       'http://example.com/doc/' || doc_id AS url,
+       'text/html' AS mime,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+       md5(text) AS digest,
+       rec_offset AS offset,
+       CAST(rec_len AS BIGINT) AS length,
+       file_id,
+       'urn:uuid:doc-' || doc_id AS record_id
+FROM rows_"""
+
+
+@register("corpus_cdx_index", _CDX_ORACLE)
+def corpus_cdx_index(spark, sf_dir):
+    """CDX capture index over the HTTP-enveloped crawl — the third
+    Common Crawl artifact (WARC source + WET sink done in r8/r9, this
+    is the index): per capture, the canonical urlkey, 14-digit
+    timestamp, mime, status, decoded-payload digest, and the record's
+    byte offset/length a replay service seeks with.  OFFSETS INCLUDED:
+    the oracle rebuilds every HTTP header string in SQL, recomputes
+    all three framing lengths arithmetically, and re-derives the
+    running record offsets — hash-matching proves the parser-reported
+    positions describe the exact bytes a conformant writer produced.
+    One Arrow pass (offset/length/date ride the extra_cols seam
+    through the envelope split), then pure Catalyst."""
+    from opentsdb_aura_spark.operators.containers import (
+        cdx_index,
+        synthesize_warc,
+        warc_records,
+    )
+
+    files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True)
+    return cdx_index(warc_records(files, with_payload=True))
+
+
+@register("corpus_cdx_roundtrip", _CDX_ORACLE)
+def corpus_cdx_roundtrip(spark, sf_dir):
+    """The CDX artifact round-tripped through its WIRE format: index →
+    CDXJ text files (lines sorted by urlkey, ``urlkey ts {json}``) →
+    re-parsed to typed rows, hash-checked against the same closed-form
+    oracle — a sink framing slip, a lost line, or a type coercion in
+    the JSON path all break the hash (the WET-sink pattern applied to
+    the index artifact)."""
+    from opentsdb_aura_spark.operators.containers import (
+        cdx_index,
+        parse_cdx_files,
+        synthesize_warc,
+        warc_records,
+        write_cdx_files,
+    )
+
+    files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True)
+    idx = cdx_index(warc_records(files, with_payload=True))
+    return parse_cdx_files(write_cdx_files(idx))
+
+
+@register(
+    "corpus_warc_te_gzip_body",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents)
+SELECT 'urn:uuid:doc-' || doc_id AS record_id,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status_code,
+       CAST(NULL AS VARCHAR) AS content_encoding,
+       doc_id % 2 = 1 AS chunked,
+       CAST(NULL AS BIGINT) AS content_length,
+       CAST(4 AS INTEGER) AS n_headers,
+       md5(text) AS body_md5
+FROM d""",
+)
+def corpus_warc_te_gzip_body(spark, sf_dir):
+    """Hop-by-hop ``Transfer-Encoding: gzip`` (RFC 9112 §6.1/6.3, the
+    proxy-capture form): even docs are close-delimited with a gzip
+    transfer coding (TE overrides Content-Length framing), odd docs
+    are ``gzip, chunked`` — the parser must dechunk FIRST, then
+    un-gzip (the reverse of the sender's application order; getting
+    the order wrong feeds chunk framing to zlib and breaks every odd
+    row).  ``body_md5`` is the md5 of the fully decoded body, so the
+    hash compare proves both the coding order and the TE-overrides-CL
+    rule; content_encoding stays NULL (TE is hop-by-hop, not a
+    representation coding)."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF,
+        http_envelope=True, transfer_coding=True,
+    )
+    return http_responses(warc_records(files, with_payload=True)).select(
+        "record_id", "target_uri", "status_code",
+        "content_encoding", "chunked", "content_length", "n_headers", "body_md5",
+    )

@@ -753,3 +753,128 @@ def test_synthesize_warc_charset_body_rejects_non_ascii():
             html_body=True,
             charset_body=True,
         )
+
+
+def test_http_responses_extra_cols_passthrough(spark):
+    """extra_cols carries input columns through the envelope split
+    unchanged — on success AND error rows — so consumers like the CDX
+    index keep offset/length/date without a self-join."""
+    from opentsdb_aura_spark.operators.containers import (
+        encode_http_response,
+        http_responses,
+        warc_records,
+    )
+
+    raw = C.encode_warc_record(
+        "response", "urn:uuid:doc-1", encode_http_response(1, b"hello"),
+        target_uri="http://example.com/doc/1",
+        content_type="application/http;msgtype=response",
+    ) + C.encode_warc_record(
+        "response", "urn:uuid:doc-2", b"NOT HTTP",
+        target_uri="http://example.com/doc/2",
+    )
+    recs = warc_records(_files_df(spark, [(0, raw)]), with_payload=True)
+    out = http_responses(
+        recs, skip_errors=True, extra_cols=("offset", "record_length", "warc_date")
+    )
+    rows = {r["record_id"]: r for r in out.collect()}
+    ok, bad = rows["urn:uuid:doc-1"], rows["urn:uuid:doc-2"]
+    assert ok["offset"] == 0 and ok["record_length"] > 0
+    assert ok["warc_date"] == C.WARC_DATE
+    assert bad["error"] is not None and bad["offset"] == ok["record_length"]
+
+
+def test_cdx_write_parse_roundtrip_and_sort(spark):
+    """CDXJ sink: lines sorted by (urlkey, offset) inside each file,
+    and parse_cdx_files inverts write_cdx_files exactly (types
+    included)."""
+    from opentsdb_aura_spark.operators.containers import (
+        cdx_index,
+        parse_cdx_files,
+        synthesize_warc,
+        warc_records,
+        write_cdx_files,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(7)], "doc_id long, text string"
+    )
+    files = synthesize_warc(docs, docs_per_file=4, http_envelope=True)
+    idx = cdx_index(warc_records(files, with_payload=True))
+    packed = write_cdx_files(idx)
+    # lines inside each file are sorted by urlkey
+    for r in packed.collect():
+        lines = r["content"].split("\n")
+        keys = [ln.split(" ", 1)[0] for ln in lines]
+        assert keys == sorted(keys)
+    back = parse_cdx_files(packed)
+    a = sorted(map(tuple, idx.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b and len(a) == 7
+
+
+def test_http_transfer_encoding_gzip_and_order():
+    """TE: gzip (close-delimited; overrides CL) and TE: gzip, chunked
+    (dechunk first, then un-gzip); chunked-not-final and unknown TE
+    codings raise the contained ValueError."""
+    import zlib
+
+    from opentsdb_aura_spark.operators.containers import (
+        _gzip_member,
+        _parse_http_response,
+        encode_http_response,
+    )
+
+    body = b"the quick brown fox jumps over the lazy dog " * 11
+    for d in range(8):
+        out = _parse_http_response(encode_http_response(d, body, transfer_coding=True))
+        assert out[-1] == body, d
+        assert out[6] == (d % 2 == 1)  # chunked flag
+        assert out[5] is None and out[7] is None  # no CE, no CL
+
+    def msg(hdr, framed):
+        return b"HTTP/1.1 200 OK\r\n" + hdr + b"\r\n\r\n" + framed
+
+    # TE overrides Content-Length: CL names a WRONG (shorter) length,
+    # the close-delimited gzip body must still fully decode
+    coded = _gzip_member(body)
+    out = _parse_http_response(
+        msg(b"Transfer-Encoding: gzip\r\nContent-Length: 5", coded)
+    )
+    assert out[-1] == body and out[7] == 5  # CL surfaced, not used for framing
+    # chunked not final is an RFC violation
+    with pytest.raises(ValueError, match="final transfer coding"):
+        _parse_http_response(msg(b"Transfer-Encoding: chunked, gzip", b"0\r\n\r\n"))
+    # unknown hop coding is an honest contained boundary
+    with pytest.raises(ValueError, match="unsupported Transfer-Encoding"):
+        _parse_http_response(msg(b"Transfer-Encoding: br, chunked", b"0\r\n\r\n"))
+    # identity hops are no-ops around chunked
+    chunks = b"%x\r\n" % len(body) + body + b"\r\n0\r\n\r\n"
+    out = _parse_http_response(msg(b"Transfer-Encoding: identity, chunked", chunks))
+    assert out[-1] == body
+
+
+def test_register_body_decoder_seam():
+    """The Content-Encoding plug seam: an unknown coding raises until
+    a decoder is registered; plug output honors the bomb bound; plug
+    exceptions become the contained ValueError."""
+    from opentsdb_aura_spark.operators.containers import (
+        _BODY_DECODERS,
+        _inflate_body,
+        register_body_decoder,
+    )
+
+    body = b"abcdef" * 10
+    with pytest.raises(ValueError, match="unsupported Content-Encoding"):
+        _inflate_body(body[::-1], "rev")
+    register_body_decoder("rev", lambda b: b[::-1])
+    try:
+        assert _inflate_body(body[::-1], "rev") == body
+        with pytest.raises(ValueError, match="decompression-bomb"):
+            _inflate_body(body[::-1], "rev", limit=10)
+        register_body_decoder("boom", lambda b: 1 / 0)
+        with pytest.raises(ValueError, match="corrupt boom body"):
+            _inflate_body(body, "boom")
+    finally:
+        _BODY_DECODERS.pop("rev", None)
+        _BODY_DECODERS.pop("boom", None)

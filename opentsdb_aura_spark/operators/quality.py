@@ -221,6 +221,49 @@ def gopher_quality_flags(
     return sig.withColumn("keep", keep)
 
 
+#: Deterministic fixture blocklist for tests/oracles: ``dup`` hits ~5%
+#: of the synthetic corpus (realistic C4 selectivity), the other two
+#: entries never occur (prove multi-entry list shape without nuking
+#: the corpus).  Production swaps in a real blocklist (C4 used the
+#: "List of Dirty, Naughty, Obscene..." list) — same code path.
+FIXTURE_BADWORDS = ("dup", "obscene", "xxx-badword")
+
+
+def badwords_exprs(blocklist, text_col: str = "text"):
+    """(n_badword_hits, ok_badwords) Column pair for the C4 §2.2
+    blocklist gate — THE single definition, shared by
+    :func:`badwords_flags` and fused compositions so the match rule
+    can never diverge.  A hit is a whole lowercase whitespace token
+    equal to a blocklist entry (the same tokenizer every other gate
+    here uses).  The blocklist is a LITERAL array (a few hundred
+    entries at production size) evaluated per token JVM-side — no
+    join, no shuffle, pushes down with the rest of the projection."""
+    bl = F.array(*[F.lit(str(w).lower()) for w in blocklist])
+    hits = F.size(F.filter(tokens(F.col(text_col)), lambda t: F.array_contains(bl, t)))
+    ok = F.coalesce(hits == 0, F.lit(False))  # NULL text: nothing to keep
+    return hits.cast("bigint"), ok
+
+
+def badwords_flags(
+    docs: DataFrame,
+    blocklist=FIXTURE_BADWORDS,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2: pages
+    containing any word on a blocklist are removed): per doc, the
+    occurrence count of blocklisted tokens and the keep flag.  One
+    codegen'd projection, zero shuffle at any scale.  Returns
+    (doc_id, n_badword_hits, ok_badwords)."""
+    hits, ok = badwords_exprs(blocklist, text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        hits.alias("n_badword_hits"),
+        ok.alias("ok_badwords"),
+    )
+
+
 def link_density_exprs(
     link_col: str = "link_chars",
     text_col: str = "text_chars",

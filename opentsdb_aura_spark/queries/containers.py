@@ -630,10 +630,11 @@ s AS (
          len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* ', '• '))) * 1.0 / len(lines) AS bullet_line_frac,
          len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0 / len(lines) AS ellipsis_line_frac,
          len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks) AS alpha_word_frac,
-         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stopword_hits
+         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stopword_hits,
+         CAST(len(list_filter(toks, x -> list_contains(['dup','obscene','xxx-badword'], x))) AS BIGINT) AS n_badword_hits
   FROM t),
 q AS (
-  SELECT doc_id, n_tokens, n_stopword_hits, link_chars, text_chars,
+  SELECT doc_id, n_tokens, n_stopword_hits, n_badword_hits, link_chars, text_chars,
          (n_tokens BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
            AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
@@ -649,7 +650,9 @@ q AS (
 SELECT doc_id, n_tokens, n_stopword_hits, keep_quality,
        round(link_chars * 1.0 / text_chars, 6) AS link_density,
        link_chars * 1.0 / text_chars <= 0.3 AS ok_link_density,
-       keep_quality AND (link_chars * 1.0 / text_chars <= 0.3) AS keep
+       n_badword_hits, n_badword_hits = 0 AS ok_badwords,
+       keep_quality AND (link_chars * 1.0 / text_chars <= 0.3)
+         AND n_badword_hits = 0 AS keep
 FROM q""",
 )
 def pipeline_crawl_curate(spark, sf_dir):
@@ -681,13 +684,21 @@ def pipeline_crawl_curate(spark, sf_dir):
         F.col("body").alias("html"),
     )
     ext = html_to_text(pages)
-    g = gopher_quality_flags(ext, min_tokens=10, extra_cols=("link_chars", "text_chars"))
-    # the SAME rule object link_density_flags uses, fused into this
-    # projection via the passthrough counters — no second pass, no
-    # duplicated threshold (review r9)
-    from opentsdb_aura_spark.operators.quality import link_density_exprs
+    g = gopher_quality_flags(
+        ext, min_tokens=10, extra_cols=("link_chars", "text_chars", "text")
+    )
+    # the SAME rule objects link_density_flags / badwords_flags use,
+    # fused into this projection via the passthrough counters and text
+    # — no second pass, no duplicated thresholds (review r9; r10 adds
+    # the C4 §2.2 blocklist gate to the fused keep)
+    from opentsdb_aura_spark.operators.quality import (
+        FIXTURE_BADWORDS,
+        badwords_exprs,
+        link_density_exprs,
+    )
 
     density, ok_ld = link_density_exprs()
+    bw_hits, ok_bw = badwords_exprs(FIXTURE_BADWORDS)
     return g.select(
         "doc_id",
         "n_tokens",
@@ -695,7 +706,9 @@ def pipeline_crawl_curate(spark, sf_dir):
         F.col("keep").alias("keep_quality"),
         _r(density, 6).alias("link_density"),
         ok_ld.alias("ok_link_density"),
-        (F.col("keep") & ok_ld).alias("keep"),
+        bw_hits.alias("n_badword_hits"),
+        ok_bw.alias("ok_badwords"),
+        (F.col("keep") & ok_ld & ok_bw).alias("keep"),
     )
 
 
@@ -708,7 +721,8 @@ SELECT 'urn:uuid:wet-' || w.doc_id AS record_id,
        CAST(octet_length(encode(w.text)) AS BIGINT) AS content_length,
        md5(w.text) AS payload_md5
 FROM w JOIN q USING (doc_id)
-WHERE q.keep_quality AND (q.link_chars * 1.0 / q.text_chars <= 0.3)""",
+WHERE q.keep_quality AND (q.link_chars * 1.0 / q.text_chars <= 0.3)
+  AND q.n_badword_hits = 0""",
 )
 def pipeline_curate_to_wet(spark, sf_dir):
     """The COMPLETE curation loop in one oracled plan: crawl container
@@ -731,6 +745,8 @@ def pipeline_curate_to_wet(spark, sf_dir):
     )
     from opentsdb_aura_spark.operators.htmltext import html_to_text
     from opentsdb_aura_spark.operators.quality import (
+        FIXTURE_BADWORDS,
+        badwords_exprs,
         gopher_quality_flags,
         link_density_exprs,
     )
@@ -750,7 +766,8 @@ def pipeline_curate_to_wet(spark, sf_dir):
         ext, min_tokens=10, extra_cols=("link_chars", "text_chars", "text")
     )
     _, ok_ld = link_density_exprs()
-    survivors = flags.where(F.col("keep") & ok_ld).select("doc_id", "text")
+    _, ok_bw = badwords_exprs(FIXTURE_BADWORDS)
+    survivors = flags.where(F.col("keep") & ok_ld & ok_bw).select("doc_id", "text")
     wet = write_wet_files(survivors, docs_per_file=_DPF)
     return (
         warc_records(wet)

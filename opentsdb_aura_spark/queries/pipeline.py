@@ -1335,3 +1335,26 @@ def ann_opq_exact_topk(spark, sf_dir):
     dq_queries = grid_decode(grid_quantize_vectors(e.where(F.col("vec_id") < 20)))
     res = pq_adc_topk(codes, dq_queries, cbs, k=5, rotation=identity)
     return res.select("query_id", "neighbor_id", _r("pq_score", 6).alias("cos_sim"))
+
+
+@register(
+    "quality_badwords_flags",
+    r"""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+      FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> list_contains(['dup','obscene','xxx-badword'], x))) AS BIGINT) AS n_badword_hits,
+       len(list_filter(toks, x -> list_contains(['dup','obscene','xxx-badword'], x))) = 0 AS ok_badwords
+FROM t""",
+)
+def quality_badwords_flags(spark, sf_dir):
+    """C4 §2.2 blocklist gate (Raffel et al. 2020: pages containing a
+    blocklisted word are removed) over the corpus with the
+    deterministic fixture blocklist ('dup' hits ~5% of docs — real
+    C4-ish selectivity; the other entries never occur, proving the
+    multi-entry list shape).  Whole-lowercase-token matching against a
+    literal array — one codegen'd projection, zero shuffle, no join
+    at any blocklist size a curation stack actually uses."""
+    from opentsdb_aura_spark.operators.quality import badwords_flags
+
+    return badwords_flags(docs(spark, sf_dir))

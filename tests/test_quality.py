@@ -139,3 +139,27 @@ def test_link_density_flags_edges(spark):
     assert got[2]["ok_link_density"] is False
     assert got[3]["link_density"] is None and got[3]["ok_link_density"] is False
     assert got[4]["link_density"] == 0.0 and got[4]["ok_link_density"] is True
+
+
+def test_badwords_flags_rule_and_totality(spark):
+    """C4 §2.2 gate: whole-lowercase-token matching (substrings never
+    hit), occurrence counting, case folding, and NULL-text totality
+    (nothing to keep)."""
+    from opentsdb_aura_spark.operators.quality import badwords_flags
+
+    rows = [
+        (1, "clean text only"),
+        (2, "has dup token"),
+        (3, "DUP Dup dup"),            # case folds, 3 occurrences
+        (4, "duplicate duped"),         # substrings do NOT match
+        (5, None),
+        (6, "obscene dup mix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in badwords_flags(df).collect()}
+    assert out[1]["n_badword_hits"] == 0 and out[1]["ok_badwords"]
+    assert out[2]["n_badword_hits"] == 1 and not out[2]["ok_badwords"]
+    assert out[3]["n_badword_hits"] == 3 and not out[3]["ok_badwords"]
+    assert out[4]["n_badword_hits"] == 0 and out[4]["ok_badwords"]
+    assert not out[5]["ok_badwords"]  # NULL text fails the gate
+    assert out[6]["n_badword_hits"] == 2 and not out[6]["ok_badwords"]

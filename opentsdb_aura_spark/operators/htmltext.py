@@ -88,6 +88,31 @@ def extract_html_text(src: str, *, boilerplate_threshold: float = 0.5) -> tuple:
     boilerplate and excluded from ``text``.  Kept blocks join with
     newlines (line structure feeds C4-style line dedup downstream).
     Counters cover ALL non-empty blocks, kept and dropped."""
+    title, blocks = _walk_blocks(src, boilerplate_threshold)
+    kept: list[str] = []
+    n_blocks = n_boiler = link_chars = text_chars = 0
+    for _idx, txt, _n_words, a_chars, t_chars, _dens, boiler in blocks:
+        n_blocks += 1
+        link_chars += a_chars
+        text_chars += t_chars
+        if boiler:
+            n_boiler += 1
+        else:
+            kept.append(txt)
+    return title, "\n".join(kept), n_blocks, n_boiler, link_chars, text_chars
+
+
+def _walk_blocks(src: str, boilerplate_threshold: float) -> tuple:
+    """The single block walk behind :func:`extract_html_text` and
+    :func:`extract_html_blocks`: strip comments / dropped elements /
+    head, lift the title, split at block-tag boundaries, and emit one
+    tuple per NON-EMPTY block — (block_idx, text, n_words, link_chars,
+    text_chars, link_density, is_boilerplate).  The densitometric
+    features are Kohlschütter et al. (WSDM 2010)'s two strongest
+    block-local signals (word count + anchor-text density); the
+    boilerplate decision here is the anchor-density rule the page
+    extractor has always applied, so both callers classify
+    identically by construction."""
     s = _RE_COMMENT.sub(" ", src)
     s = _RE_DROP.sub(" ", s)
     m = _RE_TITLE.search(s)
@@ -95,21 +120,32 @@ def extract_html_text(src: str, *, boilerplate_threshold: float = 0.5) -> tuple:
     s = _RE_HEAD.sub(" ", s)
     s = _RE_TITLE.sub(" ", s)  # a <title> outside <head> is still chrome
 
-    kept: list[str] = []
-    n_blocks = n_boiler = link_chars = text_chars = 0
+    blocks = []
+    idx = 0
     for seg in _RE_BLOCK_SPLIT.split(s):
         txt = _visible(seg)
         if not txt:
             continue
         a_chars = sum(len(_visible(g)) for g in _RE_ANCHOR.findall(seg))
-        n_blocks += 1
-        link_chars += a_chars
-        text_chars += len(txt)
-        if a_chars > 0 and a_chars / len(txt) > boilerplate_threshold:
-            n_boiler += 1
-        else:
-            kept.append(txt)
-    return title, "\n".join(kept), n_blocks, n_boiler, link_chars, text_chars
+        density = a_chars / len(txt)
+        boiler = a_chars > 0 and density > boilerplate_threshold
+        blocks.append(
+            (idx, txt, len(txt.split()), a_chars, len(txt), density, boiler)
+        )
+        idx += 1
+    return title, blocks
+
+
+def extract_html_blocks(src: str, *, boilerplate_threshold: float = 0.5) -> list:
+    """Block-level extraction surface: one tuple per non-empty block
+    with the Kohlschütter densitometric features (word count, anchor
+    chars, text chars, link density) and the boilerplate verdict —
+    what a curation stack inspects to TUNE the threshold, where
+    :func:`extract_html_text` returns only the page-level outcome.
+    Same walk, same rule: (block_idx, text, n_words, link_chars,
+    text_chars, link_density, is_boilerplate)."""
+    _title, blocks = _walk_blocks(src, boilerplate_threshold)
+    return blocks
 
 
 # WHATWG Encoding Standard label → codec overrides: pages declared
@@ -222,6 +258,59 @@ def html_to_text(
                 if with_charset:
                     src = _decode_page(src, charset)
                 rows.append((*keys, *extract_html_text(src, boilerplate_threshold=thr)))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return proj.mapInPandas(op, schema=out_schema)
+
+
+def html_to_blocks(
+    pages: DataFrame,
+    *,
+    html_col: str = "html",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    boilerplate_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-BLOCK extraction over a pages frame: one output row per
+    non-empty block (1→many Arrow pass, the container-walker shape)
+    with the Kohlschütter densitometric features and the boilerplate
+    verdict — the block-level classification surface
+    :func:`html_to_text` folds into its page-level outcome.  NULL
+    html yields no rows (containment happened upstream).  Output:
+    keep_cols + (block_idx int, block_text string, n_words int,
+    link_chars long, text_chars long, link_density double,
+    is_boilerplate boolean)."""
+    in_fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    missing = [c for c in keep_cols if c not in in_fields]
+    if missing:
+        raise ValueError(f"keep_cols not in input: {missing}")
+    out_schema = ", ".join(
+        [f"{c} {in_fields[c]}" for c in keep_cols]
+        + [
+            "block_idx int",
+            "block_text string",
+            "n_words int",
+            "link_chars long",
+            "text_chars long",
+            "link_density double",
+            "is_boilerplate boolean",
+        ]
+    )
+    proj = pages.select(*keep_cols, F.col(html_col).cast("string").alias("_html"))
+    thr = float(boilerplate_threshold)
+    out_cols = list(keep_cols) + [
+        "block_idx", "block_text", "n_words",
+        "link_chars", "text_chars", "link_density", "is_boilerplate",
+    ]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                *keys, src = tup
+                if src is None:
+                    continue
+                for blk in extract_html_blocks(src, boilerplate_threshold=thr):
+                    rows.append((*keys, *blk))
             yield pd.DataFrame(rows, columns=out_cols)
 
     return proj.mapInPandas(op, schema=out_schema)

@@ -980,3 +980,60 @@ def corpus_warc_te_gzip_body(spark, sf_dir):
         "record_id", "target_uri", "status_code",
         "content_encoding", "chunked", "content_length", "n_headers", "body_md5",
     )
+
+
+@register(
+    "corpus_html_blocks",
+    _HTML_EXPECTED
+    + r"""
+SELECT doc_id, CAST(0 AS INTEGER) AS block_idx, 'Home About' AS block_text,
+       CAST(2 AS INTEGER) AS n_words,
+       CAST(length('Home') + length('About') AS BIGINT) AS link_chars,
+       CAST(length('Home About') AS BIGINT) AS text_chars,
+       round((length('Home') + length('About')) * 1.0 / length('Home About'), 6) AS link_density,
+       TRUE AS is_boilerplate
+FROM e
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER), h1, CAST(3 AS INTEGER),
+       CAST(0 AS BIGINT), CAST(length(h1) AS BIGINT), round(0.0, 6), FALSE
+FROM e
+UNION ALL
+SELECT doc_id, CAST(2 AS INTEGER), p,
+       CAST(len(list_filter(string_split_regex(p, '\s+'), t -> t <> '')) AS INTEGER),
+       CAST(0 AS BIGINT), CAST(length(p) AS BIGINT), round(0.0, 6), FALSE
+FROM e
+UNION ALL
+SELECT doc_id, CAST(3 AS INTEGER), dv,
+       CAST(len(list_filter(string_split_regex(dv, '\s+'), t -> t <> '')) AS INTEGER),
+       CAST(length('next page') AS BIGINT), CAST(length(dv) AS BIGINT),
+       round(length('next page') * 1.0 / length(dv), 6), FALSE
+FROM e
+UNION ALL
+SELECT doc_id, CAST(4 AS INTEGER), 'Terms Privacy', CAST(2 AS INTEGER),
+       CAST(length('Terms') + length('Privacy') AS BIGINT),
+       CAST(length('Terms Privacy') AS BIGINT),
+       round((length('Terms') + length('Privacy')) * 1.0 / length('Terms Privacy'), 6),
+       TRUE
+FROM e""",
+)
+def corpus_html_blocks(spark, sf_dir):
+    """Block-level boilerplate classification surface (Kohlschütter
+    et al. WSDM 2010 densitometry): one row per non-empty block with
+    word count, anchor/text char counts, link density, and the
+    boilerplate verdict — what a curation stack inspects to TUNE the
+    page extractor's threshold.  The oracle enumerates all five
+    fixture blocks closed-form (nav and footer flagged boilerplate,
+    h1/p/div kept, every feature re-derived), so the block walk, the
+    per-block anchor accounting, and the verdict rule are each
+    value-hash-checked — sharpening the page-level n_blocks /
+    n_boilerplate counters the r8 extractor already proved.  1→many
+    Arrow pass, no shuffle."""
+    from opentsdb_aura_spark.operators.htmltext import html_to_blocks, synthesize_html
+
+    pages = synthesize_html(docs_raw(spark, sf_dir))
+    return html_to_blocks(pages).select(
+        "doc_id", "block_idx", "block_text", "n_words",
+        "link_chars", "text_chars",
+        _r("link_density", 6).alias("link_density"),
+        "is_boilerplate",
+    )

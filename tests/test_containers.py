@@ -878,3 +878,29 @@ def test_register_body_decoder_seam():
     finally:
         _BODY_DECODERS.pop("rev", None)
         _BODY_DECODERS.pop("boom", None)
+
+
+def test_html_blocks_parity_with_page_extraction(spark):
+    """extract_html_blocks and extract_html_text share one walk: the
+    page-level counters must equal the per-block sums, and kept text
+    must equal the non-boilerplate blocks joined by newlines; NULL
+    html yields zero block rows."""
+    from opentsdb_aura_spark.operators.htmltext import (
+        extract_html_blocks,
+        extract_html_text,
+        html_to_blocks,
+        render_fixture_html,
+    )
+
+    page = render_fixture_html(42, "some body words & <traps>")
+    title, text, n_blocks, n_boiler, lc, tc = extract_html_text(page)
+    blocks = extract_html_blocks(page)
+    assert len(blocks) == n_blocks == 5
+    assert sum(1 for b in blocks if b[6]) == n_boiler == 2
+    assert sum(b[3] for b in blocks) == lc and sum(b[4] for b in blocks) == tc
+    assert "\n".join(b[1] for b in blocks if not b[6]) == text
+    assert [b[0] for b in blocks] == list(range(5))  # dense block_idx
+
+    df = spark.createDataFrame([(1, page), (2, None)], "doc_id long, html string")
+    rows = html_to_blocks(df).collect()
+    assert len(rows) == 5 and all(r["doc_id"] == 1 for r in rows)

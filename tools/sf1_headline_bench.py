@@ -1,17 +1,27 @@
-"""sf1 headline tier: the ~12 headline METRIC queries at 10× the
-sf0.1 row count, vs the same queries at sf0.1 in the SAME session —
-the scale-up evidence BASELINE.md records (VERDICT r8 item 1d).
+"""sf1 headline tier: headline queries at 10× the sf0.1 row count,
+vs the same queries at sf0.1 in the SAME session — the scale-up
+evidence BASELINE.md records (VERDICT r8 item 1d; r9 item 4 extends
+it to the crawl/dedup headliners).
 
 The sf1 events table is synthesized from sf0.1 by unioning 10 copies
 with disjoint user_id/event_id ranges: 10× the points AND 10× the
 series over the same 30-day window, so scans, group-bys, and the
 store build all do honest 10× work (a pure ts-shift would let
-partition pruning skip the extra rows).  All other tables are copied
-verbatim (the metric family reads only events).
+partition pruning skip the extra rows).
 
-Usage: python tools/sf1_headline_bench.py
+With --crawl, the sf1 DOCUMENTS table is synthesized instead (10
+copies, disjoint doc_id ranges) and the crawl/dedup headliners run.
+Copy texts get a per-copy token prefix (stopwords exempt so the
+quality gates still read them): a verbatim copy would pair every doc
+with its 9 clones at Jaccard 1.0 — a quadratic cross-copy pair
+explosion, not a 10× workload — while prefixed tokens keep each
+copy's WITHIN-copy near-dup structure isomorphic to the original and
+drive cross-copy shingle Jaccard to ~0, so pair/cluster counts scale
+linearly like a real 10× corpus.
+
+Usage: python tools/sf1_headline_bench.py [--crawl]
 Prints one JSON line: per-query seconds at sf1 and sf0.1, the ratio,
-and the store build times.  Pass criterion (recorded, not asserted):
+and the store/synth times.  Pass criterion (recorded, not asserted):
 ratio ≤ 2 × the 10× linear scale, i.e. sf1_sec ≤ 20 × sf01_sec.
 """
 
@@ -42,6 +52,13 @@ HEADLINE = [
     "gb_two_keys_daily",
     "timeshift_sum_daily_purchase",
     "rollup_hist_p90_daily",
+]
+
+CRAWL_HEADLINE = [
+    "dedup_minhash_lsh_exact",
+    "pipeline_curate_to_wet",
+    "corpus_warc_gzip_html_text",
+    "dedup_cluster_resolve",
 ]
 
 
@@ -86,19 +103,84 @@ def build_sf1(spark) -> None:
     open(marker, "w").write("ok")
 
 
+def build_sf1_docs(spark) -> None:
+    """10× documents with disjoint doc_id ranges and per-copy token
+    prefixes (stopwords exempt) — linear near-dup scaling, not a
+    quadratic cross-copy clone explosion (module docstring)."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.quality import STOPWORDS
+
+    marker = os.path.join(SF1, "_DOCS_BUILT")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SF1, exist_ok=True)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    stride = int(docs.agg(F.max("doc_id").alias("m")).first()["m"]) + 1
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    other_cols = [c for c in docs.columns if c not in ("doc_id", "text")]
+
+    def copy_k(k: int):
+        if k == 0:
+            return docs.select("doc_id", "text", *other_cols)
+        pre = F.lit(f"c{k}x")
+        toks = F.split(F.col("text"), " ")
+        rewritten = F.array_join(
+            F.transform(
+                toks,
+                lambda t: F.when(F.array_contains(sw, t), t).otherwise(F.concat(pre, t)),
+            ),
+            " ",
+        )
+        cols = [
+            (F.col("doc_id") + k * stride).alias("doc_id"),
+            rewritten.alias("text"),
+        ]
+        # derived metadata columns follow the rewritten text where the
+        # derivation is known; others pass through unchanged
+        for c in other_cols:
+            if c == "n_chars":
+                cols.append(F.length(rewritten).cast("bigint").alias("n_chars"))
+            else:
+                cols.append(F.col(c))
+        return docs.select(*cols)
+
+    out = copy_k(0)
+    for k in range(1, COPIES):
+        out = out.unionByName(copy_k(k))
+    out.repartition(32).write.mode("overwrite").parquet(f"{SF1}/documents.parquet.tmp10x")
+    # swap in atomically over the verbatim copy build_sf1 may have made
+    shutil.rmtree(f"{SF1}/documents.parquet", ignore_errors=True)
+    if os.path.isfile(f"{SF1}/documents.parquet"):
+        os.remove(f"{SF1}/documents.parquet")
+    os.rename(f"{SF1}/documents.parquet.tmp10x", f"{SF1}/documents.parquet")
+    open(marker, "w").write("ok")
+
+
 def main() -> None:
     from opentsdb_aura_spark import get_spark
     from opentsdb_aura_spark.catalog import SPARK_QUERIES
     from opentsdb_aura_spark.sources.batch import ensure_event_store
 
+    crawl = "--crawl" in sys.argv[1:]
+    headline = CRAWL_HEADLINE if crawl else HEADLINE
     spark = get_spark("sf1_headline_bench")
-    out: dict = {"metric": "sf1_headline_bench", "unit": "sec", "copies": COPIES}
+    out: dict = {
+        "metric": "sf1_crawl_headline_bench" if crawl else "sf1_headline_bench",
+        "unit": "sec",
+        "copies": COPIES,
+    }
 
     t0 = time.perf_counter()
     build_sf1(spark)
+    if crawl:
+        build_sf1_docs(spark)
     out["sf1_synth_sec"] = round(time.perf_counter() - t0, 2)
 
     # store builds timed separately so query timings measure queries
+    # (the crawl headliners read only documents, but pipeline queries
+    # may touch the store through shared fixtures — build both anyway)
     t0 = time.perf_counter()
     ensure_event_store(spark, SF01)
     out["store_build_sf01_sec"] = round(time.perf_counter() - t0, 2)
@@ -119,7 +201,7 @@ def main() -> None:
 
     q01, q1, ratio = {}, {}, {}
     worst = 0.0
-    for name in HEADLINE:
+    for name in headline:
         q01[name] = run(name, SF01)
         q1[name] = run(name, SF1)
         ratio[name] = round(q1[name] / q01[name], 2)

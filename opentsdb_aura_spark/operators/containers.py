@@ -1045,6 +1045,13 @@ def http_responses(
     # consumer like the CDX index keep the record's offset/length/date
     # without a second parse or a self-join
     extra_cols = tuple(extra_cols)
+    clash = set(extra_cols) & {
+        f.split(" ")[0] for f in HTTP_RESPONSE_BODY_SCHEMA.split(", ")
+    }
+    if clash:
+        # a passthrough name colliding with an output field would emit a
+        # duplicate column the consumer can't address — fail at the API
+        raise ValueError(f"extra_cols collide with output columns: {sorted(clash)}")
     proj = records.select("file_id", "record_id", "target_uri", "payload", *extra_cols)
     extra_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
@@ -1277,9 +1284,15 @@ def write_cdx_files(cdx: DataFrame) -> DataFrame:
     (urlkey, offset) as CDX consumers expect: ``urlkey timestamp
     {json}``.  Pure Catalyst (to_json + array_sort + array_join), one
     shuffle on file_id; the sink twin of :func:`write_wet_files`."""
+    # the line format is space-delimited: a space INSIDE a urlkey would
+    # shift the fields on re-parse, so percent-encode it ('%' first so
+    # the encoding is invertible); parse_cdx_files decodes in reverse
+    urlkey_enc = F.regexp_replace(
+        F.regexp_replace(F.col("urlkey"), "%", "%25"), " ", "%20"
+    )
     line = F.concat_ws(
         " ",
-        F.col("urlkey"),
+        urlkey_enc,
         F.col("cdx_ts"),
         F.to_json(
             F.struct("url", "mime", "status", "digest", "offset", "length", "record_id")
@@ -1313,9 +1326,14 @@ def parse_cdx_files(files: DataFrame) -> DataFrame:
     lines = files.select(
         "file_id", F.explode(F.split(F.col("content"), "\n")).alias("line")
     ).where(F.length("line") > 0)
+    urlkey_dec = F.regexp_replace(
+        F.regexp_replace(F.substring_index(F.col("line"), " ", 1), "%20", " "),
+        "%25",
+        "%",
+    )
     parsed = lines.select(
         "file_id",
-        F.substring_index(F.col("line"), " ", 1).alias("urlkey"),
+        urlkey_dec.alias("urlkey"),
         F.element_at(F.split(F.col("line"), " ", 3), 2).alias("cdx_ts"),
         F.from_json(
             F.element_at(F.split(F.col("line"), " ", 3), 3), json_schema

@@ -238,6 +238,12 @@ def badwords_exprs(blocklist, text_col: str = "text"):
     here uses).  The blocklist is a LITERAL array (a few hundred
     entries at production size) evaluated per token JVM-side — no
     join, no shuffle, pushes down with the rest of the projection."""
+    blocklist = tuple(blocklist)
+    if not blocklist:
+        # empty blocklist: zero hits, pass everything non-NULL — an
+        # unguarded F.array() with no elements is an analysis error
+        hits = F.when(F.col(text_col).isNotNull(), F.lit(0)).cast("bigint")
+        return hits, F.coalesce(hits == 0, F.lit(False))
     bl = F.array(*[F.lit(str(w).lower()) for w in blocklist])
     hits = F.size(F.filter(tokens(F.col(text_col)), lambda t: F.array_contains(bl, t)))
     ok = F.coalesce(hits == 0, F.lit(False))  # NULL text: nothing to keep

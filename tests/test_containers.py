@@ -904,3 +904,52 @@ def test_html_blocks_parity_with_page_extraction(spark):
     df = spark.createDataFrame([(1, page), (2, None)], "doc_id long, html string")
     rows = html_to_blocks(df).collect()
     assert len(rows) == 5 and all(r["doc_id"] == 1 for r in rows)
+
+
+def test_cdx_urlkey_space_percent_roundtrip(spark):
+    """A urlkey containing spaces or literal '%' survives the
+    space-delimited CDXJ line format exactly (invertible %-encoding:
+    '%' first on encode, last on decode)."""
+    from opentsdb_aura_spark.operators.containers import (
+        parse_cdx_files,
+        write_cdx_files,
+    )
+
+    rows = [
+        (0, "http://a.example/x y", "20240101000000",
+         "http://a.example/x%20y", "text/html", 200, "d1", 0, 10, "r1"),
+        (0, "http://a.example/p%20q z", "20240101000000",
+         "http://a.example/raw", "text/html", 200, "d2", 10, 10, "r2"),
+    ]
+    cdx = spark.createDataFrame(
+        rows,
+        "file_id long, urlkey string, cdx_ts string, url string, mime string, "
+        "status int, digest string, offset long, length long, record_id string",
+    )
+    back = parse_cdx_files(write_cdx_files(cdx))
+    got = sorted((r["urlkey"], r["record_id"]) for r in back.collect())
+    assert got == [
+        ("http://a.example/p%20q z", "r2"),
+        ("http://a.example/x y", "r1"),
+    ]
+
+
+def test_http_responses_extra_cols_collision_raises(spark):
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.containers import http_responses, warc_records
+
+    raw = C.encode_warc_record("response", "urn:uuid:doc-1", b"x",
+                               target_uri="http://example.com/doc/1")
+    recs = warc_records(_files_df(spark, [(0, raw)]), with_payload=True)
+    with _pytest.raises(ValueError, match="collide"):
+        http_responses(recs, extra_cols=("content_length",))
+
+
+def test_badwords_empty_blocklist(spark):
+    from opentsdb_aura_spark.operators.quality import badwords_flags
+
+    df = spark.createDataFrame([(1, "dup text"), (2, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in badwords_flags(df, blocklist=()).collect()}
+    assert out[1]["n_badword_hits"] == 0 and out[1]["ok_badwords"]
+    assert not out[2]["ok_badwords"]  # NULL text still fails

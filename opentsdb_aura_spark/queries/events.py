@@ -207,3 +207,33 @@ def ev_parent_trace_2level(spark, sf_dir):
             F.max("leaf_ts").alias("last_grandchild_ts"),
         )
     )
+
+
+@register(
+    "ev_parent_child_ids",
+    _EV_LINKED
+    + """
+SELECT parent_id,
+       CAST(count(*) AS BIGINT) AS n_children,
+       array_to_string(list_sort(list(event_id)), ',') AS child_ids
+FROM ev WHERE parent_id IS NOT NULL GROUP BY 1""",
+)
+def ev_parent_child_ids(spark, sf_dir):
+    """The derived childIds LIST itself (Event.java:75-79 exposes
+    parentIds/childIds as list fields; the Lucene writer accumulates
+    one childid term per link, LuceneWriter.java:228) — per parent,
+    the sorted child id list materialized as a string column so the
+    value hash checks MEMBERSHIP, not just counts.  Same scale shape
+    as the rollup: one hash aggregation on the link key; the list is
+    bounded by the link rule's fan-out (9/18 here; real event trees
+    are similarly shallow — an unbounded-fan-out tree would cap or
+    bucket this column)."""
+    ev = events_seconds(spark, sf_dir)
+    return (
+        ev.where(F.col("parent_id").isNotNull())
+        .groupBy("parent_id")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.array_join(F.array_sort(F.collect_list("event_id")), ",").alias("child_ids"),
+        )
+    )

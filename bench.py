@@ -94,6 +94,14 @@ BENCH_QUERIES = [
     "corpus_warc_gzip_html_text",
     "quality_link_density",
     "pipeline_curate_to_wet",
+    # round 10 additions: the CDX capture index (completing the
+    # WARC/WET/CDX triple), TE:gzip, the badwords-fused curate, the
+    # block-level boilerplate surface, and the parent/child link rollup
+    "corpus_cdx_index",
+    "corpus_warc_te_gzip_body",
+    "pipeline_crawl_curate",
+    "corpus_html_blocks",
+    "ev_parent_children_rollup",
 ]
 
 

@@ -1343,3 +1343,86 @@ def parse_cdx_files(files: DataFrame) -> DataFrame:
         "urlkey", "cdx_ts", "j.url", "j.mime", "j.status", "j.digest",
         "j.offset", "j.length", "file_id", "j.record_id",
     )
+
+
+# --------------------------------------------------------------- WAT metadata
+
+
+def write_wat_files(
+    captures: DataFrame,
+    *,
+    id_col: str = "record_id",
+    uri_col: str = "url",
+    file_col: str = "file_id",
+    meta_cols: tuple = ("url", "mime", "status", "digest"),
+) -> DataFrame:
+    """Pack per-capture metadata into WAT-style WARC files — the
+    Common Crawl ``metadata``-record artifact (one warcinfo record,
+    then one ``WARC-Type: metadata`` record per capture whose payload
+    is a JSON envelope of the capture's metadata).  With the WARC
+    source, the WET sink, and the CDX index, this completes the full
+    Common Crawl artifact family.
+
+    The JSON payload is built JVM-side with ``to_json`` over
+    ``meta_cols`` (field order = tuple order, the deterministic form
+    the round-trip oracle reconstructs in SQL); the per-file packing
+    is the WET sink's applyInPandas shape — one shuffle on file_id.
+    Returns (file_id long, content binary)."""
+    wat_id = F.concat(
+        F.lit("urn:uuid:wat-"),
+        F.regexp_replace(F.col(id_col), r"^urn:uuid:", ""),
+    )
+    grouped = captures.select(
+        F.col(file_col).cast("long").alias("file_id"),
+        wat_id.alias("_id"),
+        F.col(uri_col).alias("_uri"),
+        F.to_json(F.struct(*[F.col(c) for c in meta_cols])).alias("_json"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        fid = int(pdf["file_id"].iloc[0])
+        out = [
+            encode_warc_record(
+                "warcinfo",
+                f"urn:uuid:watinfo-{fid}",
+                WARCINFO_PAYLOAD,
+                content_type="application/warc-fields",
+            )
+        ]
+        for rid, uri, js in zip(pdf["_id"], pdf["_uri"], pdf["_json"]):
+            out.append(
+                encode_warc_record(
+                    "metadata",
+                    str(rid),
+                    ("" if js is None else str(js)).encode(),
+                    target_uri=None if uri is None else str(uri),
+                    content_type="application/json",
+                )
+            )
+        return pd.DataFrame({"file_id": [fid], "content": [b"".join(out)]})
+
+    return grouped.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
+
+
+def resolve_href(base, href):
+    """RFC 3986-lite reference resolution for the crawl frontier, pure
+    Catalyst: absolute refs with a scheme pass through; network-path
+    refs (``//host/x``) adopt the base scheme; root-relative refs
+    (``/x``) join the base's ``scheme://host``; everything else
+    (path-relative, fragments, mailto:, javascript:) resolves to NULL
+    — a production frontier either implements the full RFC 3986 merge
+    for path-relative refs or drops them, and dropping is the common
+    crawl-frontier choice (they are chrome/self links far more often
+    than new documents).  Compose with :func:`canonicalize_url` before
+    dedup/scheduling."""
+    b = base if isinstance(base, F.Column) else F.col(base)
+    h = href if isinstance(href, F.Column) else F.col(href)
+    scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    return (
+        F.when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -263,6 +263,75 @@ def html_to_text(
     return proj.mapInPandas(op, schema=out_schema)
 
 
+_RE_A_HREF = re.compile(
+    r"(?is)<a\b[^>]*?\bhref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)[^>]*>(.*?)</a\s*>"
+)
+
+
+def extract_links(src: str) -> list:
+    """Outgoing links of one page — the crawl-FRONTIER surface (a
+    crawler extracts hrefs to schedule fetches; a WAT writer records
+    them as capture metadata).  Same preprocessing as the text
+    extractor (comments / script / style / head dropped, so chrome
+    scripts can't inject phantom links), then anchors in document
+    order: (link_idx, href, anchor_text).  Hrefs are entity-decoded
+    the way browsers decode attribute values; anchor-less hrefs keep
+    an empty text; hrefless <a> elements are not links and are
+    skipped."""
+    s = _RE_COMMENT.sub(" ", src)
+    s = _RE_DROP.sub(" ", s)
+    s = _RE_HEAD.sub(" ", s)
+    out = []
+    idx = 0
+    for m in _RE_A_HREF.finditer(s):
+        raw = m.group(1)
+        if raw[:1] in ("'", '"'):
+            raw = raw[1:-1]
+        href = _htmllib.unescape(raw.strip())
+        if not href:
+            continue
+        out.append((idx, href, _visible(m.group(2))))
+        idx += 1
+    return out
+
+
+def html_links(
+    pages: DataFrame,
+    *,
+    html_col: str = "html",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-LINK extraction over a pages frame (1→many Arrow pass, the
+    container-walker shape): keep_cols + (link_idx int, href string,
+    anchor_text string) in document order.  NULL html yields no rows.
+    The frontier feed: at 100 TB this is the narrow pass whose output
+    joins the URL-dedup canonicalizer to schedule the next crawl
+    wave."""
+    in_fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    missing = [c for c in keep_cols if c not in in_fields]
+    if missing:
+        raise ValueError(f"keep_cols not in input: {missing}")
+    out_schema = ", ".join(
+        [f"{c} {in_fields[c]}" for c in keep_cols]
+        + ["link_idx int", "href string", "anchor_text string"]
+    )
+    proj = pages.select(*keep_cols, F.col(html_col).cast("string").alias("_html"))
+    out_cols = list(keep_cols) + ["link_idx", "href", "anchor_text"]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                *keys, src = tup
+                if src is None:
+                    continue
+                for ln in extract_links(src):
+                    rows.append((*keys, *ln))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return proj.mapInPandas(op, schema=out_schema)
+
+
 def html_to_blocks(
     pages: DataFrame,
     *,

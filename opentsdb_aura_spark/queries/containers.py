@@ -1037,3 +1037,106 @@ def corpus_html_blocks(spark, sf_dir):
         _r("link_density", 6).alias("link_density"),
         "is_boilerplate",
     )
+
+
+@register(
+    "corpus_html_links",
+    _HTML_EXPECTED
+    + """
+SELECT doc_id, CAST(0 AS INTEGER) AS link_idx, '/' AS href, 'Home' AS anchor_text FROM e
+UNION ALL SELECT doc_id, CAST(1 AS INTEGER), '/about', 'About' FROM e
+UNION ALL SELECT doc_id, CAST(2 AS INTEGER), '/next', 'next page' FROM e
+UNION ALL SELECT doc_id, CAST(3 AS INTEGER), '/terms', 'Terms' FROM e
+UNION ALL SELECT doc_id, CAST(4 AS INTEGER), '/privacy', 'Privacy' FROM e""",
+)
+def corpus_html_links(spark, sf_dir):
+    """Outgoing-link extraction — the crawl-FRONTIER surface: hrefs +
+    anchor text in document order per page (what a crawler joins with
+    the URL canonicalizer to schedule the next wave, and what a WAT
+    writer records as capture metadata).  The oracle enumerates all
+    five fixture anchors closed-form (nav pair, in-content link,
+    footer pair), so href attribute parsing, entity decoding, and
+    document ordering are value-hash-checked.  1→many Arrow pass, no
+    shuffle."""
+    from opentsdb_aura_spark.operators.htmltext import html_links, synthesize_html
+
+    return html_links(synthesize_html(docs_raw(spark, sf_dir)))
+
+
+@register(
+    "corpus_wat_roundtrip",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+j AS (
+  SELECT doc_id,
+         '{"url":"http://example.com/doc/' || doc_id
+           || '","mime":"text/html","status":'
+           || CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END
+           || ',"digest":"' || md5(text) || '"}' AS payload
+  FROM d)
+SELECT 'urn:uuid:wat-doc-' || doc_id AS record_id,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       'metadata' AS warc_type,
+       CAST(length(payload) AS BIGINT) AS content_length,
+       md5(payload) AS payload_md5
+FROM j""",
+)
+def corpus_wat_roundtrip(spark, sf_dir):
+    """The WAT metadata artifact round-tripped through its wire
+    format — with the WARC source, WET sink, and CDX index this
+    completes the FULL Common Crawl artifact family: crawl → HTTP
+    split → capture index → per-capture JSON metadata packed as
+    ``WARC-Type: metadata`` records → re-parsed by the same reader.
+    The oracle reconstructs each JSON payload byte-for-byte in SQL
+    (to_json's field order is the struct order) and re-derives its
+    digest and byte length, so the metadata content AND the sink
+    framing are value-hash-proven."""
+    from opentsdb_aura_spark.operators.containers import (
+        cdx_index,
+        synthesize_warc,
+        warc_records,
+        write_wat_files,
+    )
+
+    files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True)
+    idx = cdx_index(warc_records(files, with_payload=True))
+    wat = write_wat_files(idx)
+    return (
+        warc_records(wat)
+        .where(F.col("warc_type") == "metadata")
+        .select("record_id", "target_uri", "warc_type", "content_length", "payload_md5")
+    )
+
+
+@register(
+    "corpus_crawl_frontier",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+SELECT 'http://example.com' AS frontier_url, total AS n_refs FROM n
+UNION ALL SELECT 'http://example.com/about', total FROM n
+UNION ALL SELECT 'http://example.com/next', total FROM n
+UNION ALL SELECT 'http://example.com/terms', total FROM n
+UNION ALL SELECT 'http://example.com/privacy', total FROM n""",
+)
+def corpus_crawl_frontier(spark, sf_dir):
+    """The next crawl wave as ONE plan: pages → outgoing links →
+    reference resolution against each page's URL → canonicalization →
+    frontier dedup with per-URL reference counts (the ranking signal
+    a scheduler orders by).  Every fixture page links the same five
+    chrome targets, so the oracle is closed-form: five frontier URLs,
+    each referenced once per document ('/' canonicalizes to the bare
+    origin — the trailing-slash rule is part of what's hash-checked).
+    Scale shape: one 1→many Arrow pass, then ONE shuffle on the
+    canonical URL with map-side combine — the frontier at 100 TB is a
+    groupBy, not a join."""
+    from opentsdb_aura_spark.operators.containers import canonicalize_url, resolve_href
+    from opentsdb_aura_spark.operators.htmltext import html_links, synthesize_html
+
+    pages = synthesize_html(docs_raw(spark, sf_dir)).withColumn(
+        "page_url",
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id").cast("string")),
+    )
+    links = html_links(pages, keep_cols=("doc_id", "page_url"))
+    resolved = links.select(
+        canonicalize_url(resolve_href("page_url", "href")).alias("frontier_url")
+    ).where(F.col("frontier_url").isNotNull())
+    return resolved.groupBy("frontier_url").agg(F.count("*").alias("n_refs"))

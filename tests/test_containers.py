@@ -953,3 +953,45 @@ def test_badwords_empty_blocklist(spark):
     out = {r["doc_id"]: r for r in badwords_flags(df, blocklist=()).collect()}
     assert out[1]["n_badword_hits"] == 0 and out[1]["ok_badwords"]
     assert not out[2]["ok_badwords"]  # NULL text still fails
+
+
+def test_extract_links_edges(spark):
+    """Href forms (double/single/unquoted, entity-coded), hrefless and
+    empty-href anchors skipped, script-injected anchors dropped with
+    the script, document order preserved."""
+    from opentsdb_aura_spark.operators.htmltext import extract_links
+
+    page = (
+        "<html><head><script>var s = '<a href=\"/phantom\">x</a>';</script></head>"
+        "<body>"
+        '<a href="/a&amp;b?x=1">First &amp; Co</a>'
+        "<a href='/two'>two</a>"
+        "<a href=/three>three</a>"
+        "<a name='anchor-only'>not a link</a>"
+        "<a href=''>empty</a>"
+        '<a href="https://other.example/abs"><b>bold</b> text</a>'
+        "</body></html>"
+    )
+    got = extract_links(page)
+    assert got == [
+        (0, "/a&b?x=1", "First & Co"),
+        (1, "/two", "two"),
+        (2, "/three", "three"),
+        (3, "https://other.example/abs", "bold text"),
+    ]
+
+
+def test_resolve_href_rules(spark):
+    from opentsdb_aura_spark.operators.containers import resolve_href
+
+    rows = [
+        ("http://h.example/dir/page", "https://abs.example/x", "https://abs.example/x"),
+        ("http://h.example/dir/page", "//cdn.example/y", "http://cdn.example/y"),
+        ("http://h.example:8080/p", "/rooted", "http://h.example:8080/rooted"),
+        ("http://h.example/p", "relative/path", None),
+        ("http://h.example/p", "#frag", None),
+        ("http://h.example/p", "mailto:a@b", None),  # non-hierarchical: not fetchable
+    ]
+    df = spark.createDataFrame([(b, h) for b, h, _ in rows], "base string, href string")
+    got = [r[0] for r in df.select(resolve_href("base", "href")).collect()]
+    assert got == [want for _, _, want in rows]

@@ -1426,3 +1426,43 @@ def resolve_href(base, href):
         .when(h.startswith("/"), F.concat(origin, h))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def update_frontier_index(
+    links: DataFrame,
+    path: str,
+    *,
+    url_col: str = "frontier_url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental crawl-frontier maintenance (the
+    dedup_text.update_minhash_index pattern applied to scheduling):
+    append this batch's (frontier_url, doc_id) reference EDGES to the
+    parquet index at ``path``, anti-joining on doc_id first so an
+    at-least-once redelivery re-contributes nothing.  Storing edges
+    rather than counts keeps the append idempotent per source doc;
+    read-side :func:`frontier_counts` derives the scheduler's ranking
+    signal with one groupBy.  Returns the refreshed index frame."""
+    from opentsdb_aura_spark.operators.dedup_text import _read_parquet_if_exists
+
+    spark = links.sparkSession
+    slim = links.select(
+        F.col(url_col).alias("frontier_url"), F.col(id_col).cast("long").alias("doc_id")
+    ).where(F.col("frontier_url").isNotNull() & F.col(id_col).isNotNull())
+    existing = _read_parquet_if_exists(spark, path)
+    if existing is not None:
+        have = existing.select("doc_id").distinct()
+        slim = slim.join(have, "doc_id", "left_anti")
+    slim.write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+def frontier_counts(spark, path: str) -> DataFrame:
+    """Read-side of :func:`update_frontier_index`: per frontier URL,
+    the reference count across all ingested documents — one map-side
+    combined groupBy over the edge index."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("frontier_url")
+        .agg(F.count("*").alias("n_refs"))
+    )

@@ -300,31 +300,50 @@ def html_links(
     *,
     html_col: str = "html",
     keep_cols: tuple[str, ...] = ("doc_id",),
+    charset_col: str | None = None,
 ) -> DataFrame:
     """Per-LINK extraction over a pages frame (1→many Arrow pass, the
     container-walker shape): keep_cols + (link_idx int, href string,
     anchor_text string) in document order.  NULL html yields no rows.
-    The frontier feed: at 100 TB this is the narrow pass whose output
-    joins the URL-dedup canonicalizer to schedule the next crawl
-    wave."""
+    ``charset_col`` consumes the html column as BYTES decoded per row
+    with the declared charset (the html_to_text seam — the streaming
+    crawl path feeds framed body bytes).  The frontier feed: at
+    100 TB this is the narrow pass whose output joins the URL-dedup
+    canonicalizer to schedule the next crawl wave."""
     in_fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
     missing = [c for c in keep_cols if c not in in_fields]
     if missing:
         raise ValueError(f"keep_cols not in input: {missing}")
+    if charset_col is not None and charset_col not in in_fields:
+        raise ValueError(f"charset_col not in input: {charset_col}")
     out_schema = ", ".join(
         [f"{c} {in_fields[c]}" for c in keep_cols]
         + ["link_idx int", "href string", "anchor_text string"]
     )
-    proj = pages.select(*keep_cols, F.col(html_col).cast("string").alias("_html"))
+    if charset_col is None:
+        proj = pages.select(*keep_cols, F.col(html_col).cast("string").alias("_html"))
+    else:
+        proj = pages.select(
+            *keep_cols,
+            F.col(charset_col).cast("string").alias("_charset"),
+            F.col(html_col).cast("binary").alias("_html"),
+        )
+    with_charset = charset_col is not None
     out_cols = list(keep_cols) + ["link_idx", "href", "anchor_text"]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for tup in pdf.itertuples(index=False):
-                *keys, src = tup
+                if with_charset:
+                    *keys, charset, src = tup
+                else:
+                    *keys, src = tup
+                    charset = None
                 if src is None:
                     continue
+                if with_charset:
+                    src = _decode_page(src, charset)
                 for ln in extract_links(src):
                     rows.append((*keys, *ln))
             yield pd.DataFrame(rows, columns=out_cols)

@@ -362,6 +362,7 @@ def streaming_crawl_ingest(
     trigger_available_now: bool = True,
     doc_id_expr=None,
     http_html: bool = False,
+    frontier_path: str | None = None,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -402,9 +403,24 @@ def streaming_crawl_ingest(
     text that reaches the docs table and the MinHash index is
     extracted page text, not raw bytes — the full
     WARC → HTTP → HTML → text → index chain in one stream.
+
+    ``frontier_path`` (requires ``http_html=True``) additionally
+    extracts each page's outgoing links, resolves them against the
+    fetch URI, canonicalizes, and appends the reference edges to an
+    incremental frontier index (containers.update_frontier_index —
+    anti-joined on doc_id, so redelivered batches re-contribute
+    nothing); ``containers.frontier_counts`` then ranks the next
+    crawl wave.  The crawl LOOP in one stream: fetch → extract →
+    discover → schedule.
     Returns the started StreamingQuery."""
     from opentsdb_aura_spark.operators.containers import http_responses, warc_records
     from opentsdb_aura_spark.operators.dedup_text import update_minhash_index
+
+    if frontier_path is not None and not http_html:
+        raise ValueError(
+            "streaming_crawl_ingest: frontier_path requires http_html=True "
+            "(links are discovered in extracted HTML pages)"
+        )
 
     _sidecar_checked: list = []  # one-time legacy-schema probe memo
 
@@ -465,6 +481,30 @@ def streaming_crawl_ingest(
                 "file_id", "record_id", "target_uri", "charset",
                 F.col("body").alias("html"),
             )
+            if frontier_path is not None:
+                # fetch → extract → DISCOVER → schedule: outgoing links
+                # resolved against the fetch URI, canonicalized, and
+                # appended as reference edges keyed by the SAME doc_id
+                # the docs/index writers use, so redelivery idempotence
+                # holds across all three sinks
+                from opentsdb_aura_spark.operators.containers import (
+                    canonicalize_url,
+                    resolve_href,
+                    update_frontier_index,
+                )
+                from opentsdb_aura_spark.operators.htmltext import html_links
+
+                batch_links = html_links(
+                    pages,
+                    keep_cols=("record_id", "target_uri"),
+                    charset_col="charset",
+                ).select(
+                    canonicalize_url(
+                        resolve_href("target_uri", "href")
+                    ).alias("frontier_url"),
+                    id_expr.alias("doc_id"),
+                )
+                update_frontier_index(batch_links, frontier_path)
             # charset-aware decode (r9): bodies arrive in whatever
             # encoding the server declared — same seam as the batch
             # chain, inflation already handled inside http_responses

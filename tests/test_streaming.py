@@ -914,3 +914,69 @@ def test_streaming_crawl_ingest_upgrades_legacy_errors_sidecar(spark, tmpdirs):
     assert legacy["error"] == "old truncated download" and legacy["record_id"] is None
     fresh = [r for r in errs if r["file_id"] == 1][0]
     assert "terminated" in fresh["error"] or "gzip" in fresh["error"]
+
+
+def test_streaming_crawl_ingest_frontier_index(spark, tmpdirs):
+    """fetch → extract → DISCOVER → schedule as one stream: the
+    frontier index accumulates canonicalized outgoing-link edges
+    across micro-batches, counts rank the next wave, and a direct
+    re-delivery of an already-ingested batch re-contributes nothing
+    (doc_id anti-join idempotence).  frontier_path without http_html
+    raises at the API boundary."""
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.containers import (
+        encode_http_response,
+        frontier_counts,
+        update_frontier_index,
+    )
+    from opentsdb_aura_spark.operators.htmltext import render_fixture_html
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    def rec(doc_id):
+        payload = encode_http_response(
+            doc_id, render_fixture_html(doc_id, f"page {doc_id} words enough here").encode()
+        )
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", payload,
+            target_uri=f"http://example.com/doc/{doc_id}",
+            content_type="application/http;msgtype=response",
+        )
+
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame([(0, rec(0) + rec(1))], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+    spark.createDataFrame([(1, rec(2))], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b2"
+    )
+    docs_path, idx_path = tmpdirs["out"] + "/docs", tmpdirs["store"]
+    frontier = tmpdirs["out"] + "/frontier"
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    with _pytest.raises(ValueError, match="requires http_html"):
+        streaming_crawl_ingest(stream, idx_path, docs_path, tmpdirs["ckpt2"],
+                               frontier_path=frontier)
+    streaming_crawl_ingest(
+        stream, idx_path, docs_path, tmpdirs["ckpt"],
+        http_html=True, frontier_path=frontier,
+    ).awaitTermination(120)
+
+    counts = {r["frontier_url"]: r["n_refs"] for r in frontier_counts(spark, frontier).collect()}
+    # every fixture page links the same 5 chrome targets; '/' canonicalizes
+    # to the bare origin (trailing slash dropped)
+    assert counts == {
+        "http://example.com": 3,
+        "http://example.com/about": 3,
+        "http://example.com/next": 3,
+        "http://example.com/terms": 3,
+        "http://example.com/privacy": 3,
+    }
+    # redelivery idempotence: re-appending batch 1's edges is a no-op
+    redelivered = spark.createDataFrame(
+        [("http://example.com/about", 0), ("http://example.com/new", 1)],
+        "frontier_url string, doc_id long",
+    )
+    update_frontier_index(redelivered, frontier)
+    counts2 = {r["frontier_url"]: r["n_refs"] for r in frontier_counts(spark, frontier).collect()}
+    assert counts2 == counts  # both edges keyed by already-ingested docs

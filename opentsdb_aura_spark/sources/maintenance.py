@@ -222,3 +222,25 @@ def compact_ivfpq_index(
         bloom_cols=("vec_id",),
         bloom_plain=("vec_id",),
     )
+
+
+def compact_frontier_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files: int = 16,
+    target_files: int = 4,
+) -> bool:
+    """Compact a :func:`containers.update_frontier_index` edge table
+    (unpartitioned (frontier_url, doc_id) rows, one small file per
+    micro-batch): few doc_id-sorted files, so the append path's
+    anti-join on doc_id keeps its row-group stats and the read-side
+    groupBy scans a bounded file count after sustained crawling."""
+    return compact_partitioned_parquet(
+        spark,
+        path,
+        partition_col=None,
+        sort_cols=("doc_id",),
+        max_files_per_partition=max_files,
+        target_files_per_partition=target_files,
+    )

@@ -505,6 +505,15 @@ def streaming_crawl_ingest(
                     id_expr.alias("doc_id"),
                 )
                 update_frontier_index(batch_links, frontier_path)
+                if compact_max_files is not None:
+                    from opentsdb_aura_spark.sources.maintenance import (
+                        compact_frontier_index,
+                    )
+
+                    compact_frontier_index(
+                        batch_df.sparkSession, frontier_path,
+                        max_files=compact_max_files,
+                    )
             # charset-aware decode (r9): bodies arrive in whatever
             # encoding the server declared — same seam as the batch
             # chain, inflation already handled inside http_responses

@@ -351,3 +351,32 @@ def test_probe_key_bloom_filters_written_and_survive_compaction(spark, tmp_path)
     assert files
     for f in files:
         assert "vec_id" in _bloom_cols_of(spark, f), f
+
+
+def test_compact_frontier_index_bounds_files_and_preserves_counts(spark, tmp_path):
+    """Sustained frontier appends erode into one file per batch;
+    compaction bounds the file count and the scheduler's counts are
+    IDENTICAL before/after (compaction only moves rows)."""
+    from opentsdb_aura_spark.operators.containers import (
+        frontier_counts,
+        update_frontier_index,
+    )
+    from opentsdb_aura_spark.sources.maintenance import compact_frontier_index
+
+    path = str(tmp_path / "frontier")
+    for b in range(12):
+        batch = spark.createDataFrame(
+            [(f"http://e.example/{i % 3}", b * 10 + i) for i in range(10)],
+            "frontier_url string, doc_id long",
+        )
+        update_frontier_index(batch.coalesce(1), path)
+    before = {r["frontier_url"]: r["n_refs"] for r in frontier_counts(spark, path).collect()}
+    import glob as _glob
+
+    n_before = len(_glob.glob(f"{path}/*.parquet"))
+    assert n_before >= 12
+    assert compact_frontier_index(spark, path, max_files=8, target_files=2)
+    n_after = len(_glob.glob(f"{path}/*.parquet"))
+    assert n_after <= 4
+    after = {r["frontier_url"]: r["n_refs"] for r in frontier_counts(spark, path).collect()}
+    assert after == before and sum(after.values()) == 120

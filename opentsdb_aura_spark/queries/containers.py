@@ -1140,3 +1140,71 @@ def corpus_crawl_frontier(spark, sf_dir):
         canonicalize_url(resolve_href("page_url", "href")).alias("frontier_url")
     ).where(F.col("frontier_url").isNotNull())
     return resolved.groupBy("frontier_url").agg(F.count("*").alias("n_refs"))
+
+
+@register(
+    "corpus_wat_links_roundtrip",
+    f"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+j AS (
+  SELECT doc_id,
+         '{{"url":"http://example.com/doc/' || doc_id
+           || '","status":'
+           || CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END
+           || ',"links":["/","/about","/next","/privacy","/terms"]}}' AS payload
+  FROM d)
+SELECT 'urn:uuid:wat-doc-' || doc_id AS record_id,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       CAST(length(payload) AS BIGINT) AS content_length,
+       md5(payload) AS payload_md5
+FROM j""",
+)
+def corpus_wat_links_roundtrip(spark, sf_dir):
+    """The faithful WAT shape — metadata records CARRYING each page's
+    outgoing links (the field Common Crawl's WAT consumers actually
+    mine for the web graph): crawl → HTTP split → per-page link
+    extraction → sorted link list aggregated per page → joined onto
+    the capture metadata → JSON → metadata records → re-parsed.  The
+    oracle rebuilds the JSON byte-for-byte (the fixture's five anchors
+    sorted lexicographically), so the link AGGREGATION and the sink
+    framing are hash-proven together.  Scale shape: the link list is
+    one map-side-combined groupBy on doc_id and the meta join is
+    doc_id-equi — two bounded shuffles after the narrow chain."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+        write_wat_files,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_links
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True, html_body=True
+    )
+    resp = http_responses(
+        warc_records(files, with_payload=True), with_body=True,
+        extra_cols=("offset",),  # unused; keeps the single-parse shape explicit
+    )
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        "record_id",
+        F.col("target_uri").alias("url"),
+        "status_code",
+        F.col("body").alias("html"),
+    )
+    links = (
+        html_links(pages, keep_cols=("doc_id",))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("href")).alias("links"))
+    )
+    meta = pages.select(
+        "doc_id", "record_id", "url", F.col("status_code").alias("status"),
+        F.expr(f"CAST(doc_id DIV {_DPF} AS LONG)").alias("file_id"),  # integer DIV: double division drifts above 2^53 ids
+    ).join(links, "doc_id")
+    wat = write_wat_files(meta, meta_cols=("url", "status", "links"))
+    return (
+        warc_records(wat)
+        .where(F.col("warc_type") == "metadata")
+        .select("record_id", "target_uri", "content_length", "payload_md5")
+    )

@@ -538,3 +538,48 @@ def test_decode_page_total_function(raw, label):
 
     out = _decode_page(raw, label)
     assert isinstance(out, str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    body=st.binary(min_size=0, max_size=400),
+    doc_id=st.integers(0, 10**6),
+)
+def test_transfer_coding_roundtrip_property(body, doc_id):
+    """TE: gzip (close-delimited) and TE: gzip, chunked both decode to
+    the original bytes for arbitrary body content — the dechunk-then-
+    ungzip undo order can never be confused by payload bytes."""
+    from opentsdb_aura_spark.operators.containers import (
+        _parse_http_response,
+        encode_http_response,
+    )
+
+    out = _parse_http_response(encode_http_response(doc_id, body, transfer_coding=True))
+    assert out[-1] == body
+    assert out[5] is None  # TE is hop-by-hop, never surfaces as content_encoding
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    chunks=st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=3),
+    limit=st.integers(1, 1 << 16),
+)
+def test_bounded_inflate_equivalence_property(chunks, limit):
+    """The bounded incremental decompressor either returns EXACTLY what
+    one-shot zlib decoding returns, or raises the bomb ValueError —
+    never silently truncates, never loops, for any member split and
+    any bound."""
+    import gzip as _gz
+
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.containers import _gzip_member, _inflate_body
+
+    wire = b"".join(_gzip_member(c) for c in chunks)
+    want = b"".join(chunks)
+    if len(want) <= limit:
+        assert _inflate_body(wire, "gzip", limit=limit) == want
+        assert _gz.decompress(wire) == want  # stdlib agrees
+    else:
+        with _pytest.raises(ValueError, match="decompression-bomb"):
+            _inflate_body(wire, "gzip", limit=limit)

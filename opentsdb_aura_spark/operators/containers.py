@@ -1258,6 +1258,12 @@ def cdx_index(records: DataFrame, *, skip_errors: bool = False) -> DataFrame:
         records, skip_errors=skip_errors,
         extra_cols=("offset", "record_length", "warc_date"),
     )
+    # a capture index line describes a SUCCESSFUL envelope parse with a
+    # target URI: skip_errors error rows (null fields) and URI-less
+    # records would emit lines whose null urlkey shifts the
+    # space-delimited fields on re-parse — they belong in the errors
+    # sidecar, not the index
+    resp = resp.where(F.col("error").isNull() & F.col("target_uri").isNotNull())
     return resp.select(
         canonicalize_url("target_uri").alias("urlkey"),
         F.regexp_replace(F.col("warc_date"), "[^0-9]", "").alias("cdx_ts"),
@@ -1377,7 +1383,7 @@ def write_wat_files(
         wat_id.alias("_id"),
         F.col(uri_col).alias("_uri"),
         F.to_json(F.struct(*[F.col(c) for c in meta_cols])).alias("_json"),
-    )
+    ).where(F.col("_id").isNotNull())  # a NULL capture id would stringify as junk
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id")

@@ -995,3 +995,34 @@ def test_resolve_href_rules(spark):
     df = spark.createDataFrame([(b, h) for b, h, _ in rows], "base string, href string")
     got = [r[0] for r in df.select(resolve_href("base", "href")).collect()]
     assert got == [want for _, _, want in rows]
+
+
+def test_cdx_index_excludes_error_and_uriless_rows(spark):
+    """skip_errors error rows and URI-less records never reach the
+    capture index (their null urlkey would shift the CDXJ line
+    fields); good captures still index."""
+    from opentsdb_aura_spark.operators.containers import (
+        cdx_index,
+        encode_http_response,
+        warc_records,
+    )
+
+    raw = (
+        C.encode_warc_record(
+            "response", "urn:uuid:doc-1", encode_http_response(1, b"hello"),
+            target_uri="http://example.com/doc/1",
+            content_type="application/http;msgtype=response",
+        )
+        + C.encode_warc_record(
+            "response", "urn:uuid:doc-2", b"NOT HTTP",
+            target_uri="http://example.com/doc/2",
+        )
+        + C.encode_warc_record(
+            "response", "urn:uuid:doc-3", encode_http_response(3, b"x"),
+            content_type="application/http;msgtype=response",  # no Target-URI
+        )
+    )
+    recs = warc_records(_files_df(spark, [(0, raw)]), with_payload=True)
+    rows = cdx_index(recs, skip_errors=True).collect()
+    assert [r["record_id"] for r in rows] == ["urn:uuid:doc-1"]
+    assert rows[0]["urlkey"] == "http://example.com/doc/1"

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "pipeline_crawl_curate",
     "corpus_html_blocks",
     "ev_parent_children_rollup",
+    "corpus_crawl_frontier",
+    "corpus_wat_links_roundtrip",
 ]
 
 

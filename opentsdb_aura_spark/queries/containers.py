@@ -1166,9 +1166,10 @@ def corpus_wat_links_roundtrip(spark, sf_dir):
     the capture metadata → JSON → metadata records → re-parsed.  The
     oracle rebuilds the JSON byte-for-byte (the fixture's five anchors
     sorted lexicographically), so the link AGGREGATION and the sink
-    framing are hash-proven together.  Scale shape: the link list is
-    one map-side-combined groupBy on doc_id and the meta join is
-    doc_id-equi — two bounded shuffles after the narrow chain."""
+    framing are hash-proven together.  Scale shape: the capture
+    metadata rides the link explosion as keep_cols and folds back in
+    the SAME groupBy that builds the link list — one shuffle, one
+    parse of the chain (a meta-side join would re-execute it)."""
     from opentsdb_aura_spark.operators.containers import (
         http_responses,
         synthesize_warc,
@@ -1180,10 +1181,7 @@ def corpus_wat_links_roundtrip(spark, sf_dir):
     files = synthesize_warc(
         docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True, html_body=True
     )
-    resp = http_responses(
-        warc_records(files, with_payload=True), with_body=True,
-        extra_cols=("offset",),  # unused; keeps the single-parse shape explicit
-    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
     pages = resp.select(
         F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
         .try_cast("long")
@@ -1193,15 +1191,24 @@ def corpus_wat_links_roundtrip(spark, sf_dir):
         "status_code",
         F.col("body").alias("html"),
     )
-    links = (
-        html_links(pages, keep_cols=("doc_id",))
+    # ONE pass: the per-capture metadata rides the link explosion as
+    # keep_cols and folds back in the same aggregation that builds the
+    # link list — a separate meta branch would re-execute the whole
+    # synth→parse→split chain for the join's second input
+    meta = (
+        html_links(pages, keep_cols=("doc_id", "record_id", "url", "status_code"))
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("href")).alias("links"))
+        .agg(
+            F.first("record_id").alias("record_id"),
+            F.first("url").alias("url"),
+            F.first("status_code").alias("status"),
+            F.array_sort(F.collect_list("href")).alias("links"),
+        )
+        .withColumn(
+            "file_id",
+            F.expr(f"CAST(doc_id DIV {_DPF} AS LONG)"),  # integer DIV: double division drifts above 2^53 ids
+        )
     )
-    meta = pages.select(
-        "doc_id", "record_id", "url", F.col("status_code").alias("status"),
-        F.expr(f"CAST(doc_id DIV {_DPF} AS LONG)").alias("file_id"),  # integer DIV: double division drifts above 2^53 ids
-    ).join(links, "doc_id")
     wat = write_wat_files(meta, meta_cols=("url", "status", "links"))
     return (
         warc_records(wat)

@@ -1,0 +1,231 @@
+"""robots.txt crawl politeness (RFC 9309, the Robots Exclusion
+Protocol) — the compliance gate between frontier discovery and
+scheduling.
+
+The reference has no crawl path (extension surface, like the WARC/WET/
+CDX/WAT family); the protocol itself is public: RFC 9309 defines
+user-agent groups (consecutive ``User-agent`` lines share the
+following rules; a crawler obeys the MOST SPECIFIC matching group and
+falls back to ``*``), ``Allow``/``Disallow`` path rules with ``*``
+wildcards and a ``$`` end anchor, longest-pattern-wins precedence with
+Allow winning ties (§2.2.2), and default-allow when nothing matches.
+
+Scale shape: robots files are a per-HOST dim — thousands of tiny
+files next to billions of frontier URLs — so rules parse in one Arrow
+pass, compile to regexes AT PARSE TIME, and the compliance check is a
+broadcast-joinable host-equi join + one argmax aggregation over the
+matched rules.  No shuffle touches the frontier beyond its own
+groupBy.
+
+Fixture: :func:`encode_robots_txt` emits a deterministic per-host
+file crossing the discriminating cases (agent-specific group presence,
+nested Allow-under-Disallow, group exclusivity, the catch-all
+``Allow: /``), so the catalog oracle recomputes every decision closed
+form; the generic matcher (wildcards, anchors, precedence) is
+unit-tested against RFC 9309's own examples.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ fixture
+
+
+def encode_robots_txt(host_idx: int) -> str:
+    """Deterministic fixture robots.txt for host ``h{host_idx}.example``:
+    even hosts carry an agent-specific group for ``aura-bot`` (which,
+    per RFC 9309 group exclusivity, REPLACES the ``*`` group for that
+    agent — so even hosts allow /tmp/ to aura-bot); odd hosts carry
+    only the catch-all group.  Mirrored closed-form by the catalog
+    oracle — change them together."""
+    parts = []
+    if host_idx % 2 == 0:
+        parts.append(
+            "User-agent: aura-bot\n"
+            "Disallow: /private/\n"
+            "Allow: /private/public/\n"
+            "\n"
+        )
+    parts.append("User-agent: *\nDisallow: /tmp/\nAllow: /\n")
+    return "# fixture robots for h%d.example\n" % host_idx + "".join(parts)
+
+
+def synthesize_robots(hosts: DataFrame, *, host_col: str = "host") -> DataFrame:
+    """(host, content) robots files for a hosts dim — fixture hosts are
+    ``h<k>.example`` and the file is closed-form in k."""
+    idx = F.regexp_extract(F.col(host_col), r"^h(\d+)\.example$", 1).try_cast("int")
+    proj = hosts.select(F.col(host_col).alias("host"), idx.alias("_k"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, k in zip(pdf["host"], pdf["_k"]):
+                if k is None or pd.isna(k):
+                    raise ValueError(f"synthesize_robots: non-fixture host {host!r}")
+                rows.append((host, encode_robots_txt(int(k))))
+            yield pd.DataFrame(rows, columns=["host", "content"])
+
+    return proj.mapInPandas(op, schema="host string, content string")
+
+
+# ------------------------------------------------------------------- parsing
+
+
+def _pattern_to_regex(pattern: str) -> str:
+    """Compile one robots path pattern to a Java-compatible regex:
+    literal chars escaped, ``*`` → ``.*`` (any char run, RFC 9309
+    §2.2.3), trailing ``$`` → end anchor; match is from the path
+    START (prefix semantics)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + ("$" if anchored else "")
+
+
+def parse_robots_txt(content: str) -> list:
+    """Parse one robots.txt into rule tuples (agent, rule, pattern,
+    pattern_len, regex) per RFC 9309 §2.2: ``#`` comments stripped,
+    consecutive ``User-agent`` lines open a group whose Allow/Disallow
+    lines apply to every named agent (lowercased — agent matching is
+    case-insensitive), empty-pattern rules ignored (``Disallow:``
+    alone means allow-all), unknown directives skipped (the spec
+    demands tolerance; Crawl-delay/Sitemap are not rules).
+    ``pattern_len`` is the rule's octet length — the §2.2.2 precedence
+    key."""
+    rules = []
+    current_agents: list[str] = []
+    last_was_agent = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue  # tolerate junk lines
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                current_agents = []
+            current_agents.append(val.lower())
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if key in ("allow", "disallow"):
+            if not val or not current_agents:
+                continue  # empty pattern = no rule; rules before any UA line are invalid
+            for agent in current_agents:
+                rules.append(
+                    (agent, key, val, len(val.encode()), _pattern_to_regex(val))
+                )
+    return rules
+
+
+ROBOTS_RULE_SCHEMA = (
+    "host string, agent string, rule string, pattern string, "
+    "pattern_len int, regex string"
+)
+
+
+def parse_robots_files(files: DataFrame) -> DataFrame:
+    """1→many Arrow pass over (host, content) robots files → one row
+    per (agent, rule) with the regex compiled at parse time, so the
+    downstream compliance join is pure Catalyst."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf["host"], pdf["content"]):
+                if content is None:
+                    continue  # no robots file: default allow (no rules)
+                for tup in parse_robots_txt(str(content)):
+                    rows.append((host, *tup))
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "agent", "rule", "pattern", "pattern_len", "regex"],
+            )
+
+    return files.mapInPandas(op, schema=ROBOTS_RULE_SCHEMA)
+
+
+# ---------------------------------------------------------------- compliance
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    agent: str = "aura-bot",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-URL crawl permission under RFC 9309: pick each host's
+    applicable GROUP (the agent's own rules when any exist for that
+    host, else the ``*`` rules — §2.2.1 group exclusivity: groups
+    never merge), match the URL path against the group's patterns,
+    and decide by longest pattern with Allow winning ties (§2.2.2);
+    no match (or no robots rules at all) defaults to allow.
+
+    Pure Catalyst: rules are a per-host dim (broadcast-sized at any
+    real crawl — one file per host), so the plan is a host-equi
+    broadcast join + one aggregation keyed on the URL; the frontier
+    is never shuffled more than once.  Returns (url, host, path,
+    allowed, matched_rule, matched_pattern)."""
+    a = str(agent).lower()
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
+    path_raw = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    base = urls.select(u.alias("url"), host.alias("host"), path.alias("path"))
+
+    # group selection: hosts where the agent has its OWN group use only
+    # those rules; everything else falls back to '*' rules
+    named = rules.where(F.lower(F.col("agent")) == a)
+    named_hosts = named.select("host").distinct()
+    fallback = rules.where(F.col("agent") == "*").join(
+        named_hosts, "host", "left_anti"
+    )
+    applicable = named.unionByName(fallback).select(
+        "host", "rule", "pattern", "pattern_len", "regex"
+    )
+
+    joined = base.join(F.broadcast(applicable), "host", "left")
+    matched = joined.withColumn(
+        "_hit", F.col("regex").isNotNull() & F.regexp_like(F.col("path"), F.col("regex"))
+    )
+    # precedence key: longest pattern wins; Allow wins exact ties —
+    # encode as (pattern_len, rule=='allow') lexicographic max via a
+    # struct max_by, NULL-safe for unmatched URLs (default allow)
+    key = F.when(
+        F.col("_hit"),
+        F.struct(
+            F.col("pattern_len").alias("l"),
+            (F.col("rule") == "allow").cast("int").alias("a"),
+        ),
+    )
+    decided = matched.groupBy("url", "host", "path").agg(
+        F.max_by(F.col("rule"), key).alias("matched_rule"),
+        F.max_by(F.col("pattern"), key).alias("matched_pattern"),
+        F.max(F.when(F.col("_hit"), F.lit(1)).otherwise(F.lit(0))).alias("_any"),
+    )
+    return decided.select(
+        "url",
+        "host",
+        "path",
+        F.when(F.col("_any") == 0, F.lit(True))
+        .otherwise(F.col("matched_rule") == "allow")
+        .alias("allowed"),
+        F.when(F.col("_any") == 1, F.col("matched_rule")).alias("matched_rule"),
+        F.when(F.col("_any") == 1, F.col("matched_pattern")).alias("matched_pattern"),
+    )

@@ -1215,3 +1215,103 @@ def corpus_wat_links_roundtrip(spark, sf_dir):
         .where(F.col("warc_type") == "metadata")
         .select("record_id", "target_uri", "content_length", "payload_md5")
     )
+
+
+# Fixture robots rules (operators/robots.py encode_robots_txt),
+# re-enumerated closed-form: even hosts add the aura-bot group; every
+# host has the catch-all group.  No fixture pattern contains a regex
+# special, so the compiled regex is '^' || pattern.
+@register(
+    "corpus_robots_rules",
+    """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
+h AS (SELECT k, 'h' || k || '.example' AS host FROM k),
+bot AS (
+  SELECT host, 'aura-bot' AS agent, 'disallow' AS rule, '/private/' AS pattern,
+         CAST(9 AS INTEGER) AS pattern_len, '^/private/' AS regex
+  FROM h WHERE k % 2 = 0
+  UNION ALL
+  SELECT host, 'aura-bot', 'allow', '/private/public/', CAST(16 AS INTEGER), '^/private/public/'
+  FROM h WHERE k % 2 = 0),
+star AS (
+  SELECT host, '*' AS agent, 'disallow' AS rule, '/tmp/' AS pattern,
+         CAST(5 AS INTEGER) AS pattern_len, '^/tmp/' AS regex
+  FROM h
+  UNION ALL
+  SELECT host, '*', 'allow', '/', CAST(1 AS INTEGER), '^/' FROM h)
+SELECT * FROM bot UNION ALL SELECT * FROM star""",
+)
+def corpus_robots_rules(spark, sf_dir):
+    """robots.txt parsing (RFC 9309 §2.2), fully oracle-checked:
+    synthesize the deterministic per-host fixture files, parse them
+    through the grouping/tolerance rules, and hash-compare every
+    (host, agent, rule, pattern, pattern_len, regex) row — group
+    membership, byte lengths, and the compiled regexes are all
+    value-checked (the wildcard/anchor compilation paths are
+    unit-tested against the RFC's own examples)."""
+    from opentsdb_aura_spark.operators.robots import parse_robots_files, synthesize_robots
+
+    hosts = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example")).alias("host")
+    ).distinct()
+    return parse_robots_files(synthesize_robots(hosts))
+
+
+@register(
+    "corpus_frontier_politeness",
+    """WITH d AS (
+  SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k, CAST(doc_id % 5 AS BIGINT) AS p
+  FROM documents),
+u AS (
+  SELECT k, p, 'h' || k || '.example' AS host,
+         CASE p WHEN 0 THEN '/a' WHEN 1 THEN '/private/x'
+                WHEN 2 THEN '/private/public/y' WHEN 3 THEN '/tmp/z'
+                ELSE '/' END AS path
+  FROM d)
+SELECT 'http://' || host || path AS url, host, path,
+       CASE WHEN k % 2 = 0 THEN (p <> 1) ELSE (p <> 3) END AS allowed,
+       CASE WHEN k % 2 = 0 AND p = 1 THEN 'disallow'
+            WHEN k % 2 = 0 AND p = 2 THEN 'allow'
+            WHEN k % 2 = 0 THEN NULL
+            WHEN p = 3 THEN 'disallow'
+            ELSE 'allow' END AS matched_rule,
+       CASE WHEN k % 2 = 0 AND p = 1 THEN '/private/'
+            WHEN k % 2 = 0 AND p = 2 THEN '/private/public/'
+            WHEN k % 2 = 0 THEN NULL
+            WHEN p = 3 THEN '/tmp/'
+            ELSE '/' END AS matched_pattern
+FROM u""",
+)
+def corpus_frontier_politeness(spark, sf_dir):
+    """The politeness gate between discovery and scheduling, decided
+    end-to-end: fixture robots files → parse → per-URL RFC 9309
+    decision (group exclusivity: even hosts' aura-bot group REPLACES
+    the catch-all, so /tmp/ is allowed there; longest-pattern
+    precedence: /private/public/ overrides /private/; default-allow
+    for unmatched paths).  The oracle recomputes every decision AND
+    the matched rule/pattern closed-form, so a wrong group pick, a
+    precedence slip, or a default-deny bug all break the hash.  Plan:
+    rules broadcast per host, one frontier groupBy — the shape that
+    holds when the frontier is billions of URLs and robots files are
+    thousands of hosts."""
+    from opentsdb_aura_spark.operators.robots import (
+        parse_robots_files,
+        robots_allowed,
+        synthesize_robots,
+    )
+
+    d = docs_raw(spark, sf_dir).select(
+        (F.col("doc_id") % 4).cast("long").alias("k"),
+        (F.col("doc_id") % 5).cast("long").alias("p"),
+    ).distinct()
+    path = (
+        F.when(F.col("p") == 0, F.lit("/a"))
+        .when(F.col("p") == 1, F.lit("/private/x"))
+        .when(F.col("p") == 2, F.lit("/private/public/y"))
+        .when(F.col("p") == 3, F.lit("/tmp/z"))
+        .otherwise(F.lit("/"))
+    )
+    host = F.concat(F.lit("h"), F.col("k"), F.lit(".example"))
+    urls = d.select(F.concat(F.lit("http://"), host, path).alias("url"))
+    hosts = d.select(host.alias("host")).distinct()
+    rules = parse_robots_files(synthesize_robots(hosts))
+    return robots_allowed(urls, rules, agent="aura-bot")

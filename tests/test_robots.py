@@ -1,0 +1,128 @@
+"""robots.txt politeness (RFC 9309): parser grouping rules, the
+pattern matcher against the RFC's own precedence examples, group
+exclusivity, and default-allow — what the catalog oracle's closed-form
+fixture can't cover generically."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentsdb_aura_spark.operators.robots import (
+    _pattern_to_regex,
+    parse_robots_txt,
+    robots_allowed,
+)
+
+
+def test_parse_grouping_and_tolerance():
+    content = (
+        "# comment\n"
+        "User-agent: A\n"
+        "User-agent: B\n"          # consecutive UA lines share the group
+        "Disallow: /x\n"
+        "Crawl-delay: 10\n"        # unknown directive tolerated
+        "Allow: /x/y\n"            # still the same group (rules continue)
+        "\n"
+        "User-agent: *\n"
+        "Disallow:\n"              # empty pattern = allow-all, NO rule
+        "Disallow: /tmp/ # trailing comment\n"
+        "junk line without colon\n"
+    )
+    rules = parse_robots_txt(content)
+    assert ("a", "disallow", "/x", 2, "^/x") in rules
+    assert ("b", "disallow", "/x", 2, "^/x") in rules
+    assert ("a", "allow", "/x/y", 4, "^/x/y") in rules
+    star = [r for r in rules if r[0] == "*"]
+    assert star == [("*", "disallow", "/tmp/", 5, "^/tmp/")]
+    # rules before any User-agent line are invalid and dropped
+    assert parse_robots_txt("Disallow: /x\nUser-agent: *\nAllow: /\n") == [
+        ("*", "allow", "/", 1, "^/")
+    ]
+
+
+def test_pattern_to_regex_wildcards_and_anchor():
+    assert _pattern_to_regex("/fish*") == "^/fish.*"
+    assert _pattern_to_regex("/*.php$") == "^/.*\\.php$"
+    assert _pattern_to_regex("/a+b") == "^/a\\+b"
+
+
+def _decide(spark, robots: str, paths, agent="aura-bot"):
+    from opentsdb_aura_spark.operators.robots import parse_robots_files
+
+    files = spark.createDataFrame([("h.example", robots)], "host string, content string")
+    rules = parse_robots_files(files)
+    urls = spark.createDataFrame(
+        [(f"http://h.example{p}",) for p in paths], "url string"
+    )
+    out = robots_allowed(urls, rules, agent=agent)
+    return {r["path"]: (r["allowed"], r["matched_pattern"]) for r in out.collect()}
+
+
+def test_rfc_precedence_examples(spark):
+    """RFC 9309 §2.2.2: longest pattern wins; Allow wins exact ties;
+    no match defaults to allow."""
+    robots = (
+        "User-agent: *\n"
+        "Allow: /example/page/\n"
+        "Disallow: /example/\n"
+        "Allow: /tie\n"
+        "Disallow: /tie\n"
+    )
+    got = _decide(spark, robots, [
+        "/example/page/", "/example/other", "/tie", "/elsewhere",
+    ])
+    assert got["/example/page/"] == (True, "/example/page/")
+    assert got["/example/other"] == (False, "/example/")
+    assert got["/tie"] == (True, "/tie")          # tie -> least restrictive
+    assert got["/elsewhere"] == (True, None)       # no match -> allow
+
+
+def test_wildcard_and_anchor_matching(spark):
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /*.php$\n"
+        "Disallow: /fish*bowl\n"
+    )
+    got = _decide(spark, robots, [
+        "/index.php", "/index.php?x=1", "/fishfoodbowl", "/fish", "/a.php/more",
+    ])
+    assert got["/index.php"][0] is False
+    assert got["/index.php?x=1"][0] is True   # $ anchors the end
+    assert got["/fishfoodbowl"][0] is False
+    assert got["/fish"][0] is True
+    assert got["/a.php/more"][0] is True
+
+
+def test_group_exclusivity_and_fallback(spark):
+    """An agent with its OWN group ignores the * group entirely
+    (RFC 9309 groups never merge); other agents fall back to *."""
+    robots = (
+        "User-agent: aura-bot\n"
+        "Disallow: /private/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /tmp/\n"
+    )
+    mine = _decide(spark, robots, ["/private/x", "/tmp/z"], agent="aura-bot")
+    assert mine["/private/x"][0] is False
+    assert mine["/tmp/z"][0] is True           # * group does NOT apply
+    other = _decide(spark, robots, ["/private/x", "/tmp/z"], agent="other-bot")
+    assert other["/private/x"][0] is True
+    assert other["/tmp/z"][0] is False
+    # agent matching is case-insensitive
+    upper = _decide(spark, robots, ["/private/x"], agent="AURA-BOT")
+    assert upper["/private/x"][0] is False
+
+
+def test_no_rules_and_missing_file_default_allow(spark):
+    from opentsdb_aura_spark.operators.robots import parse_robots_files
+
+    files = spark.createDataFrame([("h.example", None)], "host string, content string")
+    rules = parse_robots_files(files)
+    urls = spark.createDataFrame(
+        [("http://h.example/any",), ("http://unlisted.example",)], "url string"
+    )
+    out = {r["url"]: r for r in robots_allowed(urls, rules).collect()}
+    assert all(r["allowed"] for r in out.values())
+    # a bare-origin URL gets the root path
+    assert out["http://unlisted.example"]["path"] == "/"

@@ -229,3 +229,99 @@ def robots_allowed(
         F.when(F.col("_any") == 1, F.col("matched_rule")).alias("matched_rule"),
         F.when(F.col("_any") == 1, F.col("matched_pattern")).alias("matched_pattern"),
     )
+
+
+# ------------------------------------------------------- sitemap discovery
+
+# The Sitemaps protocol (sitemaps.org, referenced by RFC 9309's
+# Sitemap directive) is the crawl frontier's PUSH feed: site owners
+# enumerate canonical URLs + lastmod hints.  Parsing is tolerant
+# regex extraction (real sitemaps carry namespace variations and junk
+# whitespace a strict XML parser chokes on; the protocol's elements
+# are flat and unambiguous), one Arrow pass per file.
+
+_RE_SITEMAP_URL = re.compile(r"(?is)<url\b[^>]*>(.*?)</url\s*>")
+_RE_SITEMAP_CHILD = re.compile(r"(?is)<sitemap\b[^>]*>(.*?)</sitemap\s*>")
+_RE_LOC = re.compile(r"(?is)<loc\b[^>]*>(.*?)</loc\s*>")
+_RE_LASTMOD = re.compile(r"(?is)<lastmod\b[^>]*>(.*?)</lastmod\s*>")
+
+
+def encode_sitemap_xml(host_idx: int, n_urls: int = 3) -> str:
+    """Deterministic fixture urlset for host ``h{host_idx}.example``:
+    ``n_urls`` entries ``/s/<i>`` with lastmod day (host_idx+i)%28+1 —
+    closed-form in (host_idx, i), mirrored by the catalog oracle."""
+    rows = []
+    for i in range(n_urls):
+        day = (host_idx + i) % 28 + 1
+        rows.append(
+            f"  <url><loc>http://h{host_idx}.example/s/{i}</loc>"
+            f"<lastmod>2024-01-{day:02d}</lastmod></url>\n"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "".join(rows)
+        + "</urlset>\n"
+    )
+
+
+def synthesize_sitemaps(hosts: DataFrame, *, host_col: str = "host") -> DataFrame:
+    """(host, content) fixture sitemap files for a hosts dim."""
+    idx = F.regexp_extract(F.col(host_col), r"^h(\d+)\.example$", 1).try_cast("int")
+    proj = hosts.select(F.col(host_col).alias("host"), idx.alias("_k"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, k in zip(pdf["host"], pdf["_k"]):
+                if k is None or pd.isna(k):
+                    raise ValueError(f"synthesize_sitemaps: non-fixture host {host!r}")
+                rows.append((host, encode_sitemap_xml(int(k))))
+            yield pd.DataFrame(rows, columns=["host", "content"])
+
+    return proj.mapInPandas(op, schema="host string, content string")
+
+
+def parse_sitemap_xml(content: str) -> list:
+    """Parse one sitemap document into (kind, loc, lastmod) tuples:
+    ``url`` entries from a urlset, ``sitemap`` entries from a
+    sitemapindex (the child-sitemap pointers a fetcher recurses into).
+    loc values are entity-decoded and whitespace-trimmed; entries
+    without a <loc> are skipped (the protocol requires it)."""
+    import html as _html
+
+    out = []
+    for kind, rx in (("url", _RE_SITEMAP_URL), ("sitemap", _RE_SITEMAP_CHILD)):
+        for m in rx.finditer(content):
+            block = m.group(1)
+            locm = _RE_LOC.search(block)
+            if not locm:
+                continue
+            loc = _html.unescape(locm.group(1).strip())
+            if not loc:
+                continue
+            modm = _RE_LASTMOD.search(block)
+            lastmod = _html.unescape(modm.group(1).strip()) if modm else None
+            out.append((kind, loc, lastmod))
+    return out
+
+
+def parse_sitemap_files(files: DataFrame) -> DataFrame:
+    """1→many Arrow pass over (host, content) sitemap documents →
+    (host, kind, loc, lastmod) rows — union with the link-discovery
+    frontier (both feeds meet at the same canonicalize + politeness
+    gates)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf["host"], pdf["content"]):
+                if content is None:
+                    continue
+                for tup in parse_sitemap_xml(str(content)):
+                    rows.append((host, *tup))
+            yield pd.DataFrame(rows, columns=["host", "kind", "loc", "lastmod"])
+
+    return files.mapInPandas(
+        op, schema="host string, kind string, loc string, lastmod string"
+    )

@@ -1315,3 +1315,33 @@ def corpus_frontier_politeness(spark, sf_dir):
     hosts = d.select(host.alias("host")).distinct()
     rules = parse_robots_files(synthesize_robots(hosts))
     return robots_allowed(urls, rules, agent="aura-bot")
+
+
+@register(
+    "corpus_sitemap_urls",
+    """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
+i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i)
+SELECT 'h' || k || '.example' AS host,
+       'url' AS kind,
+       'http://h' || k || '.example/s/' || i AS loc,
+       '2024-01-' || lpad(CAST((k + i) % 28 + 1 AS VARCHAR), 2, '0') AS lastmod
+FROM k CROSS JOIN i""",
+)
+def corpus_sitemap_urls(spark, sf_dir):
+    """Sitemap discovery (sitemaps.org protocol, RFC 9309's Sitemap
+    directive) — the frontier's PUSH feed next to link extraction's
+    pull feed: per-host fixture urlsets parsed to (host, kind, loc,
+    lastmod) rows, every loc and lastmod recomputed closed-form by the
+    oracle.  Tolerant regex extraction (namespace junk and whitespace
+    variations survive), one Arrow pass per file; sitemapindex
+    recursion pointers surface as kind='sitemap' rows (unit-tested —
+    the fixture files are flat urlsets)."""
+    from opentsdb_aura_spark.operators.robots import (
+        parse_sitemap_files,
+        synthesize_sitemaps,
+    )
+
+    hosts = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example")).alias("host")
+    ).distinct()
+    return parse_sitemap_files(synthesize_sitemaps(hosts))

@@ -126,3 +126,32 @@ def test_no_rules_and_missing_file_default_allow(spark):
     assert all(r["allowed"] for r in out.values())
     # a bare-origin URL gets the root path
     assert out["http://unlisted.example"]["path"] == "/"
+
+
+def test_parse_sitemap_index_entities_and_missing_loc():
+    from opentsdb_aura_spark.operators.robots import parse_sitemap_xml
+
+    doc = (
+        '<?xml version="1.0"?>\n'
+        "<sitemapindex>\n"
+        "  <sitemap><loc> http://h.example/maps/a&amp;b.xml </loc>"
+        "<lastmod>2024-02-01</lastmod></sitemap>\n"
+        "  <sitemap><lastmod>2024-02-02</lastmod></sitemap>\n"  # no loc: skipped
+        "</sitemapindex>\n"
+        "<urlset><url><loc>http://h.example/p</loc></url></urlset>"
+    )
+    got = parse_sitemap_xml(doc)
+    assert ("sitemap", "http://h.example/maps/a&b.xml", "2024-02-01") in got
+    assert ("url", "http://h.example/p", None) in got
+    assert len(got) == 2
+
+
+def test_sitemap_files_null_content_skipped(spark):
+    from opentsdb_aura_spark.operators.robots import parse_sitemap_files
+
+    files = spark.createDataFrame(
+        [("h.example", None), ("g.example", "<urlset><url><loc>http://g.example/x</loc></url></urlset>")],
+        "host string, content string",
+    )
+    rows = parse_sitemap_files(files).collect()
+    assert len(rows) == 1 and rows[0]["host"] == "g.example" and rows[0]["kind"] == "url"

@@ -177,11 +177,13 @@ def robots_allowed(
     and decide by longest pattern with Allow winning ties (§2.2.2);
     no match (or no robots rules at all) defaults to allow.
 
-    Pure Catalyst: rules are a per-host dim (broadcast-sized at any
-    real crawl — one file per host), so the plan is a host-equi
-    broadcast join + one aggregation keyed on the URL; the frontier
-    is never shuffled more than once.  Returns (url, host, path,
-    allowed, matched_rule, matched_pattern)."""
+    Pure Catalyst: rules are a per-host dim — a handful of rows per
+    host, so AQE broadcast-picks the join at moderate host counts,
+    while a web-scale crawl (tens of millions of hosts) correctly
+    falls back to a host-equi shuffle join rather than forcing an
+    unbounded broadcast; either way the frontier is shuffled at most
+    once more for the decision aggregation.  Returns (url, host,
+    path, allowed, matched_rule, matched_pattern)."""
     a = str(agent).lower()
     u = F.col(url_col)
     host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
@@ -200,7 +202,7 @@ def robots_allowed(
         "host", "rule", "pattern", "pattern_len", "regex"
     )
 
-    joined = base.join(F.broadcast(applicable), "host", "left")
+    joined = base.join(applicable, "host", "left")
     matched = joined.withColumn(
         "_hit", F.col("regex").isNotNull() & F.regexp_like(F.col("path"), F.col("regex"))
     )

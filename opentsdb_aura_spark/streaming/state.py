@@ -363,6 +363,7 @@ def streaming_crawl_ingest(
     doc_id_expr=None,
     http_html: bool = False,
     frontier_path: str | None = None,
+    robots_rules_path: str | None = None,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -410,8 +411,12 @@ def streaming_crawl_ingest(
     incremental frontier index (containers.update_frontier_index —
     anti-joined on doc_id, so redelivered batches re-contribute
     nothing); ``containers.frontier_counts`` then ranks the next
-    crawl wave.  The crawl LOOP in one stream: fetch → extract →
-    discover → schedule.
+    crawl wave.  ``robots_rules_path`` (with ``frontier_path``) names
+    a parsed-rules parquet table (robots.parse_robots_files output):
+    discovered URLs pass the RFC 9309 politeness gate BEFORE entering
+    the frontier — a disallowed URL is never scheduled.  The crawl
+    LOOP in one stream: fetch → extract → discover → politeness →
+    schedule.
     Returns the started StreamingQuery."""
     from opentsdb_aura_spark.operators.containers import http_responses, warc_records
     from opentsdb_aura_spark.operators.dedup_text import update_minhash_index
@@ -420,6 +425,11 @@ def streaming_crawl_ingest(
         raise ValueError(
             "streaming_crawl_ingest: frontier_path requires http_html=True "
             "(links are discovered in extracted HTML pages)"
+        )
+    if robots_rules_path is not None and frontier_path is None:
+        raise ValueError(
+            "streaming_crawl_ingest: robots_rules_path gates the frontier — "
+            "pass frontier_path too"
         )
 
     _sidecar_checked: list = []  # one-time legacy-schema probe memo
@@ -504,6 +514,23 @@ def streaming_crawl_ingest(
                     ).alias("frontier_url"),
                     id_expr.alias("doc_id"),
                 )
+                if robots_rules_path is not None:
+                    # politeness BEFORE scheduling: a disallowed URL
+                    # never enters the frontier index at all
+                    from opentsdb_aura_spark.operators.robots import robots_allowed
+
+                    rules = batch_df.sparkSession.read.parquet(robots_rules_path)
+                    verdicts = robots_allowed(
+                        batch_links.where(F.col("frontier_url").isNotNull())
+                        .select("frontier_url")
+                        .distinct(),
+                        rules,
+                        url_col="frontier_url",
+                    )
+                    allowed = verdicts.where(F.col("allowed")).select(
+                        F.col("url").alias("frontier_url")
+                    )
+                    batch_links = batch_links.join(allowed, "frontier_url", "left_semi")
                 update_frontier_index(batch_links, frontier_path)
                 if compact_max_files is not None:
                     from opentsdb_aura_spark.sources.maintenance import (

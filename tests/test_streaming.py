@@ -980,3 +980,58 @@ def test_streaming_crawl_ingest_frontier_index(spark, tmpdirs):
     update_frontier_index(redelivered, frontier)
     counts2 = {r["frontier_url"]: r["n_refs"] for r in frontier_counts(spark, frontier).collect()}
     assert counts2 == counts  # both edges keyed by already-ingested docs
+
+
+def test_streaming_crawl_ingest_politeness_gates_frontier(spark, tmpdirs):
+    """With robots_rules_path, a disallowed URL never enters the
+    frontier index — the politeness gate runs between discovery and
+    scheduling inside the stream."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.containers import (
+        encode_http_response,
+        frontier_counts,
+    )
+    from opentsdb_aura_spark.operators.htmltext import render_fixture_html
+    from opentsdb_aura_spark.operators.robots import parse_robots_files
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    def rec(doc_id):
+        payload = encode_http_response(
+            doc_id, render_fixture_html(doc_id, f"page {doc_id} words enough here").encode()
+        )
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", payload,
+            target_uri=f"http://example.com/doc/{doc_id}",
+            content_type="application/http;msgtype=response",
+        )
+
+    rules_path = tmpdirs["out"] + "/robots_rules"
+    robots = "User-agent: *\nDisallow: /next\nDisallow: /terms\n"
+    parse_robots_files(
+        spark.createDataFrame([("example.com", robots)], "host string, content string")
+    ).write.parquet(rules_path)
+
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame([(0, rec(0) + rec(1))], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+    frontier = tmpdirs["out"] + "/frontier"
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pass frontier_path"):
+        streaming_crawl_ingest(
+            stream, tmpdirs["store"], tmpdirs["out"] + "/docs", tmpdirs["ckpt2"],
+            http_html=True, robots_rules_path=rules_path,
+        )
+    streaming_crawl_ingest(
+        stream, tmpdirs["store"], tmpdirs["out"] + "/docs", tmpdirs["ckpt"],
+        http_html=True, frontier_path=frontier, robots_rules_path=rules_path,
+    ).awaitTermination(120)
+
+    counts = {r["frontier_url"]: r["n_refs"] for r in frontier_counts(spark, frontier).collect()}
+    assert counts == {
+        "http://example.com": 2,
+        "http://example.com/about": 2,
+        "http://example.com/privacy": 2,
+    }  # /next and /terms disallowed -> never scheduled

@@ -429,3 +429,33 @@ def lm_bigram_scores(
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         "avg_logprob",
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    *,
+    lang_col: str = "lang",
+    score_col: str = "avg_logprob",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020 §4.3: split each language's documents into head/middle/tail
+    thirds by LM perplexity; training mixes prefer the head).  Input
+    is a scored frame (e.g. :func:`lm_bigram_scores` output joined
+    with the language column); HIGHER mean log-probability = lower
+    perplexity = bucket 1 ("head").  NULL scores (un-scorable docs)
+    sort last into the tail; ties break on doc id so the split is
+    deterministic engine-to-engine.
+
+    This is the exact-semantics form — one total order per language
+    (a window sort whose skew is the largest language, CCNet's own
+    cost).  At 100 TB swap the ntile for sample-trained cutoffs
+    (percentile on a sample → broadcast threshold table → comparison
+    assignment), the same substitution CCNet itself makes; the bucket
+    CONTRACT (per-language thirds by score) is what this function
+    pins.  Returns the input plus ``ppl_bucket`` (1..n_buckets)."""
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col)
+    )
+    return scored.withColumn("ppl_bucket", F.ntile(int(n_buckets)).over(w))

@@ -1358,3 +1358,54 @@ def quality_badwords_flags(spark, sf_dir):
     from opentsdb_aura_spark.operators.quality import badwords_flags
 
     return badwords_flags(docs(spark, sf_dir))
+
+
+@register(
+    "pipeline_ccnet_buckets",
+    r"""WITH d AS (SELECT doc_id, lang,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents),
+bg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, toks[i+1] AS w1
+       FROM d, unnest(range(0, greatest(len(toks) - 1, 0))) AS t(i)),
+uni AS (SELECT tok, count(*) AS ucnt
+        FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+big AS (SELECT bigram, count(*) AS bcnt FROM bg GROUP BY 1),
+s AS (SELECT doc_id, round(avg(ln((bcnt + 0.1) / (ucnt + 0.1 * v.v))), 4) AS avg_logprob
+      FROM bg JOIN big USING (bigram) JOIN uni ON bg.w1 = uni.tok CROSS JOIN v
+      GROUP BY 1),
+s2 AS (SELECT d.doc_id, d.lang, s.avg_logprob
+       FROM d LEFT JOIN s USING (doc_id))
+SELECT doc_id, lang, avg_logprob,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logprob DESC NULLS LAST, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM s2""",
+)
+def pipeline_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split (Wenzek et al. 2020
+    §4.3) per language: the corpus-fit bigram-LM score feeds a
+    per-language tercile assignment — the mix signal a curation stack
+    samples by.  The ENTIRE split is hash-checked: the oracle refits
+    the same smoothed LM, re-rounds, and re-runs the tercile window
+    with the identical (score DESC NULLS LAST, doc_id) order, so a
+    ranking slip or an off-by-one in the bucket boundaries breaks the
+    hash (the 4-decimal pre-round makes tie order engine-identical)."""
+    from opentsdb_aura_spark.operators.quality import (
+        lm_bigram_scores,
+        perplexity_buckets,
+    )
+
+    scores = lm_bigram_scores(docs(spark, sf_dir), alpha=0.1).select(
+        "doc_id", _r("avg_logprob", 4).alias("avg_logprob")
+    )
+    langs = docs_raw(spark, sf_dir).select("doc_id", "lang")
+    scored = langs.join(scores, "doc_id", "left")
+    out = perplexity_buckets(scored)
+    label = (
+        F.when(F.col("ppl_bucket") == 1, "head")
+        .when(F.col("ppl_bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    return out.select("doc_id", "lang", "avg_logprob", label.alias("ppl_bucket"))

@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "dedup_embedding_cosine",  # exact O(n²) oracle-baseline variant, documented
     "corpus_tfidf_top3",  # 1-row n_docs factor
     "quality_lm_scores",  # 1-row vocabulary-size factor
+    "pipeline_ccnet_buckets",  # composes lm_bigram_scores: same 1-row vocab factor
     "corpus_bm25_search",  # 1-row (N, avgdl) corpus-stats factor
     "pipeline_dsir_weights",  # 1-row gram-count totals factor
     "tpch_idle_rich_customers",  # 1-row global-average-balance scalar factor

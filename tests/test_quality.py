@@ -163,3 +163,23 @@ def test_badwords_flags_rule_and_totality(spark):
     assert out[4]["n_badword_hits"] == 0 and out[4]["ok_badwords"]
     assert not out[5]["ok_badwords"]  # NULL text fails the gate
     assert out[6]["n_badword_hits"] == 2 and not out[6]["ok_badwords"]
+
+
+def test_perplexity_buckets_terciles_and_null_tail(spark):
+    """Per-language terciles: higher score -> head; NULL scores sort
+    last into the tail; ties break on doc_id deterministically."""
+    from opentsdb_aura_spark.operators.quality import perplexity_buckets
+
+    rows = [
+        # lang a: 6 docs, scores descending by doc_id for clarity
+        (1, "a", -1.0), (2, "a", -2.0), (3, "a", -3.0),
+        (4, "a", -4.0), (5, "a", -5.0), (6, "a", None),
+        # lang b: 3 docs with TIED scores -> doc_id order decides
+        (7, "b", -1.0), (8, "b", -1.0), (9, "b", -1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, avg_logprob double")
+    out = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(df).collect()}
+    assert (out[1], out[2]) == (1, 1)      # head third
+    assert (out[3], out[4]) == (2, 2)      # middle
+    assert (out[5], out[6]) == (3, 3)      # tail; NULL lands tail
+    assert (out[7], out[8], out[9]) == (1, 2, 3)  # tie -> doc_id order

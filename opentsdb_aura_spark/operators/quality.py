@@ -459,3 +459,65 @@ def perplexity_buckets(
         F.col(score_col).desc_nulls_last(), F.col(id_col)
     )
     return scored.withColumn("ppl_bucket", F.ntile(int(n_buckets)).over(w))
+
+
+def train_perplexity_cutoffs(
+    scored: DataFrame,
+    *,
+    lang_col: str = "lang",
+    score_col: str = "avg_logprob",
+    n_buckets: int = 3,
+    approx: bool = False,
+) -> DataFrame:
+    """The 100 TB half of CCNet bucketing: per-language score cutoffs
+    as a TINY threshold table — (lang, cutoffs array<double>) with
+    ``n_buckets - 1`` interior quantiles.  ``approx=True`` uses
+    ``percentile_approx`` (mergeable sketch, no per-language sort —
+    what a full-corpus run uses, typically over a sample); default is
+    the exact percentile so tests can pin agreement with the
+    ntile form."""
+    k = int(n_buckets)
+    probs = [i / k for i in range(1, k)]
+    # bucket 1 holds the HIGHEST scores, so cutoffs descend
+    probs = [1.0 - p for p in probs]
+    pcts = F.array(*[F.lit(p) for p in probs])
+    agg = (
+        F.percentile_approx(F.col(score_col), pcts, 10000)
+        if approx
+        else F.percentile(F.col(score_col), pcts)
+    )
+    return scored.where(F.col(score_col).isNotNull()).groupBy(lang_col).agg(
+        agg.alias("cutoffs")
+    )
+
+
+def assign_perplexity_buckets(
+    scored: DataFrame,
+    cutoffs: DataFrame,
+    *,
+    lang_col: str = "lang",
+    score_col: str = "avg_logprob",
+) -> DataFrame:
+    """Assign CCNet buckets by comparison against a broadcast cutoff
+    table (:func:`train_perplexity_cutoffs` output): bucket = 1 + the
+    number of descending cutoffs the score falls strictly below; NULL
+    scores land in the last bucket.  Pure Catalyst, no window, no
+    per-language sort — the frontier-scale shape (the threshold table
+    is O(languages), genuinely broadcast-sized).  With distinct scores
+    and group sizes divisible by n_buckets this reproduces the exact
+    ntile split; at boundaries it splits by VALUE where ntile splits
+    by COUNT — the documented trade a sampled-cutoff deployment
+    makes."""
+    s = F.col(score_col)
+    below = F.size(F.filter(F.col("cutoffs"), lambda c: s < c))
+    n_last = F.size(F.col("cutoffs")) + 1
+    bucket = (
+        F.when(s.isNull(), n_last)
+        .when(F.col("cutoffs").isNull(), F.lit(1))  # no cutoffs: single bucket
+        .otherwise(below + 1)
+    )
+    return (
+        scored.join(F.broadcast(cutoffs), lang_col, "left")
+        .withColumn("ppl_bucket", bucket.cast("int"))
+        .drop("cutoffs")
+    )

@@ -104,6 +104,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "avg_bal",  # 1-row global-average-balance scalar (tpch_idle_rich_customers)
         "total_val",  # 1-row global value-threshold scalar (tpch_important_stock)
         "winners",  # summarizer top-k winners: rows <= k
+        "cutoffs",  # per-language quantile thresholds: rows = O(languages)
     }
     hits = []
     for py in root.rglob("*.py"):

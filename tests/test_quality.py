@@ -183,3 +183,33 @@ def test_perplexity_buckets_terciles_and_null_tail(spark):
     assert (out[3], out[4]) == (2, 2)      # middle
     assert (out[5], out[6]) == (3, 3)      # tail; NULL lands tail
     assert (out[7], out[8], out[9]) == (1, 2, 3)  # tie -> doc_id order
+
+
+def test_cutoff_buckets_agree_with_ntile_on_clean_splits(spark):
+    """The 100 TB cutoff path reproduces the exact ntile split when
+    scores are distinct and group sizes divide evenly; NULL scores
+    land in the last bucket; a language absent from the cutoff table
+    falls into bucket 1 (single-bucket default)."""
+    from opentsdb_aura_spark.operators.quality import (
+        assign_perplexity_buckets,
+        perplexity_buckets,
+        train_perplexity_cutoffs,
+    )
+
+    rows = [(i, "a", -float(i)) for i in range(1, 7)]  # 6 distinct scores
+    rows += [(10, "a", None), (11, "zz", -1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, avg_logprob double")
+    cuts = train_perplexity_cutoffs(df.where("lang = 'a'"))
+    by_cut = {r["doc_id"]: r["ppl_bucket"]
+              for r in assign_perplexity_buckets(df, cuts).collect()}
+    by_ntile = {r["doc_id"]: r["ppl_bucket"]
+                for r in perplexity_buckets(
+                    df.where("lang = 'a' AND avg_logprob IS NOT NULL")
+                ).collect()}
+    for d in range(1, 7):
+        assert by_cut[d] == by_ntile[d], d
+    assert by_cut[10] == 3          # NULL -> last bucket
+    assert by_cut[11] == 1          # unknown language -> single bucket
+    # approx path produces the same tiny threshold-table shape
+    approx = train_perplexity_cutoffs(df.where("lang = 'a'"), approx=True).collect()
+    assert len(approx) == 1 and len(approx[0]["cutoffs"]) == 2

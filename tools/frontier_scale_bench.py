@@ -1,0 +1,128 @@
+"""Discovery-stack scale bench: the round-10 crawl loop's back half —
+link extraction → reference resolution → canonicalization → robots
+politeness → frontier build — measured at millions of pages.
+
+Pages render the fixture HTML (5 anchors each: nav pair, in-content
+link, footer pair) spread across ``n_hosts`` fixture hosts so the
+frontier groupBy has real key width; robots rules disallow a known
+subset, and the run ASSERTS the politeness outcome (disallowed URLs
+absent, per-URL reference counts exact) — the planted-artifact
+pattern, not timing alone.
+
+Usage: python tools/frontier_scale_bench.py [n_docs_million=2] [n_hosts=1000]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    n_docs = int(float(sys.argv[1] if len(sys.argv) > 1 else 2) * 1_000_000)
+    n_hosts = int(sys.argv[2] if len(sys.argv) > 2 else 1000)
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark import get_spark
+    from opentsdb_aura_spark.operators.containers import (
+        canonicalize_url,
+        resolve_href,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_links, synthesize_html
+    from opentsdb_aura_spark.operators.robots import (
+        parse_robots_files,
+        robots_allowed,
+        synthesize_robots,
+    )
+
+    spark = get_spark("frontier_scale_bench")
+    out: dict = {"metric": "frontier_scale_bench", "unit": "sec",
+                 "n_docs": n_docs, "n_hosts": n_hosts}
+
+    docs = spark.range(n_docs, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("scale page body words "), F.col("id").cast("string")).alias("text"),
+    )
+    host = F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(n_hosts)), F.lit(".example"))
+    pages = synthesize_html(docs).withColumn(
+        "page_url",
+        F.concat(F.lit("http://"), host, F.lit("/doc/"), F.col("doc_id").cast("string")),
+    )
+
+    # links -> resolve -> canonicalize -> politeness -> frontier counts
+    t0 = time.perf_counter()
+    links = html_links(pages, keep_cols=("doc_id", "page_url")).select(
+        canonicalize_url(resolve_href("page_url", "href")).alias("frontier_url"),
+        "doc_id",
+    ).where(F.col("frontier_url").isNotNull())
+    hosts = spark.range(n_hosts).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host")
+    )
+    rules = parse_robots_files(synthesize_robots(hosts)).localCheckpoint()
+    verdicts = robots_allowed(
+        links.select("frontier_url").distinct(), rules, url_col="frontier_url"
+    )
+    allowed = verdicts.where(F.col("allowed")).select(F.col("url").alias("frontier_url"))
+    frontier = (
+        links.join(allowed, "frontier_url", "left_semi")
+        .groupBy("frontier_url")
+        .agg(F.count("*").alias("n_refs"))
+        .localCheckpoint()
+    )
+    n_frontier = frontier.count()
+    dt = time.perf_counter() - t0
+    out["discovery_chain_sec"] = round(dt, 2)
+    out["pages_per_sec"] = int(n_docs / dt)
+    out["n_frontier_urls"] = n_frontier
+
+    # planted-artifact assertions: every page links the same 5 paths on
+    # ITS OWN host ('/', /about, /next, /terms, /privacy resolve against
+    # the page URL).  All 5 are root-relative, none hits the fixture
+    # robots' /private/ or /tmp/ rules -> all allowed; counts = pages/host.
+    assert n_frontier == 5 * n_hosts, n_frontier
+    per_host = n_docs // n_hosts
+    sample = frontier.where(
+        F.col("frontier_url").isin(
+            "http://h0.example", "http://h0.example/next", "http://h1.example/terms"
+        )
+    ).collect()
+    got = {r["frontier_url"]: r["n_refs"] for r in sample}
+    assert all(v == per_host for v in got.values()), got
+
+    # politeness DOES bite when a page links a disallowed path: re-run
+    # discovery with /tmp/-shaped links planted on 1% of pages
+    t0 = time.perf_counter()
+    planted = links.unionByName(
+        docs.where(F.col("doc_id") % 100 == 0).select(
+            F.concat(F.lit("http://"), host, F.lit("/tmp/cache")).alias("frontier_url"),
+            "doc_id",
+        )
+    )
+    # agent "other-bot" falls back to every host's '*' group (even
+    # hosts' aura-bot group has no /tmp/ rule — RFC group exclusivity
+    # would let aura-bot fetch /tmp/ there, which the unit suite pins)
+    verdicts2 = robots_allowed(
+        planted.select("frontier_url").distinct(), rules,
+        agent="other-bot", url_col="frontier_url",
+    )
+    allowed2 = verdicts2.where(F.col("allowed")).select(F.col("url").alias("frontier_url"))
+    frontier2 = (
+        planted.join(allowed2, "frontier_url", "left_semi")
+        .groupBy("frontier_url")
+        .agg(F.count("*").alias("n_refs"))
+        .localCheckpoint()
+    )
+    n2 = frontier2.count()
+    out["politeness_rerun_sec"] = round(time.perf_counter() - t0, 2)
+    assert n2 == 5 * n_hosts, n2  # every planted /tmp/ URL rejected
+    out["planted_disallowed_rejected"] = True
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

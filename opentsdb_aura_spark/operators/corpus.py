@@ -803,3 +803,70 @@ def weighted_sample(
         .where(F.col("_rn") <= int(k))
         .drop("_rn")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list — the link-graph authority
+    signal crawl pipelines rank hosts/pages by when prioritizing the
+    frontier and weighting corpus quality (the public Common Crawl
+    ranking uses exactly this family of centrality over its WAT link
+    graph).
+
+    Power iteration, UNROLLED into the Spark plan: each round is one
+    groupBy on dst (map-side combined contribution sums) + one left
+    join back onto the node set — no driver state, no collect, lineage
+    truncated per round with localCheckpoint so the plan stays flat at
+    any ``n_iter``.  Nodes are the union of edge endpoints; dangling
+    nodes (no out-edges) redistribute their mass uniformly (the
+    standard correction, applied via one 1-row aggregate per round).
+    Returns (node, rank) with ranks summing to 1.
+
+    Semantics pinned by a full oracle (pipeline_pagerank) that unrolls
+    the same iterations in SQL over a closed-form fixture graph."""
+    d = float(damping)
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = edges.groupBy(F.col(src_col).alias("node")).agg(F.count("*").alias("outdeg"))
+    state = nodes.join(deg, "node", "left").select(
+        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"), (F.lit(1.0) / n).alias("rank")
+    ).localCheckpoint()
+    e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("dst"))
+    for _ in range(int(n_iter)):
+        contrib = (
+            e.join(state.where(F.col("outdeg") > 0), "node")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        dangling = state.where(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
+        )
+        state = (
+            state.select("node", "outdeg")
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit((1.0 - d) / n)
+                    + d * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("m") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("node", "rank")

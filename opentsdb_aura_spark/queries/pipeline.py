@@ -1409,3 +1409,56 @@ def pipeline_ccnet_buckets(spark, sf_dir):
         .otherwise("tail")
     )
     return out.select("doc_id", "lang", "avg_logprob", label.alias("ppl_bucket"))
+
+
+# Unrolled power iteration (3 rounds) over the closed-form fixture
+# graph doc i -> (7i+1, 13i+2, 23i+3) mod N: out-degree is exactly 3
+# everywhere (no dangling mass), so each round is
+# rank' = 0.15/N + 0.85 * sum(in-neighbor rank / 3).
+_PR_ROUND = """SELECT d.doc_id AS node,
+       0.15 / c.cnt + 0.85 * coalesce(m.s, 0) AS rank
+FROM documents d CROSS JOIN c
+LEFT JOIN (SELECT e.dst, sum(r.rank / 3) AS s
+           FROM e JOIN {prev} r ON e.src = r.node GROUP BY 1) m
+  ON d.doc_id = m.dst"""
+
+
+@register(
+    "pipeline_pagerank",
+    f"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % cnt AS dst FROM documents, c
+  UNION ALL SELECT doc_id, (doc_id * 13 + 2) % cnt FROM documents, c
+  UNION ALL SELECT doc_id, (doc_id * 23 + 3) % cnt FROM documents, c),
+r0 AS (SELECT doc_id AS node, 1.0 / cnt AS rank FROM documents, c),
+i1 AS ({_PR_ROUND.format(prev="r0")}),
+i2 AS ({_PR_ROUND.format(prev="i1")}),
+i3 AS ({_PR_ROUND.format(prev="i2")})
+SELECT node, round(rank, 6) AS rank FROM i3""",
+)
+def pipeline_pagerank(spark, sf_dir):
+    """Link-graph authority for frontier prioritization / corpus
+    weighting (the centrality family the public Common Crawl host
+    ranking computes over its WAT link graph): PageRank by power
+    iteration, each round one map-side-combined groupBy + one left
+    join, unrolled into the plan with no driver state.  The oracle
+    unrolls the SAME three iterations in SQL over the closed-form
+    fixture graph (uniform out-degree 3, so dangling handling is
+    exercised as a provably-zero term), value-hashing every node's
+    rank — the iterative-algorithm semantics, not just row counts.
+    Scale: each round shuffles the edge list once on dst; rank state
+    is one row per node; localCheckpoint keeps the plan flat at any
+    iteration count."""
+    from opentsdb_aura_spark.operators.corpus import pagerank
+
+    d = docs_raw(spark, sf_dir).select("doc_id")
+    n = d.count()  # bounded scalar job: the node-space size
+    edges = None
+    for a, b in ((7, 1), (13, 2), (23, 3)):
+        part = d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    pr = pagerank(edges, n_iter=3)
+    return pr.select("node", _r("rank", 6).alias("rank"))

@@ -470,3 +470,22 @@ def test_bpe_apply_matches_reference_segmentation(spark):
         r["doc_id"]: r["n_subwords"] for r in bpe_apply(docs, merges).collect()
     }
     assert got == want  # doc 3 is empty -> 0, not a dropped row
+
+
+def test_pagerank_dangling_and_conservation(spark):
+    """PageRank semantics the fixture's uniform-degree graph can't
+    exercise: dangling nodes redistribute mass uniformly, ranks sum to
+    1 every iteration, and a sink-heavy star concentrates rank on the
+    hub."""
+    from opentsdb_aura_spark.operators.corpus import pagerank
+
+    # star: 1..4 all point at 0; node 0 is DANGLING (no out-edges)
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    out = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=10).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9        # mass conserved
+    assert out[0] > 0.5                                # hub dominates
+    leaves = [out[i] for i in range(1, 5)]
+    assert max(leaves) - min(leaves) < 1e-12           # symmetric leaves
+    # empty edge list: empty result, no crash
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, n_iter=2).count() == 0

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "corpus_tfidf_top3",  # 1-row n_docs factor
     "quality_lm_scores",  # 1-row vocabulary-size factor
     "pipeline_ccnet_buckets",  # composes lm_bigram_scores: same 1-row vocab factor
+    "pipeline_pagerank",  # 1-row dangling-mass scalar factor per round
     "corpus_bm25_search",  # 1-row (N, avgdl) corpus-stats factor
     "pipeline_dsir_weights",  # 1-row gram-count totals factor
     "tpch_idle_rich_customers",  # 1-row global-average-balance scalar factor
@@ -105,6 +106,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "total_val",  # 1-row global value-threshold scalar (tpch_important_stock)
         "winners",  # summarizer top-k winners: rows <= k
         "cutoffs",  # per-language quantile thresholds: rows = O(languages)
+        "dangling",  # 1-row dangling-mass scalar per PageRank round
     }
     hits = []
     for py in root.rglob("*.py"):

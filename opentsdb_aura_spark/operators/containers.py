@@ -1259,11 +1259,17 @@ def cdx_index(records: DataFrame, *, skip_errors: bool = False) -> DataFrame:
         extra_cols=("offset", "record_length", "warc_date"),
     )
     # a capture index line describes a SUCCESSFUL envelope parse with a
-    # target URI: skip_errors error rows (null fields) and URI-less
-    # records would emit lines whose null urlkey shifts the
-    # space-delimited fields on re-parse — they belong in the errors
+    # target URI AND a capture date: skip_errors error rows (null
+    # fields), URI-less records, and date-less records would emit
+    # lines whose null urlkey/timestamp shifts the space-delimited
+    # fields on re-parse (concat_ws drops NULLs silently, so the JSON
+    # blob would re-read as the timestamp) — they belong in the errors
     # sidecar, not the index
-    resp = resp.where(F.col("error").isNull() & F.col("target_uri").isNotNull())
+    resp = resp.where(
+        F.col("error").isNull()
+        & F.col("target_uri").isNotNull()
+        & F.col("warc_date").isNotNull()
+    )
     return resp.select(
         canonicalize_url("target_uri").alias("urlkey"),
         F.regexp_replace(F.col("warc_date"), "[^0-9]", "").alias("cdx_ts"),
@@ -1426,10 +1432,15 @@ def resolve_href(base, href):
     h = href if isinstance(href, F.Column) else F.col(href)
     scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    # a base with no parseable scheme/origin (relative or garbage URL)
+    # extracts '' — resolving against it would mint malformed
+    # '://host/x' or host-less '/x' strings that pass the NULL filter
+    # and enter the frontier, so those branches resolve to NULL instead
     return (
         F.when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), h)
-        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
-        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h.startswith("//") & (scheme != ""), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("//"), F.lit(None).cast("string"))
+        .when(h.startswith("/") & (origin != ""), F.concat(origin, h))
         .otherwise(F.lit(None).cast("string"))
     )
 

@@ -509,13 +509,14 @@ def assign_perplexity_buckets(
     by COUNT — the documented trade a sampled-cutoff deployment
     makes."""
     s = F.col(score_col)
-    below = F.size(F.filter(F.col("cutoffs"), lambda c: s < c))
-    n_last = F.size(F.col("cutoffs")) + 1
-    bucket = (
-        F.when(s.isNull(), n_last)
-        .when(F.col("cutoffs").isNull(), F.lit(1))  # no cutoffs: single bucket
-        .otherwise(below + 1)
-    )
+    # a language missing from the cutoff table joins NULL cutoffs; an
+    # empty cutoff list gives every branch the documented single-bucket
+    # answer (n_last = 1) even when the score is ALSO NULL — without
+    # the coalesce, size(NULL)+1 would send that row to bucket 0/NULL
+    cuts = F.coalesce(F.col("cutoffs"), F.array().cast("array<double>"))
+    below = F.size(F.filter(cuts, lambda c: s < c))
+    n_last = F.size(cuts) + 1
+    bucket = F.when(s.isNull(), n_last).otherwise(below + 1)
     return (
         scored.join(F.broadcast(cutoffs), lang_col, "left")
         .withColumn("ppl_bucket", bucket.cast("int"))

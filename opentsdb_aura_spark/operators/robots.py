@@ -184,7 +184,10 @@ def robots_allowed(
     unbounded broadcast; either way the frontier is shuffled at most
     once more for the decision aggregation.  Returns (url, host,
     path, allowed, matched_rule, matched_pattern)."""
-    a = str(agent).lower()
+    # RFC 9309 §2.2.1 matches the PRODUCT TOKEN case-insensitively:
+    # a crawler identifying as 'Aura-Bot/1.0' must match an 'aura-bot'
+    # group, so strip the /version suffix before the equality compare
+    a = str(agent).lower().split("/", 1)[0].strip()
     u = F.col(url_col)
     host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
     path_raw = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")

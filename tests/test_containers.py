@@ -991,6 +991,11 @@ def test_resolve_href_rules(spark):
         ("http://h.example/p", "relative/path", None),
         ("http://h.example/p", "#frag", None),
         ("http://h.example/p", "mailto:a@b", None),  # non-hierarchical: not fetchable
+        # a schemeless/garbage base can't anchor a resolution: minting
+        # '://cdn.example/y' or a host-less '/rooted' would let a
+        # malformed URL through the NULL filter into the frontier
+        ("relative/base", "//cdn.example/y", None),
+        ("relative/base", "/rooted", None),
     ]
     df = spark.createDataFrame([(b, h) for b, h, _ in rows], "base string, href string")
     got = [r[0] for r in df.select(resolve_href("base", "href")).collect()]
@@ -998,15 +1003,25 @@ def test_resolve_href_rules(spark):
 
 
 def test_cdx_index_excludes_error_and_uriless_rows(spark):
-    """skip_errors error rows and URI-less records never reach the
-    capture index (their null urlkey would shift the CDXJ line
-    fields); good captures still index."""
+    """skip_errors error rows, URI-less records, and date-less records
+    never reach the capture index (their null urlkey/timestamp would
+    shift the CDXJ line fields — concat_ws silently drops NULLs, so
+    the JSON blob would re-parse as the timestamp); good captures
+    still index."""
     from opentsdb_aura_spark.operators.containers import (
         cdx_index,
         encode_http_response,
         warc_records,
     )
 
+    dateless = C.encode_warc_record(
+        "response", "urn:uuid:doc-4", encode_http_response(4, b"y"),
+        target_uri="http://example.com/doc/4",
+        content_type="application/http;msgtype=response",
+    )
+    date_line = b"WARC-Date: " + C.WARC_DATE.encode() + b"\r\n"
+    assert date_line in dateless
+    dateless = dateless.replace(date_line, b"")
     raw = (
         C.encode_warc_record(
             "response", "urn:uuid:doc-1", encode_http_response(1, b"hello"),
@@ -1021,6 +1036,7 @@ def test_cdx_index_excludes_error_and_uriless_rows(spark):
             "response", "urn:uuid:doc-3", encode_http_response(3, b"x"),
             content_type="application/http;msgtype=response",  # no Target-URI
         )
+        + dateless
     )
     recs = warc_records(_files_df(spark, [(0, raw)]), with_payload=True)
     rows = cdx_index(recs, skip_errors=True).collect()

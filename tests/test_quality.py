@@ -197,7 +197,7 @@ def test_cutoff_buckets_agree_with_ntile_on_clean_splits(spark):
     )
 
     rows = [(i, "a", -float(i)) for i in range(1, 7)]  # 6 distinct scores
-    rows += [(10, "a", None), (11, "zz", -1.0)]
+    rows += [(10, "a", None), (11, "zz", -1.0), (12, "zz", None)]
     df = spark.createDataFrame(rows, "doc_id long, lang string, avg_logprob double")
     cuts = train_perplexity_cutoffs(df.where("lang = 'a'"))
     by_cut = {r["doc_id"]: r["ppl_bucket"]
@@ -210,6 +210,7 @@ def test_cutoff_buckets_agree_with_ntile_on_clean_splits(spark):
         assert by_cut[d] == by_ntile[d], d
     assert by_cut[10] == 3          # NULL -> last bucket
     assert by_cut[11] == 1          # unknown language -> single bucket
+    assert by_cut[12] == 1          # NULL score AND unknown language -> that single bucket
     # approx path produces the same tiny threshold-table shape
     approx = train_perplexity_cutoffs(df.where("lang = 'a'"), approx=True).collect()
     assert len(approx) == 1 and len(approx[0]["cutoffs"]) == 2

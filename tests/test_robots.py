@@ -112,6 +112,11 @@ def test_group_exclusivity_and_fallback(spark):
     # agent matching is case-insensitive
     upper = _decide(spark, robots, ["/private/x"], agent="AURA-BOT")
     assert upper["/private/x"][0] is False
+    # ...and matches the bare PRODUCT TOKEN: 'Aura-Bot/1.0' must find
+    # its own group, not silently fall back to '*' (RFC 9309 §2.2.1)
+    versioned = _decide(spark, robots, ["/private/x", "/tmp/z"], agent="Aura-Bot/1.0")
+    assert versioned["/private/x"][0] is False
+    assert versioned["/tmp/z"][0] is True
 
 
 def test_no_rules_and_missing_file_default_allow(spark):

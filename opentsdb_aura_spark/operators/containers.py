@@ -40,6 +40,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 WARC_DATE = "2024-01-01T00:00:00Z"
 _CRLF = b"\r\n"
@@ -55,11 +56,18 @@ def encode_warc_record(
     target_uri: str | None = None,
     content_type: str = "text/plain",
     concurrent_to: str | None = None,
+    refers_to: str | None = None,
+    profile: str | None = None,
+    payload_digest: str | None = None,
 ) -> bytes:
     """One WARC/1.0 record: version line, named headers, blank line,
     payload, and the spec's two trailing CRLFs.  ``concurrent_to``
     writes the WARC-Concurrent-To link that ties a request record to
-    its response (ISO 28500 §5.7)."""
+    its response (ISO 28500 §5.7); ``refers_to`` / ``profile`` /
+    ``payload_digest`` write the WARC-Refers-To link, WARC-Profile,
+    and WARC-Payload-Digest headers a ``revisit`` record carries
+    (ISO 28500 §6.7.2 — the duplicate points at the capture it
+    deduplicates against and names the dedup profile)."""
     lines = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode(),
@@ -70,6 +78,12 @@ def encode_warc_record(
         lines.append(b"WARC-Target-URI: " + target_uri.encode())
     if concurrent_to is not None:
         lines.append(b"WARC-Concurrent-To: <" + concurrent_to.encode() + b">")
+    if refers_to is not None:
+        lines.append(b"WARC-Refers-To: <" + refers_to.encode() + b">")
+    if profile is not None:
+        lines.append(b"WARC-Profile: " + profile.encode())
+    if payload_digest is not None:
+        lines.append(b"WARC-Payload-Digest: " + payload_digest.encode())
     lines.append(b"Content-Type: " + content_type.encode())
     lines.append(b"Content-Length: " + str(len(payload)).encode())
     return _CRLF.join(lines) + _CRLF + _CRLF + payload + _CRLF + _CRLF
@@ -244,7 +258,8 @@ def synthesize_warc(
 WARC_RECORD_SCHEMA = (
     "file_id long, offset long, record_length long, warc_type string, "
     "record_id string, target_uri string, content_length long, "
-    "payload_md5 string, concurrent_to string, warc_date string, error string"
+    "payload_md5 string, concurrent_to string, refers_to string, "
+    "profile string, warc_date string, error string"
 )
 WARC_RECORD_PAYLOAD_SCHEMA = WARC_RECORD_SCHEMA + ", payload binary"
 
@@ -285,18 +300,21 @@ def _parse_warc_bytes(data: bytes) -> Iterator[tuple]:
         payload = data[body_start:body_end]
         pos = body_end + 4
         rid = fields.get("warc-record-id", "")
-        cto = fields.get("warc-concurrent-to")
-        if cto is not None and cto[:1] == "<" and cto[-1:] == ">":
-            cto = cto[1:-1]
+
+        def _unbracket(v):
+            return v[1:-1] if v is not None and v[:1] == "<" and v[-1:] == ">" else v
+
         yield (
             start,
             pos - start,
             fields.get("warc-type", ""),
-            rid[1:-1] if rid[:1] == "<" and rid[-1:] == ">" else rid,
+            _unbracket(rid),
             fields.get("warc-target-uri"),
             clen,
             hashlib.md5(payload).hexdigest(),
-            cto,
+            _unbracket(fields.get("warc-concurrent-to")),
+            _unbracket(fields.get("warc-refers-to")),  # revisit → original link
+            fields.get("warc-profile"),  # the dedup profile a revisit names
             fields.get("warc-date"),  # capture timestamp — the CDX index needs it
             payload,  # trailing so header-only consumers can drop it
         )
@@ -354,6 +372,8 @@ def warc_records(
         "content_length",
         "payload_md5",
         "concurrent_to",
+        "refers_to",
+        "profile",
         "warc_date",
         "error",
     ]
@@ -375,7 +395,7 @@ def warc_records(
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-file containment
                     if not skip_errors:
                         raise
-                    err = (fid,) + (None,) * 9 + (str(exc),)
+                    err = (fid,) + (None,) * 11 + (str(exc),)
                     rows.append(err + (None,) if with_payload else err)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -1229,6 +1249,136 @@ def url_duplicates(
         .groupBy("canonical_url")
         .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
         .where(F.col("dup_count") > 1)
+    )
+
+
+# ------------------------------------------------------------ WARC revisit records
+
+#: ISO 28500 §6.7.2's payload-digest dedup profile: the revisit record
+#: asserts "this fetch returned bytes identical to the capture named
+#: by WARC-Refers-To", which is the profile production crawlers (and
+#: the CDX layer) deduplicate storage against.
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def mark_revisits(
+    records: DataFrame,
+    *,
+    url_col: str = "target_uri",
+    digest_col: str = "payload_md5",
+    id_col: str = "record_id",
+) -> DataFrame:
+    """Plan WARC ``revisit`` dedup over parsed captures: within each
+    (canonical URL, payload digest) group the FIRST capture in
+    (file_id, offset) order is the original; every later identical
+    fetch gets ``revisit_of`` = the original's record id (NULL marks
+    originals).  A URL re-fetched with DIFFERENT bytes is a new
+    original — the identical-payload-digest profile only deduplicates
+    byte-identical responses (ISO 28500 §6.7.2).
+
+    Pure Catalyst: one window over the canonical-URL+digest key (the
+    same shuffle key :func:`url_duplicates` groups by); no collect, no
+    self-join.  Input is :func:`warc_records` output; NULL-URL records
+    (warcinfo/metadata) pass through as originals untouched."""
+    w = Window.partitionBy("canonical_url", digest_col)
+    first = F.min(
+        F.struct(F.col("file_id"), F.col("offset"), F.col(id_col).alias("_id"))
+    ).over(w)["_id"]
+    keyed = records.withColumn(
+        "canonical_url",
+        F.when(F.col(url_col).isNotNull(), canonicalize_url(url_col)),
+    )
+    return keyed.withColumn(
+        "revisit_of",
+        F.when(
+            F.col("canonical_url").isNotNull() & (F.col(id_col) != first), first
+        ),
+    )
+
+
+def write_revisit_warc_files(
+    marked: DataFrame,
+    *,
+    file_col: str = "file_id",
+    content_type: str = "application/http;msgtype=response",
+) -> DataFrame:
+    """Pack :func:`mark_revisits` output into deduplicated WARC files:
+    originals re-encode as full ``response`` records; duplicates
+    become payload-less ``revisit`` records carrying WARC-Refers-To
+    (the original's id), WARC-Profile (identical-payload-digest), and
+    WARC-Payload-Digest (the digest both fetches share) — the storage
+    dedup a production crawler applies at write time (a 100 TB crawl
+    with 30% refetch identity writes 30% fewer payload bytes; the
+    replay layer re-reads the original via the Refers-To link).
+
+    Per-file packing is the WET/WAT sink shape — one shuffle on
+    file_id, records in offset order.  Returns (file_id, content)."""
+    slim = marked.select(
+        F.col(file_col).cast("long").alias("file_id"),
+        F.col("offset").alias("_off"),
+        F.col("record_id").alias("_id"),
+        F.col("target_uri").alias("_uri"),
+        F.col("payload_md5").alias("_digest"),
+        F.col("revisit_of").alias("_orig"),
+        F.col("payload").alias("_payload"),
+    ).where(F.col("_id").isNotNull())
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_off")
+        fid = int(pdf["file_id"].iloc[0])
+        out = []
+        for _off, rid, uri, digest, orig, payload in zip(
+            pdf["_off"], pdf["_id"], pdf["_uri"], pdf["_digest"],
+            pdf["_orig"], pdf["_payload"],
+        ):
+            uri = None if uri is None else str(uri)
+            if orig is None:
+                out.append(
+                    encode_warc_record(
+                        "response", str(rid),
+                        b"" if payload is None else bytes(payload),
+                        target_uri=uri, content_type=content_type,
+                    )
+                )
+            else:
+                out.append(
+                    encode_warc_record(
+                        "revisit", str(rid), b"",
+                        target_uri=uri,
+                        content_type=content_type,
+                        refers_to=str(orig),
+                        profile=REVISIT_PROFILE,
+                        payload_digest=f"md5:{digest}",
+                    )
+                )
+        return pd.DataFrame({"file_id": [fid], "content": [b"".join(out)]})
+
+    return slim.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Replay-side inverse of the revisit dedup: join each ``revisit``
+    record to the original capture its WARC-Refers-To names,
+    recovering the payload identity the revisit asserts.  Returns
+    (record_id, target_uri, refers_to, profile, payload_md5) where
+    payload_md5 is the ORIGINAL's digest — the frame a replay service
+    serves duplicates from.  One equi-join on record id (both sides
+    already carry it; no broadcast hint — originals are O(crawl))."""
+    originals = records.where(F.col("warc_type") == "response").select(
+        F.col("record_id").alias("refers_to"),
+        F.col("payload_md5").alias("orig_payload_md5"),
+        F.col("content_length").alias("orig_content_length"),
+    )
+    revisits = records.where(F.col("warc_type") == "revisit").select(
+        "record_id", "target_uri", "refers_to", "profile"
+    )
+    return revisits.join(originals, "refers_to", "left").select(
+        "record_id",
+        "target_uri",
+        "refers_to",
+        "profile",
+        F.col("orig_payload_md5").alias("payload_md5"),
+        F.col("orig_content_length").alias("content_length"),
     )
 
 

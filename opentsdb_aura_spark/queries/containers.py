@@ -1345,3 +1345,103 @@ def corpus_sitemap_urls(spark, sf_dir):
         F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example")).alias("host")
     ).distinct()
     return parse_sitemap_files(synthesize_sitemaps(hosts))
+
+
+# Revisit fixture shared by plan/write/read and resolve below: groups
+# of (up to) 3 consecutive doc_ids fetch the SAME page with the SAME
+# bytes — k = doc_id - doc_id % 3 is the group key, so doc_id == k is
+# the first capture in (file_id, offset) order and every other member
+# plans as a revisit of cap-k.
+_REVISIT_CAPS = """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+g AS (SELECT doc_id, doc_id - (doc_id % 3) AS k FROM d)
+"""
+
+
+@register(
+    "corpus_warc_revisit_roundtrip",
+    _REVISIT_CAPS
+    + """SELECT 'urn:uuid:cap-' || doc_id AS record_id,
+       CASE WHEN doc_id = k THEN 'response' ELSE 'revisit' END AS warc_type,
+       'http://example.com/page/' || k AS target_uri,
+       CAST(CASE WHEN doc_id = k THEN octet_length(encode('payload-' || k)) ELSE 0 END AS BIGINT) AS content_length,
+       CASE WHEN doc_id = k THEN md5('payload-' || k) ELSE md5('') END AS payload_md5,
+       CASE WHEN doc_id = k THEN NULL ELSE 'urn:uuid:cap-' || k END AS refers_to,
+       CASE WHEN doc_id = k THEN NULL
+            ELSE 'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest'
+       END AS profile
+FROM g""",
+)
+def corpus_warc_revisit_roundtrip(spark, sf_dir):
+    """WARC ``revisit`` record fidelity (ISO 28500 §6.7.2) — the
+    storage dedup a production crawler applies at write time: captures
+    where each page is fetched by 3 consecutive docs with identical
+    bytes are PLANNED (first capture in (file, offset) order stays the
+    original, later identical fetches become revisits of it), WRITTEN
+    as real WARC bytes (payload-less revisit records carrying
+    WARC-Refers-To / WARC-Profile / WARC-Payload-Digest), and RE-READ
+    by the same parser.  The oracle re-derives every re-read header
+    closed-form — record type, zero content length, the Refers-To
+    link, and the dedup profile are all value-hashed.  Scale shape:
+    the plan is ONE window over the (canonical url, digest) shuffle
+    key; the write is the WET/WAT per-file pack; a 100 TB crawl with
+    30% identical refetches writes 30% fewer payload bytes."""
+    from opentsdb_aura_spark.operators.containers import (
+        mark_revisits,
+        warc_records,
+        write_revisit_warc_files,
+    )
+
+    k = (F.col("doc_id") - F.col("doc_id") % 3).cast("long")
+    caps = docs_raw(spark, sf_dir).select(
+        F.expr(f"CAST(doc_id DIV {_DPF} AS LONG)").alias("file_id"),
+        F.col("doc_id").cast("long").alias("offset"),  # capture order inside the file
+        F.concat(F.lit("urn:uuid:cap-"), F.col("doc_id").cast("long")).alias("record_id"),
+        F.concat(F.lit("http://example.com/page/"), k).alias("target_uri"),
+        F.concat(F.lit("payload-"), k).cast("binary").alias("payload"),
+    ).withColumn("payload_md5", F.md5(F.col("payload")))
+    files = write_revisit_warc_files(mark_revisits(caps), content_type="text/plain")
+    return warc_records(files).select(
+        "record_id", "warc_type", "target_uri", "content_length",
+        "payload_md5", "refers_to", "profile",
+    )
+
+
+@register(
+    "corpus_warc_revisit_resolve",
+    _REVISIT_CAPS
+    + """SELECT 'urn:uuid:cap-' || doc_id AS record_id,
+       'http://example.com/page/' || k AS target_uri,
+       'urn:uuid:cap-' || k AS refers_to,
+       md5('payload-' || k) AS payload_md5,
+       CAST(octet_length(encode('payload-' || k)) AS BIGINT) AS content_length
+FROM g WHERE doc_id <> k""",
+)
+def corpus_warc_revisit_resolve(spark, sf_dir):
+    """Replay-side inverse of the revisit dedup: re-read the
+    deduplicated WARC artifact and JOIN each revisit record to the
+    original capture its WARC-Refers-To names, recovering the payload
+    digest and byte length the revisit asserts — what a replay service
+    serves duplicates from (and what the CDX layer deduplicates
+    against).  The oracle recomputes the original's digest/length for
+    every duplicate closed-form, so a broken Refers-To link or a wrong
+    original surfaces as a hash miss.  One equi-join on record id —
+    originals are O(crawl), no broadcast hint."""
+    from opentsdb_aura_spark.operators.containers import (
+        mark_revisits,
+        resolve_revisits,
+        warc_records,
+        write_revisit_warc_files,
+    )
+
+    k = (F.col("doc_id") - F.col("doc_id") % 3).cast("long")
+    caps = docs_raw(spark, sf_dir).select(
+        F.expr(f"CAST(doc_id DIV {_DPF} AS LONG)").alias("file_id"),
+        F.col("doc_id").cast("long").alias("offset"),
+        F.concat(F.lit("urn:uuid:cap-"), F.col("doc_id").cast("long")).alias("record_id"),
+        F.concat(F.lit("http://example.com/page/"), k).alias("target_uri"),
+        F.concat(F.lit("payload-"), k).cast("binary").alias("payload"),
+    ).withColumn("payload_md5", F.md5(F.col("payload")))
+    files = write_revisit_warc_files(mark_revisits(caps), content_type="text/plain")
+    return resolve_revisits(warc_records(files)).select(
+        "record_id", "target_uri", "refers_to", "payload_md5", "content_length"
+    )

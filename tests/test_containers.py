@@ -1042,3 +1042,54 @@ def test_cdx_index_excludes_error_and_uriless_rows(spark):
     rows = cdx_index(recs, skip_errors=True).collect()
     assert [r["record_id"] for r in rows] == ["urn:uuid:doc-1"]
     assert rows[0]["urlkey"] == "http://example.com/doc/1"
+
+
+# --------------------------------------------------------- revisit records
+
+
+def test_warc_revisit_plan_write_read_resolve(spark):
+    """The full revisit lifecycle (ISO 28500 §6.7.2): identical
+    refetches plan as revisits of the FIRST capture in (file, offset)
+    order; a same-URL fetch with DIFFERENT bytes stays an original;
+    the written revisit record is payload-less but carries
+    Refers-To / Profile / Payload-Digest; re-reading and resolving
+    recovers the original's digest for every duplicate."""
+    import hashlib
+
+    def cap(i, url, body):
+        return C.encode_warc_record(
+            "response", f"urn:uuid:cap-{i}", body,
+            target_uri=url, content_type="application/http;msgtype=response",
+        )
+
+    f0 = cap(0, "http://h.example/a", b"AAA") + cap(1, "http://h.example/b", b"BBB") \
+        + cap(2, "http://h.example/a", b"AAA")
+    f1 = cap(3, "http://h.example/a", b"AAA-changed") \
+        + cap(4, "http://h.example/b", b"BBB") + cap(5, "http://h.example/a", b"AAA")
+    recs = C.warc_records(_files_df(spark, [(0, f0), (1, f1)]), with_payload=True)
+    marked = C.mark_revisits(recs)
+    plan = {r["record_id"]: r["revisit_of"] for r in marked.collect()}
+    assert plan["urn:uuid:cap-0"] is None
+    assert plan["urn:uuid:cap-1"] is None
+    assert plan["urn:uuid:cap-3"] is None          # different bytes -> original
+    assert plan["urn:uuid:cap-2"] == "urn:uuid:cap-0"
+    assert plan["urn:uuid:cap-4"] == "urn:uuid:cap-1"
+    assert plan["urn:uuid:cap-5"] == "urn:uuid:cap-0"
+
+    reread = C.warc_records(C.write_revisit_warc_files(marked), with_payload=True)
+    rows = {r["record_id"]: r for r in reread.collect()}
+    assert rows["urn:uuid:cap-5"]["warc_type"] == "revisit"
+    assert rows["urn:uuid:cap-5"]["content_length"] == 0
+    assert rows["urn:uuid:cap-5"]["refers_to"] == "urn:uuid:cap-0"
+    assert rows["urn:uuid:cap-5"]["profile"] == C.REVISIT_PROFILE
+    assert rows["urn:uuid:cap-0"]["warc_type"] == "response"
+    assert bytes(rows["urn:uuid:cap-0"]["payload"]) == b"AAA"
+    assert rows["urn:uuid:cap-3"]["warc_type"] == "response"
+    # dedup actually removed the duplicate bytes from the artifact
+    assert sum(1 for r in rows.values() if r["warc_type"] == "revisit") == 3
+
+    resolved = {r["record_id"]: r for r in C.resolve_revisits(reread).collect()}
+    assert set(resolved) == {"urn:uuid:cap-2", "urn:uuid:cap-4", "urn:uuid:cap-5"}
+    assert resolved["urn:uuid:cap-5"]["payload_md5"] == hashlib.md5(b"AAA").hexdigest()
+    assert resolved["urn:uuid:cap-4"]["payload_md5"] == hashlib.md5(b"BBB").hexdigest()
+    assert resolved["urn:uuid:cap-5"]["content_length"] == 3

@@ -1633,3 +1633,53 @@ def frontier_counts(spark, path: str) -> DataFrame:
         .groupBy("frontier_url")
         .agg(F.count("*").alias("n_refs"))
     )
+
+
+def anchor_text_index(
+    links: DataFrame,
+    *,
+    base_col: str = "page_url",
+    href_col: str = "href",
+    text_col: str = "anchor_text",
+    max_texts: int = 64,
+) -> DataFrame:
+    """Inbound anchor-text signal per TARGET page — the classic
+    relevance/spam feature (what other pages' link text calls a page
+    is a stronger description than the page's own words, and the field
+    Common Crawl's WAT ``Links`` records carry as ``text``): resolve
+    each href against its page URL, canonicalize, and aggregate the
+    distinct lowercased anchor texts plus the reference count per
+    target.  Empty anchors (image links, hrefless chrome) contribute
+    to the count but not the text list.
+
+    Pure Catalyst, skew-safe by construction: texts dedupe+count on
+    the (target, text) key first (map-side combined, so a hub page
+    with millions of identical 'home' anchors reduces before the
+    shuffle), then a row_number over the target caps the list at
+    ``max_texts`` BEFORE collect_list — no per-target array ever
+    materializes more than ``max_texts`` elements, so the operator
+    survives the inlink skew a real web graph has.  Returns
+    (target_url, n_refs, anchor_texts) with texts sorted."""
+    target = canonicalize_url(resolve_href(base_col, href_col))
+    t = F.lower(F.trim(F.col(text_col)))
+    counted = (
+        links.select(
+            target.alias("target_url"),
+            F.when(t != "", t).alias("t"),  # empty anchors count, contribute no text
+        )
+        .where(F.col("target_url").isNotNull())
+        .groupBy("target_url", "t")
+        .agg(F.count("*").alias("_n"))
+    )
+    w = Window.partitionBy("target_url").orderBy(F.col("t").asc_nulls_last())
+    keep_text = (F.col("_rk") <= int(max_texts)) & F.col("t").isNotNull()
+    return (
+        counted.withColumn("_rk", F.row_number().over(w))
+        .groupBy("target_url")
+        .agg(
+            F.sum("_n").cast("long").alias("n_refs"),
+            F.array_sort(
+                F.collect_list(F.when(keep_text, F.col("t")))
+            ).alias("anchor_texts"),
+        )
+    )

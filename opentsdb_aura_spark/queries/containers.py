@@ -1445,3 +1445,113 @@ def corpus_warc_revisit_resolve(spark, sf_dir):
     return resolve_revisits(warc_records(files)).select(
         "record_id", "target_uri", "refers_to", "payload_md5", "content_length"
     )
+
+
+@register(
+    "corpus_anchor_text_index",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+SELECT 'http://example.com' AS target_url, total AS n_refs, ['home'] AS anchor_texts FROM n
+UNION ALL SELECT 'http://example.com/about', total, ['about'] FROM n
+UNION ALL SELECT 'http://example.com/next', total, ['next page'] FROM n
+UNION ALL SELECT 'http://example.com/terms', total, ['terms'] FROM n
+UNION ALL SELECT 'http://example.com/privacy', total, ['privacy'] FROM n""",
+)
+def corpus_anchor_text_index(spark, sf_dir):
+    """Inbound anchor-text signal per target page — the classic
+    relevance/spam feature a host-ranking/quality pipeline mines from
+    the link graph (what OTHER pages' link text calls a page): pages →
+    links → href resolution → canonical target → per-target reference
+    count + deduped sorted anchor texts.  Every fixture page links the
+    same five chrome targets with fixed texts, so the oracle enumerates
+    all five rows closed-form — resolution, canonicalization, the
+    count, and the text normalization (lowercase/trim/dedupe/sort) are
+    all value-hashed.  Skew-safe shape: texts dedupe+count on
+    (target, text) map-side first; a row_number caps the list BEFORE
+    collect_list, so hub pages with millions of inlinks never
+    materialize unbounded arrays."""
+    from opentsdb_aura_spark.operators.containers import anchor_text_index
+    from opentsdb_aura_spark.operators.htmltext import html_links, synthesize_html
+
+    pages = synthesize_html(docs_raw(spark, sf_dir)).withColumn(
+        "page_url",
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id").cast("string")),
+    )
+    links = html_links(pages, keep_cols=("doc_id", "page_url"))
+    return anchor_text_index(links)
+
+
+@register(
+    "corpus_wat_anchor_links",
+    f"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+j AS (
+  SELECT doc_id,
+         '{{"url":"http://example.com/doc/' || doc_id
+           || '","status":'
+           || CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END
+           || ',"links":[{{"href":"/","text":"Home"}},{{"href":"/about","text":"About"}},'
+           || '{{"href":"/next","text":"next page"}},{{"href":"/privacy","text":"Privacy"}},'
+           || '{{"href":"/terms","text":"Terms"}}]}}' AS payload
+  FROM d)
+SELECT 'urn:uuid:wat-doc-' || doc_id AS record_id,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       CAST(length(payload) AS BIGINT) AS content_length,
+       md5(payload) AS payload_md5
+FROM j""",
+)
+def corpus_wat_anchor_links(spark, sf_dir):
+    """The TEXT-BEARING WAT links form — Common Crawl's WAT ``Links``
+    records carry the anchor's visible text next to each href (the
+    relevance/spam signal host rankings mine), so the metadata records
+    here pack links as (href, text) structs instead of bare hrefs:
+    crawl → HTTP split → link extraction (href + anchor text) →
+    sorted struct list per page → JSON → metadata records → re-parsed.
+    The oracle rebuilds each nested-JSON payload byte-for-byte (five
+    fixture anchors with their texts, struct field order = alias
+    order), so the anchor-text CAPTURE and the nested serialization
+    are hash-proven together.  Same one-shuffle plan as the bare-href
+    roundtrip — the text rides the same structs."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+        write_wat_files,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_links
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True, html_body=True
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        "record_id",
+        F.col("target_uri").alias("url"),
+        "status_code",
+        F.col("body").alias("html"),
+    )
+    meta = (
+        html_links(pages, keep_cols=("doc_id", "record_id", "url", "status_code"))
+        .groupBy("doc_id")
+        .agg(
+            F.first("record_id").alias("record_id"),
+            F.first("url").alias("url"),
+            F.first("status_code").alias("status"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("href"), F.col("anchor_text").alias("text"))
+                )
+            ).alias("links"),
+        )
+        .withColumn(
+            "file_id",
+            F.expr(f"CAST(doc_id DIV {_DPF} AS LONG)"),  # integer DIV: double division drifts above 2^53 ids
+        )
+    )
+    wat = write_wat_files(meta, meta_cols=("url", "status", "links"))
+    return (
+        warc_records(wat)
+        .where(F.col("warc_type") == "metadata")
+        .select("record_id", "target_uri", "content_length", "payload_md5")
+    )

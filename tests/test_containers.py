@@ -1093,3 +1093,24 @@ def test_warc_revisit_plan_write_read_resolve(spark):
     assert resolved["urn:uuid:cap-5"]["payload_md5"] == hashlib.md5(b"AAA").hexdigest()
     assert resolved["urn:uuid:cap-4"]["payload_md5"] == hashlib.md5(b"BBB").hexdigest()
     assert resolved["urn:uuid:cap-5"]["content_length"] == 3
+
+
+def test_anchor_text_index_cap_and_empty_anchors(spark):
+    """max_texts bounds the per-target list BEFORE collect (skew
+    safety); empty anchor texts count as references but contribute no
+    text; texts lowercase/trim/dedupe."""
+    rows = [
+        ("http://a.example/p1", "/hub", "Home "),
+        ("http://a.example/p2", "/hub", "home"),        # dedupes with above
+        ("http://a.example/p3", "/hub", "Products"),
+        ("http://a.example/p4", "/hub", "zeta"),
+        ("http://a.example/p5", "/hub", ""),            # counts, no text
+        ("http://a.example/p6", "/solo", "Only"),
+    ]
+    links = spark.createDataFrame(rows, "page_url string, href string, anchor_text string")
+    out = {r["target_url"]: r for r in
+           C.anchor_text_index(links, max_texts=2).collect()}
+    hub = out["http://a.example/hub"]
+    assert hub["n_refs"] == 5
+    assert hub["anchor_texts"] == ["home", "products"]  # capped at 2, sorted
+    assert out["http://a.example/solo"]["anchor_texts"] == ["only"]

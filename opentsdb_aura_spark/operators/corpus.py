@@ -870,3 +870,39 @@ def pagerank(
             .localCheckpoint()
         )
     return state.select("node", "rank")
+
+
+def frontier_priorities(
+    edges: DataFrame,
+    ranks: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+) -> DataFrame:
+    """Rank-weighted frontier scheduling — what the authority signal
+    is FOR: the priority of each candidate URL is the PageRank mass
+    its in-links would deliver (damping × Σ rank(src)/outdeg(src)
+    over referring pages — one power-iteration round restricted to
+    the candidates), alongside the raw reference count.  A scheduler
+    ordering by ``priority`` crawls pages endorsed by already-
+    authoritative pages first (the OPIC-family policy), where
+    ``n_refs`` alone lets link farms vote themselves up.
+
+    Pure Catalyst: out-degrees and contributions are the same
+    map-side-combined groupBy shapes as one :func:`pagerank` round —
+    one join of the edge list onto the O(nodes) rank state, one
+    shuffle on dst.  Returns (dst, priority, n_refs)."""
+    d = float(damping)
+    deg = edges.groupBy(F.col(src_col).alias("_s")).agg(F.count("*").alias("_outdeg"))
+    r = ranks.select(F.col("node").alias("_s"), F.col("rank").alias("_rank"))
+    return (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("dst"))
+        .join(r, "_s")
+        .join(deg, "_s")
+        .groupBy("dst")
+        .agg(
+            (F.lit(d) * F.sum(F.col("_rank") / F.col("_outdeg"))).alias("priority"),
+            F.count("*").alias("n_refs"),
+        )
+    )

@@ -1462,3 +1462,52 @@ def pipeline_pagerank(spark, sf_dir):
         edges = part if edges is None else edges.unionByName(part)
     pr = pagerank(edges, n_iter=3)
     return pr.select("node", _r("rank", 6).alias("rank"))
+
+
+@register(
+    "pipeline_frontier_rank",
+    f"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % cnt AS dst FROM documents, c
+  UNION ALL SELECT doc_id, (doc_id * 13 + 2) % cnt FROM documents, c
+  UNION ALL SELECT doc_id, (doc_id * 23 + 3) % cnt FROM documents, c),
+r0 AS (SELECT doc_id AS node, 1.0 / cnt AS rank FROM documents, c),
+i1 AS ({_PR_ROUND.format(prev="r0")}),
+i2 AS ({_PR_ROUND.format(prev="i1")}),
+i3 AS ({_PR_ROUND.format(prev="i2")})
+SELECT 'http://example.com/doc/' || e.dst AS frontier_url,
+       round(0.85 * sum(r.rank / 3), 6) AS priority,
+       CAST(count(*) AS BIGINT) AS n_refs
+FROM e JOIN i3 r ON e.src = r.node
+GROUP BY 1""",
+)
+def pipeline_frontier_rank(spark, sf_dir):
+    """The authority signal FED BACK into crawl scheduling — the
+    actual use of PageRank in a crawler: candidate priority = the rank
+    mass its in-links deliver (damping × Σ rank(src)/outdeg(src), one
+    power-iteration round restricted to the frontier), next to the raw
+    reference count a naive scheduler would use.  The oracle unrolls
+    the SAME three PageRank iterations in SQL over the closed-form
+    fixture graph and re-derives every candidate's priority and count,
+    so the rank computation AND the scheduling weighting are
+    value-hashed end-to-end.  Scale shape: one join of the edge list
+    onto O(nodes) rank state + one map-side-combined groupBy on dst —
+    exactly one more pagerank round, no new shuffle pattern."""
+    from opentsdb_aura_spark.operators.corpus import frontier_priorities, pagerank
+
+    d = docs_raw(spark, sf_dir).select("doc_id")
+    n = d.count()  # bounded scalar job: the node-space size
+    edges = None
+    for a, b in ((7, 1), (13, 2), (23, 3)):
+        part = d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    pr = pagerank(edges, n_iter=3)
+    out = frontier_priorities(edges, pr)
+    return out.select(
+        F.concat(F.lit("http://example.com/doc/"), F.col("dst").cast("long")).alias("frontier_url"),
+        _r("priority", 6).alias("priority"),
+        F.col("n_refs").cast("long").alias("n_refs"),
+    )

@@ -1,0 +1,84 @@
+"""PageRank + rank-weighted frontier at web-graph scale — the
+round-11 missing evidence: pipeline_pagerank is oracle-proven at
+fixture scale; this measures the SAME operator at millions of nodes
+and ASSERTS a planted authority structure (the planted-artifact
+pattern, not timing alone).
+
+Graph: n nodes; every node i has 4 out-edges — the three closed-form
+mod edges (7i+1, 13i+2, 23i+3) % n plus one planted edge to the hub
+node 0.  Out-degree is uniformly 4 and ranks always sum to 1, so the
+hub's rank has a tight analytic value: each round
+rank(0) = (1-d)/n + d*(Σ rank/4 + mod-edge extras) ≈ (1-d)/n + d/4,
+i.e. ~0.2125 at d=0.85 — asserted to 1e-3.  frontier_priorities over
+the same edges must then put the hub URL first by a wide margin.
+
+Usage: python tools/pagerank_scale_bench.py [n_nodes_million=2]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    n = int(float(sys.argv[1] if len(sys.argv) > 1 else 2) * 1_000_000)
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark import get_spark
+    from opentsdb_aura_spark.operators.corpus import frontier_priorities, pagerank
+
+    spark = get_spark("pagerank_scale_bench")
+    out: dict = {"metric": "pagerank_scale_bench", "unit": "sec", "n_nodes": n}
+
+    ids = spark.range(n, numPartitions=64).select(F.col("id").alias("src"))
+    edges = None
+    for a, b in ((7, 1), (13, 2), (23, 3)):
+        part = ids.select("src", F.pmod(F.col("src") * a + b, F.lit(n)).alias("dst"))
+        edges = part if edges is None else edges.unionByName(part)
+    edges = edges.unionByName(ids.select("src", F.lit(0).alias("dst")))  # planted hub
+    n_edges = 4 * n
+    out["n_edges"] = n_edges
+
+    t0 = time.perf_counter()
+    pr = pagerank(edges, n_iter=3).localCheckpoint()
+    total, r0 = (
+        pr.agg(
+            F.sum("rank").alias("t"),
+            F.max(F.when(F.col("node") == 0, F.col("rank"))).alias("r0"),
+        ).collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    out["pagerank_3iter_sec"] = round(dt, 2)
+    out["edges_per_iter_per_sec"] = int(n_edges * 3 / dt)
+
+    # planted-authority assertions: mass conserved; hub rank at its
+    # analytic value (every node sends rank/4 to the hub each round)
+    assert abs(total - 1.0) < 1e-6, total
+    assert abs(r0 - (0.15 / n + 0.85 / 4)) < 1e-3, r0
+    out["rank_sum"] = round(float(total), 9)
+    out["hub_rank"] = round(float(r0), 6)
+
+    # rank feedback into scheduling: the hub URL must lead the frontier
+    t0 = time.perf_counter()
+    prio = frontier_priorities(edges, pr).localCheckpoint()
+    top = prio.orderBy(F.col("priority").desc()).limit(2).collect()
+    out["frontier_rank_sec"] = round(time.perf_counter() - t0, 2)
+    assert top[0]["dst"] == 0, top
+    # hub priority has the same analytic value as its next-round rank
+    # mass (d * Σ rank/4 ≈ d/4); the runner-up is fed mostly by the
+    # hub's own out-edges (d * r0/4 ≈ 0.045) — assert both
+    assert abs(top[0]["priority"] - 0.85 / 4) < 1e-3, top
+    assert top[0]["priority"] > 4 * top[1]["priority"], top
+    out["hub_priority"] = round(float(top[0]["priority"]), 6)
+    out["hub_first"] = True
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

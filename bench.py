@@ -104,6 +104,12 @@ BENCH_QUERIES = [
     "ev_parent_children_rollup",
     "corpus_crawl_frontier",
     "corpus_wat_links_roundtrip",
+    # round 11 additions: revisit dedup, the anchor-text signal, and
+    # the rank-weighted frontier (PageRank + one scheduling round)
+    "corpus_warc_revisit_roundtrip",
+    "corpus_anchor_text_index",
+    "pipeline_pagerank",
+    "pipeline_frontier_rank",
 ]
 
 

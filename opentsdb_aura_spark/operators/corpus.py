@@ -812,6 +812,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list — the link-graph authority
     signal crawl pipelines rank hosts/pages by when prioritizing the
@@ -828,9 +829,23 @@ def pagerank(
     standard correction, applied via one 1-row aggregate per round).
     Returns (node, rank) with ranks summing to 1.
 
-    Semantics pinned by a full oracle (pipeline_pagerank) that unrolls
-    the same iterations in SQL over a closed-form fixture graph."""
+    ``weight_col`` generalizes to the WEIGHTED form (each node splits
+    its rank proportionally to edge weight instead of uniformly) —
+    the host-graph case, where the weight is the inter-host link
+    count after :func:`host_graph` projection.  Non-positive-weight
+    edges carry no mass (and a node with only such edges is dangling,
+    exactly as if the edges were absent).
+
+    Semantics pinned by full oracles (pipeline_pagerank,
+    pipeline_host_rank) that unroll the same iterations in SQL over
+    closed-form fixture graphs."""
     d = float(damping)
+    if weight_col is not None:
+        # non-positive weights carry no mass; dropping them up front
+        # makes "only zero-weight out-edges" dangle exactly like "no
+        # out-edges" (and keeps outdeg strictly positive below)
+        edges = edges.where(F.col(weight_col).cast("double") > 0)
+    w = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
@@ -840,15 +855,15 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = edges.groupBy(F.col(src_col).alias("node")).agg(F.count("*").alias("outdeg"))
+    deg = edges.groupBy(F.col(src_col).alias("node")).agg(F.sum(w).alias("outdeg"))
     state = nodes.join(deg, "node", "left").select(
-        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"), (F.lit(1.0) / n).alias("rank")
+        "node", F.coalesce("outdeg", F.lit(0.0)).alias("outdeg"), (F.lit(1.0) / n).alias("rank")
     ).localCheckpoint()
-    e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("dst"))
+    e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("dst"), w.alias("_w"))
     for _ in range(int(n_iter)):
         contrib = (
             e.join(state.where(F.col("outdeg") > 0), "node")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select("dst", (F.col("rank") * F.col("_w") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
@@ -870,6 +885,41 @@ def pagerank(
             .localCheckpoint()
         )
     return state.select("node", "rank")
+
+
+def host_graph(
+    edges: DataFrame,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    keep_self_loops: bool = False,
+) -> DataFrame:
+    """Project the page-level link graph onto the HOST graph — the
+    granularity the public Common Crawl rankings are computed at (a
+    page-level web graph has billions of nodes; the host graph has
+    tens of millions, and host-level authority is the signal curation
+    stacks weight corpora by).  Hosts lowercase with any port
+    stripped; URLs with no parseable host drop; intra-host self-loops
+    drop by default (they dominate raw link counts — chrome/nav — and
+    carry no cross-site endorsement).  Returns (src_host, dst_host,
+    n_links) — the weight :func:`pagerank` ``weight_col`` consumes.
+
+    One shuffle: the (src_host, dst_host) groupBy, map-side combined —
+    the projection REDUCES the graph before any iteration touches
+    it, which is why host rank at 100 TB is cheaper than page rank."""
+
+    def h(c: str):
+        host = F.lower(F.regexp_extract(F.col(c), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
+        return F.regexp_replace(host, r":\d+$", "")
+
+    g = edges.select(h(src_col).alias("src_host"), h(dst_col).alias("dst_host")).where(
+        (F.col("src_host") != "") & (F.col("dst_host") != "")
+    )
+    if not keep_self_loops:
+        g = g.where(F.col("src_host") != F.col("dst_host"))
+    return g.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("n_links")
+    )
 
 
 def frontier_priorities(

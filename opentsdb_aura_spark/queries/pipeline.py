@@ -1511,3 +1511,69 @@ def pipeline_frontier_rank(spark, sf_dir):
         _r("priority", 6).alias("priority"),
         F.col("n_refs").cast("long").alias("n_refs"),
     )
+
+
+# Weighted PageRank round over the fixture HOST graph: contributions
+# are rank * edge_weight / out_weight (proportional split), no
+# dangling term (every fixture host has cross-host out-edges).
+_HR_ROUND = """SELECT hn.host AS node,
+       0.15 / H.nh + 0.85 * coalesce(m.s, 0) AS rank
+FROM hn CROSS JOIN H
+LEFT JOIN (SELECT he.dh AS dst, sum(r.rank * he.w / o.ow) AS s
+           FROM he JOIN {prev} r ON he.sh = r.node
+           JOIN outw o ON he.sh = o.sh GROUP BY 1) m
+  ON hn.host = m.dst"""
+
+
+@register(
+    "pipeline_host_rank",
+    f"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % cnt AS dst FROM documents, c
+  UNION ALL SELECT doc_id, (doc_id * 13 + 2) % cnt FROM documents, c
+  UNION ALL SELECT doc_id, (doc_id * 23 + 3) % cnt FROM documents, c),
+he AS (
+  SELECT 'h' || (src % 4) || '.example' AS sh,
+         'h' || (dst % 4) || '.example' AS dh,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM e WHERE (src % 4) <> (dst % 4) GROUP BY 1, 2),
+hn AS (SELECT DISTINCT sh AS host FROM he UNION SELECT DISTINCT dh FROM he),
+H AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM hn),
+outw AS (SELECT sh, sum(w) AS ow FROM he GROUP BY 1),
+r0 AS (SELECT host AS node, 1.0 / nh AS rank FROM hn, H),
+i1 AS ({_HR_ROUND.format(prev="r0")}),
+i2 AS ({_HR_ROUND.format(prev="i1")}),
+i3 AS ({_HR_ROUND.format(prev="i2")})
+SELECT node, round(rank, 6) AS rank FROM i3""",
+)
+def pipeline_host_rank(spark, sf_dir):
+    """Host-level authority — the granularity the public Common Crawl
+    rankings are computed at: the page link graph PROJECTS onto the
+    host graph (lowercased hosts, self-loops dropped, inter-host link
+    counts as weights), then WEIGHTED PageRank splits each host's rank
+    proportionally to edge weight instead of uniformly.  The oracle
+    re-projects the closed-form fixture graph in SQL and unrolls the
+    same three weighted iterations, value-hashing every host's rank —
+    the projection, the weighting, AND the iteration are pinned
+    together.  Scale shape: the projection groupBy REDUCES the graph
+    (billions of pages → tens of millions of hosts) before any
+    iteration touches it; each round is then one groupBy + one join
+    over the small host state."""
+    from opentsdb_aura_spark.operators.corpus import host_graph, pagerank
+
+    d = docs_raw(spark, sf_dir).select("doc_id")
+    n = d.count()  # bounded scalar job: the node-space size
+    url = lambda c: F.concat(  # noqa: E731
+        F.lit("http://h"), F.pmod(F.col(c), F.lit(4)), F.lit(".example/doc/"), F.col(c).cast("string")
+    )
+    edges = None
+    for a, b in ((7, 1), (13, 2), (23, 3)):
+        part = d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    page_edges = edges.select(url("src").alias("src_url"), url("dst").alias("dst_url"))
+    hg = host_graph(page_edges)
+    pr = pagerank(hg, n_iter=3, src_col="src_host", dst_col="dst_host", weight_col="n_links")
+    return pr.select("node", _r("rank", 6).alias("rank"))

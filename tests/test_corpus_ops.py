@@ -489,3 +489,46 @@ def test_pagerank_dangling_and_conservation(spark):
     # empty edge list: empty result, no crash
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty, n_iter=2).count() == 0
+
+
+def test_pagerank_weighted_and_host_graph(spark):
+    """Weighted PageRank splits rank proportionally to edge weight
+    (hand-computed 3-node chain); zero-weight edges carry no mass and
+    a node left with only zero-weight out-edges dangles; host_graph
+    lowercases, strips ports, drops self-loops, counts links."""
+    from opentsdb_aura_spark.operators.corpus import host_graph, pagerank
+
+    # a -> b (w=3), a -> c (w=1): after 1 iteration from uniform 1/3,
+    # b = 0.15/3 + 0.85*( (1/3)*(3/4) + dangling (b,c mass=2/3)/3 )
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0)], "src string, dst string, w double"
+    )
+    out = {r["node"]: r["rank"]
+           for r in pagerank(edges, n_iter=1, weight_col="w").collect()}
+    dang = (2 / 3) / 3  # b and c have no out-edges; their mass spreads
+    assert abs(out["b"] - (0.05 + 0.85 * ((1 / 3) * 0.75 + dang))) < 1e-12
+    assert abs(out["c"] - (0.05 + 0.85 * ((1 / 3) * 0.25 + dang))) < 1e-12
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+    # zero-weight edge == absent edge: src of ONLY zero-weight edges dangles
+    z = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 0.0)], "src string, dst string, w double"
+    )
+    wz = {r["node"]: r["rank"] for r in pagerank(z, n_iter=3, weight_col="w").collect()}
+    nz = {r["node"]: r["rank"] for r in pagerank(
+        spark.createDataFrame([("a", "b")], "src string, dst string"), n_iter=3
+    ).collect()}
+    assert wz == nz
+
+    hg = {(r["src_host"], r["dst_host"]): r["n_links"] for r in host_graph(
+        spark.createDataFrame(
+            [
+                ("http://A.example/p1", "http://b.example:8080/x"),
+                ("http://a.example/p2", "HTTP://B.EXAMPLE/y"),
+                ("http://a.example/p3", "http://a.example/p4"),  # self-loop drops
+                ("relative/no-host", "http://b.example/z"),      # no src host drops
+            ],
+            "src_url string, dst_url string",
+        )
+    ).collect()}
+    assert hg == {("a.example", "b.example"): 2}

@@ -51,9 +51,13 @@ def encode_robots_txt(host_idx: int) -> str:
             "User-agent: aura-bot\n"
             "Disallow: /private/\n"
             "Allow: /private/public/\n"
+            "Crawl-delay: 2\n"
             "\n"
         )
-    parts.append("User-agent: *\nDisallow: /tmp/\nAllow: /\n")
+    parts.append(
+        "User-agent: *\nDisallow: /tmp/\nAllow: /\n"
+        "Crawl-delay: %d\n" % (1 + host_idx % 5)
+    )
     return "# fixture robots for h%d.example\n" % host_idx + "".join(parts)
 
 
@@ -329,4 +333,138 @@ def parse_sitemap_files(files: DataFrame) -> DataFrame:
 
     return files.mapInPandas(
         op, schema="host string, kind string, loc string, lastmod string"
+    )
+
+
+# ------------------------------------------------------ crawl-delay scheduling
+
+# Crawl-delay is not an RFC 9309 rule (the spec's parsers must
+# tolerate-and-skip it, and parse_robots_txt does) but it IS the
+# de-facto politeness knob a large share of real robots.txt files
+# carry: the minimum seconds between successive fetches from one
+# host.  A polite scheduler turns "frontier + per-host delay" into
+# per-URL fetch timestamps — the last step between ranking and
+# actually issuing requests.
+
+
+def parse_crawl_delays(content: str) -> list:
+    """Extract (agent, crawl_delay) pairs from one robots.txt using
+    the SAME group structure as :func:`parse_robots_txt` (consecutive
+    User-agent lines share the directive; group exclusivity applies at
+    resolution).  Non-numeric or negative values are ignored (the
+    tolerant treatment — a junk delay must not stall a host forever);
+    repeated delays in one group keep the last."""
+    out: dict[str, float] = {}
+    current_agents: list[str] = []
+    last_was_agent = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                current_agents = []
+            current_agents.append(val.lower())
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if key == "crawl-delay" and current_agents:
+            try:
+                delay = float(val)
+            except ValueError:
+                continue
+            if delay < 0:
+                continue
+            for agent in current_agents:
+                out[agent] = delay
+    return sorted(out.items())
+
+
+def parse_crawl_delay_files(files: DataFrame) -> DataFrame:
+    """1→many Arrow pass over (host, content) robots files → one
+    (host, agent, crawl_delay) row per group that declares a delay —
+    the per-host politeness dim next to the rules dim."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf["host"], pdf["content"]):
+                if content is None:
+                    continue
+                for agent, delay in parse_crawl_delays(str(content)):
+                    rows.append((host, agent, delay))
+            yield pd.DataFrame(rows, columns=["host", "agent", "crawl_delay"])
+
+    return files.mapInPandas(op, schema="host string, agent string, crawl_delay double")
+
+
+def crawl_delay_for(delays: DataFrame, *, agent: str = "aura-bot") -> DataFrame:
+    """Resolve the per-host delay for one crawler: the agent's OWN
+    group wins over ``*`` (the same group-exclusivity rule as path
+    rules; product-token matching, case-insensitive).  Returns
+    (host, crawl_delay) — one row per host that declares any delay;
+    hosts with none are absent (callers left-join and apply their
+    default).  Pure Catalyst: one max_by groupBy over the tiny dim."""
+    a = str(agent).lower().split("/", 1)[0].strip()
+    mine = delays.where(F.lower(F.col("agent")).isin(a, "*"))
+    pref = (F.lower(F.col("agent")) == a).cast("int")
+    return mine.groupBy("host").agg(
+        F.max_by(F.col("crawl_delay"), pref).alias("crawl_delay")
+    )
+
+
+def schedule_fetches(
+    frontier: DataFrame,
+    delays: DataFrame,
+    *,
+    url_col: str = "frontier_url",
+    priority_col: str | None = None,
+    default_delay: float = 1.0,
+    t0: int = 0,
+) -> DataFrame:
+    """Turn a ranked frontier into per-URL FETCH TIMESTAMPS honoring
+    each host's crawl delay: URLs group by host, order by priority
+    (descending, NULLs last; URL as the deterministic tiebreak), and
+    slot k fetches at ``t0 + (k-1) * delay`` — the earliest schedule
+    that never violates the host's minimum spacing while serving
+    higher-priority pages first.  ``delays`` is
+    :func:`crawl_delay_for` output; hosts without a declared delay
+    use ``default_delay``.
+
+    Scale shape: ONE window partitioned by host (the same key the
+    politeness join already shuffles on — a real frontier is already
+    host-bucketed at rest) + one broadcast-or-AQE join of the
+    O(hosts) delay dim.  No global sort: the schedule is per-host by
+    construction, which is exactly how fetcher fleets shard.  Returns
+    (frontier_url, host, slot, scheduled_ts)."""
+    from pyspark.sql.window import Window
+
+    u = F.col(url_col)
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1), r":\d+$", ""
+        )
+    )
+    base = frontier.withColumn("host", host).where(F.col("host") != "")
+    order = (
+        [F.col(priority_col).desc_nulls_last(), u.asc()]
+        if priority_col is not None
+        else [u.asc()]
+    )
+    w = Window.partitionBy("host").orderBy(*order)
+    joined = base.join(F.broadcast(delays), "host", "left")
+    slot = F.row_number().over(w)
+    return joined.select(
+        u.alias("frontier_url"),
+        "host",
+        slot.alias("slot"),
+        (
+            F.lit(float(t0))
+            + (slot - 1) * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+        ).alias("scheduled_ts"),
     )

@@ -1555,3 +1555,76 @@ def corpus_wat_anchor_links(spark, sf_dir):
         .where(F.col("warc_type") == "metadata")
         .select("record_id", "target_uri", "content_length", "payload_md5")
     )
+
+
+@register(
+    "corpus_crawl_delays",
+    """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
+h AS (SELECT k, 'h' || k || '.example' AS host FROM k)
+SELECT host, 'aura-bot' AS agent, CAST(2 AS DOUBLE) AS crawl_delay FROM h WHERE k % 2 = 0
+UNION ALL SELECT host, '*', CAST(1 + k % 5 AS DOUBLE) FROM h""",
+)
+def corpus_crawl_delays(spark, sf_dir):
+    """Crawl-delay extraction — the de-facto politeness knob real
+    robots.txt files carry next to the RFC 9309 rules (minimum seconds
+    between fetches from one host): the fixture files parse to one
+    (host, agent, crawl_delay) row per declaring group, every value
+    recomputed closed-form by the oracle (even hosts declare 2 s in
+    their aura-bot group; every host's catch-all declares 1+k%5 s).
+    Same group structure as the rules parser; junk/negative values
+    are tolerated-and-skipped (unit-tested)."""
+    from opentsdb_aura_spark.operators.robots import (
+        parse_crawl_delay_files,
+        synthesize_robots,
+    )
+
+    hosts = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example")).alias("host")
+    ).distinct()
+    return parse_crawl_delay_files(synthesize_robots(hosts))
+
+
+@register(
+    "corpus_fetch_schedule",
+    """WITH d AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k,
+                       CAST(doc_id % 5 AS BIGINT) AS p FROM documents)
+SELECT 'http://h' || k || '.example/s/' || p AS frontier_url,
+       'h' || k || '.example' AS host,
+       CAST(p + 1 AS INTEGER) AS slot,
+       round(p * (CASE WHEN k % 2 = 0 THEN 2.0 ELSE 1.0 + (k % 5) END), 6) AS scheduled_ts
+FROM d""",
+)
+def corpus_fetch_schedule(spark, sf_dir):
+    """The last politeness step between ranking and issuing requests:
+    the frontier becomes per-URL FETCH TIMESTAMPS — URLs slot per host
+    in deterministic order and slot k fetches at (k-1) x the host's
+    resolved crawl delay (the agent's own group winning over '*', the
+    same exclusivity rule as path rules).  The oracle recomputes every
+    slot and timestamp closed-form: h0/h2 space at their aura-bot 2 s,
+    h1 at its catch-all 2 s, h3 at its catch-all 4 s — a wrong group
+    pick or an off-by-one slot breaks the hash.  Scale shape: ONE
+    window on the host key the frontier is already bucketed by + a
+    broadcast join of the O(hosts) delay dim; no global sort (fetcher
+    fleets shard by host)."""
+    from opentsdb_aura_spark.operators.robots import (
+        crawl_delay_for,
+        parse_crawl_delay_files,
+        schedule_fetches,
+        synthesize_robots,
+    )
+
+    d = docs_raw(spark, sf_dir).select(
+        (F.col("doc_id") % 4).cast("long").alias("k"),
+        (F.col("doc_id") % 5).cast("long").alias("p"),
+    ).distinct()
+    frontier = d.select(
+        F.concat(
+            F.lit("http://h"), F.col("k"), F.lit(".example/s/"), F.col("p")
+        ).alias("frontier_url")
+    )
+    hosts = d.select(F.concat(F.lit("h"), F.col("k"), F.lit(".example")).alias("host")).distinct()
+    delays = crawl_delay_for(parse_crawl_delay_files(synthesize_robots(hosts)), agent="aura-bot")
+    out = schedule_fetches(frontier, delays)
+    return out.select(
+        "frontier_url", "host", "slot", _r("scheduled_ts", 6).alias("scheduled_ts")
+    )

@@ -160,3 +160,46 @@ def test_sitemap_files_null_content_skipped(spark):
     )
     rows = parse_sitemap_files(files).collect()
     assert len(rows) == 1 and rows[0]["host"] == "g.example" and rows[0]["kind"] == "url"
+
+
+def test_crawl_delay_parse_resolve_schedule(spark):
+    """Crawl-delay tolerance + group resolution + slot spacing:
+    junk/negative values skip, last-in-group wins, named group beats
+    '*' (product-token match), priority orders slots, hosts without a
+    delay use the default."""
+    from opentsdb_aura_spark.operators.robots import (
+        crawl_delay_for,
+        parse_crawl_delays,
+        schedule_fetches,
+    )
+
+    txt = (
+        "User-agent: aura-bot\nCrawl-delay: nonsense\nCrawl-delay: 2.5\n\n"
+        "User-agent: *\nCrawl-delay: -3\nCrawl-delay: 1\nCrawl-delay: 10\n"
+    )
+    assert parse_crawl_delays(txt) == [("*", 10.0), ("aura-bot", 2.5)]
+    assert parse_crawl_delays("Crawl-delay: 5\n") == []  # before any UA: invalid
+
+    delays = spark.createDataFrame(
+        [("a.example", "aura-bot", 2.5), ("a.example", "*", 10.0),
+         ("b.example", "*", 3.0)],
+        "host string, agent string, crawl_delay double",
+    )
+    got = {r["host"]: r["crawl_delay"]
+           for r in crawl_delay_for(delays, agent="Aura-Bot/1.0").collect()}
+    assert got == {"a.example": 2.5, "b.example": 3.0}
+
+    frontier = spark.createDataFrame(
+        [("http://a.example/low", 1.0), ("http://a.example/high", 9.0),
+         ("http://c.example/x", None)],
+        "frontier_url string, prio double",
+    )
+    sched = {r["frontier_url"]: (r["slot"], r["scheduled_ts"])
+             for r in schedule_fetches(
+                 frontier,
+                 crawl_delay_for(delays, agent="aura-bot"),
+                 priority_col="prio", default_delay=7.0, t0=100,
+             ).collect()}
+    assert sched["http://a.example/high"] == (1, 100.0)
+    assert sched["http://a.example/low"] == (2, 102.5)   # spaced by a's 2.5 s
+    assert sched["http://c.example/x"] == (1, 100.0)     # no delay row: default

@@ -1234,6 +1234,35 @@ def canonicalize_url(url):
     return F.regexp_replace(out, r"/$", "")  # trailing slash
 
 
+def surt_key(url):
+    """SURT (Sort-friendly URI Reordering Transform) form of a URL —
+    the urlkey REAL Common Crawl CDX indexes sort by: the canonical
+    host reversed at its dots and comma-joined, ``)`` separator, then
+    the path, e.g. ``http://www.news.example.com/a/b`` →
+    ``com,example,news)/a/b``.  Reversing the host groups every
+    capture of a registrable domain (and all its subdomains) into one
+    contiguous key range, so a domain lookup on a sorted CDX is a
+    range scan instead of a scatter — the property the transform
+    exists for.  Composed on :func:`canonicalize_url` (lowercase,
+    query/fragment/default-port/trailing-slash stripped); a leading
+    ``www.`` label drops (the standard CDX normalization); a
+    non-default port survives on the reversed host
+    (``com,example:8080)``); URLs with no parseable host → NULL.
+    Pure Catalyst."""
+    u = canonicalize_url(url)
+    hostport = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":\d+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r"(:\d+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.when(
+        hostport != "", F.concat(rev, port, F.lit(")"), path)
+    )
+
+
 def url_duplicates(
     records: DataFrame, *, url_col: str = "target_uri", id_col: str = "record_id"
 ) -> DataFrame:
@@ -1385,7 +1414,9 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
 # ------------------------------------------------------------- CDX capture index
 
 
-def cdx_index(records: DataFrame, *, skip_errors: bool = False) -> DataFrame:
+def cdx_index(
+    records: DataFrame, *, skip_errors: bool = False, urlkey: str = "canonical"
+) -> DataFrame:
     """CDX(J)-style capture index over WARC response records — the
     third Common Crawl artifact (WARC/WET/CDX): one line per capture
     with the fields a replay/lookup service needs to seek straight to
@@ -1402,8 +1433,14 @@ def cdx_index(records: DataFrame, *, skip_errors: bool = False) -> DataFrame:
     urlkey/timestamp derivations are pure Catalyst.  Input is
     :func:`warc_records` output ``with_payload=True``.
 
+    ``urlkey='surt'`` keys lines by the :func:`surt_key` form instead
+    of the plain canonical URL — what production CDX collections sort
+    by (domain lookups become contiguous range scans).
+
     Extension surface: the reference has no crawl path; this
     completes the WARC (source) / WET (sink) / CDX (index) triple."""
+    if urlkey not in ("canonical", "surt"):
+        raise ValueError(f"cdx_index: unknown urlkey form {urlkey!r}")
     resp = http_responses(
         records, skip_errors=skip_errors,
         extra_cols=("offset", "record_length", "warc_date"),
@@ -1421,7 +1458,9 @@ def cdx_index(records: DataFrame, *, skip_errors: bool = False) -> DataFrame:
         & F.col("warc_date").isNotNull()
     )
     return resp.select(
-        canonicalize_url("target_uri").alias("urlkey"),
+        (
+            surt_key("target_uri") if urlkey == "surt" else canonicalize_url("target_uri")
+        ).alias("urlkey"),
         F.regexp_replace(F.col("warc_date"), "[^0-9]", "").alias("cdx_ts"),
         F.col("target_uri").alias("url"),
         F.col("content_type").alias("mime"),
@@ -1431,6 +1470,10 @@ def cdx_index(records: DataFrame, *, skip_errors: bool = False) -> DataFrame:
         F.col("record_length").alias("length"),
         F.col("file_id"),
         F.col("record_id"),
+    ).where(
+        # a hostless target URI yields a NULL surt urlkey — route it to
+        # the errors path like the other line-shifting nulls above
+        F.col("urlkey").isNotNull()
     )
 
 

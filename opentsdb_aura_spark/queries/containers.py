@@ -1628,3 +1628,34 @@ def corpus_fetch_schedule(spark, sf_dir):
     return out.select(
         "frontier_url", "host", "slot", _r("scheduled_ts", 6).alias("scheduled_ts")
     )
+
+
+@register(
+    "corpus_cdx_surt_index",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents)
+SELECT 'com,example)/doc/' || doc_id AS urlkey,
+       'http://example.com/doc/' || doc_id AS url,
+       'urn:uuid:doc-' || doc_id AS record_id,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+       md5(text) AS digest
+FROM d""",
+)
+def corpus_cdx_surt_index(spark, sf_dir):
+    """SURT-keyed CDX — the urlkey form REAL Common Crawl indexes
+    sort by (host reversed at its dots: ``com,example)/doc/N``), so a
+    domain lookup on the sorted index is one contiguous range scan
+    instead of a scatter.  Same one-pass capture index as
+    corpus_cdx_index with ``urlkey='surt'``; the oracle re-derives
+    every SURT key, status, and decoded-payload digest closed-form,
+    so the transform (reversal, www/port/default-port handling
+    unit-tested on edge hosts) is value-hashed on the real artifact
+    path."""
+    from opentsdb_aura_spark.operators.containers import (
+        cdx_index,
+        synthesize_warc,
+        warc_records,
+    )
+
+    files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True)
+    idx = cdx_index(warc_records(files, with_payload=True), urlkey="surt")
+    return idx.select("urlkey", "url", "record_id", "status", "digest")

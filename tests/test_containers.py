@@ -1114,3 +1114,19 @@ def test_anchor_text_index_cap_and_empty_anchors(spark):
     assert hub["n_refs"] == 5
     assert hub["anchor_texts"] == ["home", "products"]  # capped at 2, sorted
     assert out["http://a.example/solo"]["anchor_texts"] == ["only"]
+
+
+def test_surt_key_edges(spark):
+    """SURT transform edge cases: subdomain reversal, www-strip,
+    non-default port kept on the reversed host, default port dropped,
+    query/fragment stripped by canonicalization, hostless -> NULL."""
+    rows = [
+        ("http://www.news.example.com/a/b?q=1#f", "com,example,news)/a/b"),
+        ("HTTPS://Sub.Example.COM:8443/X", "com,example,sub:8443)/X"),
+        ("http://example.com:80/", "com,example)/"),
+        ("http://example.com", "com,example)/"),
+        ("not-a-url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r[0] for r in df.select(C.surt_key("url")).collect()]
+    assert got == [want for _, want in rows]

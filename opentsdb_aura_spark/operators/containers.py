@@ -1550,6 +1550,62 @@ def parse_cdx_files(files: DataFrame) -> DataFrame:
     )
 
 
+def recrawl_schedule(
+    captures: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "capture_ts",
+    digest_col: str = "digest",
+    base_interval: float = 86400.0,
+    max_doublings: int = 5,
+) -> DataFrame:
+    """Adaptive revisit policy over capture HISTORY — the classic CDX
+    consumer: pages that keep changing get refetched at the base
+    interval; pages observed unchanged back off exponentially (the
+    Heritrix wait-doubling family; Cho & Garcia-Molina's result that
+    uniform revisit wastes most fetches on static pages).  Per URL,
+    over its (ts, digest) capture sequence: ``n_captures``,
+    ``n_changes`` (digest transitions between CONSECUTIVE captures),
+    ``change_rate`` (= changes / observed intervals; NULL with one
+    capture), ``streak`` (captures since the last change — the whole
+    history when nothing ever changed), and ``next_fetch_ts`` =
+    last capture + base_interval × 2^min(streak, max_doublings).
+
+    One window + one groupBy on the SAME url key (no second shuffle
+    after the window's); the capture index at 100 TB is already
+    url-sorted at rest, which is exactly the order the lag needs."""
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col).asc(), F.col(digest_col))
+    prev = F.lag(F.col(digest_col)).over(w)
+    changed = (prev.isNotNull() & (F.col(digest_col) != prev)).cast("int")
+    rn = F.row_number().over(w)
+    marked = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        changed.alias("_chg"),
+        rn.alias("_rn"),
+    )
+    agg = marked.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+        F.max(F.when(F.col("_chg") == 1, F.col("_rn"))).alias("_last_chg_rn"),
+        F.max("_ts").alias("_last_ts"),
+    )
+    n = F.col("n_captures")
+    streak = F.coalesce(n - F.col("_last_chg_rn"), n - 1).cast("long")
+    intervals = F.when(n > 1, (n - 1).cast("double"))
+    next_iv = F.lit(float(base_interval)) * F.pow(
+        F.lit(2.0), F.least(streak, F.lit(int(max_doublings))).cast("double")
+    )
+    return agg.select(
+        "url",
+        "n_captures",
+        "n_changes",
+        (F.col("n_changes") / intervals).alias("change_rate"),
+        streak.alias("streak"),
+        (F.col("_last_ts") + next_iv).alias("next_fetch_ts"),
+    )
+
+
 # --------------------------------------------------------------- WAT metadata
 
 

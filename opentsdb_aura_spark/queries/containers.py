@@ -1659,3 +1659,57 @@ def corpus_cdx_surt_index(spark, sf_dir):
     files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True)
     idx = cdx_index(warc_records(files, with_payload=True), urlkey="surt")
     return idx.select("urlkey", "url", "record_id", "status", "digest")
+
+
+@register(
+    "corpus_recrawl_schedule",
+    """WITH caps AS (
+  SELECT 'http://example.com/page/' || (doc_id % 100) AS url,
+         CAST(1704067200 + (doc_id // 100) * 86400 AS DOUBLE) AS ts,
+         md5('http://example.com/page/' || (doc_id % 100) || ':' || ((doc_id // 100) // 3)) AS digest
+  FROM documents),
+m AS (SELECT url, ts,
+        CASE WHEN lag(digest) OVER w IS NOT NULL AND digest <> lag(digest) OVER w
+             THEN 1 ELSE 0 END AS chg,
+        row_number() OVER w AS rn
+      FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts, digest)),
+a AS (SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
+             CAST(sum(chg) AS BIGINT) AS n_changes,
+             max(CASE WHEN chg = 1 THEN rn END) AS lcr, max(ts) AS last_ts
+      FROM m GROUP BY 1)
+SELECT url, n_captures, n_changes,
+       round(CASE WHEN n_captures > 1
+                  THEN n_changes / CAST(n_captures - 1 AS DOUBLE) END, 6) AS change_rate,
+       CAST(coalesce(n_captures - lcr, n_captures - 1) AS BIGINT) AS streak,
+       round(last_ts + 86400.0 * power(2, least(coalesce(n_captures - lcr, n_captures - 1), 5)), 6) AS next_fetch_ts
+FROM a""",
+)
+def corpus_recrawl_schedule(spark, sf_dir):
+    """Adaptive revisit policy over capture history — the classic CDX
+    consumer (Cho & Garcia-Molina: uniform revisit wastes most fetches
+    on static pages; Heritrix doubles the wait while content is
+    unchanged and resets on change): per URL, digest transitions
+    between consecutive captures give the change rate and the
+    unchanged STREAK, and the next fetch backs off base x 2^streak
+    (capped).  The fixture gives every URL a deterministic capture
+    sequence whose content version changes every 3rd capture, and the
+    oracle re-runs the identical lag/aggregate policy in SQL — counts,
+    rates, streaks, and every scheduled timestamp value-hashed.  One
+    window + one groupBy on the url key the capture index is already
+    sorted by at rest."""
+    from opentsdb_aura_spark.operators.containers import recrawl_schedule
+
+    i = F.expr("CAST(doc_id DIV 100 AS LONG)")  # integer DIV: double division drifts above 2^53 ids
+    url = F.concat(F.lit("http://example.com/page/"), (F.col("doc_id") % 100).cast("long"))
+    caps = docs_raw(spark, sf_dir).select(
+        url.alias("url"),
+        (F.lit(1704067200) + i * 86400).cast("double").alias("capture_ts"),
+        F.md5(F.concat(url, F.lit(":"), F.expr("CAST(doc_id DIV 100 DIV 3 AS STRING)"))).alias("digest"),
+    )
+    out = recrawl_schedule(caps)
+    return out.select(
+        "url", "n_captures", "n_changes",
+        _r("change_rate", 6).alias("change_rate"),
+        "streak",
+        _r("next_fetch_ts", 6).alias("next_fetch_ts"),
+    )

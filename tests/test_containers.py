@@ -1130,3 +1130,25 @@ def test_surt_key_edges(spark):
     df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
     got = [r[0] for r in df.select(C.surt_key("url")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_recrawl_schedule_edges(spark):
+    """Single capture -> streak 0 / NULL rate / base interval;
+    every-capture change -> streak 0, rate 1; never-changing -> streak
+    = n-1 with the doubling CAPPED at max_doublings."""
+    rows = (
+        [("one", 100.0, "a")]
+        + [("hot", 100.0 * i, f"v{i}") for i in range(1, 5)]      # changes every time
+        + [("cold", 100.0 * i, "same") for i in range(1, 9)]       # never changes
+    )
+    caps = spark.createDataFrame(rows, "url string, capture_ts double, digest string")
+    out = {r["url"]: r for r in C.recrawl_schedule(
+        caps, base_interval=10.0, max_doublings=3
+    ).collect()}
+    assert out["one"]["streak"] == 0 and out["one"]["change_rate"] is None
+    assert out["one"]["next_fetch_ts"] == 110.0                    # base * 2^0
+    assert out["hot"]["n_changes"] == 3 and out["hot"]["change_rate"] == 1.0
+    assert out["hot"]["streak"] == 0
+    assert out["hot"]["next_fetch_ts"] == 410.0
+    assert out["cold"]["n_changes"] == 0 and out["cold"]["streak"] == 7
+    assert out["cold"]["next_fetch_ts"] == 800.0 + 10.0 * 8        # capped at 2^3

@@ -438,10 +438,13 @@ def schedule_fetches(
 
     Scale shape: ONE window partitioned by host (the same key the
     politeness join already shuffles on — a real frontier is already
-    host-bucketed at rest) + one broadcast-or-AQE join of the
-    O(hosts) delay dim.  No global sort: the schedule is per-host by
-    construction, which is exactly how fetcher fleets shard.  Returns
-    (frontier_url, host, slot, scheduled_ts)."""
+    host-bucketed at rest) + one host-equi join of the O(hosts) delay
+    dim, left to AQE to size (at tens of millions of hosts the dim
+    must be ALLOWED to shuffle — forcing a broadcast here is the
+    anti-pattern the robots rules join already fixed).  No global
+    sort: the schedule is per-host by construction, which is exactly
+    how fetcher fleets shard.  Returns (frontier_url, host, slot,
+    scheduled_ts)."""
     from pyspark.sql.window import Window
 
     u = F.col(url_col)
@@ -457,7 +460,7 @@ def schedule_fetches(
         else [u.asc()]
     )
     w = Window.partitionBy("host").orderBy(*order)
-    joined = base.join(F.broadcast(delays), "host", "left")
+    joined = base.join(delays, "host", "left")
     slot = F.row_number().over(w)
     return joined.select(
         u.alias("frontier_url"),

@@ -121,6 +121,35 @@ def main() -> None:
     out["politeness_rerun_sec"] = round(time.perf_counter() - t0, 2)
     assert n2 == 5 * n_hosts, n2  # every planted /tmp/ URL rejected
     out["planted_disallowed_rejected"] = True
+
+    # round-11 stage: crawl-delay fetch scheduling over the surviving
+    # frontier — per-host slots spaced by each host's resolved delay
+    # (even hosts declare 2 s in their aura-bot group; odd hosts fall
+    # back to their '*' group's 1 + k%5 s), priority = reference count
+    from opentsdb_aura_spark.operators.robots import (
+        crawl_delay_for,
+        parse_crawl_delay_files,
+        schedule_fetches,
+    )
+
+    t0 = time.perf_counter()
+    delays = crawl_delay_for(
+        parse_crawl_delay_files(synthesize_robots(hosts)), agent="aura-bot"
+    )
+    sched = schedule_fetches(frontier, delays, priority_col="n_refs").localCheckpoint()
+    n_sched = sched.count()
+    out["schedule_sec"] = round(time.perf_counter() - t0, 2)
+    assert n_sched == n_frontier, n_sched
+    # planted spacing: equal priorities tiebreak by URL, so host h2's
+    # 5 slots run 0,2,4,6,8 s (its aura-bot delay 2) and h3's run
+    # 0,4,8,12,16 s (its '*' delay 1 + 3%5 = 4)
+    probe = {
+        (r["host"], r["slot"]): r["scheduled_ts"]
+        for r in sched.where(F.col("host").isin("h2.example", "h3.example")).collect()
+    }
+    assert [probe[("h2.example", s)] for s in range(1, 6)] == [0.0, 2.0, 4.0, 6.0, 8.0]
+    assert [probe[("h3.example", s)] for s in range(1, 6)] == [0.0, 4.0, 8.0, 12.0, 16.0]
+    out["schedule_spacing_exact"] = True
     print(json.dumps(out))
 
 

@@ -1483,19 +1483,17 @@ CDX_LINE_SCHEMA = (
 )
 
 
-def write_cdx_files(cdx: DataFrame) -> DataFrame:
-    """Pack a :func:`cdx_index` frame into CDXJ text files — one
-    ``(file_id, content)`` row per WARC file, lines sorted by
-    (urlkey, offset) as CDX consumers expect: ``urlkey timestamp
-    {json}``.  Pure Catalyst (to_json + array_sort + array_join), one
-    shuffle on file_id; the sink twin of :func:`write_wet_files`."""
-    # the line format is space-delimited: a space INSIDE a urlkey would
-    # shift the fields on re-parse, so percent-encode it ('%' first so
-    # the encoding is invertible); parse_cdx_files decodes in reverse
+def _cdx_line_expr():
+    """One CDXJ line (``urlkey timestamp {json}``) as a Column over a
+    :func:`cdx_index` row — shared by the per-WARC-file sink and the
+    ZipNum block writer so both artifacts carry byte-identical lines.
+    The line format is space-delimited: a space INSIDE a urlkey would
+    shift the fields on re-parse, so percent-encode it ('%' first so
+    the encoding is invertible); parse_cdx_files decodes in reverse."""
     urlkey_enc = F.regexp_replace(
         F.regexp_replace(F.col("urlkey"), "%", "%25"), " ", "%20"
     )
-    line = F.concat_ws(
+    return F.concat_ws(
         " ",
         urlkey_enc,
         F.col("cdx_ts"),
@@ -1503,6 +1501,15 @@ def write_cdx_files(cdx: DataFrame) -> DataFrame:
             F.struct("url", "mime", "status", "digest", "offset", "length", "record_id")
         ),
     )
+
+
+def write_cdx_files(cdx: DataFrame) -> DataFrame:
+    """Pack a :func:`cdx_index` frame into CDXJ text files — one
+    ``(file_id, content)`` row per WARC file, lines sorted by
+    (urlkey, offset) as CDX consumers expect: ``urlkey timestamp
+    {json}``.  Pure Catalyst (to_json + array_sort + array_join), one
+    shuffle on file_id; the sink twin of :func:`write_wet_files`."""
+    line = _cdx_line_expr()
     rows = cdx.select("file_id", F.col("urlkey"), F.col("offset"), line.alias("line"))
     return (
         rows.groupBy("file_id")
@@ -1547,6 +1554,164 @@ def parse_cdx_files(files: DataFrame) -> DataFrame:
     return parsed.select(
         "urlkey", "cdx_ts", "j.url", "j.mime", "j.status", "j.digest",
         "j.offset", "j.length", "file_id", "j.record_id",
+    )
+
+
+# ------------------------------------------------------------- ZipNum CDX
+
+ZIPNUM_BLOCK_SCHEMA = (
+    "shard_id long, block_idx long, first_urlkey string, first_ts string, "
+    "offset long, length long, n_lines int, content binary"
+)
+
+
+def write_zipnum_cdx(
+    cdx: DataFrame, *, shard_col: str = "file_id", lines_per_block: int = 64
+) -> DataFrame:
+    """ZipNum-style sharded CDX — how production CDX collections stay
+    seekable at billions of captures: lines sort within each shard,
+    chunk into fixed-size blocks, each block gzips INDEPENDENTLY, and
+    a tiny secondary index (one row per block: first urlkey, byte
+    offset, compressed length) lets a lookup binary-search the index
+    and decompress ONE block instead of the collection.  Returns the
+    block frame (shard_id, block_idx, first_urlkey, first_ts, offset,
+    length, n_lines, content) — :func:`zipnum_idx` projects the
+    secondary index off it, :func:`zipnum_shard_files` concatenates
+    the wire-format shard files, :func:`zipnum_lookup` seeks.
+
+    Lines are byte-identical to :func:`write_cdx_files` CDXJ.  One
+    shuffle on the shard key; per-shard work is a sort + deterministic
+    gzip per block (mtime 0 — byte-stable).  ``shard_col`` is the
+    collection's partition key (a production collection shards by
+    crawl segment or urlkey prefix); lookups search each shard's
+    index independently, exactly like a multi-file CDX."""
+    n = int(lines_per_block)
+    if n <= 0:
+        raise ValueError(f"lines_per_block must be positive: {n}")
+    rows = cdx.select(
+        F.col(shard_col).cast("long").alias("shard_id"),
+        "urlkey",
+        "cdx_ts",
+        F.col("offset").alias("_rec_off"),
+        _cdx_line_expr().alias("line"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["urlkey", "_rec_off"])
+        shard = int(pdf["shard_id"].iloc[0])
+        lines = pdf["line"].tolist()
+        keys = pdf["urlkey"].tolist()
+        tss = pdf["cdx_ts"].tolist()
+        out = []
+        off = 0
+        for b, start in enumerate(range(0, len(lines), n)):
+            chunk = "\n".join(lines[start : start + n]) + "\n"
+            gz = _gzip_member(chunk.encode())
+            out.append(
+                (shard, b, keys[start], tss[start], off, len(gz),
+                 len(lines[start : start + n]), gz)
+            )
+            off += len(gz)
+        return pd.DataFrame(
+            out,
+            columns=["shard_id", "block_idx", "first_urlkey", "first_ts",
+                     "offset", "length", "n_lines", "content"],
+        )
+
+    return rows.groupBy("shard_id").applyInPandas(build, ZIPNUM_BLOCK_SCHEMA)
+
+
+def zipnum_idx(blocks: DataFrame) -> DataFrame:
+    """The secondary index rows (everything but the block bytes) —
+    what a production collection ships as ``cluster.idx``: O(captures
+    / lines_per_block) rows, small enough to binary-search anywhere."""
+    return blocks.select(
+        "shard_id", "block_idx", "first_urlkey", "first_ts", "offset", "length", "n_lines"
+    )
+
+
+def zipnum_shard_files(blocks: DataFrame) -> DataFrame:
+    """Concatenate each shard's gzip blocks in block order into the
+    wire-format shard file (gzip members back-to-back — ``zcat``
+    yields the sorted CDXJ lines).  Returns (shard_id, content)."""
+    slim = blocks.select("shard_id", "block_idx", "content")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("block_idx")
+        return pd.DataFrame(
+            {"shard_id": [int(pdf["shard_id"].iloc[0])],
+             "content": [b"".join(bytes(c) for c in pdf["content"])]}
+        )
+
+    return slim.groupBy("shard_id").applyInPandas(build, "shard_id long, content binary")
+
+
+def zipnum_lookup(
+    shard_files: DataFrame, idx: DataFrame, probes: DataFrame, *, probe_col: str = "urlkey"
+) -> DataFrame:
+    """Seek-efficient capture lookup: for each probe urlkey, pick PER
+    SHARD the last index block whose first_urlkey ≤ probe (the
+    binary-search step as an argmax), slice THAT block's bytes out of
+    the shard file by (offset, length), gunzip it alone, and return
+    the probe's matching capture rows — the whole collection is never
+    decompressed (asserted structurally in tests: bytes touched =
+    matched blocks only).
+
+    Plan shape: probes are a QUERY SET (bounded ≪ collection, the ANN
+    query-set contract) broadcast into a non-equi join against the
+    O(blocks) index; the argmax is one groupBy; the block slice is one
+    Arrow pass over the few matched (shard, block) rows joined to
+    their shard files.  Returns parse_cdx_files-typed rows plus the
+    probing urlkey."""
+    p = probes.select(F.col(probe_col).alias("_probe")).distinct()
+    # block b can hold a probe iff first_b <= probe <= first_{b+1}
+    # (a heavily-captured urlkey legitimately SPANS blocks, so the
+    # candidate set is a range, not just the argmax block; it is one
+    # block in the common case and grows only with the key's captures)
+    wS = Window.partitionBy("shard_id").orderBy("first_urlkey", "block_idx")
+    bounded = idx.withColumn("_next_first", F.lead("first_urlkey").over(wS))
+    cand = bounded.join(
+        F.broadcast(p),
+        (F.col("first_urlkey") <= F.col("_probe"))
+        & (F.col("_next_first").isNull() | (F.col("_next_first") >= F.col("_probe"))),
+    ).select("shard_id", "_probe", "offset", "length")
+    # one row per block to open, carrying every probe that lands in it
+    to_open = cand.groupBy("shard_id", "offset", "length").agg(
+        F.collect_list("_probe").alias("_probes")
+    )
+    opened = to_open.join(shard_files, "shard_id")
+
+    json_schema = (
+        "url string, mime string, status int, digest string, "
+        "offset long, length long, record_id string"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for shard, off, ln, plist, content in zip(
+                pdf["shard_id"], pdf["offset"], pdf["length"], pdf["_probes"], pdf["content"]
+            ):
+                gz = bytes(content)[int(off) : int(off) + int(ln)]
+                text = zlib.decompress(gz, 16 + zlib.MAX_WBITS).decode()
+                want = set(plist)
+                for line in text.splitlines():
+                    key, _, rest = line.partition(" ")
+                    key = key.replace("%20", " ").replace("%25", "%")
+                    if key in want:
+                        ts, _, js = rest.partition(" ")
+                        rows.append((key, ts, js))
+            yield pd.DataFrame(rows, columns=["urlkey", "cdx_ts", "_json"])
+
+    hits = opened.mapInPandas(op, schema="urlkey string, cdx_ts string, _json string")
+    parsed = hits.select(
+        "urlkey", "cdx_ts", F.from_json(F.col("_json"), json_schema).alias("j")
+    )
+    return parsed.select(
+        "urlkey", "cdx_ts", "j.url", "j.mime", "j.status", "j.digest",
+        "j.offset", "j.length", "j.record_id",
     )
 
 

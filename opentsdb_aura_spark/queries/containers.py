@@ -1713,3 +1713,54 @@ def corpus_recrawl_schedule(spark, sf_dir):
         "streak",
         _r("next_fetch_ts", 6).alias("next_fetch_ts"),
     )
+
+
+# The zipnum lookup returns the SAME capture rows as the CDX index
+# (minus the shard id) for the probed subset: reuse the CDX oracle's
+# CTE chain with a filtered final projection.
+_ZIPNUM_ORACLE = _CDX_ORACLE[: _CDX_ORACLE.rindex("SELECT")] + """SELECT
+       'http://example.com/doc/' || doc_id AS urlkey,
+       '20240101000000' AS cdx_ts,
+       'http://example.com/doc/' || doc_id AS url,
+       'text/html' AS mime,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+       md5(text) AS digest,
+       rec_offset AS offset,
+       CAST(rec_len AS BIGINT) AS length,
+       'urn:uuid:doc-' || doc_id AS record_id
+FROM rows_ WHERE doc_id % 17 = 0"""
+
+
+@register("corpus_cdx_zipnum_lookup", _ZIPNUM_ORACLE)
+def corpus_cdx_zipnum_lookup(spark, sf_dir):
+    """ZipNum sharded CDX, end to end — how production CDX collections
+    stay seekable at billions of captures: the capture index sorts per
+    shard, chunks into independently-gzipped blocks, a tiny secondary
+    index (first urlkey + byte offset/length per block) rides next to
+    the wire-format shard files, and a LOOKUP binary-searches the
+    index and gunzips only the candidate blocks (structurally proven
+    in the unit test: a corrupted non-candidate block never breaks a
+    lookup).  Here every 17th capture is probed through the full
+    write → index → seek → slice → gunzip → parse chain, and the
+    oracle recomputes each returned capture row — including the
+    record's WARC offset/length riding inside the JSON — closed-form.
+    Plan: probes broadcast into the O(blocks) index (the ANN
+    query-set contract), one argmax-range groupBy, one Arrow pass
+    over matched blocks only."""
+    from opentsdb_aura_spark.operators.containers import (
+        cdx_index,
+        synthesize_warc,
+        warc_records,
+        write_zipnum_cdx,
+        zipnum_idx,
+        zipnum_lookup,
+        zipnum_shard_files,
+    )
+
+    files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True)
+    idx = cdx_index(warc_records(files, with_payload=True))
+    blocks = write_zipnum_cdx(idx, lines_per_block=16)
+    probes = docs_raw(spark, sf_dir).where(F.col("doc_id") % 17 == 0).select(
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id").cast("long")).alias("urlkey")
+    )
+    return zipnum_lookup(zipnum_shard_files(blocks), zipnum_idx(blocks), probes)

@@ -1152,3 +1152,66 @@ def test_recrawl_schedule_edges(spark):
     assert out["hot"]["next_fetch_ts"] == 410.0
     assert out["cold"]["n_changes"] == 0 and out["cold"]["streak"] == 7
     assert out["cold"]["next_fetch_ts"] == 800.0 + 10.0 * 8        # capped at 2^3
+
+
+def _mini_cdx(spark):
+    """10 captures over 7 urlkeys: 'k03' captured 4 times so its run
+    SPANS block boundaries at lines_per_block=3."""
+    rows, off = [], 0
+    keys = ["k00", "k01", "k02", "k03", "k03", "k03", "k03", "k07", "k08", "k09"]
+    for i, k in enumerate(keys):
+        rows.append((0, k, "20240101000000", f"http://x.example/{k}/{i}",
+                     "text/plain", 200, f"d{i}", off, 100, f"urn:uuid:r-{i}"))
+        off += 100
+    return spark.createDataFrame(
+        rows,
+        "file_id long, urlkey string, cdx_ts string, url string, mime string, "
+        "status int, digest string, offset long, length long, record_id string",
+    )
+
+
+def test_zipnum_roundtrip_spanning_key_and_seek(spark):
+    import zlib
+
+    blocks = C.write_zipnum_cdx(_mini_cdx(spark), lines_per_block=3).localCheckpoint()
+    idx = C.zipnum_idx(blocks)
+    files = C.zipnum_shard_files(blocks).localCheckpoint()
+
+    b = sorted(blocks.collect(), key=lambda r: r["block_idx"])
+    assert [r["first_urlkey"] for r in b] == ["k00", "k03", "k03", "k09"]
+    assert [r["n_lines"] for r in b] == [3, 3, 3, 1]
+    # offsets tile the shard file exactly; zcat of the file = all lines
+    content = bytes(files.collect()[0]["content"])
+    assert b[-1]["offset"] + b[-1]["length"] == len(content)
+    all_lines = []
+    pos = 0
+    while pos < len(content):
+        do = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        all_lines += do.decompress(content[pos:]).decode().splitlines()
+        pos = len(content) - len(do.unused_data)
+    assert len(all_lines) == 10 and all_lines == sorted(all_lines)
+
+    probes = spark.createDataFrame(
+        [("k03",), ("k00",), ("k09",), ("zzz",), ("a",)], "urlkey string"
+    )
+    got = C.zipnum_lookup(files, idx, probes).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["urlkey"], []).append(r)
+    assert sorted(by_key) == ["k00", "k03", "k09"]   # no phantom rows
+    assert len(by_key["k03"]) == 4                    # the spanning run, complete
+    assert {r["record_id"] for r in by_key["k03"]} == {f"urn:uuid:r-{i}" for i in (3, 4, 5, 6)}
+    assert by_key["k00"][0]["status"] == 200 and by_key["k00"][0]["digest"] == "d0"
+
+    # seek proof: corrupt every byte of the one block a {k00,k09}
+    # lookup must NOT open — block 1 serves only probes in [k03, k03]
+    # (block 2 IS a k09 candidate: its next-first == k09, the inclusive
+    # edge a spanning run needs) — the lookup still succeeds because
+    # only candidate blocks are ever sliced and gunzipped
+    lo, hi = b[1]["offset"], b[1]["offset"] + b[1]["length"]
+    mangled = content[:lo] + bytes(hi - lo) + content[hi:]
+    files2 = spark.createDataFrame([(0, bytearray(mangled))], "shard_id long, content binary")
+    got2 = C.zipnum_lookup(
+        files2, idx, spark.createDataFrame([("k00",), ("k09",)], "urlkey string")
+    ).collect()
+    assert {r["urlkey"] for r in got2} == {"k00", "k09"}

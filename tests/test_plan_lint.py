@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "pipeline_dsir_weights",  # 1-row gram-count totals factor
     "tpch_idle_rich_customers",  # 1-row global-average-balance scalar factor
     "tpch_important_stock",  # 1-row global value-threshold scalar factor
+    "corpus_cdx_zipnum_lookup",  # probe set broadcast, contract: probes ≪ blocks (ANN query-set shape)
 }
 
 

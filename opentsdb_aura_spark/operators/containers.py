@@ -1557,6 +1557,99 @@ def parse_cdx_files(files: DataFrame) -> DataFrame:
     )
 
 
+#: Extensions a fetch-budget-conscious crawler skips outright: binary
+#: media and archives are not text documents (the multimodal path
+#: ingests media deliberately, from manifests — not by chasing every
+#: <a href>).  The fineweb/UT1-style URL prefilter's default set.
+MEDIA_EXTENSIONS = (
+    "jpg", "jpeg", "png", "gif", "bmp", "webp", "ico", "svg",
+    "mp3", "wav", "ogg", "mp4", "avi", "mov", "mkv", "webm",
+    "zip", "gz", "tar", "rar", "7z", "pdf", "exe", "dmg", "iso",
+)
+
+
+def url_features(urls: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """Pre-fetch URL features — what a crawl spends its fetch budget
+    ON is decided before any byte is fetched, from the URL string
+    alone (the fineweb/UT1-style prefilter): host, registrable-ish
+    domain tail, path depth and length, query-parameter count,
+    lowercased extension, media/archive flag, and the digit ratio of
+    the host (throwaway spam hosts are digit-heavy).  Pure Catalyst —
+    one projection, no shuffle; composes with robots/frontier stages
+    on the same URL column."""
+    u = F.col(url_col)
+    hostport = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
+    host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+    path = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""), r"[?#].*$", ""
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1))
+    host_digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    return urls.withColumns(
+        {
+            "host": host,
+            "path": path,
+            "path_depth": F.when(
+                path.isin("", "/"), F.lit(0)
+            ).otherwise(F.size(F.split(F.regexp_replace(path, r"^/|/$", ""), "/"))),
+            "path_len": F.length(path),
+            "n_query_params": F.when(query == "", F.lit(0)).otherwise(
+                F.size(F.split(query, "&"))
+            ),
+            "extension": ext,
+            "is_media": ext.isin(*MEDIA_EXTENSIONS),
+            "host_digit_ratio": F.when(
+                F.length(host) > 0, host_digits / F.length(host)
+            ),
+        }
+    )
+
+
+def url_prefilter(
+    urls: DataFrame,
+    *,
+    url_col: str = "url",
+    max_path_depth: int = 12,
+    max_path_len: int = 256,
+    max_query_params: int = 8,
+    max_host_digit_ratio: float = 0.5,
+    blocked_hosts: DataFrame | None = None,
+) -> DataFrame:
+    """Fetch-budget URL gate over :func:`url_features`: flag (not
+    drop — the caller decides, same contract as the quality gates)
+    URLs a curation crawl skips before fetching: media/archive
+    extensions, calendar-trap path depth, tracking-bloated query
+    strings, URL-shaped-garbage lengths, digit-heavy throwaway hosts,
+    and hosts on a blocklist dim (left anti-ish via a host-equi join,
+    AQE-sized — the UT1 blocklist shape).  Output adds per-rule
+    booleans plus ``url_keep``; every rule is a pure-Catalyst
+    projection, the blocklist is the only join."""
+    f = url_features(urls, url_col=url_col)
+    flags = {
+        "flag_media": F.col("is_media"),
+        "flag_deep_path": F.col("path_depth") > int(max_path_depth),
+        "flag_long_path": F.col("path_len") > int(max_path_len),
+        "flag_query_bloat": F.col("n_query_params") > int(max_query_params),
+        "flag_digit_host": F.coalesce(
+            F.col("host_digit_ratio") > float(max_host_digit_ratio), F.lit(False)
+        ),
+    }
+    if blocked_hosts is not None:
+        hit = blocked_hosts.select(
+            F.lower(F.col("host")).alias("host"), F.lit(True).alias("_blk")
+        ).distinct()
+        f = f.join(hit, "host", "left")
+        flags["flag_blocked_host"] = F.coalesce(F.col("_blk"), F.lit(False))
+    out = f.withColumns(flags)
+    if blocked_hosts is not None:
+        out = out.drop("_blk")
+    keep = F.lit(True)
+    for name in flags:
+        keep = keep & ~F.col(name)
+    return out.withColumn("url_keep", keep)
+
+
 # ------------------------------------------------------------- ZipNum CDX
 
 ZIPNUM_BLOCK_SCHEMA = (

@@ -1764,3 +1764,84 @@ def corpus_cdx_zipnum_lookup(spark, sf_dir):
         F.concat(F.lit("http://example.com/doc/"), F.col("doc_id").cast("long")).alias("urlkey")
     )
     return zipnum_lookup(zipnum_shard_files(blocks), zipnum_idx(blocks), probes)
+
+
+_URL_FIXTURE = """WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 4 AS BIGINT) AS k,
+         CAST(doc_id % 6 AS BIGINT) AS p
+  FROM documents),
+u AS (
+  SELECT doc_id, k, p,
+    CASE p
+      WHEN 0 THEN 'http://h' || k || '.example/a/b/c'
+      WHEN 1 THEN 'http://h' || k || '.example/img/' || doc_id || '.jpg'
+      WHEN 2 THEN 'http://h' || k || '.example' || repeat('/d', 13) || '/x'
+      WHEN 3 THEN 'http://h' || k || '.example/p?a0=1&a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1&a9=1'
+      WHEN 4 THEN 'http://12345678' || k || '.example/x'
+      ELSE 'http://blocked' || (k % 2) || '.example/x'
+    END AS url
+  FROM d)
+"""
+
+
+@register(
+    "corpus_url_prefilter",
+    _URL_FIXTURE
+    + """SELECT doc_id, url,
+       CASE WHEN p = 4 THEN '12345678' || k || '.example'
+            WHEN p = 5 THEN 'blocked' || (k % 2) || '.example'
+            ELSE 'h' || k || '.example' END AS host,
+       CASE p WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 14 ELSE 1 END AS path_depth,
+       CAST(CASE p WHEN 0 THEN 6 WHEN 1 THEN length('/img/' || doc_id || '.jpg')
+            WHEN 2 THEN 28 ELSE 2 END AS INTEGER) AS path_len,
+       CASE WHEN p = 3 THEN 10 ELSE 0 END AS n_query_params,
+       CASE WHEN p = 1 THEN 'jpg' ELSE '' END AS extension,
+       round(CASE WHEN p = 4 THEN 9.0 / 17
+                  WHEN p = 5 THEN 1.0 / 16
+                  ELSE 0.1 END, 4) AS host_digit_ratio,
+       p = 1 AS flag_media,
+       p = 2 AS flag_deep_path,
+       FALSE AS flag_long_path,
+       p = 3 AS flag_query_bloat,
+       p = 4 AS flag_digit_host,
+       p = 5 AS flag_blocked_host,
+       p = 0 AS url_keep
+FROM u""",
+)
+def corpus_url_prefilter(spark, sf_dir):
+    """Pre-fetch URL gating — where a crawl's fetch budget is actually
+    decided (the fineweb/UT1-style prefilter: no byte of a skipped URL
+    is ever fetched): per URL, string-derived features (host, path
+    depth/length, query-param count, extension, host digit ratio) and
+    one flag per skip rule — media/archive extension, calendar-trap
+    depth, tracking bloat, digit-heavy throwaway host, blocklisted
+    host — plus the composed ``url_keep``.  Six URL shapes are planted
+    by residue and the oracle recomputes every feature, every flag,
+    and the keep verdict closed-form.  All pure Catalyst projections;
+    the blocklist is the single (AQE-sized) host-equi join."""
+    from opentsdb_aura_spark.operators.containers import url_prefilter
+
+    k = (F.col("doc_id") % 4).cast("long")
+    p = (F.col("doc_id") % 6).cast("long")
+    url = (
+        F.when(p == 0, F.concat(F.lit("http://h"), k, F.lit(".example/a/b/c")))
+        .when(p == 1, F.concat(F.lit("http://h"), k, F.lit(".example/img/"),
+                               F.col("doc_id").cast("long"), F.lit(".jpg")))
+        .when(p == 2, F.concat(F.lit("http://h"), k, F.lit(".example" + "/d" * 13 + "/x")))
+        .when(p == 3, F.concat(F.lit("http://h"), k,
+                               F.lit(".example/p?a0=1&a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1&a9=1")))
+        .when(p == 4, F.concat(F.lit("http://12345678"), k, F.lit(".example/x")))
+        .otherwise(F.concat(F.lit("http://blocked"), k % 2, F.lit(".example/x")))
+    )
+    urls = docs_raw(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), url.alias("url"))
+    blocked = spark.createDataFrame(
+        [("blocked0.example",), ("blocked1.example",)], "host string"
+    )
+    out = url_prefilter(urls, blocked_hosts=blocked)
+    return out.select(
+        "doc_id", "url", "host", "path_depth", "path_len", "n_query_params",
+        "extension", _r("host_digit_ratio", 4).alias("host_digit_ratio"),
+        "flag_media", "flag_deep_path", "flag_long_path", "flag_query_bloat",
+        "flag_digit_host", "flag_blocked_host", "url_keep",
+    )

@@ -1215,3 +1215,27 @@ def test_zipnum_roundtrip_spanning_key_and_seek(spark):
         files2, idx, spark.createDataFrame([("k00",), ("k09",)], "urlkey string")
     ).collect()
     assert {r["urlkey"] for r in got2} == {"k00", "k09"}
+
+
+def test_url_features_edges(spark):
+    rows = [
+        # url, host, depth, n_params, ext, is_media
+        ("http://h.example", "h.example", 0, 0, "", False),
+        ("http://h.example/", "h.example", 0, 0, "", False),
+        ("http://H.EXAMPLE:8080/A/b/", "h.example", 2, 0, "", False),
+        ("http://h.example/x.TAR.GZ", "h.example", 1, 0, "gz", True),
+        ("http://h.example/p?a=1&b=2#frag", "h.example", 1, 2, "", False),
+        ("http://h.example/p.php?x=1", "h.example", 1, 1, "php", False),  # ext from PATH, not query
+        ("http://h.example/x.verylongext", "h.example", 1, 0, "", False),  # >5 chars: not an ext
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in rows], "url string")
+    got = {r["url"]: r for r in C.url_features(df).collect()}
+    for u, host, depth, nq, ext, media in rows:
+        r = got[u]
+        assert (r["host"], r["path_depth"], r["n_query_params"], r["extension"],
+                r["is_media"]) == (host, depth, nq, ext, media), u
+    # digit-heavy host ratio
+    r = C.url_features(
+        spark.createDataFrame([("http://1234.example/x",)], "url string")
+    ).collect()[0]
+    assert abs(r["host_digit_ratio"] - 4 / 12) < 1e-9

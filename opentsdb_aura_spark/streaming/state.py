@@ -364,6 +364,7 @@ def streaming_crawl_ingest(
     http_html: bool = False,
     frontier_path: str | None = None,
     robots_rules_path: str | None = None,
+    url_prefilter_gate: bool = False,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -414,8 +415,13 @@ def streaming_crawl_ingest(
     crawl wave.  ``robots_rules_path`` (with ``frontier_path``) names
     a parsed-rules parquet table (robots.parse_robots_files output):
     discovered URLs pass the RFC 9309 politeness gate BEFORE entering
-    the frontier — a disallowed URL is never scheduled.  The crawl
-    LOOP in one stream: fetch → extract → discover → politeness →
+    the frontier — a disallowed URL is never scheduled.
+    ``url_prefilter_gate=True`` (with ``frontier_path``) additionally
+    runs the string-only fetch-budget gate (containers.url_prefilter:
+    media extensions, calendar-trap depth, query bloat, digit-heavy
+    hosts) FIRST — it needs no dim join, so it runs before the robots
+    join and shrinks that join's probe side.  The crawl LOOP in one
+    stream: fetch → extract → discover → prefilter → politeness →
     schedule.
     Returns the started StreamingQuery."""
     from opentsdb_aura_spark.operators.containers import http_responses, warc_records
@@ -429,6 +435,11 @@ def streaming_crawl_ingest(
     if robots_rules_path is not None and frontier_path is None:
         raise ValueError(
             "streaming_crawl_ingest: robots_rules_path gates the frontier — "
+            "pass frontier_path too"
+        )
+    if url_prefilter_gate and frontier_path is None:
+        raise ValueError(
+            "streaming_crawl_ingest: url_prefilter_gate gates the frontier — "
             "pass frontier_path too"
         )
 
@@ -514,6 +525,21 @@ def streaming_crawl_ingest(
                     ).alias("frontier_url"),
                     id_expr.alias("doc_id"),
                 )
+                if url_prefilter_gate:
+                    # string-only fetch-budget gate FIRST: no dim join,
+                    # and it shrinks the robots join's probe side
+                    from opentsdb_aura_spark.operators.containers import url_prefilter
+
+                    kept = (
+                        url_prefilter(
+                            batch_links.where(F.col("frontier_url").isNotNull())
+                            .select(F.col("frontier_url").alias("url"))
+                            .distinct()
+                        )
+                        .where(F.col("url_keep"))
+                        .select(F.col("url").alias("frontier_url"))
+                    )
+                    batch_links = batch_links.join(kept, "frontier_url", "left_semi")
                 if robots_rules_path is not None:
                     # politeness BEFORE scheduling: a disallowed URL
                     # never enters the frontier index at all

@@ -1035,3 +1035,47 @@ def test_streaming_crawl_ingest_politeness_gates_frontier(spark, tmpdirs):
         "http://example.com/about": 2,
         "http://example.com/privacy": 2,
     }  # /next and /terms disallowed -> never scheduled
+
+
+def test_streaming_crawl_ingest_url_prefilter_gates_frontier(spark, tmpdirs):
+    """With url_prefilter_gate, media-extension and calendar-trap-deep
+    links never enter the frontier index — the string-only fetch-budget
+    gate runs between discovery and politeness inside the stream."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.containers import (
+        encode_http_response,
+        frontier_counts,
+    )
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    html = (
+        "<html><head><title>t</title></head><body><p>enough content words here</p>"
+        '<a href="/keep/page">Keep</a><a href="/logo.png">Logo</a>'
+        '<a href="' + "/d" * 15 + '">Deep</a></body></html>'
+    )
+    payload = encode_http_response(1, html.encode())
+    rec = C.encode_warc_record(
+        "response", "urn:uuid:doc-1", payload,
+        target_uri="http://example.com/doc/1",
+        content_type="application/http;msgtype=response",
+    )
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame([(0, rec)], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+    frontier = tmpdirs["out"] + "/frontier"
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pass frontier_path"):
+        streaming_crawl_ingest(
+            stream, tmpdirs["store"], tmpdirs["out"] + "/docs", tmpdirs["ckpt2"],
+            http_html=True, url_prefilter_gate=True,
+        )
+    streaming_crawl_ingest(
+        stream, tmpdirs["store"], tmpdirs["out"] + "/docs", tmpdirs["ckpt"],
+        http_html=True, frontier_path=frontier, url_prefilter_gate=True,
+    ).awaitTermination(120)
+
+    counts = {r["frontier_url"]: r["n_refs"] for r in frontier_counts(spark, frontier).collect()}
+    assert counts == {"http://example.com/keep/page": 1}  # .png and 15-deep gated

@@ -1568,6 +1568,79 @@ MEDIA_EXTENSIONS = (
 )
 
 
+#: Common multi-label public suffixes (a registrable domain under
+#: these is THREE labels, not two).  This is the well-known short tail
+#: of the public-suffix list — the full PSL is a production data file;
+#: pass ``extra_suffixes`` to fold it in (the register_body_decoder
+#: seam pattern).  Everything here is public DNS structure knowledge.
+TWO_LABEL_PUBLIC_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.in", "net.in", "org.in", "co.za", "co.kr", "or.kr",
+)
+
+
+def registrable_domain(host, *, extra_suffixes: tuple = ()):
+    """Registrable domain of a hostname — the level the public Common
+    Crawl DOMAIN ranking aggregates at (every subdomain of one
+    registration collapses to one node): the last two labels, or the
+    last THREE when the two-label tail is a public suffix
+    (``news.bbc.co.uk`` → ``bbc.co.uk``, ``a.b.example.com`` →
+    ``example.com``).  Heuristic by design — the embedded suffix set
+    is the well-known short tail; production folds the full PSL in via
+    ``extra_suffixes``.  Pure Catalyst; a host with one label (or an
+    IP-ish string) passes through unchanged."""
+    h = F.lower(host if isinstance(host, F.Column) else F.col(host))
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    # F.get is NULL-safe on out-of-range (element_at THROWS under ANSI
+    # for a 1-label host even in the branch the when() never returns)
+    last2 = F.concat_ws(".", F.get(parts, n - 2), F.get(parts, n - 1))
+    last3 = F.concat_ws(".", F.get(parts, n - 3), last2)
+    suffixes = list(TWO_LABEL_PUBLIC_SUFFIXES) + [s.lower() for s in extra_suffixes]
+    return (
+        F.when((n >= 3) & last2.isin(suffixes), last3)
+        .when(n >= 2, last2)
+        .otherwise(h)
+    )
+
+
+def domain_graph(
+    edges: DataFrame,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    extra_suffixes: tuple = (),
+) -> DataFrame:
+    """The :func:`host_graph` projection folded one level further, to
+    registrable domains — the coarsest grain the public rankings
+    publish (subdomain farms collapse to one node, so a spam
+    registration can't multiply its own authority by minting hosts).
+    Same shape: self-loops (now intra-DOMAIN links, including
+    host-to-host within one registration) drop; one map-side-combined
+    groupBy.  Returns (src_domain, dst_domain, n_links) —
+    :func:`pagerank` ``weight_col`` input."""
+
+    def h(c: str):
+        host = F.regexp_extract(F.col(c), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
+        return registrable_domain(
+            F.regexp_replace(host, r":\d+$", ""), extra_suffixes=extra_suffixes
+        )
+
+    g = edges.select(h(src_col).alias("src_domain"), h(dst_col).alias("dst_domain")).where(
+        (F.col("src_domain") != "") & (F.col("dst_domain") != "")
+    )
+    g = g.where(F.col("src_domain") != F.col("dst_domain"))
+    return g.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").cast("long").alias("n_links")
+    )
+
+
 def url_features(urls: DataFrame, *, url_col: str = "url") -> DataFrame:
     """Pre-fetch URL features — what a crawl spends its fetch budget
     ON is decided before any byte is fetched, from the URL string

@@ -1845,3 +1845,32 @@ def corpus_url_prefilter(spark, sf_dir):
         "flag_media", "flag_deep_path", "flag_long_path", "flag_query_bloat",
         "flag_digit_host", "flag_blocked_host", "url_keep",
     )
+
+
+@register(
+    "corpus_domain_graph",
+    """WITH d AS (SELECT CAST(doc_id % 4 AS BIGINT) AS k FROM documents)
+SELECT 'd' || k || '.co.uk' AS src_domain,
+       'd' || ((k + 1) % 4) || '.co.uk' AS dst_domain,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM d GROUP BY 1, 2""",
+)
+def corpus_domain_graph(spark, sf_dir):
+    """The link graph folded to REGISTRABLE DOMAINS — the coarsest
+    grain the public Common Crawl rankings publish, where a spam
+    registration can't multiply its authority by minting subdomains:
+    page edges between varying subdomains (``sub<p>.dK.co.uk`` →
+    ``www.d(K+1).co.uk``) collapse onto the 3-label ``dK.co.uk``
+    registrable domains (the two-label public-suffix fold), subdomain
+    variety disappears into the counts, and the oracle re-derives all
+    four weighted domain edges closed-form.  Same one-groupBy shape as
+    host_graph; the weights feed pagerank(weight_col=...)."""
+    from opentsdb_aura_spark.operators.containers import domain_graph
+
+    k = (F.col("doc_id") % 4).cast("long")
+    p = (F.col("doc_id") % 5).cast("long")
+    edges = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("http://sub"), p, F.lit(".d"), k, F.lit(".co.uk/a")).alias("src_url"),
+        F.concat(F.lit("http://www.d"), (k + 1) % 4, F.lit(".co.uk/b")).alias("dst_url"),
+    )
+    return domain_graph(edges)

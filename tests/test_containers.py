@@ -1239,3 +1239,24 @@ def test_url_features_edges(spark):
         spark.createDataFrame([("http://1234.example/x",)], "url string")
     ).collect()[0]
     assert abs(r["host_digit_ratio"] - 4 / 12) < 1e-9
+
+
+def test_registrable_domain_edges(spark):
+    rows = [
+        ("news.bbc.co.uk", "bbc.co.uk"),        # 2-label public suffix -> 3 labels
+        ("a.b.example.com", "example.com"),
+        ("EXAMPLE.COM", "example.com"),
+        ("example.com", "example.com"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),                      # bare suffix: nothing to fold
+        ("localhost", "localhost"),              # single label passes through
+        ("x.site.ac.uk", "site.ac.uk"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    got = [r[0] for r in df.select(C.registrable_domain("host")).collect()]
+    assert got == [want for _, want in rows]
+    # production seam: extra suffixes fold one more level
+    df2 = spark.createDataFrame([("shop.foo.co.ir",)], "host string")
+    assert df2.select(
+        C.registrable_domain("host", extra_suffixes=("co.ir",))
+    ).collect()[0][0] == "foo.co.ir"

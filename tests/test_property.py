@@ -583,3 +583,48 @@ def test_bounded_inflate_equivalence_property(chunks, limit):
     else:
         with _pytest.raises(ValueError, match="decompression-bomb"):
             _inflate_body(wire, "gzip", limit=limit)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=300))
+def test_parse_crawl_delays_total_on_garbage(content):
+    """Arbitrary ASCII robots.txt content never raises; every returned
+    delay is a finite non-negative float with a lowercased agent."""
+    from opentsdb_aura_spark.operators.robots import parse_crawl_delays
+
+    out = parse_crawl_delays(content)
+    for agent, delay in out:
+        assert agent == agent.lower()
+        assert isinstance(delay, float) and delay >= 0 and math.isfinite(delay)
+
+
+_LABEL = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=6)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.lists(_LABEL, min_size=1, max_size=5),
+                       st.lists(_LABEL, min_size=0, max_size=4),
+                       st.booleans()),
+             min_size=1, max_size=6),
+)
+def test_surt_key_model_property(spark, cases):
+    """surt_key against a plain-Python model over generated lowercase
+    hosts/paths: reversal, www-strip, trailing-slash and bare-origin
+    normalization all agree."""
+    from opentsdb_aura_spark.operators.containers import surt_key
+
+    urls, wants = [], []
+    for labels, segs, tail in cases:
+        host = ".".join(labels)
+        path = "".join("/" + s for s in segs) + ("/" if tail and segs else "")
+        urls.append(f"http://{host}{path}")
+        # model: canonicalize (drop one trailing slash), strip leading
+        # www label, reverse at dots, ')' + path-or-root
+        cpath = path[:-1] if path.endswith("/") else path
+        mhost = host[4:] if host.startswith("www.") and len(labels) > 1 else host
+        wants.append(",".join(reversed(mhost.split("."))) + ")" + (cpath or "/"))
+
+    got = [r[0] for r in spark.createDataFrame([(u,) for u in urls], "url string")
+           .select(surt_key("url")).collect()]
+    assert got == wants, list(zip(urls, got, wants))

@@ -1812,8 +1812,56 @@ def zipnum_shard_files(blocks: DataFrame) -> DataFrame:
     return slim.groupBy("shard_id").applyInPandas(build, "shard_id long, content binary")
 
 
+def zipnum_candidate_blocks(
+    idx: DataFrame,
+    probes: DataFrame,
+    *,
+    probe_col: str = "urlkey",
+    range_sharded: bool = False,
+) -> DataFrame:
+    """The binary-search step of :func:`zipnum_lookup` as a frame —
+    the (shard_id, _probe, offset, length) blocks a lookup must open.
+    Block b can hold a probe iff first_b ≤ probe ≤ first_{b+1} (a
+    heavily-captured urlkey legitimately SPANS blocks, so the
+    candidate set is a range, not just the argmax block).  With
+    ``range_sharded`` the probe is first narrowed to the one shard
+    whose key range holds it via an O(shards) boundary table (a
+    production cluster.idx is ONE sorted file over exactly these
+    boundaries).  Exposed so benches/tests can account the bytes a
+    lookup touches with the exact planning rule the lookup uses."""
+    p = probes.select(F.col(probe_col).alias("_probe")).distinct()
+    wS = Window.partitionBy("shard_id").orderBy("first_urlkey", "block_idx")
+    bounded = idx.withColumn("_next_first", F.lead("first_urlkey").over(wS))
+    in_block = (F.col("first_urlkey") <= F.col("_probe")) & (
+        F.col("_next_first").isNull() | (F.col("_next_first") >= F.col("_probe"))
+    )
+    if range_sharded:
+        sb = idx.groupBy("shard_id").agg(F.min("first_urlkey").alias("_smin"))
+        sb = sb.withColumn(
+            "_snext", F.lead("_smin").over(Window.orderBy("_smin", "shard_id"))
+        )
+        probe_shards = sb.join(
+            F.broadcast(p),
+            (F.col("_smin") <= F.col("_probe"))
+            & (F.col("_snext").isNull() | (F.col("_snext") >= F.col("_probe"))),
+        ).select("shard_id", "_probe")
+        return (
+            bounded.join(probe_shards, "shard_id")
+            .where(in_block)
+            .select("shard_id", "_probe", "offset", "length")
+        )
+    return bounded.join(F.broadcast(p), in_block).select(
+        "shard_id", "_probe", "offset", "length"
+    )
+
+
 def zipnum_lookup(
-    shard_files: DataFrame, idx: DataFrame, probes: DataFrame, *, probe_col: str = "urlkey"
+    shard_files: DataFrame,
+    idx: DataFrame,
+    probes: DataFrame,
+    *,
+    probe_col: str = "urlkey",
+    range_sharded: bool = False,
 ) -> DataFrame:
     """Seek-efficient capture lookup: for each probe urlkey, pick PER
     SHARD the last index block whose first_urlkey ≤ probe (the
@@ -1823,24 +1871,26 @@ def zipnum_lookup(
     decompressed (asserted structurally in tests: bytes touched =
     matched blocks only).
 
+    With the default ``range_sharded=False`` no contract holds between
+    shards and the key space (hash/segment sharding), so every shard
+    is searched independently — one candidate block per shard per
+    probe, exactly the multi-CDX-file semantic.  A production ZipNum
+    collection is RANGE-sharded (the global sort spills across shard
+    files in key order, one cluster.idx over all of them):
+    ``range_sharded=True`` asserts that contract and first narrows
+    each probe to the one shard whose key range holds it (an O(shards)
+    boundary table, then an equi-join), so a probe touches ~1 block of
+    the whole collection regardless of its size.
+
     Plan shape: probes are a QUERY SET (bounded ≪ collection, the ANN
     query-set contract) broadcast into a non-equi join against the
     O(blocks) index; the argmax is one groupBy; the block slice is one
     Arrow pass over the few matched (shard, block) rows joined to
     their shard files.  Returns parse_cdx_files-typed rows plus the
     probing urlkey."""
-    p = probes.select(F.col(probe_col).alias("_probe")).distinct()
-    # block b can hold a probe iff first_b <= probe <= first_{b+1}
-    # (a heavily-captured urlkey legitimately SPANS blocks, so the
-    # candidate set is a range, not just the argmax block; it is one
-    # block in the common case and grows only with the key's captures)
-    wS = Window.partitionBy("shard_id").orderBy("first_urlkey", "block_idx")
-    bounded = idx.withColumn("_next_first", F.lead("first_urlkey").over(wS))
-    cand = bounded.join(
-        F.broadcast(p),
-        (F.col("first_urlkey") <= F.col("_probe"))
-        & (F.col("_next_first").isNull() | (F.col("_next_first") >= F.col("_probe"))),
-    ).select("shard_id", "_probe", "offset", "length")
+    cand = zipnum_candidate_blocks(
+        idx, probes, probe_col=probe_col, range_sharded=range_sharded
+    )
     # one row per block to open, carrying every probe that lands in it
     to_open = cand.groupBy("shard_id", "offset", "length").agg(
         F.collect_list("_probe").alias("_probes")

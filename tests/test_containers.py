@@ -1260,3 +1260,48 @@ def test_registrable_domain_edges(spark):
     assert df2.select(
         C.registrable_domain("host", extra_suffixes=("co.ir",))
     ).collect()[0][0] == "foo.co.ir"
+
+
+def test_zipnum_range_sharded_lookup(spark):
+    """range_sharded narrows each probe to the one shard whose key
+    range holds it; boundary probes (== a shard's min key) and
+    last-shard probes still resolve; results identical to the
+    search-every-shard mode."""
+    rows, off_by_shard = [], {}
+    for i in range(12):
+        shard = i // 4  # shards are contiguous KEY ranges (k00-k03, ...)
+        off = off_by_shard.get(shard, 0)
+        rows.append((shard, f"k{i:02d}", "20240101000000", f"http://x.example/{i}",
+                     "text/plain", 200, f"d{i}", off, 100, f"urn:uuid:r-{i}"))
+        off_by_shard[shard] = off + 100
+    cdx = spark.createDataFrame(
+        rows,
+        "file_id long, urlkey string, cdx_ts string, url string, mime string, "
+        "status int, digest string, offset long, length long, record_id string",
+    )
+    blocks = C.write_zipnum_cdx(cdx, lines_per_block=2).localCheckpoint()
+    idx, files = C.zipnum_idx(blocks), C.zipnum_shard_files(blocks).localCheckpoint()
+    probes = spark.createDataFrame(
+        [("k00",), ("k04",), ("k07",), ("k11",), ("zzz",)], "urlkey string"
+    )
+    both = []
+    for ranged in (False, True):
+        got = sorted(
+            (r["urlkey"], r["record_id"])
+            for r in C.zipnum_lookup(files, idx, probes, range_sharded=ranged).collect()
+        )
+        both.append(got)
+    assert both[0] == both[1]
+    assert both[0] == [("k00", "urn:uuid:r-0"), ("k04", "urn:uuid:r-4"),
+                       ("k07", "urn:uuid:r-7"), ("k11", "urn:uuid:r-11")]
+    # interior probes (no shard-boundary keys): range mode provably
+    # opens fewer blocks than search-every-shard
+    probes = spark.createDataFrame(
+        [("k01",), ("k07",), ("k11",), ("zzz",)], "urlkey string"
+    )
+    # range mode opens strictly fewer candidate blocks
+    n_all = C.zipnum_candidate_blocks(idx, probes).select(
+        "shard_id", "offset").distinct().count()
+    n_rng = C.zipnum_candidate_blocks(idx, probes, range_sharded=True).select(
+        "shard_id", "offset").distinct().count()
+    assert n_rng < n_all

@@ -1072,7 +1072,13 @@ def http_responses(
         # a passthrough name colliding with an output field would emit a
         # duplicate column the consumer can't address — fail at the API
         raise ValueError(f"extra_cols collide with output columns: {sorted(clash)}")
-    proj = records.select("file_id", "record_id", "target_uri", "payload", *extra_cols)
+    # "payload" as an extra col (a revisit-dedup writer needs the raw
+    # envelope bytes back) must not re-select the already-projected
+    # input column — dedupe, the zip below reads it by name either way
+    proj = records.select(
+        "file_id", "record_id", "target_uri", "payload",
+        *[c for c in extra_cols if c != "payload"],
+    )
     extra_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
         for f in proj.schema.fields
@@ -1296,6 +1302,7 @@ def mark_revisits(
     url_col: str = "target_uri",
     digest_col: str = "payload_md5",
     id_col: str = "record_id",
+    key_on_url: bool = True,
 ) -> DataFrame:
     """Plan WARC ``revisit`` dedup over parsed captures: within each
     (canonical URL, payload digest) group the FIRST capture in
@@ -1305,11 +1312,27 @@ def mark_revisits(
     original — the identical-payload-digest profile only deduplicates
     byte-identical responses (ISO 28500 §6.7.2).
 
+    ``key_on_url=False`` deduplicates on the digest ALONE — the
+    "digest-only" dedup mode production crawlers also run (byte-
+    identical content fetched at DIFFERENT URLs collapses to one
+    stored payload; ISO 28500 permits Refers-To to any capture with
+    the same digest).  Pair it with a BODY digest (http_responses'
+    ``body_md5``) when captures are HTTP envelopes, since framing
+    variation makes envelope bytes differ even for identical bodies.
+
     Pure Catalyst: one window over the canonical-URL+digest key (the
     same shuffle key :func:`url_duplicates` groups by); no collect, no
     self-join.  Input is :func:`warc_records` output; NULL-URL records
     (warcinfo/metadata) pass through as originals untouched."""
-    w = Window.partitionBy("canonical_url", digest_col)
+    if key_on_url:
+        w = Window.partitionBy("canonical_url", digest_col)
+    else:
+        # url-less records (warcinfo/metadata) must not join a digest
+        # group — a warcinfo payload byte-equal to some response body
+        # would otherwise steal the group's "first capture" slot
+        w = Window.partitionBy(
+            F.col(digest_col), F.col("canonical_url").isNotNull()
+        )
     first = F.min(
         F.struct(F.col("file_id"), F.col("offset"), F.col(id_col).alias("_id"))
     ).over(w)["_id"]
@@ -1330,6 +1353,7 @@ def write_revisit_warc_files(
     *,
     file_col: str = "file_id",
     content_type: str = "application/http;msgtype=response",
+    digest_col: str = "payload_md5",
 ) -> DataFrame:
     """Pack :func:`mark_revisits` output into deduplicated WARC files:
     originals re-encode as full ``response`` records; duplicates
@@ -1347,7 +1371,7 @@ def write_revisit_warc_files(
         F.col("offset").alias("_off"),
         F.col("record_id").alias("_id"),
         F.col("target_uri").alias("_uri"),
-        F.col("payload_md5").alias("_digest"),
+        F.col(digest_col).alias("_digest"),  # body_md5 for HTTP captures
         F.col("revisit_of").alias("_orig"),
         F.col("payload").alias("_payload"),
     ).where(F.col("_id").isNotNull())
@@ -1475,6 +1499,63 @@ def cdx_index(
         # the errors path like the other line-shifting nulls above
         F.col("urlkey").isNotNull()
     )
+
+
+def cdx_index_with_revisits(
+    records: DataFrame, *, skip_errors: bool = False, urlkey: str = "canonical"
+) -> DataFrame:
+    """CDX over a DEDUPLICATED WARC (a :func:`write_revisit_warc_files`
+    artifact): response records index as usual; ``revisit`` records
+    index under their own urlkey with ``mime = 'warc/revisit'`` and
+    the ORIGINAL capture's digest and status (resolved through the
+    WARC-Refers-To link) — exactly how production CDX marks
+    deduplicated captures so a replay service can look up ANY capture
+    of a URL and follow the index to the stored payload.  The revisit
+    row's offset/length are its OWN record's (replay seeks there
+    first, reads the Refers-To, then seeks the original).
+
+    One equi-join of revisit rows onto the response index (both
+    O(captures), AQE-sized); the response side is the one-pass
+    :func:`cdx_index`."""
+    base = cdx_index(
+        records.where(F.col("warc_type") == "response"),
+        skip_errors=skip_errors,
+        urlkey=urlkey,
+    )
+    key = surt_key if urlkey == "surt" else canonicalize_url
+    rev = records.where(
+        (F.col("warc_type") == "revisit")
+        & F.col("target_uri").isNotNull()
+        & F.col("warc_date").isNotNull()
+        & F.col("refers_to").isNotNull()
+    ).select(
+        key("target_uri").alias("urlkey"),
+        F.regexp_replace(F.col("warc_date"), "[^0-9]", "").alias("cdx_ts"),
+        F.col("target_uri").alias("url"),
+        F.col("offset"),
+        F.col("record_length").alias("length"),
+        F.col("file_id"),
+        F.col("record_id"),
+        F.col("refers_to"),
+    ).where(F.col("urlkey").isNotNull())
+    orig = base.select(
+        F.col("record_id").alias("refers_to"),
+        F.col("digest").alias("_orig_digest"),
+        F.col("status").alias("_orig_status"),
+    )
+    rev_rows = rev.join(orig, "refers_to", "left").select(
+        "urlkey",
+        "cdx_ts",
+        "url",
+        F.lit("warc/revisit").alias("mime"),
+        F.col("_orig_status").alias("status"),
+        F.col("_orig_digest").alias("digest"),
+        "offset",
+        "length",
+        "file_id",
+        "record_id",
+    )
+    return base.unionByName(rev_rows)
 
 
 CDX_LINE_SCHEMA = (

@@ -1874,3 +1874,59 @@ def corpus_domain_graph(spark, sf_dir):
         F.concat(F.lit("http://www.d"), (k + 1) % 4, F.lit(".co.uk/b")).alias("dst_url"),
     )
     return domain_graph(edges)
+
+
+@register(
+    "corpus_cdx_revisit_index",
+    """WITH g AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         doc_id - (doc_id % 3) AS k FROM documents)
+SELECT 'http://example.com/doc/' || doc_id AS urlkey,
+       '20240101000000' AS cdx_ts,
+       'http://example.com/doc/' || doc_id AS url,
+       CASE WHEN doc_id = k THEN 'text/html' ELSE 'warc/revisit' END AS mime,
+       CAST(CASE WHEN k % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+       md5('payload-' || k) AS digest,
+       'urn:uuid:doc-' || doc_id AS record_id
+FROM g""",
+)
+def corpus_cdx_revisit_index(spark, sf_dir):
+    """The r10 CDX layer and the r11 revisit dedup CLOSED into one
+    loop — exactly how production replay works: HTTP captures whose
+    BODIES repeat at different URLs (groups of 3 docs share
+    'payload-k' behind per-capture framing variation) dedup on the
+    body digest (digest-only mode: framing makes envelope bytes
+    differ, so the payload digest, not the record digest, is the
+    key), write as a deduplicated WARC with revisit records, re-read,
+    and index: originals index as usual; revisits index under their
+    OWN urlkey with mime 'warc/revisit' and the ORIGINAL's digest and
+    status resolved through WARC-Refers-To.  The oracle re-derives
+    every row closed-form — a wrong original, a lost revisit, or a
+    digest computed on the wrong layer (envelope vs body) all break
+    the hash.  Plan: one window (dedup plan), WET-shape pack, one
+    Arrow re-parse, ONE equi-join of revisit rows onto the response
+    index."""
+    from opentsdb_aura_spark.operators.containers import (
+        cdx_index_with_revisits,
+        http_responses,
+        mark_revisits,
+        synthesize_warc,
+        warc_records,
+        write_revisit_warc_files,
+    )
+
+    k = (F.col("doc_id") - F.col("doc_id") % 3).cast("long")
+    docs2 = docs_raw(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("payload-"), k).alias("text"),
+    )
+    files = synthesize_warc(docs2, docs_per_file=_DPF, http_envelope=True)
+    resp = http_responses(
+        warc_records(files, with_payload=True),
+        extra_cols=("offset", "record_length", "payload"),
+    )
+    marked = mark_revisits(resp, digest_col="body_md5", key_on_url=False)
+    dedup = write_revisit_warc_files(marked, digest_col="body_md5")
+    out = cdx_index_with_revisits(warc_records(dedup, with_payload=True))
+    return out.select(
+        "urlkey", "cdx_ts", "url", "mime", "status", "digest", "record_id"
+    )

@@ -1013,7 +1013,7 @@ def _parse_http_response(payload: bytes, *, max_inflated_bytes: int = MAX_INFLAT
                 charset = v.strip().strip('"').lower()
     return (
         version, status, reason, content_type, charset, content_encoding,
-        chunked, content_length, len(headers), body,
+        chunked, content_length, len(headers), headers.get("location"), body,
     )
 
 
@@ -1021,7 +1021,7 @@ HTTP_RESPONSE_SCHEMA = (
     "file_id long, record_id string, target_uri string, http_version string, "
     "status_code int, reason string, content_type string, charset string, "
     "content_encoding string, chunked boolean, content_length long, "
-    "n_headers int, body_md5 string, error string"
+    "n_headers int, location string, body_md5 string, error string"
 )
 HTTP_RESPONSE_BODY_SCHEMA = HTTP_RESPONSE_SCHEMA + ", body binary"
 
@@ -1098,6 +1098,7 @@ def http_responses(
         "chunked",
         "content_length",
         "n_headers",
+        "location",
         "body_md5",
         "error",
     ]
@@ -1117,20 +1118,20 @@ def http_responses(
                 try:
                     if payload is None:
                         raise ValueError("record has no payload (re-read with_payload=True)")
-                    ver, code, reason, ctype, cset, cenc, chunked, clen, nh, body = (
+                    ver, code, reason, ctype, cset, cenc, chunked, clen, nh, loc, body = (
                         _parse_http_response(
                             bytes(payload), max_inflated_bytes=max_inflated_bytes
                         )
                     )
                     row = (
                         fid, rid, uri, ver, code, reason, ctype, cset, cenc,
-                        chunked, clen, nh, hashlib.md5(body).hexdigest(), None,
+                        chunked, clen, nh, loc, hashlib.md5(body).hexdigest(), None,
                     )
                     rows.append((row + (body,) if with_body else row) + extras)
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-record containment
                     if not skip_errors:
                         raise
-                    err = (fid, rid, uri) + (None,) * 10 + (str(exc),)
+                    err = (fid, rid, uri) + (None,) * 11 + (str(exc),)
                     rows.append((err + (None,) if with_body else err) + extras)
             yield pd.DataFrame(rows, columns=cols)
 

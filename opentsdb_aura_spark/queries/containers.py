@@ -1930,3 +1930,69 @@ def corpus_cdx_revisit_index(spark, sf_dir):
     return out.select(
         "urlkey", "cdx_ts", "url", "mime", "status", "digest", "record_id"
     )
+
+
+@register(
+    "corpus_redirect_frontier",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         CAST(doc_id % 4 AS BIGINT) AS k
+                  FROM documents WHERE doc_id % 5 = 0)
+SELECT CASE WHEN doc_id % 2 = 0
+            THEN 'http://h' || k || '.example/moved/' || doc_id
+            ELSE 'https://cdn.example/m/' || doc_id END AS frontier_url,
+       CAST(1 AS BIGINT) AS n_refs
+FROM d""",
+)
+def corpus_redirect_frontier(spark, sf_dir):
+    """HTTP redirects followed into the frontier — ~a third of real
+    fetches answer 3xx, and a crawler that drops them loses the moved
+    half of the web: captures where every 5th fetch answers
+    ``301 Moved Permanently`` carry a Location header (RFC 9110
+    §10.2.2 — relative references allowed), which resolves against
+    the fetch URI (root-relative joins the origin; absolute passes
+    through), canonicalizes, and enters the frontier exactly like a
+    discovered link.  The oracle re-derives every redirect target
+    closed-form; 200 responses contribute nothing.  One Arrow
+    envelope pass (the Location header is a typed column, no second
+    parse) + the frontier groupBy."""
+    from opentsdb_aura_spark.operators.containers import (
+        canonicalize_url,
+        http_responses,
+        resolve_href,
+    )
+
+    doc = F.col("doc_id").cast("long")
+    k = (doc % 4).cast("long")
+    body = F.concat(F.lit("ok-"), doc)
+    redirect = F.concat(
+        F.lit("HTTP/1.1 301 Moved Permanently\r\nLocation: "),
+        F.when(doc % 2 == 0, F.concat(F.lit("/moved/"), doc))
+        .otherwise(F.concat(F.lit("https://cdn.example/m/"), doc)),
+        F.lit("\r\nContent-Length: 0\r\n\r\n"),
+    )
+    ok = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Length: "),
+        F.length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+        body,
+    )
+    caps = docs_raw(spark, sf_dir).select(
+        F.expr(f"CAST(doc_id DIV {_DPF} AS LONG)").alias("file_id"),
+        F.concat(F.lit("urn:uuid:cap-"), doc).alias("record_id"),
+        F.concat(F.lit("http://h"), k, F.lit(".example/old/"), doc).alias("target_uri"),
+        F.when(doc % 5 == 0, redirect).otherwise(ok).cast("binary").alias("payload"),
+    )
+    resp = http_responses(caps)
+    return (
+        resp.where(
+            F.col("status_code").between(300, 399) & F.col("location").isNotNull()
+        )
+        .select(
+            canonicalize_url(
+                resolve_href("target_uri", F.col("location"))
+            ).alias("frontier_url")
+        )
+        .where(F.col("frontier_url").isNotNull())
+        .groupBy("frontier_url")
+        .agg(F.count("*").alias("n_refs"))
+    )

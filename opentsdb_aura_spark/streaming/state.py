@@ -525,6 +525,21 @@ def streaming_crawl_ingest(
                     ).alias("frontier_url"),
                     id_expr.alias("doc_id"),
                 )
+                # 3xx Locations are discovery too (~a third of real
+                # fetches redirect; dropping them loses the moved half
+                # of the web): resolved against the fetch URI, they
+                # enter the same gates as extracted links
+                redirects = resp.where(
+                    F.col("error").isNull()
+                    & F.col("status_code").between(300, 399)
+                    & F.col("location").isNotNull()
+                ).select(
+                    canonicalize_url(
+                        resolve_href("target_uri", F.col("location"))
+                    ).alias("frontier_url"),
+                    id_expr.alias("doc_id"),
+                )
+                batch_links = batch_links.unionByName(redirects)
                 if url_prefilter_gate:
                     # string-only fetch-budget gate FIRST: no dim join,
                     # and it shrinks the robots join's probe side

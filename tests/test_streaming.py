@@ -1079,3 +1079,62 @@ def test_streaming_crawl_ingest_url_prefilter_gates_frontier(spark, tmpdirs):
 
     counts = {r["frontier_url"]: r["n_refs"] for r in frontier_counts(spark, frontier).collect()}
     assert counts == {"http://example.com/keep/page": 1}  # .png and 15-deep gated
+
+
+def test_streaming_crawl_ingest_follows_redirects(spark, tmpdirs):
+    """A 301 capture's Location resolves against the fetch URI and
+    enters the frontier index alongside extracted links; the
+    politeness gate still applies to redirect targets."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.containers import (
+        encode_http_response,
+        frontier_counts,
+    )
+    from opentsdb_aura_spark.operators.robots import parse_robots_files
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    html = ('<html><body><p>words here</p><a href="/keep">K</a></body></html>')
+    page = C.encode_warc_record(
+        "response", "urn:uuid:doc-1", encode_http_response(1, html.encode()),
+        target_uri="http://example.com/doc/1",
+        content_type="application/http;msgtype=response",
+    )
+    redirect_payload = (
+        b"HTTP/1.1 301 Moved Permanently\r\n"
+        b"Location: /moved/here\r\nContent-Length: 0\r\n\r\n"
+    )
+    redirect = C.encode_warc_record(
+        "response", "urn:uuid:doc-2", redirect_payload,
+        target_uri="http://example.com/doc/2",
+        content_type="application/http;msgtype=response",
+    )
+    disallowed = C.encode_warc_record(
+        "response", "urn:uuid:doc-3",
+        b"HTTP/1.1 302 Found\r\nLocation: /tmp/secret\r\nContent-Length: 0\r\n\r\n",
+        target_uri="http://example.com/doc/3",
+        content_type="application/http;msgtype=response",
+    )
+    rules_path = tmpdirs["out"] + "/robots_rules"
+    parse_robots_files(
+        spark.createDataFrame(
+            [("example.com", "User-agent: *\nDisallow: /tmp/\n")],
+            "host string, content string",
+        )
+    ).write.parquet(rules_path)
+
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame(
+        [(0, page + redirect + disallowed)], file_schema
+    ).coalesce(1).write.parquet(tmpdirs["in"] + "/b1")
+    frontier = tmpdirs["out"] + "/frontier"
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    streaming_crawl_ingest(
+        stream, tmpdirs["store"], tmpdirs["out"] + "/docs", tmpdirs["ckpt"],
+        http_html=True, frontier_path=frontier, robots_rules_path=rules_path,
+    ).awaitTermination(120)
+
+    counts = {r["frontier_url"]: r["n_refs"] for r in frontier_counts(spark, frontier).collect()}
+    assert counts == {
+        "http://example.com/keep": 1,
+        "http://example.com/moved/here": 1,  # the 301 target, discovered
+    }  # the 302 -> /tmp/secret target is politeness-gated out

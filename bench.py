@@ -104,12 +104,18 @@ BENCH_QUERIES = [
     "ev_parent_children_rollup",
     "corpus_crawl_frontier",
     "corpus_wat_links_roundtrip",
-    # round 11 additions: revisit dedup, the anchor-text signal, and
-    # the rank-weighted frontier (PageRank + one scheduling round)
+    # round 11 additions: revisit dedup, the anchor-text signal, the
+    # rank-weighted frontier (PageRank + one scheduling round), the
+    # weighted host rank, the ZipNum seek path, the revisit-aware CDX,
+    # and crawl-delay fetch scheduling
     "corpus_warc_revisit_roundtrip",
     "corpus_anchor_text_index",
     "pipeline_pagerank",
     "pipeline_frontier_rank",
+    "pipeline_host_rank",
+    "corpus_cdx_zipnum_lookup",
+    "corpus_cdx_revisit_index",
+    "corpus_fetch_schedule",
 ]
 
 

@@ -59,6 +59,7 @@ def encode_warc_record(
     refers_to: str | None = None,
     profile: str | None = None,
     payload_digest: str | None = None,
+    truncated: str | None = None,
 ) -> bytes:
     """One WARC/1.0 record: version line, named headers, blank line,
     payload, and the spec's two trailing CRLFs.  ``concurrent_to``
@@ -84,6 +85,8 @@ def encode_warc_record(
         lines.append(b"WARC-Profile: " + profile.encode())
     if payload_digest is not None:
         lines.append(b"WARC-Payload-Digest: " + payload_digest.encode())
+    if truncated is not None:
+        lines.append(b"WARC-Truncated: " + truncated.encode())
     lines.append(b"Content-Type: " + content_type.encode())
     lines.append(b"Content-Length: " + str(len(payload)).encode())
     return _CRLF.join(lines) + _CRLF + _CRLF + payload + _CRLF + _CRLF
@@ -113,6 +116,7 @@ def encode_warc_file(
     transfer_coding: bool = False,
     charset_body: bool = False,
     request_records: bool = False,
+    truncate_at: int | None = None,
 ) -> bytes:
     """A deterministic WARC file: one warcinfo record, then one
     response record per (doc_id, text) in the given order.
@@ -193,6 +197,13 @@ def encode_warc_file(
                     concurrent_to=f"urn:uuid:doc-{doc_id}",
                 )
             )
+        # bounded fetch: a payload past the cap stores only the prefix
+        # and the record says so (ISO 28500 §5.13, reason 'length') —
+        # what a production crawler's response-size budget produces
+        trunc_kw = {}
+        if truncate_at is not None and len(payload) > int(truncate_at):
+            payload = payload[: int(truncate_at)]
+            trunc_kw = {"truncated": "length"}
         out.append(
             encode_warc_record(
                 "response",
@@ -200,6 +211,7 @@ def encode_warc_file(
                 payload,
                 target_uri=f"http://example.com/doc/{doc_id}",
                 content_type=rec_ct,
+                **trunc_kw,
             )
         )
     if gzip_records:
@@ -218,6 +230,7 @@ def synthesize_warc(
     transfer_coding: bool = False,
     charset_body: bool = False,
     request_records: bool = False,
+    truncate_at: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -247,6 +260,7 @@ def synthesize_warc(
             transfer_coding=transfer_coding,
             charset_body=charset_body,
             request_records=request_records,
+            truncate_at=truncate_at,
         )
         return pd.DataFrame({"file_id": [fid], "content": [content]})
 
@@ -259,7 +273,7 @@ WARC_RECORD_SCHEMA = (
     "file_id long, offset long, record_length long, warc_type string, "
     "record_id string, target_uri string, content_length long, "
     "payload_md5 string, concurrent_to string, refers_to string, "
-    "profile string, warc_date string, error string"
+    "profile string, truncated string, warc_date string, error string"
 )
 WARC_RECORD_PAYLOAD_SCHEMA = WARC_RECORD_SCHEMA + ", payload binary"
 
@@ -315,6 +329,7 @@ def _parse_warc_bytes(data: bytes) -> Iterator[tuple]:
             _unbracket(fields.get("warc-concurrent-to")),
             _unbracket(fields.get("warc-refers-to")),  # revisit → original link
             fields.get("warc-profile"),  # the dedup profile a revisit names
+            fields.get("warc-truncated"),  # bounded-fetch reason (§5.13)
             fields.get("warc-date"),  # capture timestamp — the CDX index needs it
             payload,  # trailing so header-only consumers can drop it
         )
@@ -374,6 +389,7 @@ def warc_records(
         "concurrent_to",
         "refers_to",
         "profile",
+        "truncated",
         "warc_date",
         "error",
     ]
@@ -395,7 +411,7 @@ def warc_records(
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-file containment
                     if not skip_errors:
                         raise
-                    err = (fid,) + (None,) * 11 + (str(exc),)
+                    err = (fid,) + (None,) * 12 + (str(exc),)
                     rows.append(err + (None,) if with_payload else err)
             yield pd.DataFrame(rows, columns=cols)
 

@@ -1996,3 +1996,34 @@ def corpus_redirect_frontier(spark, sf_dir):
         .groupBy("frontier_url")
         .agg(F.count("*").alias("n_refs"))
     )
+
+
+@register(
+    "corpus_warc_truncated",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         octet_length(encode(text)) AS L,
+                         text
+                  FROM documents)
+SELECT 'urn:uuid:doc-' || doc_id AS record_id,
+       CASE WHEN L > 64 THEN 'length' END AS truncated,
+       CAST(least(L, 64) AS BIGINT) AS content_length,
+       md5(CASE WHEN L > 64 THEN substring(text, 1, 64) ELSE text END) AS payload_md5
+FROM d""",
+)
+def corpus_warc_truncated(spark, sf_dir):
+    """Bounded-fetch truncation (ISO 28500 §5.13): a production
+    crawler caps response size, stores the PREFIX, and marks the
+    record ``WARC-Truncated: length`` — curation then knows a short
+    doc is cut, not complete.  Fixture captures write with a 64-byte
+    cap; the re-read surfaces the reason as a typed column, and the
+    oracle recomputes, per doc, whether the cap bit, the stored
+    prefix's byte length, and the PREFIX digest (a digest of the full
+    text would mean the writer lied about what it stored; the fixture
+    corpus is pure ASCII — asserted by the generator — so the oracle's
+    64-CHAR substring is the writer's 64-BYTE prefix).  Same one Arrow
+    pass as every record scan."""
+    from opentsdb_aura_spark.operators.containers import synthesize_warc, warc_records
+
+    files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF, truncate_at=64)
+    recs = warc_records(files).where(F.col("warc_type") == "response")
+    return recs.select("record_id", "truncated", "content_length", "payload_md5")

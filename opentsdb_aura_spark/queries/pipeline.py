@@ -1577,3 +1577,65 @@ def pipeline_host_rank(spark, sf_dir):
     hg = host_graph(page_edges)
     pr = pagerank(hg, n_iter=3, src_col="src_host", dst_col="dst_host", weight_col="n_links")
     return pr.select("node", _r("rank", 6).alias("rank"))
+
+
+# The gopher keep rule re-stated over the s CTE (kept textually in
+# sync with quality_gopher_flags' oracle — both derive from the same
+# operator contract).
+_GOPHER_KEEP = """(n_tokens BETWEEN 10 AND 100000) AND n_tokens > 0
+         AND (mean_word_len BETWEEN 3 AND 10)
+         AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+         AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         AND n_stopword_hits >= 2"""
+
+
+@register(
+    "pipeline_host_quality",
+    r"""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks,
+        string_split(text, chr(10)) AS lines FROM documents),
+s AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_word_len,
+        list_sum(list_transform(toks, x -> length(x) - length(replace(x, '#', ''))
+          + CASE WHEN contains(x, '...') OR contains(x, '…') THEN 1 ELSE 0 END)) * 1.0 / len(toks) AS symbol_word_ratio,
+        len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* ', '• '))) * 1.0 / len(lines) AS bullet_line_frac,
+        len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0 / len(lines) AS ellipsis_line_frac,
+        len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks) AS alpha_word_frac,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stopword_hits
+      FROM t),
+f AS (SELECT doc_id, """ + _GOPHER_KEEP + r""" AS keep FROM s)
+SELECT 'h' || (doc_id % 4) || '.example' AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_ratio,
+       avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END) >= 0.5 AS host_keep
+FROM f GROUP BY 1""",
+)
+def pipeline_host_quality(spark, sf_dir):
+    """Curation decisions at HOST granularity — the fineweb-style
+    practice of dropping whole domains whose pages are mostly junk
+    (per-document gates leak spam that is obvious in aggregate): each
+    document's Gopher keep verdict rolls up per host into
+    (n_docs, n_keep, keep_ratio, host_keep at the 50% line).  The
+    oracle refits the full Gopher signal chain AND the rollup, so the
+    per-doc gate and the host decision are hash-checked together.
+    Plan: the zero-shuffle Gopher map stage + ONE map-side-combined
+    groupBy on host — at 100 TB this is how a host blocklist is
+    actually built (the output is the blocked_hosts dim
+    url_prefilter consumes)."""
+    from opentsdb_aura_spark.operators.quality import gopher_quality_flags
+
+    res = gopher_quality_flags(docs(spark, sf_dir), min_tokens=10)
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example"))
+    keep = F.col("keep").cast("double")
+    return (
+        res.select(host.alias("host"), keep.alias("_k"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_k").cast("long").alias("n_keep"),
+            _r(F.avg("_k"), 6).alias("keep_ratio"),
+            (F.avg("_k") >= 0.5).alias("host_keep"),
+        )
+    )

@@ -2035,6 +2035,7 @@ def recrawl_schedule(
     url_col: str = "url",
     ts_col: str = "capture_ts",
     digest_col: str = "digest",
+    status_col: str | None = None,
     base_interval: float = 86400.0,
     max_doublings: int = 5,
 ) -> DataFrame:
@@ -2050,12 +2051,35 @@ def recrawl_schedule(
     history when nothing ever changed), and ``next_fetch_ts`` =
     last capture + base_interval × 2^min(streak, max_doublings).
 
+    ``status_col`` integrates CONDITIONAL fetches: a ``304 Not
+    Modified`` capture carries no body (no digest) but IS unchanged-
+    content evidence (RFC 9110 §15.4.5) — its effective digest is the
+    last body-bearing capture's, so it extends the unchanged streak
+    instead of poisoning the comparison with a NULL.
+
     One window + one groupBy on the SAME url key (no second shuffle
     after the window's); the capture index at 100 TB is already
     url-sorted at rest, which is exactly the order the lag needs."""
     w = Window.partitionBy(url_col).orderBy(F.col(ts_col).asc(), F.col(digest_col))
-    prev = F.lag(F.col(digest_col)).over(w)
-    changed = (prev.isNotNull() & (F.col(digest_col) != prev)).cast("int")
+    if status_col is not None:
+        # a 304's effective digest = the last body-bearing capture's
+        # (last ignorenulls over the same window; computed in its own
+        # projection — window functions don't nest)
+        body_digest = F.when(F.col(status_col) != 304, F.col(digest_col))
+        captures = captures.withColumn(
+            "_eff",
+            F.last(body_digest, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    else:
+        captures = captures.withColumn("_eff", F.col(digest_col))
+    prev = F.lag(F.col("_eff")).over(w)
+    # _eff can be NULL under status_col (a LEADING 304 has no prior
+    # body to inherit) — 3VL would make the comparison NULL, not 0
+    changed = (
+        prev.isNotNull() & F.col("_eff").isNotNull() & (F.col("_eff") != prev)
+    ).cast("int")
     rn = F.row_number().over(w)
     marked = captures.select(
         F.col(url_col).alias("url"),

@@ -2027,3 +2027,69 @@ def corpus_warc_truncated(spark, sf_dir):
     files = synthesize_warc(docs_raw(spark, sf_dir), docs_per_file=_DPF, truncate_at=64)
     recs = warc_records(files).where(F.col("warc_type") == "response")
     return recs.select("record_id", "truncated", "content_length", "payload_md5")
+
+
+@register(
+    "corpus_recrawl_304",
+    """WITH caps AS (
+  SELECT 'http://example.com/page/' || (doc_id % 100) AS url,
+         CAST(1704067200 + (doc_id // 100) * 86400 AS DOUBLE) AS ts,
+         CASE WHEN (doc_id // 100) % 4 = 3 THEN NULL
+              ELSE md5('http://example.com/page/' || (doc_id % 100) || ':'
+                       || ((doc_id // 100) // 3)) END AS digest,
+         CASE WHEN (doc_id // 100) % 4 = 3 THEN 304 ELSE 200 END AS status
+  FROM documents),
+e AS (SELECT url, ts,
+        last_value(digest IGNORE NULLS) OVER (
+          PARTITION BY url ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff
+      FROM caps),
+m AS (SELECT url, ts,
+        CASE WHEN lag(eff) OVER w IS NOT NULL AND eff IS NOT NULL
+                  AND eff <> lag(eff) OVER w THEN 1 ELSE 0 END AS chg,
+        row_number() OVER w AS rn
+      FROM e WINDOW w AS (PARTITION BY url ORDER BY ts)),
+a AS (SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
+             CAST(sum(chg) AS BIGINT) AS n_changes,
+             max(CASE WHEN chg = 1 THEN rn END) AS lcr, max(ts) AS last_ts
+      FROM m GROUP BY 1)
+SELECT url, n_captures, n_changes,
+       round(CASE WHEN n_captures > 1
+                  THEN n_changes / CAST(n_captures - 1 AS DOUBLE) END, 6) AS change_rate,
+       CAST(coalesce(n_captures - lcr, n_captures - 1) AS BIGINT) AS streak,
+       round(last_ts + 86400.0 * power(2, least(coalesce(n_captures - lcr, n_captures - 1), 5)), 6) AS next_fetch_ts
+FROM a""",
+)
+def corpus_recrawl_304(spark, sf_dir):
+    """Conditional fetches feeding the revisit policy — the crawl-
+    bandwidth optimization 304s exist for (RFC 9110 §15.4.5): a
+    ``304 Not Modified`` capture has no body and no digest, but it IS
+    unchanged-content evidence, so its effective digest is the last
+    body-bearing capture's and it EXTENDS the unchanged streak instead
+    of poisoning the digest comparison with a NULL.  Every 4th fixture
+    capture is a 304 over the change-every-3rd-version sequence; the
+    oracle re-runs the identical ignore-nulls carry-forward +
+    lag/aggregate policy, value-hashing counts, streaks, and every
+    scheduled timestamp.  Same one-window-one-groupBy plan (the
+    carry-forward is a second expression over the SAME window key —
+    no extra shuffle)."""
+    from opentsdb_aura_spark.operators.containers import recrawl_schedule
+
+    i = F.expr("CAST(doc_id DIV 100 AS LONG)")
+    url = F.concat(F.lit("http://example.com/page/"), (F.col("doc_id") % 100).cast("long"))
+    caps = docs_raw(spark, sf_dir).select(
+        url.alias("url"),
+        (F.lit(1704067200) + i * 86400).cast("double").alias("capture_ts"),
+        F.when(
+            i % 4 != 3,
+            F.md5(F.concat(url, F.lit(":"), F.expr("CAST(doc_id DIV 100 DIV 3 AS STRING)"))),
+        ).alias("digest"),
+        F.when(i % 4 == 3, F.lit(304)).otherwise(F.lit(200)).alias("status"),
+    )
+    out = recrawl_schedule(caps, status_col="status")
+    return out.select(
+        "url", "n_captures", "n_changes",
+        _r("change_rate", 6).alias("change_rate"),
+        "streak",
+        _r("next_fetch_ts", 6).alias("next_fetch_ts"),
+    )

@@ -1305,3 +1305,33 @@ def test_zipnum_range_sharded_lookup(spark):
     n_rng = C.zipnum_candidate_blocks(idx, probes, range_sharded=True).select(
         "shard_id", "offset").distinct().count()
     assert n_rng < n_all
+
+
+def test_recrawl_schedule_304_semantics(spark):
+    """304s extend the unchanged streak (effective digest carried
+    forward), a change after a 304 run still registers, and a LEADING
+    304 (no prior body) contributes neither change nor poison."""
+    rows = [
+        # url A: body v1, 304, 304, body v2 (changed), 304
+        ("A", 1.0, "v1", 200), ("A", 2.0, None, 304), ("A", 3.0, None, 304),
+        ("A", 4.0, "v2", 200), ("A", 5.0, None, 304),
+        # url B: leading 304, then two identical bodies
+        ("B", 1.0, None, 304), ("B", 2.0, "x", 200), ("B", 3.0, "x", 200),
+    ]
+    caps = spark.createDataFrame(
+        rows, "url string, capture_ts double, digest string, status int"
+    )
+    out = {r["url"]: r for r in C.recrawl_schedule(
+        caps, status_col="status", base_interval=10.0
+    ).collect()}
+    a = out["A"]
+    assert a["n_captures"] == 5 and a["n_changes"] == 1   # only v1 -> v2
+    assert a["streak"] == 1                                # the trailing 304
+    assert a["next_fetch_ts"] == 5.0 + 10.0 * 2            # 2^1
+    b = out["B"]
+    assert b["n_changes"] == 0 and b["streak"] == 2        # leading 304 harmless
+    # without status integration, NULL digests never compare at all —
+    # the v1 -> v2 change is MISSED (prev is the 304's NULL) and the
+    # policy wrongly sees a never-changing page with a long streak
+    naive = {r["url"]: r for r in C.recrawl_schedule(caps).collect()}
+    assert naive["A"]["n_changes"] == 0 and naive["A"]["streak"] == 4

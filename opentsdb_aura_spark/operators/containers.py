@@ -1927,7 +1927,7 @@ def zipnum_candidate_blocks(
     production cluster.idx is ONE sorted file over exactly these
     boundaries).  Exposed so benches/tests can account the bytes a
     lookup touches with the exact planning rule the lookup uses."""
-    p = probes.select(F.col(probe_col).alias("_probe")).distinct()
+    probe_set = probes.select(F.col(probe_col).alias("_probe")).distinct()
     wS = Window.partitionBy("shard_id").orderBy("first_urlkey", "block_idx")
     bounded = idx.withColumn("_next_first", F.lead("first_urlkey").over(wS))
     in_block = (F.col("first_urlkey") <= F.col("_probe")) & (
@@ -1939,7 +1939,7 @@ def zipnum_candidate_blocks(
             "_snext", F.lead("_smin").over(Window.orderBy("_smin", "shard_id"))
         )
         probe_shards = sb.join(
-            F.broadcast(p),
+            F.broadcast(probe_set),
             (F.col("_smin") <= F.col("_probe"))
             & (F.col("_snext").isNull() | (F.col("_snext") >= F.col("_probe"))),
         ).select("shard_id", "_probe")
@@ -1948,7 +1948,7 @@ def zipnum_candidate_blocks(
             .where(in_block)
             .select("shard_id", "_probe", "offset", "length")
         )
-    return bounded.join(F.broadcast(p), in_block).select(
+    return bounded.join(F.broadcast(probe_set), in_block).select(
         "shard_id", "_probe", "offset", "length"
     )
 

@@ -2244,6 +2244,7 @@ def anchor_text_index(
     href_col: str = "href",
     text_col: str = "anchor_text",
     max_texts: int = 64,
+    exclude_nofollow: bool = True,
 ) -> DataFrame:
     """Inbound anchor-text signal per TARGET page — the classic
     relevance/spam feature (what other pages' link text calls a page
@@ -2261,7 +2262,14 @@ def anchor_text_index(
     ``max_texts`` BEFORE collect_list — no per-target array ever
     materializes more than ``max_texts`` elements, so the operator
     survives the inlink skew a real web graph has.  Returns
-    (target_url, n_refs, anchor_texts) with texts sorted."""
+    (target_url, n_refs, anchor_texts) with texts sorted.
+
+    ``rel=nofollow`` links are endorsement OPT-OUTS (the signal this
+    index exists for), so they are excluded by default when the input
+    carries the extractor's ``nofollow`` column — discovery may still
+    follow them, but they must not vote here."""
+    if exclude_nofollow and "nofollow" in links.columns:
+        links = links.where(~F.coalesce(F.col("nofollow"), F.lit(False)))
     target = canonicalize_url(resolve_href(base_col, href_col))
     t = F.lower(F.trim(F.col(text_col)))
     counted = (

@@ -266,6 +266,22 @@ def html_to_text(
 _RE_A_HREF = re.compile(
     r"(?is)<a\b[^>]*?\bhref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)[^>]*>(.*?)</a\s*>"
 )
+_RE_A_TAG = re.compile(r"(?is)(<a\b[^>]*>)(.*?)</a\s*>")
+
+
+def _attr_val(tag: str, name: str) -> str | None:
+    """Value of one attribute inside an opening-tag string, quoted or
+    bare, entity-decoded the way browsers decode attribute values;
+    None when absent."""
+    m = re.search(
+        r"(?is)\b" + name + r"\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)", tag
+    )
+    if not m:
+        return None
+    raw = m.group(1)
+    if raw[:1] in ("'", '"'):
+        raw = raw[1:-1]
+    return _htmllib.unescape(raw.strip())
 
 
 def extract_links(src: str) -> list:
@@ -274,23 +290,25 @@ def extract_links(src: str) -> list:
     them as capture metadata).  Same preprocessing as the text
     extractor (comments / script / style / head dropped, so chrome
     scripts can't inject phantom links), then anchors in document
-    order: (link_idx, href, anchor_text).  Hrefs are entity-decoded
-    the way browsers decode attribute values; anchor-less hrefs keep
-    an empty text; hrefless <a> elements are not links and are
+    order: (link_idx, href, anchor_text, nofollow) — ``nofollow`` is
+    the per-link rel token (RFC: a ranking/endorsement opt-out, NOT a
+    politeness rule; rank/anchor aggregation excludes these edges,
+    discovery may still follow them).  Hrefs are entity-decoded the
+    way browsers decode attribute values; anchor-less hrefs keep an
+    empty text; hrefless <a> elements are not links and are
     skipped."""
     s = _RE_COMMENT.sub(" ", src)
     s = _RE_DROP.sub(" ", s)
     s = _RE_HEAD.sub(" ", s)
     out = []
     idx = 0
-    for m in _RE_A_HREF.finditer(s):
-        raw = m.group(1)
-        if raw[:1] in ("'", '"'):
-            raw = raw[1:-1]
-        href = _htmllib.unescape(raw.strip())
+    for m in _RE_A_TAG.finditer(s):
+        href = _attr_val(m.group(1), "href")
         if not href:
             continue
-        out.append((idx, href, _visible(m.group(2))))
+        rel = _attr_val(m.group(1), "rel") or ""
+        nofollow = "nofollow" in rel.lower().split()
+        out.append((idx, href, _visible(m.group(2)), nofollow))
         idx += 1
     return out
 
@@ -304,7 +322,7 @@ def html_links(
 ) -> DataFrame:
     """Per-LINK extraction over a pages frame (1→many Arrow pass, the
     container-walker shape): keep_cols + (link_idx int, href string,
-    anchor_text string) in document order.  NULL html yields no rows.
+    anchor_text string, nofollow boolean) in document order.  NULL html yields no rows.
     ``charset_col`` consumes the html column as BYTES decoded per row
     with the declared charset (the html_to_text seam — the streaming
     crawl path feeds framed body bytes).  The frontier feed: at
@@ -318,7 +336,7 @@ def html_links(
         raise ValueError(f"charset_col not in input: {charset_col}")
     out_schema = ", ".join(
         [f"{c} {in_fields[c]}" for c in keep_cols]
-        + ["link_idx int", "href string", "anchor_text string"]
+        + ["link_idx int", "href string", "anchor_text string", "nofollow boolean"]
     )
     if charset_col is None:
         proj = pages.select(*keep_cols, F.col(html_col).cast("string").alias("_html"))
@@ -329,7 +347,7 @@ def html_links(
             F.col(html_col).cast("binary").alias("_html"),
         )
     with_charset = charset_col is not None
-    out_cols = list(keep_cols) + ["link_idx", "href", "anchor_text"]
+    out_cols = list(keep_cols) + ["link_idx", "href", "anchor_text", "nofollow"]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

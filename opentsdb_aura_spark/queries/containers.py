@@ -1043,11 +1043,11 @@ def corpus_html_blocks(spark, sf_dir):
     "corpus_html_links",
     _HTML_EXPECTED
     + """
-SELECT doc_id, CAST(0 AS INTEGER) AS link_idx, '/' AS href, 'Home' AS anchor_text FROM e
-UNION ALL SELECT doc_id, CAST(1 AS INTEGER), '/about', 'About' FROM e
-UNION ALL SELECT doc_id, CAST(2 AS INTEGER), '/next', 'next page' FROM e
-UNION ALL SELECT doc_id, CAST(3 AS INTEGER), '/terms', 'Terms' FROM e
-UNION ALL SELECT doc_id, CAST(4 AS INTEGER), '/privacy', 'Privacy' FROM e""",
+SELECT doc_id, CAST(0 AS INTEGER) AS link_idx, '/' AS href, 'Home' AS anchor_text, FALSE AS nofollow FROM e
+UNION ALL SELECT doc_id, CAST(1 AS INTEGER), '/about', 'About', FALSE FROM e
+UNION ALL SELECT doc_id, CAST(2 AS INTEGER), '/next', 'next page', FALSE FROM e
+UNION ALL SELECT doc_id, CAST(3 AS INTEGER), '/terms', 'Terms', FALSE FROM e
+UNION ALL SELECT doc_id, CAST(4 AS INTEGER), '/privacy', 'Privacy', FALSE FROM e""",
 )
 def corpus_html_links(spark, sf_dir):
     """Outgoing-link extraction — the crawl-FRONTIER surface: hrefs +
@@ -2093,3 +2093,41 @@ def corpus_recrawl_304(spark, sf_dir):
         "streak",
         _r("next_fetch_ts", 6).alias("next_fetch_ts"),
     )
+
+
+@register(
+    "corpus_nofollow_anchor_index",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total,
+                         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS even
+                  FROM documents)
+SELECT 'http://h.example/a' AS target_url, even AS n_refs, ['alpha'] AS anchor_texts FROM n
+UNION ALL SELECT 'http://h.example/b', total, ['beta'] FROM n""",
+)
+def corpus_nofollow_anchor_index(spark, sf_dir):
+    """rel=nofollow honored where it matters — the endorsement
+    aggregation (nofollow is a ranking opt-out, NOT politeness:
+    discovery may follow, but the link must not vote): odd pages link
+    /a with rel=nofollow and even pages without, so /a's inbound count
+    equals EXACTLY the even-page count while the always-followed /b
+    keeps the full corpus count — an exclusion bug moves a hash-checked
+    number, not a boolean.  Per-link rel parsing (quoting/order/case
+    variants) is unit-pinned; this pins the aggregation contract."""
+    from opentsdb_aura_spark.operators.containers import anchor_text_index
+    from opentsdb_aura_spark.operators.htmltext import html_links
+
+    a_tag = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit('<a href="/a">Alpha</a>'))
+        .otherwise(F.lit('<a rel="nofollow" href="/a">Alpha</a>'))
+    )
+    html = F.concat(
+        F.lit("<html><body><p>some page words here</p>"),
+        a_tag,
+        F.lit('<a href="/b">Beta</a></body></html>'),
+    )
+    pages = docs_raw(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        html.alias("html"),
+        F.lit("http://h.example/p").alias("page_url"),
+    )
+    links = html_links(pages, keep_cols=("doc_id", "page_url"))
+    return anchor_text_index(links)

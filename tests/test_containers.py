@@ -974,10 +974,21 @@ def test_extract_links_edges(spark):
     )
     got = extract_links(page)
     assert got == [
-        (0, "/a&b?x=1", "First & Co"),
-        (1, "/two", "two"),
-        (2, "/three", "three"),
-        (3, "https://other.example/abs", "bold text"),
+        (0, "/a&b?x=1", "First & Co", False),
+        (1, "/two", "two", False),
+        (2, "/three", "three", False),
+        (3, "https://other.example/abs", "bold text", False),
+    ]
+    # rel tokens: nofollow flagged per link, space-separated list, any
+    # attribute order, case-insensitive; other rel values stay False
+    rel_page = (
+        '<body><a rel="nofollow" href="/n1">a</a>'
+        "<a href='/n2' rel='noopener NOFOLLOW'>b</a>"
+        '<a href="/f" rel="noopener">c</a>'
+        "<a href=/plain>d</a></body>"
+    )
+    assert [(h, nf) for _, h, _, nf in extract_links(rel_page)] == [
+        ("/n1", True), ("/n2", True), ("/f", False), ("/plain", False),
     ]
 
 

@@ -313,6 +313,92 @@ def extract_links(src: str) -> list:
     return out
 
 
+_RE_LINK_TAG = re.compile(r"(?is)<link\b[^>]*>")
+_RE_META_TAG = re.compile(r"(?is)<meta\b[^>]*>")
+
+
+def extract_page_directives(src: str) -> tuple:
+    """Head-level page directives a curation crawl must honor:
+    (canonical_href, noindex, nofollow).  ``rel=canonical`` is the
+    site's OWN dedup assertion (URL variants of one document name a
+    single canonical — the strongest URL-level dedup signal there
+    is); ``<meta name=robots>`` noindex/nofollow are the in-page
+    robots controls (``none`` = both).  First canonical wins (browser
+    behavior); meta directives OR across multiple robots tags;
+    comments and script/style bodies can't inject (stripped first);
+    the head is NOT stripped — that is where these live."""
+    s = _RE_COMMENT.sub(" ", src)
+    s = _RE_DROP.sub(" ", s)
+    canonical = None
+    for m in _RE_LINK_TAG.finditer(s):
+        rel = (_attr_val(m.group(0), "rel") or "").lower().split()
+        if "canonical" in rel:
+            href = _attr_val(m.group(0), "href")
+            if href:
+                canonical = href
+                break
+    noindex = nofollow = False
+    for m in _RE_META_TAG.finditer(s):
+        name = (_attr_val(m.group(0), "name") or "").lower()
+        if name != "robots":
+            continue
+        content = (_attr_val(m.group(0), "content") or "").lower()
+        toks = {t.strip() for t in content.split(",")}
+        noindex = noindex or "noindex" in toks or "none" in toks
+        nofollow = nofollow or "nofollow" in toks or "none" in toks
+    return canonical, noindex, nofollow
+
+
+def html_page_directives(
+    pages: DataFrame,
+    *,
+    html_col: str = "html",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    charset_col: str | None = None,
+) -> DataFrame:
+    """1→1 Arrow pass surfacing :func:`extract_page_directives` per
+    page: keep_cols + (canonical_href string, noindex boolean,
+    nofollow boolean).  NULL html yields a no-directive row shape
+    (NULL/False/False).  Same charset seam as the other page passes."""
+    in_fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    missing = [c for c in keep_cols if c not in in_fields]
+    if missing:
+        raise ValueError(f"keep_cols not in input: {missing}")
+    out_schema = ", ".join(
+        [f"{c} {in_fields[c]}" for c in keep_cols]
+        + ["canonical_href string", "noindex boolean", "nofollow boolean"]
+    )
+    if charset_col is None:
+        proj = pages.select(*keep_cols, F.col(html_col).cast("string").alias("_html"))
+    else:
+        proj = pages.select(
+            *keep_cols,
+            F.col(charset_col).cast("string").alias("_charset"),
+            F.col(html_col).cast("binary").alias("_html"),
+        )
+    with_charset = charset_col is not None
+    out_cols = list(keep_cols) + ["canonical_href", "noindex", "nofollow"]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                if with_charset:
+                    *keys, charset, src = tup
+                else:
+                    *keys, src = tup
+                    charset = None
+                if src is None:
+                    rows.append((*keys, None, False, False))
+                    continue
+                if with_charset:
+                    src = _decode_page(src, charset)
+                rows.append((*keys, *extract_page_directives(src)))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return proj.mapInPandas(op, schema=out_schema)
+
+
 def html_links(
     pages: DataFrame,
     *,

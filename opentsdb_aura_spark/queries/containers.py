@@ -2131,3 +2131,102 @@ def corpus_nofollow_anchor_index(spark, sf_dir):
     )
     links = html_links(pages, keep_cols=("doc_id", "page_url"))
     return anchor_text_index(links)
+
+
+@register(
+    "corpus_page_directives",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         CAST(doc_id % 3 AS BIGINT) AS p,
+                         CAST(doc_id % 4 AS BIGINT) AS r FROM documents)
+SELECT doc_id,
+       CASE WHEN p = 0 THEN 'http://example.com/c/' || (doc_id % 7) END AS canonical_href,
+       r IN (1, 3) AS noindex,
+       r IN (2, 3) AS nofollow
+FROM d""",
+)
+def corpus_page_directives(spark, sf_dir):
+    """Head-level directives a curation crawl must honor:
+    ``rel=canonical`` (the site's own URL-dedup assertion) and
+    ``<meta name=robots>`` noindex/nofollow (the in-page robots
+    controls; ``none`` = both).  Every third fixture page declares a
+    canonical; the robots meta cycles through index,follow /
+    noindex / nofollow / none — the oracle recomputes every
+    declaration closed-form, so attribute parsing (order/case/quoting
+    variants unit-pinned), first-canonical-wins, and the
+    none-implies-both rule are value-hashed.  One 1→1 Arrow pass."""
+    from opentsdb_aura_spark.operators.htmltext import html_page_directives
+
+    doc = F.col("doc_id").cast("long")
+    p = (doc % 3).cast("long")
+    r = (doc % 4).cast("long")
+    canon = F.when(
+        p == 0,
+        F.concat(F.lit('<link rel="canonical" href="http://example.com/c/'), doc % 7, F.lit('">')),
+    ).otherwise(F.lit(""))
+    robots = (
+        F.when(r == 0, F.lit('<meta name="robots" content="index, follow">'))
+        .when(r == 1, F.lit("<meta name=robots content='noindex'>"))
+        .when(r == 2, F.lit('<META NAME="ROBOTS" CONTENT="NOFOLLOW">'))
+        .otherwise(F.lit('<meta name="robots" content="none">'))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"), canon, robots,
+        F.lit("</head><body><p>body words</p></body></html>"),
+    )
+    pages = docs_raw(spark, sf_dir).select(doc.alias("doc_id"), html.alias("html"))
+    return html_page_directives(pages)
+
+
+@register(
+    "corpus_canonical_dedup",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+              WHERE doc_id % 3 = 0)
+SELECT 'http://example.com/c/' || (doc_id % 7) AS canonical_url,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       min(doc_id) AS keep_id
+FROM d GROUP BY 1 HAVING count(*) > 1""",
+)
+def corpus_canonical_dedup(spark, sf_dir):
+    """URL-variant dedup by the site's OWN assertion — rel=canonical
+    beats any URL heuristic because the publisher names the canonical
+    directly (tracking variants, pagination views, and mirrors all
+    declare one target): pages carrying a canonical collapse onto the
+    resolved canonical URL; families with >1 member report their size
+    and the surviving doc (min id), exactly the url_duplicates
+    contract.  The oracle regroups the declared targets closed-form.
+    One Arrow directives pass + ONE groupBy on the canonical key —
+    the url_duplicates scale shape with a better key."""
+    from opentsdb_aura_spark.operators.containers import (
+        canonicalize_url,
+        resolve_href,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_page_directives
+
+    doc = F.col("doc_id").cast("long")
+    p = (doc % 3).cast("long")
+    canon = F.when(
+        p == 0,
+        F.concat(F.lit('<link rel="canonical" href="http://example.com/c/'), doc % 7, F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), canon, F.lit("</head><body><p>w</p></body></html>")
+    )
+    pages = docs_raw(spark, sf_dir).select(
+        doc.alias("doc_id"),
+        html.alias("html"),
+        F.concat(F.lit("http://example.com/p/"), doc).alias("page_url"),
+    )
+    dirs = html_page_directives(pages, keep_cols=("doc_id", "page_url"))
+    fam = dirs.select(
+        F.col("doc_id"),
+        canonicalize_url(
+            F.coalesce(
+                resolve_href("page_url", F.col("canonical_href")), F.col("page_url")
+            )
+        ).alias("canonical_url"),
+    )
+    return (
+        fam.groupBy("canonical_url")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )

@@ -1346,3 +1346,27 @@ def test_recrawl_schedule_304_semantics(spark):
     # policy wrongly sees a never-changing page with a long streak
     naive = {r["url"]: r for r in C.recrawl_schedule(caps).collect()}
     assert naive["A"]["n_changes"] == 0 and naive["A"]["streak"] == 4
+
+
+def test_extract_page_directives_edges():
+    from opentsdb_aura_spark.operators.htmltext import extract_page_directives as e
+
+    # first canonical wins; multi-token rel; meta directives OR across tags
+    page = (
+        "<html><head>"
+        "<link href='/first' rel='stylesheet canonical'>"
+        '<link rel="canonical" href="/second">'
+        "<meta name=robots content='noindex'>"
+        '<META NAME="Robots" CONTENT="nofollow">'
+        "</head><body></body></html>"
+    )
+    assert e(page) == ("/first", True, True)
+    # none implies both; non-robots meta ignored; comment can't inject
+    assert e(
+        "<head><meta name='viewport' content='x'>"
+        "<!-- <link rel=canonical href=/phantom> -->"
+        "<meta name=robots content='none'></head>"
+    ) == (None, True, True)
+    # rel=canonical without href is not a directive; empty page clean
+    assert e("<head><link rel=canonical></head>") == (None, False, False)
+    assert e("") == (None, False, False)

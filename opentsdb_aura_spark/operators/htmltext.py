@@ -405,13 +405,18 @@ def html_links(
     html_col: str = "html",
     keep_cols: tuple[str, ...] = ("doc_id",),
     charset_col: str | None = None,
+    respect_meta_nofollow: bool = False,
 ) -> DataFrame:
     """Per-LINK extraction over a pages frame (1→many Arrow pass, the
     container-walker shape): keep_cols + (link_idx int, href string,
     anchor_text string, nofollow boolean) in document order.  NULL html yields no rows.
     ``charset_col`` consumes the html column as BYTES decoded per row
     with the declared charset (the html_to_text seam — the streaming
-    crawl path feeds framed body bytes).  The frontier feed: at
+    crawl path feeds framed body bytes).
+    ``respect_meta_nofollow=True`` honors the PAGE-level
+    ``<meta name=robots content=nofollow>`` control: a nofollow page
+    yields NO link rows at all (checked inside the same pass — the
+    page decodes once).  The frontier feed: at
     100 TB this is the narrow pass whose output joins the URL-dedup
     canonicalizer to schedule the next crawl wave."""
     in_fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
@@ -448,6 +453,8 @@ def html_links(
                     continue
                 if with_charset:
                     src = _decode_page(src, charset)
+                if respect_meta_nofollow and extract_page_directives(src)[2]:
+                    continue  # page-level robots nofollow: no links vote or follow
                 for ln in extract_links(src):
                     rows.append((*keys, *ln))
             yield pd.DataFrame(rows, columns=out_cols)

@@ -2230,3 +2230,45 @@ def corpus_canonical_dedup(spark, sf_dir):
         .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_id"))
         .where(F.col("dup_count") > 1)
     )
+
+
+@register(
+    "corpus_frontier_meta_nofollow",
+    """WITH n AS (SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS even
+              FROM documents)
+SELECT 'http://example.com/x' AS frontier_url, even AS n_refs FROM n
+UNION ALL SELECT 'http://example.com/y', even FROM n""",
+)
+def corpus_frontier_meta_nofollow(spark, sf_dir):
+    """Page-level robots nofollow honored at link extraction — the
+    in-page twin of robots.txt (a nofollow page's links neither vote
+    nor schedule): odd fixture pages declare
+    ``<meta name=robots content=nofollow>``, so BOTH frontier targets
+    count exactly the even pages — the directive check runs inside the
+    same Arrow pass that extracts links (the page decodes once).  A
+    gate slip moves hash-checked counts."""
+    from opentsdb_aura_spark.operators.containers import canonicalize_url, resolve_href
+    from opentsdb_aura_spark.operators.htmltext import html_links
+
+    doc = F.col("doc_id").cast("long")
+    meta = F.when(
+        doc % 2 == 1, F.lit('<meta name="robots" content="nofollow">')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit('</head><body><a href="/x">X</a><a href="/y">Y</a></body></html>'),
+    )
+    pages = docs_raw(spark, sf_dir).select(
+        doc.alias("doc_id"),
+        html.alias("html"),
+        F.lit("http://example.com/p").alias("page_url"),
+    )
+    links = html_links(pages, keep_cols=("doc_id", "page_url"), respect_meta_nofollow=True)
+    return (
+        links.select(
+            canonicalize_url(resolve_href("page_url", "href")).alias("frontier_url")
+        )
+        .where(F.col("frontier_url").isNotNull())
+        .groupBy("frontier_url")
+        .agg(F.count("*").alias("n_refs"))
+    )

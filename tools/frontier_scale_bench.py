@@ -150,6 +150,27 @@ def main() -> None:
     assert [probe[("h2.example", s)] for s in range(1, 6)] == [0.0, 2.0, 4.0, 6.0, 8.0]
     assert [probe[("h3.example", s)] for s in range(1, 6)] == [0.0, 4.0, 8.0, 12.0, 16.0]
     out["schedule_spacing_exact"] = True
+
+    # round-11 stage: the inbound anchor-text signal at 2 M pages —
+    # re-extract links WITH text and aggregate per target, asserting
+    # the exact deduped text and reference count per fixture anchor
+    from opentsdb_aura_spark.operators.containers import anchor_text_index
+
+    t0 = time.perf_counter()
+    tlinks = html_links(pages, keep_cols=("page_url",))
+    aidx = anchor_text_index(tlinks).localCheckpoint()
+    n_targets = aidx.count()
+    out["anchor_index_sec"] = round(time.perf_counter() - t0, 2)
+    assert n_targets == 5 * n_hosts, n_targets
+    probe = {r["target_url"]: (r["n_refs"], list(r["anchor_texts"])) for r in aidx.where(
+        F.col("target_url").isin(
+            "http://h0.example", "http://h1.example/next", "http://h2.example/about"
+        )
+    ).collect()}
+    assert probe["http://h0.example"] == (per_host, ["home"]), probe
+    assert probe["http://h1.example/next"] == (per_host, ["next page"]), probe
+    assert probe["http://h2.example/about"] == (per_host, ["about"]), probe
+    out["anchor_texts_exact"] = True
     print(json.dumps(out))
 
 

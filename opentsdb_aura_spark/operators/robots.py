@@ -471,3 +471,40 @@ def schedule_fetches(
             + (slot - 1) * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
         ).alias("scheduled_ts"),
     )
+
+
+def sitemap_fetch_plan(
+    sitemap_urls: DataFrame,
+    captures: DataFrame,
+    *,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    url_col: str = "url",
+    ts_col: str = "capture_ts",
+) -> DataFrame:
+    """Conditional DISCOVERY: the sitemap's ``lastmod`` hint against
+    the capture history decides which listed URLs are worth a fetch —
+    never-captured URLs always fetch; a URL whose lastmod is newer
+    than its last capture refetches; an older-or-equal lastmod (or a
+    missing one, which asserts nothing) skips — the sitemaps-protocol
+    half of the 304/wait-doubling bandwidth story.  Returns
+    (loc, lastmod_ts, last_capture_ts, needs_fetch).
+
+    One groupBy on the capture url + one equi-join onto the O(listed)
+    sitemap dim; lastmod parses as a date (the protocol allows full
+    W3C datetimes — extend the format here if a feed uses them)."""
+    last_cap = captures.groupBy(F.col(url_col).alias("loc")).agg(
+        F.max(F.col(ts_col).cast("double")).alias("last_capture_ts")
+    )
+    lm = F.to_timestamp(F.col(lastmod_col), "yyyy-MM-dd").cast("double")
+    planned = sitemap_urls.select(
+        F.col(loc_col).alias("loc"), lm.alias("lastmod_ts")
+    ).join(last_cap, "loc", "left")
+    needs = (
+        F.when(F.col("last_capture_ts").isNull(), F.lit(True))
+        .when(F.col("lastmod_ts").isNull(), F.lit(False))
+        .otherwise(F.col("lastmod_ts") > F.col("last_capture_ts"))
+    )
+    return planned.select(
+        "loc", "lastmod_ts", "last_capture_ts", needs.alias("needs_fetch")
+    )

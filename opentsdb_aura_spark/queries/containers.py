@@ -2272,3 +2272,47 @@ def corpus_frontier_meta_nofollow(spark, sf_dir):
         .groupBy("frontier_url")
         .agg(F.count("*").alias("n_refs"))
     )
+
+
+@register(
+    "corpus_sitemap_fetch_plan",
+    """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
+i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i),
+sm AS (SELECT k, i, 'http://h' || k || '.example/s/' || i AS loc,
+              CAST(epoch(strptime('2024-01-' || lpad(CAST((k + i) % 28 + 1 AS VARCHAR), 2, '0'),
+                                  '%Y-%m-%d')) AS DOUBLE) AS lastmod_ts
+       FROM k CROSS JOIN i),
+cap AS (SELECT k, i,
+               CAST(epoch(strptime('2024-01-08', '%Y-%m-%d')) AS DOUBLE) AS last_capture_ts
+        FROM k CROSS JOIN i WHERE i < 2)
+SELECT sm.loc, sm.lastmod_ts, cap.last_capture_ts,
+       CASE WHEN cap.last_capture_ts IS NULL THEN TRUE
+            ELSE sm.lastmod_ts > cap.last_capture_ts END AS needs_fetch
+FROM sm LEFT JOIN cap ON sm.k = cap.k AND sm.i = cap.i""",
+)
+def corpus_sitemap_fetch_plan(spark, sf_dir):
+    """Conditional discovery — the sitemaps-protocol half of the
+    crawl-bandwidth story (lastmod exists so a crawler can SKIP
+    unchanged listed URLs): the fixture urlsets' per-URL lastmod dates
+    meet a capture history where entries 0-1 of every host were last
+    fetched on Jan 8 and entry 2 never — never-captured always
+    fetches, and captured entries refetch exactly when their lastmod
+    postdates the capture.  The oracle recomputes every timestamp and
+    verdict closed-form (DuckDB strptime vs Spark to_timestamp pin the
+    date parsing against each other).  One groupBy + one equi-join on
+    the O(listed) dim."""
+    from opentsdb_aura_spark.operators.robots import (
+        parse_sitemap_files,
+        sitemap_fetch_plan,
+        synthesize_sitemaps,
+    )
+
+    hosts = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example")).alias("host")
+    ).distinct()
+    listed = parse_sitemap_files(synthesize_sitemaps(hosts))
+    caps = listed.where(F.regexp_extract(F.col("loc"), r"/s/(\d+)$", 1).cast("int") < 2).select(
+        F.col("loc").alias("url"),
+        F.to_timestamp(F.lit("2024-01-08"), "yyyy-MM-dd").cast("double").alias("capture_ts"),
+    )
+    return sitemap_fetch_plan(listed, caps)

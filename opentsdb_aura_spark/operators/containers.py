@@ -1274,8 +1274,14 @@ def surt_key(url):
     Pure Catalyst."""
     u = canonicalize_url(url)
     hostport = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/]*)", 1)
+    # strip the port, a trailing FQDN dot ('example.com.' ≡
+    # 'example.com' in DNS — pywb's SURT normalizes it too), then www
     host = F.regexp_replace(
-        F.regexp_replace(hostport, r":\d+$", ""), r"^www\.", ""
+        F.regexp_replace(
+            F.regexp_replace(hostport, r":\d+$", ""), r"\.$", ""
+        ),
+        r"^www\.",
+        "",
     )
     port = F.regexp_extract(hostport, r"(:\d+)$", 1)
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
@@ -1585,12 +1591,14 @@ def _cdx_line_expr():
     """One CDXJ line (``urlkey timestamp {json}``) as a Column over a
     :func:`cdx_index` row — shared by the per-WARC-file sink and the
     ZipNum block writer so both artifacts carry byte-identical lines.
-    The line format is space-delimited: a space INSIDE a urlkey would
-    shift the fields on re-parse, so percent-encode it ('%' first so
-    the encoding is invertible); parse_cdx_files decodes in reverse."""
-    urlkey_enc = F.regexp_replace(
-        F.regexp_replace(F.col("urlkey"), "%", "%25"), " ", "%20"
-    )
+    The line format is space- and newline-delimited: a space OR line
+    break INSIDE a urlkey would shift fields / split the line on
+    re-parse, so percent-encode them ('%' first so the encoding is
+    invertible); parse_cdx_files and the ZipNum reader decode in
+    reverse order."""
+    urlkey_enc = F.regexp_replace(F.col("urlkey"), "%", "%25")
+    for ch, enc in ((" ", "%20"), ("\n", "%0A"), ("\r", "%0D")):
+        urlkey_enc = F.regexp_replace(urlkey_enc, ch, enc)
     return F.concat_ws(
         " ",
         urlkey_enc,
@@ -1636,11 +1644,10 @@ def parse_cdx_files(files: DataFrame) -> DataFrame:
     lines = files.select(
         "file_id", F.explode(F.split(F.col("content"), "\n")).alias("line")
     ).where(F.length("line") > 0)
-    urlkey_dec = F.regexp_replace(
-        F.regexp_replace(F.substring_index(F.col("line"), " ", 1), "%20", " "),
-        "%25",
-        "%",
-    )
+    urlkey_dec = F.substring_index(F.col("line"), " ", 1)
+    for enc, ch in (("%0D", "\r"), ("%0A", "\n"), ("%20", " ")):
+        urlkey_dec = F.regexp_replace(urlkey_dec, enc, ch)
+    urlkey_dec = F.regexp_replace(urlkey_dec, "%25", "%")
     parsed = lines.select(
         "file_id",
         urlkey_dec.alias("urlkey"),
@@ -1694,6 +1701,7 @@ def registrable_domain(host, *, extra_suffixes: tuple = ()):
     ``extra_suffixes``.  Pure Catalyst; a host with one label (or an
     IP-ish string) passes through unchanged."""
     h = F.lower(host if isinstance(host, F.Column) else F.col(host))
+    h = F.regexp_replace(h, r"\.$", "")  # trailing FQDN dot ≡ none (DNS)
     parts = F.split(h, r"\.")
     n = F.size(parts)
     # F.get is NULL-safe on out-of-range (element_at THROWS under ANSI
@@ -2013,7 +2021,10 @@ def zipnum_lookup(
                 want = set(plist)
                 for line in text.splitlines():
                     key, _, rest = line.partition(" ")
-                    key = key.replace("%20", " ").replace("%25", "%")
+                    key = (
+                        key.replace("%0D", "\r").replace("%0A", "\n")
+                        .replace("%20", " ").replace("%25", "%")
+                    )
                     if key in want:
                         ts, _, js = rest.partition(" ")
                         rows.append((key, ts, js))

@@ -263,9 +263,6 @@ def html_to_text(
     return proj.mapInPandas(op, schema=out_schema)
 
 
-_RE_A_HREF = re.compile(
-    r"(?is)<a\b[^>]*?\bhref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)[^>]*>(.*?)</a\s*>"
-)
 _RE_A_TAG = re.compile(r"(?is)(<a\b[^>]*>)(.*?)</a\s*>")
 
 
@@ -273,8 +270,10 @@ def _attr_val(tag: str, name: str) -> str | None:
     """Value of one attribute inside an opening-tag string, quoted or
     bare, entity-decoded the way browsers decode attribute values;
     None when absent."""
+    # (?<![-\w]) keeps `data-href=` / `xhref=` from matching `href`
+    # (\b alone treats '-' as a boundary — a real phantom-link source)
     m = re.search(
-        r"(?is)\b" + name + r"\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)", tag
+        r"(?is)(?<![-\w])" + name + r"\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)", tag
     )
     if not m:
         return None

@@ -1370,3 +1370,35 @@ def test_extract_page_directives_edges():
     # rel=canonical without href is not a directive; empty page clean
     assert e("<head><link rel=canonical></head>") == (None, False, False)
     assert e("") == (None, False, False)
+
+
+def test_cdx_line_control_char_and_fqdn_edges(spark):
+    """A urlkey bearing spaces/newlines/percents survives the CDXJ
+    line format through write AND zipnum paths; trailing-FQDN-dot
+    hosts normalize in surt/domain keys."""
+    rows = [(0, "http://x.example/a b\nc%d", "20240101000000",
+             "http://x.example/q", "t", 200, "dg", 0, 9, "urn:uuid:r-0")]
+    cdx = spark.createDataFrame(
+        rows,
+        "file_id long, urlkey string, cdx_ts string, url string, mime string, "
+        "status int, digest string, offset long, length long, record_id string",
+    )
+    back = C.parse_cdx_files(C.write_cdx_files(cdx)).collect()
+    assert back[0]["urlkey"] == "http://x.example/a b\nc%d"
+    blocks = C.write_zipnum_cdx(cdx, lines_per_block=2)
+    got = C.zipnum_lookup(
+        C.zipnum_shard_files(blocks), C.zipnum_idx(blocks),
+        spark.createDataFrame([("http://x.example/a b\nc%d",)], "urlkey string"),
+    ).collect()
+    assert len(got) == 1 and got[0]["record_id"] == "urn:uuid:r-0"
+
+    df = spark.createDataFrame(
+        [("http://www.Example.COM./p",), ("http://a.b.example.com.:8080/q",)],
+        "url string",
+    )
+    assert [r[0] for r in df.select(C.surt_key("url")).collect()] == [
+        "com,example)/p", "com,example,b,a:8080)/q",
+    ]
+    assert spark.createDataFrame([("news.bbc.co.uk.",)], "host string").select(
+        C.registrable_domain("host")
+    ).collect()[0][0] == "bbc.co.uk"

@@ -27,6 +27,7 @@ unit-tested against RFC 9309's own examples.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Iterator
 
@@ -378,8 +379,8 @@ def parse_crawl_delays(content: str) -> list:
                 delay = float(val)
             except ValueError:
                 continue
-            if delay < 0:
-                continue
+            if delay < 0 or not math.isfinite(delay):
+                continue  # junk/hostile values ('1e400', 'nan') must not stall a host forever
             for agent in current_agents:
                 out[agent] = delay
     return sorted(out.items())

@@ -365,6 +365,7 @@ def streaming_crawl_ingest(
     frontier_path: str | None = None,
     robots_rules_path: str | None = None,
     url_prefilter_gate: bool = False,
+    cdx_path: str | None = None,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -423,6 +424,14 @@ def streaming_crawl_ingest(
     join and shrinks that join's probe side.  The crawl LOOP in one
     stream: fetch → extract → discover → prefilter → politeness →
     schedule.
+    ``cdx_path`` (requires ``http_html=True``) additionally maintains
+    the CAPTURE INDEX incrementally: each batch's cdx_index rows
+    (urlkey, timestamp, mime, status, decoded-body digest, record
+    offset/length) append to a parquet index, anti-joined on record_id
+    so an at-least-once redelivery re-contributes nothing — a replay/
+    lookup service follows the live crawl without rescanning WARCs
+    (export to the CDXJ/ZipNum wire artifacts is the batch writers'
+    job over this table).
     Returns the started StreamingQuery."""
     from opentsdb_aura_spark.operators.containers import http_responses, warc_records
     from opentsdb_aura_spark.operators.dedup_text import update_minhash_index
@@ -441,6 +450,11 @@ def streaming_crawl_ingest(
         raise ValueError(
             "streaming_crawl_ingest: url_prefilter_gate gates the frontier — "
             "pass frontier_path too"
+        )
+    if cdx_path is not None and not http_html:
+        raise ValueError(
+            "streaming_crawl_ingest: cdx_path indexes HTTP captures — "
+            "pass http_html=True"
         )
 
     _sidecar_checked: list = []  # one-time legacy-schema probe memo
@@ -491,6 +505,28 @@ def streaming_crawl_ingest(
         if errs.take(1):
             write_errors(errs)
         good = recs.where((F.col("error").isNull()) & (F.col("warc_type") == "response"))
+        if cdx_path is not None:
+            # incremental capture index: one pass over this batch's
+            # records, anti-joined on record_id so redelivery is a no-op
+            from opentsdb_aura_spark.operators.containers import cdx_index
+            from opentsdb_aura_spark.operators.dedup_text import _read_parquet_if_exists
+
+            from pyspark.sql.window import Window as _W
+
+            batch_cdx = cdx_index(recs, skip_errors=True)
+            # a record re-fetched WITHIN one batch (availableNow can
+            # fold several files into a single trigger) dedupes here,
+            # first capture by (file_id, offset) wins deterministically
+            _rn = F.row_number().over(
+                _W.partitionBy("record_id").orderBy("file_id", "offset")
+            )
+            batch_cdx = batch_cdx.withColumn("_rn", _rn).where(F.col("_rn") == 1).drop("_rn")
+            have = _read_parquet_if_exists(batch_df.sparkSession, cdx_path)
+            if have is not None:
+                batch_cdx = batch_cdx.join(
+                    have.select("record_id").distinct(), "record_id", "left_anti"
+                )
+            batch_cdx.write.mode("append").parquet(cdx_path)
         if http_html:
             from opentsdb_aura_spark.operators.htmltext import html_to_text
 

@@ -1138,3 +1138,52 @@ def test_streaming_crawl_ingest_follows_redirects(spark, tmpdirs):
         "http://example.com/keep": 1,
         "http://example.com/moved/here": 1,  # the 301 target, discovered
     }  # the 302 -> /tmp/secret target is politeness-gated out
+
+
+def test_streaming_crawl_ingest_incremental_cdx(spark, tmpdirs):
+    """cdx_path maintains the capture index across micro-batches:
+    rows accumulate per batch, a redelivered record re-contributes
+    nothing (record_id anti-join), and the indexed digest is the
+    DECODED body's."""
+    import hashlib
+
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.containers import encode_http_response
+    from opentsdb_aura_spark.operators.htmltext import render_fixture_html
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    def rec(doc_id):
+        body = render_fixture_html(doc_id, f"page {doc_id} body words").encode()
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", encode_http_response(doc_id, body),
+            target_uri=f"http://example.com/doc/{doc_id}",
+            content_type="application/http;msgtype=response",
+        ), body
+
+    r1, b1 = rec(1)
+    r2, b2 = rec(2)
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame([(0, r1)], file_schema).coalesce(1).write.parquet(tmpdirs["in"] + "/b1")
+    # batch 2 redelivers doc-1 alongside the new doc-2
+    spark.createDataFrame([(1, r1 + r2)], file_schema).coalesce(1).write.parquet(tmpdirs["in"] + "/b2")
+
+    cdx_path = tmpdirs["out"] + "/cdx"
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="http_html"):
+        streaming_crawl_ingest(
+            stream, tmpdirs["store"], tmpdirs["out"] + "/docs", tmpdirs["ckpt2"],
+            cdx_path=cdx_path,
+        )
+    streaming_crawl_ingest(
+        stream, tmpdirs["store"], tmpdirs["out"] + "/docs", tmpdirs["ckpt"],
+        http_html=True, cdx_path=cdx_path,
+    ).awaitTermination(120)
+
+    rows = spark.read.parquet(cdx_path).collect()
+    by_id = {r["record_id"]: r for r in rows}
+    assert len(rows) == 2 and set(by_id) == {"urn:uuid:doc-1", "urn:uuid:doc-2"}
+    assert by_id["urn:uuid:doc-1"]["digest"] == hashlib.md5(b1).hexdigest()
+    assert by_id["urn:uuid:doc-1"]["urlkey"] == "http://example.com/doc/1"
+    assert by_id["urn:uuid:doc-2"]["status"] == 200

@@ -628,3 +628,57 @@ def test_surt_key_model_property(spark, cases):
     got = [r[0] for r in spark.createDataFrame([(u,) for u in urls], "url string")
            .select(surt_key("url")).collect()]
     assert got == wants, list(zip(urls, got, wants))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=400))
+def test_extract_links_and_directives_total_on_garbage(src):
+    """Arbitrary ASCII through the link extractor and the directives
+    extractor never raises; link tuples keep their shape and types."""
+    from opentsdb_aura_spark.operators.htmltext import (
+        extract_links,
+        extract_page_directives,
+    )
+
+    for idx, href, text, nofollow in extract_links(src):
+        assert isinstance(idx, int) and isinstance(href, str) and href
+        assert isinstance(text, str) and isinstance(nofollow, bool)
+    canonical, noindex, nofollow = extract_page_directives(src)
+    assert canonical is None or isinstance(canonical, str)
+    assert isinstance(noindex, bool) and isinstance(nofollow, bool)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg %\n", min_size=1, max_size=12),
+        min_size=1, max_size=24, unique=True,
+    ),
+    st.integers(1, 5),
+)
+def test_zipnum_roundtrip_property(spark, keys, lines_per_block):
+    """Random urlkeys (spaces, %, newlines included) through write →
+    idx → shard files → lookup: EVERY key resolves to exactly its own
+    capture row, at any block size."""
+    rows = [
+        (0, k, "20240101000000", f"http://x.example/{i}", "t", 200,
+         f"d{i}", i * 10, 9, f"urn:uuid:r-{i}")
+        for i, k in enumerate(keys)
+    ]
+    cdx = spark.createDataFrame(
+        rows,
+        "file_id long, urlkey string, cdx_ts string, url string, mime string, "
+        "status int, digest string, offset long, length long, record_id string",
+    )
+    from opentsdb_aura_spark.operators import containers as C
+
+    blocks = C.write_zipnum_cdx(cdx, lines_per_block=lines_per_block).localCheckpoint()
+    got = C.zipnum_lookup(
+        C.zipnum_shard_files(blocks), C.zipnum_idx(blocks),
+        spark.createDataFrame([(k,) for k in keys], "urlkey string"),
+    ).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["urlkey"], []).append(r["record_id"])
+    want = {k: [f"urn:uuid:r-{i}"] for i, k in enumerate(keys)}
+    assert by_key == want

@@ -887,6 +887,200 @@ def pagerank(
     return state.select("node", "rank")
 
 
+def harmonic_centrality(
+    edges: DataFrame,
+    *,
+    max_dist: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Radius-bounded harmonic centrality — the OTHER half of the
+    public Common Crawl host-ranking signal (their published host
+    ranks pair PageRank with harmonic centrality):
+    H(v) = Σ over u ≠ v with d(u, v) ≤ max_dist of 1 / d(u, v),
+    distances taken ALONG edge direction (u endorses v).
+
+    Exact form by BFS layer expansion, unrolled into the plan: layer r
+    is one equi-join of the (r-1)-frontier onto the edge list plus one
+    anti-join against the already-discovered pair set (first discovery
+    IS the shortest distance — no min-recomputation), lineage cut per
+    round with localCheckpoint.  Self-pairs never enter; nodes nobody
+    reaches within the radius report 0, so every node has a row.
+
+    Scale: the pair set is Σ_r |ball(r)| rows — tractable at a small
+    radius on a REDUCED graph (the host/domain projections), which is
+    exactly where the Common Crawl ranking computes it.  For the
+    page-level billions-of-nodes case use :func:`hyperball_harmonic`,
+    the bounded-memory HLL-register form of the same truncated sum.
+    Returns (node, harmonic, n_within) — n_within = |{u : 0 <
+    d(u,v) ≤ max_dist}|, the ball size the estimator approximates."""
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    known = e.withColumn("dist", F.lit(1))
+    frontier = known
+    for r in range(2, int(max_dist) + 1):
+        nxt = (
+            frontier.select("u", F.col("v").alias("_mid"))
+            .join(e.withColumnRenamed("u", "_mid"), "_mid")
+            .select("u", "v")
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .join(known.select("u", "v"), ["u", "v"], "left_anti")
+            .withColumn("dist", F.lit(r))
+            .localCheckpoint()
+        )
+        known = known.unionByName(nxt)
+        frontier = nxt
+    h = known.groupBy(F.col("v").alias("node")).agg(
+        F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
+        F.count("*").cast("long").alias("n_within"),
+    )
+    return nodes.join(h, "node", "left").select(
+        "node",
+        F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+        F.coalesce("n_within", F.lit(0)).cast("long").alias("n_within"),
+    )
+
+
+def _hll_estimate(regs: Column, m: int) -> Column:
+    """HyperLogLog cardinality estimate from an m-register array
+    (Flajolet et al. 2007): raw = α_m·m²/Σ 2^(−M_j) with the
+    linear-counting small-range correction (raw ≤ 2.5m and empty
+    registers remain → m·ln(m/V)).  Pure Catalyst — the higher-order
+    array functions keep the whole estimate inside codegen."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    ssum = F.aggregate(
+        regs, F.lit(0.0), lambda a, x: a + F.pow(F.lit(2.0), -x.cast("double"))
+    )
+    raw = F.lit(alpha * m * m) / ssum
+    v = F.size(F.filter(regs, lambda x: x == 0)).cast("double")
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    *,
+    max_dist: int = 3,
+    m: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    salt: str = "hyperball",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2011 / the "Four degrees of
+    separation" machinery): approximate radius-bounded harmonic
+    centrality at graph sizes where the exact pair set of
+    :func:`harmonic_centrality` cannot exist — each node carries ONE
+    m-register HyperLogLog counter of its incoming ball
+    B(v, r) = {u : d(u, v) ≤ r}, and round r unions every
+    in-neighbor's counter into it:
+
+        B(v, r) = B(v, r−1) ∪ ⋃_{(u→v)∈E} B(u, r−1)
+
+    so state is O(nodes·m) bytes TOTAL regardless of ball size, and
+    H(v) ≈ Σ_r (|B(v,r)| − |B(v,r−1)|) / r from the per-round
+    estimates (deltas clamped at 0 — registers only grow, but the
+    estimator's regime switch is not strictly monotone).
+
+    Spark-first shape: registers are an array<int> column; the round
+    is one equi-join of the edge list onto the O(nodes) state, a
+    64-wide element_at projection, one map-side-combined groupBy(dst)
+    of per-position MAXes, and a zip_with(greatest) merge — no
+    explode, no Python, the whole union stays in codegen.  Register
+    insert uses the standard single-hash split: xxhash64 low bits
+    index, ρ = leading-zero rank of the remaining 58 bits computed
+    EXACTLY via the base-2 digit length (conv), not a float log.
+
+    Accuracy: 1.04/√m relative error in the raw regime; small balls
+    sit in the linear-counting regime and are much tighter.  Bounds
+    pinned against the exact operator in tests/test_rows_only_bounds.
+    Returns (node, harmonic, ball_est)."""
+    mm = int(m)
+    if mm & (mm - 1) or mm < 16:
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    bits = mm.bit_length() - 1
+    rest = 64 - bits
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    h = F.xxhash64(F.col("node").cast("string"), F.lit(salt))
+    j = F.pmod(h, F.lit(mm)).cast("int")
+    h2 = F.shiftrightunsigned(h, bits)
+    # exact bit length of h2: base-2 digit count via conv (integer
+    # string length — no float-log boundary rounding); h2 == 0 means
+    # all `rest` suffix bits are zero -> rho = rest + 1
+    blen = F.length(F.conv(h2.cast("string"), 10, 2))
+    rho = F.when(h2 == 0, F.lit(rest + 1)).otherwise(F.lit(rest) + 1 - blen).cast("int")
+    init = F.transform(
+        F.sequence(F.lit(0), F.lit(mm - 1)),
+        lambda i: F.when(i == j, rho).otherwise(F.lit(0)),
+    )
+    state = nodes.select(
+        "node",
+        init.alias("regs"),
+    )
+    state = state.select(
+        "node",
+        "regs",
+        _hll_estimate(F.col("regs"), mm).alias("_prev"),
+        F.lit(0.0).alias("harmonic"),
+    ).localCheckpoint()
+    pos = [F.element_at(F.col("regs"), i + 1).alias(f"_p{i}") for i in range(mm)]
+    for r in range(1, int(max_dist) + 1):
+        incoming = (
+            e.join(state.select(F.col("node").alias("u"), "regs"), "u")
+            .select(F.col("v").alias("node"), *pos)
+            .groupBy("node")
+            .agg(*[F.max(f"_p{i}").alias(f"_m{i}") for i in range(mm)])
+            .select("node", F.array(*[F.col(f"_m{i}") for i in range(mm)]).alias("_in"))
+        )
+        merged = state.join(incoming, "node", "left").select(
+            "node",
+            F.when(
+                F.col("_in").isNull(), F.col("regs")
+            ).otherwise(
+                F.zip_with(F.col("regs"), F.col("_in"), lambda a, b: F.greatest(a, b))
+            ).alias("regs"),
+            "_prev",
+            "harmonic",
+        )
+        est = _hll_estimate(F.col("regs"), mm)
+        state = merged.select(
+            "node",
+            "regs",
+            est.alias("_prev"),
+            (
+                F.col("harmonic")
+                + F.greatest(est - F.col("_prev"), F.lit(0.0)) / F.lit(float(r))
+            ).alias("harmonic"),
+        ).localCheckpoint()
+    # ball_est counts the node itself (B(v,0) = {v}); subtract the
+    # r=0 baseline so it reports |{u != v}| like the exact operator
+    return state.select(
+        "node",
+        "harmonic",
+        F.greatest(F.col("_prev") - F.lit(1.0), F.lit(0.0)).alias("ball_est"),
+    )
+
+
 def host_graph(
     edges: DataFrame,
     *,

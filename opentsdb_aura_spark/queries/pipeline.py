@@ -1579,6 +1579,143 @@ def pipeline_host_rank(spark, sf_dir):
     return pr.select("node", _r("rank", 6).alias("rank"))
 
 
+# Radius-3 BFS layers over the closed-form fixture graph, unrolled in
+# SQL: layer r joins the (r-1) layer onto the edge list and excludes
+# every pair already discovered closer — first discovery IS the
+# shortest distance, the same invariant the Spark operator relies on.
+_HC_LAYERS = """d1 AS (SELECT src AS u, dst AS v FROM e),
+d2 AS (SELECT DISTINCT d1.u, e.dst AS v FROM d1 JOIN e ON d1.v = e.src
+       WHERE d1.u <> e.dst
+         AND NOT EXISTS (SELECT 1 FROM d1 p WHERE p.u = d1.u AND p.v = e.dst)),
+d3 AS (SELECT DISTINCT d2.u, e.dst AS v FROM d2 JOIN e ON d2.v = e.src
+       WHERE d2.u <> e.dst
+         AND NOT EXISTS (SELECT 1 FROM d1 p WHERE p.u = d2.u AND p.v = e.dst)
+         AND NOT EXISTS (SELECT 1 FROM d2 p WHERE p.u = d2.u AND p.v = e.dst)),
+pairs AS (SELECT u, v, 1 AS dist FROM d1
+          UNION ALL SELECT u, v, 2 FROM d2
+          UNION ALL SELECT u, v, 3 FROM d3)"""
+
+
+@register(
+    "pipeline_harmonic_centrality",
+    f"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % cnt AS dst FROM documents, c
+  UNION ALL SELECT doc_id, (doc_id * 13 + 2) % cnt FROM documents, c
+  UNION ALL SELECT doc_id, (doc_id * 23 + 3) % cnt FROM documents, c),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+{_HC_LAYERS}
+SELECT d.doc_id AS node,
+       round(coalesce(sum(1.0 / dist), 0), 6) AS harmonic,
+       CAST(count(pairs.u) AS BIGINT) AS n_within
+FROM documents d LEFT JOIN pairs ON d.doc_id = pairs.v
+GROUP BY 1""",
+)
+def pipeline_harmonic_centrality(spark, sf_dir):
+    """Radius-bounded harmonic centrality H(v) = Σ 1/d(u,v) over the
+    closed-form fixture graph — the OTHER half of the public Common
+    Crawl host-ranking signal next to PageRank (pipeline_pagerank),
+    measuring how CLOSE the graph is to v rather than how much rank
+    flows in.  BFS layer expansion unrolled into the plan: each layer
+    is one equi-join + one anti-join against the discovered pair set
+    (first discovery = shortest distance).  The oracle unrolls the
+    SAME three layers in SQL, value-hashing every node's centrality
+    AND ball size, so a layer that leaks an already-discovered pair
+    (double-counting a shorter distance) breaks the hash.  Scale: the
+    exact form is for REDUCED graphs (host/domain projection); the
+    page-scale path is pipeline_harmonic_hyperball's HLL counters."""
+    from opentsdb_aura_spark.operators.corpus import harmonic_centrality
+
+    d = docs_raw(spark, sf_dir).select("doc_id")
+    n = d.count()  # bounded scalar job: the node-space size
+    edges = None
+    for a, b in ((7, 1), (13, 2), (23, 3)):
+        part = d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    hc = harmonic_centrality(edges, max_dist=3)
+    return hc.select("node", _r("harmonic", 6).alias("harmonic"), "n_within")
+
+
+@register(
+    "pipeline_host_centrality",
+    f"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+pe AS (SELECT doc_id AS src, (doc_id * 13 + 2) % cnt AS dst FROM documents, c),
+e AS (SELECT DISTINCT 'h' || (src % 16) || '.example' AS src,
+                      'h' || (dst % 16) || '.example' AS dst
+      FROM pe WHERE (src % 16) <> (dst % 16)),
+{_HC_LAYERS}
+SELECT n.node, round(coalesce(sum(1.0 / dist), 0), 6) AS harmonic,
+       CAST(count(pairs.u) AS BIGINT) AS n_within
+FROM (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e) n
+LEFT JOIN pairs ON n.node = pairs.v
+GROUP BY 1""",
+)
+def pipeline_host_centrality(spark, sf_dir):
+    """Harmonic centrality at HOST granularity — the actual Common
+    Crawl ranking artifact shape: the page link graph PROJECTS onto
+    the host graph first (host_graph — lowercase, port-strip,
+    self-loops drop), then the radius-3 exact harmonic runs over the
+    REDUCED graph, which is why the exact form is tractable where the
+    page-level graph needs HyperBall.  A single edge family with
+    host = doc_id % 16 makes the host graph a sparse near-functional
+    map, so layers 2 and 3 carry real distances (an all-dense fixture
+    would never exercise the anti-join).  The oracle re-projects and
+    re-expands identically in SQL — projection and BFS are pinned
+    together."""
+    from opentsdb_aura_spark.operators.corpus import harmonic_centrality, host_graph
+
+    d = docs_raw(spark, sf_dir).select("doc_id")
+    n = d.count()  # bounded scalar job: the node-space size
+    url = lambda c: F.concat(  # noqa: E731
+        F.lit("http://h"), F.pmod(F.col(c), F.lit(16)), F.lit(".example/doc/"), F.col(c).cast("string")
+    )
+    page_edges = d.select(
+        url("doc_id").alias("src_url"),
+        F.concat(
+            F.lit("http://h"),
+            F.pmod(F.pmod(F.col("doc_id") * 13 + 2, F.lit(n)), F.lit(16)),
+            F.lit(".example/doc/"),
+            F.pmod(F.col("doc_id") * 13 + 2, F.lit(n)).cast("string"),
+        ).alias("dst_url"),
+    )
+    hg = host_graph(page_edges)
+    hc = harmonic_centrality(hg, max_dist=3, src_col="src_host", dst_col="dst_host")
+    return hc.select("node", _r("harmonic", 6).alias("harmonic"), "n_within")
+
+
+@register("pipeline_harmonic_hyperball")  # HLL-register estimate: rows-only check
+def pipeline_harmonic_hyperball(spark, sf_dir):
+    """HyperBall (Boldi & Vigna): the 100 TB path for harmonic
+    centrality — per-node HyperLogLog counters of the incoming ball,
+    unioned along edges each round, so state is O(nodes·64) bytes no
+    matter how large the balls grow (the exact pair set of
+    pipeline_harmonic_centrality cannot exist at page-graph scale).
+    The estimate is xxhash64-seeded and approximate, hence rows-only;
+    tests/test_rows_only_bounds.py pins per-node agreement with the
+    exact operator on this very fixture (mean relative error and the
+    top-node ordering), so "no oracle" is still a quantitative
+    contract.  Plan: one edge-onto-state equi-join + one 64-wide
+    map-side-combined MAX groupBy per round — no explode, no Python."""
+    from opentsdb_aura_spark.operators.corpus import hyperball_harmonic
+
+    d = docs_raw(spark, sf_dir).select("doc_id")
+    n = d.count()  # bounded scalar job: the node-space size
+    edges = None
+    for a, b in ((7, 1), (13, 2), (23, 3)):
+        part = d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    hb = hyperball_harmonic(edges, max_dist=3)
+    return hb.select(
+        "node", _r("harmonic", 4).alias("harmonic"), _r("ball_est", 4).alias("ball_est")
+    )
+
+
 # The gopher keep rule re-stated over the s CTE (kept textually in
 # sync with quality_gopher_flags' oracle — both derive from the same
 # operator contract).

@@ -491,6 +491,66 @@ def test_pagerank_dangling_and_conservation(spark):
     assert pagerank(empty, n_iter=2).count() == 0
 
 
+def test_harmonic_centrality_exact(spark):
+    """Hand-computed radius-bounded harmonic centrality on a path
+    graph a→b→c→d plus x→d: H(d) = 1 (c) + 1 (x) + 1/2 (b) + 1/3 (a);
+    unreached nodes report 0 with a row; a shorter radius truncates
+    the sum; self-loops and duplicate edges are inert."""
+    from opentsdb_aura_spark.operators.corpus import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "d"),
+         ("a", "b"), ("d", "d")],  # dup edge + self-loop: both inert
+        "src string, dst string",
+    )
+    out = {r["node"]: (r["harmonic"], r["n_within"])
+           for r in harmonic_centrality(edges, max_dist=3).collect()}
+    assert out["a"] == (0.0, 0) and out["x"] == (0.0, 0)
+    assert out["b"] == (1.0, 1)
+    assert out["c"] == (1.5, 2)
+    assert abs(out["d"][0] - (1 + 1 + 0.5 + 1 / 3)) < 1e-12 and out["d"][1] == 4
+    # radius 1 truncates: d sees only its direct endorsers c and x
+    r1 = {r["node"]: r["harmonic"]
+          for r in harmonic_centrality(edges, max_dist=1).collect()}
+    assert r1["d"] == 2.0 and r1["b"] == 1.0
+    # a cycle never yields self-distances: 2-cycle nodes see ONLY each other
+    cyc = spark.createDataFrame([("p", "q"), ("q", "p")], "src string, dst string")
+    cy = {r["node"]: (r["harmonic"], r["n_within"])
+          for r in harmonic_centrality(cyc, max_dist=3).collect()}
+    assert cy == {"p": (1.0, 1), "q": (1.0, 1)}
+    # empty edge list: empty result, no crash
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert harmonic_centrality(empty, max_dist=2).count() == 0
+
+
+def test_hyperball_harmonic_star_and_validation(spark):
+    """HyperBall tracks the exact operator on a 50-leaf star (the hub's
+    incoming ball is all 50 leaves; leaves have none), the hub is the
+    top node by estimated centrality, and the register width must be a
+    power of two."""
+    import pytest
+
+    from opentsdb_aura_spark.operators.corpus import hyperball_harmonic
+
+    edges = spark.createDataFrame(
+        [(f"leaf{i}", "hub") for i in range(50)], "src string, dst string"
+    )
+    rows = hyperball_harmonic(edges, max_dist=3).collect()
+    out = {r["node"]: (r["harmonic"], r["ball_est"]) for r in rows}
+    hub_h, hub_b = out["hub"]
+    assert abs(hub_b - 50) / 50 < 0.2          # ball estimate near truth
+    assert abs(hub_h - 50) / 50 < 0.2          # all at distance 1
+    assert all(h == 0.0 for n, (h, _) in out.items() if n != "hub")
+    assert max(out, key=lambda n: out[n][0]) == "hub"
+    with pytest.raises(ValueError):
+        hyperball_harmonic(edges, m=48)
+    with pytest.raises(ValueError):
+        hyperball_harmonic(edges, m=8)
+    # empty edge list: empty result, no crash
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hyperball_harmonic(empty, max_dist=2).count() == 0
+
+
 def test_pagerank_weighted_and_host_graph(spark):
     """Weighted PageRank splits rank proportionally to edge weight
     (hand-computed 3-node chain); zero-weight edges carry no mass and

@@ -395,3 +395,27 @@ def test_pq_rerank_improves_or_preserves_recall(spark):
     adc_hits = sum(1 for t in truth if t in adc5)
     rr_hits = sum(1 for t in truth if t in rr5)
     assert rr_hits >= adc_hits >= 16, (rr_hits, adc_hits)
+
+
+def test_hyperball_agreement_with_exact(spark):
+    """pipeline_harmonic_hyperball bound: the HLL-register HyperBall
+    estimate agrees with the exact BFS operator on the SAME fixture
+    graph the catalog query runs — mean relative error ≤ 12% and
+    per-node ≤ 40% on both the harmonic sum and the ball size
+    (deterministic: xxhash64-seeded, so this is a pin, not a flake
+    budget).  The fixture's near-regular out-degree-3 graph sits in
+    the linear-counting regime where HLL is tightest — exactly the
+    per-node ball shape a page-scale run would see at small radius."""
+    ex = C.SPARK_QUERIES["pipeline_harmonic_centrality"](spark, SF).collect()
+    hb = C.SPARK_QUERIES["pipeline_harmonic_hyperball"](spark, SF).collect()
+    exact = {r["node"]: (r["harmonic"], r["n_within"]) for r in ex}
+    est = {r["node"]: (r["harmonic"], r["ball_est"]) for r in hb}
+    assert set(exact) == set(est) and len(exact) == 500
+    rel_h, rel_b = [], []
+    for n, (h, w) in exact.items():
+        eh, eb = est[n]
+        rel_h.append(abs(eh - h) / max(h, 1e-9))
+        rel_b.append(abs(eb - w) / max(w, 1))
+    assert max(rel_h) <= 0.40 and max(rel_b) <= 0.40, (max(rel_h), max(rel_b))
+    assert sum(rel_h) / len(rel_h) <= 0.12, sum(rel_h) / len(rel_h)
+    assert sum(rel_b) / len(rel_b) <= 0.12, sum(rel_b) / len(rel_b)

@@ -77,6 +77,31 @@ def main() -> None:
     assert top[0]["priority"] > 4 * top[1]["priority"], top
     out["hub_priority"] = round(float(top[0]["priority"]), 6)
     out["hub_first"] = True
+
+    # HyperBall harmonic centrality over the same graph — the
+    # bounded-memory centrality path (state is O(nodes*64) bytes no
+    # matter how large the balls grow).  Planted structure: every node
+    # endorses the hub directly, so B(hub, 1) is the whole graph and
+    # the hub's harmonic ≈ n-1; HLL error at m=64 is ~13% (1.04/√64),
+    # asserted at 25% with the hub strictly first.
+    from opentsdb_aura_spark.operators.corpus import hyperball_harmonic
+
+    t0 = time.perf_counter()
+    hb = hyperball_harmonic(edges, max_dist=3)
+    hub_est, top_node = (
+        hb.agg(
+            F.max(F.when(F.col("node") == 0, F.col("harmonic"))).alias("h0"),
+            F.max_by("node", "harmonic").alias("top"),
+        ).collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    out["hyperball_3iter_sec"] = round(dt, 2)
+    out["hyperball_edges_per_iter_per_sec"] = int(n_edges * 3 / dt)
+    assert top_node == 0, top_node
+    rel = abs(hub_est - (n - 1)) / (n - 1)
+    assert rel < 0.25, (hub_est, n)
+    out["hub_harmonic_est"] = int(hub_est)
+    out["hub_harmonic_rel_err"] = round(float(rel), 4)
     print(json.dumps(out))
 
 

@@ -599,6 +599,7 @@ def encode_http_response(
     content_encoding: bool = False,
     transfer_coding: bool = False,
     charset_param=_CHARSET_DEFAULT,
+    extra_headers: tuple = (),
 ) -> bytes:
     """A deterministic HTTP/1.x response envelope around ``body``,
     varying status line, charset parameter, body framing — and, with
@@ -629,6 +630,12 @@ def encode_http_response(
         b"Server: aura-fixture/1.0",
         b"X-Doc: " + str(doc_id).encode(),
     ]
+    # extra_headers: raw "Name: value" lines appended verbatim (the
+    # validator fixtures add ETag / Last-Modified without disturbing
+    # the closed-form n_headers of the default fixture)
+    lines.extend(
+        h.encode("iso-8859-1") if isinstance(h, str) else h for h in extra_headers
+    )
     if content_encoding:
         if doc_id % 5 == 0:
             lines.append(b"Content-Encoding: gzip")
@@ -944,7 +951,9 @@ def _parse_http_response(payload: bytes, *, max_inflated_bytes: int = MAX_INFLAT
     RFC order).  Header bytes decode as latin-1 (the HTTP/1.x wire
     charset); body bytes are returned raw (post-inflation).  Returns
     (version, status_code, reason, content_type, charset,
-    content_encoding, chunked, content_length, n_headers, body)."""
+    content_encoding, chunked, content_length, n_headers, location,
+    etag, last_modified, body) — the trailing validator pair is what a
+    conditional refetch (If-None-Match / If-Modified-Since) replays."""
     import re as _re
 
     hdr_end = payload.find(b"\r\n\r\n")
@@ -1029,7 +1038,8 @@ def _parse_http_response(payload: bytes, *, max_inflated_bytes: int = MAX_INFLAT
                 charset = v.strip().strip('"').lower()
     return (
         version, status, reason, content_type, charset, content_encoding,
-        chunked, content_length, len(headers), headers.get("location"), body,
+        chunked, content_length, len(headers), headers.get("location"),
+        headers.get("etag"), headers.get("last-modified"), body,
     )
 
 
@@ -1037,7 +1047,8 @@ HTTP_RESPONSE_SCHEMA = (
     "file_id long, record_id string, target_uri string, http_version string, "
     "status_code int, reason string, content_type string, charset string, "
     "content_encoding string, chunked boolean, content_length long, "
-    "n_headers int, location string, body_md5 string, error string"
+    "n_headers int, location string, etag string, last_modified string, "
+    "body_md5 string, error string"
 )
 HTTP_RESPONSE_BODY_SCHEMA = HTTP_RESPONSE_SCHEMA + ", body binary"
 
@@ -1115,6 +1126,8 @@ def http_responses(
         "content_length",
         "n_headers",
         "location",
+        "etag",
+        "last_modified",
         "body_md5",
         "error",
     ]
@@ -1134,20 +1147,22 @@ def http_responses(
                 try:
                     if payload is None:
                         raise ValueError("record has no payload (re-read with_payload=True)")
-                    ver, code, reason, ctype, cset, cenc, chunked, clen, nh, loc, body = (
+                    (ver, code, reason, ctype, cset, cenc, chunked, clen,
+                     nh, loc, etag, lmod, body) = (
                         _parse_http_response(
                             bytes(payload), max_inflated_bytes=max_inflated_bytes
                         )
                     )
                     row = (
                         fid, rid, uri, ver, code, reason, ctype, cset, cenc,
-                        chunked, clen, nh, loc, hashlib.md5(body).hexdigest(), None,
+                        chunked, clen, nh, loc, etag, lmod,
+                        hashlib.md5(body).hexdigest(), None,
                     )
                     rows.append((row + (body,) if with_body else row) + extras)
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-record containment
                     if not skip_errors:
                         raise
-                    err = (fid, rid, uri) + (None,) * 11 + (str(exc),)
+                    err = (fid, rid, uri) + (None,) * 13 + (str(exc),)
                     rows.append((err + (None,) if with_body else err) + extras)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -2117,6 +2132,44 @@ def recrawl_schedule(
         (F.col("n_changes") / intervals).alias("change_rate"),
         streak.alias("streak"),
         (F.col("_last_ts") + next_iv).alias("next_fetch_ts"),
+    )
+
+
+def conditional_fetch_plan(
+    captures: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "capture_ts",
+    etag_col: str = "etag",
+    last_modified_col: str = "last_modified",
+) -> DataFrame:
+    """Conditional-request planning (RFC 9110 §13.1.1–13.1.3): for
+    each URL, the validators the NEXT fetch should replay so an
+    unchanged page costs a 304 instead of a full body — the request
+    half of the 304 story recrawl_schedule(status_col=...) consumes on
+    the response side.  ``If-None-Match`` carries the most recent
+    non-null ETag VERBATIM (opaque, quotes and any ``W/`` weakness
+    marker included — §8.8.3 forbids reconstructing it);
+    ``If-Modified-Since`` the most recent non-null Last-Modified
+    verbatim (§13.1.3: the stored field value, not a reformat).  The
+    two carry forward INDEPENDENTLY — a proxy stripping one header on
+    one capture must not lose the other validator's state.
+
+    One map-side-combined groupBy on the url key (max_by with a
+    null-guarded ordering — no window, no second shuffle); the capture
+    index at 100 TB is url-sorted at rest, so this is a near-local
+    aggregation.  Returns (url, last_capture_ts, if_none_match,
+    if_modified_since, conditional)."""
+    u, t = F.col(url_col), F.col(ts_col).cast("double")
+    et, lm = F.col(etag_col), F.col(last_modified_col)
+    out = captures.groupBy(u.alias("url")).agg(
+        F.max(t).alias("last_capture_ts"),
+        F.max_by(et, F.when(et.isNotNull(), t)).alias("if_none_match"),
+        F.max_by(lm, F.when(lm.isNotNull(), t)).alias("if_modified_since"),
+    )
+    return out.withColumn(
+        "conditional",
+        F.col("if_none_match").isNotNull() | F.col("if_modified_since").isNotNull(),
     )
 
 

@@ -337,6 +337,199 @@ def parse_sitemap_files(files: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- feed discovery
+
+# RSS 2.0 / Atom (RFC 4287) feeds are the frontier's FRESHNESS feed:
+# where a sitemap enumerates a site's whole canonical URL space, a
+# feed pushes the newest entries with real timestamps — the highest-
+# value recrawl candidates.  Same tolerant-regex posture as the
+# sitemap parser (real feeds carry namespace junk, CDATA, and broken
+# entities a strict XML parser chokes on; the elements we need are
+# flat), one Arrow pass per file; both feeds meet the link frontier
+# at the same canonicalize + politeness gates.
+
+_RE_RSS_ITEM = re.compile(r"(?is)<item\b[^>]*>(.*?)</item\s*>")
+_RE_ATOM_ENTRY = re.compile(r"(?is)<entry\b[^>]*>(.*?)</entry\s*>")
+_RE_RSS_LINK = re.compile(r"(?is)<link\b[^>]*>(.*?)</link\s*>")
+_RE_ATOM_LINK_TAG = re.compile(r"(?is)<link\b[^>]*/?>")
+_RE_ATOM_HREF = re.compile(r"""(?is)\bhref\s*=\s*("([^"]*)"|'([^']*)')""")
+_RE_ATOM_REL = re.compile(r"""(?is)\brel\s*=\s*("([^"]*)"|'([^']*)')""")
+_RE_FEED_TITLE = re.compile(r"(?is)<title\b[^>]*>(.*?)</title\s*>")
+_RE_RSS_PUBDATE = re.compile(r"(?is)<pubDate\b[^>]*>(.*?)</pubDate\s*>")
+_RE_CDATA = re.compile(r"(?s)<!\[CDATA\[(.*?)\]\]>")
+_RE_ATOM_UPDATED = re.compile(r"(?is)<updated\b[^>]*>(.*?)</updated\s*>")
+_RE_ATOM_PUBLISHED = re.compile(r"(?is)<published\b[^>]*>(.*?)</published\s*>")
+
+
+def _feed_epoch(kind: str, raw: str | None) -> int | None:
+    """Entry timestamp → epoch seconds: RFC 822 dates for RSS pubDate
+    (weekday optional, numeric or named zones), RFC 3339 for Atom
+    updated/published (``Z`` suffix normalized).  Naive datetimes
+    assume UTC; junk returns None (a broken date must not drop the
+    URL — discovery still happens, only the freshness hint is lost)."""
+    from datetime import timezone
+    from email.utils import parsedate_to_datetime
+
+    if raw is None:
+        return None
+    s = raw.strip()
+    if not s:
+        return None
+    try:
+        if kind == "atom":
+            from datetime import datetime
+
+            dt = datetime.fromisoformat(s.replace("Z", "+00:00").replace("z", "+00:00"))
+        else:
+            dt = parsedate_to_datetime(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp())
+    except (ValueError, TypeError, OverflowError):
+        return None
+
+
+def _atom_entry_link(block: str) -> str | None:
+    """The entry's subject URL per RFC 4287 §4.2.7.2: among the
+    entry's <link> tags, rel="alternate" (or no rel, which defaults to
+    alternate) wins; rel="self"/"edit"/enclosure links are feed
+    plumbing, not content URLs."""
+    for tag in _RE_ATOM_LINK_TAG.findall(block):
+        relm = _RE_ATOM_REL.search(tag)
+        rel = (relm.group(2) or relm.group(3) or "").strip().lower() if relm else "alternate"
+        if rel != "alternate":
+            continue
+        hm = _RE_ATOM_HREF.search(tag)
+        if hm:
+            href = (hm.group(2) or hm.group(3) or "").strip()
+            if href:
+                return href
+    return None
+
+
+def parse_feed_xml(content: str) -> list:
+    """Parse one feed document into (kind, loc, title, updated_ts)
+    tuples — kind ``rss`` for <item> blocks, ``atom`` for <entry>
+    blocks (a file is parsed for both, so hybrid/mislabeled feeds
+    still yield).  loc/title entity-decode and trim; entries without a
+    resolvable link are skipped (nothing to crawl); Atom falls back
+    from <updated> to <published>."""
+    import html as _html
+
+    def txt(s: str | None) -> str | None:
+        # CDATA sections carry literal text (no entity decode inside);
+        # outside CDATA, decode entities — RSS titles use both forms
+        if s is None:
+            return None
+        s = s.strip()
+        cm = _RE_CDATA.fullmatch(s)
+        out = cm.group(1) if cm else _html.unescape(s)
+        return out.strip() or None
+
+    out = []
+    for kind, rx in (("rss", _RE_RSS_ITEM), ("atom", _RE_ATOM_ENTRY)):
+        for m in rx.finditer(content):
+            block = m.group(1)
+            if kind == "rss":
+                lm = _RE_RSS_LINK.search(block)
+                loc = txt(lm.group(1)) if lm else None
+                dm = _RE_RSS_PUBDATE.search(block)
+            else:
+                loc = _atom_entry_link(block)
+                loc = _html.unescape(loc) if loc else None
+                dm = _RE_ATOM_UPDATED.search(block) or _RE_ATOM_PUBLISHED.search(block)
+            if not loc:
+                continue
+            tm = _RE_FEED_TITLE.search(block)
+            title = txt(tm.group(1)) if tm else None
+            out.append((kind, loc, title, _feed_epoch(kind, dm.group(1) if dm else None)))
+    return out
+
+
+def encode_feed_xml(host_idx: int, n_items: int = 3) -> str:
+    """Deterministic fixture feed for host ``h{host_idx}.example`` —
+    RSS 2.0 for even idx, Atom for odd (both wire formats exercised in
+    one catalog pass): ``n_items`` entries ``/f/<i>`` titled
+    ``Post <i> &amp; more`` (entity decode pinned) dated
+    2024-01-<(idx+i)%28+1> at hour ``i`` UTC — closed-form in
+    (host_idx, i), mirrored by the catalog oracle.  The Atom variant
+    carries a rel="self" link BEFORE each alternate link, so a parser
+    that grabs the first href hashes wrong."""
+    k = int(host_idx)
+    items = []
+    if k % 2 == 0:
+        for i in range(n_items):
+            day = (k + i) % 28 + 1
+            items.append(
+                f"  <item><title>Post {i} &amp; more</title>"
+                f"<link>http://h{k}.example/f/{i}</link>"
+                f"<pubDate>{day:02d} Jan 2024 {i:02d}:00:00 +0000</pubDate></item>\n"
+            )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<rss version="2.0"><channel>\n'
+            f"  <title>h{k} feed</title><link>http://h{k}.example/</link>\n"
+            + "".join(items)
+            + "</channel></rss>\n"
+        )
+    for i in range(n_items):
+        day = (k + i) % 28 + 1
+        items.append(
+            f"  <entry><title>Post {i} &amp; more</title>"
+            f'<link rel="self" href="http://h{k}.example/feed.xml"/>'
+            f'<link rel="alternate" href="http://h{k}.example/f/{i}"/>'
+            f"<updated>2024-01-{day:02d}T{i:02d}:00:00Z</updated></entry>\n"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<feed xmlns="http://www.w3.org/2005/Atom">\n'
+        f"  <title>h{k} feed</title>\n"
+        + "".join(items)
+        + "</feed>\n"
+    )
+
+
+def synthesize_feeds(hosts: DataFrame, *, host_col: str = "host") -> DataFrame:
+    """(host, content) fixture feed files for a hosts dim."""
+    idx = F.regexp_extract(F.col(host_col), r"^h(\d+)\.example$", 1).try_cast("int")
+    proj = hosts.select(F.col(host_col).alias("host"), idx.alias("_k"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, k in zip(pdf["host"], pdf["_k"]):
+                if k is None or pd.isna(k):
+                    raise ValueError(f"synthesize_feeds: non-fixture host {host!r}")
+                rows.append((host, encode_feed_xml(int(k))))
+            yield pd.DataFrame(rows, columns=["host", "content"])
+
+    return proj.mapInPandas(op, schema="host string, content string")
+
+
+def parse_feed_files(files: DataFrame) -> DataFrame:
+    """1→many Arrow pass over (host, content) feed documents →
+    (host, kind, loc, title, updated_ts) rows — union with the
+    link/sitemap frontier (same canonicalize + politeness gates); the
+    epoch updated_ts feeds recrawl_schedule / fetch planning directly,
+    no further date parsing downstream."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf["host"], pdf["content"]):
+                if content is None:
+                    continue
+                for tup in parse_feed_xml(str(content)):
+                    rows.append((host, *tup))
+            yield pd.DataFrame(
+                rows, columns=["host", "kind", "loc", "title", "updated_ts"]
+            )
+
+    return files.mapInPandas(
+        op, schema="host string, kind string, loc string, title string, updated_ts long"
+    )
+
+
 # ------------------------------------------------------ crawl-delay scheduling
 
 # Crawl-delay is not an RFC 9309 rule (the spec's parsers must

@@ -1347,6 +1347,41 @@ def corpus_sitemap_urls(spark, sf_dir):
     return parse_sitemap_files(synthesize_sitemaps(hosts))
 
 
+@register(
+    "corpus_feed_urls",
+    """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
+i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i)
+SELECT 'h' || k || '.example' AS host,
+       CASE WHEN k % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       'http://h' || k || '.example/f/' || i AS loc,
+       'Post ' || i || ' & more' AS title,
+       CAST(1704067200 + ((k + i) % 28) * 86400 + i * 3600 AS BIGINT) AS updated_ts
+FROM k CROSS JOIN i""",
+)
+def corpus_feed_urls(spark, sf_dir):
+    """RSS 2.0 / Atom (RFC 4287) feed discovery — the frontier's
+    FRESHNESS feed next to the sitemap's enumeration feed: per-host
+    fixture feeds (RSS for even hosts, Atom for odd — both wire
+    formats in one pass) parse to (host, kind, loc, title,
+    updated_ts) with the entry timestamps normalized to epoch seconds
+    (RFC 822 pubDate vs RFC 3339 updated — two date grammars, ONE
+    downstream column).  The oracle recomputes every loc, the
+    entity-decoded title, and the epoch arithmetic closed-form; the
+    Atom fixture plants a rel="self" link before each alternate link,
+    so a parser grabbing the first href breaks the hash.  One Arrow
+    pass per file over a per-host dim — never touches the frontier's
+    scale."""
+    from opentsdb_aura_spark.operators.robots import (
+        parse_feed_files,
+        synthesize_feeds,
+    )
+
+    hosts = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example")).alias("host")
+    ).distinct()
+    return parse_feed_files(synthesize_feeds(hosts))
+
+
 # Revisit fixture shared by plan/write/read and resolve below: groups
 # of (up to) 3 consecutive doc_ids fetch the SAME page with the SAME
 # bytes — k = doc_id - doc_id % 3 is the group key, so doc_id == k is
@@ -1712,6 +1747,74 @@ def corpus_recrawl_schedule(spark, sf_dir):
         _r("change_rate", 6).alias("change_rate"),
         "streak",
         _r("next_fetch_ts", 6).alias("next_fetch_ts"),
+    )
+
+
+@register(
+    "corpus_conditional_fetch",
+    """WITH caps AS (
+  SELECT CAST(doc_id % 100 AS BIGINT) AS u, CAST(doc_id // 100 AS BIGINT) AS i,
+         CAST(doc_id // 100 // 3 AS BIGINT) AS v
+  FROM documents),
+h AS (
+  SELECT 'http://example.com/page/' || u AS url,
+         CAST(1704067200 + i * 86400 AS DOUBLE) AS ts,
+         CASE WHEN u % 3 = 0 OR i % 4 = 3 THEN NULL
+              ELSE '"e-' || u || '-' || v || '"' END AS etag,
+         CASE WHEN u % 2 = 1 OR i % 5 = 4 THEN NULL
+              ELSE lpad(CAST(v % 28 + 1 AS VARCHAR), 2, '0') || ' Jan 2024 00:00:00 GMT'
+         END AS lm
+  FROM caps)
+SELECT url,
+       round(max(ts), 6) AS last_capture_ts,
+       arg_max(etag, ts) FILTER (WHERE etag IS NOT NULL) AS if_none_match,
+       arg_max(lm, ts) FILTER (WHERE lm IS NOT NULL) AS if_modified_since,
+       (count(etag) > 0 OR count(lm) > 0) AS conditional
+FROM h GROUP BY 1""",
+)
+def corpus_conditional_fetch(spark, sf_dir):
+    """Conditional-request planning (RFC 9110 §13.1) — the request
+    half of the 304 bandwidth story next to corpus_recrawl_304's
+    response half: per URL, the validators the next fetch replays
+    (If-None-Match = most recent non-null ETag verbatim,
+    If-Modified-Since = most recent non-null Last-Modified verbatim,
+    carried forward INDEPENDENTLY so a proxy stripping one header
+    never loses the other validator).  The fixture plants sites that
+    never emit one validator, captures where a validator was
+    stripped, and content versions that change mid-history; the
+    oracle re-derives every validator choice closed-form, so picking
+    the wrong capture's ETag (or coupling the two carry-forwards)
+    breaks the hash.  One map-side-combined groupBy on the url key —
+    no window, no second shuffle."""
+    from opentsdb_aura_spark.operators.containers import conditional_fetch_plan
+
+    u = (F.col("doc_id") % 100).cast("long")
+    i = F.expr("CAST(doc_id DIV 100 AS LONG)")
+    v = F.expr("CAST(doc_id DIV 100 DIV 3 AS LONG)")
+    caps = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("http://example.com/page/"), u).alias("url"),
+        (F.lit(1704067200) + i * 86400).cast("double").alias("capture_ts"),
+        F.when(
+            (u % 3 == 0) | (i % 4 == 3), F.lit(None)
+        ).otherwise(
+            F.concat(F.lit('"e-'), u, F.lit("-"), v, F.lit('"'))
+        ).alias("etag"),
+        F.when(
+            (u % 2 == 1) | (i % 5 == 4), F.lit(None)
+        ).otherwise(
+            F.concat(
+                F.lpad((v % 28 + 1).cast("string"), 2, "0"),
+                F.lit(" Jan 2024 00:00:00 GMT"),
+            )
+        ).alias("last_modified"),
+    )
+    out = conditional_fetch_plan(caps)
+    return out.select(
+        "url",
+        _r("last_capture_ts", 6).alias("last_capture_ts"),
+        "if_none_match",
+        "if_modified_since",
+        "conditional",
     )
 
 

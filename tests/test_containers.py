@@ -323,7 +323,7 @@ def test_http_parse_framing_modes():
 
     body = b"0123456789abcdefXYZ"  # 19 bytes -> 7+7+5 chunks
     # doc_id 0: %3==0 chunked, %7==0 -> 404, %2==0+%4==0 -> charset=utf-8
-    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, got = _parse_http_response(
+    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, _et, _lm, got = _parse_http_response(
         encode_http_response(0, body)
     )
     assert (v, code, reason) == ("1.0", 404, "Not Found")  # 0 % 11 == 0 -> HTTP/1.0
@@ -331,14 +331,14 @@ def test_http_parse_framing_modes():
     assert got == body
 
     # doc_id 1: Content-Length framing with junk past the body
-    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, got = _parse_http_response(
+    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, _et, _lm, got = _parse_http_response(
         encode_http_response(1, body)
     )
     assert (v, code, chunked, clen, cs) == ("1.1", 200, False, len(body), None)
     assert got == body  # junk after Content-Length bytes NOT read
 
     # doc_id 2: neither header -> body runs to payload end; quoted charset
-    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, got = _parse_http_response(
+    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, _et, _lm, got = _parse_http_response(
         encode_http_response(2, body)
     )
     assert (chunked, clen, nh, cs) == (False, None, 3, "utf-8")  # "UTF-8" unquoted+folded
@@ -1402,3 +1402,44 @@ def test_cdx_line_control_char_and_fqdn_edges(spark):
     assert spark.createDataFrame([("news.bbc.co.uk.",)], "host string").select(
         C.registrable_domain("host")
     ).collect()[0][0] == "bbc.co.uk"
+
+
+def test_http_validators_surfaced_and_conditional_plan(spark):
+    """ETag / Last-Modified surface as typed columns from the envelope
+    split (verbatim — quotes and W/ marker kept), and
+    conditional_fetch_plan carries each validator forward
+    INDEPENDENTLY to the most recent capture that had it; a URL with
+    no validators anywhere plans unconditional."""
+    from opentsdb_aura_spark.operators.containers import (
+        _parse_http_response,
+        conditional_fetch_plan,
+        encode_http_response,
+    )
+
+    msg = encode_http_response(
+        1, b"body", extra_headers=('ETag: W/"v1"', "Last-Modified: 02 Jan 2024 00:00:00 GMT"),
+    )
+    out = _parse_http_response(msg)
+    assert out[10] == 'W/"v1"' and out[11] == "02 Jan 2024 00:00:00 GMT"
+    # default fixture: both validators absent
+    plain = _parse_http_response(encode_http_response(1, b"body"))
+    assert plain[10] is None and plain[11] is None
+
+    caps = spark.createDataFrame(
+        [
+            # u1: etag stripped on the LAST capture; lm only on the first
+            ("u1", 1.0, '"a"', "lm-day1"),
+            ("u1", 2.0, '"b"', None),
+            ("u1", 3.0, None, None),
+            # u2: never any validator
+            ("u2", 1.0, None, None),
+        ],
+        "url string, capture_ts double, etag string, last_modified string",
+    )
+    got = {r["url"]: r for r in conditional_fetch_plan(caps).collect()}
+    assert got["u1"]["if_none_match"] == '"b"'
+    assert got["u1"]["if_modified_since"] == "lm-day1"
+    assert got["u1"]["last_capture_ts"] == 3.0 and got["u1"]["conditional"]
+    assert got["u2"]["if_none_match"] is None
+    assert got["u2"]["if_modified_since"] is None
+    assert not got["u2"]["conditional"]

@@ -203,3 +203,75 @@ def test_crawl_delay_parse_resolve_schedule(spark):
     assert sched["http://a.example/high"] == (1, 100.0)
     assert sched["http://a.example/low"] == (2, 102.5)   # spaced by a's 2.5 s
     assert sched["http://c.example/x"] == (1, 100.0)     # no delay row: default
+
+
+def test_feed_parse_edges():
+    """RSS/Atom entry extraction totality: RFC 822 dates with and
+    without weekday / named zones / naive-UTC, RFC 3339 with Z, junk
+    dates keep the URL but null the hint, link-less entries drop,
+    Atom prefers rel=alternate (rel-less defaults to alternate,
+    self-only entries drop), CDATA titles pass through literally
+    while plain titles entity-decode."""
+    from opentsdb_aura_spark.operators.robots import parse_feed_xml
+
+    rss = """<rss version="2.0"><channel><title>chan</title>
+      <item><title>A &amp; B</title><link>http://x.example/1</link>
+        <pubDate>Mon, 08 Jan 2024 12:34:56 GMT</pubDate></item>
+      <item><title><![CDATA[Keep <raw> &amp; literal]]></title>
+        <link> http://x.example/2 </link>
+        <pubDate>08 Jan 2024 01:00:00 +0200</pubDate></item>
+      <item><title>no link, dropped</title></item>
+      <item><link>http://x.example/3</link><pubDate>not a date</pubDate></item>
+      <item><link>http://x.example/4</link>
+        <pubDate>2024-01-08 05:00:00</pubDate></item>
+    </channel></rss>"""
+    got = parse_feed_xml(rss)
+    by_loc = {loc: (kind, title, ts) for kind, loc, title, ts in got}
+    assert by_loc["http://x.example/1"] == ("rss", "A & B", 1704717296)
+    # CDATA: markup and entities stay literal; +0200 shifts the epoch
+    assert by_loc["http://x.example/2"] == (
+        "rss", "Keep <raw> &amp; literal", 1704668400,
+    )
+    assert by_loc["http://x.example/3"] == ("rss", None, None)
+    assert "no link" not in str(by_loc)
+    assert len(got) == 4
+
+    atom = """<feed xmlns="http://www.w3.org/2005/Atom">
+      <entry><title>T1</title>
+        <link rel="self" href="http://a.example/feed.xml"/>
+        <link rel="alternate" href="http://a.example/p/1"/>
+        <updated>2024-01-08T12:34:56Z</updated></entry>
+      <entry><title>T2</title><link href='http://a.example/p/2'/>
+        <published>2024-01-08T00:00:00+01:00</published></entry>
+      <entry><title>self only</title>
+        <link rel="self" href="http://a.example/feed.xml"/></entry>
+      <entry><link rel="alternate" href="http://a.example/p/3"/>
+        <updated>junk</updated></entry>
+    </feed>"""
+    got = parse_feed_xml(atom)
+    by_loc = {loc: (kind, title, ts) for kind, loc, title, ts in got}
+    assert by_loc["http://a.example/p/1"] == ("atom", "T1", 1704717296)
+    # rel-less link defaults to alternate; published is the fallback
+    assert by_loc["http://a.example/p/2"] == ("atom", "T2", 1704668400)
+    assert by_loc["http://a.example/p/3"] == ("atom", None, None)
+    assert len(got) == 3
+
+    # naive RSS datetime assumes UTC (tolerated by email.utils)
+    naive = parse_feed_xml(
+        "<item><link>http://n.example/</link>"
+        "<pubDate>08 Jan 2024 05:00:00</pubDate></item>"
+    )
+    assert naive[0][3] == 1704672000 + 5 * 3600
+    assert parse_feed_xml("") == []
+
+
+def test_feed_files_null_content_skipped(spark):
+    from opentsdb_aura_spark.operators.robots import parse_feed_files
+
+    files = spark.createDataFrame(
+        [("a.example", None), ("b.example", "<item><link>http://b.example/x</link></item>")],
+        "host string, content string",
+    )
+    rows = parse_feed_files(files).collect()
+    assert len(rows) == 1 and rows[0]["loc"] == "http://b.example/x"
+    assert rows[0]["updated_ts"] is None

@@ -79,15 +79,18 @@ def main() -> None:
     out["hub_first"] = True
 
     # HyperBall harmonic centrality over the same graph — the
-    # bounded-memory centrality path (state is O(nodes*64) bytes no
+    # bounded-memory centrality path (state is O(nodes*m) bytes no
     # matter how large the balls grow).  Planted structure: every node
     # endorses the hub directly, so B(hub, 1) is the whole graph and
-    # the hub's harmonic ≈ n-1; HLL error at m=64 is ~13% (1.04/√64),
-    # asserted at 25% with the hub strictly first.
+    # the hub's harmonic ≈ n-1.  m=256 is the production accuracy
+    # knob (1.04/√256 ≈ 6.5% σ; the fixture default m=64 sits at 13%,
+    # a single seeded draw of which measured +29% at 2M — exactly the
+    # 2σ band, which is why at-scale runs buy registers), asserted at
+    # 20% ≈ 3σ with the hub strictly first.
     from opentsdb_aura_spark.operators.corpus import hyperball_harmonic
 
     t0 = time.perf_counter()
-    hb = hyperball_harmonic(edges, max_dist=3)
+    hb = hyperball_harmonic(edges, max_dist=3, m=256)
     hub_est, top_node = (
         hb.agg(
             F.max(F.when(F.col("node") == 0, F.col("harmonic"))).alias("h0"),
@@ -99,7 +102,7 @@ def main() -> None:
     out["hyperball_edges_per_iter_per_sec"] = int(n_edges * 3 / dt)
     assert top_node == 0, top_node
     rel = abs(hub_est - (n - 1)) / (n - 1)
-    assert rel < 0.25, (hub_est, n)
+    assert rel < 0.20, (hub_est, n)
     out["hub_harmonic_est"] = int(hub_est)
     out["hub_harmonic_rel_err"] = round(float(rel), 4)
     print(json.dumps(out))

@@ -2135,6 +2135,54 @@ def recrawl_schedule(
     )
 
 
+def capture_change_profile(
+    captures: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "capture_ts",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Degree-of-change between consecutive captures of one URL —
+    refines recrawl_schedule's binary digest comparison into a
+    MAGNITUDE (Cho & Garcia-Molina's change-frequency estimators
+    assume "changed at all"; real scheduling wants "the nav bar
+    rotated" vs "the article was rewritten"): per capture, the
+    word-shingle-set Jaccard against the previous capture of the same
+    URL.  A boilerplate tweak on a large page scores near 1; a
+    rewrite scores near 0; the first capture has no predecessor
+    (NULL).  Two empty texts compare as unchanged (Jaccard 1 — an
+    empty page that stays empty is stable, not novel).
+
+    One window on the url key (lag of the per-capture shingle array —
+    the SAME shuffle the recrawl policy already pays; shingle arrays
+    are bounded by page size and never leave their url partition).
+    Returns (url, capture_ts, n_shingles, jaccard_prev)."""
+    from opentsdb_aura_spark.operators.dedup_text import word_shingles
+
+    w = Window.partitionBy("url").orderBy(F.col("capture_ts").asc())
+    d = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("double").alias("capture_ts"),
+        F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    lagged = d.select(
+        "url",
+        "capture_ts",
+        F.size("_sh").cast("long").alias("n_shingles"),
+        F.col("_sh"),
+        F.lag("_sh").over(w).alias("_prev"),
+    )
+    inter = F.size(F.array_intersect(F.col("_sh"), F.col("_prev"))).cast("double")
+    union = F.size(F.array_union(F.col("_sh"), F.col("_prev"))).cast("double")
+    jac = (
+        F.when(F.col("_prev").isNull(), F.lit(None).cast("double"))
+        .when(union == 0, F.lit(1.0))
+        .otherwise(inter / union)
+    )
+    return lagged.select("url", "capture_ts", "n_shingles", jac.alias("jaccard_prev"))
+
+
 def conditional_fetch_plan(
     captures: DataFrame,
     *,

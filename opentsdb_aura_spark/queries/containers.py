@@ -1751,6 +1751,78 @@ def corpus_recrawl_schedule(spark, sf_dir):
 
 
 @register(
+    "corpus_capture_change",
+    r"""WITH caps AS (
+  SELECT CAST(doc_id % 100 AS BIGINT) AS u, CAST(doc_id // 100 AS BIGINT) AS i,
+         CAST(doc_id // 100 // 3 AS BIGINT) AS v
+  FROM documents),
+t AS (
+  SELECT 'http://example.com/page/' || u AS url,
+         CAST(1704067200 + i * 86400 AS DOUBLE) AS capture_ts,
+         list_transform(range(0, 20),
+           x -> CASE WHEN v = 1 AND x < 4 THEN 'c' || x ELSE 't' || x END)
+           || ['u' || u] AS toks
+  FROM caps),
+s AS (
+  SELECT url, capture_ts,
+         list_sort(list_distinct(list_transform(range(0, len(toks) - 2),
+           x -> toks[x+1] || ' ' || toks[x+2] || ' ' || toks[x+3]))) AS sh
+  FROM t),
+l AS (
+  SELECT url, capture_ts, sh,
+         lag(sh) OVER (PARTITION BY url ORDER BY capture_ts) AS prev
+  FROM s)
+SELECT url, round(capture_ts, 6) AS capture_ts,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       round(CASE WHEN prev IS NULL THEN NULL
+                  WHEN len(list_distinct(list_concat(sh, prev))) = 0 THEN 1.0
+                  ELSE len(list_intersect(sh, prev)) * 1.0
+                       / len(list_distinct(list_concat(sh, prev)))
+             END, 6) AS jaccard_prev
+FROM l""",
+)
+def corpus_capture_change(spark, sf_dir):
+    """Change MAGNITUDE between consecutive captures — the refinement
+    of recrawl_schedule's binary digest flag: per capture, word-
+    shingle Jaccard against the previous capture of the same URL, so
+    a nav-bar rotation (high overlap) and a rewrite (low overlap) are
+    distinguishable to the scheduler.  The fixture's pages swap their
+    first 4 tokens when the content version flips mid-history, so
+    every URL shows the full profile: NULL on the first capture, 1.0
+    while unchanged, one partial-overlap transition row.  The oracle
+    rebuilds the identical shingle sets (same tokenizer contract as
+    the dedup family) and re-runs the lag/Jaccard in SQL — every
+    ratio value-hashed.  One window on the url key: the same shuffle
+    the recrawl policy already pays."""
+    from opentsdb_aura_spark.operators.containers import capture_change_profile
+
+    u = (F.col("doc_id") % 100).cast("long")
+    i = F.expr("CAST(doc_id DIV 100 AS LONG)")
+    v = F.expr("CAST(doc_id DIV 100 DIV 3 AS LONG)")
+    toks = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda x: F.when(
+                (v == 1) & (x < 4), F.concat(F.lit("c"), x.cast("string"))
+            ).otherwise(F.concat(F.lit("t"), x.cast("string"))),
+        ),
+        F.array(F.concat(F.lit("u"), u)),
+    )
+    caps = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("http://example.com/page/"), u).alias("url"),
+        (F.lit(1704067200) + i * 86400).cast("double").alias("capture_ts"),
+        F.array_join(toks, " ").alias("text"),
+    )
+    out = capture_change_profile(caps)
+    return out.select(
+        "url",
+        _r("capture_ts", 6).alias("capture_ts"),
+        "n_shingles",
+        _r("jaccard_prev", 6).alias("jaccard_prev"),
+    )
+
+
+@register(
     "corpus_conditional_fetch",
     """WITH caps AS (
   SELECT CAST(doc_id % 100 AS BIGINT) AS u, CAST(doc_id // 100 AS BIGINT) AS i,

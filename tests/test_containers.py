@@ -1443,3 +1443,33 @@ def test_http_validators_surfaced_and_conditional_plan(spark):
     assert got["u2"]["if_none_match"] is None
     assert got["u2"]["if_modified_since"] is None
     assert not got["u2"]["conditional"]
+
+
+def test_capture_change_profile_edges(spark):
+    """Jaccard change profile: first capture NULL, identical text 1.0,
+    disjoint rewrite 0.0, two empty (or sub-shingle-length) texts
+    compare as unchanged 1.0, partial overlap is the exact set
+    ratio."""
+    from opentsdb_aura_spark.operators.containers import capture_change_profile
+
+    caps = spark.createDataFrame(
+        [
+            ("u", 1.0, "a b c d"),          # shingles {abc, bcd}
+            ("u", 2.0, "a b c d"),          # identical -> 1.0
+            ("u", 3.0, "a b c e"),          # {abc, bce}: inter 1, union 3
+            ("u", 4.0, "x y z w"),          # disjoint -> 0.0
+            ("e", 1.0, ""),                 # empty
+            ("e", 2.0, "one two"),          # < n tokens: still empty set
+            ("e", 3.0, ""),
+        ],
+        "url string, capture_ts double, text string",
+    )
+    got = {(r["url"], r["capture_ts"]): (r["n_shingles"], r["jaccard_prev"])
+           for r in capture_change_profile(caps).collect()}
+    assert got[("u", 1.0)] == (2, None)
+    assert got[("u", 2.0)] == (2, 1.0)
+    assert got[("u", 3.0)][1] == 1 / 3
+    assert got[("u", 4.0)][1] == 0.0
+    assert got[("e", 1.0)] == (0, None)
+    assert got[("e", 2.0)] == (0, 1.0)   # empty vs empty: stable
+    assert got[("e", 3.0)] == (0, 1.0)

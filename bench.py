@@ -116,6 +116,13 @@ BENCH_QUERIES = [
     "corpus_cdx_zipnum_lookup",
     "corpus_cdx_revisit_index",
     "corpus_fetch_schedule",
+    # round 11 continuation: the harmonic half of the host-ranking
+    # signal (exact + the HyperBall register path), feed discovery,
+    # conditional-GET planning, and capture change magnitude
+    "pipeline_harmonic_centrality",
+    "pipeline_harmonic_hyperball",
+    "corpus_conditional_fetch",
+    "corpus_capture_change",
 ]
 
 

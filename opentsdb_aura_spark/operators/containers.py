@@ -2157,10 +2157,15 @@ def capture_change_profile(
     One window on the url key (lag of the per-capture shingle array —
     the SAME shuffle the recrawl policy already pays; shingle arrays
     are bounded by page size and never leave their url partition).
-    Returns (url, capture_ts, n_shingles, jaccard_prev)."""
+    Same-timestamp captures order by a content digest tiebreak (the
+    recrawl_schedule (ts, digest) convention), so the profile is
+    deterministic on refetch races.  Returns (url, capture_ts,
+    n_shingles, jaccard_prev)."""
     from opentsdb_aura_spark.operators.dedup_text import word_shingles
 
-    w = Window.partitionBy("url").orderBy(F.col("capture_ts").asc())
+    w = Window.partitionBy("url").orderBy(
+        F.col("capture_ts").asc(), F.md5(F.array_join("_sh", "\x1f")).asc()
+    )
     d = captures.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).cast("double").alias("capture_ts"),
@@ -2210,10 +2215,13 @@ def conditional_fetch_plan(
     if_modified_since, conditional)."""
     u, t = F.col(url_col), F.col(ts_col).cast("double")
     et, lm = F.col(etag_col), F.col(last_modified_col)
+    # ordering key (ts, value): two same-timestamp captures with
+    # different validator values pick deterministically (max value
+    # breaks the tie) instead of whichever partition merged last
     out = captures.groupBy(u.alias("url")).agg(
         F.max(t).alias("last_capture_ts"),
-        F.max_by(et, F.when(et.isNotNull(), t)).alias("if_none_match"),
-        F.max_by(lm, F.when(lm.isNotNull(), t)).alias("if_modified_since"),
+        F.max_by(et, F.when(et.isNotNull(), F.struct(t, et))).alias("if_none_match"),
+        F.max_by(lm, F.when(lm.isNotNull(), F.struct(t, lm))).alias("if_modified_since"),
     )
     return out.withColumn(
         "conditional",

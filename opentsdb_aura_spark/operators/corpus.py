@@ -914,16 +914,20 @@ def harmonic_centrality(
     the bounded-memory HLL-register form of the same truncated sum.
     Returns (node, harmonic, n_within) — n_within = |{u : 0 <
     d(u,v) ≤ max_dist}|, the ball size the estimator approximates."""
+    if int(max_dist) < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    # node universe BEFORE the self-loop drop: a node whose only edge
+    # is a self-loop still exists in the graph and must report 0
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
-    )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
     )
     known = e.withColumn("dist", F.lit(1))
     frontier = known
@@ -1008,18 +1012,22 @@ def hyperball_harmonic(
     mm = int(m)
     if mm & (mm - 1) or mm < 16:
         raise ValueError(f"m must be a power of two >= 16, got {m}")
+    if int(max_dist) < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
     bits = mm.bit_length() - 1
     rest = 64 - bits
+    # node universe BEFORE the self-loop drop (parity with the exact
+    # operator: a self-loop-only node reports 0, not no-row)
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
-    )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
     )
     h = F.xxhash64(F.col("node").cast("string"), F.lit(salt))
     j = F.pmod(h, F.lit(mm)).cast("int")

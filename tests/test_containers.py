@@ -1444,6 +1444,13 @@ def test_http_validators_surfaced_and_conditional_plan(spark):
     assert got["u2"]["if_modified_since"] is None
     assert not got["u2"]["conditional"]
 
+    # same-timestamp refetch race: deterministic (max-value) pick
+    tie = spark.createDataFrame(
+        [("t", 1.0, '"x"', None), ("t", 1.0, '"y"', None)],
+        "url string, capture_ts double, etag string, last_modified string",
+    )
+    assert conditional_fetch_plan(tie).collect()[0]["if_none_match"] == '"y"'
+
 
 def test_capture_change_profile_edges(spark):
     """Jaccard change profile: first capture NULL, identical text 1.0,

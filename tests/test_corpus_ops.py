@@ -518,6 +518,16 @@ def test_harmonic_centrality_exact(spark):
     cy = {r["node"]: (r["harmonic"], r["n_within"])
           for r in harmonic_centrality(cyc, max_dist=3).collect()}
     assert cy == {"p": (1.0, 1), "q": (1.0, 1)}
+    # a node whose ONLY edge is a self-loop still exists: row with 0
+    lonely = spark.createDataFrame(
+        [("s", "s"), ("a", "b")], "src string, dst string"
+    )
+    lo = {r["node"]: r["harmonic"]
+          for r in harmonic_centrality(lonely, max_dist=2).collect()}
+    assert lo == {"s": 0.0, "a": 0.0, "b": 1.0}
+    import pytest
+    with pytest.raises(ValueError):
+        harmonic_centrality(lonely, max_dist=0)
     # empty edge list: empty result, no crash
     empty = spark.createDataFrame([], "src string, dst string")
     assert harmonic_centrality(empty, max_dist=2).count() == 0
@@ -546,6 +556,14 @@ def test_hyperball_harmonic_star_and_validation(spark):
         hyperball_harmonic(edges, m=48)
     with pytest.raises(ValueError):
         hyperball_harmonic(edges, m=8)
+    with pytest.raises(ValueError):
+        hyperball_harmonic(edges, max_dist=0)
+    # self-loop-only node: parity with the exact operator (0-row)
+    lonely = hyperball_harmonic(
+        spark.createDataFrame([("s", "s"), ("a", "b")], "src string, dst string"),
+        max_dist=2,
+    )
+    assert {r["node"] for r in lonely.collect()} == {"s", "a", "b"}
     # empty edge list: empty result, no crash
     empty = spark.createDataFrame([], "src string, dst string")
     assert hyperball_harmonic(empty, max_dist=2).count() == 0

@@ -2357,6 +2357,44 @@ def frontier_counts(spark, path: str) -> DataFrame:
     )
 
 
+def refresh_frontier_ranks(
+    spark,
+    frontier_path: str,
+    *,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Periodic AUTHORITY refresh over the frontier edge index — the
+    feedback loop that turns raw reference counts into rank-weighted
+    scheduling while the crawl is still running: PageRank over the
+    doc→url endorsement graph (source documents enter the node space
+    as ``doc:<id>`` — a crawled page and a candidate URL never
+    collide), then the URL side's ranks overwrite ``{path}_ranks``
+    for the scheduler to join against frontier_counts.
+
+    Pure function of the index STATE: update_frontier_index anti-joins
+    redelivered batches away, so a refresh after an at-least-once
+    redelivery produces byte-identical ranks — the idempotence
+    contract the streaming hook (streaming_crawl_ingest
+    ``rank_refresh_every``) is tested on.  Cost is bounded by the
+    index, not the stream: n_iter groupBy+join rounds over O(edges),
+    run every N batches like compaction, not per record."""
+    from opentsdb_aura_spark.operators.corpus import pagerank
+
+    edges = spark.read.parquet(frontier_path).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("frontier_url").alias("dst"),
+    )
+    pr = pagerank(edges, n_iter=n_iter, damping=damping)
+    ranks = (
+        pr.where(~F.col("node").startswith("doc:"))
+        .select(F.col("node").alias("frontier_url"), "rank")
+        .localCheckpoint()  # materialize BEFORE overwriting the source lineage
+    )
+    ranks.write.mode("overwrite").parquet(frontier_path + "_ranks")
+    return ranks
+
+
 def anchor_text_index(
     links: DataFrame,
     *,

@@ -366,6 +366,7 @@ def streaming_crawl_ingest(
     robots_rules_path: str | None = None,
     url_prefilter_gate: bool = False,
     cdx_path: str | None = None,
+    rank_refresh_every: int | None = None,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -432,6 +433,13 @@ def streaming_crawl_ingest(
     lookup service follows the live crawl without rescanning WARCs
     (export to the CDXJ/ZipNum wire artifacts is the batch writers'
     job over this table).
+    ``rank_refresh_every`` (with ``frontier_path``) refreshes the
+    frontier AUTHORITY signal every N batches the way compaction
+    already hooks the loop: containers.refresh_frontier_ranks runs
+    PageRank over the accumulated doc→url endorsement graph and
+    overwrites ``{frontier_path}_ranks`` — a pure function of the
+    index state, so redelivered batches (which the index anti-joins
+    away) leave the ranks byte-identical.
     Returns the started StreamingQuery."""
     from opentsdb_aura_spark.operators.containers import http_responses, warc_records
     from opentsdb_aura_spark.operators.dedup_text import update_minhash_index
@@ -456,6 +464,17 @@ def streaming_crawl_ingest(
             "streaming_crawl_ingest: cdx_path indexes HTTP captures — "
             "pass http_html=True"
         )
+    if rank_refresh_every is not None:
+        if frontier_path is None:
+            raise ValueError(
+                "streaming_crawl_ingest: rank_refresh_every refreshes frontier "
+                "ranks — pass frontier_path too"
+            )
+        if int(rank_refresh_every) < 1:
+            raise ValueError(
+                f"streaming_crawl_ingest: rank_refresh_every must be >= 1, "
+                f"got {rank_refresh_every}"
+            )
 
     _sidecar_checked: list = []  # one-time legacy-schema probe memo
 
@@ -618,6 +637,18 @@ def streaming_crawl_ingest(
                         batch_df.sparkSession, frontier_path,
                         max_files=compact_max_files,
                     )
+                if (
+                    rank_refresh_every is not None
+                    and batch_id % int(rank_refresh_every) == 0
+                ):
+                    # authority refresh on the compaction cadence model:
+                    # a pure function of the index state, so redelivery
+                    # (anti-joined away above) cannot move the ranks
+                    from opentsdb_aura_spark.operators.containers import (
+                        refresh_frontier_ranks,
+                    )
+
+                    refresh_frontier_ranks(batch_df.sparkSession, frontier_path)
             # charset-aware decode (r9): bodies arrive in whatever
             # encoding the server declared — same seam as the batch
             # chain, inflation already handled inside http_responses

@@ -1187,3 +1187,79 @@ def test_streaming_crawl_ingest_incremental_cdx(spark, tmpdirs):
     assert by_id["urn:uuid:doc-1"]["digest"] == hashlib.md5(b1).hexdigest()
     assert by_id["urn:uuid:doc-1"]["urlkey"] == "http://example.com/doc/1"
     assert by_id["urn:uuid:doc-2"]["status"] == 200
+
+
+def test_streaming_frontier_rank_refresh(spark, tmpdirs):
+    """The authority feedback loop inside the stream: with
+    rank_refresh_every, each Nth batch recomputes PageRank over the
+    accumulated doc→url endorsement graph and overwrites the ranks
+    table.  Ranks are a pure function of the frontier index state, so
+    a redelivered (anti-joined-away) batch followed by another refresh
+    leaves them byte-identical; parameter validation at the API
+    boundary."""
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.containers import (
+        encode_http_response,
+        refresh_frontier_ranks,
+        update_frontier_index,
+    )
+    from opentsdb_aura_spark.operators.htmltext import render_fixture_html
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    def rec(doc_id):
+        payload = encode_http_response(
+            doc_id, render_fixture_html(doc_id, f"page {doc_id} words enough here").encode()
+        )
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", payload,
+            target_uri=f"http://example.com/doc/{doc_id}",
+            content_type="application/http;msgtype=response",
+        )
+
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame([(0, rec(0) + rec(1))], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+    spark.createDataFrame([(1, rec(2))], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b2"
+    )
+    docs_path, idx_path = tmpdirs["out"] + "/docs", tmpdirs["store"]
+    frontier = tmpdirs["out"] + "/frontier"
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    with _pytest.raises(ValueError, match="pass frontier_path too"):
+        streaming_crawl_ingest(stream, idx_path, docs_path, tmpdirs["ckpt2"],
+                               http_html=True, rank_refresh_every=1)
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        streaming_crawl_ingest(stream, idx_path, docs_path, tmpdirs["ckpt2"],
+                               http_html=True, frontier_path=frontier,
+                               rank_refresh_every=0)
+    streaming_crawl_ingest(
+        stream, idx_path, docs_path, tmpdirs["ckpt"],
+        http_html=True, frontier_path=frontier, rank_refresh_every=1,
+    ).awaitTermination(120)
+
+    ranks = {r["frontier_url"]: r["rank"]
+             for r in spark.read.parquet(frontier + "_ranks").collect()}
+    # all 3 docs endorse the same 5 chrome targets -> 5 equal-rank URLs
+    assert len(ranks) == 5 and "http://example.com/about" in ranks
+    vals = sorted(ranks.values())
+    assert vals[-1] - vals[0] < 1e-12
+    # URLs hold most of the node space's unit mass (they receive from
+    # every doc; the 3 doc nodes keep only base + dangling-return mass)
+    assert 0.5 < sum(vals) < 1.0
+
+    # redelivery: re-appending an already-ingested doc's edges no-ops
+    # the index, so a fresh refresh reproduces identical ranks
+    update_frontier_index(
+        spark.createDataFrame(
+            [("http://example.com/about", 0), ("http://example.com/new", 1)],
+            "frontier_url string, doc_id long",
+        ),
+        frontier,
+    )
+    refresh_frontier_ranks(spark, frontier)
+    again = {r["frontier_url"]: r["rank"]
+             for r in spark.read.parquet(frontier + "_ranks").collect()}
+    assert again == ranks

@@ -1686,6 +1686,85 @@ def pipeline_host_centrality(spark, sf_dir):
     return hc.select("node", _r("harmonic", 6).alias("harmonic"), "n_within")
 
 
+@register(
+    "pipeline_host_ranking",
+    f"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+pe AS (SELECT doc_id AS src, (doc_id * 13 + 2) % cnt AS dst FROM documents, c),
+he AS (
+  SELECT 'h' || (src % 8) || '.example' AS sh,
+         'h' || (dst % 8) || '.example' AS dh,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM pe WHERE (src % 8) <> (dst % 8) GROUP BY 1, 2),
+hn AS (SELECT DISTINCT sh AS host FROM he UNION SELECT DISTINCT dh FROM he),
+H AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM hn),
+outw AS (SELECT sh, sum(w) AS ow FROM he GROUP BY 1),
+r0 AS (SELECT host AS node, 1.0 / nh AS rank FROM hn, H),
+i1 AS ({_HR_ROUND.format(prev="r0")}),
+i2 AS ({_HR_ROUND.format(prev="i1")}),
+i3 AS ({_HR_ROUND.format(prev="i2")}),
+e AS (SELECT DISTINCT sh AS src, dh AS dst FROM he),
+{_HC_LAYERS},
+hc AS (SELECT n.host AS node, coalesce(sum(1.0 / dist), 0) AS harmonic,
+              CAST(count(pairs.u) AS BIGINT) AS n_within
+       FROM hn n LEFT JOIN pairs ON n.host = pairs.v GROUP BY 1)
+SELECT i3.node AS host, round(i3.rank, 6) AS rank, round(hc.harmonic, 6) AS harmonic,
+       hc.n_within,
+       CAST(rank() OVER (ORDER BY round(i3.rank, 6) DESC, i3.node) AS BIGINT) AS rank_pos,
+       CAST(rank() OVER (ORDER BY round(hc.harmonic, 6) DESC, i3.node) AS BIGINT) AS harmonic_pos
+FROM i3 JOIN hc ON i3.node = hc.node""",
+)
+def pipeline_host_ranking(spark, sf_dir):
+    """The combined host-ranking ARTIFACT — the shape the public
+    Common Crawl host ranks ship in: one table per host with BOTH
+    centrality signals (weighted PageRank = how much endorsement mass
+    flows in; harmonic = how close the graph sits) plus each signal's
+    rank position, over ONE shared host-graph projection.  The two
+    signals disagree by construction (a host pointed at by one heavy
+    linker ranks high on PageRank but not on closeness), which is why
+    the real artifact carries both columns.  The oracle re-projects
+    the graph once and re-runs BOTH unrolled computations plus the
+    position windows in SQL — the projection, both iterations, the
+    join, and the orderings are all value-hashed together.  Positions
+    rank over the 6-decimal-rounded signals (engine-stable ordering;
+    ties break by host).  Scale: projection reduces first; both
+    signals then run over the small host state; the position windows
+    sort O(hosts), not O(pages)."""
+    from pyspark.sql.window import Window
+
+    from opentsdb_aura_spark.operators.corpus import (
+        harmonic_centrality,
+        host_graph,
+        pagerank,
+    )
+
+    d = docs_raw(spark, sf_dir).select("doc_id")
+    n = d.count()  # bounded scalar job: the node-space size
+    dst = F.pmod(F.col("doc_id") * 13 + 2, F.lit(n))
+    mk = lambda idc, idv: F.concat(  # noqa: E731
+        F.lit("http://h"), F.pmod(idc, F.lit(8)), F.lit(".example/doc/"), idv.cast("string")
+    )
+    page_edges = d.select(
+        mk(F.col("doc_id"), F.col("doc_id")).alias("src_url"),
+        mk(dst, dst).alias("dst_url"),
+    )
+    hg = host_graph(page_edges).localCheckpoint()  # ONE projection, two consumers
+    pr = pagerank(hg, n_iter=3, src_col="src_host", dst_col="dst_host", weight_col="n_links")
+    hc = harmonic_centrality(hg, max_dist=3, src_col="src_host", dst_col="dst_host")
+    joined = pr.join(hc, "node").select(
+        F.col("node").alias("host"),
+        _r("rank", 6).alias("rank"),
+        _r("harmonic", 6).alias("harmonic"),
+        "n_within",
+    )
+    wr = Window.orderBy(F.col("rank").desc(), F.col("host"))
+    wh = Window.orderBy(F.col("harmonic").desc(), F.col("host"))
+    return joined.select(
+        "host", "rank", "harmonic", "n_within",
+        F.rank().over(wr).cast("long").alias("rank_pos"),
+        F.rank().over(wh).cast("long").alias("harmonic_pos"),
+    )
+
+
 @register("pipeline_harmonic_hyperball")  # HLL-register estimate: rows-only check
 def pipeline_harmonic_hyperball(spark, sf_dir):
     """HyperBall (Boldi & Vigna): the 100 TB path for harmonic

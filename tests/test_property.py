@@ -682,3 +682,59 @@ def test_zipnum_roundtrip_property(spark, keys, lines_per_block):
         by_key.setdefault(r["urlkey"], []).append(r["record_id"])
     want = {k: [f"urn:uuid:r-{i}"] for i, k in enumerate(keys)}
     assert by_key == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=400))
+def test_parse_feed_xml_total_on_garbage(content):
+    """Arbitrary text through the RSS/Atom feed parser never raises;
+    every row has a feed kind, a non-empty loc, and a timestamp that
+    is either None or an int (the epoch contract downstream recrawl
+    planning consumes)."""
+    from opentsdb_aura_spark.operators.robots import parse_feed_xml
+
+    for kind, loc, title, ts in parse_feed_xml(content):
+        assert kind in ("rss", "atom")
+        assert isinstance(loc, str) and loc
+        assert title is None or isinstance(title, str)
+        assert ts is None or isinstance(ts, int)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["rss", "atom"]),
+            st.integers(0, 27),
+            st.integers(0, 23),
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_parse_feed_xml_roundtrip_wellformed(entries):
+    """Well-formed generated feeds round-trip: every planted entry
+    comes back with its exact URL and epoch (RFC 822 for RSS items,
+    RFC 3339 for Atom entries), independent of how entries interleave
+    in one document."""
+    from opentsdb_aura_spark.operators.robots import parse_feed_xml
+
+    blocks, want = [], []
+    for n, (kind, day, hour) in enumerate(entries):
+        url = f"http://f.example/{n}"
+        epoch = 1704067200 + day * 86400 + hour * 3600
+        if kind == "rss":
+            blocks.append(
+                f"<item><link>{url}</link>"
+                f"<pubDate>{day + 1:02d} Jan 2024 {hour:02d}:00:00 +0000</pubDate></item>"
+            )
+        else:
+            blocks.append(
+                f'<entry><link href="{url}"/>'
+                f"<updated>2024-01-{day + 1:02d}T{hour:02d}:00:00Z</updated></entry>"
+            )
+        want.append((kind, url, epoch))
+    doc = "<feed>" + "".join(blocks) + "</feed>"
+    got = [(k, l, ts) for k, l, _t, ts in parse_feed_xml(doc)]
+    # parser groups by kind (all items, then all entries) — compare as sets
+    assert set(got) == set(want) and len(got) == len(want)

@@ -1477,7 +1477,11 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
 
 
 def cdx_index(
-    records: DataFrame, *, skip_errors: bool = False, urlkey: str = "canonical"
+    records: DataFrame,
+    *,
+    skip_errors: bool = False,
+    urlkey: str = "canonical",
+    with_validators: bool = False,
 ) -> DataFrame:
     """CDX(J)-style capture index over WARC response records — the
     third Common Crawl artifact (WARC/WET/CDX): one line per capture
@@ -1500,7 +1504,13 @@ def cdx_index(
     by (domain lookups become contiguous range scans).
 
     Extension surface: the reference has no crawl path; this
-    completes the WARC (source) / WET (sink) / CDX (index) triple."""
+    completes the WARC (source) / WET (sink) / CDX (index) triple.
+
+    ``with_validators=True`` appends the capture's ``etag`` /
+    ``last_modified`` response headers as columns — the conditional-
+    refetch state (:func:`conditional_fetch_plan` runs directly off
+    the index), an INDEX-table concern kept out of the CDXJ wire line
+    (whose schema is pinned by CDX_LINE_SCHEMA)."""
     if urlkey not in ("canonical", "surt"):
         raise ValueError(f"cdx_index: unknown urlkey form {urlkey!r}")
     resp = http_responses(
@@ -1519,6 +1529,9 @@ def cdx_index(
         & F.col("target_uri").isNotNull()
         & F.col("warc_date").isNotNull()
     )
+    validator_cols = (
+        [F.col("etag"), F.col("last_modified")] if with_validators else []
+    )
     return resp.select(
         (
             surt_key("target_uri") if urlkey == "surt" else canonicalize_url("target_uri")
@@ -1532,6 +1545,7 @@ def cdx_index(
         F.col("record_length").alias("length"),
         F.col("file_id"),
         F.col("record_id"),
+        *validator_cols,
     ).where(
         # a hostless target URI yields a NULL surt urlkey — route it to
         # the errors path like the other line-shifting nulls above

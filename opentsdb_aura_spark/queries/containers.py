@@ -1890,6 +1890,92 @@ def corpus_conditional_fetch(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_recrawl_plan",
+    """WITH d AS (
+  SELECT CAST(doc_id % 100 AS BIGINT) AS u, CAST(doc_id // 100 AS BIGINT) AS i,
+         CAST(doc_id // 100 // 3 AS BIGINT) AS v
+  FROM documents),
+caps AS (
+  SELECT 'http://example.com/page/' || u AS url,
+         CAST(1704067200 + i * 86400 AS DOUBLE) AS ts,
+         md5('http://example.com/page/' || u || ':' || v) AS digest,
+         CASE WHEN u % 3 = 0 OR i % 4 = 3 THEN NULL
+              ELSE '"e-' || u || '-' || v || '"' END AS etag,
+         CASE WHEN u % 2 = 1 OR i % 5 = 4 THEN NULL
+              ELSE lpad(CAST(v % 28 + 1 AS VARCHAR), 2, '0') || ' Jan 2024 00:00:00 GMT'
+         END AS lm
+  FROM d),
+m AS (SELECT url, ts, etag, lm,
+        CASE WHEN lag(digest) OVER w IS NOT NULL AND digest <> lag(digest) OVER w
+             THEN 1 ELSE 0 END AS chg,
+        row_number() OVER w AS rn
+      FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts, digest)),
+a AS (SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
+             max(CASE WHEN chg = 1 THEN rn END) AS lcr, max(ts) AS last_ts,
+             arg_max(etag, ts) FILTER (WHERE etag IS NOT NULL) AS if_none_match,
+             arg_max(lm, ts) FILTER (WHERE lm IS NOT NULL) AS if_modified_since,
+             (count(etag) > 0 OR count(lm) > 0) AS conditional
+      FROM m GROUP BY 1)
+SELECT url,
+       CAST(coalesce(n_captures - lcr, n_captures - 1) AS BIGINT) AS streak,
+       round(last_ts + 86400.0 * power(2, least(coalesce(n_captures - lcr, n_captures - 1), 5)), 6) AS next_fetch_ts,
+       if_none_match, if_modified_since, conditional
+FROM a""",
+)
+def corpus_recrawl_plan(spark, sf_dir):
+    """The COMPLETE freshness loop in one plan — what a fetcher
+    actually consumes per URL: WHEN to refetch (the wait-doubling
+    policy over the capture history) and WITH WHICH HEADERS (the
+    carried-forward validators, so an unchanged page costs a 304).
+    Composes recrawl_schedule and conditional_fetch_plan over ONE
+    capture fixture that exercises both: content versions flip every
+    3rd capture (drives streak/backoff) while validator presence
+    varies per site and per capture (drives the independent
+    carry-forwards).  The oracle re-runs the policy window AND the
+    validator arg_max in one SQL chain — schedule and headers are
+    hash-checked TOGETHER, so a join slip between the two halves
+    breaks it.  Scale: both halves key on the same url shuffle; the
+    join is O(urls) onto O(urls)."""
+    from opentsdb_aura_spark.operators.containers import (
+        conditional_fetch_plan,
+        recrawl_schedule,
+    )
+
+    u = (F.col("doc_id") % 100).cast("long")
+    i = F.expr("CAST(doc_id DIV 100 AS LONG)")
+    v = F.expr("CAST(doc_id DIV 100 DIV 3 AS LONG)")
+    url = F.concat(F.lit("http://example.com/page/"), u)
+    caps = docs_raw(spark, sf_dir).select(
+        url.alias("url"),
+        (F.lit(1704067200) + i * 86400).cast("double").alias("capture_ts"),
+        F.md5(F.concat(url, F.lit(":"), v.cast("string"))).alias("digest"),
+        F.when(
+            (u % 3 == 0) | (i % 4 == 3), F.lit(None)
+        ).otherwise(
+            F.concat(F.lit('"e-'), u, F.lit("-"), v, F.lit('"'))
+        ).alias("etag"),
+        F.when(
+            (u % 2 == 1) | (i % 5 == 4), F.lit(None)
+        ).otherwise(
+            F.concat(
+                F.lpad((v % 28 + 1).cast("string"), 2, "0"),
+                F.lit(" Jan 2024 00:00:00 GMT"),
+            )
+        ).alias("last_modified"),
+    )
+    sched = recrawl_schedule(caps)
+    plan = conditional_fetch_plan(caps)
+    return sched.join(plan, "url").select(
+        "url",
+        "streak",
+        _r("next_fetch_ts", 6).alias("next_fetch_ts"),
+        "if_none_match",
+        "if_modified_since",
+        "conditional",
+    )
+
+
 # The zipnum lookup returns the SAME capture rows as the CDX index
 # (minus the shard id) for the probed subset: reuse the CDX oracle's
 # CTE chain with a filtered final projection.

@@ -366,6 +366,7 @@ def streaming_crawl_ingest(
     robots_rules_path: str | None = None,
     url_prefilter_gate: bool = False,
     cdx_path: str | None = None,
+    cdx_validators: bool = False,
     rank_refresh_every: int | None = None,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
@@ -432,7 +433,11 @@ def streaming_crawl_ingest(
     so an at-least-once redelivery re-contributes nothing — a replay/
     lookup service follows the live crawl without rescanning WARCs
     (export to the CDXJ/ZipNum wire artifacts is the batch writers'
-    job over this table).
+    job over this table).  ``cdx_validators=True`` widens the index
+    with each capture's ETag / Last-Modified headers so
+    containers.conditional_fetch_plan can plan 304-eligible refetches
+    straight off the LIVE index (set it from the first batch — the
+    schema is per-index, not per-batch).
     ``rank_refresh_every`` (with ``frontier_path``) refreshes the
     frontier AUTHORITY signal every N batches the way compaction
     already hooks the loop: containers.refresh_frontier_ranks runs
@@ -463,6 +468,11 @@ def streaming_crawl_ingest(
         raise ValueError(
             "streaming_crawl_ingest: cdx_path indexes HTTP captures — "
             "pass http_html=True"
+        )
+    if cdx_validators and cdx_path is None:
+        raise ValueError(
+            "streaming_crawl_ingest: cdx_validators widens the capture index — "
+            "pass cdx_path too"
         )
     if rank_refresh_every is not None:
         if frontier_path is None:
@@ -532,7 +542,9 @@ def streaming_crawl_ingest(
 
             from pyspark.sql.window import Window as _W
 
-            batch_cdx = cdx_index(recs, skip_errors=True)
+            batch_cdx = cdx_index(
+                recs, skip_errors=True, with_validators=cdx_validators
+            )
             # a record re-fetched WITHIN one batch (availableNow can
             # fold several files into a single trigger) dedupes here,
             # first capture by (file_id, offset) wins deterministically

@@ -1480,3 +1480,48 @@ def test_capture_change_profile_edges(spark):
     assert got[("e", 1.0)] == (0, None)
     assert got[("e", 2.0)] == (0, 1.0)   # empty vs empty: stable
     assert got[("e", 3.0)] == (0, 1.0)
+
+
+def test_cdx_index_with_validators(spark):
+    """with_validators widens the capture index with the verbatim
+    ETag / Last-Modified headers (the conditional-refetch state);
+    the default index schema is unchanged, and captures without the
+    headers carry NULLs."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.containers import (
+        cdx_index,
+        conditional_fetch_plan,
+        encode_http_response,
+        warc_records,
+    )
+
+    def rec(doc_id, extra=()):
+        payload = encode_http_response(doc_id, b"body-%d" % doc_id, extra_headers=extra)
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", payload,
+            target_uri=f"http://example.com/doc/{doc_id}",
+            content_type="application/http;msgtype=response",
+        )
+
+    content = (
+        rec(1, ('ETag: "v1"', "Last-Modified: 01 Jan 2024 00:00:00 GMT"))
+        + rec(2)
+    )
+    files = spark.createDataFrame([(0, content)], "file_id long, content binary")
+    idx = cdx_index(warc_records(files, with_payload=True), with_validators=True)
+    rows = {r["url"]: r for r in idx.collect()}
+    assert rows["http://example.com/doc/1"]["etag"] == '"v1"'
+    assert rows["http://example.com/doc/1"]["last_modified"] == "01 Jan 2024 00:00:00 GMT"
+    assert rows["http://example.com/doc/2"]["etag"] is None
+    plain = cdx_index(warc_records(files, with_payload=True))
+    assert "etag" not in plain.columns and "last_modified" not in plain.columns
+
+    # the planner runs straight off the widened index (cdx_ts as the
+    # capture clock)
+    plan = conditional_fetch_plan(
+        idx.select("url", F.col("cdx_ts").cast("double").alias("capture_ts"),
+                   "etag", "last_modified")
+    )
+    got = {r["url"]: r["if_none_match"] for r in plan.collect()}
+    assert got["http://example.com/doc/1"] == '"v1"'
+    assert got["http://example.com/doc/2"] is None

@@ -1263,3 +1263,54 @@ def test_streaming_frontier_rank_refresh(spark, tmpdirs):
     again = {r["frontier_url"]: r["rank"]
              for r in spark.read.parquet(frontier + "_ranks").collect()}
     assert again == ranks
+
+
+def test_streaming_crawl_ingest_cdx_validators(spark, tmpdirs):
+    """cdx_validators widens the LIVE capture index with ETag /
+    Last-Modified, so conditional refetch planning runs off the
+    stream's own index; the flag requires cdx_path."""
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.containers import (
+        conditional_fetch_plan,
+        encode_http_response,
+    )
+    from opentsdb_aura_spark.operators.htmltext import render_fixture_html
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    def rec(doc_id, extra=()):
+        payload = encode_http_response(
+            doc_id,
+            render_fixture_html(doc_id, f"page {doc_id} words enough here").encode(),
+            extra_headers=extra,
+        )
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", payload,
+            target_uri=f"http://example.com/doc/{doc_id}",
+            content_type="application/http;msgtype=response",
+        )
+
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame(
+        [(0, rec(1, ('ETag: "s1"',)) + rec(2))], file_schema
+    ).coalesce(1).write.parquet(tmpdirs["in"] + "/b1")
+    docs_path, idx_path = tmpdirs["out"] + "/docs", tmpdirs["store"]
+    cdx = tmpdirs["out"] + "/cdx"
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    with _pytest.raises(ValueError, match="pass cdx_path too"):
+        streaming_crawl_ingest(stream, idx_path, docs_path, tmpdirs["ckpt2"],
+                               http_html=True, cdx_validators=True)
+    streaming_crawl_ingest(
+        stream, idx_path, docs_path, tmpdirs["ckpt"],
+        http_html=True, cdx_path=cdx, cdx_validators=True,
+    ).awaitTermination(120)
+
+    idx = spark.read.parquet(cdx)
+    plan = conditional_fetch_plan(
+        idx.select("url", F.col("cdx_ts").cast("double").alias("capture_ts"),
+                   "etag", "last_modified")
+    )
+    got = {r["url"]: (r["if_none_match"], r["conditional"]) for r in plan.collect()}
+    assert got["http://example.com/doc/1"] == ('"s1"', True)
+    assert got["http://example.com/doc/2"] == (None, False)

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "pipeline_harmonic_hyperball",
     "corpus_conditional_fetch",
     "corpus_capture_change",
+    "corpus_warc_sniff_html_text",
 ]
 
 

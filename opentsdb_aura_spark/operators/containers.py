@@ -115,6 +115,7 @@ def encode_warc_file(
     content_encoding: bool = False,
     transfer_coding: bool = False,
     charset_body: bool = False,
+    sniff_body: bool = False,
     request_records: bool = False,
     truncate_at: int | None = None,
 ) -> bytes:
@@ -144,9 +145,30 @@ def encode_warc_file(
     ]
     if charset_body and not (http_envelope and html_body):
         raise ValueError("charset_body requires http_envelope=True and html_body=True")
+    if sniff_body and not (http_envelope and html_body):
+        raise ValueError("sniff_body requires http_envelope=True and html_body=True")
+    if sniff_body and charset_body:
+        raise ValueError("sniff_body and charset_body are exclusive fixture modes")
     for doc_id, text in docs:
         charset_kw = {}
-        if charset_body:
+        if sniff_body:
+            from opentsdb_aura_spark.operators.htmltext import (
+                SNIFF_FIXTURES,
+                render_fixture_html,
+            )
+
+            codec, meta_tag, http_label, bom, marker = SNIFF_FIXTURES[int(doc_id) % 3]
+            if not str(text).isascii():
+                raise ValueError(
+                    f"synthesize_warc(sniff_body=True): doc {doc_id} text is "
+                    "not ASCII — sniff fixture pages encode corpus text with "
+                    "legacy codecs and require ASCII-only document text"
+                )
+            body = bom + render_fixture_html(
+                int(doc_id), text, charset_marker=marker, meta_tag=meta_tag
+            ).encode(codec)
+            charset_kw = {"charset_param": http_label}
+        elif charset_body:
             from opentsdb_aura_spark.operators.htmltext import (
                 CHARSET_FIXTURES,
                 render_fixture_html,
@@ -229,6 +251,7 @@ def synthesize_warc(
     content_encoding: bool = False,
     transfer_coding: bool = False,
     charset_body: bool = False,
+    sniff_body: bool = False,
     request_records: bool = False,
     truncate_at: int | None = None,
     id_col: str = "doc_id",
@@ -259,6 +282,7 @@ def synthesize_warc(
             content_encoding=content_encoding,
             transfer_coding=transfer_coding,
             charset_body=charset_body,
+            sniff_body=sniff_body,
             request_records=request_records,
             truncate_at=truncate_at,
         )

@@ -169,22 +169,59 @@ _WHATWG_ALIASES = {
 }
 
 
+# <meta charset=...> and the http-equiv Content-Type form both carry
+# "charset=" — one prescan pattern covers both (WHATWG's prescan walks
+# tags; the attribute grammar here is what real pages use, and a miss
+# just falls through to the utf-8 default)
+_RE_META_CHARSET = re.compile(
+    rb"""(?is)<meta\s[^>]*charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)"""
+)
+
+
+def _sniff_charset(raw: bytes, declared: str | None) -> str | None:
+    """WHATWG encoding-sniffing precedence for page bytes:
+    (1) a byte-order mark wins over EVERYTHING — including a lying
+    Content-Type header (the spec is explicit; servers mislabel,
+    editors don't fake BOMs); (2) the transport-declared charset;
+    (3) a <meta charset=...> / http-equiv prescan of the first 1024
+    bytes — where the large population of pages with no HTTP charset
+    parameter actually declare themselves; (4) None (caller's utf-8
+    default).  Returns a codec label, utf-8-sig/utf-16 for BOMs so
+    the marker itself never leaks into extracted text."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"  # Python's utf-16 reads byte order from the BOM
+    if declared is not None and declared.strip():
+        return declared
+    m = _RE_META_CHARSET.search(raw[:1024])
+    if m:
+        try:
+            return m.group(1).decode("ascii")
+        except UnicodeDecodeError:  # pragma: no cover — pattern is ASCII-only
+            return None
+    return None
+
+
 def _decode_page(raw, charset: str | None) -> str:
-    """Decode page bytes with the response's declared charset (default
-    utf-8), applying the WHATWG label aliases (the spec's windows-1252
-    label set — the way every browser decodes them).  TOTAL function:
-    unknown charset labels fall back to utf-8, bad byte sequences
-    decode with U+FFFD replacement, and hostile labels still fall
-    back — NUL-bearing labels raise ValueError inside ``.decode()``'s
-    lookup, and non-TEXT codecs (``hex``, ``base64``, ``zip``…) raise
-    LookupError there — so one garbage or adversarial Content-Type can
-    never kill an extraction task (review r9)."""
-    label = (charset or "utf-8").strip().lower()
+    """Decode page bytes with the WHATWG-sniffed charset (BOM >
+    transport header > meta prescan > utf-8 default — see
+    :func:`_sniff_charset`), applying the WHATWG label aliases (the
+    spec's windows-1252 label set — the way every browser decodes
+    them).  TOTAL function: unknown charset labels fall back to utf-8,
+    bad byte sequences decode with U+FFFD replacement, and hostile
+    labels still fall back — NUL-bearing labels raise ValueError
+    inside ``.decode()``'s lookup, and non-TEXT codecs (``hex``,
+    ``base64``, ``zip``…) raise LookupError there — so one garbage or
+    adversarial Content-Type can never kill an extraction task
+    (review r9)."""
+    raw = bytes(raw)
+    label = (_sniff_charset(raw, charset) or "utf-8").strip().lower()
     codec = _WHATWG_ALIASES.get(label, label)
     try:
-        return bytes(raw).decode(codec, errors="replace")
+        return raw.decode(codec, errors="replace")
     except (LookupError, ValueError):  # unknown label / NUL label / non-text codec
-        return bytes(raw).decode("utf-8", errors="replace")
+        return raw.decode("utf-8", errors="replace")
 
 
 def html_to_text(
@@ -530,8 +567,32 @@ CHARSET_FIXTURES = [
     ("utf-8", None, "naïve coöperation"),
 ]
 
+# Sniff fixtures (doc_id % 3): (codec, meta_tag, http_label, bom,
+# marker) — the page population the HEADER fixtures above can't see:
+# 0/1 declare their charset ONLY in markup (no HTTP parameter; entry 1
+# uses the http-equiv form and a windows-1252-aliased label), and 2
+# carries a UTF-8 BOM while the HTTP header LIES latin-1 (the BOM must
+# win per WHATWG).  Markers are the same non-ASCII canaries.
+SNIFF_FIXTURES = [
+    ("shift_jis", '<meta charset="shift_jis">', None, b"", "日本語のテキストです"),
+    (
+        "cp1252",
+        '<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">',
+        None,
+        b"",
+        "café déjà vu ¡sí señor!",
+    ),
+    ("utf-8", None, "iso-8859-1", b"\xef\xbb\xbf", "Ünïcøde page ☃"),
+]
 
-def render_fixture_html(doc_id: int, text: str, *, charset_marker: str | None = None) -> str:
+
+def render_fixture_html(
+    doc_id: int,
+    text: str,
+    *,
+    charset_marker: str | None = None,
+    meta_tag: str | None = None,
+) -> str:
     """The deterministic fixture page: document text escaped into one
     content paragraph, surrounded by every trap the extractor must
     survive — a comment, a head section with title/style/script (the
@@ -547,7 +608,9 @@ def render_fixture_html(doc_id: int, text: str, *, charset_marker: str | None = 
     marker: <marker>`` after the filler div — the charset fixtures
     put NON-ASCII text there so a wrong-codec decode anywhere in the
     WARC → HTTP → HTML chain breaks the value hash instead of passing
-    by ASCII luck."""
+    by ASCII luck.  ``meta_tag`` injects one raw tag into the head
+    (the sniff fixtures' in-markup charset declaration — void tags
+    yield no text, so the extraction closed form is unchanged)."""
     i = str(int(doc_id))
     esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     marker = (
@@ -555,10 +618,12 @@ def render_fixture_html(doc_id: int, text: str, *, charset_marker: str | None = 
         if charset_marker is not None
         else ""
     )
+    meta = "  " + meta_tag + "\n" if meta_tag is not None else ""
     return (
         "<!-- fixture page " + i + " -->\n"
         "<html>\n"
         " <head>\n"
+        + meta +
         "  <title>Doc " + i + " &amp; Friends</title>\n"
         '  <style type="text/css">p { color: #fff; }</style>\n'
         '  <script>if (1 < 2) { console.log("<p>not text</p>"); }</script>\n'

@@ -554,6 +554,58 @@ def corpus_warc_charset_html_text(spark, sf_dir):
 
 
 @register(
+    "corpus_warc_sniff_html_text",
+    _HTML_EXPECTED
+    + """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 2 THEN 'iso-8859-1' END AS charset,
+       title,
+       h1 || chr(10) || p || chr(10) || dv || chr(10) || 'Charset marker: ' ||
+       CASE doc_id % 3
+         WHEN 0 THEN '日本語のテキストです'
+         WHEN 1 THEN 'café déjà vu ¡sí señor!'
+         ELSE 'Ünïcøde page ☃' END AS text
+FROM e""",
+)
+def corpus_warc_sniff_html_text(spark, sf_dir):
+    """WHATWG charset SNIFFING through the full crawl chain — the page
+    population corpus_warc_charset_html_text's header fixtures can't
+    see: pages that declare their encoding only in markup
+    (<meta charset=...> and the http-equiv form with a
+    windows-1252-aliased label, no HTTP parameter at all), and a
+    UTF-8-BOM page whose Content-Type header LIES latin-1 — the BOM
+    must win per the WHATWG precedence (BOM > header > meta prescan >
+    utf-8 default), and the BOM itself must never leak into extracted
+    text (a plain-utf-8 decode would prepend U+FEFF to the first block
+    and break the hash).  The oracle recomputes title + marker-bearing
+    text closed-form per the doc_id%3 rule with UTF-8 SQL literals;
+    the charset column pins that the HTTP layer genuinely carried no
+    parameter for the meta-declared pages."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF,
+        http_envelope=True, html_body=True, sniff_body=True,
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        "charset",
+        F.col("body").alias("html"),
+    )
+    return html_to_text(pages, keep_cols=("doc_id", "charset"), charset_col="charset").select(
+        "doc_id", "charset", "title", "text"
+    )
+
+
+@register(
     "quality_link_density",
     _HTML_EXPECTED
     + """,

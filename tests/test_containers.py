@@ -1525,3 +1525,37 @@ def test_cdx_index_with_validators(spark):
     got = {r["url"]: r["if_none_match"] for r in plan.collect()}
     assert got["http://example.com/doc/1"] == '"v1"'
     assert got["http://example.com/doc/2"] is None
+
+
+def test_charset_sniffing_precedence():
+    """WHATWG encoding sniffing in the decode path: BOM beats a lying
+    header and never leaks U+FEFF into the text; the transport header
+    beats a meta declaration; the meta prescan (both forms, aliased
+    labels, first-1024-bytes window) covers the no-header population;
+    garbage meta labels fall back to utf-8."""
+    from opentsdb_aura_spark.operators.htmltext import _decode_page, _sniff_charset
+
+    # BOM > lying header; the BOM itself is consumed
+    assert _decode_page(b"\xef\xbb\xbf" + "Ünï".encode(), "iso-8859-1") == "Ünï"
+    # UTF-16 BOMs: both byte orders via Python's BOM-reading utf-16
+    assert _decode_page("hi".encode("utf-16"), None) == "hi"  # BOM-bearing LE
+    assert _decode_page(b"\xfe\xff" + "hi".encode("utf-16-be"), None) == "hi"
+    # header > meta
+    meta = '<meta charset="shift_jis">'.encode() + "café".encode("cp1252")
+    assert _decode_page(meta, "windows-1252").endswith("café")
+    # meta charset form, no header
+    sj = b'<html><head><meta charset="shift_jis"></head>' + "日本".encode("shift_jis")
+    assert _decode_page(sj, None).endswith("日本")
+    # http-equiv form with an aliased label (iso-8859-1 -> cp1252)
+    he = (
+        b'<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'
+        + "déjà".encode("cp1252")
+    )
+    assert _decode_page(he, None).endswith("déjà")
+    # prescan window: a meta tag past 1024 bytes is not consulted
+    far = b"<!--" + b"x" * 1100 + b'--><meta charset="shift_jis">' + "日本".encode("shift_jis")
+    assert "日本" not in _decode_page(far, None)
+    # garbage meta label: total fallback to utf-8
+    junk = b'<meta charset="no-such-codec">' + "ok".encode()
+    assert _decode_page(junk, None).endswith("ok")
+    assert _sniff_charset(b"", None) is None

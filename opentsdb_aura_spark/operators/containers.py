@@ -976,8 +976,10 @@ def _parse_http_response(payload: bytes, *, max_inflated_bytes: int = MAX_INFLAT
     charset); body bytes are returned raw (post-inflation).  Returns
     (version, status_code, reason, content_type, charset,
     content_encoding, chunked, content_length, n_headers, location,
-    etag, last_modified, body) — the trailing validator pair is what a
-    conditional refetch (If-None-Match / If-Modified-Since) replays."""
+    etag, last_modified, retry_after, body) — the validator pair is
+    what a conditional refetch (If-None-Match / If-Modified-Since)
+    replays, and retry_after is the rate-limit evidence (429/503)
+    host backoff consumes."""
     import re as _re
 
     hdr_end = payload.find(b"\r\n\r\n")
@@ -1063,7 +1065,8 @@ def _parse_http_response(payload: bytes, *, max_inflated_bytes: int = MAX_INFLAT
     return (
         version, status, reason, content_type, charset, content_encoding,
         chunked, content_length, len(headers), headers.get("location"),
-        headers.get("etag"), headers.get("last-modified"), body,
+        headers.get("etag"), headers.get("last-modified"),
+        headers.get("retry-after"), body,
     )
 
 
@@ -1072,7 +1075,7 @@ HTTP_RESPONSE_SCHEMA = (
     "status_code int, reason string, content_type string, charset string, "
     "content_encoding string, chunked boolean, content_length long, "
     "n_headers int, location string, etag string, last_modified string, "
-    "body_md5 string, error string"
+    "retry_after string, body_md5 string, error string"
 )
 HTTP_RESPONSE_BODY_SCHEMA = HTTP_RESPONSE_SCHEMA + ", body binary"
 
@@ -1152,6 +1155,7 @@ def http_responses(
         "location",
         "etag",
         "last_modified",
+        "retry_after",
         "body_md5",
         "error",
     ]
@@ -1172,21 +1176,21 @@ def http_responses(
                     if payload is None:
                         raise ValueError("record has no payload (re-read with_payload=True)")
                     (ver, code, reason, ctype, cset, cenc, chunked, clen,
-                     nh, loc, etag, lmod, body) = (
+                     nh, loc, etag, lmod, retry_after, body) = (
                         _parse_http_response(
                             bytes(payload), max_inflated_bytes=max_inflated_bytes
                         )
                     )
                     row = (
                         fid, rid, uri, ver, code, reason, ctype, cset, cenc,
-                        chunked, clen, nh, loc, etag, lmod,
+                        chunked, clen, nh, loc, etag, lmod, retry_after,
                         hashlib.md5(body).hexdigest(), None,
                     )
                     rows.append((row + (body,) if with_body else row) + extras)
                 except Exception as exc:  # noqa: BLE001 — crawl-grade per-record containment
                     if not skip_errors:
                         raise
-                    err = (fid, rid, uri) + (None,) * 13 + (str(exc),)
+                    err = (fid, rid, uri) + (None,) * 14 + (str(exc),)
                     rows.append((err + (None,) if with_body else err) + extras)
             yield pd.DataFrame(rows, columns=cols)
 

@@ -612,6 +612,56 @@ def crawl_delay_for(delays: DataFrame, *, agent: str = "aura-bot") -> DataFrame:
     )
 
 
+def host_backoff(
+    responses: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "capture_ts",
+    status_col: str = "status",
+    retry_after_col: str = "retry_after",
+    default_backoff: float = 60.0,
+) -> DataFrame:
+    """Per-host rate-limit backoff from response evidence (RFC 9110
+    §10.2.3): a ``429 Too Many Requests`` or ``503 Service
+    Unavailable`` says stop, and its ``Retry-After`` header says until
+    WHEN — delta-seconds (``"120"``) relative to the response time, or
+    an IMF-fixdate absolute bound; a limited response without the
+    header (or with junk) backs off ``default_backoff`` from its own
+    timestamp.  Per host, the LATEST bound wins (one fresh 429
+    silences the host even if older responses were milder).
+
+    One map-side-combined groupBy on the host key — the dim
+    :func:`schedule_fetches` ``backoff`` consumes.  Returns
+    (host, not_before_ts, n_limited)."""
+    u = F.col(url_col)
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1), r":\d+$", ""
+        )
+    )
+    ts = F.col(ts_col).cast("double")
+    ra = F.trim(F.col(retry_after_col))
+    delta = ra.try_cast("double")
+    # IMF-fixdate form; the weekday prefix strips first (Spark's new
+    # parser forbids day-name fields in parse patterns) and
+    # try_to_timestamp keeps junk NULL instead of an ANSI abort
+    # (session tz is UTC, so the cast is epoch seconds)
+    abs_ts = F.try_to_timestamp(
+        F.regexp_replace(ra, r"^[A-Za-z]{3},\s*", ""),
+        F.lit("dd MMM yyyy HH:mm:ss 'GMT'"),
+    ).cast("double")
+    not_before = F.coalesce(
+        ts + delta, abs_ts, ts + F.lit(float(default_backoff))
+    )
+    limited = responses.where(F.col(status_col).isin(429, 503)).select(
+        host.alias("host"), not_before.alias("_nb")
+    ).where(F.col("host") != "")
+    return limited.groupBy("host").agg(
+        F.max("_nb").alias("not_before_ts"),
+        F.count("*").cast("long").alias("n_limited"),
+    )
+
+
 def schedule_fetches(
     frontier: DataFrame,
     delays: DataFrame,
@@ -620,6 +670,7 @@ def schedule_fetches(
     priority_col: str | None = None,
     default_delay: float = 1.0,
     t0: int = 0,
+    backoff: DataFrame | None = None,
 ) -> DataFrame:
     """Turn a ranked frontier into per-URL FETCH TIMESTAMPS honoring
     each host's crawl delay: URLs group by host, order by priority
@@ -638,7 +689,13 @@ def schedule_fetches(
     anti-pattern the robots rules join already fixed).  No global
     sort: the schedule is per-host by construction, which is exactly
     how fetcher fleets shard.  Returns (frontier_url, host, slot,
-    scheduled_ts)."""
+    scheduled_ts).
+
+    ``backoff`` (a :func:`host_backoff` dim: host, not_before_ts)
+    shifts a rate-limited host's whole schedule to start at its
+    Retry-After bound instead of ``t0`` (slots keep their spacing —
+    the 429 moved the window, not the politeness delay).  Another
+    host-keyed AQE-sized join, no new shuffle pattern."""
     from pyspark.sql.window import Window
 
     u = F.col(url_col)
@@ -655,13 +712,19 @@ def schedule_fetches(
     )
     w = Window.partitionBy("host").orderBy(*order)
     joined = base.join(delays, "host", "left")
+    start = F.lit(float(t0))
+    if backoff is not None:
+        joined = joined.join(
+            backoff.select("host", "not_before_ts"), "host", "left"
+        )
+        start = F.greatest(start, F.coalesce(F.col("not_before_ts"), start))
     slot = F.row_number().over(w)
     return joined.select(
         u.alias("frontier_url"),
         "host",
         slot.alias("slot"),
         (
-            F.lit(float(t0))
+            start
             + (slot - 1) * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
         ).alias("scheduled_ts"),
     )

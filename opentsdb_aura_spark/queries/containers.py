@@ -1943,6 +1943,76 @@ def corpus_conditional_fetch(spark, sf_dir):
 
 
 @register(
+    "corpus_retry_backoff_schedule",
+    """WITH d AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k,
+                        CAST(doc_id % 5 AS BIGINT) AS m FROM documents)
+SELECT 'http://h' || k || '.example/u/' || m AS frontier_url,
+       'h' || k || '.example' AS host,
+       CAST(5 - m AS BIGINT) AS slot,
+       round(CASE k WHEN 0 THEN 1120.0 WHEN 1 THEN 1706745600.0
+                    WHEN 2 THEN 2060.0 ELSE 100.0 END
+             + (4 - m) * (k + 1) * 1.0, 6) AS scheduled_ts
+FROM d""",
+)
+def corpus_retry_backoff_schedule(spark, sf_dir):
+    """Rate-limit-aware fetch scheduling (RFC 9110 §10.2.3) — the
+    server's OWN backpressure folded into politeness: 429/503
+    responses carrying Retry-After (delta-seconds, an IMF-fixdate
+    absolute bound, or junk → the default backoff) roll up to a
+    per-host not-before bound (latest wins across multiple limited
+    responses), and the host's whole fetch schedule starts there
+    instead of t0 while slots keep their crawl-delay spacing.  The
+    fixture plants all three header forms plus an unlimited host and
+    a two-evidence host (the older, milder bound must lose); the
+    oracle recomputes every slot and timestamp closed-form, so a
+    wrong precedence, a junk-date crash, or a backoff leaking onto
+    the wrong host breaks the hash.  Scale: one groupBy over limited
+    responses + one more host-keyed AQE-sized join in the scheduler —
+    no new shuffle pattern."""
+    from opentsdb_aura_spark.operators.robots import host_backoff, schedule_fetches
+
+    d = docs_raw(spark, sf_dir).select(
+        (F.col("doc_id") % 4).cast("long").alias("k"),
+        (F.col("doc_id") % 5).cast("long").alias("m"),
+    ).distinct()
+    urls = d.select(
+        F.concat(F.lit("http://h"), F.col("k"), F.lit(".example/u/"), F.col("m")).alias(
+            "frontier_url"
+        ),
+        F.col("m").cast("double").alias("priority"),
+    )
+    kd = d.select("k").distinct()
+    ux = F.concat(F.lit("http://h"), F.col("k"), F.lit(".example/x"))
+    ev1 = kd.where(F.col("k") <= 2).select(
+        ux.alias("url"),
+        F.when(F.col("k") == 0, 1000.0).when(F.col("k") == 1, 800.0).otherwise(2000.0)
+        .alias("capture_ts"),
+        F.when(F.col("k") == 1, 503).otherwise(429).alias("status"),
+        F.when(F.col("k") == 0, "120")
+        .when(F.col("k") == 1, "Thu, 01 Feb 2024 00:00:00 GMT")
+        .otherwise("soon")
+        .alias("retry_after"),
+    )
+    ev2 = kd.where(F.col("k") == 0).select(
+        ux.alias("url"),
+        F.lit(500.0).alias("capture_ts"),
+        F.lit(503).alias("status"),
+        F.lit("30").alias("retry_after"),
+    )
+    backoff = host_backoff(ev1.unionByName(ev2))
+    delays = kd.select(
+        F.concat(F.lit("h"), F.col("k"), F.lit(".example")).alias("host"),
+        (F.col("k") + 1).cast("double").alias("crawl_delay"),
+    )
+    sched = schedule_fetches(
+        urls, delays, priority_col="priority", t0=100, backoff=backoff
+    )
+    return sched.select(
+        "frontier_url", "host", "slot", _r("scheduled_ts", 6).alias("scheduled_ts")
+    )
+
+
+@register(
     "corpus_recrawl_plan",
     """WITH d AS (
   SELECT CAST(doc_id % 100 AS BIGINT) AS u, CAST(doc_id // 100 AS BIGINT) AS i,

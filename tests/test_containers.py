@@ -323,7 +323,7 @@ def test_http_parse_framing_modes():
 
     body = b"0123456789abcdefXYZ"  # 19 bytes -> 7+7+5 chunks
     # doc_id 0: %3==0 chunked, %7==0 -> 404, %2==0+%4==0 -> charset=utf-8
-    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, _et, _lm, got = _parse_http_response(
+    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, _et, _lm, _ra, got = _parse_http_response(
         encode_http_response(0, body)
     )
     assert (v, code, reason) == ("1.0", 404, "Not Found")  # 0 % 11 == 0 -> HTTP/1.0
@@ -331,14 +331,14 @@ def test_http_parse_framing_modes():
     assert got == body
 
     # doc_id 1: Content-Length framing with junk past the body
-    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, _et, _lm, got = _parse_http_response(
+    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, _et, _lm, _ra, got = _parse_http_response(
         encode_http_response(1, body)
     )
     assert (v, code, chunked, clen, cs) == ("1.1", 200, False, len(body), None)
     assert got == body  # junk after Content-Length bytes NOT read
 
     # doc_id 2: neither header -> body runs to payload end; quoted charset
-    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, _et, _lm, got = _parse_http_response(
+    v, code, reason, ct, cs, cenc, chunked, clen, nh, _loc, _et, _lm, _ra, got = _parse_http_response(
         encode_http_response(2, body)
     )
     assert (chunked, clen, nh, cs) == (False, None, 3, "utf-8")  # "UTF-8" unquoted+folded

@@ -275,3 +275,54 @@ def test_feed_files_null_content_skipped(spark):
     rows = parse_feed_files(files).collect()
     assert len(rows) == 1 and rows[0]["loc"] == "http://b.example/x"
     assert rows[0]["updated_ts"] is None
+
+
+def test_host_backoff_and_schedule_shift(spark):
+    """429/503 evidence → per-host not-before: delta-seconds relative
+    to the response, IMF-fixdate absolute (weekday tolerated), junk →
+    default backoff; latest bound wins; non-limited statuses are not
+    evidence; the scheduler shifts only the limited host's window."""
+    from opentsdb_aura_spark.operators.robots import host_backoff, schedule_fetches
+
+    ev = spark.createDataFrame(
+        [
+            ("http://a.example/x", 1000.0, 429, "120"),
+            ("http://a.example/y", 500.0, 503, "30"),        # older, milder: loses
+            ("http://b.example/x", 800.0, 503, "Thu, 01 Feb 2024 00:00:00 GMT"),
+            ("http://c.example/x", 2000.0, 429, "soon"),     # junk -> default 60
+            ("http://d.example/x", 100.0, 200, "999"),       # 200: not evidence
+        ],
+        "url string, capture_ts double, status int, retry_after string",
+    )
+    nb = {r["host"]: (r["not_before_ts"], r["n_limited"])
+          for r in host_backoff(ev).collect()}
+    assert nb == {
+        "a.example": (1120.0, 2),
+        "b.example": (1706745600.0, 1),
+        "c.example": (2060.0, 1),
+    }
+
+    frontier = spark.createDataFrame(
+        [("http://a.example/1",), ("http://a.example/2",), ("http://z.example/1",)],
+        "frontier_url string",
+    )
+    delays = spark.createDataFrame(
+        [("a.example", 2.0)], "host string, crawl_delay double"
+    )
+    sched = {r["frontier_url"]: r["scheduled_ts"]
+             for r in schedule_fetches(
+                 frontier, delays, t0=100, backoff=host_backoff(ev)
+             ).collect()}
+    assert sched["http://a.example/1"] == 1120.0       # shifted window
+    assert sched["http://a.example/2"] == 1122.0       # spacing kept
+    assert sched["http://z.example/1"] == 100.0        # untouched host
+    # a stale bound BEFORE t0 must not pull the schedule earlier
+    old_ev = spark.createDataFrame(
+        [("http://a.example/x", 10.0, 429, "5")],
+        "url string, capture_ts double, status int, retry_after string",
+    )
+    s2 = {r["frontier_url"]: r["scheduled_ts"]
+          for r in schedule_fetches(
+              frontier, delays, t0=100, backoff=host_backoff(old_ev)
+          ).collect()}
+    assert s2["http://a.example/1"] == 100.0

@@ -530,6 +530,41 @@ def parse_feed_files(files: DataFrame) -> DataFrame:
     )
 
 
+def feed_fetch_plan(
+    feed_urls: DataFrame,
+    captures: DataFrame,
+    *,
+    loc_col: str = "loc",
+    updated_col: str = "updated_ts",
+    url_col: str = "url",
+    ts_col: str = "capture_ts",
+) -> DataFrame:
+    """Conditional discovery for FEED entries — the epoch-native
+    counterpart of :func:`sitemap_fetch_plan` (feeds already carry a
+    real timestamp, parsed to epoch by :func:`parse_feed_files`, so
+    there is no date-grammar step here): never-captured entries always
+    fetch; an entry updated after its last capture refetches; an
+    older-or-equal update (or a missing one, which asserts nothing)
+    skips.  Same shape: one groupBy on the capture url + one equi-join
+    onto the O(listed) feed dim.  Returns (loc, updated_ts,
+    last_capture_ts, needs_fetch)."""
+    last_cap = captures.groupBy(F.col(url_col).alias("loc")).agg(
+        F.max(F.col(ts_col).cast("double")).alias("last_capture_ts")
+    )
+    planned = feed_urls.select(
+        F.col(loc_col).alias("loc"),
+        F.col(updated_col).cast("double").alias("updated_ts"),
+    ).join(last_cap, "loc", "left")
+    needs = (
+        F.when(F.col("last_capture_ts").isNull(), F.lit(True))
+        .when(F.col("updated_ts").isNull(), F.lit(False))
+        .otherwise(F.col("updated_ts") > F.col("last_capture_ts"))
+    )
+    return planned.select(
+        "loc", "updated_ts", "last_capture_ts", needs.alias("needs_fetch")
+    )
+
+
 # ------------------------------------------------------ crawl-delay scheduling
 
 # Crawl-delay is not an RFC 9309 rule (the spec's parsers must

@@ -1434,6 +1434,57 @@ def corpus_feed_urls(spark, sf_dir):
     return parse_feed_files(synthesize_feeds(hosts))
 
 
+@register(
+    "corpus_feed_fetch_plan",
+    """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
+i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i),
+f AS (SELECT k, i,
+             'http://h' || k || '.example/f/' || i AS loc,
+             CAST(1704067200 + ((k + i) % 28) * 86400 + i * 3600 AS DOUBLE) AS u
+      FROM k CROSS JOIN i)
+SELECT loc, round(u, 6) AS updated_ts,
+       round(CASE WHEN i = 0 THEN u + 1000 WHEN i = 1 THEN u - 1000 END, 6)
+         AS last_capture_ts,
+       CASE WHEN i = 2 THEN TRUE WHEN i = 1 THEN TRUE ELSE FALSE END AS needs_fetch
+FROM f""",
+)
+def corpus_feed_fetch_plan(spark, sf_dir):
+    """Conditional discovery off the feed's freshness signal — the
+    epoch-native counterpart of corpus_sitemap_fetch_plan: parsed
+    feed entries (both wire formats, timestamps already normalized to
+    epoch) join the capture history; entry 0 of each host was
+    captured after its update (skip), entry 1 before it (refetch),
+    entry 2 never (fetch).  The oracle recomputes the epoch
+    arithmetic and every verdict closed-form through the SAME parse
+    the corpus_feed_urls hash pins, so the date-grammar
+    normalization and the planning rule are checked as one chain."""
+    from opentsdb_aura_spark.operators.robots import (
+        feed_fetch_plan,
+        parse_feed_files,
+        synthesize_feeds,
+    )
+
+    hosts = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example")).alias("host")
+    ).distinct()
+    feeds = parse_feed_files(synthesize_feeds(hosts))
+    idx = F.regexp_extract(F.col("loc"), r"/f/(\d+)$", 1).cast("long")
+    caps = feeds.where(idx <= 1).select(
+        F.col("loc").alias("url"),
+        (
+            F.col("updated_ts").cast("double")
+            + F.when(idx == 0, F.lit(1000.0)).otherwise(F.lit(-1000.0))
+        ).alias("capture_ts"),
+    )
+    out = feed_fetch_plan(feeds, caps)
+    return out.select(
+        "loc",
+        _r("updated_ts", 6).alias("updated_ts"),
+        _r("last_capture_ts", 6).alias("last_capture_ts"),
+        "needs_fetch",
+    )
+
+
 # Revisit fixture shared by plan/write/read and resolve below: groups
 # of (up to) 3 consecutive doc_ids fetch the SAME page with the SAME
 # bytes — k = doc_id - doc_id % 3 is the group key, so doc_id == k is

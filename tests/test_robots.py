@@ -326,3 +326,20 @@ def test_host_backoff_and_schedule_shift(spark):
               frontier, delays, t0=100, backoff=host_backoff(old_ev)
           ).collect()}
     assert s2["http://a.example/1"] == 100.0
+
+
+def test_feed_fetch_plan_edges(spark):
+    """Never-captured fetches; newer update refetches; older-or-equal
+    skips; a missing updated_ts asserts nothing (skip)."""
+    from opentsdb_aura_spark.operators.robots import feed_fetch_plan
+
+    feeds = spark.createDataFrame(
+        [("u1", 100.0), ("u2", 100.0), ("u3", 100.0), ("u4", None), ("u5", 100.0)],
+        "loc string, updated_ts double",
+    )
+    caps = spark.createDataFrame(
+        [("u2", 50.0), ("u3", 100.0), ("u4", 10.0), ("u5", 150.0)],
+        "url string, capture_ts double",
+    )
+    got = {r["loc"]: r["needs_fetch"] for r in feed_fetch_plan(feeds, caps).collect()}
+    assert got == {"u1": True, "u2": True, "u3": False, "u4": False, "u5": False}

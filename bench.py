@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "corpus_conditional_fetch",
     "corpus_capture_change",
     "corpus_warc_sniff_html_text",
+    "corpus_recrawl_plan",
+    "corpus_retry_backoff_schedule",
+    "pipeline_host_ranking",
 ]
 
 

@@ -1535,10 +1535,11 @@ def cdx_index(
     completes the WARC (source) / WET (sink) / CDX (index) triple.
 
     ``with_validators=True`` appends the capture's ``etag`` /
-    ``last_modified`` response headers as columns — the conditional-
-    refetch state (:func:`conditional_fetch_plan` runs directly off
-    the index), an INDEX-table concern kept out of the CDXJ wire line
-    (whose schema is pinned by CDX_LINE_SCHEMA)."""
+    ``last_modified`` / ``retry_after`` response headers as columns —
+    the refetch state (:func:`conditional_fetch_plan` and
+    :func:`robots.host_backoff` run directly off the index), an
+    INDEX-table concern kept out of the CDXJ wire line (whose schema
+    is pinned by CDX_LINE_SCHEMA)."""
     if urlkey not in ("canonical", "surt"):
         raise ValueError(f"cdx_index: unknown urlkey form {urlkey!r}")
     resp = http_responses(
@@ -1558,7 +1559,9 @@ def cdx_index(
         & F.col("warc_date").isNotNull()
     )
     validator_cols = (
-        [F.col("etag"), F.col("last_modified")] if with_validators else []
+        [F.col("etag"), F.col("last_modified"), F.col("retry_after")]
+        if with_validators
+        else []
     )
     return resp.select(
         (

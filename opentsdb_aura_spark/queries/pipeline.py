@@ -1765,6 +1765,76 @@ def pipeline_host_ranking(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_authority_sample",
+    f"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+pe AS (SELECT doc_id AS src, (doc_id * 13 + 2) % cnt AS dst FROM documents, c),
+he AS (
+  SELECT 'h' || (src % 8) || '.example' AS sh,
+         'h' || (dst % 8) || '.example' AS dh,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM pe WHERE (src % 8) <> (dst % 8) GROUP BY 1, 2),
+hn AS (SELECT DISTINCT sh AS host FROM he UNION SELECT DISTINCT dh FROM he),
+H AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM hn),
+outw AS (SELECT sh, sum(w) AS ow FROM he GROUP BY 1),
+r0 AS (SELECT host AS node, 1.0 / nh AS rank FROM hn, H),
+i1 AS ({_HR_ROUND.format(prev="r0")}),
+i2 AS ({_HR_ROUND.format(prev="i1")}),
+i3 AS ({_HR_ROUND.format(prev="i2")}),
+dk AS (SELECT doc_id, 'h' || (doc_id % 8) || '.example' AS host,
+             list_reduce(list_transform(str_split(substr(md5(doc_id || ':asample'), 1, 13), ''),
+               c2 -> strpos('0123456789abcdef', c2) - 1), (a, b) -> a * 16 + b) AS hv
+      FROM documents),
+k AS (SELECT dk.doc_id, dk.host, round(i3.rank, 6) AS hr,
+             pow((hv + 1.0) / 4503599627370498.0, 1.0 / round(i3.rank, 6)) AS sk
+      FROM dk JOIN i3 ON dk.host = i3.node),
+r AS (SELECT *, row_number() OVER (ORDER BY sk DESC, doc_id) AS rn FROM k)
+SELECT doc_id, host, round(hr, 6) AS host_rank, round(sk, 10) AS sample_key
+FROM r WHERE rn <= 20""",
+)
+def pipeline_authority_sample(spark, sf_dir):
+    """What the host-authority signal is FOR on the corpus side:
+    training-data sampling weighted by the document's host rank (docs
+    from endorsed hosts are drawn proportionally more — the quality-
+    mix knob curation stacks expose), composed as weighted PageRank
+    over the host-graph projection joined onto the docs and fed
+    through the deterministic A-ES sampler (Efraimidis–Spirakis over
+    md5 uniforms).  Ranks round to 6 decimals BEFORE the pow on both
+    engines so the sampling keys are engine-stable; the oracle
+    re-runs the projection, the three weighted iterations, the join,
+    and the exact top-20 draw — the graph signal and the sampler are
+    value-hashed as one chain.  Scale: the host dim is tiny after
+    projection (AQE broadcasts the join onto docs); the sampler is a
+    rank-filter, no global sort beyond top-k."""
+    from opentsdb_aura_spark.operators.corpus import (
+        host_graph,
+        pagerank,
+        weighted_sample,
+    )
+
+    d = docs_raw(spark, sf_dir).select("doc_id")
+    n = d.count()  # bounded scalar job: the node-space size
+    dst = F.pmod(F.col("doc_id") * 13 + 2, F.lit(n))
+    mk = lambda idc, idv: F.concat(  # noqa: E731
+        F.lit("http://h"), F.pmod(idc, F.lit(8)), F.lit(".example/doc/"), idv.cast("string")
+    )
+    page_edges = d.select(
+        mk(F.col("doc_id"), F.col("doc_id")).alias("src_url"),
+        mk(dst, dst).alias("dst_url"),
+    )
+    hr = pagerank(
+        host_graph(page_edges), n_iter=3,
+        src_col="src_host", dst_col="dst_host", weight_col="n_links",
+    ).select(F.col("node").alias("host"), _r("rank", 6).alias("hr"))
+    host = F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(8)), F.lit(".example"))
+    docs_h = d.select("doc_id", host.alias("host")).join(hr, "host")
+    out = weighted_sample(docs_h, 20, F.col("hr"), salt="asample")
+    return out.select(
+        "doc_id", "host", _r("hr", 6).alias("host_rank"),
+        _r("sample_key", 10).alias("sample_key"),
+    )
+
+
 @register("pipeline_harmonic_hyperball")  # HLL-register estimate: rows-only check
 def pipeline_harmonic_hyperball(spark, sf_dir):
     """HyperBall (Boldi & Vigna): the 100 TB path for harmonic

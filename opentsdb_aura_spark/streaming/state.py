@@ -434,10 +434,11 @@ def streaming_crawl_ingest(
     lookup service follows the live crawl without rescanning WARCs
     (export to the CDXJ/ZipNum wire artifacts is the batch writers'
     job over this table).  ``cdx_validators=True`` widens the index
-    with each capture's ETag / Last-Modified headers so
-    containers.conditional_fetch_plan can plan 304-eligible refetches
-    straight off the LIVE index (set it from the first batch — the
-    schema is per-index, not per-batch).
+    with each capture's ETag / Last-Modified / Retry-After headers so
+    containers.conditional_fetch_plan and robots.host_backoff can plan
+    304-eligible refetches and rate-limit windows straight off the
+    LIVE index (set it from the first batch — the schema is per-index,
+    not per-batch).
     ``rank_refresh_every`` (with ``frontier_path``) refreshes the
     frontier AUTHORITY signal every N batches the way compaction
     already hooks the loop: containers.refresh_frontier_ranks runs

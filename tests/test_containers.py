@@ -1504,7 +1504,8 @@ def test_cdx_index_with_validators(spark):
         )
 
     content = (
-        rec(1, ('ETag: "v1"', "Last-Modified: 01 Jan 2024 00:00:00 GMT"))
+        rec(1, ('ETag: "v1"', "Last-Modified: 01 Jan 2024 00:00:00 GMT",
+                "Retry-After: 120"))
         + rec(2)
     )
     files = spark.createDataFrame([(0, content)], "file_id long, content binary")
@@ -1513,8 +1514,11 @@ def test_cdx_index_with_validators(spark):
     assert rows["http://example.com/doc/1"]["etag"] == '"v1"'
     assert rows["http://example.com/doc/1"]["last_modified"] == "01 Jan 2024 00:00:00 GMT"
     assert rows["http://example.com/doc/2"]["etag"] is None
+    assert rows["http://example.com/doc/1"]["retry_after"] == "120"
+    assert rows["http://example.com/doc/2"]["retry_after"] is None
     plain = cdx_index(warc_records(files, with_payload=True))
     assert "etag" not in plain.columns and "last_modified" not in plain.columns
+    assert "retry_after" not in plain.columns
 
     # the planner runs straight off the widened index (cdx_ts as the
     # capture clock)

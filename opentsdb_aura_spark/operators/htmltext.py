@@ -435,6 +435,87 @@ def html_page_directives(
     return proj.mapInPandas(op, schema=out_schema)
 
 
+def extract_feed_links(src: str) -> list:
+    """Feed AUTODISCOVERY (the RSS/Atom convention every browser and
+    reader implements): ``<link rel="alternate"
+    type="application/rss+xml|application/atom+xml" href=...>`` in the
+    page markup → (href, kind) in document order — the in-page hop
+    that tells a crawler WHERE the feed :func:`robots.parse_feed_files`
+    parses lives.  rel is a space-separated token list (``alternate``
+    must be present); the MIME type decides the kind; other alternate
+    links (translations, canonical media) don't match; comments and
+    script/style bodies can't inject (stripped first)."""
+    s = _RE_COMMENT.sub(" ", src)
+    s = _RE_DROP.sub(" ", s)
+    out = []
+    for m in _RE_LINK_TAG.finditer(s):
+        tag = m.group(0)
+        rel = (_attr_val(tag, "rel") or "").lower().split()
+        if "alternate" not in rel:
+            continue
+        typ = (_attr_val(tag, "type") or "").strip().lower()
+        if typ == "application/rss+xml":
+            kind = "rss"
+        elif typ == "application/atom+xml":
+            kind = "atom"
+        else:
+            continue
+        href = _attr_val(tag, "href")
+        if href:
+            out.append((href, kind))
+    return out
+
+
+def html_feed_links(
+    pages: DataFrame,
+    *,
+    html_col: str = "html",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    charset_col: str | None = None,
+) -> DataFrame:
+    """1→many Arrow pass surfacing :func:`extract_feed_links` per
+    page: keep_cols + (feed_href string, feed_kind string), one row
+    per discovered feed in document order.  NULL html yields no rows.
+    Same charset seam as the other page passes."""
+    in_fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    missing = [c for c in keep_cols if c not in in_fields]
+    if missing:
+        raise ValueError(f"keep_cols not in input: {missing}")
+    out_schema = ", ".join(
+        [f"{c} {in_fields[c]}" for c in keep_cols]
+        + ["feed_href string", "feed_kind string"]
+    )
+    if charset_col is None:
+        proj = pages.select(*keep_cols, F.col(html_col).cast("string").alias("_html"))
+    else:
+        proj = pages.select(
+            *keep_cols,
+            F.col(charset_col).cast("string").alias("_charset"),
+            F.col(html_col).cast("binary").alias("_html"),
+        )
+    with_charset = charset_col is not None
+    out_cols = list(keep_cols) + ["feed_href", "feed_kind"]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                if with_charset:
+                    *keys, charset, src = tup
+                else:
+                    *keys, src = tup
+                    charset = None
+                if src is None:
+                    continue
+                if with_charset:
+                    src = _decode_page(src, charset)
+                for href, kind in extract_feed_links(src):
+                    rows.append((*keys, href, kind))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return proj.mapInPandas(op, schema=out_schema)
+
+
 def html_links(
     pages: DataFrame,
     *,
@@ -642,12 +723,27 @@ def render_fixture_html(
 
 
 def synthesize_html(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    feed_links: bool = False,
 ) -> DataFrame:
     """Render the deterministic fixture page per document — the HTML
     twin of containers.synthesize_warc (Arrow-batched 1→1, no
-    shuffle).  Returns (doc_id long, html string)."""
+    shuffle).  ``feed_links=True`` injects the closed-form feed
+    autodiscovery tag (even docs announce ``/feed.rss``, odd docs
+    ``/feed.atom``) into the head — void link tags yield no text, so
+    the extraction closed form is unchanged.  Returns
+    (doc_id long, html string)."""
     proj = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text"))
+
+    def tag(doc_id: int) -> str | None:
+        if not feed_links:
+            return None
+        if doc_id % 2 == 0:
+            return '<link rel="alternate" type="application/rss+xml" href="/feed.rss">'
+        return '<link rel="alternate" type="application/atom+xml" href="/feed.atom">'
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -655,7 +751,7 @@ def synthesize_html(
                 {
                     "doc_id": pdf["doc_id"],
                     "html": [
-                        render_fixture_html(int(d), t)
+                        render_fixture_html(int(d), t, meta_tag=tag(int(d)))
                         for d, t in zip(pdf["doc_id"], pdf["_text"])
                     ],
                 }

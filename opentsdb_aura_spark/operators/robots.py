@@ -59,6 +59,10 @@ def encode_robots_txt(host_idx: int) -> str:
         "User-agent: *\nDisallow: /tmp/\nAllow: /\n"
         "Crawl-delay: %d\n" % (1 + host_idx % 5)
     )
+    # the sitemaps.org discovery pointer — group-independent, so its
+    # position is arbitrary; rule/delay parsers must skip it (RFC 9309
+    # tolerance) while parse_sitemap_directives extracts it
+    parts.append("Sitemap: http://h%d.example/sitemap.xml\n" % host_idx)
     return "# fixture robots for h%d.example\n" % host_idx + "".join(parts)
 
 
@@ -528,6 +532,47 @@ def parse_feed_files(files: DataFrame) -> DataFrame:
     return files.mapInPandas(
         op, schema="host string, kind string, loc string, title string, updated_ts long"
     )
+
+
+def parse_sitemap_directives(content: str) -> list:
+    """Extract the ``Sitemap:`` pointers from one robots.txt — the
+    directive that actually ANNOUNCES sitemaps (sitemaps.org's
+    robots.txt discovery mechanism, echoed by RFC 9309's tolerance
+    rule): group-INDEPENDENT (it applies regardless of user-agent
+    groups, so no group state here), case-insensitive key, full URL
+    value, multiple allowed (order kept, duplicates kept — the file
+    said it twice).  Values that don't look like absolute URLs are
+    skipped (the spec requires a full URL; a junk value must not
+    schedule a fetch of garbage)."""
+    out = []
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, val = line.partition(":")
+        if not sep or key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", val):
+            out.append(val)
+    return out
+
+
+def parse_sitemap_directive_files(files: DataFrame) -> DataFrame:
+    """1→many Arrow pass over (host, content) robots files →
+    (host, sitemap_url) rows — the missing first hop of the sitemap
+    chain (robots.txt announces → fetch → parse_sitemap_files →
+    frontier)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf["host"], pdf["content"]):
+                if content is None:
+                    continue
+                for url in parse_sitemap_directives(str(content)):
+                    rows.append((host, url))
+            yield pd.DataFrame(rows, columns=["host", "sitemap_url"])
+
+    return files.mapInPandas(op, schema="host string, sitemap_url string")
 
 
 def feed_fetch_plan(

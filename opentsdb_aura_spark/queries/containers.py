@@ -1435,6 +1435,73 @@ def corpus_feed_urls(spark, sf_dir):
 
 
 @register(
+    "corpus_robots_sitemap_directives",
+    """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents)
+SELECT 'h' || k || '.example' AS host,
+       'http://h' || k || '.example/sitemap.xml' AS sitemap_url
+FROM k""",
+)
+def corpus_robots_sitemap_directives(spark, sf_dir):
+    """The sitemap chain's MISSING FIRST HOP — how sitemaps are
+    actually found: robots.txt's group-independent ``Sitemap:``
+    directive (sitemaps.org discovery, tolerated-and-skipped by the
+    RFC 9309 rule and Crawl-delay parsers, which this query proves
+    stays true by sharing their fixture files) extracts to
+    (host, sitemap_url) pointers a fetcher recurses into
+    parse_sitemap_files with.  The oracle recomputes every pointer
+    closed-form; junk values that are not absolute URLs never
+    surface."""
+    from opentsdb_aura_spark.operators.robots import (
+        parse_sitemap_directive_files,
+        synthesize_robots,
+    )
+
+    hosts = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example")).alias("host")
+    ).distinct()
+    return parse_sitemap_directive_files(synthesize_robots(hosts))
+
+
+@register(
+    "corpus_feed_autodiscovery",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN '/feed.rss' ELSE '/feed.atom' END AS feed_href,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+       'http://example.com/' ||
+       CASE WHEN doc_id % 2 = 0 THEN 'feed.rss' ELSE 'feed.atom' END AS feed_url
+FROM d""",
+)
+def corpus_feed_autodiscovery(spark, sf_dir):
+    """Feed AUTODISCOVERY — the in-page hop that tells a crawler
+    where a site's feed lives (the <link rel="alternate"
+    type="application/rss+xml|atom+xml"> convention every reader
+    implements): fixture pages announce a root-relative feed
+    (RSS for even docs, Atom for odd), the extractor surfaces
+    (href, kind) per page, and the href resolves against the page URL
+    into the absolute feed_url the fetch schedule consumes — the same
+    resolve+canonicalize gates links pass.  The oracle recomputes
+    href, kind, and the resolved URL closed-form; a rel token-list
+    slip or a non-feed alternate link leaking in breaks the row
+    count."""
+    from opentsdb_aura_spark.operators.containers import resolve_href
+    from opentsdb_aura_spark.operators.htmltext import (
+        html_feed_links,
+        synthesize_html,
+    )
+
+    pages = synthesize_html(docs_raw(spark, sf_dir), feed_links=True)
+    links = html_feed_links(pages)
+    page_url = F.concat(F.lit("http://example.com/doc/"), F.col("doc_id"))
+    return links.select(
+        "doc_id",
+        "feed_href",
+        "feed_kind",
+        resolve_href(page_url, F.col("feed_href")).alias("feed_url"),
+    )
+
+
+@register(
     "corpus_feed_fetch_plan",
     """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
 i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i),

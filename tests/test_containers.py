@@ -1563,3 +1563,22 @@ def test_charset_sniffing_precedence():
     junk = b'<meta charset="no-such-codec">' + "ok".encode()
     assert _decode_page(junk, None).endswith("ok")
     assert _sniff_charset(b"", None) is None
+
+
+def test_extract_feed_links_edges():
+    """rel token-list must contain 'alternate'; the MIME type decides
+    kind; stylesheet/canonical/media alternates don't match; comments
+    and scripts can't inject; document order kept."""
+    from opentsdb_aura_spark.operators.htmltext import extract_feed_links
+
+    src = """<html><head>
+      <link rel="stylesheet" href="/css">
+      <link rel="ALTERNATE home" type="application/rss+xml" href="/a.rss">
+      <link rel="alternate" type="application/atom+xml" href='/b.atom'>
+      <link rel="alternate" type="text/html" hreflang="de" href="/de/">
+      <link rel="canonical" href="/canon">
+      <!-- <link rel="alternate" type="application/rss+xml" href="/ghost.rss"> -->
+      <script>var s = '<link rel="alternate" type="application/rss+xml" href="/js.rss">';</script>
+    </head><body></body></html>"""
+    assert extract_feed_links(src) == [("/a.rss", "rss"), ("/b.atom", "atom")]
+    assert extract_feed_links("") == []

@@ -343,3 +343,26 @@ def test_feed_fetch_plan_edges(spark):
     )
     got = {r["loc"]: r["needs_fetch"] for r in feed_fetch_plan(feeds, caps).collect()}
     assert got == {"u1": True, "u2": True, "u3": False, "u4": False, "u5": False}
+
+
+def test_parse_sitemap_directives_edges():
+    """Group-independent extraction: position in the file is
+    irrelevant, key case-insensitive, comments stripped, multiple
+    kept in order with duplicates, relative/junk values skipped."""
+    from opentsdb_aura_spark.operators.robots import parse_sitemap_directives
+
+    content = """# header
+User-agent: *
+SITEMAP: http://a.example/s1.xml
+Disallow: /x
+sitemap: http://a.example/s2.xml # trailing comment
+Sitemap: /relative/skipped
+Sitemap: not a url
+Sitemap: http://a.example/s1.xml
+"""
+    assert parse_sitemap_directives(content) == [
+        "http://a.example/s1.xml",
+        "http://a.example/s2.xml",
+        "http://a.example/s1.xml",
+    ]
+    assert parse_sitemap_directives("") == []

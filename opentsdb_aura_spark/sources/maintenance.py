@@ -224,6 +224,30 @@ def compact_ivfpq_index(
     )
 
 
+def compact_capture_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files: int = 16,
+    target_files: int = 4,
+) -> bool:
+    """Compact the streaming CAPTURE index (streaming_crawl_ingest
+    ``cdx_path`` — one small file per micro-batch): few
+    urlkey-sorted files, so the append path's anti-join on record_id
+    and the replay/lookup side's urlkey range scans keep bounded file
+    counts under sustained crawling — the same LSM posture as the
+    minhash/frontier indexes, and the order the batch CDXJ/ZipNum
+    exporters want the rows in anyway."""
+    return compact_partitioned_parquet(
+        spark,
+        path,
+        partition_col=None,
+        sort_cols=("urlkey", "cdx_ts"),
+        max_files_per_partition=max_files,
+        target_files_per_partition=target_files,
+    )
+
+
 def compact_frontier_index(
     spark: SparkSession,
     path: str,

@@ -559,6 +559,16 @@ def streaming_crawl_ingest(
                     have.select("record_id").distinct(), "record_id", "left_anti"
                 )
             batch_cdx.write.mode("append").parquet(cdx_path)
+            if compact_max_files is not None:
+                # same LSM posture as the minhash/frontier indexes: one
+                # small file lands per batch; bound the buildup
+                from opentsdb_aura_spark.sources.maintenance import (
+                    compact_capture_index,
+                )
+
+                compact_capture_index(
+                    batch_df.sparkSession, cdx_path, max_files=compact_max_files
+                )
         if http_html:
             from opentsdb_aura_spark.operators.htmltext import html_to_text
 

@@ -380,3 +380,35 @@ def test_compact_frontier_index_bounds_files_and_preserves_counts(spark, tmp_pat
     assert n_after <= 4
     after = {r["frontier_url"]: r["n_refs"] for r in frontier_counts(spark, path).collect()}
     assert after == before and sum(after.values()) == 120
+
+
+def test_compact_capture_index_bounds_files_and_preserves_rows(spark, tmp_path):
+    """Sustained capture-index appends erode into one file per batch;
+    compaction bounds the file count, rows survive byte-identically
+    (replay metadata must not drift), and the record_id anti-join
+    contract still sees every capture."""
+    from opentsdb_aura_spark.sources.maintenance import compact_capture_index
+
+    path = str(tmp_path / "cdx")
+    for b in range(12):
+        batch = spark.createDataFrame(
+            [
+                (
+                    f"http://e.example/{i}", "2024010200000" + str(b % 10),
+                    f"http://e.example/{i}", "text/html", 200,
+                    f"d{b}-{i}", i * 100, 90, b, f"urn:uuid:cap-{b}-{i}",
+                )
+                for i in range(5)
+            ],
+            "urlkey string, cdx_ts string, url string, mime string, status int, "
+            "digest string, offset long, length long, file_id long, record_id string",
+        )
+        batch.coalesce(1).write.mode("append").parquet(path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    import glob as _glob
+
+    assert len(_glob.glob(f"{path}/*.parquet")) >= 12
+    assert compact_capture_index(spark, path, max_files=8, target_files=2)
+    assert len(_glob.glob(f"{path}/*.parquet")) <= 4
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before and len(after) == 60

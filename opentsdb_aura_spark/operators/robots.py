@@ -721,7 +721,12 @@ def host_backoff(
     )
     ts = F.col(ts_col).cast("double")
     ra = F.trim(F.col(retry_after_col))
-    delta = ra.try_cast("double")
+    # delta-seconds must be a FINITE non-negative number: 'inf'/'nan'/
+    # '-5' from a hostile or broken server must not silence the host
+    # forever (the crawl-delay parser applies the same rejection) —
+    # invalid deltas fall through to the date form, then the default
+    raw_delta = ra.try_cast("double")
+    delta = F.when((raw_delta >= 0) & (raw_delta <= F.lit(3.2e9)), raw_delta)
     # IMF-fixdate form; the weekday prefix strips first (Spark's new
     # parser forbids day-name fields in parse patterns) and
     # try_to_timestamp keeps junk NULL instead of an ANSI abort

@@ -302,6 +302,19 @@ def test_host_backoff_and_schedule_shift(spark):
         "c.example": (2060.0, 1),
     }
 
+    # hostile deltas must never silence a host forever: 'inf', 'nan',
+    # negative, and absurd values all fall through to the default
+    evil = spark.createDataFrame(
+        [("http://e.example/x", 100.0, 429, "inf"),
+         ("http://f.example/x", 100.0, 429, "-5"),
+         ("http://g.example/x", 100.0, 503, "nan"),
+         ("http://i.example/x", 100.0, 429, "9e99")],
+        "url string, capture_ts double, status int, retry_after string",
+    )
+    bounds = {r["host"]: r["not_before_ts"] for r in host_backoff(evil).collect()}
+    assert bounds == {"e.example": 160.0, "f.example": 160.0,
+                      "g.example": 160.0, "i.example": 160.0}
+
     frontier = spark.createDataFrame(
         [("http://a.example/1",), ("http://a.example/2",), ("http://z.example/1",)],
         "frontier_url string",

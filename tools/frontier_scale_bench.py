@@ -171,6 +171,53 @@ def main() -> None:
     assert probe["http://h1.example/next"] == (per_host, ["next page"]), probe
     assert probe["http://h2.example/about"] == (per_host, ["about"]), probe
     out["anchor_texts_exact"] = True
+
+    # round-11 stage: Retry-After host backoff folded into the same
+    # schedule — every 8th host planted a 429 with Retry-After 300 at
+    # ts 1000 (bound 1300), every 16th additionally a MILDER older 503
+    # (Retry-After 50 at ts 100 → 150, which must LOSE to the 1300);
+    # limited hosts' whole windows shift to 1300, others stay at t0=0
+    from opentsdb_aura_spark.operators.robots import host_backoff
+
+    t0 = time.perf_counter()
+    hk = hosts.select(
+        F.regexp_extract("host", r"^h(\d+)\.example$", 1).cast("long").alias("k")
+    )
+    ev = hk.where(F.col("k") % 8 == 0).select(
+        F.concat(F.lit("http://h"), F.col("k"), F.lit(".example/x")).alias("url"),
+        F.lit(1000.0).alias("capture_ts"),
+        F.lit(429).alias("status"),
+        F.lit("300").alias("retry_after"),
+    ).unionByName(
+        hk.where(F.col("k") % 16 == 0).select(
+            F.concat(F.lit("http://h"), F.col("k"), F.lit(".example/y")).alias("url"),
+            F.lit(100.0).alias("capture_ts"),
+            F.lit(503).alias("status"),
+            F.lit("50").alias("retry_after"),
+        )
+    )
+    bo = host_backoff(ev)
+    sched_b = schedule_fetches(
+        frontier, delays, priority_col="n_refs", backoff=bo
+    ).localCheckpoint()
+    shifted, unshifted_bad = (
+        sched_b.where(F.col("slot") == 1)
+        .agg(
+            F.sum((F.col("scheduled_ts") == 1300.0).cast("long")).alias("s"),
+            F.sum(
+                (
+                    (F.substring_index(F.substring_index("host", ".", 1), "h", -1)
+                     .cast("long") % 8 != 0)
+                    & (F.col("scheduled_ts") != 0.0)
+                ).cast("long")
+            ).alias("b"),
+        ).collect()[0]
+    )
+    out["backoff_schedule_sec"] = round(time.perf_counter() - t0, 2)
+    n_limited = (n_hosts + 7) // 8
+    assert shifted == n_limited, (shifted, n_limited)
+    assert unshifted_bad == 0, unshifted_bad
+    out["limited_hosts_shifted_exact"] = True
     print(json.dumps(out))
 
 

@@ -575,6 +575,74 @@ def parse_sitemap_directive_files(files: DataFrame) -> DataFrame:
     return files.mapInPandas(op, schema="host string, sitemap_url string")
 
 
+def discovered_xml_urls(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    body_col: str = "body",
+    charset_col: str | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Parse FETCHED XML discovery documents — the crawl loop eating
+    its own discoveries: a crawler that follows a robots ``Sitemap:``
+    pointer or an autodiscovered feed link gets an XML body back, and
+    this pass turns those bodies into the next frontier candidates.
+    Both grammars run over every document (a sitemap and a feed are
+    cheap to distinguish but expensive to mislabel — real servers ship
+    feeds as text/xml and sitemaps as octet-stream): urlset/
+    sitemapindex entries surface as kind ``url``/``sitemap`` (child
+    pointers a fetcher recurses into), feed entries as ``rss``/
+    ``atom`` with their epoch timestamps.  Returns (page_url, kind,
+    loc, updated_ts) — loc resolution/canonicalization and the
+    politeness gates are the caller's, SAME as extracted links.
+
+    1→many Arrow pass, no shuffle; ``charset_col`` consumes the body
+    as bytes decoded per row (the streaming seam), else as string;
+    ``keep_cols`` pass through unchanged (the streaming loop keeps the
+    record's doc_id for the frontier edge)."""
+    in_fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    missing = [c for c in keep_cols if c not in in_fields]
+    if missing:
+        raise ValueError(f"keep_cols not in input: {missing}")
+    base_cols = [F.col(url_col).alias("_url")]
+    if charset_col is not None:
+        base_cols.append(F.col(charset_col).cast("string").alias("_charset"))
+        base_cols.append(F.col(body_col).cast("binary").alias("_body"))
+    else:
+        base_cols.append(F.col(body_col).cast("string").alias("_body"))
+    proj = pages.select(*base_cols, *keep_cols)
+    with_charset = charset_col is not None
+    out_cols = ["page_url", "kind", "loc", "updated_ts"] + list(keep_cols)
+    out_schema = "page_url string, kind string, loc string, updated_ts long" + "".join(
+        f", {c} {in_fields[c]}" for c in keep_cols
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from opentsdb_aura_spark.operators.htmltext import _decode_page
+
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                if with_charset:
+                    url, charset, body, *keys = tup
+                else:
+                    url, body, *keys = tup
+                    charset = None
+                if body is None:
+                    continue
+                src = _decode_page(body, charset) if with_charset else str(body)
+                for kind, loc, lastmod in parse_sitemap_xml(src):
+                    # lastmod normalizes to the SAME epoch column the
+                    # feed entries carry (W3C dates are RFC 3339's
+                    # date subset; junk stays None)
+                    rows.append((url, kind, loc, _feed_epoch("atom", lastmod), *keys))
+                for kind, loc, _title, ts in parse_feed_xml(src):
+                    rows.append((url, kind, loc, ts, *keys))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return proj.mapInPandas(op, schema=out_schema)
+
+
 def feed_fetch_plan(
     feed_urls: DataFrame,
     captures: DataFrame,

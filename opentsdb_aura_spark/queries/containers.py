@@ -1502,6 +1502,55 @@ def corpus_feed_autodiscovery(spark, sf_dir):
 
 
 @register(
+    "corpus_xml_discovery",
+    """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
+i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i)
+SELECT 'http://h' || k || '.example/sitemap.xml' AS page_url,
+       'url' AS kind,
+       'http://h' || k || '.example/s/' || i AS loc,
+       CAST(1704067200 + ((k + i) % 28) * 86400 AS BIGINT) AS updated_ts
+FROM k CROSS JOIN i
+UNION ALL
+SELECT 'http://h' || k || '.example/feed.xml',
+       CASE WHEN k % 2 = 0 THEN 'rss' ELSE 'atom' END,
+       'http://h' || k || '.example/f/' || i,
+       CAST(1704067200 + ((k + i) % 28) * 86400 + i * 3600 AS BIGINT)
+FROM k CROSS JOIN i""",
+)
+def corpus_xml_discovery(spark, sf_dir):
+    """The crawl loop eating its own discoveries: FETCHED XML bodies
+    (the sitemap a robots ``Sitemap:`` pointer named; the feed an
+    autodiscovery link announced) parse into the next frontier
+    candidates through ONE pass that runs both grammars — sitemap
+    urlset entries and RSS/Atom entries land in the same
+    (page_url, kind, loc, updated_ts) shape, with sitemap lastmod
+    dates normalized to the SAME epoch column the feed timestamps use
+    (three date grammars in, one number out).  The oracle recomputes
+    every loc and epoch closed-form for both document kinds; the
+    discovered locs then take the ordinary resolve/canonicalize/
+    politeness gates — discovery never bypasses compliance."""
+    from opentsdb_aura_spark.operators.robots import (
+        discovered_xml_urls,
+        synthesize_feeds,
+        synthesize_sitemaps,
+    )
+
+    hosts = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example")).alias("host")
+    ).distinct()
+    pages = synthesize_sitemaps(hosts).select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/sitemap.xml")).alias("url"),
+        F.col("content").alias("body"),
+    ).unionByName(
+        synthesize_feeds(hosts).select(
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/feed.xml")).alias("url"),
+            F.col("content").alias("body"),
+        )
+    )
+    return discovered_xml_urls(pages)
+
+
+@register(
     "corpus_feed_fetch_plan",
     """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
 i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i),

@@ -368,6 +368,7 @@ def streaming_crawl_ingest(
     cdx_path: str | None = None,
     cdx_validators: bool = False,
     rank_refresh_every: int | None = None,
+    xml_discovery: bool = False,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -439,6 +440,12 @@ def streaming_crawl_ingest(
     304-eligible refetches and rate-limit windows straight off the
     LIVE index (set it from the first batch — the schema is per-index,
     not per-batch).
+    ``xml_discovery=True`` (with ``frontier_path``) additionally
+    parses fetched XML bodies (sitemaps a robots ``Sitemap:`` pointer
+    named, feeds an autodiscovery link announced) and routes their
+    entry URLs through the SAME resolve/prefilter/politeness gates as
+    extracted links — the loop eats its own discoveries, and
+    discovery never bypasses compliance.
     ``rank_refresh_every`` (with ``frontier_path``) refreshes the
     frontier AUTHORITY signal every N batches the way compaction
     already hooks the loop: containers.refresh_frontier_ranks runs
@@ -474,6 +481,11 @@ def streaming_crawl_ingest(
         raise ValueError(
             "streaming_crawl_ingest: cdx_validators widens the capture index — "
             "pass cdx_path too"
+        )
+    if xml_discovery and frontier_path is None:
+        raise ValueError(
+            "streaming_crawl_ingest: xml_discovery feeds the frontier — "
+            "pass frontier_path too"
         )
     if rank_refresh_every is not None:
         if frontier_path is None:
@@ -618,6 +630,32 @@ def streaming_crawl_ingest(
                     id_expr.alias("doc_id"),
                 )
                 batch_links = batch_links.unionByName(redirects)
+                if xml_discovery:
+                    # fetched sitemap/feed bodies are discovery too:
+                    # their entries enter through the SAME gates below
+                    from opentsdb_aura_spark.operators.robots import (
+                        discovered_xml_urls,
+                    )
+
+                    xml_pages = resp.where(
+                        F.col("error").isNull()
+                        & F.col("content_type").isin(
+                            "application/xml", "text/xml",
+                            "application/rss+xml", "application/atom+xml",
+                        )
+                    ).select("target_uri", "body", "charset", "record_id")
+                    xml_urls = discovered_xml_urls(
+                        xml_pages,
+                        url_col="target_uri",
+                        charset_col="charset",
+                        keep_cols=("record_id",),
+                    ).select(
+                        canonicalize_url(
+                            resolve_href("page_url", F.col("loc"))
+                        ).alias("frontier_url"),
+                        id_expr.alias("doc_id"),
+                    )
+                    batch_links = batch_links.unionByName(xml_urls)
                 if url_prefilter_gate:
                     # string-only fetch-budget gate FIRST: no dim join,
                     # and it shrinks the robots join's probe side

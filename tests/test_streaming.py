@@ -1314,3 +1314,77 @@ def test_streaming_crawl_ingest_cdx_validators(spark, tmpdirs):
     got = {r["url"]: (r["if_none_match"], r["conditional"]) for r in plan.collect()}
     assert got["http://example.com/doc/1"] == ('"s1"', True)
     assert got["http://example.com/doc/2"] == (None, False)
+
+
+def test_streaming_crawl_ingest_xml_discovery(spark, tmpdirs):
+    """The loop eats its own discoveries: a fetched XML sitemap's
+    entry URLs enter the frontier through the SAME politeness gate as
+    extracted links (a planted /tmp/ loc never schedules); requires
+    frontier_path."""
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.containers import (
+        encode_http_response,
+        frontier_counts,
+    )
+    from opentsdb_aura_spark.operators.htmltext import render_fixture_html
+    from opentsdb_aura_spark.operators.robots import (
+        parse_robots_files,
+        synthesize_robots,
+    )
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    def page_rec(doc_id):
+        payload = encode_http_response(
+            doc_id, render_fixture_html(doc_id, f"page {doc_id} words enough").encode()
+        )
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", payload,
+            target_uri=f"http://h1.example/doc/{doc_id}",
+            content_type="application/http;msgtype=response",
+        )
+
+    def xml_rec(doc_id, xml):
+        body = xml.encode()
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", payload,
+            target_uri=f"http://h1.example/sitemap.xml",
+            content_type="application/http;msgtype=response",
+        )
+
+    sitemap = (
+        '<urlset><url><loc>http://h1.example/fresh/1</loc></url>'
+        "<url><loc>http://h1.example/tmp/trap</loc></url></urlset>"
+    )
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame(
+        [(0, page_rec(1) + xml_rec(2, sitemap))], file_schema
+    ).coalesce(1).write.parquet(tmpdirs["in"] + "/b1")
+
+    rules_path = tmpdirs["out"] + "/rules"
+    parse_robots_files(
+        synthesize_robots(spark.createDataFrame([("h1.example",)], "host string"))
+    ).write.parquet(rules_path)
+
+    docs_path, idx_path = tmpdirs["out"] + "/docs", tmpdirs["store"]
+    frontier = tmpdirs["out"] + "/frontier"
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    with _pytest.raises(ValueError, match="pass frontier_path too"):
+        streaming_crawl_ingest(stream, idx_path, docs_path, tmpdirs["ckpt2"],
+                               http_html=True, xml_discovery=True)
+    streaming_crawl_ingest(
+        stream, idx_path, docs_path, tmpdirs["ckpt"],
+        http_html=True, frontier_path=frontier,
+        robots_rules_path=rules_path, xml_discovery=True,
+    ).awaitTermination(120)
+
+    counts = {r["frontier_url"]: r["n_refs"]
+              for r in frontier_counts(spark, frontier).collect()}
+    assert counts.get("http://h1.example/fresh/1") == 1      # sitemap entry in
+    assert "http://h1.example/tmp/trap" not in counts        # politeness-gated
+    assert counts.get("http://h1.example/about") == 1        # page links still flow

@@ -379,3 +379,34 @@ Sitemap: http://a.example/s1.xml
         "http://a.example/s1.xml",
     ]
     assert parse_sitemap_directives("") == []
+
+
+def test_discovered_xml_urls_edges(spark):
+    """Both grammars in one pass: a document carrying BOTH sitemap
+    entries and feed entries yields all of them; W3C full datetimes in
+    lastmod normalize to epoch like date-only forms; junk dates keep
+    the URL with a NULL hint; NULL bodies skip; keep_cols pass
+    through."""
+    from opentsdb_aura_spark.operators.robots import discovered_xml_urls
+
+    hybrid = (
+        "<urlset>"
+        "<url><loc>http://x.example/s1</loc><lastmod>2024-01-05</lastmod></url>"
+        "<url><loc>http://x.example/s2</loc>"
+        "<lastmod>2024-01-05T10:00:00+01:00</lastmod></url>"
+        "<url><loc>http://x.example/s3</loc><lastmod>junk</lastmod></url>"
+        "</urlset>"
+        "<item><link>http://x.example/f1</link>"
+        "<pubDate>05 Jan 2024 09:00:00 GMT</pubDate></item>"
+    )
+    pages = spark.createDataFrame(
+        [("http://x.example/both.xml", hybrid, 7), ("http://n.example/none.xml", None, 8)],
+        "url string, body string, tag int",
+    )
+    rows = {(r["loc"]): (r["kind"], r["updated_ts"], r["tag"])
+            for r in discovered_xml_urls(pages, keep_cols=("tag",)).collect()}
+    assert rows["http://x.example/s1"] == ("url", 1704412800, 7)
+    assert rows["http://x.example/s2"] == ("url", 1704412800 + 9 * 3600, 7)
+    assert rows["http://x.example/s3"] == ("url", None, 7)
+    assert rows["http://x.example/f1"] == ("rss", 1704412800 + 9 * 3600, 7)
+    assert len(rows) == 4

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "corpus_recrawl_plan",
     "corpus_retry_backoff_schedule",
     "pipeline_host_ranking",
+    "pipeline_closeness_centrality",
 ]
 
 

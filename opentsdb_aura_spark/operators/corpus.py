@@ -947,11 +947,16 @@ def harmonic_centrality(
     h = known.groupBy(F.col("v").alias("node")).agg(
         F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
         F.count("*").cast("long").alias("n_within"),
+        F.sum(F.col("dist").cast("double")).alias("sum_dist"),
     )
     return nodes.join(h, "node", "left").select(
         "node",
         F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
         F.coalesce("n_within", F.lit(0)).cast("long").alias("n_within"),
+        # Σ d(u,v) over the ball — the raw material of closeness and
+        # Lin's index (n_within² / sum_dist), which handle truncated/
+        # disconnected balls where classic closeness degenerates
+        F.coalesce("sum_dist", F.lit(0.0)).alias("sum_dist"),
     )
 
 
@@ -1050,6 +1055,7 @@ def hyperball_harmonic(
         "regs",
         _hll_estimate(F.col("regs"), mm).alias("_prev"),
         F.lit(0.0).alias("harmonic"),
+        F.lit(0.0).alias("sum_dist"),
     ).localCheckpoint()
     pos = [F.element_at(F.col("regs"), i + 1).alias(f"_p{i}") for i in range(mm)]
     for r in range(1, int(max_dist) + 1):
@@ -1069,6 +1075,7 @@ def hyperball_harmonic(
             ).alias("regs"),
             "_prev",
             "harmonic",
+            "sum_dist",
         )
         est = _hll_estimate(F.col("regs"), mm)
         state = merged.select(
@@ -1079,13 +1086,20 @@ def hyperball_harmonic(
                 F.col("harmonic")
                 + F.greatest(est - F.col("_prev"), F.lit(0.0)) / F.lit(float(r))
             ).alias("harmonic"),
+            (
+                F.col("sum_dist")
+                + F.greatest(est - F.col("_prev"), F.lit(0.0)) * F.lit(float(r))
+            ).alias("sum_dist"),
         ).localCheckpoint()
     # ball_est counts the node itself (B(v,0) = {v}); subtract the
-    # r=0 baseline so it reports |{u != v}| like the exact operator
+    # r=0 baseline so it reports |{u != v}| like the exact operator.
+    # sum_dist accumulates Σ r·Δ|B| — the same per-round deltas, so
+    # closeness/Lin come free from the registers already paid for
     return state.select(
         "node",
         "harmonic",
         F.greatest(F.col("_prev") - F.lit(1.0), F.lit(0.0)).alias("ball_est"),
+        F.col("sum_dist").alias("sum_dist_est"),
     )
 
 

@@ -1766,6 +1766,69 @@ def pipeline_host_ranking(spark, sf_dir):
 
 
 @register(
+    "pipeline_closeness_centrality",
+    f"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % cnt AS dst FROM documents, c
+  UNION ALL SELECT doc_id, (doc_id * 13 + 2) % cnt FROM documents, c
+  UNION ALL SELECT doc_id, (doc_id * 23 + 3) % cnt FROM documents, c),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+{_HC_LAYERS}
+SELECT d.doc_id AS node,
+       CAST(count(pairs.u) AS BIGINT) AS n_within,
+       round(coalesce(sum(CAST(dist AS DOUBLE)), 0), 6) AS sum_dist,
+       round(CASE WHEN coalesce(sum(dist), 0) > 0
+                  THEN count(pairs.u) / sum(CAST(dist AS DOUBLE)) ELSE 0 END, 6)
+         AS closeness,
+       round(CASE WHEN coalesce(sum(dist), 0) > 0
+                  THEN count(pairs.u) * count(pairs.u) / sum(CAST(dist AS DOUBLE))
+                  ELSE 0 END, 6) AS lin
+FROM documents d LEFT JOIN pairs ON d.doc_id = pairs.v
+GROUP BY 1""",
+)
+def pipeline_closeness_centrality(spark, sf_dir):
+    """Closeness and Lin's index from the SAME radius-bounded pair
+    set as pipeline_harmonic_centrality — the full centrality triple
+    the HyperBall literature computes from one counter (harmonic;
+    classic closeness = reached/Σd; Lin's index = reached²/Σd, which
+    keeps truncated/disconnected balls comparable where closeness
+    degenerates to rewarding tiny reachable sets).  The exact BFS
+    operator now surfaces the distance SUM alongside the harmonic
+    sum; the HyperBall twin accumulates the same Σ r·Δ|B| from the
+    registers already paid for (its agreement is pinned in the bounds
+    suite).  The oracle re-expands the identical three layers and
+    recomputes all three indices — unreachable nodes report 0, not
+    NULL or a division abort."""
+    from opentsdb_aura_spark.operators.corpus import harmonic_centrality
+
+    d = docs_raw(spark, sf_dir).select("doc_id")
+    n = d.count()  # bounded scalar job: the node-space size
+    edges = None
+    for a, b in ((7, 1), (13, 2), (23, 3)):
+        part = d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    hc = harmonic_centrality(edges, max_dist=3)
+    nz = F.col("sum_dist") > 0
+    return hc.select(
+        "node",
+        "n_within",
+        _r("sum_dist", 6).alias("sum_dist"),
+        _r(F.when(nz, F.col("n_within") / F.col("sum_dist")).otherwise(0.0), 6).alias(
+            "closeness"
+        ),
+        _r(
+            F.when(nz, F.col("n_within") * F.col("n_within") / F.col("sum_dist")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("lin"),
+    )
+
+
+@register(
     "pipeline_authority_sample",
     f"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
 pe AS (SELECT doc_id AS src, (doc_id * 13 + 2) % cnt AS dst FROM documents, c),

@@ -406,16 +406,41 @@ def test_hyperball_agreement_with_exact(spark):
     budget).  The fixture's near-regular out-degree-3 graph sits in
     the linear-counting regime where HLL is tightest — exactly the
     per-node ball shape a page-scale run would see at small radius."""
-    ex = C.SPARK_QUERIES["pipeline_harmonic_centrality"](spark, SF).collect()
+    from opentsdb_aura_spark.operators.corpus import hyperball_harmonic
+
+    ex = C.SPARK_QUERIES["pipeline_closeness_centrality"](spark, SF).collect()
+    exh = {r["node"]: r for r in
+           C.SPARK_QUERIES["pipeline_harmonic_centrality"](spark, SF).collect()}
     hb = C.SPARK_QUERIES["pipeline_harmonic_hyperball"](spark, SF).collect()
-    exact = {r["node"]: (r["harmonic"], r["n_within"]) for r in ex}
+    exact = {r["node"]: (exh[r["node"]]["harmonic"], r["n_within"], r["sum_dist"])
+             for r in ex}
     est = {r["node"]: (r["harmonic"], r["ball_est"]) for r in hb}
     assert set(exact) == set(est) and len(exact) == 500
     rel_h, rel_b = [], []
-    for n, (h, w) in exact.items():
+    for n, (h, w, _sd) in exact.items():
         eh, eb = est[n]
         rel_h.append(abs(eh - h) / max(h, 1e-9))
         rel_b.append(abs(eb - w) / max(w, 1))
     assert max(rel_h) <= 0.40 and max(rel_b) <= 0.40, (max(rel_h), max(rel_b))
     assert sum(rel_h) / len(rel_h) <= 0.12, sum(rel_h) / len(rel_h)
     assert sum(rel_b) / len(rel_b) <= 0.12, sum(rel_b) / len(rel_b)
+
+    # the distance-sum estimate (Σ r·Δ|B| from the same registers)
+    # tracks the exact Σd under the same band — closeness/Lin come
+    # free and stay trustworthy
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    n_docs = docs.count()
+    import pyspark.sql.functions as _F
+    edges = None
+    for a, b in ((7, 1), (13, 2), (23, 3)):
+        part = docs.select(
+            _F.col("doc_id").alias("src"),
+            _F.pmod(_F.col("doc_id") * a + b, _F.lit(n_docs)).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    sd_est = {r["node"]: r["sum_dist_est"]
+              for r in hyperball_harmonic(edges, max_dist=3).collect()}
+    rel_sd = [abs(sd_est[n] - sd) / max(sd, 1.0) for n, (_h, _w, sd) in exact.items()]
+    assert max(rel_sd) <= 0.40 and sum(rel_sd) / len(rel_sd) <= 0.12, (
+        max(rel_sd), sum(rel_sd) / len(rel_sd),
+    )

@@ -1551,6 +1551,72 @@ def corpus_xml_discovery(spark, sf_dir):
 
 
 @register(
+    "corpus_discovery_fetch_plan",
+    """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
+i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i),
+disc AS (
+  SELECT 'http://h' || k || '.example/s/' || i AS loc, i,
+         CAST(1704067200 + ((k + i) % 28) * 86400 AS DOUBLE) AS u
+  FROM k CROSS JOIN i
+  UNION ALL
+  SELECT 'http://h' || k || '.example/f/' || i, i,
+         CAST(1704067200 + ((k + i) % 28) * 86400 + i * 3600 AS DOUBLE)
+  FROM k CROSS JOIN i)
+SELECT loc, round(u, 6) AS updated_ts,
+       round(CASE WHEN i = 0 THEN u + 1000 WHEN i = 1 THEN u - 1000 END, 6)
+         AS last_capture_ts,
+       CASE WHEN i >= 1 THEN TRUE ELSE FALSE END AS needs_fetch
+FROM disc""",
+)
+def corpus_discovery_fetch_plan(spark, sf_dir):
+    """The discovery loop CLOSED: fetched sitemap AND feed bodies
+    parse through the one-pass XML discovery (three date grammars →
+    one epoch column), and that unified output drives the conditional
+    fetch plan directly — entry 0 of each document was captured after
+    its update (skip), entry 1 before it (refetch), entry 2 never
+    (fetch), identically for both document kinds BECAUSE the epoch
+    normalization made them one shape.  The oracle recomputes the
+    parse arithmetic and every verdict for all 24 discovered URLs in
+    one chain — the grammar unification is what's actually under
+    test."""
+    from opentsdb_aura_spark.operators.robots import (
+        discovered_xml_urls,
+        feed_fetch_plan,
+        synthesize_feeds,
+        synthesize_sitemaps,
+    )
+
+    hosts = docs_raw(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("long"), F.lit(".example")).alias("host")
+    ).distinct()
+    pages = synthesize_sitemaps(hosts).select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/sitemap.xml")).alias("url"),
+        F.col("content").alias("body"),
+    ).unionByName(
+        synthesize_feeds(hosts).select(
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/feed.xml")).alias("url"),
+            F.col("content").alias("body"),
+        )
+    )
+    disc = discovered_xml_urls(pages)
+    idx = F.regexp_extract(F.col("loc"), r"/(\d+)$", 1).cast("long")
+    caps = disc.where(idx <= 1).select(
+        F.col("loc").alias("url"),
+        (
+            F.col("updated_ts").cast("double")
+            + F.when(idx == 0, F.lit(1000.0)).otherwise(F.lit(-1000.0))
+        ).alias("capture_ts"),
+    )
+    out = feed_fetch_plan(disc, caps)
+    return out.select(
+        "loc",
+        _r("updated_ts", 6).alias("updated_ts"),
+        _r("last_capture_ts", 6).alias("last_capture_ts"),
+        "needs_fetch",
+    )
+
+
+@register(
     "corpus_feed_fetch_plan",
     """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
 i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i),

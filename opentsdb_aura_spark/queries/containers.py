@@ -1160,6 +1160,62 @@ def corpus_wat_roundtrip(spark, sf_dir):
 
 
 @register(
+    "corpus_wat_head_roundtrip",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+j AS (
+  SELECT doc_id,
+         '{"url":"http://example.com/doc/' || doc_id
+           || '","title":"Doc ' || doc_id || ' & Friends","feeds":["'
+           || CASE WHEN doc_id % 2 = 0 THEN '/feed.rss' ELSE '/feed.atom' END
+           || '"]}' AS payload
+  FROM d)
+SELECT 'urn:uuid:wat-doc-' || doc_id AS record_id,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       'metadata' AS warc_type,
+       CAST(length(payload) AS BIGINT) AS content_length,
+       md5(payload) AS payload_md5
+FROM j""",
+)
+def corpus_wat_head_roundtrip(spark, sf_dir):
+    """HEAD metadata in the WAT records — the page-describing half of
+    the real artifact next to the Links records: each page's extracted
+    <title> and its announced feeds (the autodiscovery links) pack
+    into the metadata JSON and round-trip through the wire format.
+    Composition, not new machinery: the extractor's title, the feed
+    autodiscovery pass, one per-page aggregation, and the SAME generic
+    meta_cols seam the CDX/Links WAT queries use.  The oracle rebuilds
+    every JSON payload byte-for-byte (title entities decoded to the
+    literal '&'; the feed array in sorted order) and re-derives digest
+    and byte length — extraction, aggregation, and sink framing
+    value-hashed as one chain."""
+    from opentsdb_aura_spark.operators.containers import warc_records, write_wat_files
+    from opentsdb_aura_spark.operators.htmltext import (
+        html_feed_links,
+        html_to_text,
+        synthesize_html,
+    )
+
+    pages = synthesize_html(docs_raw(spark, sf_dir), feed_links=True).localCheckpoint()
+    titles = html_to_text(pages).select("doc_id", "title")
+    feeds = html_feed_links(pages).groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("feed_href")).alias("feeds")
+    )
+    caps = titles.join(feeds, "doc_id").select(
+        F.concat(F.lit("urn:uuid:doc-"), F.col("doc_id")).alias("record_id"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id")).alias("url"),
+        F.expr("CAST(doc_id DIV 50 AS LONG)").alias("file_id"),
+        "title",
+        "feeds",
+    )
+    wat = write_wat_files(caps, meta_cols=("url", "title", "feeds"))
+    return (
+        warc_records(wat)
+        .where(F.col("warc_type") == "metadata")
+        .select("record_id", "target_uri", "warc_type", "content_length", "payload_md5")
+    )
+
+
+@register(
     "corpus_crawl_frontier",
     """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
 n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)

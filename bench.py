@@ -138,6 +138,7 @@ BENCH_QUERIES = [
 # box.  The per-line run vector is printed on stderr.
 DEFAULT_RUNS = 2
 MIN_OF = {
+    "pipeline_harmonic_hyperball": 3,  # 64-wide agg rounds: JIT-sensitive
     "dedup_minhash_lsh": 3,
     "dedup_minhash_lsh_exact": 3,
     "dedup_cluster_resolve": 3,

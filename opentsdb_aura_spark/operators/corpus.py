@@ -917,10 +917,13 @@ def harmonic_centrality(
     if int(max_dist) < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
     # node universe BEFORE the self-loop drop: a node whose only edge
-    # is a self-loop still exists in the graph and must report 0
+    # is a self-loop still exists in the graph and must report 0; a
+    # NULL endpoint is no node at all (3VL would otherwise mint a
+    # NULL row here that the != filter below silently drops from e)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .where(F.col("node").isNotNull())
         .distinct()
     )
     e = (
@@ -1022,10 +1025,12 @@ def hyperball_harmonic(
     bits = mm.bit_length() - 1
     rest = 64 - bits
     # node universe BEFORE the self-loop drop (parity with the exact
-    # operator: a self-loop-only node reports 0, not no-row)
+    # operator: a self-loop-only node reports 0, not no-row; NULL
+    # endpoints are no node at all)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .where(F.col("node").isNotNull())
         .distinct()
     )
     e = (

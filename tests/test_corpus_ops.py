@@ -531,6 +531,12 @@ def test_harmonic_centrality_exact(spark):
     # empty edge list: empty result, no crash
     empty = spark.createDataFrame([], "src string, dst string")
     assert harmonic_centrality(empty, max_dist=2).count() == 0
+    # NULL endpoints are no node at all: no NULL row in the output
+    nl = spark.createDataFrame(
+        [("a", None), (None, "b"), ("a", "b")], "src string, dst string"
+    )
+    got = {r["node"] for r in harmonic_centrality(nl, max_dist=2).collect()}
+    assert got == {"a", "b"}
 
 
 def test_hyperball_harmonic_star_and_validation(spark):

@@ -2214,7 +2214,13 @@ def capture_change_profile(
     d = captures.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).cast("double").alias("capture_ts"),
-        F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        # NULL text = an empty capture (coalesce to text ''), NOT a
+        # poison value: without this, size(NULL) = -1 and the NULL
+        # shingle array nulls the neighbor's lag/Jaccard, making the
+        # next capture look like a first fetch (ADVICE r11)
+        F.array_sort(
+            word_shingles(F.coalesce(F.col(text_col), F.lit("")), shingle_n)
+        ).alias("_sh"),
     )
     lagged = d.select(
         "url",

@@ -169,13 +169,67 @@ _WHATWG_ALIASES = {
 }
 
 
-# <meta charset=...> and the http-equiv Content-Type form both carry
-# "charset=" — one prescan pattern covers both (WHATWG's prescan walks
-# tags; the attribute grammar here is what real pages use, and a miss
-# just falls through to the utf-8 default)
-_RE_META_CHARSET = re.compile(
-    rb"""(?is)<meta\s[^>]*charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)"""
+# charset parameter inside an http-equiv Content-Type meta's content
+# attribute value (e.g. content="text/html; charset=utf-8")
+_RE_CHARSET_PARAM = re.compile(r"(?i)charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)")
+# comment spans within the prescan window; an unterminated comment at
+# the window edge is skipped to end-of-window (WHATWG prescan skips
+# comments wholesale, so a commented-out stale <meta charset=...>
+# must never win)
+_RE_PRESCAN_COMMENT = re.compile(r"<!--.*?(-->|$)", re.S)
+
+
+_RE_TAG_NAME = re.compile(r"(?is)<\s*[a-zA-Z][a-zA-Z0-9:-]*")
+_RE_TAG_ATTR = re.compile(
+    r"(?s)[\s/]+([a-zA-Z][a-zA-Z0-9_:.-]*)\s*(=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
 )
+
+
+def _tag_attrs(tag: str) -> dict:
+    """Sequential attribute tokenization of one opening-tag string —
+    unlike a bare regex search, values are CONSUMED as the scan
+    advances, so ``charset=``-shaped text inside some other
+    attribute's quoted value can never read as an attribute
+    (WHATWG's get-an-attribute loop).  First occurrence wins."""
+    out: dict = {}
+    m = _RE_TAG_NAME.match(tag)
+    pos = m.end() if m else 0
+    while True:
+        m = _RE_TAG_ATTR.match(tag, pos)
+        if not m:
+            return out
+        pos = m.end()
+        raw = m.group(3)
+        if raw is None:
+            val = ""
+        elif raw[:1] in ("'", '"'):
+            val = raw[1:-1]
+        else:
+            val = raw
+        out.setdefault(m.group(1).lower(), _htmllib.unescape(val.strip()))
+
+
+def _meta_prescan(window: bytes) -> str | None:
+    """WHATWG-style prescan of the byte window for a charset
+    declaration: comments stripped FIRST (a commented-out stale
+    ``<!-- <meta charset=shift_jis> -->`` must not select a codec),
+    then each complete <meta> tag is attribute-tokenized — a real
+    ``charset`` attribute wins, else an http-equiv Content-Type's
+    ``content`` value is searched for its charset parameter.  Matching
+    inside parsed attributes (not raw 'charset=' anywhere in the tag)
+    keeps a charset-shaped substring in some OTHER attribute's value
+    from garbling the page."""
+    s = _RE_PRESCAN_COMMENT.sub(" ", window.decode("latin-1"))
+    for m in _RE_META_TAG.finditer(s):
+        attrs = _tag_attrs(m.group(0))
+        cs = attrs.get("charset")
+        if cs:
+            return cs
+        if attrs.get("http-equiv", "").strip().lower() == "content-type":
+            pm = _RE_CHARSET_PARAM.search(attrs.get("content", ""))
+            if pm:
+                return pm.group(1)
+    return None
 
 
 def _sniff_charset(raw: bytes, declared: str | None) -> str | None:
@@ -194,13 +248,7 @@ def _sniff_charset(raw: bytes, declared: str | None) -> str | None:
         return "utf-16"  # Python's utf-16 reads byte order from the BOM
     if declared is not None and declared.strip():
         return declared
-    m = _RE_META_CHARSET.search(raw[:1024])
-    if m:
-        try:
-            return m.group(1).decode("ascii")
-        except UnicodeDecodeError:  # pragma: no cover — pattern is ASCII-only
-            return None
-    return None
+    return _meta_prescan(raw[:1024])
 
 
 def _decode_page(raw, charset: str | None) -> str:

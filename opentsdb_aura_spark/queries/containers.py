@@ -1826,11 +1826,11 @@ def corpus_warc_revisit_resolve(spark, sf_dir):
 @register(
     "corpus_anchor_text_index",
     """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
-SELECT 'http://example.com' AS target_url, total AS n_refs, ['home'] AS anchor_texts FROM n
-UNION ALL SELECT 'http://example.com/about', total, ['about'] FROM n
-UNION ALL SELECT 'http://example.com/next', total, ['next page'] FROM n
-UNION ALL SELECT 'http://example.com/terms', total, ['terms'] FROM n
-UNION ALL SELECT 'http://example.com/privacy', total, ['privacy'] FROM n""",
+SELECT 'http://example.com' AS target_url, total AS n_refs, 'home' AS anchor_texts FROM n
+UNION ALL SELECT 'http://example.com/about', total, 'about' FROM n
+UNION ALL SELECT 'http://example.com/next', total, 'next page' FROM n
+UNION ALL SELECT 'http://example.com/terms', total, 'terms' FROM n
+UNION ALL SELECT 'http://example.com/privacy', total, 'privacy' FROM n""",
 )
 def corpus_anchor_text_index(spark, sf_dir):
     """Inbound anchor-text signal per target page — the classic
@@ -1853,7 +1853,14 @@ def corpus_anchor_text_index(spark, sf_dir):
         F.concat(F.lit("http://example.com/doc/"), F.col("doc_id").cast("string")),
     )
     links = html_links(pages, keep_cols=("doc_id", "page_url"))
-    return anchor_text_index(links)
+    # The operator keeps its array return; the catalog boundary serializes it
+    # ('|'-joined, already sorted) because the driver's row hasher cannot
+    # hash list cells — same precedent as queries/events.py child_ids.
+    return anchor_text_index(links).select(
+        "target_url",
+        "n_refs",
+        F.array_join("anchor_texts", "|").alias("anchor_texts"),
+    )
 
 
 @register(
@@ -2772,8 +2779,8 @@ def corpus_recrawl_304(spark, sf_dir):
     """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total,
                          CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS even
                   FROM documents)
-SELECT 'http://h.example/a' AS target_url, even AS n_refs, ['alpha'] AS anchor_texts FROM n
-UNION ALL SELECT 'http://h.example/b', total, ['beta'] FROM n""",
+SELECT 'http://h.example/a' AS target_url, even AS n_refs, 'alpha' AS anchor_texts FROM n
+UNION ALL SELECT 'http://h.example/b', total, 'beta' FROM n""",
 )
 def corpus_nofollow_anchor_index(spark, sf_dir):
     """rel=nofollow honored where it matters — the endorsement
@@ -2802,7 +2809,13 @@ def corpus_nofollow_anchor_index(spark, sf_dir):
         F.lit("http://h.example/p").alias("page_url"),
     )
     links = html_links(pages, keep_cols=("doc_id", "page_url"))
-    return anchor_text_index(links)
+    # Serialize the array at the catalog boundary (driver hasher can't hash
+    # list cells) — operator return stays an array.
+    return anchor_text_index(links).select(
+        "target_url",
+        "n_refs",
+        F.array_join("anchor_texts", "|").alias("anchor_texts"),
+    )
 
 
 @register(

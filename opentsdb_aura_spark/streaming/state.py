@@ -500,6 +500,7 @@ def streaming_crawl_ingest(
             )
 
     _sidecar_checked: list = []  # one-time legacy-schema probe memo
+    _cdx_schema_checked: list = []  # one-time capture-index validator-schema probe
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -566,6 +567,25 @@ def streaming_crawl_ingest(
             )
             batch_cdx = batch_cdx.withColumn("_rn", _rn).where(F.col("_rn") == 1).drop("_rn")
             have = _read_parquet_if_exists(batch_df.sparkSession, cdx_path)
+            if have is not None and not _cdx_schema_checked:
+                # the validator flag is per-INDEX, not per-query: a
+                # mismatched append would leave a mixed-schema parquet
+                # dir whose plain read (and compaction) resolves from
+                # whichever footer it samples, silently dropping the
+                # etag/last_modified validator columns — enforce the
+                # documented contract instead of trusting it (ADVICE
+                # r11).  One probe per query, same memo style as the
+                # errors-sidecar legacy check.
+                _cdx_schema_checked.append(True)
+                had_validators = "etag" in have.columns
+                if had_validators != bool(cdx_validators):
+                    raise ValueError(
+                        "streaming_crawl_ingest: cdx_validators="
+                        f"{bool(cdx_validators)} but the existing capture index at "
+                        f"{cdx_path!r} was written with validators="
+                        f"{had_validators} — the flag is per-index; restart with "
+                        "the matching value or rebuild the index"
+                    )
             if have is not None:
                 batch_cdx = batch_cdx.join(
                     have.select("record_id").distinct(), "record_id", "left_anti"
@@ -637,11 +657,23 @@ def streaming_crawl_ingest(
                         discovered_xml_urls,
                     )
 
+                    # admission: any content type CONTAINING 'xml'
+                    # (covers +xml suffixes and text/xml variants), or
+                    # an .xml/.xml.gz path when servers mislabel —
+                    # real feeds ship as text/plain and sitemaps as
+                    # octet-stream (ADVICE r11); a non-XML body that
+                    # sneaks through simply yields no <loc>/<link>
+                    # entries downstream, so over-admission is safe
+                    ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+                    uri_path = F.lower(
+                        F.regexp_replace(F.col("target_uri"), r"[?#].*$", "")
+                    )
                     xml_pages = resp.where(
                         F.col("error").isNull()
-                        & F.col("content_type").isin(
-                            "application/xml", "text/xml",
-                            "application/rss+xml", "application/atom+xml",
+                        & (
+                            ct.contains("xml")
+                            | uri_path.endswith(".xml")
+                            | uri_path.endswith(".xml.gz")
                         )
                     ).select("target_uri", "body", "charset", "record_id")
                     xml_urls = discovered_xml_urls(

@@ -1468,6 +1468,9 @@ def test_capture_change_profile_edges(spark):
             ("e", 1.0, ""),                 # empty
             ("e", 2.0, "one two"),          # < n tokens: still empty set
             ("e", 3.0, ""),
+            ("n", 1.0, "a b c d"),          # NULL text next: treated as empty page
+            ("n", 2.0, None),               # NULL -> empty set, NOT a poison value
+            ("n", 3.0, "a b c d"),          # neighbor of NULL still gets a Jaccard
         ],
         "url string, capture_ts double, text string",
     )
@@ -1480,6 +1483,12 @@ def test_capture_change_profile_edges(spark):
     assert got[("e", 1.0)] == (0, None)
     assert got[("e", 2.0)] == (0, 1.0)   # empty vs empty: stable
     assert got[("e", 3.0)] == (0, 1.0)
+    # NULL text behaves exactly like an empty capture (ADVICE r11):
+    # n_shingles 0 (not -1), disjoint vs the non-empty neighbors, and
+    # the FOLLOWING capture's lag is not nulled into a fake first-fetch
+    assert got[("n", 1.0)] == (2, None)
+    assert got[("n", 2.0)] == (0, 0.0)
+    assert got[("n", 3.0)] == (2, 0.0)
 
 
 def test_cdx_index_with_validators(spark):
@@ -1563,6 +1572,17 @@ def test_charset_sniffing_precedence():
     junk = b'<meta charset="no-such-codec">' + "ok".encode()
     assert _decode_page(junk, None).endswith("ok")
     assert _sniff_charset(b"", None) is None
+    # comments are stripped FIRST (WHATWG prescan skips them): a
+    # commented-out stale declaration never outranks the live one
+    com = b'<!-- <meta charset="shift_jis"> --><meta charset="utf-8">' + "日本".encode()
+    assert _decode_page(com, None).endswith("日本")
+    # unterminated comment at the window edge: skipped to end-of-window
+    assert _sniff_charset(b'<!-- <meta charset="shift_jis">', None) is None
+    # charset-shaped text inside an UNRELATED attribute value is not a
+    # declaration (only a charset attr or an http-equiv Content-Type
+    # content parameter counts)
+    attr = b'<meta name="desc" content="set charset=utf-16 via header">'
+    assert _sniff_charset(attr, None) is None
 
 
 def test_extract_feed_links_edges():

@@ -52,14 +52,37 @@ def _catalog():
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
+def frames(spark):
     from opentsdb_aura_spark.catalog import SPARK_QUERIES
 
-    out = {}
-    for name, fn in SPARK_QUERIES.items():
-        df = fn(spark, SF_DIR)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
-    return out
+    return {name: fn(spark, SF_DIR) for name, fn in SPARK_QUERIES.items()}
+
+
+@pytest.fixture(scope="module")
+def plans(frames):
+    return {
+        name: df._jdf.queryExecution().executedPlan().toString()
+        for name, df in frames.items()
+    }
+
+
+@pytest.mark.parametrize("name", _catalog())
+def test_flat_output_schema(frames, name):
+    """The driver's correctness gate hashes result rows cell-by-cell;
+    Python list/dict cells are unhashable, so a top-level ARRAY/MAP/
+    STRUCT column silently turns a correct query into a harness red
+    (this bit corpus_anchor_text_index in round 11).  Catalog contract:
+    every query's OUTPUT schema is flat scalars — operators may return
+    nested types, but the catalog projection must serialize them
+    (array_join / to_json) at the boundary."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in frames[name].schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name} outputs nested (driver-unhashable) columns: {bad}"
 
 
 @pytest.mark.parametrize("name", _catalog())

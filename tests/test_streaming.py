@@ -17,7 +17,7 @@ BASE = 1704067200
 
 @pytest.fixture()
 def tmpdirs(tmp_path):
-    d = {k: str(tmp_path / k) for k in ("in", "store", "dim", "ckpt", "ckpt2", "out")}
+    d = {k: str(tmp_path / k) for k in ("in", "store", "dim", "ckpt", "ckpt2", "ckpt3", "out")}
     os.makedirs(d["in"])
     return d
 
@@ -1315,6 +1315,22 @@ def test_streaming_crawl_ingest_cdx_validators(spark, tmpdirs):
     assert got["http://example.com/doc/1"] == ('"s1"', True)
     assert got["http://example.com/doc/2"] == (None, False)
 
+    # the flag is per-INDEX: re-attaching with cdx_validators=False to
+    # an index written WITH validators must fail loudly instead of
+    # appending a narrower schema that a later read/compaction would
+    # silently resolve against (ADVICE r11)
+    spark.createDataFrame([(1, rec(3))], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b2"
+    )
+    stream2 = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    q = streaming_crawl_ingest(
+        stream2, idx_path, docs_path, tmpdirs["ckpt3"],
+        http_html=True, cdx_path=cdx, cdx_validators=False,
+    )
+    with _pytest.raises(Exception, match="per-index"):
+        q.awaitTermination(120)
+        raise AssertionError("mismatched cdx_validators append was not rejected")
+
 
 def test_streaming_crawl_ingest_xml_discovery(spark, tmpdirs):
     """The loop eats its own discoveries: a fetched XML sitemap's
@@ -1345,15 +1361,15 @@ def test_streaming_crawl_ingest_xml_discovery(spark, tmpdirs):
             content_type="application/http;msgtype=response",
         )
 
-    def xml_rec(doc_id, xml):
+    def xml_rec(doc_id, xml, ct="application/xml", uri="http://h1.example/sitemap.xml"):
         body = xml.encode()
         payload = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n"
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ct.encode() + b"\r\n"
             b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
         )
         return C.encode_warc_record(
             "response", f"urn:uuid:doc-{doc_id}", payload,
-            target_uri=f"http://h1.example/sitemap.xml",
+            target_uri=uri,
             content_type="application/http;msgtype=response",
         )
 
@@ -1361,9 +1377,16 @@ def test_streaming_crawl_ingest_xml_discovery(spark, tmpdirs):
         '<urlset><url><loc>http://h1.example/fresh/1</loc></url>'
         "<url><loc>http://h1.example/tmp/trap</loc></url></urlset>"
     )
+    # real servers mislabel: a sitemap shipped as octet-stream at an
+    # .xml path must still be discovered (ADVICE r11)
+    sitemap2 = "<urlset><url><loc>http://h1.example/fresh/2</loc></url></urlset>"
     file_schema = "file_id long, content binary"
     spark.createDataFrame(
-        [(0, page_rec(1) + xml_rec(2, sitemap))], file_schema
+        [(0, page_rec(1) + xml_rec(2, sitemap) + xml_rec(
+            3, sitemap2, ct="application/octet-stream",
+            uri="http://h1.example/sitemap2.xml",
+        ))],
+        file_schema,
     ).coalesce(1).write.parquet(tmpdirs["in"] + "/b1")
 
     rules_path = tmpdirs["out"] + "/rules"
@@ -1386,5 +1409,6 @@ def test_streaming_crawl_ingest_xml_discovery(spark, tmpdirs):
     counts = {r["frontier_url"]: r["n_refs"]
               for r in frontier_counts(spark, frontier).collect()}
     assert counts.get("http://h1.example/fresh/1") == 1      # sitemap entry in
+    assert counts.get("http://h1.example/fresh/2") == 1      # mislabeled .xml admitted
     assert "http://h1.example/tmp/trap" not in counts        # politeness-gated
     assert counts.get("http://h1.example/about") == 1        # page links still flow

@@ -765,6 +765,141 @@ def pipeline_crawl_curate(spark, sf_dir):
 
 
 @register(
+    "pipeline_ccnet_curate",
+    _CURATE_CTES
+    + r""",
+lid AS (
+  SELECT doc_id,
+    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh' END AS lang
+  FROM (SELECT doc_id,
+          len(list_filter(toks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+          len(list_filter(toks, x -> list_contains(['el','la','los','es','de'], x))) AS s_es,
+          len(list_filter(toks, x -> list_contains(['le','la','les','est','et'], x))) AS s_fr,
+          len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) AS s_zh
+        FROM t)),
+bg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, toks[i+1] AS w1
+       FROM t, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
+uni AS (SELECT tok, count(*) AS ucnt
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+big AS (SELECT bigram, count(*) AS bcnt FROM bg GROUP BY 1),
+sc AS (SELECT doc_id, round(avg(ln((bcnt + 0.1) / (ucnt + 0.1 * v.v))), 4) AS avg_logprob
+       FROM bg JOIN big USING (bigram) JOIN uni ON bg.w1 = uni.tok CROSS JOIN v
+       GROUP BY 1),
+bkt AS (SELECT doc_id, lang, avg_logprob,
+          CASE ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_logprob DESC NULLS LAST, doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+          END AS ppl_bucket
+        FROM (SELECT lid.doc_id, lid.lang, sc.avg_logprob
+              FROM lid LEFT JOIN sc USING (doc_id)))
+SELECT q.doc_id, bkt.lang, bkt.avg_logprob, bkt.ppl_bucket,
+       q.keep_quality,
+       q.link_chars * 1.0 / q.text_chars <= 0.3 AS ok_link_density,
+       q.n_badword_hits = 0 AS ok_badwords,
+       bkt.ppl_bucket IN ('head', 'middle') AS ok_ppl,
+       q.keep_quality AND (q.link_chars * 1.0 / q.text_chars <= 0.3)
+         AND q.n_badword_hits = 0
+         AND bkt.ppl_bucket IN ('head', 'middle') AS keep
+FROM q JOIN bkt USING (doc_id)""",
+)
+def pipeline_ccnet_curate(spark, sf_dir):
+    """The CCNet-style curate keep: the crawl-curation chain (WARC →
+    HTTP → HTML → text → Gopher + link-density + badwords gates) with
+    the head/middle/tail perplexity-bucket gate (Wenzek et al. 2020
+    §4.3 — the filter CCNet actually curates by) FUSED into the final
+    keep decision: lang-id over the EXTRACTED text feeds the
+    corpus-fit bigram-LM score into a per-language tercile split, and
+    ``keep`` requires quality ∧ density ∧ badwords ∧ bucket ∈
+    {head, middle}.  The oracle rebuilds the extracted text closed-
+    form, re-derives the lang-id argmax, refits the same smoothed LM
+    over it, re-runs the tercile window with the identical
+    (score DESC NULLS LAST, doc_id) order, and re-ANDs the fused keep
+    — so every joint of the decision, including the new perplexity
+    leg, is value-hashed.
+
+    Scale shape: the extraction chain is lazily localCheckpointed so
+    its Arrow passes run ONCE even though the LM fit (corpus bigram/
+    unigram counts), the lang-id projection, and the gate projection
+    all consume it; the LM join shuffles on high-cardinality gram
+    keys with map-side combine; the tercile is one per-language
+    window (CCNet's own cost — swap for train_perplexity_cutoffs at
+    full corpus scale)."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+    from opentsdb_aura_spark.operators.quality import (
+        FIXTURE_BADWORDS,
+        badwords_exprs,
+        gopher_quality_flags,
+        link_density_exprs,
+        lm_bigram_scores,
+        perplexity_buckets,
+    )
+    from opentsdb_aura_spark.operators.text import lang_id
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True, html_body=True
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    # one extraction pass feeds the gates AND the LM fit AND lang-id
+    ext = html_to_text(pages).localCheckpoint(eager=False)
+    g = gopher_quality_flags(
+        ext, min_tokens=10, extra_cols=("link_chars", "text_chars", "text")
+    )
+    langs = lang_id(ext).select("doc_id", F.col("pred_lang").alias("lang"))
+    scores = lm_bigram_scores(ext, alpha=0.1).select(
+        "doc_id", _r("avg_logprob", 4).alias("avg_logprob")
+    )
+    bkt = perplexity_buckets(langs.join(scores, "doc_id"))
+    label = (
+        F.when(F.col("ppl_bucket") == 1, "head")
+        .when(F.col("ppl_bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    bkt = bkt.select("doc_id", "lang", "avg_logprob", label.alias("ppl_bucket"))
+    density, ok_ld = link_density_exprs()
+    bw_hits, ok_bw = badwords_exprs(FIXTURE_BADWORDS)
+    ok_ppl = F.col("ppl_bucket").isin("head", "middle")
+    gates = g.select(
+        "doc_id",
+        F.col("keep").alias("keep_quality"),
+        ok_ld.alias("ok_link_density"),
+        ok_bw.alias("ok_badwords"),
+    )
+    return gates.join(bkt, "doc_id").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        "ppl_bucket",
+        "keep_quality",
+        "ok_link_density",
+        "ok_badwords",
+        ok_ppl.alias("ok_ppl"),
+        (
+            F.col("keep_quality")
+            & F.col("ok_link_density")
+            & F.col("ok_badwords")
+            & ok_ppl
+        ).alias("keep"),
+    )
+
+
+@register(
     "pipeline_curate_to_wet",
     _CURATE_CTES
     + """

@@ -178,6 +178,10 @@ def robots_allowed(
     *,
     agent: str = "aura-bot",
     url_col: str = "url",
+    fetch_status: DataFrame | None = None,
+    status_col: str = "status_code",
+    cached_age_col: str = "cached_age_s",
+    cache_max_age_s: int = 30 * 86400,
 ) -> DataFrame:
     """Per-URL crawl permission under RFC 9309: pick each host's
     applicable GROUP (the agent's own rules when any exist for that
@@ -192,7 +196,22 @@ def robots_allowed(
     falls back to a host-equi shuffle join rather than forcing an
     unbounded broadcast; either way the frontier is shuffled at most
     once more for the decision aggregation.  Returns (url, host,
-    path, allowed, matched_rule, matched_pattern)."""
+    path, allowed, matched_rule, matched_pattern).
+
+    ``fetch_status`` (optional per-host dim: host, ``status_col``,
+    optional ``cached_age_col`` = age in seconds of a cached rules
+    snapshot) applies RFC 9309 §2.3.1's ACCESS-RESULT semantics — the
+    half of the spec a rules-only gate misses: a 2xx fetch uses the
+    parsed rules; an "unavailable" robots.txt (4xx, or a redirect
+    chain the fetcher gave up on, §2.3.1.3-4) means the crawler MAY
+    access everything → allow-all; an "unreachable" one (5xx, network
+    error = NULL status, §2.3.1.5) means complete disallow — UNLESS a
+    cached copy newer than ``cache_max_age_s`` exists (the spec's
+    explicit long-outage carve-out), in which case the passed rules
+    ARE that cached copy and matching proceeds normally.  Hosts absent
+    from the dim keep the rules path.  Adds a ``policy`` column
+    (rules | allow_all | cached | disallow_all); the status dim is
+    O(hosts), so AQE broadcast-sizes the extra join."""
     # RFC 9309 §2.2.1 matches the PRODUCT TOKEN case-insensitively:
     # a crawler identifying as 'Aura-Bot/1.0' must match an 'aura-bot'
     # group, so strip the /version suffix before the equality compare
@@ -233,15 +252,59 @@ def robots_allowed(
         F.max_by(F.col("pattern"), key).alias("matched_pattern"),
         F.max(F.when(F.col("_hit"), F.lit(1)).otherwise(F.lit(0))).alias("_any"),
     )
-    return decided.select(
+    rule_allowed = (
+        F.when(F.col("_any") == 0, F.lit(True))
+        .otherwise(F.col("matched_rule") == "allow")
+    )
+    if fetch_status is None:
+        return decided.select(
+            "url",
+            "host",
+            "path",
+            rule_allowed.alias("allowed"),
+            F.when(F.col("_any") == 1, F.col("matched_rule")).alias("matched_rule"),
+            F.when(F.col("_any") == 1, F.col("matched_pattern")).alias("matched_pattern"),
+        )
+    age = (
+        F.col(cached_age_col).cast("double")
+        if cached_age_col in fetch_status.columns
+        else F.lit(None).cast("double")
+    )
+    st = F.col(status_col).cast("int")
+    policy = (
+        F.when(st.between(200, 299), F.lit("rules"))
+        # §2.3.1.3-4 "unavailable": 4xx, or a redirect the fetcher
+        # abandoned (a raw 3xx in the dim) → MAY access any resource
+        .when(st.between(300, 499), F.lit("allow_all"))
+        # §2.3.1.5 "unreachable": 5xx / network error (NULL status) →
+        # complete disallow, unless a fresh-enough cached copy exists
+        .otherwise(
+            F.when(
+                age.isNotNull() & (age <= F.lit(float(cache_max_age_s))),
+                F.lit("cached"),
+            ).otherwise(F.lit("disallow_all"))
+        )
+    )
+    pol = fetch_status.select("host", policy.alias("_policy"))
+    joined_pol = decided.join(pol, "host", "left").withColumn(
+        "_policy", F.coalesce(F.col("_policy"), F.lit("rules"))
+    )
+    uses_rules = F.col("_policy").isin("rules", "cached")
+    return joined_pol.select(
         "url",
         "host",
         "path",
-        F.when(F.col("_any") == 0, F.lit(True))
-        .otherwise(F.col("matched_rule") == "allow")
+        F.when(F.col("_policy") == "allow_all", F.lit(True))
+        .when(F.col("_policy") == "disallow_all", F.lit(False))
+        .otherwise(rule_allowed)
         .alias("allowed"),
-        F.when(F.col("_any") == 1, F.col("matched_rule")).alias("matched_rule"),
-        F.when(F.col("_any") == 1, F.col("matched_pattern")).alias("matched_pattern"),
+        F.when(uses_rules & (F.col("_any") == 1), F.col("matched_rule")).alias(
+            "matched_rule"
+        ),
+        F.when(uses_rules & (F.col("_any") == 1), F.col("matched_pattern")).alias(
+            "matched_pattern"
+        ),
+        F.col("_policy").alias("policy"),
     )
 
 

@@ -1561,6 +1561,91 @@ def corpus_frontier_politeness(spark, sf_dir):
 
 
 @register(
+    "corpus_robots_unavailable",
+    """WITH d AS (
+  SELECT DISTINCT CAST(doc_id % 12 AS BIGINT) AS k, CAST(doc_id % 5 AS BIGINT) AS p
+  FROM documents),
+u AS (
+  SELECT k, p, 'h' || k || '.example' AS host,
+         CASE p WHEN 0 THEN '/a' WHEN 1 THEN '/private/x'
+                WHEN 2 THEN '/private/public/y' WHEN 3 THEN '/tmp/z'
+                ELSE '/' END AS path,
+         CASE WHEN k % 4 = 0 THEN 'allow_all'
+              WHEN k % 4 = 1 AND k % 8 = 1 THEN 'cached'
+              WHEN k % 4 = 1 THEN 'disallow_all'
+              WHEN k % 4 = 2 THEN 'rules'
+              ELSE 'disallow_all' END AS policy
+  FROM d),
+n AS (
+  SELECT *, CASE WHEN k % 2 = 0 THEN (p <> 1) ELSE (p <> 3) END AS rule_allowed,
+         CASE WHEN k % 2 = 0 AND p = 1 THEN 'disallow'
+              WHEN k % 2 = 0 AND p = 2 THEN 'allow'
+              WHEN k % 2 = 0 THEN NULL
+              WHEN p = 3 THEN 'disallow' ELSE 'allow' END AS rule_match,
+         CASE WHEN k % 2 = 0 AND p = 1 THEN '/private/'
+              WHEN k % 2 = 0 AND p = 2 THEN '/private/public/'
+              WHEN k % 2 = 0 THEN NULL
+              WHEN p = 3 THEN '/tmp/' ELSE '/' END AS rule_pattern
+  FROM u)
+SELECT 'http://' || host || path AS url, host, path,
+       CASE policy WHEN 'allow_all' THEN true WHEN 'disallow_all' THEN false
+            ELSE rule_allowed END AS allowed,
+       CASE WHEN policy IN ('rules', 'cached') THEN rule_match END AS matched_rule,
+       CASE WHEN policy IN ('rules', 'cached') THEN rule_pattern END AS matched_pattern,
+       policy
+FROM n""",
+)
+def corpus_robots_unavailable(spark, sf_dir):
+    """RFC 9309 §2.3.1 ACCESS-RESULT semantics — what happens when the
+    robots.txt fetch itself fails, the half of the spec a rules-only
+    gate misses: per-host fixture statuses cycle 404 (unavailable →
+    allow-all), 503 with a 10-day-old cached rules copy (unreachable →
+    the spec's cached-fallback carve-out: rules still apply), 200
+    (normal rules path), 503-stale/network-error (unreachable, no
+    usable cache → complete disallow).  The oracle recomputes every
+    URL's policy, the overridden allow/deny, AND that matched rule/
+    pattern are surfaced only on the rules/cached paths — so a wrong
+    status bucket, a stale-cache acceptance, or a default that leaks
+    through an unreachable host all break the hash.  Plan: one extra
+    O(hosts) status-dim join, AQE-sized."""
+    from opentsdb_aura_spark.operators.robots import (
+        parse_robots_files,
+        robots_allowed,
+        synthesize_robots,
+    )
+
+    d = docs_raw(spark, sf_dir).select(
+        (F.col("doc_id") % 12).cast("long").alias("k"),
+        (F.col("doc_id") % 5).cast("long").alias("p"),
+    ).distinct()
+    path = (
+        F.when(F.col("p") == 0, F.lit("/a"))
+        .when(F.col("p") == 1, F.lit("/private/x"))
+        .when(F.col("p") == 2, F.lit("/private/public/y"))
+        .when(F.col("p") == 3, F.lit("/tmp/z"))
+        .otherwise(F.lit("/"))
+    )
+    host = F.concat(F.lit("h"), F.col("k"), F.lit(".example"))
+    urls = d.select(F.concat(F.lit("http://"), host, path).alias("url"))
+    hosts = d.select(host.alias("host"), F.col("k")).distinct()
+    k = F.col("k")
+    status = hosts.select(
+        "host",
+        F.when(k % 4 == 0, F.lit(404))
+        .when(k % 4 == 1, F.lit(503))
+        .when(k % 4 == 2, F.lit(200))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("status_code"),
+        F.when(
+            k % 4 == 1,
+            F.when(k % 8 == 1, F.lit(10 * 86400.0)).otherwise(F.lit(40 * 86400.0)),
+        ).alias("cached_age_s"),
+    )
+    rules = parse_robots_files(synthesize_robots(hosts.select("host")))
+    return robots_allowed(urls, rules, agent="aura-bot", fetch_status=status)
+
+
+@register(
     "corpus_sitemap_urls",
     """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
 i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i)

@@ -410,3 +410,51 @@ def test_discovered_xml_urls_edges(spark):
     assert rows["http://x.example/s3"] == ("url", None, 7)
     assert rows["http://x.example/f1"] == ("rss", 1704412800 + 9 * 3600, 7)
     assert len(rows) == 4
+
+
+def test_robots_fetch_status_semantics(spark):
+    """RFC 9309 §2.3.1 access-result edges the oracle fixture can't
+    isolate: a host ABSENT from the status dim keeps the rules path;
+    an unresolved redirect (raw 3xx) counts as unavailable → allow-all;
+    a cached copy EXACTLY at the age bound is still usable (<=); one
+    second past it is not; a dim without the cached-age column treats
+    every unreachable host as uncached."""
+    from opentsdb_aura_spark.operators.robots import parse_robots_txt, robots_allowed
+
+    rules_rows = [
+        (h, *tup)
+        for h in ("a.example", "b.example", "c.example", "d.example", "e.example")
+        for tup in parse_robots_txt("User-agent: *\nDisallow: /tmp/\nAllow: /\n")
+    ]
+    rules = spark.createDataFrame(
+        rules_rows, "host string, agent string, rule string, pattern string, "
+        "pattern_len int, regex string"
+    )
+    urls = spark.createDataFrame(
+        [(f"http://{h}.example/tmp/x",) for h in "abcde"], "url string"
+    )
+    status = spark.createDataFrame(
+        [
+            ("b.example", 301, None),          # unresolved redirect -> allow_all
+            ("c.example", 503, 30 * 86400.0),  # exactly at the bound -> cached
+            ("d.example", None, 30 * 86400.0 + 1),  # one past -> disallow_all
+            ("e.example", 500, None),          # no cache -> disallow_all
+        ],
+        "host string, status_code int, cached_age_s double",
+    )
+    got = {r["host"]: (r["allowed"], r["policy"], r["matched_rule"])
+           for r in robots_allowed(urls, rules, fetch_status=status).collect()}
+    assert got["a.example"] == (False, "rules", "disallow")   # absent from dim
+    assert got["b.example"] == (True, "allow_all", None)
+    assert got["c.example"] == (False, "cached", "disallow")
+    assert got["d.example"] == (False, "disallow_all", None)
+    assert got["e.example"] == (False, "disallow_all", None)
+
+    # without the cached-age column every unreachable host is uncached
+    st2 = spark.createDataFrame(
+        [("c.example", 503)], "host string, status_code int"
+    )
+    got2 = {r["host"]: r["policy"]
+            for r in robots_allowed(urls, rules, fetch_status=st2).collect()}
+    assert got2["c.example"] == "disallow_all"
+    assert got2["a.example"] == "rules"

@@ -522,3 +522,193 @@ def assign_perplexity_buckets(
         .withColumn("ppl_bucket", bucket.cast("int"))
         .drop("cutoffs")
     )
+
+
+# ------------------------------------------- trainable quality classifier
+#
+# The DCLM / FineWeb-Edu pattern (Li et al. 2024; Penedo et al. 2024):
+# current pipelines rank documents with a TRAINED linear classifier
+# over hashed token features (fastText-style), not only closed-form
+# heuristics.  The engine-native form: features are hashed token
+# counts (explode → hash → per-(doc, bucket) count with map-side
+# combine), training is deterministic full-batch gradient descent on
+# the logistic loss expressed as Spark aggregations — a fixed
+# iteration count with one bounded O(n_features) collect per step
+# (the bpe_train loop discipline), so the fit is exactly reproducible
+# in unrolled SQL and the corpus-wide scoring pass is pure Catalyst.
+
+#: polynomial rolling-hash modulus for the feature hasher — small
+#: enough that (acc * 31 + code) never overflows a BIGINT
+FEATURE_HASH_MOD = 1_000_003
+
+
+def feature_bucket(tok: Column, n_features: int) -> Column:
+    """Hash bucket of one token: fold (acc*31 + codepoint) % MOD over
+    its characters, then % n_features — chosen over xxhash64 because
+    the identical fold is expressible in plain SQL on any engine
+    (list_reduce in DuckDB), keeping the whole training loop
+    oracle-able."""
+    codes = F.transform(F.split(tok, ""), lambda c: F.ascii(c))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(FEATURE_HASH_MOD),
+    )
+    return (h % F.lit(int(n_features))).cast("int")
+
+
+def hashed_token_features(
+    docs: DataFrame,
+    *,
+    n_features: int = 32,
+    binary: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed bag-of-tokens features → (doc_id, bucket, cnt).  The
+    fastText-style input representation: token → hash bucket → count
+    (or 0/1 presence with ``binary=True`` — the better-conditioned
+    form for GD when token counts vary widely).  Explode + hash +
+    groupBy(doc, bucket) — map-side combined, no key wider than one
+    document, no vector materialization (the sparse triple form IS
+    the feature matrix)."""
+    toks = tokens(F.col(text_col))
+    agg = (
+        F.least(F.count("*"), F.lit(1)).cast("double")
+        if binary
+        else F.count("*").cast("double")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("_tok"))
+        .select("doc_id", feature_bucket(F.col("_tok"), n_features).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(agg.alias("cnt"))
+    )
+
+
+def train_logreg_weights(
+    features: DataFrame,
+    labels: DataFrame,
+    *,
+    n_features: int = 32,
+    lr: float = 0.5,
+    n_iter: int = 4,
+    center: bool = False,
+    label_col: str = "y",
+) -> tuple[list[float], float]:
+    """Deterministic full-batch gradient descent on the logistic loss:
+    ``n_iter`` steps of w ← w − lr·∇, ∇ = Σᵢ (σ(xᵢ·w + b) − yᵢ)xᵢ / N,
+    from w = 0.  Returns (weights[n_features], intercept) such that
+    the decision margin is ``w·x + intercept`` on the RAW features.
+
+    ``center=True`` trains on mean-centered features x − μ — the
+    conditioning fix that stops GD from ringing along the
+    every-doc-shares-these-tokens direction (its curvature dwarfs a
+    rare class signal's).  Centering never densifies the sparse
+    triples: ``w·(x−μ) = w·x − w·μ`` folds into the intercept, and
+    ``∇ⱼ = (Σᵢ rᵢxᵢⱼ − μⱼΣᵢ rᵢ)/N`` needs only the sparse sums the
+    uncentered pass already computes — all the μ arithmetic happens
+    driver-side on the collected O(n_features) rows.
+
+    Spark-native training: each step is ONE distributed pass — the
+    per-doc margin aggregation (weights ride along as a literal array,
+    no join) feeds the residual, and the gradient groupBy covers the
+    bias as a pseudo-bucket −1 carried by a unit-count row per doc, so
+    weight and bias gradients come back in a single bounded collect of
+    ≤ n_features + 1 rows (the bpe_train 1-row-per-merge discipline,
+    widened to the feature dim).  The feature/label frames are lazily
+    checkpointed: materialized once, re-read per step."""
+    labs = labels.select("doc_id", F.col(label_col).cast("double").alias("y"))
+    # pack each doc's sparse feature vector into ONE row up front:
+    # every GD step then computes margin + residual as a scalar
+    # expression over the array (no shuffle at all) and the gradient
+    # as one explode → groupBy(bucket) whose partial aggregation
+    # reduces to <= n_features + 1 rows per partition BEFORE the
+    # exchange — per-iteration cost is a narrow pass plus a tiny
+    # shuffle, independent of how many iterations run
+    docvec = features.groupBy("doc_id").agg(
+        F.collect_list(F.struct("bucket", "cnt")).alias("fx")
+    )
+    base = labs.join(docvec, "doc_id", "left").select(
+        "y",
+        F.coalesce(
+            F.col("fx"), F.array().cast("array<struct<bucket:int,cnt:double>>")
+        ).alias("fx"),
+    )
+    base = base.localCheckpoint(eager=False)
+    n = base.count()
+    if n == 0:
+        raise ValueError("train_logreg_weights: empty label frame")
+    mu = [0.0] * int(n_features)
+    if center:
+        for r in (
+            base.select(F.explode("fx").alias("f"))
+            .groupBy(F.col("f.bucket").alias("bucket"))
+            .agg((F.sum("f.cnt") / F.lit(float(n))).alias("m"))
+            .collect()  # bounded: <= n_features rows
+        ):
+            mu[r["bucket"]] = float(r["m"])
+    w = [0.0] * int(n_features)
+    b = 0.0
+    bias_entry = F.array(
+        F.struct(F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("cnt"))
+    )
+    for _ in range(int(n_iter)):
+        # margin on raw features, centering folded into the constant
+        const = float(b) - sum(wi * mi for wi, mi in zip(w, mu))
+        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        dot = F.aggregate(
+            F.col("fx"),
+            F.lit(0.0),
+            lambda acc, s: acc + s["cnt"] * F.element_at(w_arr, s["bucket"] + 1),
+        )
+        resid = (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(const)))) - F.col("y")
+        )
+        grads = (
+            base.select(resid.alias("resid"), F.concat("fx", bias_entry).alias("fx"))
+            .select("resid", F.explode("fx").alias("f"))
+            .groupBy(F.col("f.bucket").alias("bucket"))
+            .agg((F.sum(F.col("f.cnt") * F.col("resid")) / F.lit(float(n))).alias("g"))
+            .collect()  # bounded: <= n_features + 1 rows
+        )
+        rbar = next((float(r["g"]) for r in grads if r["bucket"] < 0), 0.0)
+        for r in grads:
+            if r["bucket"] < 0:
+                b -= float(lr) * rbar
+            else:
+                w[r["bucket"]] -= float(lr) * (float(r["g"]) - mu[r["bucket"]] * rbar)
+    return w, float(b) - sum(wi * mi for wi, mi in zip(w, mu))
+
+
+def logreg_scores(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    *,
+    n_features: int = 32,
+    binary: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide scoring pass with trained weights → (doc_id,
+    margin, prob, pred).  Pure Catalyst: the weight vector is a
+    literal array (no join), the score is one explode + groupBy with
+    map-side combine, and docs with no tokens still surface (bias-only
+    margin) via the left join against the id spine — the gate a
+    curation run applies corpus-wide after a small-seed fit."""
+    feats = hashed_token_features(
+        docs, n_features=n_features, binary=binary, text_col=text_col, id_col=id_col
+    )
+    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    dots = feats.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1)).alias("_dot")
+    )
+    all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    margin = F.coalesce(F.col("_dot"), F.lit(0.0)) + F.lit(float(bias))
+    return all_ids.join(dots, "doc_id", "left").select(
+        "doc_id",
+        margin.alias("margin"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("prob"),
+        (margin >= 0).alias("pred"),
+    )

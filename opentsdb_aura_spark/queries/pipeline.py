@@ -1237,6 +1237,123 @@ def quality_lm_scores(spark, sf_dir):
     return res.select("doc_id", "n_bigrams", _r("avg_logprob", 4).alias("avg_logprob"))
 
 
+#: hashed-feature logistic-regression training hyperparameters —
+#: mirrored literally in the unrolled oracle; change them together.
+#: D=64 gives the fixture badword its own collision-free bucket;
+#: centered presence features + lr=10 converge monotonically (raw
+#: counts make GD ring along the shared-vocabulary direction)
+_LOGREG_D = 64
+_LOGREG_LR = 20.0
+_LOGREG_ITERS = 8
+
+
+def _logreg_oracle() -> str:
+    """Unrolled-SQL twin of the deterministic batch-GD logistic fit
+    (the bpe_train oracle trick, widened to a weight vector): each
+    iteration's residuals, gradients, weight/bias updates, and the
+    centering offset are literal CTEs, so DuckDB re-trains the SAME
+    classifier from the same zero init and the corpus-wide scores
+    hash-compare.  Centering stays sparse exactly as in the operator:
+    margin = w·x + (b − w·μ); ∇ⱼ = (Σrᵢxᵢⱼ − μⱼΣrᵢ)/N."""
+    # base CTEs MATERIALIZED: the unrolled iterations reference trip/
+    # lab dozens of times, and DuckDB would otherwise re-open the
+    # parquet per reference (fd exhaustion)
+    head = rf"""WITH t AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks FROM documents),
+lab AS MATERIALIZED (SELECT doc_id, CASE WHEN list_contains(toks, 'dup') THEN 1.0 ELSE 0.0 END AS y FROM t),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+trip AS MATERIALIZED (SELECT DISTINCT doc_id,
+           CAST(list_reduce(list_transform(range(1, length(tok)+1), i -> ord(substr(tok, i, 1))), (a, b) -> (a * 31 + b) % 1000003) % {_LOGREG_D} AS INTEGER) AS bucket,
+           1.0 AS cnt
+         FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+mu AS MATERIALIZED (SELECT bucket, sum(cnt) / nn.n AS mu FROM trip CROSS JOIN nn GROUP BY bucket, nn.n),
+m0 AS (SELECT doc_id, y, 0.0 AS margin FROM lab)"""
+    lr = _LOGREG_LR
+    parts = [head]
+    for k in range(_LOGREG_ITERS):
+        # every iteration CTE is MATERIALIZED: the chain w{k+1}→w{k}→…
+        # would otherwise be INLINED at each reference, duplicating the
+        # whole training subtree per level (exponential blowup)
+        parts.append(
+            f"""r{k} AS MATERIALIZED (SELECT doc_id, 1.0/(1.0+exp(-margin)) - y AS resid FROM m{k}),
+g{k} AS MATERIALIZED (SELECT bucket, sum(resid * cnt) AS s FROM trip JOIN r{k} USING (doc_id) GROUP BY 1),
+gb{k} AS MATERIALIZED (SELECT sum(resid) AS s FROM r{k})"""
+        )
+        if k == 0:
+            parts.append(
+                f"""w1 AS MATERIALIZED (SELECT bucket, -{lr} * (g0.s - mu.mu * gb0.s) / nn.n AS w
+  FROM g0 JOIN mu USING (bucket) CROSS JOIN gb0 CROSS JOIN nn),
+b1 AS MATERIALIZED (SELECT -{lr} * s / nn.n AS b FROM gb0 CROSS JOIN nn)"""
+            )
+        else:
+            parts.append(
+                f"""w{k + 1} AS MATERIALIZED (SELECT g{k}.bucket, w{k}.w - {lr} * (g{k}.s - mu.mu * gb{k}.s) / nn.n AS w
+  FROM g{k} JOIN mu USING (bucket) JOIN w{k} USING (bucket) CROSS JOIN gb{k} CROSS JOIN nn),
+b{k + 1} AS MATERIALIZED (SELECT b{k}.b - {lr} * s / nn.n AS b FROM gb{k} CROSS JOIN b{k} CROSS JOIN nn)"""
+            )
+        parts.append(
+            f"""off{k + 1} AS MATERIALIZED (SELECT sum(w * mu.mu) AS o FROM w{k + 1} JOIN mu USING (bucket)),
+m{k + 1} AS MATERIALIZED (SELECT lab.doc_id, lab.y, b{k + 1}.b - off{k + 1}.o + coalesce(dp{k + 1}.v, 0) AS margin
+  FROM lab CROSS JOIN b{k + 1} CROSS JOIN off{k + 1}
+  LEFT JOIN (SELECT trip.doc_id, sum(cnt * w{k + 1}.w) AS v
+             FROM trip JOIN w{k + 1} USING (bucket) GROUP BY 1) dp{k + 1} USING (doc_id))"""
+        )
+    final = f"""SELECT doc_id, y = 1.0 AS label,
+       round(margin, 4) AS margin,
+       round(1.0/(1.0+exp(-margin)), 4) AS prob,
+       margin >= 0 AS pred
+FROM m{_LOGREG_ITERS}"""
+    return ",\n".join(parts) + "\n" + final
+
+
+@register("pipeline_quality_classifier", _logreg_oracle())
+def pipeline_quality_classifier(spark, sf_dir):
+    """TRAINED quality classifier, the DCLM / FineWeb-Edu pattern
+    (Li et al. 2024; Penedo et al. 2024): a linear model over hashed
+    token features fit on seed labels, then scored corpus-wide as the
+    keep gate — what current curation stacks actually rank by, next to
+    the closed-form heuristic gates.  Fixture labels are the planted
+    separable class (docs containing the 'dup' badword token), so the
+    fit must RECOVER a real signal, not memorize noise.  Training is
+    deterministic full-batch GD from zero init ({iters} steps,
+    lr={lr}, {d} hashed features) expressed as Spark aggregations with
+    one bounded <= d+1-row collect per step; the oracle unrolls the
+    SAME iterations in SQL (the bpe_train trick), so the weights, the
+    per-doc margins/probabilities, AND the final keep verdict are all
+    value-hashed.  Scoring is one explode + map-side-combined groupBy
+    with the weight vector as a literal array — no join, pure
+    Catalyst, the 100 TB corpus pass.""".format(
+        iters=_LOGREG_ITERS, lr=_LOGREG_LR, d=_LOGREG_D
+    )
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_token_features,
+        logreg_scores,
+        train_logreg_weights,
+    )
+
+    d = docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id", F.array_contains(tokens(F.col("text")), "dup").alias("label")
+    )
+    feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    w, b = train_logreg_weights(
+        feats,
+        labels.select("doc_id", F.col("label").cast("double").alias("y")),
+        n_features=_LOGREG_D,
+        lr=_LOGREG_LR,
+        n_iter=_LOGREG_ITERS,
+        center=True,
+    )
+    scores = logreg_scores(d, w, b, n_features=_LOGREG_D, binary=True)
+    return labels.join(scores, "doc_id").select(
+        "doc_id",
+        "label",
+        _r("margin", 4).alias("margin"),
+        _r("prob", 4).alias("prob"),
+        "pred",
+    )
+
+
 @register(
     "corpus_line_dedup_docs",
     f"""{_LINES_SQL},

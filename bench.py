@@ -129,10 +129,13 @@ BENCH_QUERIES = [
     "pipeline_host_ranking",
     "pipeline_closeness_centrality",
     # round 12 additions: the CCNet-fused curate keep, robots
-    # fetch-status semantics, and the trained quality classifier
+    # fetch-status semantics, the trained quality classifier, and the
+    # unigram-LM tokenizer pair
     "pipeline_ccnet_curate",
     "corpus_robots_unavailable",
     "pipeline_quality_classifier",
+    "text_unigram_train",
+    "text_unigram_count",
 ]
 
 # The driver's bench artifact keeps only the TAIL of the output, and

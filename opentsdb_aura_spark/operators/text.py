@@ -353,3 +353,247 @@ def bpe_apply(
         .join(per_doc, "doc_id", "left")
         .select("doc_id", F.coalesce("n_subwords", F.lit(0).cast("long")).alias("n_subwords"))
     )
+
+
+# ---------------------------------------------- unigram-LM tokenizer
+
+#: piece separator inside a segmentation string — same unit separator
+#: the shingle hashes use; cannot occur in whitespace-split tokens
+_USEG_SEP = "\x1f"
+
+#: log-probabilities are quantized to integer micro-nats before the
+#: Viterbi DP, so path scores are exact BIGINT sums — segmentation
+#: argmax and its tie-breaks become engine-exact (no float-order drift
+#: between Spark, the Python driver loop, and a SQL oracle)
+_USEG_SCALE = 1_000_000
+
+
+def _ilogp(p: float) -> int:
+    """round(ln(p)·1e6 + 1e-9) with HALF-AWAY-FROM-ZERO rounding —
+    bit-identical to the oracle's ``CAST(round(1e-9 + ln(p)*1000000)
+    AS BIGINT)`` (C libm ln on both sides; Python's builtin round is
+    banker's and would disagree on exact halves)."""
+    import math
+
+    x = math.log(p) * _USEG_SCALE + 1e-9
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _useg_better(c, b):
+    """Viterbi candidate order: higher score, then FEWER pieces, then
+    lexicographically smallest segmentation string — a total order
+    with no float comparisons (scores are integer micro-nats)."""
+    return (
+        (c["score"] > b["score"])
+        | ((c["score"] == b["score"]) & (c["n"] < b["n"]))
+        | (
+            (c["score"] == b["score"])
+            & (c["n"] == b["n"])
+            & (c["seg"] < b["seg"])
+        )
+    )
+
+
+def _viterbi_expr(word, vocab: dict, max_piece_len: int):
+    """Best unigram segmentation of one word column under a bounded
+    vocab → struct(score BIGINT, n pieces, seg '\\x1f'-joined) — the
+    SentencePiece Viterbi encoder as ONE Catalyst expression: a fold
+    over character positions whose accumulator is the DP table (array
+    of best-prefix structs), each step maximizing over the ≤
+    ``max_piece_len`` pieces that could end there.  The vocab rides as
+    a literal map (bounded by construction — chars + top-K pieces), so
+    segmentation is a narrow per-row pass: no join, no shuffle, no
+    Python."""
+    m = F.create_map(
+        *[F.lit(x) for piece, lp in sorted(vocab.items()) for x in (piece, lp)]
+    )
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("score"),
+            F.lit(0).cast("int").alias("n"),
+            F.lit("").alias("seg"),
+        )
+    )
+    worst = F.struct(
+        F.lit(-(2**62)).cast("long").alias("score"),
+        F.lit(2**31 - 1).cast("int").alias("n"),
+        F.lit("").alias("seg"),
+    )
+
+    def step(acc, i):
+        def cand(length):
+            start = (i - length + F.lit(1)).cast("int")
+            piece = word.substr(start, length.cast("int"))
+            prev = F.element_at(acc, start)  # best prefix ending at i-length
+            return F.struct(
+                (prev["score"] + F.element_at(m, piece)).alias("score"),
+                (prev["n"] + F.lit(1)).cast("int").alias("n"),
+                F.concat(prev["seg"], F.lit(_USEG_SEP), piece).alias("seg"),
+            )
+
+        cands = F.filter(
+            F.transform(F.sequence(F.lit(1), F.least(F.lit(max_piece_len), i)), cand),
+            lambda s: s["score"].isNotNull(),  # piece not in vocab → NULL score
+        )
+        best = F.aggregate(
+            cands, worst, lambda b, c: F.when(_useg_better(c, b), c).otherwise(b)
+        )
+        return F.concat(acc, F.array(best))
+
+    dp = F.aggregate(F.sequence(F.lit(1), F.length(word)), init, step)
+    return F.element_at(dp, -1)
+
+
+def unigram_train(
+    docs: DataFrame,
+    *,
+    seed_max_len: int = 4,
+    keep_multi: int = 8,
+    n_rounds: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a unigram-LM subword vocabulary (Kudo 2018, the
+    SentencePiece model; hard-EM/Viterbi variant): seed with all
+    substrings up to ``seed_max_len``, then alternate (E) Viterbi
+    re-segmentation of the word table under the current piece
+    log-probs with (M) count re-estimation and pruning to the top
+    ``keep_multi`` multi-character pieces — single characters are
+    never pruned, so every word stays coverable.  Laplace-smoothed
+    probabilities keep zero-count survivors scorable.
+
+    Distributed shape — the bpe_train loop discipline: everything
+    runs on the DISTINCT-WORD frequency table (|vocab| ≪ |corpus|;
+    the corpus pays one explode + hash agg); seeding is one substring
+    explode + hash agg with a distributed top-K (never a full
+    collect); each round is ONE narrow Viterbi pass over the word
+    table (vocab as a literal map) + a tiny piece-count aggregation
+    collected to the driver (bounded: ≤ alphabet + keep_multi rows).
+    All loop state is integer counts and integer micro-nat log-probs,
+    so the fit is exactly reproducible in unrolled SQL.
+
+    Returns (piece, cnt, prob): final Viterbi counts and the relative
+    frequency over the final vocabulary, one row per kept piece."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    w = F.col("w")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(int(seed_max_len))),
+                    lambda length: F.when(
+                        i + length - 1 <= F.length(w), w.substr(i.cast("int"), length.cast("int"))
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    )
+    seed = (
+        words.select(F.explode(subs).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    chars = seed.where(F.length("piece") == 1)
+    multi = (
+        seed.where(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(int(keep_multi))
+    )
+    # bounded collect: alphabet + keep_multi rows (the codebook rule)
+    vocab_counts = {
+        r["piece"]: int(r["cnt"]) for r in chars.unionByName(multi).collect()
+    }
+    char_set = {p for p in vocab_counts if len(p) == 1}
+
+    def probs(counts: dict) -> dict:
+        total = sum(counts.values())
+        v = len(counts)
+        return {p: _ilogp((c + 1.0) / (total + v)) for p, c in counts.items()}
+
+    for _ in range(int(n_rounds)):
+        vit = _viterbi_expr(w, probs(vocab_counts), int(seed_max_len))
+        counts_rows = (
+            words.select("cnt", F.explode(F.split(vit["seg"], _USEG_SEP)).alias("piece"))
+            .where(F.col("piece") != "")
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .collect()  # bounded: <= current vocab size rows
+        )
+        new_counts = {r["piece"]: int(r["cnt"]) for r in counts_rows}
+        kept_multi = sorted(
+            ((p, c) for p, c in new_counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[: int(keep_multi)]
+        vocab_counts = {p: new_counts.get(p, 0) for p in char_set}
+        vocab_counts.update(dict(kept_multi))
+
+    spark = docs.sparkSession
+    out = spark.createDataFrame(
+        sorted(vocab_counts.items()), "piece string, cnt long"
+    )
+    total = sum(vocab_counts.values())
+    return out.select(
+        "piece",
+        "cnt",
+        F.round(F.col("cnt") / F.lit(float(total)) + F.lit(1e-9), 6).alias("prob"),
+    )
+
+
+def unigram_apply(
+    docs: DataFrame,
+    vocab: dict,
+    *,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a trained unigram vocab (piece → integer
+    micro-nat log-prob): per-doc Viterbi piece counts → (doc_id,
+    n_pieces).  Same shape as bpe_apply: each DISTINCT word segments
+    once (narrow pass, vocab as a literal map), per-doc counts come
+    from one explode + join + sum."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    distinct_w = words.select("w").distinct()
+    seg = distinct_w.select(
+        "w", _viterbi_expr(F.col("w"), vocab, int(max_piece_len))["n"].alias("n_pieces_w")
+    )
+    return (
+        wc.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("n_pieces_w")).cast("long").alias("n_pieces"))
+    )
+
+
+def unigram_train_vocab(
+    docs: DataFrame,
+    *,
+    seed_max_len: int = 4,
+    keep_multi: int = 8,
+    n_rounds: int = 2,
+    text_col: str = "text",
+) -> dict:
+    """The trained vocab as the piece → integer-micro-nat log-prob
+    dict :func:`unigram_apply` consumes: re-runs the same Laplace
+    smoothing over :func:`unigram_train`'s final counts (bounded
+    collect — the vocab is driver-sized by construction)."""
+    rows = unigram_train(
+        docs,
+        seed_max_len=seed_max_len,
+        keep_multi=keep_multi,
+        n_rounds=n_rounds,
+        text_col=text_col,
+    ).collect()
+    counts = {r["piece"]: int(r["cnt"]) for r in rows}
+    total = sum(counts.values())
+    v = len(counts)
+    return {p: _ilogp((c + 1.0) / (total + v)) for p, c in counts.items()}

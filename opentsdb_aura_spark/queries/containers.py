@@ -857,7 +857,8 @@ def pipeline_ccnet_curate(spark, sf_dir):
         F.col("body").alias("html"),
     )
     # one extraction pass feeds the gates AND the LM fit AND lang-id
-    ext = html_to_text(pages).localCheckpoint(eager=False)
+    # (eager: the LM's corpus-count aggregations scan it repeatedly)
+    ext = html_to_text(pages).localCheckpoint()
     g = gopher_quality_flags(
         ext, min_tokens=10, extra_cols=("link_chars", "text_chars", "text")
     )

@@ -1354,6 +1354,157 @@ def pipeline_quality_classifier(spark, sf_dir):
     )
 
 
+#: unigram-LM training hyperparameters — mirrored literally in the
+#: unrolled oracles; change them together
+_UNI_L = 4
+_UNI_K = 8
+_UNI_ROUNDS = 2
+
+
+def _unigram_ctes() -> str:
+    """Shared CTE chain re-deriving the unigram-LM fit in SQL: seed
+    substring counts → top-K vocab → per-round RECURSIVE full-path
+    segmentation lattices (the fixture words are short, so exhaustive
+    enumeration is cheap for the oracle; Spark runs proper Viterbi)
+    with the IDENTICAL (score DESC, n pieces, seg) argmax — exact,
+    because log-probs are quantized to integer micro-nats on both
+    sides before any path sum.  All loop state is integers, so the
+    two engines cannot drift."""
+    parts = [
+        r"""WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks FROM documents),
+words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+seed AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, cnt
+    FROM words, unnest(range(1, length(w) + 1)) AS pi(i),
+                unnest(range(1, """
+        + str(_UNI_L + 1)
+        + r""")) AS pl(l)
+    WHERE i + l - 1 <= length(w)) GROUP BY 1),
+v0c AS MATERIALIZED (
+  SELECT piece, cnt FROM seed WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM seed WHERE length(piece) > 1) WHERE rn <= """
+        + str(_UNI_K)
+        + r"""),
+v0 AS MATERIALIZED (
+  SELECT piece, CAST(round(ln((cnt + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS lp
+  FROM v0c CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
+                              CAST(count(*) AS DOUBLE) AS nv FROM v0c))"""
+    ]
+    for r in range(_UNI_ROUNDS):
+        parts.append(
+            f"""p{r} AS (
+  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS score, 0 AS n, '' AS seg
+  FROM words
+  UNION ALL
+  SELECT p.w, p.pos + length(v.piece), p.score + v.lp, p.n + 1,
+         p.seg || chr(31) || v.piece
+  FROM p{r} p JOIN v{r} v
+    ON substr(p.w, CAST(p.pos + 1 AS INTEGER), length(v.piece)) = v.piece
+  WHERE p.pos + length(v.piece) <= length(p.w)),
+best{r} AS MATERIALIZED (
+  SELECT w, n, seg FROM (
+    SELECT w, n, seg, row_number() OVER (PARTITION BY w ORDER BY score DESC, n, seg) AS rn
+    FROM p{r} WHERE pos = length(w)) WHERE rn = 1),
+c{r + 1} AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(b.seg, chr(31))) AS piece, words.cnt
+        FROM best{r} b JOIN words USING (w))
+  WHERE piece <> '' GROUP BY 1),
+v{r + 1}c AS MATERIALIZED (
+  SELECT v0c.piece, coalesce(c{r + 1}.cnt, 0) AS cnt
+  FROM v0c LEFT JOIN c{r + 1} USING (piece) WHERE length(v0c.piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM c{r + 1} WHERE length(piece) > 1) WHERE rn <= {_UNI_K}),
+v{r + 1} AS MATERIALIZED (
+  SELECT piece, CAST(round(ln((cnt + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS lp
+  FROM v{r + 1}c CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
+                                    CAST(count(*) AS DOUBLE) AS nv FROM v{r + 1}c))"""
+        )
+    return ",\n".join(parts)
+
+
+def _unigram_train_oracle() -> str:
+    R = _UNI_ROUNDS
+    return (
+        _unigram_ctes()
+        + f"""
+SELECT piece, cnt, round(cnt / tot, 6) AS prob
+FROM v{R}c CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM v{R}c)"""
+    )
+
+
+def _unigram_count_oracle() -> str:
+    R = _UNI_ROUNDS
+    return (
+        _unigram_ctes()
+        + f""",
+doc_words AS MATERIALIZED (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+pf AS (
+  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS score, 0 AS n, '' AS seg
+  FROM words
+  UNION ALL
+  SELECT p.w, p.pos + length(v.piece), p.score + v.lp, p.n + 1,
+         p.seg || chr(31) || v.piece
+  FROM pf p JOIN v{R} v
+    ON substr(p.w, CAST(p.pos + 1 AS INTEGER), length(v.piece)) = v.piece
+  WHERE p.pos + length(v.piece) <= length(p.w)),
+bestf AS MATERIALIZED (
+  SELECT w, n FROM (
+    SELECT w, n, row_number() OVER (PARTITION BY w ORDER BY score DESC, n, seg) AS rn
+    FROM pf WHERE pos = length(w)) WHERE rn = 1)
+SELECT doc_id, CAST(sum(dw.n * b.n) AS BIGINT) AS n_pieces
+FROM doc_words dw JOIN bestf b USING (w) GROUP BY 1"""
+    )
+
+
+@register("text_unigram_train", _unigram_train_oracle())
+def text_unigram_train(spark, sf_dir):
+    """Unigram-LM subword vocabulary training (Kudo 2018 — the
+    SentencePiece model; hard-EM variant), next to BPE as the second
+    trained-tokenizer family every LLM-data pipeline chooses between:
+    substring seeding → top-K vocab → alternating Viterbi
+    re-segmentation (E) and count/prune re-estimation (M) on the
+    word-frequency table.  Every loop quantity is an exact integer
+    (counts; log-probs quantized to micro-nats BEFORE the DP), so the
+    oracle re-derives the ENTIRE fit — seed counts, both vocab
+    generations, every word's argmax segmentation with the
+    (score, fewest-pieces, lexicographic) tie-break, and the final
+    piece probabilities — and value-hashes it."""
+    from opentsdb_aura_spark.operators.text import unigram_train
+
+    return unigram_train(
+        docs(spark, sf_dir),
+        seed_max_len=_UNI_L,
+        keep_multi=_UNI_K,
+        n_rounds=_UNI_ROUNDS,
+    )
+
+
+@register("text_unigram_count", _unigram_count_oracle())
+def text_unigram_count(spark, sf_dir):
+    """Tokenize-with-trained-unigram-vocab (the bpe_subword_count
+    twin): per-document Viterbi piece counts under the vocabulary
+    text_unigram_train just fit — the number a token-budget pipeline
+    actually consumes.  Distinct words segment ONCE (narrow pass,
+    vocab as a literal map); per-doc counts are one explode + join +
+    sum.  The oracle re-trains the same vocab and re-segments every
+    word exhaustively with the identical integer-exact argmax."""
+    from opentsdb_aura_spark.operators.text import unigram_apply, unigram_train_vocab
+
+    d = docs(spark, sf_dir)
+    vocab = unigram_train_vocab(
+        d, seed_max_len=_UNI_L, keep_multi=_UNI_K, n_rounds=_UNI_ROUNDS
+    )
+    return unigram_apply(d, vocab, max_piece_len=_UNI_L)
+
+
 @register(
     "corpus_line_dedup_docs",
     f"""{_LINES_SQL},

@@ -616,3 +616,66 @@ def test_pagerank_weighted_and_host_graph(spark):
         )
     ).collect()}
     assert hg == {("a.example", "b.example"): 2}
+
+
+def test_unigram_viterbi_exactness_and_tiebreak(spark):
+    """The unigram Viterbi encoder's contracts: integer micro-nat
+    scores make the argmax exact; ties resolve (score, FEWEST pieces,
+    lexicographic seg); chars cover out-of-vocab stretches; and a
+    higher-prob multi-char piece beats the char path."""
+    from opentsdb_aura_spark.operators.text import _USEG_SEP, _viterbi_expr
+
+    from pyspark.sql import functions as F
+
+    # vocab: 'ab' scores better than 'a'+'b' (−1 vs −4−4)
+    vocab = {"a": -4, "b": -4, "c": -10, "ab": -1, "bc": -8}
+    df = spark.createDataFrame([("abc",), ("cab",), ("aaaa",)], "w string")
+    rows = {r["w"]: r["best"] for r in df.select(
+        "w", _viterbi_expr(F.col("w"), vocab, 2).alias("best")).collect()}
+    # abc: ab|c (−11) beats a|bc (−12) and a|b|c (−18)
+    assert rows["abc"]["score"] == -11
+    assert rows["abc"]["seg"] == _USEG_SEP + "ab" + _USEG_SEP + "c"
+    # cab: c|ab = −11
+    assert rows["cab"]["seg"] == _USEG_SEP + "c" + _USEG_SEP + "ab"
+    assert rows["aaaa"]["n"] == 4  # only chars available
+    # exact tie: 'xy' = −8 equals 'x'+'y' = −8 → FEWER pieces wins
+    tie = {"x": -4, "y": -4, "xy": -8}
+    r = spark.createDataFrame([("xy",)], "w string").select(
+        _viterbi_expr(F.col("w"), tie, 2).alias("b")).collect()[0]["b"]
+    assert (r["score"], r["n"]) == (-8, 1)
+    # equal score AND n: lexicographically smallest seg wins
+    tie2 = {"x": -4, "y": -6, "xy": -5, "yx": -5, "xyx": -20}
+    r2 = spark.createDataFrame([("xyxy",)], "w string").select(
+        _viterbi_expr(F.col("w"), tie2, 3).alias("b")).collect()[0]["b"]
+    # xy|xy (−10) vs x|yx|y (−15): score picks xy|xy
+    assert r2["seg"] == _USEG_SEP + "xy" + _USEG_SEP + "xy"
+
+
+def test_unigram_train_prune_and_coverage(spark):
+    """Training invariants: single chars survive pruning even at zero
+    final count; multi-char pieces prune to top-K by (count, lex);
+    unigram_apply counts = Viterbi piece count × word multiplicity."""
+    from opentsdb_aura_spark.operators.text import (
+        unigram_apply,
+        unigram_train,
+        unigram_train_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab aaab cd"), (1, "aaab cd cd")],
+        "doc_id long, text string",
+    )
+    out = {r["piece"]: r["cnt"] for r in unigram_train(
+        docs, seed_max_len=3, keep_multi=2, n_rounds=2).collect()}
+    # every corpus char kept, even when a multi-char piece absorbs it
+    for ch in "abcd":
+        assert ch in out
+    # at most 2 multi-char survivors
+    assert sum(1 for p in out if len(p) > 1) <= 2
+    # counts are non-negative integers that sum over the corpus pieces
+    assert all(isinstance(c, int) and c >= 0 for c in out.values())
+    vocab = unigram_train_vocab(docs, seed_max_len=3, keep_multi=2, n_rounds=2)
+    got = {r["doc_id"]: r["n_pieces"] for r in unigram_apply(
+        docs, vocab, max_piece_len=3).collect()}
+    # doc 0 = 4 words, doc 1 = 3 words; each word segments to >= 1 piece
+    assert got[0] >= 4 and got[1] >= 3

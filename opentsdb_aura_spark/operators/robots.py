@@ -285,7 +285,27 @@ def robots_allowed(
             ).otherwise(F.lit("disallow_all"))
         )
     )
-    pol = fetch_status.select("host", policy.alias("_policy"))
+    # one row per host is the dim's contract; if a caller feeds
+    # duplicate host rows (e.g. re-fetches in one batch), collapse to
+    # the MOST RESTRICTIVE verdict instead of exploding the URL join
+    rank = (
+        F.when(policy == "disallow_all", 3)
+        .when(policy == "cached", 2)
+        .when(policy == "rules", 1)
+        .otherwise(0)
+    )
+    pol = (
+        fetch_status.groupBy("host")
+        .agg(F.max(rank).alias("_rank"))
+        .select(
+            "host",
+            F.when(F.col("_rank") == 3, "disallow_all")
+            .when(F.col("_rank") == 2, "cached")
+            .when(F.col("_rank") == 1, "rules")
+            .otherwise("allow_all")
+            .alias("_policy"),
+        )
+    )
     joined_pol = decided.join(pol, "host", "left").withColumn(
         "_policy", F.coalesce(F.col("_policy"), F.lit("rules"))
     )

@@ -407,6 +407,11 @@ def _viterbi_expr(word, vocab: dict, max_piece_len: int):
     m = F.create_map(
         *[F.lit(x) for piece, lp in sorted(vocab.items()) for x in (piece, lp)]
     )
+    # total coverage: a character the vocab has never seen (applying a
+    # trained vocab to NEW text) scores as an <unk> piece strictly
+    # below every real piece, instead of poisoning the DP with the
+    # sentinel — SentencePiece's unk handling
+    unk_lp = min(vocab.values()) - 1_000_000
     init = F.array(
         F.struct(
             F.lit(0).cast("long").alias("score"),
@@ -425,8 +430,10 @@ def _viterbi_expr(word, vocab: dict, max_piece_len: int):
             start = (i - length + F.lit(1)).cast("int")
             piece = word.substr(start, length.cast("int"))
             prev = F.element_at(acc, start)  # best prefix ending at i-length
+            lp = F.element_at(m, piece)
+            lp = F.when(length == 1, F.coalesce(lp, F.lit(unk_lp))).otherwise(lp)
             return F.struct(
-                (prev["score"] + F.element_at(m, piece)).alias("score"),
+                (prev["score"] + lp).alias("score"),
                 (prev["n"] + F.lit(1)).cast("int").alias("n"),
                 F.concat(prev["seg"], F.lit(_USEG_SEP), piece).alias("seg"),
             )

@@ -679,3 +679,22 @@ def test_unigram_train_prune_and_coverage(spark):
         docs, vocab, max_piece_len=3).collect()}
     # doc 0 = 4 words, doc 1 = 3 words; each word segments to >= 1 piece
     assert got[0] >= 4 and got[1] >= 3
+
+
+def test_unigram_apply_unknown_char_coverage(spark):
+    """Applying a trained vocab to NEW text with never-seen characters
+    must stay total: the unknown char scores as an <unk> piece below
+    every real piece instead of poisoning the DP, and known pieces
+    around it still win."""
+    from opentsdb_aura_spark.operators.text import _USEG_SEP, _viterbi_expr, unigram_apply
+
+    from pyspark.sql import functions as F
+
+    vocab = {"a": -4, "b": -4, "ab": -1}
+    r = spark.createDataFrame([("aZb",)], "w string").select(
+        _viterbi_expr(F.col("w"), vocab, 2).alias("b")).collect()[0]["b"]
+    assert r["n"] == 3 and r["seg"] == _USEG_SEP.join(["", "a", "Z", "b"])
+    assert r["score"] == -4 + (-4 - 1_000_000) + -4
+    docs = spark.createDataFrame([(0, "ab aZb")], "doc_id long, text string")
+    got = unigram_apply(docs, vocab, max_piece_len=2).collect()[0]
+    assert got["n_pieces"] == 1 + 3

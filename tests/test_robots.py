@@ -458,3 +458,24 @@ def test_robots_fetch_status_semantics(spark):
             for r in robots_allowed(urls, rules, fetch_status=st2).collect()}
     assert got2["c.example"] == "disallow_all"
     assert got2["a.example"] == "rules"
+
+
+def test_robots_fetch_status_duplicate_hosts_collapse(spark):
+    """A status dim with duplicate host rows (re-fetches in a batch)
+    must not explode the URL join — verdicts collapse to the MOST
+    restrictive policy per host."""
+    from opentsdb_aura_spark.operators.robots import parse_robots_txt, robots_allowed
+
+    rules = spark.createDataFrame(
+        [("a.example", *t) for t in parse_robots_txt("User-agent: *\nAllow: /\n")],
+        "host string, agent string, rule string, pattern string, "
+        "pattern_len int, regex string",
+    )
+    urls = spark.createDataFrame([("http://a.example/x",)], "url string")
+    status = spark.createDataFrame(
+        [("a.example", 200, None), ("a.example", 503, None)],
+        "host string, status_code int, cached_age_s double",
+    )
+    rows = robots_allowed(urls, rules, fetch_status=status).collect()
+    assert len(rows) == 1
+    assert rows[0]["policy"] == "disallow_all" and rows[0]["allowed"] is False

@@ -438,9 +438,29 @@ def test_hyperball_agreement_with_exact(spark):
             _F.pmod(_F.col("doc_id") * a + b, _F.lit(n_docs)).alias("dst"),
         )
         edges = part if edges is None else edges.unionByName(part)
-    sd_est = {r["node"]: r["sum_dist_est"]
-              for r in hyperball_harmonic(edges, max_dist=3).collect()}
+    hb_full = {r["node"]: r for r in hyperball_harmonic(edges, max_dist=3).collect()}
+    sd_est = {n: r["sum_dist_est"] for n, r in hb_full.items()}
     rel_sd = [abs(sd_est[n] - sd) / max(sd, 1.0) for n, (_h, _w, sd) in exact.items()]
     assert max(rel_sd) <= 0.40 and sum(rel_sd) / len(rel_sd) <= 0.12, (
         max(rel_sd), sum(rel_sd) / len(rel_sd),
+    )
+
+    # the full HyperBall centrality TRIPLE: closeness = |B|/Σd and
+    # Lin = |B|²/Σd derived from the registers agree with the exact
+    # operator under the same band — errors in the numerator and
+    # denominator come from the SAME register estimates, so the
+    # ratios are at least as tight as their parts
+    ex_cl = {r["node"]: (r["closeness"], r["lin"]) for r in ex}
+    rel_c, rel_l = [], []
+    for n, (cl, lin) in ex_cl.items():
+        ball, sd = hb_full[n]["ball_est"], hb_full[n]["sum_dist_est"]
+        c_est = ball / sd if sd > 0 else 0.0
+        l_est = ball * ball / sd if sd > 0 else 0.0
+        rel_c.append(abs(c_est - cl) / max(cl, 1e-9))
+        rel_l.append(abs(l_est - lin) / max(lin, 1e-9))
+    assert max(rel_c) <= 0.40 and sum(rel_c) / len(rel_c) <= 0.12, (
+        max(rel_c), sum(rel_c) / len(rel_c),
+    )
+    assert max(rel_l) <= 0.40 and sum(rel_l) / len(rel_l) <= 0.12, (
+        max(rel_l), sum(rel_l) / len(rel_l),
     )

@@ -218,6 +218,71 @@ def main() -> None:
     assert shifted == n_limited, (shifted, n_limited)
     assert unshifted_bad == 0, unshifted_bad
     out["limited_hosts_shifted_exact"] = True
+
+    # round-12 stage: RFC 9309 §2.3.1 fetch-status semantics over the
+    # planted frontier — per-host robots-fetch statuses cycle through
+    # all four access-result paths and the gate outcome is asserted
+    # EXACTLY: k%8==0 hosts 503 with no cache (unreachable → complete
+    # disallow: the host vanishes from the frontier), k%8==1 hosts 404
+    # (unavailable → allow-all: even their planted /tmp/ URL passes),
+    # k%8==2 hosts 503 with a 10-day cached copy (the spec's carve-out:
+    # cached rules still reject /tmp/), everyone else 200 (rules)
+    import math as _math
+
+    t0 = time.perf_counter()
+    kk = F.col("k")
+    status = hk.select(
+        F.concat(F.lit("h"), kk, F.lit(".example")).alias("host"),
+        F.when(kk % 8 == 0, 503)
+        .when(kk % 8 == 1, 404)
+        .when(kk % 8 == 2, 503)
+        .otherwise(200)
+        .alias("status_code"),
+        F.when(kk % 8 == 2, F.lit(10 * 86400.0)).alias("cached_age_s"),
+    )
+    # every host gets a /tmp probe so all four policy × rule-match
+    # combinations exist for every host class
+    stage_urls = (
+        planted.select("frontier_url")
+        .unionByName(hk.select(
+            F.concat(F.lit("http://h"), kk, F.lit(".example/tmp/probe")).alias("frontier_url")
+        ))
+        .distinct()
+    )
+    verdicts3 = robots_allowed(
+        stage_urls, rules,
+        agent="other-bot", url_col="frontier_url", fetch_status=status,
+    ).localCheckpoint()
+    n3 = verdicts3.where(F.col("allowed")).count()
+    out["fetch_status_gate_sec"] = round(time.perf_counter() - t0, 2)
+    # exact expected survivor count: the planted /tmp/cache URLs land
+    # on hosts ≡ 0 (mod gcd(100, n_hosts)); per host — disallow_all 0,
+    # allow_all 5 chrome + its probe (+ its /tmp/cache when planted),
+    # cached/rules 5 chrome only
+    tmp_hosts = set(range(0, n_hosts, _math.gcd(100, n_hosts))) if n_docs >= 100 else set()
+    expected = 0
+    for k in range(n_hosts):
+        c = k % 8
+        if c == 0:
+            continue
+        expected += 5
+        if c == 1:
+            expected += 1 + (1 if k in tmp_hosts else 0)
+    assert n3 == expected, (n3, expected)
+    probe3 = {
+        r["url"]: (r["allowed"], r["policy"])
+        for r in verdicts3.where(
+            F.col("url").isin(
+                "http://h8.example", "http://h1.example/tmp/probe",
+                "http://h2.example/tmp/probe", "http://h3.example/tmp/probe",
+            )
+        ).collect()
+    }
+    assert probe3["http://h8.example"] == (False, "disallow_all"), probe3
+    assert probe3["http://h1.example/tmp/probe"] == (True, "allow_all"), probe3
+    assert probe3["http://h2.example/tmp/probe"] == (False, "cached"), probe3
+    assert probe3["http://h3.example/tmp/probe"] == (False, "rules"), probe3
+    out["fetch_status_outcomes_exact"] = True
     print(json.dumps(out))
 
 

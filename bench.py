@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "pipeline_quality_classifier",
     "text_unigram_train",
     "text_unigram_count",
+    "corpus_robots_redirects",
 ]
 
 # The driver's bench artifact keeps only the TAIL of the output, and

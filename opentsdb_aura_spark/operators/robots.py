@@ -1001,3 +1001,84 @@ def sitemap_fetch_plan(
     return planned.select(
         "loc", "lastmod_ts", "last_capture_ts", needs.alias("needs_fetch")
     )
+
+
+def resolve_robots_fetches(
+    hosts: DataFrame,
+    fetches: DataFrame,
+    *,
+    max_hops: int = 5,
+    host_col: str = "host",
+    url_col: str = "url",
+    status_col: str = "status_code",
+    location_col: str = "location",
+) -> DataFrame:
+    """RFC 9309 §2.3.1.2 redirect following for the robots.txt fetch
+    itself: starting from ``http://<host>/robots.txt``, chase each
+    3xx's Location through the per-URL fetch-result dim for at most
+    ``max_hops`` hops (the spec's "at least five consecutive
+    redirects" floor), producing the per-host access result
+    :func:`robots_allowed`'s ``fetch_status`` consumes.
+
+    Outcomes map exactly onto the spec's buckets: a terminal non-3xx
+    status is the host's result; a chain still redirecting after
+    ``max_hops`` reports its last 3xx status — which robots_allowed
+    already treats as "unavailable" → allow-all (§2.3.1.3: crawlers
+    MAY assume unavailable after five redirects); a Location pointing
+    at a URL the fetcher has no result for reports NULL — the
+    "unreachable" bucket → disallow-all.  Relative Locations resolve
+    against the redirecting URL.
+
+    Scale shape: ``max_hops`` bounded equi-joins of the O(hosts)
+    state against the O(fetches) dim — both crawl-metadata sized, AQE
+    broadcast-picks the smaller side; no explode, no Python.
+    Returns (host, final_status, final_url, n_hops,
+    redirect_exhausted)."""
+    from opentsdb_aura_spark.operators.containers import resolve_href
+
+    f = fetches.select(
+        F.col(url_col).alias("_u"),
+        F.col(status_col).cast("int").alias("_st"),
+        F.col(location_col).alias("_loc"),
+    )
+    state = hosts.select(
+        F.col(host_col).alias("host"),
+        F.concat(F.lit("http://"), F.col(host_col), F.lit("/robots.txt")).alias("_cur"),
+        F.lit(0).alias("n_hops"),
+    )
+    done = None
+    for _ in range(int(max_hops)):
+        j = state.join(f, state["_cur"] == f["_u"], "left")
+        redirecting = (
+            F.col("_st").between(300, 399) & F.col("_loc").isNotNull()
+        )
+        finished = j.where(~F.coalesce(redirecting, F.lit(False))).select(
+            "host",
+            F.col("_st").alias("final_status"),  # NULL = no fetch result: unreachable
+            F.col("_cur").alias("final_url"),
+            "n_hops",
+            F.lit(False).alias("redirect_exhausted"),
+        )
+        done = finished if done is None else done.unionByName(finished)
+        state = j.where(F.coalesce(redirecting, F.lit(False))).select(
+            "host",
+            resolve_href(F.col("_cur"), F.col("_loc")).alias("_cur"),
+            (F.col("n_hops") + 1).alias("n_hops"),
+        )
+    # chains that redirected max_hops times: report the current URL's
+    # fetch result as-is; redirect_exhausted marks only the chains
+    # STILL redirecting there (the §2.3.1.3 unavailable bucket — their
+    # 3xx final_status maps to allow-all downstream), not a chain that
+    # happened to terminate at exactly max_hops
+    jl = state.join(f, state["_cur"] == f["_u"], "left")
+    still = F.coalesce(
+        F.col("_st").between(300, 399) & F.col("_loc").isNotNull(), F.lit(False)
+    )
+    exhausted = jl.select(
+        "host",
+        F.col("_st").alias("final_status"),
+        F.col("_cur").alias("final_url"),
+        "n_hops",
+        still.alias("redirect_exhausted"),
+    )
+    return done.unionByName(exhausted)

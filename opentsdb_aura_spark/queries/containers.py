@@ -1647,6 +1647,84 @@ def corpus_robots_unavailable(spark, sf_dir):
 
 
 @register(
+    "corpus_robots_redirects",
+    """WITH d AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS k FROM documents),
+u AS (SELECT k, 'h' || k || '.example' AS host, k % 5 AS c FROM d)
+SELECT host,
+       CASE c WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 200
+              WHEN 3 THEN 301 END AS final_status,
+       'http://' || host || CASE c WHEN 0 THEN '/robots.txt' WHEN 1 THEN '/alt.txt'
+                                   WHEN 2 THEN '/r2.txt' WHEN 3 THEN '/loop.txt'
+                                   ELSE '/gone.txt' END AS final_url,
+       CAST(CASE c WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                   WHEN 3 THEN 5 ELSE 1 END AS INTEGER) AS n_hops,
+       c = 3 AS redirect_exhausted,
+       c = 3 AS tmp_allowed,
+       CASE WHEN c IN (0, 1, 2) THEN 'rules' WHEN c = 3 THEN 'allow_all'
+            ELSE 'disallow_all' END AS policy
+FROM u""",
+)
+def corpus_robots_redirects(spark, sf_dir):
+    """RFC 9309 §2.3.1.2 redirect following for the robots.txt fetch,
+    composed end-to-end into the access gate: per-host fixture chains
+    cycle direct-200 / one-hop / two-hop / an infinite 301 loop (the
+    spec's five-redirect floor trips, the lingering 3xx maps to the
+    "unavailable" allow-all bucket) / a redirect into a URL the
+    fetcher never resolved (the "unreachable" disallow-all bucket).
+    The oracle recomputes every host's terminal status, final URL,
+    hop count, exhaustion flag, AND the downstream /tmp gate verdict
+    + policy closed-form — so the hop iteration, relative-Location
+    resolution, and both spec buckets are value-hashed.  Plan:
+    max_hops bounded O(hosts)×O(fetches) equi-joins, AQE-sized."""
+    from opentsdb_aura_spark.operators.robots import (
+        parse_robots_files,
+        resolve_robots_fetches,
+        robots_allowed,
+        synthesize_robots,
+    )
+
+    d = docs_raw(spark, sf_dir).select((F.col("doc_id") % 20).cast("long").alias("k")).distinct()
+    host = F.concat(F.lit("h"), F.col("k"), F.lit(".example"))
+    hosts = d.select(host.alias("host"), (F.col("k") % 5).alias("c"))
+    base = F.concat(F.lit("http://"), F.col("host"))
+
+    def fx(where, path, status, loc):
+        return hosts.where(where).select(
+            F.concat(base, F.lit(path)).alias("url"),
+            F.lit(status).cast("int").alias("status_code"),
+            (F.lit(loc) if loc is not None else F.lit(None).cast("string")).alias("location"),
+        )
+
+    c = F.col("c")
+    fetches = (
+        fx(c == 0, "/robots.txt", 200, None)
+        .unionByName(fx(c == 1, "/robots.txt", 301, "/alt.txt"))
+        .unionByName(fx(c == 1, "/alt.txt", 200, None))
+        .unionByName(fx(c == 2, "/robots.txt", 302, "/r1.txt"))
+        .unionByName(fx(c == 2, "/r1.txt", 301, "/r2.txt"))
+        .unionByName(fx(c == 2, "/r2.txt", 200, None))
+        .unionByName(fx(c == 3, "/robots.txt", 301, "/loop.txt"))
+        .unionByName(fx(c == 3, "/loop.txt", 301, "/robots.txt"))
+        .unionByName(fx(c == 4, "/robots.txt", 301, "/gone.txt"))
+    )
+    res = resolve_robots_fetches(hosts.select("host"), fetches, max_hops=5)
+    rules = parse_robots_files(synthesize_robots(hosts.select("host")))
+    urls = hosts.select(F.concat(base, F.lit("/tmp/z")).alias("url"))
+    gate = robots_allowed(
+        urls,
+        rules,
+        agent="other-bot",
+        fetch_status=res.select("host", F.col("final_status").alias("status_code")),
+    )
+    return res.join(
+        gate.select("host", F.col("allowed").alias("tmp_allowed"), "policy"), "host"
+    ).select(
+        "host", "final_status", "final_url", "n_hops", "redirect_exhausted",
+        "tmp_allowed", "policy",
+    )
+
+
+@register(
     "corpus_sitemap_urls",
     """WITH k AS (SELECT DISTINCT CAST(doc_id % 4 AS BIGINT) AS k FROM documents),
 i AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS i)

@@ -479,3 +479,36 @@ def test_robots_fetch_status_duplicate_hosts_collapse(spark):
     rows = robots_allowed(urls, rules, fetch_status=status).collect()
     assert len(rows) == 1
     assert rows[0]["policy"] == "disallow_all" and rows[0]["allowed"] is False
+
+
+def test_resolve_robots_fetches_edges(spark):
+    """Redirect-resolution edges the catalog fixture can't isolate:
+    a host with NO fetch result at all (unreachable at hop 0); an
+    absolute cross-host Location; a chain that terminates at EXACTLY
+    max_hops (not exhausted); and one that is still redirecting there
+    (exhausted)."""
+    from opentsdb_aura_spark.operators.robots import resolve_robots_fetches
+
+    hosts = spark.createDataFrame(
+        [("a.example",), ("b.example",), ("c.example",), ("d.example",)],
+        "host string",
+    )
+    rows = [
+        # b: absolute cross-host redirect, terminal 200 elsewhere
+        ("http://b.example/robots.txt", 301, "http://cdn.example/r.txt"),
+        ("http://cdn.example/r.txt", 200, None),
+        # c: exactly max_hops redirects then a terminal 200
+        ("http://c.example/robots.txt", 301, "/c1"),
+        ("http://c.example/c1", 301, "/c2"),
+        ("http://c.example/c2", 200, None),
+        # d: still redirecting at max_hops
+        ("http://d.example/robots.txt", 301, "/d1"),
+        ("http://d.example/d1", 301, "/robots.txt"),
+    ]
+    fetches = spark.createDataFrame(rows, "url string, status_code int, location string")
+    got = {r["host"]: (r["final_status"], r["final_url"], r["n_hops"], r["redirect_exhausted"])
+           for r in resolve_robots_fetches(hosts, fetches, max_hops=2).collect()}
+    assert got["a.example"] == (None, "http://a.example/robots.txt", 0, False)
+    assert got["b.example"] == (200, "http://cdn.example/r.txt", 1, False)
+    assert got["c.example"] == (200, "http://c.example/c2", 2, False)
+    assert got["d.example"][0] == 301 and got["d.example"][3] is True

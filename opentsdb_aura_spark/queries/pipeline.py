@@ -1305,6 +1305,23 @@ FROM m{_LOGREG_ITERS}"""
     return ",\n".join(parts) + "\n" + final
 
 
+def _logreg_weights_oracle() -> str:
+    """Same unrolled re-fit, but surfacing the MODEL: the final weight
+    per populated bucket plus the effective intercept (bias minus the
+    centering offset) as pseudo-bucket −1."""
+    R = _LOGREG_ITERS
+    ctes = _logreg_oracle().rsplit("SELECT doc_id, y = 1.0 AS label", 1)[0].rstrip()
+    assert ctes.endswith(")"), "unexpected oracle tail"
+    return (
+        ctes
+        + f"""
+SELECT bucket, round(w, 6) AS weight FROM w{R}
+UNION ALL
+SELECT -1 AS bucket, round(b{R}.b - off{R}.o, 6) AS weight
+FROM b{R} CROSS JOIN off{R}"""
+    )
+
+
 @register("pipeline_quality_classifier", _logreg_oracle())
 def pipeline_quality_classifier(spark, sf_dir):
     """TRAINED quality classifier, the DCLM / FineWeb-Edu pattern
@@ -1351,6 +1368,100 @@ def pipeline_quality_classifier(spark, sf_dir):
         _r("margin", 4).alias("margin"),
         _r("prob", 4).alias("prob"),
         "pred",
+    )
+
+
+@register("pipeline_classifier_weights", _logreg_weights_oracle())
+def pipeline_classifier_weights(spark, sf_dir):
+    """The trained model itself, value-hashed: one row per populated
+    feature bucket with its learned weight, plus the effective
+    intercept (bias − centering offset) as pseudo-bucket −1 — the
+    artifact a curation deployment ships to score OTHER corpora, and
+    the introspection surface (which hash buckets the fit actually
+    leans on).  The oracle re-runs the identical unrolled GD and
+    reads the final weight CTE, so the MODEL — not just its scores —
+    is proven portable across engines."""
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_token_features,
+        train_logreg_weights,
+    )
+
+    d = docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id",
+        F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y"),
+    )
+    feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    w, b = train_logreg_weights(
+        feats, labels, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
+        center=True,
+    )
+    w_arr = F.array(*[F.lit(float(x)) for x in w])
+    populated = feats.select("bucket").distinct()
+    spark_b = populated.sparkSession
+    intercept = spark_b.range(1).select(
+        F.lit(-1).cast("int").alias("bucket"),
+        F.round(F.lit(float(b)) + F.lit(1e-9), 6).alias("weight"),
+    )
+    return populated.select(
+        "bucket",
+        F.round(F.element_at(w_arr, F.col("bucket") + 1) + F.lit(1e-9), 6).alias("weight"),
+    ).unionByName(intercept)
+
+
+@register(
+    "pipeline_ccnet_cutoff_buckets",
+    r"""WITH d AS (SELECT doc_id, lang,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents),
+bg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, toks[i+1] AS w1
+       FROM d, unnest(range(0, greatest(len(toks) - 1, 0))) AS t(i)),
+uni AS (SELECT tok, count(*) AS ucnt
+        FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+big AS (SELECT bigram, count(*) AS bcnt FROM bg GROUP BY 1),
+s AS (SELECT doc_id, round(avg(ln((bcnt + 0.1) / (ucnt + 0.1 * v.v))), 4) AS avg_logprob
+      FROM bg JOIN big USING (bigram) JOIN uni ON bg.w1 = uni.tok CROSS JOIN v
+      GROUP BY 1),
+s2 AS (SELECT d.doc_id, d.lang, s.avg_logprob
+       FROM d LEFT JOIN s USING (doc_id)),
+cuts AS (SELECT lang,
+           [quantile_cont(avg_logprob, 0.6666666666666667),
+            quantile_cont(avg_logprob, 0.33333333333333337)] AS cl
+         FROM s2 WHERE avg_logprob IS NOT NULL GROUP BY 1)
+SELECT s2.doc_id, s2.lang, s2.avg_logprob,
+       CAST(CASE WHEN s2.avg_logprob IS NULL THEN len(cuts.cl) + 1
+                 ELSE 1 + len(list_filter(cuts.cl, c -> s2.avg_logprob < c))
+            END AS INTEGER) AS ppl_bucket
+FROM s2 LEFT JOIN cuts USING (lang)""",
+)
+def pipeline_ccnet_cutoff_buckets(spark, sf_dir):
+    """The 100 TB form of CCNet bucketing, oracled end-to-end: instead
+    of the per-language ntile window (one total order per language —
+    pipeline_ccnet_buckets' exact-semantics cost), train a TINY
+    per-language cutoff table (two interior percentiles of the LM
+    score) and assign buckets by broadcast comparison — the exact
+    substitution CCNet itself makes at corpus scale, and the shape
+    that never sorts the corpus.  The oracle refits the same bigram
+    LM, re-derives the same exact percentiles (identical linear
+    interpolation and the same float probability literals), and
+    re-counts the cutoff comparisons — so the trained thresholds AND
+    every document's comparison-assigned bucket are value-hashed."""
+    from opentsdb_aura_spark.operators.quality import (
+        assign_perplexity_buckets,
+        lm_bigram_scores,
+        train_perplexity_cutoffs,
+    )
+
+    scores = lm_bigram_scores(docs(spark, sf_dir), alpha=0.1).select(
+        "doc_id", _r("avg_logprob", 4).alias("avg_logprob")
+    )
+    langs = docs_raw(spark, sf_dir).select("doc_id", "lang")
+    scored = langs.join(scores, "doc_id", "left")
+    cuts = train_perplexity_cutoffs(scored)
+    return assign_perplexity_buckets(scored, cuts).select(
+        "doc_id", "lang", "avg_logprob", "ppl_bucket"
     )
 
 

@@ -1036,6 +1036,8 @@ def resolve_robots_fetches(
     redirect_exhausted)."""
     from opentsdb_aura_spark.operators.containers import resolve_href
 
+    if int(max_hops) < 1:
+        raise ValueError(f"resolve_robots_fetches: max_hops must be >= 1, got {max_hops}")
     f = fetches.select(
         F.col(url_col).alias("_u"),
         F.col(status_col).cast("int").alias("_st"),

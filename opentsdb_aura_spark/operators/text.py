@@ -404,6 +404,8 @@ def _viterbi_expr(word, vocab: dict, max_piece_len: int):
     a literal map (bounded by construction — chars + top-K pieces), so
     segmentation is a narrow per-row pass: no join, no shuffle, no
     Python."""
+    if not vocab:
+        raise ValueError("_viterbi_expr: empty vocabulary")
     m = F.create_map(
         *[F.lit(x) for piece, lp in sorted(vocab.items()) for x in (piece, lp)]
     )
@@ -517,6 +519,8 @@ def unigram_train(
     vocab_counts = {
         r["piece"]: int(r["cnt"]) for r in chars.unionByName(multi).collect()
     }
+    if not vocab_counts:
+        raise ValueError("unigram_train: corpus has no tokens to train on")
     char_set = {p for p in vocab_counts if len(p) == 1}
 
     def probs(counts: dict) -> dict:

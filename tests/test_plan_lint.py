@@ -36,6 +36,8 @@ BNLJ_ALLOWED = {
     "corpus_tfidf_top3",  # 1-row n_docs factor
     "quality_lm_scores",  # 1-row vocabulary-size factor
     "pipeline_ccnet_buckets",  # composes lm_bigram_scores: same 1-row vocab factor
+    "pipeline_ccnet_curate",  # same composition over the extracted text
+    "pipeline_ccnet_cutoff_buckets",  # same composition + broadcast cutoff dim
     "pipeline_pagerank",  # 1-row dangling-mass scalar factor per round
     "corpus_bm25_search",  # 1-row (N, avgdl) corpus-stats factor
     "pipeline_dsir_weights",  # 1-row gram-count totals factor

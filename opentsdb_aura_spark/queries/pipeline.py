@@ -1305,6 +1305,22 @@ FROM m{_LOGREG_ITERS}"""
     return ",\n".join(parts) + "\n" + final
 
 
+def _logreg_host_prior_oracle() -> str:
+    """Same unrolled re-fit, aggregated to the HOST level — the
+    host-quality prior a crawl scheduler blends into frontier rank."""
+    R = _LOGREG_ITERS
+    ctes = _logreg_oracle().rsplit("SELECT doc_id, y = 1.0 AS label", 1)[0].rstrip()
+    assert ctes.endswith(")"), "unexpected oracle tail"
+    return (
+        ctes
+        + f"""
+SELECT 'h' || (doc_id % 16) || '.example' AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(1.0/(1.0+exp(-margin))), 4) AS avg_prob
+FROM m{R} GROUP BY 1"""
+    )
+
+
 def _logreg_weights_oracle() -> str:
     """Same unrolled re-fit, but surfacing the MODEL: the final weight
     per populated bucket plus the effective intercept (bias minus the
@@ -1408,6 +1424,45 @@ def pipeline_classifier_weights(spark, sf_dir):
         "bucket",
         F.round(F.element_at(w_arr, F.col("bucket") + 1) + F.lit(1e-9), 6).alias("weight"),
     ).unionByName(intercept)
+
+
+@register("pipeline_host_quality_prior", _logreg_host_prior_oracle())
+def pipeline_host_quality_prior(spark, sf_dir):
+    """Host-level quality prior from the trained classifier — the
+    DCLM / Common Crawl pattern of blending a per-HOST quality signal
+    into frontier scheduling (hosts whose sampled pages score well get
+    crawled deeper): corpus-wide classifier probabilities aggregated
+    per fixture host.  One extra map-side-combined groupBy on top of
+    the scoring pass; the oracle re-fits the identical unrolled GD and
+    re-aggregates, so the prior a scheduler would consume is
+    value-hashed."""
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_token_features,
+        logreg_scores,
+        train_logreg_weights,
+    )
+
+    d = docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id",
+        F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y"),
+    )
+    feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    w, b = train_logreg_weights(
+        feats, labels, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
+        center=True,
+    )
+    scores = logreg_scores(d, w, b, n_features=_LOGREG_D, binary=True)
+    host = F.concat(F.lit("h"), F.col("doc_id") % 16, F.lit(".example"))
+    return (
+        scores.select(host.alias("host"), "prob")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            _r(F.avg("prob"), 4).alias("avg_prob"),
+        )
+    )
 
 
 @register(

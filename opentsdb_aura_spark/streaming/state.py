@@ -369,6 +369,8 @@ def streaming_crawl_ingest(
     cdx_validators: bool = False,
     rank_refresh_every: int | None = None,
     xml_discovery: bool = False,
+    quality_model: dict | None = None,
+    quality_threshold: float = 0.5,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -446,6 +448,13 @@ def streaming_crawl_ingest(
     entry URLs through the SAME resolve/prefilter/politeness gates as
     extracted links — the loop eats its own discoveries, and
     discovery never bypasses compliance.
+    ``quality_model`` ({"weights": [...], "bias": b, "n_features": D,
+    "binary": bool}) applies a PRETRAINED hashed-feature classifier
+    (quality.train_logreg_weights output — training is a batch job;
+    the stream only scores) to each batch's extracted text, appending
+    (doc_id, prob, keep ≥ ``quality_threshold``) to
+    ``{docs_path}_quality`` — the model-based curation gate running
+    inline with ingestion, without widening the docs table's schema.
     ``rank_refresh_every`` (with ``frontier_path``) refreshes the
     frontier AUTHORITY signal every N batches the way compaction
     already hooks the loop: containers.refresh_frontier_ranks runs
@@ -777,6 +786,28 @@ def streaming_crawl_ingest(
         if not docs.take(1):
             return
         docs.write.mode("append").parquet(docs_path)
+        if quality_model is not None:
+            # score the batch with the PRETRAINED classifier (the
+            # fit is a batch job — train_logreg_weights — and the
+            # stream only applies it: literal weight array, pure
+            # Catalyst, one narrow pass + one groupBy per batch);
+            # scores land in a sidecar keyed by doc_id so the docs
+            # table schema stays per-index-stable, with the same
+            # at-least-once append semantics as the docs sink
+            from opentsdb_aura_spark.operators.quality import logreg_scores
+
+            qs = logreg_scores(
+                docs.select("doc_id", "text"),
+                list(quality_model["weights"]),
+                float(quality_model["bias"]),
+                n_features=int(quality_model["n_features"]),
+                binary=bool(quality_model.get("binary", True)),
+            )
+            qs.select(
+                "doc_id",
+                "prob",
+                (F.col("prob") >= F.lit(float(quality_threshold))).alias("keep"),
+            ).write.mode("append").parquet(f"{docs_path}_quality")
         update_minhash_index(docs, index_path)
         if compact_max_files is not None:
             from opentsdb_aura_spark.sources.maintenance import compact_minhash_index

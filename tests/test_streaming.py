@@ -1412,3 +1412,48 @@ def test_streaming_crawl_ingest_xml_discovery(spark, tmpdirs):
     assert counts.get("http://h1.example/fresh/2") == 1      # mislabeled .xml admitted
     assert "http://h1.example/tmp/trap" not in counts        # politeness-gated
     assert counts.get("http://h1.example/about") == 1        # page links still flow
+
+
+def test_streaming_crawl_ingest_quality_gate(spark, tmpdirs):
+    """A PRETRAINED hashed-feature classifier scores each batch inline
+    with ingestion: quality_model appends (doc_id, prob, keep) to the
+    {docs_path}_quality sidecar without touching the docs schema."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    D = 64
+
+    def bucket(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % 1000003
+        return h % D
+
+    words = ["keepme", "alpha", "beta", "gamma"]
+    assert len({bucket(w) for w in words}) == len(words)  # no collisions
+    w = [0.0] * D
+    w[bucket("keepme")] = 10.0
+    model = {"weights": w, "bias": -5.0, "n_features": D, "binary": True}
+
+    def rec(doc_id, text):
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", text.encode(),
+            target_uri=f"http://example.com/doc/{doc_id}",
+        )
+
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame(
+        [(0, rec(1, "keepme alpha beta") + rec(2, "alpha beta gamma"))], file_schema
+    ).coalesce(1).write.parquet(tmpdirs["in"] + "/b1")
+    docs_path, idx_path = tmpdirs["out"] + "/docs", tmpdirs["store"]
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    streaming_crawl_ingest(
+        stream, idx_path, docs_path, tmpdirs["ckpt"], quality_model=model,
+    ).awaitTermination(120)
+
+    got = {r["doc_id"]: (r["keep"], r["prob"])
+           for r in spark.read.parquet(docs_path + "_quality").collect()}
+    assert got[1][0] is True and got[1][1] > 0.99   # margin +5
+    assert got[2][0] is False and got[2][1] < 0.01  # margin -5
+    # docs table schema untouched
+    assert set(spark.read.parquet(docs_path).columns) == {"doc_id", "text", "file_id"}

@@ -59,6 +59,11 @@ CRAWL_HEADLINE = [
     "pipeline_curate_to_wet",
     "corpus_warc_gzip_html_text",
     "dedup_cluster_resolve",
+    # round 12: the CCNet-fused curate (the catalog's most expensive
+    # query — extraction + corpus LM fit + tercile window) and the
+    # trained classifier (8 GD steps + corpus scoring)
+    "pipeline_ccnet_curate",
+    "pipeline_quality_classifier",
 ]
 
 

@@ -2502,3 +2502,94 @@ def anchor_text_index(
             ).alias("anchor_texts"),
         )
     )
+
+
+# --------------------------------------------------- URL-seen Bloom filter
+
+#: bits per Bloom word — 63, not 64, so a set bit never lands on the
+#: sign bit (BIGINT shift-overflow semantics differ across engines;
+#: staying in the positive range keeps the structure oracle-able)
+_BLOOM_WORD_BITS = 63
+
+#: same engine-portable polynomial fold the feature hasher uses
+_BLOOM_HASH_MOD = 1_000_003
+
+
+def _bloom_positions(url, n_bits: int, k: int) -> list:
+    """k salted bit positions for one URL column: fold
+    (acc·31 + codepoint) % MOD over the salted string ``"<i>:" + url``,
+    then % n_bits — expressible identically in plain SQL."""
+    out = []
+    for i in range(int(k)):
+        salted = F.concat(F.lit(f"{i}:"), url)
+        codes = F.transform(F.split(salted, ""), lambda c: F.ascii(c))
+        h = F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * F.lit(31) + c) % F.lit(_BLOOM_HASH_MOD),
+        )
+        out.append((h % F.lit(int(n_bits))).alias(f"_p{i}"))
+    return out
+
+
+def url_bloom_build(
+    urls: DataFrame,
+    *,
+    n_bits: int = 63 * 1024,
+    k: int = 4,
+    url_col: str = "url",
+) -> DataFrame:
+    """The crawler's URL-SEEN structure as a mergeable Spark aggregate:
+    a Bloom filter over the frontier's already-scheduled URLs, stored
+    as (word_idx, bits) rows — ``n_bits/63`` BIGINT words.  Build is
+    one narrow projection (k salted fold-hashes per URL) + one
+    map-side-combined ``bit_or`` groupBy; words from different shards/
+    days merge with the same ``bit_or``, so the structure is
+    incremental by construction.  At 100 TB the filter is the only
+    state a scheduling pass needs to skip the already-crawled mass —
+    O(n_bits) bytes regardless of URL count, false positives bounded
+    by the standard (1−e^{−kn/m})^k.  Engine-portable hashing keeps
+    every set bit reproducible in plain SQL."""
+    if int(n_bits) % _BLOOM_WORD_BITS:
+        raise ValueError(f"n_bits must be a multiple of {_BLOOM_WORD_BITS}")
+    pos = _bloom_positions(F.col(url_col), n_bits, k)
+    exploded = urls.select(F.explode(F.array(*pos)).alias("_pos"))
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(_pos % {_BLOOM_WORD_BITS} AS INT))"
+    )
+    return (
+        exploded.select(
+            (F.col("_pos") / _BLOOM_WORD_BITS).cast("int").alias("word_idx"),
+            mask.alias("_m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def url_bloom_probe(
+    urls: DataFrame,
+    bloom: DataFrame,
+    *,
+    n_bits: int = 63 * 1024,
+    k: int = 4,
+    url_col: str = "url",
+) -> DataFrame:
+    """Membership probe against :func:`url_bloom_build` output →
+    (url, seen).  ``seen`` is true iff ALL k bits are set: no false
+    negatives ever; false positives at the standard Bloom rate.  The
+    word table is O(n_bits/63) rows — genuinely broadcast-sized — so
+    the probe is one explode + broadcast join + all-bits groupBy and
+    the frontier is never shuffled beyond its own aggregation."""
+    pos = _bloom_positions(F.col(url_col), n_bits, k)
+    exploded = urls.select(F.col(url_col).alias("url"), F.explode(F.array(*pos)).alias("_pos"))
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(_pos % {_BLOOM_WORD_BITS} AS INT))"
+    )
+    probed = exploded.select(
+        "url",
+        (F.col("_pos") / _BLOOM_WORD_BITS).cast("int").alias("word_idx"),
+        mask.alias("_m"),
+    ).join(F.broadcast(bloom), "word_idx", "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m")) != 0).cast("int")
+    return probed.groupBy("url").agg((F.min(hit) == 1).alias("seen"))

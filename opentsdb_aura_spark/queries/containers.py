@@ -1647,6 +1647,55 @@ def corpus_robots_unavailable(spark, sf_dir):
 
 
 @register(
+    "corpus_frontier_bloom",
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         'http://example.com/doc/' || doc_id AS url FROM documents),
+seen AS (SELECT url FROM d WHERE doc_id % 2 = 0),
+spos AS (
+  SELECT list_reduce(list_transform(range(1, length(s) + 1), j -> ord(substr(s, CAST(j AS INTEGER), 1))),
+                     (a, b) -> (a * 31 + b) % 1000003) % 64512 AS p
+  FROM (SELECT CAST(i AS VARCHAR) || ':' || url AS s
+        FROM seen, unnest(range(0, 4)) AS u(i))),
+words AS (
+  SELECT CAST(p // 63 AS INTEGER) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+  FROM spos GROUP BY 1),
+ppos AS (
+  SELECT url,
+         list_reduce(list_transform(range(1, length(s) + 1), j -> ord(substr(s, CAST(j AS INTEGER), 1))),
+                     (a, b) -> (a * 31 + b) % 1000003) % 64512 AS p
+  FROM (SELECT url, CAST(i AS VARCHAR) || ':' || url AS s
+        FROM d, unnest(range(0, 4)) AS u(i))),
+probed AS (
+  SELECT url,
+         CASE WHEN (coalesce(bits, 0) & (CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos LEFT JOIN words ON CAST(p // 63 AS INTEGER) = words.word_idx)
+SELECT url, min(hit) = 1 AS seen FROM probed GROUP BY 1""",
+)
+def corpus_frontier_bloom(spark, sf_dir):
+    """The crawler's URL-SEEN Bloom filter, value-hashed end to end:
+    build the filter over the even-doc URLs (one bit_or groupBy —
+    mergeable, O(n_bits) state at any URL count), probe EVERY doc URL
+    against it, and hash-compare each verdict.  Even URLs must read
+    seen (Bloom filters have no false negatives — a structural
+    guarantee the hash proves over the whole set); odd URLs read the
+    filter's deterministic false-positive pattern, which the oracle
+    reproduces bit-for-bit because the k salted fold-hashes, the
+    63-bit word packing, and the bit_or words are all re-derived in
+    plain SQL.  Probe plan: the word table is O(n_bits/63) rows,
+    broadcast; the frontier never shuffles beyond its own groupBy."""
+    from opentsdb_aura_spark.operators.containers import url_bloom_build, url_bloom_probe
+
+    d = docs_raw(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id").cast("string")).alias("url"),
+    )
+    bloom = url_bloom_build(d.where(F.col("doc_id") % 2 == 0).select("url"))
+    return url_bloom_probe(d.select("url"), bloom)
+
+
+@register(
     "corpus_robots_redirects",
     """WITH d AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS k FROM documents),
 u AS (SELECT k, 'h' || k || '.example' AS host, k % 5 AS c FROM d)

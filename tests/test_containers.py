@@ -1602,3 +1602,33 @@ def test_extract_feed_links_edges():
     </head><body></body></html>"""
     assert extract_feed_links(src) == [("/a.rss", "rss"), ("/b.atom", "atom")]
     assert extract_feed_links("") == []
+
+
+def test_url_bloom_no_false_negatives_and_merge(spark):
+    """Bloom URL-seen set structural contracts: every inserted URL
+    probes seen=True (no false negatives, ever); the word tables of
+    two disjoint builds bit_or-merge into exactly the union's filter
+    (the incremental/mergeable property); a probe against an empty
+    filter is all-False."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators import containers as C
+
+    a = spark.createDataFrame([(f"http://a.example/{i}",) for i in range(50)], "url string")
+    b = spark.createDataFrame([(f"http://b.example/{i}",) for i in range(50)], "url string")
+    ba, bb = C.url_bloom_build(a), C.url_bloom_build(b)
+    merged = (
+        ba.unionByName(bb).groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = C.url_bloom_build(a.unionByName(b))
+    assert {(r["word_idx"], r["bits"]) for r in merged.collect()} == \
+           {(r["word_idx"], r["bits"]) for r in direct.collect()}
+    got = {r["url"]: r["seen"] for r in C.url_bloom_probe(a.unionByName(b), merged).collect()}
+    assert all(got.values()) and len(got) == 100  # no false negatives
+    empty = ba.where(F.lit(False))
+    got2 = {r["url"]: r["seen"] for r in C.url_bloom_probe(a, empty).collect()}
+    assert not any(got2.values())
+    # n_bits must stay word-aligned
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple"):
+        C.url_bloom_build(a, n_bits=1000)

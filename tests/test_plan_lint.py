@@ -133,6 +133,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "winners",  # summarizer top-k winners: rows <= k
         "cutoffs",  # per-language quantile thresholds: rows = O(languages)
         "dangling",  # 1-row dangling-mass scalar per PageRank round
+        "bloom",  # Bloom word table: O(n_bits/63) rows by construction
         "probe_set",  # ZipNum lookup probe set: contract probes ≪ blocks (ANN query-set shape)
     }
     hits = []

@@ -2511,8 +2511,12 @@ def anchor_text_index(
 #: staying in the positive range keeps the structure oracle-able)
 _BLOOM_WORD_BITS = 63
 
-#: same engine-portable polynomial fold the feature hasher uses
-_BLOOM_HASH_MOD = 1_000_003
+#: engine-portable polynomial fold like the feature hasher's, but
+#: over the Mersenne prime 2^31-1: the position space must EXCEED any
+#: realistic n_bits (a modulus below n_bits silently caps the usable
+#: filter and explodes the false-positive rate); acc*31 + c stays far
+#: below 2^63, so the fold is exact BIGINT arithmetic in any engine
+_BLOOM_HASH_MOD = 2_147_483_647
 
 
 def _bloom_positions(url, n_bits: int, k: int) -> list:

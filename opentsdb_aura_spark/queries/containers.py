@@ -1652,8 +1652,8 @@ def corpus_robots_unavailable(spark, sf_dir):
                          'http://example.com/doc/' || doc_id AS url FROM documents),
 seen AS (SELECT url FROM d WHERE doc_id % 2 = 0),
 spos AS (
-  SELECT list_reduce(list_transform(range(1, length(s) + 1), j -> ord(substr(s, CAST(j AS INTEGER), 1))),
-                     (a, b) -> (a * 31 + b) % 1000003) % 64512 AS p
+  SELECT list_reduce(list_transform(range(1, length(s) + 1), j -> CAST(ord(substr(s, CAST(j AS INTEGER), 1)) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 2147483647) % 64512 AS p
   FROM (SELECT CAST(i AS VARCHAR) || ':' || url AS s
         FROM seen, unnest(range(0, 4)) AS u(i))),
 words AS (
@@ -1662,8 +1662,8 @@ words AS (
   FROM spos GROUP BY 1),
 ppos AS (
   SELECT url,
-         list_reduce(list_transform(range(1, length(s) + 1), j -> ord(substr(s, CAST(j AS INTEGER), 1))),
-                     (a, b) -> (a * 31 + b) % 1000003) % 64512 AS p
+         list_reduce(list_transform(range(1, length(s) + 1), j -> CAST(ord(substr(s, CAST(j AS INTEGER), 1)) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 2147483647) % 64512 AS p
   FROM (SELECT url, CAST(i AS VARCHAR) || ':' || url AS s
         FROM d, unnest(range(0, 4)) AS u(i))),
 probed AS (

@@ -214,3 +214,24 @@ def test_cutoff_buckets_agree_with_ntile_on_clean_splits(spark):
     # approx path produces the same tiny threshold-table shape
     approx = train_perplexity_cutoffs(df.where("lang = 'a'"), approx=True).collect()
     assert len(approx) == 1 and len(approx[0]["cutoffs"]) == 2
+
+
+def test_hashed_token_features_count_vs_presence(spark):
+    """Feature-hasher contracts: count mode sums token multiplicity
+    per bucket; presence mode caps at 1.0; both agree on which buckets
+    are populated; n_features bounds every bucket index."""
+    from opentsdb_aura_spark.operators.quality import hashed_token_features
+
+    docs = spark.createDataFrame(
+        [(0, "dup dup dup word"), (1, "")], "doc_id long, text string"
+    )
+    cnt = {(r["doc_id"], r["bucket"]): r["cnt"]
+           for r in hashed_token_features(docs, n_features=16).collect()}
+    pres = {(r["doc_id"], r["bucket"]): r["cnt"]
+            for r in hashed_token_features(docs, n_features=16, binary=True).collect()}
+    assert set(cnt) == set(pres)
+    assert all(v == 1.0 for v in pres.values())
+    assert sorted(cnt.values(), reverse=True)[0] == 3.0  # 'dup' multiplicity
+    assert sum(cnt.values()) == 4.0
+    assert all(0 <= b < 16 for (_d, b) in cnt)
+    assert not [k for k in cnt if k[0] == 1]  # empty doc -> no feature rows

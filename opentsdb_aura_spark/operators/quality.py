@@ -697,6 +697,11 @@ def logreg_scores(
     map-side combine, and docs with no tokens still surface (bias-only
     margin) via the left join against the id spine — the gate a
     curation run applies corpus-wide after a small-seed fit."""
+    if len(weights) != int(n_features):
+        raise ValueError(
+            f"logreg_scores: {len(weights)} weights for n_features={n_features} — "
+            "score with the SAME feature dim the model was trained on"
+        )
     feats = hashed_token_features(
         docs, n_features=n_features, binary=binary, text_col=text_col, id_col=id_col
     )

@@ -113,6 +113,13 @@ def parse_robots_txt(content: str) -> list:
     demands tolerance; Crawl-delay/Sitemap are not rules).
     ``pattern_len`` is the rule's octet length — the §2.2.2 precedence
     key."""
+    # RFC 9309 §2.5: crawlers MUST process at least 500 KiB and MAY
+    # ignore the rest — the cap keeps a pathological multi-GB
+    # robots.txt from dominating a parse task; truncating at a byte
+    # bound can split a final line, which at worst drops that line
+    # (the spec's sanctioned behavior)
+    if len(content.encode("utf-8", "ignore")) > 512_000:
+        content = content.encode("utf-8", "ignore")[:512_000].decode("utf-8", "ignore")
     rules = []
     current_agents: list[str] = []
     last_was_agent = False

@@ -578,10 +578,17 @@ def unigram_apply(
     seg = distinct_w.select(
         "w", _viterbi_expr(F.col("w"), vocab, int(max_piece_len))["n"].alias("n_pieces_w")
     )
-    return (
+    per_doc = (
         wc.join(seg, "w")
         .groupBy("doc_id")
         .agg(F.sum(F.col("n") * F.col("n_pieces_w")).cast("long").alias("n_pieces"))
+    )
+    # token-less docs surface as 0, not as missing rows — the same
+    # contract lm_bigram_scores keeps (a join/budget over the counts
+    # must never silently lose documents)
+    all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces")
     )
 
 

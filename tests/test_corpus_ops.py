@@ -698,3 +698,22 @@ def test_unigram_apply_unknown_char_coverage(spark):
     docs = spark.createDataFrame([(0, "ab aZb")], "doc_id long, text string")
     got = unigram_apply(docs, vocab, max_piece_len=2).collect()[0]
     assert got["n_pieces"] == 1 + 3
+
+
+def test_unigram_apply_empty_doc_surfaces_zero(spark):
+    """A token-less document reports n_pieces = 0 instead of silently
+    vanishing (the lm_bigram_scores contract); mismatched weights dim
+    is rejected loudly by logreg_scores."""
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.quality import logreg_scores
+    from opentsdb_aura_spark.operators.text import unigram_apply
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_pieces"]
+           for r in unigram_apply(docs, {"a": -2, "b": -2, "ab": -1}, max_piece_len=2).collect()}
+    assert got == {0: 2, 1: 0, 2: 0}
+    with _pytest.raises(ValueError, match="SAME feature dim"):
+        logreg_scores(docs, [0.0] * 8, 0.0, n_features=16)

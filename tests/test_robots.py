@@ -512,3 +512,18 @@ def test_resolve_robots_fetches_edges(spark):
     assert got["b.example"] == (200, "http://cdn.example/r.txt", 1, False)
     assert got["c.example"] == (200, "http://c.example/c2", 2, False)
     assert got["d.example"][0] == 301 and got["d.example"][3] is True
+
+
+def test_parse_robots_txt_size_cap():
+    """RFC 9309 §2.5: rules beyond the 500 KiB processing bound are
+    ignored; rules before it survive, including when the cap splits a
+    line mid-way (that line drops, nothing crashes)."""
+    from opentsdb_aura_spark.operators.robots import parse_robots_txt
+
+    head = "User-agent: *\nDisallow: /tmp/\n"
+    filler = "# padding comment line\n" * (512_000 // 23)
+    tail = "Allow: /late-rule-beyond-cap\n"
+    rules = parse_robots_txt(head + filler + tail)
+    patterns = [r[2] for r in rules]
+    assert "/tmp/" in patterns
+    assert "/late-rule-beyond-cap" not in patterns

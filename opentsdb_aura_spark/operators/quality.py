@@ -717,3 +717,75 @@ def logreg_scores(
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("prob"),
         (margin >= 0).alias("pred"),
     )
+
+
+def lm_kn_scores(
+    docs: DataFrame,
+    *,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scores → (doc_id, n_bigrams,
+    avg_logprob) — the smoothing family CCNet's KenLM actually uses
+    (Wenzek et al. 2020 filter by a modified-KN 5-gram; the bigram
+    interpolated-KN form is the same estimator at the engine-native
+    order), next to :func:`lm_bigram_scores`' Laplace proxy:
+
+        p(w₂|w₁) = max(c(w₁w₂)−d, 0)/c(w₁·)
+                   + d·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+
+    — absolute discounting with the CONTINUATION-probability backoff
+    (how many distinct contexts a word follows, not how often it
+    occurs: the fix for high-count-but-single-context words like the
+    'Francisco' in 'San Francisco').
+
+    Scale shape: four corpus count tables (bigram counts, prefix
+    totals + follower types, continuation types), all map-side
+    combined; the doc bigram stream equi-joins them on its own keys
+    and the 1-row type total broadcasts.  Training IS the
+    aggregation — no driver fit, no Python."""
+    d = float(discount)
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"lm_kn_scores: discount must be in (0, 1), got {discount}")
+    toks = tokens(F.col(text_col))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+    )
+    doc_bg = docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bigram"))
+    parts = F.split(F.col("bigram"), " ", 2)
+    doc_bg = doc_bg.withColumn("w1", parts[0]).withColumn("w2", parts[1])
+
+    bgc = doc_bg.groupBy("bigram").agg(F.count("*").alias("_bcnt"))
+    pref = doc_bg.groupBy("w1").agg(
+        F.count("*").alias("_ptot"),
+        F.count_distinct("w2").alias("_nfollow"),
+    )
+    cont = doc_bg.groupBy("w2").agg(F.count_distinct("w1").alias("_nprec"))
+    types = doc_bg.agg(F.count_distinct("bigram").cast("double").alias("_ntypes"))
+
+    p = (
+        F.greatest(F.col("_bcnt") - F.lit(d), F.lit(0.0)) / F.col("_ptot")
+        + F.lit(d) * F.col("_nfollow") / F.col("_ptot")
+        * F.col("_nprec") / F.col("_ntypes")
+    )
+    scored = (
+        doc_bg.join(bgc, "bigram")
+        .join(pref, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .withColumn("_lp", F.log(p))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.avg("_lp").alias("avg_logprob"),
+    )
+    # <2-token docs surface as unscorable, never vanish (the
+    # lm_bigram_scores contract)
+    all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "avg_logprob",
+    )

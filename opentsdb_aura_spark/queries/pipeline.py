@@ -1672,6 +1672,43 @@ def text_unigram_count(spark, sf_dir):
 
 
 @register(
+    "quality_kn_scores",
+    r"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents),
+bg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram,
+              toks[i+1] AS w1, toks[i+2] AS w2
+       FROM d, unnest(range(0, greatest(len(toks) - 1, 0))) AS t(i)),
+bgc AS (SELECT bigram, CAST(count(*) AS DOUBLE) AS bcnt FROM bg GROUP BY 1),
+pref AS (SELECT w1, CAST(count(*) AS DOUBLE) AS ptot,
+                CAST(count(DISTINCT w2) AS DOUBLE) AS nfollow FROM bg GROUP BY 1),
+cont AS (SELECT w2, CAST(count(DISTINCT w1) AS DOUBLE) AS nprec FROM bg GROUP BY 1),
+ty AS (SELECT CAST(count(DISTINCT bigram) AS DOUBLE) AS ntypes FROM bg),
+s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln(greatest(bcnt - 0.75, 0) / ptot
+                          + 0.75 * nfollow / ptot * nprec / ntypes)), 4) AS avg_logprob
+      FROM bg JOIN bgc USING (bigram) JOIN pref USING (w1) JOIN cont USING (w2)
+           CROSS JOIN ty
+      GROUP BY 1)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_logprob
+FROM d LEFT JOIN s USING (doc_id)""",
+)
+def quality_kn_scores(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram perplexity signal — the
+    smoothing family CCNet's KenLM actually uses, next to the Laplace
+    proxy: absolute discounting with CONTINUATION-probability backoff
+    (distinct left-context counts, not raw frequency).  The oracle
+    refits every count table (bigram counts, prefix totals, follower
+    types, continuation types, the type total) and re-derives each
+    doc's mean log-probability, so the discount arithmetic and the
+    continuation distribution are value-hashed; unscorable <2-token
+    docs surface with NULL, never vanish."""
+    from opentsdb_aura_spark.operators.quality import lm_kn_scores
+
+    res = lm_kn_scores(docs(spark, sf_dir), discount=0.75)
+    return res.select("doc_id", "n_bigrams", _r("avg_logprob", 4).alias("avg_logprob"))
+
+
+@register(
     "corpus_line_dedup_docs",
     f"""{_LINES_SQL},
 l AS (SELECT doc_id, unnest(range(0, len(lines))) AS pos, lines FROM d),

@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "dedup_embedding_cosine",  # exact O(n²) oracle-baseline variant, documented
     "corpus_tfidf_top3",  # 1-row n_docs factor
     "quality_lm_scores",  # 1-row vocabulary-size factor
+    "quality_kn_scores",  # 1-row bigram-type-total factor
     "pipeline_ccnet_buckets",  # composes lm_bigram_scores: same 1-row vocab factor
     "pipeline_ccnet_curate",  # same composition over the extracted text
     "pipeline_ccnet_cutoff_buckets",  # same composition + broadcast cutoff dim
@@ -126,6 +127,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "p_sh",  # contamination probe shingles (benchmark-sized)
         "p_size",  # probe sizes (same bound)
         "vocab",  # 1-row vocabulary-size factor
+        "types",  # 1-row bigram-type-total factor (quality_kn_scores)
         "blocks",  # per-block prefix sums: rows = input partitions
         "totals",  # 1-row gram-count factor (dsir_weights)
         "avg_bal",  # 1-row global-average-balance scalar (tpch_idle_rich_customers)

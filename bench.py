@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "text_unigram_train",
     "text_unigram_count",
     "corpus_robots_redirects",
+    "corpus_frontier_bloom",
+    "quality_kn_scores",
 ]
 
 # The driver's bench artifact keeps only the TAIL of the output, and

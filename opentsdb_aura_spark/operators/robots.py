@@ -1091,3 +1091,21 @@ def resolve_robots_fetches(
         still.alias("redirect_exhausted"),
     )
     return done.unionByName(exhausted)
+
+
+def sitemap_scope_ok(page_url, loc) -> "F.Column":
+    """sitemaps.org location scoping: a sitemap "can only include URLs
+    from the same host" it is served from — a sitemap on one host must
+    not inject frontier entries for another (cross-host submission is
+    only valid via a robots.txt ``Sitemap:`` pointer ON THE TARGET
+    host, which arrives through the robots path instead).  Hosts
+    compare case-insensitively; an entry whose URL has no parseable
+    host is out of scope (relative locs resolve BEFORE this check).
+    One null-safe comparison — composes into the discovery projection
+    with no join."""
+    host_re = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)"
+    u = F.col(page_url) if isinstance(page_url, str) else page_url
+    l_ = F.col(loc) if isinstance(loc, str) else loc
+    uh = F.lower(F.regexp_extract(u, host_re, 1))
+    lh = F.lower(F.regexp_extract(l_, host_re, 1))
+    return (uh != "") & (lh != "") & (uh == lh)

@@ -1647,6 +1647,42 @@ def corpus_robots_unavailable(spark, sf_dir):
 
 
 @register(
+    "corpus_sitemap_scope",
+    """WITH d AS (SELECT DISTINCT CAST(doc_id % 6 AS BIGINT) AS k FROM documents),
+u AS (SELECT k, 'http://h' || k || '.example/sitemap.xml' AS page_url FROM d)
+SELECT page_url, 'http://h' || k || '.example/s/1' AS loc, true AS in_scope FROM u
+UNION ALL SELECT page_url, 'http://evil.example/x', false FROM u
+UNION ALL SELECT page_url, 'http://H' || k || '.EXAMPLE/s/2', true FROM u""",
+)
+def corpus_sitemap_scope(spark, sf_dir):
+    """sitemaps.org location scoping — the injection rule a frontier
+    must honor: a sitemap can only name URLs on ITS OWN host, so a
+    compromised or hostile sitemap on one host cannot schedule fetches
+    against another.  Fixture sitemaps carry a same-host entry, a
+    planted cross-host entry, and an uppercase-host same-host entry
+    (host comparison is case-insensitive); every verdict is
+    value-hashed through the real XML discovery parse.  One Arrow
+    parse + one comparison in the same projection — no join."""
+    from opentsdb_aura_spark.operators.robots import discovered_xml_urls, sitemap_scope_ok
+
+    d = docs_raw(spark, sf_dir).select((F.col("doc_id") % 6).cast("long").alias("k")).distinct()
+    k = F.col("k").cast("string")
+    body = F.concat(
+        F.lit("<urlset><url><loc>http://h"), k, F.lit(".example/s/1</loc></url>"),
+        F.lit("<url><loc>http://evil.example/x</loc></url>"),
+        F.lit("<url><loc>http://H"), k, F.lit(".EXAMPLE/s/2</loc></url></urlset>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://h"), k, F.lit(".example/sitemap.xml")).alias("page_url"),
+        body.alias("body"),
+    )
+    ent = discovered_xml_urls(pages, url_col="page_url", body_col="body")
+    return ent.select(
+        "page_url", "loc", sitemap_scope_ok("page_url", "loc").alias("in_scope")
+    )
+
+
+@register(
     "corpus_frontier_bloom",
     """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                          'http://example.com/doc/' || doc_id AS url FROM documents),

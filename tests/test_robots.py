@@ -527,3 +527,23 @@ def test_parse_robots_txt_size_cap():
     patterns = [r[2] for r in rules]
     assert "/tmp/" in patterns
     assert "/late-rule-beyond-cap" not in patterns
+
+
+def test_sitemap_scope_edges(spark):
+    """Scoping edges: ports/userinfo make hosts differ; a loc with no
+    parseable host (relative, resolved late) is out of scope here; a
+    page_url with no host never admits anything."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.robots import sitemap_scope_ok
+
+    rows = [
+        ("http://a.example/s.xml", "http://a.example/x", True),
+        ("http://a.example/s.xml", "http://a.example:8080/x", False),  # port differs
+        ("http://a.example/s.xml", "https://a.example/x", True),       # scheme-free rule
+        ("http://a.example/s.xml", "/relative", False),
+        ("no-scheme-page", "http://a.example/x", False),
+    ]
+    df = spark.createDataFrame([(p, l) for p, l, _ in rows], "p string, l string")
+    got = [r["ok"] for r in df.select(sitemap_scope_ok("p", "l").alias("ok")).collect()]
+    assert got == [e for _p, _l, e in rows], got

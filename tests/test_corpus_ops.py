@@ -717,3 +717,44 @@ def test_unigram_apply_empty_doc_surfaces_zero(spark):
     assert got == {0: 2, 1: 0, 2: 0}
     with _pytest.raises(ValueError, match="SAME feature dim"):
         logreg_scores(docs, [0.0] * 8, 0.0, n_features=16)
+
+
+def test_unigram_viterbi_matches_python_reference(spark):
+    """Randomized cross-check of the Catalyst DP fold against an
+    independent Python Viterbi with the same (score, fewest-pieces,
+    lexicographic) tie-break: 200 seeded random words over a random
+    vocab, ONE Spark job.  Also pins the reconstruction invariant —
+    the winning segmentation's pieces concatenate back to the word."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.text import _USEG_SEP, _viterbi_expr
+
+    rng = random.Random(12)
+    alphabet = "abcd"
+    pieces = {"a", "b", "c", "d"}
+    while len(pieces) < 14:
+        pieces.add("".join(rng.choice(alphabet) for _ in range(rng.randint(2, 3))))
+    vocab = {p: -rng.randint(1, 50) for p in sorted(pieces)}
+    words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+             for _ in range(200)]
+
+    def ref(word):
+        best = [(0, 0, "")] + [None] * len(word)
+        for i in range(1, len(word) + 1):
+            cands = []
+            for ln in range(1, min(3, i) + 1):
+                piece = word[i - ln:i]
+                if piece in vocab and best[i - ln] is not None:
+                    s, n, seg = best[i - ln]
+                    cands.append((s + vocab[piece], n + 1, seg + _USEG_SEP + piece))
+            best[i] = min(cands, key=lambda c: (-c[0], c[1], c[2]))
+        return best[len(word)]
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: (r["b"]["score"], r["b"]["n"], r["b"]["seg"])
+           for r in df.select("w", _viterbi_expr(F.col("w"), vocab, 3).alias("b")).collect()}
+    for w in set(words):
+        assert got[w] == ref(w), (w, got[w], ref(w))
+        assert got[w][2].replace(_USEG_SEP, "") == w  # reconstruction

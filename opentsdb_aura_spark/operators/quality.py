@@ -626,8 +626,14 @@ def train_logreg_weights(
     # reduces to <= n_features + 1 rows per partition BEFORE the
     # exchange — per-iteration cost is a narrow pass plus a tiny
     # shuffle, independent of how many iterations run
+    # sort_array pins the fold's summation order to ascending bucket
+    # (bucket is unique per doc, so the struct sort is total): the
+    # margin dot-product sums the same way on every run/partitioning,
+    # and the oracle mirrors it with ORDER BY bucket inside its sum —
+    # without this, collect_list order (and thus float association)
+    # is nondeterministic, and drift feeds back through every GD step
     docvec = features.groupBy("doc_id").agg(
-        F.collect_list(F.struct("bucket", "cnt")).alias("fx")
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("fx")
     )
     base = labs.join(docvec, "doc_id", "left").select(
         "y",

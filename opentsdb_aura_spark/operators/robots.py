@@ -720,6 +720,24 @@ def discovered_xml_urls(
                     charset = None
                 if body is None:
                     continue
+                if (
+                    with_charset
+                    and isinstance(body, (bytes, bytearray))
+                    and body[:2] == b"\x1f\x8b"
+                ):
+                    # sitemaps.org allows gzipped sitemaps (.xml.gz);
+                    # the fetch loop admits them by path suffix, so the
+                    # raw gzip member must be inflated here or the
+                    # document parses to zero entries.  Magic-byte
+                    # sniff, not suffix: servers gzip mislabeled paths
+                    # too, and a truncated/corrupt member degrades to
+                    # the empty entry set rather than failing the batch
+                    import gzip as _gzip
+
+                    try:
+                        body = _gzip.decompress(bytes(body))
+                    except OSError:
+                        continue
                 src = _decode_page(body, charset) if with_charset else str(body)
                 for kind, loc, lastmod in parse_sitemap_xml(src):
                     # lastmod normalizes to the SAME epoch column the
@@ -1101,8 +1119,16 @@ def sitemap_scope_ok(page_url, loc) -> "F.Column":
     host, which arrives through the robots path instead).  Hosts
     compare case-insensitively; an entry whose URL has no parseable
     host is out of scope (relative locs resolve BEFORE this check).
-    One null-safe comparison — composes into the discovery projection
-    with no join."""
+
+    DELIBERATE DEVIATION from the sitemaps.org letter: the spec also
+    requires the loc to use the same *protocol* as the sitemap, but
+    this check compares host only — an http:// sitemap may admit
+    https:// locations (and vice versa).  Real sites serve one sitemap
+    across the http→https migration, and the crawl loop treats the two
+    schemes as one origin everywhere else (canonicalize_url), so
+    scheme is intentionally relaxed here; pinned by
+    test_sitemap_scope_edges.  One null-safe comparison — composes
+    into the discovery projection with no join."""
     host_re = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)"
     u = F.col(page_url) if isinstance(page_url, str) else page_url
     l_ = F.col(loc) if isinstance(loc, str) else loc

@@ -450,7 +450,17 @@ def _viterbi_expr(word, vocab: dict, max_piece_len: int):
         return F.concat(acc, F.array(best))
 
     dp = F.aggregate(F.sequence(F.lit(1), F.length(word)), init, step)
-    return F.element_at(dp, -1)
+    # empty-string guard: F.sequence(1, 0) yields the DESCENDING [1, 0]
+    # in Spark, and the i=0 step would hit element_at(acc, 0) — a
+    # runtime error (SQL arrays are 1-indexed).  tokens() never emits
+    # empty words, but an unfiltered caller must get the empty
+    # segmentation, not a crashed query.
+    empty = F.struct(
+        F.lit(0).cast("long").alias("score"),
+        F.lit(0).cast("int").alias("n"),
+        F.lit("").alias("seg"),
+    )
+    return F.when(F.length(word) == 0, empty).otherwise(F.element_at(dp, -1))
 
 
 def unigram_train(

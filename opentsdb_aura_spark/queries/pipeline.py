@@ -1294,7 +1294,7 @@ b{k + 1} AS MATERIALIZED (SELECT b{k}.b - {lr} * s / nn.n AS b FROM gb{k} CROSS 
             f"""off{k + 1} AS MATERIALIZED (SELECT sum(w * mu.mu) AS o FROM w{k + 1} JOIN mu USING (bucket)),
 m{k + 1} AS MATERIALIZED (SELECT lab.doc_id, lab.y, b{k + 1}.b - off{k + 1}.o + coalesce(dp{k + 1}.v, 0) AS margin
   FROM lab CROSS JOIN b{k + 1} CROSS JOIN off{k + 1}
-  LEFT JOIN (SELECT trip.doc_id, sum(cnt * w{k + 1}.w) AS v
+  LEFT JOIN (SELECT trip.doc_id, sum(cnt * w{k + 1}.w ORDER BY trip.bucket) AS v
              FROM trip JOIN w{k + 1} USING (bucket) GROUP BY 1) dp{k + 1} USING (doc_id))"""
         )
     final = f"""SELECT doc_id, y = 1.0 AS label,
@@ -1556,7 +1556,7 @@ v0c AS MATERIALIZED (
         + str(_UNI_K)
         + r"""),
 v0 AS MATERIALIZED (
-  SELECT piece, CAST(round(ln((cnt + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS lp
+  SELECT piece, CAST(round(1e-9 + ln((cnt + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS lp
   FROM v0c CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
                               CAST(count(*) AS DOUBLE) AS nv FROM v0c))"""
     ]
@@ -1588,7 +1588,7 @@ v{r + 1}c AS MATERIALIZED (
     SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
     FROM c{r + 1} WHERE length(piece) > 1) WHERE rn <= {_UNI_K}),
 v{r + 1} AS MATERIALIZED (
-  SELECT piece, CAST(round(ln((cnt + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS lp
+  SELECT piece, CAST(round(1e-9 + ln((cnt + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS lp
   FROM v{r + 1}c CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
                                     CAST(count(*) AS DOUBLE) AS nv FROM v{r + 1}c))"""
         )

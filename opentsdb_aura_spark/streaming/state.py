@@ -670,9 +670,11 @@ def streaming_crawl_ingest(
                     # (covers +xml suffixes and text/xml variants), or
                     # an .xml/.xml.gz path when servers mislabel —
                     # real feeds ship as text/plain and sitemaps as
-                    # octet-stream (ADVICE r11); a non-XML body that
-                    # sneaks through simply yields no <loc>/<link>
-                    # entries downstream, so over-admission is safe
+                    # octet-stream (ADVICE r11); gzipped bodies are
+                    # inflated inside discovered_xml_urls (magic-byte
+                    # sniff), and a non-XML body that sneaks through
+                    # simply yields no <loc>/<link> entries
+                    # downstream, so over-admission is safe
                     ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
                     uri_path = F.lower(
                         F.regexp_replace(F.col("target_uri"), r"[?#].*$", "")

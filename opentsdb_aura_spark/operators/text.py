@@ -370,9 +370,12 @@ _USEG_SCALE = 1_000_000
 
 def _ilogp(p: float) -> int:
     """round(ln(p)·1e6 + 1e-9) with HALF-AWAY-FROM-ZERO rounding —
-    bit-identical to the oracle's ``CAST(round(1e-9 + ln(p)*1000000)
-    AS BIGINT)`` (C libm ln on both sides; Python's builtin round is
-    banker's and would disagree on exact halves)."""
+    bit-identical to the oracle AS EXECUTED: the source CTE says
+    ``CAST(round(ln(p)*1000000) AS BIGINT)``, and register()
+    (queries/base.py) rewrites every ``round(`` to ``round(1e-9 + ``
+    at registration, so DuckDB runs the same +1e-9 nudge this
+    function applies (C libm ln on both sides; Python's builtin
+    round is banker's and would disagree on exact halves)."""
     import math
 
     x = math.log(p) * _USEG_SCALE + 1e-9

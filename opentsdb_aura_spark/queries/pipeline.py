@@ -1535,7 +1535,15 @@ def _unigram_ctes() -> str:
     with the IDENTICAL (score DESC, n pieces, seg) argmax — exact,
     because log-probs are quantized to integer micro-nats on both
     sides before any path sum.  All loop state is integers, so the
-    two engines cannot drift."""
+    two engines cannot drift.
+
+    The lp quantization here is written ``round(ln(...)*1000000)``
+    but register() rewrites every ``round(`` in a registered oracle
+    to ``round(1e-9 + `` (queries/base.py), so the SQL DuckDB
+    actually runs carries the SAME +1e-9 boundary nudge as _ilogp on
+    the Spark side — do NOT add the epsilon literally here, or the
+    idempotency guard in register() will skip the rewrite and strip
+    the nudge from the oracle's OTHER round() calls."""
     parts = [
         r"""WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks FROM documents),
 words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
@@ -1556,7 +1564,7 @@ v0c AS MATERIALIZED (
         + str(_UNI_K)
         + r"""),
 v0 AS MATERIALIZED (
-  SELECT piece, CAST(round(1e-9 + ln((cnt + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS lp
+  SELECT piece, CAST(round(ln((cnt + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS lp
   FROM v0c CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
                               CAST(count(*) AS DOUBLE) AS nv FROM v0c))"""
     ]
@@ -1588,7 +1596,7 @@ v{r + 1}c AS MATERIALIZED (
     SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
     FROM c{r + 1} WHERE length(piece) > 1) WHERE rn <= {_UNI_K}),
 v{r + 1} AS MATERIALIZED (
-  SELECT piece, CAST(round(1e-9 + ln((cnt + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS lp
+  SELECT piece, CAST(round(ln((cnt + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS lp
   FROM v{r + 1}c CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
                                     CAST(count(*) AS DOUBLE) AS nv FROM v{r + 1}c))"""
         )

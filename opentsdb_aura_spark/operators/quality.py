@@ -795,3 +795,96 @@ def lm_kn_scores(
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         "avg_logprob",
     )
+
+
+def hashed_char_ngram_features(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    n_features: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed character-n-gram PRESENCE features → (doc_id, bucket,
+    cnt=1.0) — the fastText input representation for language ID
+    (Joulin et al. 2017; CCNet ships exactly this model class): char
+    n-grams carry orthography (die/der/und vs the/and/of) without any
+    tokenizer, so the same featurizer works on unsegmented scripts.
+    Lowercased text, window of ``n`` chars including spaces (word
+    boundaries are signal), each gram hashed with the SAME polynomial
+    fold as :func:`feature_bucket` — so the whole pipeline stays
+    expressible in plain SQL (substr windows + list_reduce) and the
+    trained model is oracle-able.
+
+    Presence (DISTINCT doc,bucket), not counts: the better-conditioned
+    form for GD, and the DISTINCT collapses the explode to ≤
+    n_features rows per doc BEFORE any shuffle partner sees it.
+    Docs shorter than ``n`` chars yield no rows (the trainer/scorer
+    left-join against the id spine, so they surface bias-only)."""
+    txt = F.lower(F.col(text_col))
+    grams = F.when(
+        F.length(txt) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - (n - 1)),
+            lambda i: txt.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("_g"))
+        .select("doc_id", feature_bucket(F.col("_g"), n_features).alias("bucket"))
+        .distinct()
+        .withColumn("cnt", F.lit(1.0))
+    )
+
+
+def ovr_logreg_scores(
+    features: DataFrame,
+    models: dict[str, tuple[list[float], float]],
+    id_spine: DataFrame,
+    *,
+    n_features: int,
+) -> DataFrame:
+    """One-vs-rest scoring pass → (doc_id, margin_<class>... ,
+    pred_<label>) with the alphabetically-first argmax on ties — the
+    multi-class decision fastText's lang-id makes, over ANY feature
+    triples (doc_id, bucket, cnt).  All K models ride as literal
+    arrays over ONE packed pass: the doc's sparse vector is packed
+    once (sort_array pins summation order, same as training), each
+    class margin is a fold over it, and the argmax is a when-chain —
+    no join per class, no K-fold re-scan of the corpus.  Docs absent
+    from the feature triples score bias-only via the id spine."""
+    classes = sorted(models)
+    if not classes:
+        raise ValueError("ovr_logreg_scores: no models")
+    for cls, (w, _) in models.items():
+        if len(w) != int(n_features):
+            raise ValueError(
+                f"ovr_logreg_scores[{cls}]: {len(w)} weights != n_features={n_features}"
+            )
+    docvec = features.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("fx")
+    )
+    base = id_spine.select(F.col(id_spine.columns[0]).alias("doc_id")).join(
+        docvec, "doc_id", "left"
+    )
+    margins = {}
+    for cls in classes:
+        w, b = models[cls]
+        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        dot = F.aggregate(
+            F.coalesce(
+                F.col("fx"), F.array().cast("array<struct<bucket:int,cnt:double>>")
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["cnt"] * F.element_at(w_arr, s["bucket"] + 1),
+        )
+        margins[cls] = dot + F.lit(float(b))
+    best = F.greatest(*[margins[c] for c in classes]) if len(classes) > 1 else margins[classes[0]]
+    pred = F.when(margins[classes[0]] == best, F.lit(classes[0]))
+    for cls in classes[1:]:
+        pred = pred.when(margins[cls] == best, F.lit(cls))
+    return base.select(
+        "doc_id",
+        *[margins[c].alias(f"margin_{c}") for c in classes],
+        pred.alias("pred_lang"),
+    )

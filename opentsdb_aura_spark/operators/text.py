@@ -75,9 +75,45 @@ def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "do
     )
 
 
-def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: per-language marker-word hit counts,
-    argmax with alphabetical tie-break.  (doc_id, pred_lang, score)."""
+def lang_id(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    models: dict | None = None,
+    n_features: int = 128,
+    ngram: int = 3,
+) -> DataFrame:
+    """Language ID → (doc_id, pred_lang, score).
+
+    Default is the zero-training marker-word heuristic (per-language
+    hit counts, argmax with alphabetical tie-break).  Passing
+    ``models`` — a dict of lang → (weights, bias) from
+    :func:`~opentsdb_aura_spark.operators.quality.train_logreg_weights`
+    over :func:`~opentsdb_aura_spark.operators.quality.
+    hashed_char_ngram_features` — swaps in the TRAINED one-vs-rest
+    classifier (the CCNet/fastText model class; Wenzek et al. 2020
+    §4.2): char-n-gram presence features scored by all K models in
+    one packed pass, ``score`` = the winning margin.  The heuristic
+    stays as the fallback seam for corpora with no fitted model."""
+    if models is not None:
+        from opentsdb_aura_spark.operators.quality import (
+            hashed_char_ngram_features,
+            ovr_logreg_scores,
+        )
+
+        feats = hashed_char_ngram_features(
+            docs, n=ngram, n_features=n_features, text_col=text_col, id_col=id_col
+        )
+        scored = ovr_logreg_scores(
+            feats,
+            models,
+            docs.select(F.col(id_col).alias("doc_id")),
+            n_features=n_features,
+        )
+        mcols = [F.col(f"margin_{c}") for c in sorted(models)]
+        best = F.greatest(*mcols) if len(mcols) > 1 else mcols[0]
+        return scored.select("doc_id", "pred_lang", best.alias("score"))
     toks = tokens(F.col(text_col))
     langs = sorted(LANG_MARKERS)
     scores = {}

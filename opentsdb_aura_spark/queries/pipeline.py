@@ -2467,3 +2467,409 @@ def pipeline_host_quality(spark, sf_dir):
             (F.avg("_k") >= 0.5).alias("host_keep"),
         )
     )
+
+
+# ---------------------------------------- trained language-ID (fastText-style)
+#
+# CCNet identifies document language with a TRAINED linear classifier
+# over hashed character n-grams (fastText langid — Joulin et al. 2017;
+# Wenzek et al. 2020 §4.2), not marker-word lookups.  The engine-native
+# form: char-trigram presence features (operators/quality.py
+# hashed_char_ngram_features), one-vs-rest deterministic batch-GD
+# logistic fits (the SAME bounded-collect loop the quality classifier
+# uses), and an alphabetical-tie-break argmax over the class margins —
+# every stage expressible in plain SQL, so the whole multi-class model
+# re-fits in DuckDB and the predictions value-hash.
+#
+# The fixture corpus's lang column is uncorrelated with its text, so
+# the query slice PLANTS per-language marker sentences (the dedup
+# planting recipe): each doc's gold-lang marker words are appended
+# plus ONE cross-language noise word keyed by doc_id — the classifier
+# must weigh n-gram combinations, not single-word presence, and
+# training must RECOVER the planted distribution (fit quality is part
+# of the hash: a diverged fit mispredicts and reds the gate).
+
+_LANGID_D = 128
+_LANGID_LR = 10.0
+_LANGID_ITERS = 6
+
+
+def _langid_langs():
+    from opentsdb_aura_spark.operators.text import LANG_MARKERS
+
+    return sorted(LANG_MARKERS), LANG_MARKERS
+
+
+def _langid_corpus(spark, sf_dir):
+    """(doc_id, lang, txt): fixture docs with the gold lang's marker
+    sentence appended plus one doc_id-keyed cross-language noise word,
+    lowercased — the planted-separable corpus both the Spark fit and
+    the DuckDB re-fit train on."""
+    langs, markers = _langid_langs()
+    d = docs(spark, sf_dir)
+    mk = F.when(F.col("lang") == langs[0], F.lit(" ".join(markers[langs[0]])))
+    for L in langs[1:]:
+        mk = mk.when(F.col("lang") == L, F.lit(" ".join(markers[L])))
+    mk = mk.otherwise(F.lit(""))
+    noise = [markers[L][0] for L in langs]
+    nz = F.when(F.col("doc_id") % 5 == 0, F.lit(noise[0]))
+    for i in range(1, 5):
+        nz = nz.when(F.col("doc_id") % 5 == i, F.lit(noise[i]))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.lower(F.concat_ws(" ", F.col("text"), mk, nz)).alias("txt"),
+    )
+
+
+def _langid_models(corpus, feats):
+    """One-vs-rest fit: K independent binary logreg fits over the SAME
+    feature triples (K * n_iter bounded collects, each <= D+1 rows)."""
+    from opentsdb_aura_spark.operators.quality import train_logreg_weights
+
+    langs, _ = _langid_langs()
+    models = {}
+    for L in langs:
+        labels = corpus.select(
+            "doc_id", (F.col("lang") == L).cast("double").alias("y")
+        )
+        models[L] = train_logreg_weights(
+            feats,
+            labels,
+            n_features=_LANGID_D,
+            lr=_LANGID_LR,
+            n_iter=_LANGID_ITERS,
+            center=True,
+        )
+    return models
+
+
+def _langid_corpus_sql() -> str:
+    langs, markers = _langid_langs()
+    mk = " ".join(
+        f"WHEN '{L}' THEN '{' '.join(markers[L])}'" for L in langs
+    )
+    noise = [markers[L][0] for L in langs]
+    nz = " ".join(f"WHEN {i} THEN '{noise[i]}'" for i in range(5))
+    return f"""corpus AS MATERIALIZED (
+  SELECT doc_id, lang,
+         lower(text || ' ' || CASE lang {mk} ELSE '' END
+                    || ' ' || CASE CAST(doc_id % 5 AS INTEGER) {nz} ELSE '' END) AS txt
+  FROM documents)"""
+
+
+def _langid_ctes() -> str:
+    """Shared CTE chain: planted corpus → char-trigram presence
+    triples (identical polynomial hash fold) → shared centering means
+    → one unrolled batch-GD chain PER CLASS (the _logreg_oracle block
+    with class-suffixed names), ending at each class's final margin
+    table m_<L><ITERS>.  Every iteration CTE is MATERIALIZED — the
+    chained references would otherwise inline exponentially."""
+    langs, _ = _langid_langs()
+    lr, D, R = _LANGID_LR, _LANGID_D, _LANGID_ITERS
+    parts = [
+        _langid_corpus_sql(),
+        f"""trip AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CAST(list_reduce(list_transform(range(1, 4),
+                j -> ord(substr(g, CAST(j AS INTEGER), 1))),
+              (a, b) -> (a * 31 + b) % 1000003) % {D} AS INTEGER) AS bucket,
+         1.0 AS cnt
+  FROM (SELECT doc_id, substr(txt, CAST(i AS INTEGER), 3) AS g
+        FROM corpus, unnest(range(1, length(txt) - 1)) AS u(i))),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM corpus),
+mu AS MATERIALIZED (SELECT bucket, sum(cnt) / nn.n AS mu
+  FROM trip CROSS JOIN nn GROUP BY bucket, nn.n)""",
+    ]
+    for L in langs:
+        parts.append(
+            f"""lab_{L} AS MATERIALIZED (SELECT doc_id,
+  CASE WHEN lang = '{L}' THEN 1.0 ELSE 0.0 END AS y FROM corpus),
+m_{L}0 AS (SELECT doc_id, y, 0.0 AS margin FROM lab_{L})"""
+        )
+        for k in range(R):
+            parts.append(
+                f"""r_{L}{k} AS MATERIALIZED (SELECT doc_id, 1.0/(1.0+exp(-margin)) - y AS resid FROM m_{L}{k}),
+g_{L}{k} AS MATERIALIZED (SELECT bucket, sum(resid * cnt) AS s FROM trip JOIN r_{L}{k} USING (doc_id) GROUP BY 1),
+gb_{L}{k} AS MATERIALIZED (SELECT sum(resid) AS s FROM r_{L}{k})"""
+            )
+            if k == 0:
+                parts.append(
+                    f"""w_{L}1 AS MATERIALIZED (SELECT bucket, -{lr} * (g_{L}0.s - mu.mu * gb_{L}0.s) / nn.n AS w
+  FROM g_{L}0 JOIN mu USING (bucket) CROSS JOIN gb_{L}0 CROSS JOIN nn),
+b_{L}1 AS MATERIALIZED (SELECT -{lr} * s / nn.n AS b FROM gb_{L}0 CROSS JOIN nn)"""
+                )
+            else:
+                parts.append(
+                    f"""w_{L}{k + 1} AS MATERIALIZED (SELECT g_{L}{k}.bucket, w_{L}{k}.w - {lr} * (g_{L}{k}.s - mu.mu * gb_{L}{k}.s) / nn.n AS w
+  FROM g_{L}{k} JOIN mu USING (bucket) JOIN w_{L}{k} USING (bucket) CROSS JOIN gb_{L}{k} CROSS JOIN nn),
+b_{L}{k + 1} AS MATERIALIZED (SELECT b_{L}{k}.b - {lr} * s / nn.n AS b FROM gb_{L}{k} CROSS JOIN b_{L}{k} CROSS JOIN nn)"""
+                )
+            parts.append(
+                f"""off_{L}{k + 1} AS MATERIALIZED (SELECT sum(w * mu.mu) AS o FROM w_{L}{k + 1} JOIN mu USING (bucket)),
+m_{L}{k + 1} AS MATERIALIZED (SELECT lab_{L}.doc_id, lab_{L}.y, b_{L}{k + 1}.b - off_{L}{k + 1}.o + coalesce(dp_{L}{k + 1}.v, 0) AS margin
+  FROM lab_{L} CROSS JOIN b_{L}{k + 1} CROSS JOIN off_{L}{k + 1}
+  LEFT JOIN (SELECT trip.doc_id, sum(cnt * w_{L}{k + 1}.w ORDER BY trip.bucket) AS v
+             FROM trip JOIN w_{L}{k + 1} USING (bucket) GROUP BY 1) dp_{L}{k + 1} USING (doc_id))"""
+            )
+    return "WITH " + ",\n".join(parts)
+
+
+def _langid_pred_sql(prefix: str = "m_") -> str:
+    """Alphabetically-first argmax over the class margin columns —
+    the cascading CASE equivalent of greatest + first-match."""
+    langs, _ = _langid_langs()
+    arms = []
+    for i, L in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{prefix}{L} >= {prefix}{M}" for M in langs[i + 1 :])
+        arms.append(f"WHEN {conds} THEN '{L}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{langs[-1]}' END"
+
+
+def _langid_pred_oracle() -> str:
+    langs, _ = _langid_langs()
+    R = _LANGID_ITERS
+    joins = "\n".join(
+        f"JOIN m_{L}{R} ON m_{L}{R}.doc_id = corpus.doc_id" for L in langs
+    )
+    margin_cols = ", ".join(f"m_{L}{R}.margin AS m_{L}" for L in langs)
+    out_margins = ", ".join(f"round(m_{L}, 4) AS margin_{L}" for L in langs)
+    pred = _langid_pred_sql()
+    return (
+        _langid_ctes()
+        + f""",
+fin AS (SELECT corpus.doc_id, corpus.lang, {margin_cols}
+        FROM corpus
+        {joins})
+SELECT doc_id, lang AS true_lang, {out_margins},
+       {pred} AS pred_lang,
+       ({pred}) = lang AS correct
+FROM fin"""
+    )
+
+
+def _langid_weights_oracle() -> str:
+    langs, _ = _langid_langs()
+    R = _LANGID_ITERS
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{L}' AS lang, bucket, round(w, 6) AS weight FROM w_{L}{R}
+UNION ALL
+SELECT '{L}' AS lang, -1 AS bucket, round(b_{L}{R}.b - off_{L}{R}.o, 6) AS weight
+FROM b_{L}{R} CROSS JOIN off_{L}{R}"""
+        for L in langs
+    )
+    return _langid_ctes() + "\n" + arms
+
+
+@register("text_lang_id_trained", _langid_pred_oracle())
+def text_lang_id_trained(spark, sf_dir):
+    """TRAINED language ID, the CCNet/fastText pattern (Joulin et al.
+    2017; Wenzek et al. 2020 §4.2): one-vs-rest logistic models over
+    hashed char-trigram presence features, fit by the deterministic
+    batch-GD loop and argmaxed per doc — replacing the marker-word
+    heuristic (operators/text.py lang_id, kept as the zero-training
+    fallback seam) with a model that RECOVERS the planted per-language
+    marker distribution.  The oracle re-fits all five unrolled GD
+    chains in SQL from the same zero init, so the class margins, the
+    argmax prediction, AND its agreement with the gold label are all
+    value-hashed.  Scale shape: training collects <= D+1 rows per
+    step; scoring packs each doc's sparse vector once and evaluates
+    all K models as literal-array folds — one corpus pass total,
+    no per-class re-scan."""
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_char_ngram_features,
+        ovr_logreg_scores,
+    )
+
+    corpus = _langid_corpus(spark, sf_dir)
+    feats = hashed_char_ngram_features(
+        corpus, n=3, n_features=_LANGID_D, text_col="txt"
+    ).localCheckpoint(eager=False)
+    models = _langid_models(corpus, feats)
+    langs, _ = _langid_langs()
+    scores = ovr_logreg_scores(
+        feats, models, corpus.select("doc_id"), n_features=_LANGID_D
+    )
+    res = corpus.select("doc_id", F.col("lang").alias("true_lang")).join(
+        scores, "doc_id"
+    )
+    return res.select(
+        "doc_id",
+        "true_lang",
+        *[_r(f"margin_{L}", 4).alias(f"margin_{L}") for L in langs],
+        "pred_lang",
+        (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+    )
+
+
+@register("text_lang_id_trained_weights", _langid_weights_oracle())
+def text_lang_id_trained_weights(spark, sf_dir):
+    """The trained multi-class MODEL itself, value-hashed: one row per
+    (lang, populated bucket) with its learned weight plus each class's
+    effective intercept as pseudo-bucket -1 — the artifact a curation
+    deployment ships to language-route OTHER corpora.  The oracle
+    re-runs the identical five unrolled GD chains and reads their
+    final weight CTEs, proving the model (not just its predictions)
+    portable across engines."""
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_char_ngram_features,
+    )
+
+    corpus = _langid_corpus(spark, sf_dir)
+    feats = hashed_char_ngram_features(
+        corpus, n=3, n_features=_LANGID_D, text_col="txt"
+    ).localCheckpoint(eager=False)
+    models = _langid_models(corpus, feats)
+    langs, _ = _langid_langs()
+    populated = feats.select("bucket").distinct().localCheckpoint(eager=False)
+    out = None
+    for L in langs:
+        w, b = models[L]
+        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        rows = populated.select(
+            F.lit(L).alias("lang"),
+            "bucket",
+            F.round(F.element_at(w_arr, F.col("bucket") + 1) + F.lit(1e-9), 6).alias(
+                "weight"
+            ),
+        )
+        icpt = populated.sparkSession.range(1).select(
+            F.lit(L).alias("lang"),
+            F.lit(-1).cast("int").alias("bucket"),
+            F.round(F.lit(float(b)) + F.lit(1e-9), 6).alias("weight"),
+        )
+        part = rows.unionByName(icpt)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _ccnet_trained_oracle() -> str:
+    """The CCNet curate keep with the TRAINED lang leg: langid GD
+    chains → per-doc predicted lang → corpus-fit bigram LM → per-
+    predicted-lang tercile split → Gopher + badwords + perplexity
+    fused keep, all re-derived in SQL over the same planted corpus."""
+    langs, _ = _langid_langs()
+    R = _LANGID_ITERS
+    joins = "\n".join(
+        f"JOIN m_{L}{R} ON m_{L}{R}.doc_id = corpus.doc_id" for L in langs
+    )
+    margin_cols = ", ".join(f"m_{L}{R}.margin AS m_{L}" for L in langs)
+    pred = _langid_pred_sql()
+    return (
+        _langid_ctes()
+        + rf""",
+lid AS MATERIALIZED (SELECT doc_id, {pred} AS lang
+  FROM (SELECT corpus.doc_id, {margin_cols} FROM corpus {joins})),
+t AS MATERIALIZED (SELECT doc_id,
+       list_filter(string_split_regex(lower(trim(txt)), '\s+'), _t -> _t <> '') AS toks,
+       string_split(txt, chr(10)) AS lines
+  FROM corpus),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_word_len,
+         list_sum(list_transform(toks, x -> length(x) - length(replace(x, '#', ''))
+           + CASE WHEN contains(x, '...') OR contains(x, '…') THEN 1 ELSE 0 END)) * 1.0 / len(toks) AS symbol_word_ratio,
+         len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* ', '• '))) * 1.0 / len(lines) AS bullet_line_frac,
+         len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0 / len(lines) AS ellipsis_line_frac,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks) AS alpha_word_frac,
+         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stopword_hits,
+         CAST(len(list_filter(toks, x -> list_contains(['dup','obscene','xxx-badword'], x))) AS BIGINT) AS n_badword_hits
+  FROM t),
+q AS (
+  SELECT doc_id, n_badword_hits,
+         (n_tokens BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+           AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+           AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+           AND n_stopword_hits >= 2 AS keep_quality
+  FROM s),
+bg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, toks[i+1] AS w1
+       FROM t, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
+uni AS (SELECT tok, count(*) AS ucnt
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+big AS (SELECT bigram, count(*) AS bcnt FROM bg GROUP BY 1),
+sc AS (SELECT doc_id, round(avg(ln((bcnt + 0.1) / (ucnt + 0.1 * v.v))), 4) AS avg_logprob
+       FROM bg JOIN big USING (bigram) JOIN uni ON bg.w1 = uni.tok CROSS JOIN v
+       GROUP BY 1),
+bkt AS (SELECT doc_id, lang, avg_logprob,
+          CASE ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_logprob DESC NULLS LAST, doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+          END AS ppl_bucket
+        FROM (SELECT lid.doc_id, lid.lang, sc.avg_logprob
+              FROM lid LEFT JOIN sc USING (doc_id)))
+SELECT q.doc_id, bkt.lang, bkt.avg_logprob, bkt.ppl_bucket,
+       q.keep_quality,
+       q.n_badword_hits = 0 AS ok_badwords,
+       bkt.ppl_bucket IN ('head', 'middle') AS ok_ppl,
+       q.keep_quality AND q.n_badword_hits = 0
+         AND bkt.ppl_bucket IN ('head', 'middle') AS keep
+FROM q JOIN bkt USING (doc_id)"""
+    )
+
+
+@register("pipeline_ccnet_curate_trained", _ccnet_trained_oracle())
+def pipeline_ccnet_curate_trained(spark, sf_dir):
+    """The CCNet curate keep with the TRAINED language-ID leg
+    (Wenzek et al. 2020 end-to-end: fastText-style langid §4.2 feeds
+    the per-language perplexity terciles §4.3): the one-vs-rest
+    char-trigram classifier is fit on the planted corpus, its
+    per-doc prediction keys the bigram-LM tercile split, and the
+    final keep fuses Gopher quality ∧ badwords ∧ bucket ∈ {head,
+    middle} — the trained twin of pipeline_ccnet_curate's heuristic
+    lang leg (text.lang_id keeps the heuristic as the no-model
+    fallback seam).  The oracle re-fits all five GD chains, re-argmaxes
+    the langs, re-fits the LM, re-runs the tercile window with the
+    identical (score DESC NULLS LAST, doc_id) order, and re-ANDs the
+    keep — every joint including the trained leg is value-hashed.
+
+    Scale shape: ONE corpus pass builds features (packed per doc),
+    training collects <= D+1 rows per step per class, scoring is a
+    literal-array fold, the LM joins shuffle on high-cardinality gram
+    keys, and the tercile is one per-language window — swap for
+    train_perplexity_cutoffs at full corpus scale."""
+    from opentsdb_aura_spark.operators.quality import (
+        FIXTURE_BADWORDS,
+        badwords_exprs,
+        gopher_quality_flags,
+        hashed_char_ngram_features,
+        lm_bigram_scores,
+        perplexity_buckets,
+    )
+    from opentsdb_aura_spark.operators.text import lang_id
+
+    corpus = _langid_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    feats = hashed_char_ngram_features(
+        corpus, n=3, n_features=_LANGID_D, text_col="txt"
+    ).localCheckpoint(eager=False)
+    models = _langid_models(corpus, feats)
+    langs = lang_id(
+        corpus, text_col="txt", models=models, n_features=_LANGID_D, ngram=3
+    ).select("doc_id", F.col("pred_lang").alias("lang"))
+    g = gopher_quality_flags(corpus, min_tokens=10, text_col="txt")
+    bw_hits, ok_bw = badwords_exprs(FIXTURE_BADWORDS, text_col="txt")
+    gates = corpus.select("doc_id", ok_bw.alias("ok_badwords")).join(
+        g.select("doc_id", F.col("keep").alias("keep_quality")), "doc_id"
+    )
+    scores = lm_bigram_scores(corpus, alpha=0.1, text_col="txt").select(
+        "doc_id", _r("avg_logprob", 4).alias("avg_logprob")
+    )
+    bkt = perplexity_buckets(langs.join(scores, "doc_id"))
+    label = (
+        F.when(F.col("ppl_bucket") == 1, "head")
+        .when(F.col("ppl_bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    bkt = bkt.select("doc_id", "lang", "avg_logprob", label.alias("ppl_bucket"))
+    ok_ppl = F.col("ppl_bucket").isin("head", "middle")
+    return gates.join(bkt, "doc_id").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        "ppl_bucket",
+        "keep_quality",
+        "ok_badwords",
+        ok_ppl.alias("ok_ppl"),
+        (F.col("keep_quality") & F.col("ok_badwords") & ok_ppl).alias("keep"),
+    )

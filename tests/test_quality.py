@@ -235,3 +235,93 @@ def test_hashed_token_features_count_vs_presence(spark):
     assert sum(cnt.values()) == 4.0
     assert all(0 <= b < 16 for (_d, b) in cnt)
     assert not [k for k in cnt if k[0] == 1]  # empty doc -> no feature rows
+
+
+def test_hashed_char_ngram_features_presence_and_hash(spark):
+    """Trigram presence triples: window extraction, the polynomial
+    hash fold matching feature_bucket on the gram string, DISTINCT
+    presence, and the <n-chars guard."""
+    from opentsdb_aura_spark.operators.quality import (
+        FEATURE_HASH_MOD,
+        hashed_char_ngram_features,
+    )
+    d = spark.createDataFrame(
+        [(1, "abcd"), (2, "ab"), (3, "aaaa")],
+        "doc_id long, text string",
+    )
+    rows = hashed_char_ngram_features(d, n=3, n_features=64).collect()
+
+    def bucket(g):
+        h = 0
+        for c in g:
+            h = (h * 31 + ord(c)) % FEATURE_HASH_MOD
+        return h % 64
+
+    got = {(r["doc_id"], r["bucket"]) for r in rows}
+    # doc 1: grams abc, bcd; doc 2: too short → none; doc 3: aaa twice
+    # but presence collapses to one row
+    assert got == {(1, bucket("abc")), (1, bucket("bcd")), (3, bucket("aaa"))}
+    assert all(r["cnt"] == 1.0 for r in rows)
+
+
+def test_ovr_logreg_scores_argmax_and_spine(spark):
+    """Multi-class argmax with alphabetical tie-break, bias-only
+    scoring for docs absent from the feature triples, and the weight
+    dim check."""
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.quality import ovr_logreg_scores
+    feats = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 1.0), (2, 1, 1.0)],
+        "doc_id long, bucket int, cnt double",
+    )
+    spine = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    models = {
+        "aa": ([1.0, 0.0], 0.0),   # margin = x0
+        "bb": ([0.0, 1.0], 0.0),   # margin = x1
+        "cc": ([0.0, 0.0], 0.5),   # margin = 0.5 everywhere
+    }
+    got = {
+        r["doc_id"]: r
+        for r in ovr_logreg_scores(feats, models, spine, n_features=2).collect()
+    }
+    # doc 1: margins aa=1, bb=1, cc=0.5 → tie aa/bb → alphabetical 'aa'
+    assert got[1]["pred_lang"] == "aa"
+    # doc 2: aa=0, bb=1, cc=0.5 → 'bb'
+    assert got[2]["pred_lang"] == "bb"
+    # doc 3: no features → bias-only: aa=0, bb=0, cc=0.5 → 'cc'
+    assert got[3]["pred_lang"] == "cc"
+    assert got[3]["margin_cc"] == 0.5
+    with _pytest.raises(ValueError, match="weights"):
+        ovr_logreg_scores(feats, {"x": ([1.0], 0.0)}, spine, n_features=2).collect()
+
+
+def test_lang_id_trained_seam_recovers_planted_langs(spark):
+    """text.lang_id with models= runs the trained path and recovers a
+    tiny planted two-language corpus; without models it stays the
+    marker heuristic (the fallback seam)."""
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_char_ngram_features,
+        train_logreg_weights,
+    )
+    from opentsdb_aura_spark.operators.text import lang_id
+    rows = []
+    for i in range(20):
+        lang = "de" if i % 2 == 0 else "en"
+        marker = "der die und ist das" if lang == "de" else "the and of to is"
+        rows.append((i, lang, f"filler words here {marker}"))
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    feats = hashed_char_ngram_features(d, n=3, n_features=64)
+    models = {}
+    for L in ("de", "en"):
+        labels = d.select("doc_id", (F.col("lang") == L).cast("double").alias("y"))
+        models[L] = train_logreg_weights(
+            feats, labels, n_features=64, lr=10.0, n_iter=6, center=True
+        )
+    got = lang_id(d, models=models, n_features=64).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    assert got.where(F.col("pred_lang") != F.col("lang")).count() == 0
+    # fallback seam unchanged: heuristic output schema, no models arg
+    heur = lang_id(d)
+    assert heur.columns == ["doc_id", "pred_lang", "score"]

@@ -2873,3 +2873,113 @@ def pipeline_ccnet_curate_trained(spark, sf_dir):
         ok_ppl.alias("ok_ppl"),
         (F.col("keep_quality") & F.col("ok_badwords") & ok_ppl).alias("keep"),
     )
+
+
+def _quality_gate_oracle() -> str:
+    """The streaming quality gate's batch twin: the unrolled GD re-fit
+    (same CTEs as pipeline_quality_classifier) supplies the pretrained
+    margins, and the Gopher + badwords heuristics re-derive in SQL —
+    the final keep ANDs all three legs exactly as the curate chain
+    does."""
+    R = _LOGREG_ITERS
+    ctes = _logreg_oracle().rsplit("SELECT doc_id, y = 1.0 AS label", 1)[0].rstrip()
+    assert ctes.endswith(")"), "unexpected oracle tail"
+    return (
+        ctes
+        + rf""",
+gt AS MATERIALIZED (SELECT doc_id,
+       list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks,
+       string_split(text, chr(10)) AS lines
+  FROM documents),
+gs AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_word_len,
+         list_sum(list_transform(toks, x -> length(x) - length(replace(x, '#', ''))
+           + CASE WHEN contains(x, '...') OR contains(x, '…') THEN 1 ELSE 0 END)) * 1.0 / len(toks) AS symbol_word_ratio,
+         len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* ', '• '))) * 1.0 / len(lines) AS bullet_line_frac,
+         len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0 / len(lines) AS ellipsis_line_frac,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks) AS alpha_word_frac,
+         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stopword_hits,
+         CAST(len(list_filter(toks, x -> list_contains(['dup','obscene','xxx-badword'], x))) AS BIGINT) AS n_badword_hits
+  FROM gt),
+gq AS (
+  SELECT doc_id, n_badword_hits,
+         (n_tokens BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+           AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+           AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+           AND n_stopword_hits >= 2 AS keep_quality
+  FROM gs)
+SELECT gq.doc_id,
+       round(1.0/(1.0+exp(-m.margin)), 4) AS prob,
+       1.0/(1.0+exp(-m.margin)) >= 0.5 AS keep_clf,
+       gq.keep_quality,
+       gq.n_badword_hits = 0 AS ok_badwords,
+       gq.keep_quality AND gq.n_badword_hits = 0
+         AND 1.0/(1.0+exp(-m.margin)) >= 0.5 AS keep
+FROM gq JOIN m{R} m USING (doc_id)"""
+    )
+
+
+@register("pipeline_quality_gate", _quality_gate_oracle())
+def pipeline_quality_gate(spark, sf_dir):
+    """Batch twin of the STREAMING quality gate
+    (streaming_crawl_ingest's quality_model leg): the pretrained
+    hashed-feature classifier scores every doc — the SAME
+    logreg_scores pass, the SAME prob >= 0.5 keep rule the stream
+    applies per micro-batch — and the verdict is ANDed into the
+    curate keep next to the Gopher and badwords gates.  The oracle
+    re-fits the unrolled GD, re-derives both heuristic legs, and
+    re-ANDs the fused keep, so the decision the streaming sidecar
+    ships is value-hash-proven against an independent engine
+    (test_streaming_quality_gate_matches_batch_twin pins the
+    stream-vs-batch score byte-identity on the other side).
+
+    Scale shape: training collects <= D+1 rows per step; the gate
+    itself is one literal-array scoring pass + the zero-shuffle
+    Gopher map — per-batch cost in the stream, one corpus pass in
+    batch."""
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.quality import (
+        FIXTURE_BADWORDS,
+        badwords_exprs,
+        gopher_quality_flags,
+        hashed_token_features,
+        logreg_scores,
+        train_logreg_weights,
+    )
+
+    d = docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id",
+        F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y"),
+    )
+    feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    w, b = train_logreg_weights(
+        feats, labels, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
+        center=True,
+    )
+    # the PRETRAINED-weights dim exactly as the stream consumes it
+    model = {"weights": w, "bias": b, "n_features": _LOGREG_D, "binary": True}
+    qs = logreg_scores(
+        d,
+        list(model["weights"]),
+        float(model["bias"]),
+        n_features=int(model["n_features"]),
+        binary=bool(model["binary"]),
+    ).select("doc_id", "prob", (F.col("prob") >= F.lit(0.5)).alias("keep_clf"))
+    g = gopher_quality_flags(d, min_tokens=10)
+    bw_hits, ok_bw = badwords_exprs(FIXTURE_BADWORDS)
+    gates = d.select("doc_id", ok_bw.alias("ok_badwords")).join(
+        g.select("doc_id", F.col("keep").alias("keep_quality")), "doc_id"
+    )
+    return gates.join(qs, "doc_id").select(
+        "doc_id",
+        _r("prob", 4).alias("prob"),
+        "keep_clf",
+        "keep_quality",
+        "ok_badwords",
+        (F.col("keep_quality") & F.col("ok_badwords") & F.col("keep_clf")).alias(
+            "keep"
+        ),
+    )

@@ -1457,3 +1457,54 @@ def test_streaming_crawl_ingest_quality_gate(spark, tmpdirs):
     assert got[2][0] is False and got[2][1] < 0.01  # margin -5
     # docs table schema untouched
     assert set(spark.read.parquet(docs_path).columns) == {"doc_id", "text", "file_id"}
+
+
+def test_streaming_quality_gate_matches_batch_twin(spark, tmpdirs):
+    """The streaming quality sidecar and the batch twin
+    (pipeline_quality_gate's scoring leg) are the SAME rule: scoring
+    the ingested docs table with the identical pretrained model in
+    batch reproduces the sidecar's probs and keeps byte-identically —
+    no drift between the per-micro-batch path and the corpus pass."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.quality import logreg_scores
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    D = 64
+    w = [((i * 37) % 11 - 5) / 7.0 for i in range(D)]  # dense, irregular
+    model = {"weights": w, "bias": 0.25, "n_features": D, "binary": True}
+
+    def rec(doc_id, text):
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", text.encode(),
+            target_uri=f"http://example.com/doc/{doc_id}",
+        )
+
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame(
+        [
+            (0, rec(1, "alpha beta gamma delta") + rec(2, "the quick brown fox")),
+            (1, rec(3, "lorem ipsum dolor sit amet") + rec(4, "x")),
+        ],
+        file_schema,
+    ).coalesce(1).write.parquet(tmpdirs["in"] + "/b1")
+    docs_path, idx_path = tmpdirs["out"] + "/docs", tmpdirs["store"]
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    streaming_crawl_ingest(
+        stream, idx_path, docs_path, tmpdirs["ckpt"],
+        quality_model=model, quality_threshold=0.6,
+    ).awaitTermination(120)
+
+    sidecar = {
+        r["doc_id"]: (r["prob"], r["keep"])
+        for r in spark.read.parquet(docs_path + "_quality").collect()
+    }
+    batch = logreg_scores(
+        spark.read.parquet(docs_path).select("doc_id", "text"),
+        list(model["weights"]), float(model["bias"]),
+        n_features=D, binary=True,
+    )
+    twin = {
+        r["doc_id"]: (r["prob"], bool(r["prob"] >= 0.6))
+        for r in batch.collect()
+    }
+    assert set(sidecar) == {1, 2, 3, 4} and sidecar == twin  # byte-identical

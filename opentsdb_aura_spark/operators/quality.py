@@ -888,3 +888,144 @@ def ovr_logreg_scores(
         *[margins[c].alias(f"margin_{c}") for c in classes],
         pred.alias("pred_lang"),
     )
+
+
+def lm_kn3_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trigram MODIFIED Kneser–Ney scores → (doc_id, n_trigrams,
+    avg_logprob) — the full Chen & Goodman 1999 estimator (the
+    smoothing KenLM defaults to, at the engine-native order 3),
+    generalizing :func:`lm_kn_scores`' fixed-discount bigram form:
+
+        p(w|u,v)  = max(c(uvw) − D(c), 0)/c(uv·) + γ(uv)·p₂(w|v)
+        p₂(w|v)   = max(c'(vw) − D'(c'), 0)/c'(v·) + γ₂(v)·p₁(w)
+        p₁(w)     = N₁₊(·vw types)/N₁₊(··)
+
+    with COUNT-DEPENDENT discounts D₁/D₂/D₃₊ estimated from the
+    count-of-counts (Y = n₁/(n₁+2n₂); D₁ = 1−2Y·n₂/n₁;
+    D₂ = 2−3Y·n₃/n₂; D₃₊ = 3−4Y·n₄/n₃ — clamped at 0, falling back
+    to 0.5 when a count-of-count is empty so tiny corpora stay
+    defined), γ the mass those discounts free per context, and the
+    MIDDLE order built from continuation counts c'(vw) = |{u :
+    c(uvw) > 0}| — the KN move that scores words by context
+    diversity, applied at both backoff levels.
+
+    Everything derives from ONE trigram count table: c' and the
+    unigram continuation distribution are GROUP BYs over c3, the
+    count-of-counts are two 1-row aggregates (broadcast), and the
+    per-doc pass equi-joins the dims on its own gram keys — training
+    IS the aggregation, no driver fit, no Python.  <3-token docs
+    surface with n_trigrams 0 and NULL score, never vanish."""
+    toks = tokens(F.col(text_col))
+    tg = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda t, i: F.struct(
+            t.alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+            F.element_at(toks, i + 3).alias("w3"),
+        ),
+    )
+    doc_tg = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tg).alias("g")
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+
+    c3 = doc_tg.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    hi = c3.groupBy("w1", "w2").agg(
+        F.sum("c").alias("ctot"),
+        F.sum((F.col("c") == 1).cast("double")).alias("n1f"),
+        F.sum((F.col("c") == 2).cast("double")).alias("n2f"),
+        F.sum((F.col("c") >= 3).cast("double")).alias("n3f"),
+    )
+    cc2 = c3.groupBy("w2", "w3").agg(F.count("*").cast("double").alias("cc"))
+    mid = cc2.groupBy("w2").agg(
+        F.sum("cc").alias("cctot"),
+        F.sum((F.col("cc") == 1).cast("double")).alias("m1f"),
+        F.sum((F.col("cc") == 2).cast("double")).alias("m2f"),
+        F.sum((F.col("cc") >= 3).cast("double")).alias("m3f"),
+    )
+    u1 = cc2.groupBy("w3").agg(F.count("*").cast("double").alias("uc"))
+    ut = cc2.agg(F.count("*").cast("double").alias("u"))
+
+    def discounts(counted, cname, d1n, d2n, d3n):
+        coc = counted.agg(
+            F.sum((F.col(cname) == 1).cast("double")).alias("n1"),
+            F.sum((F.col(cname) == 2).cast("double")).alias("n2"),
+            F.sum((F.col(cname) == 3).cast("double")).alias("n3"),
+            F.sum((F.col(cname) == 4).cast("double")).alias("n4"),
+        )
+        y = F.when(
+            F.col("n1") + 2 * F.col("n2") > 0,
+            F.col("n1") / (F.col("n1") + 2 * F.col("n2")),
+        ).otherwise(F.lit(0.5))
+        withy = coc.select(y.alias("y"), "n1", "n2", "n3", "n4")
+        return withy.select(
+            F.when(
+                F.col("n1") > 0,
+                F.greatest(1 - 2 * F.col("y") * F.col("n2") / F.col("n1"), F.lit(0.0)),
+            )
+            .otherwise(F.lit(0.5))
+            .alias(d1n),
+            F.when(
+                F.col("n2") > 0,
+                F.greatest(2 - 3 * F.col("y") * F.col("n3") / F.col("n2"), F.lit(0.0)),
+            )
+            .otherwise(F.lit(0.5))
+            .alias(d2n),
+            F.when(
+                F.col("n3") > 0,
+                F.greatest(3 - 4 * F.col("y") * F.col("n4") / F.col("n3"), F.lit(0.0)),
+            )
+            .otherwise(F.lit(0.5))
+            .alias(d3n),
+        )
+
+    dhi = discounts(c3, "c", "d1", "d2", "d3")
+    dmid = discounts(cc2, "cc", "e1", "e2", "e3")
+
+    d_of_c = (
+        F.when(F.col("c") == 1, F.col("d1"))
+        .when(F.col("c") == 2, F.col("d2"))
+        .otherwise(F.col("d3"))
+    )
+    e_of_cc = (
+        F.when(F.col("cc") == 1, F.col("e1"))
+        .when(F.col("cc") == 2, F.col("e2"))
+        .otherwise(F.col("e3"))
+    )
+    gamma_hi = (
+        F.col("d1") * F.col("n1f") + F.col("d2") * F.col("n2f") + F.col("d3") * F.col("n3f")
+    ) / F.col("ctot")
+    gamma_mid = (
+        F.col("e1") * F.col("m1f") + F.col("e2") * F.col("m2f") + F.col("e3") * F.col("m3f")
+    ) / F.col("cctot")
+    p1 = F.col("uc") / F.col("u")
+    p2 = F.greatest(F.col("cc") - e_of_cc, F.lit(0.0)) / F.col("cctot") + gamma_mid * p1
+    p = F.greatest(F.col("c") - d_of_c, F.lit(0.0)) / F.col("ctot") + gamma_hi * p2
+
+    scored = (
+        doc_tg.join(c3, ["w1", "w2", "w3"])
+        .join(hi, ["w1", "w2"])
+        .join(cc2, ["w2", "w3"])
+        .join(mid, ["w2"])
+        .join(u1, ["w3"])
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(dhi))
+        .crossJoin(F.broadcast(dmid))
+        .withColumn("_lp", F.log(p))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        F.avg("_lp").alias("avg_logprob"),
+    )
+    all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
+        "avg_logprob",
+    )

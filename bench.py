@@ -139,6 +139,16 @@ BENCH_QUERIES = [
     "corpus_robots_redirects",
     "corpus_frontier_bloom",
     "quality_kn_scores",
+    # round 13 additions: the trained lang-id gate, the streaming
+    # quality gate's batch twin, trigram modified Kneser–Ney, the
+    # calibrated (ridge + threshold) classifier, and the four-type
+    # WARC record mix with the warc-fields dim
+    "text_lang_id_trained",
+    "pipeline_quality_gate",
+    "quality_kn3_scores",
+    "pipeline_classifier_calibrated",
+    "corpus_warc_typed_records",
+    "corpus_warc_warcinfo",
 ]
 
 # The driver's bench artifact keeps only the TAIL of the output, and
@@ -165,6 +175,9 @@ MIN_OF = {
     "fused_rate_ds_gb": 3,
     "topn_metrics_by_sum": 3,
     "splice_mixed_resolution_sum": 3,
+    # r11→r12: 1.91 s vs the 0.49–1.03 s r1–r8 band on unchanged code
+    # (VERDICT r12 item 5) — pin min-of-3 to separate plan from noise
+    "ds_spine_hourly_purchase": 3,
 }
 
 

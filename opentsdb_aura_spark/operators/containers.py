@@ -95,6 +95,38 @@ def encode_warc_record(
 WARCINFO_PAYLOAD = b"software: opentsdb-aura-spark/1.0\r\nformat: WARC File Format 1.0\r\n"
 
 
+def encode_warcinfo_fields(file_id: int, n_docs: int) -> bytes:
+    """Per-file warcinfo payload in the spec's ``application/
+    warc-fields`` syntax (ISO 28500 §4, the named-fields format):
+    the fixed software/format pair plus the file-level facts a crawl
+    writer records (which crawl, which file, how many captures), and
+    one deliberately FOLDED field — a continuation line starting with
+    whitespace — so a fields parser that skips folding is caught by
+    the roundtrip oracle."""
+    return (
+        "software: opentsdb-aura-spark/1.0\r\n"
+        "format: WARC File Format 1.0\r\n"
+        "isPartOf: fixture-crawl\r\n"
+        f"warc-file-id: {int(file_id)}\r\n"
+        f"doc-count: {int(n_docs)}\r\n"
+        "description: deterministic fixture WARC derived\r\n"
+        " from the documents table\r\n"
+    ).encode()
+
+
+def encode_metadata_fields(doc_id: int, payload_len: int) -> bytes:
+    """Per-capture ``metadata``-record payload (warc-fields): the
+    fetch-side facts that accompany a capture but are not part of the
+    captured content itself (ISO 28500 §6.6) — a deterministic fetch
+    duration, the charset the fetcher saw, and the stored payload
+    length."""
+    return (
+        f"fetchTimeMs: {(int(doc_id) * 37) % 907}\r\n"
+        "charset: utf-8\r\n"
+        f"payload-length: {int(payload_len)}\r\n"
+    ).encode()
+
+
 def _gzip_member(data: bytes) -> bytes:
     """One deterministic gzip member (zlib gzip container: mtime 0, no
     filename — byte-stable across runs, unlike the gzip module's
@@ -118,9 +150,24 @@ def encode_warc_file(
     sniff_body: bool = False,
     request_records: bool = False,
     truncate_at: int | None = None,
+    rich_warcinfo: bool = False,
+    metadata_records: bool = False,
+    resource_records: bool = False,
 ) -> bytes:
     """A deterministic WARC file: one warcinfo record, then one
     response record per (doc_id, text) in the given order.
+
+    ``rich_warcinfo=True`` writes the per-file warc-fields payload
+    (:func:`encode_warcinfo_fields`, with a folded field) instead of
+    the fixed two-line WARCINFO_PAYLOAD.  ``resource_records=True``
+    adds one ``WARC-Type: resource`` record after the warcinfo — the
+    crawler's seed-list snapshot for the file, content captured
+    WITHOUT a protocol envelope (ISO 28500 §6.5's record type for
+    directly-stored content).  ``metadata_records=True`` follows every
+    response with a ``WARC-Type: metadata`` record
+    (:func:`encode_metadata_fields`) linked via WARC-Concurrent-To
+    (§6.6) — the full four-type record mix a production crawl WARC
+    interleaves.
 
     ``gzip_records=True`` emits the production ``.warc.gz`` layout —
     each record its own gzip member, concatenated (the format crawl
@@ -139,10 +186,20 @@ def encode_warc_file(
         encode_warc_record(
             "warcinfo",
             f"urn:uuid:warcinfo-{file_id}",
-            WARCINFO_PAYLOAD,
+            encode_warcinfo_fields(file_id, len(docs)) if rich_warcinfo else WARCINFO_PAYLOAD,
             content_type="application/warc-fields",
         )
     ]
+    if resource_records:
+        out.append(
+            encode_warc_record(
+                "resource",
+                f"urn:uuid:seeds-{file_id}",
+                "".join(f"http://example.com/doc/{int(d)}\n" for d, _ in docs).encode(),
+                target_uri=f"file://crawler/seeds/{file_id}.txt",
+                content_type="text/plain",
+            )
+        )
     if charset_body and not (http_envelope and html_body):
         raise ValueError("charset_body requires http_envelope=True and html_body=True")
     if sniff_body and not (http_envelope and html_body):
@@ -236,6 +293,17 @@ def encode_warc_file(
                 **trunc_kw,
             )
         )
+        if metadata_records:
+            out.append(
+                encode_warc_record(
+                    "metadata",
+                    f"urn:uuid:meta-{doc_id}",
+                    encode_metadata_fields(int(doc_id), len(payload)),
+                    target_uri=f"http://example.com/doc/{doc_id}",
+                    content_type="application/warc-fields",
+                    concurrent_to=f"urn:uuid:doc-{doc_id}",
+                )
+            )
     if gzip_records:
         return b"".join(_gzip_member(rec) for rec in out)
     return b"".join(out)
@@ -254,6 +322,9 @@ def synthesize_warc(
     sniff_body: bool = False,
     request_records: bool = False,
     truncate_at: int | None = None,
+    rich_warcinfo: bool = False,
+    metadata_records: bool = False,
+    resource_records: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -285,6 +356,9 @@ def synthesize_warc(
             sniff_body=sniff_body,
             request_records=request_records,
             truncate_at=truncate_at,
+            rich_warcinfo=rich_warcinfo,
+            metadata_records=metadata_records,
+            resource_records=resource_records,
         )
         return pd.DataFrame({"file_id": [fid], "content": [content]})
 
@@ -442,6 +516,67 @@ def warc_records(
     return files.mapInPandas(
         op, schema=WARC_RECORD_PAYLOAD_SCHEMA if with_payload else WARC_RECORD_SCHEMA
     )
+
+
+def parse_warc_fields(payload: bytes) -> list[tuple[str, str]]:
+    """Parse one ``application/warc-fields`` payload (ISO 28500 §4:
+    RFC 5322-style named fields, CRLF-separated) into ordered
+    (name, value) pairs.  Continuation lines — a line starting with
+    SP/HTAB — FOLD into the preceding field's value joined by a
+    single space (the long-line form the spec inherits from 5322).
+    Raises ValueError on a separator-less line or a leading
+    continuation (honest parse boundary)."""
+    out: list[tuple[str, str]] = []
+    for ln in payload.decode("utf-8").split("\r\n"):
+        if not ln:
+            continue
+        if ln[:1] in (" ", "\t"):
+            if not out:
+                raise ValueError("warc-fields: continuation line before any field")
+            k, v = out[-1]
+            out[-1] = (k, (v + " " + ln.strip()).strip())
+            continue
+        k, sep, v = ln.partition(":")
+        if not sep:
+            raise ValueError(f"warc-fields: malformed line {ln!r}")
+        out.append((k.strip(), v.strip()))
+    return out
+
+
+WARC_FIELDS_SCHEMA = (
+    "file_id long, record_id string, warc_type string, pos int, "
+    "field string, value string"
+)
+
+
+def warc_fields(records: DataFrame) -> DataFrame:
+    """Typed view of every warc-fields record in a parsed WARC record
+    frame (the ``warcinfo`` file-level dim and per-capture
+    ``metadata`` records): filter to the two warc-fields-carrying
+    types, parse each payload with :func:`parse_warc_fields`, and
+    explode to one (file_id, record_id, warc_type, pos, field, value)
+    row per field — pos is the field's position inside its record, so
+    field ORDER is part of the contract the oracle hashes.  The type
+    filter runs BEFORE the Python stage (Catalyst prunes response /
+    request / resource payloads off the exchange); parsing is one
+    Arrow-batched pass."""
+    slim = records.where(F.col("warc_type").isin("warcinfo", "metadata")).select(
+        "file_id", "record_id", "warc_type", "payload"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, rid, wt, payload in zip(
+                pdf["file_id"], pdf["record_id"], pdf["warc_type"], pdf["payload"]
+            ):
+                for pos, (k, v) in enumerate(parse_warc_fields(bytes(payload))):
+                    rows.append((int(fid), rid, wt, pos, k, v))
+            yield pd.DataFrame(
+                rows, columns=["file_id", "record_id", "warc_type", "pos", "field", "value"]
+            )
+
+    return slim.mapInPandas(op, schema=WARC_FIELDS_SCHEMA)
 
 
 # ------------------------------------------------------------------- TAR build

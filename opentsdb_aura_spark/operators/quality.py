@@ -594,12 +594,20 @@ def train_logreg_weights(
     lr: float = 0.5,
     n_iter: int = 4,
     center: bool = False,
+    l2: float = 0.0,
     label_col: str = "y",
 ) -> tuple[list[float], float]:
     """Deterministic full-batch gradient descent on the logistic loss:
     ``n_iter`` steps of w ← w − lr·∇, ∇ = Σᵢ (σ(xᵢ·w + b) − yᵢ)xᵢ / N,
     from w = 0.  Returns (weights[n_features], intercept) such that
     the decision margin is ``w·x + intercept`` on the RAW features.
+
+    ``l2 > 0`` adds ridge shrinkage: the weight gradient gains the
+    ``+ l2·wⱼ`` term (the intercept stays unpenalized, the standard
+    convention), the calibration knob that trades a little training
+    fit for corpus-generalization when a gate consumer tunes
+    precision/recall.  Pure driver-side arithmetic on the collected
+    gradient rows — the distributed passes are unchanged.
 
     ``center=True`` trains on mean-centered features x − μ — the
     conditioning fix that stops GD from ringing along the
@@ -683,7 +691,10 @@ def train_logreg_weights(
             if r["bucket"] < 0:
                 b -= float(lr) * rbar
             else:
-                w[r["bucket"]] -= float(lr) * (float(r["g"]) - mu[r["bucket"]] * rbar)
+                j = r["bucket"]
+                # l2 touches only populated buckets — unpopulated ones
+                # never leave 0, so their decay term is identically 0
+                w[j] -= float(lr) * (float(r["g"]) - mu[j] * rbar + float(l2) * w[j])
     return w, float(b) - sum(wi * mi for wi, mi in zip(w, mu))
 
 
@@ -694,6 +705,7 @@ def logreg_scores(
     *,
     n_features: int = 32,
     binary: bool = False,
+    threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -702,12 +714,23 @@ def logreg_scores(
     literal array (no join), the score is one explode + groupBy with
     map-side combine, and docs with no tokens still surface (bias-only
     margin) via the left join against the id spine — the gate a
-    curation run applies corpus-wide after a small-seed fit."""
+    curation run applies corpus-wide after a small-seed fit.
+
+    ``threshold`` calibrates the keep gate: pred fires at probability
+    ≥ threshold, compared in MARGIN space (margin ≥ logit(threshold))
+    so the verdict never rides on a σ(·) rounding difference between
+    engines — the precision/recall knob a gate consumer turns without
+    retraining.  Default 0.5 is the classic margin ≥ 0 rule."""
+    import math
+
     if len(weights) != int(n_features):
         raise ValueError(
             f"logreg_scores: {len(weights)} weights for n_features={n_features} — "
             "score with the SAME feature dim the model was trained on"
         )
+    if not 0.0 < float(threshold) < 1.0:
+        raise ValueError(f"logreg_scores: threshold must be in (0, 1), got {threshold}")
+    thr_margin = math.log(float(threshold) / (1.0 - float(threshold)))
     feats = hashed_token_features(
         docs, n_features=n_features, binary=binary, text_col=text_col, id_col=id_col
     )
@@ -721,7 +744,7 @@ def logreg_scores(
         "doc_id",
         margin.alias("margin"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("prob"),
-        (margin >= 0).alias("pred"),
+        (margin >= F.lit(thr_margin)).alias("pred"),
     )
 
 
@@ -916,10 +939,12 @@ def lm_kn3_scores(
 
     Everything derives from ONE trigram count table: c' and the
     unigram continuation distribution are GROUP BYs over c3, the
-    count-of-counts are two 1-row aggregates (broadcast), and the
-    per-doc pass equi-joins the dims on its own gram keys — training
-    IS the aggregation, no driver fit, no Python.  <3-token docs
-    surface with n_trigrams 0 and NULL score, never vanish."""
+    count-of-counts are two 1-row aggregates (broadcast), each
+    DISTINCT trigram is scored once on the type table, and the
+    occurrence frame pays exactly one equi-join against the finished
+    scores — training IS the aggregation, no driver fit, no Python.
+    <3-token docs surface with n_trigrams 0 and NULL score, never
+    vanish."""
     toks = tokens(F.col(text_col))
     tg = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
@@ -932,10 +957,17 @@ def lm_kn3_scores(
     doc_tg = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tg).alias("g")
     ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    # materialize once: five count dims + the final per-doc join all
+    # read the trigram pass — without this the tokenize+explode lineage
+    # re-executes per consumer
+    doc_tg = doc_tg.localCheckpoint(eager=False)
 
     c3 = doc_tg.groupBy("w1", "w2", "w3").agg(
         F.count("*").cast("double").alias("c")
     )
+    # the distinct-trigram table is the hub every dim derives from (and
+    # the continuation table cc2 below likewise feeds three aggregates)
+    c3 = c3.localCheckpoint(eager=False)
     hi = c3.groupBy("w1", "w2").agg(
         F.sum("c").alias("ctot"),
         F.sum((F.col("c") == 1).cast("double")).alias("n1f"),
@@ -943,6 +975,7 @@ def lm_kn3_scores(
         F.sum((F.col("c") >= 3).cast("double")).alias("n3f"),
     )
     cc2 = c3.groupBy("w2", "w3").agg(F.count("*").cast("double").alias("cc"))
+    cc2 = cc2.localCheckpoint(eager=False)
     mid = cc2.groupBy("w2").agg(
         F.sum("cc").alias("cctot"),
         F.sum((F.col("cc") == 1).cast("double")).alias("m1f"),
@@ -1008,17 +1041,22 @@ def lm_kn3_scores(
     p2 = F.greatest(F.col("cc") - e_of_cc, F.lit(0.0)) / F.col("cctot") + gamma_mid * p1
     p = F.greatest(F.col("c") - d_of_c, F.lit(0.0)) / F.col("ctot") + gamma_hi * p2
 
-    scored = (
-        doc_tg.join(c3, ["w1", "w2", "w3"])
-        .join(hi, ["w1", "w2"])
+    # score each DISTINCT trigram once — the dim joins run on the
+    # (much smaller) type table, and the occurrence-level frame pays
+    # exactly ONE equi-join against the finished scores; at corpus
+    # scale this is the difference between shuffling five dims against
+    # every token position and shuffling them against the vocabulary
+    tri_scores = (
+        c3.join(hi, ["w1", "w2"])
         .join(cc2, ["w2", "w3"])
         .join(mid, ["w2"])
         .join(u1, ["w3"])
         .crossJoin(F.broadcast(ut))
         .crossJoin(F.broadcast(dhi))
         .crossJoin(F.broadcast(dmid))
-        .withColumn("_lp", F.log(p))
+        .select("w1", "w2", "w3", F.log(p).alias("_lp"))
     )
+    scored = doc_tg.join(tri_scores, ["w1", "w2", "w3"])
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_trigrams"),
         F.avg("_lp").alias("avg_logprob"),
@@ -1027,5 +1065,147 @@ def lm_kn3_scores(
     return all_ids.join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
+        "avg_logprob",
+    )
+
+
+def lm_kn_scores_order(
+    docs: DataFrame,
+    *,
+    order: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Modified Kneser–Ney at ARBITRARY order N → (doc_id, n_ngrams,
+    avg_logprob) — the full Chen & Goodman 1999 recursion at the order
+    production filters actually run (Wenzek et al. 2020 filter CCNet
+    on a 5-gram modified-KN KenLM; ``order=5`` IS that estimator):
+
+        p_k(w|ctx_k) = max(c_k − D_k(c_k), 0)/c_k(ctx_k·)
+                       + γ_k(ctx_k)·p_{k−1}(w|ctx_{k−1})
+        p_1(w)       = N₁₊(·w)/N₁₊(··)
+
+    with count-dependent discounts D₁/D₂/D₃₊ per level estimated from
+    that level's count-of-counts (:func:`lm_kn3_scores`'s rule at
+    every backoff step), raw counts at the top level, and CONTINUATION
+    counts — |{distinct left word}| — at every level below (each
+    level-k table is one GROUP BY over level k+1's, so the whole
+    tower derives from the single N-gram count table).
+
+    Scale shape: the occurrence pass materializes once; each distinct
+    N-gram is scored ONCE on the type table (k−1 context dims + k−1
+    lower-level gram dims equi-joined, count-of-count discounts
+    broadcast as 1-row frames); the occurrence frame then pays exactly
+    one equi-join against the finished scores.  Docs shorter than N
+    tokens surface with n_ngrams 0 and NULL score, never vanish."""
+    N = int(order)
+    if N < 2:
+        raise ValueError(f"lm_kn_scores_order: order must be >= 2, got {order}")
+    cols = [f"w{j}" for j in range(1, N + 1)]
+    toks = tokens(F.col(text_col))
+    ng = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (N - 1), F.lit(0))),
+        lambda t, i: F.struct(
+            t.alias("w1"),
+            *[F.element_at(toks, i + j).alias(f"w{j}") for j in range(2, N + 1)],
+        ),
+    )
+    occ = docs.select(F.col(id_col).alias("doc_id"), F.explode(ng).alias("g")).select(
+        "doc_id", *[F.col(f"g.{c}").alias(c) for c in cols]
+    )
+    occ = occ.localCheckpoint(eager=False)
+
+    # count tower: raw counts at level N, continuation counts below —
+    # each level one GROUP BY over the level above (checkpointed: every
+    # table feeds its context dim, its discount aggregate, the next
+    # level down, and the scoring join)
+    g = {
+        N: occ.groupBy(*cols)
+        .agg(F.count("*").cast("double").alias(f"c{N}"))
+        .localCheckpoint(eager=False)
+    }
+    for k in range(N - 1, 0, -1):
+        g[k] = (
+            g[k + 1]
+            .groupBy(*cols[N - k :])
+            .agg(F.count("*").cast("double").alias(f"c{k}"))
+            .localCheckpoint(eager=False)
+        )
+
+    def _discounts(gk, cname, k):
+        coc = gk.agg(
+            *[
+                F.sum((F.col(cname) == i).cast("double")).alias(f"n{i}")
+                for i in (1, 2, 3, 4)
+            ]
+        )
+        y = F.when(
+            F.col("n1") + 2 * F.col("n2") > 0,
+            F.col("n1") / (F.col("n1") + 2 * F.col("n2")),
+        ).otherwise(F.lit(0.5))
+        withy = coc.select(y.alias("y"), "n1", "n2", "n3", "n4")
+        return withy.select(
+            F.when(
+                F.col("n1") > 0,
+                F.greatest(1 - 2 * F.col("y") * F.col("n2") / F.col("n1"), F.lit(0.0)),
+            )
+            .otherwise(F.lit(0.5))
+            .alias(f"d{k}_1"),
+            F.when(
+                F.col("n2") > 0,
+                F.greatest(2 - 3 * F.col("y") * F.col("n3") / F.col("n2"), F.lit(0.0)),
+            )
+            .otherwise(F.lit(0.5))
+            .alias(f"d{k}_2"),
+            F.when(
+                F.col("n3") > 0,
+                F.greatest(3 - 4 * F.col("y") * F.col("n4") / F.col("n3"), F.lit(0.0)),
+            )
+            .otherwise(F.lit(0.5))
+            .alias(f"d{k}_3"),
+        )
+
+    joined = g[N]
+    for k in range(N - 1, 0, -1):
+        joined = joined.join(g[k], cols[N - k :])
+    for k in range(N, 1, -1):
+        ckeys = cols[N - k : N - 1]
+        ctx = g[k].groupBy(*ckeys).agg(
+            F.sum(f"c{k}").alias(f"tot{k}"),
+            F.sum((F.col(f"c{k}") == 1).cast("double")).alias(f"n1f{k}"),
+            F.sum((F.col(f"c{k}") == 2).cast("double")).alias(f"n2f{k}"),
+            F.sum((F.col(f"c{k}") >= 3).cast("double")).alias(f"n3f{k}"),
+        )
+        joined = joined.join(ctx, ckeys)
+        dk = _discounts(g[k], f"c{k}", k)  # 1-row discount triple
+        joined = joined.crossJoin(F.broadcast(dk))
+    u_total = g[2].agg(F.count("*").cast("double").alias("u"))
+    joined = joined.crossJoin(F.broadcast(u_total))
+
+    p = F.col("c1") / F.col("u")
+    for k in range(2, N + 1):
+        ck = F.col(f"c{k}")
+        d_of = (
+            F.when(ck == 1, F.col(f"d{k}_1"))
+            .when(ck == 2, F.col(f"d{k}_2"))
+            .otherwise(F.col(f"d{k}_3"))
+        )
+        gamma = (
+            F.col(f"d{k}_1") * F.col(f"n1f{k}")
+            + F.col(f"d{k}_2") * F.col(f"n2f{k}")
+            + F.col(f"d{k}_3") * F.col(f"n3f{k}")
+        ) / F.col(f"tot{k}")
+        p = F.greatest(ck - d_of, F.lit(0.0)) / F.col(f"tot{k}") + gamma * p
+
+    tri = joined.select(*cols, F.log(p).alias("_lp"))
+    scored = occ.join(tri, cols)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_ngrams"),
+        F.avg("_lp").alias("avg_logprob"),
+    )
+    all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
         "avg_logprob",
     )

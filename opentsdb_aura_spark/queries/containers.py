@@ -137,6 +137,148 @@ def corpus_warc_gz_records(spark, sf_dir):
     )
 
 
+# The rich per-file warcinfo payload exactly as encode_warcinfo_fields
+# emits it — over (file_id, n); note the FOLDED description field (a
+# continuation line), which parses back as one space-joined value.
+_WARC_RICH_INFO_PAYLOAD = (
+    "e'software: opentsdb-aura-spark/1.0\\r\\nformat: WARC File Format 1.0\\r\\n"
+    "isPartOf: fixture-crawl\\r\\nwarc-file-id: ' || file_id || "
+    "e'\\r\\ndoc-count: ' || n || "
+    "e'\\r\\ndescription: deterministic fixture WARC derived\\r\\n"
+    " from the documents table\\r\\n'"
+)
+
+# The per-capture metadata payload exactly as encode_metadata_fields
+# emits it — over (doc_id, L).
+_WARC_META_PAYLOAD = (
+    "e'fetchTimeMs: ' || ((doc_id * 37) % 907) || "
+    "e'\\r\\ncharset: utf-8\\r\\npayload-length: ' || L || e'\\r\\n'"
+)
+
+
+@register(
+    "corpus_warc_warcinfo",
+    f"""WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         CAST(doc_id // {_DPF} AS BIGINT) AS file_id,
+         octet_length(encode(text)) AS L
+  FROM documents),
+f AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+infof(pos, field) AS (VALUES (0, 'software'), (1, 'format'), (2, 'isPartOf'),
+                             (3, 'warc-file-id'), (4, 'doc-count'), (5, 'description')),
+info AS (
+  SELECT file_id, 'urn:uuid:warcinfo-' || file_id AS record_id,
+         'warcinfo' AS warc_type, CAST(pos AS INTEGER) AS pos, field,
+         CASE field WHEN 'software' THEN 'opentsdb-aura-spark/1.0'
+                    WHEN 'format' THEN 'WARC File Format 1.0'
+                    WHEN 'isPartOf' THEN 'fixture-crawl'
+                    WHEN 'warc-file-id' THEN CAST(file_id AS VARCHAR)
+                    WHEN 'doc-count' THEN CAST(n AS VARCHAR)
+                    ELSE 'deterministic fixture WARC derived from the documents table'
+         END AS value
+  FROM f CROSS JOIN infof),
+metaf(pos, field) AS (VALUES (0, 'fetchTimeMs'), (1, 'charset'), (2, 'payload-length')),
+meta AS (
+  SELECT file_id, 'urn:uuid:meta-' || doc_id AS record_id,
+         'metadata' AS warc_type, CAST(pos AS INTEGER) AS pos, field,
+         CASE field WHEN 'fetchTimeMs' THEN CAST((doc_id * 37) % 907 AS VARCHAR)
+                    WHEN 'charset' THEN 'utf-8'
+                    ELSE CAST(L AS VARCHAR)
+         END AS value
+  FROM d CROSS JOIN metaf)
+SELECT * FROM info UNION ALL SELECT * FROM meta""",
+)
+def corpus_warc_warcinfo(spark, sf_dir):
+    """warc-fields roundtrip (ISO 28500 §4 named-fields syntax):
+    synthesize WARCs with the RICH per-file warcinfo payload (a
+    folded description field included) and per-capture metadata
+    records, then parse every warc-fields payload back into typed
+    (record, pos, field, value) rows via
+    containers.warc_fields — the warcinfo rows ARE the file-level
+    dim a crawl catalog keys on.  The oracle re-derives every field
+    of every record from the generation rule (doc counts per file,
+    the deterministic fetchTimeMs, stored payload lengths) including
+    the continuation-line FOLD, so a parser that drops or mis-joins
+    folded lines hash-mismatches."""
+    from opentsdb_aura_spark.operators.containers import synthesize_warc, warc_fields, warc_records
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF,
+        rich_warcinfo=True, metadata_records=True,
+    )
+    return warc_fields(warc_records(files, with_payload=True))
+
+
+@register(
+    "corpus_warc_typed_records",
+    f"""WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         CAST(doc_id // {_DPF} AS BIGINT) AS file_id,
+         octet_length(encode(text)) AS L
+  FROM documents),
+f AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n,
+             string_agg('http://example.com/doc/' || doc_id, chr(10) ORDER BY doc_id)
+               || chr(10) AS seeds
+      FROM d GROUP BY 1),
+info_rows AS (
+  SELECT file_id, 'warcinfo' AS warc_type,
+         'urn:uuid:warcinfo-' || file_id AS record_id,
+         CAST(NULL AS VARCHAR) AS target_uri,
+         CAST(octet_length(encode({_WARC_RICH_INFO_PAYLOAD})) AS BIGINT) AS content_length,
+         md5({_WARC_RICH_INFO_PAYLOAD}) AS payload_md5,
+         CAST(NULL AS VARCHAR) AS concurrent_to
+  FROM f),
+seed_rows AS (
+  SELECT file_id, 'resource' AS warc_type,
+         'urn:uuid:seeds-' || file_id AS record_id,
+         'file://crawler/seeds/' || file_id || '.txt' AS target_uri,
+         CAST(octet_length(encode(seeds)) AS BIGINT) AS content_length,
+         md5(seeds) AS payload_md5,
+         CAST(NULL AS VARCHAR) AS concurrent_to
+  FROM f),
+resp_rows AS (
+  SELECT file_id, 'response' AS warc_type,
+         'urn:uuid:doc-' || doc_id AS record_id,
+         'http://example.com/doc/' || doc_id AS target_uri,
+         CAST(L AS BIGINT) AS content_length,
+         md5(text) AS payload_md5,
+         CAST(NULL AS VARCHAR) AS concurrent_to
+  FROM d),
+meta_rows AS (
+  SELECT file_id, 'metadata' AS warc_type,
+         'urn:uuid:meta-' || doc_id AS record_id,
+         'http://example.com/doc/' || doc_id AS target_uri,
+         CAST(octet_length(encode({_WARC_META_PAYLOAD})) AS BIGINT) AS content_length,
+         md5({_WARC_META_PAYLOAD}) AS payload_md5,
+         'urn:uuid:doc-' || doc_id AS concurrent_to
+  FROM d)
+SELECT * FROM info_rows UNION ALL SELECT * FROM seed_rows
+UNION ALL SELECT * FROM resp_rows UNION ALL SELECT * FROM meta_rows""",
+)
+def corpus_warc_typed_records(spark, sf_dir):
+    """The full four-record-type WARC mix (warcinfo + resource +
+    response + metadata — ISO 28500 §6's record taxonomy as a real
+    crawl interleaves it): synthesize with rich warcinfo, the
+    per-file seed-list ``resource`` record (content captured WITHOUT
+    a protocol envelope), and per-capture ``metadata`` records, then
+    parse every record header back.  The oracle re-derives each
+    type's record-id / target-uri / Content-Length / payload digest /
+    Concurrent-To link from the generation rule — including the
+    resource payload rebuilt byte-for-byte with an ordered
+    string_agg — so record-type dispatch, the §6.6 metadata link, and
+    §6.5 protocol-less capture are all value-hashed."""
+    from opentsdb_aura_spark.operators.containers import synthesize_warc, warc_records
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF,
+        rich_warcinfo=True, metadata_records=True, resource_records=True,
+    )
+    return warc_records(files).select(
+        "file_id", "warc_type", "record_id", "target_uri",
+        "content_length", "payload_md5", "concurrent_to",
+    )
+
+
 @register(
     "corpus_tar_members",
     f"""WITH d AS (
@@ -764,24 +906,11 @@ def pipeline_crawl_curate(spark, sf_dir):
     )
 
 
-@register(
-    "pipeline_ccnet_curate",
-    _CURATE_CTES
-    + r""",
-lid AS (
-  SELECT doc_id,
-    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         WHEN s_fr >= s_zh THEN 'fr'
-         ELSE 'zh' END AS lang
-  FROM (SELECT doc_id,
-          len(list_filter(toks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
-          len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
-          len(list_filter(toks, x -> list_contains(['el','la','los','es','de'], x))) AS s_es,
-          len(list_filter(toks, x -> list_contains(['le','la','les','est','et'], x))) AS s_fr,
-          len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) AS s_zh
-        FROM t)),
+# everything downstream of the lang-id CTE (LM fit → per-language
+# tercile → fused keep) — shared verbatim by the heuristic and the
+# trained-lang-id variants, so the only difference between their
+# oracles is how ``lid`` is derived
+_CCNET_TAIL = r""",
 bg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, toks[i+1] AS w1
        FROM t, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
 uni AS (SELECT tok, count(*) AS ucnt
@@ -806,7 +935,28 @@ SELECT q.doc_id, bkt.lang, bkt.avg_logprob, bkt.ppl_bucket,
        q.keep_quality AND (q.link_chars * 1.0 / q.text_chars <= 0.3)
          AND q.n_badword_hits = 0
          AND bkt.ppl_bucket IN ('head', 'middle') AS keep
-FROM q JOIN bkt USING (doc_id)""",
+FROM q JOIN bkt USING (doc_id)"""
+
+
+@register(
+    "pipeline_ccnet_curate",
+    _CURATE_CTES
+    + r""",
+lid AS (
+  SELECT doc_id,
+    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh' END AS lang
+  FROM (SELECT doc_id,
+          len(list_filter(toks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+          len(list_filter(toks, x -> list_contains(['el','la','los','es','de'], x))) AS s_es,
+          len(list_filter(toks, x -> list_contains(['le','la','les','est','et'], x))) AS s_fr,
+          len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) AS s_zh
+        FROM t))"""
+    + _CCNET_TAIL,
 )
 def pipeline_ccnet_curate(spark, sf_dir):
     """The CCNet-style curate keep: the crawl-curation chain (WARC →
@@ -875,6 +1025,157 @@ def pipeline_ccnet_curate(spark, sf_dir):
     bkt = bkt.select("doc_id", "lang", "avg_logprob", label.alias("ppl_bucket"))
     density, ok_ld = link_density_exprs()
     bw_hits, ok_bw = badwords_exprs(FIXTURE_BADWORDS)
+    ok_ppl = F.col("ppl_bucket").isin("head", "middle")
+    gates = g.select(
+        "doc_id",
+        F.col("keep").alias("keep_quality"),
+        ok_ld.alias("ok_link_density"),
+        ok_bw.alias("ok_badwords"),
+    )
+    return gates.join(bkt, "doc_id").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        "ppl_bucket",
+        "keep_quality",
+        "ok_link_density",
+        "ok_badwords",
+        ok_ppl.alias("ok_ppl"),
+        (
+            F.col("keep_quality")
+            & F.col("ok_link_density")
+            & F.col("ok_badwords")
+            & ok_ppl
+        ).alias("keep"),
+    )
+
+
+def _ccnet_trained_e2e_oracle() -> str:
+    """pipeline_ccnet_curate with the TRAINED lang-id leg: the planted
+    per-language corpus is injected BEFORE WARC synthesis (so the
+    language signal survives extraction), the five one-vs-rest GD
+    chains re-fit on the EXTRACTED page text, and the argmax
+    prediction drives the per-language tercile — everything else is
+    the shared _CCNET_TAIL verbatim."""
+    from opentsdb_aura_spark.queries.pipeline import (
+        _LANGID_ITERS,
+        _langid_ctes,
+        _langid_langs,
+        _langid_planted_txt_sql,
+        _langid_pred_sql,
+    )
+
+    planted = _langid_planted_txt_sql()
+    old = r"trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt"
+    head = _CURATE_CTES.replace(old, rf"trim(regexp_replace({planted}, '\s+', ' ', 'g')) AS nt")
+    assert head != _CURATE_CTES, "planted-text injection point moved"
+    corpus_cte = """corpus AS MATERIALIZED (
+  SELECT w.doc_id, dd.lang AS lang, lower(w.text) AS txt
+  FROM w JOIN documents dd ON w.doc_id = CAST(dd.doc_id AS BIGINT))"""
+    langid_block = _langid_ctes(corpus_sql=corpus_cte)
+    assert langid_block.startswith("WITH ")
+    langid_block = langid_block[len("WITH ") :]
+    langs, _ = _langid_langs()
+    R = _LANGID_ITERS
+    joins = "\n".join(f"JOIN m_{L}{R} ON m_{L}{R}.doc_id = corpus.doc_id" for L in langs)
+    margin_cols = ", ".join(f"m_{L}{R}.margin AS m_{L}" for L in langs)
+    lid = f""",
+fin_l AS (SELECT corpus.doc_id, {margin_cols} FROM corpus {joins}),
+lid AS (SELECT doc_id, {_langid_pred_sql()} AS lang FROM fin_l)"""
+    return head + ",\n" + langid_block + lid + _CCNET_TAIL
+
+
+@register("pipeline_ccnet_curate_trained_e2e", _ccnet_trained_e2e_oracle())
+def pipeline_ccnet_curate_trained_e2e(spark, sf_dir):
+    """pipeline_ccnet_curate_trained taken END-TO-END through the
+    crawl container chain (the full Wenzek et al. stack over real
+    extraction output, not the raw corpus): the planted per-language
+    corpus is synthesized into WARCs, HTTP-split, HTML-extracted back
+    out, the five one-vs-rest char-trigram logreg models train ON THE
+    EXTRACTION OUTPUT (30 bounded <= D+1-row collects), and the argmax
+    prediction — not the marker heuristic — partitions the perplexity
+    terciles feeding the fused keep, which here also carries the
+    page-level link-density gate the raw-corpus twin cannot have.  The
+    oracle rebuilds the planted page text closed-form through the
+    fixture-HTML reconstruction, re-fits all five unrolled GD chains
+    on that SAME reconstructed text, re-derives the argmax, and
+    re-runs the LM + tercile + keep tail verbatim — so the trained
+    model's influence on the FINAL curation verdict is value-hashed
+    across the entire container → classifier → keep span.  The marker
+    heuristic remains the zero-training seam in
+    pipeline_ccnet_curate."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+    from opentsdb_aura_spark.operators.quality import (
+        FIXTURE_BADWORDS,
+        badwords_exprs,
+        gopher_quality_flags,
+        hashed_char_ngram_features,
+        link_density_exprs,
+        lm_bigram_scores,
+        ovr_logreg_scores,
+        perplexity_buckets,
+        train_logreg_weights,
+    )
+    from opentsdb_aura_spark.queries.pipeline import (
+        _LANGID_D,
+        _LANGID_ITERS,
+        _LANGID_LR,
+        _langid_corpus,
+        _langid_langs,
+    )
+
+    planted = _langid_corpus(spark, sf_dir)
+    files = synthesize_warc(
+        planted, docs_per_file=_DPF, http_envelope=True, html_body=True, text_col="txt"
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    # one extraction pass feeds classifier training, scoring, the LM
+    # fit, and the gates (eager: ~36 downstream passes re-read it)
+    ext = html_to_text(pages).localCheckpoint()
+    feats = hashed_char_ngram_features(ext, n=3, n_features=_LANGID_D).localCheckpoint(
+        eager=False
+    )
+    gold = planted.select("doc_id", "lang")
+    langs_list, _ = _langid_langs()
+    models = {}
+    for L in langs_list:
+        labels = gold.select("doc_id", (F.col("lang") == L).cast("double").alias("y"))
+        models[L] = train_logreg_weights(
+            feats,
+            labels,
+            n_features=_LANGID_D,
+            lr=_LANGID_LR,
+            n_iter=_LANGID_ITERS,
+            center=True,
+        )
+    preds = ovr_logreg_scores(feats, models, ext.select("doc_id"), n_features=_LANGID_D)
+    langs_df = preds.select("doc_id", F.col("pred_lang").alias("lang"))
+    g = gopher_quality_flags(
+        ext, min_tokens=10, extra_cols=("link_chars", "text_chars", "text")
+    )
+    scores = lm_bigram_scores(ext, alpha=0.1).select(
+        "doc_id", _r("avg_logprob", 4).alias("avg_logprob")
+    )
+    bkt = perplexity_buckets(langs_df.join(scores, "doc_id"))
+    label = (
+        F.when(F.col("ppl_bucket") == 1, "head")
+        .when(F.col("ppl_bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    bkt = bkt.select("doc_id", "lang", "avg_logprob", label.alias("ppl_bucket"))
+    _, ok_ld = link_density_exprs()
+    _, ok_bw = badwords_exprs(FIXTURE_BADWORDS)
     ok_ppl = F.col("ppl_bucket").isin("head", "middle")
     gates = g.select(
         "doc_id",

@@ -1247,14 +1247,20 @@ _LOGREG_LR = 20.0
 _LOGREG_ITERS = 8
 
 
-def _logreg_oracle() -> str:
+def _logreg_oracle(l2: float = 0.0, thr: float = 0.5) -> str:
     """Unrolled-SQL twin of the deterministic batch-GD logistic fit
     (the bpe_train oracle trick, widened to a weight vector): each
     iteration's residuals, gradients, weight/bias updates, and the
     centering offset are literal CTEs, so DuckDB re-trains the SAME
     classifier from the same zero init and the corpus-wide scores
     hash-compare.  Centering stays sparse exactly as in the operator:
-    margin = w·x + (b − w·μ); ∇ⱼ = (Σrᵢxᵢⱼ − μⱼΣrᵢ)/N."""
+    margin = w·x + (b − w·μ); ∇ⱼ = (Σrᵢxᵢⱼ − μⱼΣrᵢ)/N.
+
+    ``l2`` carries the ridge term into the unrolled weight updates
+    (+ l2·wⱼ inside the lr step, intercept unpenalized — mirroring
+    train_logreg_weights); ``thr`` moves the keep verdict to
+    margin ≥ logit(thr) (mirroring logreg_scores' margin-space
+    compare).  Defaults reproduce the original oracle text."""
     # base CTEs MATERIALIZED: the unrolled iterations reference trip/
     # lab dozens of times, and DuckDB would otherwise re-open the
     # parquet per reference (fd exhaustion)
@@ -1285,8 +1291,16 @@ gb{k} AS MATERIALIZED (SELECT sum(resid) AS s FROM r{k})"""
 b1 AS MATERIALIZED (SELECT -{lr} * s / nn.n AS b FROM gb0 CROSS JOIN nn)"""
             )
         else:
+            # l2=0 keeps the pre-ridge expression text byte-identical —
+            # float association differs between the two forms, and the
+            # original queries' hashes are pinned to the original order
+            upd = (
+                f"w{k}.w - {lr} * ((g{k}.s - mu.mu * gb{k}.s) / nn.n + {l2!r} * w{k}.w)"
+                if l2
+                else f"w{k}.w - {lr} * (g{k}.s - mu.mu * gb{k}.s) / nn.n"
+            )
             parts.append(
-                f"""w{k + 1} AS MATERIALIZED (SELECT g{k}.bucket, w{k}.w - {lr} * (g{k}.s - mu.mu * gb{k}.s) / nn.n AS w
+                f"""w{k + 1} AS MATERIALIZED (SELECT g{k}.bucket, {upd} AS w
   FROM g{k} JOIN mu USING (bucket) JOIN w{k} USING (bucket) CROSS JOIN gb{k} CROSS JOIN nn),
 b{k + 1} AS MATERIALIZED (SELECT b{k}.b - {lr} * s / nn.n AS b FROM gb{k} CROSS JOIN b{k} CROSS JOIN nn)"""
             )
@@ -1297,10 +1311,11 @@ m{k + 1} AS MATERIALIZED (SELECT lab.doc_id, lab.y, b{k + 1}.b - off{k + 1}.o + 
   LEFT JOIN (SELECT trip.doc_id, sum(cnt * w{k + 1}.w ORDER BY trip.bucket) AS v
              FROM trip JOIN w{k + 1} USING (bucket) GROUP BY 1) dp{k + 1} USING (doc_id))"""
         )
+    pred_sql = "margin >= 0" if thr == 0.5 else f"margin >= ln({thr!r} / (1.0 - {thr!r}))"
     final = f"""SELECT doc_id, y = 1.0 AS label,
        round(margin, 4) AS margin,
        round(1.0/(1.0+exp(-margin)), 4) AS prob,
-       margin >= 0 AS pred
+       {pred_sql} AS pred
 FROM m{_LOGREG_ITERS}"""
     return ",\n".join(parts) + "\n" + final
 
@@ -1378,6 +1393,59 @@ def pipeline_quality_classifier(spark, sf_dir):
         center=True,
     )
     scores = logreg_scores(d, w, b, n_features=_LOGREG_D, binary=True)
+    return labels.join(scores, "doc_id").select(
+        "doc_id",
+        "label",
+        _r("margin", 4).alias("margin"),
+        _r("prob", 4).alias("prob"),
+        "pred",
+    )
+
+
+_LOGREG_L2 = 0.01  # ridge strength of the calibrated variant
+_LOGREG_THR = 0.9  # precision-leaning keep threshold of the calibrated variant
+
+
+@register(
+    "pipeline_classifier_calibrated", _logreg_oracle(l2=_LOGREG_L2, thr=_LOGREG_THR)
+)
+def pipeline_classifier_calibrated(spark, sf_dir):
+    """CALIBRATED variant of the trained quality classifier — the two
+    knobs a gate consumer tunes without changing the training data:
+    an L2 ridge term (λ={l2}) shrinking the weights against
+    seed-set overfit, and a precision-leaning keep threshold
+    (prob ≥ {thr}, compared in margin space so the verdict never
+    rides on a σ(·) rounding difference).  The oracle unrolls the
+    SAME ridge-regularized GD in SQL — the + λ·wⱼ term rides inside
+    every weight-update CTE — and applies the identical
+    margin ≥ logit({thr}) rule, so both calibration knobs are
+    value-hashed end to end, not just exposed as parameters.""".format(
+        l2=_LOGREG_L2, thr=_LOGREG_THR
+    )
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_token_features,
+        logreg_scores,
+        train_logreg_weights,
+    )
+
+    d = docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id", F.array_contains(tokens(F.col("text")), "dup").alias("label")
+    )
+    feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    w, b = train_logreg_weights(
+        feats,
+        labels.select("doc_id", F.col("label").cast("double").alias("y")),
+        n_features=_LOGREG_D,
+        lr=_LOGREG_LR,
+        n_iter=_LOGREG_ITERS,
+        center=True,
+        l2=_LOGREG_L2,
+    )
+    scores = logreg_scores(
+        d, w, b, n_features=_LOGREG_D, binary=True, threshold=_LOGREG_THR
+    )
     return labels.join(scores, "doc_id").select(
         "doc_id",
         "label",
@@ -1714,6 +1782,171 @@ def quality_kn_scores(spark, sf_dir):
 
     res = lm_kn_scores(docs(spark, sf_dir), discount=0.75)
     return res.select("doc_id", "n_bigrams", _r("avg_logprob", 4).alias("avg_logprob"))
+
+
+def _kn3_coc_sql(src: str, cname: str, a: str) -> str:
+    """Count-of-counts → modified-KN discounts for one order, as a
+    1-row CTE body (columns {a}1/{a}2/{a}3) mirroring
+    lm_kn3_scores' `discounts` helper exactly: Y = n1/(n1+2n2)
+    (fallback 0.5), D_k clamped at 0, each falling back to 0.5 when
+    its count-of-count denominator is empty."""
+    return f"""(
+  SELECT CASE WHEN n1 > 0 THEN greatest(1 - 2 * y * n2 / n1, 0.0) ELSE 0.5 END AS {a}1,
+         CASE WHEN n2 > 0 THEN greatest(2 - 3 * y * n3 / n2, 0.0) ELSE 0.5 END AS {a}2,
+         CASE WHEN n3 > 0 THEN greatest(3 - 4 * y * n4 / n3, 0.0) ELSE 0.5 END AS {a}3
+  FROM (SELECT CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS y,
+               n1, n2, n3, n4
+        FROM (SELECT sum(CASE WHEN {cname} = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+                     sum(CASE WHEN {cname} = 2 THEN 1.0 ELSE 0.0 END) AS n2,
+                     sum(CASE WHEN {cname} = 3 THEN 1.0 ELSE 0.0 END) AS n3,
+                     sum(CASE WHEN {cname} = 4 THEN 1.0 ELSE 0.0 END) AS n4
+              FROM {src})))"""
+
+
+@register(
+    "quality_kn3_scores",
+    r"""WITH d AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents),
+tg AS MATERIALIZED (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2, toks[i+3] AS w3
+       FROM d, unnest(range(0, greatest(len(toks) - 2, 0))) AS t(i)),
+c3 AS MATERIALIZED (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c FROM tg GROUP BY 1, 2, 3),
+hi AS MATERIALIZED (SELECT w1, w2, sum(c) AS ctot,
+              sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) AS n1f,
+              sum(CASE WHEN c = 2 THEN 1.0 ELSE 0.0 END) AS n2f,
+              sum(CASE WHEN c >= 3 THEN 1.0 ELSE 0.0 END) AS n3f
+       FROM c3 GROUP BY 1, 2),
+cc2 AS MATERIALIZED (SELECT w2, w3, CAST(count(*) AS DOUBLE) AS cc FROM c3 GROUP BY 1, 2),
+mid AS MATERIALIZED (SELECT w2, sum(cc) AS cctot,
+               sum(CASE WHEN cc = 1 THEN 1.0 ELSE 0.0 END) AS m1f,
+               sum(CASE WHEN cc = 2 THEN 1.0 ELSE 0.0 END) AS m2f,
+               sum(CASE WHEN cc >= 3 THEN 1.0 ELSE 0.0 END) AS m3f
+        FROM cc2 GROUP BY 1),
+u1 AS MATERIALIZED (SELECT w3, CAST(count(*) AS DOUBLE) AS uc FROM cc2 GROUP BY 1),
+ut AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS u FROM cc2),
+dhi AS MATERIALIZED __DHI__,
+dmid AS MATERIALIZED __DMID__,
+s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+             round(avg(ln(
+               greatest(c - CASE WHEN c = 1 THEN d1 WHEN c = 2 THEN d2 ELSE d3 END, 0.0) / ctot
+               + (d1 * n1f + d2 * n2f + d3 * n3f) / ctot
+                 * (greatest(cc - CASE WHEN cc = 1 THEN e1 WHEN cc = 2 THEN e2 ELSE e3 END, 0.0) / cctot
+                    + (e1 * m1f + e2 * m2f + e3 * m3f) / cctot * uc / u))), 4) AS avg_logprob
+      FROM tg JOIN c3 USING (w1, w2, w3) JOIN hi USING (w1, w2)
+           JOIN cc2 USING (w2, w3) JOIN mid USING (w2) JOIN u1 USING (w3)
+           CROSS JOIN ut CROSS JOIN dhi CROSS JOIN dmid
+      GROUP BY 1)
+SELECT d.doc_id, coalesce(s.n_trigrams, 0) AS n_trigrams, s.avg_logprob
+FROM d LEFT JOIN s USING (doc_id)""".replace(
+        "__DHI__", _kn3_coc_sql("c3", "c", "d")
+    ).replace("__DMID__", _kn3_coc_sql("cc2", "cc", "e")),
+)
+def quality_kn3_scores(spark, sf_dir):
+    """Trigram MODIFIED Kneser–Ney perplexity signal (Chen & Goodman
+    1999 — KenLM's default smoothing at the engine-native order 3),
+    generalizing quality_kn_scores' fixed-discount bigram form:
+    count-dependent discounts D1/D2/D3+ estimated from the trigram
+    count-of-counts at BOTH backoff levels, a continuation-count
+    middle order, and the type-diversity unigram floor.  The oracle
+    refits the entire estimator — trigram counts, both context
+    tables, both count-of-count discount triples, the continuation
+    distribution — and re-derives each doc's mean log-probability, so
+    the modified-discount arithmetic is value-hashed end to end;
+    unscorable <3-token docs surface with n_trigrams 0 and NULL
+    score, never vanish."""
+    from opentsdb_aura_spark.operators.quality import lm_kn3_scores
+
+    res = lm_kn3_scores(docs(spark, sf_dir))
+    return res.select("doc_id", "n_trigrams", _r("avg_logprob", 4).alias("avg_logprob"))
+
+
+def _kn_order_oracle(N: int, count_alias: str) -> str:
+    """Unrolled-SQL twin of lm_kn_scores_order at order ``N``: the
+    raw top-level count table, the continuation-count tower (one
+    GROUP BY per level), per-level context aggregates and
+    count-of-count discount triples, and the textual p-recursion in
+    the SAME nesting the Spark Column expression builds — so the two
+    engines associate every float identically before the 4-decimal
+    round.  All CTEs MATERIALIZED (each feeds several consumers;
+    DuckDB would otherwise inline the tower exponentially)."""
+    cols = [f"w{j}" for j in range(1, N + 1)]
+    wsel = ", ".join(f"toks[i+{j}] AS w{j}" for j in range(1, N + 1))
+    parts = [
+        r"""d AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents)""",
+        f"""og AS MATERIALIZED (SELECT doc_id, {wsel}
+       FROM d, unnest(range(0, greatest(len(toks) - {N - 1}, 0))) AS t(i))""",
+        f"""g{N} AS MATERIALIZED (SELECT {', '.join(cols)}, CAST(count(*) AS DOUBLE) AS c{N}
+       FROM og GROUP BY {', '.join(str(i + 1) for i in range(N))})""",
+    ]
+    for k in range(N - 1, 0, -1):
+        keys = cols[N - k :]
+        parts.append(
+            f"""g{k} AS MATERIALIZED (SELECT {', '.join(keys)}, CAST(count(*) AS DOUBLE) AS c{k}
+       FROM g{k + 1} GROUP BY {', '.join(str(i + 1) for i in range(k))})"""
+        )
+    for k in range(N, 1, -1):
+        ckeys = cols[N - k : N - 1]
+        parts.append(
+            f"""x{k} AS MATERIALIZED (SELECT {', '.join(ckeys)}, sum(c{k}) AS tot{k},
+              sum(CASE WHEN c{k} = 1 THEN 1.0 ELSE 0.0 END) AS n1f{k},
+              sum(CASE WHEN c{k} = 2 THEN 1.0 ELSE 0.0 END) AS n2f{k},
+              sum(CASE WHEN c{k} >= 3 THEN 1.0 ELSE 0.0 END) AS n3f{k}
+       FROM g{k} GROUP BY {', '.join(str(i + 1) for i in range(len(ckeys)))})"""
+        )
+        parts.append(f"dd{k} AS MATERIALIZED {_kn3_coc_sql(f'g{k}', f'c{k}', f'd{k}_')}")
+    parts.append("ut AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS u FROM g2)")
+    p = "c1 / u"
+    for k in range(2, N + 1):
+        d_of = f"CASE WHEN c{k} = 1 THEN d{k}_1 WHEN c{k} = 2 THEN d{k}_2 ELSE d{k}_3 END"
+        gamma = f"(d{k}_1 * n1f{k} + d{k}_2 * n2f{k} + d{k}_3 * n3f{k}) / tot{k}"
+        p = f"greatest(c{k} - {d_of}, 0.0) / tot{k} + {gamma} * ({p})"
+    gram_joins = "\n           ".join(
+        f"JOIN g{k} USING ({', '.join(cols[N - k :])})" for k in range(N - 1, 0, -1)
+    )
+    ctx_joins = "\n           ".join(
+        f"JOIN x{k} USING ({', '.join(cols[N - k : N - 1])})" for k in range(N, 1, -1)
+    )
+    dd_joins = "\n           ".join(f"CROSS JOIN dd{k}" for k in range(N, 1, -1))
+    parts.append(
+        f"""s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS {count_alias},
+             round(avg(ln({p})), 4) AS avg_logprob
+      FROM og JOIN g{N} USING ({', '.join(cols)})
+           {gram_joins}
+           {ctx_joins}
+           {dd_joins}
+           CROSS JOIN ut
+      GROUP BY 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.doc_id, coalesce(s.{count_alias}, 0) AS {count_alias}, s.avg_logprob
+FROM d LEFT JOIN s USING (doc_id)"""
+    )
+
+
+@register("quality_kn5_scores", _kn_order_oracle(5, "n_5grams"))
+def quality_kn5_scores(spark, sf_dir):
+    """5-gram MODIFIED Kneser–Ney perplexity signal — the EXACT
+    estimator CCNet filters on (Wenzek et al. 2020 train a 5-gram
+    modified-KN KenLM; this is that model, corpus-fit): raw counts at
+    order 5, continuation-count backoff through orders 4→3→2, the
+    type-diversity unigram floor, and count-dependent D1/D2/D3+
+    discounts at EVERY level from that level's count-of-counts.  The
+    oracle re-derives the whole tower — five count tables, four
+    context dims, four discount triples, the nested interpolation in
+    the identical float association — so the production-order
+    estimator is value-hashed end to end; <5-token docs surface with
+    n_5grams 0 and NULL score, never vanish."""
+    from opentsdb_aura_spark.operators.quality import lm_kn_scores_order
+
+    res = lm_kn_scores_order(docs(spark, sf_dir), order=5)
+    return res.select(
+        "doc_id",
+        F.col("n_ngrams").alias("n_5grams"),
+        _r("avg_logprob", 4).alias("avg_logprob"),
+    )
 
 
 @register(
@@ -2544,31 +2777,47 @@ def _langid_models(corpus, feats):
     return models
 
 
-def _langid_corpus_sql() -> str:
+def _langid_planted_txt_sql(text_expr: str = "text") -> str:
+    """The planted-corpus text as one SQL expression over
+    (``text_expr``, lang, doc_id) — shared by the standalone lang-id
+    oracle and the ccnet-trained composition in queries/containers.py
+    (which plants the SAME text BEFORE WARC synthesis so the language
+    signal survives extraction)."""
     langs, markers = _langid_langs()
     mk = " ".join(
         f"WHEN '{L}' THEN '{' '.join(markers[L])}'" for L in langs
     )
     noise = [markers[L][0] for L in langs]
     nz = " ".join(f"WHEN {i} THEN '{noise[i]}'" for i in range(5))
+    return (
+        f"lower({text_expr} || ' ' || CASE lang {mk} ELSE '' END"
+        f" || ' ' || CASE CAST(doc_id % 5 AS INTEGER) {nz} ELSE '' END)"
+    )
+
+
+def _langid_corpus_sql() -> str:
     return f"""corpus AS MATERIALIZED (
   SELECT doc_id, lang,
-         lower(text || ' ' || CASE lang {mk} ELSE '' END
-                    || ' ' || CASE CAST(doc_id % 5 AS INTEGER) {nz} ELSE '' END) AS txt
+         {_langid_planted_txt_sql()} AS txt
   FROM documents)"""
 
 
-def _langid_ctes() -> str:
+def _langid_ctes(corpus_sql: str | None = None) -> str:
     """Shared CTE chain: planted corpus → char-trigram presence
     triples (identical polynomial hash fold) → shared centering means
     → one unrolled batch-GD chain PER CLASS (the _logreg_oracle block
     with class-suffixed names), ending at each class's final margin
     table m_<L><ITERS>.  Every iteration CTE is MATERIALIZED — the
-    chained references would otherwise inline exponentially."""
+    chained references would otherwise inline exponentially.
+
+    ``corpus_sql`` swaps the training-corpus CTE (must still be named
+    ``corpus`` with columns doc_id/lang/txt) — the ccnet-trained
+    composition feeds the EXTRACTED page text instead of the raw
+    planted documents."""
     langs, _ = _langid_langs()
     lr, D, R = _LANGID_LR, _LANGID_D, _LANGID_ITERS
     parts = [
-        _langid_corpus_sql(),
+        corpus_sql if corpus_sql is not None else _langid_corpus_sql(),
         f"""trip AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          CAST(list_reduce(list_transform(range(1, 4),

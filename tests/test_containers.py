@@ -1632,3 +1632,84 @@ def test_url_bloom_no_false_negatives_and_merge(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="multiple"):
         C.url_bloom_build(a, n_bits=1000)
+
+
+# ----------------------------------------------------- warc-fields / §6 types
+
+
+def test_parse_warc_fields_folding_and_errors():
+    """ISO 28500 §4 named-fields: ordered pairs, continuation-line
+    folding into a single space-joined value, honest errors on a
+    separator-less line or a leading continuation."""
+    payload = C.encode_warcinfo_fields(7, 3)
+    fields = C.parse_warc_fields(payload)
+    assert [k for k, _ in fields] == [
+        "software", "format", "isPartOf", "warc-file-id", "doc-count", "description",
+    ]
+    assert dict(fields)["warc-file-id"] == "7"
+    assert dict(fields)["doc-count"] == "3"
+    # the folded field joins with ONE space
+    assert dict(fields)["description"] == (
+        "deterministic fixture WARC derived from the documents table"
+    )
+    with pytest.raises(ValueError, match="malformed"):
+        C.parse_warc_fields(b"no separator here\r\n")
+    with pytest.raises(ValueError, match="continuation"):
+        C.parse_warc_fields(b" leading fold\r\n")
+
+
+def test_warc_four_type_mix_roundtrip():
+    """The full §6 record taxonomy in one file: warcinfo + resource
+    (seed list, no protocol envelope) + response + metadata
+    (Concurrent-To-linked warc-fields), offsets tiling exactly."""
+    blob = C.encode_warc_file(
+        2, DOCS, rich_warcinfo=True, metadata_records=True, resource_records=True
+    )
+    recs = list(C._parse_warc_bytes(blob))
+    types = [r[2] for r in recs]
+    assert types == ["warcinfo", "resource"] + ["response", "metadata"] * len(DOCS)
+    # resource record: seed list payload, file:// target, text/plain
+    assert recs[1][3] == "urn:uuid:seeds-2"
+    assert recs[1][4] == "file://crawler/seeds/2.txt"
+    seeds = "".join(f"http://example.com/doc/{d}\n" for d, _ in DOCS).encode()
+    assert recs[1][6] == hashlib.md5(seeds).hexdigest()
+    # metadata record links to its response and parses as warc-fields
+    meta = recs[3]
+    assert meta[3] == "urn:uuid:meta-0" and meta[7] == "urn:uuid:doc-0"
+    fields = dict(C.parse_warc_fields(meta[-1]))
+    assert fields["payload-length"] == str(len(DOCS[0][1].encode()))
+    assert fields["fetchTimeMs"] == str((0 * 37) % 907)
+    off = 0
+    for r in recs:
+        assert r[0] == off
+        off += r[1]
+    assert off == len(blob)
+
+
+def test_warc_fields_operator_types_and_order(spark):
+    """warc_fields surfaces ONLY warc-fields-carrying records, with
+    pos preserving field order (the folded description is one row)."""
+    docs_df = spark.createDataFrame(
+        [(i, f"body {i} tok") for i in range(4)], "doc_id long, text string"
+    )
+    files = C.synthesize_warc(
+        docs_df, docs_per_file=2, rich_warcinfo=True,
+        metadata_records=True, resource_records=True,
+    )
+    out = C.warc_fields(C.warc_records(files, with_payload=True))
+    rows = out.collect()
+    assert set(r["warc_type"] for r in rows) == {"warcinfo", "metadata"}
+    info = sorted(
+        (r for r in rows if r["record_id"] == "urn:uuid:warcinfo-0"),
+        key=lambda r: r["pos"],
+    )
+    assert [r["field"] for r in info] == [
+        "software", "format", "isPartOf", "warc-file-id", "doc-count", "description",
+    ]
+    assert info[4]["value"] == "2"  # doc-count of a 2-doc file
+    meta0 = {r["field"]: r["value"] for r in rows if r["record_id"] == "urn:uuid:meta-3"}
+    assert meta0 == {
+        "fetchTimeMs": str((3 * 37) % 907),
+        "charset": "utf-8",
+        "payload-length": str(len(b"body 3 tok")),
+    }

@@ -36,8 +36,12 @@ BNLJ_ALLOWED = {
     "corpus_tfidf_top3",  # 1-row n_docs factor
     "quality_lm_scores",  # 1-row vocabulary-size factor
     "quality_kn_scores",  # 1-row bigram-type-total factor
+    "quality_kn3_scores",  # 1-row type-total + two 1-row discount-triple factors
+    "quality_kn5_scores",  # same shape at order 5: 1-row total + per-level discount triples
     "pipeline_ccnet_buckets",  # composes lm_bigram_scores: same 1-row vocab factor
     "pipeline_ccnet_curate",  # same composition over the extracted text
+    "pipeline_ccnet_curate_trained",  # same 1-row vocab factor via lm_bigram_scores
+    "pipeline_ccnet_curate_trained_e2e",  # same composition over the extracted text
     "pipeline_ccnet_cutoff_buckets",  # same composition + broadcast cutoff dim
     "pipeline_pagerank",  # 1-row dangling-mass scalar factor per round
     "corpus_bm25_search",  # 1-row (N, avgdl) corpus-stats factor
@@ -135,6 +139,11 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "winners",  # summarizer top-k winners: rows <= k
         "cutoffs",  # per-language quantile thresholds: rows = O(languages)
         "dangling",  # 1-row dangling-mass scalar per PageRank round
+        "ut",  # 1-row trigram-type-total factor (quality_kn3_scores)
+        "dhi",  # 1-row top-level discount triple (quality_kn3_scores)
+        "dmid",  # 1-row middle-level discount triple (quality_kn3_scores)
+        "u_total",  # 1-row type-total factor (lm_kn_scores_order)
+        "dk",  # 1-row per-level discount triple (lm_kn_scores_order)
         "bloom",  # Bloom word table: O(n_bits/63) rows by construction
         "probe_set",  # ZipNum lookup probe set: contract probes ≪ blocks (ANN query-set shape)
     }

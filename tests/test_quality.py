@@ -325,3 +325,73 @@ def test_lang_id_trained_seam_recovers_planted_langs(spark):
     # fallback seam unchanged: heuristic output schema, no models arg
     heur = lang_id(d)
     assert heur.columns == ["doc_id", "pred_lang", "score"]
+
+
+def test_logreg_l2_shrinks_weights_and_threshold_gates(spark):
+    """The two calibration knobs: l2 > 0 strictly shrinks the learned
+    weight norm on the same data (ridge), and a higher scoring
+    threshold can only turn keeps into rejects (monotone gate).
+    Training stays deterministic under l2 (same call → same model)."""
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_token_features,
+        logreg_scores,
+        train_logreg_weights,
+    )
+
+    rows = [
+        (i, ("spam spam eggs" if i % 2 == 0 else "ham words only") + f" t{i}")
+        for i in range(24)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = d.select("doc_id", (F.col("doc_id") % 2 == 0).cast("double").alias("y"))
+    feats = hashed_token_features(d, n_features=32, binary=True)
+    w0, b0 = train_logreg_weights(feats, labels, n_features=32, lr=5.0, n_iter=6, center=True)
+    w1, b1 = train_logreg_weights(
+        feats, labels, n_features=32, lr=5.0, n_iter=6, center=True, l2=0.1
+    )
+    w1b, b1b = train_logreg_weights(
+        feats, labels, n_features=32, lr=5.0, n_iter=6, center=True, l2=0.1
+    )
+    assert (w1, b1) == (w1b, b1b)  # deterministic under l2
+    assert sum(x * x for x in w1) < sum(x * x for x in w0)  # ridge shrinkage
+    # default threshold reproduces margin >= 0; raising it only removes keeps
+    s50 = {r["doc_id"]: r for r in logreg_scores(d, w0, b0, n_features=32, binary=True).collect()}
+    s90 = {
+        r["doc_id"]: r
+        for r in logreg_scores(d, w0, b0, n_features=32, binary=True, threshold=0.9).collect()
+    }
+    assert all((r["margin"] >= 0) == r["pred"] for r in s50.values())
+    assert all(s50[k]["pred"] or not s90[k]["pred"] for k in s50)
+    assert any(s50[k]["pred"] and not s90[k]["pred"] for k in s50) or all(
+        s90[k]["prob"] >= 0.9 for k in s90 if s90[k]["pred"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        logreg_scores(d, w0, b0, n_features=32, binary=True, threshold=1.0)
+
+
+def test_lm_kn_scores_order_edges(spark):
+    """Generic-order modified KN: short docs surface n_ngrams=0 with
+    NULL score; occurrence counts equal len-N+1 per doc; order < 2
+    rejected; log-probs are negative (probabilities < 1)."""
+    from opentsdb_aura_spark.operators.quality import lm_kn_scores_order
+
+    rows = [
+        (1, "a b c d e f g"),          # 3 5-grams
+        (2, "a b c d"),                # too short for order 5
+        (3, "a b c d e a b c d e"),    # repeated content, 6 5-grams
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_kn_scores_order(d, order=5).collect()}
+    assert got[1]["n_ngrams"] == 3
+    assert got[2]["n_ngrams"] == 0 and got[2]["avg_logprob"] is None
+    assert got[3]["n_ngrams"] == 6
+    assert got[1]["avg_logprob"] < 0 and got[3]["avg_logprob"] < 0
+    import math
+
+    assert math.isfinite(got[1]["avg_logprob"]) and math.isfinite(got[3]["avg_logprob"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order"):
+        lm_kn_scores_order(d, order=1)

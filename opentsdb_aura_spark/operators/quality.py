@@ -1209,3 +1209,110 @@ def lm_kn_scores_order(
         F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
         "avg_logprob",
     )
+
+
+def train_ovr_logreg_weights(
+    features: DataFrame,
+    labels: DataFrame,
+    *,
+    classes: list[str],
+    n_features: int = 32,
+    lr: float = 0.5,
+    n_iter: int = 4,
+    center: bool = False,
+    class_col: str = "lang",
+) -> dict[str, tuple[list[float], float]]:
+    """K one-vs-rest logistic fits sharing every distributed pass —
+    arithmetic IDENTICAL to K independent :func:`train_logreg_weights`
+    calls (same zero init, same per-class residual/gradient/update
+    formulas, centering means are label-independent so the shared μ is
+    the per-class μ), but each GD step runs ONE narrow margin pass
+    computing all K residual columns and ONE explode → groupBy whose
+    bounded collect carries K gradient columns — K·n_iter passes
+    collapse to n_iter (5× fewer stage launches for the 5-language
+    lang-id fit; the win grows with K).  Returns {class: (weights,
+    intercept)} with margins on RAW features, exactly like the
+    single-class trainer."""
+    K = len(classes)
+    if K == 0:
+        raise ValueError("train_ovr_logreg_weights: no classes")
+    labs = labels.select(
+        "doc_id",
+        *[
+            (F.col(class_col) == c).cast("double").alias(f"y_{i}")
+            for i, c in enumerate(classes)
+        ],
+    )
+    docvec = features.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("fx")
+    )
+    base = labs.join(docvec, "doc_id", "left").select(
+        *[f"y_{i}" for i in range(K)],
+        F.coalesce(
+            F.col("fx"), F.array().cast("array<struct<bucket:int,cnt:double>>")
+        ).alias("fx"),
+    )
+    base = base.localCheckpoint(eager=False)
+    n = base.count()
+    if n == 0:
+        raise ValueError("train_ovr_logreg_weights: empty label frame")
+    mu = [0.0] * int(n_features)
+    if center:
+        for r in (
+            base.select(F.explode("fx").alias("f"))
+            .groupBy(F.col("f.bucket").alias("bucket"))
+            .agg((F.sum("f.cnt") / F.lit(float(n))).alias("m"))
+            .collect()  # bounded: <= n_features rows
+        ):
+            mu[r["bucket"]] = float(r["m"])
+    w = {c: [0.0] * int(n_features) for c in classes}
+    b = {c: 0.0 for c in classes}
+    bias_entry = F.array(
+        F.struct(F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("cnt"))
+    )
+    def _dot(w_arr):
+        # factory closure: a default-arg binding would change the
+        # lambda's visible arity and break F.aggregate's 2-arg contract
+        return F.aggregate(
+            F.col("fx"),
+            F.lit(0.0),
+            lambda acc, s: acc + s["cnt"] * F.element_at(w_arr, s["bucket"] + 1),
+        )
+
+    for _ in range(int(n_iter)):
+        resid_cols = []
+        for i, c in enumerate(classes):
+            const = float(b[c]) - sum(wi * mi for wi, mi in zip(w[c], mu))
+            dot = _dot(F.array(*[F.lit(float(x)) for x in w[c]]))
+            resid_cols.append(
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(const))))
+                    - F.col(f"y_{i}")
+                ).alias(f"r_{i}")
+            )
+        grads = (
+            base.select(*resid_cols, F.concat("fx", bias_entry).alias("fx"))
+            .select(*[f"r_{i}" for i in range(K)], F.explode("fx").alias("f"))
+            .groupBy(F.col("f.bucket").alias("bucket"))
+            .agg(
+                *[
+                    (F.sum(F.col("f.cnt") * F.col(f"r_{i}")) / F.lit(float(n))).alias(
+                        f"g_{i}"
+                    )
+                    for i in range(K)
+                ]
+            )
+            .collect()  # bounded: <= n_features + 1 rows, K columns
+        )
+        for i, c in enumerate(classes):
+            rbar = next((float(r[f"g_{i}"]) for r in grads if r["bucket"] < 0), 0.0)
+            for r in grads:
+                if r["bucket"] < 0:
+                    b[c] -= float(lr) * rbar
+                else:
+                    j = r["bucket"]
+                    w[c][j] -= float(lr) * (float(r[f"g_{i}"]) - mu[j] * rbar)
+    return {
+        c: (w[c], float(b[c]) - sum(wi * mi for wi, mi in zip(w[c], mu)))
+        for c in classes
+    }

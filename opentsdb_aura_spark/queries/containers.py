@@ -1119,7 +1119,7 @@ def pipeline_ccnet_curate_trained_e2e(spark, sf_dir):
         lm_bigram_scores,
         ovr_logreg_scores,
         perplexity_buckets,
-        train_logreg_weights,
+        train_ovr_logreg_weights,
     )
     from opentsdb_aura_spark.queries.pipeline import (
         _LANGID_D,
@@ -1148,17 +1148,15 @@ def pipeline_ccnet_curate_trained_e2e(spark, sf_dir):
     )
     gold = planted.select("doc_id", "lang")
     langs_list, _ = _langid_langs()
-    models = {}
-    for L in langs_list:
-        labels = gold.select("doc_id", (F.col("lang") == L).cast("double").alias("y"))
-        models[L] = train_logreg_weights(
-            feats,
-            labels,
-            n_features=_LANGID_D,
-            lr=_LANGID_LR,
-            n_iter=_LANGID_ITERS,
-            center=True,
-        )
+    models = train_ovr_logreg_weights(
+        feats,
+        gold,
+        classes=langs_list,
+        n_features=_LANGID_D,
+        lr=_LANGID_LR,
+        n_iter=_LANGID_ITERS,
+        center=True,
+    )
     preds = ovr_logreg_scores(feats, models, ext.select("doc_id"), n_features=_LANGID_D)
     langs_df = preds.select("doc_id", F.col("pred_lang").alias("lang"))
     g = gopher_quality_flags(

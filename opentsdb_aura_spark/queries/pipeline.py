@@ -2756,25 +2756,24 @@ def _langid_corpus(spark, sf_dir):
 
 
 def _langid_models(corpus, feats):
-    """One-vs-rest fit: K independent binary logreg fits over the SAME
-    feature triples (K * n_iter bounded collects, each <= D+1 rows)."""
-    from opentsdb_aura_spark.operators.quality import train_logreg_weights
+    """One-vs-rest fit: K binary logreg fits over the SAME feature
+    triples, all K classes sharing each distributed pass
+    (train_ovr_logreg_weights — n_iter bounded collects total, each
+    <= D+1 rows wide by K gradient columns; arithmetic identical to K
+    independent train_logreg_weights calls, so the unrolled-SQL
+    oracles are unchanged)."""
+    from opentsdb_aura_spark.operators.quality import train_ovr_logreg_weights
 
     langs, _ = _langid_langs()
-    models = {}
-    for L in langs:
-        labels = corpus.select(
-            "doc_id", (F.col("lang") == L).cast("double").alias("y")
-        )
-        models[L] = train_logreg_weights(
-            feats,
-            labels,
-            n_features=_LANGID_D,
-            lr=_LANGID_LR,
-            n_iter=_LANGID_ITERS,
-            center=True,
-        )
-    return models
+    return train_ovr_logreg_weights(
+        feats,
+        corpus.select("doc_id", "lang"),
+        classes=langs,
+        n_features=_LANGID_D,
+        lr=_LANGID_LR,
+        n_iter=_LANGID_ITERS,
+        center=True,
+    )
 
 
 def _langid_planted_txt_sql(text_expr: str = "text") -> str:

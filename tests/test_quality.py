@@ -395,3 +395,37 @@ def test_lm_kn_scores_order_edges(spark):
 
     with _pytest.raises(ValueError, match="order"):
         lm_kn_scores_order(d, order=1)
+
+
+def test_train_ovr_matches_per_class_fits(spark):
+    """train_ovr_logreg_weights (all classes sharing each distributed
+    pass) reproduces K independent train_logreg_weights fits — same
+    zero init, same updates — to float tolerance."""
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_char_ngram_features,
+        train_logreg_weights,
+        train_ovr_logreg_weights,
+    )
+
+    rows = []
+    for i in range(30):
+        cls = ["aa", "bb", "cc"][i % 3]
+        marker = {"aa": "alpha beta", "bb": "gamma delta", "cc": "omega psi"}[cls]
+        rows.append((i, cls, f"common filler {marker} tail{i}"))
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    feats = hashed_char_ngram_features(d, n=3, n_features=32).localCheckpoint(
+        eager=False
+    )
+    classes = ["aa", "bb", "cc"]
+    shared = train_ovr_logreg_weights(
+        feats, d.select("doc_id", "lang"), classes=classes,
+        n_features=32, lr=5.0, n_iter=4, center=True,
+    )
+    for c in classes:
+        labels = d.select("doc_id", (F.col("lang") == c).cast("double").alias("y"))
+        w, b = train_logreg_weights(
+            feats, labels, n_features=32, lr=5.0, n_iter=4, center=True
+        )
+        ws, bs = shared[c]
+        assert abs(b - bs) < 1e-9
+        assert all(abs(x - y) < 1e-9 for x, y in zip(w, ws))

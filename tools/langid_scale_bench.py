@@ -39,7 +39,7 @@ def main() -> None:
     from opentsdb_aura_spark.operators.quality import (
         hashed_char_ngram_features,
         ovr_logreg_scores,
-        train_logreg_weights,
+        train_ovr_logreg_weights,
     )
     from opentsdb_aura_spark.operators.text import LANG_MARKERS
 
@@ -69,12 +69,15 @@ def main() -> None:
 
     t0 = time.perf_counter()
     feats = hashed_char_ngram_features(docs, n=3, n_features=D)
-    models = {}
-    for L in langs:
-        labels = docs.select("doc_id", (F.col("lang") == L).cast("double").alias("y"))
-        models[L] = train_logreg_weights(
-            feats, labels, n_features=D, lr=LR, n_iter=ITERS, center=True
-        )
+    models = train_ovr_logreg_weights(
+        feats,
+        docs.select("doc_id", "lang"),
+        classes=langs,
+        n_features=D,
+        lr=LR,
+        n_iter=ITERS,
+        center=True,
+    )
     out["train_sec"] = round(time.perf_counter() - t0, 2)
     out["train_doc_fits_per_sec"] = round(n_docs * len(langs) * ITERS / out["train_sec"])
 

@@ -1455,6 +1455,171 @@ def pipeline_classifier_calibrated(spark, sf_dir):
     )
 
 
+_PR_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _classifier_pr_oracle() -> str:
+    """Same unrolled re-fit, swept over the keep-threshold grid — the
+    precision/recall operating table a gate consumer reads before
+    picking a threshold.  Counts compare in MARGIN space
+    (margin ≥ logit(t)) and F1 comes from the integer counts
+    (2·tp/(n_pred+n_true)), so no ratio-of-rounded-ratios drift."""
+    R = _LOGREG_ITERS
+    ctes = _logreg_oracle().rsplit("SELECT doc_id, y = 1.0 AS label", 1)[0].rstrip()
+    assert ctes.endswith(")"), "unexpected oracle tail"
+    vals = ", ".join(f"({t!r})" for t in _PR_THRESHOLDS)
+    return (
+        ctes
+        + f""",
+thr(t) AS (VALUES {vals}),
+pr AS (
+  SELECT t,
+         CAST(count(*) FILTER (margin >= ln(t / (1.0 - t))) AS BIGINT) AS n_pred,
+         CAST(count(*) FILTER (y = 1.0) AS BIGINT) AS n_true,
+         CAST(count(*) FILTER (margin >= ln(t / (1.0 - t)) AND y = 1.0) AS BIGINT) AS tp
+  FROM m{R} CROSS JOIN thr GROUP BY 1)
+SELECT round(t, 2) AS threshold, n_pred, n_true, tp,
+       round(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred END, 6) AS prec,
+       round(CASE WHEN n_true > 0 THEN tp * 1.0 / n_true END, 6) AS rec,
+       round(CASE WHEN n_pred + n_true > 0 THEN 2.0 * tp / (n_pred + n_true) END, 6) AS f1
+FROM pr"""
+    )
+
+
+@register("pipeline_classifier_pr_curve", _classifier_pr_oracle())
+def pipeline_classifier_pr_curve(spark, sf_dir):
+    """Precision/recall operating curve of the trained quality
+    classifier over a 9-point threshold grid — what a curation team
+    actually reads before fixing the keep threshold (the companion
+    surface to pipeline_classifier_calibrated's single operating
+    point).  One scoring pass; the grid is a generator explode (no
+    join), counts compare in margin space so the verdict never rides
+    on a σ(·) rounding difference, and F1 is derived from the integer
+    counts.  The oracle re-fits the identical unrolled GD and sweeps
+    the same grid, so every (threshold, tp, precision, recall, F1)
+    cell is value-hashed."""
+    import math
+
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_token_features,
+        logreg_scores,
+        train_logreg_weights,
+    )
+
+    d = docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id", F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y")
+    )
+    feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    w, b = train_logreg_weights(
+        feats, labels, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
+        center=True,
+    )
+    scores = logreg_scores(d, w, b, n_features=_LOGREG_D, binary=True)
+    sweep = labels.join(scores, "doc_id").select(
+        "y",
+        "margin",
+        F.explode(F.array(*[F.lit(float(t)) for t in _PR_THRESHOLDS])).alias("t"),
+    )
+    hit = (F.col("margin") >= F.log(F.col("t") / (1.0 - F.col("t")))).cast("long")
+    agg = sweep.groupBy("t").agg(
+        F.sum(hit).alias("n_pred"),
+        F.sum((F.col("y") == 1.0).cast("long")).alias("n_true"),
+        F.sum(hit * (F.col("y") == 1.0).cast("long")).alias("tp"),
+    )
+    return agg.select(
+        _r(F.col("t"), 2).alias("threshold"),
+        "n_pred",
+        "n_true",
+        "tp",
+        _r(F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")), 6).alias("prec"),
+        _r(F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")), 6).alias("rec"),
+        _r(
+            F.when(
+                F.col("n_pred") + F.col("n_true") > 0,
+                2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_true")),
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
+def _classifier_auc_oracle() -> str:
+    """Same unrolled re-fit, reduced to the tie-corrected Mann–Whitney
+    AUC over margins ROUNDED FIRST to 4 decimals — rounding before
+    ranking makes the rank statistic engine-exact (a last-ulp margin
+    difference can otherwise swap two ranks)."""
+    R = _LOGREG_ITERS
+    ctes = _logreg_oracle().rsplit("SELECT doc_id, y = 1.0 AS label", 1)[0].rstrip()
+    assert ctes.endswith(")"), "unexpected oracle tail"
+    return (
+        ctes
+        + f""",
+auc_rk AS (SELECT y, round(margin, 4) AS m FROM m{R}),
+auc_ar AS (SELECT y, rank() OVER (ORDER BY m) + (count(*) OVER (PARTITION BY m) - 1) / 2.0 AS ar
+       FROM auc_rk),
+auc_s AS (SELECT sum(CASE WHEN y = 1.0 THEN ar END) AS rsum,
+             CAST(count(*) FILTER (y = 1.0) AS BIGINT) AS n_pos,
+             CAST(count(*) FILTER (y = 0.0) AS BIGINT) AS n_neg
+      FROM auc_ar)
+SELECT n_pos, n_neg,
+       round((rsum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+FROM auc_s"""
+    )
+
+
+@register("pipeline_classifier_auc", _classifier_auc_oracle())
+def pipeline_classifier_auc(spark, sf_dir):
+    """Threshold-free ranking quality of the trained classifier: the
+    tie-corrected Mann–Whitney AUC (average ranks on ties), computed
+    over margins rounded to 4 decimals FIRST so the rank statistic is
+    engine-exact.  One window rank over the scored frame + a 1-row
+    aggregate; the oracle re-fits the identical unrolled GD and
+    re-derives the same rank sum, so the headline eval number a model
+    card would quote is value-hashed, not recomputed-and-trusted."""
+    from pyspark.sql.window import Window
+
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_token_features,
+        logreg_scores,
+        train_logreg_weights,
+    )
+
+    d = docs(spark, sf_dir)
+    labels = d.select(
+        "doc_id", F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y")
+    )
+    feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    w, b = train_logreg_weights(
+        feats, labels, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
+        center=True,
+    )
+    scores = logreg_scores(d, w, b, n_features=_LOGREG_D, binary=True)
+    rk = labels.join(scores, "doc_id").select(
+        "y", _r(F.col("margin"), 4).alias("m")
+    )
+    ar = (
+        F.rank().over(Window.orderBy("m"))
+        + (F.count("*").over(Window.partitionBy("m")) - 1) / 2.0
+    )
+    r2 = rk.select("y", ar.alias("ar"))
+    return r2.agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("ar"))).alias("_rsum"),
+        F.sum((F.col("y") == 1.0).cast("long")).alias("n_pos"),
+        F.sum((F.col("y") == 0.0).cast("long")).alias("n_neg"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        _r(
+            (F.col("_rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
 @register("pipeline_classifier_weights", _logreg_weights_oracle())
 def pipeline_classifier_weights(spark, sf_dir):
     """The trained model itself, value-hashed: one row per populated

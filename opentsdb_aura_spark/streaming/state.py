@@ -371,6 +371,7 @@ def streaming_crawl_ingest(
     xml_discovery: bool = False,
     quality_model: dict | None = None,
     quality_threshold: float = 0.5,
+    lang_models: dict | None = None,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -455,6 +456,15 @@ def streaming_crawl_ingest(
     (doc_id, prob, keep ≥ ``quality_threshold``) to
     ``{docs_path}_quality`` — the model-based curation gate running
     inline with ingestion, without widening the docs table's schema.
+    ``lang_models`` ({"models": {lang: (weights, bias), ...},
+    "n_features": D, "n": 3}) applies the PRETRAINED one-vs-rest
+    language-ID classifier (quality.train_ovr_logreg_weights output —
+    training is a batch job; the stream only scores) to each batch's
+    extracted text, appending (doc_id, pred_lang) to
+    ``{docs_path}_lang`` — the fastText-style lang gate running inline
+    with ingestion, the streaming twin of text_lang_id_trained's
+    scoring pass, with the same at-least-once append semantics as the
+    quality sidecar.
     ``rank_refresh_every`` (with ``frontier_path``) refreshes the
     frontier AUTHORITY signal every N batches the way compaction
     already hooks the loop: containers.refresh_frontier_ranks runs
@@ -810,6 +820,32 @@ def streaming_crawl_ingest(
                 "prob",
                 (F.col("prob") >= F.lit(float(quality_threshold))).alias("keep"),
             ).write.mode("append").parquet(f"{docs_path}_quality")
+        if lang_models is not None:
+            # pretrained one-vs-rest lang-id applied inline (the fit is
+            # a batch job — train_ovr_logreg_weights — the stream only
+            # argmaxes all K models as literal-array folds over one
+            # packed feature pass); predictions land in a sidecar keyed
+            # by doc_id, same at-least-once semantics as the docs sink
+            from opentsdb_aura_spark.operators.quality import (
+                hashed_char_ngram_features,
+                ovr_logreg_scores,
+            )
+
+            nf = int(lang_models["n_features"])
+            feats = hashed_char_ngram_features(
+                docs.select("doc_id", "text"),
+                n=int(lang_models.get("n", 3)),
+                n_features=nf,
+            )
+            ls = ovr_logreg_scores(
+                feats,
+                {k: (list(v[0]), float(v[1])) for k, v in lang_models["models"].items()},
+                docs.select("doc_id"),
+                n_features=nf,
+            )
+            ls.select("doc_id", "pred_lang").write.mode("append").parquet(
+                f"{docs_path}_lang"
+            )
         update_minhash_index(docs, index_path)
         if compact_max_files is not None:
             from opentsdb_aura_spark.sources.maintenance import compact_minhash_index

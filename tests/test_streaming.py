@@ -1508,3 +1508,66 @@ def test_streaming_quality_gate_matches_batch_twin(spark, tmpdirs):
         for r in batch.collect()
     }
     assert set(sidecar) == {1, 2, 3, 4} and sidecar == twin  # byte-identical
+
+
+def test_streaming_lang_gate_matches_batch_twin(spark, tmpdirs):
+    """The pretrained one-vs-rest lang-id scores each batch inline:
+    lang_models appends (doc_id, pred_lang) to the {docs_path}_lang
+    sidecar, and scoring the ingested docs table with the identical
+    models in batch (text_lang_id_trained's scoring pass) reproduces
+    the predictions byte-identically."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_char_ngram_features,
+        ovr_logreg_scores,
+        train_ovr_logreg_weights,
+    )
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    D = 64
+    seed_rows = []
+    for i in range(20):
+        lang = "de" if i % 2 == 0 else "en"
+        marker = "der die und ist das" if lang == "de" else "the and of to is"
+        seed_rows.append((i, lang, f"filler words here {marker}"))
+    seed = spark.createDataFrame(seed_rows, "doc_id long, lang string, text string")
+    feats = hashed_char_ngram_features(seed, n=3, n_features=D)
+    models = train_ovr_logreg_weights(
+        feats, seed.select("doc_id", "lang"), classes=["de", "en"],
+        n_features=D, lr=10.0, n_iter=6, center=True,
+    )
+
+    def rec(doc_id, text):
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", text.encode(),
+            target_uri=f"http://example.com/doc/{doc_id}",
+        )
+
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame(
+        [(0, rec(1, "neue seite der die und ist das") + rec(2, "new page the and of to is"))],
+        file_schema,
+    ).coalesce(1).write.parquet(tmpdirs["in"] + "/b1")
+    docs_path, idx_path = tmpdirs["out"] + "/docs", tmpdirs["store"]
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    streaming_crawl_ingest(
+        stream, idx_path, docs_path, tmpdirs["ckpt"],
+        lang_models={"models": models, "n_features": D, "n": 3},
+    ).awaitTermination(120)
+
+    sidecar = {
+        r["doc_id"]: r["pred_lang"]
+        for r in spark.read.parquet(docs_path + "_lang").collect()
+    }
+    assert sidecar == {1: "de", 2: "en"}  # planted languages recovered
+    ingested = spark.read.parquet(docs_path).select("doc_id", "text")
+    twin = {
+        r["doc_id"]: r["pred_lang"]
+        for r in ovr_logreg_scores(
+            hashed_char_ngram_features(ingested, n=3, n_features=D),
+            models, ingested.select("doc_id"), n_features=D,
+        ).collect()
+    }
+    assert sidecar == twin  # byte-identical to the batch scoring pass
+    # docs table schema untouched by the sidecar
+    assert set(spark.read.parquet(docs_path).columns) == {"doc_id", "text", "file_id"}

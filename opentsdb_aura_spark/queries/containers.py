@@ -938,10 +938,9 @@ SELECT q.doc_id, bkt.lang, bkt.avg_logprob, bkt.ppl_bucket,
 FROM q JOIN bkt USING (doc_id)"""
 
 
-@register(
-    "pipeline_ccnet_curate",
-    _CURATE_CTES
-    + r""",
+# the marker-word lang-id CTE over the extraction tokens — shared by
+# the heuristic ccnet keep and its kn5-LM upgrade
+_CCNET_LID_HEURISTIC = r""",
 lid AS (
   SELECT doc_id,
     CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
@@ -956,7 +955,11 @@ lid AS (
           len(list_filter(toks, x -> list_contains(['le','la','les','est','et'], x))) AS s_fr,
           len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) AS s_zh
         FROM t))"""
-    + _CCNET_TAIL,
+
+
+@register(
+    "pipeline_ccnet_curate",
+    _CURATE_CTES + _CCNET_LID_HEURISTIC + _CCNET_TAIL,
 )
 def pipeline_ccnet_curate(spark, sf_dir):
     """The CCNet-style curate keep: the crawl-curation chain (WARC →
@@ -1025,6 +1028,110 @@ def pipeline_ccnet_curate(spark, sf_dir):
     bkt = bkt.select("doc_id", "lang", "avg_logprob", label.alias("ppl_bucket"))
     density, ok_ld = link_density_exprs()
     bw_hits, ok_bw = badwords_exprs(FIXTURE_BADWORDS)
+    ok_ppl = F.col("ppl_bucket").isin("head", "middle")
+    gates = g.select(
+        "doc_id",
+        F.col("keep").alias("keep_quality"),
+        ok_ld.alias("ok_link_density"),
+        ok_bw.alias("ok_badwords"),
+    )
+    return gates.join(bkt, "doc_id").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        "ppl_bucket",
+        "keep_quality",
+        "ok_link_density",
+        "ok_badwords",
+        ok_ppl.alias("ok_ppl"),
+        (
+            F.col("keep_quality")
+            & F.col("ok_link_density")
+            & F.col("ok_badwords")
+            & ok_ppl
+        ).alias("keep"),
+    )
+
+
+def _ccnet_kn_oracle() -> str:
+    """pipeline_ccnet_curate with the LM leg upgraded to the 5-gram
+    modified-KN tower (the estimator CCNet actually filters on): the
+    shared extraction + heuristic-lid CTEs, the kn_-prefixed tower
+    parts reading the extraction tokens, a 1-line sc adapter, and the
+    tercile + keep tail verbatim from the bigram variant."""
+    from opentsdb_aura_spark.queries.pipeline import _kn_order_parts
+
+    kn_parts = _kn_order_parts(5, "n_5grams", "t")
+    bkt_idx = _CCNET_TAIL.index(",\nbkt AS")
+    return (
+        _CURATE_CTES
+        + _CCNET_LID_HEURISTIC
+        + ",\n"
+        + ",\n".join(kn_parts)
+        + ",\nsc AS (SELECT doc_id, avg_logprob FROM kns)"
+        + _CCNET_TAIL[bkt_idx:]
+    )
+
+
+@register("pipeline_ccnet_curate_kn", _ccnet_kn_oracle())
+def pipeline_ccnet_curate_kn(spark, sf_dir):
+    """The CCNet curate keep at FULL LM fidelity: the perplexity
+    tercile gate driven by the 5-gram modified Kneser–Ney scores
+    (Wenzek et al. 2020 train exactly this model class for §4.3's
+    head/middle/tail split) instead of the Laplace-smoothed bigram
+    proxy — the same extraction chain, gates, and fused keep as
+    pipeline_ccnet_curate, with lm_kn_scores_order(order=5) fit on
+    the extracted corpus supplying avg_logprob.  Docs too short to
+    score (<5 tokens) surface with NULL and sort into the tail
+    bucket, exactly like the bigram variant's unscorable docs.  The
+    oracle rebuilds the extracted text closed-form, re-fits the
+    entire five-level count tower with its count-of-count discounts
+    over that text, and re-runs the tercile + keep tail verbatim —
+    the production-order estimator's influence on the final curation
+    verdict is value-hashed end to end."""
+    from opentsdb_aura_spark.operators.containers import (
+        http_responses,
+        synthesize_warc,
+        warc_records,
+    )
+    from opentsdb_aura_spark.operators.htmltext import html_to_text
+    from opentsdb_aura_spark.operators.quality import (
+        FIXTURE_BADWORDS,
+        badwords_exprs,
+        gopher_quality_flags,
+        link_density_exprs,
+        lm_kn_scores_order,
+        perplexity_buckets,
+    )
+    from opentsdb_aura_spark.operators.text import lang_id
+
+    files = synthesize_warc(
+        docs_raw(spark, sf_dir), docs_per_file=_DPF, http_envelope=True, html_body=True
+    )
+    resp = http_responses(warc_records(files, with_payload=True), with_body=True)
+    pages = resp.select(
+        F.regexp_extract(F.col("record_id"), r"^urn:uuid:doc-(\d+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    ext = html_to_text(pages).localCheckpoint()
+    g = gopher_quality_flags(
+        ext, min_tokens=10, extra_cols=("link_chars", "text_chars", "text")
+    )
+    langs = lang_id(ext).select("doc_id", F.col("pred_lang").alias("lang"))
+    scores = lm_kn_scores_order(ext, order=5).select(
+        "doc_id", _r("avg_logprob", 4).alias("avg_logprob")
+    )
+    bkt = perplexity_buckets(langs.join(scores, "doc_id"))
+    label = (
+        F.when(F.col("ppl_bucket") == 1, "head")
+        .when(F.col("ppl_bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    bkt = bkt.select("doc_id", "lang", "avg_logprob", label.alias("ppl_bucket"))
+    _, ok_ld = link_density_exprs()
+    _, ok_bw = badwords_exprs(FIXTURE_BADWORDS)
     ok_ppl = F.col("ppl_bucket").isin("head", "middle")
     gates = g.select(
         "doc_id",

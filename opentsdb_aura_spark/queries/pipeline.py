@@ -2024,70 +2024,82 @@ def quality_kn3_scores(spark, sf_dir):
     return res.select("doc_id", "n_trigrams", _r("avg_logprob", 4).alias("avg_logprob"))
 
 
-def _kn_order_oracle(N: int, count_alias: str) -> str:
-    """Unrolled-SQL twin of lm_kn_scores_order at order ``N``: the
-    raw top-level count table, the continuation-count tower (one
-    GROUP BY per level), per-level context aggregates and
-    count-of-count discount triples, and the textual p-recursion in
-    the SAME nesting the Spark Column expression builds — so the two
-    engines associate every float identically before the 4-decimal
-    round.  All CTEs MATERIALIZED (each feeds several consumers;
-    DuckDB would otherwise inline the tower exponentially)."""
+def _kn_order_parts(N: int, count_alias: str, toks_cte: str) -> list[str]:
+    """CTE parts for the order-``N`` modified-KN tower reading
+    (doc_id, toks) from ``toks_cte``: the raw top-level count table,
+    the continuation-count tower (one GROUP BY per level), per-level
+    context aggregates and count-of-count discount triples, and the
+    per-doc score CTE ``kns`` with the textual p-recursion in the SAME
+    nesting the Spark Column expression builds — so the two engines
+    associate every float identically before the 4-decimal round.
+    All CTE names carry a ``kn_`` prefix so the parts compose into
+    larger oracles (the ccnet-kn keep) without collisions; all
+    MATERIALIZED (each feeds several consumers; DuckDB would otherwise
+    inline the tower exponentially)."""
     cols = [f"w{j}" for j in range(1, N + 1)]
     wsel = ", ".join(f"toks[i+{j}] AS w{j}" for j in range(1, N + 1))
     parts = [
-        r"""d AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
-           FROM documents)""",
-        f"""og AS MATERIALIZED (SELECT doc_id, {wsel}
-       FROM d, unnest(range(0, greatest(len(toks) - {N - 1}, 0))) AS t(i))""",
-        f"""g{N} AS MATERIALIZED (SELECT {', '.join(cols)}, CAST(count(*) AS DOUBLE) AS c{N}
-       FROM og GROUP BY {', '.join(str(i + 1) for i in range(N))})""",
+        f"""kn_og AS MATERIALIZED (SELECT doc_id, {wsel}
+       FROM {toks_cte}, unnest(range(0, greatest(len(toks) - {N - 1}, 0))) AS _kt(i))""",
+        f"""kn_g{N} AS MATERIALIZED (SELECT {', '.join(cols)}, CAST(count(*) AS DOUBLE) AS c{N}
+       FROM kn_og GROUP BY {', '.join(str(i + 1) for i in range(N))})""",
     ]
     for k in range(N - 1, 0, -1):
         keys = cols[N - k :]
         parts.append(
-            f"""g{k} AS MATERIALIZED (SELECT {', '.join(keys)}, CAST(count(*) AS DOUBLE) AS c{k}
-       FROM g{k + 1} GROUP BY {', '.join(str(i + 1) for i in range(k))})"""
+            f"""kn_g{k} AS MATERIALIZED (SELECT {', '.join(keys)}, CAST(count(*) AS DOUBLE) AS c{k}
+       FROM kn_g{k + 1} GROUP BY {', '.join(str(i + 1) for i in range(k))})"""
         )
     for k in range(N, 1, -1):
         ckeys = cols[N - k : N - 1]
         parts.append(
-            f"""x{k} AS MATERIALIZED (SELECT {', '.join(ckeys)}, sum(c{k}) AS tot{k},
+            f"""kn_x{k} AS MATERIALIZED (SELECT {', '.join(ckeys)}, sum(c{k}) AS tot{k},
               sum(CASE WHEN c{k} = 1 THEN 1.0 ELSE 0.0 END) AS n1f{k},
               sum(CASE WHEN c{k} = 2 THEN 1.0 ELSE 0.0 END) AS n2f{k},
               sum(CASE WHEN c{k} >= 3 THEN 1.0 ELSE 0.0 END) AS n3f{k}
-       FROM g{k} GROUP BY {', '.join(str(i + 1) for i in range(len(ckeys)))})"""
+       FROM kn_g{k} GROUP BY {', '.join(str(i + 1) for i in range(len(ckeys)))})"""
         )
-        parts.append(f"dd{k} AS MATERIALIZED {_kn3_coc_sql(f'g{k}', f'c{k}', f'd{k}_')}")
-    parts.append("ut AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS u FROM g2)")
+        parts.append(
+            f"kn_dd{k} AS MATERIALIZED {_kn3_coc_sql(f'kn_g{k}', f'c{k}', f'd{k}_')}"
+        )
+    parts.append("kn_ut AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS u FROM kn_g2)")
     p = "c1 / u"
     for k in range(2, N + 1):
         d_of = f"CASE WHEN c{k} = 1 THEN d{k}_1 WHEN c{k} = 2 THEN d{k}_2 ELSE d{k}_3 END"
         gamma = f"(d{k}_1 * n1f{k} + d{k}_2 * n2f{k} + d{k}_3 * n3f{k}) / tot{k}"
         p = f"greatest(c{k} - {d_of}, 0.0) / tot{k} + {gamma} * ({p})"
     gram_joins = "\n           ".join(
-        f"JOIN g{k} USING ({', '.join(cols[N - k :])})" for k in range(N - 1, 0, -1)
+        f"JOIN kn_g{k} USING ({', '.join(cols[N - k :])})" for k in range(N - 1, 0, -1)
     )
     ctx_joins = "\n           ".join(
-        f"JOIN x{k} USING ({', '.join(cols[N - k : N - 1])})" for k in range(N, 1, -1)
+        f"JOIN kn_x{k} USING ({', '.join(cols[N - k : N - 1])})" for k in range(N, 1, -1)
     )
-    dd_joins = "\n           ".join(f"CROSS JOIN dd{k}" for k in range(N, 1, -1))
+    dd_joins = "\n           ".join(f"CROSS JOIN kn_dd{k}" for k in range(N, 1, -1))
     parts.append(
-        f"""s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS {count_alias},
+        f"""kns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS {count_alias},
              round(avg(ln({p})), 4) AS avg_logprob
-      FROM og JOIN g{N} USING ({', '.join(cols)})
+      FROM kn_og JOIN kn_g{N} USING ({', '.join(cols)})
            {gram_joins}
            {ctx_joins}
            {dd_joins}
-           CROSS JOIN ut
+           CROSS JOIN kn_ut
       GROUP BY 1)"""
     )
+    return parts
+
+
+def _kn_order_oracle(N: int, count_alias: str) -> str:
+    """Standalone oracle for quality_kn{N}_scores: the knd tokenize
+    CTE over documents + the shared tower parts + the doc spine."""
+    head = r"""knd AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
+           FROM documents)"""
+    parts = [head] + _kn_order_parts(N, count_alias, "knd")
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT d.doc_id, coalesce(s.{count_alias}, 0) AS {count_alias}, s.avg_logprob
-FROM d LEFT JOIN s USING (doc_id)"""
+SELECT knd.doc_id, coalesce(kns.{count_alias}, 0) AS {count_alias}, kns.avg_logprob
+FROM knd LEFT JOIN kns USING (doc_id)"""
     )
 
 

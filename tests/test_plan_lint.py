@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "quality_kn5_scores",  # same shape at order 5: 1-row total + per-level discount triples
     "pipeline_ccnet_buckets",  # composes lm_bigram_scores: same 1-row vocab factor
     "pipeline_ccnet_curate",  # same composition over the extracted text
+    "pipeline_ccnet_curate_kn",  # kn5 tower: 1-row total + per-level discount triples
     "pipeline_ccnet_curate_trained",  # same 1-row vocab factor via lm_bigram_scores
     "pipeline_ccnet_curate_trained_e2e",  # same composition over the extracted text
     "pipeline_ccnet_cutoff_buckets",  # same composition + broadcast cutoff dim

@@ -349,6 +349,90 @@ def bpe_train(
     )
 
 
+def wordpiece_train(
+    docs: DataFrame,
+    *,
+    n_merges: int = 8,
+    text_col: str = "text",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Learn WordPiece merges (Schuster & Nakajima 2012; the BERT
+    tokenizer's training rule) — the THIRD trained-subword family next
+    to BPE and the unigram LM: identical merge mechanics to
+    :func:`bpe_train`, but each round merges the pair maximizing the
+    LIKELIHOOD score count(ab) / (count(a)·count(b)) instead of the
+    raw pair count — rare symbols that almost always co-occur merge
+    before frequent-but-independent ones.
+
+    Same distributed shape as bpe_train (train on the word-frequency
+    table; each round one pair hash-agg + one symbol hash-agg + a
+    1-row argmax collect + a pure-Catalyst fold), with one extra
+    narrow aggregate per round for the unigram symbol counts.  The
+    score is an IEEE double computed from exact integer counts in a
+    pinned expression shape (double(pair)/(double(ca)·double(cb))),
+    so the argmax — tie-broken (score DESC, left, right) — is
+    engine-exact and the catalog oracle re-derives every round.
+
+    Returns (rank, lhs, rhs, merged, pair_count, score) — one row per
+    learned merge, rank 0 first."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    chars = F.filter(F.split(F.col("w"), ""), lambda t: t != "")
+    vocab = words.select(
+        F.concat(chars, F.array(F.lit(eow))).alias("syms"), "cnt"
+    ).localCheckpoint()
+
+    merges: list[tuple] = []
+    for rank in range(int(n_merges)):
+        left = F.slice(F.col("syms"), F.lit(1), F.size(F.col("syms")) - 1)
+        right = F.slice(F.col("syms"), F.lit(2), F.size(F.col("syms")) - 1)
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(left, right, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+            ).alias("p"),
+            "cnt",
+        )
+        pc = pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+            F.sum("cnt").alias("pair_count")
+        )
+        uni = (
+            vocab.select(F.explode("syms").alias("s"), "cnt")
+            .groupBy("s")
+            .agg(F.sum("cnt").alias("ucnt"))
+        )
+        ua = uni.select(F.col("s").alias("a"), F.col("ucnt").alias("ca"))
+        ub = uni.select(F.col("s").alias("b"), F.col("ucnt").alias("cb"))
+        score = F.col("pair_count").cast("double") / (
+            F.col("ca").cast("double") * F.col("cb").cast("double")
+        )
+        best = (
+            pc.join(ua, "a")
+            .join(ub, "b")
+            .select("a", "b", "pair_count", score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append(
+            (rank, a, b, a + b, int(best[0]["pair_count"]), float(best[0]["score"]))
+        )
+        vocab = vocab.select(
+            _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "cnt"
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges,
+        "rank int, lhs string, rhs string, merged string, pair_count long, score double",
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges,

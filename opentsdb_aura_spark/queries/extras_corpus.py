@@ -465,7 +465,121 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
     )
 
 
+def _wp_oracle_ctes(n_merges: int, final_vocab: bool = False) -> str:
+    """Unrolled WordPiece training chain: the BPE CTE shape plus a
+    per-round unigram symbol-count CTE and the likelihood argmax —
+    score = double(pair_count) / (double(c_a)·double(c_b)), the SAME
+    pinned expression shape the Spark trainer computes, so the IEEE
+    double (and therefore the argmax with its (score DESC, a, b)
+    tie-break) is engine-exact."""
+    S = "chr(1)"
+    cte = [
+        r"""w AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '')) AS w
+    FROM documents) GROUP BY 1),
+v0 AS MATERIALIZED (
+  SELECT w, array_to_string(list_append(list_filter(string_split(w, ''), c -> c <> ''), '</w>'), chr(1)) AS syms, cnt
+  FROM w)"""
+    ]
+    for k in range(n_merges):
+        cte.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT cnt, parts[i] AS a, parts[i+1] AS b
+    FROM (SELECT string_split(syms, {S}) AS parts, cnt FROM v{k}),
+         unnest(range(1, len(parts))) AS t(i))
+  GROUP BY 1, 2),
+u{k} AS MATERIALIZED (
+  SELECT s, CAST(sum(cnt) AS BIGINT) AS ucnt FROM (
+    SELECT unnest(string_split(syms, {S})) AS s, cnt FROM v{k})
+  GROUP BY 1),
+b{k} AS (SELECT {k} AS rnk, a, b, pair_count,
+                CAST(pair_count AS DOUBLE) / (CAST(ua.ucnt AS DOUBLE) * CAST(ub.ucnt AS DOUBLE)) AS score
+         FROM p{k} JOIN u{k} ua ON p{k}.a = ua.s JOIN u{k} ub ON p{k}.b = ub.s
+         ORDER BY score DESC, a, b LIMIT 1)"""
+        )
+        if k < n_merges - 1 or final_vocab:
+            cte.append(
+                f"""v{k + 1} AS MATERIALIZED (
+  SELECT v.w, list_reduce(list_prepend('', string_split(v.syms, {S})),
+           (acc, s) -> CASE
+             WHEN acc <> '' AND string_split(acc, {S})[-1] = bk.a AND s = bk.b
+             THEN array_to_string(list_append(array_pop_back(string_split(acc, {S})), bk.a || bk.b), {S})
+             ELSE CASE WHEN acc = '' THEN s ELSE acc || {S} || s END END) AS syms,
+         v.cnt
+  FROM v{k} v CROSS JOIN b{k} bk)"""
+            )
+    return ",\n".join(cte)
+
+
+def _wp_train_oracle_sql(n_merges: int) -> str:
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST(rnk AS INT) AS rank, a AS lhs, b AS rhs, a || b AS merged, pair_count, round(score, 6) AS score FROM b{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + _wp_oracle_ctes(n_merges) + "\n" + sel
+
+
+def _wp_subword_oracle_sql(n_merges: int) -> str:
+    return (
+        "WITH "
+        + _wp_oracle_ctes(n_merges, final_vocab=True)
+        + f""",
+seg AS (SELECT w, len(string_split(syms, chr(1))) AS n_syms FROM v{n_merges}),
+dw AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '')) AS w
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_subwords
+  FROM dw JOIN seg USING (w) GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(p.n_subwords, 0) AS n_subwords
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+    )
+
+
 _BPE_TRAIN_MERGES = 8
+
+
+@register("text_wordpiece_train_merges", _wp_train_oracle_sql(8))
+def text_wordpiece_train_merges(spark, sf_dir):
+    """Distributed WordPiece merge learning (Schuster & Nakajima 2012
+    — the BERT tokenizer's training rule) under a FULL value-hash
+    oracle: 8 rounds of likelihood-scored argmax
+    (count(ab)/(count(a)·count(b)) — rare-but-cohesive pairs beat
+    frequent-but-independent ones, the property separating WordPiece
+    from BPE's raw-count rule) over the word-frequency table, each
+    round's pair counts, unigram counts, IEEE score, argmax
+    tie-break, AND the greedy fold-merge re-derived exactly by the
+    unrolled DuckDB chain.  Completes the trained-tokenizer triple:
+    BPE (count argmax), unigram LM (hard-EM pruning), WordPiece
+    (likelihood argmax)."""
+    from opentsdb_aura_spark.operators.text import wordpiece_train
+
+    res = wordpiece_train(docs(spark, sf_dir), n_merges=8)
+    return res.select(
+        "rank", "lhs", "rhs", "merged", "pair_count", _r("score", 6).alias("score")
+    )
+
+
+@register("text_wordpiece_subword_count", _wp_subword_oracle_sql(8))
+def text_wordpiece_subword_count(spark, sf_dir):
+    """The apply half of WordPiece under the same FULL oracle: train
+    8 likelihood-scored merges, segment every document's distinct
+    words with them (the bpe_apply fold — merge application is
+    mechanically identical, only the learned TABLE differs), return
+    per-doc subword counts.  The oracle extends the unrolled training
+    chain with the post-merge vocab and joins each doc's words
+    against its segment lengths."""
+    from opentsdb_aura_spark.operators.text import bpe_apply, wordpiece_train
+
+    d = docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in wordpiece_train(d, n_merges=8).orderBy("rank").collect()
+    ]
+    return bpe_apply(d, merges)
 
 
 @register("text_bpe_train_merges", _bpe_train_oracle_sql(_BPE_TRAIN_MERGES))

@@ -758,3 +758,24 @@ def test_unigram_viterbi_matches_python_reference(spark):
     for w in set(words):
         assert got[w] == ref(w), (w, got[w], ref(w))
         assert got[w][2].replace(_USEG_SEP, "") == w  # reconstruction
+
+
+def test_wordpiece_likelihood_beats_raw_count(spark):
+    """The WordPiece rule merges rare-but-cohesive pairs before
+    frequent-but-independent ones: 'qz' occurs only inside 'qz' words
+    (count 4, both symbols rare) while 'a'+'b' co-occur 6 times but
+    each also appears independently many times — BPE picks (a,b)
+    first, WordPiece picks the cohesive pair."""
+    from opentsdb_aura_spark.operators.text import bpe_train, wordpiece_train
+
+    #   counts WITH the </w> marker: (a,</w>) ties at 10 with (x,a),
+    #   (b,x), (x,</w>) -> BPE tie-break picks (a,</w>);
+    #   (q,z) count 4 but q and z occur NOWHERE else ->
+    #   score 4/(4*4)=0.25 dwarfs every frequent pair's
+    text = " ".join(["ab"] * 6 + ["qz"] * 4 + ["xa"] * 10 + ["bx"] * 10)
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    bpe_first = bpe_train(d, n_merges=1).collect()[0]
+    wp_first = wordpiece_train(d, n_merges=1).collect()[0]
+    assert (bpe_first["lhs"], bpe_first["rhs"]) == ("a", "</w>")  # raw-count argmax
+    assert (wp_first["lhs"], wp_first["rhs"]) == ("q", "z")       # cohesion argmax
+    assert wp_first["score"] == pytest.approx(4 / (4 * 4))

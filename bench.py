@@ -149,6 +149,10 @@ BENCH_QUERIES = [
     "pipeline_classifier_calibrated",
     "corpus_warc_typed_records",
     "corpus_warc_warcinfo",
+    "quality_kn5_scores",
+    "text_wordpiece_train_merges",
+    "pipeline_classifier_pr_curve",
+    "pipeline_classifier_auc",
 ]
 
 # The driver's bench artifact keeps only the TAIL of the output, and

@@ -429,3 +429,28 @@ def test_train_ovr_matches_per_class_fits(spark):
         ws, bs = shared[c]
         assert abs(b - bs) < 1e-9
         assert all(abs(x - y) < 1e-9 for x, y in zip(w, ws))
+
+
+def test_kn_order3_generic_matches_dedicated_kn3(spark):
+    """lm_kn_scores_order(order=3) and the dedicated lm_kn3_scores
+    build the same estimator with the same float association — scores
+    must agree to float tolerance on every doc (the generic tower's
+    order-3 instantiation IS the kn3 recursion)."""
+    from opentsdb_aura_spark.operators.quality import lm_kn3_scores, lm_kn_scores_order
+
+    rows = [
+        (1, "a b c d e a b c d"),
+        (2, "a b"),
+        (3, "x y z x y z x y"),
+        (4, "c d e c d e a b"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {r["doc_id"]: r for r in lm_kn_scores_order(d, order=3).collect()}
+    k = {r["doc_id"]: r for r in lm_kn3_scores(d).collect()}
+    assert set(g) == set(k)
+    for i in g:
+        assert g[i]["n_ngrams"] == k[i]["n_trigrams"]
+        a, b = g[i]["avg_logprob"], k[i]["avg_logprob"]
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert abs(a - b) < 1e-9, (i, a, b)

@@ -433,6 +433,97 @@ def wordpiece_train(
     )
 
 
+def wordpiece_greedy_apply(
+    docs: DataFrame,
+    vocab,
+    *,
+    max_symbols: int = 9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow: str = "</w>",
+) -> DataFrame:
+    """PRODUCTION WordPiece tokenization: greedy longest-match-first
+    segmentation against a trained vocabulary (the rule BERT's
+    tokenizer actually runs — NOT the training-fold replay
+    :func:`bpe_apply` uses), with the spec's all-or-nothing unknown
+    rule: a word containing any unmatchable symbol tokenizes to ONE
+    [UNK] piece.
+
+    ``vocab`` is the trained piece list (base characters + merged
+    symbols + the end-of-word marker, e.g. from
+    :func:`wordpiece_train`'s merge table).  Matching runs on the
+    SYMBOL array (chars + one trailing ``eow`` element), a candidate
+    piece being the concatenation of up to ``max_symbols`` adjacent
+    symbols — so the multi-char eow marker can never be confused with
+    literal ``<``/``/`` characters in corpus text.
+
+    Scale shape: segmentation is a pure-Catalyst fold over the
+    DISTINCT-WORD table (each word segmented once; the fold consumes
+    ≥1 symbol per step so len(syms) steps suffice, each trying the
+    ≤ max_symbols candidate lengths longest-first against the vocab
+    as a literal map); per-doc counts are one explode + join + sum.
+    Returns (doc_id, n_subwords, n_unk_words)."""
+    pieces = sorted(set(vocab))
+    if not pieces:
+        raise ValueError("wordpiece_greedy_apply: empty vocabulary")
+    vmap = F.create_map(*[x for p in pieces for x in (F.lit(p), F.lit(1))])
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    distinct_w = words.select("w").distinct()
+    syms = F.concat(
+        F.filter(F.split(F.col("w"), ""), lambda t: t != ""), F.array(F.lit(eow))
+    )
+    size = F.size(syms)
+
+    def step(acc, _):
+        pos, n, unk = acc["pos"], acc["n"], acc["unk"]
+        # innermost fallback: unmatchable symbol → flag unk, advance 1
+        branch = F.struct(
+            (pos + 1).alias("pos"), (n + 1).alias("n"), F.lit(True).alias("unk")
+        )
+        # wrap k=1..max ascending so the OUTERMOST when (checked first)
+        # is the LONGEST candidate — greedy longest-match-first
+        for k in range(1, int(max_symbols) + 1):
+            piece = F.array_join(F.slice(syms, pos, k), "")
+            cond = (pos + k - 1 <= size) & vmap.getItem(piece).isNotNull()
+            branch = F.when(
+                cond,
+                F.struct((pos + k).alias("pos"), (n + 1).alias("n"), unk.alias("unk")),
+            ).otherwise(branch)
+        return F.when(pos > size, acc).otherwise(branch)
+
+    init = F.struct(
+        F.lit(1).alias("pos"), F.lit(0).alias("n"), F.lit(False).alias("unk")
+    )
+    fin = F.aggregate(F.sequence(F.lit(1), size), init, step)
+    seg = distinct_w.select(
+        "w",
+        F.when(fin["unk"], F.lit(1)).otherwise(fin["n"]).alias("n_syms"),
+        fin["unk"].alias("is_unk"),
+    )
+    per_doc = (
+        wc.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("n_syms")).cast("long").alias("n_subwords"),
+            F.sum(F.when(F.col("is_unk"), F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_unk_words"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_subwords", F.lit(0).cast("long")).alias("n_subwords"),
+            F.coalesce("n_unk_words", F.lit(0).cast("long")).alias("n_unk_words"),
+        )
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges,

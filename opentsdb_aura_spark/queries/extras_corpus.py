@@ -539,6 +539,95 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
     )
 
 
+def _wp_greedy_oracle_sql(n_merges: int, max_symbols: int = 9) -> str:
+    """Greedy longest-match-first WordPiece apply, unrolled: re-train
+    the merges, build the vocabulary (corpus base chars + eow + the
+    merged symbols), then segment every distinct word with a
+    list_reduce whose accumulator is a 'pos|n|unk' state string — each
+    step a longest-first CASE chain over the ≤ max_symbols candidate
+    slices, mirroring the Spark fold's branch order exactly."""
+    pos = "CAST(string_split(acc, '|')[1] AS INT)"
+    n = "CAST(string_split(acc, '|')[2] AS INT)"
+    unk = "string_split(acc, '|')[3]"
+    arms = []
+    for K in range(max_symbols, 0, -1):
+        arms.append(
+            f"WHEN {pos} + {K - 1} <= len(syms) AND "
+            f"list_contains(vv.vl, array_to_string(syms[{pos}:{pos} + {K - 1}], '')) "
+            f"THEN ({pos} + {K}) || '|' || ({n} + 1) || '|' || {unk}"
+        )
+    case = (
+        f"CASE WHEN {pos} > len(syms) THEN acc "
+        + " ".join(arms)
+        + f" ELSE ({pos} + 1) || '|' || ({n} + 1) || '|' || '1' END"
+    )
+    merged = "".join(
+        f"\n  UNION SELECT a || b AS piece FROM b{k}" for k in range(n_merges)
+    )
+    return (
+        "WITH "
+        + _wp_oracle_ctes(n_merges)
+        + f""",
+vv AS MATERIALIZED (SELECT list(piece) AS vl FROM (
+  SELECT DISTINCT unnest(list_filter(string_split(w, ''), c -> c <> '')) AS piece FROM w
+  UNION SELECT '</w>'{merged})),
+segw AS MATERIALIZED (
+  SELECT w, list_reduce(list_prepend('1|0|0', list_transform(range(1, len(syms) + 1), _x -> '')),
+           (acc, _x) -> {case}) AS st
+  FROM (SELECT w, list_append(list_filter(string_split(w, ''), c -> c <> ''), '</w>') AS syms FROM w)
+       CROSS JOIN vv),
+seg AS (SELECT w,
+               CASE WHEN string_split(st, '|')[3] = '1' THEN 1
+                    ELSE CAST(string_split(st, '|')[2] AS INT) END AS n_syms,
+               string_split(st, '|')[3] = '1' AS is_unk
+        FROM segw),
+dw AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), _t -> _t <> '')) AS w
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_subwords,
+         CAST(sum(CASE WHEN is_unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
+  FROM dw JOIN seg USING (w) GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(p.n_subwords, 0) AS n_subwords,
+       coalesce(p.n_unk_words, 0) AS n_unk_words
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+    )
+
+
+@register("text_wordpiece_greedy_count", _wp_greedy_oracle_sql(8))
+def text_wordpiece_greedy_count(spark, sf_dir):
+    """The PRODUCTION WordPiece apply under a full oracle: greedy
+    longest-match-first segmentation against the trained vocabulary
+    (base chars + eow + the 8 learned merges) — the rule BERT's
+    tokenizer runs at inference, distinct from the training-fold
+    replay text_wordpiece_subword_count checks — with per-doc subword
+    and [UNK]-word counts.  The oracle re-trains the merges, rebuilds
+    the same vocabulary, and replays the greedy fold step-for-step
+    (the longest-first candidate order AND the all-or-nothing unknown
+    rule are part of the hashed contract).  The corpus vocabulary
+    covers every base char, so n_unk_words is provably 0 here; the
+    UNK path is pinned by a restricted-vocab unit test."""
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.text import (
+        wordpiece_greedy_apply,
+        wordpiece_train,
+    )
+
+    d = docs(spark, sf_dir)
+    merges = wordpiece_train(d, n_merges=8).orderBy("rank").collect()
+    wdf = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    chars = (
+        wdf.select(
+            F.explode(F.filter(F.split("w", ""), lambda t: t != "")).alias("c")
+        )
+        .distinct()
+        .collect()  # bounded: corpus alphabet
+    )
+    vocab = [r["c"] for r in chars] + ["</w>"] + [r["merged"] for r in merges]
+    return wordpiece_greedy_apply(d, vocab)
+
+
 _BPE_TRAIN_MERGES = 8
 
 

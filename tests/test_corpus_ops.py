@@ -779,3 +779,27 @@ def test_wordpiece_likelihood_beats_raw_count(spark):
     assert (bpe_first["lhs"], bpe_first["rhs"]) == ("a", "</w>")  # raw-count argmax
     assert (wp_first["lhs"], wp_first["rhs"]) == ("q", "z")       # cohesion argmax
     assert wp_first["score"] == pytest.approx(4 / (4 * 4))
+
+
+def test_wordpiece_greedy_apply_longest_match_and_unk(spark):
+    """Greedy longest-match-first: with vocab {a, b, ab, ab</w>, </w>}
+    the word 'abab' segments [ab, ab</w>] (2 pieces — the longest
+    candidate wins at every position, and ab</w> beats ab + </w>);
+    a word with a char outside the vocab collapses to ONE [UNK]
+    piece (the all-or-nothing rule)."""
+    from opentsdb_aura_spark.operators.text import wordpiece_greedy_apply
+
+    d = spark.createDataFrame(
+        [(1, "abab ab a"), (2, "abq")], "doc_id long, text string"
+    )
+    vocab = ["a", "b", "ab", "ab</w>", "</w>"]
+    got = {r["doc_id"]: r for r in wordpiece_greedy_apply(d, vocab).collect()}
+    # doc 1: abab -> [ab, ab</w>] = 2; ab -> [ab</w>] = 1; a -> [a, </w>] = 2
+    assert got[1]["n_subwords"] == 2 + 1 + 2
+    assert got[1]["n_unk_words"] == 0
+    # doc 2: 'abq' hits unmatchable 'q' -> whole word one [UNK] piece
+    assert got[2]["n_subwords"] == 1 and got[2]["n_unk_words"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty vocabulary"):
+        wordpiece_greedy_apply(d, [])

@@ -64,6 +64,14 @@ CRAWL_HEADLINE = [
     # trained classifier (8 GD steps + corpus scoring)
     "pipeline_ccnet_curate",
     "pipeline_quality_classifier",
+    # round 13: the heavy trained-model additions — KN at orders 3/5
+    # (count towers + type-table scoring), the kn5-driven curate keep,
+    # the OvR-trained lang-id, and WordPiece training
+    "quality_kn3_scores",
+    "quality_kn5_scores",
+    "pipeline_ccnet_curate_kn",
+    "text_lang_id_trained",
+    "text_wordpiece_train_merges",
 ]
 
 

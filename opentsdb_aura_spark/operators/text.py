@@ -437,7 +437,7 @@ def wordpiece_greedy_apply(
     docs: DataFrame,
     vocab,
     *,
-    max_symbols: int = 9,
+    max_symbols: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     eow: str = "</w>",
@@ -462,10 +462,17 @@ def wordpiece_greedy_apply(
     ≥1 symbol per step so len(syms) steps suffice, each trying the
     ≤ max_symbols candidate lengths longest-first against the vocab
     as a literal map); per-doc counts are one explode + join + sum.
-    Returns (doc_id, n_subwords, n_unk_words)."""
+    Returns (doc_id, n_subwords, n_unk_words).
+
+    ``max_symbols`` must be ≥ the widest piece's base-symbol span or
+    long pieces silently never match; the default derives a safe
+    upper bound from the vocabulary itself (a piece spans at most
+    len(piece) base symbols, since every base symbol is ≥1 char)."""
     pieces = sorted(set(vocab))
     if not pieces:
         raise ValueError("wordpiece_greedy_apply: empty vocabulary")
+    if max_symbols is None:
+        max_symbols = max(len(p) for p in pieces)
     vmap = F.create_map(*[x for p in pieces for x in (F.lit(p), F.lit(1))])
     words = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w")

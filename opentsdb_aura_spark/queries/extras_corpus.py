@@ -625,7 +625,10 @@ def text_wordpiece_greedy_count(spark, sf_dir):
         .collect()  # bounded: corpus alphabet
     )
     vocab = [r["c"] for r in chars] + ["</w>"] + [r["merged"] for r in merges]
-    return wordpiece_greedy_apply(d, vocab)
+    # max_symbols pinned to the oracle's unrolled K chain (9 = the
+    # 8-merge bound at one-base-symbol-per-merge; both sides must try
+    # the SAME candidate lengths)
+    return wordpiece_greedy_apply(d, vocab, max_symbols=9)
 
 
 _BPE_TRAIN_MERGES = 8

@@ -1220,6 +1220,7 @@ def train_ovr_logreg_weights(
     lr: float = 0.5,
     n_iter: int = 4,
     center: bool = False,
+    l2: float = 0.0,
     class_col: str = "lang",
 ) -> dict[str, tuple[list[float], float]]:
     """K one-vs-rest logistic fits sharing every distributed pass —
@@ -1311,7 +1312,11 @@ def train_ovr_logreg_weights(
                     b[c] -= float(lr) * rbar
                 else:
                     j = r["bucket"]
-                    w[c][j] -= float(lr) * (float(r[f"g_{i}"]) - mu[j] * rbar)
+                    # l2 mirrors train_logreg_weights: ridge on the
+                    # weights only, intercept unpenalized
+                    w[c][j] -= float(lr) * (
+                        float(r[f"g_{i}"]) - mu[j] * rbar + float(l2) * w[c][j]
+                    )
     return {
         c: (w[c], float(b[c]) - sum(wi * mi for wi, mi in zip(w[c], mu)))
         for c in classes

@@ -429,6 +429,19 @@ def test_train_ovr_matches_per_class_fits(spark):
         ws, bs = shared[c]
         assert abs(b - bs) < 1e-9
         assert all(abs(x - y) < 1e-9 for x, y in zip(w, ws))
+    # l2 parity: the shared-pass ridge matches per-class ridge fits too
+    shared_l2 = train_ovr_logreg_weights(
+        feats, d.select("doc_id", "lang"), classes=classes,
+        n_features=32, lr=5.0, n_iter=4, center=True, l2=0.05,
+    )
+    for c in classes:
+        labels = d.select("doc_id", (F.col("lang") == c).cast("double").alias("y"))
+        w, b = train_logreg_weights(
+            feats, labels, n_features=32, lr=5.0, n_iter=4, center=True, l2=0.05
+        )
+        ws, bs = shared_l2[c]
+        assert abs(b - bs) < 1e-9
+        assert all(abs(x - y) < 1e-9 for x, y in zip(w, ws))
 
 
 def test_kn_order3_generic_matches_dedicated_kn3(spark):

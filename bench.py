@@ -182,6 +182,14 @@ MIN_OF = {
     # r11→r12: 1.91 s vs the 0.49–1.03 s r1–r8 band on unchanged code
     # (VERDICT r12 item 5) — pin min-of-3 to separate plan from noise
     "ds_spine_hourly_purchase": 3,
+    # r12→r13: judge's warm re-measurement showed these four were
+    # driver-session variance (quality_kn_scores 23.4 s first-run JIT →
+    # 7.4 s run 2 and still falling; unchanged plans) — pin min-of-3
+    # exactly as ds_spine was handled (VERDICT r13 item 2)
+    "quality_kn_scores": 3,
+    "text_unigram_train": 3,
+    "text_unigram_count": 3,
+    "text_lang_id_trained": 3,
 }
 
 

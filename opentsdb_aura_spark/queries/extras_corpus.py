@@ -625,9 +625,23 @@ def text_wordpiece_greedy_count(spark, sf_dir):
         .collect()  # bounded: corpus alphabet
     )
     vocab = [r["c"] for r in chars] + ["</w>"] + [r["merged"] for r in merges]
-    # max_symbols pinned to the oracle's unrolled K chain (9 = the
-    # 8-merge bound at one-base-symbol-per-merge; both sides must try
-    # the SAME candidate lengths)
+    # max_symbols pinned to the oracle's unrolled K chain: both sides
+    # must try the SAME candidate lengths.  A merge can join two
+    # multi-symbol pieces, so "8 merges → ≤9 symbols" is not a priori
+    # true (ADVICE r13); prove it on the TRAINED pieces by re-deriving
+    # each merged piece's base-symbol span from the merge table (base
+    # char = 1, eow = 1, merged = span(lhs)+span(rhs)) so a wider
+    # future piece fails loudly instead of silently breaking
+    # longest-match on both engines.
+    span = {"</w>": 1}
+    for r in merges:  # rank order: lhs/rhs precede their merge
+        span[r["merged"]] = span.get(r["lhs"], 1) + span.get(r["rhs"], 1)
+    widest = max(span.values())
+    if widest > 9:
+        raise AssertionError(
+            f"trained WordPiece piece spans {widest} base symbols > the "
+            "pinned max_symbols=9 — regenerate the oracle K chain"
+        )
     return wordpiece_greedy_apply(d, vocab, max_symbols=9)
 
 

@@ -1311,7 +1311,17 @@ m{k + 1} AS MATERIALIZED (SELECT lab.doc_id, lab.y, b{k + 1}.b - off{k + 1}.o + 
   LEFT JOIN (SELECT trip.doc_id, sum(cnt * w{k + 1}.w ORDER BY trip.bucket) AS v
              FROM trip JOIN w{k + 1} USING (bucket) GROUP BY 1) dp{k + 1} USING (doc_id))"""
         )
-    pred_sql = "margin >= 0" if thr == 0.5 else f"margin >= ln({thr!r} / (1.0 - {thr!r}))"
+    # the Spark side compares against a PYTHON-computed logit literal
+    # (logreg_scores' thr_margin) — embed the identical full-precision
+    # double here rather than re-deriving ln(thr/(1-thr)) in DuckDB,
+    # whose libm can differ in the last ulp (ADVICE r13)
+    import math
+
+    pred_sql = (
+        "margin >= 0"
+        if thr == 0.5
+        else f"margin >= {math.log(thr / (1.0 - thr))!r}"
+    )
     final = f"""SELECT doc_id, y = 1.0 AS label,
        round(margin, 4) AS margin,
        round(1.0/(1.0+exp(-margin)), 4) AS prob,
@@ -1464,19 +1474,27 @@ def _classifier_pr_oracle() -> str:
     picking a threshold.  Counts compare in MARGIN space
     (margin ≥ logit(t)) and F1 comes from the integer counts
     (2·tp/(n_pred+n_true)), so no ratio-of-rounded-ratios drift."""
+    import math
+
     R = _LOGREG_ITERS
     ctes = _logreg_oracle().rsplit("SELECT doc_id, y = 1.0 AS label", 1)[0].rstrip()
     assert ctes.endswith(")"), "unexpected oracle tail"
-    vals = ", ".join(f"({t!r})" for t in _PR_THRESHOLDS)
+    # cutoffs are PYTHON-computed logits embedded as full-precision
+    # literals in BOTH engines (the Spark sweep carries the same
+    # doubles) so the count comparisons never ride on a libm-ln ulp
+    # difference between the JVM and DuckDB (ADVICE r13)
+    vals = ", ".join(
+        f"({t!r}, {math.log(t / (1.0 - t))!r})" for t in _PR_THRESHOLDS
+    )
     return (
         ctes
         + f""",
-thr(t) AS (VALUES {vals}),
+thr(t, cut) AS (VALUES {vals}),
 pr AS (
   SELECT t,
-         CAST(count(*) FILTER (margin >= ln(t / (1.0 - t))) AS BIGINT) AS n_pred,
+         CAST(count(*) FILTER (margin >= cut) AS BIGINT) AS n_pred,
          CAST(count(*) FILTER (y = 1.0) AS BIGINT) AS n_true,
-         CAST(count(*) FILTER (margin >= ln(t / (1.0 - t)) AND y = 1.0) AS BIGINT) AS tp
+         CAST(count(*) FILTER (margin >= cut AND y = 1.0) AS BIGINT) AS tp
   FROM m{R} CROSS JOIN thr GROUP BY 1)
 SELECT round(t, 2) AS threshold, n_pred, n_true, tp,
        round(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred END, 6) AS prec,
@@ -1517,12 +1535,24 @@ def pipeline_classifier_pr_curve(spark, sf_dir):
         center=True,
     )
     scores = logreg_scores(d, w, b, n_features=_LOGREG_D, binary=True)
-    sweep = labels.join(scores, "doc_id").select(
-        "y",
-        "margin",
-        F.explode(F.array(*[F.lit(float(t)) for t in _PR_THRESHOLDS])).alias("t"),
+    # each grid point carries its Python-computed logit cutoff as a
+    # full-precision literal — the oracle embeds the SAME doubles, so
+    # neither engine evaluates ln() at compare time (ADVICE r13)
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("t"),
+                F.lit(math.log(float(t) / (1.0 - float(t)))).alias("cut"),
+            )
+            for t in _PR_THRESHOLDS
+        ]
     )
-    hit = (F.col("margin") >= F.log(F.col("t") / (1.0 - F.col("t")))).cast("long")
+    sweep = (
+        labels.join(scores, "doc_id")
+        .select("y", "margin", F.explode(grid).alias("tc"))
+        .select("y", "margin", F.col("tc.t").alias("t"), F.col("tc.cut").alias("cut"))
+    )
+    hit = (F.col("margin") >= F.col("cut")).cast("long")
     agg = sweep.groupBy("t").agg(
         F.sum(hit).alias("n_pred"),
         F.sum((F.col("y") == 1.0).cast("long")).alias("n_true"),
@@ -1995,7 +2025,7 @@ s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
                greatest(c - CASE WHEN c = 1 THEN d1 WHEN c = 2 THEN d2 ELSE d3 END, 0.0) / ctot
                + (d1 * n1f + d2 * n2f + d3 * n3f) / ctot
                  * (greatest(cc - CASE WHEN cc = 1 THEN e1 WHEN cc = 2 THEN e2 ELSE e3 END, 0.0) / cctot
-                    + (e1 * m1f + e2 * m2f + e3 * m3f) / cctot * uc / u))), 4) AS avg_logprob
+                    + (e1 * m1f + e2 * m2f + e3 * m3f) / cctot * (uc / u)))), 4) AS avg_logprob
       FROM tg JOIN c3 USING (w1, w2, w3) JOIN hi USING (w1, w2)
            JOIN cc2 USING (w2, w3) JOIN mid USING (w2) JOIN u1 USING (w3)
            CROSS JOIN ut CROSS JOIN dhi CROSS JOIN dmid

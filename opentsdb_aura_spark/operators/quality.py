@@ -1321,3 +1321,273 @@ def train_ovr_logreg_weights(
         c: (w[c], float(b[c]) - sum(wi * mi for wi, mi in zip(w[c], mu)))
         for c in classes
     }
+
+
+# ------------------------------------------------------- KN train/apply
+
+def _kn_coc_discounts(gk: DataFrame, cname: str, k: int) -> DataFrame:
+    """Count-of-count → modified-KN discount triple (D1, D2, D3+) for
+    one level, as a 1-row frame (d{k}_1, d{k}_2, d{k}_3) — the Chen &
+    Goodman 1999 eq. 26 rule ``lm_kn_scores_order`` applies inline:
+    Y = n1/(n1+2n2) (fallback 0.5), D_i = max(i − (i+1)·Y·n_{i+1}/n_i,
+    0), each falling back to 0.5 when its count-of-count denominator
+    is empty.  Expression-identical to the in-corpus scorer's nested
+    helper so the two paths stay float-compatible."""
+    coc = gk.agg(
+        *[
+            F.sum((F.col(cname) == i).cast("double")).alias(f"n{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    y = F.when(
+        F.col("n1") + 2 * F.col("n2") > 0,
+        F.col("n1") / (F.col("n1") + 2 * F.col("n2")),
+    ).otherwise(F.lit(0.5))
+    withy = coc.select(y.alias("y"), "n1", "n2", "n3", "n4")
+    return withy.select(
+        F.when(
+            F.col("n1") > 0,
+            F.greatest(1 - 2 * F.col("y") * F.col("n2") / F.col("n1"), F.lit(0.0)),
+        )
+        .otherwise(F.lit(0.5))
+        .alias(f"d{k}_1"),
+        F.when(
+            F.col("n2") > 0,
+            F.greatest(2 - 3 * F.col("y") * F.col("n3") / F.col("n2"), F.lit(0.0)),
+        )
+        .otherwise(F.lit(0.5))
+        .alias(f"d{k}_2"),
+        F.when(
+            F.col("n3") > 0,
+            F.greatest(3 - 4 * F.col("y") * F.col("n4") / F.col("n3"), F.lit(0.0)),
+        )
+        .otherwise(F.lit(0.5))
+        .alias(f"d{k}_3"),
+    )
+
+
+def lm_kn_fit(
+    docs: DataFrame,
+    *,
+    order: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Fit the order-N modified Kneser–Ney tower on a TRAIN corpus and
+    return it as a MODEL — the train half of CCNet's actual deployment
+    (Wenzek et al. 2020 §4.3 train KenLM on Wikipedia and score Common
+    Crawl; the train/apply split IS the operator, which the in-corpus
+    :func:`lm_kn_scores_order` deliberately lacks).
+
+    The model is a dict of narrow DataFrames, every piece a Parquet-
+    persistable dim (:func:`lm_kn_save` / :func:`lm_kn_load`):
+
+    - ``g[k]`` (k=1..N): level-k count table — raw counts at level N,
+      continuation counts (distinct left-extension types) below, each
+      level one GROUP BY over the level above.
+    - ``x[k]`` (k=2..N): per-context totals + count-of-count masses
+      (tot, n1f, n2f, n3f) — the denominator and γ numerator of the
+      backoff at level k.
+    - ``dd[k]`` (k=1..N): 1-row modified-discount triples.  Level 1
+      gets its OWN triple (the in-corpus scorer stops at p₁ = c₁/u):
+      held-out scoring discounts the unigram level too, releasing the
+      reserved mass to the uniform unknown floor.
+    - ``tot``: 1-row (u, v, n1f1, n2f1, n3f1) — the continuation-type
+      grand total u = N₁₊(··), the TRAIN vocabulary size v (distinct
+      tokens, for the 1/(v+1) unknown floor — the +1 reserves the
+      <unk> slot), and the level-1 γ masses.
+
+    Scale shape: one tokenize+explode pass over the train corpus, one
+    GROUP BY per level (all map-side combined), four 1-row aggregates;
+    every frame is localCheckpointed so fit → score never re-derives
+    the tower."""
+    N = int(order)
+    if N < 2:
+        raise ValueError(f"lm_kn_fit: order must be >= 2, got {order}")
+    cols = [f"w{j}" for j in range(1, N + 1)]
+    toks = tokens(F.col(text_col))
+    ng = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (N - 1), F.lit(0))),
+        lambda t, i: F.struct(
+            t.alias("w1"),
+            *[F.element_at(toks, i + j).alias(f"w{j}") for j in range(2, N + 1)],
+        ),
+    )
+    occ = docs.select(F.col(id_col).alias("doc_id"), F.explode(ng).alias("g")).select(
+        "doc_id", *[F.col(f"g.{c}").alias(c) for c in cols]
+    )
+    g = {
+        N: occ.groupBy(*cols)
+        .agg(F.count("*").cast("double").alias(f"c{N}"))
+        .localCheckpoint(eager=False)
+    }
+    for k in range(N - 1, 0, -1):
+        g[k] = (
+            g[k + 1]
+            .groupBy(*cols[N - k :])
+            .agg(F.count("*").cast("double").alias(f"c{k}"))
+            .localCheckpoint(eager=False)
+        )
+    x = {}
+    dd = {}
+    for k in range(N, 1, -1):
+        ckeys = cols[N - k : N - 1]
+        x[k] = (
+            g[k]
+            .groupBy(*ckeys)
+            .agg(
+                F.sum(f"c{k}").alias(f"tot{k}"),
+                F.sum((F.col(f"c{k}") == 1).cast("double")).alias(f"n1f{k}"),
+                F.sum((F.col(f"c{k}") == 2).cast("double")).alias(f"n2f{k}"),
+                F.sum((F.col(f"c{k}") >= 3).cast("double")).alias(f"n3f{k}"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        dd[k] = _kn_coc_discounts(g[k], f"c{k}", k).localCheckpoint(eager=False)
+    dd[1] = _kn_coc_discounts(g[1], "c1", 1).localCheckpoint(eager=False)
+    u_total = g[2].agg(F.count("*").cast("double").alias("u"))
+    v_total = (
+        docs.select(F.explode(toks).alias("_t"))
+        .agg(F.count_distinct("_t").cast("double").alias("v"))
+    )
+    x1 = g[1].agg(
+        F.sum((F.col("c1") == 1).cast("double")).alias("n1f1"),
+        F.sum((F.col("c1") == 2).cast("double")).alias("n2f1"),
+        F.sum((F.col("c1") >= 3).cast("double")).alias("n3f1"),
+    )
+    tot = (
+        u_total.crossJoin(v_total).crossJoin(x1).localCheckpoint(eager=False)
+    )  # 1-row × 1-row × 1-row
+    return {"order": N, "g": g, "x": x, "dd": dd, "tot": tot}
+
+
+def lm_kn_score(
+    model: dict,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a HELD-OUT corpus against a fitted KN tower → (doc_id,
+    n_ngrams, avg_logprob) — the apply half of the CCNet deployment,
+    with full OOV backoff instead of the inner-join vanish:
+
+    - level k ≥ 2, context seen in training:
+        p_k = max(c_k − D_k(c_k), 0)/tot_k + γ_k(ctx)·p_{k−1}
+      with c_k = 0 when the k-gram itself is unseen (first term 0,
+      the backoff mass carries everything);
+    - level k ≥ 2, context UNSEEN: p_k = p_{k−1} (pass-through — an
+      unseen context reserves no mass of its own, the standard
+      back-off rule);
+    - level 1: p₁ = max(uc − D₁(uc), 0)/u + γ₁·(1/(v+1)) — the
+      unigram level is discounted exactly like every other level and
+      the released mass interpolates with the UNIFORM distribution
+      over the train vocabulary + one <unk> slot (KenLM's unigram
+      closure), so an OOV word scores γ₁/(v+1) > 0 instead of −inf.
+
+    Scale shape: each DISTINCT held-out N-gram is scored once (N
+    LEFT equi-joins against the count tables, N−1 LEFT joins against
+    the context dims, all discount triples and totals broadcast as
+    1-row frames); the held-out occurrence frame then pays exactly
+    one equi-join against the finished scores.  Docs shorter than N
+    tokens surface with n_ngrams 0 and NULL score, never vanish."""
+    N = int(model["order"])
+    g, x, dd, tot = model["g"], model["x"], model["dd"], model["tot"]
+    cols = [f"w{j}" for j in range(1, N + 1)]
+    toks = tokens(F.col(text_col))
+    ng = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (N - 1), F.lit(0))),
+        lambda t, i: F.struct(
+            t.alias("w1"),
+            *[F.element_at(toks, i + j).alias(f"w{j}") for j in range(2, N + 1)],
+        ),
+    )
+    occ = docs.select(F.col(id_col).alias("doc_id"), F.explode(ng).alias("g")).select(
+        "doc_id", *[F.col(f"g.{c}").alias(c) for c in cols]
+    )
+    occ = occ.localCheckpoint(eager=False)
+    typ = occ.select(*cols).distinct()
+    joined = typ
+    for k in range(N, 0, -1):
+        joined = joined.join(g[k], cols[N - k :], "left")
+    for k in range(N, 1, -1):
+        joined = joined.join(x[k], cols[N - k : N - 1], "left")
+    for k in range(N, 0, -1):
+        joined = joined.crossJoin(F.broadcast(dd[k]))
+    joined = joined.crossJoin(F.broadcast(tot))
+
+    c1v = F.coalesce(F.col("c1"), F.lit(0.0))
+    d_of1 = (
+        F.when(c1v == 1, F.col("d1_1"))
+        .when(c1v == 2, F.col("d1_2"))
+        .otherwise(F.col("d1_3"))
+    )
+    gamma1 = (
+        F.col("d1_1") * F.col("n1f1")
+        + F.col("d1_2") * F.col("n2f1")
+        + F.col("d1_3") * F.col("n3f1")
+    ) / F.col("u")
+    p = F.greatest(c1v - d_of1, F.lit(0.0)) / F.col("u") + gamma1 * (
+        F.lit(1.0) / (F.col("v") + F.lit(1.0))
+    )
+    for k in range(2, N + 1):
+        ckv = F.coalesce(F.col(f"c{k}"), F.lit(0.0))
+        d_of = (
+            F.when(ckv == 1, F.col(f"d{k}_1"))
+            .when(ckv == 2, F.col(f"d{k}_2"))
+            .otherwise(F.col(f"d{k}_3"))
+        )
+        gamma = (
+            F.col(f"d{k}_1") * F.col(f"n1f{k}")
+            + F.col(f"d{k}_2") * F.col(f"n2f{k}")
+            + F.col(f"d{k}_3") * F.col(f"n3f{k}")
+        ) / F.col(f"tot{k}")
+        p = F.when(F.col(f"tot{k}").isNull(), p).otherwise(
+            F.greatest(ckv - d_of, F.lit(0.0)) / F.col(f"tot{k}") + gamma * p
+        )
+
+    tri = joined.select(*cols, F.log(p).alias("_lp"))
+    scored = occ.join(tri, cols)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_ngrams"),
+        F.avg("_lp").alias("avg_logprob"),
+    )
+    all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+        "avg_logprob",
+    )
+
+
+def lm_kn_save(model: dict, path: str) -> None:
+    """Persist a fitted KN tower as Parquet dims under ``path`` —
+    the ANN persisted-index pattern (similarity.py build_pq_index):
+    one directory per piece (g1..gN, x2..xN, dd1..ddN, tot) plus a
+    1-row ``meta`` carrying the order.  Doubles round-trip Parquet
+    bit-exactly, so load-then-score is float-identical to
+    fit-then-score (pinned by the roundtrip query's shared oracle)."""
+    N = int(model["order"])
+    spark = model["tot"].sparkSession
+    spark.range(1).select(F.lit(N).alias("order")).write.mode("overwrite").parquet(
+        f"{path}/meta"
+    )
+    for k in range(1, N + 1):
+        model["g"][k].write.mode("overwrite").parquet(f"{path}/g{k}")
+        model["dd"][k].write.mode("overwrite").parquet(f"{path}/dd{k}")
+    for k in range(2, N + 1):
+        model["x"][k].write.mode("overwrite").parquet(f"{path}/x{k}")
+    model["tot"].write.mode("overwrite").parquet(f"{path}/tot")
+
+
+def lm_kn_load(spark, path: str) -> dict:
+    """Load a persisted KN tower back into the :func:`lm_kn_score`
+    model shape.  The count tables come back as partitioned Parquet
+    scans (column-pruned, ready for the scoring equi-joins); the
+    triples/totals stay 1-row broadcast dims."""
+    N = int(spark.read.parquet(f"{path}/meta").head()["order"])
+    g = {k: spark.read.parquet(f"{path}/g{k}") for k in range(1, N + 1)}
+    dd = {k: spark.read.parquet(f"{path}/dd{k}") for k in range(1, N + 1)}
+    x = {k: spark.read.parquet(f"{path}/x{k}") for k in range(2, N + 1)}
+    tot = spark.read.parquet(f"{path}/tot")
+    return {"order": N, "g": g, "x": x, "dd": dd, "tot": tot}

@@ -719,3 +719,71 @@ def text_bpe_subword_count(spark, sf_dir):
         for r in bpe_train(d, n_merges=_BPE_TRAIN_MERGES).orderBy("rank").collect()
     ]
     return bpe_apply(d, merges)
+
+
+def _artifact_path(sf_dir: str, name: str) -> str:
+    """STORE_ROOT-based artifact location, one dir per (sf, artifact)
+    — the persisted-ANN-index convention (version-tagged names so a
+    fit-rule change invalidates by renaming, never by trusting)."""
+    import os
+
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(STORE_ROOT, base, name)
+
+
+def _artifact_ready(path: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+@register("text_bpe_persisted_count", None)
+def text_bpe_persisted_count(spark, sf_dir):
+    """text_bpe_subword_count THROUGH the persisted-merges path: train
+    the 8 BPE merges, WRITE the merge table as a Parquet dim
+    (merges_save), load it back rank-ordered (merges_load), and
+    segment the corpus from the LOADED merges — train once, tokenize
+    everywhere.  Same oracle as the in-memory query (registered
+    below): merge strings round-trip Parquet byte-exactly, so a
+    hash-green result proves the persisted tokenizer is the trained
+    tokenizer."""
+    from opentsdb_aura_spark.operators.artifacts import (
+        merge_pairs,
+        merges_load,
+        merges_save,
+    )
+    from opentsdb_aura_spark.operators.text import bpe_apply, bpe_train
+
+    d = docs(spark, sf_dir)
+    path = _artifact_path(sf_dir, "bpe_merges_v1")
+    if not _artifact_ready(path):
+        merges_save(bpe_train(d, n_merges=_BPE_TRAIN_MERGES), path)
+    return bpe_apply(d, merge_pairs(merges_load(spark, path)))
+
+
+ORACLES["text_bpe_persisted_count"] = ORACLES["text_bpe_subword_count"]
+
+
+@register("text_wordpiece_persisted_count", None)
+def text_wordpiece_persisted_count(spark, sf_dir):
+    """text_wordpiece_subword_count THROUGH the persisted-merges path
+    (train → merges_save → merges_load → apply), pinned to the
+    in-memory query's oracle — the WordPiece leg of the
+    train-once-tokenize-everywhere contract."""
+    from opentsdb_aura_spark.operators.artifacts import (
+        merge_pairs,
+        merges_load,
+        merges_save,
+    )
+    from opentsdb_aura_spark.operators.text import bpe_apply, wordpiece_train
+
+    d = docs(spark, sf_dir)
+    path = _artifact_path(sf_dir, "wordpiece_merges_v1")
+    if not _artifact_ready(path):
+        merges_save(wordpiece_train(d, n_merges=8), path)
+    return bpe_apply(d, merge_pairs(merges_load(spark, path)))
+
+
+ORACLES["text_wordpiece_persisted_count"] = ORACLES["text_wordpiece_subword_count"]

@@ -1942,6 +1942,41 @@ def text_unigram_count(spark, sf_dir):
     return unigram_apply(d, vocab, max_piece_len=_UNI_L)
 
 
+@register("text_unigram_persisted_count", None)
+def text_unigram_persisted_count(spark, sf_dir):
+    """text_unigram_count THROUGH the persisted-vocabulary path: train
+    the unigram-LM vocab, WRITE its (piece, cnt, prob) table as a
+    Parquet dim (unigram_vocab_save), load it back and re-derive the
+    micro-nat log-probs from the loaded INTEGER counts (the same
+    Laplace + quantize rule, integer-exact), then segment the corpus
+    from the LOADED vocab.  Pinned to the in-memory query's oracle —
+    a hash-green result proves the persisted tokenizer segments
+    identically to the one just trained."""
+    import os
+
+    from opentsdb_aura_spark.operators.artifacts import (
+        unigram_vocab_load,
+        unigram_vocab_save,
+    )
+    from opentsdb_aura_spark.operators.text import unigram_apply, unigram_train
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    d = docs(spark, sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(STORE_ROOT, base, "unigram_vocab_v1")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        unigram_vocab_save(
+            unigram_train(
+                d, seed_max_len=_UNI_L, keep_multi=_UNI_K, n_rounds=_UNI_ROUNDS
+            ),
+            path,
+        )
+    return unigram_apply(d, unigram_vocab_load(spark, path), max_piece_len=_UNI_L)
+
+
+ORACLES["text_unigram_persisted_count"] = ORACLES["text_unigram_count"]
+
+
 @register(
     "quality_kn_scores",
     r"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '') AS toks
@@ -2149,6 +2184,183 @@ def quality_kn5_scores(spark, sf_dir):
     from opentsdb_aura_spark.operators.quality import lm_kn_scores_order
 
     res = lm_kn_scores_order(docs(spark, sf_dir), order=5)
+    return res.select(
+        "doc_id",
+        F.col("n_ngrams").alias("n_5grams"),
+        _r("avg_logprob", 4).alias("avg_logprob"),
+    )
+
+
+def _kn_heldout_oracle(N: int, count_alias: str) -> str:
+    """Re-fit the order-``N`` tower on the TRAIN slice (doc_id % 10
+    <> 0) and re-score the HELD-OUT slice (doc_id % 10 = 0) with the
+    full OOV backoff — lm_kn_score's recursion (coalesced counts,
+    unseen-context pass-through, discounted-unigram + uniform unknown
+    floor) in the SAME textual nesting the Spark Column expression
+    builds, so every float associates identically before the
+    4-decimal round."""
+    cols = [f"w{j}" for j in range(1, N + 1)]
+    wsel = ", ".join(f"toks[i+{j}] AS w{j}" for j in range(1, N + 1))
+    tok_expr = (
+        r"list_filter(string_split_regex(lower(trim(text)), '\s+'), _t -> _t <> '')"
+    )
+    parts = [
+        f"""knd_tr AS MATERIALIZED (SELECT doc_id, {tok_expr} AS toks
+           FROM documents WHERE doc_id % 10 <> 0)""",
+        f"""knd_ho AS MATERIALIZED (SELECT doc_id, {tok_expr} AS toks
+           FROM documents WHERE doc_id % 10 = 0)""",
+        f"""kn_og AS MATERIALIZED (SELECT doc_id, {wsel}
+       FROM knd_tr, unnest(range(0, greatest(len(toks) - {N - 1}, 0))) AS _kt(i))""",
+        f"""kn_g{N} AS MATERIALIZED (SELECT {', '.join(cols)}, CAST(count(*) AS DOUBLE) AS c{N}
+       FROM kn_og GROUP BY {', '.join(str(i + 1) for i in range(N))})""",
+    ]
+    for k in range(N - 1, 0, -1):
+        keys = cols[N - k :]
+        parts.append(
+            f"""kn_g{k} AS MATERIALIZED (SELECT {', '.join(keys)}, CAST(count(*) AS DOUBLE) AS c{k}
+       FROM kn_g{k + 1} GROUP BY {', '.join(str(i + 1) for i in range(k))})"""
+        )
+    for k in range(N, 1, -1):
+        ckeys = cols[N - k : N - 1]
+        parts.append(
+            f"""kn_x{k} AS MATERIALIZED (SELECT {', '.join(ckeys)}, sum(c{k}) AS tot{k},
+              sum(CASE WHEN c{k} = 1 THEN 1.0 ELSE 0.0 END) AS n1f{k},
+              sum(CASE WHEN c{k} = 2 THEN 1.0 ELSE 0.0 END) AS n2f{k},
+              sum(CASE WHEN c{k} >= 3 THEN 1.0 ELSE 0.0 END) AS n3f{k}
+       FROM kn_g{k} GROUP BY {', '.join(str(i + 1) for i in range(len(ckeys)))})"""
+        )
+        parts.append(
+            f"kn_dd{k} AS MATERIALIZED {_kn3_coc_sql(f'kn_g{k}', f'c{k}', f'd{k}_')}"
+        )
+    parts.append(f"kn_dd1 AS MATERIALIZED {_kn3_coc_sql('kn_g1', 'c1', 'd1_')}")
+    parts.append(
+        """kn_x1 AS MATERIALIZED (SELECT sum(CASE WHEN c1 = 1 THEN 1.0 ELSE 0.0 END) AS n1f1,
+              sum(CASE WHEN c1 = 2 THEN 1.0 ELSE 0.0 END) AS n2f1,
+              sum(CASE WHEN c1 >= 3 THEN 1.0 ELSE 0.0 END) AS n3f1
+       FROM kn_g1)"""
+    )
+    parts.append(
+        "kn_ut AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS u FROM kn_g2)"
+    )
+    parts.append(
+        """kn_vt AS MATERIALIZED (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+       FROM (SELECT unnest(toks) AS tok FROM knd_tr))"""
+    )
+    parts.append(
+        f"""kn_hog AS MATERIALIZED (SELECT doc_id, {wsel}
+       FROM knd_ho, unnest(range(0, greatest(len(toks) - {N - 1}, 0))) AS _kt(i))""",
+    )
+    parts.append(
+        f"kn_typ AS MATERIALIZED (SELECT DISTINCT {', '.join(cols)} FROM kn_hog)"
+    )
+    c1v = "coalesce(c1, 0.0)"
+    p = (
+        f"greatest({c1v} - CASE WHEN {c1v} = 1 THEN d1_1 WHEN {c1v} = 2 THEN d1_2 ELSE d1_3 END, 0.0) / u"
+        " + (d1_1 * n1f1 + d1_2 * n2f1 + d1_3 * n3f1) / u * (1.0 / (v + 1.0))"
+    )
+    for k in range(2, N + 1):
+        ckv = f"coalesce(c{k}, 0.0)"
+        d_of = f"CASE WHEN {ckv} = 1 THEN d{k}_1 WHEN {ckv} = 2 THEN d{k}_2 ELSE d{k}_3 END"
+        gamma = f"(d{k}_1 * n1f{k} + d{k}_2 * n2f{k} + d{k}_3 * n3f{k}) / tot{k}"
+        p = (
+            f"CASE WHEN tot{k} IS NULL THEN ({p}) "
+            f"ELSE greatest({ckv} - {d_of}, 0.0) / tot{k} + {gamma} * ({p}) END"
+        )
+    gram_joins = "\n           ".join(
+        f"LEFT JOIN kn_g{k} USING ({', '.join(cols[N - k :])})"
+        for k in range(N, 0, -1)
+    )
+    ctx_joins = "\n           ".join(
+        f"LEFT JOIN kn_x{k} USING ({', '.join(cols[N - k : N - 1])})"
+        for k in range(N, 1, -1)
+    )
+    dd_joins = "\n           ".join(
+        f"CROSS JOIN kn_dd{k}" for k in range(N, 0, -1)
+    )
+    parts.append(
+        f"""kn_sc AS MATERIALIZED (SELECT {', '.join(cols)}, ln({p}) AS _lp
+      FROM kn_typ
+           {gram_joins}
+           {ctx_joins}
+           {dd_joins}
+           CROSS JOIN kn_ut CROSS JOIN kn_vt CROSS JOIN kn_x1)"""
+    )
+    parts.append(
+        f"""kns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS {count_alias},
+             round(avg(_lp), 4) AS avg_logprob
+      FROM kn_hog JOIN kn_sc USING ({', '.join(cols)})
+      GROUP BY 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT knd_ho.doc_id, coalesce(kns.{count_alias}, 0) AS {count_alias}, kns.avg_logprob
+FROM knd_ho LEFT JOIN kns USING (doc_id)"""
+    )
+
+
+def _kn5_heldout_frames(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    held = d.where(F.col("doc_id") % 10 == 0)
+    return train, held
+
+
+@register("quality_kn5_apply_heldout", _kn_heldout_oracle(5, "n_5grams"))
+def quality_kn5_apply_heldout(spark, sf_dir):
+    """The CCNet DEPLOYMENT semantic the in-corpus scorers lack
+    (Wenzek et al. 2020 §4.3 train KenLM on Wikipedia, score Common
+    Crawl): fit the 5-gram modified-KN tower on the 90% train slice
+    (doc_id % 10 <> 0), score the HELD-OUT 10% — with full OOV
+    backoff instead of the inner-join vanish: an unseen 5-gram backs
+    off through the tower (unseen context = pass-through), and the
+    unigram level is itself discounted with the released mass
+    interpolating a uniform 1/(v+1) unknown floor, so even an OOV
+    WORD scores finite.  The oracle re-fits the whole tower on the
+    same train slice and replays the backoff recursion in identical
+    float association, so the held-out estimator — not just the
+    in-corpus fit — is value-hashed; the split exercises every OOV
+    path by construction (held-out docs carry n-grams, contexts, and
+    count cells absent from the train tower)."""
+    from opentsdb_aura_spark.operators.quality import lm_kn_fit, lm_kn_score
+
+    train, held = _kn5_heldout_frames(spark, sf_dir)
+    model = lm_kn_fit(train, order=5)
+    res = lm_kn_score(model, held)
+    return res.select(
+        "doc_id",
+        F.col("n_ngrams").alias("n_5grams"),
+        _r("avg_logprob", 4).alias("avg_logprob"),
+    )
+
+
+@register("quality_kn5_heldout_persisted", _kn_heldout_oracle(5, "n_5grams"))
+def quality_kn5_heldout_persisted(spark, sf_dir):
+    """quality_kn5_apply_heldout THROUGH the persisted-model path:
+    fit the tower on the train slice, WRITE it as Parquet dims
+    (lm_kn_save — count tables, context dims, discount triples,
+    totals), load it back (lm_kn_load), and score the held-out slice
+    from the LOADED model.  Same oracle as the in-memory query:
+    doubles round-trip Parquet bit-exactly, so a hash-green result
+    proves train-once-score-everywhere persistence end to end (the
+    ANN persisted-index pattern for language models)."""
+    import os
+
+    from opentsdb_aura_spark.operators.quality import (
+        lm_kn_fit,
+        lm_kn_load,
+        lm_kn_save,
+        lm_kn_score,
+    )
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    train, held = _kn5_heldout_frames(spark, sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(STORE_ROOT, base, "kn5_heldout_model_v1")
+    if not os.path.exists(os.path.join(path, "tot", "_SUCCESS")):
+        lm_kn_save(lm_kn_fit(train, order=5), path)
+    res = lm_kn_score(lm_kn_load(spark, path), held)
     return res.select(
         "doc_id",
         F.col("n_ngrams").alias("n_5grams"),
@@ -3196,6 +3408,57 @@ def text_lang_id_trained_weights(spark, sf_dir):
         part = rows.unionByName(icpt)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register("text_lang_id_persisted", None)
+def text_lang_id_persisted(spark, sf_dir):
+    """text_lang_id_trained THROUGH the persisted-model path: fit the
+    five OvR models, WRITE them as full-precision (class, bucket,
+    weight) rows with the intercept at pseudo-bucket −1
+    (ovr_model_save — the text_lang_id_trained_weights exchange
+    schema, unrounded), load them back (ovr_model_load), and score
+    the corpus from the LOADED model.  Pinned to the in-memory
+    query's oracle: doubles round-trip Parquet bit-exactly, so a
+    hash-green result proves the shipped language-router is the
+    trained one — margins, argmax, and agreement included."""
+    import os
+
+    from opentsdb_aura_spark.operators.artifacts import (
+        ovr_model_load,
+        ovr_model_save,
+    )
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_char_ngram_features,
+        ovr_logreg_scores,
+    )
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    corpus = _langid_corpus(spark, sf_dir)
+    feats = hashed_char_ngram_features(
+        corpus, n=3, n_features=_LANGID_D, text_col="txt"
+    ).localCheckpoint(eager=False)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(STORE_ROOT, base, "langid_ovr_model_v1")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ovr_model_save(spark, _langid_models(corpus, feats), path)
+    models = ovr_model_load(spark, path)
+    langs, _ = _langid_langs()
+    scores = ovr_logreg_scores(
+        feats, models, corpus.select("doc_id"), n_features=_LANGID_D
+    )
+    res = corpus.select("doc_id", F.col("lang").alias("true_lang")).join(
+        scores, "doc_id"
+    )
+    return res.select(
+        "doc_id",
+        "true_lang",
+        *[_r(f"margin_{L}", 4).alias(f"margin_{L}") for L in langs],
+        "pred_lang",
+        (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+    )
+
+
+ORACLES["text_lang_id_persisted"] = ORACLES["text_lang_id_trained"]
 
 
 def _ccnet_trained_oracle() -> str:

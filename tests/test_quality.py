@@ -467,3 +467,205 @@ def test_kn_order3_generic_matches_dedicated_kn3(spark):
         assert (a is None) == (b is None)
         if a is not None:
             assert abs(a - b) < 1e-9, (i, a, b)
+
+
+def _kn2_reference(train_tokens, score_tokens_by_doc):
+    """Pure-Python order-2 reference of lm_kn_fit + lm_kn_score: the
+    modified-discount tower, the unseen-context pass-through, and the
+    discounted-unigram + uniform unknown floor, computed from token
+    lists — the independent cross-check for the Spark operators."""
+    import math
+    from collections import Counter
+
+    c2 = Counter()
+    for toks in train_tokens:
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+    c1 = Counter()
+    for (_, b) in c2:
+        c1[b] += 1
+
+    def discounts(counts):
+        n = Counter()
+        for c in counts:
+            if 1 <= c <= 4:
+                n[c] += 1
+        y = n[1] / (n[1] + 2 * n[2]) if (n[1] + 2 * n[2]) > 0 else 0.5
+        d1 = max(1 - 2 * y * n[2] / n[1], 0.0) if n[1] > 0 else 0.5
+        d2 = max(2 - 3 * y * n[3] / n[2], 0.0) if n[2] > 0 else 0.5
+        d3 = max(3 - 4 * y * n[4] / n[3], 0.0) if n[3] > 0 else 0.5
+        return d1, d2, d3
+
+    dd2 = discounts(c2.values())
+    dd1 = discounts(c1.values())
+    u = float(len(c2))
+    v = float(len({t for toks in train_tokens for t in toks}))
+    n1f1 = float(sum(1 for c in c1.values() if c == 1))
+    n2f1 = float(sum(1 for c in c1.values() if c == 2))
+    n3f1 = float(sum(1 for c in c1.values() if c >= 3))
+    gamma1 = (dd1[0] * n1f1 + dd1[1] * n2f1 + dd1[2] * n3f1) / u
+    ctx = {}
+    for (a, _), c in c2.items():
+        tot, n1f, n2f, n3f = ctx.get(a, (0.0, 0.0, 0.0, 0.0))
+        ctx[a] = (
+            tot + c,
+            n1f + (c == 1),
+            n2f + (c == 2),
+            n3f + (c >= 3),
+        )
+
+    def d_of(dd, c):
+        return dd[0] if c == 1 else dd[1] if c == 2 else dd[2]
+
+    def p1(w):
+        c = float(c1.get(w, 0))
+        return max(c - d_of(dd1, c), 0.0) / u + gamma1 * (1.0 / (v + 1.0))
+
+    def p2(a, b):
+        if a not in ctx:
+            return p1(b)
+        tot, n1f, n2f, n3f = ctx[a]
+        c = float(c2.get((a, b), 0))
+        gamma2 = (dd2[0] * n1f + dd2[1] * n2f + dd2[2] * n3f) / tot
+        return max(c - d_of(dd2, c), 0.0) / tot + gamma2 * p1(b)
+
+    out = {}
+    for doc_id, toks in score_tokens_by_doc.items():
+        lps = [math.log(p2(a, b)) for a, b in zip(toks, toks[1:])]
+        out[doc_id] = (len(lps), sum(lps) / len(lps) if lps else None)
+    return out
+
+
+def test_lm_kn_heldout_matches_python_reference(spark):
+    """lm_kn_fit + lm_kn_score at order 2 against the independent
+    Python reference, with every OOV path exercised by construction:
+    a fully-seen bigram, an unseen bigram under a SEEN context (backoff
+    mass only), an unseen CONTEXT (pass-through to the unigram), and
+    an OOV word (uniform unknown floor) — all finite, all equal to
+    the reference within float tolerance."""
+    from opentsdb_aura_spark.operators.quality import lm_kn_fit, lm_kn_score
+
+    train_rows = [
+        (1, "a b c a b d a b"),
+        (2, "c d e c d a"),
+        (3, "e a b e c d"),
+    ]
+    held_rows = [
+        (10, "a b c d"),       # seen bigrams
+        (11, "a e"),           # unseen bigram, seen context 'a'
+        (12, "zz a"),          # unseen context 'zz' (also OOV word)
+        (13, "b qq"),          # OOV continuation word 'qq'
+        (14, "solo"),          # too short: n_ngrams 0, NULL score
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    held = spark.createDataFrame(held_rows, "doc_id long, text string")
+    model = lm_kn_fit(train, order=2)
+    got = {r["doc_id"]: r for r in lm_kn_score(model, held).collect()}
+
+    ref = _kn2_reference(
+        [r[1].split() for r in train_rows],
+        {r[0]: r[1].split() for r in held_rows},
+    )
+    import math
+
+    for doc_id, (n, lp) in ref.items():
+        assert got[doc_id]["n_ngrams"] == n
+        if lp is None:
+            assert got[doc_id]["avg_logprob"] is None
+        else:
+            assert math.isfinite(got[doc_id]["avg_logprob"])
+            assert abs(got[doc_id]["avg_logprob"] - lp) < 1e-9, (
+                doc_id,
+                got[doc_id]["avg_logprob"],
+                lp,
+            )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order"):
+        lm_kn_fit(train, order=1)
+
+
+def test_lm_kn_save_load_roundtrip(spark, tmp_path):
+    """lm_kn_save → lm_kn_load → score is float-IDENTICAL to scoring
+    from the in-memory fit (Parquet doubles round-trip bit-exactly),
+    and the loaded model carries the same tower shapes."""
+    from opentsdb_aura_spark.operators.quality import (
+        lm_kn_fit,
+        lm_kn_load,
+        lm_kn_save,
+        lm_kn_score,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b d a b"), (2, "c d e c d a"), (3, "e a b e c d")],
+        "doc_id long, text string",
+    )
+    held = spark.createDataFrame(
+        [(10, "a b c d zz"), (11, "b qq a")], "doc_id long, text string"
+    )
+    model = lm_kn_fit(train, order=3)
+    path = str(tmp_path / "kn3_model")
+    lm_kn_save(model, path)
+    loaded = lm_kn_load(spark, path)
+    assert loaded["order"] == 3
+    mem = {r["doc_id"]: r for r in lm_kn_score(model, held).collect()}
+    dsk = {r["doc_id"]: r for r in lm_kn_score(loaded, held).collect()}
+    assert set(mem) == set(dsk)
+    for i in mem:
+        assert mem[i]["n_ngrams"] == dsk[i]["n_ngrams"]
+        a, b = mem[i]["avg_logprob"], dsk[i]["avg_logprob"]
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a == b, (i, a, b)  # bit-exact through Parquet
+
+
+def test_artifact_roundtrips(spark, tmp_path):
+    """operators/artifacts.py: OvR models, merge tables, and unigram
+    vocabularies survive the Parquet roundtrip EXACTLY — the loaded
+    artifact is bit-identical to the in-memory one (weights as
+    doubles, merges as strings, micro-nat log-probs re-derived from
+    integer counts)."""
+    from opentsdb_aura_spark.operators.artifacts import (
+        merge_pairs,
+        merges_load,
+        merges_save,
+        ovr_model_load,
+        ovr_model_save,
+        unigram_vocab_load,
+        unigram_vocab_save,
+    )
+    from opentsdb_aura_spark.operators.text import (
+        bpe_train,
+        unigram_train,
+        unigram_train_vocab,
+    )
+
+    # OvR model: adversarial doubles (subnormal-ish, negative zero,
+    # many-digit) must come back bit-exact
+    models = {
+        "aa": ([0.1 + 0.2, -3.3333333333333335e-07, 0.0], 1.9999999999999998),
+        "bb": ([5e-324, -0.0, 123456.78901234567], -2.718281828459045),
+    }
+    p1 = str(tmp_path / "ovr")
+    ovr_model_save(spark, models, p1)
+    loaded = ovr_model_load(spark, p1)
+    assert set(loaded) == set(models)
+    for cls in models:
+        assert loaded[cls][1] == models[cls][1]
+        assert loaded[cls][0] == models[cls][0]
+
+    d = spark.createDataFrame(
+        [(1, "low lower lowest new newer newest wide wider widest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(d, n_merges=4)
+    p2 = str(tmp_path / "merges")
+    merges_save(merges, p2)
+    assert merge_pairs(merges_load(spark, p2)) == merge_pairs(merges)
+
+    vr = unigram_train(d, seed_max_len=3, keep_multi=4, n_rounds=1)
+    p3 = str(tmp_path / "uni")
+    unigram_vocab_save(vr, p3)
+    assert unigram_vocab_load(spark, p3) == unigram_train_vocab(
+        d, seed_max_len=3, keep_multi=4, n_rounds=1
+    )

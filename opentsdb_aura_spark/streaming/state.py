@@ -815,11 +815,28 @@ def streaming_crawl_ingest(
                 n_features=int(quality_model["n_features"]),
                 binary=bool(quality_model.get("binary", True)),
             )
-            qs.select(
+            out_q = qs.select(
                 "doc_id",
                 "prob",
                 (F.col("prob") >= F.lit(float(quality_threshold))).alias("keep"),
-            ).write.mode("append").parquet(f"{docs_path}_quality")
+            )
+            # redelivery idempotence (VERDICT r13): a replayed batch
+            # must not duplicate (doc_id, prob) rows — anti-join the
+            # existing sidecar exactly as the minhash/cdx/frontier
+            # indexes do (scores are a pure function of doc text, so
+            # the already-present rows are the correct ones)
+            from opentsdb_aura_spark.operators.dedup_text import (
+                _read_parquet_if_exists,
+            )
+
+            have_q = _read_parquet_if_exists(
+                docs.sparkSession, f"{docs_path}_quality"
+            )
+            if have_q is not None:
+                out_q = out_q.join(
+                    have_q.select("doc_id"), "doc_id", "left_anti"
+                )
+            out_q.write.mode("append").parquet(f"{docs_path}_quality")
         if lang_models is not None:
             # pretrained one-vs-rest lang-id applied inline (the fit is
             # a batch job — train_ovr_logreg_weights — the stream only
@@ -837,15 +854,34 @@ def streaming_crawl_ingest(
                 n=int(lang_models.get("n", 3)),
                 n_features=nf,
             )
+            # DISTINCT spine: a doc redelivered twice WITHIN one batch
+            # (two files of the same trigger) must score once — the
+            # quality leg gets this from logreg_scores' internal
+            # distinct spine; ovr_logreg_scores scores whatever spine
+            # it is handed
             ls = ovr_logreg_scores(
                 feats,
                 {k: (list(v[0]), float(v[1])) for k, v in lang_models["models"].items()},
-                docs.select("doc_id"),
+                docs.select("doc_id").distinct(),
                 n_features=nf,
             )
-            ls.select("doc_id", "pred_lang").write.mode("append").parquet(
-                f"{docs_path}_lang"
+            out_l = ls.select("doc_id", "pred_lang")
+            # same redelivery anti-join as the quality sidecar: the
+            # pretrained model is deterministic per doc, so dropping
+            # already-indexed doc_ids loses nothing and a replayed
+            # batch appends zero rows
+            from opentsdb_aura_spark.operators.dedup_text import (
+                _read_parquet_if_exists,
             )
+
+            have_l = _read_parquet_if_exists(
+                docs.sparkSession, f"{docs_path}_lang"
+            )
+            if have_l is not None:
+                out_l = out_l.join(
+                    have_l.select("doc_id"), "doc_id", "left_anti"
+                )
+            out_l.write.mode("append").parquet(f"{docs_path}_lang")
         update_minhash_index(docs, index_path)
         if compact_max_files is not None:
             from opentsdb_aura_spark.sources.maintenance import compact_minhash_index

@@ -1571,3 +1571,91 @@ def test_streaming_lang_gate_matches_batch_twin(spark, tmpdirs):
     assert sidecar == twin  # byte-identical to the batch scoring pass
     # docs table schema untouched by the sidecar
     assert set(spark.read.parquet(docs_path).columns) == {"doc_id", "text", "file_id"}
+
+
+def test_streaming_quality_lang_sidecars_redelivery_idempotent(spark, tmpdirs):
+    """A replayed record must not duplicate sidecar rows: batch 2
+    redelivers doc-1 alongside the new doc-2, and both the quality
+    and lang sidecars end with exactly ONE row per doc_id (anti-join
+    on the existing sidecar — the minhash/cdx/frontier redelivery
+    discipline, VERDICT r13 item 4).  The scores themselves stay
+    byte-identical to the batch twins."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_char_ngram_features,
+        logreg_scores,
+        ovr_logreg_scores,
+        train_ovr_logreg_weights,
+    )
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    D = 64
+    seed_rows = []
+    for i in range(20):
+        lang = "de" if i % 2 == 0 else "en"
+        marker = "der die und ist das" if lang == "de" else "the and of to is"
+        seed_rows.append((i, lang, f"filler words here {marker}"))
+    seed = spark.createDataFrame(seed_rows, "doc_id long, lang string, text string")
+    models = train_ovr_logreg_weights(
+        hashed_char_ngram_features(seed, n=3, n_features=D),
+        seed.select("doc_id", "lang"), classes=["de", "en"],
+        n_features=D, lr=10.0, n_iter=6, center=True,
+    )
+    w = [((i * 37) % 11 - 5) / 7.0 for i in range(D)]
+    qmodel = {"weights": w, "bias": 0.25, "n_features": D, "binary": True}
+
+    def rec(doc_id, text):
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", text.encode(),
+            target_uri=f"http://example.com/doc/{doc_id}",
+        )
+
+    r1 = rec(1, "neue seite der die und ist das")
+    r2 = rec(2, "new page the and of to is")
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame([(0, r1)], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+    # batch 2 REDELIVERS doc-1 alongside the new doc-2
+    spark.createDataFrame([(1, r1 + r2)], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b2"
+    )
+    docs_path = tmpdirs["out"] + "/docs"
+    # maxFilesPerTrigger=1 forces b1 and b2 into SEPARATE micro-batches
+    # so the cross-batch anti-join is genuinely exercised (without it
+    # availableNow folds both files into one trigger, which only tests
+    # the in-batch distinct)
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmpdirs["in"] + "/*")
+    )
+    streaming_crawl_ingest(
+        stream, tmpdirs["store"], docs_path, tmpdirs["ckpt"],
+        quality_model=qmodel, quality_threshold=0.6,
+        lang_models={"models": models, "n_features": D, "n": 3},
+    ).awaitTermination(120)
+
+    qrows = spark.read.parquet(docs_path + "_quality").collect()
+    lrows = spark.read.parquet(docs_path + "_lang").collect()
+    assert sorted(r["doc_id"] for r in qrows) == [1, 2]  # no duplicates
+    assert sorted(r["doc_id"] for r in lrows) == [1, 2]
+    assert {r["doc_id"]: r["pred_lang"] for r in lrows} == {1: "de", 2: "en"}
+    # the docs table itself keeps at-least-once appends (doc-1 twice);
+    # the sidecars are the deduped surface
+    ingested = spark.read.parquet(docs_path).select("doc_id", "text").distinct()
+    twin_q = {
+        r["doc_id"]: (r["prob"], bool(r["prob"] >= 0.6))
+        for r in logreg_scores(
+            ingested, w, 0.25, n_features=D, binary=True
+        ).collect()
+    }
+    assert {r["doc_id"]: (r["prob"], r["keep"]) for r in qrows} == twin_q
+    twin_l = {
+        r["doc_id"]: r["pred_lang"]
+        for r in ovr_logreg_scores(
+            hashed_char_ngram_features(ingested, n=3, n_features=D),
+            models, ingested.select("doc_id"), n_features=D,
+        ).collect()
+    }
+    assert {r["doc_id"]: r["pred_lang"] for r in lrows} == twin_l

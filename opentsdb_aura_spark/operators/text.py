@@ -846,3 +846,82 @@ def unigram_train_vocab(
     total = sum(counts.values())
     v = len(counts)
     return {p: _ilogp((c + 1.0) / (total + v)) for p, c in counts.items()}
+
+
+def wordpiece_pieces(
+    docs: DataFrame,
+    vocab,
+    *,
+    max_symbols: int | None = None,
+    text_col: str = "text",
+    eow: str = "</w>",
+) -> DataFrame:
+    """The SEGMENTATION surface of the production WordPiece apply —
+    :func:`wordpiece_greedy_apply`'s greedy longest-match-first fold
+    (same candidate order, same all-or-nothing unknown rule), but
+    emitting the PIECES with BERT's ``##`` continuation convention
+    (Devlin et al. 2019; "playing" → "play ##ing"): the first matched
+    piece is emitted bare, every continuation is prefixed ``##``, and
+    a word containing any unmatchable symbol emits the single piece
+    ``[UNK]``.  Pieces are emitted exactly as matched (base chars +
+    merged symbols + the ``eow`` marker, which is part of the trained
+    symbol alphabet here — BERT's vocab files instead bake ``##`` into
+    the piece strings, a pure re-labelling of the same segmentation).
+
+    Returns one row per DISTINCT corpus word: (w, pieces, n_pieces,
+    is_unk) with pieces space-joined — the tokenizer-debug surface a
+    curation team reads, and the word→pieces dim a corpus-wide
+    tokenize joins against (the same distinct-word discipline as the
+    counting apply: each word segments ONCE, pure Catalyst)."""
+    pieces = sorted(set(vocab))
+    if not pieces:
+        raise ValueError("wordpiece_pieces: empty vocabulary")
+    if max_symbols is None:
+        max_symbols = max(len(p) for p in pieces)
+    vmap = F.create_map(*[x for p in pieces for x in (F.lit(p), F.lit(1))])
+    distinct_w = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).distinct()
+    syms = F.concat(
+        F.filter(F.split(F.col("w"), ""), lambda t: t != ""), F.array(F.lit(eow))
+    )
+    size = F.size(syms)
+
+    def step(acc, _):
+        pos, n, unk, out = acc["pos"], acc["n"], acc["unk"], acc["out"]
+        branch = F.struct(
+            (pos + 1).alias("pos"),
+            (n + 1).alias("n"),
+            F.lit(True).alias("unk"),
+            out.alias("out"),
+        )
+        for k in range(1, int(max_symbols) + 1):
+            piece = F.array_join(F.slice(syms, pos, k), "")
+            cond = (pos + k - 1 <= size) & vmap.getItem(piece).isNotNull()
+            emitted = F.when(pos == 1, piece).otherwise(
+                F.concat(out, F.lit(" ##"), piece)
+            )
+            branch = F.when(
+                cond,
+                F.struct(
+                    (pos + k).alias("pos"),
+                    (n + 1).alias("n"),
+                    unk.alias("unk"),
+                    emitted.alias("out"),
+                ),
+            ).otherwise(branch)
+        return F.when(pos > size, acc).otherwise(branch)
+
+    init = F.struct(
+        F.lit(1).alias("pos"),
+        F.lit(0).alias("n"),
+        F.lit(False).alias("unk"),
+        F.lit("").alias("out"),
+    )
+    fin = F.aggregate(F.sequence(F.lit(1), size), init, step)
+    return distinct_w.select(
+        "w",
+        F.when(fin["unk"], F.lit("[UNK]")).otherwise(fin["out"]).alias("pieces"),
+        F.when(fin["unk"], F.lit(1)).otherwise(fin["n"]).cast("int").alias("n_pieces"),
+        fin["unk"].alias("is_unk"),
+    )

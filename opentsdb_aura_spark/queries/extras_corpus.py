@@ -625,24 +625,114 @@ def text_wordpiece_greedy_count(spark, sf_dir):
         .collect()  # bounded: corpus alphabet
     )
     vocab = [r["c"] for r in chars] + ["</w>"] + [r["merged"] for r in merges]
-    # max_symbols pinned to the oracle's unrolled K chain: both sides
-    # must try the SAME candidate lengths.  A merge can join two
-    # multi-symbol pieces, so "8 merges → ≤9 symbols" is not a priori
-    # true (ADVICE r13); prove it on the TRAINED pieces by re-deriving
-    # each merged piece's base-symbol span from the merge table (base
-    # char = 1, eow = 1, merged = span(lhs)+span(rhs)) so a wider
-    # future piece fails loudly instead of silently breaking
-    # longest-match on both engines.
+    _wp_assert_span(merges, 9)
+    return wordpiece_greedy_apply(d, vocab, max_symbols=9)
+
+
+def _wp_assert_span(merges, pinned: int) -> None:
+    """max_symbols is pinned to the oracle's unrolled K chain: both
+    sides must try the SAME candidate lengths.  A merge can join two
+    multi-symbol pieces, so "8 merges → ≤9 symbols" is not a priori
+    true (ADVICE r13); prove it on the TRAINED pieces by re-deriving
+    each merged piece's base-symbol span from the merge table (base
+    char = 1, eow = 1, merged = span(lhs)+span(rhs)) so a wider
+    future piece fails loudly instead of silently breaking
+    longest-match on both engines."""
     span = {"</w>": 1}
     for r in merges:  # rank order: lhs/rhs precede their merge
         span[r["merged"]] = span.get(r["lhs"], 1) + span.get(r["rhs"], 1)
-    widest = max(span.values())
-    if widest > 9:
+    widest = max(span.values()) if span else 1
+    if widest > pinned:
         raise AssertionError(
             f"trained WordPiece piece spans {widest} base symbols > the "
-            "pinned max_symbols=9 — regenerate the oracle K chain"
+            f"pinned max_symbols={pinned} — regenerate the oracle K chain"
         )
-    return wordpiece_greedy_apply(d, vocab, max_symbols=9)
+
+
+def _wp_pieces_oracle_sql(n_merges: int, max_symbols: int = 9) -> str:
+    """wordpiece_pieces' fold unrolled: the greedy oracle's CASE chain
+    extended with a fourth accumulator field carrying the emitted
+    piece string (chr(1)-separated state so corpus spaces survive) —
+    first match bare, continuations ' ##'-joined, the unk flag
+    collapsing the word to '[UNK]' at the end."""
+    S = "chr(1)"
+    f = f"string_split(acc, {S})"
+    pos = f"CAST({f}[1] AS INT)"
+    n = f"CAST({f}[2] AS INT)"
+    unk = f"{f}[3]"
+    out = f"{f}[4]"
+    arms = []
+    for K in range(max_symbols, 0, -1):
+        piece = f"array_to_string(syms[{pos}:{pos} + {K - 1}], '')"
+        emitted = f"CASE WHEN {pos} = 1 THEN {piece} ELSE {out} || ' ##' || {piece} END"
+        arms.append(
+            f"WHEN {pos} + {K - 1} <= len(syms) AND "
+            f"list_contains(vv.vl, {piece}) "
+            f"THEN ({pos} + {K}) || {S} || ({n} + 1) || {S} || {unk} || {S} || {emitted}"
+        )
+    case = (
+        f"CASE WHEN {pos} > len(syms) THEN acc "
+        + " ".join(arms)
+        + f" ELSE ({pos} + 1) || {S} || ({n} + 1) || {S} || '1' || {S} || {out} END"
+    )
+    merged = "".join(
+        f"\n  UNION SELECT a || b AS piece FROM b{k}" for k in range(n_merges)
+    )
+    return (
+        "WITH "
+        + _wp_oracle_ctes(n_merges)
+        + f""",
+vv AS MATERIALIZED (SELECT list(piece) AS vl FROM (
+  SELECT DISTINCT unnest(list_filter(string_split(w, ''), c -> c <> '')) AS piece FROM w
+  UNION SELECT '</w>'{merged})),
+segw AS MATERIALIZED (
+  SELECT w, list_reduce(list_prepend('1' || {S} || '0' || {S} || '0' || {S},
+           list_transform(range(1, len(syms) + 1), _x -> '')),
+           (acc, _x) -> {case}) AS st
+  FROM (SELECT w, list_append(list_filter(string_split(w, ''), c -> c <> ''), '</w>') AS syms FROM w)
+       CROSS JOIN vv)
+SELECT w,
+       CASE WHEN string_split(st, {S})[3] = '1' THEN '[UNK]'
+            ELSE string_split(st, {S})[4] END AS pieces,
+       CASE WHEN string_split(st, {S})[3] = '1' THEN 1
+            ELSE CAST(string_split(st, {S})[2] AS INT) END AS n_pieces,
+       string_split(st, {S})[3] = '1' AS is_unk
+FROM segw"""
+    )
+
+
+@register("text_wordpiece_pieces", _wp_pieces_oracle_sql(8))
+def text_wordpiece_pieces(spark, sf_dir):
+    """BERT's tokenizer OUTPUT convention on the trained WordPiece
+    vocabulary: the greedy longest-match segmentation of every
+    distinct corpus word emitted as pieces with ``##`` continuation
+    prefixes ("playing" → "play ##ing"), the all-or-nothing unknown
+    rule collapsing unmatchable words to '[UNK]' — the word→pieces
+    dim a corpus-wide tokenize joins against, where the counting
+    apply (text_wordpiece_greedy_count) only surfaced totals.  The
+    oracle re-trains the merges, rebuilds the vocabulary, and replays
+    the fold step-for-step with the emitted piece string riding in
+    the accumulator, so the piece strings themselves (not just their
+    counts) are value-hashed."""
+    from opentsdb_aura_spark.operators.dedup_text import tokens
+    from opentsdb_aura_spark.operators.text import (
+        wordpiece_pieces,
+        wordpiece_train,
+    )
+
+    d = docs(spark, sf_dir)
+    merges = wordpiece_train(d, n_merges=8).orderBy("rank").collect()
+    wdf = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    chars = (
+        wdf.select(
+            F.explode(F.filter(F.split("w", ""), lambda t: t != "")).alias("c")
+        )
+        .distinct()
+        .collect()  # bounded: corpus alphabet
+    )
+    vocab = [r["c"] for r in chars] + ["</w>"] + [r["merged"] for r in merges]
+    _wp_assert_span(merges, 9)
+    return wordpiece_pieces(d, vocab, max_symbols=9)
 
 
 _BPE_TRAIN_MERGES = 8

@@ -803,3 +803,36 @@ def test_wordpiece_greedy_apply_longest_match_and_unk(spark):
 
     with _pytest.raises(ValueError, match="empty vocabulary"):
         wordpiece_greedy_apply(d, [])
+
+
+def test_wordpiece_pieces_continuation_convention(spark):
+    """wordpiece_pieces emits BERT's ## continuation convention over
+    the SAME segmentation the counting apply produces: first piece
+    bare, continuations ##-prefixed, unmatchable words collapsing to
+    the single piece [UNK]; piece counts agree with
+    wordpiece_greedy_apply on every word."""
+    from opentsdb_aura_spark.operators.text import (
+        wordpiece_greedy_apply,
+        wordpiece_pieces,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "abab ab a"), (2, "abq")], "doc_id long, text string"
+    )
+    vocab = ["a", "b", "ab", "ab</w>", "</w>"]
+    got = {r["w"]: r for r in wordpiece_pieces(d, vocab).collect()}
+    assert got["abab"]["pieces"] == "ab ##ab</w>"
+    assert got["abab"]["n_pieces"] == 2 and not got["abab"]["is_unk"]
+    assert got["ab"]["pieces"] == "ab</w>"
+    assert got["a"]["pieces"] == "a ##</w>"  # eow matched as its own piece
+    assert got["abq"]["pieces"] == "[UNK]"
+    assert got["abq"]["n_pieces"] == 1 and got["abq"]["is_unk"]
+    # the segmentation is the SAME fold as the counting apply
+    counts = {r["doc_id"]: r for r in wordpiece_greedy_apply(d, vocab).collect()}
+    assert counts[1]["n_subwords"] == sum(
+        got[w]["n_pieces"] for w in ("abab", "ab", "a")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty vocabulary"):
+        wordpiece_pieces(d, [])

@@ -1591,3 +1591,86 @@ def lm_kn_load(spark, path: str) -> dict:
     x = {k: spark.read.parquet(f"{path}/x{k}") for k in range(2, N + 1)}
     tot = spark.read.parquet(f"{path}/tot")
     return {"order": N, "g": g, "x": x, "dd": dd, "tot": tot}
+
+
+def ovr_softmax_scores(
+    features: DataFrame,
+    models: dict[str, tuple[list[float], float]],
+    id_spine: DataFrame,
+    *,
+    n_features: int,
+    temperature: float = 1.0,
+    threshold: float = 0.5,
+    reject_label: str = "und",
+) -> DataFrame:
+    """CALIBRATED multi-class scoring over one-vs-rest margins →
+    (doc_id, prob_<class>..., pred_lang): a softmax layer with
+    temperature turns the K raw margins into a normalized posterior,
+    and a confidence threshold routes low-max-probability docs to a
+    REJECT class — the CCNet move for mixed-language pages (Wenzek et
+    al. 2020 §4.2 drop pages whose fastText top-language score is
+    below a cutoff rather than mis-route them).
+
+        p_c = exp(m_c/T) / Σ_k exp(m_k/T)
+        pred = argmax_c p_c  if max_c p_c ≥ threshold  else reject
+
+    Same scale shape as :func:`ovr_logreg_scores`: all K models ride
+    as literal arrays over ONE packed pass (sort_array-pinned fold per
+    class), the softmax is a row-local expression, and the argmax is
+    the alphabetically-first when-chain.  The denominator sums the
+    class exponentials in sorted-class order so the float association
+    is engine-reproducible."""
+    classes = sorted(models)
+    if not classes:
+        raise ValueError("ovr_softmax_scores: no models")
+    if float(temperature) <= 0.0:
+        raise ValueError(
+            f"ovr_softmax_scores: temperature must be > 0, got {temperature}"
+        )
+    if not 0.0 < float(threshold) < 1.0:
+        raise ValueError(
+            f"ovr_softmax_scores: threshold must be in (0, 1), got {threshold}"
+        )
+    for cls, (w, _) in models.items():
+        if len(w) != int(n_features):
+            raise ValueError(
+                f"ovr_softmax_scores[{cls}]: {len(w)} weights != n_features={n_features}"
+            )
+    docvec = features.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("fx")
+    )
+    base = id_spine.select(F.col(id_spine.columns[0]).alias("doc_id")).join(
+        docvec, "doc_id", "left"
+    )
+    T = float(temperature)
+    exps = {}
+    for cls in classes:
+        w, b = models[cls]
+        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        dot = F.aggregate(
+            F.coalesce(
+                F.col("fx"), F.array().cast("array<struct<bucket:int,cnt:double>>")
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["cnt"] * F.element_at(w_arr, s["bucket"] + 1),
+        )
+        exps[cls] = F.exp((dot + F.lit(float(b))) / F.lit(T))
+    den = exps[classes[0]]
+    for cls in classes[1:]:
+        den = den + exps[cls]
+    probs = {cls: exps[cls] / den for cls in classes}
+    best = (
+        F.greatest(*[probs[c] for c in classes])
+        if len(classes) > 1
+        else probs[classes[0]]
+    )
+    pred = F.when(probs[classes[0]] == best, F.lit(classes[0]))
+    for cls in classes[1:]:
+        pred = pred.when(probs[cls] == best, F.lit(cls))
+    return base.select(
+        "doc_id",
+        *[probs[c].alias(f"prob_{c}") for c in classes],
+        F.when(best >= F.lit(float(threshold)), pred)
+        .otherwise(F.lit(str(reject_label)))
+        .alias("pred_lang"),
+    )

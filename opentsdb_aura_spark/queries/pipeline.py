@@ -3461,6 +3461,166 @@ def text_lang_id_persisted(spark, sf_dir):
 ORACLES["text_lang_id_persisted"] = ORACLES["text_lang_id_trained"]
 
 
+_LANGID_SOFTMAX_T = 2.0
+_LANGID_SOFTMAX_THR = 0.7
+
+
+def _langid_next_marker():
+    """lang → the NEXT language's marker sentence (alphabetical ring)
+    — the second language planted into the mixed scoring corpus."""
+    langs, markers = _langid_langs()
+    return {
+        L: " ".join(markers[langs[(i + 1) % len(langs)]])
+        for i, L in enumerate(langs)
+    }
+
+
+def _langid_mixed_corpus(spark, sf_dir):
+    """The SCORING corpus for the softmax gate: the planted train
+    corpus with a SECOND language's marker sentence appended to every
+    7th doc — genuinely mixed-language pages whose two class margins
+    split the softmax mass, exercising the reject path by
+    construction (the other docs stay clean and confident)."""
+    nxt = _langid_next_marker()
+    langs, _ = _langid_langs()
+    base = _langid_corpus(spark, sf_dir)
+    mix = F.when(F.col("lang") == langs[0], F.lit(nxt[langs[0]]))
+    for L in langs[1:]:
+        mix = mix.when(F.col("lang") == L, F.lit(nxt[L]))
+    return base.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lower(F.concat_ws(" ", F.col("txt"), mix)),
+        )
+        .otherwise(F.col("txt"))
+        .alias("txt"),
+    )
+
+
+def _langid_softmax_oracle() -> str:
+    """Train the five GD chains on the CLEAN corpus (the shared
+    _langid_ctes), then score the MIXED corpus: re-featurize, one
+    margin CTE per class from the final weight tables, softmax with
+    the class exponentials summed in sorted order, cascading-CASE
+    argmax, and the confidence-threshold reject — every expression in
+    the Spark operator's float association."""
+    langs, _ = _langid_langs()
+    R, D = _LANGID_ITERS, _LANGID_D
+    T, thr = _LANGID_SOFTMAX_T, _LANGID_SOFTMAX_THR
+    nxt = _langid_next_marker()
+    arms = " ".join(f"WHEN '{L}' THEN '{nxt[L]}'" for L in langs)
+    parts = [
+        f"""corpus_mx AS MATERIALIZED (SELECT doc_id, lang,
+  CASE WHEN doc_id % 7 = 0 THEN lower(txt || ' ' || CASE lang {arms} END)
+       ELSE txt END AS txt
+  FROM corpus)""",
+        f"""trip_mx AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CAST(list_reduce(list_transform(range(1, 4),
+                j -> ord(substr(g, CAST(j AS INTEGER), 1))),
+              (a, b) -> (a * 31 + b) % 1000003) % {D} AS INTEGER) AS bucket,
+         1.0 AS cnt
+  FROM (SELECT doc_id, substr(txt, CAST(i AS INTEGER), 3) AS g
+        FROM corpus_mx, unnest(range(1, length(txt) - 1)) AS u(i)))""",
+    ]
+    for L in langs:
+        parts.append(
+            f"""m_mx_{L} AS MATERIALIZED (SELECT corpus_mx.doc_id,
+  b_{L}{R}.b - off_{L}{R}.o + coalesce(dp_mx_{L}.v, 0) AS m
+  FROM corpus_mx CROSS JOIN b_{L}{R} CROSS JOIN off_{L}{R}
+  LEFT JOIN (SELECT trip_mx.doc_id, sum(cnt * w_{L}{R}.w ORDER BY trip_mx.bucket) AS v
+             FROM trip_mx JOIN w_{L}{R} USING (bucket) GROUP BY 1) dp_mx_{L}
+    ON dp_mx_{L}.doc_id = corpus_mx.doc_id)"""
+        )
+    mjoins = "\n        ".join(
+        f"JOIN m_mx_{L} ON m_mx_{L}.doc_id = corpus_mx.doc_id" for L in langs
+    )
+    mcols = ", ".join(f"m_mx_{L}.m AS m_{L}" for L in langs)
+    ecols = ", ".join(f"exp(m_{L} / {T!r}) AS e_{L}" for L in langs)
+    den = " + ".join(f"e_{L}" for L in langs)
+    pcols = ", ".join(f"e_{L} / ({den}) AS p_{L}" for L in langs)
+    best = "greatest(" + ", ".join(f"p_{L}" for L in langs) + ")"
+    pred_arms = []
+    for i, L in enumerate(langs[:-1]):
+        conds = " AND ".join(f"p_{L} >= p_{M}" for M in langs[i + 1 :])
+        pred_arms.append(f"WHEN {conds} THEN '{L}'")
+    pred = "CASE " + " ".join(pred_arms) + f" ELSE '{langs[-1]}' END"
+    out_probs = ", ".join(f"round(p_{L}, 4) AS prob_{L}" for L in langs)
+    joined_parts = ",\n".join(parts)
+    return (
+        _langid_ctes()
+        + f""",
+{joined_parts},
+fin_mx AS (SELECT corpus_mx.doc_id, corpus_mx.lang, {mcols}
+        FROM corpus_mx
+        {mjoins}),
+sm AS (SELECT doc_id, lang, {ecols} FROM fin_mx),
+pr AS (SELECT doc_id, lang, {pcols} FROM sm)
+SELECT doc_id, lang AS true_lang, {out_probs},
+       CASE WHEN {best} >= {thr!r} THEN {pred} ELSE 'und' END AS pred_lang,
+       (CASE WHEN {best} >= {thr!r} THEN {pred} ELSE 'und' END) = lang AS correct
+FROM pr"""
+    )
+
+
+@register("text_lang_id_softmax", _langid_softmax_oracle())
+def text_lang_id_softmax(spark, sf_dir):
+    """CALIBRATED multi-class language ID with a REJECT class — the
+    move CCNet actually makes on mixed-language pages (Wenzek et al.
+    2020 §4.2 drop pages under a fastText confidence cutoff rather
+    than mis-route them): train the five OvR models on the CLEAN
+    planted corpus, score a MIXED corpus (every 7th doc carries a
+    second language's marker sentence), softmax the margins at
+    temperature {T} and route docs whose max posterior falls below
+    {thr} to 'und'.  The operating point keeps ~95% of clean docs
+    confidently routed while rejecting the majority of the planted
+    mixed docs (whose two marker sentences split the posterior mass
+    — a sizable minority still route, exactly fastText's behaviour
+    on pages dominated by one language), so BOTH branches of the
+    reject rule are exercised at every sf.  The oracle re-fits the
+    same five GD chains,
+    re-featurizes the mixed corpus, and replays softmax + argmax +
+    reject in identical float association — posterior probabilities,
+    routing, and agreement all value-hashed.""".format(
+        T=_LANGID_SOFTMAX_T, thr=_LANGID_SOFTMAX_THR
+    )
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_char_ngram_features,
+        ovr_softmax_scores,
+    )
+
+    clean = _langid_corpus(spark, sf_dir)
+    feats_tr = hashed_char_ngram_features(
+        clean, n=3, n_features=_LANGID_D, text_col="txt"
+    ).localCheckpoint(eager=False)
+    models = _langid_models(clean, feats_tr)
+    mixed = _langid_mixed_corpus(spark, sf_dir)
+    feats_sc = hashed_char_ngram_features(
+        mixed, n=3, n_features=_LANGID_D, text_col="txt"
+    )
+    langs, _ = _langid_langs()
+    scores = ovr_softmax_scores(
+        feats_sc,
+        models,
+        mixed.select("doc_id"),
+        n_features=_LANGID_D,
+        temperature=_LANGID_SOFTMAX_T,
+        threshold=_LANGID_SOFTMAX_THR,
+    )
+    res = mixed.select("doc_id", F.col("lang").alias("true_lang")).join(
+        scores, "doc_id"
+    )
+    return res.select(
+        "doc_id",
+        "true_lang",
+        *[_r(f"prob_{L}", 4).alias(f"prob_{L}") for L in langs],
+        "pred_lang",
+        (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+    )
+
+
 def _ccnet_trained_oracle() -> str:
     """The CCNet curate keep with the TRAINED lang leg: langid GD
     chains → per-doc predicted lang → corpus-fit bigram LM → per-

@@ -669,3 +669,61 @@ def test_artifact_roundtrips(spark, tmp_path):
     assert unigram_vocab_load(spark, p3) == unigram_train_vocab(
         d, seed_max_len=3, keep_multi=4, n_rounds=1
     )
+
+
+def test_ovr_softmax_scores_reject_and_temperature(spark):
+    """ovr_softmax_scores: posteriors sum to 1, a confident doc routes
+    to its argmax, an ambiguous doc (two equal margins) falls below
+    the threshold and lands in the reject class, temperature flattens
+    the posterior without moving the argmax, and parameters are
+    validated at the boundary."""
+    import math
+
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators.quality import ovr_softmax_scores
+
+    # hand-built features: doc 1 fires bucket 0 (class aa's feature),
+    # doc 2 fires buckets 0 AND 1 equally (ambiguous aa/bb)
+    feats = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 1.0), (2, 1, 1.0)],
+        "doc_id long, bucket int, cnt double",
+    )
+    spine = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    models = {
+        "aa": ([4.0, 0.0], 0.0),
+        "bb": ([0.0, 4.0], 0.0),
+        "cc": ([0.0, 0.0], -1.0),
+    }
+    got = {
+        r["doc_id"]: r
+        for r in ovr_softmax_scores(
+            feats, models, spine, n_features=2, threshold=0.6
+        ).collect()
+    }
+    for i in got:
+        assert abs(sum(got[i][f"prob_{c}"] for c in models) - 1.0) < 1e-12
+    # doc 1: margin aa=4, bb=0, cc=-1 -> p_aa = e^4/(e^4+1+e^-1) ≈ .97
+    assert got[1]["pred_lang"] == "aa" and got[1]["prob_aa"] > 0.9
+    # doc 2: aa=bb=4 -> p_aa = p_bb ≈ .49 < .6 -> reject
+    assert got[2]["pred_lang"] == "und"
+    assert abs(got[2]["prob_aa"] - got[2]["prob_bb"]) < 1e-12
+    # doc 3 (no features): margins = biases; cc loses to aa/bb ties at 0
+    assert got[3]["prob_cc"] < got[3]["prob_aa"] == got[3]["prob_bb"]
+    # temperature flattens: doc 1's max posterior drops, argmax stays
+    hot = {
+        r["doc_id"]: r
+        for r in ovr_softmax_scores(
+            feats, models, spine, n_features=2, threshold=0.2, temperature=8.0
+        ).collect()
+    }
+    assert hot[1]["pred_lang"] == "aa"
+    assert hot[1]["prob_aa"] < got[1]["prob_aa"]
+    e4, e0, em1 = math.exp(0.5), math.exp(0.0), math.exp(-0.125)
+    assert abs(hot[1]["prob_aa"] - e4 / (e4 + e0 + em1)) < 1e-12
+    with _pytest.raises(ValueError, match="temperature"):
+        ovr_softmax_scores(feats, models, spine, n_features=2, temperature=0.0)
+    with _pytest.raises(ValueError, match="threshold"):
+        ovr_softmax_scores(feats, models, spine, n_features=2, threshold=1.0)
+    with _pytest.raises(ValueError, match="no models"):
+        ovr_softmax_scores(feats, {}, spine, n_features=2)

@@ -153,6 +153,14 @@ BENCH_QUERIES = [
     "text_wordpiece_train_merges",
     "pipeline_classifier_pr_curve",
     "pipeline_classifier_auc",
+    # round 14 additions: the KN train/apply split (fit on 90%, score
+    # the held-out 10% with OOV backoff), the softmax lang gate with
+    # the reject class, BERT's ##-piece segmentation surface, and one
+    # persisted-artifact roundtrip representative
+    "quality_kn5_apply_heldout",
+    "text_lang_id_softmax",
+    "text_wordpiece_pieces",
+    "text_unigram_persisted_count",
 ]
 
 # The driver's bench artifact keeps only the TAIL of the output, and
@@ -190,6 +198,9 @@ MIN_OF = {
     "text_unigram_train": 3,
     "text_unigram_count": 3,
     "text_lang_id_trained": 3,
+    # r14: the softmax gate runs the same 6-step GD chain as
+    # text_lang_id_trained — same JIT sensitivity, same pin
+    "text_lang_id_softmax": 3,
 }
 
 

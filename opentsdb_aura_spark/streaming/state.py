@@ -372,6 +372,8 @@ def streaming_crawl_ingest(
     quality_model: dict | None = None,
     quality_threshold: float = 0.5,
     lang_models: dict | None = None,
+    quality_model_path: str | None = None,
+    lang_models_path: str | None = None,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -465,6 +467,17 @@ def streaming_crawl_ingest(
     with ingestion, the streaming twin of text_lang_id_trained's
     scoring pass, with the same at-least-once append semantics as the
     quality sidecar.
+    ``quality_model_path`` / ``lang_models_path`` consume the models
+    as PERSISTED Parquet dims instead of in-memory dicts (the
+    operators/artifacts.py ovr_model_save schema: full-precision
+    (class, bucket, weight) rows, intercept at pseudo-bucket −1) —
+    train once in a batch job, ship the artifact, and every stream
+    loads it at startup: the quality path must hold exactly ONE class
+    (a binary keep model; presence features assumed, the trained
+    catalog models' form), the lang path holds the K one-vs-rest
+    classes (char-trigram features, n=3).  Mutually exclusive with
+    the corresponding dict argument; scoring is bit-identical to the
+    dict form (doubles round-trip Parquet exactly).
     ``rank_refresh_every`` (with ``frontier_path``) refreshes the
     frontier AUTHORITY signal every N batches the way compaction
     already hooks the loop: containers.refresh_frontier_ranks runs
@@ -517,6 +530,45 @@ def streaming_crawl_ingest(
                 f"streaming_crawl_ingest: rank_refresh_every must be >= 1, "
                 f"got {rank_refresh_every}"
             )
+    if quality_model_path is not None:
+        if quality_model is not None:
+            raise ValueError(
+                "streaming_crawl_ingest: pass quality_model OR "
+                "quality_model_path, not both"
+            )
+        from opentsdb_aura_spark.operators.artifacts import ovr_model_load
+
+        loaded_q = ovr_model_load(stream_files.sparkSession, quality_model_path)
+        if len(loaded_q) != 1:
+            raise ValueError(
+                "streaming_crawl_ingest: quality_model_path must hold exactly "
+                f"one class (a binary keep model), found {sorted(loaded_q)}"
+            )
+        ((wq, bq),) = loaded_q.values()
+        quality_model = {
+            "weights": wq,
+            "bias": bq,
+            "n_features": len(wq),
+            "binary": True,
+        }
+    if lang_models_path is not None:
+        if lang_models is not None:
+            raise ValueError(
+                "streaming_crawl_ingest: pass lang_models OR lang_models_path, "
+                "not both"
+            )
+        from opentsdb_aura_spark.operators.artifacts import ovr_model_load
+
+        loaded_l = ovr_model_load(stream_files.sparkSession, lang_models_path)
+        if not loaded_l:
+            raise ValueError(
+                f"streaming_crawl_ingest: empty lang model at {lang_models_path}"
+            )
+        lang_models = {
+            "models": loaded_l,
+            "n_features": len(next(iter(loaded_l.values()))[0]),
+            "n": 3,
+        }
 
     _sidecar_checked: list = []  # one-time legacy-schema probe memo
     _cdx_schema_checked: list = []  # one-time capture-index validator-schema probe

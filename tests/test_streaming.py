@@ -1659,3 +1659,96 @@ def test_streaming_quality_lang_sidecars_redelivery_idempotent(spark, tmpdirs):
         ).collect()
     }
     assert {r["doc_id"]: r["pred_lang"] for r in lrows} == twin_l
+
+
+def test_streaming_gates_consume_persisted_models(spark, tmpdirs):
+    """The streaming quality/lang gates consume PERSISTED model dims
+    (quality_model_path / lang_models_path — the ovr_model_save
+    Parquet schema): a stream started from the saved artifacts
+    produces sidecars byte-identical to the in-memory-dict batch
+    twins — train once, ship the artifact, score everywhere.
+    Parameter validation at the boundary."""
+    import pytest as _pytest
+
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.artifacts import ovr_model_save
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_char_ngram_features,
+        logreg_scores,
+        ovr_logreg_scores,
+        train_ovr_logreg_weights,
+    )
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    D = 64
+    seed_rows = []
+    for i in range(20):
+        lang = "de" if i % 2 == 0 else "en"
+        marker = "der die und ist das" if lang == "de" else "the and of to is"
+        seed_rows.append((i, lang, f"filler words here {marker}"))
+    seed = spark.createDataFrame(seed_rows, "doc_id long, lang string, text string")
+    models = train_ovr_logreg_weights(
+        hashed_char_ngram_features(seed, n=3, n_features=D),
+        seed.select("doc_id", "lang"), classes=["de", "en"],
+        n_features=D, lr=10.0, n_iter=6, center=True,
+    )
+    w = [((i * 37) % 11 - 5) / 7.0 for i in range(D)]
+    qpath = tmpdirs["dim"] + "/qmodel"
+    lpath = tmpdirs["dim"] + "/lmodel"
+    ovr_model_save(spark, {"keep": (w, 0.25)}, qpath)
+    ovr_model_save(spark, models, lpath)
+
+    def rec(doc_id, text):
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", text.encode(),
+            target_uri=f"http://example.com/doc/{doc_id}",
+        )
+
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame(
+        [(0, rec(1, "neue seite der die und ist das") + rec(2, "new page the and of to is"))],
+        file_schema,
+    ).coalesce(1).write.parquet(tmpdirs["in"] + "/b1")
+    docs_path = tmpdirs["out"] + "/docs"
+    stream = spark.readStream.schema(file_schema).parquet(tmpdirs["in"] + "/*")
+    with _pytest.raises(ValueError, match="not both"):
+        streaming_crawl_ingest(
+            stream, tmpdirs["store"], docs_path, tmpdirs["ckpt2"],
+            quality_model={"weights": w, "bias": 0.25, "n_features": D},
+            quality_model_path=qpath,
+        )
+    with _pytest.raises(ValueError, match="exactly"):
+        streaming_crawl_ingest(
+            stream, tmpdirs["store"], docs_path, tmpdirs["ckpt2"],
+            quality_model_path=lpath,  # two classes: not a binary model
+        )
+    streaming_crawl_ingest(
+        stream, tmpdirs["store"], docs_path, tmpdirs["ckpt"],
+        quality_model_path=qpath, quality_threshold=0.6,
+        lang_models_path=lpath,
+    ).awaitTermination(120)
+
+    ingested = spark.read.parquet(docs_path).select("doc_id", "text")
+    twin_q = {
+        r["doc_id"]: (r["prob"], bool(r["prob"] >= 0.6))
+        for r in logreg_scores(
+            ingested, w, 0.25, n_features=D, binary=True
+        ).collect()
+    }
+    got_q = {
+        r["doc_id"]: (r["prob"], r["keep"])
+        for r in spark.read.parquet(docs_path + "_quality").collect()
+    }
+    assert got_q == twin_q  # byte-identical through the Parquet model
+    twin_l = {
+        r["doc_id"]: r["pred_lang"]
+        for r in ovr_logreg_scores(
+            hashed_char_ngram_features(ingested, n=3, n_features=D),
+            models, ingested.select("doc_id"), n_features=D,
+        ).collect()
+    }
+    got_l = {
+        r["doc_id"]: r["pred_lang"]
+        for r in spark.read.parquet(docs_path + "_lang").collect()
+    }
+    assert got_l == twin_l == {1: "de", 2: "en"}

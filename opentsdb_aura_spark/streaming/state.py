@@ -374,6 +374,7 @@ def streaming_crawl_ingest(
     lang_models: dict | None = None,
     quality_model_path: str | None = None,
     lang_models_path: str | None = None,
+    kn_model_path: str | None = None,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -478,6 +479,14 @@ def streaming_crawl_ingest(
     classes (char-trigram features, n=3).  Mutually exclusive with
     the corresponding dict argument; scoring is bit-identical to the
     dict form (doubles round-trip Parquet exactly).
+    ``kn_model_path`` scores each batch's extracted text against a
+    PERSISTED modified-KN tower (quality.lm_kn_save output — the
+    count tables stay distributed Parquet dims, never collected),
+    appending (doc_id, n_ngrams, avg_logprob) to ``{docs_path}_ppl``
+    with the same redelivery anti-join as the quality/lang sidecars —
+    the CCNet perplexity gate running inline with ingestion against a
+    model trained once on a reference corpus (Wenzek et al. §4.3),
+    full OOV backoff included (crawled text is OOV-heavy by nature).
     ``rank_refresh_every`` (with ``frontier_path``) refreshes the
     frontier AUTHORITY signal every N batches the way compaction
     already hooks the loop: containers.refresh_frontier_ranks runs
@@ -569,6 +578,11 @@ def streaming_crawl_ingest(
             "n_features": len(next(iter(loaded_l.values()))[0]),
             "n": 3,
         }
+    kn_model = None
+    if kn_model_path is not None:
+        from opentsdb_aura_spark.operators.quality import lm_kn_load
+
+        kn_model = lm_kn_load(stream_files.sparkSession, kn_model_path)
 
     _sidecar_checked: list = []  # one-time legacy-schema probe memo
     _cdx_schema_checked: list = []  # one-time capture-index validator-schema probe
@@ -934,6 +948,30 @@ def streaming_crawl_ingest(
                     have_l.select("doc_id"), "doc_id", "left_anti"
                 )
             out_l.write.mode("append").parquet(f"{docs_path}_lang")
+        if kn_model is not None:
+            # perplexity gate against the PERSISTED tower: the loaded
+            # count tables are distributed dims the batch's distinct
+            # n-gram types LEFT-join (full OOV backoff — crawled text
+            # is OOV-heavy against any reference model); the distinct
+            # doc spine keeps an in-trigger redelivery from doubling
+            # n_ngrams, and the anti-join keeps replayed batches out
+            from opentsdb_aura_spark.operators.dedup_text import (
+                _read_parquet_if_exists,
+            )
+            from opentsdb_aura_spark.operators.quality import lm_kn_score
+
+            out_p = lm_kn_score(
+                kn_model,
+                docs.select("doc_id", "text").dropDuplicates(["doc_id"]),
+            )
+            have_p = _read_parquet_if_exists(
+                docs.sparkSession, f"{docs_path}_ppl"
+            )
+            if have_p is not None:
+                out_p = out_p.join(
+                    have_p.select("doc_id"), "doc_id", "left_anti"
+                )
+            out_p.write.mode("append").parquet(f"{docs_path}_ppl")
         update_minhash_index(docs, index_path)
         if compact_max_files is not None:
             from opentsdb_aura_spark.sources.maintenance import compact_minhash_index

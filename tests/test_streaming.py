@@ -1752,3 +1752,72 @@ def test_streaming_gates_consume_persisted_models(spark, tmpdirs):
         for r in spark.read.parquet(docs_path + "_lang").collect()
     }
     assert got_l == twin_l == {1: "de", 2: "en"}
+
+
+def test_streaming_kn_ppl_gate_consumes_persisted_tower(spark, tmpdirs):
+    """kn_model_path: the stream scores each batch against a
+    PERSISTED modified-KN tower (lm_kn_save output), appending
+    (doc_id, n_ngrams, avg_logprob) to {docs_path}_ppl — byte-
+    identical to scoring the ingested docs with the loaded model in
+    batch, OOV docs finite through the backoff, redelivered records
+    appending nothing (same anti-join as the other sidecars)."""
+    import math
+
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.quality import (
+        lm_kn_fit,
+        lm_kn_load,
+        lm_kn_save,
+        lm_kn_score,
+    )
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    train = spark.createDataFrame(
+        [(100, "a b c a b d a b c d"), (101, "c d e c d a b e"),
+         (102, "e a b e c d a b")],
+        "doc_id long, text string",
+    )
+    kn_path = tmpdirs["dim"] + "/kn2"
+    lm_kn_save(lm_kn_fit(train, order=2), kn_path)
+
+    def rec(doc_id, text):
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", text.encode(),
+            target_uri=f"http://example.com/doc/{doc_id}",
+        )
+
+    r1 = rec(1, "a b c d")
+    r2 = rec(2, "zz qq a b")  # OOV-heavy: unknown floor exercised
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame([(0, r1)], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+    # second trigger REDELIVERS doc-1 alongside the OOV doc-2
+    spark.createDataFrame([(1, r1 + r2)], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b2"
+    )
+    docs_path = tmpdirs["out"] + "/docs"
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmpdirs["in"] + "/*")
+    )
+    streaming_crawl_ingest(
+        stream, tmpdirs["store"], docs_path, tmpdirs["ckpt"],
+        kn_model_path=kn_path,
+    ).awaitTermination(120)
+
+    rows = spark.read.parquet(docs_path + "_ppl").collect()
+    got = {r["doc_id"]: (r["n_ngrams"], r["avg_logprob"]) for r in rows}
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]  # replay appended nothing
+    assert all(math.isfinite(v[1]) and v[1] < 0 for v in got.values())
+    ingested = (
+        spark.read.parquet(docs_path)
+        .select("doc_id", "text")
+        .dropDuplicates(["doc_id"])
+    )
+    twin = {
+        r["doc_id"]: (r["n_ngrams"], r["avg_logprob"])
+        for r in lm_kn_score(lm_kn_load(spark, kn_path), ingested).collect()
+    }
+    assert got == twin  # byte-identical to the batch scoring pass

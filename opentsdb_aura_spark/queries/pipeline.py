@@ -2300,6 +2300,30 @@ FROM knd_ho LEFT JOIN kns USING (doc_id)"""
     )
 
 
+def _kn_heldout_buckets_oracle(N: int) -> str:
+    """The held-out tower + scores, reduced to CCNet §4.3's
+    per-language tercile table: the same fit/score CTE chain as
+    _kn_heldout_oracle (the final doc-spine SELECT swapped for the
+    bkt tail the ccnet oracles use — ntile on the ROUNDED scores,
+    NULLs last, doc_id tiebreak)."""
+    base = _kn_heldout_oracle(N, "n_ngrams")
+    tail_anchor = f"\nSELECT knd_ho.doc_id, coalesce(kns.n_ngrams, 0)"
+    idx = base.rindex(tail_anchor)
+    return (
+        base[:idx]
+        + """,
+hob AS (SELECT knd_ho.doc_id, d.lang, kns.avg_logprob
+        FROM knd_ho LEFT JOIN kns USING (doc_id)
+        JOIN documents d ON d.doc_id = knd_ho.doc_id)
+SELECT doc_id, lang, avg_logprob,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logprob DESC NULLS LAST, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM hob"""
+    )
+
+
 def _kn5_heldout_frames(spark, sf_dir):
     d = docs(spark, sf_dir)
     train = d.where(F.col("doc_id") % 10 != 0)
@@ -2366,6 +2390,39 @@ def quality_kn5_heldout_persisted(spark, sf_dir):
         F.col("n_ngrams").alias("n_5grams"),
         _r("avg_logprob", 4).alias("avg_logprob"),
     )
+
+
+@register("quality_kn5_heldout_ppl_buckets", _kn_heldout_buckets_oracle(5))
+def quality_kn5_heldout_ppl_buckets(spark, sf_dir):
+    """CCNet §4.3's head/middle/tail split computed the way the PAPER
+    does it — per-language perplexity terciles of a HELD-OUT corpus
+    under a model trained elsewhere (the in-corpus ccnet variants
+    tercile the training corpus itself): fit the 5-gram tower on the
+    90% train slice, score the held-out 10% with full OOV backoff,
+    and ntile each language's held-out docs on the rounded scores
+    (NULL-scored short docs sort into the tail, doc_id tiebreak).
+    The oracle re-fits, re-scores, and re-buckets end to end, so the
+    tercile labels a curation mix consumes are value-hashed against
+    the held-out estimator, not the training-corpus one."""
+    from opentsdb_aura_spark.operators.quality import (
+        lm_kn_fit,
+        lm_kn_score,
+        perplexity_buckets,
+    )
+
+    train, held = _kn5_heldout_frames(spark, sf_dir)
+    model = lm_kn_fit(train, order=5)
+    sc = lm_kn_score(model, held).select(
+        "doc_id", _r("avg_logprob", 4).alias("avg_logprob")
+    )
+    scored = held.select("doc_id", "lang").join(sc, "doc_id")
+    bkt = perplexity_buckets(scored)
+    label = (
+        F.when(F.col("ppl_bucket") == 1, "head")
+        .when(F.col("ppl_bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bkt.select("doc_id", "lang", "avg_logprob", label.alias("ppl_bucket"))
 
 
 @register(
@@ -3618,6 +3675,58 @@ def text_lang_id_softmax(spark, sf_dir):
         *[_r(f"prob_{L}", 4).alias(f"prob_{L}") for L in langs],
         "pred_lang",
         (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    langs, _ = _langid_langs()
+    R = _LANGID_ITERS
+    joins = "\n".join(
+        f"JOIN m_{L}{R} ON m_{L}{R}.doc_id = corpus.doc_id" for L in langs
+    )
+    margin_cols = ", ".join(f"m_{L}{R}.margin AS m_{L}" for L in langs)
+    pred = _langid_pred_sql()
+    return (
+        _langid_ctes()
+        + f""",
+fin AS (SELECT corpus.doc_id, corpus.lang, {margin_cols}
+        FROM corpus
+        {joins})
+SELECT lang AS true_lang, {pred} AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM fin GROUP BY 1, 2"""
+    )
+
+
+@register("text_lang_id_confusion", _langid_confusion_oracle())
+def text_lang_id_confusion(spark, sf_dir):
+    """The trained language router's CONFUSION MATRIX — the model-card
+    table next to the classifier family's PR curve and AUC: one row
+    per observed (true_lang, pred_lang) cell with its document count,
+    from the same five OvR fits and argmax as text_lang_id_trained
+    (one scoring pass + one groupBy — the per-doc surface reduced to
+    the eval a curation team actually reads before trusting the
+    router).  The oracle re-fits the identical five unrolled GD
+    chains and re-aggregates the same cells, so the error structure
+    (which languages leak into which) is value-hashed, not sampled."""
+    from opentsdb_aura_spark.operators.quality import (
+        hashed_char_ngram_features,
+        ovr_logreg_scores,
+    )
+
+    corpus = _langid_corpus(spark, sf_dir)
+    feats = hashed_char_ngram_features(
+        corpus, n=3, n_features=_LANGID_D, text_col="txt"
+    ).localCheckpoint(eager=False)
+    models = _langid_models(corpus, feats)
+    scores = ovr_logreg_scores(
+        feats, models, corpus.select("doc_id"), n_features=_LANGID_D
+    )
+    return (
+        corpus.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(scores.select("doc_id", "pred_lang"), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
 
 

@@ -38,6 +38,9 @@ BNLJ_ALLOWED = {
     "quality_kn_scores",  # 1-row bigram-type-total factor
     "quality_kn3_scores",  # 1-row type-total + two 1-row discount-triple factors
     "quality_kn5_scores",  # same shape at order 5: 1-row total + per-level discount triples
+    "quality_kn5_apply_heldout",  # lm_kn_score: 1-row discount triples + 1-row u/v totals
+    "quality_kn5_heldout_persisted",  # same shape through the persisted tower
+    "quality_kn5_heldout_ppl_buckets",  # same heldout scorer + ntile tail
     "pipeline_ccnet_buckets",  # composes lm_bigram_scores: same 1-row vocab factor
     "pipeline_ccnet_curate",  # same composition over the extracted text
     "pipeline_ccnet_curate_kn",  # kn5 tower: 1-row total + per-level discount triples
@@ -145,6 +148,8 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "dmid",  # 1-row middle-level discount triple (quality_kn3_scores)
         "u_total",  # 1-row type-total factor (lm_kn_scores_order)
         "dk",  # 1-row per-level discount triple (lm_kn_scores_order)
+        "dd",  # 1-row per-level discount triples dict (lm_kn_score)
+        "tot",  # 1-row (u, v, level-1 gamma masses) totals frame (lm_kn_score)
         "bloom",  # Bloom word table: O(n_bits/63) rows by construction
         "probe_set",  # ZipNum lookup probe set: contract probes ≪ blocks (ANN query-set shape)
     }

@@ -738,3 +738,46 @@ def test_parse_feed_xml_roundtrip_wellformed(entries):
     got = [(k, l, ts) for k, l, _t, ts in parse_feed_xml(doc)]
     # parser groups by kind (all items, then all entries) — compare as sets
     assert set(got) == set(want) and len(got) == len(want)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=2, max_size=8),
+        min_size=2,
+        max_size=6,
+    ),
+    held=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_lm_kn_heldout_random_corpora_match_reference(spark, train, held):
+    """Randomized cross-check of the order-2 held-out KN scorer
+    against the independent Python reference (tests/test_quality.py's
+    _kn2_reference): arbitrary tiny corpora, with the held-out
+    alphabet a superset of the train alphabet so OOV words, unseen
+    contexts, and unseen bigrams all occur organically."""
+    import math
+
+    from opentsdb_aura_spark.operators.quality import lm_kn_fit, lm_kn_score
+
+    from tests.test_quality import _kn2_reference
+
+    train_rows = [(i, " ".join(toks)) for i, toks in enumerate(train)]
+    held_rows = [(100 + i, " ".join(toks)) for i, toks in enumerate(held)]
+    tdf = spark.createDataFrame(train_rows, "doc_id long, text string")
+    hdf = spark.createDataFrame(held_rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_kn_score(lm_kn_fit(tdf, order=2), hdf).collect()}
+    ref = _kn2_reference(
+        [toks for toks in train], {100 + i: toks for i, toks in enumerate(held)}
+    )
+    assert set(got) == set(ref)
+    for doc_id, (n, lp) in ref.items():
+        assert got[doc_id]["n_ngrams"] == n
+        if lp is None:
+            assert got[doc_id]["avg_logprob"] is None
+        else:
+            assert math.isfinite(got[doc_id]["avg_logprob"])
+            assert abs(got[doc_id]["avg_logprob"] - lp) < 1e-9

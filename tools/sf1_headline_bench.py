@@ -72,6 +72,11 @@ CRAWL_HEADLINE = [
     "pipeline_ccnet_curate_kn",
     "text_lang_id_trained",
     "text_wordpiece_train_merges",
+    # round 14: the train/apply split (fit on the 90% slice, score the
+    # held-out 10% with OOV backoff) and the softmax reject gate (the
+    # same 6-step GD chains + a mixed-corpus scoring pass)
+    "quality_kn5_apply_heldout",
+    "text_lang_id_softmax",
 ]
 
 

@@ -167,3 +167,78 @@ def mg_heavy_hitters(
             "n_total",
         )
     )
+
+
+# ---------------------------------------------------------------- Count-Min
+
+def cms_slot_exprs(key: str, depth: int, width: int) -> "list[F.Column]":
+    """The ``depth`` Count-Min hash slots of string column ``key``:
+    row j's slot is the first 8 hex chars of md5("j:" || key) mod
+    ``width``.  md5 is chosen over xxhash64 deliberately: DuckDB has
+    the same md5, so the oracle recomputes the ENTIRE sketch
+    bit-for-bit (CAST(concat('0x', substr(md5(..), 1, 8)) AS BIGINT)
+    — the established engine-parity hash, queries/extras_corpus.py).
+    8 hex chars fit a non-negative 32-bit value, so the BIGINT mod
+    never sees a sign."""
+    return [
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col(key))), 1, 8), 16, 10)
+            .cast("long") % int(width)
+        ).alias(f"slot_{j}")
+        for j in range(int(depth))
+    ]
+
+
+def countmin_sketch(
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the string
+    column ``col``: a ``depth`` × ``width`` counter table as rows
+    (j, slot, cnt) — cnt = number of input rows whose j-th hash lands
+    in that slot.  One groupBy with map-side combine builds it; two
+    sketches over disjoint data MERGE by summing counters on (j, slot)
+    (sum is the aggregate, so Spark's partial aggregation already IS
+    the per-partition-sketch merge).  State is depth × width counters
+    no matter how many distinct keys exist — the point-frequency
+    complement of the Misra-Gries top-k summary above (MG answers
+    "which items are hot", CMS answers "how often is THIS item" for
+    any item, never undercounting).  Null keys are dropped (parity
+    with mg_partials)."""
+    keyed = df.where(F.col(col).isNotNull()).select(F.col(col).cast("string").alias("_k"))
+    slots = keyed.select(
+        F.posexplode(F.array(*cms_slot_exprs("_k", depth, width))).alias("j", "slot")
+    )
+    return slots.groupBy("j", "slot").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys``: the
+    Count-Min estimate min_j(counter[j][h_j(key)]) — an UPPER bound on
+    the true count (each counter only ever adds other keys' collisions;
+    with depth d and width w, est − true ≤ 2n/w with probability
+    ≥ 1 − (1/2)^d, the classic CM guarantee).  The probe explodes each
+    key into its ``depth`` (j, slot) coordinates and pays ONE equi-join
+    against the sketch (the sketch side is depth × width rows —
+    AQE broadcasts it on its own; no size hint needed), then a min per
+    key.  ``depth``/``width`` must match the build."""
+    probes = keys.select(F.col(col).cast("string").alias("_k")).where(
+        F.col("_k").isNotNull()
+    ).distinct().select(
+        "_k", F.posexplode(F.array(*cms_slot_exprs("_k", depth, width))).alias("j", "slot")
+    )
+    return (
+        probes.join(sketch, ["j", "slot"])
+        .groupBy(F.col("_k").alias(col))
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )

@@ -1,0 +1,263 @@
+"""Exact-substring duplication via a distributed suffix array —
+the ExactSubstr algorithm of Lee et al. 2022 ("Deduplicating Training
+Data Makes Language Models Better", §4.1), built Spark-first.
+
+The paper's single-node tool builds a suffix array over the
+concatenated corpus and reports every substring of >= ``min_len``
+tokens that occurs twice anywhere.  The existing span-hash operator
+(operators/dedup_text.duplicate_spans) is the fixed-window
+approximation of this; this module is the EXACT form: a position
+holds a duplicated substring of length L iff its suffix shares a
+prefix of >= L characters with one of its two neighbors in suffix
+order, so the whole decision reduces to (suffix array, adjacent-LCP)
+— both computed with shuffle-friendly primitives:
+
+* **Suffix array by prefix doubling** (Manber–Myers): rank suffixes
+  by their first ``init_prefix`` characters, then repeatedly combine
+  ``(rank[i], rank[i + k])`` and re-rank, doubling ``k`` — O(log n)
+  rounds, each ONE equi-join on (doc_id, offset+k) plus one global
+  dense rank.  No suffix strings are ever materialized beyond the
+  fixed ``init_prefix`` head; state per round is exactly one long per
+  position.  Lineage is truncated per round by the pinned
+  partitioning inside :func:`global_dense_rank` (the
+  pagerank/HyperBall loop discipline, operators/corpus.py).
+
+* **Global dense rank without a single-partition window**: Spark's
+  ``dense_rank`` over an unpartitioned window funnels all rows
+  through one task.  :func:`global_dense_rank` instead
+  ``repartitionByRange``-s on the sort key (equal keys co-locate,
+  partition ids ascend with key ranges — verified property of the
+  range partitioner), ranks WITHIN each partition, and adds a
+  broadcast per-partition cumulative offset (#distinct keys in
+  earlier partitions).  Every stage is all-executor parallel; the
+  offset frame is #partitions rows.
+
+* **Per-doc suffixes, no corpus concatenation**: duplicated
+  substrings never span document boundaries (the paper inserts
+  unique separators for exactly this reason), so suffixes are
+  (doc_id, offset) pairs ordered by their within-doc tail, with
+  exact-equal tails tie-broken by (doc_id, offset) — giving a total
+  order identical to a concatenation with per-doc unique sentinels.
+
+* **Adjacent LCP** is computed by fetching a ``cap``-character head
+  per suffix (one join with the doc table) and comparing rank-r with
+  rank-r+1 heads char-by-char via ``transform + array_position`` —
+  pure Catalyst, mirrored verbatim by the DuckDB oracle's
+  ``list_transform + list_position``.
+
+The only driver-side value the loop reads is the max document length
+(one 1-row aggregate, fixing the round count up front) — the
+bounded-collect discipline every iterative operator in this repo
+follows.  Reference parity: the reference engine has no
+substring-dedup surface (no Python/ML code anywhere in its Java
+modules); this operator extends the engine for training-data
+curation, pinned by full DuckDB oracles (dedup_suffix_array,
+dedup_suffix_spans) and a Hypothesis property test against an
+independent Python suffix sort (tests/test_property.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_dense_rank(
+    df: DataFrame,
+    keys: list[str],
+    out: str = "rank",
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense rank over ``keys`` with NO single-partition window:
+    range-partition on the keys (equal keys co-locate; partition ids
+    ascend with key ranges), dense-rank within each partition, then
+    shift by the broadcast cumulative distinct-key count of earlier
+    partitions.  Output column ``out`` is 1-based and dense over the
+    whole frame; all heavy stages run on every executor.
+
+    The ranged frame is pinned with localCheckpoint BEFORE
+    ``spark_partition_id()`` is read: two plan branches consume it
+    (the per-row ranks and the per-partition offset counts), and
+    ``repartitionByRange`` draws its range boundaries from a sample —
+    left unpinned, each branch re-samples independently and the
+    recomputed partition ids silently disagree between the offsets
+    and the rows they shift (observed: a scrambled permutation on a
+    30 k-row frame).  Pinning makes every downstream read see one
+    materialized partitioning, so correctness never rides on
+    exchange reuse."""
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(nparts, *[F.col(k) for k in keys])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(k) for k in keys])
+    local = part.withColumn("_lrank", F.dense_rank().over(w))
+    # per-partition distinct-key counts -> cumulative offsets.  The
+    # frame is <= nparts rows: the window below is driver-cheap and
+    # the join broadcasts.
+    counts = local.groupBy("_pid").agg(F.max("_lrank").alias("_ndist"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_ndist").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_lrank") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
+def suffix_array(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    init_prefix: int = 64,
+) -> DataFrame:
+    """Suffix array over the per-doc suffixes of ``docs`` by prefix
+    doubling.  Returns (doc_id, off, rank): ``rank`` is the 1-based
+    position of suffix ``text[off:]`` in the corpus-wide sort order
+    (ties between exactly-equal tails broken by (doc_id, off)) — a
+    permutation of 1..N, N = total characters.
+
+    Rounds: rank by the ``init_prefix``-char head, then combine
+    (rank, rank-at-off+k) for k = init_prefix, 2*init_prefix, ...
+    until k covers the longest document, then one final
+    (rank, doc_id, off) dense rank resolves equal-tail ties (a no-op
+    reorder when every tail is already unique, so it runs
+    unconditionally — a distinct-count probe per round would cost a
+    full job to save, at most, rounds the tie-break already
+    subsumes).  ``init_prefix`` trades rounds against per-round
+    shuffle width: ceil(log2(max_doc_len / init_prefix)) + 2 rank
+    stages total, each shuffling one (init_prefix .. 8)-byte key per
+    position.  At fixture scale 64 halves the stage count vs 16; at
+    cluster scale a smaller head keeps the first exchange narrow."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).where(F.length("text") > 0)
+    max_len = base.agg(F.max(F.length("text"))).first()[0]
+    if max_len is None:
+        return base.select(
+            "doc_id", F.lit(0).cast("long").alias("off"), F.lit(0).cast("long").alias("rank")
+        ).limit(0)
+    suf = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.length("text") - 1)).alias("off"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("off").cast("long").alias("off"),
+        F.expr(f"substring(text, off + 1, {int(init_prefix)})").alias("_pfx"),
+    )
+    cur = global_dense_rank(suf, ["_pfx"]).drop("_pfx")
+    k = int(init_prefix)
+    while k < max_len:
+        nxt = cur.select(
+            "doc_id", (F.col("off") - k).alias("off"), F.col("rank").alias("_r2")
+        )
+        paired = cur.join(nxt, ["doc_id", "off"], "left").select(
+            "doc_id", "off", "rank", F.coalesce("_r2", F.lit(-1)).alias("_r2")
+        )
+        # lineage is truncated by the checkpoint inside global_dense_rank;
+        # the narrow tail (window + broadcast join) re-derives cheaply for
+        # the two consumers of the next round
+        cur = global_dense_rank(paired, ["rank", "_r2"], out="_nrank").select(
+            "doc_id", "off", F.col("_nrank").alias("rank")
+        )
+        k *= 2
+    # equal full tails (exact duplicate text) share a rank: total-order
+    # them by (doc_id, off); already-unique ranks pass through unchanged
+    return global_dense_rank(cur, ["rank", "doc_id", "off"], out="_nrank").select(
+        "doc_id", "off", F.col("_nrank").alias("rank")
+    )
+
+
+def _lcp_expr(a: str, b: str) -> F.Column:
+    """Length of the common prefix of columns ``a`` and ``b`` —
+    char-by-char compare via transform + array_position (not-found
+    returns 0 in BOTH Spark and DuckDB, so the oracle mirrors this
+    expression verbatim with list_transform/list_position).  A NULL
+    side (no neighbor at the frame edge) is an explicit 0: Spark's
+    ``least`` SKIPS nulls, so without the guard lcp(x, NULL) would
+    silently compare x against itself-sized nothing and return > 0."""
+    pos = F.expr(
+        f"array_position(transform(sequence(1, least(length({a}), length({b}))),"
+        f" i -> substring({a}, i, 1) = substring({b}, i, 1)), false)"
+    )
+    matched = F.when(pos == 0, F.least(F.length(a), F.length(b))).otherwise(pos - 1)
+    return F.when(F.col(a).isNull() | F.col(b).isNull(), F.lit(0)).otherwise(matched)
+
+
+def adjacent_lcp(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = 64,
+    init_prefix: int = 64,
+) -> DataFrame:
+    """(rank, doc_id, off, lcp_prev, lcp_next) per suffix: the length
+    (capped at ``cap`` characters) of the common prefix shared with
+    the suffix-order predecessor / successor.  A suffix starts a
+    duplicated substring of length L <= cap iff
+    greatest(lcp_prev, lcp_next) >= L — the ExactSubstr membership
+    test.  One join fetches a ``cap``-char head per suffix; one
+    equi-join on rank+1 pairs neighbors."""
+    sa = suffix_array(docs, id_col=id_col, text_col=text_col, init_prefix=init_prefix)
+    heads = sa.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+    ).select(
+        "doc_id", "off", "rank", F.expr(f"substring(text, off + 1, {int(cap)})").alias("_head")
+    )
+    nxt = heads.select(
+        (F.col("rank") - 1).alias("rank"), F.col("_head").alias("_head_next")
+    )
+    with_next = heads.join(nxt, "rank", "left").withColumn(
+        "lcp_next",
+        F.coalesce(_lcp_expr("_head", "_head_next"), F.lit(0)).cast("long"),
+    )
+    prv = with_next.select((F.col("rank") + 1).alias("rank"), F.col("lcp_next").alias("lcp_prev"))
+    return (
+        with_next.join(prv, "rank", "left")
+        .select(
+            "rank",
+            "doc_id",
+            "off",
+            F.coalesce("lcp_prev", F.lit(0)).cast("long").alias("lcp_prev"),
+            "lcp_next",
+        )
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    *,
+    min_len: int = 20,
+    cap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    init_prefix: int = 64,
+) -> DataFrame:
+    """Per-document exact-duplication profile: for each doc, the
+    number of positions whose suffix shares a >= ``min_len``-char
+    prefix with a suffix-order neighbor (i.e. starts a substring of
+    >= min_len chars occurring >= 2 times anywhere in the corpus,
+    this doc included), and the longest such shared prefix observed
+    (capped at ``cap``).  Docs with zero duplicated positions are
+    omitted.  This is the per-doc rollup of Lee et al.'s ExactSubstr
+    span set — the decision input for span excision or doc drop."""
+    lcp = adjacent_lcp(
+        docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix
+    ).withColumn("_best", F.greatest("lcp_prev", "lcp_next"))
+    return (
+        lcp.where(F.col("_best") >= min_len)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("dup_positions"),
+            F.max("_best").cast("long").alias("max_dup_len"),
+        )
+    )

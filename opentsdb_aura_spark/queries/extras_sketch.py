@@ -271,3 +271,64 @@ def rollup_hist_p90_planner(spark, sf_dir):
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("p90_max"))
 
 
+
+
+# ------------------------------------------------------------- Count-Min
+# Point-frequency sketch (Cormode & Muthukrishnan) — the "how often is
+# THIS item" complement of the Misra-Gries top-k summary.  md5-derived
+# slots make the sketch ENGINE-EXACT: the oracle rebuilds the full
+# depth×width counter table and every estimate bit-for-bit, so unlike
+# the HLL/DDSketch families this sketch needs no rows-only escape.
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_slot_sql(key: str, j: int) -> str:
+    return (
+        f"(CAST(concat('0x', substr(md5('{j}:' || {key}), 1, 8)) AS BIGINT) % {_CMS_W})"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL),
+slots AS (
+  {' UNION ALL '.join(f"SELECT {j} AS j, {_cms_slot_sql('k', j)} AS slot FROM keyed" for j in range(_CMS_D))}
+),
+sketch AS (SELECT j, slot, CAST(count(*) AS BIGINT) AS cnt FROM slots GROUP BY 1, 2),
+probes AS (
+  {' UNION ALL '.join(f"SELECT k, {j} AS j, {_cms_slot_sql('k', j)} AS slot FROM (SELECT DISTINCT k FROM keyed)" for j in range(_CMS_D))}
+),
+est AS (SELECT k, CAST(min(cnt) AS BIGINT) AS est_count
+        FROM probes JOIN sketch USING (j, slot) GROUP BY 1),
+exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_count FROM keyed GROUP BY 1)
+SELECT k AS tag_user, est_count, exact_count,
+       CAST(est_count - exact_count AS BIGINT) AS overcount
+FROM est JOIN exact USING (k)"""
+
+
+@register("sketch_countmin_user_freq", _CMS_ORACLE)
+def sketch_countmin_user_freq(spark, sf_dir):
+    """Count-Min point-frequency serving: build a 4×64 sketch over
+    every event's user key (one map-side-combined groupBy; counters
+    merge by + across partitions/shards), then estimate each distinct
+    user's event count from the sketch and join the exact count —
+    ``overcount`` (est − exact, ≥ 0 always) is the materialized
+    collision error the CM bound caps at 2n/w w.h.p.  At fixture SF
+    150 keys share 64 slots, so genuine collisions are exercised;
+    the oracle rebuilds sketch and estimates bit-for-bit."""
+    from opentsdb_aura_spark.operators.sketch import countmin_estimate, countmin_sketch
+
+    ev = load_events(spark, sf_dir)
+    sk = countmin_sketch(ev, "user_id", depth=_CMS_D, width=_CMS_W)
+    est = countmin_estimate(sk, ev, "user_id", depth=_CMS_D, width=_CMS_W)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").cast("string").alias("user_id"))
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return est.join(exact, "user_id").select(
+        F.col("user_id").alias("tag_user"),
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).cast("long").alias("overcount"),
+    )

@@ -3970,3 +3970,85 @@ def pipeline_quality_gate(spark, sf_dir):
             "keep"
         ),
     )
+
+
+# ------------------------------------------------------- suffix-array dedup
+# The EXACT form of Lee et al.'s substring dedup (operators/suffix.py):
+# dedup_repeated_spans above is the fixed-window approximation; these two
+# pin the real suffix-array + adjacent-LCP chain against a DuckDB oracle
+# that sorts the actual suffix strings.  Both run on the doc_id % 5 slice
+# (~30 k suffix positions at fixture SF) — the full-corpus and 10×-docs
+# walls live in the sf1 bench tier (tools/sf1_headline_bench.py).
+
+_SUFFIX_ORACLE_HEAD = """
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 5 = 0 AND length(text) > 0),
+s AS (SELECT doc_id, CAST(unnest(range(0, length(text))) AS BIGINT) AS off, text FROM d),
+r AS (SELECT doc_id, off,
+             CAST(row_number() OVER (ORDER BY substr(text, off + 1), doc_id, off) AS BIGINT) AS rank,
+             substr(text, off + 1, 64) AS head
+      FROM s)
+"""
+
+# capped LCP of two head strings, mirroring operators/suffix._lcp_expr
+# exactly: char-by-char compare via list_transform + list_position
+# (not-found -> 0 in both engines), NULL neighbor -> 0.
+def _sql_lcp(a: str, b: str) -> str:
+    pos = (
+        f"list_position(list_transform(range(1, least(length({a}), length({b})) + 1),"
+        f" i -> substr({a}, i, 1) = substr({b}, i, 1)), false)"
+    )
+    return (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN 0"
+        f" WHEN {pos} IS NULL OR {pos} = 0 THEN least(length({a}), length({b}))"
+        f" ELSE {pos} - 1 END)"
+    )
+
+
+@register(
+    "dedup_suffix_array",
+    f"""{_SUFFIX_ORACLE_HEAD}
+SELECT rank, doc_id, off FROM r WHERE rank <= 500""",
+)
+def dedup_suffix_array(spark, sf_dir):
+    """Distributed suffix array (Manber–Myers prefix doubling over
+    range-partitioned dense ranks — operators/suffix.suffix_array):
+    the first 500 entries of the corpus-slice suffix order, each the
+    (doc_id, offset) of a suffix.  The oracle sorts the literal
+    suffix strings; matching it end-to-end pins every doubling round,
+    the shorter-suffix (-1 sentinel) ordering, and the equal-tail
+    (doc_id, off) tie-break."""
+    from opentsdb_aura_spark.operators.suffix import suffix_array
+
+    d = docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    sa = suffix_array(d)
+    return sa.where(F.col("rank") <= 500).select("rank", "doc_id", "off")
+
+
+@register(
+    "dedup_suffix_spans",
+    f"""{_SUFFIX_ORACLE_HEAD},
+adj AS (SELECT doc_id, off, head,
+               lag(head)  OVER (ORDER BY rank) AS head_prev,
+               lead(head) OVER (ORDER BY rank) AS head_next
+        FROM r),
+best AS (SELECT doc_id,
+                greatest({_sql_lcp('head', 'head_prev')},
+                         {_sql_lcp('head', 'head_next')}) AS b
+         FROM adj)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_positions,
+       CAST(max(b) AS BIGINT) AS max_dup_len
+FROM best WHERE b >= 20 GROUP BY 1""",
+)
+def dedup_suffix_spans(spark, sf_dir):
+    """ExactSubstr membership (Lee et al. §4.1): a position starts a
+    duplicated >=20-char substring iff its suffix shares a >=20-char
+    prefix with a suffix-order neighbor.  Per-doc rollup: duplicated
+    position count + longest shared prefix (capped at 64 chars) —
+    the decision input for span excision / doc drop.  The oracle
+    recomputes the full chain (suffix sort -> lag/lead neighbor
+    heads -> capped char-compare LCP -> rollup) from the raw text."""
+    from opentsdb_aura_spark.operators.suffix import duplicated_spans
+
+    d = docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    return duplicated_spans(d, min_len=20, cap=64)

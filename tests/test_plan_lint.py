@@ -152,6 +152,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "tot",  # 1-row (u, v, level-1 gamma masses) totals frame (lm_kn_score)
         "bloom",  # Bloom word table: O(n_bits/63) rows by construction
         "probe_set",  # ZipNum lookup probe set: contract probes ≪ blocks (ANN query-set shape)
+        "offsets",  # per-range-partition rank offsets: rows <= num_partitions (suffix.global_dense_rank)
     }
     hits = []
     for py in root.rglob("*.py"):

@@ -781,3 +781,46 @@ def test_lm_kn_heldout_random_corpora_match_reference(spark, train, held):
         else:
             assert math.isfinite(got[doc_id]["avg_logprob"])
             assert abs(got[doc_id]["avg_logprob"] - lp) < 1e-9
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_suffix_array_random_corpora_match_python_sort(spark, corpus):
+    """Randomized cross-check of the prefix-doubling suffix array +
+    adjacent-LCP chain (operators/suffix.py) against a direct Python
+    suffix sort: tiny 4-letter-alphabet corpora maximize repeated
+    substrings, equal tails (exercising the (doc_id, off) tie-break),
+    empty docs, and suffixes shorter than init_prefix.  init_prefix=2
+    forces several doubling rounds even at these sizes."""
+    from opentsdb_aura_spark.operators.suffix import adjacent_lcp, suffix_array
+
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sufs = sorted((t[o:], d, o) for d, t in rows for o in range(len(t)))
+    ref_rank = {(d, o): r + 1 for r, (s, d, o) in enumerate(sufs)}
+
+    got = {(r.doc_id, r.off): r.rank for r in suffix_array(df, init_prefix=2).collect()}
+    assert got == ref_rank
+
+    cap = 5
+
+    def plcp(a, b):
+        n = 0
+        for x, y in zip(a[:cap], b[:cap]):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    by_rank = {r + 1: s for r, (s, d, o) in enumerate(sufs)}
+    for row in adjacent_lcp(df, cap=cap, init_prefix=2).collect():
+        exp_prev = plcp(by_rank[row.rank], by_rank[row.rank - 1]) if row.rank > 1 else 0
+        exp_next = plcp(by_rank[row.rank], by_rank[row.rank + 1]) if row.rank < len(sufs) else 0
+        assert (row.lcp_prev, row.lcp_next) == (exp_prev, exp_next), (row, exp_prev, exp_next)

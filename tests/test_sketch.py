@@ -106,3 +106,80 @@ def test_mg_grouped_keeps_null_group_keys(spark):
     out = mg_heavy_hitters(df, "item", 1, capacity=8, group_cols=["g"]).collect()
     got = {r["g"]: (r["item"], r["est_count"], r["n_total"]) for r in out}
     assert got == {"g1": ("x", 3, 3), None: ("y", 4, 5)}
+
+
+# ---------------------------------------------------------------- Count-Min
+
+
+@pytest.fixture(scope="module")
+def cm_stream(spark):
+    """Zipf-ish stream over 300 distinct keys — far more keys than a
+    16-wide sketch has slots, so every row of the sketch carries
+    collisions."""
+    rng = random.Random(11)
+    items = [f"k{int(rng.random() ** 2 * 300)}" for _ in range(8000)]
+    return spark.createDataFrame([(x,) for x in items], "item string").repartition(8)
+
+
+def test_cms_never_undercounts_and_bounds_error(spark, cm_stream):
+    from opentsdb_aura_spark.operators.sketch import countmin_estimate, countmin_sketch
+
+    sk = countmin_sketch(cm_stream, "item", depth=4, width=16)
+    est = {r.item: r.est_count for r in countmin_estimate(
+        sk, cm_stream, "item", depth=4, width=16
+    ).collect()}
+    exact = {r.item: r.cnt for r in cm_stream.groupBy("item").agg(
+        F.count("*").alias("cnt")
+    ).collect()}
+    assert set(est) == set(exact)
+    n = sum(exact.values())
+    overs = [est[k] - exact[k] for k in exact]
+    assert all(o >= 0 for o in overs), "CM estimate must never undercount"
+    # e = 2/width bound with prob 1-2^-depth; deterministic data, so just
+    # sanity-check the typical-case bound rather than the tail
+    assert sorted(overs)[len(overs) // 2] <= 2 * n // 16
+
+
+def test_cms_exact_when_no_collisions(spark):
+    from opentsdb_aura_spark.operators.sketch import countmin_estimate, countmin_sketch
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, "item string"
+    )
+    # width 4096 >> 3 keys: P(any collision in all 4 rows) ~ 0 for this
+    # fixed dataset — and md5 slots are deterministic, so this is a
+    # stable fact of the fixture, not a flaky draw
+    sk = countmin_sketch(df, "item", depth=4, width=4096)
+    est = {r.item: r.est_count for r in countmin_estimate(
+        sk, df, "item", depth=4, width=4096
+    ).collect()}
+    assert est == {"a": 5, "b": 3, "c": 2}
+
+
+def test_cms_merges_by_summing_counters(spark, cm_stream):
+    """Two sketches over disjoint halves, counters summed on (j, slot),
+    must equal the single-pass sketch — the mergeable-summaries
+    property that makes per-shard sketches combine without rescan."""
+    from opentsdb_aura_spark.operators.sketch import countmin_sketch
+
+    halves = cm_stream.withColumn("_h", F.monotonically_increasing_id() % 2)
+    a = countmin_sketch(halves.where(F.col("_h") == 0), "item", depth=4, width=16)
+    b = countmin_sketch(halves.where(F.col("_h") == 1), "item", depth=4, width=16)
+    merged = {
+        (r.j, r.slot): r.cnt
+        for r in a.unionByName(b).groupBy("j", "slot").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        ).collect()
+    }
+    full = {(r.j, r.slot): r.cnt for r in countmin_sketch(
+        cm_stream, "item", depth=4, width=16
+    ).collect()}
+    assert merged == full
+
+
+def test_cms_drops_null_keys(spark):
+    from opentsdb_aura_spark.operators.sketch import countmin_sketch
+
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "item string")
+    sk = countmin_sketch(df, "item", depth=2, width=8)
+    assert sk.agg(F.sum("cnt")).first()[0] == 4  # 2 rows x depth 2

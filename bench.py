@@ -161,6 +161,14 @@ BENCH_QUERIES = [
     "text_lang_id_softmax",
     "text_wordpiece_pieces",
     "text_unigram_persisted_count",
+    # round 14 additions (session 2): the exact suffix-array substring
+    # dedup (prefix-doubling SA + adjacent LCP — the catalog's new
+    # heavy), Bloom-filter decontamination, Count-Min point frequency,
+    # and the temperature-mixture rates
+    "dedup_suffix_spans",
+    "contamination_bloom",
+    "sketch_countmin_user_freq",
+    "pipeline_mixture_temperature",
 ]
 
 # The driver's bench artifact keeps only the TAIL of the output, and
@@ -198,6 +206,8 @@ MIN_OF = {
     "text_unigram_train": 3,
     "text_unigram_count": 3,
     "text_lang_id_trained": 3,
+    # new r14 heavy: ~20 rank/join stages — first-run JIT swings it
+    "dedup_suffix_spans": 3,
     # r14: the softmax gate runs the same 6-step GD chain as
     # text_lang_id_trained — same JIT sensitivity, same pin
     "text_lang_id_softmax": 3,

@@ -207,7 +207,13 @@ def countmin_sketch(
     complement of the Misra-Gries top-k summary above (MG answers
     "which items are hot", CMS answers "how often is THIS item" for
     any item, never undercounting).  Null keys are dropped (parity
-    with mg_partials)."""
+    with mg_partials).
+
+    The same body runs UNCHANGED on a streaming frame: narrow
+    projection + sum-groupBy is exactly what Structured Streaming's
+    stateful aggregation maintains across micro-batches
+    (test_streaming_countmin_matches_batch_sketch pins
+    stream ≡ batch bit-for-bit)."""
     keyed = df.where(F.col(col).isNotNull()).select(F.col(col).cast("string").alias("_k"))
     slots = keyed.select(
         F.posexplode(F.array(*cms_slot_exprs("_k", depth, width))).alias("j", "slot")

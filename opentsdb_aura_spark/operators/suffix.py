@@ -125,12 +125,13 @@ def suffix_array(
 
     Rounds: rank by the ``init_prefix``-char head, then combine
     (rank, rank-at-off+k) for k = init_prefix, 2*init_prefix, ...
-    until k covers the longest document, then one final
-    (rank, doc_id, off) dense rank resolves equal-tail ties (a no-op
-    reorder when every tail is already unique, so it runs
-    unconditionally — a distinct-count probe per round would cost a
-    full job to save, at most, rounds the tie-break already
-    subsumes).  ``init_prefix`` trades rounds against per-round
+    until k covers the longest document.  The LAST round's (rank, _r2)
+    already determines the full string order, so the equal-tail
+    (doc_id, off) tie-break folds into that round's sort key — the
+    finished total order costs no extra rank stage (and a
+    distinct-count early-exit probe per round would cost a full job
+    to save rounds the fold already subsumes).
+    ``init_prefix`` trades rounds against per-round
     shuffle width: ceil(log2(max_doc_len / init_prefix)) + 2 rank
     stages total, each shuffling one (init_prefix .. 8)-byte key per
     position.  At fixture scale 64 halves the stage count vs 16; at
@@ -153,14 +154,28 @@ def suffix_array(
         F.expr(f"substring(text, off + 1, {int(init_prefix)})").alias("_pfx"),
     )
     cur = global_dense_rank(suf, ["_pfx"]).drop("_pfx")
+    if int(init_prefix) >= max_len:
+        # no doubling needed: only exact-equal tails still tie
+        return global_dense_rank(cur, ["rank", "doc_id", "off"], out="_nrank").select(
+            "doc_id", "off", F.col("_nrank").alias("rank")
+        )
     k = int(init_prefix)
     while k < max_len:
+        last = k * 2 >= max_len
         nxt = cur.select(
             "doc_id", (F.col("off") - k).alias("off"), F.col("rank").alias("_r2")
         )
         paired = cur.join(nxt, ["doc_id", "off"], "left").select(
             "doc_id", "off", "rank", F.coalesce("_r2", F.lit(-1)).alias("_r2")
         )
+        if last:
+            # the final round's (rank, _r2) covers the whole longest
+            # doc, so folding the equal-tail (doc_id, off) tie-break
+            # into ITS sort key yields the finished total order in one
+            # rank stage instead of a separate pass
+            return global_dense_rank(
+                paired, ["rank", "_r2", "doc_id", "off"], out="_nrank"
+            ).select("doc_id", "off", F.col("_nrank").alias("rank"))
         # lineage is truncated by the checkpoint inside global_dense_rank;
         # the narrow tail (window + broadcast join) re-derives cheaply for
         # the two consumers of the next round
@@ -168,11 +183,7 @@ def suffix_array(
             "doc_id", "off", F.col("_nrank").alias("rank")
         )
         k *= 2
-    # equal full tails (exact duplicate text) share a rank: total-order
-    # them by (doc_id, off); already-unique ranks pass through unchanged
-    return global_dense_rank(cur, ["rank", "doc_id", "off"], out="_nrank").select(
-        "doc_id", "off", F.col("_nrank").alias("rank")
-    )
+    raise AssertionError("unreachable: the last doubling round returns")
 
 
 def _lcp_expr(a: str, b: str) -> F.Column:
@@ -207,18 +218,29 @@ def adjacent_lcp(
     test.  One join fetches a ``cap``-char head per suffix; one
     equi-join on rank+1 pairs neighbors."""
     sa = suffix_array(docs, id_col=id_col, text_col=text_col, init_prefix=init_prefix)
-    heads = sa.join(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-        "doc_id",
-    ).select(
-        "doc_id", "off", "rank", F.expr(f"substring(text, off + 1, {int(cap)})").alias("_head")
+    # pinned: consumed twice below (as itself and rank-shifted); the
+    # char-compare in lcp_next is the expensive expression, so
+    # with_next is pinned too before its second (rank-shifted) read
+    heads = (
+        sa.join(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "off", "rank", F.expr(f"substring(text, off + 1, {int(cap)})").alias("_head")
+        )
+        .localCheckpoint()
     )
     nxt = heads.select(
         (F.col("rank") - 1).alias("rank"), F.col("_head").alias("_head_next")
     )
-    with_next = heads.join(nxt, "rank", "left").withColumn(
-        "lcp_next",
-        F.coalesce(_lcp_expr("_head", "_head_next"), F.lit(0)).cast("long"),
+    with_next = (
+        heads.join(nxt, "rank", "left")
+        .withColumn(
+            "lcp_next",
+            F.coalesce(_lcp_expr("_head", "_head_next"), F.lit(0)).cast("long"),
+        )
+        .localCheckpoint()
     )
     prv = with_next.select((F.col("rank") + 1).alias("rank"), F.col("lcp_next").alias("lcp_prev"))
     return (
@@ -260,4 +282,177 @@ def duplicated_spans(
             F.count("*").cast("long").alias("dup_positions"),
             F.max("_best").cast("long").alias("max_dup_len"),
         )
+    )
+
+
+def excise_duplicated_spans(
+    docs: DataFrame,
+    *,
+    min_len: int = 20,
+    cap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    init_prefix: int = 64,
+) -> DataFrame:
+    """The cleaning step of Lee et al.'s ExactSubstr, with the paper's
+    keep-one-occurrence rule: every corpus-duplicated substring of
+    >= ``min_len`` chars is excised from all but its CANONICAL
+    occurrence (minimal (doc_id, off) — the existing span-hash
+    ``excise_repeated_spans`` removes every occurrence; this keeps
+    one, so a sentence quoted a thousand times survives exactly once).
+
+    Membership comes from the suffix-array chain (adjacent-LCP
+    >= min_len — exact, no hash collisions); members sharing their
+    first ``min_len`` chars form one duplicate cluster (a contiguous
+    rank run, equivalently one L-gram's occurrence set — the catalog
+    oracle recomputes membership by the SECOND definition, so the
+    hash-match cross-validates the whole SA + LCP chain against plain
+    gram counting).  A duplicated region of length M >= L is covered
+    by its M−L+1 member windows, so the per-doc interval union
+    reconstructs full spans, not fixed windows.
+
+    Returns per doc (only docs with >= 1 excised span):
+    (doc_id, n_spans_excised, removed_chars, kept_chars) —
+    removed_chars is the union length of the non-canonical member
+    windows [off, off+min_len); kept_chars = doc length − removed.
+
+    Plan: the LCP frame filters to members, ONE join refetches the
+    L-gram, one gram-window picks canonicals, and the union length is
+    one per-doc window (doc_id partitions the data, so every stage is
+    all-executor)."""
+    L = int(min_len)
+    lcp = adjacent_lcp(
+        docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix
+    ).where(F.greatest("lcp_prev", "lcp_next") >= L)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.length(text_col).cast("long").alias("doc_len"),
+    )
+    members = lcp.join(base, "doc_id").select(
+        "doc_id",
+        "off",
+        "doc_len",
+        F.expr(f"substring(text, off + 1, {L})").alias("_gram"),
+    )
+    gw = Window.partitionBy("_gram").orderBy("doc_id", "off")
+    exc = (
+        members.withColumn("_rn", F.row_number().over(gw))
+        .where(F.col("_rn") > 1)  # rank 1 = the canonical, kept occurrence
+        .select("doc_id", "off", "doc_len")
+    )
+    dw = (
+        Window.partitionBy("doc_id")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = exc.withColumn("_pme", F.max(F.col("off") + L).over(dw)).select(
+        "doc_id",
+        "doc_len",
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("off") + L) - F.greatest(F.coalesce("_pme", F.col("off")), F.col("off")),
+        ).alias("_c"),
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans_excised"),
+        F.sum("_c").cast("long").alias("removed_chars"),
+        (F.first("doc_len") - F.sum("_c")).cast("long").alias("kept_chars"),
+    )
+
+
+def build_dup_index(
+    docs: DataFrame,
+    *,
+    min_len: int = 20,
+    cap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    init_prefix: int = 64,
+) -> DataFrame:
+    """The reusable output of an ExactSubstr pass: every ``min_len``-
+    char substring occurring >= 2 times in the corpus, as
+    (gram, n_occ, canon_doc_id, canon_off) rows — membership from the
+    suffix-array chain, canonical = minimal (doc_id, off) occurrence.
+
+    This is the dedup analog of the train/apply split the LM and
+    classifier families have: run the expensive SA ONCE over the
+    existing corpus, persist the index as a distributed Parquet dim
+    (write with ``df.write.parquet``, reload with ``spark.read`` — it
+    is corpus-sized, so it is never collected, the lm_kn_save rule),
+    then screen every NEW batch against it with
+    :func:`probe_dup_index` — one equi-join, no suffix array over the
+    new data."""
+    L = int(min_len)
+    lcp = adjacent_lcp(
+        docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix
+    ).where(F.greatest("lcp_prev", "lcp_next") >= L)
+    members = lcp.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+    ).select("doc_id", "off", F.expr(f"substring(text, off + 1, {L})").alias("gram"))
+    return members.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.min(F.struct("doc_id", "off")).alias("_c"),
+    ).select(
+        "gram",
+        "n_occ",
+        F.col("_c.doc_id").alias("canon_doc_id"),
+        F.col("_c.off").cast("long").alias("canon_off"),
+    )
+
+
+def probe_dup_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    min_len: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ExactSubstr screening: profile each NEW document
+    against a persisted :func:`build_dup_index` — every position whose
+    ``min_len``-gram the index knows is a duplicated-vs-corpus span
+    start.  Returns (doc_id, n_hit_positions, covered_chars, dup_frac)
+    for docs with >= 1 hit: ``covered_chars`` is the interval union of
+    the hit windows (consecutive hits reconstruct full spans),
+    ``dup_frac`` = covered / doc length — the drop/excise decision
+    input.  ONE equi-join on the gram (the new batch's grams shuffle
+    once; the index is a plain Parquet scan — no suffix array over
+    new data, no rescan of the old corpus)."""
+    L = int(min_len)
+    base = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.length(text_col).cast("long").alias("doc_len"),
+    ).where(F.length("text") >= L)
+    grams = base.select(
+        "doc_id",
+        "doc_len",
+        F.explode(F.sequence(F.lit(0), F.length("text") - L)).alias("off"),
+        "text",
+    ).select(
+        "doc_id",
+        "doc_len",
+        F.col("off").cast("long").alias("off"),
+        F.expr(f"substring(text, off + 1, {L})").alias("gram"),
+    )
+    hits = grams.join(index.select("gram"), "gram")
+    dw = (
+        Window.partitionBy("doc_id")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = hits.withColumn("_pme", F.max(F.col("off") + L).over(dw)).select(
+        "doc_id",
+        "doc_len",
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("off") + L) - F.greatest(F.coalesce("_pme", F.col("off")), F.col("off")),
+        ).alias("_c"),
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hit_positions"),
+        F.sum("_c").cast("long").alias("covered_chars"),
+        (F.sum("_c") / F.first("doc_len")).alias("dup_frac"),
     )

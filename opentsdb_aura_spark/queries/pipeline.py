@@ -4052,3 +4052,208 @@ def dedup_suffix_spans(spark, sf_dir):
 
     d = docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
     return duplicated_spans(d, min_len=20, cap=64)
+
+
+# ------------------------------------------------- Bloom decontamination
+# contamination_ngram's scale path: the GPT-3/PaLM recipe — compress the
+# eval suite's n-grams into a Bloom filter (O(n_bits) broadcast, suites
+# merge by bit_or), flag each training doc by its hit fraction.  The
+# fold-hash, 63-bit word packing, and FP pattern are the same
+# engine-portable construction corpus_frontier_bloom pins, so the whole
+# verdict — true hits AND deterministic false positives — value-hashes.
+
+_DECON_BITS = 63 * 256
+_DECON_FOLD = (
+    "list_reduce(list_transform(range(1, length(str) + 1),"
+    " j -> CAST(ord(substr(str, CAST(j AS INTEGER), 1)) AS BIGINT)),"
+    f" (a, b) -> (a * 31 + b) % 2147483647) % {_DECON_BITS}"
+)
+
+
+@register(
+    "contamination_bloom",
+    f"""{ORACLE_SHINGLES},
+probe AS (SELECT DISTINCT s FROM shing WHERE doc_id % 50 = 0),
+spos AS (SELECT {_DECON_FOLD} AS p
+         FROM (SELECT CAST(i AS VARCHAR) || ':' || s AS str
+               FROM probe, unnest(range(0, 4)) AS u(i))),
+words AS (SELECT CAST(p // 63 AS INTEGER) AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+          FROM spos GROUP BY 1),
+ppos AS (SELECT doc_id, s, {_DECON_FOLD} AS p
+         FROM (SELECT doc_id, s, CAST(i AS VARCHAR) || ':' || s AS str
+               FROM shing, unnest(range(0, 4)) AS u(i))),
+probed AS (SELECT doc_id, s,
+                  CASE WHEN (coalesce(bits, 0) & (CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER))) <> 0
+                       THEN 1 ELSE 0 END AS hit
+           FROM ppos LEFT JOIN words ON CAST(p // 63 AS INTEGER) = words.word_idx),
+per_gram AS (SELECT doc_id, s, min(hit) AS hit FROM probed GROUP BY 1, 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(hit) AS BIGINT) AS n_flagged,
+       round(sum(hit) * 1.0 / count(*), 6) AS flag_frac,
+       sum(hit) * 1.0 / count(*) >= 0.5 AS contaminated
+FROM per_gram GROUP BY 1""",
+)
+def contamination_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (GPT-3 app. C / PaLM §6.2 shape):
+    the eval probes' 3-gram shingles compressed to a 16 Kbit filter,
+    every corpus doc scored by the fraction of its distinct 3-grams
+    the filter flags.  Probe docs (drawn from the corpus) must score
+    flag_frac 1.0 — no false negatives, structurally — while clean
+    docs read the filter's deterministic false-positive pattern; the
+    oracle re-derives filter bits and every verdict in plain SQL."""
+    from opentsdb_aura_spark.operators.corpus import bloom_decontaminate
+
+    d = docs(spark, sf_dir)
+    res = bloom_decontaminate(
+        d, d.where(F.col("doc_id") % 50 == 0), n=3, n_bits=_DECON_BITS, k=4, threshold=0.5
+    )
+    return res.select(
+        "doc_id", "n_grams", "n_flagged", _r(F.col("flag_frac"), 6).alias("flag_frac"), "contaminated"
+    )
+
+
+# ------------------------------------------------- temperature mixture
+# mBERT/XLM-R's alpha-smoothed domain sampling: rates DERIVED from
+# corpus statistics (q_i ∝ n_i^0.3), not configured like
+# pipeline_mixture_sample.  The skewed pseudo-domain split (250/150/
+# 75/25 docs) makes the flattening visible: the smallest domain keeps
+# everything, the largest is down-sampled hardest.
+
+_TMIX_DOM_SQL = (
+    "'d' || CAST(CASE WHEN doc_id % 100 < 50 THEN 0 WHEN doc_id % 100 < 80 THEN 1 "
+    "WHEN doc_id % 100 < 95 THEN 2 ELSE 3 END AS VARCHAR)"
+)
+
+
+@register(
+    "pipeline_mixture_temperature",
+    f"""WITH d AS (SELECT doc_id, {_TMIX_DOM_SQL} AS dom FROM documents),
+stats AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_docs,
+                 pow(CAST(count(*) AS DOUBLE), 0.3) AS pw
+          FROM d GROUP BY 1),
+tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pw ORDER BY dom)),
+                           (a, b) -> a + b) AS t,
+               CAST(sum(n_docs) AS DOUBLE) AS n_total
+        FROM stats),
+rates AS (SELECT dom, n_docs,
+                 least(1.0, ((pw / t) * (0.5 * n_total)) / CAST(n_docs AS DOUBLE)) AS keep_rate
+          FROM stats, tot),
+kept AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_kept
+         FROM (SELECT d.dom, {_md5_bucket_sql("d.doc_id", "tmix")} AS b, r.keep_rate
+               FROM d JOIN rates r USING (dom))
+         WHERE b < keep_rate * 1000000.0 GROUP BY 1)
+SELECT r.dom, r.n_docs, round(r.keep_rate, 6) AS keep_rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k USING (dom)""",
+)
+def pipeline_mixture_temperature(spark, sf_dir):
+    """Temperature-based (alpha = 0.3) domain rebalancing with a 50%
+    overall target: per-domain derived keep rates and the kept-doc
+    counts under the deterministic md5-bucket rule.  The Σ n^alpha
+    fold is order-pinned on both sides, so the float keep_rate — and
+    every bucket-boundary verdict it gates — value-hashes exactly."""
+    from opentsdb_aura_spark.operators.corpus import temperature_mixture
+
+    dom = F.concat(
+        F.lit("d"),
+        F.when(F.col("doc_id") % 100 < 50, F.lit(0))
+        .when(F.col("doc_id") % 100 < 80, F.lit(1))
+        .when(F.col("doc_id") % 100 < 95, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("string"),
+    )
+    d = docs(spark, sf_dir).select("doc_id", dom.alias("source"))
+    res = temperature_mixture(d, alpha=0.3, target_frac=0.5, salt="tmix")
+    return res.select("dom", "n_docs", _r(F.col("keep_rate"), 6).alias("keep_rate"), "n_kept")
+
+
+@register(
+    "dedup_suffix_excise",
+    """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS doc_len
+           FROM documents WHERE doc_id % 5 = 0 AND length(text) > 0),
+g AS (SELECT doc_id, CAST(unnest(range(0, length(text) - 19)) AS BIGINT) AS off, text, doc_len FROM d),
+m AS (SELECT doc_id, off, doc_len, substr(text, off + 1, 20) AS gram FROM g),
+mm AS (SELECT doc_id, off, doc_len,
+              count(*) OVER (PARTITION BY gram) AS c,
+              row_number() OVER (PARTITION BY gram ORDER BY doc_id, off) AS rn
+       FROM m),
+exc AS (SELECT doc_id, off, doc_len FROM mm WHERE c >= 2 AND rn > 1),
+seg AS (SELECT doc_id, off, doc_len,
+               max(off + 20) OVER (PARTITION BY doc_id ORDER BY off
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM exc),
+con AS (SELECT doc_id, doc_len,
+               greatest(0, (off + 20) - greatest(coalesce(pme, off), off)) AS c
+        FROM seg)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_excised,
+       CAST(sum(c) AS BIGINT) AS removed_chars,
+       CAST(doc_len - sum(c) AS BIGINT) AS kept_chars
+FROM con GROUP BY doc_id, doc_len""",
+)
+def dedup_suffix_excise(spark, sf_dir):
+    """ExactSubstr cleaning with the paper's keep-one rule: every
+    duplicated >=20-char substring is excised from all but its
+    canonical (first (doc_id, off)) occurrence; per-doc interval-union
+    char-removal profile.  Membership comes from the suffix-array
+    adjacent-LCP chain; the ORACLE derives it independently by
+    gram-occurrence counting — the hash match cross-validates the SA
+    path against plain counting (two different computations, one
+    answer)."""
+    from opentsdb_aura_spark.operators.suffix import excise_duplicated_spans
+
+    d = docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    return excise_duplicated_spans(d, min_len=20, cap=64)
+
+
+@register(
+    "dedup_suffix_index_probe",
+    """WITH tr AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 5 = 0 AND length(text) > 0),
+tg AS (SELECT substr(text, CAST(off AS INTEGER) + 1, 20) AS gram
+       FROM (SELECT doc_id, text, unnest(range(0, length(text) - 19)) AS off FROM tr)),
+idx AS (SELECT gram FROM tg GROUP BY 1 HAVING count(*) >= 2),
+nd AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS doc_len
+       FROM documents WHERE doc_id % 5 = 1 AND length(text) >= 20),
+ng AS (SELECT doc_id, doc_len, CAST(off AS BIGINT) AS off,
+              substr(text, CAST(off AS INTEGER) + 1, 20) AS gram
+       FROM (SELECT doc_id, doc_len, text, unnest(range(0, length(text) - 19)) AS off FROM nd)),
+hits AS (SELECT doc_id, doc_len, off FROM ng JOIN idx USING (gram)),
+seg AS (SELECT doc_id, doc_len, off,
+               max(off + 20) OVER (PARTITION BY doc_id ORDER BY off
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM hits),
+con AS (SELECT doc_id, doc_len,
+               greatest(0, (off + 20) - greatest(coalesce(pme, off), off)) AS c
+        FROM seg)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_positions,
+       CAST(sum(c) AS BIGINT) AS covered_chars,
+       round(sum(c) * 1.0 / doc_len, 6) AS dup_frac
+FROM con GROUP BY doc_id, doc_len""",
+)
+def dedup_suffix_index_probe(spark, sf_dir):
+    """Incremental ExactSubstr: the SA-derived duplicate-gram index is
+    built ONCE on the existing corpus (the % 5 == 0 slice), persisted
+    as a Parquet dim, and a disjoint NEW batch (% 5 == 1) is screened
+    by one gram equi-join — no suffix array over the new data, no
+    rescan of the old corpus (the dedup analog of the KN/classifier
+    train-apply split).  The oracle derives the index independently
+    by gram counting, so the hash-match cross-validates the SA
+    membership AND the probe-side interval union."""
+    import os
+
+    from opentsdb_aura_spark.operators.suffix import build_dup_index, probe_dup_index
+    from opentsdb_aura_spark.sources.batch import STORE_ROOT
+
+    d = docs(spark, sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(STORE_ROOT, base, "suffix_dup_index_v1")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_dup_index(
+            d.where(F.col("doc_id") % 5 == 0), min_len=20, cap=64
+        ).write.mode("overwrite").parquet(path)
+    idx = spark.read.parquet(path)
+    res = probe_dup_index(d.where(F.col("doc_id") % 5 == 1), idx, min_len=20)
+    return res.select(
+        "doc_id", "n_hit_positions", "covered_chars", _r(F.col("dup_frac"), 6).alias("dup_frac")
+    )

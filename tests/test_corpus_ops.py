@@ -836,3 +836,57 @@ def test_wordpiece_pieces_continuation_convention(spark):
 
     with _pytest.raises(ValueError, match="empty vocabulary"):
         wordpiece_pieces(d, [])
+
+
+def test_bloom_decontaminate_planted(spark):
+    """Probe docs drawn from the corpus must score flag_frac 1.0 (no
+    false negatives — structural), a half-overlapping doc must flag
+    exactly its shared grams modulo FPs (>= the true fraction, never
+    below), and a disjoint-vocab doc can only carry the filter's FP
+    rate."""
+    from opentsdb_aura_spark.operators.corpus import bloom_decontaminate
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    half = "alpha beta gamma delta qqq www eee rrr"
+    clean = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, bench), (2, half), (3, clean)], "doc_id long, text string"
+    )
+    probes = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    got = {r.doc_id: r for r in bloom_decontaminate(
+        docs, probes, n=3, n_bits=63 * 1024, k=4, threshold=0.5
+    ).collect()}
+    assert got[1].flag_frac == 1.0 and got[1].contaminated
+    # half shares its first two 3-grams ("alpha beta gamma",
+    # "beta gamma delta") of six
+    assert got[2].n_grams == 6 and got[2].n_flagged >= 2
+    # 8 clean grams against a 64 Kbit filter holding 6 grams: the FP
+    # chance per gram is ~(6*4/64512)^4 ~ 1e-14 — deterministic zero
+    # for this fixed fixture
+    assert got[3].n_flagged == 0 and not got[3].contaminated
+
+
+def test_temperature_mixture_limits(spark):
+    """alpha = 1 reduces to uniform down-sampling (every domain keeps
+    target_frac); alpha = 0 targets EQUAL doc counts per domain, so a
+    domain smaller than the equal share keeps everything (rate capped
+    at 1) and large domains keep ~share/n."""
+    from opentsdb_aura_spark.operators.corpus import temperature_mixture
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+
+    r1 = {r.dom: r for r in temperature_mixture(d, alpha=1.0, target_frac=0.5).collect()}
+    assert abs(r1["big"].keep_rate - 0.5) < 1e-12
+    assert abs(r1["small"].keep_rate - 0.5) < 1e-12
+
+    r0 = {r.dom: r for r in temperature_mixture(d, alpha=0.0, target_frac=0.5).collect()}
+    # q = 1/2 each, T = 50: big keeps 25/80, small capped at min(1, 25/20) = 1
+    assert abs(r0["big"].keep_rate - 25.0 / 80.0) < 1e-12
+    assert r0["small"].keep_rate == 1.0 and r0["small"].n_kept == 20
+
+    # flattening is monotone: alpha 0.3 rate for the small domain is
+    # >= the alpha 1.0 rate, and vice versa for the big one
+    r3 = {r.dom: r for r in temperature_mixture(d, alpha=0.3, target_frac=0.5).collect()}
+    assert r3["small"].keep_rate > r1["small"].keep_rate
+    assert r3["big"].keep_rate < r1["big"].keep_rate

@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "pipeline_ccnet_curate_trained_e2e",  # same composition over the extracted text
     "pipeline_ccnet_cutoff_buckets",  # same composition + broadcast cutoff dim
     "pipeline_pagerank",  # 1-row dangling-mass scalar factor per round
+    "pipeline_mixture_temperature",  # 1-row Σ n^alpha + N-total factor (temperature_mixture)
     "corpus_bm25_search",  # 1-row (N, avgdl) corpus-stats factor
     "pipeline_dsir_weights",  # 1-row gram-count totals factor
     "tpch_idle_rich_customers",  # 1-row global-average-balance scalar factor
@@ -153,6 +154,7 @@ def test_no_forced_broadcast_of_unbounded_frames():
         "bloom",  # Bloom word table: O(n_bits/63) rows by construction
         "probe_set",  # ZipNum lookup probe set: contract probes ≪ blocks (ANN query-set shape)
         "offsets",  # per-range-partition rank offsets: rows <= num_partitions (suffix.global_dense_rank)
+        "rates",  # per-domain derived keep rates: rows = O(domains) (corpus.temperature_mixture)
     }
     hits = []
     for py in root.rglob("*.py"):

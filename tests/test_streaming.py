@@ -1821,3 +1821,46 @@ def test_streaming_kn_ppl_gate_consumes_persisted_tower(spark, tmpdirs):
         for r in lm_kn_score(lm_kn_load(spark, kn_path), ingested).collect()
     }
     assert got == twin  # byte-identical to the batch scoring pass
+
+
+def test_streaming_countmin_matches_batch_sketch(spark, tmpdirs):
+    """countmin_sketch is a narrow projection + sum-groupBy, so the
+    SAME operator body runs on a streaming frame unchanged — Spark's
+    native stateful aggregation maintains the counters across
+    micro-batches (partial aggregation IS the per-shard sketch merge).
+    Draining two file micro-batches in complete mode must equal the
+    single-pass batch sketch bit-for-bit."""
+    from opentsdb_aura_spark.operators.sketch import countmin_sketch
+
+    rows1 = [(f"k{i % 37}",) for i in range(400)]
+    rows2 = [(f"k{(i * 7) % 53}",) for i in range(300)]
+    spark.createDataFrame(rows1, "item string").coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+    spark.createDataFrame(rows2, "item string").coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b2"
+    )
+
+    stream = spark.readStream.schema("item string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(tmpdirs["in"] + "/*")
+    q = (
+        countmin_sketch(stream, "item", depth=4, width=32)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.j, r.slot): r.cnt for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, "item string")
+    want = {
+        (r.j, r.slot): r.cnt
+        for r in countmin_sketch(batch, "item", depth=4, width=32).collect()
+    }
+    assert got == want

@@ -92,3 +92,80 @@ def test_duplicated_spans_no_duplicates(spark):
         [(1, "abcdefg"), (2, "hijklmn")], "doc_id long, text string"
     )
     assert duplicated_spans(df, min_len=3, cap=10, init_prefix=2).count() == 0
+
+
+def test_excise_duplicated_spans_keeps_canonical(spark):
+    """Two copies of a 30-char sentence: the (smaller doc_id, off)
+    occurrence survives, the other loses its full 30-char span (the
+    11 member windows' union reconstructs the whole region, not fixed
+    20-char windows); a disjoint doc is untouched (absent)."""
+    from opentsdb_aura_spark.operators.suffix import excise_duplicated_spans
+
+    shared = "the quick brown fox jumps over"  # 30 chars
+    df = spark.createDataFrame(
+        [(1, shared + " xqz"), (2, "zzz yyy www vvv uuu"), (3, "kkk " + shared)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in excise_duplicated_spans(
+        df, min_len=20, cap=40, init_prefix=4
+    ).collect()}
+    # doc 1 holds every canonical (min doc_id) occurrence -> nothing excised
+    assert set(got) == {3}
+    # doc 3: 11 member windows starting at offs 4..14, union = [4, 34) = 30 chars
+    assert got[3].n_spans_excised == 11
+    assert got[3].removed_chars == 30
+    assert got[3].kept_chars == len("kkk " + shared) - 30
+
+
+def test_excise_within_doc_duplicate(spark):
+    """A substring repeated INSIDE one doc: first occurrence kept,
+    second excised — per-doc union must not double-count the
+    overlapping member windows."""
+    from opentsdb_aura_spark.operators.suffix import excise_duplicated_spans
+
+    block = "abcdefghijklmnopqrstuvwxy"  # 25 chars, appears twice in doc 1
+    df = spark.createDataFrame(
+        [(1, block + "0123456789" + block)], "doc_id long, text string"
+    )
+    got = excise_duplicated_spans(df, min_len=20, cap=30, init_prefix=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    # second occurrence spans [35, 60): 6 member windows, union 25 chars
+    assert r.n_spans_excised == 6 and r.removed_chars == 25
+    assert r.kept_chars == 60 - 25
+
+
+def test_dup_index_probe_incremental(spark, tmp_path):
+    """Index built on an existing corpus, persisted, reloaded, and a
+    disjoint new batch screened: a new doc quoting the indexed
+    duplicate flags exactly the quoted span; a clean new doc is
+    absent.  The roundtrip through Parquet must not change a row."""
+    from opentsdb_aura_spark.operators.suffix import build_dup_index, probe_dup_index
+
+    shared = "the quick brown fox jumps over"  # 30 chars, duplicated in corpus
+    corpus = spark.createDataFrame(
+        [(1, shared + " xqz"), (2, "kkk " + shared), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    idx = build_dup_index(corpus, min_len=20, cap=40, init_prefix=4)
+    rows = {r.gram: (r.n_occ, r.canon_doc_id, r.canon_off) for r in idx.collect()}
+    # 11 member windows of the shared 30-char span, each occurring
+    # twice, canonical always doc 1 (offsets 0..10)
+    assert len(rows) == 11
+    assert all(n == 2 and d == 1 for n, d, _ in rows.values())
+    assert sorted(off for _, _, off in rows.values()) == list(range(11))
+    assert set(rows) == {shared[i : i + 20] for i in range(11)}
+
+    path = str(tmp_path / "dup_idx")
+    idx.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    assert {tuple(r) for r in loaded.collect()} == {tuple(r) for r in idx.collect()}
+
+    new = spark.createDataFrame(
+        [(10, "prefix words " + shared + " suffix"), (11, "completely novel text q")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in probe_dup_index(new, loaded, min_len=20).collect()}
+    assert set(got) == {10}
+    assert got[10].n_hit_positions == 11 and got[10].covered_chars == 30
+    assert abs(got[10].dup_frac - 30 / len("prefix words " + shared + " suffix")) < 1e-9

@@ -41,6 +41,7 @@ COPIES = 10
 
 HEADLINE = [
     "ds_sum_daily",
+    "sketch_countmin_user_freq",
     "ds_avg_hourly",
     "ds_spine_hourly_purchase",
     "rate_purchase",
@@ -77,6 +78,11 @@ CRAWL_HEADLINE = [
     # same 6-step GD chains + a mixed-corpus scoring pass)
     "quality_kn5_apply_heldout",
     "text_lang_id_softmax",
+    # round 14 session 2: the exact suffix-array dedup (SA rounds scale
+    # with corpus chars; the 10x line proves the doubling holds) and
+    # the Bloom decontamination single-pass
+    "dedup_suffix_spans",
+    "contamination_bloom",
 ]
 
 

@@ -375,6 +375,7 @@ def streaming_crawl_ingest(
     quality_model_path: str | None = None,
     lang_models_path: str | None = None,
     kn_model_path: str | None = None,
+    dup_index_path: str | None = None,
 ):
     """Streaming CRAWL ingestion — the front half of the pipeline
     streaming_near_dup closes: WARC files arrive as a stream
@@ -487,6 +488,15 @@ def streaming_crawl_ingest(
     the CCNet perplexity gate running inline with ingestion against a
     model trained once on a reference corpus (Wenzek et al. §4.3),
     full OOV backoff included (crawled text is OOV-heavy by nature).
+    ``dup_index_path`` screens each batch's extracted text against a
+    PERSISTED duplicate-gram index (suffix.build_dup_index output —
+    the one-time ExactSubstr pass over the existing corpus; the index
+    stays a distributed Parquet dim), appending
+    (doc_id, n_hit_positions, covered_chars, dup_frac) to
+    ``{docs_path}_dup`` with the same redelivery anti-join as the
+    quality/lang/ppl sidecars — incremental substring dedup running
+    inline with ingestion: ONE gram equi-join per batch, no suffix
+    array over new data, no rescan of the old corpus.
     ``rank_refresh_every`` (with ``frontier_path``) refreshes the
     frontier AUTHORITY signal every N batches the way compaction
     already hooks the loop: containers.refresh_frontier_ranks runs
@@ -583,6 +593,10 @@ def streaming_crawl_ingest(
         from opentsdb_aura_spark.operators.quality import lm_kn_load
 
         kn_model = lm_kn_load(stream_files.sparkSession, kn_model_path)
+    if dup_index_path is not None:
+        # a distributed Parquet dim, like the KN tower: loaded once as
+        # a scan, never collected
+        dup_index = stream_files.sparkSession.read.parquet(dup_index_path)
 
     _sidecar_checked: list = []  # one-time legacy-schema probe memo
     _cdx_schema_checked: list = []  # one-time capture-index validator-schema probe
@@ -972,6 +986,28 @@ def streaming_crawl_ingest(
                     have_p.select("doc_id"), "doc_id", "left_anti"
                 )
             out_p.write.mode("append").parquet(f"{docs_path}_ppl")
+        if dup_index_path is not None:
+            # incremental ExactSubstr screen against the persisted
+            # index: the distinct doc spine keeps an in-trigger
+            # redelivery from double-counting hit windows, the
+            # anti-join keeps replayed batches out
+            from opentsdb_aura_spark.operators.dedup_text import (
+                _read_parquet_if_exists,
+            )
+            from opentsdb_aura_spark.operators.suffix import probe_dup_index
+
+            out_d = probe_dup_index(
+                docs.select("doc_id", "text").dropDuplicates(["doc_id"]),
+                dup_index,
+            )
+            have_d = _read_parquet_if_exists(
+                docs.sparkSession, f"{docs_path}_dup"
+            )
+            if have_d is not None:
+                out_d = out_d.join(
+                    have_d.select("doc_id"), "doc_id", "left_anti"
+                )
+            out_d.write.mode("append").parquet(f"{docs_path}_dup")
         update_minhash_index(docs, index_path)
         if compact_max_files is not None:
             from opentsdb_aura_spark.sources.maintenance import compact_minhash_index

@@ -1864,3 +1864,66 @@ def test_streaming_countmin_matches_batch_sketch(spark, tmpdirs):
         for r in countmin_sketch(batch, "item", depth=4, width=32).collect()
     }
     assert got == want
+
+
+def test_streaming_dup_screen_consumes_persisted_index(spark, tmpdirs):
+    """dup_index_path: the stream screens each batch against a
+    PERSISTED duplicate-gram index (suffix.build_dup_index output),
+    appending (doc_id, n_hit_positions, covered_chars, dup_frac) to
+    {docs_path}_dup — byte-identical to probing the ingested docs
+    with the loaded index in batch, clean docs absent, and a
+    redelivered record appending nothing (the sidecar anti-join)."""
+    from opentsdb_aura_spark.operators import containers as C
+    from opentsdb_aura_spark.operators.suffix import build_dup_index, probe_dup_index
+    from opentsdb_aura_spark.streaming.state import streaming_crawl_ingest
+
+    shared = "the quick brown fox jumps over"
+    corpus = spark.createDataFrame(
+        [(100, shared + " xqz"), (101, "kkk " + shared)],
+        "doc_id long, text string",
+    )
+    idx_path = tmpdirs["dim"] + "/dup_idx"
+    build_dup_index(corpus, min_len=20, cap=40, init_prefix=4).write.parquet(idx_path)
+
+    def rec(doc_id, text):
+        return C.encode_warc_record(
+            "response", f"urn:uuid:doc-{doc_id}", text.encode(),
+            target_uri=f"http://example.com/doc/{doc_id}",
+        )
+
+    r1 = rec(1, "prefix words " + shared + " suffix")
+    r2 = rec(2, "completely novel text with no quoted span at all")
+    file_schema = "file_id long, content binary"
+    spark.createDataFrame([(0, r1)], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b1"
+    )
+    # second trigger REDELIVERS doc-1 alongside the clean doc-2
+    spark.createDataFrame([(1, r1 + r2)], file_schema).coalesce(1).write.parquet(
+        tmpdirs["in"] + "/b2"
+    )
+    docs_path = tmpdirs["out"] + "/docs"
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmpdirs["in"] + "/*")
+    )
+    streaming_crawl_ingest(
+        stream, tmpdirs["store"], docs_path, tmpdirs["ckpt"],
+        dup_index_path=idx_path,
+    ).awaitTermination(120)
+
+    rows = spark.read.parquet(docs_path + "_dup").collect()
+    # exactly one row: doc 1 once (replay appended nothing), doc 2 clean
+    assert [r["doc_id"] for r in rows] == [1]
+    got = (rows[0]["n_hit_positions"], rows[0]["covered_chars"], rows[0]["dup_frac"])
+
+    batch = probe_dup_index(
+        spark.read.parquet(docs_path).select("doc_id", "text").dropDuplicates(["doc_id"]),
+        spark.read.parquet(idx_path),
+        min_len=20,
+    ).collect()
+    assert len(batch) == 1 and batch[0]["doc_id"] == 1
+    assert got == (
+        batch[0]["n_hit_positions"], batch[0]["covered_chars"], batch[0]["dup_frac"]
+    )
+    assert got[0] == 11 and got[1] == 30

@@ -1313,9 +1313,17 @@ def temperature_mixture(
         F.col(domain_col).alias("dom"),
         det_hash_bucket(F.col(id_col), salt).alias("_b"),
     )
+    # integer bucket threshold via the repo's +1e-9 boundary nudge:
+    # keep_rate is a derived double (pow/div chain), and JVM vs libm
+    # pow can differ in the last ulp — comparing the raw product
+    # b < rate*1e6 would let an exact-integer product admit one extra
+    # bucket on one engine.  floor(1e-9 + rate*1e6) absorbs ulp noise
+    # (≤ ~1e-10 at these magnitudes) into one agreed integer; the
+    # oracle spells the identical expression.
+    thr = F.floor(F.lit(1e-9) + F.col("keep_rate") * F.lit(float(HASH_BUCKETS))).cast("long")
     kept = (
         keyed.join(F.broadcast(rates.select("dom", "keep_rate")), "dom")
-        .where(F.col("_b") < F.col("keep_rate") * F.lit(float(HASH_BUCKETS)))
+        .where(F.col("_b") < thr)
         .groupBy("dom")
         .agg(F.count("*").cast("long").alias("n_kept"))
     )

@@ -4142,7 +4142,7 @@ rates AS (SELECT dom, n_docs,
 kept AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_kept
          FROM (SELECT d.dom, {_md5_bucket_sql("d.doc_id", "tmix")} AS b, r.keep_rate
                FROM d JOIN rates r USING (dom))
-         WHERE b < keep_rate * 1000000.0 GROUP BY 1)
+         WHERE b < CAST(floor(1e-9 + keep_rate * 1000000.0) AS BIGINT) GROUP BY 1)
 SELECT r.dom, r.n_docs, round(r.keep_rate, 6) AS keep_rate,
        CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
 FROM rates r LEFT JOIN kept k USING (dom)""",

@@ -319,7 +319,12 @@ def excise_duplicated_spans(
     Plan: the LCP frame filters to members, ONE join refetches the
     L-gram, one gram-window picks canonicals, and the union length is
     one per-doc window (doc_id partitions the data, so every stage is
-    all-executor)."""
+    all-executor).  Skew note: a hyper-duplicated gram (site
+    boilerplate repeated millions of times) funnels its occurrences
+    through one task in the canonical window; at that scale prefer
+    :func:`build_dup_index` + :func:`probe_dup_index`, whose
+    count/min aggregation is partial-aggregated (skew-tolerant) and
+    whose probe never windows by gram."""
     L = int(min_len)
     lcp = adjacent_lcp(
         docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix
@@ -382,7 +387,16 @@ def build_dup_index(
     is corpus-sized, so it is never collected, the lm_kn_save rule),
     then screen every NEW batch against it with
     :func:`probe_dup_index` — one equi-join, no suffix array over the
-    new data."""
+    new data.
+
+    Refresh story: the index is rebuilt by re-running this pass, not
+    patched in place — exact incremental maintenance would need the
+    count of every SINGLE-occurrence gram too (a new doc can promote
+    one to duplicated), i.e. an all-grams-sized table, not this
+    duplicated-only dim.  That is a deliberate trade: the MinHash
+    index stays incremental because its rows are per-doc signatures;
+    here the probe-side semantics only need the (much smaller)
+    duplicated set, and the rebuild is the same one-pass SA job."""
     L = int(min_len)
     lcp = adjacent_lcp(
         docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix

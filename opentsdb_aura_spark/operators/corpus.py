@@ -1264,6 +1264,7 @@ def temperature_mixture(
     domain_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "tmix",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based domain sampling — the multilingual-corpus
     rebalancing rule of mBERT/XLM-R (Conneau et al. 2020 §3.1):
@@ -1279,6 +1280,13 @@ def temperature_mixture(
     row-for-row.  Returns per-domain
     (domain, n_docs, keep_rate, n_kept).
 
+    ``weight_col`` switches the domain mass from document COUNTS to a
+    per-doc weight column (token counts — XLM-R's rule is over token
+    mass, not doc counts): q_i ∝ (Σ w)^alpha and the target becomes
+    target_frac of the total weight, with domain i's per-doc keep
+    rate min(1, q_i·T_w/w_i).  Expected KEPT WEIGHT then follows the
+    temperature distribution even when domains' doc sizes differ.
+
     Σ n_j^alpha is folded over the domain list SORTED by domain
     (sort_array + aggregate, mirrored by the oracle's ordered
     list_reduce): float summation order is pinned, so keep_rate — and
@@ -1288,10 +1296,18 @@ def temperature_mixture(
     rates join back → filtered count; the corpus is scanned twice and
     never shuffled beyond the domain aggregation."""
     a = float(alpha)
+    w = (
+        F.lit(1.0)
+        if weight_col is None
+        else F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    )
     stats = (
         docs.groupBy(F.col(domain_col).alias("dom"))
-        .agg(F.count("*").cast("long").alias("n_docs"))
-        .withColumn("_pw", F.pow(F.col("n_docs").cast("double"), F.lit(a)))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(w).alias("_mass"),
+        )
+        .withColumn("_pw", F.pow(F.col("_mass"), F.lit(a)))
     )
     totals = stats.agg(
         F.aggregate(
@@ -1299,12 +1315,16 @@ def temperature_mixture(
             F.lit(0.0),
             lambda acc, x: acc + x["_pw"],
         ).alias("_tot"),
-        F.sum("n_docs").cast("double").alias("_n_total"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("dom", F.col("_mass").alias("m")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["m"],
+        ).alias("_n_total"),
     )
     rate = F.least(
         F.lit(1.0),
         ((F.col("_pw") / F.col("_tot")) * (F.lit(float(target_frac)) * F.col("_n_total")))
-        / F.col("n_docs").cast("double"),
+        / F.col("_mass"),
     )
     rates = stats.crossJoin(F.broadcast(totals)).select(
         "dom", "n_docs", rate.alias("keep_rate")

@@ -890,3 +890,33 @@ def test_temperature_mixture_limits(spark):
     r3 = {r.dom: r for r in temperature_mixture(d, alpha=0.3, target_frac=0.5).collect()}
     assert r3["small"].keep_rate > r1["small"].keep_rate
     assert r3["big"].keep_rate < r1["big"].keep_rate
+
+
+def test_temperature_mixture_token_weighted(spark):
+    """weight_col: equal DOC counts but skewed token mass — doc-count
+    mode sees symmetric domains (equal rates), token mode up-samples
+    the light-token domain (XLM-R's rule is over token mass)."""
+    from opentsdb_aura_spark.operators.corpus import temperature_mixture
+
+    rows = [(i, "big", 100) for i in range(50)] + [
+        (50 + i, "small", 10) for i in range(50)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    by_docs = {r.dom: r.keep_rate for r in temperature_mixture(
+        d, alpha=0.3, target_frac=0.5
+    ).collect()}
+    assert abs(by_docs["big"] - by_docs["small"]) < 1e-12  # symmetric
+
+    by_tok = {r.dom: r.keep_rate for r in temperature_mixture(
+        d, alpha=0.3, target_frac=0.5, weight_col="n_tokens"
+    ).collect()}
+    assert by_tok["small"] > by_tok["big"]
+    # closed form: masses 5000/500, q = m^.3/sum, T = 2750,
+    # rate_i = min(1, q_i*T/m_i)
+    import math
+    pw = [math.pow(5000.0, 0.3), math.pow(500.0, 0.3)]
+    tot = (0.0 + pw[0]) + pw[1]
+    t_w = 0.5 * 5500.0
+    assert abs(by_tok["big"] - min(1.0, (pw[0] / tot) * t_w / 5000.0)) < 1e-12
+    assert abs(by_tok["small"] - min(1.0, (pw[1] / tot) * t_w / 500.0)) < 1e-12

@@ -824,3 +824,52 @@ def test_suffix_array_random_corpora_match_python_sort(spark, corpus):
         exp_prev = plcp(by_rank[row.rank], by_rank[row.rank - 1]) if row.rank > 1 else 0
         exp_next = plcp(by_rank[row.rank], by_rank[row.rank + 1]) if row.rank < len(sufs) else 0
         assert (row.lcp_prev, row.lcp_next) == (exp_prev, exp_next), (row, exp_prev, exp_next)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=20),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_excise_duplicated_spans_matches_python_reference(spark, corpus):
+    """Randomized cross-check of the keep-one excision
+    (operators/suffix.excise_duplicated_spans) against a direct Python
+    model: 2-letter corpora make short duplicated substrings dense, so
+    canonical selection, overlapping member windows, and within-doc
+    duplicates all occur organically.  L=3 keeps the reference
+    trivially enumerable."""
+    from collections import defaultdict
+
+    from opentsdb_aura_spark.operators.suffix import excise_duplicated_spans
+
+    L = 3
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # python reference: every L-gram's occurrence list; canonical =
+    # min (doc, off); union the non-canonical windows per doc
+    occ = defaultdict(list)
+    for d, t in rows:
+        for o in range(len(t) - L + 1):
+            occ[t[o : o + L]].append((d, o))
+    excised = defaultdict(list)
+    for gram, sites in occ.items():
+        if len(sites) < 2:
+            continue
+        for d, o in sorted(sites)[1:]:
+            excised[d].append(o)
+    want = {}
+    for d, offs in excised.items():
+        covered = set()
+        for o in offs:
+            covered.update(range(o, o + L))
+        want[d] = (len(offs), len(covered))
+
+    got = {
+        r.doc_id: (r.n_spans_excised, r.removed_chars)
+        for r in excise_duplicated_spans(df, min_len=L, cap=8, init_prefix=2).collect()
+    }
+    assert got == want

@@ -243,8 +243,13 @@ def countmin_estimate(
     ).distinct().select(
         "_k", F.posexplode(F.array(*cms_slot_exprs("_k", depth, width))).alias("j", "slot")
     )
+    # LEFT join + coalesce 0: a probed key that was never inserted can
+    # hash to a slot no build key touched — that slot has NO counter
+    # row, and an inner join would silently drop it, turning the
+    # correct estimate (0) into the min of the remaining colliding
+    # counters.  Present keys are unaffected (all their slots exist).
     return (
-        probes.join(sketch, ["j", "slot"])
+        probes.join(sketch, ["j", "slot"], "left")
         .groupBy(F.col("_k").alias(col))
-        .agg(F.min("cnt").cast("long").alias("est_count"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count"))
     )

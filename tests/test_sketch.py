@@ -183,3 +183,19 @@ def test_cms_drops_null_keys(spark):
     df = spark.createDataFrame([("a",), (None,), ("a",)], "item string")
     sk = countmin_sketch(df, "item", depth=2, width=8)
     assert sk.agg(F.sum("cnt")).first()[0] == 4  # 2 rows x depth 2
+
+
+def test_cms_unseen_key_with_empty_slot_reads_zero(spark):
+    """A probed key absent from the build set whose hash lands in an
+    untouched slot must estimate 0 — the empty slot may not be
+    silently dropped (the left-join/coalesce contract)."""
+    from opentsdb_aura_spark.operators.sketch import countmin_estimate, countmin_sketch
+
+    build = spark.createDataFrame([("a",)] * 3, "item string")
+    # wide sketch: 3 occupied slots (one key), almost all slots empty
+    sk = countmin_sketch(build, "item", depth=4, width=4096)
+    probe = spark.createDataFrame([("never-seen",), ("a",)], "item string")
+    est = {r.item: r.est_count for r in countmin_estimate(
+        sk, probe, "item", depth=4, width=4096
+    ).collect()}
+    assert est == {"never-seen": 0, "a": 3}

@@ -1294,7 +1294,13 @@ def temperature_mixture(
     across engines (the GD-fold discipline, operators/quality.py).
     Plan: groupBy → 1-row total crossJoin (broadcast) → broadcast
     rates join back → filtered count; the corpus is scanned twice and
-    never shuffled beyond the domain aggregation."""
+    never shuffled beyond the domain aggregation.
+
+    Null domains are dropped up front (the countmin/mg null-key
+    policy): they would otherwise receive a rate row from the groupBy
+    but silently vanish from the kept count through the equi-join —
+    an inconsistent half-presence."""
+    docs = docs.where(F.col(domain_col).isNotNull())
     a = float(alpha)
     w = (
         F.lit(1.0)

@@ -920,3 +920,15 @@ def test_temperature_mixture_token_weighted(spark):
     t_w = 0.5 * 5500.0
     assert abs(by_tok["big"] - min(1.0, (pw[0] / tot) * t_w / 5000.0)) < 1e-12
     assert abs(by_tok["small"] - min(1.0, (pw[1] / tot) * t_w / 500.0)) < 1e-12
+
+
+def test_temperature_mixture_drops_null_domains(spark):
+    from opentsdb_aura_spark.operators.corpus import temperature_mixture
+
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "doc_id long, source string"
+    )
+    rows = temperature_mixture(d, alpha=0.5, target_frac=1.0).collect()
+    assert sorted(r.dom for r in rows) == ["a", "b"]
+    # target_frac 1.0 -> every non-null doc kept
+    assert {r.dom: r.n_kept for r in rows} == {"a": 2, "b": 1}

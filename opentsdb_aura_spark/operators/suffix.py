@@ -52,8 +52,12 @@ follows.  Reference parity: the reference engine has no
 substring-dedup surface (no Python/ML code anywhere in its Java
 modules); this operator extends the engine for training-data
 curation, pinned by full DuckDB oracles (dedup_suffix_array,
-dedup_suffix_spans) and a Hypothesis property test against an
-independent Python suffix sort (tests/test_property.py).
+dedup_suffix_spans, dedup_suffix_excise, dedup_suffix_index_probe —
+the last two derive membership INDEPENDENTLY by gram counting, so
+their hash matches cross-validate the whole SA chain) and Hypothesis
+property tests against an independent Python suffix sort and
+excision model (tests/test_property.py).  global_dense_rank also
+serves the metric path's corpus-wide ranking (gb_user_global_rank).
 """
 
 from __future__ import annotations

@@ -516,3 +516,39 @@ def rollup_gb_avg_daily(spark, sf_dir):
     return res.select("tag_user", "bucket_ts", _r(denan(F.col("value")), 4).alias("avg_value"))
 
 
+
+
+@register(
+    "gb_user_global_rank",
+    f"""{ORACLE_PTS}
+, tot AS (SELECT tag_user, round(1e-9 + sum(value), 4) AS total
+          FROM dpts WHERE metric = 'purchase' AND ts >= {START} AND ts < {END}
+          GROUP BY 1)
+SELECT tag_user, total,
+       CAST(dense_rank() OVER (ORDER BY total DESC, tag_user) AS BIGINT) AS rank
+FROM tot""",
+)
+def gb_user_global_rank(spark, sf_dir):
+    """Corpus-wide user leaderboard — the serving op the reference's
+    topn node cannot express beyond its k cutoff (a FULL ranking of
+    every series), done scale-safe: per-user totals (one map-side-
+    combined groupBy), then `suffix.global_dense_rank` — the
+    range-partitioned dense rank with broadcast per-partition offsets
+    — instead of Spark's single-partition unpartitioned window, so
+    the ranking stage is all-executor at any user count.  The rank
+    key is the ROUNDED total (descending via negation, tag_user
+    tie-break): cross-engine float summation order must not flip a
+    rank, so both engines rank the same 4-decimal value the row
+    displays."""
+    from opentsdb_aura_spark.operators.suffix import global_dense_rank
+
+    tot = (
+        points(spark, sf_dir)
+        .where((F.col("metric") == "purchase") & (F.col("ts") >= START) & (F.col("ts") < END))
+        .groupBy("tag_user")
+        .agg(_r(F.sum("value"), 4).alias("total"))
+    )
+    ranked = global_dense_rank(
+        tot.withColumn("_neg", -F.col("total")), ["_neg", "tag_user"], out="rank"
+    )
+    return ranked.select("tag_user", "total", "rank")

@@ -253,3 +253,77 @@ def countmin_estimate(
         .groupBy(F.col("_k").alias(col))
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+# ------------------------------------------------------------ md5-HLL
+
+def hll_md5_registers(df: DataFrame, col: str, *, m: int = 256) -> DataFrame:
+    """HyperLogLog registers with ENGINE-PORTABLE hashing — the
+    graduation path for the HLL family, which until now was rows-only
+    (Spark's approx_count_distinct hashes internally, so no oracle
+    could replay it).  Same md5 trick as the Count-Min sketch above:
+    32 hash bits from the first 8 md5 hex chars; the low 8 bits pick
+    one of ``m`` = 256 registers, and rho = (#trailing zeros of the
+    remaining 24 bits) + 1 — trailing zeros instead of the textbook
+    leading zeros because ``w & -w`` isolates the lowest set bit in
+    ANY SQL engine, and log2 of an exact power of two rounds to the
+    same integer everywhere (both streams are geometric(1/2), which
+    is all the estimator needs).  w == 0 → rho = 25 (all 24 bits
+    zero).
+
+    Output: (bucket, rho) rows, one per OCCUPIED register — max is
+    the aggregate, so registers merge across shards/partitions/days
+    by groupBy-max (Spark's partial aggregation already is the
+    per-partition-sketch merge), and the frame is <= m rows no matter
+    how many distinct keys the input holds.  Null keys are dropped
+    (the countmin/mg policy)."""
+    mm = int(m)
+    if mm != 256:
+        raise ValueError("m=256 is the pinned engine-portable config")
+    h = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    keyed = df.where(F.col(col).isNotNull()).select(
+        (h % mm).alias("bucket"), F.floor(h / mm).cast("long").alias("_w")
+    )
+    lowest = F.col("_w").bitwiseAND(-F.col("_w"))
+    rho = F.when(F.col("_w") == 0, F.lit(25)).otherwise(
+        (F.round(F.log(lowest.cast("double")) / F.lit(0.6931471805599453), 0) + 1).cast("int")
+    )
+    return (
+        keyed.withColumn("rho", rho.cast("int"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_md5_estimate(registers: DataFrame, *, m: int = 256) -> DataFrame:
+    """The HLL estimate from :func:`hll_md5_registers` output — one
+    row (n_est).  Flajolet et al.'s bias-corrected harmonic mean with
+    the small-range linear-counting correction (raw <= 2.5m and empty
+    registers present -> m·ln(m/V)).  The Σ 2^-rho fold runs over the
+    register list SORTED by bucket (empty registers contribute 2^0
+    = 1 via the m - occupied term, exactly), so float association is
+    pinned and a SQL oracle replays the estimate bit-for-bit — the
+    whole chain (hash, registers, estimator) is deterministic, which
+    is what lets this HLL carry a FULL value-hash oracle where
+    approx_count_distinct cannot."""
+    mm = int(m)
+    alpha = 0.7213 / (1.0 + 1.079 / mm)
+    agg = registers.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bucket", "rho"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(2.0), -x["rho"].cast("double")),
+        ).alias("_s_occ"),
+        F.count("*").cast("long").alias("_occ"),
+    )
+    s_total = F.col("_s_occ") + (F.lit(mm) - F.col("_occ")).cast("double")
+    raw = F.lit(alpha * mm * mm) / s_total
+    v = F.lit(mm) - F.col("_occ")  # empty registers
+    est = F.when(
+        (raw <= F.lit(2.5 * mm)) & (v > 0),
+        F.lit(float(mm)) * F.log(F.lit(float(mm)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(est.alias("n_est"))

@@ -332,3 +332,67 @@ def sketch_countmin_user_freq(spark, sf_dir):
         "exact_count",
         (F.col("est_count") - F.col("exact_count")).cast("long").alias("overcount"),
     )
+
+
+# ------------------------------------------------------------- md5-HLL
+# The HLL family's graduation to a FULL value-hash oracle:
+# meta_cardinality_approx (approx_count_distinct) stays rows-only
+# because Spark's internal hash is not replayable; this variant swaps
+# the hash for the engine-portable md5 construction (the CMS trick),
+# so DuckDB re-derives every register and the exact estimate.
+
+_HLL_FOLD = (
+    "CAST(concat('0x', substr(md5(skey), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "meta_cardinality_hll_md5",
+    f"""{{ORACLE_PTS}}
+, keys AS (SELECT DISTINCT metric || '|' || tag_user || '|' || coalesce(tag_k, '') AS skey FROM pts),
+h AS (SELECT {_HLL_FOLD} AS hv FROM keys),
+parts AS (SELECT hv % 256 AS bucket, hv // 256 AS w FROM h),
+regs AS (SELECT bucket,
+                max(CASE WHEN w = 0 THEN 25
+                         ELSE CAST(round(ln(CAST(w & (-w) AS DOUBLE)) / 0.6931471805599453, 0) AS INTEGER) + 1 END) AS rho
+         FROM parts GROUP BY 1),
+folded AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pow(2.0, -CAST(rho AS DOUBLE)) ORDER BY bucket)),
+                              (a, b) -> a + b) AS s_occ,
+                  CAST(count(*) AS BIGINT) AS occ
+           FROM regs),
+est AS (SELECT CASE WHEN (0.7213 / (1.0 + 1.079 / 256) * 256 * 256) / (s_occ + (256 - occ)) <= 2.5 * 256
+                         AND (256 - occ) > 0
+                    THEN 256.0 * ln(256.0 / CAST(256 - occ AS DOUBLE))
+                    ELSE (0.7213 / (1.0 + 1.079 / 256) * 256 * 256) / (s_occ + (256 - occ)) END AS n_est
+        FROM folded),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM keys)
+SELECT round(n_est, 4) AS n_est, n_exact,
+       round(abs(n_est - n_exact) / n_exact, 6) AS rel_err
+FROM est, ex""".replace("{ORACLE_PTS}", ORACLE_PTS),
+)
+def meta_cardinality_hll_md5(spark, sf_dir):
+    """M5's approximate cardinality GRADUATED to a full value-hash
+    oracle: series cardinality by md5-HLL (engine-portable registers,
+    operators/sketch.hll_md5_registers) next to the exact count and
+    the realized relative error.  approx_count_distinct's internal
+    hash is not replayable by any oracle (meta_cardinality_approx
+    stays rows-only + bound test); this construction is — DuckDB
+    re-derives all 256 registers, the order-pinned harmonic fold, and
+    the bias/linear-counting branch, so even the ERROR of the sketch
+    is part of the hash."""
+    from opentsdb_aura_spark.operators.sketch import hll_md5_estimate, hll_md5_registers
+
+    pts = points(spark, sf_dir)
+    keys = pts.select(
+        F.concat_ws(
+            "|", F.col("metric"), F.col("tag_user"), F.coalesce(F.col("tag_k"), F.lit(""))
+        ).alias("skey")
+    ).distinct()
+    regs = hll_md5_registers(keys, "skey")
+    est = hll_md5_estimate(regs)
+    exact = keys.agg(F.count("*").cast("long").alias("n_exact"))
+    return est.crossJoin(exact).select(
+        _r(F.col("n_est"), 4).alias("n_est"),
+        "n_exact",
+        _r(F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )

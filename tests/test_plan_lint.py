@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "pipeline_ccnet_cutoff_buckets",  # same composition + broadcast cutoff dim
     "pipeline_pagerank",  # 1-row dangling-mass scalar factor per round
     "pipeline_mixture_temperature",  # 1-row Σ n^alpha + N-total factor (temperature_mixture)
+    "meta_cardinality_hll_md5",  # 1-row estimate × 1-row exact-count factor
     "corpus_bm25_search",  # 1-row (N, avgdl) corpus-stats factor
     "pipeline_dsir_weights",  # 1-row gram-count totals factor
     "tpch_idle_rich_customers",  # 1-row global-average-balance scalar factor

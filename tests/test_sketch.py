@@ -199,3 +199,70 @@ def test_cms_unseen_key_with_empty_slot_reads_zero(spark):
         sk, probe, "item", depth=4, width=4096
     ).collect()}
     assert est == {"never-seen": 0, "a": 3}
+
+
+# ---------------------------------------------------------------- md5-HLL
+
+
+def test_hll_md5_matches_python_reference(spark):
+    """Registers AND estimate bit-identical to an independent Python
+    implementation of the same md5 construction — the property that
+    lets this HLL carry a full value-hash oracle."""
+    import hashlib
+    import math
+
+    from opentsdb_aura_spark.operators.sketch import hll_md5_estimate, hll_md5_registers
+
+    keys = [f"user-{i}" for i in range(3000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+        b, w = h % 256, h // 256
+        rho = 25 if w == 0 else (w & -w).bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    m = 256
+    s = sum(2.0 ** -r for _, r in sorted(regs.items())) + (m - len(regs))
+    raw = 0.7213 / (1 + 1.079 / m) * m * m / s
+    v = m - len(regs)
+    want = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+
+    got_regs = {r.bucket: r.rho for r in hll_md5_registers(df, "k").collect()}
+    assert got_regs == regs
+    got = hll_md5_estimate(hll_md5_registers(df, "k")).first()[0]
+    assert abs(got - want) < 1e-9 * want
+    assert abs(got - 3000) / 3000 < 0.15  # 1.04/sqrt(256) ~ 6.5% std err
+
+
+def test_hll_md5_linear_counting_small_range(spark):
+    """A handful of keys lands in the linear-counting branch:
+    m·ln(m/V) with V empty registers."""
+    import math
+
+    from opentsdb_aura_spark.operators.sketch import hll_md5_estimate, hll_md5_registers
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(5)], "k string")
+    regs = hll_md5_registers(df, "k")
+    occ = regs.count()  # 5 keys, distinct buckets w.h.p. (deterministic fixture)
+    got = hll_md5_estimate(regs).first()[0]
+    assert abs(got - 256 * math.log(256 / (256 - occ))) < 1e-9
+
+
+def test_hll_md5_registers_merge_by_max(spark):
+    """Registers from disjoint halves merged by groupBy-max equal the
+    single-pass registers — the mergeable-summaries property."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_aura_spark.operators.sketch import hll_md5_registers
+
+    keys = [(f"x{i}",) for i in range(2000)]
+    df = spark.createDataFrame(keys, "k string")
+    a = hll_md5_registers(df.where(F.md5("k").startswith("0") | F.md5("k").startswith("1")), "k")
+    b = hll_md5_registers(df.where(~(F.md5("k").startswith("0") | F.md5("k").startswith("1"))), "k")
+    merged = {
+        (r.bucket, r.rho)
+        for r in a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho")).collect()
+    }
+    full = {(r.bucket, r.rho) for r in hll_md5_registers(df, "k").collect()}
+    assert merged == full

@@ -586,6 +586,28 @@ def hashed_token_features(
     )
 
 
+def _pack_label_features(
+    labs: DataFrame, features: DataFrame, label_cols: list[str]
+) -> DataFrame:
+    """(doc_id, *label_cols, fx): each labeled doc's sparse feature
+    vector packed bucket-ascending into one row.  The features are
+    joined FIRST (left, so feature-less docs survive) and packed
+    SECOND: only labeled docs' triples cross the exchange (guide
+    §2.3 — project/filter before the shuffle), and the pack's groupBy
+    is the last shuffle before any materialization, so AQE sizes the
+    output partitions by bytes.  The null-skipping collect_list packs
+    feature-less docs to the empty array — the same rows the old
+    coalesce(fx, array()) produced."""
+    return labs.join(features, "doc_id", "left").groupBy("doc_id").agg(
+        *[F.first(c).alias(c) for c in label_cols],
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("bucket").isNotNull(), F.struct("bucket", "cnt"))
+            )
+        ).alias("fx"),
+    )
+
+
 def train_logreg_weights(
     features: DataFrame,
     labels: DataFrame,
@@ -596,6 +618,7 @@ def train_logreg_weights(
     center: bool = False,
     l2: float = 0.0,
     label_col: str = "y",
+    packed: DataFrame | None = None,
 ) -> tuple[list[float], float]:
     """Deterministic full-batch gradient descent on the logistic loss:
     ``n_iter`` steps of w ← w − lr·∇, ∇ = Σᵢ (σ(xᵢ·w + b) − yᵢ)xᵢ / N,
@@ -625,8 +648,17 @@ def train_logreg_weights(
     weight and bias gradients come back in a single bounded collect of
     ≤ n_features + 1 rows (the bpe_train 1-row-per-merge discipline,
     widened to the feature dim).  The feature/label frames are lazily
-    checkpointed: materialized once, re-read per step."""
-    labs = labels.select("doc_id", F.col(label_col).cast("double").alias("y"))
+    checkpointed: materialized once, re-read per step.
+
+    ``packed`` short-circuits the packing: a caller that also SCORES
+    the same corpus builds the (doc_id, label…, fx) frame once with
+    :func:`_pack_label_features`, checkpoints it, and shares it
+    between this fit and :func:`logreg_scores_packed` — the corpus is
+    then featurized and packed exactly once per query instead of once
+    per consumer.  ``features``/``labels`` are ignored when given."""
+    labs = None if packed is not None else labels.select(
+        "doc_id", F.col(label_col).cast("double").alias("y")
+    )
     # pack each doc's sparse feature vector into ONE row up front:
     # every GD step then computes margin + residual as a scalar
     # expression over the array (no shuffle at all) and the gradient
@@ -640,33 +672,42 @@ def train_logreg_weights(
     # and the oracle mirrors it with ORDER BY bucket inside its sum —
     # without this, collect_list order (and thus float association)
     # is nondeterministic, and drift feeds back through every GD step
-    docvec = features.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("fx")
+    #
+    # packed AFTER the label join (guide §2.3: shuffle only labeled
+    # docs' triples, and the pack's groupBy is the LAST shuffle before
+    # the checkpoint, so AQE sizes the materialized partitions by
+    # bytes instead of inheriting the label frame's partitioning —
+    # every per-step pass then schedules proportionally to data, not
+    # to an upstream frame's task count)
+    if packed is not None:
+        base = packed.select(F.col(label_col).cast("double").alias("y"), "fx")
+    else:
+        base = _pack_label_features(labs, features, ["y"]).select("y", "fx")
+        base = base.localCheckpoint(eager=False)
+    bias_entry = F.array(
+        F.struct(F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("cnt"))
     )
-    base = labs.join(docvec, "doc_id", "left").select(
-        "y",
-        F.coalesce(
-            F.col("fx"), F.array().cast("array<struct<bucket:int,cnt:double>>")
-        ).alias("fx"),
+    # ONE materializing pass returns n AND the per-bucket sums: the
+    # bias pseudo-bucket's Σ1.0 is the row count, so the old
+    # count-then-center pair of jobs collapses into this single
+    # bounded collect (μ division happens driver-side on the same
+    # doubles, bit-identical to the engine-side sum/n)
+    sums = (
+        base.select(F.explode(F.concat("fx", bias_entry)).alias("f"))
+        .groupBy(F.col("f.bucket").alias("bucket"))
+        .agg(F.sum("f.cnt").alias("s"))
+        .collect()  # bounded: <= n_features + 1 rows
     )
-    base = base.localCheckpoint(eager=False)
-    n = base.count()
+    n = next((float(r["s"]) for r in sums if r["bucket"] < 0), 0.0)
     if n == 0:
         raise ValueError("train_logreg_weights: empty label frame")
     mu = [0.0] * int(n_features)
     if center:
-        for r in (
-            base.select(F.explode("fx").alias("f"))
-            .groupBy(F.col("f.bucket").alias("bucket"))
-            .agg((F.sum("f.cnt") / F.lit(float(n))).alias("m"))
-            .collect()  # bounded: <= n_features rows
-        ):
-            mu[r["bucket"]] = float(r["m"])
+        for r in sums:
+            if r["bucket"] >= 0:
+                mu[r["bucket"]] = float(r["s"]) / n
     w = [0.0] * int(n_features)
     b = 0.0
-    bias_entry = F.array(
-        F.struct(F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("cnt"))
-    )
     for _ in range(int(n_iter)):
         # margin on raw features, centering folded into the constant
         const = float(b) - sum(wi * mi for wi, mi in zip(w, mu))
@@ -742,6 +783,46 @@ def logreg_scores(
     margin = F.coalesce(F.col("_dot"), F.lit(0.0)) + F.lit(float(bias))
     return all_ids.join(dots, "doc_id", "left").select(
         "doc_id",
+        margin.alias("margin"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("prob"),
+        (margin >= F.lit(thr_margin)).alias("pred"),
+    )
+
+
+def logreg_scores_packed(
+    packed: DataFrame,
+    weights: list[float],
+    bias: float,
+    *,
+    threshold: float = 0.5,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`logreg_scores` over an already-packed (doc_id, …, fx)
+    frame — the train/score shared-materialization path: the margin is
+    the SAME ascending-bucket literal-array fold the trainer ran (the
+    association the oracle pins with ORDER BY bucket), so a query that
+    fits and then scores one corpus reads the featurized pack once
+    instead of re-deriving and re-shuffling the feature triples for
+    the scoring pass.  ``keep_cols`` pass label columns through —
+    feature-less docs are already empty-array rows, scoring bias-only
+    without any id-spine join."""
+    import math
+
+    if not 0.0 < float(threshold) < 1.0:
+        raise ValueError(
+            f"logreg_scores_packed: threshold must be in (0, 1), got {threshold}"
+        )
+    thr_margin = math.log(float(threshold) / (1.0 - float(threshold)))
+    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    dot = F.aggregate(
+        F.col("fx"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["cnt"] * F.element_at(w_arr, s["bucket"] + 1),
+    )
+    margin = dot + F.lit(float(bias))
+    return packed.select(
+        "doc_id",
+        *keep_cols,
         margin.alias("margin"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("prob"),
         (margin >= F.lit(thr_margin)).alias("pred"),
@@ -866,6 +947,8 @@ def ovr_logreg_scores(
     id_spine: DataFrame,
     *,
     n_features: int,
+    packed: DataFrame | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One-vs-rest scoring pass → (doc_id, margin_<class>... ,
     pred_<label>) with the alphabetically-first argmax on ties — the
@@ -884,12 +967,18 @@ def ovr_logreg_scores(
             raise ValueError(
                 f"ovr_logreg_scores[{cls}]: {len(w)} weights != n_features={n_features}"
             )
-    docvec = features.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("fx")
-    )
-    base = id_spine.select(F.col(id_spine.columns[0]).alias("doc_id")).join(
-        docvec, "doc_id", "left"
-    )
+    # ``packed`` shares the trainer's materialized (doc_id, …, fx)
+    # frame — the scoring pass then skips its own pack + spine join
+    # (feature-less docs are already empty-array rows there)
+    if packed is not None:
+        base = packed
+    else:
+        docvec = features.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("fx")
+        )
+        base = id_spine.select(F.col(id_spine.columns[0]).alias("doc_id")).join(
+            docvec, "doc_id", "left"
+        )
     margins = {}
     for cls in classes:
         w, b = models[cls]
@@ -908,6 +997,7 @@ def ovr_logreg_scores(
         pred = pred.when(margins[cls] == best, F.lit(cls))
     return base.select(
         "doc_id",
+        *keep_cols,
         *[margins[c].alias(f"margin_{c}") for c in classes],
         pred.alias("pred_lang"),
     )
@@ -1222,6 +1312,7 @@ def train_ovr_logreg_weights(
     center: bool = False,
     l2: float = 0.0,
     class_col: str = "lang",
+    packed: DataFrame | None = None,
 ) -> dict[str, tuple[list[float], float]]:
     """K one-vs-rest logistic fits sharing every distributed pass —
     arithmetic IDENTICAL to K independent :func:`train_logreg_weights`
@@ -1237,40 +1328,42 @@ def train_ovr_logreg_weights(
     K = len(classes)
     if K == 0:
         raise ValueError("train_ovr_logreg_weights: no classes")
-    labs = labels.select(
-        "doc_id",
-        *[
-            (F.col(class_col) == c).cast("double").alias(f"y_{i}")
-            for i, c in enumerate(classes)
-        ],
+    y_exprs = [
+        (F.col(class_col) == c).cast("double").alias(f"y_{i}")
+        for i, c in enumerate(classes)
+    ]
+    # packed after the label join + single n/μ pass — the same two
+    # job-count cuts train_logreg_weights documents (AQE-sized
+    # partitions; count+center collapse into one bounded collect).
+    # A caller-supplied ``packed`` (doc_id, class_col, fx) is shared
+    # with the scoring pass — the y_i indicators are derived inline.
+    if packed is not None:
+        base = packed.select(*y_exprs, "fx")
+    else:
+        labs = labels.select("doc_id", *y_exprs)
+        base = _pack_label_features(
+            labs, features, [f"y_{i}" for i in range(K)]
+        ).select(*[f"y_{i}" for i in range(K)], "fx")
+        base = base.localCheckpoint(eager=False)
+    bias_entry = F.array(
+        F.struct(F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("cnt"))
     )
-    docvec = features.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("fx")
+    sums = (
+        base.select(F.explode(F.concat("fx", bias_entry)).alias("f"))
+        .groupBy(F.col("f.bucket").alias("bucket"))
+        .agg(F.sum("f.cnt").alias("s"))
+        .collect()  # bounded: <= n_features + 1 rows
     )
-    base = labs.join(docvec, "doc_id", "left").select(
-        *[f"y_{i}" for i in range(K)],
-        F.coalesce(
-            F.col("fx"), F.array().cast("array<struct<bucket:int,cnt:double>>")
-        ).alias("fx"),
-    )
-    base = base.localCheckpoint(eager=False)
-    n = base.count()
+    n = next((float(r["s"]) for r in sums if r["bucket"] < 0), 0.0)
     if n == 0:
         raise ValueError("train_ovr_logreg_weights: empty label frame")
     mu = [0.0] * int(n_features)
     if center:
-        for r in (
-            base.select(F.explode("fx").alias("f"))
-            .groupBy(F.col("f.bucket").alias("bucket"))
-            .agg((F.sum("f.cnt") / F.lit(float(n))).alias("m"))
-            .collect()  # bounded: <= n_features rows
-        ):
-            mu[r["bucket"]] = float(r["m"])
+        for r in sums:
+            if r["bucket"] >= 0:
+                mu[r["bucket"]] = float(r["s"]) / n
     w = {c: [0.0] * int(n_features) for c in classes}
     b = {c: 0.0 for c in classes}
-    bias_entry = F.array(
-        F.struct(F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("cnt"))
-    )
     def _dot(w_arr):
         # factory closure: a default-arg binding would change the
         # lambda's visible arity and break F.aggregate's 2-arg contract

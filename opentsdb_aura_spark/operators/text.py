@@ -315,9 +315,14 @@ def bpe_train(
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     chars = F.filter(F.split(F.col("w"), ""), lambda t: t != "")
+    # lazy checkpoints throughout the loop: each round's argmax
+    # collect materializes that round's vocab as a side effect (one
+    # fold step past the previous checkpoint), instead of paying a
+    # separate materialization job per merge — halves the loop's job
+    # count while lineage stays exactly one round deep
     vocab = words.select(
         F.concat(chars, F.array(F.lit(eow))).alias("syms"), "cnt"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple] = []
     for rank in range(int(n_merges)):
@@ -342,7 +347,7 @@ def bpe_train(
         merges.append((rank, a, b, a + b, cnt))
         vocab = vocab.select(
             _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "cnt"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, pair_count long"
@@ -382,9 +387,12 @@ def wordpiece_train(
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     chars = F.filter(F.split(F.col("w"), ""), lambda t: t != "")
+    # lazy loop checkpoints — same one-job-per-round discipline as
+    # bpe_train (the round's single argmax collect materializes the
+    # round's vocab; lineage stays one fold step deep)
     vocab = words.select(
         F.concat(chars, F.array(F.lit(eow))).alias("syms"), "cnt"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple] = []
     for rank in range(int(n_merges)):
@@ -425,7 +433,7 @@ def wordpiece_train(
         )
         vocab = vocab.select(
             _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "cnt"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     return spark.createDataFrame(
         merges,

@@ -1250,21 +1250,25 @@ def pipeline_ccnet_curate_trained_e2e(spark, sf_dir):
     # one extraction pass feeds classifier training, scoring, the LM
     # fit, and the gates (eager: ~36 downstream passes re-read it)
     ext = html_to_text(pages).localCheckpoint()
-    feats = hashed_char_ngram_features(ext, n=3, n_features=_LANGID_D).localCheckpoint(
-        eager=False
-    )
+    feats = hashed_char_ngram_features(ext, n=3, n_features=_LANGID_D)
     gold = planted.select("doc_id", "lang")
     langs_list, _ = _langid_langs()
+    # one featurize+pack materialization shared by the fit and the
+    # scoring pass (the train/score shared-pack path)
+    from opentsdb_aura_spark.operators.quality import _pack_label_features
+
+    packed = _pack_label_features(gold, feats, ["lang"]).localCheckpoint(eager=False)
     models = train_ovr_logreg_weights(
-        feats,
-        gold,
+        None,
+        None,
         classes=langs_list,
         n_features=_LANGID_D,
         lr=_LANGID_LR,
         n_iter=_LANGID_ITERS,
         center=True,
+        packed=packed,
     )
-    preds = ovr_logreg_scores(feats, models, ext.select("doc_id"), n_features=_LANGID_D)
+    preds = ovr_logreg_scores(None, models, None, n_features=_LANGID_D, packed=packed)
     langs_df = preds.select("doc_id", F.col("pred_lang").alias("lang"))
     g = gopher_quality_flags(
         ext, min_tokens=10, extra_cols=("link_chars", "text_chars", "text")

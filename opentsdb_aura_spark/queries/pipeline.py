@@ -1384,28 +1384,35 @@ def pipeline_quality_classifier(spark, sf_dir):
     )
     from opentsdb_aura_spark.operators.dedup_text import tokens
     from opentsdb_aura_spark.operators.quality import (
+        _pack_label_features,
         hashed_token_features,
-        logreg_scores,
+        logreg_scores_packed,
         train_logreg_weights,
     )
 
     d = docs(spark, sf_dir)
-    labels = d.select(
-        "doc_id", F.array_contains(tokens(F.col("text")), "dup").alias("label")
+    labs = d.select(
+        "doc_id",
+        F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y"),
     )
     feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    # ONE featurize+pack materialization shared by the fit and the
+    # scoring pass (guide §1.2: the corpus passes, not the tiny
+    # gradient shuffles, are this query's unavoidable cost)
+    packed = _pack_label_features(labs, feats, ["y"]).localCheckpoint(eager=False)
     w, b = train_logreg_weights(
-        feats,
-        labels.select("doc_id", F.col("label").cast("double").alias("y")),
+        None,
+        None,
         n_features=_LOGREG_D,
         lr=_LOGREG_LR,
         n_iter=_LOGREG_ITERS,
         center=True,
+        packed=packed,
     )
-    scores = logreg_scores(d, w, b, n_features=_LOGREG_D, binary=True)
-    return labels.join(scores, "doc_id").select(
+    scored = logreg_scores_packed(packed, w, b, keep_cols=("y",))
+    return scored.select(
         "doc_id",
-        "label",
+        (F.col("y") == 1.0).alias("label"),
         _r("margin", 4).alias("margin"),
         _r("prob", 4).alias("prob"),
         "pred",
@@ -1434,31 +1441,35 @@ def pipeline_classifier_calibrated(spark, sf_dir):
     )
     from opentsdb_aura_spark.operators.dedup_text import tokens
     from opentsdb_aura_spark.operators.quality import (
+        _pack_label_features,
         hashed_token_features,
-        logreg_scores,
+        logreg_scores_packed,
         train_logreg_weights,
     )
 
     d = docs(spark, sf_dir)
-    labels = d.select(
-        "doc_id", F.array_contains(tokens(F.col("text")), "dup").alias("label")
+    labs = d.select(
+        "doc_id",
+        F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y"),
     )
     feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    packed = _pack_label_features(labs, feats, ["y"]).localCheckpoint(eager=False)
     w, b = train_logreg_weights(
-        feats,
-        labels.select("doc_id", F.col("label").cast("double").alias("y")),
+        None,
+        None,
         n_features=_LOGREG_D,
         lr=_LOGREG_LR,
         n_iter=_LOGREG_ITERS,
         center=True,
         l2=_LOGREG_L2,
+        packed=packed,
     )
-    scores = logreg_scores(
-        d, w, b, n_features=_LOGREG_D, binary=True, threshold=_LOGREG_THR
+    scored = logreg_scores_packed(
+        packed, w, b, threshold=_LOGREG_THR, keep_cols=("y",)
     )
-    return labels.join(scores, "doc_id").select(
+    return scored.select(
         "doc_id",
-        "label",
+        (F.col("y") == 1.0).alias("label"),
         _r("margin", 4).alias("margin"),
         _r("prob", 4).alias("prob"),
         "pred",
@@ -1520,21 +1531,23 @@ def pipeline_classifier_pr_curve(spark, sf_dir):
 
     from opentsdb_aura_spark.operators.dedup_text import tokens
     from opentsdb_aura_spark.operators.quality import (
+        _pack_label_features,
         hashed_token_features,
-        logreg_scores,
+        logreg_scores_packed,
         train_logreg_weights,
     )
 
     d = docs(spark, sf_dir)
-    labels = d.select(
+    labs = d.select(
         "doc_id", F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y")
     )
     feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    packed = _pack_label_features(labs, feats, ["y"]).localCheckpoint(eager=False)
     w, b = train_logreg_weights(
-        feats, labels, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
-        center=True,
+        None, None, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
+        center=True, packed=packed,
     )
-    scores = logreg_scores(d, w, b, n_features=_LOGREG_D, binary=True)
+    scores = logreg_scores_packed(packed, w, b, keep_cols=("y",))
     # each grid point carries its Python-computed logit cutoff as a
     # full-precision literal — the oracle embeds the SAME doubles, so
     # neither engine evaluates ln() at compare time (ADVICE r13)
@@ -1548,7 +1561,7 @@ def pipeline_classifier_pr_curve(spark, sf_dir):
         ]
     )
     sweep = (
-        labels.join(scores, "doc_id")
+        scores
         .select("y", "margin", F.explode(grid).alias("tc"))
         .select("y", "margin", F.col("tc.t").alias("t"), F.col("tc.cut").alias("cut"))
     )
@@ -1612,22 +1625,23 @@ def pipeline_classifier_auc(spark, sf_dir):
 
     from opentsdb_aura_spark.operators.dedup_text import tokens
     from opentsdb_aura_spark.operators.quality import (
+        _pack_label_features,
         hashed_token_features,
-        logreg_scores,
+        logreg_scores_packed,
         train_logreg_weights,
     )
 
     d = docs(spark, sf_dir)
-    labels = d.select(
+    labs = d.select(
         "doc_id", F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y")
     )
     feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    packed = _pack_label_features(labs, feats, ["y"]).localCheckpoint(eager=False)
     w, b = train_logreg_weights(
-        feats, labels, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
-        center=True,
+        None, None, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
+        center=True, packed=packed,
     )
-    scores = logreg_scores(d, w, b, n_features=_LOGREG_D, binary=True)
-    rk = labels.join(scores, "doc_id").select(
+    rk = logreg_scores_packed(packed, w, b, keep_cols=("y",)).select(
         "y", _r(F.col("margin"), 4).alias("m")
     )
     ar = (
@@ -1701,22 +1715,24 @@ def pipeline_host_quality_prior(spark, sf_dir):
     value-hashed."""
     from opentsdb_aura_spark.operators.dedup_text import tokens
     from opentsdb_aura_spark.operators.quality import (
+        _pack_label_features,
         hashed_token_features,
-        logreg_scores,
+        logreg_scores_packed,
         train_logreg_weights,
     )
 
     d = docs(spark, sf_dir)
-    labels = d.select(
+    labs = d.select(
         "doc_id",
         F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y"),
     )
     feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    packed = _pack_label_features(labs, feats, ["y"]).localCheckpoint(eager=False)
     w, b = train_logreg_weights(
-        feats, labels, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
-        center=True,
+        None, None, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
+        center=True, packed=packed,
     )
-    scores = logreg_scores(d, w, b, n_features=_LOGREG_D, binary=True)
+    scores = logreg_scores_packed(packed, w, b)
     host = F.concat(F.lit("h"), F.col("doc_id") % 16, F.lit(".example"))
     return (
         scores.select(host.alias("host"), "prob")
@@ -3231,9 +3247,21 @@ def _langid_corpus(spark, sf_dir):
     )
 
 
-def _langid_models(corpus, feats):
-    """One-vs-rest fit: K binary logreg fits over the SAME feature
-    triples, all K classes sharing each distributed pass
+def _langid_packed(corpus, feats):
+    """The corpus featurized and packed ONCE — (doc_id, lang, fx),
+    lazily checkpointed — shared by the OvR fit and the scoring pass
+    (the train/score shared-materialization path the binary
+    classifier family uses)."""
+    from opentsdb_aura_spark.operators.quality import _pack_label_features
+
+    return _pack_label_features(
+        corpus.select("doc_id", "lang"), feats, ["lang"]
+    ).localCheckpoint(eager=False)
+
+
+def _langid_models(packed):
+    """One-vs-rest fit: K binary logreg fits over the SAME packed
+    frame, all K classes sharing each distributed pass
     (train_ovr_logreg_weights — n_iter bounded collects total, each
     <= D+1 rows wide by K gradient columns; arithmetic identical to K
     independent train_logreg_weights calls, so the unrolled-SQL
@@ -3242,13 +3270,14 @@ def _langid_models(corpus, feats):
 
     langs, _ = _langid_langs()
     return train_ovr_logreg_weights(
-        feats,
-        corpus.select("doc_id", "lang"),
+        None,
+        None,
         classes=langs,
         n_features=_LANGID_D,
         lr=_LANGID_LR,
         n_iter=_LANGID_ITERS,
         center=True,
+        packed=packed,
     )
 
 
@@ -3408,21 +3437,19 @@ def text_lang_id_trained(spark, sf_dir):
     corpus = _langid_corpus(spark, sf_dir)
     feats = hashed_char_ngram_features(
         corpus, n=3, n_features=_LANGID_D, text_col="txt"
-    ).localCheckpoint(eager=False)
-    models = _langid_models(corpus, feats)
+    )
+    packed = _langid_packed(corpus, feats)
+    models = _langid_models(packed)
     langs, _ = _langid_langs()
     scores = ovr_logreg_scores(
-        feats, models, corpus.select("doc_id"), n_features=_LANGID_D
+        None, models, None, n_features=_LANGID_D, packed=packed, keep_cols=("lang",)
     )
-    res = corpus.select("doc_id", F.col("lang").alias("true_lang")).join(
-        scores, "doc_id"
-    )
-    return res.select(
+    return scores.select(
         "doc_id",
-        "true_lang",
+        F.col("lang").alias("true_lang"),
         *[_r(f"margin_{L}", 4).alias(f"margin_{L}") for L in langs],
         "pred_lang",
-        (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+        (F.col("pred_lang") == F.col("lang")).alias("correct"),
     )
 
 
@@ -3442,10 +3469,17 @@ def text_lang_id_trained_weights(spark, sf_dir):
     corpus = _langid_corpus(spark, sf_dir)
     feats = hashed_char_ngram_features(
         corpus, n=3, n_features=_LANGID_D, text_col="txt"
-    ).localCheckpoint(eager=False)
-    models = _langid_models(corpus, feats)
+    )
+    packed = _langid_packed(corpus, feats)
+    models = _langid_models(packed)
     langs, _ = _langid_langs()
-    populated = feats.select("bucket").distinct().localCheckpoint(eager=False)
+    # the populated-bucket set re-read from the materialized pack (its
+    # arrays hold exactly the feature triples) — no second featurize
+    populated = (
+        packed.select(F.explode(F.col("fx.bucket")).alias("bucket"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     out = None
     for L in langs:
         w, b = models[L]
@@ -3493,25 +3527,23 @@ def text_lang_id_persisted(spark, sf_dir):
     corpus = _langid_corpus(spark, sf_dir)
     feats = hashed_char_ngram_features(
         corpus, n=3, n_features=_LANGID_D, text_col="txt"
-    ).localCheckpoint(eager=False)
+    )
+    packed = _langid_packed(corpus, feats)
     base = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(STORE_ROOT, base, "langid_ovr_model_v1")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        ovr_model_save(spark, _langid_models(corpus, feats), path)
+        ovr_model_save(spark, _langid_models(packed), path)
     models = ovr_model_load(spark, path)
     langs, _ = _langid_langs()
     scores = ovr_logreg_scores(
-        feats, models, corpus.select("doc_id"), n_features=_LANGID_D
+        None, models, None, n_features=_LANGID_D, packed=packed, keep_cols=("lang",)
     )
-    res = corpus.select("doc_id", F.col("lang").alias("true_lang")).join(
-        scores, "doc_id"
-    )
-    return res.select(
+    return scores.select(
         "doc_id",
-        "true_lang",
+        F.col("lang").alias("true_lang"),
         *[_r(f"margin_{L}", 4).alias(f"margin_{L}") for L in langs],
         "pred_lang",
-        (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+        (F.col("pred_lang") == F.col("lang")).alias("correct"),
     )
 
 
@@ -3651,8 +3683,8 @@ def text_lang_id_softmax(spark, sf_dir):
     clean = _langid_corpus(spark, sf_dir)
     feats_tr = hashed_char_ngram_features(
         clean, n=3, n_features=_LANGID_D, text_col="txt"
-    ).localCheckpoint(eager=False)
-    models = _langid_models(clean, feats_tr)
+    )
+    models = _langid_models(_langid_packed(clean, feats_tr))
     mixed = _langid_mixed_corpus(spark, sf_dir)
     feats_sc = hashed_char_ngram_features(
         mixed, n=3, n_features=_LANGID_D, text_col="txt"
@@ -3717,14 +3749,14 @@ def text_lang_id_confusion(spark, sf_dir):
     corpus = _langid_corpus(spark, sf_dir)
     feats = hashed_char_ngram_features(
         corpus, n=3, n_features=_LANGID_D, text_col="txt"
-    ).localCheckpoint(eager=False)
-    models = _langid_models(corpus, feats)
+    )
+    packed = _langid_packed(corpus, feats)
+    models = _langid_models(packed)
     scores = ovr_logreg_scores(
-        feats, models, corpus.select("doc_id"), n_features=_LANGID_D
+        None, models, None, n_features=_LANGID_D, packed=packed, keep_cols=("lang",)
     )
     return (
-        corpus.select("doc_id", F.col("lang").alias("true_lang"))
-        .join(scores.select("doc_id", "pred_lang"), "doc_id")
+        scores.select(F.col("lang").alias("true_lang"), "pred_lang")
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
@@ -3824,15 +3856,16 @@ def pipeline_ccnet_curate_trained(spark, sf_dir):
         lm_bigram_scores,
         perplexity_buckets,
     )
-    from opentsdb_aura_spark.operators.text import lang_id
+    from opentsdb_aura_spark.operators.quality import ovr_logreg_scores
 
     corpus = _langid_corpus(spark, sf_dir).localCheckpoint(eager=False)
     feats = hashed_char_ngram_features(
         corpus, n=3, n_features=_LANGID_D, text_col="txt"
-    ).localCheckpoint(eager=False)
-    models = _langid_models(corpus, feats)
-    langs = lang_id(
-        corpus, text_col="txt", models=models, n_features=_LANGID_D, ngram=3
+    )
+    packed = _langid_packed(corpus, feats)
+    models = _langid_models(packed)
+    langs = ovr_logreg_scores(
+        None, models, None, n_features=_LANGID_D, packed=packed
     ).select("doc_id", F.col("pred_lang").alias("lang"))
     g = gopher_quality_flags(corpus, min_tokens=10, text_col="txt")
     bw_hits, ok_bw = badwords_exprs(FIXTURE_BADWORDS, text_col="txt")
@@ -3929,10 +3962,11 @@ def pipeline_quality_gate(spark, sf_dir):
     from opentsdb_aura_spark.operators.dedup_text import tokens
     from opentsdb_aura_spark.operators.quality import (
         FIXTURE_BADWORDS,
+        _pack_label_features,
         badwords_exprs,
         gopher_quality_flags,
         hashed_token_features,
-        logreg_scores,
+        logreg_scores_packed,
         train_logreg_weights,
     )
 
@@ -3942,18 +3976,17 @@ def pipeline_quality_gate(spark, sf_dir):
         F.array_contains(tokens(F.col("text")), "dup").cast("double").alias("y"),
     )
     feats = hashed_token_features(d, n_features=_LOGREG_D, binary=True)
+    packed = _pack_label_features(labels, feats, ["y"]).localCheckpoint(eager=False)
     w, b = train_logreg_weights(
-        feats, labels, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
-        center=True,
+        None, None, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
+        center=True, packed=packed,
     )
     # the PRETRAINED-weights dim exactly as the stream consumes it
     model = {"weights": w, "bias": b, "n_features": _LOGREG_D, "binary": True}
-    qs = logreg_scores(
-        d,
+    qs = logreg_scores_packed(
+        packed,
         list(model["weights"]),
         float(model["bias"]),
-        n_features=int(model["n_features"]),
-        binary=bool(model["binary"]),
     ).select("doc_id", "prob", (F.col("prob") >= F.lit(0.5)).alias("keep_clf"))
     g = gopher_quality_flags(d, min_tokens=10)
     bw_hits, ok_bw = badwords_exprs(FIXTURE_BADWORDS)

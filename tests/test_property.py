@@ -758,21 +758,35 @@ def test_lm_kn_heldout_random_corpora_match_reference(spark, train, held):
     against the independent Python reference (tests/test_quality.py's
     _kn2_reference): arbitrary tiny corpora, with the held-out
     alphabet a superset of the train alphabet so OOV words, unseen
-    contexts, and unseen bigrams all occur organically."""
+    contexts, and unseen bigrams all occur organically.
+
+    Corpora whose count-of-count profile zeroes the modified
+    discounts (e.g. every unigram continuation count >= 3 and
+    3*n3 == 4*y*n4, making gamma collapse to 0 so an OOV word gets
+    probability exactly 0) are outside the estimator's domain — KenLM
+    refuses such input outright unless --discount_fallback overrides
+    the Chen-Goodman formulas — so they are assume()d away here; the
+    reference signals them with a log(0) math domain error."""
     import math
+
+    from hypothesis import assume
 
     from opentsdb_aura_spark.operators.quality import lm_kn_fit, lm_kn_score
 
     from tests.test_quality import _kn2_reference
+
+    try:
+        ref = _kn2_reference(
+            [toks for toks in train], {100 + i: toks for i, toks in enumerate(held)}
+        )
+    except ValueError:  # log(0): degenerate discounts, model undefined
+        assume(False)
 
     train_rows = [(i, " ".join(toks)) for i, toks in enumerate(train)]
     held_rows = [(100 + i, " ".join(toks)) for i, toks in enumerate(held)]
     tdf = spark.createDataFrame(train_rows, "doc_id long, text string")
     hdf = spark.createDataFrame(held_rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in lm_kn_score(lm_kn_fit(tdf, order=2), hdf).collect()}
-    ref = _kn2_reference(
-        [toks for toks in train], {100 + i: toks for i, toks in enumerate(held)}
-    )
     assert set(got) == set(ref)
     for doc_id, (n, lp) in ref.items():
         assert got[doc_id]["n_ngrams"] == n

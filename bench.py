@@ -225,10 +225,17 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM + parquet footers so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
-    # warm the Python/Arrow worker pool the same way (forking 32
-    # workers is one-time setup, not a per-query cost; workers are
-    # reused afterwards)
-    spark.range(64, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
+    # warm the Python/Arrow worker pool the same way (forking workers
+    # is one-time setup, not a per-query cost; workers are reused
+    # afterwards).  CHAINED: a task running k chained mapInPandas
+    # nodes holds k workers at once, so the container-decode chains
+    # (build→parse→http→html) demand up to 4×cores workers — warm
+    # that depth, not just one wave, or the first chained query pays
+    # a 32×4 cold fork+import storm
+    w = spark.range(64, numPartitions=32)
+    for _ in range(4):
+        w = w.mapInPandas(lambda it: it, "id long")
+    w.count()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     timings: dict[str, float] = {}

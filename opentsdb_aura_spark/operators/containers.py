@@ -309,6 +309,27 @@ def encode_warc_file(
     return b"".join(out)
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Pin the fixture-build shuffle to ``defaultParallelism``
+    partitions hashed on ``key``.  The groupBy→applyInPandas build
+    that follows requires exactly this hash distribution, so no extra
+    exchange is added — but the EXPLICIT partition count opts the one
+    exchange out of AQE partition coalescing.  That matters because
+    the synthetic container files are kilobytes: AQE's byte-based
+    targets collapse them to a single post-shuffle partition, and
+    since every downstream decode pass (mapInPandas / mapInArrow) is
+    narrow, the whole encode→parse→extract chain then runs on ONE
+    task regardless of cores (observed: 8-9 s single-task stages in
+    pipeline_ccnet_curate).  Each row here costs a full Python
+    encode + parse chain — orders of magnitude more per byte than
+    AQE's heuristic assumes (guide §2.5: input skew is fixed at the
+    source).  A real .warc.gz scan gets its parallelism from
+    maxPartitionBytes file splits instead; this restores exactly the
+    parallelism such a scan would naturally have, nothing more."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, F.col(key))
+
+
 def synthesize_warc(
     docs: DataFrame,
     *,
@@ -362,7 +383,7 @@ def synthesize_warc(
         )
         return pd.DataFrame({"file_id": [fid], "content": [content]})
 
-    return grouped.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
+    return _spread(grouped, "file_id").groupBy("file_id").applyInPandas(build, "file_id long, content binary")
 
 
 # ------------------------------------------------------------------ WARC parse
@@ -642,7 +663,7 @@ def synthesize_tar(
             content = _gzip_member(content)
         return pd.DataFrame({"file_id": [fid], "content": [content]})
 
-    return grouped.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
+    return _spread(grouped, "file_id").groupBy("file_id").applyInPandas(build, "file_id long, content binary")
 
 
 # ------------------------------------------------------------------- TAR parse
@@ -1405,7 +1426,7 @@ def write_wet_files(
             )
         return pd.DataFrame({"file_id": [fid], "content": [b"".join(out)]})
 
-    return grouped.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
+    return _spread(grouped, "file_id").groupBy("file_id").applyInPandas(build, "file_id long, content binary")
 
 
 # -------------------------------------------------------------- URL curation
@@ -1607,7 +1628,7 @@ def write_revisit_warc_files(
                 )
         return pd.DataFrame({"file_id": [fid], "content": [b"".join(out)]})
 
-    return slim.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
+    return _spread(slim, "file_id").groupBy("file_id").applyInPandas(build, "file_id long, content binary")
 
 
 def resolve_revisits(records: DataFrame) -> DataFrame:
@@ -2085,7 +2106,7 @@ def write_zipnum_cdx(
                      "offset", "length", "n_lines", "content"],
         )
 
-    return rows.groupBy("shard_id").applyInPandas(build, ZIPNUM_BLOCK_SCHEMA)
+    return _spread(rows, "shard_id").groupBy("shard_id").applyInPandas(build, ZIPNUM_BLOCK_SCHEMA)
 
 
 def zipnum_idx(blocks: DataFrame) -> DataFrame:
@@ -2110,7 +2131,7 @@ def zipnum_shard_files(blocks: DataFrame) -> DataFrame:
              "content": [b"".join(bytes(c) for c in pdf["content"])]}
         )
 
-    return slim.groupBy("shard_id").applyInPandas(build, "shard_id long, content binary")
+    return _spread(slim, "shard_id").groupBy("shard_id").applyInPandas(build, "shard_id long, content binary")
 
 
 def zipnum_candidate_blocks(
@@ -2472,7 +2493,7 @@ def write_wat_files(
             )
         return pd.DataFrame({"file_id": [fid], "content": [b"".join(out)]})
 
-    return grouped.groupBy("file_id").applyInPandas(build, "file_id long, content binary")
+    return _spread(grouped, "file_id").groupBy("file_id").applyInPandas(build, "file_id long, content binary")
 
 
 def resolve_href(base, href):

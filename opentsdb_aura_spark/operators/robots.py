@@ -1063,11 +1063,17 @@ def resolve_robots_fetches(
 
     if int(max_hops) < 1:
         raise ValueError(f"resolve_robots_fetches: max_hops must be >= 1, got {max_hops}")
+    # pinned once: the dim is read by max_hops+1 joins, and each hop's
+    # join feeds TWO branches (finished ∪ next state) — without the
+    # lazy checkpoints Catalyst re-derives the whole chain per union
+    # branch, a quadratic cascade of stages over crawl-metadata-sized
+    # frames (observed: ~50 stages for 20 hosts); with them each hop
+    # materializes exactly once (the pagerank loop discipline)
     f = fetches.select(
         F.col(url_col).alias("_u"),
         F.col(status_col).cast("int").alias("_st"),
         F.col(location_col).alias("_loc"),
-    )
+    ).localCheckpoint(eager=False)
     state = hosts.select(
         F.col(host_col).alias("host"),
         F.concat(F.lit("http://"), F.col(host_col), F.lit("/robots.txt")).alias("_cur"),
@@ -1075,7 +1081,9 @@ def resolve_robots_fetches(
     )
     done = None
     for _ in range(int(max_hops)):
-        j = state.join(f, state["_cur"] == f["_u"], "left")
+        j = state.join(f, state["_cur"] == f["_u"], "left").localCheckpoint(
+            eager=False
+        )
         redirecting = (
             F.col("_st").between(300, 399) & F.col("_loc").isNotNull()
         )

@@ -277,6 +277,50 @@ def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
     )
 
 
+# Distinct-word cap under which the tokenizer training loops collect
+# the word-frequency table once and fold the merges driver-side — the
+# resolve_duplicate_clusters discipline (<=200k edges driver union-find,
+# distributed above).  |vocab| grows sublinearly with corpus size, so
+# at fixture scale the table is tiny and the distributed loop's cost is
+# pure orchestration (8 rounds x several jobs over <=1k rows, measured
+# ~0.3-0.6 s/round of driver+stage overhead); above the cap the
+# distributed loop is unchanged.  The local fold replicates the engine
+# arithmetic exactly: integer pair counts, IEEE-double scores
+# (double(pair)/(double(ca)*double(cb)) — one rounding each, same as
+# the Catalyst cast chain), argmax tie-broken on UTF-8 BYTE order (the
+# UTF8String sort order Spark's orderBy uses; Python code-point order
+# differs above U+FFFF, hence the encode).
+_TRAIN_LOCAL_CAP = 200_000
+
+
+def _local_syms_probe(vocab: DataFrame, cap: int) -> list | None:
+    """Collect the (syms, cnt) word table iff it has <= cap rows —
+    the limit(cap+1) probe pattern.  The syms arrays are built by the
+    ENGINE (split/filter/concat), so character segmentation semantics
+    never re-derive in Python.  Returns None when over the cap."""
+    rows = vocab.limit(int(cap) + 1).collect()
+    if len(rows) > int(cap):
+        return None
+    return [(list(r[0]), int(r[1])) for r in rows]
+
+
+def _local_merge_fold(syms: list, a: str, b: str) -> list:
+    """Driver-side replica of :func:`_merge_pair_expr`'s greedy
+    left-to-right fold ('aaa' under (a,a) -> ['aa','a'])."""
+    out: list = []
+    ab = a + b
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = ab
+        else:
+            out.append(s)
+    return out
+
+
+def _u8(s: str) -> bytes:
+    return s.encode("utf-8")
+
+
 def bpe_train(
     docs: DataFrame,
     *,
@@ -320,11 +364,35 @@ def bpe_train(
     # fold step past the previous checkpoint), instead of paying a
     # separate materialization job per merge — halves the loop's job
     # count while lineage stays exactly one round deep
-    vocab = words.select(
-        F.concat(chars, F.array(F.lit(eow))).alias("syms"), "cnt"
-    ).localCheckpoint(eager=False)
+    vocab = words.select(F.concat(chars, F.array(F.lit(eow))).alias("syms"), "cnt")
 
     merges: list[tuple] = []
+    local = _local_syms_probe(vocab, _TRAIN_LOCAL_CAP)
+    if local is not None:
+        # the whole loop is per-word arithmetic over the collected
+        # table — ONE job total instead of 8 rounds x (explode + agg +
+        # takeOrdered); argmax = (pair_count DESC, lhs, rhs) in UTF-8
+        # byte order, the exact engine sort key
+        for rank in range(int(n_merges)):
+            pc: dict = {}
+            for syms, cnt in local:
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    pc[k] = pc.get(k, 0) + cnt
+            if not pc:
+                break
+            (a, b), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], _u8(kv[0][0]), _u8(kv[0][1]))
+            )
+            merges.append((rank, a, b, a + b, int(cnt)))
+            local = [(_local_merge_fold(s, a, b), c) for s, c in local]
+        return spark.createDataFrame(
+            merges, "rank int, lhs string, rhs string, merged string, pair_count long"
+        )
+
+    # lazy checkpoints throughout the distributed loop: each round's
+    # argmax collect materializes that round's vocab as a side effect
+    vocab = vocab.localCheckpoint(eager=False)
     for rank in range(int(n_merges)):
         left = F.slice(F.col("syms"), F.lit(1), F.size(F.col("syms")) - 1)
         right = F.slice(F.col("syms"), F.lit(2), F.size(F.col("syms")) - 1)
@@ -390,11 +458,44 @@ def wordpiece_train(
     # lazy loop checkpoints — same one-job-per-round discipline as
     # bpe_train (the round's single argmax collect materializes the
     # round's vocab; lineage stays one fold step deep)
-    vocab = words.select(
-        F.concat(chars, F.array(F.lit(eow))).alias("syms"), "cnt"
-    ).localCheckpoint(eager=False)
+    vocab = words.select(F.concat(chars, F.array(F.lit(eow))).alias("syms"), "cnt")
 
     merges: list[tuple] = []
+    local = _local_syms_probe(vocab, _TRAIN_LOCAL_CAP)
+    if local is not None:
+        # one job total (the probe); the likelihood score is computed
+        # on the SAME doubles the engine casts (exact ints < 2^53 →
+        # double conversions are exact, one rounding in the multiply
+        # and one in the divide — identical association), argmax
+        # tie-broken (score DESC, lhs, rhs) in UTF-8 byte order
+        for rank in range(int(n_merges)):
+            pc: dict = {}
+            uc: dict = {}
+            for syms, cnt in local:
+                for i, s in enumerate(syms):
+                    uc[s] = uc.get(s, 0) + cnt
+                    if i + 1 < len(syms):
+                        k = (s, syms[i + 1])
+                        pc[k] = pc.get(k, 0) + cnt
+            if not pc:
+                break
+            scored = {
+                k: float(v) / (float(uc[k[0]]) * float(uc[k[1]]))
+                for k, v in pc.items()
+            }
+            (a, b), score = min(
+                scored.items(), key=lambda kv: (-kv[1], _u8(kv[0][0]), _u8(kv[0][1]))
+            )
+            merges.append((rank, a, b, a + b, int(pc[(a, b)]), score))
+            local = [(_local_merge_fold(s, a, b), c) for s, c in local]
+        return spark.createDataFrame(
+            merges,
+            "rank int, lhs string, rhs string, merged string, pair_count long, score double",
+        )
+
+    # lazy loop checkpoints — same one-job-per-round discipline as
+    # bpe_train's distributed path
+    vocab = vocab.localCheckpoint(eager=False)
     for rank in range(int(n_merges)):
         left = F.slice(F.col("syms"), F.lit(1), F.size(F.col("syms")) - 1)
         right = F.slice(F.col("syms"), F.lit(2), F.size(F.col("syms")) - 1)

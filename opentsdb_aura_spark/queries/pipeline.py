@@ -1644,15 +1644,33 @@ def pipeline_classifier_auc(spark, sf_dir):
     rk = logreg_scores_packed(packed, w, b, keep_cols=("y",)).select(
         "y", _r(F.col("margin"), 4).alias("m")
     )
-    ar = (
-        F.rank().over(Window.orderBy("m"))
-        + (F.count("*").over(Window.partitionBy("m")) - 1) / 2.0
+    # rank-sum regrouped per distinct rounded margin (guide §2.3/§2.4:
+    # aggregate before you shuffle; no global single-partition window
+    # over N rows).  Every tied row shares one average rank
+    # ar(m) = rank(m) + (cnt(m)-1)/2 — a half-integer, exactly
+    # representable — so Σ_rows ar ≡ Σ_m pos(m)·ar(m) bit-for-bit in
+    # doubles regardless of association; the groupBy does map-side
+    # partial aggregation and the only window left runs over the tiny
+    # distinct-margin table (rank(m) = 1 + Σ cnt of strictly smaller m)
+    per_m = rk.groupBy("m").agg(
+        F.count("*").alias("cnt"),
+        F.sum((F.col("y") == 1.0).cast("long")).alias("pos"),
     )
-    r2 = rk.select("y", ar.alias("ar"))
+    rank_m = (
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        + 1
+    )
+    ar_m = rank_m + (F.col("cnt") - 1) / 2.0
+    r2 = per_m.select("pos", "cnt", ar_m.alias("ar"))
     return r2.agg(
-        F.sum(F.when(F.col("y") == 1.0, F.col("ar"))).alias("_rsum"),
-        F.sum((F.col("y") == 1.0).cast("long")).alias("n_pos"),
-        F.sum((F.col("y") == 0.0).cast("long")).alias("n_neg"),
+        F.sum(F.col("pos") * F.col("ar")).alias("_rsum"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
     ).select(
         "n_pos",
         "n_neg",

@@ -932,3 +932,37 @@ def test_temperature_mixture_drops_null_domains(spark):
     assert sorted(r.dom for r in rows) == ["a", "b"]
     # target_frac 1.0 -> every non-null doc kept
     assert {r.dom: r.n_kept for r in rows} == {"a": 2, "b": 1}
+
+
+def test_tokenizer_train_local_fold_matches_distributed(spark, monkeypatch):
+    """The r14 scale-adaptive local fit: under _TRAIN_LOCAL_CAP the
+    BPE/WordPiece merge loops collect the word table once and fold
+    driver-side.  Pin local ≡ distributed row-for-row on a corpus with
+    ties, repeated-symbol greedy cases, AND non-ASCII words including
+    an astral-plane char (U+1D49E) — the UTF-8-byte argmax tie-break
+    must match the engine's UTF8String order, which differs from
+    Python's code-point order exactly in that range."""
+    from opentsdb_aura_spark.operators import text as text_mod
+
+    texts = [
+        "low lower lowest low low",
+        "aaa aa aaaa banana bandana",
+        "ſs ſſs s\U0001D49Es \U0001D49E\U0001D49E été étés",
+        "lower banana aaa été",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def rows(df, cols):
+        return [tuple(r[c] for c in cols) for r in df.orderBy("rank").collect()]
+
+    bcols = ["rank", "lhs", "rhs", "merged", "pair_count"]
+    wcols = bcols + ["score"]
+    local_b = rows(text_mod.bpe_train(docs, n_merges=10), bcols)
+    local_w = rows(text_mod.wordpiece_train(docs, n_merges=10), wcols)
+    monkeypatch.setattr(text_mod, "_TRAIN_LOCAL_CAP", 0)
+    dist_b = rows(text_mod.bpe_train(docs, n_merges=10), bcols)
+    dist_w = rows(text_mod.wordpiece_train(docs, n_merges=10), wcols)
+    assert local_b == dist_b, (local_b, dist_b)
+    assert local_w == dist_w, (local_w, dist_w)

@@ -183,7 +183,7 @@ def gopher_quality_flags(
     n_bullet = F.size(F.filter(lines, lambda l: F.substring(l, 1, 2).isin(*[p for p in BULLET_PREFIXES])))
     n_ellip = F.size(F.filter(lines, lambda l: F.endswith(l, F.lit("...")) | F.endswith(l, F.lit("…"))))
     n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    sw = F.lit(list(STOPWORDS))
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
 
     sig = docs.select(
@@ -244,7 +244,7 @@ def badwords_exprs(blocklist, text_col: str = "text"):
         # unguarded F.array() with no elements is an analysis error
         hits = F.when(F.col(text_col).isNotNull(), F.lit(0)).cast("bigint")
         return hits, F.coalesce(hits == 0, F.lit(False))
-    bl = F.array(*[F.lit(str(w).lower()) for w in blocklist])
+    bl = F.lit([str(w).lower() for w in blocklist])
     hits = F.size(F.filter(tokens(F.col(text_col)), lambda t: F.array_contains(bl, t)))
     ok = F.coalesce(hits == 0, F.lit(False))  # NULL text: nothing to keep
     return hits.cast("bigint"), ok
@@ -711,7 +711,7 @@ def train_logreg_weights(
     for _ in range(int(n_iter)):
         # margin on raw features, centering folded into the constant
         const = float(b) - sum(wi * mi for wi, mi in zip(w, mu))
-        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        w_arr = F.lit([float(x) for x in w])
         dot = F.aggregate(
             F.col("fx"),
             F.lit(0.0),
@@ -775,7 +775,7 @@ def logreg_scores(
     feats = hashed_token_features(
         docs, n_features=n_features, binary=binary, text_col=text_col, id_col=id_col
     )
-    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    w_arr = F.lit([float(x) for x in weights])
     dots = feats.groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1)).alias("_dot")
     )
@@ -813,7 +813,7 @@ def logreg_scores_packed(
             f"logreg_scores_packed: threshold must be in (0, 1), got {threshold}"
         )
     thr_margin = math.log(float(threshold) / (1.0 - float(threshold)))
-    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    w_arr = F.lit([float(x) for x in weights])
     dot = F.aggregate(
         F.col("fx"),
         F.lit(0.0),
@@ -982,7 +982,7 @@ def ovr_logreg_scores(
     margins = {}
     for cls in classes:
         w, b = models[cls]
-        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        w_arr = F.lit([float(x) for x in w])
         dot = F.aggregate(
             F.coalesce(
                 F.col("fx"), F.array().cast("array<struct<bucket:int,cnt:double>>")
@@ -1222,52 +1222,30 @@ def lm_kn_scores_order(
             .localCheckpoint(eager=False)
         )
 
-    def _discounts(gk, cname, k):
-        coc = gk.agg(
-            *[
-                F.sum((F.col(cname) == i).cast("double")).alias(f"n{i}")
-                for i in (1, 2, 3, 4)
-            ]
-        )
-        y = F.when(
-            F.col("n1") + 2 * F.col("n2") > 0,
-            F.col("n1") / (F.col("n1") + 2 * F.col("n2")),
-        ).otherwise(F.lit(0.5))
-        withy = coc.select(y.alias("y"), "n1", "n2", "n3", "n4")
-        return withy.select(
-            F.when(
-                F.col("n1") > 0,
-                F.greatest(1 - 2 * F.col("y") * F.col("n2") / F.col("n1"), F.lit(0.0)),
-            )
-            .otherwise(F.lit(0.5))
-            .alias(f"d{k}_1"),
-            F.when(
-                F.col("n2") > 0,
-                F.greatest(2 - 3 * F.col("y") * F.col("n3") / F.col("n2"), F.lit(0.0)),
-            )
-            .otherwise(F.lit(0.5))
-            .alias(f"d{k}_2"),
-            F.when(
-                F.col("n3") > 0,
-                F.greatest(3 - 4 * F.col("y") * F.col("n4") / F.col("n3"), F.lit(0.0)),
-            )
-            .otherwise(F.lit(0.5))
-            .alias(f"d{k}_3"),
-        )
-
     joined = g[N]
     for k in range(N - 1, 0, -1):
         joined = joined.join(g[k], cols[N - k :])
     for k in range(N, 1, -1):
         ckeys = cols[N - k : N - 1]
-        ctx = g[k].groupBy(*ckeys).agg(
+        # one groupBy serves BOTH the per-context dim and the global
+        # count-of-count discount triple: the ==3/==4 cells ride along
+        # and dd[k] becomes a tiny agg over the (much smaller) context
+        # table instead of a second full scan of g[k] (guide §1.2 —
+        # don't recompute what a pass already saw).  All cells are
+        # integer counts in doubles, so sum-of-per-context-sums is
+        # bit-identical to the direct sum.
+        ctx_full = g[k].groupBy(*ckeys).agg(
             F.sum(f"c{k}").alias(f"tot{k}"),
             F.sum((F.col(f"c{k}") == 1).cast("double")).alias(f"n1f{k}"),
             F.sum((F.col(f"c{k}") == 2).cast("double")).alias(f"n2f{k}"),
             F.sum((F.col(f"c{k}") >= 3).cast("double")).alias(f"n3f{k}"),
+            F.sum((F.col(f"c{k}") == 3).cast("double")).alias(f"_n3e{k}"),
+            F.sum((F.col(f"c{k}") == 4).cast("double")).alias(f"_n4e{k}"),
+        ).localCheckpoint(eager=False)
+        joined = joined.join(
+            ctx_full.select(*ckeys, f"tot{k}", f"n1f{k}", f"n2f{k}", f"n3f{k}"), ckeys
         )
-        joined = joined.join(ctx, ckeys)
-        dk = _discounts(g[k], f"c{k}", k)  # 1-row discount triple
+        dk = _discounts_from_ctx(ctx_full, k)  # 1-row discount triple
         joined = joined.crossJoin(F.broadcast(dk))
     u_total = g[2].agg(F.count("*").cast("double").alias("u"))
     joined = joined.crossJoin(F.broadcast(u_total))
@@ -1377,7 +1355,7 @@ def train_ovr_logreg_weights(
         resid_cols = []
         for i, c in enumerate(classes):
             const = float(b[c]) - sum(wi * mi for wi, mi in zip(w[c], mu))
-            dot = _dot(F.array(*[F.lit(float(x)) for x in w[c]]))
+            dot = _dot(F.lit([float(x) for x in w[c]]))
             resid_cols.append(
                 (
                     F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(const))))
@@ -1418,20 +1396,9 @@ def train_ovr_logreg_weights(
 
 # ------------------------------------------------------- KN train/apply
 
-def _kn_coc_discounts(gk: DataFrame, cname: str, k: int) -> DataFrame:
-    """Count-of-count → modified-KN discount triple (D1, D2, D3+) for
-    one level, as a 1-row frame (d{k}_1, d{k}_2, d{k}_3) — the Chen &
-    Goodman 1999 eq. 26 rule ``lm_kn_scores_order`` applies inline:
-    Y = n1/(n1+2n2) (fallback 0.5), D_i = max(i − (i+1)·Y·n_{i+1}/n_i,
-    0), each falling back to 0.5 when its count-of-count denominator
-    is empty.  Expression-identical to the in-corpus scorer's nested
-    helper so the two paths stay float-compatible."""
-    coc = gk.agg(
-        *[
-            F.sum((F.col(cname) == i).cast("double")).alias(f"n{i}")
-            for i in (1, 2, 3, 4)
-        ]
-    )
+def _kn_discount_row(coc: DataFrame, k: int) -> DataFrame:
+    """(n1..n4) 1-row frame → (d{k}_1, d{k}_2, d{k}_3) — the shared
+    Chen & Goodman eq. 26 tail of :func:`_kn_coc_discounts`."""
     y = F.when(
         F.col("n1") + 2 * F.col("n2") > 0,
         F.col("n1") / (F.col("n1") + 2 * F.col("n2")),
@@ -1457,6 +1424,39 @@ def _kn_coc_discounts(gk: DataFrame, cname: str, k: int) -> DataFrame:
         .otherwise(F.lit(0.5))
         .alias(f"d{k}_3"),
     )
+
+
+def _discounts_from_ctx(ctx_full: DataFrame, k: int) -> DataFrame:
+    """Discount triple derived from the context dim's ride-along
+    ==1/==2/==3/==4 cells: Σ over contexts of per-context counts is
+    bit-identical to the direct count-of-counts over g[k] (exact
+    integers in doubles), so this replaces a second full scan of the
+    level table with a tiny agg over its context dim."""
+    coc = ctx_full.agg(
+        F.sum(f"n1f{k}").alias("n1"),
+        F.sum(f"n2f{k}").alias("n2"),
+        F.sum(f"_n3e{k}").alias("n3"),
+        F.sum(f"_n4e{k}").alias("n4"),
+    )
+    return _kn_discount_row(coc, k)
+
+
+def _kn_coc_discounts(gk: DataFrame, cname: str, k: int) -> DataFrame:
+    """Count-of-count → modified-KN discount triple (D1, D2, D3+) for
+    one level, as a 1-row frame (d{k}_1, d{k}_2, d{k}_3) — the Chen &
+    Goodman 1999 eq. 26 rule: Y = n1/(n1+2n2) (fallback 0.5),
+    D_i = max(i − (i+1)·Y·n_{i+1}/n_i, 0), each falling back to 0.5
+    when its count-of-count denominator is empty.  Direct form over a
+    level table; the tower paths use :func:`_discounts_from_ctx`,
+    which derives the identical n1..n4 from the context dims."""
+    coc = gk.agg(
+        *[
+            F.sum((F.col(cname) == i).cast("double")).alias(f"n{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    return _kn_discount_row(coc, k)
+
 
 
 def lm_kn_fit(
@@ -1525,7 +1525,13 @@ def lm_kn_fit(
     dd = {}
     for k in range(N, 1, -1):
         ckeys = cols[N - k : N - 1]
-        x[k] = (
+        # one groupBy serves the context dim AND (via the ride-along
+        # ==3/==4 cells) the discount triple — dd[k] is a tiny agg
+        # over the context dim instead of a second full scan of g[k];
+        # the persisted x[k] keeps its original schema via projection.
+        # Integer counts in doubles: per-context sums re-summed are
+        # bit-identical to the direct count-of-counts.
+        x_full = (
             g[k]
             .groupBy(*ckeys)
             .agg(
@@ -1533,20 +1539,34 @@ def lm_kn_fit(
                 F.sum((F.col(f"c{k}") == 1).cast("double")).alias(f"n1f{k}"),
                 F.sum((F.col(f"c{k}") == 2).cast("double")).alias(f"n2f{k}"),
                 F.sum((F.col(f"c{k}") >= 3).cast("double")).alias(f"n3f{k}"),
+                F.sum((F.col(f"c{k}") == 3).cast("double")).alias(f"_n3e{k}"),
+                F.sum((F.col(f"c{k}") == 4).cast("double")).alias(f"_n4e{k}"),
             )
             .localCheckpoint(eager=False)
         )
-        dd[k] = _kn_coc_discounts(g[k], f"c{k}", k).localCheckpoint(eager=False)
-    dd[1] = _kn_coc_discounts(g[1], "c1", 1).localCheckpoint(eager=False)
+        x[k] = x_full.select(*ckeys, f"tot{k}", f"n1f{k}", f"n2f{k}", f"n3f{k}")
+        dd[k] = _discounts_from_ctx(x_full, k).localCheckpoint(eager=False)
+    # one agg over g[1] serves BOTH the level-1 discount triple and the
+    # level-1 gamma masses (the old pair of separate scans)
+    g1coc = g[1].agg(
+        F.sum((F.col("c1") == 1).cast("double")).alias("n1"),
+        F.sum((F.col("c1") == 2).cast("double")).alias("n2"),
+        F.sum((F.col("c1") == 3).cast("double")).alias("n3"),
+        F.sum((F.col("c1") == 4).cast("double")).alias("n4"),
+        F.sum((F.col("c1") >= 3).cast("double")).alias("_ge3"),
+    ).localCheckpoint(eager=False)
+    dd[1] = _kn_discount_row(g1coc.select("n1", "n2", "n3", "n4"), 1).localCheckpoint(
+        eager=False
+    )
     u_total = g[2].agg(F.count("*").cast("double").alias("u"))
     v_total = (
         docs.select(F.explode(toks).alias("_t"))
         .agg(F.count_distinct("_t").cast("double").alias("v"))
     )
-    x1 = g[1].agg(
-        F.sum((F.col("c1") == 1).cast("double")).alias("n1f1"),
-        F.sum((F.col("c1") == 2).cast("double")).alias("n2f1"),
-        F.sum((F.col("c1") >= 3).cast("double")).alias("n3f1"),
+    x1 = g1coc.select(
+        F.col("n1").alias("n1f1"),
+        F.col("n2").alias("n2f1"),
+        F.col("_ge3").alias("n3f1"),
     )
     tot = (
         u_total.crossJoin(v_total).crossJoin(x1).localCheckpoint(eager=False)
@@ -1739,7 +1759,7 @@ def ovr_softmax_scores(
     exps = {}
     for cls in classes:
         w, b = models[cls]
-        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        w_arr = F.lit([float(x) for x in w])
         dot = F.aggregate(
             F.coalesce(
                 F.col("fx"), F.array().cast("array<struct<bucket:int,cnt:double>>")

@@ -94,7 +94,7 @@ def _lsh_buckets(
         for p in range(n_planes):
             plane = _hyperplane(dim, p, t)
             dot = F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a.cast("double") * b),
+                F.zip_with(v, F.lit([float(x) for x in plane]), lambda a, b: a.cast("double") * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
@@ -427,7 +427,7 @@ def random_projection(
     v = F.col(vec_col)
     cols = [
         F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in R[k]]), lambda x, y: x.cast("double") * y),
+            F.zip_with(v, F.lit([float(x) for x in R[k]]), lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias(f"p{k}")

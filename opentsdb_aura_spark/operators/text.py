@@ -59,7 +59,7 @@ def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "do
     mean_token_len, punct_ratio)."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)  # 0 for empty docs (tokens() filters empties)
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    sw = F.lit(list(STOPWORDS))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     n_punct = F.length(F.col(text_col)) - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
@@ -118,7 +118,7 @@ def lang_id(
     langs = sorted(LANG_MARKERS)
     scores = {}
     for lang in langs:
-        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        markers = F.lit(list(LANG_MARKERS[lang]))
         scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
     best = F.greatest(*[scores[lang] for lang in langs])
     # first alphabetical language reaching the max wins ties — a
@@ -582,7 +582,7 @@ def wordpiece_greedy_apply(
         raise ValueError("wordpiece_greedy_apply: empty vocabulary")
     if max_symbols is None:
         max_symbols = max(len(p) for p in pieces)
-    vmap = F.create_map(*[x for p in pieces for x in (F.lit(p), F.lit(1))])
+    vmap = F.map_from_arrays(F.lit(list(pieces)), F.lit([1] * len(pieces)))
     words = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w")
     )
@@ -987,7 +987,7 @@ def wordpiece_pieces(
         raise ValueError("wordpiece_pieces: empty vocabulary")
     if max_symbols is None:
         max_symbols = max(len(p) for p in pieces)
-    vmap = F.create_map(*[x for p in pieces for x in (F.lit(p), F.lit(1))])
+    vmap = F.map_from_arrays(F.lit(list(pieces)), F.lit([1] * len(pieces)))
     distinct_w = docs.select(
         F.explode(tokens(F.col(text_col))).alias("w")
     ).distinct()

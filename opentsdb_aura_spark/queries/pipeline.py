@@ -1708,7 +1708,7 @@ def pipeline_classifier_weights(spark, sf_dir):
         feats, labels, n_features=_LOGREG_D, lr=_LOGREG_LR, n_iter=_LOGREG_ITERS,
         center=True,
     )
-    w_arr = F.array(*[F.lit(float(x)) for x in w])
+    w_arr = F.lit([float(x) for x in w])
     populated = feats.select("bucket").distinct()
     spark_b = populated.sparkSession
     intercept = spark_b.range(1).select(
@@ -3501,7 +3501,7 @@ def text_lang_id_trained_weights(spark, sf_dir):
     out = None
     for L in langs:
         w, b = models[L]
-        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        w_arr = F.lit([float(x) for x in w])
         rows = populated.select(
             F.lit(L).alias("lang"),
             "bucket",

@@ -91,16 +91,13 @@ def main() -> None:
     stage_job = {}  # stage_id -> job_id
     stages = []  # (desc, stage_id, wall_s, name, tasks, details_first_line)
     def lines():
-        import io
-        try:
-            import zstandard
-        except ImportError:
-            zstandard = None
+        import subprocess
         for p in paths:
-            if p.endswith(".zstd") and zstandard is not None:
-                with open(p, "rb") as fh:
-                    reader = zstandard.ZstdDecompressor().stream_reader(fh)
-                    yield from io.TextIOWrapper(reader)
+            if p.endswith(".zstd"):
+                out = subprocess.run(
+                    ["unzstd", "-c", p], capture_output=True, text=True
+                ).stdout
+                yield from out.splitlines()
             else:
                 with open(p) as fh:
                     yield from fh

@@ -608,6 +608,70 @@ def _pack_label_features(
     )
 
 
+# Packed-row cap under which the GD trainers collect the (labels, fx)
+# frame once and iterate driver-side in NumPy — the bounded-fit
+# discipline the tokenizer trainers and resolve_duplicate_clusters
+# (<=200k edges) already follow, with the distributed per-step passes
+# unchanged above the cap.  A fixture-sized labeled set (thousands of
+# docs x <=4k features) costs 6-8 Spark jobs to fit distributed — all
+# orchestration — while the same arithmetic is microseconds of dgemm;
+# at corpus scale (the sf1 BASELINE rows run 2M docs) the probe
+# overflows the cap and the shared-pass distributed loop runs as
+# before.  Float caveat is the one the engine already lives with: the
+# gradient reduction order differs (BLAS vs hash-agg vs DuckDB's SQL
+# chain), drift ~1e-13 over 8 steps, absorbed by the 1e-9-nudged
+# rounding every consumer applies — the same tolerance that lets the
+# DuckDB oracle re-run these chains with its own libm today.
+_FIT_LOCAL_ROW_CAP = 100_000
+_FIT_LOCAL_CELL_CAP = 16_777_216  # rows x n_features for the dense matrix
+
+
+def _local_gd_fit(
+    rows: list,
+    ycols: list[str],
+    *,
+    n_features: int,
+    lr: float,
+    n_iter: int,
+    center: bool,
+    l2: float,
+) -> list[tuple[list[float], float]]:
+    """Driver-side replica of the distributed GD loop over collected
+    packed rows — update formulas, populated-bucket-only l2, centering
+    fold and returned effective intercept all mirror the engine path
+    (local ≡ distributed pinned by test to 1e-9)."""
+    import numpy as np
+
+    n = len(rows)
+    D = int(n_features)
+    X = np.zeros((n, D), dtype=np.float64)
+    Y = np.empty((n, len(ycols)), dtype=np.float64)
+    for i, r in enumerate(rows):
+        for s in r["fx"]:
+            X[i, s["bucket"]] = s["cnt"]
+        for k, c in enumerate(ycols):
+            Y[i, k] = r[c]
+    populated = np.asarray(X.any(axis=0), dtype=bool)
+    mu = np.zeros(D)
+    if center:
+        mu[populated] = X[:, populated].sum(axis=0) / float(n)
+    K = len(ycols)
+    W = np.zeros((D, K))
+    b = np.zeros(K)
+    with np.errstate(over="ignore"):  # exp overflow -> inf -> sigma 0, the JVM rule
+        for _ in range(int(n_iter)):
+            const = b - mu @ W
+            resid = 1.0 / (1.0 + np.exp(-(X @ W + const))) - Y
+            rbar = resid.sum(axis=0) / float(n)
+            G = (X.T @ resid) / float(n)
+            b -= float(lr) * rbar
+            W[populated] -= float(lr) * (
+                G[populated] - np.outer(mu[populated], rbar) + float(l2) * W[populated]
+            )
+    eff_b = b - mu @ W
+    return [(list(map(float, W[:, k])), float(eff_b[k])) for k in range(K)]
+
+
 def train_logreg_weights(
     features: DataFrame,
     labels: DataFrame,
@@ -684,6 +748,27 @@ def train_logreg_weights(
     else:
         base = _pack_label_features(labs, features, ["y"]).select("y", "fx")
         base = base.localCheckpoint(eager=False)
+    # bounded-fit probe: under the cap the whole loop runs driver-side
+    # in NumPy off ONE collect (which also materializes the shared
+    # checkpoint for the scoring pass); above it, the shared-pass
+    # distributed loop below runs unchanged
+    probe = base.limit(_FIT_LOCAL_ROW_CAP + 1).collect()
+    if (
+        len(probe) <= _FIT_LOCAL_ROW_CAP
+        and len(probe) * int(n_features) <= _FIT_LOCAL_CELL_CAP
+    ):
+        if not probe:
+            raise ValueError("train_logreg_weights: empty label frame")
+        ((lw, lb),) = _local_gd_fit(
+            probe,
+            ["y"],
+            n_features=int(n_features),
+            lr=float(lr),
+            n_iter=int(n_iter),
+            center=bool(center),
+            l2=float(l2),
+        )
+        return lw, lb
     bias_entry = F.array(
         F.struct(F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("cnt"))
     )
@@ -1323,6 +1408,26 @@ def train_ovr_logreg_weights(
             labs, features, [f"y_{i}" for i in range(K)]
         ).select(*[f"y_{i}" for i in range(K)], "fx")
         base = base.localCheckpoint(eager=False)
+    # bounded-fit probe — see train_logreg_weights; arithmetic stays
+    # identical to K independent fits (the _local_gd_fit columns ARE
+    # the K one-vs-rest problems)
+    probe = base.limit(_FIT_LOCAL_ROW_CAP + 1).collect()
+    if (
+        len(probe) <= _FIT_LOCAL_ROW_CAP
+        and len(probe) * int(n_features) <= _FIT_LOCAL_CELL_CAP
+    ):
+        if not probe:
+            raise ValueError("train_ovr_logreg_weights: empty label frame")
+        fitted = _local_gd_fit(
+            probe,
+            [f"y_{i}" for i in range(K)],
+            n_features=int(n_features),
+            lr=float(lr),
+            n_iter=int(n_iter),
+            center=bool(center),
+            l2=float(l2),
+        )
+        return {c: fitted[i] for i, c in enumerate(classes)}
     bias_entry = F.array(
         F.struct(F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("cnt"))
     )

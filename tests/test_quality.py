@@ -727,3 +727,38 @@ def test_ovr_softmax_scores_reject_and_temperature(spark):
         ovr_softmax_scores(feats, models, spine, n_features=2, threshold=1.0)
     with _pytest.raises(ValueError, match="no models"):
         ovr_softmax_scores(feats, {}, spine, n_features=2)
+
+
+def test_gd_local_fit_matches_distributed(spark, monkeypatch):
+    """The r14 bounded-fit path: under _FIT_LOCAL_ROW_CAP the GD
+    trainers collect the packed frame once and iterate in NumPy.
+    Pin local ≈ distributed (1e-9, the cross-engine tolerance every
+    consumer's nudged rounding absorbs) for the binary and OvR
+    trainers, with centering and ridge on."""
+    from opentsdb_aura_spark.operators import quality as q
+
+    rows = []
+    for i in range(40):
+        cls = ["aa", "bb", "cc"][i % 3]
+        marker = {"aa": "alpha beta", "bb": "gamma delta", "cc": "omega psi"}[cls]
+        rows.append((i, cls, f"common filler {marker} tail{i}"))
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    feats = q.hashed_char_ngram_features(d, n=3, n_features=32).localCheckpoint(
+        eager=False
+    )
+    labels = d.select("doc_id", (F.col("lang") == "aa").cast("double").alias("y"))
+    kw = dict(n_features=32, lr=5.0, n_iter=5, center=True, l2=0.05)
+    w_loc, b_loc = q.train_logreg_weights(feats, labels, **kw)
+    ovr_loc = q.train_ovr_logreg_weights(
+        feats, d.select("doc_id", "lang"), classes=["aa", "bb", "cc"], **kw
+    )
+    monkeypatch.setattr(q, "_FIT_LOCAL_ROW_CAP", 0)
+    w_dist, b_dist = q.train_logreg_weights(feats, labels, **kw)
+    ovr_dist = q.train_ovr_logreg_weights(
+        feats, d.select("doc_id", "lang"), classes=["aa", "bb", "cc"], **kw
+    )
+    assert abs(b_loc - b_dist) < 1e-9
+    assert all(abs(x - y) < 1e-9 for x, y in zip(w_loc, w_dist))
+    for c in ["aa", "bb", "cc"]:
+        assert abs(ovr_loc[c][1] - ovr_dist[c][1]) < 1e-9
+        assert all(abs(x - y) < 1e-9 for x, y in zip(ovr_loc[c][0], ovr_dist[c][0]))

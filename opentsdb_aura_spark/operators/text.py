@@ -724,6 +724,43 @@ def _useg_better(c, b):
     )
 
 
+def _local_viterbi_pieces(
+    word: str, vocab: dict, max_piece_len: int, unk_lp: int
+) -> list:
+    """Driver-side replica of :func:`_viterbi_expr`'s DP for the
+    bounded-fit path: integer micro-nat scores, candidate order
+    (higher score, fewer pieces, byte-smallest segmentation), the
+    same <unk> fallback for unseen single characters.  Returns the
+    winning segmentation's pieces."""
+    if not word:
+        return []
+    # dp[i] = (score, n, seg) for the best segmentation of word[:i]
+    dp = [(0, 0, "")]
+    for i in range(1, len(word) + 1):
+        best = (-(2**62), 2**31 - 1, "")
+        for length in range(1, min(int(max_piece_len), i) + 1):
+            piece = word[i - length : i]
+            lp = vocab.get(piece)
+            if lp is None:
+                if length != 1:
+                    continue
+                lp = unk_lp
+            prev = dp[i - length]
+            cand = (prev[0] + lp, prev[1] + 1, prev[2] + _USEG_SEP + piece)
+            if (
+                cand[0] > best[0]
+                or (cand[0] == best[0] and cand[1] < best[1])
+                or (
+                    cand[0] == best[0]
+                    and cand[1] == best[1]
+                    and _u8(cand[2]) < _u8(best[2])
+                )
+            ):
+                best = cand
+        dp.append(best)
+    return [p for p in dp[-1][2].split(_USEG_SEP) if p != ""]
+
+
 def _viterbi_expr(word, vocab: dict, max_piece_len: int):
     """Best unigram segmentation of one word column under a bounded
     vocab → struct(score BIGINT, n pieces, seg '\\x1f'-joined) — the
@@ -826,8 +863,67 @@ def unigram_train(
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint(eager=False)
     )
+    spark = docs.sparkSession
+    # bounded-fit probe (the bpe_train/_TRAIN_LOCAL_CAP discipline):
+    # under the cap the seed top-K, both hard-EM rounds, and the
+    # Viterbi DP run driver-side off ONE collect of the word table —
+    # the DP is integer micro-nat arithmetic with byte-order ties, so
+    # local ≡ distributed exactly (pinned by test); above the cap the
+    # distributed loop below is unchanged
+    local_rows = words.limit(_TRAIN_LOCAL_CAP + 1).collect()
+    if len(local_rows) <= _TRAIN_LOCAL_CAP:
+        wl = [(r["w"], int(r["cnt"])) for r in local_rows]
+        seed_counts: dict = {}
+        for wrd, cnt in wl:
+            for i in range(len(wrd)):
+                for length in range(1, int(seed_max_len) + 1):
+                    if i + length <= len(wrd):
+                        p = wrd[i : i + length]
+                        seed_counts[p] = seed_counts.get(p, 0) + cnt
+        chars_l = {p: c for p, c in seed_counts.items() if len(p) == 1}
+        multi_l = sorted(
+            ((p, c) for p, c in seed_counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], _u8(pc[0])),
+        )[: int(keep_multi)]
+        vocab_counts = dict(chars_l)
+        vocab_counts.update(dict(multi_l))
+        if not vocab_counts:
+            raise ValueError("unigram_train: corpus has no tokens to train on")
+        char_set = {p for p in vocab_counts if len(p) == 1}
+
+        def probs_l(counts: dict) -> dict:
+            total = sum(counts.values())
+            v = len(counts)
+            return {p: _ilogp((c + 1.0) / (total + v)) for p, c in counts.items()}
+
+        for _ in range(int(n_rounds)):
+            vocab = probs_l(vocab_counts)
+            unk_lp = min(vocab.values()) - 1_000_000
+            new_counts: dict = {}
+            for wrd, cnt in wl:
+                for piece in _local_viterbi_pieces(
+                    wrd, vocab, int(seed_max_len), unk_lp
+                ):
+                    new_counts[piece] = new_counts.get(piece, 0) + cnt
+            kept_multi = sorted(
+                ((p, c) for p, c in new_counts.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )[: int(keep_multi)]
+            vocab_counts = {p: new_counts.get(p, 0) for p in char_set}
+            vocab_counts.update(dict(kept_multi))
+
+        out = spark.createDataFrame(
+            sorted(vocab_counts.items()), "piece string, cnt long"
+        )
+        total = sum(vocab_counts.values())
+        return out.select(
+            "piece",
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(total)) + F.lit(1e-9), 6).alias("prob"),
+        )
+
+    words = words.localCheckpoint(eager=False)
     w = F.col("w")
     subs = F.flatten(
         F.transform(

@@ -966,3 +966,29 @@ def test_tokenizer_train_local_fold_matches_distributed(spark, monkeypatch):
     dist_w = rows(text_mod.wordpiece_train(docs, n_merges=10), wcols)
     assert local_b == dist_b, (local_b, dist_b)
     assert local_w == dist_w, (local_w, dist_w)
+
+
+def test_unigram_train_local_fit_matches_distributed(spark, monkeypatch):
+    """The r14 bounded-fit path for the unigram-LM trainer: under
+    _TRAIN_LOCAL_CAP the seed top-K and both hard-EM rounds run
+    driver-side (integer micro-nat Viterbi — exact).  Pin local ≡
+    distributed row-for-row, non-ASCII included."""
+    from opentsdb_aura_spark.operators import text as text_mod
+
+    texts = [
+        "low lower lowest low low",
+        "aaa aa aaaa banana bandana",
+        "été étés ſſs lower banana",
+        "internationalization nation nationalization",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def rows(df):
+        return [(r["piece"], r["cnt"], r["prob"]) for r in df.orderBy("piece").collect()]
+
+    local = rows(text_mod.unigram_train(docs, seed_max_len=4, keep_multi=6, n_rounds=2))
+    monkeypatch.setattr(text_mod, "_TRAIN_LOCAL_CAP", 0)
+    dist = rows(text_mod.unigram_train(docs, seed_max_len=4, keep_multi=6, n_rounds=2))
+    assert local == dist, (local, dist)

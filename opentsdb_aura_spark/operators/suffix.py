@@ -64,7 +64,106 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
+
+# Bounded local fast path (the resolve_duplicate_clusters <=200k-edge /
+# _FIT_LOCAL_ROW_CAP discipline): when the corpus slice holds at most
+# this many characters (= suffix positions), the whole suffix sort +
+# adjacent-LCP runs driver-side off ONE bounded collect of the doc
+# texts instead of ~15 rank/join stages of pure orchestration.  Above
+# the cap the distributed prefix-doubling loop is unchanged (the sf1
+# tier and tools/suffix_scale_bench.py keep exercising it).
+_SA_LOCAL_POS_CAP = 1_000_000
+
+
+def _local_corpus_probe(base: DataFrame, local_cap: int):
+    """One 1-row aggregate over the doc slice: (max_len, total_chars,
+    rows) where ``rows`` is the collected [(doc_id, text), ...] iff
+    total_chars <= local_cap, else None.  The max-length aggregate is
+    the same bounded job the distributed loop already pays to fix its
+    round count, so the probe costs nothing extra."""
+    mx, tot = base.agg(
+        F.max(F.length("text")), F.sum(F.length("text"))
+    ).first()
+    rows = None
+    if mx is not None and local_cap and tot <= local_cap:
+        rows = [(r[0], r[1]) for r in base.collect()]
+    return mx, rows
+
+
+def _local_suffix_entries(rows):
+    """Every (suffix_tail, doc_id, off) of the collected docs, sorted.
+    Python str comparison is code-point order, which equals UTF-8 byte
+    order — the same total order Spark's UTF8String binary comparator
+    and DuckDB's default collation use — and exact-equal tails fall
+    through to the (doc_id, off) tuple tail, so index+1 in this list
+    IS the distributed chain's dense rank."""
+    entries = []
+    for did, t in rows:
+        entries.extend((t[off:], did, off) for off in range(len(t)))
+    entries.sort()
+    return entries
+
+
+def _local_adjacent_lcp(entries, cap: int):
+    """Char-level LCP of rank-adjacent suffix heads (first ``cap``
+    chars), vectorized: pad heads to a fixed-width code-point matrix,
+    find the first mismatching column per adjacent pair, clamp by the
+    shorter head (mirrors _lcp_expr, which never compares past
+    least(len)).  \\0 padding never inflates an LCP past a real string
+    end because of that clamp."""
+    import numpy as np
+
+    n = len(entries)
+    heads = np.array([e[0][:cap] for e in entries], dtype=f"U{int(cap)}")
+    lens = np.fromiter(
+        (min(len(e[0]), cap) for e in entries), dtype=np.int64, count=n
+    )
+    if n < 2:
+        zero = np.zeros(n, dtype=np.int64)
+        return zero, zero.copy()
+    m = np.ascontiguousarray(heads).view(np.uint32).reshape(n, int(cap))
+    neq = m[:-1] != m[1:]
+    first = np.where(neq.any(axis=1), neq.argmax(axis=1), int(cap))
+    pair = np.minimum(first, np.minimum(lens[:-1], lens[1:]))
+    lcp_next = np.append(pair, 0)
+    lcp_prev = np.insert(pair, 0, 0)
+    return lcp_prev, lcp_next
+
+
+def _local_members(rows, entries, min_len: int, cap: int):
+    """ExactSubstr members of the collected corpus: every suffix whose
+    adjacent LCP reaches ``min_len``, grouped by its ``min_len``-char
+    gram — {gram: sorted [(doc_id, off), ...]}.  Same membership the
+    distributed consumers derive (best >= L implies the suffix holds
+    at least L chars, so grams are always full-width)."""
+    import numpy as np
+
+    lcp_prev, lcp_next = _local_adjacent_lcp(entries, int(cap))
+    best = np.maximum(lcp_prev, lcp_next)
+    texts = dict(rows)
+    L = int(min_len)
+    occ: dict = {}
+    for i in np.nonzero(best >= L)[0]:
+        _, d, o = entries[i]
+        occ.setdefault(texts[d][o : o + L], []).append((d, o))
+    for sites in occ.values():
+        sites.sort()
+    return best, occ
+
+
+def _span_union(offs, L: int) -> int:
+    """Union length of the windows [off, off+L) for ascending offs."""
+    removed = 0
+    end = -1
+    for o in offs:
+        e = o + L
+        s = o if o > end else end
+        if e > s:
+            removed += e - s
+            end = e
+    return removed
 
 
 def global_dense_rank(
@@ -120,6 +219,7 @@ def suffix_array(
     id_col: str = "doc_id",
     text_col: str = "text",
     init_prefix: int = 64,
+    local_cap: int = _SA_LOCAL_POS_CAP,
 ) -> DataFrame:
     """Suffix array over the per-doc suffixes of ``docs`` by prefix
     doubling.  Returns (doc_id, off, rank): ``rank`` is the 1-based
@@ -143,11 +243,30 @@ def suffix_array(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).where(F.length("text") > 0)
-    max_len = base.agg(F.max(F.length("text"))).first()[0]
+    max_len, local_rows = _local_corpus_probe(base, local_cap)
     if max_len is None:
         return base.select(
             "doc_id", F.lit(0).cast("long").alias("off"), F.lit(0).cast("long").alias("rank")
         ).limit(0)
+    if local_rows is not None:
+        import pandas as pd
+
+        entries = _local_suffix_entries(local_rows)
+        schema = StructType(
+            [
+                StructField("doc_id", base.schema["doc_id"].dataType),
+                StructField("off", LongType()),
+                StructField("rank", LongType()),
+            ]
+        )
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [d for _, d, _ in entries],
+                "off": [o for _, _, o in entries],
+                "rank": range(1, len(entries) + 1),
+            }
+        )
+        return docs.sparkSession.createDataFrame(pdf, schema)
     suf = base.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.length("text") - 1)).alias("off"),
@@ -213,6 +332,7 @@ def adjacent_lcp(
     text_col: str = "text",
     cap: int = 64,
     init_prefix: int = 64,
+    local_cap: int = _SA_LOCAL_POS_CAP,
 ) -> DataFrame:
     """(rank, doc_id, off, lcp_prev, lcp_next) per suffix: the length
     (capped at ``cap`` characters) of the common prefix shared with
@@ -221,7 +341,43 @@ def adjacent_lcp(
     greatest(lcp_prev, lcp_next) >= L — the ExactSubstr membership
     test.  One join fetches a ``cap``-char head per suffix; one
     equi-join on rank+1 pairs neighbors."""
-    sa = suffix_array(docs, id_col=id_col, text_col=text_col, init_prefix=init_prefix)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).where(F.length("text") > 0)
+    local_rows = (
+        _local_corpus_probe(base, local_cap)[1] if local_cap else None
+    )
+    if local_rows is not None:
+        import pandas as pd
+
+        entries = _local_suffix_entries(local_rows)
+        lcp_prev, lcp_next = _local_adjacent_lcp(entries, int(cap))
+        schema = StructType(
+            [
+                StructField("rank", LongType()),
+                StructField("doc_id", base.schema["doc_id"].dataType),
+                StructField("off", LongType()),
+                StructField("lcp_prev", LongType()),
+                StructField("lcp_next", LongType()),
+            ]
+        )
+        pdf = pd.DataFrame(
+            {
+                "rank": range(1, len(entries) + 1),
+                "doc_id": [d for _, d, _ in entries],
+                "off": [o for _, _, o in entries],
+                "lcp_prev": lcp_prev,
+                "lcp_next": lcp_next,
+            }
+        )
+        return docs.sparkSession.createDataFrame(pdf, schema)
+    sa = suffix_array(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        init_prefix=init_prefix,
+        local_cap=0,
+    )
     # pinned: consumed twice below (as itself and rank-shifted); the
     # char-compare in lcp_next is the expensive expression, so
     # with_next is pinned too before its second (rank-shifted) read
@@ -267,6 +423,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     init_prefix: int = 64,
+    local_cap: int = _SA_LOCAL_POS_CAP,
 ) -> DataFrame:
     """Per-document exact-duplication profile: for each doc, the
     number of positions whose suffix shares a >= ``min_len``-char
@@ -276,8 +433,40 @@ def duplicated_spans(
     (capped at ``cap``).  Docs with zero duplicated positions are
     omitted.  This is the per-doc rollup of Lee et al.'s ExactSubstr
     span set — the decision input for span excision or doc drop."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).where(F.length("text") > 0)
+    if local_cap:
+        mx, rows = _local_corpus_probe(base, local_cap)
+        if mx is not None and rows is not None:
+            import numpy as np
+            import pandas as pd
+
+            entries = _local_suffix_entries(rows)
+            lcp_prev, lcp_next = _local_adjacent_lcp(entries, int(cap))
+            best = np.maximum(lcp_prev, lcp_next)
+            idx = np.nonzero(best >= int(min_len))[0]
+            pdf = (
+                pd.DataFrame(
+                    {"doc_id": [entries[i][1] for i in idx], "_best": best[idx]}
+                )
+                .groupby("doc_id", sort=False)
+                .agg(
+                    dup_positions=("_best", "size"), max_dup_len=("_best", "max")
+                )
+                .reset_index()
+            )
+            schema = StructType(
+                [
+                    StructField("doc_id", base.schema["doc_id"].dataType),
+                    StructField("dup_positions", LongType()),
+                    StructField("max_dup_len", LongType()),
+                ]
+            )
+            return docs.sparkSession.createDataFrame(pdf, schema)
     lcp = adjacent_lcp(
-        docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix
+        docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix,
+        local_cap=0,
     ).withColumn("_best", F.greatest("lcp_prev", "lcp_next"))
     return (
         lcp.where(F.col("_best") >= min_len)
@@ -297,6 +486,7 @@ def excise_duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     init_prefix: int = 64,
+    local_cap: int = _SA_LOCAL_POS_CAP,
 ) -> DataFrame:
     """The cleaning step of Lee et al.'s ExactSubstr, with the paper's
     keep-one-occurrence rule: every corpus-duplicated substring of
@@ -330,8 +520,41 @@ def excise_duplicated_spans(
     count/min aggregation is partial-aggregated (skew-tolerant) and
     whose probe never windows by gram."""
     L = int(min_len)
+    probe_base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).where(F.length("text") > 0)
+    if local_cap:
+        mx, rows = _local_corpus_probe(probe_base, local_cap)
+        if mx is not None and rows is not None:
+            import pandas as pd
+
+            entries = _local_suffix_entries(rows)
+            _, occ = _local_members(rows, entries, L, int(cap))
+            doc_len = {d: len(t) for d, t in rows}
+            excised: dict = {}
+            for sites in occ.values():
+                for d, o in sites[1:]:  # sites sorted; [0] is canonical
+                    excised.setdefault(d, []).append(o)
+            out = []
+            for d, offs in excised.items():
+                offs.sort()
+                removed = _span_union(offs, L)
+                out.append((d, len(offs), removed, doc_len[d] - removed))
+            schema = StructType(
+                [
+                    StructField("doc_id", probe_base.schema["doc_id"].dataType),
+                    StructField("n_spans_excised", LongType()),
+                    StructField("removed_chars", LongType()),
+                    StructField("kept_chars", LongType()),
+                ]
+            )
+            pdf = pd.DataFrame(
+                out, columns=["doc_id", "n_spans_excised", "removed_chars", "kept_chars"]
+            )
+            return docs.sparkSession.createDataFrame(pdf, schema)
     lcp = adjacent_lcp(
-        docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix
+        docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix,
+        local_cap=0,
     ).where(F.greatest("lcp_prev", "lcp_next") >= L)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -378,6 +601,7 @@ def build_dup_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     init_prefix: int = 64,
+    local_cap: int = _SA_LOCAL_POS_CAP,
 ) -> DataFrame:
     """The reusable output of an ExactSubstr pass: every ``min_len``-
     char substring occurring >= 2 times in the corpus, as
@@ -402,8 +626,37 @@ def build_dup_index(
     here the probe-side semantics only need the (much smaller)
     duplicated set, and the rebuild is the same one-pass SA job."""
     L = int(min_len)
+    probe_base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).where(F.length("text") > 0)
+    if local_cap:
+        mx, rows = _local_corpus_probe(probe_base, local_cap)
+        if mx is not None and rows is not None:
+            import pandas as pd
+
+            entries = _local_suffix_entries(rows)
+            _, occ = _local_members(rows, entries, L, int(cap))
+            out = [
+                (gram, len(sites), sites[0][0], sites[0][1])
+                for gram, sites in occ.items()
+            ]
+            schema = StructType(
+                [
+                    StructField("gram", probe_base.schema["text"].dataType),
+                    StructField("n_occ", LongType()),
+                    StructField(
+                        "canon_doc_id", probe_base.schema["doc_id"].dataType
+                    ),
+                    StructField("canon_off", LongType()),
+                ]
+            )
+            pdf = pd.DataFrame(
+                out, columns=["gram", "n_occ", "canon_doc_id", "canon_off"]
+            )
+            return docs.sparkSession.createDataFrame(pdf, schema)
     lcp = adjacent_lcp(
-        docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix
+        docs, id_col=id_col, text_col=text_col, cap=cap, init_prefix=init_prefix,
+        local_cap=0,
     ).where(F.greatest("lcp_prev", "lcp_next") >= L)
     members = lcp.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),

@@ -820,7 +820,10 @@ def test_suffix_array_random_corpora_match_python_sort(spark, corpus):
     sufs = sorted((t[o:], d, o) for d, t in rows for o in range(len(t)))
     ref_rank = {(d, o): r + 1 for r, (s, d, o) in enumerate(sufs)}
 
-    got = {(r.doc_id, r.off): r.rank for r in suffix_array(df, init_prefix=2).collect()}
+    got = {
+        (r.doc_id, r.off): r.rank
+        for r in suffix_array(df, init_prefix=2, local_cap=0).collect()
+    }
     assert got == ref_rank
 
     cap = 5
@@ -834,7 +837,7 @@ def test_suffix_array_random_corpora_match_python_sort(spark, corpus):
         return n
 
     by_rank = {r + 1: s for r, (s, d, o) in enumerate(sufs)}
-    for row in adjacent_lcp(df, cap=cap, init_prefix=2).collect():
+    for row in adjacent_lcp(df, cap=cap, init_prefix=2, local_cap=0).collect():
         exp_prev = plcp(by_rank[row.rank], by_rank[row.rank - 1]) if row.rank > 1 else 0
         exp_next = plcp(by_rank[row.rank], by_rank[row.rank + 1]) if row.rank < len(sufs) else 0
         assert (row.lcp_prev, row.lcp_next) == (exp_prev, exp_next), (row, exp_prev, exp_next)
@@ -884,6 +887,38 @@ def test_excise_duplicated_spans_matches_python_reference(spark, corpus):
 
     got = {
         r.doc_id: (r.n_spans_excised, r.removed_chars)
-        for r in excise_duplicated_spans(df, min_len=L, cap=8, init_prefix=2).collect()
+        for r in excise_duplicated_spans(
+            df, min_len=L, cap=8, init_prefix=2, local_cap=0
+        ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.text(alphabet="ab é𝄞 ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_suffix_local_path_matches_distributed(spark, corpus):
+    """The bounded local fast path (operators/suffix._SA_LOCAL_POS_CAP)
+    must be row-for-row identical to the distributed prefix-doubling
+    chain — ranks AND adjacent LCPs — including non-ASCII and
+    astral-plane code points (the local sort is Python code-point
+    order, the distributed one UTF8String byte order; equal for valid
+    UTF-8), equal tails, and empty docs."""
+    from opentsdb_aura_spark.operators.suffix import adjacent_lcp
+
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    loc = {
+        (r.doc_id, r.off): (r.rank, r.lcp_prev, r.lcp_next)
+        for r in adjacent_lcp(df, cap=5, init_prefix=2).collect()
+    }
+    dist = {
+        (r.doc_id, r.off): (r.rank, r.lcp_prev, r.lcp_next)
+        for r in adjacent_lcp(df, cap=5, init_prefix=2, local_cap=0).collect()
+    }
+    assert loc == dist

@@ -1010,20 +1010,43 @@ def hashed_char_ngram_features(
     n_features rows per doc BEFORE any shuffle partner sees it.
     Docs shorter than ``n`` chars yield no rows (the trainer/scorer
     left-join against the id spine, so they surface bias-only)."""
+    # One char-code array per DOC (materialized as a real column —
+    # a lambda capturing the codes EXPRESSION would re-evaluate
+    # split+ascii per position, O(len²)), each gram hashed as the
+    # closed form of the fold: ((0*31+c1)%M*31+c2)%M... == (Σ c_j *
+    # 31^(n-1-j)) % M, exact in longs for n <= 8 (max code point
+    # 0x10FFFF * 31^7 * 8 < 2^63).  No per-gram string allocation
+    # (the old form split every n-char substring into a fresh char
+    # array — measured 2.2x slower), and per-doc array_distinct
+    # replaces the global DISTINCT so the featurizer is shuffle-free.
+    # Bucket values are bit-identical: ascii() over the same lowered
+    # chars, the same polynomial mod.
+    if n > 8:
+        raise ValueError(f"hashed_char_ngram_features: n={n} > 8 overflows the closed-form hash")
     txt = F.lower(F.col(text_col))
-    grams = F.when(
-        F.length(txt) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(txt) - (n - 1)),
-            lambda i: txt.substr(i, F.lit(n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("_g"))
-        .select("doc_id", feature_bucket(F.col("_g"), n_features).alias("bucket"))
-        .distinct()
-        .withColumn("cnt", F.lit(1.0))
+    codes = F.transform(F.split(txt, ""), lambda c: F.ascii(c).cast("long"))
+    stage = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(txt).alias("_len"),
+        codes.alias("_codes"),
     )
+    pows = [31 ** (n - 1 - j) for j in range(n)]
+
+    def bucket_at(i):
+        s = F.lit(0).cast("long")
+        for j, p in enumerate(pows):
+            s = s + F.element_at(F.col("_codes"), i + F.lit(j)) * F.lit(p)
+        return ((s % F.lit(FEATURE_HASH_MOD)) % F.lit(int(n_features))).cast("int")
+
+    buckets = F.when(
+        F.col("_len") >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.col("_len") - (n - 1)), bucket_at)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return stage.select(
+        "doc_id", F.explode(buckets).alias("bucket")
+    ).withColumn("cnt", F.lit(1.0))
 
 
 def ovr_logreg_scores(
@@ -1064,7 +1087,11 @@ def ovr_logreg_scores(
         base = id_spine.select(F.col(id_spine.columns[0]).alias("doc_id")).join(
             docvec, "doc_id", "left"
         )
-    margins = {}
+    # Stage 1: each class's margin fold evaluated ONCE into a real
+    # column; the argmax layer (greatest + when-chain) then reads
+    # column refs instead of re-running the literal-array fold per
+    # reference (~3x per class inlined).  Same doubles, same argmax.
+    raw = {}
     for cls in classes:
         w, b = models[cls]
         w_arr = F.lit([float(x) for x in w])
@@ -1075,12 +1102,18 @@ def ovr_logreg_scores(
             F.lit(0.0),
             lambda acc, s: acc + s["cnt"] * F.element_at(w_arr, s["bucket"] + 1),
         )
-        margins[cls] = dot + F.lit(float(b))
+        raw[cls] = dot + F.lit(float(b))
+    mid = base.select(
+        "doc_id",
+        *keep_cols,
+        *[raw[c].alias(f"_m_{c}") for c in classes],
+    )
+    margins = {cls: F.col(f"_m_{cls}") for cls in classes}
     best = F.greatest(*[margins[c] for c in classes]) if len(classes) > 1 else margins[classes[0]]
     pred = F.when(margins[classes[0]] == best, F.lit(classes[0]))
     for cls in classes[1:]:
         pred = pred.when(margins[cls] == best, F.lit(cls))
-    return base.select(
+    return mid.select(
         "doc_id",
         *keep_cols,
         *[margins[c].alias(f"margin_{c}") for c in classes],
@@ -1820,6 +1853,8 @@ def ovr_softmax_scores(
     temperature: float = 1.0,
     threshold: float = 0.5,
     reject_label: str = "und",
+    packed: DataFrame | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """CALIBRATED multi-class scoring over one-vs-rest margins →
     (doc_id, prob_<class>..., pred_lang): a softmax layer with
@@ -1854,14 +1889,30 @@ def ovr_softmax_scores(
             raise ValueError(
                 f"ovr_softmax_scores[{cls}]: {len(w)} weights != n_features={n_features}"
             )
-    docvec = features.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("fx")
-    )
-    base = id_spine.select(F.col(id_spine.columns[0]).alias("doc_id")).join(
-        docvec, "doc_id", "left"
-    )
+    # ``packed`` shares a pre-packed (doc_id, …, fx) frame and carries
+    # ``keep_cols`` through the scoring projection — the pass then
+    # skips its own pack groupBy + spine join AND the caller's label
+    # re-attach join (the ovr_logreg_scores packed path, same fx shape
+    # so the fold arithmetic is identical)
+    if packed is not None:
+        base = packed
+    else:
+        docvec = features.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("fx")
+        )
+        base = id_spine.select(F.col(id_spine.columns[0]).alias("doc_id")).join(
+            docvec, "doc_id", "left"
+        )
     T = float(temperature)
-    exps = {}
+    # Stage 1: each class's margin fold evaluated ONCE into a real
+    # column.  The softmax/argmax layer references every class
+    # exponential ~12x (own prob, the shared denominator, greatest,
+    # the when-chain); inlined, each reference re-runs the whole
+    # literal-array fold — CollapseProject keeps the split because the
+    # folds are non-trivial and multiply referenced.  Same doubles:
+    # the fold, exp, and sorted-class denominator association are
+    # unchanged, only evaluated via column refs.
+    dots = {}
     for cls in classes:
         w, b = models[cls]
         w_arr = F.lit([float(x) for x in w])
@@ -1872,7 +1923,13 @@ def ovr_softmax_scores(
             F.lit(0.0),
             lambda acc, s: acc + s["cnt"] * F.element_at(w_arr, s["bucket"] + 1),
         )
-        exps[cls] = F.exp((dot + F.lit(float(b))) / F.lit(T))
+        dots[cls] = F.exp((dot + F.lit(float(b))) / F.lit(T))
+    mid = base.select(
+        "doc_id",
+        *keep_cols,
+        *[dots[c].alias(f"_e_{c}") for c in classes],
+    )
+    exps = {cls: F.col(f"_e_{cls}") for cls in classes}
     den = exps[classes[0]]
     for cls in classes[1:]:
         den = den + exps[cls]
@@ -1885,8 +1942,9 @@ def ovr_softmax_scores(
     pred = F.when(probs[classes[0]] == best, F.lit(classes[0]))
     for cls in classes[1:]:
         pred = pred.when(probs[cls] == best, F.lit(cls))
-    return base.select(
+    return mid.select(
         "doc_id",
+        *keep_cols,
         *[probs[c].alias(f"prob_{c}") for c in classes],
         F.when(best >= F.lit(float(threshold)), pred)
         .otherwise(F.lit(str(reject_label)))

@@ -3694,6 +3694,7 @@ def text_lang_id_softmax(spark, sf_dir):
         T=_LANGID_SOFTMAX_T, thr=_LANGID_SOFTMAX_THR
     )
     from opentsdb_aura_spark.operators.quality import (
+        _pack_label_features,
         hashed_char_ngram_features,
         ovr_softmax_scores,
     )
@@ -3708,23 +3709,27 @@ def text_lang_id_softmax(spark, sf_dir):
         mixed, n=3, n_features=_LANGID_D, text_col="txt"
     )
     langs, _ = _langid_langs()
+    # pack the scoring corpus ONCE with the gold label riding along
+    # (the ovr_logreg_scores packed/keep_cols shape) — deletes the
+    # scorer's own pack + spine join and the true_lang re-attach join
     scores = ovr_softmax_scores(
-        feats_sc,
+        None,
         models,
-        mixed.select("doc_id"),
+        None,
         n_features=_LANGID_D,
         temperature=_LANGID_SOFTMAX_T,
         threshold=_LANGID_SOFTMAX_THR,
+        packed=_pack_label_features(
+            mixed.select("doc_id", "lang"), feats_sc, ["lang"]
+        ),
+        keep_cols=("lang",),
     )
-    res = mixed.select("doc_id", F.col("lang").alias("true_lang")).join(
-        scores, "doc_id"
-    )
-    return res.select(
+    return scores.select(
         "doc_id",
-        "true_lang",
+        F.col("lang").alias("true_lang"),
         *[_r(f"prob_{L}", 4).alias(f"prob_{L}") for L in langs],
         "pred_lang",
-        (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+        (F.col("pred_lang") == F.col("lang")).alias("correct"),
     )
 
 

@@ -22,6 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 from opentsdb_aura_spark.operators.dedup_text import tokens
@@ -624,6 +631,11 @@ def _pack_label_features(
 # DuckDB oracle re-run these chains with its own libm today.
 _FIT_LOCAL_ROW_CAP = 100_000
 _FIT_LOCAL_CELL_CAP = 16_777_216  # rows x n_features for the dense matrix
+
+# Token cap for the bounded local KN-tower path (defined here so the
+# lm_kn_* signatures can default to it; rationale at the helper block
+# above lm_kn_fit).
+_KN_LOCAL_TOK_CAP = 500_000
 
 
 def _local_gd_fit(
@@ -1283,6 +1295,7 @@ def lm_kn_scores_order(
     order: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    local_cap: int = _KN_LOCAL_TOK_CAP,
 ) -> DataFrame:
     """Modified Kneser–Ney at ARBITRARY order N → (doc_id, n_ngrams,
     avg_logprob) — the full Chen & Goodman 1999 recursion at the order
@@ -1309,6 +1322,12 @@ def lm_kn_scores_order(
     N = int(order)
     if N < 2:
         raise ValueError(f"lm_kn_scores_order: order must be >= 2, got {order}")
+    if local_cap:
+        rows = _kn_collect_tokens(docs, text_col=text_col, id_col=id_col, cap=local_cap)
+        if rows is not None:
+            return docs.sparkSession.createDataFrame(
+                _kn_local_scores_order(rows, N), _kn_scores_schema(docs, id_col)
+            )
     cols = [f"w{j}" for j in range(1, N + 1)]
     toks = tokens(F.col(text_col))
     ng = F.transform(
@@ -1597,12 +1616,335 @@ def _kn_coc_discounts(gk: DataFrame, cname: str, k: int) -> DataFrame:
 
 
 
+# Bounded local fast path for the KN towers (the _FIT_LOCAL_ROW_CAP /
+# suffix-array discipline): when the corpus holds at most this many
+# TOKENS, the whole count tower + discount triples + scoring recursion
+# run driver-side off ONE bounded collect of the engine-tokenized docs
+# instead of ~60 groupBy/join stages of pure orchestration.  Above the
+# cap the distributed tower is unchanged (sf1 and the kn scale benches
+# keep exercising it).  Every float in the local chain mirrors the
+# Column expression tree term for term (same literals, same
+# association); the only tolerated drifts are libm log vs Math.log and
+# the per-doc avg summation order — both already absorbed by the
+# 1e-9-nudged 4-decimal round, the same tolerance that lets the DuckDB
+# oracle re-run these chains with its own libm today.
+
+
+def _kn_collect_tokens(docs, *, text_col: str, id_col: str, cap: int):
+    """[(doc_id, [token, ...]), ...] iff the corpus holds <= ``cap``
+    tokens, else None.  Tokenization stays in the ENGINE (the same
+    ``tokens()`` column the distributed tower explodes), so the local
+    path never re-implements split semantics."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    tot = t.agg(F.sum(F.size("_t"))).first()[0]
+    if tot is not None and tot > cap:
+        return None
+    return [(r[0], list(r[1])) for r in t.collect()]
+
+
+def _kn_local_discount(n1, n2, n3, n4):
+    """Chen & Goodman eq. 26 triple — the _kn_discount_row expression
+    in Python floats, identical literals and association."""
+    n1, n2, n3, n4 = float(n1), float(n2), float(n3), float(n4)
+    y = n1 / (n1 + 2.0 * n2) if (n1 + 2.0 * n2) > 0 else 0.5
+    d1 = max(1.0 - 2.0 * y * n2 / n1, 0.0) if n1 > 0 else 0.5
+    d2 = max(2.0 - 3.0 * y * n3 / n2, 0.0) if n2 > 0 else 0.5
+    d3 = max(3.0 - 4.0 * y * n4 / n3, 0.0) if n3 > 0 else 0.5
+    return (d1, d2, d3)
+
+
+def _kn_pack_docs(rows, N: int, ids: dict, bits: int, grow: bool):
+    """Per-doc n-gram occurrence lists as PACKED ints — each n-gram is
+    one integer of N ``bits``-wide token-id fields (last word in the
+    low field), so level-k suffixes are a mask and contexts a shift.
+    ``grow=False`` (held-out scoring) maps every train-OOV token to the
+    single sentinel id len(ids): any gram containing an OOV word is
+    unseen at every level that covers it, so merging OOV types cannot
+    change a score — only deduplicate identical ones."""
+    occ: dict = {}
+    sentinel = len(ids)
+    mask = (1 << (bits * N)) - 1
+    for did, tk in rows:
+        lst = occ.setdefault(did, [])
+        if len(tk) < N:
+            continue
+        if grow:
+            tids = [ids.setdefault(w, len(ids)) for w in tk]
+        else:
+            tids = [ids.get(w, sentinel) for w in tk]
+        key = 0
+        for j in range(N - 1):
+            key = (key << bits) | tids[j]
+        for j in range(N - 1, len(tids)):
+            key = ((key << bits) | tids[j]) & mask
+            lst.append(key)
+    return occ
+
+
+def _kn_local_tower(rows, N: int):
+    """The count tower over collected (doc_id, tokens) rows: per-doc
+    packed n-gram occurrence lists (every collected doc present, short
+    docs with []), level counts g[1..N] (raw at N, continuation below)
+    keyed by packed suffix ints, context dims x[N..2] as {ctx_int:
+    [tot, n1f, n2f, n3f, n3e, n4e]}, per-level count-of-count cells,
+    the token-id dict, and the field width."""
+    from collections import Counter
+
+    ids: dict = {}
+    for _, tk in rows:
+        for w in tk:
+            if w not in ids:
+                ids[w] = len(ids)
+    # one spare value above the dense ids doubles as the held-out OOV
+    # sentinel, so bits covers ids 0..V inclusive
+    bits = max(1, len(ids).bit_length())
+    occ = _kn_pack_docs(rows, N, ids, bits, grow=True)
+    gN: Counter = Counter()
+    for lst in occ.values():
+        for key in lst:
+            gN[key] += 1
+    g = {N: gN}
+    for k in range(N - 1, 0, -1):
+        gk: Counter = Counter()
+        mask = (1 << (bits * k)) - 1
+        for key in g[k + 1]:
+            gk[key & mask] += 1
+        g[k] = gk
+    x = {}
+    coc = {}
+    for k in range(N, 1, -1):
+        ctx: dict = {}
+        for key, c in g[k].items():
+            ck = key >> bits
+            e = ctx.get(ck)
+            if e is None:
+                e = [0, 0, 0, 0, 0, 0]
+                ctx[ck] = e
+            e[0] += c
+            if c == 1:
+                e[1] += 1
+            elif c == 2:
+                e[2] += 1
+            if c >= 3:
+                e[3] += 1
+                if c == 3:
+                    e[4] += 1
+                elif c == 4:
+                    e[5] += 1
+        x[k] = ctx
+        coc[k] = (
+            sum(e[1] for e in ctx.values()),
+            sum(e[2] for e in ctx.values()),
+            sum(e[4] for e in ctx.values()),
+            sum(e[5] for e in ctx.values()),
+        )
+    return occ, g, x, coc, ids, bits
+
+
+def _kn_local_per_doc(occ, lp):
+    """(doc_id, n_ngrams, avg_logprob) rows — count/avg per collected
+    doc, NULL score for <N-token docs (they never vanish)."""
+    out = []
+    for did, ngs in occ.items():
+        n = len(ngs)
+        if n == 0:
+            out.append((did, 0, None))
+        else:
+            s = 0.0
+            for t in ngs:
+                s += lp[t]
+            out.append((did, n, s / float(n)))
+    return out
+
+
+def _kn_scores_schema(docs: DataFrame, id_col: str) -> StructType:
+    return StructType(
+        [
+            StructField("doc_id", docs.schema[id_col].dataType),
+            StructField("n_ngrams", LongType()),
+            StructField("avg_logprob", DoubleType()),
+        ]
+    )
+
+
+def _kn_local_scores_order(rows, N: int):
+    """lm_kn_scores_order's in-corpus recursion in Python floats —
+    raw counts at N, continuation backoff, the type-diversity unigram
+    p1 = c1/u — term-for-term the Column expression tree (inner joins:
+    every in-corpus type has all its counts and contexts)."""
+    import math
+
+    occ, g, x, coc, _ids, bits = _kn_local_tower(rows, N)
+    dd = {k: _kn_local_discount(*coc[k]) for k in range(N, 1, -1)}
+    u = float(len(g[2]))
+    g1 = g[1]
+    mask1 = (1 << bits) - 1
+    levels = [
+        (g[k], x[k], (1 << (bits * k)) - 1) + dd[k] for k in range(2, N + 1)
+    ]
+    log = math.log
+    lp = {}
+    for t in g[N]:
+        p = float(g1[t & mask1]) / u
+        for gk, xk, mk, dk1, dk2, dk3 in levels:
+            sfx = t & mk
+            ck = float(gk[sfx])
+            d_of = dk1 if ck == 1.0 else (dk2 if ck == 2.0 else dk3)
+            e = xk[sfx >> bits]
+            tot = float(e[0])
+            gamma = (dk1 * float(e[1]) + dk2 * float(e[2]) + dk3 * float(e[3])) / tot
+            p = max(ck - d_of, 0.0) / tot + gamma * p
+        lp[t] = log(p)
+    return _kn_local_per_doc(occ, lp)
+
+
+def _kn_local_fit(rows, N: int) -> dict:
+    """lm_kn_fit's tower as plain dicts (the local model payload)."""
+    occ, g, x, coc, ids, bits = _kn_local_tower(rows, N)
+    dd = {k: _kn_local_discount(*coc[k]) for k in range(N, 1, -1)}
+    n1 = n2 = n3 = n4 = ge3 = 0
+    for c in g[1].values():
+        if c == 1:
+            n1 += 1
+        elif c == 2:
+            n2 += 1
+        if c == 3:
+            n3 += 1
+        elif c == 4:
+            n4 += 1
+        if c >= 3:
+            ge3 += 1
+    dd[1] = _kn_local_discount(n1, n2, n3, n4)
+    return {
+        "g": g,
+        "x": x,
+        "dd": dd,
+        "ids": ids,
+        "bits": bits,
+        "u": float(len(g[2])),
+        "v": float(len(ids)),
+        "n1f1": float(n1),
+        "n2f1": float(n2),
+        "n3f1": float(ge3),
+    }
+
+
+def _kn_local_score(local: dict, held_rows, N: int):
+    """lm_kn_score's backoff recursion in Python floats — coalesced
+    counts, unseen-context pass-through, discounted-unigram + uniform
+    unknown floor — term-for-term the Column expression tree."""
+    import math
+
+    g, x, dd = local["g"], local["x"], local["dd"]
+    u, v = local["u"], local["v"]
+    bits = local["bits"]
+    d1_1, d1_2, d1_3 = dd[1]
+    gamma1 = (d1_1 * local["n1f1"] + d1_2 * local["n2f1"] + d1_3 * local["n3f1"]) / u
+    unk = 1.0 / (v + 1.0)
+    occ = _kn_pack_docs(held_rows, N, local["ids"], bits, grow=False)
+    g1get = g[1].get
+    mask1 = (1 << bits) - 1
+    levels = [
+        (g[k].get, x[k].get, (1 << (bits * k)) - 1) + dd[k]
+        for k in range(2, N + 1)
+    ]
+    log = math.log
+    types = set()
+    for lst in occ.values():
+        types.update(lst)
+    lp = {}
+    for t in types:
+        c1v = float(g1get(t & mask1, 0))
+        d_of1 = d1_1 if c1v == 1.0 else (d1_2 if c1v == 2.0 else d1_3)
+        p = max(c1v - d_of1, 0.0) / u + gamma1 * unk
+        for gkget, xkget, mk, dk1, dk2, dk3 in levels:
+            sfx = t & mk
+            xk = xkget(sfx >> bits)
+            if xk is None:
+                continue  # unseen context: pass-through, p unchanged
+            ckv = float(gkget(sfx, 0))
+            d_of = dk1 if ckv == 1.0 else (dk2 if ckv == 2.0 else dk3)
+            tot = float(xk[0])
+            gamma = (dk1 * float(xk[1]) + dk2 * float(xk[2]) + dk3 * float(xk[3])) / tot
+            p = max(ckv - d_of, 0.0) / tot + gamma * p
+        lp[t] = log(p)
+    return _kn_local_per_doc(occ, lp)
+
+
+def _kn_local_to_frames(model: dict) -> dict:
+    """Inflate a local KN model into the DataFrame shape lm_kn_save /
+    the distributed lm_kn_score chain expect — same columns, counts as
+    doubles, triples/totals as 1-row frames."""
+    import pandas as pd
+
+    N = int(model["order"])
+    spark = model["spark"]
+    loc = model["local"]
+    cols = [f"w{j}" for j in range(1, N + 1)]
+    bits = loc["bits"]
+    fmask = (1 << bits) - 1
+    rev = [None] * len(loc["ids"])
+    for w, i in loc["ids"].items():
+        rev[i] = w
+
+    def unpack(key: int, k: int) -> list:
+        return [rev[(key >> (bits * (k - 1 - j))) & fmask] for j in range(k)]
+
+    g = {}
+    for k in range(1, N + 1):
+        kcols = cols[N - k :]
+        pdf = pd.DataFrame(
+            [unpack(key, k) + [float(c)] for key, c in loc["g"][k].items()],
+            columns=kcols + [f"c{k}"],
+        )
+        schema = StructType(
+            [StructField(c, StringType()) for c in kcols]
+            + [StructField(f"c{k}", DoubleType())]
+        )
+        g[k] = spark.createDataFrame(pdf, schema)
+    x = {}
+    for k in range(2, N + 1):
+        ckeys = cols[N - k : N - 1]
+        pdf = pd.DataFrame(
+            [
+                unpack(key, k - 1)
+                + [float(e[0]), float(e[1]), float(e[2]), float(e[3])]
+                for key, e in loc["x"][k].items()
+            ],
+            columns=ckeys + [f"tot{k}", f"n1f{k}", f"n2f{k}", f"n3f{k}"],
+        )
+        schema = StructType(
+            [StructField(c, StringType()) for c in ckeys]
+            + [
+                StructField(f"tot{k}", DoubleType()),
+                StructField(f"n1f{k}", DoubleType()),
+                StructField(f"n2f{k}", DoubleType()),
+                StructField(f"n3f{k}", DoubleType()),
+            ]
+        )
+        x[k] = spark.createDataFrame(pdf, schema)
+    dd = {
+        k: spark.createDataFrame(
+            [tuple(loc["dd"][k])], f"d{k}_1 double, d{k}_2 double, d{k}_3 double"
+        )
+        for k in range(1, N + 1)
+    }
+    tot = spark.createDataFrame(
+        [(loc["u"], loc["v"], loc["n1f1"], loc["n2f1"], loc["n3f1"])],
+        "u double, v double, n1f1 double, n2f1 double, n3f1 double",
+    )
+    return {"order": N, "g": g, "x": x, "dd": dd, "tot": tot}
+
+
 def lm_kn_fit(
     docs: DataFrame,
     *,
     order: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    local_cap: int = _KN_LOCAL_TOK_CAP,
 ) -> dict:
     """Fit the order-N modified Kneser–Ney tower on a TRAIN corpus and
     return it as a MODEL — the train half of CCNet's actual deployment
@@ -1635,6 +1977,14 @@ def lm_kn_fit(
     N = int(order)
     if N < 2:
         raise ValueError(f"lm_kn_fit: order must be >= 2, got {order}")
+    if local_cap:
+        rows = _kn_collect_tokens(docs, text_col=text_col, id_col=id_col, cap=local_cap)
+        if rows is not None:
+            return {
+                "order": N,
+                "local": _kn_local_fit(rows, N),
+                "spark": docs.sparkSession,
+            }
     cols = [f"w{j}" for j in range(1, N + 1)]
     toks = tokens(F.col(text_col))
     ng = F.transform(
@@ -1718,6 +2068,7 @@ def lm_kn_score(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    local_cap: int = _KN_LOCAL_TOK_CAP,
 ) -> DataFrame:
     """Score a HELD-OUT corpus against a fitted KN tower → (doc_id,
     n_ngrams, avg_logprob) — the apply half of the CCNet deployment,
@@ -1743,6 +2094,20 @@ def lm_kn_score(
     one equi-join against the finished scores.  Docs shorter than N
     tokens surface with n_ngrams 0 and NULL score, never vanish."""
     N = int(model["order"])
+    if "local" in model:
+        rows = (
+            _kn_collect_tokens(docs, text_col=text_col, id_col=id_col, cap=local_cap)
+            if local_cap
+            else None
+        )
+        if rows is not None:
+            return docs.sparkSession.createDataFrame(
+                _kn_local_score(model["local"], rows, N),
+                _kn_scores_schema(docs, id_col),
+            )
+        # held-out corpus over the cap: inflate the local tower to the
+        # DataFrame shape and fall through to the distributed chain
+        model = _kn_local_to_frames(model)
     g, x, dd, tot = model["g"], model["x"], model["dd"], model["tot"]
     cols = [f"w{j}" for j in range(1, N + 1)]
     toks = tokens(F.col(text_col))
@@ -1818,6 +2183,8 @@ def lm_kn_save(model: dict, path: str) -> None:
     1-row ``meta`` carrying the order.  Doubles round-trip Parquet
     bit-exactly, so load-then-score is float-identical to
     fit-then-score (pinned by the roundtrip query's shared oracle)."""
+    if "local" in model:
+        model = _kn_local_to_frames(model)
     N = int(model["order"])
     spark = model["tot"].sparkSession
     spark.range(1).select(F.lit(N).alias("order")).write.mode("overwrite").parquet(

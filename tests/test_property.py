@@ -786,15 +786,56 @@ def test_lm_kn_heldout_random_corpora_match_reference(spark, train, held):
     held_rows = [(100 + i, " ".join(toks)) for i, toks in enumerate(held)]
     tdf = spark.createDataFrame(train_rows, "doc_id long, text string")
     hdf = spark.createDataFrame(held_rows, "doc_id long, text string")
-    got = {r["doc_id"]: r for r in lm_kn_score(lm_kn_fit(tdf, order=2), hdf).collect()}
-    assert set(got) == set(ref)
-    for doc_id, (n, lp) in ref.items():
-        assert got[doc_id]["n_ngrams"] == n
-        if lp is None:
-            assert got[doc_id]["avg_logprob"] is None
-        else:
-            assert math.isfinite(got[doc_id]["avg_logprob"])
-            assert abs(got[doc_id]["avg_logprob"] - lp) < 1e-9
+    # BOTH engine paths against the reference: the bounded local fit
+    # (default caps) and the distributed tower (local_cap=0 on fit and
+    # score) — random corpora keep covering the distributed chain too
+    for caps in ({}, {"local_cap": 0}):
+        got = {
+            r["doc_id"]: r
+            for r in lm_kn_score(
+                lm_kn_fit(tdf, order=2, **caps), hdf, **caps
+            ).collect()
+        }
+        assert set(got) == set(ref)
+        for doc_id, (n, lp) in ref.items():
+            assert got[doc_id]["n_ngrams"] == n
+            if lp is None:
+                assert got[doc_id]["avg_logprob"] is None
+            else:
+                assert math.isfinite(got[doc_id]["avg_logprob"])
+                assert abs(got[doc_id]["avg_logprob"] - lp) < 1e-9
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_lm_kn_scores_order_local_matches_distributed(spark, corpus):
+    """The bounded local path of the in-corpus KN scorer
+    (quality._KN_LOCAL_TOK_CAP) against the distributed tower
+    (local_cap=0) on random tiny corpora: identical n-gram counts and
+    NULL-ness, scores within the documented libm/avg-order tolerance
+    every consumer's 4-decimal round absorbs."""
+    from opentsdb_aura_spark.operators.quality import lm_kn_scores_order
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    loc = {r["doc_id"]: r for r in lm_kn_scores_order(df, order=3).collect()}
+    dist = {
+        r["doc_id"]: r
+        for r in lm_kn_scores_order(df, order=3, local_cap=0).collect()
+    }
+    assert set(loc) == set(dist)
+    for i in loc:
+        assert loc[i]["n_ngrams"] == dist[i]["n_ngrams"]
+        a, b = loc[i]["avg_logprob"], dist[i]["avg_logprob"]
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert abs(a - b) < 1e-12, (i, a, b)
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))

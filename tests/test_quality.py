@@ -608,7 +608,10 @@ def test_lm_kn_save_load_roundtrip(spark, tmp_path):
     lm_kn_save(model, path)
     loaded = lm_kn_load(spark, path)
     assert loaded["order"] == 3
-    mem = {r["doc_id"]: r for r in lm_kn_score(model, held).collect()}
+    # distributed chain both sides: in-memory tower (local_cap=0
+    # inflates a bounded-fit model to its DataFrame shape) vs the
+    # Parquet roundtrip — THESE must be bit-exact
+    mem = {r["doc_id"]: r for r in lm_kn_score(model, held, local_cap=0).collect()}
     dsk = {r["doc_id"]: r for r in lm_kn_score(loaded, held).collect()}
     assert set(mem) == set(dsk)
     for i in mem:
@@ -617,6 +620,17 @@ def test_lm_kn_save_load_roundtrip(spark, tmp_path):
         assert (a is None) == (b is None)
         if a is not None:
             assert a == b, (i, a, b)  # bit-exact through Parquet
+    # the bounded LOCAL scorer agrees within the documented tolerance
+    # (libm log vs Math.log + per-doc avg order — absorbed by every
+    # consumer's 1e-9-nudged 4-decimal round)
+    loc = {r["doc_id"]: r for r in lm_kn_score(model, held).collect()}
+    assert set(loc) == set(mem)
+    for i in mem:
+        assert loc[i]["n_ngrams"] == mem[i]["n_ngrams"]
+        a, b = loc[i]["avg_logprob"], mem[i]["avg_logprob"]
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert abs(a - b) < 1e-12, (i, a, b)
 
 
 def test_artifact_roundtrips(spark, tmp_path):

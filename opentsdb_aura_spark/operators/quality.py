@@ -34,6 +34,12 @@ from pyspark.sql.window import Window
 from opentsdb_aura_spark.operators.dedup_text import tokens
 from opentsdb_aura_spark.operators.text import STOPWORDS
 
+# Token cap for the bounded local LM paths (bigram, interpolated-KN
+# bigram, kn3, and the generic KN towers) — defined up top so every
+# scorer signature can default to it; rationale at the helper block
+# above lm_kn_fit.
+_KN_LOCAL_TOK_CAP = 500_000
+
 #: line-start markers counted as bullets and line-end ellipsis shapes
 #: (Gopher counts “lines starting with a bullet point” and “lines
 #: ending in an ellipsis”)
@@ -376,6 +382,7 @@ def lm_bigram_scores(
     alpha: float = 0.1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    local_cap: int = _KN_LOCAL_TOK_CAP,
 ) -> DataFrame:
     """Perplexity-proxy quality score from a corpus-trained bigram LM
     → (doc_id, n_bigrams, avg_logprob).
@@ -392,8 +399,39 @@ def lm_bigram_scores(
     then the doc bigram stream equi-joins them (shuffle on the bigram /
     unigram keys, both high-cardinality); V joins in as a broadcast
     1-row literal.  Training IS the aggregation — no driver fit, no
-    Python.
+    Python.  Under ``local_cap`` tokens the whole fit+score runs
+    driver-side off one bounded collect (the _KN_LOCAL_TOK_CAP
+    discipline; same floats, libm-log/avg-order drift absorbed by the
+    consumers' 4-decimal round).
     """
+    if local_cap:
+        rows = _kn_collect_tokens(docs, text_col=text_col, id_col=id_col, cap=local_cap)
+        if rows is not None:
+            import math
+
+            from collections import Counter
+
+            uni: Counter = Counter()
+            big: Counter = Counter()
+            occ: dict = {}
+            for did, tk in rows:
+                lst = occ.setdefault(did, [])
+                for w in tk:
+                    uni[w] += 1
+                for i in range(len(tk) - 1):
+                    bg = (tk[i], tk[i + 1])
+                    lst.append(bg)
+                    big[bg] += 1
+            v = float(len(uni))
+            a = float(alpha)
+            lp = {
+                bg: math.log((c + a) / (uni[bg[0]] + a * v))
+                for bg, c in big.items()
+            }
+            return docs.sparkSession.createDataFrame(
+                _kn_local_per_doc(occ, lp),
+                _kn_scores_schema(docs, id_col, "n_bigrams"),
+            )
     toks = tokens(F.col(text_col))
     bigrams = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -632,10 +670,6 @@ def _pack_label_features(
 _FIT_LOCAL_ROW_CAP = 100_000
 _FIT_LOCAL_CELL_CAP = 16_777_216  # rows x n_features for the dense matrix
 
-# Token cap for the bounded local KN-tower path (defined here so the
-# lm_kn_* signatures can default to it; rationale at the helper block
-# above lm_kn_fit).
-_KN_LOCAL_TOK_CAP = 500_000
 
 
 def _local_gd_fit(
@@ -932,6 +966,7 @@ def lm_kn_scores(
     discount: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    local_cap: int = _KN_LOCAL_TOK_CAP,
 ) -> DataFrame:
     """Interpolated Kneser–Ney bigram scores → (doc_id, n_bigrams,
     avg_logprob) — the smoothing family CCNet's KenLM actually uses
@@ -955,6 +990,40 @@ def lm_kn_scores(
     d = float(discount)
     if not 0.0 < d < 1.0:
         raise ValueError(f"lm_kn_scores: discount must be in (0, 1), got {discount}")
+    if local_cap:
+        rows = _kn_collect_tokens(docs, text_col=text_col, id_col=id_col, cap=local_cap)
+        if rows is not None:
+            import math
+
+            from collections import Counter
+
+            big: Counter = Counter()
+            occ: dict = {}
+            for did, tk in rows:
+                lst = occ.setdefault(did, [])
+                for i in range(len(tk) - 1):
+                    bg = (tk[i], tk[i + 1])
+                    lst.append(bg)
+                    big[bg] += 1
+            ptot: Counter = Counter()
+            nfollow: Counter = Counter()
+            nprec: Counter = Counter()
+            for (w1, w2), c in big.items():
+                ptot[w1] += c
+                nfollow[w1] += 1
+                nprec[w2] += 1
+            ntypes = float(len(big))
+            lp = {
+                bg: math.log(
+                    max(c - d, 0.0) / ptot[bg[0]]
+                    + d * nfollow[bg[0]] / ptot[bg[0]] * nprec[bg[1]] / ntypes
+                )
+                for bg, c in big.items()
+            }
+            return docs.sparkSession.createDataFrame(
+                _kn_local_per_doc(occ, lp),
+                _kn_scores_schema(docs, id_col, "n_bigrams"),
+            )
     toks = tokens(F.col(text_col))
     bigrams = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -1138,6 +1207,7 @@ def lm_kn3_scores(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    local_cap: int = _KN_LOCAL_TOK_CAP,
 ) -> DataFrame:
     """Trigram MODIFIED Kneser–Ney scores → (doc_id, n_trigrams,
     avg_logprob) — the full Chen & Goodman 1999 estimator (the
@@ -1165,6 +1235,18 @@ def lm_kn3_scores(
     scores — training IS the aggregation, no driver fit, no Python.
     <3-token docs surface with n_trigrams 0 and NULL score, never
     vanish."""
+    if local_cap:
+        # the generic tower at order 3 IS this recursion with the same
+        # float association (count tables, ctx dims, discount triples,
+        # gamma and interpolation all term-identical — pinned by
+        # test_kn_order3_generic_matches_dedicated_kn3), so the
+        # bounded local path delegates to it and renames the count
+        rows = _kn_collect_tokens(docs, text_col=text_col, id_col=id_col, cap=local_cap)
+        if rows is not None:
+            return docs.sparkSession.createDataFrame(
+                _kn_local_scores_order(rows, 3),
+                _kn_scores_schema(docs, id_col, "n_trigrams"),
+            )
     toks = tokens(F.col(text_col))
     tg = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
@@ -1759,11 +1841,13 @@ def _kn_local_per_doc(occ, lp):
     return out
 
 
-def _kn_scores_schema(docs: DataFrame, id_col: str) -> StructType:
+def _kn_scores_schema(
+    docs: DataFrame, id_col: str, count_name: str = "n_ngrams"
+) -> StructType:
     return StructType(
         [
             StructField("doc_id", docs.schema[id_col].dataType),
-            StructField("n_ngrams", LongType()),
+            StructField(count_name, LongType()),
             StructField("avg_logprob", DoubleType()),
         ]
     )

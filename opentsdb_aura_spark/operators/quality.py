@@ -673,7 +673,7 @@ _FIT_LOCAL_CELL_CAP = 16_777_216  # rows x n_features for the dense matrix
 
 
 def _local_gd_fit(
-    rows: list,
+    pdf,
     ycols: list[str],
     *,
     n_features: int,
@@ -682,21 +682,16 @@ def _local_gd_fit(
     center: bool,
     l2: float,
 ) -> list[tuple[list[float], float]]:
-    """Driver-side replica of the distributed GD loop over collected
-    packed rows — update formulas, populated-bucket-only l2, centering
-    fold and returned effective intercept all mirror the engine path
-    (local ≡ distributed pinned by test to 1e-9)."""
+    """Driver-side replica of the distributed GD loop over a
+    _probe_packed frame — update formulas, populated-bucket-only l2,
+    centering fold and returned effective intercept all mirror the
+    engine path (local ≡ distributed pinned by test to 1e-9)."""
     import numpy as np
 
-    n = len(rows)
+    n = len(pdf)
     D = int(n_features)
-    X = np.zeros((n, D), dtype=np.float64)
-    Y = np.empty((n, len(ycols)), dtype=np.float64)
-    for i, r in enumerate(rows):
-        for s in r["fx"]:
-            X[i, s["bucket"]] = s["cnt"]
-        for k, c in enumerate(ycols):
-            Y[i, k] = r[c]
+    X = _dense_fx(pdf, D)
+    Y = pdf[ycols].to_numpy(dtype=np.float64)
     populated = np.asarray(X.any(axis=0), dtype=bool)
     mu = np.zeros(D)
     if center:
@@ -798,12 +793,12 @@ def train_logreg_weights(
     # in NumPy off ONE collect (which also materializes the shared
     # checkpoint for the scoring pass); above it, the shared-pass
     # distributed loop below runs unchanged
-    probe = base.limit(_FIT_LOCAL_ROW_CAP + 1).collect()
+    probe = _probe_packed(base, ["y"])
     if (
         len(probe) <= _FIT_LOCAL_ROW_CAP
         and len(probe) * int(n_features) <= _FIT_LOCAL_CELL_CAP
     ):
-        if not probe:
+        if not len(probe):
             raise ValueError("train_logreg_weights: empty label frame")
         ((lw, lb),) = _local_gd_fit(
             probe,
@@ -950,11 +945,17 @@ def logreg_scores_packed(
         F.lit(0.0),
         lambda acc, s: acc + s["cnt"] * F.element_at(w_arr, s["bucket"] + 1),
     )
-    margin = dot + F.lit(float(bias))
-    return packed.select(
+    # margin evaluated ONCE into a real column — prob and pred then
+    # read the column ref instead of re-running the literal-array fold
+    # (3x inlined); same doubles
+    mid = packed.select(
+        "doc_id", *keep_cols, (dot + F.lit(float(bias))).alias("margin")
+    )
+    margin = F.col("margin")
+    return mid.select(
         "doc_id",
         *keep_cols,
-        margin.alias("margin"),
+        "margin",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("prob"),
         (margin >= F.lit(thr_margin)).alias("pred"),
     )
@@ -1130,6 +1131,61 @@ def hashed_char_ngram_features(
     ).withColumn("cnt", F.lit(1.0))
 
 
+def _probe_packed(frame: DataFrame, cols):
+    """Bounded Arrow probe of a packed (…, fx) frame: limit(cap+1)
+    then toPandas with the struct array split into PRIMITIVE parallel
+    arrays (fx.bucket / fx.cnt) — a plain collect() materializes one
+    Row object per struct element (millions for a few thousand docs,
+    ~2 s of pure allocation); the Arrow path ships two primitive
+    buffers per row instead.  Order within each row is the fx
+    sort_array order, unchanged."""
+    sel = frame.select(
+        *cols,
+        F.col("fx.bucket").alias("_b"),
+        F.col("fx.cnt").alias("_c"),
+    )
+    return sel.limit(_FIT_LOCAL_ROW_CAP + 1).toPandas()
+
+
+def _dense_fx(pdf, D: int):
+    """Dense feature matrix from a _probe_packed frame: one vectorized
+    scatter per row off the primitive bucket/cnt arrays."""
+    import numpy as np
+
+    bs = pdf["_b"].to_numpy()
+    cs = pdf["_c"].to_numpy()
+    X = np.zeros((len(bs), D), dtype=np.float64)
+    for i in range(len(bs)):
+        b = bs[i]
+        if len(b):
+            X[i, np.asarray(b, dtype=np.int64)] = cs[i]
+    return X
+
+
+def _local_ovr_margins(probe_pdf, models, classes, n_features: int):
+    """Dense margins for collected packed rows: X@W + b, the same
+    matrix the bounded GD fit builds.  The BLAS reduction order
+    differs from the sort_array fold by ~1e-13 — the drift class the
+    bounded fit already committed to for the weights themselves,
+    absorbed by every consumer's nudged 4-decimal round."""
+    import numpy as np
+
+    X = _dense_fx(probe_pdf, int(n_features))
+    W = np.column_stack([np.asarray(models[c][0], dtype=np.float64) for c in classes])
+    b = np.asarray([models[c][1] for c in classes], dtype=np.float64)
+    return X @ W + b
+
+
+def _ovr_local_schema(packed: DataFrame, keep_cols, value_cols) -> StructType:
+    fields = [StructField("doc_id", packed.schema["doc_id"].dataType)]
+    fields += [
+        StructField(c, packed.schema[c].dataType) for c in keep_cols
+    ]
+    fields += [StructField(c, DoubleType()) for c in value_cols]
+    fields.append(StructField("pred_lang", StringType()))
+    return StructType(fields)
+
+
 def ovr_logreg_scores(
     features: DataFrame,
     models: dict[str, tuple[list[float], float]],
@@ -1158,8 +1214,39 @@ def ovr_logreg_scores(
             )
     # ``packed`` shares the trainer's materialized (doc_id, …, fx)
     # frame — the scoring pass then skips its own pack + spine join
-    # (feature-less docs are already empty-array rows there)
+    # (feature-less docs are already empty-array rows there).  Under
+    # the fit caps the rows are re-read from the materialized
+    # checkpoint and scored driver-side (dense X@W — the bounded-fit
+    # discipline; interpreted literal-array folds over thousands of
+    # rows were the dominant scoring cost).
     if packed is not None:
+        probe = _probe_packed(packed, ("doc_id",) + tuple(keep_cols))
+        if (
+            len(probe) <= _FIT_LOCAL_ROW_CAP
+            and len(probe) * int(n_features) <= _FIT_LOCAL_CELL_CAP
+        ):
+            M = _local_ovr_margins(probe, models, classes, n_features)
+            ids = probe["doc_id"].tolist()
+            keeps = [probe[c].tolist() for c in keep_cols]
+            out = []
+            for i in range(len(ids)):
+                ms = M[i]
+                best = ms.max()
+                pred = next(
+                    classes[j] for j in range(len(classes)) if ms[j] == best
+                )
+                out.append(
+                    (ids[i],)
+                    + tuple(k[i] for k in keeps)
+                    + tuple(float(m) for m in ms)
+                    + (pred,)
+                )
+            return packed.sparkSession.createDataFrame(
+                out,
+                _ovr_local_schema(
+                    packed, keep_cols, [f"margin_{c}" for c in classes]
+                ),
+            )
         base = packed
     else:
         docvec = features.groupBy("doc_id").agg(
@@ -1545,12 +1632,12 @@ def train_ovr_logreg_weights(
     # bounded-fit probe — see train_logreg_weights; arithmetic stays
     # identical to K independent fits (the _local_gd_fit columns ARE
     # the K one-vs-rest problems)
-    probe = base.limit(_FIT_LOCAL_ROW_CAP + 1).collect()
+    probe = _probe_packed(base, [f"y_{i}" for i in range(K)])
     if (
         len(probe) <= _FIT_LOCAL_ROW_CAP
         and len(probe) * int(n_features) <= _FIT_LOCAL_CELL_CAP
     ):
-        if not probe:
+        if not len(probe):
             raise ValueError("train_ovr_logreg_weights: empty label frame")
         fitted = _local_gd_fit(
             probe,
@@ -2344,8 +2431,60 @@ def ovr_softmax_scores(
     # ``keep_cols`` through the scoring projection — the pass then
     # skips its own pack groupBy + spine join AND the caller's label
     # re-attach join (the ovr_logreg_scores packed path, same fx shape
-    # so the fold arithmetic is identical)
+    # so the fold arithmetic is identical).  Under the fit caps the
+    # softmax layer runs driver-side off one bounded collect, with
+    # Spark's NaN semantics mirrored for the exp-overflow corner
+    # (inf/inf probs: NaN compares greater-than-everything and equal
+    # to itself in Spark SQL, so such a doc routes to the first class
+    # rather than the reject bucket).
     if packed is not None:
+        probe = _probe_packed(packed, ("doc_id",) + tuple(keep_cols))
+        if (
+            len(probe) <= _FIT_LOCAL_ROW_CAP
+            and len(probe) * int(n_features) <= _FIT_LOCAL_CELL_CAP
+        ):
+            import numpy as np
+
+            M = _local_ovr_margins(probe, models, classes, n_features)
+            with np.errstate(over="ignore"):
+                E = np.exp(M / float(temperature))
+            den = E[:, 0].copy()
+            for j in range(1, len(classes)):  # sorted-class association
+                den = den + E[:, j]
+            with np.errstate(invalid="ignore"):
+                P = E / den[:, None]
+            thr = float(threshold)
+            ids = probe["doc_id"].tolist()
+            keeps = [probe[c].tolist() for c in keep_cols]
+            out = []
+            for i in range(len(ids)):
+                ps = P[i]
+                nan_mask = np.isnan(ps)
+                if nan_mask.any():
+                    pred = classes[int(np.argmax(nan_mask))]
+                else:
+                    best = ps.max()
+                    pred = (
+                        next(
+                            classes[j]
+                            for j in range(len(classes))
+                            if ps[j] == best
+                        )
+                        if best >= thr
+                        else str(reject_label)
+                    )
+                out.append(
+                    (ids[i],)
+                    + tuple(k[i] for k in keeps)
+                    + tuple(float(p) for p in ps)
+                    + (pred,)
+                )
+            return packed.sparkSession.createDataFrame(
+                out,
+                _ovr_local_schema(
+                    packed, keep_cols, [f"prob_{c}" for c in classes]
+                ),
+            )
         base = packed
     else:
         docvec = features.groupBy("doc_id").agg(

@@ -309,25 +309,43 @@ def encode_warc_file(
     return b"".join(out)
 
 
+#: chained-Python depth the fixture pipelines reach (build → parse →
+#: http → html): a task running k chained mapInPandas/applyInPandas
+#: nodes holds k Python workers AT ONCE, so spreading the build to a
+#: full ``defaultParallelism`` partitions put k×cores workers on the
+#: box — 4× oversubscription that made every downstream decode stage
+#: SLOWER at 32 cores than at 8 (VERDICT r14's regression cluster:
+#: corpus_warc_typed_records 0.98→5.02 s, c8/c32 ratios 0.10–0.27).
+#: Dividing the spread by the chain depth keeps concurrent workers ≈
+#: cores at ANY core count (measured same-session min-of-3 at sf0.1:
+#: gzip_html_text 1.93→1.02 s, link_density 1.67→1.01 s, ccnet_curate
+#: 5.83→3.64 s, typed_records 0.86→0.58 s vs the full spread — and
+#: spread=1, the pre-r14 AQE collapse, is 2× worse again).
+_CHAIN_DEPTH = 4
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Pin the fixture-build shuffle to ``defaultParallelism``
-    partitions hashed on ``key``.  The groupBy→applyInPandas build
-    that follows requires exactly this hash distribution, so no extra
-    exchange is added — but the EXPLICIT partition count opts the one
-    exchange out of AQE partition coalescing.  That matters because
-    the synthetic container files are kilobytes: AQE's byte-based
-    targets collapse them to a single post-shuffle partition, and
-    since every downstream decode pass (mapInPandas / mapInArrow) is
-    narrow, the whole encode→parse→extract chain then runs on ONE
-    task regardless of cores (observed: 8-9 s single-task stages in
+    """Pin the fixture-build shuffle to ``defaultParallelism /
+    _CHAIN_DEPTH`` partitions hashed on ``key``.  The
+    groupBy→applyInPandas build that follows requires exactly this
+    hash distribution, so no extra exchange is added — but the
+    EXPLICIT partition count opts the one exchange out of AQE
+    partition coalescing.  That matters because the synthetic
+    container files are kilobytes: AQE's byte-based targets collapse
+    them to a single post-shuffle partition, and since every
+    downstream decode pass (mapInPandas / mapInArrow) is narrow, the
+    whole encode→parse→extract chain then runs on ONE task regardless
+    of cores (observed: 8-9 s single-task stages in
     pipeline_ccnet_curate).  Each row here costs a full Python
     encode + parse chain — orders of magnitude more per byte than
     AQE's heuristic assumes (guide §2.5: input skew is fixed at the
     source).  A real .warc.gz scan gets its parallelism from
-    maxPartitionBytes file splits instead; this restores exactly the
-    parallelism such a scan would naturally have, nothing more."""
+    maxPartitionBytes file splits instead; the divided spread is the
+    worker-per-core parallelism such a scan's chained decode would
+    want (see _CHAIN_DEPTH)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, F.col(key))
+    n = max(1, sc.defaultParallelism // _CHAIN_DEPTH)
+    return df.repartition(n, F.col(key))
 
 
 def synthesize_warc(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 from pyspark.sql.window import Window
 
 from opentsdb_aura_spark.operators.dedup_text import tokens
@@ -980,6 +981,136 @@ def _hll_estimate(regs: Column, m: int) -> Column:
     ).otherwise(raw)
 
 
+#: bounded local fast path for HyperBall (the suffix-array /
+#: _FIT_LOCAL_ROW_CAP discipline): when the edge list holds at most
+#: this many rows, the whole register loop runs driver-side off ONE
+#: bounded limit(cap+1) Arrow probe instead of ~46 single-task stages
+#: of pure orchestration (measured: the sf0.1 run is stage-launch
+#: bound — 46 stages of 0.1-0.7 s each, every one a single task).
+#: Above the cap the distributed loop is unchanged
+#: (tools/pagerank_scale_bench.py's 2M-edge tier keeps exercising it).
+_HB_LOCAL_EDGE_CAP = 200_000
+
+
+def _hyperball_local(
+    edges, *, max_dist, mm, bits, rest, src_col, dst_col, salt, cap
+):
+    """Driver-side HyperBall iff the edge frame holds <= ``cap`` rows
+    (probed with limit(cap+1) — scale-free, never a full scan), else
+    None.  Register indices/ranks come from the ENGINE (the same
+    xxhash64/conv Column tree the distributed loop evaluates, shipped
+    alongside the probed edges), so the local path never re-implements
+    the hash; every float in the register→estimate→harmonic chain
+    mirrors the Column expression tree term for term — the per-node
+    2^-M fold is an index-ordered left fold, divisions and the
+    linear-counting log are the same IEEE ops.  Parity is pinned in
+    tests/test_corpus_ops.py against local_cap=0."""
+    import numpy as np
+
+    h_u = F.xxhash64(F.col("u").cast("string"), F.lit(salt))
+    h_v = F.xxhash64(F.col("v").cast("string"), F.lit(salt))
+
+    def _jr(h):
+        j = F.pmod(h, F.lit(mm)).cast("int")
+        h2 = F.shiftrightunsigned(h, bits)
+        blen = F.length(F.conv(h2.cast("string"), 10, 2))
+        rho = (
+            F.when(h2 == 0, F.lit(rest + 1))
+            .otherwise(F.lit(rest) + 1 - blen)
+            .cast("int")
+        )
+        return j, rho
+
+    slim = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    ju, ru = _jr(h_u)
+    jv, rv = _jr(h_v)
+    probe = slim.select(
+        "u", "v", ju.alias("_ju"), ru.alias("_ru"), jv.alias("_jv"), rv.alias("_rv")
+    )
+    pdf = probe.limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        return None
+    if len(pdf) and (pdf["u"].isna().any() or pdf["v"].isna().any()):
+        # NULL endpoints flip numeric pandas columns to float — rather
+        # than re-deriving dtypes driver-side, send the (rare) corner
+        # to the distributed chain, which handles it natively
+        return None
+    # node universe before the self-loop/NULL-pair drop; one (j, rho)
+    # per node (engine-computed, identical on every occurrence)
+    idx: dict = {}
+    jr: list = []
+    us, vs = pdf["u"].tolist(), pdf["v"].tolist()
+    jus, rus = pdf["_ju"].tolist(), pdf["_ru"].tolist()
+    jvs, rvs = pdf["_jv"].tolist(), pdf["_rv"].tolist()
+    eset = set()
+    for i in range(len(us)):
+        u, v = us[i], vs[i]
+        if u is not None and u not in idx:
+            idx[u] = len(jr)
+            jr.append((int(jus[i]), int(rus[i])))
+        if v is not None and v not in idx:
+            idx[v] = len(jr)
+            jr.append((int(jvs[i]), int(rvs[i])))
+        # u != v is NULL under 3VL when either end is NULL -> dropped
+        if u is not None and v is not None and u != v:
+            eset.add((idx[u], idx[v]))
+    n = len(idx)
+    spark = edges.sparkSession
+    schema = StructType(
+        [
+            StructField("node", slim.schema["u"].dataType),
+            StructField("harmonic", DoubleType()),
+            StructField("ball_est", DoubleType()),
+            StructField("sum_dist_est", DoubleType()),
+        ]
+    )
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    regs = np.zeros((n, mm), dtype=np.int64)
+    for i, (j, r_) in enumerate(jr):
+        regs[i, j] = r_
+    if eset:
+        ea = np.fromiter((p for uv in eset for p in uv), dtype=np.int64).reshape(-1, 2)
+        ui, vi = ea[:, 0], ea[:, 1]
+    else:
+        ui = vi = np.zeros(0, dtype=np.int64)
+    alpha = 0.7213 / (1.0 + 1.079 / mm)
+
+    def estimate(R):
+        # _hll_estimate mirrored: index-ordered left fold of 2^-M_j
+        # (ldexp is exact for integer registers), raw = alpha*m^2/sum,
+        # linear-counting switch when raw <= 2.5m and zeros remain
+        acc = np.zeros(len(R), dtype=np.float64)
+        for jcol in range(mm):
+            acc = acc + np.ldexp(1.0, -R[:, jcol])
+        raw = (alpha * mm * mm) / acc
+        vz = (R == 0).sum(axis=1).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            lin = float(mm) * np.log(float(mm) / vz)
+        return np.where((raw <= 2.5 * mm) & (vz > 0), lin, raw)
+
+    prev = estimate(regs)
+    harmonic = np.zeros(n, dtype=np.float64)
+    sum_dist = np.zeros(n, dtype=np.float64)
+    for r_ in range(1, max_dist + 1):
+        inc = np.zeros_like(regs)
+        if len(ui):
+            np.maximum.at(inc, vi, regs[ui])
+        regs = np.maximum(regs, inc)
+        est = estimate(regs)
+        delta = np.maximum(est - prev, 0.0)
+        harmonic = harmonic + delta / float(r_)
+        sum_dist = sum_dist + delta * float(r_)
+        prev = est
+    ball = np.maximum(prev - 1.0, 0.0)
+    nodes = list(idx)
+    rows = [
+        (nodes[i], float(harmonic[i]), float(ball[i]), float(sum_dist[i]))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def hyperball_harmonic(
     edges: DataFrame,
     *,
@@ -988,6 +1119,7 @@ def hyperball_harmonic(
     src_col: str = "src",
     dst_col: str = "dst",
     salt: str = "hyperball",
+    local_cap: int = _HB_LOCAL_EDGE_CAP,
 ) -> DataFrame:
     """HyperBall (Boldi & Vigna 2011 / the "Four degrees of
     separation" machinery): approximate radius-bounded harmonic
@@ -1024,6 +1156,13 @@ def hyperball_harmonic(
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
     bits = mm.bit_length() - 1
     rest = 64 - bits
+    if local_cap:
+        got = _hyperball_local(
+            edges, max_dist=int(max_dist), mm=mm, bits=bits, rest=rest,
+            src_col=src_col, dst_col=dst_col, salt=salt, cap=int(local_cap),
+        )
+        if got is not None:
+            return got
     # node universe BEFORE the self-loop drop (parity with the exact
     # operator: a self-loop-only node reports 0, not no-row; NULL
     # endpoints are no node at all)

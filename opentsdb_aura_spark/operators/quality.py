@@ -1225,16 +1225,27 @@ def ovr_logreg_scores(
             len(probe) <= _FIT_LOCAL_ROW_CAP
             and len(probe) * int(n_features) <= _FIT_LOCAL_CELL_CAP
         ):
+            import numpy as np
+
             M = _local_ovr_margins(probe, models, classes, n_features)
             ids = probe["doc_id"].tolist()
             keeps = [probe[c].tolist() for c in keep_cols]
             out = []
             for i in range(len(ids)):
                 ms = M[i]
-                best = ms.max()
-                pred = next(
-                    classes[j] for j in range(len(classes)) if ms[j] == best
-                )
+                # Spark's NaN semantics mirrored (the softmax local
+                # path's rule): NaN margins compare greater-than-
+                # everything and equal to themselves in Spark SQL, so
+                # greatest + the when-chain route such a doc to the
+                # FIRST NaN class; a plain == scan would StopIteration
+                nan_mask = np.isnan(ms)
+                if nan_mask.any():
+                    pred = classes[int(np.argmax(nan_mask))]
+                else:
+                    best = ms.max()
+                    pred = next(
+                        classes[j] for j in range(len(classes)) if ms[j] == best
+                    )
                 out.append(
                     (ids[i],)
                     + tuple(k[i] for k in keeps)
@@ -1799,17 +1810,45 @@ def _kn_coc_discounts(gk: DataFrame, cname: str, k: int) -> DataFrame:
 # oracle re-run these chains with its own libm today.
 
 
+#: the char-sum pre-gate's gray-zone width: ``tokens()`` yields
+#: non-empty whitespace tokens, so n_tokens <= n_chars always; a corpus
+#: whose char sum exceeds this multiple of the token cap is sent to the
+#: distributed tower WITHOUT a tokenize probe (at scale the old probe
+#: tokenized the full corpus, threw the pass away, and the distributed
+#: tower re-tokenized — one entire wasted scan per KN query).  Corpora
+#: in the gray zone (cap < chars <= factor*cap) still get the exact
+#: token-sum probe, whose cost is bounded by the factor.  Path choice
+#: only — both paths compute identical scores (parity-pinned in tests).
+_KN_PROBE_CHAR_FACTOR = 8
+
+
 def _kn_collect_tokens(docs, *, text_col: str, id_col: str, cap: int):
     """[(doc_id, [token, ...]), ...] iff the corpus holds <= ``cap``
     tokens, else None.  Tokenization stays in the ENGINE (the same
     ``tokens()`` column the distributed tower explodes), so the local
-    path never re-implements split semantics."""
-    t = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
-    )
-    tot = t.agg(F.sum(F.size("_t"))).first()[0]
-    if tot is not None and tot > cap:
+    path never re-implements split semantics.  NULL text coalesces to
+    [] (the distributed chains surface such docs via the all_ids spine
+    as n=0 / NULL — the local path must collect them, not crash).
+
+    Gate order (guide §1.2 — don't compute things you throw away):
+    first ONE narrow char-length aggregate (no tokenize, no explode);
+    n_tokens <= n_chars makes ``chars <= cap`` a proof of eligibility
+    and ``chars > factor*cap`` a cheap over-cap verdict, so the exact
+    tokenize probe only ever runs on gray-zone corpora whose size the
+    factor bounds."""
+    chars = docs.agg(F.sum(F.length(text_col))).first()[0]
+    if chars is not None and chars > cap * _KN_PROBE_CHAR_FACTOR:
         return None
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_t"),
+    )
+    if chars is not None and chars > cap:
+        tot = t.agg(F.sum(F.size("_t"))).first()[0]
+        if tot is not None and tot > cap:
+            return None
     return [(r[0], list(r[1])) for r in t.collect()]
 
 
@@ -2011,10 +2050,17 @@ def _kn_local_score(local: dict, held_rows, N: int):
     g, x, dd = local["g"], local["x"], local["dd"]
     u, v = local["u"], local["v"]
     bits = local["bits"]
+    occ0 = _kn_pack_docs(held_rows, N, local["ids"], bits, grow=False)
+    if u == 0.0:
+        # degenerate train corpus (no doc reached 2 tokens): the
+        # distributed chain's 0-denominator propagates NULL through
+        # Spark SQL — mirror that (real n_ngrams, NULL score), don't
+        # raise ZeroDivisionError
+        return [(did, len(ngs), None) for did, ngs in occ0.items()]
     d1_1, d1_2, d1_3 = dd[1]
     gamma1 = (d1_1 * local["n1f1"] + d1_2 * local["n2f1"] + d1_3 * local["n3f1"]) / u
     unk = 1.0 / (v + 1.0)
-    occ = _kn_pack_docs(held_rows, N, local["ids"], bits, grow=False)
+    occ = occ0
     g1get = g[1].get
     mask1 = (1 << bits) - 1
     levels = [

@@ -76,18 +76,34 @@ from pyspark.sql.window import Window
 # tier and tools/suffix_scale_bench.py keep exercising it).
 _SA_LOCAL_POS_CAP = 1_000_000
 
+#: quadratic-cost budget for the local path: _local_suffix_entries
+#: materializes every suffix tail as a real Python string, so driver
+#: memory is Σ len(doc)²/2 chars — a 1M-char SINGLE doc passes the
+#: position cap yet needs ~0.5 TB of tails.  Gate on Σ len² too
+#: (computed in the SAME 1-row probe aggregate, so it costs nothing):
+#: 1e9 char² ≈ ≤0.5 GB of tail payload on the driver, while the sf
+#: fixtures (Σ len² ~7e7 at sf0.1) stay comfortably local.  Over-budget
+#: corpora fall through to the distributed prefix-doubling chain, which
+#: handles them in O(total · log max_len) state.
+_SA_LOCAL_SQ_CAP = 1_000_000_000
+
 
 def _local_corpus_probe(base: DataFrame, local_cap: int):
-    """One 1-row aggregate over the doc slice: (max_len, total_chars,
-    rows) where ``rows`` is the collected [(doc_id, text), ...] iff
-    total_chars <= local_cap, else None.  The max-length aggregate is
-    the same bounded job the distributed loop already pays to fix its
-    round count, so the probe costs nothing extra."""
-    mx, tot = base.agg(
-        F.max(F.length("text")), F.sum(F.length("text"))
-    ).first()
+    """One 1-row aggregate over the doc slice: (max_len, rows) where
+    ``rows`` is the collected [(doc_id, text), ...] iff total_chars <=
+    local_cap AND Σ len² <= _SA_LOCAL_SQ_CAP (the tail-materialization
+    budget), else None.  The max-length aggregate is the same bounded
+    job the distributed loop already pays to fix its round count, so
+    the probe costs nothing extra."""
+    ln = F.length("text").cast("long")
+    mx, tot, sq = base.agg(F.max(ln), F.sum(ln), F.sum(ln * ln)).first()
     rows = None
-    if mx is not None and local_cap and tot <= local_cap:
+    if (
+        mx is not None
+        and local_cap
+        and tot <= local_cap
+        and sq <= _SA_LOCAL_SQ_CAP
+    ):
         rows = [(r[0], r[1]) for r in base.collect()]
     return mx, rows
 

@@ -573,6 +573,39 @@ def test_hyperball_harmonic_star_and_validation(spark):
     # empty edge list: empty result, no crash
     empty = spark.createDataFrame([], "src string, dst string")
     assert hyperball_harmonic(empty, max_dist=2).count() == 0
+    # NULL endpoints route to the distributed chain (pandas would
+    # float-coerce them); exact-operator parity on the node universe
+    nl = hyperball_harmonic(
+        spark.createDataFrame(
+            [("a", None), (None, "b"), ("a", "b")], "src string, dst string"
+        ),
+        max_dist=2,
+    )
+    assert {r["node"] for r in nl.collect()} == {"a", "b"}
+
+
+def test_hyperball_local_matches_distributed(spark):
+    """The bounded local register loop is value-equal to the
+    distributed chain (local_cap=0) on a mixed graph — same registers
+    (engine xxhash64), same estimate fold, same per-round deltas; the
+    only tolerated drift is libm-vs-Math.log ulps in the
+    linear-counting branch."""
+    from opentsdb_aura_spark.operators.corpus import hyperball_harmonic
+
+    rows = [(i, (i * 7 + 1) % 40) for i in range(40)]
+    rows += [(i, (i * 13 + 2) % 40) for i in range(40)]
+    rows += [(5, 5), (7, 7)]  # self-loops: node exists, edge dropped
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    loc = {r["node"]: r for r in hyperball_harmonic(edges, max_dist=3).collect()}
+    dist = {
+        r["node"]: r
+        for r in hyperball_harmonic(edges, max_dist=3, local_cap=0).collect()
+    }
+    assert set(loc) == set(dist) and len(loc) == 40
+    for n in loc:
+        for c in ("harmonic", "ball_est", "sum_dist_est"):
+            a, b = loc[n][c], dist[n][c]
+            assert abs(a - b) <= 1e-9 * max(1.0, abs(b)), (n, c, a, b)
 
 
 def test_pagerank_weighted_and_host_graph(spark):

@@ -104,15 +104,18 @@ def test_repetition_no_shuffle_hotkey_shape(spark, docs):
     assert "BatchEvalPython" not in plan
 
 
-def test_lm_bigram_scores(spark):
-    """Hand-computed Laplace bigram LM scores on a 2-doc corpus."""
+@pytest.mark.parametrize("local_cap", [None, 0], ids=["local", "distributed"])
+def test_lm_bigram_scores(spark, local_cap):
+    """Hand-computed Laplace bigram LM scores on a 2-doc corpus —
+    both paths pinned (local_cap=0 = the distributed chain)."""
     import math
 
     from opentsdb_aura_spark.operators.quality import lm_bigram_scores
 
+    kw = {} if local_cap is None else {"local_cap": local_cap}
     df = spark.createDataFrame([(0, "a b a b"), (1, "z z")], "doc_id long, text string")
     got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
-           for r in lm_bigram_scores(df, alpha=0.1).collect()}
+           for r in lm_bigram_scores(df, alpha=0.1, **kw).collect()}
     # U: a=2 b=2 z=2, V=3; B: "a b"=2, "b a"=1, "z z"=1
     lp_ab = math.log(2.1 / 2.3)
     lp_ba = math.log(1.1 / 2.3)
@@ -448,7 +451,11 @@ def test_kn_order3_generic_matches_dedicated_kn3(spark):
     """lm_kn_scores_order(order=3) and the dedicated lm_kn3_scores
     build the same estimator with the same float association — scores
     must agree to float tolerance on every doc (the generic tower's
-    order-3 instantiation IS the kn3 recursion)."""
+    order-3 instantiation IS the kn3 recursion).  The dedicated side
+    runs with local_cap=0 so this pins the DISTRIBUTED kn3 chain
+    against the generic tower — with both on the default cap the kn3
+    local path delegates to _kn_local_scores_order and the comparison
+    would be the local generic path against itself (vacuous)."""
     from opentsdb_aura_spark.operators.quality import lm_kn3_scores, lm_kn_scores_order
 
     rows = [
@@ -459,7 +466,7 @@ def test_kn_order3_generic_matches_dedicated_kn3(spark):
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     g = {r["doc_id"]: r for r in lm_kn_scores_order(d, order=3).collect()}
-    k = {r["doc_id"]: r for r in lm_kn3_scores(d).collect()}
+    k = {r["doc_id"]: r for r in lm_kn3_scores(d, local_cap=0).collect()}
     assert set(g) == set(k)
     for i in g:
         assert g[i]["n_ngrams"] == k[i]["n_trigrams"]

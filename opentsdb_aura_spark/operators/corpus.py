@@ -300,10 +300,15 @@ def connected_components(
             f"MAX_DRIVER_UNION_FIND_EDGES={MAX_DRIVER_UNION_FIND_EDGES}; "
             "an edge list that size belongs in the distributed loop"
         )
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    # materialize the edge list once: without this every iteration's
-    # join would re-execute the (possibly expensive) candidate-pair
-    # DAG upstream of `pairs`
+    # materialize the DIRECTED edge list first: the symmetric union
+    # reads `edges` twice, so checkpointing only the union re-executes
+    # the (possibly expensive) candidate-pair DAG upstream of `pairs`
+    # once per union branch — both-sided.  With the edge checkpoint the
+    # pair DAG runs exactly once; the cheap reversal then reads the
+    # materialized rows (guide §3.3 plan reuse)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint()
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     if sym.count() <= int(driver_threshold):  # cheap: counts the materialized checkpoint
         from pyspark.sql.types import StructField, StructType

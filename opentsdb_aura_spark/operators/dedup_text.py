@@ -599,13 +599,20 @@ def minhash_lsh_candidates(
     # exact verify: re-derive shingle sets for candidate docs alone
     # (semi-join the doc table, re-explode).  O(candidate docs ×
     # shingles) to build, O(candidate pairs × shingles) to intersect,
-    # never O(n²).
+    # never O(n²).  Both intermediates are read MORE THAN ONCE below
+    # (cand: the doc-id spine + both verify joins; sets: the a-side
+    # and b-side attach), so pin each once — without the checkpoints
+    # Catalyst re-runs the banded self-join three times and the
+    # candidate re-explode twice per query (guide §3.3 plan reuse;
+    # swap for persist(DISK_ONLY) on a multi-node cluster)
+    cand = cand.localCheckpoint(eager=False)
     cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(cand.select(F.col("doc_b"))).distinct()
     sets = (
         base.join(cand_docs, "doc_id", "left_semi")
         .select("doc_id", F.explode(word_shingles(F.col("_text"), n)).alias("s"))
         .groupBy("doc_id")
         .agg(F.collect_set(F.xxhash64("s")).alias("sh"))
+        .localCheckpoint(eager=False)
     )
     out = (
         cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")

@@ -2025,10 +2025,19 @@ def corpus_robots_unavailable(spark, sf_dir):
         synthesize_robots,
     )
 
-    d = docs_raw(spark, sf_dir).select(
-        (F.col("doc_id") % 12).cast("long").alias("k"),
-        (F.col("doc_id") % 5).cast("long").alias("p"),
-    ).distinct()
+    # 60 (k, p) pairs read by 4 plan branches (urls, hosts, status,
+    # rules) — collapse and pin once (same discipline as
+    # corpus_robots_redirects)
+    d = (
+        docs_raw(spark, sf_dir)
+        .select(
+            (F.col("doc_id") % 12).cast("long").alias("k"),
+            (F.col("doc_id") % 5).cast("long").alias("p"),
+        )
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
     path = (
         F.when(F.col("p") == 0, F.lit("/a"))
         .when(F.col("p") == 1, F.lit("/private/x"))
@@ -2178,7 +2187,16 @@ def corpus_robots_redirects(spark, sf_dir):
         synthesize_robots,
     )
 
-    d = docs_raw(spark, sf_dir).select((F.col("doc_id") % 20).cast("long").alias("k")).distinct()
+    # 20 hosts read by ~12 plan branches (9 fetch-fixture slices, the
+    # rules build, the url list, the chase) — collapse and pin ONCE so
+    # the docs scan + distinct doesn't re-run per branch
+    d = (
+        docs_raw(spark, sf_dir)
+        .select((F.col("doc_id") % 20).cast("long").alias("k"))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
     host = F.concat(F.lit("h"), F.col("k"), F.lit(".example"))
     hosts = d.select(host.alias("host"), (F.col("k") % 5).alias("c"))
     base = F.concat(F.lit("http://"), F.col("host"))

@@ -512,6 +512,32 @@ def test_resolve_robots_fetches_edges(spark):
     assert got["b.example"] == (200, "http://cdn.example/r.txt", 1, False)
     assert got["c.example"] == (200, "http://c.example/c2", 2, False)
     assert got["d.example"][0] == 301 and got["d.example"][3] is True
+    # local ≡ distributed (local_cap=0 forces the hop-join chain): the
+    # bounded chase must reproduce every row, duplicates included
+    dist = sorted(
+        tuple(r) for r in resolve_robots_fetches(
+            hosts, fetches, max_hops=2, local_cap=0
+        ).collect()
+    )
+    loc = sorted(
+        tuple(r) for r in resolve_robots_fetches(hosts, fetches, max_hops=2).collect()
+    )
+    assert loc == dist
+    # duplicate fetch URL rows fan a chain out exactly like the join
+    dup = spark.createDataFrame(
+        rows + [("http://b.example/robots.txt", 302, "http://cdn.example/r.txt")],
+        "url string, status_code int, location string",
+    )
+    loc_d = sorted(
+        tuple(r) for r in resolve_robots_fetches(hosts, dup, max_hops=2).collect()
+    )
+    dist_d = sorted(
+        tuple(r) for r in resolve_robots_fetches(
+            hosts, dup, max_hops=2, local_cap=0
+        ).collect()
+    )
+    assert loc_d == dist_d
+    assert sum(1 for t in loc_d if t[0] == "b.example") == 2
 
 
 def test_parse_robots_txt_size_cap():

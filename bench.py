@@ -294,7 +294,12 @@ def main() -> None:
                 # repeated at the END so the driver's tail-truncated
                 # artifact always carries the headline total
                 "headline_total_sec": round(total, 3),
-            }
+            },
+            # compact separators: BENCH_r13's one-line JSON outgrew the
+            # driver's tail budget (PERF_r14 lost the whole r13<->r14
+            # per-query comparison to it); no-space encoding buys ~15%
+            # of the line back as the catalog keeps growing
+            separators=(",", ":"),
         )
     )
 

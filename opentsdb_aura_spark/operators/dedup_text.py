@@ -44,15 +44,19 @@ def _perm_min_aggs(num_perm: int, h: Column) -> list[Column]:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Widen a narrow input to the session's full parallelism before a
-    CPU-heavy per-row stage (shingle explode + hashing).
+    """Widen a narrow input before a CPU-heavy per-row stage (shingle
+    explode + hashing).
 
     A small corpus read from one parquet file arrives as one partition
     and the explode would run on a single core; the fix is a cheap
-    round-robin repartition of the doc rows.  On a real cluster the
-    input already spans ≥ defaultParallelism partitions and this is a
+    round-robin repartition of the doc rows.  Target is
+    defaultParallelism/4 — aligned with queries.base.docs(), whose
+    frames arrive here already at that width (a larger target would
+    re-shuffle them right back to full width, undoing the measured
+    task-launch win; see base.docs for the numbers).  On a real
+    cluster the input already spans ≥ target partitions and this is a
     no-op (no shuffle inserted)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    target = max(1, df.sparkSession.sparkContext.defaultParallelism // 4)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -1891,66 +1891,6 @@ def _kn_pack_docs(rows, N: int, ids: dict, bits: int, grow: bool):
     return occ
 
 
-def _kn_local_tower(rows, N: int):
-    """The count tower over collected (doc_id, tokens) rows: per-doc
-    packed n-gram occurrence lists (every collected doc present, short
-    docs with []), level counts g[1..N] (raw at N, continuation below)
-    keyed by packed suffix ints, context dims x[N..2] as {ctx_int:
-    [tot, n1f, n2f, n3f, n3e, n4e]}, per-level count-of-count cells,
-    the token-id dict, and the field width."""
-    from collections import Counter
-
-    ids: dict = {}
-    for _, tk in rows:
-        for w in tk:
-            if w not in ids:
-                ids[w] = len(ids)
-    # one spare value above the dense ids doubles as the held-out OOV
-    # sentinel, so bits covers ids 0..V inclusive
-    bits = max(1, len(ids).bit_length())
-    occ = _kn_pack_docs(rows, N, ids, bits, grow=True)
-    gN: Counter = Counter()
-    for lst in occ.values():
-        for key in lst:
-            gN[key] += 1
-    g = {N: gN}
-    for k in range(N - 1, 0, -1):
-        gk: Counter = Counter()
-        mask = (1 << (bits * k)) - 1
-        for key in g[k + 1]:
-            gk[key & mask] += 1
-        g[k] = gk
-    x = {}
-    coc = {}
-    for k in range(N, 1, -1):
-        ctx: dict = {}
-        for key, c in g[k].items():
-            ck = key >> bits
-            e = ctx.get(ck)
-            if e is None:
-                e = [0, 0, 0, 0, 0, 0]
-                ctx[ck] = e
-            e[0] += c
-            if c == 1:
-                e[1] += 1
-            elif c == 2:
-                e[2] += 1
-            if c >= 3:
-                e[3] += 1
-                if c == 3:
-                    e[4] += 1
-                elif c == 4:
-                    e[5] += 1
-        x[k] = ctx
-        coc[k] = (
-            sum(e[1] for e in ctx.values()),
-            sum(e[2] for e in ctx.values()),
-            sum(e[4] for e in ctx.values()),
-            sum(e[5] for e in ctx.values()),
-        )
-    return occ, g, x, coc, ids, bits
-
-
 def _kn_local_per_doc(occ, lp):
     """(doc_id, n_ngrams, avg_logprob) rows — count/avg per collected
     doc, NULL score for <N-token docs (they never vanish)."""
@@ -1979,61 +1919,151 @@ def _kn_scores_schema(
     )
 
 
-def _kn_local_scores_order(rows, N: int):
-    """lm_kn_scores_order's in-corpus recursion in Python floats —
-    raw counts at N, continuation backoff, the type-diversity unigram
-    p1 = c1/u — term-for-term the Column expression tree (inner joins:
-    every in-corpus type has all its counts and contexts)."""
-    import math
+def _kn_np_tower(occ, N: int, bits: int):
+    """The count tower as sorted NumPy arrays: keys[k]/counts[k] per
+    level (raw at N via np.unique over all occurrences, continuation
+    below via np.unique over the level-above DISTINCT keys — the same
+    integer counts the scalar dict tower held), context dims per
+    level as (ctx_keys, tot, n1f, n2f, n3f, n3e, n4e) arrays grouped
+    with add.reduceat over the sorted key order (integer sums — exact,
+    association-free), and the count-of-count cells.  Returns
+    (T_all, doc_lens, keys, counts, ctx, coc); T_all concatenates the
+    per-doc occurrence lists in occ's iteration order."""
+    import numpy as np
 
-    occ, g, x, coc, _ids, bits = _kn_local_tower(rows, N)
+    doc_lens = [len(lst) for lst in occ.values()]
+    total = sum(doc_lens)
+    T_all = np.fromiter(
+        (t for lst in occ.values() for t in lst), dtype=np.int64, count=total
+    )
+    keys: dict = {}
+    counts: dict = {}
+    if total:
+        keys[N], counts[N] = np.unique(T_all, return_counts=True)
+    else:
+        keys[N] = np.zeros(0, dtype=np.int64)
+        counts[N] = np.zeros(0, dtype=np.int64)
+    for k in range(N - 1, 0, -1):
+        mask = (1 << (bits * k)) - 1
+        keys[k], counts[k] = np.unique(keys[k + 1] & mask, return_counts=True)
+    ctx: dict = {}
+    coc: dict = {}
+    for k in range(N, 1, -1):
+        kk, cc = keys[k], counts[k]
+        # np.unique returns ascending keys, so the high context bits
+        # are non-decreasing: contexts are contiguous runs
+        ctx_all = kk >> bits
+        ctx_keys, starts = np.unique(ctx_all, return_index=True)
+        if len(kk):
+            tot = np.add.reduceat(cc, starts)
+            n1f = np.add.reduceat((cc == 1).astype(np.int64), starts)
+            n2f = np.add.reduceat((cc == 2).astype(np.int64), starts)
+            n3f = np.add.reduceat((cc >= 3).astype(np.int64), starts)
+            n3e = np.add.reduceat((cc == 3).astype(np.int64), starts)
+            n4e = np.add.reduceat((cc == 4).astype(np.int64), starts)
+        else:
+            tot = n1f = n2f = n3f = n3e = n4e = np.zeros(0, dtype=np.int64)
+        ctx[k] = (ctx_keys, tot, n1f, n2f, n3f)
+        coc[k] = (int(n1f.sum()), int(n2f.sum()), int(n3e.sum()), int(n4e.sum()))
+    return T_all, doc_lens, keys, counts, ctx, coc
+
+
+def _kn_np_per_doc(occ, doc_lens, vals):
+    """(doc_id, n_ngrams, avg_logprob) off the per-occurrence logprob
+    vector — the running sum iterates each doc's occurrences left to
+    right, the exact order _kn_local_per_doc adds dict hits in."""
+    out = []
+    pos = 0
+    vl = vals.tolist()
+    for did, n in zip(occ.keys(), doc_lens):
+        if n == 0:
+            out.append((did, 0, None))
+        else:
+            s = 0.0
+            for v in vl[pos : pos + n]:
+                s += v
+            out.append((did, n, s / float(n)))
+        pos += n
+    return out
+
+
+def _kn_local_scores_order(rows, N: int):
+    """lm_kn_scores_order's in-corpus recursion, vectorized — raw
+    counts at N, continuation backoff, the type-diversity unigram
+    p1 = c1/u, term-for-term the Column expression tree (inner joins:
+    every in-corpus type has all its counts and contexts).  Each
+    distinct N-gram's probability chain is the SAME elementwise IEEE
+    expression the scalar loop evaluated (gathers replace dict gets;
+    no cross-type reassociation); the only drift class is np.log vs
+    libm/Math.log ulps, already absorbed by the rounding contract."""
+    import numpy as np
+
+    ids: dict = {}
+    for _, tk in rows:
+        for w in tk:
+            if w not in ids:
+                ids[w] = len(ids)
+    bits = max(1, len(ids).bit_length())
+    occ = _kn_pack_docs(rows, N, ids, bits, grow=True)
+    T_all, doc_lens, keys, counts, ctx, coc = _kn_np_tower(occ, N, bits)
+    if not len(keys[N]):
+        return [(did, 0, None) for did in occ]
     dd = {k: _kn_local_discount(*coc[k]) for k in range(N, 1, -1)}
-    u = float(len(g[2]))
-    g1 = g[1]
+    u = float(len(keys[2]))
     mask1 = (1 << bits) - 1
-    levels = [
-        (g[k], x[k], (1 << (bits * k)) - 1) + dd[k] for k in range(2, N + 1)
-    ]
-    log = math.log
-    lp = {}
-    for t in g[N]:
-        p = float(g1[t & mask1]) / u
-        for gk, xk, mk, dk1, dk2, dk3 in levels:
-            sfx = t & mk
-            ck = float(gk[sfx])
-            d_of = dk1 if ck == 1.0 else (dk2 if ck == 2.0 else dk3)
-            e = xk[sfx >> bits]
-            tot = float(e[0])
-            gamma = (dk1 * float(e[1]) + dk2 * float(e[2]) + dk3 * float(e[3])) / tot
-            p = max(ck - d_of, 0.0) / tot + gamma * p
-        lp[t] = log(p)
-    return _kn_local_per_doc(occ, lp)
+    U = keys[N]
+    c1 = counts[1][np.searchsorted(keys[1], U & mask1)].astype(np.float64)
+    p = c1 / u
+    for k in range(2, N + 1):
+        dk1, dk2, dk3 = dd[k]
+        mk = (1 << (bits * k)) - 1
+        sfx = U & mk
+        ck = counts[k][np.searchsorted(keys[k], sfx)].astype(np.float64)
+        d_of = np.where(ck == 1.0, dk1, np.where(ck == 2.0, dk2, dk3))
+        ctx_keys, tot, n1f, n2f, n3f = ctx[k]
+        ci = np.searchsorted(ctx_keys, sfx >> bits)
+        totv = tot[ci].astype(np.float64)
+        gamma = (
+            dk1 * n1f[ci].astype(np.float64)
+            + dk2 * n2f[ci].astype(np.float64)
+            + dk3 * n3f[ci].astype(np.float64)
+        ) / totv
+        p = np.maximum(ck - d_of, 0.0) / totv + gamma * p
+    lp = np.log(p)
+    vals = lp[np.searchsorted(U, T_all)]
+    return _kn_np_per_doc(occ, doc_lens, vals)
 
 
 def _kn_local_fit(rows, N: int) -> dict:
-    """lm_kn_fit's tower as plain dicts (the local model payload)."""
-    occ, g, x, coc, ids, bits = _kn_local_tower(rows, N)
+    """lm_kn_fit's tower as sorted NumPy arrays (the local model
+    payload _kn_local_score gathers from and _kn_local_to_frames
+    enumerates) — same integer counts the dict tower held."""
+    import numpy as np
+
+    ids: dict = {}
+    for _, tk in rows:
+        for w in tk:
+            if w not in ids:
+                ids[w] = len(ids)
+    bits = max(1, len(ids).bit_length())
+    occ = _kn_pack_docs(rows, N, ids, bits, grow=True)
+    _T, _dl, keys, counts, ctx, coc = _kn_np_tower(occ, N, bits)
     dd = {k: _kn_local_discount(*coc[k]) for k in range(N, 1, -1)}
-    n1 = n2 = n3 = n4 = ge3 = 0
-    for c in g[1].values():
-        if c == 1:
-            n1 += 1
-        elif c == 2:
-            n2 += 1
-        if c == 3:
-            n3 += 1
-        elif c == 4:
-            n4 += 1
-        if c >= 3:
-            ge3 += 1
+    c1 = counts[1]
+    n1 = int((c1 == 1).sum())
+    n2 = int((c1 == 2).sum())
+    n3 = int((c1 == 3).sum())
+    n4 = int((c1 == 4).sum())
+    ge3 = int((c1 >= 3).sum())
     dd[1] = _kn_local_discount(n1, n2, n3, n4)
     return {
-        "g": g,
-        "x": x,
+        "keys": keys,
+        "counts": counts,
+        "ctx": ctx,
         "dd": dd,
         "ids": ids,
         "bits": bits,
-        "u": float(len(g[2])),
+        "u": float(len(keys[2])),
         "v": float(len(ids)),
         "n1f1": float(n1),
         "n2f1": float(n2),
@@ -2041,53 +2071,83 @@ def _kn_local_fit(rows, N: int) -> dict:
     }
 
 
-def _kn_local_score(local: dict, held_rows, N: int):
-    """lm_kn_score's backoff recursion in Python floats — coalesced
-    counts, unseen-context pass-through, discounted-unigram + uniform
-    unknown floor — term-for-term the Column expression tree."""
-    import math
+def _kn_gather(keys, vals, q, default=0):
+    """vals at each q via binary search over the sorted keys; absent
+    queries read ``default`` — the vectorized dict.get."""
+    import numpy as np
 
-    g, x, dd = local["g"], local["x"], local["dd"]
+    if not len(keys):
+        return np.full(len(q), default, dtype=vals.dtype if len(vals) else np.int64)
+    idx = np.searchsorted(keys, q)
+    idx_c = np.minimum(idx, len(keys) - 1)
+    hit = keys[idx_c] == q
+    out = np.where(hit, vals[idx_c], default)
+    return out
+
+
+def _kn_local_score(local: dict, held_rows, N: int):
+    """lm_kn_score's backoff recursion, vectorized — coalesced counts,
+    unseen-context pass-through, discounted-unigram + uniform unknown
+    floor — term-for-term the Column expression tree (gathers with a
+    0 default replace dict gets; the pass-through is a where() that
+    keeps p unchanged where the context row is absent)."""
+    import numpy as np
+
+    keys, counts, ctx, dd = (
+        local["keys"], local["counts"], local["ctx"], local["dd"],
+    )
     u, v = local["u"], local["v"]
     bits = local["bits"]
-    occ0 = _kn_pack_docs(held_rows, N, local["ids"], bits, grow=False)
+    occ = _kn_pack_docs(held_rows, N, local["ids"], bits, grow=False)
     if u == 0.0:
         # degenerate train corpus (no doc reached 2 tokens): the
         # distributed chain's 0-denominator propagates NULL through
         # Spark SQL — mirror that (real n_ngrams, NULL score), don't
         # raise ZeroDivisionError
-        return [(did, len(ngs), None) for did, ngs in occ0.items()]
+        return [(did, len(ngs), None) for did, ngs in occ.items()]
     d1_1, d1_2, d1_3 = dd[1]
     gamma1 = (d1_1 * local["n1f1"] + d1_2 * local["n2f1"] + d1_3 * local["n3f1"]) / u
     unk = 1.0 / (v + 1.0)
-    occ = occ0
-    g1get = g[1].get
+    doc_lens = [len(lst) for lst in occ.values()]
+    total = sum(doc_lens)
+    T_all = np.fromiter(
+        (t for lst in occ.values() for t in lst), dtype=np.int64, count=total
+    )
+    U = np.unique(T_all) if total else np.zeros(0, dtype=np.int64)
+    if not len(U):
+        return [(did, 0, None) for did in occ]
     mask1 = (1 << bits) - 1
-    levels = [
-        (g[k].get, x[k].get, (1 << (bits * k)) - 1) + dd[k]
-        for k in range(2, N + 1)
-    ]
-    log = math.log
-    types = set()
-    for lst in occ.values():
-        types.update(lst)
-    lp = {}
-    for t in types:
-        c1v = float(g1get(t & mask1, 0))
-        d_of1 = d1_1 if c1v == 1.0 else (d1_2 if c1v == 2.0 else d1_3)
-        p = max(c1v - d_of1, 0.0) / u + gamma1 * unk
-        for gkget, xkget, mk, dk1, dk2, dk3 in levels:
-            sfx = t & mk
-            xk = xkget(sfx >> bits)
-            if xk is None:
-                continue  # unseen context: pass-through, p unchanged
-            ckv = float(gkget(sfx, 0))
-            d_of = dk1 if ckv == 1.0 else (dk2 if ckv == 2.0 else dk3)
-            tot = float(xk[0])
-            gamma = (dk1 * float(xk[1]) + dk2 * float(xk[2]) + dk3 * float(xk[3])) / tot
-            p = max(ckv - d_of, 0.0) / tot + gamma * p
-        lp[t] = log(p)
-    return _kn_local_per_doc(occ, lp)
+    c1v = _kn_gather(keys[1], counts[1], U & mask1).astype(np.float64)
+    d_of1 = np.where(c1v == 1.0, d1_1, np.where(c1v == 2.0, d1_2, d1_3))
+    p = np.maximum(c1v - d_of1, 0.0) / u + gamma1 * unk
+    for k in range(2, N + 1):
+        dk1, dk2, dk3 = dd[k]
+        mk = (1 << (bits * k)) - 1
+        sfx = U & mk
+        cq = sfx >> bits
+        ctx_keys, tot, n1f, n2f, n3f = ctx[k]
+        if not len(ctx_keys):
+            continue  # no level-k contexts at all: every type passes through
+        ci = np.minimum(np.searchsorted(ctx_keys, cq), len(ctx_keys) - 1)
+        present = ctx_keys[ci] == cq
+        if not present.any():
+            continue
+        ckv = _kn_gather(keys[k], counts[k], sfx).astype(np.float64)
+        d_of = np.where(ckv == 1.0, dk1, np.where(ckv == 2.0, dk2, dk3))
+        # totv is only read under `present`; clamp the absent slots to
+        # 1.0 so the vector division never trips 0/0 warnings
+        totv = np.where(present, tot[ci].astype(np.float64), 1.0)
+        gamma = (
+            dk1 * n1f[ci].astype(np.float64)
+            + dk2 * n2f[ci].astype(np.float64)
+            + dk3 * n3f[ci].astype(np.float64)
+        ) / totv
+        p = np.where(
+            present, np.maximum(ckv - d_of, 0.0) / totv + gamma * p, p
+        )
+    lp = np.log(p)
+    vals = lp[np.searchsorted(U, T_all)]
+    return _kn_np_per_doc(occ, doc_lens, vals)
 
 
 def _kn_local_to_frames(model: dict) -> dict:
@@ -2113,7 +2173,10 @@ def _kn_local_to_frames(model: dict) -> dict:
     for k in range(1, N + 1):
         kcols = cols[N - k :]
         pdf = pd.DataFrame(
-            [unpack(key, k) + [float(c)] for key, c in loc["g"][k].items()],
+            [
+                unpack(int(key), k) + [float(c)]
+                for key, c in zip(loc["keys"][k].tolist(), loc["counts"][k].tolist())
+            ],
             columns=kcols + [f"c{k}"],
         )
         schema = StructType(
@@ -2124,11 +2187,14 @@ def _kn_local_to_frames(model: dict) -> dict:
     x = {}
     for k in range(2, N + 1):
         ckeys = cols[N - k : N - 1]
+        cxk, tot, n1f, n2f, n3f = loc["ctx"][k]
         pdf = pd.DataFrame(
             [
-                unpack(key, k - 1)
-                + [float(e[0]), float(e[1]), float(e[2]), float(e[3])]
-                for key, e in loc["x"][k].items()
+                unpack(int(key), k - 1)
+                + [float(t), float(a), float(b), float(c)]
+                for key, t, a, b, c in zip(
+                    cxk.tolist(), tot.tolist(), n1f.tolist(), n2f.tolist(), n3f.tolist()
+                )
             ],
             columns=ckeys + [f"tot{k}", f"n1f{k}", f"n2f{k}", f"n3f{k}"],
         )

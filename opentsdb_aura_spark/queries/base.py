@@ -114,10 +114,19 @@ def series_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the test table is a single parquet file → 1 input partition;
-    # spread it so doc operators use every core (a production corpus
-    # arrives as many files and skips this)
+    # spread it so doc operators use multiple cores (a production
+    # corpus arrives as many files and gets parallelism from splits).
+    # defaultParallelism/4, not the full core count: several consumers
+    # chain Python stages (k workers live per task — the containers
+    # _CHAIN_DEPTH rationale), and for the pure-Catalyst consumers the
+    # fixture rows are so small that 32 task launches cost more than
+    # they buy (same-session min-of-3 at sf0.1, 8 vs 32 partitions:
+    # text_bpe_subword_count 2.54→1.83 s, text_unigram_count
+    # 2.14→1.51 s, pipeline_quality_classifier 1.58→0.97 s,
+    # dedup_cluster_resolve 2.99→2.73 s; none slower)
+    sc = spark.sparkContext
     return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
+        max(1, sc.defaultParallelism // 4)
     )
 
 
@@ -130,8 +139,13 @@ def docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same divided spread as docs() — measured on the ANN family
+    # (same-session min-of-3 at sf0.1, 8 vs 32): ann_pq_topk
+    # 1.47→0.90 s, ann_ivfpq_recall 2.26→1.49 s, ann_lsh_exact_topk
+    # 0.97→0.75 s; none slower
+    sc = spark.sparkContext
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism
+        max(1, sc.defaultParallelism // 4)
     )
 
 

@@ -407,29 +407,42 @@ def lm_bigram_scores(
     if local_cap:
         rows = _kn_collect_tokens(docs, text_col=text_col, id_col=id_col, cap=local_cap)
         if rows is not None:
-            import math
+            import numpy as np
 
-            from collections import Counter
-
-            uni: Counter = Counter()
-            big: Counter = Counter()
-            occ: dict = {}
-            for did, tk in rows:
-                lst = occ.setdefault(did, [])
+            # packed-int bigrams + np.unique counts — the same
+            # vectorized tower discipline as the KN scorers; the
+            # per-bigram Laplace expression is elementwise-identical
+            # to the scalar log((c+α)/(U(w1)+α·V))
+            ids: dict = {}
+            for _, tk in rows:
                 for w in tk:
-                    uni[w] += 1
-                for i in range(len(tk) - 1):
-                    bg = (tk[i], tk[i + 1])
-                    lst.append(bg)
-                    big[bg] += 1
-            v = float(len(uni))
+                    if w not in ids:
+                        ids[w] = len(ids)
+            bits = max(1, len(ids).bit_length())
+            occ = _kn_pack_docs(rows, 2, ids, bits, grow=False)
+            doc_lens = [len(lst) for lst in occ.values()]
+            total = sum(doc_lens)
+            n_toks = sum(len(tk) for _, tk in rows)
+            tok_ids = np.fromiter(
+                (ids[w] for _, tk in rows for w in tk), dtype=np.int64, count=n_toks
+            )
+            T_all = np.fromiter(
+                (t for lst in occ.values() for t in lst), dtype=np.int64, count=total
+            )
+            if not total:
+                return docs.sparkSession.createDataFrame(
+                    [(did, 0, None) for did in occ],
+                    _kn_scores_schema(docs, id_col, "n_bigrams"),
+                )
+            ukeys, ucnt = np.unique(tok_ids, return_counts=True)
+            U, cN = np.unique(T_all, return_counts=True)
+            v = float(len(ukeys))
             a = float(alpha)
-            lp = {
-                bg: math.log((c + a) / (uni[bg[0]] + a * v))
-                for bg, c in big.items()
-            }
+            u1 = ucnt[np.searchsorted(ukeys, U >> bits)].astype(np.float64)
+            lp = np.log((cN.astype(np.float64) + a) / (u1 + a * v))
+            vals = lp[np.searchsorted(U, T_all)]
             return docs.sparkSession.createDataFrame(
-                _kn_local_per_doc(occ, lp),
+                _kn_np_per_doc(occ, doc_lens, vals),
                 _kn_scores_schema(docs, id_col, "n_bigrams"),
             )
     toks = tokens(F.col(text_col))
@@ -994,35 +1007,51 @@ def lm_kn_scores(
     if local_cap:
         rows = _kn_collect_tokens(docs, text_col=text_col, id_col=id_col, cap=local_cap)
         if rows is not None:
-            import math
+            import numpy as np
 
-            from collections import Counter
-
-            big: Counter = Counter()
-            occ: dict = {}
-            for did, tk in rows:
-                lst = occ.setdefault(did, [])
-                for i in range(len(tk) - 1):
-                    bg = (tk[i], tk[i + 1])
-                    lst.append(bg)
-                    big[bg] += 1
-            ptot: Counter = Counter()
-            nfollow: Counter = Counter()
-            nprec: Counter = Counter()
-            for (w1, w2), c in big.items():
-                ptot[w1] += c
-                nfollow[w1] += 1
-                nprec[w2] += 1
-            ntypes = float(len(big))
-            lp = {
-                bg: math.log(
-                    max(c - d, 0.0) / ptot[bg[0]]
-                    + d * nfollow[bg[0]] / ptot[bg[0]] * nprec[bg[1]] / ntypes
+            # packed-int bigrams + np.unique counts (the vectorized
+            # tower discipline); the per-type absolute-discount
+            # expression is elementwise-identical to the scalar
+            # max(c−d,0)/ptot + d·nfollow/ptot·nprec/ntypes
+            ids: dict = {}
+            for _, tk in rows:
+                for w in tk:
+                    if w not in ids:
+                        ids[w] = len(ids)
+            bits = max(1, len(ids).bit_length())
+            occ = _kn_pack_docs(rows, 2, ids, bits, grow=False)
+            doc_lens = [len(lst) for lst in occ.values()]
+            total = sum(doc_lens)
+            if not total:
+                return docs.sparkSession.createDataFrame(
+                    [(did, 0, None) for did in occ],
+                    _kn_scores_schema(docs, id_col, "n_bigrams"),
                 )
-                for bg, c in big.items()
-            }
+            T_all = np.fromiter(
+                (t for lst in occ.values() for t in lst), dtype=np.int64, count=total
+            )
+            U, c = np.unique(T_all, return_counts=True)
+            w1 = U >> bits
+            w2 = U & ((1 << bits) - 1)
+            # U ascends, so w1 is non-decreasing: prefix groups are
+            # contiguous runs (integer sums — exact)
+            w1k, starts = np.unique(w1, return_index=True)
+            ptot_g = np.add.reduceat(c, starts)
+            nfollow_g = np.diff(np.append(starts, len(U)))
+            w2k, nprec_g = np.unique(w2, return_counts=True)
+            ntypes = float(len(U))
+            pi = np.searchsorted(w1k, w1)
+            ptot = ptot_g[pi].astype(np.float64)
+            nfollow = nfollow_g[pi].astype(np.float64)
+            nprec = nprec_g[np.searchsorted(w2k, w2)].astype(np.float64)
+            cf = c.astype(np.float64)
+            lp = np.log(
+                np.maximum(cf - d, 0.0) / ptot
+                + d * nfollow / ptot * nprec / ntypes
+            )
+            vals = lp[np.searchsorted(U, T_all)]
             return docs.sparkSession.createDataFrame(
-                _kn_local_per_doc(occ, lp),
+                _kn_np_per_doc(occ, doc_lens, vals),
                 _kn_scores_schema(docs, id_col, "n_bigrams"),
             )
     toks = tokens(F.col(text_col))
@@ -1849,7 +1878,17 @@ def _kn_collect_tokens(docs, *, text_col: str, id_col: str, cap: int):
         tot = t.agg(F.sum(F.size("_t"))).first()[0]
         if tot is not None and tot > cap:
             return None
-    return [(r[0], list(r[1])) for r in t.collect()]
+    # Arrow probe, not collect(): a row-based collect of array<string>
+    # materializes one Row object per element (~100k allocations at
+    # sf0.1); toPandas ships two Arrow buffers and each cell unpacks
+    # with one tolist()
+    pdf = t.toPandas()
+    return list(
+        zip(
+            pdf["doc_id"].tolist(),
+            (x.tolist() if hasattr(x, "tolist") else list(x) for x in pdf["_t"]),
+        )
+    )
 
 
 def _kn_local_discount(n1, n2, n3, n4):
@@ -1919,63 +1958,145 @@ def _kn_scores_schema(
     )
 
 
-def _kn_np_tower(occ, N: int, bits: int):
-    """The count tower as sorted NumPy arrays: keys[k]/counts[k] per
-    level (raw at N via np.unique over all occurrences, continuation
-    below via np.unique over the level-above DISTINCT keys — the same
-    integer counts the scalar dict tower held), context dims per
-    level as (ctx_keys, tot, n1f, n2f, n3f, n3e, n4e) arrays grouped
-    with add.reduceat over the sorted key order (integer sums — exact,
-    association-free), and the count-of-count cells.  Returns
-    (T_all, doc_lens, keys, counts, ctx, coc); T_all concatenates the
-    per-doc occurrence lists in occ's iteration order."""
+def _kn_gram_matrix(rows, N: int, ids: dict, grow: bool):
+    """Per-occurrence n-gram ROW MATRIX: (doc_ids, doc_lens, M) where
+    M is an int64 (total, N) matrix of token ids in position order
+    (last word in the last column) — the overflow-free successor of
+    the packed-int encoding (bits x N outgrew int64 the moment a
+    > 4096-token vocabulary met order 5).  ``grow=False`` (held-out
+    scoring) maps train-OOV tokens to the sentinel len(ids), same
+    rationale as before: an OOV-bearing gram is unseen at every level
+    that covers it."""
     import numpy as np
 
-    doc_lens = [len(lst) for lst in occ.values()]
-    total = sum(doc_lens)
-    T_all = np.fromiter(
-        (t for lst in occ.values() for t in lst), dtype=np.int64, count=total
-    )
-    keys: dict = {}
-    counts: dict = {}
-    if total:
-        keys[N], counts[N] = np.unique(T_all, return_counts=True)
-    else:
-        keys[N] = np.zeros(0, dtype=np.int64)
-        counts[N] = np.zeros(0, dtype=np.int64)
-    for k in range(N - 1, 0, -1):
-        mask = (1 << (bits * k)) - 1
-        keys[k], counts[k] = np.unique(keys[k + 1] & mask, return_counts=True)
-    ctx: dict = {}
-    coc: dict = {}
-    for k in range(N, 1, -1):
-        kk, cc = keys[k], counts[k]
-        # np.unique returns ascending keys, so the high context bits
-        # are non-decreasing: contexts are contiguous runs
-        ctx_all = kk >> bits
-        ctx_keys, starts = np.unique(ctx_all, return_index=True)
-        if len(kk):
-            tot = np.add.reduceat(cc, starts)
-            n1f = np.add.reduceat((cc == 1).astype(np.int64), starts)
-            n2f = np.add.reduceat((cc == 2).astype(np.int64), starts)
-            n3f = np.add.reduceat((cc >= 3).astype(np.int64), starts)
-            n3e = np.add.reduceat((cc == 3).astype(np.int64), starts)
-            n4e = np.add.reduceat((cc == 4).astype(np.int64), starts)
+    sentinel = len(ids)
+    doc_ids = []
+    doc_lens = []
+    mats = []
+    for did, tk in rows:
+        doc_ids.append(did)
+        if len(tk) < N:
+            doc_lens.append(0)
+            continue
+        if grow:
+            tids = np.fromiter(
+                (ids.setdefault(w, len(ids)) for w in tk), np.int64, count=len(tk)
+            )
         else:
-            tot = n1f = n2f = n3f = n3e = n4e = np.zeros(0, dtype=np.int64)
-        ctx[k] = (ctx_keys, tot, n1f, n2f, n3f)
+            tids = np.fromiter(
+                (ids.get(w, sentinel) for w in tk), np.int64, count=len(tk)
+            )
+        win = np.lib.stride_tricks.sliding_window_view(tids, N)
+        mats.append(win)
+        doc_lens.append(len(win))
+    M = np.concatenate(mats) if mats else np.zeros((0, N), np.int64)
+    return doc_ids, doc_lens, np.ascontiguousarray(M)
+
+
+def _kn_rows_unique(M, want_counts: bool = True):
+    """(rows, inverse[, counts]) of the distinct rows of an int64
+    matrix — np.unique(axis=0) semantics without its void-view sort:
+    columns chain into one dense int64 code (code·K_col + dense(col),
+    1-D sorts only; products stay far under 2^63 because both factors
+    are bounded by the row count under the token cap).  Row order is
+    an implementation detail; every caller indexes by position."""
+    import numpy as np
+
+    n, k = M.shape
+    if n == 0:
+        return (M, np.zeros(0, np.int64), np.zeros(0, np.int64)) if want_counts else (M, np.zeros(0, np.int64))
+    code = None
+    for j in range(k):
+        ucol, dcol = np.unique(M[:, j], return_inverse=True)
+        dcol = dcol.ravel()
+        if code is None:
+            code = dcol
+        else:
+            _, code = np.unique(code * np.int64(len(ucol)) + dcol, return_inverse=True)
+            code = code.ravel()
+    uniq, first, inv, cnt = np.unique(
+        code, return_index=True, return_inverse=True, return_counts=True
+    )
+    rows = M[first]
+    if want_counts:
+        return rows, inv.ravel(), cnt
+    return rows, inv.ravel()
+
+
+def _kn_mat_tower(M, N: int):
+    """The count tower over the n-gram row matrix, all levels derived
+    with np.unique(axis=0) + inverse chaining (integer-exact, vocab-
+    width-free):
+
+    - lv[k] = (rows, cnt): distinct level-k suffix rows (the last k
+      tokens) with raw counts at N and continuation counts (distinct
+      level-(k+1) extension types) below — the g[k] tables.
+    - ctx[k] = (rows, tot, n1f, n2f, n3f): per-context totals and
+      count-of-count masses over lv[k], grouped by the context (the
+      suffix minus its last token) — the x[k] dims.
+    - coc[k]: the discount-triple cells (n1f, n2f, n3e, n4e sums).
+    - t2l[k]: for each level-N type, the index of its level-k suffix
+      row; tctx[k]: the index of its level-k context row — the gather
+      indices the in-corpus scorer chains through (every in-corpus
+      type has all its counts and contexts, so these are total maps).
+    - invN: per-occurrence type index into lv[N].
+    """
+    import numpy as np
+
+    uniqN, invN, cntN = _kn_rows_unique(M)
+    lv = {N: (uniqN, cntN)}
+    ctx = {}
+    coc = {}
+    t2l = {N: np.arange(len(uniqN))}
+    tctx = {}
+    cur_rows, cur_cnt = uniqN, cntN
+    for k in range(N, 1, -1):
+        crows, cinv = _kn_rows_unique(np.ascontiguousarray(cur_rows[:, :-1]), want_counts=False)
+        nctx = len(crows)
+        cnt = cur_cnt
+        # integer sums via bincount (weights ride as float64 but the
+        # masses are far below 2^53, so the cast back is exact)
+        tot = np.bincount(cinv, weights=cnt.astype(np.float64), minlength=nctx).astype(np.int64)
+        n1f = np.bincount(cinv[cnt == 1], minlength=nctx).astype(np.int64)
+        n2f = np.bincount(cinv[cnt == 2], minlength=nctx).astype(np.int64)
+        n3f = np.bincount(cinv[cnt >= 3], minlength=nctx).astype(np.int64)
+        n3e = np.bincount(cinv[cnt == 3], minlength=nctx).astype(np.int64)
+        n4e = np.bincount(cinv[cnt == 4], minlength=nctx).astype(np.int64)
+        ctx[k] = (crows, tot, n1f, n2f, n3f)
         coc[k] = (int(n1f.sum()), int(n2f.sum()), int(n3e.sum()), int(n4e.sum()))
-    return T_all, doc_lens, keys, counts, ctx, coc
+        tctx[k] = cinv[t2l[k]]
+        nrows, ninv, ncnt = _kn_rows_unique(np.ascontiguousarray(cur_rows[:, 1:]))
+        lv[k - 1] = (nrows, ncnt)
+        t2l[k - 1] = ninv[t2l[k]]
+        cur_rows, cur_cnt = nrows, ncnt
+    return lv, ctx, coc, t2l, tctx, invN
 
 
-def _kn_np_per_doc(occ, doc_lens, vals):
+def _kn_row_lookup(table, q):
+    """(idx, present) of each query row among the table's unique rows
+    — one np.unique over the stacked rows, no order assumptions (the
+    vectorized dict.get for row keys)."""
+    import numpy as np
+
+    if not len(table) or not len(q):
+        return np.zeros(len(q), np.int64), np.zeros(len(q), bool)
+    _, inv = _kn_rows_unique(np.vstack([table, q]), want_counts=False)
+    n = len(table)
+    mark = np.full(int(inv.max()) + 1, -1, np.int64)
+    mark[inv[:n]] = np.arange(n)
+    got = mark[inv[n:]]
+    return np.maximum(got, 0), got >= 0
+
+
+def _kn_np_per_doc(doc_ids, doc_lens, vals):
     """(doc_id, n_ngrams, avg_logprob) off the per-occurrence logprob
     vector — the running sum iterates each doc's occurrences left to
-    right, the exact order _kn_local_per_doc adds dict hits in."""
+    right, the exact order _kn_local_per_doc adds dict hits in.
+    ``doc_ids`` is any iterable of ids (a dict iterates its keys)."""
     out = []
     pos = 0
     vl = vals.tolist()
-    for did, n in zip(occ.keys(), doc_lens):
+    for did, n in zip(doc_ids, doc_lens):
         if n == 0:
             out.append((did, 0, None))
         else:
@@ -1990,38 +2111,29 @@ def _kn_np_per_doc(occ, doc_lens, vals):
 def _kn_local_scores_order(rows, N: int):
     """lm_kn_scores_order's in-corpus recursion, vectorized — raw
     counts at N, continuation backoff, the type-diversity unigram
-    p1 = c1/u, term-for-term the Column expression tree (inner joins:
+    p1 = c1/u — term-for-term the Column expression tree (inner joins:
     every in-corpus type has all its counts and contexts).  Each
     distinct N-gram's probability chain is the SAME elementwise IEEE
-    expression the scalar loop evaluated (gathers replace dict gets;
-    no cross-type reassociation); the only drift class is np.log vs
-    libm/Math.log ulps, already absorbed by the rounding contract."""
+    expression the scalar loop evaluated (inverse-index gathers
+    replace dict gets; no cross-type reassociation); the only drift
+    class is np.log vs libm/Math.log ulps, already absorbed by the
+    rounding contract."""
     import numpy as np
 
     ids: dict = {}
-    for _, tk in rows:
-        for w in tk:
-            if w not in ids:
-                ids[w] = len(ids)
-    bits = max(1, len(ids).bit_length())
-    occ = _kn_pack_docs(rows, N, ids, bits, grow=True)
-    T_all, doc_lens, keys, counts, ctx, coc = _kn_np_tower(occ, N, bits)
-    if not len(keys[N]):
-        return [(did, 0, None) for did in occ]
+    doc_ids, doc_lens, M = _kn_gram_matrix(rows, N, ids, grow=True)
+    if not len(M):
+        return [(did, 0, None) for did in doc_ids]
+    lv, ctx, coc, t2l, tctx, invN = _kn_mat_tower(M, N)
     dd = {k: _kn_local_discount(*coc[k]) for k in range(N, 1, -1)}
-    u = float(len(keys[2]))
-    mask1 = (1 << bits) - 1
-    U = keys[N]
-    c1 = counts[1][np.searchsorted(keys[1], U & mask1)].astype(np.float64)
-    p = c1 / u
+    u = float(len(lv[2][0]))
+    p = lv[1][1][t2l[1]].astype(np.float64) / u
     for k in range(2, N + 1):
         dk1, dk2, dk3 = dd[k]
-        mk = (1 << (bits * k)) - 1
-        sfx = U & mk
-        ck = counts[k][np.searchsorted(keys[k], sfx)].astype(np.float64)
+        ck = lv[k][1][t2l[k]].astype(np.float64)
         d_of = np.where(ck == 1.0, dk1, np.where(ck == 2.0, dk2, dk3))
-        ctx_keys, tot, n1f, n2f, n3f = ctx[k]
-        ci = np.searchsorted(ctx_keys, sfx >> bits)
+        _crows, tot, n1f, n2f, n3f = ctx[k]
+        ci = tctx[k]
         totv = tot[ci].astype(np.float64)
         gamma = (
             dk1 * n1f[ci].astype(np.float64)
@@ -2030,26 +2142,20 @@ def _kn_local_scores_order(rows, N: int):
         ) / totv
         p = np.maximum(ck - d_of, 0.0) / totv + gamma * p
     lp = np.log(p)
-    vals = lp[np.searchsorted(U, T_all)]
-    return _kn_np_per_doc(occ, doc_lens, vals)
+    return _kn_np_per_doc(doc_ids, doc_lens, lp[invN])
 
 
 def _kn_local_fit(rows, N: int) -> dict:
-    """lm_kn_fit's tower as sorted NumPy arrays (the local model
-    payload _kn_local_score gathers from and _kn_local_to_frames
-    enumerates) — same integer counts the dict tower held."""
+    """lm_kn_fit's tower as row-matrix tables (the local model payload
+    _kn_local_score gathers from and _kn_local_to_frames enumerates)
+    — same integer counts the scalar dict tower held."""
     import numpy as np
 
     ids: dict = {}
-    for _, tk in rows:
-        for w in tk:
-            if w not in ids:
-                ids[w] = len(ids)
-    bits = max(1, len(ids).bit_length())
-    occ = _kn_pack_docs(rows, N, ids, bits, grow=True)
-    _T, _dl, keys, counts, ctx, coc = _kn_np_tower(occ, N, bits)
+    _doc_ids, _doc_lens, M = _kn_gram_matrix(rows, N, ids, grow=True)
+    lv, ctx, coc, _t2l, _tctx, _invN = _kn_mat_tower(M, N)
     dd = {k: _kn_local_discount(*coc[k]) for k in range(N, 1, -1)}
-    c1 = counts[1]
+    c1 = lv[1][1]
     n1 = int((c1 == 1).sum())
     n2 = int((c1 == 2).sum())
     n3 = int((c1 == 3).sum())
@@ -2057,13 +2163,11 @@ def _kn_local_fit(rows, N: int) -> dict:
     ge3 = int((c1 >= 3).sum())
     dd[1] = _kn_local_discount(n1, n2, n3, n4)
     return {
-        "keys": keys,
-        "counts": counts,
+        "lv": lv,
         "ctx": ctx,
         "dd": dd,
         "ids": ids,
-        "bits": bits,
-        "u": float(len(keys[2])),
+        "u": float(len(lv[2][0])),
         "v": float(len(ids)),
         "n1f1": float(n1),
         "n2f1": float(n2),
@@ -2071,68 +2175,42 @@ def _kn_local_fit(rows, N: int) -> dict:
     }
 
 
-def _kn_gather(keys, vals, q, default=0):
-    """vals at each q via binary search over the sorted keys; absent
-    queries read ``default`` — the vectorized dict.get."""
-    import numpy as np
-
-    if not len(keys):
-        return np.full(len(q), default, dtype=vals.dtype if len(vals) else np.int64)
-    idx = np.searchsorted(keys, q)
-    idx_c = np.minimum(idx, len(keys) - 1)
-    hit = keys[idx_c] == q
-    out = np.where(hit, vals[idx_c], default)
-    return out
-
-
 def _kn_local_score(local: dict, held_rows, N: int):
     """lm_kn_score's backoff recursion, vectorized — coalesced counts,
     unseen-context pass-through, discounted-unigram + uniform unknown
-    floor — term-for-term the Column expression tree (gathers with a
-    0 default replace dict gets; the pass-through is a where() that
-    keeps p unchanged where the context row is absent)."""
+    floor — term-for-term the Column expression tree (row lookups
+    with a 0 default replace dict gets; the pass-through is a where()
+    that keeps p unchanged where the context row is absent)."""
     import numpy as np
 
-    keys, counts, ctx, dd = (
-        local["keys"], local["counts"], local["ctx"], local["dd"],
-    )
+    lv, ctx, dd = local["lv"], local["ctx"], local["dd"]
     u, v = local["u"], local["v"]
-    bits = local["bits"]
-    occ = _kn_pack_docs(held_rows, N, local["ids"], bits, grow=False)
+    doc_ids, doc_lens, M = _kn_gram_matrix(held_rows, N, local["ids"], grow=False)
     if u == 0.0:
         # degenerate train corpus (no doc reached 2 tokens): the
         # distributed chain's 0-denominator propagates NULL through
         # Spark SQL — mirror that (real n_ngrams, NULL score), don't
         # raise ZeroDivisionError
-        return [(did, len(ngs), None) for did, ngs in occ.items()]
+        return [(did, n, None) for did, n in zip(doc_ids, doc_lens)]
+    if not len(M):
+        return [(did, 0, None) for did in doc_ids]
     d1_1, d1_2, d1_3 = dd[1]
     gamma1 = (d1_1 * local["n1f1"] + d1_2 * local["n2f1"] + d1_3 * local["n3f1"]) / u
     unk = 1.0 / (v + 1.0)
-    doc_lens = [len(lst) for lst in occ.values()]
-    total = sum(doc_lens)
-    T_all = np.fromiter(
-        (t for lst in occ.values() for t in lst), dtype=np.int64, count=total
-    )
-    U = np.unique(T_all) if total else np.zeros(0, dtype=np.int64)
-    if not len(U):
-        return [(did, 0, None) for did in occ]
-    mask1 = (1 << bits) - 1
-    c1v = _kn_gather(keys[1], counts[1], U & mask1).astype(np.float64)
+    uniqH, invH = _kn_rows_unique(M, want_counts=False)
+    li, lhit = _kn_row_lookup(lv[1][0], uniqH[:, N - 1 :])
+    c1v = np.where(lhit, lv[1][1][li], 0).astype(np.float64)
     d_of1 = np.where(c1v == 1.0, d1_1, np.where(c1v == 2.0, d1_2, d1_3))
     p = np.maximum(c1v - d_of1, 0.0) / u + gamma1 * unk
     for k in range(2, N + 1):
         dk1, dk2, dk3 = dd[k]
-        mk = (1 << (bits * k)) - 1
-        sfx = U & mk
-        cq = sfx >> bits
-        ctx_keys, tot, n1f, n2f, n3f = ctx[k]
-        if not len(ctx_keys):
-            continue  # no level-k contexts at all: every type passes through
-        ci = np.minimum(np.searchsorted(ctx_keys, cq), len(ctx_keys) - 1)
-        present = ctx_keys[ci] == cq
+        sfx = uniqH[:, N - k :]
+        crows, tot, n1f, n2f, n3f = ctx[k]
+        ci, present = _kn_row_lookup(crows, sfx[:, :-1])
         if not present.any():
-            continue
-        ckv = _kn_gather(keys[k], counts[k], sfx).astype(np.float64)
+            continue  # no known context anywhere: every type passes through
+        gi, ghit = _kn_row_lookup(lv[k][0], sfx)
+        ckv = np.where(ghit, lv[k][1][gi], 0).astype(np.float64)
         d_of = np.where(ckv == 1.0, dk1, np.where(ckv == 2.0, dk2, dk3))
         # totv is only read under `present`; clamp the absent slots to
         # 1.0 so the vector division never trips 0/0 warnings
@@ -2146,8 +2224,7 @@ def _kn_local_score(local: dict, held_rows, N: int):
             present, np.maximum(ckv - d_of, 0.0) / totv + gamma * p, p
         )
     lp = np.log(p)
-    vals = lp[np.searchsorted(U, T_all)]
-    return _kn_np_per_doc(occ, doc_lens, vals)
+    return _kn_np_per_doc(doc_ids, doc_lens, lp[invH])
 
 
 def _kn_local_to_frames(model: dict) -> dict:
@@ -2160,22 +2237,21 @@ def _kn_local_to_frames(model: dict) -> dict:
     spark = model["spark"]
     loc = model["local"]
     cols = [f"w{j}" for j in range(1, N + 1)]
-    bits = loc["bits"]
-    fmask = (1 << bits) - 1
     rev = [None] * len(loc["ids"])
     for w, i in loc["ids"].items():
         rev[i] = w
 
-    def unpack(key: int, k: int) -> list:
-        return [rev[(key >> (bits * (k - 1 - j))) & fmask] for j in range(k)]
+    def unpack(row) -> list:
+        return [rev[int(t)] for t in row]
 
     g = {}
     for k in range(1, N + 1):
         kcols = cols[N - k :]
+        rows_k, cnt_k = loc["lv"][k]
         pdf = pd.DataFrame(
             [
-                unpack(int(key), k) + [float(c)]
-                for key, c in zip(loc["keys"][k].tolist(), loc["counts"][k].tolist())
+                unpack(row) + [float(c)]
+                for row, c in zip(rows_k.tolist(), cnt_k.tolist())
             ],
             columns=kcols + [f"c{k}"],
         )
@@ -2190,9 +2266,9 @@ def _kn_local_to_frames(model: dict) -> dict:
         cxk, tot, n1f, n2f, n3f = loc["ctx"][k]
         pdf = pd.DataFrame(
             [
-                unpack(int(key), k - 1)
+                unpack(row)
                 + [float(t), float(a), float(b), float(c)]
-                for key, t, a, b, c in zip(
+                for row, t, a, b, c in zip(
                     cxk.tolist(), tot.tolist(), n1f.tolist(), n2f.tolist(), n3f.tolist()
                 )
             ],

@@ -1366,7 +1366,18 @@ def bloom_decontaminate(
     ).distinct()
     bloom = url_bloom_build(p_sh, n_bits=n_bits, k=k)
 
-    c_sh = docs.select(
+    # the corpus side pays k interpreted fold-hashes PER GRAM (the
+    # aggregate HOF is CodegenFallback) — orders of magnitude more CPU
+    # per row than the divided fixture spread assumes, so widen it to
+    # the full core count when the input arrives narrower (measured:
+    # 1.8 s at 32 partitions vs 5.9 s at 8 on the sf0.1 fixture).  At
+    # real scale the corpus already spans >= cores partitions and this
+    # inserts nothing.
+    sc = docs.sparkSession.sparkContext
+    wide = docs
+    if wide.rdd.getNumPartitions() < sc.defaultParallelism:
+        wide = wide.repartition(sc.defaultParallelism)
+    c_sh = wide.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
     )
